@@ -1,13 +1,134 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Relational surface (SURVEY.md §2.6-2.7: engine-scope via Catalyst)
+    "q1_agg" -> (Relational.q1Agg _),
+    "q_scan_filter" -> (Relational.scanFilter _),
+    "q_scan_count" -> (Relational.scanCount _),
+    "q3_join" -> (Relational.q3Join _),
+    "q5_join" -> (Relational.q5Join _),
+    "q_topn" -> (Relational.topN _),
+    "q_window_rank" -> (Relational.windowRank _),
+    "q_running_sum" -> (Relational.runningSum _),
+    "q_anti_join" -> (Relational.antiJoin _),
+    "q_semi_join" -> (Relational.semiJoin _),
+    "q_set_ops" -> (Relational.setOps _),
+    "q_distinct_agg" -> (Relational.distinctAgg _),
+    "q_events_hourly" -> (Relational.eventsHourly _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_scan_filter" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_discount >= 0.05 AND l_quantity < 10.0
+        |ORDER BY l_orderkey, l_partkey, l_linenumber""".stripMargin,
+    "q_scan_count" ->
+      "SELECT count(*) AS cnt FROM lineitem",
+    "q3_join" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_join" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 2
+        |ORDER BY o_custkey, rk""".stripMargin,
+    "q_running_sum" ->
+      """SELECT user_id, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS running_value
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+    "q_set_ops" ->
+      """SELECT nk FROM (
+        |  SELECT s_nationkey AS nk FROM supplier
+        |  INTERSECT
+        |  SELECT CAST(c_nationkey AS INT) AS nk FROM customer
+        |  UNION ALL
+        |  (SELECT s_nationkey AS nk FROM supplier
+        |   EXCEPT
+        |   SELECT CAST(c_nationkey AS INT) AS nk FROM customer)) t
+        |ORDER BY nk""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+        |    AS hour_start,
+        |  event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin,
+  )
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Table access layer over the driver-generated parquet tables.
+ *
+ * The reference engine (Apache ORC, `/root/reference`) is a columnar storage
+ * engine; its "catalog" is one self-describing file per dataset
+ * (`ReaderImpl.java:336`, schema in the footer). Our Spark-native analogue
+ * keeps that shape: each logical table is a single columnar file (parquet in
+ * the test harness, ORC via [[graft.sources.OrcIo]]), opened lazily and
+ * scanned through Spark's vectorized reader so that Catalyst's column
+ * pruning / filter pushdown reach the file scan (SURVEY.md §2.1 S2–S4).
+ *
+ * At 100 TB each `load` would point at a directory of many files; nothing
+ * here assumes single-file inputs — `spark.read.parquet(path)` accepts
+ * directories, and split planning (SURVEY.md S5) is Spark's FilePartition
+ * machinery.
+ */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(path(sfDir, name))
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+    // raw long (spark.sql.legacy.parquet.nanosAsLong). Convert to Spark's
+    // microsecond TimestampType by truncation — the same semantics DuckDB
+    // applies when casting TIMESTAMP_NS to TIMESTAMP.
+    if (name == "events" && df.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType) {
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.floor(
+            org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+    } else df
+  }
+
+  /** Register every table as a temp view named after itself. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
+
+/** Session defaults shared by Verify / Bench / tests. */
+object GraftSession {
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      : SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      // 32 matches local core count; on a real cluster this would be
+      // ~2-3x total executor cores, set per deployment.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.orc.filterPushdown", "true")
+      .config("spark.sql.orc.enableVectorizedReader", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+}

@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Relational query surface over the engine's columnar scans.
+ *
+ * The reference is a storage engine with no join/agg/window machinery
+ * (SURVEY.md §2.6–2.7): its only aggregation is write-side column statistics
+ * (`ColumnStatisticsImpl.java:92-1164`), and ordering exists only for
+ * dictionary keys and MapReduce shuffle. In the Spark-native engine these
+ * operations come from Catalyst built-ins over our scans; this module is the
+ * canonical, scale-aware expression of each one.
+ *
+ * Scale notes (100 TB):
+ *  - Aggregations use partial (map-side) aggregation automatically; group
+ *    keys here are low-cardinality so the shuffle is tiny regardless of
+ *    input size.
+ *  - Joins against the small dimension tables (region/nation/supplier/
+ *    customer at dimension scale) are explicitly `broadcast()` so no shuffle
+ *    of the fact table occurs; fact-fact joins (orders ⋈ lineitem) shuffle
+ *    on the join key, which AQE can further skew-split.
+ *  - Top-N uses sort+limit, which Spark executes as a per-partition
+ *    TakeOrdered (no global sort materialization).
+ */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /**
+   * Pricing-summary aggregation over lineitem (TPC-H Q1 shape): the
+   * canonical scan → filter → partial agg → final agg pipeline.
+   */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /**
+   * Projected + filtered scan (SURVEY.md S3/S4): both the projection and the
+   * predicate must reach the file scan (`PushedFilters`, pruned
+   * `ReadSchema`) — asserted in ScanSpec.
+   */
+  def scanFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_discount") >= 0.05 && col("l_quantity") < 10.0)
+      .orderBy(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("l_discount"))
+
+  /** COUNT(*) — answerable from footer row counts in the reference
+    * (`Reader.getNumberOfRows`, SURVEY.md §2.6); Spark answers it from
+    * parquet/ORC metadata via its aggregate pushdown. */
+  def scanCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))
+
+  /**
+   * Shipping-priority join (TPC-H Q3 shape): fact-fact shuffle join
+   * (orders ⋈ lineitem) with a broadcast dimension (customer at small SF;
+   * at real scale customer shuffles too — Spark picks by size).
+   */
+  def q3Join(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /**
+   * Multi-way star join (TPC-H Q5 shape): every dimension broadcast, single
+   * shuffle for the orders⋈lineitem fact join, one agg shuffle.
+   */
+  def q5Join(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region")
+    val nation = t(s, dir, "nation")
+    val cust = t(s, dir, "customer")
+    val sup = t(s, dir, "supplier")
+    val ord = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(sup),
+        li("l_suppkey") === sup("s_suppkey") &&
+          cust("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(nation), sup("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Global top-N: sort+limit → TakeOrderedAndProject, no full sort. */
+  def topN(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Per-group top-K via window row_number — one shuffle on the partition
+    * key; rank filter applied before any further join. */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rk"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** Running aggregate per key (ordered prefix sum) over events. */
+  def runningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("running_value", round(sum(col("value")).over(w), 2))
+      .select(col("user_id"), col("event_id"), col("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Anti join: customers with no orders (NOT EXISTS). Broadcast-able when
+    * the right side is small; otherwise a shuffled left-anti hash join. */
+  def antiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Semi join: parts that appear in some lineitem (EXISTS). */
+  def semiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .join(t(s, dir, "lineitem"),
+        col("p_partkey") === col("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey"))
+
+  /** Set operations: nations having suppliers EXCEPT nations having
+    * customers, plus the intersection count — exercises union/intersect/
+    * except over scans. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val supNations = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+    val custNations = t(s, dir, "customer")
+      .select(col("c_nationkey").cast("int").as("nk"))
+    supNations.intersect(custNations)
+      .union(supNations.except(custNations))
+      .orderBy(col("nk"))
+  }
+
+  /** Distinct aggregation: exact distinct counts per group. */
+  def distinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Hourly tumbling-window aggregation over the events stream table —
+    * batch twin of the Structured Streaming pipeline in
+    * [[graft.streaming.StreamingIngest]]. */
+  def eventsHourly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+}

@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+For each query parquet dumped by graft.Verify, runs the matching oracle SQL
+from oracle_sql.json in DuckDB over the same source tables, sorts columns by
+name and rows by value, and compares cell-by-cell (small float tolerance for
+diagnostics; also reports exact-hash match, which is what the driver checks).
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return str(v)
+
+
+def canon(rows, names):
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [names[i] for i in order], out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            res = con.execute(sql)
+            onames = [d[0] for d in res.description]
+            orows = res.fetchall()
+            sres = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            snames = [d[0] for d in sres.description]
+            srows = sres.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: error: {e}")
+            n_fail += 1
+            continue
+        ocols, ocanon = canon(orows, onames)
+        scols, scanon = canon(srows, snames)
+        if ocols != scols:
+            print(f"FAIL {name}: columns oracle={ocols} spark={scols}")
+            n_fail += 1
+            continue
+        if len(ocanon) != len(scanon):
+            print(f"FAIL {name}: rows oracle={len(ocanon)} spark={len(scanon)}")
+            n_fail += 1
+            continue
+        if ocanon == scanon:
+            print(f"PASS {name} ({len(ocanon)} rows)")
+            n_pass += 1
+        else:
+            diffs = [(a, b) for a, b in zip(ocanon, scanon) if a != b]
+            print(f"FAIL {name}: {len(diffs)}/{len(ocanon)} rows differ; "
+                  f"first: oracle={diffs[0][0]} spark={diffs[0][1]}")
+            n_fail += 1
+    # queries with no oracle: rows-only
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, name)
+        if os.path.isdir(p) and name not in oracle:
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet('{p}/*.parquet')").fetchone()[0]
+            print(f"ROWS {name}: {n} rows (no oracle)")
+    print(f"== {n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
