@@ -26,6 +26,20 @@ object SparkEntry {
     "q_set_ops" -> (Relational.setOps _),
     "q_distinct_agg" -> (Relational.distinctAgg _),
     "q_events_hourly" -> (Relational.eventsHourly _),
+    // ORC format engine (SURVEY.md §2.1/2.5: scans, writers, codecs)
+    "q_orc_roundtrip" -> (graft.sources.OrcIo.roundTripQuery _),
+    "q_orc_codecs" -> (graft.sources.OrcIo.codecMatrixQuery _),
+    // Stats engine (SURVEY.md §2.6/M2: footer-stats answering)
+    "q_stats_footer" -> (Stats.statsOnlyQuery _),
+    "q_col_profile" -> (Stats.columnProfileQuery _),
+    // Schema evolution + union type (SURVEY.md §2.3, §1.2)
+    "q_cast_matrix" -> (Evolution.castMatrixQuery _),
+    "q_reader_schema" -> (Evolution.readerSchemaQuery _),
+    "q_union_struct" -> (Evolution.unionTypeQuery _),
+    // ACID merge-on-read (SURVEY.md §2.10)
+    "q_acid_mor" -> (Acid.morQuery _),
+    // JSON tools (SURVEY.md §2.9)
+    "q_json_convert" -> (graft.sources.JsonTools.jsonConvertQuery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -130,5 +144,105 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_start, event_type""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(min(l_quantity), 2) AS min_qty,
+        |  round(max(l_quantity), 2) AS max_qty
+        |FROM lineitem
+        |WHERE l_quantity >= 25.0
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_orc_codecs" ->
+      """SELECT codec, n_rows, sum_price
+        |FROM (SELECT count(*) AS n_rows,
+        |        round(sum(o_totalprice), 2) AS sum_price FROM orders)
+        |CROSS JOIN (VALUES ('lz4'), ('none'), ('snappy'), ('zlib'),
+        |  ('zstd')) AS t(codec)
+        |ORDER BY codec""".stripMargin,
+    "q_stats_footer" ->
+      """SELECT col_name, n_values, min_val, max_val, sum_val FROM (
+        |  SELECT 'l_orderkey' AS col_name, count(l_orderkey) AS n_values,
+        |    round(CAST(min(l_orderkey) AS DOUBLE), 2) AS min_val,
+        |    round(CAST(max(l_orderkey) AS DOUBLE), 2) AS max_val,
+        |    round(CAST(sum(l_orderkey) AS DOUBLE), 2) AS sum_val
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', count(l_quantity),
+        |    round(min(l_quantity), 2), round(max(l_quantity), 2),
+        |    round(sum(l_quantity), 2) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(l_extendedprice),
+        |    round(min(l_extendedprice), 2), round(max(l_extendedprice), 2),
+        |    round(sum(l_extendedprice), 2) FROM lineitem) t
+        |ORDER BY col_name""".stripMargin,
+    "q_col_profile" ->
+      """SELECT col_name, n_values, n_nulls, min_val, max_val, sum_val
+        |FROM (
+        |  SELECT 'l_quantity' AS col_name, count(l_quantity) AS n_values,
+        |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+        |    round(CAST(min(l_quantity) AS DOUBLE), 2) AS min_val,
+        |    round(CAST(max(l_quantity) AS DOUBLE), 2) AS max_val,
+        |    round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_val
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(l_extendedprice),
+        |    sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+        |    round(min(l_extendedprice), 2), round(max(l_extendedprice), 2),
+        |    round(sum(l_extendedprice), 2) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', count(l_discount),
+        |    sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+        |    round(min(l_discount), 2), round(max(l_discount), 2),
+        |    round(sum(l_discount), 2) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', count(l_tax),
+        |    sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END),
+        |    round(min(l_tax), 2), round(max(l_tax), 2),
+        |    round(sum(l_tax), 2) FROM lineitem) t
+        |ORDER BY col_name""".stripMargin,
+    "q_cast_matrix" ->
+      """SELECT l_orderkey,
+        |  CAST(l_orderkey AS VARCHAR) AS okey_str,
+        |  TRY_CAST(l_orderkey * 1000000 AS INTEGER) AS okey_int_overflow,
+        |  CAST(floor(l_quantity) AS BIGINT) AS qty_long,
+        |  CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS price_dec,
+        |  CAST(l_shipdate AS DATE) AS ship_date,
+        |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_str,
+        |  CAST(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP)
+        |    AS ship_rt,
+        |  substring(l_returnflag, 1, 1) AS flag_char1
+        |FROM lineitem
+        |WHERE l_linenumber = 1
+        |ORDER BY l_orderkey""".stripMargin,
+    "q_reader_schema" ->
+      """SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+        |  round(o_totalprice, 2) AS o_totalprice,
+        |  CAST(NULL AS INTEGER) AS o_missing
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_union_struct" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type = 'click' THEN CAST(0 AS TINYINT)
+        |       ELSE CAST(1 AS TINYINT) END AS tag,
+        |  CASE WHEN event_type = 'click' THEN CAST(floor(value) AS INTEGER)
+        |       ELSE NULL END AS field0,
+        |  CASE WHEN event_type <> 'click' THEN event_type
+        |       ELSE NULL END AS field1
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "q_acid_mor" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.10
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus
+        |FROM orders
+        |WHERE o_orderkey % 7 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_json_convert" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
   )
 }

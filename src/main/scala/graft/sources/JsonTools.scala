@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/**
+ * JSON schema inference + conversion — the `orc-tools json-schema` /
+ * `convert` analogue (SURVEY.md §2.9; `JsonSchemaFinder.java:73-252`,
+ * `ConvertTool.java`).
+ *
+ * The reference infers a merged typed schema from a JSON corpus via a
+ * type lattice (bool < byte < … < decimal < float < double; string ⊔
+ * timestamp; struct field union) and then converts row-by-row. Spark's
+ * JSON datasource implements the same inference distributed
+ * (sampling + schema merge across partitions), so the engine delegates
+ * and exposes the results.
+ *
+ * Scale: `spark.read.json` schema inference is a distributed pass; for
+ * 100 TB corpora use `samplingRatio` < 1 or an explicit schema after a
+ * first inference run — both exposed here.
+ */
+object JsonTools {
+
+  /** Infer the merged schema of a JSON string column (the in-engine
+    * `json-schema` tool). */
+  def inferSchema(spark: SparkSession, json: Dataset[String],
+      samplingRatio: Double = 1.0): StructType =
+    spark.read.option("samplingRatio", samplingRatio.toString)
+      .json(json).schema
+
+  /** Convert a JSON string column into typed nested columns using an
+    * inferred or supplied schema (the `convert` tool, minus the file
+    * rewrite — callers compose with [[OrcIo.write]]). */
+  def convert(df: DataFrame, jsonCol: String,
+      schema: StructType): DataFrame =
+    df.withColumn(jsonCol + "_typed", from_json(col(jsonCol), schema))
+
+  /**
+   * Correctness-gate query: infer the schema of events.props
+   * ({"k": <int>}), convert, and project the typed field. Oracle
+   * extracts the same value with a regexp over the raw string —
+   * identical only if inference + conversion typed it correctly.
+   */
+  def jsonConvertQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val schema = inferSchema(spark, ev.select($"props").as[String])
+    convert(ev, "props", schema)
+      .select(col("event_id"),
+        col("props_typed.k").cast("long").as("k"))
+      .orderBy(col("event_id"))
+  }
+
+  /** JSON → ORC conversion round-trip (`ConvertTool`): typed convert,
+    * write ORC, read back. */
+  def convertToOrc(spark: SparkSession, json: Dataset[String],
+      outPath: String): DataFrame = {
+    val schema = inferSchema(spark, json)
+    val typed = spark.read.schema(schema).json(json)
+    OrcIo.write(typed, outPath)
+    OrcIo.read(spark, outPath)
+  }
+}

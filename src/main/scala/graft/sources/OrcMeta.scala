@@ -1,0 +1,155 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.orc.{ColumnStatistics, OrcFile, Reader}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * File-metadata inspection — the `orc-tools meta` / `orc-metadata` /
+ * `orc-statistics` analogue (SURVEY.md §2.9), rendered as DataFrames.
+ *
+ * The reference parses the file tail (PostScript + Footer + Metadata,
+ * `ReaderImpl.java:515-560`) and dumps schema, stripe layout and
+ * per-column statistics (`FileDump.java:91-768`). We delegate tail
+ * parsing to the ORC reader library (format internals are out of engine
+ * scope per SURVEY.md §7.1) and surface the results relationally.
+ *
+ * Scale: footer reads are O(#files) metadata-only IOs. `stripes` and
+ * `columnStats` distribute the footer reads across the cluster
+ * (one task per file batch) rather than looping on the driver, so a
+ * 100 TB / 100k-file dataset inspects in parallel.
+ */
+object OrcMeta {
+
+  case class StripeInfo(file: String, stripe: Int, offset: Long,
+      indexLength: Long, dataLength: Long, footerLength: Long, rows: Long)
+
+  case class ColStats(file: String, columnId: Int, column: String,
+      count: Long, hasNull: Boolean, min: String, max: String, sum: String)
+
+  case class FileMeta(file: String, rows: Long, rawDataSize: Long,
+      contentLength: Long, stripeCount: Int, compression: String,
+      compressionBlockSize: Long, writerVersion: String, schema: String)
+
+  private def orcFiles(spark: SparkSession, path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(p).isDirectory) {
+      val it = fs.listStatus(p)
+      it.toIndexedSeq.map(_.getPath)
+        .filter(f => f.getName.endsWith(".orc") ||
+          !(f.getName.startsWith("_") || f.getName.startsWith(".")))
+        .map(_.toString)
+    } else Seq(path)
+  }
+
+  private def withReader[A](file: String)(f: Reader => A): A = {
+    val reader = OrcFile.createReader(new Path(file),
+      OrcFile.readerOptions(new Configuration()))
+    try f(reader) finally reader.close()
+  }
+
+  /** One row per (file, stripe): the scan-parallelism layout
+    * (`StripeInformation`, SURVEY.md §1.1). */
+  def stripes(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = orcFiles(spark, path)
+    spark.sparkContext.parallelize(files, math.max(1, files.size / 16))
+      .flatMap { file =>
+        withReader(file) { r =>
+          import scala.jdk.CollectionConverters._
+          r.getStripes.asScala.zipWithIndex.map { case (s, i) =>
+            StripeInfo(file, i, s.getOffset, s.getIndexLength,
+              s.getDataLength, s.getFooterLength, s.getNumberOfRows)
+          }.toSeq
+        }
+      }.toDF()
+  }
+
+  /** One row per (file, column): footer-level statistics
+    * (`ColumnStatisticsImpl`, SURVEY.md W5). */
+  def columnStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = orcFiles(spark, path)
+    spark.sparkContext.parallelize(files, math.max(1, files.size / 16))
+      .flatMap { file =>
+        withReader(file) { r =>
+          val schema = r.getSchema
+          val names = flatColumnNames(schema)
+          r.getStatistics.zipWithIndex.map { case (cs, id) =>
+            val (min, max, sum) = renderStats(cs)
+            ColStats(file, id, names.getOrElse(id, s"_col$id"),
+              cs.getNumberOfValues, cs.hasNull, min, max, sum)
+          }.toSeq
+        }
+      }.toDF()
+  }
+
+  /** One row per file: the `orc-metadata` summary. */
+  def fileMeta(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = orcFiles(spark, path)
+    spark.sparkContext.parallelize(files, math.max(1, files.size / 16))
+      .map { file =>
+        withReader(file) { r =>
+          FileMeta(file, r.getNumberOfRows, r.getRawDataSize,
+            r.getContentLength, r.getStripes.size(),
+            r.getCompressionKind.toString, r.getCompressionSize,
+            r.getWriterVersion.toString, r.getSchema.toString)
+        }
+      }.toDF()
+  }
+
+  /** Pre-order column-id → dotted name map, mirroring the reference's
+    * flattened type tree ids (`TypeDescription.java:746-755`). */
+  private[graft] def flatColumnNames(
+      schema: org.apache.orc.TypeDescription): Map[Int, String] = {
+    val out = scala.collection.mutable.Map[Int, String]()
+    def walk(t: org.apache.orc.TypeDescription, name: String): Unit = {
+      out(t.getId) = name
+      import scala.jdk.CollectionConverters._
+      val children = Option(t.getChildren).map(_.asScala).getOrElse(Nil)
+      // getFieldNames NPEs on non-struct nodes (list/map/union children
+      // are positional)
+      val names =
+        if (t.getCategory == org.apache.orc.TypeDescription.Category.STRUCT)
+          Option(t.getFieldNames).map(_.asScala).getOrElse(Nil)
+        else Nil
+      children.zipWithIndex.foreach { case (c, i) =>
+        val childName =
+          if (names.nonEmpty) s"$name.${names(i)}".stripPrefix(".")
+          else s"$name._child$i".stripPrefix(".")
+        walk(c, childName)
+      }
+    }
+    walk(schema, "")
+    out(schema.getId) = "<root>"
+    out.toMap
+  }
+
+  private def renderStats(cs: ColumnStatistics): (String, String, String) = {
+    import org.apache.orc._
+    cs match {
+      case s: IntegerColumnStatistics =>
+        (s.getMinimum.toString, s.getMaximum.toString,
+          if (s.isSumDefined) s.getSum.toString else null)
+      case s: DoubleColumnStatistics =>
+        (s.getMinimum.toString, s.getMaximum.toString, s.getSum.toString)
+      case s: StringColumnStatistics =>
+        (s.getMinimum, s.getMaximum, s.getSum.toString)
+      case s: DecimalColumnStatistics =>
+        (String.valueOf(s.getMinimum), String.valueOf(s.getMaximum),
+          String.valueOf(s.getSum))
+      case s: DateColumnStatistics =>
+        (String.valueOf(s.getMinimumDayOfEpoch),
+          String.valueOf(s.getMaximumDayOfEpoch), null)
+      case s: TimestampColumnStatistics =>
+        (String.valueOf(s.getMinimum), String.valueOf(s.getMaximum), null)
+      case s: BooleanColumnStatistics =>
+        ("false", "true", s.getTrueCount.toString)
+      case s: BinaryColumnStatistics => (null, null, s.getSum.toString)
+      case _ => (null, null, null)
+    }
+  }
+}
