@@ -40,6 +40,24 @@ object SparkEntry {
     "q_acid_mor" -> (Acid.morQuery _),
     // JSON tools (SURVEY.md §2.9)
     "q_json_convert" -> (graft.sources.JsonTools.jsonConvertQuery _),
+    // Text analysis (north star: training-data pipeline)
+    "q_text_tokens" -> (TextAnalysis.tokenStatsQuery _),
+    "q_text_quality" -> (TextAnalysis.qualityQuery _),
+    "q_lang_id" -> (TextAnalysis.langIdQuery _),
+    "q_fingerprint" -> (TextAnalysis.fingerprintQuery _),
+    // Deduplication family (north star)
+    "q_dedup_exact" -> (Dedup.exactQuery _),
+    "q_dedup_jaccard" -> (Dedup.ngramJaccardQuery _),
+    "q_dedup_minhash" -> (Dedup.minhashLshQuery _),
+    "q_dedup_simhash" -> (Dedup.simhashQuery _),
+    "q_dedup_embedding" -> (Dedup.embeddingNearDupQuery _),
+    // Similarity search (north star)
+    "q_ann_topk" -> (Similarity.annBruteForceQuery _),
+    "q_ann_lsh" -> (Similarity.lshBucketQuery _),
+    "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    // Multimodal columns (north star)
+    "q_media_meta" -> (Multimodal.mediaMetaQuery _),
+    "q_media_decode" -> (Multimodal.decodePipelineQuery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -244,5 +262,131 @@ object SparkEntry {
         |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
         |FROM events
         |ORDER BY event_id""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars_text,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_tokens,
+        |  CAST(length(text) AS DOUBLE) /
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |  CAST(len(list_filter(string_split(text, ' '), x ->
+        |    x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |    AS n_stop,
+        |  CAST(len(list_filter(string_split(text, ' '), x ->
+        |    len(x) <= 2)) AS DOUBLE) AS n_short,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    AS n_distinct
+        |FROM documents)
+        |SELECT doc_id,
+        |  n_stop / n_tok AS stopword_ratio,
+        |  n_short / n_tok AS short_ratio,
+        |  n_distinct / n_tok AS distinct_ratio,
+        |  (n_stop / n_tok) * 0.25 + (n_distinct / n_tok) * 0.5 +
+        |    (1.0 - n_short / n_tok) * 0.25 AS quality_score
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  len(list_filter(string_split(text,' '), x ->
+        |    x IN ('der','und','das'))) AS s_de,
+        |  len(list_filter(string_split(text,' '), x ->
+        |    x IN ('the','and','of'))) AS s_en,
+        |  len(list_filter(string_split(text,' '), x ->
+        |    x IN ('el','los','que'))) AS s_es,
+        |  len(list_filter(string_split(text,' '), x ->
+        |    x IN ('le','les','est'))) AS s_fr
+        |FROM documents),
+        |f1 AS (SELECT *, 'de' AS l1, s_de AS c1 FROM s),
+        |f2 AS (SELECT *, CASE WHEN s_en > c1 THEN 'en' ELSE l1 END AS l2,
+        |  CASE WHEN s_en > c1 THEN s_en ELSE c1 END AS c2 FROM f1),
+        |f3 AS (SELECT *, CASE WHEN s_es > c2 THEN 'es' ELSE l2 END AS l3,
+        |  CASE WHEN s_es > c2 THEN s_es ELSE c2 END AS c3 FROM f2),
+        |f4 AS (SELECT *, CASE WHEN s_fr > c3 THEN 'fr' ELSE l3 END AS l4,
+        |  CASE WHEN s_fr > c3 THEN s_fr ELSE c3 END AS c4 FROM f3)
+        |SELECT doc_id, lang AS lang_declared,
+        |  CASE WHEN s_de + s_en + s_es + s_fr > 0 THEN l4
+        |       ELSE 'und' END AS lang_predicted
+        |FROM f4
+        |ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS md5_hex,
+        |  list_reduce(
+        |    list_prepend(0, list_transform(string_split(text, ''),
+        |      c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, b) -> (a * 131 + b) % 1000000007) AS rolling_hash
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY keep_doc_id""".stripMargin,
+    "q_dedup_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang, CAST(floor(length(text) / 100) AS BIGINT)
+        |      AS len_bucket,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+        |      i -> concat_ws(' ', string_split(text,' ')[i],
+        |        string_split(text,' ')[i+1], string_split(text,' ')[i+2])))
+        |      AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (CAST(len(a.s) + len(b.s) AS DOUBLE) -
+        |     CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) AS jaccard
+        |FROM sh a JOIN sh b
+        |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+        |  AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (CAST(len(a.s) + len(b.s) AS DOUBLE) -
+        |     CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_embedding" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+        |    AS cos_sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+        |    >= 0.95
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_ann_topk" ->
+      """WITH sims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4)
+        |      AS cos_sim
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 5),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM sims)
+        |SELECT query_id, neighbor_id, rank, cos_sim
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    "q_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  octet_length(text::BLOB) AS byte_len,
+        |  lower(hex(substring(text, 1, 4)::BLOB)) AS header_hex,
+        |  md5(text) AS payload_md5,
+        |  lower(hex(substring(text, 9, 8)::BLOB)) AS frame_sample
+        |FROM documents
+        |ORDER BY media_id""".stripMargin,
   )
 }

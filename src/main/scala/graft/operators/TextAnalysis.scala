@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines
+ * (north star in BASELINE.json): token counting, quality scoring,
+ * language ID, document fingerprinting — all single-pass, codegen'd
+ * column expressions over the `documents` table. No shuffle at all:
+ * each is embarrassingly parallel over 100 TB of documents.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokens of the `text` column. */
+  def tokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    split(c, " ")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /**
+   * Token statistics: whitespace token count, a word-regex token count
+   * (BPE-ish `[a-z0-9]+` segmentation), char count, average token
+   * length. Ratios are exact integer-over-integer doubles, so the
+   * oracle compares bit-for-bit.
+   */
+  def tokenStatsQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_text"),
+        size(tokens(col("text"))).as("n_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+          .as("n_word_tokens"),
+        (length(col("text")).cast("double") /
+          size(tokens(col("text"))).cast("double")).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  /**
+   * Quality scoring: stopword ratio, short-token ratio, repetition
+   * (distinct/total tokens), and a deterministic combined score —
+   * the heuristics C4/Gopher-style pipelines apply before training.
+   */
+  def qualityQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+      .cast("double")
+    val nShort = size(filter(toks, t => length(t) <= 2)).cast("double")
+    val nDistinct = size(array_distinct(toks)).cast("double")
+    Tables.load(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        (nStop / nTok).as("stopword_ratio"),
+        (nShort / nTok).as("short_ratio"),
+        (nDistinct / nTok).as("distinct_ratio"),
+        ((nStop / nTok) * 0.25 + (nDistinct / nTok) * 0.5 +
+          (lit(1.0) - nShort / nTok) * 0.25).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * Language ID by stopword-set voting: count hits from per-language
+   * indicator word sets, pick the max (ties broken by language code) —
+   * the classic n-gram/stopword heuristic, expressible in pure SQL so
+   * the oracle can replay it. Falls back to 'und' when nothing matches.
+   */
+  def langIdQuery(spark: SparkSession, sfDir: String): DataFrame =
+    langIdOver(Tables.load(spark, sfDir, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** The language-ID transform itself, over any frame with
+    * (doc_id, lang, text). */
+  def langIdOver(docs: DataFrame): DataFrame = {
+    val indicator: Map[String, Seq[String]] = Map(
+      "en" -> Seq("the", "and", "of"),
+      "de" -> Seq("der", "und", "das"),
+      "es" -> Seq("el", "los", "que"),
+      "fr" -> Seq("le", "les", "est"))
+    val toks = tokens(col("text"))
+    val scores = indicator.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+    }
+    // greatest-score-wins with lexicographic tiebreak: fold over languages
+    val (bestLang, _) = scores.tail.foldLeft(
+      (lit(scores.head._1), scores.head._2)) {
+      case ((accLang, accScore), (lang, score)) =>
+        (when(score > accScore, lit(lang)).otherwise(accLang),
+          when(score > accScore, score).otherwise(accScore))
+    }
+    val anyHit = scores.map(_._2).reduce(_ + _) > 0
+    docs.select(col("doc_id"), col("lang").as("lang_declared"),
+      when(anyHit, bestLang).otherwise(lit("und")).as("lang_predicted"))
+  }
+
+  /**
+   * Document fingerprints: md5 content hash (cross-engine-stable) plus
+   * a 64-bit polynomial rolling hash over the token stream (the
+   * shingling primitive), computed with `aggregate` so it stays inside
+   * codegen. base/mod chosen from Rabin-Karp convention.
+   */
+  def fingerprintQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("md5_hex"),
+        rollingHash(col("text")).as("rolling_hash"))
+      .orderBy(col("doc_id"))
+
+  /** 64-bit polynomial rolling hash of a string's chars:
+    * h = Σ c_i·B^(n-1-i) mod M, sequential, overflow-free (M < 2^31 so
+    * h·B + c fits a long). */
+  def rollingHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val B = 131L
+    val M = 1000000007L
+    aggregate(
+      // ascii codepoints of each char, in order
+      transform(split(c, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, v) => (acc * B + v) % M)
+  }
+}

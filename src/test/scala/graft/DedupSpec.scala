@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Verifies the non-SQL-oracle-able dedup paths (minhash, simhash) against
+  * the exact-Jaccard ground truth the oracle does replay. */
+class DedupSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  test("exact dedup: every text maps to exactly one keeper") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val nTexts = docs.select(col("text")).distinct().count()
+    val res = Dedup.exactQuery(spark, sfDir)
+    assert(res.count() == nTexts)
+    // keepers are a subset of real doc_ids and copies sum to the corpus
+    val total = res.agg(sum(col("n_copies"))).as[Long].head()
+    assert(total == docs.count())
+  }
+
+  test("minhash LSH finds the exact-Jaccard near-dup pairs (recall)") {
+    val exact = Dedup.ngramJaccardQuery(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.minhashLshQuery(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // recall: high-similarity exact pairs (well above the 0.5 threshold,
+    // so banding s-curve ≈ 1) must be found
+    val strong = exact.filter(_._2 >= 0.7)
+    assert(strong.nonEmpty, "test corpus should contain near-dups")
+    val found = strong.keys.count(lsh.contains)
+    assert(found.toDouble / strong.size >= 0.9,
+      s"LSH recall too low: $found/${strong.size}")
+    // estimator accuracy on the overlap (64 hashes → se ≈ 0.06)
+    for ((pair, est) <- lsh; if exact.contains(pair)) {
+      assert(math.abs(est - exact(pair)) < 0.25,
+        s"estimate $est too far from exact ${exact(pair)} for $pair")
+    }
+  }
+
+  test("simhash: near-dup pairs overlap exact ground truth") {
+    val exactPairs = Dedup.ngramJaccardQuery(spark, sfDir)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashQuery(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), col("hamming")).collect()
+    val simPairs = sim.map(r => (r.getLong(0), r.getLong(1))).toSet
+    sim.foreach(r => assert(r.getInt(2) <= 3))
+    // simhash(hamming≤3 of 64) is a *tighter* match than jaccard 0.8 —
+    // what it does return must be orderly; require it to find at least
+    // one true near-dup pair if any exist, and stay deterministic
+    if (exactPairs.nonEmpty)
+      assert(simPairs.intersect(exactPairs).nonEmpty,
+        "simhash found none of the strong near-dup pairs")
+    val again = Dedup.simhashQuery(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == simPairs, "simhash must be deterministic")
+  }
+
+  test("simhash64: identical texts collide, perturbed text stays close") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+    ).toDF("id", "text")
+    val sigs = df.select(col("id"), Dedup.simhash64(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val ham = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    assert(ham <= 16, s"one-token change moved $ham/64 bits")
+  }
+
+  test("keepFirst keeps exactly one row per key") {
+    val df = Seq((1, "a", 10), (1, "b", 5), (2, "c", 7)).toDF("k", "v", "ord")
+    val kept = Dedup.keepFirst(df, Seq("k"), col("ord"))
+      .select(col("k"), col("v")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(kept == Map(1 -> "b", 2 -> "c"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  test("rollingHash matches a Scala reference implementation") {
+    def ref(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 131L + c.toLong) % 1000000007L)
+    val samples = Seq("", "a", "hello world", "The quick brown fox! 123")
+    val got = samples.toDF("text")
+      .select(TextAnalysis.rollingHash(col("text"))).as[Long].collect()
+    assert(got.toSeq == samples.map(ref))
+  }
+
+  test("token stats on a crafted document") {
+    val df = Seq((1L, "alpha beta42 GAMMA x")).toDF("doc_id", "text")
+    val row = df.select(
+      length(col("text")).as("n_chars"),
+      size(TextAnalysis.tokens(col("text"))).as("n_tok"),
+      size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("n_word"))
+      .head()
+    assert(row.getInt(0) == 20)
+    assert(row.getInt(1) == 4)
+    assert(row.getInt(2) == 3) // alpha, beta42, x — GAMMA is uppercase
+  }
+
+  test("language ID picks the language with most indicator hits") {
+    val res = TextAnalysis.langIdQuery(spark, sfDir)
+    assert(res.columns.toSeq ==
+      Seq("doc_id", "lang_declared", "lang_predicted"))
+    val preds = res.select(col("lang_predicted")).distinct()
+      .as[String].collect().toSet
+    assert(preds.subsetOf(Set("en", "de", "es", "fr", "und")))
+    // the synthetic corpus text is English-ish tokens regardless of its
+    // randomly-assigned `lang` column, so agreement with the declared
+    // lang is meaningless — instead assert the voting rule directly on
+    // crafted rows (exact per-row parity vs DuckDB is covered by the
+    // q_lang_id oracle)
+    val crafted = Seq(
+      "the cat and the dog of the house",   // en indicators dominate
+      "der hund und das haus und der baum", // de
+      "el coche los gatos que corren",      // es
+      "le chien les chats est grand",       // fr
+      "zzz qqq www").toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+      .withColumn("lang", lit("xx"))
+    crafted.createOrReplaceTempView("langid_crafted")
+    val got = TextAnalysis.langIdOver(crafted)
+      .orderBy(col("doc_id")).select(col("lang_predicted"))
+      .as[String].collect().toSeq
+    assert(got == Seq("en", "de", "es", "fr", "und"))
+  }
+
+  test("quality score is bounded and ratios are in [0,1]") {
+    val res = TextAnalysis.qualityQuery(spark, sfDir)
+      .select(col("stopword_ratio"), col("short_ratio"),
+        col("distinct_ratio"), col("quality_score")).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      (0 until 3).foreach { i =>
+        val v = r.getDouble(i)
+        assert(v >= 0.0 && v <= 1.0, s"ratio $i out of range: $v")
+      }
+      val q = r.getDouble(3)
+      assert(q >= 0.0 && q <= 1.0, s"quality out of range: $q")
+    }
+  }
+}

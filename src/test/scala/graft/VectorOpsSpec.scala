@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+
+class VectorOpsSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def vecsDf = Seq(
+    (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+    (Array(2.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),
+  ).toDF("a", "b")
+
+  test("dot matches hand-computed values") {
+    val got = vecsDf.select(VectorOps.dot(col("a"), col("b"))).as[Double]
+      .collect()
+    assert(got.toSeq == Seq(32.0, 0.0, 2.0))
+  }
+
+  test("cosine: orthogonal=0, parallel=1, zero-vector=null") {
+    val got = vecsDf.select(VectorOps.cosine(col("a"), col("b")))
+      .as[Option[Double]].collect()
+    assert(math.abs(got(1).get) < 1e-12)
+    assert(math.abs(got(2).get - 1.0) < 1e-12)
+    val z = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+      .select(VectorOps.cosine(col("a"), col("b"))).as[Option[Double]]
+      .collect()
+    assert(z.head.isEmpty)
+  }
+
+  test("l2sq matches hand-computed") {
+    val got = vecsDf.select(VectorOps.l2sq(col("a"), col("b"))).as[Double]
+      .collect()
+    assert(got.toSeq == Seq(27.0, 2.0, 1.0))
+  }
+
+  test("hamming counts differing bits of packed longs") {
+    val got = Seq((0L, 7L), (5L, 5L), (-1L, 0L)).toDF("a", "b")
+      .select(VectorOps.hamming(col("a"), col("b"))).as[Int].collect()
+    assert(got.toSeq == Seq(3, 0, 64))
+  }
+
+  test("hyperplaneSignature is deterministic and bucket-stable") {
+    val df = Seq(
+      Tuple1(Array.fill(64)(0.5f)),
+      Tuple1(Array.fill(64)(0.5f)),            // identical vector
+      Tuple1(Array.tabulate(64)(i => (i - 32).toFloat)),
+    ).toDF("v")
+    val sigs = df.select(
+      VectorOps.hyperplaneSignature(col("v"), 12, 64)).as[Long].collect()
+    assert(sigs(0) == sigs(1), "identical vectors must share a bucket")
+    assert(sigs(0) >= 0 && sigs(0) < (1L << 12), "12-bit signature range")
+    assert(sigs(2) >= 0 && sigs(2) < (1L << 12))
+  }
+}
