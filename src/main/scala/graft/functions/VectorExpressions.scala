@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /**
@@ -186,6 +186,193 @@ object VectorKernels {
     math.sqrt(s)
   }
 
+  /** splitmix64 finalizer: the per-seed hash family for minhash. */
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** MinHash: sig[j] = min over elements of mix64(h ^ seed_j). */
+  def minhashJava(arr: ArrayData, k: Int): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val v = mix64(h ^ (j.toLong * 0xA24BAED4963EE407L))
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sig)
+  }
+
+  /** SimHash: per-bit ±1 votes over pre-hashed tokens, sign → bit. */
+  def simhashJava(hashes: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < hashes.numElements()) {
+      if (!hashes.isNullAt(i)) {
+        val h = hashes.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Agreement count between two equal-length signature arrays (the
+    * minhash Jaccard estimator numerator). */
+  def sigAgreeJava(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0; var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /**
+   * Word n-gram shingles of a document, 64-bit-hashed (FNV-1a over
+   * chars) and deduplicated, in one native pass. Tokenization and
+   * shingle-window semantics replicate the SQL formulation the DuckDB
+   * oracle replays (split on single space keeping empties; for docs
+   * with fewer than n tokens, one shingle of all tokens):
+   * Jaccard over these hash sets equals Jaccard over the string sets
+   * (collision p ≈ n²/2⁶⁵ per pair).
+   */
+  def shingleHashesJava(text: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val count = math.max(toks.length - n, 0) + 1
+    val seen = new java.util.HashSet[java.lang.Long](count * 2)
+    val out = new Array[Long](count)
+    var m = 0
+    var i = 0
+    while (i < count) {
+      // FNV-1a 64 over the chars of tok[i] + " " + ... + tok[i+n-1]
+      var h = 0xCBF29CE484222325L
+      var k = 0
+      val end = math.min(i + n, toks.length)
+      var j = i
+      while (j < end) {
+        if (j > i) { h = (h ^ ' '.toLong) * 0x100000001B3L }
+        val t = toks(j)
+        k = 0
+        while (k < t.length) {
+          h = (h ^ t.charAt(k).toLong) * 0x100000001B3L
+          k += 1
+        }
+        j += 1
+      }
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(out, m))
+  }
+
+  /** See [[shingleHashesJava]]. */
+  case class ShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got " + other.simpleString)
+      }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_shingles"
+    override protected def nullSafeEval(a: Any): Any =
+      shingleHashesJava(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.shingleHashesJava($a, $n)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  private def longArrayCheck(e: Expression, name: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<bigint> input, got " + other.simpleString)
+    }
+
+  /**
+   * MinHash signature over a 64-bit-hashed shingle set: k splitmix64
+   * seed-mixed minima in one native pass (the `aggregate`/`zip_with`
+   * formulation evaluates k×|shingles| interpreted lambdas per row —
+   * ~10x slower at sf0.1).
+   */
+  case class MinHashSignature(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      longArrayCheck(child, prettyName)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash"
+    override protected def nullSafeEval(a: Any): Any =
+      minhashJava(a.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.minhashJava($a, $k)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** 64-bit SimHash over pre-hashed tokens (array<long> → long). */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      longArrayCheck(child, prettyName)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash"
+    override protected def nullSafeEval(a: Any): Any =
+      simhashJava(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.simhashJava($a)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Count of agreeing positions between two signature arrays. */
+  case class SignatureAgreement(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = longArrayCheck(left, prettyName)
+      if (l != TypeCheckResult.TypeCheckSuccess) l
+      else longArrayCheck(right, prettyName)
+    }
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_sig_agree"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      sigAgreeJava(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.VectorKernels.sigAgreeJava($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   private def fn(name: String, builder: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) =
     (new FunctionIdentifier(name),
@@ -199,6 +386,14 @@ object VectorKernels {
     fn("graft_cosine", es => FloatVecCosine(es(0), es(1))),
     fn("graft_l2sq", es => FloatVecL2Sq(es(0), es(1))),
     fn("graft_norm", es => FloatVecNorm(es.head)),
+    // k must be a foldable int literal, e.g. graft_minhash(sh, 64)
+    fn("graft_minhash", es => MinHashSignature(es(0),
+      es(1).eval().asInstanceOf[Int])),
+    fn("graft_simhash", es => SimHash64(es.head)),
+    // n must be a foldable int literal, e.g. graft_shingles(text, 3)
+    fn("graft_shingles", es => ShingleHashes(es(0),
+      es(1).eval().asInstanceOf[Int])),
+    fn("graft_sig_agree", es => SignatureAgreement(es(0), es(1))),
   )
 
   /** SparkSessionExtensions hook: `.withExtensions(VectorKernels.register)`. */

@@ -49,11 +49,16 @@ object Dedup {
 
   /** 64-bit-hashed shingle set: set operations (intersect, minhash) over
     * 8-byte longs instead of ~30-char strings — ~4x smaller shuffle rows
-    * and cheap equality. xxhash64 collisions are negligible at any corpus
+    * and cheap equality. 64-bit collisions are negligible at any corpus
     * size that fits a pair-block (p ≈ n²/2⁶⁵), so |A∩B| over hashes
-    * equals |A∩B| over the strings and Jaccard values are unchanged. */
+    * equals |A∩B| over the strings and Jaccard values are unchanged.
+    * One native codegen'd pass
+    * ([[graft.functions.VectorKernels.ShingleHashes]]): the equivalent
+    * `transform(shingles(text), xxhash64)` evaluates ~1ms of interpreted
+    * higher-order lambdas per document — it was the dominant cost of
+    * every shingle-based query, not the joins. */
   def hashedShingles(text: Column, n: Int = 3): Column =
-    transform(shingles(text, n), s => xxhash64(s))
+    call_function("graft_shingles", text, lit(n))
 
   /**
    * Exact n-gram Jaccard near-dup: candidates blocked by (lang,
@@ -63,41 +68,42 @@ object Dedup {
    * rule), and bounds pair counts per block at any scale.
    */
   def ngramJaccardQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    // Inverted-index formulation: explode shingles, count co-occurrences
+    // per candidate pair, then |A∩B| = co-count and |A∪B| = |A|+|B|−∩.
+    // Scales as Σ_shingle (docs sharing it)² — pairwise array_intersect
+    // over every blocked pair scales as pairs × |shingles| and is ~15x
+    // slower at sf0.1 (and unboundedly worse at 100 TB). Pairs that
+    // share no shingle never materialize at all.
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"),
         floor(length(col("text")) / 100).as("len_bucket"),
         hashedShingles(col("text")).as("sh"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("lang"),
-      col("len_bucket"), col("sh").as("sh_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("lang"),
-      col("len_bucket"), col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
-    a.join(b, Seq("lang", "len_bucket"))
+      .select(col("doc_id"), col("lang"), col("len_bucket"),
+        size(col("sh")).as("n_sh"), col("sh"))
+    val ex = docs.select(col("doc_id"), col("lang"), col("len_bucket"),
+      col("n_sh"), explode(col("sh")).as("s"))
+    val a = ex.select(col("s"), col("lang"), col("len_bucket"),
+      col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
+    val b = ex.select(col("s"), col("lang"), col("len_bucket"),
+      col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
+    a.join(b, Seq("s", "lang", "len_bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", inter / uni)
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /**
-   * MinHash signature: k minimums over murmur3(shingle, seed) — the
-   * standard unbiased Jaccard estimator. One projection pass, no
-   * shuffle.
-   *
-   * Folded shingle-outer / seed-inner (`sig[j] = min(sig[j],
-   * hash(s, j))` per shingle) so the shingle array is the `aggregate`
-   * input and is evaluated exactly once per row — seed-outer
-   * (`transform(seeds, j => array_min(...))`) would re-evaluate the
-   * shingling k times per row.
+   * MinHash signature: k minimums over splitmix64(shingle ^ seed_j) —
+   * the standard unbiased Jaccard estimator. One native codegen'd pass
+   * ([[graft.functions.VectorKernels.MinHashSignature]]), no shuffle.
    */
-  def minhashSignature(shingleCol: Column, k: Int = 64): Column =
-    aggregate(
-      shingleCol,
-      array_repeat(lit(Int.MaxValue), k),
-      (sig, s) => zip_with(sig, sequence(lit(0), lit(k - 1)),
-        (m, seed) => least(m, hash(s, seed))))
+  def minhashSignature(hashedShingleCol: Column, k: Int = 64): Column =
+    call_function("graft_minhash", hashedShingleCol, lit(k))
 
   /**
    * MinHash + LSH banding dedup (the 100 TB path): signatures → band
@@ -131,9 +137,8 @@ object Dedup {
       .distinct()
     cand
       .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1.0).otherwise(0.0)),
-          lit(0.0), (acc, v) => acc + v) / size(col("sig_a")))
+        call_function("graft_sig_agree", col("sig_a"), col("sig_b"))
+          .cast("double") / size(col("sig_a")))
       .filter(col("est_jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -170,26 +175,12 @@ object Dedup {
   }
 
   /** 64-bit SimHash of whitespace tokens: per-bit ±1 votes weighted by
-    * token occurrence, sign → bit. Pure higher-order functions. */
-  def simhash64(text: Column): Column = {
-    // hash every token once up front; the 64-bit vote loop then works
-    // on the long, not the string
-    val tokHashes = transform(split(text, " "), t => xxhash64(t))
-    // votes[b] = Σ_tokens (bit b of xxhash64(token) ? +1 : -1)
-    val votes = aggregate(
-      tokHashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (a, b) => a + when(
-          call_function("shiftright", h, b)
-            .bitwiseAND(lit(1L)) === 1L, 1L)
-          .otherwise(-1L)))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, b) => when(v >= 0L,
-          call_function("shiftleft", lit(1L), b)).otherwise(0L)),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+    * token occurrence, sign → bit. Tokens are hashed once (xxhash64);
+    * the 64-bit vote loop is a native codegen'd expression
+    * ([[graft.functions.VectorKernels.SimHash64]]). */
+  def simhash64(text: Column): Column =
+    call_function("graft_simhash",
+      transform(split(text, " "), t => xxhash64(t)))
 
   /**
    * Embedding-cosine near-dup: candidates blocked by label (shared by
