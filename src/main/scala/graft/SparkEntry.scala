@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -40,6 +41,11 @@ object SparkEntry {
     "q_acid_mor" -> (Acid.morQuery _),
     // JSON tools (SURVEY.md §2.9)
     "q_json_convert" -> (graft.sources.JsonTools.jsonConvertQuery _),
+    // Streaming ingest (SURVEY.md §2.10 W8): stream → watermarked
+    // rollup → ORC sink with commit log → read-back
+    "q_stream_ingest" -> ((s, d) =>
+      graft.streaming.StreamingIngest.replayIngest(s, d)
+        .orderBy(col("hour_start"), col("event_type"))),
     // Text analysis (north star: training-data pipeline)
     "q_text_tokens" -> (TextAnalysis.tokenStatsQuery _),
     "q_text_quality" -> (TextAnalysis.qualityQuery _),
@@ -262,6 +268,20 @@ object SparkEntry {
         |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
         |FROM events
         |ORDER BY event_id""".stripMargin,
+    // Append-mode watermarking emits exactly the windows whose end is
+    // at or before (max event time - 10 min) when the stream drains.
+    "q_stream_ingest" ->
+      """WITH wm AS (
+        |  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS w
+        |  FROM events)
+        |SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+        |    AS hour_start,
+        |  event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events, wm
+        |GROUP BY 1, 2, wm.w
+        |HAVING hour_start + INTERVAL 1 HOUR <= wm.w
+        |ORDER BY hour_start, event_type""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |  length(text) AS n_chars_text,

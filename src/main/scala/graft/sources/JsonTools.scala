@@ -52,6 +52,17 @@ object JsonTools {
       .orderBy(col("event_id"))
   }
 
+  /** File-based inference (the CLI `json-schema` surface). */
+  def inferSchemaPath(spark: SparkSession, path: String,
+      samplingRatio: Double = 1.0): StructType =
+    spark.read.option("samplingRatio", samplingRatio.toString)
+      .json(path).schema
+
+  /** JSON files → ORC files (the CLI `convert` surface). */
+  def jsonToOrc(spark: SparkSession, jsonPath: String,
+      outPath: String): Unit =
+    OrcIo.write(spark.read.json(jsonPath), outPath)
+
   /** JSON → ORC conversion round-trip (`ConvertTool`): typed convert,
     * write ORC, read back. */
   def convertToOrc(spark: SparkSession, json: Dataset[String],

@@ -92,6 +92,28 @@ object OrcIo {
       .orderBy(col("l_returnflag"))
   }
 
+  /**
+   * File merge / compaction (SURVEY.md W9). The reference appends raw
+   * pre-encoded stripes across files (`WriterImpl.appendStripe`);
+   * the Spark-idiomatic equivalent is a distributed rewrite sized to
+   * the stripe/block budget — same outcome (few large files, merged
+   * stats), but parallel and codec-converting if asked. Raw
+   * stripe-level concat without decode is a non-goal (single-writer,
+   * driver-bound — the opposite of a 100 TB compaction).
+   */
+  def merge(spark: SparkSession, inPaths: Seq[String], outPath: String,
+      targetFileBytes: Long = 256L * 1024 * 1024,
+      compression: String = DefaultCompression): Unit = {
+    val df = spark.read.orc(inPaths: _*)
+    val totalBytes = inPaths.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(hp).getLength
+    }.sum
+    val nFiles = math.max(1, (totalBytes / targetFileBytes).toInt)
+    write(df.repartition(nFiles), outPath, compression = compression)
+  }
+
   /** Same round-trip across every supported codec (W4): each codec's
     * file must decode to identical per-codec aggregates. */
   def codecMatrixQuery(spark: SparkSession, sfDir: String): DataFrame = {

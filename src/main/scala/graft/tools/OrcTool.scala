@@ -1,0 +1,46 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.sources.{JsonTools, OrcIo, OrcMeta}
+
+/**
+ * CLI parity with the reference's `orc-tools` Driver subcommands
+ * (SURVEY.md §2.9: meta / data / scan / json-schema / convert) and the
+ * C++ `orc-contents` / `orc-metadata` / `orc-statistics` binaries.
+ *
+ * Usage: runMain graft.tools.OrcTool <cmd> <path> [out]
+ *   meta <path>            footer summary, stripes, column stats
+ *   data <path>            rows as line-delimited JSON
+ *   scan <path>            row/file count (perf smoke)
+ *   json-schema <path>     inferred typed schema of JSON files
+ *   convert <json> <out>   JSON → ORC
+ *   merge <dir> <out>      compact ORC files (W9)
+ */
+object OrcTool {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: OrcTool <cmd> <path> [out]")
+    val (cmd, path) = (args(0), args(1))
+    val spark = GraftSession.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    cmd match {
+      case "meta" =>
+        OrcMeta.fileMeta(spark, path).show(false)
+        OrcMeta.stripes(spark, path).show(false)
+        OrcMeta.columnStats(spark, path).show(200, truncate = false)
+      case "data" =>
+        spark.read.orc(path).toJSON.collect().foreach(println)
+      case "scan" =>
+        println(s"rows=${spark.read.orc(path).count()}")
+      case "json-schema" =>
+        println(JsonTools.inferSchemaPath(spark, path).toDDL)
+      case "convert" =>
+        JsonTools.jsonToOrc(spark, path, args(2))
+        println(s"wrote ${args(2)}")
+      case "merge" =>
+        OrcIo.merge(spark, Seq(path), args(2))
+        println(s"merged into ${args(2)}")
+      case other => sys.error(s"unknown command: $other")
+    }
+    spark.stop()
+  }
+}
