@@ -64,6 +64,7 @@ object SparkEntry {
     // Multimodal columns (north star)
     "q_media_meta" -> (Multimodal.mediaMetaQuery _),
     "q_media_decode" -> (Multimodal.decodePipelineQuery _),
+    "q_media_neardup" -> (Multimodal.mediaNearDupQuery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

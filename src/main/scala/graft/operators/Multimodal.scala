@@ -87,6 +87,70 @@ object Multimodal {
         lower(hex(expr("substring(payload, 9, 8)"))).as("frame_sample"))
       .orderBy(col("media_id"))
 
+  case class Frame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte])
+
+  /**
+   * Frame sampling: decode frame count (stub), emit every `everyN`-th
+   * frame as its own row. The explode is real Spark plumbing (one
+   * media row → k frame rows, narrow, no shuffle); the frame "pixels"
+   * are a deterministic payload slice standing in for a real decoder.
+   */
+  def frameSample(spark: SparkSession, media: DataFrame, everyN: Int = 4)
+      : DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[MediaRecord]
+      .flatMap { r =>
+        val (_, _, nFrames) = fakeDecodeHeader(r.payload)
+        (0 until nFrames by everyN).map { f =>
+          // STUB frame extraction: slice of payload bytes per frame
+          val start = math.min(f * 8, math.max(r.payload.length - 8, 0))
+          val end = math.min(start + 8, r.payload.length)
+          Frame(r.media_id, f, java.util.Arrays.copyOfRange(
+            r.payload, start, end))
+        }
+      }.toDF()
+  }
+
+  /**
+   * Feature extraction: a deterministic 64-dim float "embedding" from
+   * payload bytes (byte histogram over 64 buckets, L2-normalized) —
+   * the stub stand-in for a real vision/audio encoder. Output plugs
+   * straight into [[Similarity]] / [[Dedup.embeddingNearDupQuery]]
+   * (same `array<float>` column shape as the embeddings table).
+   */
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[MediaRecord]
+      .map { r =>
+        val hist = new Array[Float](64)
+        r.payload.foreach(b => hist((b & 0xFF) % 64) += 1f)
+        val n = math.sqrt(hist.map(v => v.toDouble * v).sum)
+        val emb = if (n == 0) hist else hist.map(v => (v / n).toFloat)
+        (r.media_id, r.kind, emb)
+      }.toDF("media_id", "kind", "embedding")
+  }
+
+  /** Media near-dup: stub features → cosine ANN over media payloads —
+    * the composition a multimodal training pipeline runs (decode →
+    * embed → dedup), end-to-end over binary columns. */
+  def mediaNearDupQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, round => rnd}
+    val feats = extractFeatures(spark, syntheticMedia(spark, sfDir))
+    val a = feats.select(col("media_id").as("media_a"), col("kind"),
+      col("embedding").as("emb_a"))
+    val b = feats.select(col("media_id").as("media_b"), col("kind"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("kind"))
+      .filter(col("media_a") < col("media_b"))
+      .withColumn("cos_sim", rnd(
+        graft.functions.VectorOps.cosine(col("emb_a"), col("emb_b")), 4))
+      .filter(col("cos_sim") >= 0.999)
+      .select(col("media_a"), col("media_b"), col("cos_sim"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   /** Full pipeline demo: synthesize → decode (stub kernel) →
     * feature aggregate per kind. Spec-verified (stub outputs aren't
     * SQL-replayable). */

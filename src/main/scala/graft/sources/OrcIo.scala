@@ -54,6 +54,13 @@ object OrcIo {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Typed row-oriented read (SURVEY.md S7): the `OrcMapredRecordReader`
+    * analogue is `Dataset[T]` decode — Spark's encoder turns each
+    * columnar batch row into the case class. */
+  def readAs[T: org.apache.spark.sql.Encoder](spark: SparkSession,
+      path: String): org.apache.spark.sql.Dataset[T] =
+    spark.read.orc(path).as[T]
+
   /** Read with an explicit reader schema — schema-on-read evolution
     * (SURVEY.md §2.3): missing columns become nulls, matching columns
     * are cast by Spark's ORC reader. */

@@ -26,6 +26,38 @@ class MultimodalSpec extends SparkSpec {
     assert(joined.filter(col("byte_len") =!= col("plen")).count() == 0)
   }
 
+  test("frameSample emits every Nth frame with payload-derived bytes") {
+    val media = Multimodal.syntheticMedia(spark, sfDir).limit(20)
+    val frames = Multimodal.frameSample(spark, media, everyN = 4)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_no", "frame_bytes"))
+    val byMedia = frames.collect().groupBy(_.getLong(0))
+    assert(byMedia.nonEmpty)
+    byMedia.values.foreach { fs =>
+      val nos = fs.map(_.getInt(1)).sorted
+      assert(nos.head == 0 && nos.forall(_ % 4 == 0),
+        s"frame numbers not sampled every 4: ${nos.toSeq}")
+    }
+  }
+
+  test("extractFeatures yields unit-norm 64-dim embeddings") {
+    val feats = Multimodal.extractFeatures(
+      spark, Multimodal.syntheticMedia(spark, sfDir).limit(10)).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val emb = r.getSeq[Float](2)
+      assert(emb.length == 64)
+      val norm = math.sqrt(emb.map(v => v.toDouble * v).sum)
+      assert(math.abs(norm - 1.0) < 1e-5, s"norm $norm")
+    }
+  }
+
+  test("media near-dup finds identical payloads at cos 1.0") {
+    val res = Multimodal.mediaNearDupQuery(spark, sfDir)
+    // result may be empty at this SF; the contract is determinism and
+    // correct thresholding
+    res.collect().foreach(r => assert(r.getDouble(2) >= 0.999))
+  }
+
   test("decode pipeline aggregates per kind over the full corpus") {
     val res = Multimodal.decodePipelineQuery(spark, sfDir).collect()
     val kinds = res.map(_.getString(0)).toSet

@@ -1,0 +1,70 @@
+package graft
+
+import graft.sources.{OrcIo, OrcMeta}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+object OrcIoSpec {
+  case class Nation(n_nationkey: Int, n_name: String, n_regionkey: Int)
+}
+
+class OrcIoSpec extends SparkSpec {
+  import OrcIoSpec.Nation
+  import SparkSpec.spark.implicits._
+
+  test("typed read (S7): ORC rows decode into a case class Dataset") {
+    val dir = OrcIo.scratchDir("typed")
+    OrcIo.write(Tables.load(spark, sfDir, "nation"), s"$dir/nation")
+    val ds = OrcIo.readAs[Nation](spark, s"$dir/nation")
+    val rows = ds.collect()
+    assert(rows.length == 25)
+    assert(rows.map(_.n_nationkey).sorted.toSeq == (0 until 25))
+  }
+
+  test("merge (W9) compacts many files into the target budget") {
+    val dir = OrcIo.scratchDir("merge")
+    val src = Tables.load(spark, sfDir, "orders")
+    OrcIo.write(src.repartition(8), s"$dir/in")
+    val inFiles = new java.io.File(s"$dir/in").listFiles()
+      .count(_.getName.endsWith(".orc"))
+    assert(inFiles == 8)
+    OrcIo.merge(spark, Seq(s"$dir/in"), s"$dir/out")
+    val outFiles = new java.io.File(s"$dir/out").listFiles()
+      .count(_.getName.endsWith(".orc"))
+    assert(outFiles == 1, s"expected 1 merged file, got $outFiles")
+    assert(spark.read.orc(s"$dir/out").count() == src.count())
+  }
+
+  test("readEvolved: missing column nulls, widened column casts") {
+    val dir = OrcIo.scratchDir("evolve")
+    OrcIo.write(Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name")), s"$dir/nation")
+    val evolved = OrcIo.readEvolved(spark, s"$dir/nation", StructType(Seq(
+      StructField("n_nationkey", LongType),      // int -> long widening
+      StructField("n_name", StringType),
+      StructField("n_added", StringType))))      // not in file
+    val r = evolved.orderBy(col("n_nationkey")).head()
+    assert(r.getLong(0) == 0L)
+    assert(r.isNullAt(2))
+  }
+
+  test("write options reach the file: codec + bloom recorded in footer") {
+    val dir = OrcIo.scratchDir("opts")
+    OrcIo.write(Tables.load(spark, sfDir, "supplier"), s"$dir/sup",
+      compression = "snappy", bloomColumns = Seq("s_suppkey"))
+    val meta = OrcMeta.fileMeta(spark, s"$dir/sup").head()
+    assert(meta.getAs[String]("compression") == "SNAPPY")
+    assert(meta.getAs[Long]("rows") ==
+      Tables.load(spark, sfDir, "supplier").count())
+  }
+
+  test("columnStats surface footer min/max/sum per column") {
+    val dir = OrcIo.scratchDir("stats")
+    OrcIo.write(Tables.load(spark, sfDir, "region"), s"$dir/region")
+    val stats = OrcMeta.columnStats(spark, s"$dir/region")
+      .filter(col("column") === "r_regionkey").head()
+    assert(stats.getAs[String]("min") == "0")
+    assert(stats.getAs[String]("max") == "4")
+    assert(stats.getAs[Long]("count") == 5L)
+  }
+}
