@@ -132,17 +132,23 @@ object Multimodal {
       }.toDF("media_id", "kind", "embedding")
   }
 
-  /** Media near-dup: stub features → cosine ANN over media payloads —
-    * the composition a multimodal training pipeline runs (decode →
-    * embed → dedup), end-to-end over binary columns. */
+  /** Media near-dup: stub features → LSH-bucketed cosine over media
+    * payloads — the composition a multimodal training pipeline runs
+    * (decode → embed → bucket → dedup), end-to-end over binary columns.
+    * Blocking on the 12-bit hyperplane signature keeps candidate pairs
+    * ~4096x below the all-pairs count at any corpus size; at the 0.999
+    * threshold near-identical features share a bucket with near-1
+    * probability. */
   def mediaNearDupQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, round => rnd}
+    import org.apache.spark.sql.functions.{round => rnd}
     val feats = extractFeatures(spark, syntheticMedia(spark, sfDir))
+      .withColumn("bucket", graft.functions.VectorOps
+        .hyperplaneSignature(col("embedding"), 12, 64))
     val a = feats.select(col("media_id").as("media_a"), col("kind"),
-      col("embedding").as("emb_a"))
+      col("bucket"), col("embedding").as("emb_a"))
     val b = feats.select(col("media_id").as("media_b"), col("kind"),
-      col("embedding").as("emb_b"))
-    a.join(b, Seq("kind"))
+      col("bucket"), col("embedding").as("emb_b"))
+    a.join(b, Seq("kind", "bucket"))
       .filter(col("media_a") < col("media_b"))
       .withColumn("cos_sim", rnd(
         graft.functions.VectorOps.cosine(col("emb_a"), col("emb_b")), 4))

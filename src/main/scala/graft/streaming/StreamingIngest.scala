@@ -101,8 +101,10 @@ object StreamingIngest {
   def replayIngest(spark: SparkSession, sfDir: String): DataFrame = {
     val src = graft.Tables.load(spark, sfDir, "events")
     val stage = graft.sources.OrcIo.scratchDir("stream_src")
-    // stage the table as parquet files that the file stream will discover
-    src.write.mode("overwrite").parquet(s"$stage/in")
+    // stage the table as a handful of parquet files for the file stream
+    // to discover (few large files: file-listing and per-file batch
+    // overheads dominate at replay scale, not row decode)
+    src.coalesce(4).write.mode("overwrite").parquet(s"$stage/in")
     val stream = spark.readStream
       .schema(src.schema)
       .parquet(s"$stage/in")
