@@ -63,6 +63,10 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.orc.filterPushdown", "true")
       .config("spark.sql.orc.enableVectorizedReader", "true")
+      // answer MIN/MAX/COUNT from ORC footer statistics without a scan
+      // (SURVEY.md §2.6 / M2 — Reader.getStatistics as query answers)
+      .config("spark.sql.orc.aggregatePushdown", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")
 }

@@ -114,12 +114,17 @@ object UnionOrc {
     }
   }
 
-  /** Schema of an ORC file (unions encoded as tagged structs). */
+  /** Schema of an ORC file (unions encoded as tagged structs). A
+    * non-struct root type — legal in ORC, unreadable by stock Spark —
+    * becomes a single column named `value`. */
   def schemaOf(path: String): StructType = {
     val reader = OrcFile.createReader(new Path(path),
       OrcFile.readerOptions(new Configuration()))
-    try toSparkType(reader.getSchema).asInstanceOf[StructType]
-    finally reader.close()
+    try toSparkType(reader.getSchema) match {
+      case st: StructType if reader.getSchema.getCategory ==
+        Category.STRUCT => st
+      case other => StructType(Seq(StructField("value", other)))
+    } finally reader.close()
   }
 
   /** Read ORC files (union-typed or not) into a DataFrame. */
@@ -143,12 +148,16 @@ object UnionOrc {
               if (exhausted) { rows.close(); reader.close() }
             }
           override def hasNext: Boolean = { advance(); !exhausted }
+          private val rootIsStruct =
+            fileSchema.getCategory == Category.STRUCT
           override def next(): Row = {
             advance()
-            val r = Row.fromSeq(batch.cols.zipWithIndex.map {
-              case (c, ci) =>
-                readValue(c, fileSchema.getChildren.get(ci), i)
-            }.toSeq)
+            val r =
+              if (rootIsStruct)
+                Row.fromSeq(batch.cols.zipWithIndex.map { case (c, ci) =>
+                  readValue(c, fileSchema.getChildren.get(ci), i)
+                }.toSeq)
+              else Row(readValue(batch.cols(0), fileSchema, i))
             i += 1
             r
           }

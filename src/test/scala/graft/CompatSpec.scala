@@ -91,6 +91,20 @@ class CompatSpec extends SparkSpec {
     assert(e.getMessage.contains("future ORC version"), e.getMessage)
   }
 
+  test("timestamp file: non-struct root + writer-tz values read back") {
+    // §7.4 highest correctness risk. This file's root type is a bare
+    // `timestamp` (no struct) — stock Spark cannot even analyze it;
+    // the engine's UnionOrc reader handles any root type
+    val df = graft.sources.UnionOrc.read(spark,
+      Seq(s"$dir/TestOrcFile.testTimestamp.orc"))
+    val vals = df.collect().map(_.getTimestamp(0)).filter(_ != null)
+    assert(vals.length == 12, s"expected 12 non-null values, got ${vals.length}")
+    val years = vals.map(_.toInstant.atZone(java.time.ZoneOffset.UTC)
+      .getYear).toSet
+    // reference writes timestamps spanning 1995-2037 in this file
+    assert(years.contains(2037) && years.exists(_ <= 1996), years)
+  }
+
   test("seek/projection files read with column pruning") {
     val df = spark.read.orc(s"$dir/TestOrcFile.columnProjection.orc")
       .select(col("int1"))

@@ -72,6 +72,50 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("MIN/MAX/COUNT over ORC push to footer stats (no data scan)") {
+    val dir = graft.sources.OrcIo.scratchDir("aggpd")
+    graft.sources.OrcIo.write(
+      Tables.load(spark, sfDir, "orders"), s"$dir/orders")
+    import org.apache.spark.sql.functions._
+    // aggregate pushdown requires the DSv2 read path (ORC sits in
+    // useV1SourceList by default)
+    spark.conf.set("spark.sql.sources.useV1SourceList", "parquet")
+    try {
+      val agg = spark.read.orc(s"$dir/orders")
+        .agg(min(col("o_orderkey")), max(col("o_orderkey")), count(lit(1)))
+      val p = planString(agg)
+      assert(p.contains("PushedAggregation: [MIN(o_orderkey), " +
+        "MAX(o_orderkey), COUNT(*)]"), s"aggregates not pushed:\n$p")
+      val src = Tables.load(spark, sfDir, "orders")
+      val expected = src.agg(min(col("o_orderkey")),
+        max(col("o_orderkey")), count(lit(1))).head()
+      assert(agg.head() == expected,
+        s"footer answer ${agg.head()} != scan answer $expected")
+    } finally spark.conf.set("spark.sql.sources.useV1SourceList",
+      "avro,csv,json,kafka,orc,parquet,text")
+  }
+
+  test("filter pushdown stays correct under widened reader schema") {
+    // §7.4 PPD-safety: pushing a predicate through an int->long widening
+    // must not drop rows (the reference gates this via
+    // SchemaEvolution.isPPDSafeConversion)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = graft.sources.OrcIo.scratchDir("ppdevo")
+    graft.sources.OrcIo.write(
+      Tables.load(spark, sfDir, "nation")
+        .select(col("n_nationkey"), col("n_name")), s"$dir/n")
+    val evolved = spark.read.schema(StructType(Seq(
+        StructField("n_nationkey", LongType),
+        StructField("n_name", StringType))))
+      .orc(s"$dir/n")
+      .filter(col("n_nationkey") >= 10L && col("n_nationkey") < 20L)
+    assert(evolved.count() == 10L)
+    val keys = evolved.select(col("n_nationkey"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(keys == (10L until 20L))
+  }
+
   test("exact dedup shuffles the digest, not the document text") {
     val p = planString(Dedup.exactQuery(spark, sfDir))
     val hashExchanges = p.linesIterator
