@@ -27,6 +27,8 @@ object SparkEntry {
     "q_set_ops" -> (Relational.setOps _),
     "q_distinct_agg" -> (Relational.distinctAgg _),
     "q_events_hourly" -> (Relational.eventsHourly _),
+    "q_session_window" -> ((s, d) => Scale.sessionWindowQuery(s, d)),
+    "q_approx_distinct" -> (Scale.approxDistinctQuery _),
     // ORC format engine (SURVEY.md §2.1/2.5: scans, writers, codecs)
     "q_orc_roundtrip" -> (graft.sources.OrcIo.roundTripQuery _),
     "q_orc_codecs" -> (graft.sources.OrcIo.codecMatrixQuery _),
@@ -269,6 +271,24 @@ object SparkEntry {
         |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
         |FROM events
         |ORDER BY event_id""".stripMargin,
+    "q_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+        |    THEN 1 ELSE 0 END AS new_session FROM g),
+        |n AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM s)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value, min(ts) AS session_start
+        |FROM n GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
     // Append-mode watermarking emits exactly the windows whose end is
     // at or before (max event time - 10 min) when the stream drains.
     "q_stream_ingest" ->

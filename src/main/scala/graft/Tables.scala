@@ -33,10 +33,11 @@ object Tables {
     // applies when casting TIMESTAMP_NS to TIMESTAMP.
     if (name == "events" && df.schema("ts").dataType ==
         org.apache.spark.sql.types.LongType) {
+      // integer division: `/` would promote the nanos long (~1.7e18) to
+      // double, whose 53-bit mantissa loses microseconds
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.floor(
-            org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
     } else df
   }
 

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Scale
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed join elides the shuffle (no Exchange above the scans)") {
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Scale.bucketedJoin(spark, orders, li, "o_orderkey", 8,
+        "b_orders", "b_lineitem")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      // correctness: equal to the plain join count
+      assert(joined.count() == orders.join(li, "o_orderkey").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("salted join returns exactly the unsalted result") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey").as("k"), col("l_quantity"))
+    val part = Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey").as("k"), col("p_name"))
+    val plain = li.join(part, "k").count()
+    val salted = Scale.saltedJoin(li, part, "k", salt = 4).count()
+    assert(salted == plain, s"salted=$salted plain=$plain")
+  }
+
+  test("approx distinct lands within 3% of exact") {
+    val got = Scale.approxDistinctQuery(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val err = math.abs(got(k) - ex).toDouble / ex
+      assert(err <= 0.03, s"$k: approx ${got(k)} vs exact $ex ($err)")
+    }
+  }
+
+  test("session windows split on gaps > threshold only") {
+    import SparkSpec.spark.implicits._
+    val res = Scale.sessionWindowQuery(spark, sfDir, gapMinutes = 30)
+    // events per user must be conserved across sessions
+    val total = res.agg(sum(col("n_events"))).as[Long].head()
+    assert(total == Tables.load(spark, sfDir, "events").count())
+    // session numbering starts at 1 and is dense per user
+    val perUser = res.select(col("user_id"), col("session_no"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted.toSeq)
+    perUser.foreach { case (u, ss) =>
+      assert(ss == (1L to ss.size), s"user $u sessions not dense: $ss")
+    }
+  }
+}
