@@ -29,6 +29,7 @@ object SparkEntry {
     "q_events_hourly" -> (Relational.eventsHourly _),
     "q_session_window" -> ((s, d) => Scale.sessionWindowQuery(s, d)),
     "q_approx_distinct" -> (Scale.approxDistinctQuery _),
+    "q_asof_join" -> (Scale.asOfJoinQuery _),
     // ORC format engine (SURVEY.md §2.1/2.5: scans, writers, codecs)
     "q_orc_roundtrip" -> (graft.sources.OrcIo.roundTripQuery _),
     "q_orc_codecs" -> (graft.sources.OrcIo.codecMatrixQuery _),
@@ -289,6 +290,16 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value, min(ts) AS session_start
         |FROM n GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
+    "q_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+        |    max_by(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+        |FROM events e
+        |ASOF JOIN o ON e.user_id = o.o_custkey
+        |  AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin,
     // Append-mode watermarking emits exactly the windows whose end is
     // at or before (max event time - 10 min) when the stream drains.
     "q_stream_ingest" ->

@@ -60,6 +60,71 @@ object Scale {
       .orderBy(col("l_returnflag"))
 
   /**
+   * As-of join (temporal "latest record at or before t"): for each left
+   * row, the right row with the greatest timestamp ≤ the left
+   * timestamp, per key. Spark has no native as-of join; the scalable
+   * form is NOT a pairwise range join (quadratic per key) but a
+   * union → single per-key sort → `last(_, ignoreNulls)` running value:
+   * one shuffle on the key, linear in rows — the standard streaming-
+   * backfill layout at 100 TB.
+   *
+   * Right rows must be unique per (key, t); pre-dedupe ties (the
+   * matching SQL ASOF JOIN leaves tie choice unspecified).
+   */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val l = left.withColumn("_k", col(leftKey))
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+    val payload = struct(rightPayload.map(col): _*)
+    val r = right.select(
+      col(rightKey).as("_k"), col(rightTime).as("_t"),
+      lit(0).as("_side"), payload.as("_payload"))
+    val lAligned = l.withColumn("_payload",
+      lit(null).cast(r.schema("_payload").dataType))
+    val unioned = lAligned.select(
+      (left.columns.map(col) :+ col("_k") :+ col("_t") :+ col("_side")
+        :+ col("_payload")): _*)
+      .unionByName(r.select(
+        (left.columns.map(c => lit(null).cast(left.schema(c).dataType)
+          .as(c)) :+ col("_k") :+ col("_t") :+ col("_side")
+          :+ col("_payload")): _*))
+    // right rows (_side 0) sort before left rows at equal _t → "≤"
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_match", last(col("_payload"), ignoreNulls = true)
+        .over(w))
+      .filter(col("_side") === 1 && col("_match").isNotNull)
+      .select(left.columns.map(col) :+ col("_match"): _*)
+  }
+
+  /**
+   * Correctness-gate query: each event joined to the user's latest
+   * order at or before the event time (orders deduped to one per
+   * (custkey, orderdate) so the oracle's ASOF JOIN tie choice is
+   * unique).
+   */
+  def asOfJoinQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val orders = Dedup.keepFirst(
+      Tables.load(spark, sfDir, "orders"),
+      Seq("o_custkey", "o_orderdate"), col("o_orderkey").desc)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice"))
+    asOfJoin(events, orders, "user_id", "ts", "o_custkey", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("user_id"),
+        col("_match.o_orderkey").as("o_orderkey"),
+        col("_match.o_totalprice").as("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  /**
    * Session windows via gaps-and-islands: a new session starts when the
    * gap to the previous event of the same user exceeds `gapMinutes`.
    * Pure window functions (two passes over one user-partitioned sort),

@@ -49,6 +49,28 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("asOfJoin: inclusive boundary, latest-prior match, no-prior drop") {
+    import SparkSpec.spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")),  // after both rights
+      (2L, 1L, ts("2024-01-01 08:00:00")),  // exactly at right t (incl.)
+      (3L, 1L, ts("2024-01-01 06:00:00")),  // before any right -> drop
+      (4L, 2L, ts("2024-01-01 10:00:00"))   // other key
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (1L, ts("2024-01-01 08:00:00"), "a"),
+      (1L, ts("2024-01-01 09:00:00"), "b"),
+      (2L, ts("2024-01-01 07:00:00"), "c")
+    ).toDF("rk", "rt", "payload")
+    val got = Scale.asOfJoin(left, right, "k", "t", "rk", "rt",
+        Seq("payload"))
+      .select(col("id"), col("_match.payload"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "b", 2L -> "a", 4L -> "c"))
+  }
+
   test("session windows split on gaps > threshold only") {
     import SparkSpec.spark.implicits._
     val res = Scale.sessionWindowQuery(spark, sfDir, gapMinutes = 30)
