@@ -141,9 +141,14 @@ object Multimodal {
     * probability. */
   def mediaNearDupQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.{round => rnd}
-    val feats = extractFeatures(spark, syntheticMedia(spark, sfDir))
+    // materialize features once (a feature store): both sides of the
+    // self-join below would otherwise re-run the decode+embed pass
+    val store = graft.sources.OrcIo.scratchDir("media_feats")
+    extractFeatures(spark, syntheticMedia(spark, sfDir))
       .withColumn("bucket", graft.functions.VectorOps
         .hyperplaneSignature(col("embedding"), 12, 64))
+      .write.mode("overwrite").parquet(s"$store/feats")
+    val feats = spark.read.parquet(s"$store/feats")
     val a = feats.select(col("media_id").as("media_a"), col("kind"),
       col("bucket"), col("embedding").as("emb_a"))
     val b = feats.select(col("media_id").as("media_b"), col("kind"),

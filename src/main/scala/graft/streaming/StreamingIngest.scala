@@ -47,6 +47,20 @@ object StreamingIngest {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /**
+   * Streaming exact dedup: drop events whose dedup key was already seen
+   * within the watermark horizon — the streaming face of
+   * [[graft.operators.Dedup.exactQuery]]. State is bounded by the
+   * watermark (keys older than the horizon are evicted), so unbounded
+   * streams dedup in bounded memory — the reason a 100 TB/day ingest
+   * can dedup at all.
+   */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   case class SessionInput(user_id: Long, ts: java.sql.Timestamp,
       value: Double)
   case class SessionState(nEvents: Long, sumValue: Double,

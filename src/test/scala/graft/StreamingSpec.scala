@@ -69,6 +69,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops repeated keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val events = mem.toDF().toDF("ts", "k", "payload")
+    val q = StreamingIngest.dedupStream(events, Seq("k"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts("2026-01-01 10:00:00"), 1L, "first"),
+        (ts("2026-01-01 10:00:30"), 1L, "dup"),
+        (ts("2026-01-01 10:01:00"), 2L, "other"))
+      q.processAllAvailable()
+      mem.addData((ts("2026-01-01 10:02:00"), 1L, "dup-next-batch"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_test")
+        .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+      assert(got == Map(1L -> "first", 2L -> "other"), got)
+    } finally q.stop()
+  }
+
   test("replayIngest: stream -> ORC sink -> read-back round trip") {
     val res = StreamingIngest.replayIngest(spark, sfDir)
     assert(res.columns.toSeq == Seq(
