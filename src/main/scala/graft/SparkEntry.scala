@@ -26,6 +26,7 @@ object SparkEntry {
     "q_semi_join" -> (Relational.semiJoin _),
     "q_set_ops" -> (Relational.setOps _),
     "q_distinct_agg" -> (Relational.distinctAgg _),
+    "q_rollup" -> (Relational.rollupAgg _),
     "q_events_hourly" -> (Relational.eventsHourly _),
     "q_session_window" -> ((s, d) => Scale.sessionWindowQuery(s, d)),
     "q_approx_distinct" -> (Scale.approxDistinctQuery _),
@@ -272,6 +273,12 @@ object SparkEntry {
         |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
         |FROM events
         |ORDER BY event_id""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_session_window" ->
       """WITH g AS (
         |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,

@@ -183,6 +183,17 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** Hierarchical rollup: per (returnflag, linestatus) subtotals plus
+    * per-returnflag and grand totals in one pass — Catalyst expands the
+    * grouping sets map-side, still one shuffle. */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** Hourly tumbling-window aggregation over the events stream table —
     * batch twin of the Structured Streaming pipeline in
     * [[graft.streaming.StreamingIngest]]. */

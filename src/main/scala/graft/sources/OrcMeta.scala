@@ -86,6 +86,35 @@ object OrcMeta {
       }.toDF()
   }
 
+  case class StripeColStats(file: String, stripe: Int, columnId: Int,
+      column: String, count: Long, hasNull: Boolean, min: String,
+      max: String, sum: String)
+
+  /** One row per (file, stripe, column): the tail's Metadata section
+    * (stripe-level statistics, `orc_proto.proto:239-244`) — the middle
+    * granularity of the reference's three-level stats
+    * (SURVEY.md §1.3), used for stripe elimination. */
+  def stripeStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = orcFiles(spark, path)
+    spark.sparkContext.parallelize(files, math.max(1, files.size / 16))
+      .flatMap { file =>
+        withReader(file) { r =>
+          val names = flatColumnNames(r.getSchema)
+          import scala.jdk.CollectionConverters._
+          r.getStripeStatistics.asScala.zipWithIndex.flatMap {
+            case (ss, si) =>
+              ss.getColumnStatistics.zipWithIndex.map { case (cs, ci) =>
+                val (min, max, sum) = renderStats(cs)
+                StripeColStats(file, si, ci,
+                  names.getOrElse(ci, s"_col$ci"), cs.getNumberOfValues,
+                  cs.hasNull, min, max, sum)
+              }
+          }.toSeq
+        }
+      }.toDF()
+  }
+
   /** One row per file: the `orc-metadata` summary. */
   def fileMeta(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._

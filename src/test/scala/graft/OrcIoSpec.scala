@@ -58,6 +58,20 @@ class OrcIoSpec extends SparkSpec {
       Tables.load(spark, sfDir, "supplier").count())
   }
 
+  test("stripeStats surface the tail Metadata section per stripe") {
+    val dir = OrcIo.scratchDir("sstats")
+    // small stripes force multiple stripes in one file
+    OrcIo.write(Tables.load(spark, sfDir, "lineitem").coalesce(1),
+      s"$dir/li", stripeSize = 64 * 1024)
+    val ss = graft.sources.OrcMeta.stripeStats(spark, s"$dir/li")
+    val nStripes = ss.select(col("stripe")).distinct().count()
+    assert(nStripes >= 2, s"expected multiple stripes, got $nStripes")
+    // per-stripe counts of the root column sum to the file row count
+    val total = ss.filter(col("columnId") === 0)
+      .agg(sum(col("count"))).head().getLong(0)
+    assert(total == Tables.load(spark, sfDir, "lineitem").count())
+  }
+
   test("columnStats surface footer min/max/sum per column") {
     val dir = OrcIo.scratchDir("stats")
     OrcIo.write(Tables.load(spark, sfDir, "region"), s"$dir/region")
