@@ -55,6 +55,8 @@ object SparkEntry {
     "q_text_quality" -> (TextAnalysis.qualityQuery _),
     "q_lang_id" -> (TextAnalysis.langIdQuery _),
     "q_fingerprint" -> (TextAnalysis.fingerprintQuery _),
+    // End-to-end corpus cleaning (north-star composition)
+    "q_pipeline_clean" -> (Pipeline.cleanCorpusQuery _),
     // Deduplication family (north star)
     "q_dedup_exact" -> (Dedup.exactQuery _),
     "q_dedup_jaccard" -> (Dedup.ngramJaccardQuery _),
@@ -379,6 +381,25 @@ object SparkEntry {
         |      c -> CAST(ascii(c) AS BIGINT))),
         |    (a, b) -> (a * 131 + b) % 1000000007) AS rolling_hash
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_pipeline_clean" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, text,
+        |    (CAST(len(list_filter(string_split(text, ' '), x ->
+        |       x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) /
+        |     CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.25 +
+        |    (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |     CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5 +
+        |    (1.0 - CAST(len(list_filter(string_split(text, ' '), x ->
+        |       len(x) <= 2)) AS DOUBLE) /
+        |     CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.25
+        |      AS quality_score
+        |  FROM documents),
+        |f AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+        |    ORDER BY doc_id) AS rn
+        |  FROM s WHERE quality_score >= 0.5)
+        |SELECT doc_id, lang, quality_score
+        |FROM f WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies

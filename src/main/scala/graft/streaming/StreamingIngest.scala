@@ -123,8 +123,16 @@ object StreamingIngest {
       .schema(src.schema)
       .parquet(s"$stage/in")
     val out = s"$stage/out"
-    val q = orcSink(hourlyRollup(stream), out, s"$stage/ckpt")
-    q.awaitTermination()
+    // size streaming state to the stream volume: each micro-batch
+    // commits one state-store dir per shuffle partition, and a few
+    // thousand windows need 4, not 32 (at production volume this is
+    // sized to the cluster like any shuffle)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = orcSink(hourlyRollup(stream), out, s"$stage/ckpt")
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.read.orc(out)
   }
 }
