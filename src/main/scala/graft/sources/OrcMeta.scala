@@ -115,6 +115,55 @@ object OrcMeta {
       }.toDF()
   }
 
+  case class RowGroupStats(file: String, stripe: Int, columnId: Int,
+      column: String, rowGroup: Int, count: Long, hasNull: Boolean,
+      min: String, max: String)
+
+  /**
+   * One row per (file, stripe, column, row-group): the row-index
+   * entries the `meta --rowindex` tool dumps (`FileDump.java`,
+   * `orc_proto.proto:84-91`) — the finest stats granularity, the one
+   * predicate pushdown uses to skip 10k-row groups inside a stripe.
+   */
+  def rowGroupIndex(spark: SparkSession, path: String,
+      columns: Seq[String] = Nil): DataFrame = {
+    import spark.implicits._
+    val files = orcFiles(spark, path)
+    spark.sparkContext.parallelize(files, math.max(1, files.size / 16))
+      .flatMap { file =>
+        withReader(file) { r =>
+          val schema = r.getSchema
+          val names = flatColumnNames(schema)
+          val wanted: Set[Int] =
+            if (columns.isEmpty) names.keySet
+            else names.filter(kv => columns.contains(kv._2)).keySet
+          val include = new Array[Boolean](schema.getMaximumId + 1)
+          wanted.foreach(i => if (i < include.length) include(i) = true)
+          val rows = r.rows().asInstanceOf[org.apache.orc.impl.RecordReaderImpl]
+          try {
+            import scala.jdk.CollectionConverters._
+            r.getStripes.asScala.zipWithIndex.flatMap { case (_, si) =>
+              val idx = rows.readRowIndex(si, include, null)
+              idx.getRowGroupIndex.zipWithIndex
+                .filter { case (ri, ci) => ri != null && include
+                  .lift(ci).getOrElse(false) }
+                .flatMap { case (ri, ci) =>
+                  ri.getEntryList.asScala.zipWithIndex.map {
+                    case (entry, rg) =>
+                      val cs = org.apache.orc.impl.ColumnStatisticsImpl
+                        .deserialize(null, entry.getStatistics)
+                      val (min, max, _) = renderStats(cs)
+                      RowGroupStats(file, si, ci,
+                        names.getOrElse(ci, s"_col$ci"), rg,
+                        cs.getNumberOfValues, cs.hasNull, min, max)
+                  }
+                }
+            }.toSeq
+          } finally rows.close()
+        }
+      }.toDF()
+  }
+
   /** One row per file: the `orc-metadata` summary. */
   def fileMeta(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._

@@ -72,6 +72,44 @@ class OrcIoSpec extends SparkSpec {
     assert(total == Tables.load(spark, sfDir, "lineitem").count())
   }
 
+  test("rowGroupIndex surfaces 10k-row-group min/max entries") {
+    val dir = OrcIo.scratchDir("rgidx")
+    OrcIo.write(Tables.load(spark, sfDir, "lineitem").coalesce(1),
+      s"$dir/li", indexStride = 1000)
+    val rg = graft.sources.OrcMeta.rowGroupIndex(spark, s"$dir/li",
+      Seq("l_orderkey"))
+    val entries = rg.filter(col("column") === "l_orderkey").collect()
+    assert(entries.length >= 6, // ~6k rows / 1k stride
+      s"expected >=6 row groups, got ${entries.length}")
+    // per-RG counts sum to the table; min/max are orderkey-ranged
+    assert(entries.map(_.getAs[Long]("count")).sum ==
+      Tables.load(spark, sfDir, "lineitem").count())
+    val globalMin = entries.map(_.getAs[String]("min").toLong).min
+    val actualMin = Tables.load(spark, sfDir, "lineitem")
+      .agg(min(col("l_orderkey"))).head().getLong(0)
+    assert(globalMin == actualMin, s"rg min $globalMin != $actualMin")
+  }
+
+  test("timezone: instants preserved across session-tz change") {
+    val dir = OrcIo.scratchDir("tz")
+    import SparkSpec.spark.implicits._
+    val utcWritten = Seq("2024-06-01 12:00:00").toDF("s")
+      .select(col("s").cast("timestamp").as("ts"))
+    OrcIo.write(utcWritten, s"$dir/t")
+    val utcMicros = spark.read.orc(s"$dir/t")
+      .select(unix_micros(col("ts"))).head().getLong(0)
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      val laRead = spark.read.orc(s"$dir/t")
+      // same instant (micros since epoch identical)...
+      assert(laRead.select(unix_micros(col("ts"))).head().getLong(0)
+        == utcMicros)
+      // ...rendered 7 hours earlier in the LA session (PDT)
+      assert(laRead.select(date_format(col("ts"), "HH:mm")).head()
+        .getString(0) == "05:00")
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   test("columnStats surface footer min/max/sum per column") {
     val dir = OrcIo.scratchDir("stats")
     OrcIo.write(Tables.load(spark, sfDir, "region"), s"$dir/region")
