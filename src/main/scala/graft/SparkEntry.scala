@@ -55,6 +55,7 @@ object SparkEntry {
     "q_text_quality" -> (TextAnalysis.qualityQuery _),
     "q_lang_id" -> (TextAnalysis.langIdQuery _),
     "q_fingerprint" -> (TextAnalysis.fingerprintQuery _),
+    "q_ngram_freq" -> (TextAnalysis.ngramFrequencyQuery _),
     // End-to-end corpus cleaning (north-star composition)
     "q_pipeline_clean" -> (Pipeline.cleanCorpusQuery _),
     // Deduplication family (north star)
@@ -401,6 +402,17 @@ object SparkEntry {
         |SELECT doc_id, lang, quality_score
         |FROM f WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    "q_ngram_freq" ->
+      """WITH b AS (
+        |  SELECT unnest(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+        |    i -> concat_ws(' ', string_split(text, ' ')[i],
+        |      string_split(text, ' ')[i + 1]))) AS bigram
+        |  FROM documents)
+        |SELECT bigram, count(*) AS n FROM b
+        |GROUP BY bigram
+        |ORDER BY n DESC, bigram
+        |LIMIT 50""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents

@@ -48,6 +48,41 @@ object Acid {
     graft.sources.OrcIo.write(resolve(events), outPath)
 
   /**
+   * Directory-layout merge-on-read (`site/_docs/acid.md:26-60`): a
+   * table directory holds `base_N/` (plain rows, the compacted state as
+   * of txn N) plus `delta_M/` event directories (M > N). Reading =
+   * base rows lifted to insert events at txn N, unioned with all delta
+   * events, resolved. Delta discovery is a metadata listing; the
+   * union+window is one shuffle on the row key regardless of delta
+   * count.
+   */
+  def readTable(spark: SparkSession, tableDir: String,
+      rowIdCol: String = "id"): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+      .filter(_.isDirectory).map(_.getPath.getName)
+    val baseDirs = dirs.filter(_.startsWith("base_")).sorted
+    require(baseDirs.nonEmpty, s"no base_N directory under $tableDir")
+    val base = baseDirs.last
+    val baseTxn = base.stripPrefix("base_").toLong
+    val deltas = dirs.filter(_.startsWith("delta_"))
+      .filter(_.stripPrefix("delta_").toLong > baseTxn)
+    val baseRows = spark.read.orc(s"$tableDir/$base")
+    val baseEvents = baseRows.select(
+      lit(OpInsert).as("operation"),
+      lit(baseTxn).as("originalTransaction"),
+      (col(rowIdCol) % 4).cast("int").as("bucket"),
+      col(rowIdCol).as("rowId"),
+      lit(baseTxn).as("currentTransaction"),
+      struct(baseRows.columns.map(col): _*).as("row"))
+    val all = deltas.foldLeft(baseEvents) { (acc, d) =>
+      acc.unionByName(spark.read.orc(s"$tableDir/$d"))
+    }
+    resolve(all)
+  }
+
+  /**
    * Correctness-gate query: synthesize a deterministic base+delta set
    * from orders —
    *   base:   every order inserted at txn 1;

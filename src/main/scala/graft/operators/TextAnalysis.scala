@@ -108,6 +108,26 @@ object TextAnalysis {
         rollingHash(col("text")).as("rolling_hash"))
       .orderBy(col("doc_id"))
 
+  /**
+   * Corpus-level top-k bigram frequencies: explode bigrams → one
+   * hash-shuffle count → global top-k. The vocabulary-statistics pass
+   * every tokenizer-training pipeline runs; at 100 TB the partial
+   * (map-side) count reduces each partition to its distinct bigrams
+   * before the shuffle.
+   */
+  def ngramFrequencyQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val bigrams = transform(
+      sequence(lit(1), greatest(size(toks) - 1, lit(0))),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    Tables.load(spark, sfDir, "documents")
+      .select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+  }
+
   /** 64-bit polynomial rolling hash of a string's chars:
     * h = Σ c_i·B^(n-1-i) mod M, sequential, overflow-free (M < 2^31 so
     * h·B + c fits a long). */

@@ -40,6 +40,24 @@ class AcidSpec extends SparkSpec {
     assert(got == Map(2L -> 40.0))
   }
 
+  test("readTable resolves a base_N + delta_M directory layout") {
+    val dir = graft.sources.OrcIo.scratchDir("acid_dirs")
+    // base_1: compacted state {1 -> 10.0, 2 -> 30.0} at txn 1
+    Seq((1L, 10.0), (2L, 30.0)).toDF("id", "v")
+      .write.orc(s"$dir/t/base_1")
+    // delta_2: update row 1; delta_3: delete row 2, insert row 3.
+    // buckets follow readTable's id % 4 derivation so keys align
+    eventsDf(Seq(event(Acid.OpUpdate, 1, 1L, 2L, 11.0)))
+      .write.orc(s"$dir/t/delta_2")
+    eventsDf(Seq(
+      event(Acid.OpDelete, 2, 2L, 3L, 0.0),
+      event(Acid.OpInsert, 3, 3L, 3L, 50.0)))
+      .write.orc(s"$dir/t/delta_3")
+    val got = Acid.readTable(spark, s"$dir/t").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 11.0, 3L -> 50.0), got)
+  }
+
   test("compact rewrites resolved state readable as a plain base") {
     val dir = graft.sources.OrcIo.scratchDir("acid")
     val df = eventsDf(Seq(
