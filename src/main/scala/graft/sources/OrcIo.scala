@@ -128,7 +128,13 @@ object OrcIo {
     val src = graft.Tables.load(spark, sfDir, "orders")
     val dir = scratchDir("orc_codec")
     val codecs = Seq("none", "zlib", "snappy", "lz4", "zstd")
-    codecs.foreach(c => write(src, s"$dir/$c", compression = c))
+    // the five writes are independent Spark jobs — run them concurrently
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence(codecs.map(c =>
+        Future(write(src, s"$dir/$c", compression = c)))),
+      scala.concurrent.duration.Duration.Inf)
     codecs.map { c =>
       read(spark, s"$dir/$c")
         .agg(lit(c).as("codec"), count(lit(1)).as("n_rows"),
