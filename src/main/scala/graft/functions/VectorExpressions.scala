@@ -310,6 +310,53 @@ object VectorKernels {
       copy(child = newChild)
   }
 
+  /** Word n-grams as strings (order preserved, duplicates kept) — the
+    * vocabulary-statistics primitive. Same tokenize+window semantics as
+    * [[shingleHashesJava]] but emitting the strings themselves. */
+  def ngramsJava(text: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val count = math.max(toks.length - n + 1, 0)
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](count)
+    var i = 0
+    while (i < count) {
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < i + n) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(
+        sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.asInstanceOf[Array[Any]])
+  }
+
+  /** See [[ngramsJava]]. */
+  case class NGrams(child: Expression, n: Int) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got " + other.simpleString)
+      }
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.StringType,
+        containsNull = false)
+    override def prettyName: String = "graft_ngrams"
+    override protected def nullSafeEval(a: Any): Any =
+      ngramsJava(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.ngramsJava($a, $n)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   private def longArrayCheck(e: Expression, name: String): TypeCheckResult =
     e.dataType match {
       case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -392,6 +439,8 @@ object VectorKernels {
     fn("graft_simhash", es => SimHash64(es.head)),
     // n must be a foldable int literal, e.g. graft_shingles(text, 3)
     fn("graft_shingles", es => ShingleHashes(es(0),
+      es(1).eval().asInstanceOf[Int])),
+    fn("graft_ngrams", es => NGrams(es(0),
       es(1).eval().asInstanceOf[Int])),
     fn("graft_sig_agree", es => SignatureAgreement(es(0), es(1))),
   )

@@ -116,10 +116,7 @@ object TextAnalysis {
    * before the shuffle.
    */
   def ngramFrequencyQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val bigrams = transform(
-      sequence(lit(1), greatest(size(toks) - 1, lit(0))),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    val bigrams = call_function("graft_ngrams", col("text"), lit(2))
     Tables.load(spark, sfDir, "documents")
       .select(explode(bigrams).as("bigram"))
       .groupBy(col("bigram"))

@@ -121,6 +121,40 @@ object OrcIo {
     write(df.repartition(nFiles), outPath, compression = compression)
   }
 
+  /**
+   * Salvage read over a possibly-corrupted dataset — the engine-level
+   * counterpart of the reference tool's `meta --recover` (`FileDump`
+   * side-file-aware recovery): probe each file's tail, scan only the
+   * readable ones, and report the rest. On a 100 TB lake one truncated
+   * file must not fail the job; the probe is a footer-only IO per file.
+   * Returns (readable DataFrame, list of unreadable file paths).
+   */
+  def readSalvage(spark: SparkSession, path: String)
+      : (DataFrame, Seq[String]) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath)
+          .filterNot(f => f.getName.startsWith("_") ||
+            f.getName.startsWith("."))
+          .map(_.toString).toSeq
+      else Seq(path)
+    val (good, bad) = files.partition { f =>
+      try {
+        val r = org.apache.orc.OrcFile.createReader(
+          new org.apache.hadoop.fs.Path(f),
+          org.apache.orc.OrcFile.readerOptions(
+            spark.sparkContext.hadoopConfiguration))
+        r.close(); true
+      } catch { case _: Exception => false }
+    }
+    val df =
+      if (good.nonEmpty) spark.read.orc(good: _*)
+      else spark.emptyDataFrame
+    (df, bad)
+  }
+
   /** Same round-trip across every supported codec (W4): each codec's
     * file must decode to identical per-codec aggregates. */
   def codecMatrixQuery(spark: SparkSession, sfDir: String): DataFrame = {

@@ -110,6 +110,23 @@ class OrcIoSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
+  test("readSalvage skips truncated files and reports them") {
+    val dir = OrcIo.scratchDir("salvage")
+    OrcIo.write(Tables.load(spark, sfDir, "nation"), s"$dir/t")
+    val orcFiles = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.endsWith(".orc"))
+    assert(orcFiles.nonEmpty)
+    // corrupt a copy of the first file by truncating its tail
+    val victim = orcFiles.head
+    val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/t/truncated.orc"),
+      java.util.Arrays.copyOf(bytes, math.max(bytes.length / 3, 10)))
+    val (df, bad) = OrcIo.readSalvage(spark, s"$dir/t")
+    assert(bad.exists(_.endsWith("truncated.orc")), bad)
+    assert(df.count() == Tables.load(spark, sfDir, "nation").count())
+  }
+
   test("columnStats surface footer min/max/sum per column") {
     val dir = OrcIo.scratchDir("stats")
     OrcIo.write(Tables.load(spark, sfDir, "region"), s"$dir/region")
