@@ -80,9 +80,49 @@ object Similarity {
   }
 
   /**
-   * IVF-style variant: coarse centroids = every 97th vector
-   * (deterministic pseudo-centroids standing in for k-means, which
-   * needs an iterative fit); vectors assign to the nearest centroid;
+   * Lloyd's k-means over the embedding column, DataFrame-iterated:
+   * deterministic seeding (every corpus_size/k-th vector), then
+   * `iters` rounds of broadcast-assign + per-cell mean. Each round is
+   * one broadcast join (no corpus shuffle) and one k-row aggregate —
+   * at 100 TB the corpus is scanned `iters` times but never shuffled.
+   */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = emb.count()
+    val stride = math.max(n / k, 1)
+    var cents = emb.filter(col("vec_id") % stride === 0)
+      .limit(k)
+      .select(col("vec_id").as("cent_id"),
+        col("embedding").as("cent_emb"))
+    (1 to iters).foreach { _ =>
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("_sim").desc, col("cent_id"))
+      val assigned = emb.join(broadcast(cents))
+        .withColumn("_sim",
+          VectorOps.cosine(col("embedding"), col("cent_emb")))
+        .withColumn("_r", row_number().over(w))
+        .filter(col("_r") === 1)
+      // per-cell dimension-wise mean via posexplode + avg: partial
+      // (map-side) aggregation reduces every partition to k×dims rows,
+      // so the shuffle is O(k·dims·partitions) — never the corpus
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("embedding"))
+          .as(Seq("dim", "v")))
+        .groupBy(col("cent_id"), col("dim"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
+          .as("dm"))
+        .select(col("cent_id"),
+          transform(col("dm"), x => x.getField("m"))
+            .cast("array<float>").as("cent_emb"))
+    }
+    cents
+  }
+
+  /**
+   * IVF variant: coarse centroids from a short k-means fit
+   * ([[kmeansCentroids]]); vectors assign to the nearest centroid;
    * queries probe the `nprobe` nearest centroid cells. The centroid
    * set is broadcast both times; the corpus shuffles once on cell id —
    * the layout a 100 TB vector store would persist (partitioned by
@@ -91,8 +131,7 @@ object Similarity {
   def ivfTopK(spark: SparkSession, sfDir: String, nprobe: Int = 4)
       : DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
-    val centroids = emb.filter(col("vec_id") % 97 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val centroids = kmeansCentroids(emb, k = 20, iters = 2)
     def nearestCells(df: DataFrame, vecCol: String, n: Int): DataFrame = {
       val w = Window.partitionBy(col("_vid")).orderBy(
         col("_cd").desc, col("cent_id"))
