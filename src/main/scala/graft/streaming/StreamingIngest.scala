@@ -119,20 +119,20 @@ object StreamingIngest {
     // to discover (few large files: file-listing and per-file batch
     // overheads dominate at replay scale, not row decode)
     src.coalesce(4).write.mode("overwrite").parquet(s"$stage/in")
-    val stream = spark.readStream
-      .schema(src.schema)
-      .parquet(s"$stage/in")
     val out = s"$stage/out"
     // size streaming state to the stream volume: each micro-batch
     // commits one state-store dir per shuffle partition, and a few
     // thousand windows need 4, not 32 (at production volume this is
-    // sized to the cluster like any shuffle)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val q = orcSink(hourlyRollup(stream), out, s"$stage/ckpt")
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // sized to the cluster like any shuffle). The override lives in a
+    // cloned session so concurrently-planning batch queries (Verify
+    // runs 4 at a time) never see it.
+    val streamSession = spark.newSession()
+    streamSession.conf.set("spark.sql.shuffle.partitions", "4")
+    val stream2 = streamSession.readStream
+      .schema(src.schema)
+      .parquet(s"$stage/in")
+    val q = orcSink(hourlyRollup(stream2), out, s"$stage/ckpt")
+    q.awaitTermination()
     spark.read.orc(out)
   }
 }
