@@ -60,7 +60,7 @@ object SparkEntry {
     "q_pipeline_clean" -> (Pipeline.cleanCorpusQuery _),
     // Deduplication family (north star)
     "q_dedup_exact" -> (Dedup.exactQuery _),
-    "q_dedup_jaccard" -> (Dedup.ngramJaccardQuery _),
+    "q_dedup_jaccard" -> ((s, d) => Dedup.ngramJaccardQuery(s, d)),
     "q_dedup_minhash" -> (Dedup.minhashLshQuery _),
     "q_dedup_simhash" -> (Dedup.simhashQuery _),
     "q_dedup_embedding" -> (Dedup.embeddingNearDupQuery _),
@@ -127,8 +127,8 @@ object SparkEntry {
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |    row_number() OVER (PARTITION BY o_custkey
-        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
         |  FROM orders) t
         |WHERE rk <= 2
         |ORDER BY o_custkey, rk""".stripMargin,
@@ -212,24 +212,28 @@ object SparkEntry {
       """SELECT col_name, n_values, n_nulls, min_val, max_val, sum_val
         |FROM (
         |  SELECT 'l_quantity' AS col_name, count(l_quantity) AS n_values,
-        |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+        |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_nulls,
         |    round(CAST(min(l_quantity) AS DOUBLE), 2) AS min_val,
         |    round(CAST(max(l_quantity) AS DOUBLE), 2) AS max_val,
         |    round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_val
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'l_extendedprice', count(l_extendedprice),
-        |    sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+        |    CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
         |    round(min(l_extendedprice), 2), round(max(l_extendedprice), 2),
         |    round(sum(l_extendedprice), 2) FROM lineitem
         |  UNION ALL
         |  SELECT 'l_discount', count(l_discount),
-        |    sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+        |    CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
         |    round(min(l_discount), 2), round(max(l_discount), 2),
         |    round(sum(l_discount), 2) FROM lineitem
         |  UNION ALL
         |  SELECT 'l_tax', count(l_tax),
-        |    sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END),
+        |    CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
         |    round(min(l_tax), 2), round(max(l_tax), 2),
         |    round(sum(l_tax), 2) FROM lineitem) t
         |ORDER BY col_name""".stripMargin,
@@ -238,7 +242,8 @@ object SparkEntry {
         |  CAST(l_orderkey AS VARCHAR) AS okey_str,
         |  TRY_CAST(l_orderkey * 1000000 AS INTEGER) AS okey_int_overflow,
         |  CAST(floor(l_quantity) AS BIGINT) AS qty_long,
-        |  CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS price_dec,
+        |  CAST(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS DOUBLE)
+        |    AS price_dec,
         |  CAST(l_shipdate AS DATE) AS ship_date,
         |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_str,
         |  CAST(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP)
@@ -293,8 +298,9 @@ object SparkEntry {
         |      OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
         |    THEN 1 ELSE 0 END AS new_session FROM g),
         |n AS (
-        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS session_no
         |  FROM s)
         |SELECT user_id, session_no, count(*) AS n_events,
         |  round(sum(value), 2) AS sum_value, min(ts) AS session_start
@@ -326,9 +332,10 @@ object SparkEntry {
         |ORDER BY hour_start, event_type""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
-        |  length(text) AS n_chars_text,
-        |  len(string_split(text, ' ')) AS n_tokens,
-        |  len(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars_text,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER)
+        |    AS n_word_tokens,
         |  CAST(length(text) AS DOUBLE) /
         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
         |FROM documents
@@ -418,6 +425,8 @@ object SparkEntry {
         |FROM documents
         |GROUP BY text
         |ORDER BY keep_doc_id""".stripMargin,
+    // Jaccard over DF-capped shingle sets (cap 1000 = the engine's
+    // maxShingleDf): same blocking, same universe of shingles.
     "q_dedup_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, lang, CAST(floor(length(text) / 100) AS BIGINT)
@@ -427,17 +436,27 @@ object SparkEntry {
         |      i -> concat_ws(' ', string_split(text,' ')[i],
         |        string_split(text,' ')[i+1], string_split(text,' ')[i+2])))
         |      AS s
-        |  FROM documents)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |    (CAST(len(a.s) + len(b.s) AS DOUBLE) -
-        |     CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) AS jaccard
-        |FROM sh a JOIN sh b
-        |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-        |  AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |    (CAST(len(a.s) + len(b.s) AS DOUBLE) -
-        |     CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) >= 0.5
+        |  FROM documents),
+        |ex AS (SELECT doc_id, lang, len_bucket, unnest(s) AS g FROM sh),
+        |kept AS (
+        |  SELECT * FROM ex WHERE g NOT IN (
+        |    SELECT g FROM ex GROUP BY g HAVING count(*) > 1000)),
+        |n AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS inter
+        |  FROM kept a JOIN kept b
+        |    ON a.g = b.g AND a.lang = b.lang
+        |    AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) /
+        |    CAST(na.n_sh + nb.n_sh - inter AS DOUBLE) AS jaccard
+        |FROM pairs
+        |JOIN n na ON pairs.doc_a = na.doc_id
+        |JOIN n nb ON pairs.doc_b = nb.doc_id
+        |WHERE CAST(inter AS DOUBLE) /
+        |    CAST(na.n_sh + nb.n_sh - inter AS DOUBLE) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -469,12 +488,30 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rank, cos_sim
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // Replays the STUB decode kernel (Multimodal.fakeDecodeHeader):
+    // deterministic byte math — width = 64 + byte0 % 64,
+    // n_frames = 1 + byte_len % 16 — so it IS SQL-expressible.
+    "q_media_decode" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio'
+        |              ELSE 'video' END AS kind,
+        |    octet_length(text::BLOB) AS byte_len,
+        |    CASE WHEN octet_length(text::BLOB) > 0
+        |         THEN ascii(substring(text, 1, 1)) ELSE 0 END AS b0
+        |  FROM documents)
+        |SELECT kind, count(*) AS n_media,
+        |  CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+        |  avg(64 + b0 % 64) AS avg_width,
+        |  avg(1 + byte_len % 16) AS avg_frames
+        |FROM m GROUP BY kind
+        |ORDER BY kind""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
         |       WHEN doc_id % 3 = 1 THEN 'audio'
         |       ELSE 'video' END AS kind,
-        |  octet_length(text::BLOB) AS byte_len,
+        |  CAST(octet_length(text::BLOB) AS INTEGER) AS byte_len,
         |  lower(hex(substring(text, 1, 4)::BLOB)) AS header_hex,
         |  md5(text) AS payload_md5,
         |  lower(hex(substring(text, 9, 8)::BLOB)) AS frame_sample

@@ -29,16 +29,29 @@ import org.apache.spark.sql.SparkSessionExtensions
  */
 object VectorKernels {
 
-  private def loopCode(a: String, b: String): String =
-    s"""
-       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |double dot = 0.0, na = 0.0, nb = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  double x = $a.isNullAt(i) ? 0.0 : (double) $a.getFloat(i);
-       |  double y = $b.isNullAt(i) ? 0.0 : (double) $b.getFloat(i);
-       |  dot += x * y; na += x * x; nb += y * y;
-       |}
-       |""".stripMargin
+  /** Shared dot/norms loop. Locals are `ctx.freshName`d: with two
+    * non-nullable kernels in one whole-stage-codegen scope,
+    * `nullSafeCodeGen` inlines the block unbraced at method scope, and
+    * fixed names would collide (javac error → silent interpreted
+    * fallback). Returns (code, dotVar, naVar, nbVar). */
+  private def loopCode(ctx: CodegenContext, a: String, b: String)
+      : (String, String, String, String) = {
+    val n = ctx.freshName("n"); val i = ctx.freshName("i")
+    val dot = ctx.freshName("dot")
+    val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+    val x = ctx.freshName("x"); val y = ctx.freshName("y")
+    val code =
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.isNullAt($i) ? 0.0 : (double) $a.getFloat($i);
+         |  double $y = $b.isNullAt($i) ? 0.0 : (double) $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |""".stripMargin
+    (code, dot, na, nb)
+  }
 
   private def accumulate(a: ArrayData, b: ArrayData): (Double, Double, Double) = {
     val n = math.min(a.numElements(), b.numElements())
@@ -68,8 +81,10 @@ object VectorKernels {
     override protected def nullSafeEval(a: Any, b: Any): Any =
       accumulate(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])._1
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) =>
-        loopCode(a, b) + s"${ev.value} = dot;")
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (code, dot, _, _) = loopCode(ctx, a, b)
+        code + s"${ev.value} = $dot;"
+      })
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
@@ -95,15 +110,17 @@ object VectorKernels {
       else dot / (math.sqrt(na) * math.sqrt(nb))
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) =>
-        loopCode(a, b) +
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (code, dot, na, nb) = loopCode(ctx, a, b)
+        code +
           s"""
-             |if (na == 0.0 || nb == 0.0) {
+             |if ($na == 0.0 || $nb == 0.0) {
              |  ${ev.isNull} = true;
              |} else {
-             |  ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+             |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
              |}
-             |""".stripMargin)
+             |""".stripMargin
+      })
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
@@ -133,17 +150,21 @@ object VectorKernels {
       s
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) =>
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val s = ctx.freshName("s"); val d = ctx.freshName("d")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
         s"""
-           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double s = 0.0;
-           |for (int i = 0; i < n; i++) {
-           |  double x = $a.isNullAt(i) ? 0.0 : (double) $a.getFloat(i);
-           |  double y = $b.isNullAt(i) ? 0.0 : (double) $b.getFloat(i);
-           |  double d = x - y; s += d * d;
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = $a.isNullAt($i) ? 0.0 : (double) $a.getFloat($i);
+           |  double $y = $b.isNullAt($i) ? 0.0 : (double) $b.getFloat($i);
+           |  double $d = $x - $y; $s += $d * $d;
            |}
-           |${ev.value} = s;
-           |""".stripMargin)
+           |${ev.value} = $s;
+           |""".stripMargin
+      })
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)

@@ -66,8 +66,16 @@ object Dedup {
    * shingle-set Jaccard ≥ 0.5 on candidates only. The blocking key is
    * part of the operator's definition (the oracle applies the same
    * rule), and bounds pair counts per block at any scale.
+   *
+   * `maxShingleDf` is likewise part of the definition: shingles shared
+   * by more than that many documents (boilerplate headers, license
+   * blurbs) carry no near-dup signal but drive the inverted-index
+   * self-join quadratic — cost is Σ_shingle df², so ONE shingle in 10⁶
+   * docs is 10¹² candidate pairs. Jaccard is computed over the
+   * DF-capped shingle sets on both the engine and the oracle side.
    */
-  def ngramJaccardQuery(spark: SparkSession, sfDir: String): DataFrame = {
+  def ngramJaccardQuery(spark: SparkSession, sfDir: String,
+      maxShingleDf: Int = 1000): DataFrame = {
     // Inverted-index formulation: explode shingles, count co-occurrences
     // per candidate pair, then |A∩B| = co-count and |A∪B| = |A|+|B|−∩.
     // Scales as Σ_shingle (docs sharing it)² — pairwise array_intersect
@@ -78,13 +86,19 @@ object Dedup {
       .select(col("doc_id"), col("lang"),
         floor(length(col("text")) / 100).as("len_bucket"),
         hashedShingles(col("text")).as("sh"))
-      .select(col("doc_id"), col("lang"), col("len_bucket"),
-        size(col("sh")).as("n_sh"), col("sh"))
     val ex = docs.select(col("doc_id"), col("lang"), col("len_bucket"),
-      col("n_sh"), explode(col("sh")).as("s"))
-    val a = ex.select(col("s"), col("lang"), col("len_bucket"),
+      explode(col("sh")).as("s"))
+    // Hot-shingle cap: the anti-join side only holds shingles with
+    // df > cap (tiny — AQE broadcasts it), and per-doc set sizes are
+    // recomputed over the kept shingles so ∩ and ∪ use the same universe.
+    val hot = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select(col("s"))
+    val kept = ex.join(hot, Seq("s"), "left_anti")
+      .withColumn("n_sh",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val a = kept.select(col("s"), col("lang"), col("len_bucket"),
       col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
-    val b = ex.select(col("s"), col("lang"), col("len_bucket"),
+    val b = kept.select(col("s"), col("lang"), col("len_bucket"),
       col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
     a.join(b, Seq("s", "lang", "len_bucket"))
       .filter(col("doc_a") < col("doc_b"))

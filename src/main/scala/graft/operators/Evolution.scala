@@ -38,8 +38,11 @@ object Evolution {
         col("l_orderkey").cast("string").as("okey_str"),
         expr("try_cast(l_orderkey * 1000000 AS INT)").as("okey_int_overflow"),
         floor(col("l_quantity")).cast("long").as("qty_long"),
+        // Double→Decimal matrix entry stays in the plan; the emitted
+        // column is DOUBLE so the gate compares one physical type
+        // (DuckDB DECIMAL and Spark decimal hash differently upstream).
         round(col("l_extendedprice"), 2).cast("decimal(18,2)")
-          .as("price_dec"),
+          .cast("double").as("price_dec"),
         col("l_shipdate").cast("date").as("ship_date"),
         date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("ship_str"),
         date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")

@@ -163,8 +163,8 @@ object Multimodal {
   }
 
   /** Full pipeline demo: synthesize → decode (stub kernel) →
-    * feature aggregate per kind. Spec-verified (stub outputs aren't
-    * SQL-replayable). */
+    * feature aggregate per kind. The stub decode is deterministic byte
+    * math, so the DuckDB oracle replays it exactly (hash-gated). */
   def decodePipelineQuery(spark: SparkSession, sfDir: String): DataFrame =
     decode(spark, syntheticMedia(spark, sfDir))
       .groupBy(col("kind"))

@@ -33,6 +33,33 @@ def canon(rows, names):
     return [names[i] for i in order], out
 
 
+def type_key(t):
+    """Collapse an arrow type to the physical family the driver's hasher
+    distinguishes (int64 vs int128/decimal vs float vs string...), ignoring
+    benign annotation differences (timestamp tz, large_string)."""
+    import pyarrow as pa
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_key(t.value_type)}>"
+    return str(t)
+
+
+def type_diffs(con, sql, parquet_glob):
+    import pyarrow.parquet  # noqa: F401
+    otab = con.execute(sql).arrow()
+    stab = con.execute(
+        f"SELECT * FROM read_parquet('{parquet_glob}')").arrow()
+    ot = {f.name: type_key(f.type) for f in otab.schema}
+    st = {f.name: type_key(f.type) for f in stab.schema}
+    return [(c, ot[c], st[c]) for c in sorted(set(ot) & set(st))
+            if ot[c] != st[c]]
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -64,8 +91,16 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         if ocanon == scanon:
-            print(f"PASS {name} ({len(ocanon)} rows)")
-            n_pass += 1
+            tdiffs = type_diffs(con, sql, f"{out_dir}/{name}/*.parquet")
+            if tdiffs:
+                print(f"FAIL {name}: values equal but physical types differ "
+                      f"(driver hash would mismatch): "
+                      + ", ".join(f"{c} oracle={o} spark={s}"
+                                  for c, o, s in tdiffs))
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({len(ocanon)} rows)")
+                n_pass += 1
         else:
             diffs = [(a, b) for a, b in zip(ocanon, scanon) if a != b]
             print(f"FAIL {name}: {len(diffs)}/{len(ocanon)} rows differ; "
