@@ -75,14 +75,18 @@ object Dedup {
    * DF-capped shingle sets on both the engine and the oracle side.
    */
   def ngramJaccardQuery(spark: SparkSession, sfDir: String,
-      maxShingleDf: Int = 1000): DataFrame = {
+      maxShingleDf: Int = 1000): DataFrame =
+    ngramJaccard(Tables.load(spark, sfDir, "documents"), maxShingleDf)
+
+  /** Core of [[ngramJaccardQuery]] over any (doc_id, lang, text) frame. */
+  def ngramJaccard(documents: DataFrame, maxShingleDf: Int): DataFrame = {
     // Inverted-index formulation: explode shingles, count co-occurrences
     // per candidate pair, then |A∩B| = co-count and |A∪B| = |A|+|B|−∩.
     // Scales as Σ_shingle (docs sharing it)² — pairwise array_intersect
     // over every blocked pair scales as pairs × |shingles| and is ~15x
     // slower at sf0.1 (and unboundedly worse at 100 TB). Pairs that
     // share no shingle never materialize at all.
-    val docs = Tables.load(spark, sfDir, "documents")
+    val docs = documents
       .select(col("doc_id"), col("lang"),
         floor(length(col("text")) / 100).as("len_bucket"),
         hashedShingles(col("text")).as("sh"))

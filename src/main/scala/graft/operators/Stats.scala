@@ -23,17 +23,82 @@ object Stats {
    * Answer per-column count / min / max / sum for an ORC dataset purely
    * from footer statistics. Null-count derives as fileRows − colCount
    * (ORC counts only non-null values, `ColumnStatisticsImpl`).
+   *
+   * Writer-version gated (the reference's HIVE-8732 check,
+   * `OrcFile.java:116-127`): files whose writer predates the stats fix
+   * have corrupt string max statistics, so their footer rows are
+   * REPLACED by a real scan of just those files — trusted files still
+   * answer metadata-only, and at 100 TB only the legacy tail of the
+   * dataset pays a scan.
    */
   def statsOnlyColumnStats(spark: SparkSession, orcPath: String): DataFrame = {
     val per = OrcMeta.columnStats(spark, orcPath)
-    per.filter(col("columnId") > 0)
+    val untrustedFiles = per.filter(!col("statsTrusted"))
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0))    // driver-side: file LIST only
+    val trusted = per.filter(col("statsTrusted"))
+    val merged =
+      if (untrustedFiles.isEmpty) trusted
+      else trusted.unionByName(
+        scannedColumnStats(spark, untrustedFiles.toIndexedSeq))
+    merged.filter(col("columnId") > 0)
       .groupBy(col("column"))
       .agg(
         sum(col("count")).as("n_values"),
         max(col("hasNull").cast("int")).cast("boolean").as("has_null"),
         min(col("min")).as("min_str"),
         max(col("max")).as("max_str"),
-        sum(col("sum").cast("double")).as("sum_val"))
+        sum(col("sum").cast("double")).as("sum_val"),
+        min(col("statsTrusted").cast("int")).cast("boolean")
+          .as("all_from_footer"))
+  }
+
+  /**
+   * Scan fallback for untrusted-writer files: recompute per-(file,
+   * top-level column) stats in one distributed pass grouped by
+   * `input_file_name`, shaped like [[OrcMeta.columnStats]] rows
+   * (`statsTrusted` false marks their provenance). Primitive columns
+   * get min/max/sum; nested columns count/hasNull only (footer stats
+   * for nested types aren't comparable to scan renderings anyway).
+   */
+  private def scannedColumnStats(spark: SparkSession,
+      files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val df = spark.read.orc(files: _*)
+    val aggs = df.schema.fields.zipWithIndex.flatMap { case (f, i) =>
+      val c = col(s"`${f.name}`")
+      val isPrim = f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType | BinaryType => false
+        case _ => true
+      }
+      Seq(
+        count(c).as(s"_cnt_$i"),
+        max(c.isNull.cast("int")).cast("boolean").as(s"_nul_$i")) ++
+        (if (isPrim) Seq(
+          min(c).cast("string").as(s"_min_$i"),
+          max(c).cast("string").as(s"_max_$i"),
+          (f.dataType match {
+            // try_sum: null on long overflow — the same "sum not
+            // defined" contract as ORC footer stats (isSumDefined).
+            case _: NumericType => try_sum(c).cast("string")
+            case _ => lit(null).cast("string")
+          }).as(s"_sum_$i"))
+        else Seq(lit(null).cast("string").as(s"_min_$i"),
+          lit(null).cast("string").as(s"_max_$i"),
+          lit(null).cast("string").as(s"_sum_$i")))
+    }
+    val perFile = df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      struct(lit(i + 1).as("columnId"), lit(f.name).as("column"),
+        col(s"_cnt_$i").as("count"), col(s"_nul_$i").as("hasNull"),
+        col(s"_min_$i").as("min"), col(s"_max_$i").as("max"),
+        col(s"_sum_$i").as("sum"))
+    }
+    perFile.select(col("file"), explode(array(cols.toIndexedSeq: _*)).as("c"))
+      .select(col("file"), col("c.columnId"), col("c.column"),
+        col("c.count"), col("c.hasNull"), col("c.min"), col("c.max"),
+        col("c.sum"), lit(false).as("statsTrusted"))
   }
 
   /**

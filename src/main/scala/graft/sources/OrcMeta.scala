@@ -25,8 +25,13 @@ object OrcMeta {
   case class StripeInfo(file: String, stripe: Int, offset: Long,
       indexLength: Long, dataLength: Long, footerLength: Long, rows: Long)
 
+  /** `statsTrusted` mirrors the reference's writer-version gate
+    * (`OrcFile.java:116-127`): pre-HIVE-8732 writers persisted corrupt
+    * string max statistics, so footer answers from such files must not
+    * be trusted (fall back to scan — [[graft.operators.Stats]]). */
   case class ColStats(file: String, columnId: Int, column: String,
-      count: Long, hasNull: Boolean, min: String, max: String, sum: String)
+      count: Long, hasNull: Boolean, min: String, max: String, sum: String,
+      statsTrusted: Boolean)
 
   case class FileMeta(file: String, rows: Long, rawDataSize: Long,
       contentLength: Long, stripeCount: Int, compression: String,
@@ -77,10 +82,11 @@ object OrcMeta {
         withReader(file) { r =>
           val schema = r.getSchema
           val names = flatColumnNames(schema)
+          val trusted = writerStatsTrusted(r.getWriterVersion)
           r.getStatistics.zipWithIndex.map { case (cs, id) =>
             val (min, max, sum) = renderStats(cs)
             ColStats(file, id, names.getOrElse(id, s"_col$id"),
-              cs.getNumberOfValues, cs.hasNull, min, max, sum)
+              cs.getNumberOfValues, cs.hasNull, min, max, sum, trusted)
           }.toSeq
         }
       }.toDF()
@@ -178,6 +184,12 @@ object OrcMeta {
         }
       }.toDF()
   }
+
+  /** The HIVE-8732 trust gate (`OrcFile.java:116-127`): a writer version
+    * `includes` the fix iff its id is at least HIVE_8732's. ORIGINAL
+    * (format 0.11/early 0.12 writers) predates it → untrusted. */
+  def writerStatsTrusted(v: OrcFile.WriterVersion): Boolean =
+    v.includes(OrcFile.WriterVersion.HIVE_8732)
 
   /** Pre-order column-id → dotted name map, mirroring the reference's
     * flattened type tree ids (`TypeDescription.java:746-755`). */

@@ -73,6 +73,39 @@ class DedupSpec extends SparkSpec {
     assert(ham <= 16, s"one-token change moved $ham/64 bits")
   }
 
+  test("jaccard DF cap: universal boilerplate doesn't generate pairs") {
+    // 200 docs share an identical 6-token boilerplate header (every doc
+    // contributes its shingles), then diverge into unique tails of the
+    // same length (same len_bucket). Uncapped, the boilerplate shingles
+    // alone put all C(200,2)=19900 pairs through the self-join; with
+    // df-cap 10 those shingles are dropped and no candidate survives.
+    val boiler = "this document is proprietary and confidential"
+    val docs = (0 until 200).map { i =>
+      val tail = (0 until 30).map(j => s"w${i}x$j").mkString(" ")
+      (i.toLong, "en", s"$boiler $tail")
+    }
+    // plus one true near-dup pair: identical tails (and the boilerplate)
+    val dupTail = (0 until 30).map(j => s"dup$j").mkString(" ")
+    val all = docs ++ Seq((900L, "en", s"$boiler $dupTail"),
+      (901L, "en", s"$boiler $dupTail"))
+    val df = all.toDF("doc_id", "lang", "text")
+    val res = Dedup.ngramJaccard(df, maxShingleDf = 10)
+      .select(col("doc_a"), col("doc_b"), col("jaccard")).collect()
+    // only the true dup pair survives; its capped-universe Jaccard is 1.0
+    // (identical kept shingle sets)
+    assert(res.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((900L, 901L)), s"got ${res.mkString(", ")}")
+    assert(res.head.getDouble(2) == 1.0)
+    // and the capped run must not have exploded: uncapped the same corpus
+    // reports the same single ≥0.5 pair but pushes every boilerplate
+    // C(200,2) pair through the join — capped output must equal uncapped
+    // output here (boilerplate Jaccard ≈ 4/60 is far below threshold)
+    val uncapped = Dedup.ngramJaccard(df, maxShingleDf = 1000000)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((900L, 901L)))
+  }
+
   test("keepFirst keeps exactly one row per key") {
     val df = Seq((1, "a", 10), (1, "b", 5), (2, "c", 7)).toDF("k", "v", "ord")
     val kept = Dedup.keepFirst(df, Seq("k"), col("ord"))

@@ -30,6 +30,35 @@ class StatsSpec extends SparkSpec {
       < 1e-6 * math.abs(scan.getDouble(2)))
   }
 
+  test("pre-HIVE-8732 writer: footers distrusted, answers come from scan") {
+    // orc-file-11-format.orc was written by an ORIGINAL-version writer —
+    // before the HIVE-8732 stats fix the reference refuses to trust
+    // (OrcFile.java:116-127). The engine must flag it and answer from a
+    // real scan, not the footer.
+    val old = "/root/reference/examples/orc-file-11-format.orc"
+    val meta = graft.sources.OrcMeta.fileMeta(spark, old).head()
+    assert(meta.getAs[String]("writerVersion") == "ORIGINAL")
+    assert(graft.sources.OrcMeta.columnStats(spark, old)
+      .filter(col("statsTrusted")).count() == 0)
+    val res = Stats.statsOnlyColumnStats(spark, old)
+    val r = res.filter(col("column") === "int1").head()
+    assert(!r.getAs[Boolean]("all_from_footer"),
+      "untrusted file must not be answered from footers")
+    val scan = spark.read.orc(old)
+      .agg(count(col("int1")), min(col("int1")), max(col("int1")),
+        sum(col("int1"))).head()
+    assert(r.getAs[Long]("n_values") == scan.getLong(0))
+    assert(r.getAs[String]("min_str").toLong == scan.getInt(1).toLong)
+    assert(r.getAs[String]("max_str").toLong == scan.getInt(2).toLong)
+    assert(r.getAs[Double]("sum_val") == scan.getLong(3).toDouble)
+  }
+
+  test("post-fix writers keep the metadata-only answer path") {
+    val res = Stats.statsOnlyColumnStats(spark, s"$dir/orders")
+    assert(res.filter(!col("all_from_footer")).count() == 0,
+      "fresh files must answer from footers alone")
+  }
+
   test("rawDataSize estimator is positive and scales with rows") {
     val size = Stats.rawDataSize(spark, s"$dir/orders")
     assert(size > 0L)
