@@ -127,42 +127,51 @@ object UnionOrc {
     } finally reader.close()
   }
 
+  /**
+   * Full-fidelity row iterator over one file, usable on driver or
+   * executor. Timestamps keep nanosecond precision here; converting
+   * into a Spark DataFrame truncates them to microseconds
+   * (`TimestampType`'s resolution) — golden-content tests compare at
+   * this layer for that reason.
+   */
+  def localRows(p: String): Iterator[Row] = {
+    val reader = OrcFile.createReader(new Path(p),
+      OrcFile.readerOptions(new Configuration()))
+    val fileSchema = reader.getSchema
+    val rows = reader.rows()
+    val batch = fileSchema.createRowBatch()
+    new Iterator[Row] {
+      private var i = 0
+      private var exhausted = false
+      private def advance(): Unit =
+        if (i >= batch.size && !exhausted) {
+          exhausted = !rows.nextBatch(batch)
+          i = 0
+          if (exhausted) { rows.close(); reader.close() }
+        }
+      override def hasNext: Boolean = { advance(); !exhausted }
+      private val rootIsStruct =
+        fileSchema.getCategory == Category.STRUCT
+      override def next(): Row = {
+        advance()
+        val r =
+          if (rootIsStruct)
+            Row.fromSeq(batch.cols.zipWithIndex.map { case (c, ci) =>
+              readValue(c, fileSchema.getChildren.get(ci), i)
+            }.toSeq)
+          else Row(readValue(batch.cols(0), fileSchema, i))
+        i += 1
+        r
+      }
+    }
+  }
+
   /** Read ORC files (union-typed or not) into a DataFrame. */
   def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
     val schema = schemaOf(paths.head)
     val rdd = spark.sparkContext
       .parallelize(paths, math.max(1, paths.size))
-      .flatMap { p =>
-        val reader = OrcFile.createReader(new Path(p),
-          OrcFile.readerOptions(new Configuration()))
-        val fileSchema = reader.getSchema
-        val rows = reader.rows()
-        val batch = fileSchema.createRowBatch()
-        new Iterator[Row] {
-          private var i = 0
-          private var exhausted = false
-          private def advance(): Unit =
-            if (i >= batch.size && !exhausted) {
-              exhausted = !rows.nextBatch(batch)
-              i = 0
-              if (exhausted) { rows.close(); reader.close() }
-            }
-          override def hasNext: Boolean = { advance(); !exhausted }
-          private val rootIsStruct =
-            fileSchema.getCategory == Category.STRUCT
-          override def next(): Row = {
-            advance()
-            val r =
-              if (rootIsStruct)
-                Row.fromSeq(batch.cols.zipWithIndex.map { case (c, ci) =>
-                  readValue(c, fileSchema.getChildren.get(ci), i)
-                }.toSeq)
-              else Row(readValue(batch.cols(0), fileSchema, i))
-            i += 1
-            r
-          }
-        }
-      }
+      .flatMap(localRows)
     spark.createDataFrame(rdd, schema)
   }
 }
