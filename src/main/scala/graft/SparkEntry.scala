@@ -189,8 +189,8 @@ object SparkEntry {
       """SELECT codec, n_rows, sum_price
         |FROM (SELECT count(*) AS n_rows,
         |        round(sum(o_totalprice), 2) AS sum_price FROM orders)
-        |CROSS JOIN (VALUES ('lz4'), ('none'), ('snappy'), ('zlib'),
-        |  ('zstd')) AS t(codec)
+        |CROSS JOIN (VALUES ('lz4'), ('lzo'), ('none'), ('snappy'),
+        |  ('zlib'), ('zstd')) AS t(codec)
         |ORDER BY codec""".stripMargin,
     "q_stats_footer" ->
       """SELECT col_name, n_values, min_val, max_val, sum_val FROM (

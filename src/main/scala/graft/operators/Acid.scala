@@ -43,9 +43,114 @@ object Acid {
       .select(col("row.*"))
   }
 
-  /** Major compaction: resolve then rewrite as a plain base dataset. */
-  def compact(events: DataFrame, outPath: String): Unit =
-    graft.sources.OrcIo.write(resolve(events), outPath)
+  /** The reference's ACID stats user-metadata key and its
+    * "inserts,updates,deletes" serialization
+    * (`OrcAcidUtils.java:27-33`, `AcidStats.java:24-60`). */
+  val AcidStatsKey = "hive.acid.stats"
+
+  case class AcidStats(inserts: Long, updates: Long, deletes: Long) {
+    def serialize: String = s"$inserts,$updates,$deletes"
+  }
+
+  object AcidStats {
+    def parse(s: String): AcidStats = {
+      val p = s.split(",")
+      AcidStats(p(0).toLong, p(1).toLong, p(2).toLong)
+    }
+  }
+
+  /**
+   * Event-type counts of an event frame — what the reference tallies
+   * per delta file while writing.
+   *
+   * Deliberately tallied over FULL rows (`.rdd`), not a pruned
+   * aggregate: files carrying the exact ACID event schema are genuine
+   * ACID deltas to the format, and the ORC reader's acid detection
+   * (`SchemaEvolution.checkAcidSchema:468-476` in the reference; same
+   * logic in the bundled ORC jars) remaps column ids on such files,
+   * which breaks column-pruned plain scans (AIOOBE in the vectorized
+   * reader). Full-width reads are unaffected — and every other engine
+   * path (resolve / readTable / compaction) reads full events anyway.
+   */
+  def acidStatsOf(events: DataFrame): AcidStats = {
+    val opIdx = events.schema.fieldIndex("operation")
+    val (i, u, d) = events.rdd
+      .map(r => r.getInt(opIdx) match {
+        case OpInsert => (1L, 0L, 0L)
+        case OpUpdate => (0L, 1L, 0L)
+        case OpDelete => (0L, 0L, 1L)
+        case _ => (0L, 0L, 0L)
+      })
+      .fold((0L, 0L, 0L)) { case ((a1, b1, c1), (a2, b2, c2)) =>
+        (a1 + a2, b1 + b2, c1 + c2)
+      }
+    AcidStats(i, u, d)
+  }
+
+  private def writeStatsSidecar(outPath: String, stats: AcidStats): Unit =
+    graft.sources.OrcMeta.writeMetadataFile(
+      s"$outPath/_acid_stats.orc",
+      Map(AcidStatsKey -> stats.serialize))
+
+  /** Read back the `hive.acid.stats` entry of a dataset directory. */
+  def readAcidStats(spark: SparkSession, path: String): Option[AcidStats] = {
+    val rows = graft.sources.OrcMeta.userMetadata(spark, path)
+      .filter(col("key") === AcidStatsKey).select(col("value")).collect()
+    rows.headOption.map(r => AcidStats.parse(r.getString(0)))
+  }
+
+  /** Major compaction: resolve then rewrite as a plain base dataset,
+    * recording the event tallies under `hive.acid.stats` like the
+    * reference's writer (a compacted base carries only inserts). */
+  def compact(events: DataFrame, outPath: String): Unit = {
+    val resolved = resolve(events)
+    graft.sources.OrcIo.write(resolved, outPath)
+    writeStatsSidecar(outPath, AcidStats(resolved.count(), 0L, 0L))
+  }
+
+  /** Write a delta directory of raw events plus its ACID stats. */
+  def writeDelta(events: DataFrame, outPath: String): Unit = {
+    graft.sources.OrcIo.write(events, outPath)
+    writeStatsSidecar(outPath, acidStatsOf(events))
+  }
+
+  /**
+   * Minor compaction (`site/_docs/acid.md:26-60`): merge several delta
+   * directories into one without touching the base. Unlike major
+   * compaction this KEEPS event form — the latest event per
+   * (origTxn, bucket, rowId) survives, including deletes, which must
+   * continue to mask base rows. Output directory is named
+   * `delta_<minTxn>_<maxTxn>` like the reference's compactor.
+   * Returns the merged directory path.
+   */
+  def minorCompact(spark: SparkSession, tableDir: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("delta_"))
+    require(dirs.nonEmpty, s"no delta_* directories under $tableDir")
+    val txns = dirs.flatMap(_.stripPrefix("delta_").split("_")
+      .map(_.toLong))
+    val events = dirs.map(d => spark.read.orc(s"$tableDir/$d"))
+      .reduce(_.unionByName(_))
+    val w = Window
+      .partitionBy(col("originalTransaction"), col("bucket"), col("rowId"))
+      .orderBy(col("currentTransaction").desc)
+    val merged = events
+      .withColumn("_version_rank", row_number().over(w))
+      .filter(col("_version_rank") === 1)
+      .drop("_version_rank")
+    val out = s"$tableDir/delta_${txns.min}_${txns.max}"
+    graft.sources.OrcIo.write(merged, out)
+    // tally from the written output: one cheap scan instead of
+    // re-running the window, and the counts describe exactly the files
+    // the stats ride with
+    writeStatsSidecar(out, acidStatsOf(spark.read.orc(out)))
+    dirs.foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$d"), true))
+    out
+  }
 
   /**
    * Directory-layout merge-on-read (`site/_docs/acid.md:26-60`): a
@@ -66,8 +171,9 @@ object Acid {
     require(baseDirs.nonEmpty, s"no base_N directory under $tableDir")
     val base = baseDirs.last
     val baseTxn = base.stripPrefix("base_").toLong
+    // `delta_M` single-txn dirs and `delta_A_B` minor-compacted ranges
     val deltas = dirs.filter(_.startsWith("delta_"))
-      .filter(_.stripPrefix("delta_").toLong > baseTxn)
+      .filter(_.stripPrefix("delta_").split("_").last.toLong > baseTxn)
     val baseRows = spark.read.orc(s"$tableDir/$base")
     val baseEvents = baseRows.select(
       lit(OpInsert).as("operation"),

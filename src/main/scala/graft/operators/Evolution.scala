@@ -78,6 +78,23 @@ object Evolution {
   }
 
   /**
+   * CHAR(n) read semantics (`TreeReaderFactory.java:1657`,
+   * `TypeDescription.java:459-466`): values longer than maxLength are
+   * truncated, shorter ones padded with spaces to exactly n characters
+   * (character counts, not bytes — same as the reference's UTF-8-aware
+   * length handling).
+   */
+  def charRead(c: org.apache.spark.sql.Column, n: Int)
+      : org.apache.spark.sql.Column =
+    rpad(substring(c, 1, n), n, " ")
+
+  /** VARCHAR(n) read semantics (`TreeReaderFactory.java:1713`):
+    * truncate to maxLength, no padding. */
+  def varcharRead(c: org.apache.spark.sql.Column, n: Int)
+      : org.apache.spark.sql.Column =
+    substring(c, 1, n)
+
+  /**
    * UNION type encoding (SURVEY.md §1.2): Spark has no union; the
    * engine models `uniontype<int,string>` as
    * `struct<tag:tinyint, field0:int, field1:string>` — exactly the

@@ -27,6 +27,10 @@ object JsonTools {
   def inferSchema(spark: SparkSession, json: Dataset[String],
       samplingRatio: Double = 1.0): StructType =
     spark.read.option("samplingRatio", samplingRatio.toString)
+      // the reference's lattice includes TIMESTAMP for datetime-shaped
+      // strings (JsonSchemaFinder DATE_PATTERN); Spark gates that
+      // behind inferTimestamp
+      .option("inferTimestamp", "true")
       .json(json).schema
 
   /** Convert a JSON string column into typed nested columns using an
@@ -56,6 +60,7 @@ object JsonTools {
   def inferSchemaPath(spark: SparkSession, path: String,
       samplingRatio: Double = 1.0): StructType =
     spark.read.option("samplingRatio", samplingRatio.toString)
+      .option("inferTimestamp", "true")
       .json(path).schema
 
   /** JSON files → ORC files (the CLI `convert` surface). */

@@ -68,6 +68,21 @@ object OrcIo {
       readerSchema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(readerSchema).orc(path)
 
+  /**
+   * Positional schema evolution — the `orc.force.positional.evolution`
+   * analogue (`SchemaEvolution.java:93-113`): reader column i maps to
+   * file column i regardless of names, one level deep. The reference
+   * also falls back to positional matching automatically when the file
+   * carries no real column names (pre-HIVE-4243 writers emitted
+   * `_col0, _col1, …`) — Spark's ORC reader implements both behaviors
+   * when the option is set / the `_colN` pattern is detected.
+   */
+  def readPositional(spark: SparkSession, path: String,
+      readerSchema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .option("orc.force.positional.evolution", "true")
+      .schema(readerSchema).orc(path)
+
   /** Deterministic scratch dir for round-trip queries (content is
     * rewritten each run; path is per-process). */
   def scratchDir(tag: String): String = {
@@ -121,12 +136,61 @@ object OrcIo {
     write(df.repartition(nFiles), outPath, compression = compression)
   }
 
+  /** Side-file suffix advertising the last flushed (readable) length of
+    * an open/append-in-progress file (`OrcAcidUtils.java:27-60`). */
+  val FlushLengthSuffix = "_flush_length"
+
+  /** Last complete long in the side file — the readable prefix length
+    * (`OrcAcidUtils.getLastFlushLength`). None if no side file. */
+  def lastFlushLength(spark: SparkSession, orcFile: String): Option[Long] = {
+    val side = new org.apache.hadoop.fs.Path(orcFile + FlushLengthSuffix)
+    val fs = side.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(side)) None
+    else {
+      val n = fs.getFileStatus(side).getLen / 8
+      if (n == 0) None
+      else {
+        val in = fs.open(side)
+        try {
+          var last = 0L
+          (0L until n).foreach(_ => last = in.readLong())
+          Some(last)
+        } finally in.close()
+      }
+    }
+  }
+
+  /** Append a flushed-length entry to a file's side file (the writer
+    * side of W8's intermediate-footer contract). */
+  def writeFlushLength(spark: SparkSession, orcFile: String,
+      len: Long): Unit = {
+    val side = new org.apache.hadoop.fs.Path(orcFile + FlushLengthSuffix)
+    val fs = side.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // rewrite prior entries + the new one (local filesystems lack
+    // append(); the file is a handful of longs)
+    val prior: Seq[Long] =
+      if (!fs.exists(side)) Nil
+      else {
+        val n = fs.getFileStatus(side).getLen / 8
+        val in = fs.open(side)
+        try (0L until n).map(_ => in.readLong()) finally in.close()
+      }
+    val out = fs.create(side, true)
+    try (prior :+ len).foreach(out.writeLong) finally out.close()
+  }
+
   /**
    * Salvage read over a possibly-corrupted dataset — the engine-level
    * counterpart of the reference tool's `meta --recover` (`FileDump`
    * side-file-aware recovery): probe each file's tail, scan only the
    * readable ones, and report the rest. On a 100 TB lake one truncated
    * file must not fail the job; the probe is a footer-only IO per file.
+   *
+   * Files whose tail probe fails but that carry a `_flush_length` side
+   * file (an open file mid-append, W8) are recovered up to the last
+   * advertised footer: the side file names a readable prefix, and the
+   * ORC reader's `maxLength` option replays exactly that prefix.
+   *
    * Returns (readable DataFrame, list of unreadable file paths).
    */
   def readSalvage(spark: SparkSession, path: String)
@@ -137,10 +201,11 @@ object OrcIo {
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(_.isFile).map(_.getPath)
           .filterNot(f => f.getName.startsWith("_") ||
-            f.getName.startsWith("."))
+            f.getName.startsWith(".") ||
+            f.getName.endsWith(FlushLengthSuffix))
           .map(_.toString).toSeq
       else Seq(path)
-    val (good, bad) = files.partition { f =>
+    val (good, failed) = files.partition { f =>
       try {
         val r = org.apache.orc.OrcFile.createReader(
           new org.apache.hadoop.fs.Path(f),
@@ -149,9 +214,38 @@ object OrcIo {
         r.close(); true
       } catch { case _: Exception => false }
     }
-    val df =
-      if (good.nonEmpty) spark.read.orc(good: _*)
-      else spark.emptyDataFrame
+    // side-file recovery: readable prefix via reader maxLength
+    val (recoverable, bad) = failed.partition { f =>
+      lastFlushLength(spark, f).exists { len =>
+        try {
+          val r = org.apache.orc.OrcFile.createReader(
+            new org.apache.hadoop.fs.Path(f),
+            org.apache.orc.OrcFile.readerOptions(
+              spark.sparkContext.hadoopConfiguration).maxLength(len))
+          r.close(); true
+        } catch { case _: Exception => false }
+      }
+    }
+    val goodDf =
+      if (good.nonEmpty) Some(spark.read.orc(good: _*)) else None
+    val recoveredDf =
+      if (recoverable.isEmpty) None
+      else {
+        val lens = recoverable.map(f =>
+          f -> lastFlushLength(spark, f).get).toMap
+        val schema = UnionOrc.schemaOf(recoverable.head,
+          lens(recoverable.head))
+        val rdd = spark.sparkContext
+          .parallelize(recoverable, recoverable.size)
+          .flatMap(f => UnionOrc.localRows(f, lens(f)))
+        Some(spark.createDataFrame(rdd, schema))
+      }
+    val df = (goodDf, recoveredDf) match {
+      case (Some(g), Some(r)) => g.unionByName(r)
+      case (Some(g), None) => g
+      case (None, Some(r)) => r
+      case (None, None) => spark.emptyDataFrame
+    }
     (df, bad)
   }
 
@@ -161,7 +255,8 @@ object OrcIo {
     import org.apache.spark.sql.functions._
     val src = graft.Tables.load(spark, sfDir, "orders")
     val dir = scratchDir("orc_codec")
-    val codecs = Seq("none", "zlib", "snappy", "lz4", "zstd")
+    // full write matrix (W4): lzo via aircompressor, like the rest
+    val codecs = Seq("lzo", "lz4", "none", "snappy", "zlib", "zstd")
     // the five writes are independent Spark jobs — run them concurrently
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global

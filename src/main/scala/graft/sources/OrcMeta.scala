@@ -185,6 +185,51 @@ object OrcMeta {
       }.toDF()
   }
 
+  case class UserMetadata(file: String, key: String, value: String)
+
+  /** One row per (file, user-metadata key): the footer's application
+    * metadata surface (`appendUserMetadata`; read side
+    * `Reader.getMetadataKeys`). Values are UTF-8-decoded — the only
+    * form the engine writes (e.g. the ACID stats key,
+    * `OrcAcidUtils.java:27-33`). */
+  def userMetadata(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = orcFiles(spark, path)
+    spark.sparkContext.parallelize(files, math.max(1, files.size / 16))
+      .flatMap { file =>
+        withReader(file) { r =>
+          import scala.jdk.CollectionConverters._
+          r.getMetadataKeys.asScala.map { k =>
+            val buf = r.getMetadataValue(k)
+            val bytes = new Array[Byte](buf.remaining())
+            buf.get(bytes)
+            UserMetadata(file, k, new String(bytes, "UTF-8"))
+          }.toSeq
+        }
+      }.toDF()
+  }
+
+  /**
+   * Write a zero-row ORC "metadata carrier" file whose footer holds the
+   * given user-metadata entries — how the engine persists dataset-level
+   * application metadata (the reference attaches it to each data file
+   * at write time; Spark's datasource has no hook for that, so the
+   * engine uses one tiny sidecar per directory, written via the same
+   * ORC writer API and readable by any ORC metadata tool).
+   */
+  def writeMetadataFile(path: String, metadata: Map[String, String]): Unit = {
+    val conf = new Configuration()
+    val opts = OrcFile.writerOptions(conf)
+      .setSchema(org.apache.orc.TypeDescription.fromString("struct<>"))
+      .overwrite(true)
+    val w = OrcFile.createWriter(new Path(path), opts)
+    metadata.foreach { case (k, v) =>
+      w.addUserMetadata(k,
+        java.nio.ByteBuffer.wrap(v.getBytes("UTF-8")))
+    }
+    w.close()
+  }
+
   /** The HIVE-8732 trust gate (`OrcFile.java:116-127`): a writer version
     * `includes` the fix iff its id is at least HIVE_8732's. ORIGINAL
     * (format 0.11/early 0.12 writers) predates it → untrusted. */

@@ -117,9 +117,9 @@ object UnionOrc {
   /** Schema of an ORC file (unions encoded as tagged structs). A
     * non-struct root type — legal in ORC, unreadable by stock Spark —
     * becomes a single column named `value`. */
-  def schemaOf(path: String): StructType = {
+  def schemaOf(path: String, maxLength: Long = Long.MaxValue): StructType = {
     val reader = OrcFile.createReader(new Path(path),
-      OrcFile.readerOptions(new Configuration()))
+      OrcFile.readerOptions(new Configuration()).maxLength(maxLength))
     try toSparkType(reader.getSchema) match {
       case st: StructType if reader.getSchema.getCategory ==
         Category.STRUCT => st
@@ -134,9 +134,9 @@ object UnionOrc {
    * (`TimestampType`'s resolution) — golden-content tests compare at
    * this layer for that reason.
    */
-  def localRows(p: String): Iterator[Row] = {
+  def localRows(p: String, maxLength: Long = Long.MaxValue): Iterator[Row] = {
     val reader = OrcFile.createReader(new Path(p),
-      OrcFile.readerOptions(new Configuration()))
+      OrcFile.readerOptions(new Configuration()).maxLength(maxLength))
     val fileSchema = reader.getSchema
     val rows = reader.rows()
     val batch = fileSchema.createRowBatch()
@@ -171,7 +171,7 @@ object UnionOrc {
     val schema = schemaOf(paths.head)
     val rdd = spark.sparkContext
       .parallelize(paths, math.max(1, paths.size))
-      .flatMap(localRows)
+      .flatMap(p => localRows(p))
     spark.createDataFrame(rdd, schema)
   }
 }

@@ -28,7 +28,11 @@ object OrcTool {
         OrcMeta.stripes(spark, path).show(false)
         OrcMeta.columnStats(spark, path).show(200, truncate = false)
       case "data" =>
-        spark.read.orc(path).toJSON.collect().foreach(println)
+        // stream partitions through the driver one at a time (the
+        // reference's PrintData streams too) — .collect() would buffer
+        // the whole file and OOM on anything real
+        spark.read.orc(path).toJSON.toLocalIterator()
+          .forEachRemaining(println(_))
       case "scan" =>
         println(s"rows=${spark.read.orc(path).count()}")
       case "json-schema" =>

@@ -70,4 +70,55 @@ class AcidSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(back == Map(1L -> 20.0))
   }
+
+  test("hive.acid.stats survive delta write and compaction") {
+    val dir = graft.sources.OrcIo.scratchDir("acid_stats")
+    val df = eventsDf(Seq(
+      event(Acid.OpInsert, 0, 1L, 1L, 10.0),
+      event(Acid.OpInsert, 0, 2L, 1L, 30.0),
+      event(Acid.OpUpdate, 0, 1L, 2L, 20.0),
+      event(Acid.OpDelete, 0, 2L, 2L, 0.0)))
+    // delta carries the raw event tallies (AcidStats.java serialization)
+    Acid.writeDelta(df, s"$dir/delta_1_2")
+    assert(Acid.readAcidStats(spark, s"$dir/delta_1_2")
+      .contains(Acid.AcidStats(2, 1, 1)))
+    // compacted base carries only inserts (the resolved rows)
+    Acid.compact(df, s"$dir/base")
+    assert(Acid.readAcidStats(spark, s"$dir/base")
+      .contains(Acid.AcidStats(1, 0, 0)))
+    // and the data files still read normally (sidecar is underscore-
+    // prefixed, invisible to the scan)
+    assert(spark.read.orc(s"$dir/base").count() == 1L)
+  }
+
+  test("minor compaction merges deltas, keeps deletes masking the base") {
+    val dir = graft.sources.OrcIo.scratchDir("acid_minor")
+    Seq((1L, 10.0), (2L, 30.0), (3L, 70.0)).toDF("id", "v")
+      .write.orc(s"$dir/t/base_1")
+    eventsDf(Seq(event(Acid.OpUpdate, 1, 1L, 2L, 11.0),
+      event(Acid.OpUpdate, 2, 2L, 2L, 31.0)))
+      .write.orc(s"$dir/t/delta_2")
+    eventsDf(Seq(
+      event(Acid.OpUpdate, 1, 1L, 3L, 12.0),  // supersedes delta_2's
+      event(Acid.OpDelete, 3, 3L, 3L, 0.0)))  // must keep masking base
+      .write.orc(s"$dir/t/delta_3")
+    val before = Acid.readTable(spark, s"$dir/t").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val merged = Acid.minorCompact(spark, s"$dir/t")
+    assert(merged.endsWith("delta_2_3"))
+    // old deltas gone, merged dir present
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/t")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/t"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(dirs == Set("base_1", "delta_2_3"))
+    // resolution result unchanged by minor compaction
+    val after = Acid.readTable(spark, s"$dir/t").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(after == before)
+    assert(after == Map(1L -> 12.0, 2L -> 31.0))
+    // merged delta holds one event per key (update, update, delete)
+    assert(Acid.readAcidStats(spark, merged)
+      .contains(Acid.AcidStats(0, 2, 1)))
+  }
 }

@@ -109,4 +109,72 @@ class EvolutionPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("positional evolution: reader column i maps to file column i") {
+    val dir = graft.sources.OrcIo.scratchDir("prop_pos")
+    val df = Seq((1, "a", 1.5), (2, "b", 2.5)).toDF("a", "b", "c")
+    graft.sources.OrcIo.write(df, s"$dir/t")
+    // fully renamed reader schema: by-name matching would null everything;
+    // positional matching maps a→x (widened), b→y, c→z
+    val readerSchema = StructType(Seq(
+      StructField("x", LongType), StructField("y", StringType),
+      StructField("z", DoubleType)))
+    val pos = graft.sources.OrcIo.readPositional(spark, s"$dir/t",
+      readerSchema).orderBy(col("x")).collect()
+    assert(pos.map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq == Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+    val byName = graft.sources.OrcIo.readEvolved(spark, s"$dir/t",
+      readerSchema).collect()
+    assert(byName.forall(r => r.isNullAt(0) && r.isNullAt(1) &&
+      r.isNullAt(2)), "by-name read of renamed schema must be all null")
+  }
+
+  test("positional evolution on a real pre-HIVE-4243-style (_colN) file") {
+    // over1k_bloom.orc has no real column names (_col0.._col10) — the
+    // reference reconciles such files positionally
+    // (SchemaEvolution.java:97-113)
+    val f = "/root/reference/examples/over1k_bloom.orc"
+    val named = StructType(Seq(
+      StructField("t", ByteType), StructField("si", ShortType),
+      StructField("i", IntegerType), StructField("b", LongType),
+      StructField("f", FloatType), StructField("d", DoubleType),
+      StructField("bo", BooleanType), StructField("s", StringType),
+      StructField("ts", TimestampType),
+      StructField("dec", DecimalType(4, 2)),
+      StructField("bin", BinaryType)))
+    val pos = graft.sources.OrcIo.readPositional(spark, f, named)
+    assert(pos.count() == 2098L)
+    // cell-level: the renamed positional read must agree with the native
+    // _colN read (the file has 1049 genuine nulls in _col7+)
+    val native = spark.read.orc(f)
+    assert(pos.filter(col("s").isNotNull).count() ==
+      native.filter(col("_col7").isNotNull).count())
+    assert(pos.agg(min(col("i")), sum(col("b"))).head() ==
+      native.agg(min(col("_col2")), sum(col("_col3"))).head())
+  }
+
+  test("CHAR(n)/VARCHAR(n) maxLength semantics round-trip through ORC") {
+    import graft.operators.Evolution
+    val dir = graft.sources.OrcIo.scratchDir("prop_char")
+    val df = Seq("", "a", "ab", "abc", "abcdef", "日本語テスト").toDF("v")
+    graft.sources.OrcIo.write(df, s"$dir/t")
+    val got = spark.read.orc(s"$dir/t")
+      .select(col("v"),
+        Evolution.charRead(col("v"), 3).as("c3"),
+        Evolution.varcharRead(col("v"), 3).as("vc3"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    // CHAR(3): pad shorter with spaces, truncate longer (char counts)
+    assert(got("")._1 == "   ")
+    assert(got("a")._1 == "a  ")
+    assert(got("ab")._1 == "ab ")
+    assert(got("abc")._1 == "abc")
+    assert(got("abcdef")._1 == "abc")
+    assert(got("日本語テスト")._1 == "日本語")
+    // VARCHAR(3): truncate only, no padding
+    assert(got("")._2 == "")
+    assert(got("a")._2 == "a")
+    assert(got("abcdef")._2 == "abc")
+    assert(got("日本語テスト")._2 == "日本語")
+  }
 }

@@ -127,6 +127,43 @@ class OrcIoSpec extends SparkSpec {
     assert(df.count() == Tables.load(spark, sfDir, "nation").count())
   }
 
+  test("readSalvage recovers an open file via its _flush_length side file") {
+    val dir = OrcIo.scratchDir("salvage_side")
+    OrcIo.write(Tables.load(spark, sfDir, "nation").coalesce(1), s"$dir/t")
+    val orcFile = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.endsWith(".orc")).head
+    val goodBytes = java.nio.file.Files.readAllBytes(orcFile.toPath)
+    // simulate an open file mid-append: valid content + garbage tail,
+    // with the side file advertising the last flushed footer position
+    // (OrcAcidUtils.getLastFlushLength semantics)
+    val open = s"$dir/t/open.orc"
+    val junk = Array.fill[Byte](4096)(0x5A)
+    java.nio.file.Files.write(java.nio.file.Paths.get(open),
+      goodBytes ++ junk)
+    OrcIo.writeFlushLength(spark, open, goodBytes.length.toLong)
+    val (df, bad) = OrcIo.readSalvage(spark, s"$dir/t")
+    assert(bad.isEmpty, s"side-file recovery should leave no losses: $bad")
+    // original file + recovered prefix = 2x nation rows
+    val n = Tables.load(spark, sfDir, "nation").count()
+    assert(df.count() == 2 * n)
+    // a junk tail with NO side file stays unreadable
+    val lost = s"$dir/t/lost.orc"
+    java.nio.file.Files.write(java.nio.file.Paths.get(lost),
+      goodBytes ++ junk)
+    val (_, bad2) = OrcIo.readSalvage(spark, s"$dir/t")
+    assert(bad2.exists(_.endsWith("lost.orc")))
+  }
+
+  test("user metadata: write sidecar, read keys back (appendUserMetadata)") {
+    val dir = OrcIo.scratchDir("user_meta")
+    OrcMeta.writeMetadataFile(s"$dir/_meta.orc",
+      Map("graft.owner" -> "pipeline-a", "graft.note" -> "v2"))
+    val got = OrcMeta.userMetadata(spark, s"$dir/_meta.orc")
+      .collect().map(r => r.getAs[String]("key") ->
+        r.getAs[String]("value")).toMap
+    assert(got == Map("graft.owner" -> "pipeline-a", "graft.note" -> "v2"))
+  }
+
   test("columnStats surface footer min/max/sum per column") {
     val dir = OrcIo.scratchDir("stats")
     OrcIo.write(Tables.load(spark, sfDir, "region"), s"$dir/region")
