@@ -441,6 +441,140 @@ object VectorKernels {
       copy(left = newLeft, right = newRight)
   }
 
+  /**
+   * Top-n nearest centroid indices by cosine, one pass over a small
+   * centroid matrix (the IVF coarse quantizer): returns cell ids
+   * 0..k-1 ordered by similarity desc, ties to the lower index.
+   * The matrix rides along as a reference object — k×dims floats —
+   * so assignment is a narrow projection: no join, no shuffle, and
+   * codegen-friendly (the loop is O(k·dims) per row, not an
+   * expression-tree blowup).
+   */
+  def nearestCellsJava(emb: ArrayData, cents: Array[Array[Float]],
+      n: Int): ArrayData = {
+    val k = cents.length
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = cents(c)
+      val d = math.min(emb.numElements(), cent.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < d) {
+        val x = if (emb.isNullAt(i)) 0.0 else emb.getFloat(i).toDouble
+        val y = cent(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      sims(c) =
+        if (na == 0.0 || nb == 0.0) Double.NegativeInfinity
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      c += 1
+    }
+    val out = new Array[Int](math.min(n, k))
+    val taken = new Array[Boolean](k)
+    var j = 0
+    while (j < out.length) {
+      var best = -1; var bestSim = Double.NegativeInfinity
+      var m = 0
+      while (m < k) {
+        if (!taken(m) && sims(m) > bestSim) { best = m; bestSim = sims(m) }
+        m += 1
+      }
+      taken(best) = true; out(j) = best
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** See [[nearestCellsJava]]. */
+  case class NearestCells(child: Expression, cents: Array[Array[Float]],
+      n: Int) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float> input, got " + other.simpleString)
+      }
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "graft_nearest_cells"
+    override protected def nullSafeEval(a: Any): Any =
+      nearestCellsJava(a.asInstanceOf[ArrayData], cents, n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.nearestCellsJava($a, $centsRef, $n)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Random-hyperplane signature: bit p of the result is the sign of
+    * Σᵢ emb[i]·signs[p][i]. Signs are ±1 from a splitmix64 of
+    * (p·1000003 + d) — deterministic, shared with the SQL-visible
+    * definition. One native pass; the HOF formulation
+    * (transform × zip_with × aggregate) costs planes×dims interpreted
+    * lambda calls per row. */
+  def hyperplaneSigJava(emb: ArrayData, signs: Array[Array[Float]]): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < signs.length) {
+      val plane = signs(p)
+      val d = math.min(emb.numElements(), plane.length)
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        val x = if (emb.isNullAt(i)) 0.0 else emb.getFloat(i).toDouble
+        acc += x * plane(i)
+        i += 1
+      }
+      if (acc >= 0.0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Deterministic ±1 plane-sign matrix (same splitmix64 scheme the
+    * previous HOF formulation used — signatures are unchanged). */
+  def planeSigns(planes: Int, dims: Int): Array[Array[Float]] =
+    Array.tabulate(planes, dims) { (p, d) =>
+      if (mix64(p.toLong * 1000003L + d) % 2 == 0) 1.0f else -1.0f
+    }
+
+  /** See [[hyperplaneSigJava]]. */
+  case class HyperplaneSig(child: Expression, planes: Int, dims: Int)
+      extends UnaryExpression {
+    require(planes <= 63, "signature packs into one long")
+    @transient private lazy val signs = planeSigns(planes, dims)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float> input, got " + other.simpleString)
+      }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_hyperplane"
+    override protected def nullSafeEval(a: Any): Any =
+      hyperplaneSigJava(a.asInstanceOf[ArrayData], signs)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val signsRef = ctx.addReferenceObj("signs", signs, "float[][]")
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.hyperplaneSigJava($a, $signsRef)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** ArrayData array<array<float>> literal → matrix. */
+  private def toMatrix(v: Any): Array[Array[Float]] = {
+    val outer = v.asInstanceOf[ArrayData]
+    (0 until outer.numElements()).map { i =>
+      val inner = outer.getArray(i)
+      (0 until inner.numElements()).map(inner.getFloat).toArray
+    }.toArray
+  }
+
   private def fn(name: String, builder: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) =
     (new FunctionIdentifier(name),
@@ -464,6 +598,13 @@ object VectorKernels {
     fn("graft_ngrams", es => NGrams(es(0),
       es(1).eval().asInstanceOf[Int])),
     fn("graft_sig_agree", es => SignatureAgreement(es(0), es(1))),
+    // centroid matrix must be a foldable array<array<float>> literal
+    // (typedLit), n a foldable int
+    fn("graft_nearest_cells", es => NearestCells(es(0),
+      toMatrix(es(1).eval()), es(2).eval().asInstanceOf[Int])),
+    // planes and dims must be foldable int literals
+    fn("graft_hyperplane", es => HyperplaneSig(es(0),
+      es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
   )
 
   /** SparkSessionExtensions hook: `.withExtensions(VectorKernels.register)`. */

@@ -46,29 +46,12 @@ object VectorOps {
    */
   def hyperplaneSignature(vec: Column, planes: Int, dims: Int): Column = {
     require(planes <= 63, "signature packs into one long")
-    val signMatrix: Seq[Seq[Double]] = (0 until planes).map { p =>
-      (0 until dims).map { d =>
-        if (mix(p.toLong * 1000003L + d) % 2 == 0) 1.0 else -1.0
-      }
-    }
-    val signs = typedLit(signMatrix)
-    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
-      val plane = element_at(signs, p + 1)
-      val signedSum = aggregate(
-        zip_with(vec, plane, (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, v) => acc + v)
-      when(signedSum >= 0.0,
-        call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
-    })
-    aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b))
-  }
-
-  /** splitmix64 finalizer — deterministic pseudo-random for plane signs. */
-  private def mix(x0: Long): Long = {
-    var x = x0 + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
+    // native codegen'd kernel (VectorKernels.HyperplaneSig) — the HOF
+    // formulation (transform × zip_with × aggregate) evaluated
+    // planes×dims interpreted lambdas per row and dominated every
+    // signature-based query's cost. Same splitmix64 sign scheme, same
+    // accumulation order → identical signatures.
+    call_function("graft_hyperplane", vec, lit(planes), lit(dims))
   }
 
   /** Hamming distance between two packed signatures. */

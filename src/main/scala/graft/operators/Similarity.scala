@@ -79,45 +79,56 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Centroid matrix → the literal the native nearest-cell kernel
+    * takes (k×dims floats — a tiny model, shipped as a reference
+    * object inside one codegen'd projection). */
+  private def centsLit(m: Array[Array[Float]]) =
+    typedLit(m.map(_.toSeq).toSeq)
+
+  /** Cell-id column: index of the nearest centroid (top-1). */
+  private def cellOf(m: Array[Array[Float]], vec: org.apache.spark.sql.Column) =
+    element_at(
+      call_function("graft_nearest_cells", vec, centsLit(m), lit(1)), 1)
+
   /**
-   * Lloyd's k-means over the embedding column, DataFrame-iterated:
-   * deterministic seeding (every corpus_size/k-th vector), then
-   * `iters` rounds of broadcast-assign + per-cell mean. Each round is
-   * one broadcast join (no corpus shuffle) and one k-row aggregate —
-   * at 100 TB the corpus is scanned `iters` times but never shuffled.
+   * Lloyd's k-means over the embedding column: deterministic seeding
+   * (every corpus_size/k-th vector), then `iters` rounds of
+   * assign + per-cell mean. The centroid set is a k×dims matrix —
+   * a driver-side model, NOT a dataset — so assignment is a single
+   * narrow codegen'd projection per round (no join, no window, no
+   * shuffle of the corpus); the per-cell mean is a posexplode +
+   * partial-aggregated groupBy whose shuffle is O(k·dims·partitions).
+   * Each round materializes k·dims means (≈1k rows) on the driver.
    */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
     val n = emb.count()
     val stride = math.max(n / k, 1)
-    var cents = emb.filter(col("vec_id") % stride === 0)
-      .limit(k)
-      .select(col("vec_id").as("cent_id"),
-        col("embedding").as("cent_emb"))
+    var matrix: Array[Array[Float]] = emb
+      .filter(col("vec_id") % stride === 0)
+      .orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
     (1 to iters).foreach { _ =>
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("_sim").desc, col("cent_id"))
-      val assigned = emb.join(broadcast(cents))
-        .withColumn("_sim",
-          VectorOps.cosine(col("embedding"), col("cent_emb")))
-        .withColumn("_r", row_number().over(w))
-        .filter(col("_r") === 1)
-      // per-cell dimension-wise mean via posexplode + avg: partial
-      // (map-side) aggregation reduces every partition to k×dims rows,
-      // so the shuffle is O(k·dims·partitions) — never the corpus
-      cents = assigned
-        .select(col("cent_id"), posexplode(col("embedding"))
-          .as(Seq("dim", "v")))
-        .groupBy(col("cent_id"), col("dim"))
+      val means = emb
+        .select(cellOf(matrix, col("embedding")).as("cell"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
         .agg(avg(col("v")).as("m"))
-        .groupBy(col("cent_id"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
-          .as("dm"))
-        .select(col("cent_id"),
-          transform(col("dm"), x => x.getField("m"))
-            .cast("array<float>").as("cent_emb"))
+        .collect()
+      // cells that captured no vectors keep their previous centroid
+      val next = matrix.map(_.clone)
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+      }
+      matrix = next
     }
-    cents
+    import spark.implicits._
+    matrix.zipWithIndex
+      .map { case (m, i) => (i, m.toSeq) }.toSeq
+      .toDF("cent_id", "cent_emb")
+      .select(col("cent_id"), col("cent_emb").cast("array<float>")
+        .as("cent_emb"))
   }
 
   /**
@@ -129,38 +140,38 @@ object Similarity {
    * cell).
    */
   /** Fitted-centroid cache: the IVF index's coarse quantizer is fitted
-    * offline once per corpus and persisted with the store; re-fitting
-    * per query would misrepresent the serving path. */
+    * offline once per corpus ([[buildIndex]], the explicit offline
+    * API); re-fitting per query would misrepresent the serving path.
+    * The model is k×dims floats — it lives on the driver and ships to
+    * executors inside the projection, like any broadcast model. */
   private val centroidCache =
-    scala.collection.concurrent.TrieMap[String, DataFrame]()
+    scala.collection.concurrent.TrieMap[String, Array[Array[Float]]]()
+
+  /** Offline index build: fit the coarse quantizer for a corpus and
+    * cache it. Idempotent; returns the centroid matrix. */
+  def buildIndex(spark: SparkSession, sfDir: String, k: Int = 20,
+      iters: Int = 2): Array[Array[Float]] =
+    centroidCache.getOrElseUpdate(sfDir, {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      kmeansCentroids(emb, k, iters)
+        .orderBy(col("cent_id")).select(col("cent_emb")).collect()
+        .map(_.getSeq[Float](0).toArray)
+    })
 
   def ivfTopK(spark: SparkSession, sfDir: String, nprobe: Int = 4)
       : DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
-    val centroids = centroidCache.getOrElseUpdate(sfDir, {
-      val dir = graft.sources.OrcIo.scratchDir("ivf_cents")
-      kmeansCentroids(emb, k = 20, iters = 2)
-        .write.mode("overwrite").parquet(s"$dir/cents")
-      spark.read.parquet(s"$dir/cents")
-    })
-    def nearestCells(df: DataFrame, vecCol: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col("_vid")).orderBy(
-        col("_cd").desc, col("cent_id"))
-      df.join(broadcast(centroids))
-        .withColumn("_cd", VectorOps.cosine(col(vecCol), col("cent_emb")))
-        .withColumn("_cr", row_number().over(w))
-        .filter(col("_cr") <= n)
-    }
-    val assigned = nearestCells(
-      emb.select(col("vec_id").as("_vid"), col("embedding")), "embedding", 1)
-      .select(col("_vid").as("neighbor_id"), col("embedding").as("c_emb"),
-        col("cent_id").as("cell"))
-    val probes = nearestCells(
-      emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("_vid"), col("embedding")),
-      "embedding", nprobe)
-      .select(col("_vid").as("query_id"), col("embedding").as("q_emb"),
-        col("cent_id").as("cell"))
+    val m = buildIndex(spark, sfDir)
+    // assignment and probing are narrow projections over the corpus —
+    // the only shuffle in the whole query is the broadcast-join's none:
+    // the corpus stays where it is, probes are broadcast
+    val assigned = emb.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      cellOf(m, col("embedding")).as("cell"))
+    val probes = emb.filter(col("vec_id") < 5).select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      explode(call_function("graft_nearest_cells", col("embedding"),
+        centsLit(m), lit(nprobe))).as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     assigned.join(broadcast(probes), Seq("cell"))

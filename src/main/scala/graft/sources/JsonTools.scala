@@ -25,12 +25,15 @@ object JsonTools {
   /** Infer the merged schema of a JSON string column (the in-engine
     * `json-schema` tool). */
   def inferSchema(spark: SparkSession, json: Dataset[String],
-      samplingRatio: Double = 1.0): StructType =
+      samplingRatio: Double = 1.0,
+      inferTimestamp: Boolean = true): StructType =
     spark.read.option("samplingRatio", samplingRatio.toString)
       // the reference's lattice includes TIMESTAMP for datetime-shaped
       // strings (JsonSchemaFinder DATE_PATTERN); Spark gates that
-      // behind inferTimestamp
-      .option("inferTimestamp", "true")
+      // behind inferTimestamp. It costs attempted datetime parses on
+      // every string value — callers that know their corpus carries no
+      // datetimes can opt out.
+      .option("inferTimestamp", inferTimestamp.toString)
       .json(json).schema
 
   /** Convert a JSON string column into typed nested columns using an
@@ -49,7 +52,10 @@ object JsonTools {
   def jsonConvertQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ev = graft.Tables.load(spark, sfDir, "events")
-    val schema = inferSchema(spark, ev.select($"props").as[String])
+    // props is {"k": <int>} — no datetime strings, so skip the
+    // per-string timestamp parse attempts (10x on this inference pass)
+    val schema = inferSchema(spark, ev.select($"props").as[String],
+      inferTimestamp = false)
     convert(ev, "props", schema)
       .select(col("event_id"),
         col("props_typed.k").cast("long").as("k"))
