@@ -126,4 +126,30 @@ class PlanSpec extends SparkSpec {
     assert(!hashExchanges.exists(_.contains("text#")),
       s"document text flows through the shuffle:\n$hashExchanges")
   }
+
+  test("IVF assignment is a projection: kernel inline, probes broadcast") {
+    Similarity.buildIndex(spark, sfDir)
+    val p = planString(Similarity.ivfTopK(spark, sfDir))
+    // cell assignment happens inside a Project via the native kernel —
+    // no join against a centroid table, no window over the corpus
+    assert(p.contains("graft_nearest_cells"),
+      s"assignment kernel missing from plan:\n$p")
+    // the probe (query) side broadcasts; the corpus is never broadcast
+    // and never hash-shuffled on the embedding
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe join should be broadcast:\n$p")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("c_emb")),
+      s"corpus embeddings flow through a shuffle:\n$p")
+  }
+
+  test("jaccard DF cap: hot-shingle filter is a broadcast anti join") {
+    val p = planString(Dedup.ngramJaccardQuery(spark, sfDir))
+    // the anti join against the (tiny) hot-shingle set must broadcast —
+    // a shuffled anti join would move the whole inverted index twice
+    assert(p.contains("LeftAnti"), s"no anti join in plan:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("LeftAnti") && l.contains("Broadcast")),
+      s"hot-shingle anti join is not broadcast:\n$p")
+  }
 }
