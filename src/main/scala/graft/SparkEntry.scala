@@ -27,6 +27,7 @@ object SparkEntry {
     "q_set_ops" -> (Relational.setOps _),
     "q_distinct_agg" -> (Relational.distinctAgg _),
     "q_rollup" -> (Relational.rollupAgg _),
+    "q_grouping_sets" -> (Relational.groupingSetsQuery _),
     "q_events_hourly" -> (Relational.eventsHourly _),
     "q_session_window" -> ((s, d) => Scale.sessionWindowQuery(s, d)),
     "q_approx_distinct" -> (Scale.approxDistinctQuery _),
@@ -41,8 +42,14 @@ object SparkEntry {
     "q_cast_matrix" -> (Evolution.castMatrixQuery _),
     "q_reader_schema" -> (Evolution.readerSchemaQuery _),
     "q_union_struct" -> (Evolution.unionTypeQuery _),
+    "q_char_varchar" -> (Evolution.charVarcharQuery _),
+    "q_evolution_positional" -> (Evolution.positionalQuery _),
     // ACID merge-on-read (SURVEY.md §2.10)
     "q_acid_mor" -> (Acid.morQuery _),
+    "q_acid_minor_compact" -> (Acid.minorCompactQuery _),
+    // Side-file salvage (W8 _flush_length) + user metadata surface
+    "q_salvage" -> (graft.sources.OrcIo.salvageQuery _),
+    "q_user_metadata" -> (graft.sources.OrcMeta.userMetadataQuery _),
     // JSON tools (SURVEY.md §2.9)
     "q_json_convert" -> (graft.sources.JsonTools.jsonConvertQuery _),
     // Streaming ingest (SURVEY.md §2.10 W8): stream → watermarked
@@ -287,6 +294,45 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST,
+        |  l_linestatus NULLS FIRST""".stripMargin,
+    "q_char_varchar" ->
+      """SELECT doc_id,
+        |  rpad(substring(lang, 1, 8), 8, ' ') AS lang_char8,
+        |  substring(text, 1, 20) AS text_vc20
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_evolution_positional" ->
+      """SELECT o_orderkey AS k, CAST(o_custkey AS BIGINT) AS c,
+        |  o_totalprice AS p
+        |FROM orders
+        |ORDER BY k""".stripMargin,
+    // identical to q_acid_mor: minor compaction must not change the
+    // resolved state
+    "q_acid_minor_compact" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.10
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus
+        |FROM orders
+        |WHERE o_orderkey % 7 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_salvage" ->
+      """SELECT n_nationkey, n_name, CAST(2 AS BIGINT) AS n_copies
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_user_metadata" ->
+      """SELECT * FROM (VALUES
+        |  ('graft.format.version', '2'),
+        |  ('graft.writer', 'graft-engine'),
+        |  ('hive.acid.stats', '100,10,1')) AS t(key, value)
+        |ORDER BY key""".stripMargin,
     "q_session_window" ->
       """WITH g AS (
         |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,

@@ -189,6 +189,40 @@ object Acid {
   }
 
   /**
+   * Correctness-gate query for minor compaction: the same deterministic
+   * base/update/delete set as [[morQuery]], but materialized as a
+   * base_1 + delta_2 + delta_3 directory layout, minor-compacted into
+   * one delta_2_3 range, then resolved via [[readTable]]. The oracle is
+   * identical to q_acid_mor — minor compaction must not change
+   * resolution.
+   */
+  def minorCompactQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+    val dir = graft.sources.OrcIo.scratchDir("acid_minor_q")
+    graft.sources.OrcIo.write(orders, s"$dir/t/base_1")
+    def asEvents(src: DataFrame, op: Int, txn: Long): DataFrame =
+      src.select(
+        lit(op).as("operation"),
+        lit(1L).as("originalTransaction"),
+        (col("o_orderkey") % 4).cast("int").as("bucket"),
+        col("o_orderkey").as("rowId"),
+        lit(txn).as("currentTransaction"),
+        struct(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus")).as("row"))
+    writeDelta(asEvents(
+      orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.10),
+      OpUpdate, 2L), s"$dir/t/delta_2")
+    writeDelta(asEvents(orders.filter(col("o_orderkey") % 7 === 0),
+      OpDelete, 3L), s"$dir/t/delta_3")
+    minorCompact(spark, s"$dir/t")
+    readTable(spark, s"$dir/t", rowIdCol = "o_orderkey")
+      .orderBy(col("o_orderkey"))
+  }
+
+  /**
    * Correctness-gate query: synthesize a deterministic base+delta set
    * from orders —
    *   base:   every order inserted at txn 1;

@@ -95,6 +95,39 @@ object Evolution {
     substring(c, 1, n)
 
   /**
+   * Correctness-gate query for CHAR/VARCHAR maxLength semantics over
+   * the documents corpus: CHAR(8) pad/truncate on lang, VARCHAR(20)
+   * truncate on text (character counts, both engines).
+   */
+  def charVarcharQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        charRead(col("lang"), 8).as("lang_char8"),
+        varcharRead(col("text"), 20).as("text_vc20"))
+      .orderBy(col("doc_id"))
+
+  /**
+   * Correctness-gate query for positional evolution: ORC round-trip of
+   * three orders columns read back under a fully renamed (and widened)
+   * reader schema — by-name matching would null every column; the
+   * values must come through positionally.
+   */
+  def positionalQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val src = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").cast("int").as("o_custkey"),
+        col("o_totalprice"))
+    val dir = graft.sources.OrcIo.scratchDir("orc_pos")
+    graft.sources.OrcIo.write(src, s"$dir/orders")
+    val renamed = StructType(Seq(
+      StructField("k", LongType),      // o_orderkey, unchanged type
+      StructField("c", LongType),      // o_custkey, widened int → long
+      StructField("p", DoubleType)))   // o_totalprice
+    graft.sources.OrcIo.readPositional(spark, s"$dir/orders", renamed)
+      .orderBy(col("k"))
+  }
+
+  /**
    * UNION type encoding (SURVEY.md §1.2): Spark has no union; the
    * engine models `uniontype<int,string>` as
    * `struct<tag:tinyint, field0:int, field1:string>` — exactly the

@@ -204,4 +204,19 @@ object Relational {
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour_start"), col("event_type"))
+
+  /** Arbitrary GROUPING SETS (beyond rollup's prefix lattice):
+    * (flag, status), (status), () — exercised through Spark SQL since
+    * the DataFrame API only exposes cube/rollup shorthands. */
+  def groupingSetsQuery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
 }

@@ -249,6 +249,31 @@ object OrcIo {
     (df, bad)
   }
 
+  /**
+   * Correctness-gate query for side-file salvage: write nation to one
+   * ORC file, synthesize an "open file mid-append" twin (valid content
+   * + garbage tail + `_flush_length` advertising the flushed prefix),
+   * salvage-read the directory. Result = every nation row twice, no
+   * losses — the oracle replays `nation` with n_copies 2.
+   */
+  def salvageQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = scratchDir("salvage_q")
+    write(graft.Tables.load(spark, sfDir, "nation").coalesce(1), s"$dir/t")
+    val orcFile = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.endsWith(".orc")).head
+    val goodBytes = java.nio.file.Files.readAllBytes(orcFile.toPath)
+    val open = s"$dir/t/open.orc"
+    java.nio.file.Files.write(java.nio.file.Paths.get(open),
+      goodBytes ++ Array.fill[Byte](4096)(0x5A))
+    writeFlushLength(spark, open, goodBytes.length.toLong)
+    val (df, bad) = readSalvage(spark, s"$dir/t")
+    require(bad.isEmpty, s"salvage lost files: $bad")
+    df.groupBy(col("n_nationkey"), col("n_name"))
+      .agg(count(lit(1)).as("n_copies"))
+      .orderBy(col("n_nationkey"))
+  }
+
   /** Same round-trip across every supported codec (W4): each codec's
     * file must decode to identical per-codec aggregates. */
   def codecMatrixQuery(spark: SparkSession, sfDir: String): DataFrame = {

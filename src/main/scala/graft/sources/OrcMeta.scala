@@ -230,6 +230,22 @@ object OrcMeta {
     w.close()
   }
 
+  /** Correctness-gate query for the user-metadata surface: write a
+    * metadata-carrier file with fixed entries, read the keys back. The
+    * oracle is the same fixed VALUES list. */
+  def userMetadataQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_user_meta_q").toString
+    writeMetadataFile(s"$dir/_meta.orc", Map(
+      "graft.writer" -> "graft-engine",
+      "graft.format.version" -> "2",
+      "hive.acid.stats" -> "100,10,1"))
+    userMetadata(spark, s"$dir/_meta.orc")
+      .select(col("key"), col("value"))
+      .orderBy(col("key"))
+  }
+
   /** The HIVE-8732 trust gate (`OrcFile.java:116-127`): a writer version
     * `includes` the fix iff its id is at least HIVE_8732's. ORIGINAL
     * (format 0.11/early 0.12 writers) predates it → untrusted. */
