@@ -93,21 +93,28 @@ object Dedup {
     val ex = docs.select(col("doc_id"), col("lang"), col("len_bucket"),
       explode(col("sh")).as("s"))
     // Hot-shingle cap: the anti-join side only holds shingles with
-    // df > cap (tiny — AQE broadcasts it), and per-doc set sizes are
-    // recomputed over the kept shingles so ∩ and ∪ use the same universe.
+    // df > cap (tiny — AQE broadcasts it); ∩ and ∪ then use the same
+    // DF-capped universe.
     val hot = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf).select(col("s"))
     val kept = ex.join(hot, Seq("s"), "left_anti")
-      .withColumn("n_sh",
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    // per-doc kept-set sizes: a partial-aggregated groupBy whose output
+    // is one row per doc — attached to the (small) PAIR table below,
+    // never windowed over the full inverted index (that would shuffle
+    // the whole index by doc_id a second time)
+    val n = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = kept.select(col("s"), col("lang"), col("len_bucket"),
-      col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
+      col("doc_id").as("doc_a"))
     val b = kept.select(col("s"), col("lang"), col("len_bucket"),
-      col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
+      col("doc_id").as("doc_b"))
     a.join(b, Seq("s", "lang", "len_bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
+      .join(n.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        Seq("doc_a"))
+      .join(n.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        Seq("doc_b"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.5)
