@@ -24,10 +24,11 @@ object Scale {
    * co-located-join layout a 100 TB fact/fact join is stored for.
    */
   def bucketedJoin(spark: SparkSession, left: DataFrame, right: DataFrame,
-      key: String, buckets: Int, lName: String, rName: String): DataFrame = {
-    left.write.mode("overwrite").format("parquet")
+      key: String, buckets: Int, lName: String, rName: String,
+      format: String = "orc"): DataFrame = {
+    left.write.mode("overwrite").format(format)
       .bucketBy(buckets, key).sortBy(key).saveAsTable(lName)
-    right.write.mode("overwrite").format("parquet")
+    right.write.mode("overwrite").format(format)
       .bucketBy(buckets, key).sortBy(key).saveAsTable(rName)
     spark.table(lName).join(spark.table(rName), key)
   }
