@@ -18,18 +18,24 @@ object Bench {
     run(SparkEntry.queries("q1_agg")(spark, sfDir))
     // two timed passes per query, report the minimum: single-shot
     // timings on a shared machine carry ±30% co-tenant noise (observed
-    // 1.2s↔31s on the same query); the min is the reproducible number
+    // 1.2s↔31s on the same query); the min is the reproducible number.
+    // The passes are INTERLEAVED (full sweep 1, then full sweep 2), not
+    // back-to-back: co-tenant noise is temporally local (BENCH_r02 shows
+    // one contiguous alphabetical block all 3-7s while neighbors are
+    // subsecond), so back-to-back passes share the same noise window and
+    // the min rejects nothing.
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val sec = math.min(timeOnce(fn), timeOnce(fn))
-        System.err.println(f"[bench] $name%-20s $sec%8.2fs")
-        name -> sec
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = ordered.map { case (name, fn) => name -> timeOnce(fn) }.toMap
+    val results = ordered.map { case (name, fn) =>
+      val sec = math.min(pass1(name), timeOnce(fn))
+      System.err.println(f"[bench] $name%-20s $sec%8.2fs")
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

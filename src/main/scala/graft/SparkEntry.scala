@@ -29,9 +29,14 @@ object SparkEntry {
     "q_rollup" -> (Relational.rollupAgg _),
     "q_grouping_sets" -> (Relational.groupingSetsQuery _),
     "q_events_hourly" -> (Relational.eventsHourly _),
+    "q_cube" -> (Relational.cubeAgg _),
+    "q_window_funcs" -> (Relational.windowFuncsQuery _),
+    "q_pivot" -> (Relational.pivotQuery _),
+    "q_percentiles" -> (Relational.percentileQuery _),
     "q_session_window" -> ((s, d) => Scale.sessionWindowQuery(s, d)),
     "q_approx_distinct" -> (Scale.approxDistinctQuery _),
     "q_asof_join" -> (Scale.asOfJoinQuery _),
+    "q_zorder" -> (Scale.zorderQuery _),
     // ORC format engine (SURVEY.md §2.1/2.5: scans, writers, codecs)
     "q_orc_roundtrip" -> (graft.sources.OrcIo.roundTripQuery _),
     "q_orc_codecs" -> (graft.sources.OrcIo.codecMatrixQuery _),
@@ -47,6 +52,7 @@ object SparkEntry {
     // ACID merge-on-read (SURVEY.md §2.10)
     "q_acid_mor" -> (Acid.morQuery _),
     "q_acid_minor_compact" -> (Acid.minorCompactQuery _),
+    "q_acid_major_compact" -> (Acid.majorCompactQuery _),
     // Side-file salvage (W8 _flush_length) + user metadata surface
     "q_salvage" -> (graft.sources.OrcIo.salvageQuery _),
     "q_user_metadata" -> (graft.sources.OrcMeta.userMetadataQuery _),
@@ -63,6 +69,10 @@ object SparkEntry {
     "q_lang_id" -> (TextAnalysis.langIdQuery _),
     "q_fingerprint" -> (TextAnalysis.fingerprintQuery _),
     "q_ngram_freq" -> (TextAnalysis.ngramFrequencyQuery _),
+    "q_tfidf" -> ((s, d) => TextAnalysis.tfidfQuery(s, d)),
+    // Deterministic sampling (north star: reproducible subsets)
+    "q_sample_hash" -> (Sampling.hashSampleQuery _),
+    "q_sample_stratified" -> ((s, d) => Sampling.stratifiedSampleQuery(s, d)),
     // End-to-end corpus cleaning (north-star composition)
     "q_pipeline_clean" -> (Pipeline.cleanCorpusQuery _),
     // Deduplication family (north star)
@@ -71,10 +81,12 @@ object SparkEntry {
     "q_dedup_minhash" -> (Dedup.minhashLshQuery _),
     "q_dedup_simhash" -> (Dedup.simhashQuery _),
     "q_dedup_embedding" -> (Dedup.embeddingNearDupQuery _),
+    "q_dedup_incremental" -> (Dedup.incrementalQuery _),
     // Similarity search (north star)
     "q_ann_topk" -> (Similarity.annBruteForceQuery _),
     "q_ann_lsh" -> (Similarity.lshBucketQuery _),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "q_embed_stats" -> (Similarity.embeddingStatsQuery _),
     // Multimodal columns (north star)
     "q_media_meta" -> (Multimodal.mediaMetaQuery _),
     "q_media_decode" -> (Multimodal.decodePipelineQuery _),
@@ -552,6 +564,132 @@ object SparkEntry {
         |  avg(1 + byte_len % 16) AS avg_frames
         |FROM m GROUP BY kind
         |ORDER BY kind""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  lead(o_totalprice) OVER w AS next_price,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  first_value(o_orderkey) OVER w AS first_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  coalesce(round(sum(CASE WHEN event_type = 'click'
+        |    THEN value END), 2), 0.0) AS click_value,
+        |  coalesce(round(sum(CASE WHEN event_type = 'error'
+        |    THEN value END), 2), 0.0) AS error_value,
+        |  coalesce(round(sum(CASE WHEN event_type = 'purchase'
+        |    THEN value END), 2), 0.0) AS purchase_value,
+        |  coalesce(round(sum(CASE WHEN event_type = 'signup'
+        |    THEN value END), 2), 0.0) AS signup_value,
+        |  coalesce(round(sum(CASE WHEN event_type = 'view'
+        |    THEN value END), 2), 0.0) AS view_value
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // Z-order clustering must not change content: the oracle replays
+    // the rectangle filter on the unclustered source.
+    "q_zorder" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey < 1000 AND l_partkey < 200
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // Major compaction must not change resolution: same oracle as
+    // q_acid_mor.
+    "q_acid_major_compact" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.10
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus
+        |FROM orders
+        |WHERE o_orderkey % 7 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM terms GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)
+        |      AS tfidf
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS INTEGER) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, round(tfidf, 4) AS tfidf, rnk
+        |FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, substring(md5(text), 1, 2) AS hash_bucket
+        |FROM documents
+        |WHERE substring(md5(text), 1, 2) < '28'
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(text), doc_id) AS INTEGER) AS pick
+        |  FROM documents)
+        |SELECT lang, pick, doc_id FROM r WHERE pick <= 20
+        |ORDER BY lang, pick""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH corpus AS (
+        |  SELECT DISTINCT md5(text) AS d FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |batch AS (
+        |  SELECT doc_id, lang, source, md5(text) AS d FROM documents
+        |  WHERE doc_id % 2 = 1),
+        |fresh AS (SELECT * FROM batch
+        |  WHERE d NOT IN (SELECT d FROM corpus)),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY d
+        |    ORDER BY doc_id) AS rn FROM fresh)
+        |SELECT doc_id, lang, source FROM k WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    "q_embed_stats" ->
+      """WITH s AS (
+        |  SELECT label,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      AS nrm,
+        |    len(embedding) AS dims,
+        |    CAST(embedding[1] AS DOUBLE) AS c0
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(min(dims) AS INTEGER) AS min_dims,
+        |  CAST(max(dims) AS INTEGER) AS max_dims,
+        |  round(min(nrm), 4) AS min_norm,
+        |  round(max(nrm), 4) AS max_norm,
+        |  round(avg(nrm), 4) AS avg_norm,
+        |  round(avg(c0), 4) AS avg_c0
+        |FROM s GROUP BY label
+        |ORDER BY label""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

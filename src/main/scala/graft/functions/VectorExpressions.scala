@@ -566,6 +566,135 @@ object VectorKernels {
       copy(child = newChild)
   }
 
+  /**
+   * One-pass token statistics: (n_tok, n_stop, n_short, n_distinct)
+   * over single-space tokens (empties kept — identical universe to
+   * `string_split(text, ' ')` in the oracle). The HOF formulation
+   * (filter×2 + array_distinct over a materialized split array)
+   * evaluates interpreted lambdas per token and builds three
+   * intermediate arrays; this is one scan, zero array materialization.
+   * Short-token length counts codepoints (Spark `length` semantics).
+   */
+  def tokenStatsJava(text: org.apache.spark.unsafe.types.UTF8String,
+      stop: java.util.HashSet[String])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = text.toString.split(" ", -1)
+    var nStop = 0; var nShort = 0
+    val seen = new java.util.HashSet[String](toks.length * 2)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (stop.contains(t)) nStop += 1
+      if (t.codePointCount(0, t.length) <= 2) nShort += 1
+      seen.add(t)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](toks.length, nStop, nShort, seen.size))
+  }
+
+  /** See [[tokenStatsJava]]. Stopword set must be a foldable
+    * array<string> literal. */
+  case class TokenStats(child: Expression, stopwords: Seq[String])
+      extends UnaryExpression {
+    @transient private lazy val stopSet = {
+      val s = new java.util.HashSet[String](stopwords.size * 2)
+      stopwords.foreach(s.add)
+      s
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got " + other.simpleString)
+      }
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(
+      Seq("n_tok", "n_stop", "n_short", "n_distinct").map(
+        org.apache.spark.sql.types.StructField(_, IntegerType,
+          nullable = false)))
+    override def prettyName: String = "graft_token_stats"
+    override protected def nullSafeEval(a: Any): Any =
+      tokenStatsJava(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], stopSet)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val stopRef = ctx.addReferenceObj("stopSet", stopSet,
+        "java.util.HashSet")
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.tokenStatsJava($a, $stopRef)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** One-pass membership counts against several word sets (the
+    * language-ID vote kernel): result[i] = tokens of `text` contained
+    * in set i. One tokenize + one hash probe per token, versus one
+    * interpreted filter-lambda pass per set. */
+  def countInSetsJava(text: org.apache.spark.unsafe.types.UTF8String,
+      index: java.util.HashMap[String, Array[Int]], nSets: Int): ArrayData = {
+    val counts = new Array[Int](nSets)
+    val toks = text.toString.split(" ", -1)
+    var i = 0
+    while (i < toks.length) {
+      val ids = index.get(toks(i))
+      if (ids != null) {
+        var j = 0
+        while (j < ids.length) { counts(ids(j)) += 1; j += 1 }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(counts)
+  }
+
+  /** See [[countInSetsJava]]. Sets must be foldable literals. */
+  case class CountInSets(child: Expression, sets: Seq[Seq[String]])
+      extends UnaryExpression {
+    @transient private lazy val index = {
+      val m = new java.util.HashMap[String, Array[Int]]()
+      sets.zipWithIndex.foreach { case (words, i) =>
+        words.foreach { w =>
+          m.merge(w, Array(i), (a, b) => a ++ b)
+        }
+      }
+      m
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got " + other.simpleString)
+      }
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "graft_count_in_sets"
+    override protected def nullSafeEval(a: Any): Any =
+      countInSetsJava(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        index, sets.size)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val idxRef = ctx.addReferenceObj("setIndex", index,
+        "java.util.HashMap")
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.countInSetsJava($a, $idxRef, ${sets.size})")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** ArrayData array<string> literal → Seq[String]. */
+  private def toStringSeq(v: Any): Seq[String] = {
+    val arr = v.asInstanceOf[ArrayData]
+    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+  }
+
+  /** ArrayData array<array<string>> literal → Seq[Seq[String]]. */
+  private def toStringSeqs(v: Any): Seq[Seq[String]] = {
+    val outer = v.asInstanceOf[ArrayData]
+    (0 until outer.numElements()).map(i => toStringSeq(outer.getArray(i)))
+  }
+
   /** ArrayData array<array<float>> literal → matrix. */
   private def toMatrix(v: Any): Array[Array[Float]] = {
     val outer = v.asInstanceOf[ArrayData]
@@ -605,6 +734,12 @@ object VectorKernels {
     // planes and dims must be foldable int literals
     fn("graft_hyperplane", es => HyperplaneSig(es(0),
       es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
+    // stopwords must be a foldable array<string> literal
+    fn("graft_token_stats", es => TokenStats(es(0),
+      toStringSeq(es(1).eval()))),
+    // sets must be a foldable array<array<string>> literal
+    fn("graft_count_in_sets", es => CountInSets(es(0),
+      toStringSeqs(es(1).eval()))),
   )
 
   /** SparkSessionExtensions hook: `.withExtensions(VectorKernels.register)`. */

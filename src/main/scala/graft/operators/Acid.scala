@@ -105,7 +105,10 @@ object Acid {
   def compact(events: DataFrame, outPath: String): Unit = {
     val resolved = resolve(events)
     graft.sources.OrcIo.write(resolved, outPath)
-    writeStatsSidecar(outPath, AcidStats(resolved.count(), 0L, 0L))
+    // count the written output: counting the resolve plan would
+    // column-prune the event scan, which AIOOBEs on ACID-schema ORC
+    writeStatsSidecar(outPath, AcidStats(
+      resolved.sparkSession.read.orc(outPath).count(), 0L, 0L))
   }
 
   /** Write a delta directory of raw events plus its ACID stats. */
@@ -221,6 +224,72 @@ object Acid {
     writeDelta(asEvents(orders.filter(col("o_orderkey") % 7 === 0),
       OpDelete, 3L), s"$dir/t/delta_3")
     minorCompact(spark, s"$dir/t")
+    readTable(spark, s"$dir/t", rowIdCol = "o_orderkey")
+      .orderBy(col("o_orderkey"))
+  }
+
+  /**
+   * Major compaction over a table directory (`site/_docs/acid.md:26-60`):
+   * resolve base+deltas to current state, rewrite as a new `base_N`
+   * (N = highest delta txn), drop the old base and deltas. After it,
+   * reads touch a single plain directory — the "every N deltas" rewrite
+   * that keeps 100 TB MOR read amplification bounded. Returns the new
+   * base path.
+   */
+  def majorCompact(spark: SparkSession, tableDir: String,
+      rowIdCol: String = "id", buckets: Int = 4): String = {
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(d => d.startsWith("base_") || d.startsWith("delta_"))
+    val maxTxn = dirs.flatMap(_.split("_").tail.map(_.toLong)).max
+    val resolved = readTable(spark, tableDir, rowIdCol, buckets)
+    val out = s"$tableDir/base_$maxTxn.tmp"
+    graft.sources.OrcIo.write(resolved, out)
+    // count the WRITTEN base, not `resolved`: counting the resolve plan
+    // would column-prune the delta scans, and the ORC jars AIOOBE on
+    // pruned reads of ACID-schema files (checkAcidSchema detection)
+    writeStatsSidecar(out,
+      AcidStats(spark.read.orc(out).count(), 0L, 0L))
+    dirs.foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$d"), true))
+    val dst = new org.apache.hadoop.fs.Path(s"$tableDir/base_$maxTxn")
+    fs.rename(new org.apache.hadoop.fs.Path(out), dst)
+    dst.toString
+  }
+
+  /**
+   * Correctness-gate query for major compaction: the same deterministic
+   * layout as [[minorCompactQuery]], major-compacted into a single
+   * plain `base_3`, then read back through [[readTable]] (now a pure
+   * base passthrough). Oracle identical to q_acid_mor — compaction must
+   * not change state, and the new base must carry `hive.acid.stats`.
+   */
+  def majorCompactQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+    val dir = graft.sources.OrcIo.scratchDir("acid_major_q")
+    graft.sources.OrcIo.write(orders, s"$dir/t/base_1")
+    def asEvents(src: DataFrame, op: Int, txn: Long): DataFrame =
+      src.select(
+        lit(op).as("operation"),
+        lit(1L).as("originalTransaction"),
+        (col("o_orderkey") % 4).cast("int").as("bucket"),
+        col("o_orderkey").as("rowId"),
+        lit(txn).as("currentTransaction"),
+        struct(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus")).as("row"))
+    writeDelta(asEvents(
+      orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.10),
+      OpUpdate, 2L), s"$dir/t/delta_2")
+    writeDelta(asEvents(orders.filter(col("o_orderkey") % 7 === 0),
+      OpDelete, 3L), s"$dir/t/delta_3")
+    val newBase = majorCompact(spark, s"$dir/t", rowIdCol = "o_orderkey")
+    require(readAcidStats(spark, newBase).exists(_.inserts > 0),
+      s"major compaction must carry $AcidStatsKey")
     readTable(spark, s"$dir/t", rowIdCol = "o_orderkey")
       .orderBy(col("o_orderkey"))
   }

@@ -229,6 +229,36 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /**
+   * Incremental dedup: dedupe an incoming batch against an existing
+   * corpus WITHOUT re-shuffling the corpus's documents — the shape
+   * every continuously-ingesting pipeline runs daily. Both sides reduce
+   * to digests; the corpus side ships only its distinct digest set
+   * (16 bytes/doc), the batch anti-joins on it, then dedupes within
+   * itself. At 100 TB the digest set is the only state carried between
+   * runs — persist it and this is a pure batch-sized job.
+   */
+  def incrementalDedup(batch: DataFrame, corpusDigests: DataFrame,
+      textCol: String, orderCol: Column): DataFrame = {
+    val fresh = batch.withColumn("_digest", md5(col(textCol)))
+      .join(corpusDigests, Seq("_digest"), "left_anti")
+    keepFirst(fresh, Seq("_digest"), orderCol).drop("_digest")
+  }
+
+  /** Correctness gate for [[incrementalDedup]]: even doc_ids play the
+    * existing corpus, odd doc_ids the incoming batch. Output = the
+    * batch docs that survive both the corpus anti-join and
+    * first-within-batch dedup. */
+  def incrementalQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+      .select(md5(col("text")).as("_digest")).distinct()
+    incrementalDedup(docs.filter(col("doc_id") % 2 === 1), corpus,
+      "text", col("doc_id").asc)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Window-dedup keep-first: the generic "keep one row per key"
     * operator (also the ACID resolve primitive). */
   def keepFirst(df: DataFrame, key: Seq[String], order: Column): DataFrame = {

@@ -16,15 +16,14 @@ import org.apache.spark.sql.functions._
  */
 object Pipeline {
 
-  /** Quality score exactly as [[TextAnalysis.qualityQuery]]. */
+  /** Quality score exactly as [[TextAnalysis.qualityQuery]] — same
+    * one-pass native token-stats kernel. */
   private def qualityScore = {
-    val toks = split(col("text"), " ")
-    val nTok = size(toks).cast("double")
-    val nStop = size(filter(toks, t => t.isin(
-      Seq("the", "a", "of", "and", "to", "in", "is").map(lit(_)): _*)))
-      .cast("double")
-    val nShort = size(filter(toks, t => length(t) <= 2)).cast("double")
-    val nDistinct = size(array_distinct(toks)).cast("double")
+    val ts = TextAnalysis.tokenStats(col("text"))
+    val nTok = ts.getField("n_tok").cast("double")
+    val nStop = ts.getField("n_stop").cast("double")
+    val nShort = ts.getField("n_short").cast("double")
+    val nDistinct = ts.getField("n_distinct").cast("double")
     (nStop / nTok) * 0.25 + (nDistinct / nTok) * 0.5 +
       (lit(1.0) - nShort / nTok) * 0.25
   }

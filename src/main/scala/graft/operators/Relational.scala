@@ -205,6 +205,72 @@ object Relational {
         round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour_start"), col("event_type"))
 
+  /** Full cube over (returnflag, linestatus): all 4 grouping sets in one
+    * pass — like rollup, Catalyst expands map-side, one shuffle. */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /**
+   * Analytic-function suite over one window (SURVEY.md §2.7): lag, lead,
+   * ntile, percent_rank, cume_dist, first_value share a single
+   * per-customer sort — Spark evaluates all six in one Window operator,
+   * one shuffle. percent_rank/cume_dist are exact rationals
+   * ((rank-1)/(n-1), peers/n) so the oracle compares bit-for-bit.
+   */
+  def windowFuncsQuery(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("first_key", first(col("o_orderkey")).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("prev_price"), col("next_price"), col("quartile"),
+        col("pct_rank"), col("cume"), col("first_key"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Pivot (long → wide): per-user event-type totals as columns. The
+    * value list is explicit, so no extra distinct-collection job runs
+    * and the plan is a single partial-agg shuffle — at 100 TB the
+    * implicit-values form would add a full pass just to learn columns. */
+  def pivotQuery(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(round(sum(col("value")), 2))
+      .select(col("user_id") +: types.map(tp =>
+        coalesce(col(tp), lit(0.0)).as(s"${tp}_value")): _*)
+      .orderBy(col("user_id"))
+  }
+
+  /**
+   * Exact percentiles (quantile_cont semantics: linear interpolation at
+   * rank p·(n-1)) per group — one pass, no full sort: Spark's
+   * `percentile` aggregate buffers per-group values. At 100 TB prefer
+   * [[Scale.approxDistinctQuery]]-style sketches (approx_percentile);
+   * this is the exact gate the sketch is verified against.
+   */
+  def percentileQuery(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   /** Arbitrary GROUPING SETS (beyond rollup's prefix lattice):
     * (flag, status), (status), () — exercised through Spark SQL since
     * the DataFrame API only exposes cube/rollup shorthands. */

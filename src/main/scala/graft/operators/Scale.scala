@@ -126,6 +126,56 @@ object Scale {
   }
 
   /**
+   * Z-value (Morton code) of two non-negative int keys: bit-interleave
+   * the low `bits` bits of each. A pure O(bits) expression tree —
+   * constant in data size, fully codegen'd.
+   */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int = 21): org.apache.spark.sql.Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(
+          shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  /**
+   * Z-order clustered write: range-partition + sort by the interleaved
+   * key so every file (and every ORC row group within it) covers a
+   * small rectangle in (a, b) space. Min/max stats then prune scans
+   * filtered on EITHER dimension — a linear sort only prunes its
+   * leading column. This is the layout step a 100 TB table pays once so
+   * that every subsequent multi-dimension selective scan skips ~all of
+   * it; ScaleSpec proves the skip with scan metrics.
+   *
+   * The z-expression is passed straight to repartitionByRange/
+   * sortWithinPartitions, so the written schema is unchanged.
+   */
+  def zorderWrite(df: DataFrame, path: String, aCol: String, bCol: String,
+      files: Int, indexStride: Int = graft.sources.OrcIo.DefaultIndexStride)
+      : Unit = {
+    val z = zValue(col(aCol), col(bCol))
+    graft.sources.OrcIo.write(
+      df.repartitionByRange(files, z).sortWithinPartitions(z),
+      path, indexStride = indexStride)
+  }
+
+  /** Correctness gate for [[zorderWrite]]: cluster lineitem on
+    * (l_orderkey, l_partkey), re-read with a rectangle filter on both
+    * dimensions. Clustering must not change content — the oracle
+    * replays the filter on the unclustered source. */
+  def zorderQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.sources.OrcIo.scratchDir("zorder_q")
+    zorderWrite(Tables.load(spark, sfDir, "lineitem"),
+      s"$dir/li_z", "l_orderkey", "l_partkey", files = 8)
+    graft.sources.OrcIo.read(spark, s"$dir/li_z")
+      .filter(col("l_orderkey") < 1000 && col("l_partkey") < 200)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /**
    * Session windows via gaps-and-islands: a new session starts when the
    * gap to the previous event of the same user exceeds `gapMinutes`.
    * Pure window functions (two passes over one user-partitioned sort),

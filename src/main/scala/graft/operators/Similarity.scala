@@ -158,6 +158,31 @@ object Similarity {
         .map(_.getSeq[Float](0).toArray)
     })
 
+  /**
+   * Embedding-corpus QA statistics per label: count, norm spread, and
+   * mean first-component — the sanity pass run before any vector store
+   * ingest (catching zero vectors, scale drift, truncated dims). One
+   * narrow codegen'd projection (native `graft_norm`) + one tiny
+   * partial-aggregated shuffle on label. Norm aggregates rounded to
+   * 4dp: per-vector norms are exact, only the cross-row mean carries
+   * float-summation order noise (~1e-13 over these row counts).
+   */
+  def embeddingStatsQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "embeddings")
+      .select(col("label"), col("vec_id"),
+        VectorOps.norm(col("embedding")).as("nrm"),
+        size(col("embedding")).as("dims"),
+        element_at(col("embedding"), 1).cast("double").as("c0"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("dims")).as("min_dims"),
+        max(col("dims")).as("max_dims"),
+        round(min(col("nrm")), 4).as("min_norm"),
+        round(max(col("nrm")), 4).as("max_norm"),
+        round(avg(col("nrm")), 4).as("avg_norm"),
+        round(avg(col("c0")), 4).as("avg_c0"))
+      .orderBy(col("label"))
+
   def ivfTopK(spark: SparkSession, sfDir: String, nprobe: Int = 4)
       : DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")

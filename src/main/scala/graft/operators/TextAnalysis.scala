@@ -37,19 +37,27 @@ object TextAnalysis {
           size(tokens(col("text"))).cast("double")).as("avg_token_len"))
       .orderBy(col("doc_id"))
 
+  /** One-pass native token statistics struct (n_tok, n_stop, n_short,
+    * n_distinct) — see [[graft.functions.VectorKernels.TokenStats]].
+    * The HOF formulation (two filter lambdas + array_distinct over a
+    * materialized split) evaluated interpreted, per token. */
+  def tokenStats(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("graft_token_stats", text, typedLit(stopwords))
+
   /**
    * Quality scoring: stopword ratio, short-token ratio, repetition
    * (distinct/total tokens), and a deterministic combined score —
    * the heuristics C4/Gopher-style pipelines apply before training.
+   * Ratios are exact integer-over-integer doubles (identical to the
+   * SQL formulation the oracle replays).
    */
   def qualityQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val nTok = size(toks).cast("double")
-    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
-      .cast("double")
-    val nShort = size(filter(toks, t => length(t) <= 2)).cast("double")
-    val nDistinct = size(array_distinct(toks)).cast("double")
+    val nTok = col("_ts.n_tok").cast("double")
+    val nStop = col("_ts.n_stop").cast("double")
+    val nShort = col("_ts.n_short").cast("double")
+    val nDistinct = col("_ts.n_distinct").cast("double")
     Tables.load(spark, sfDir, "documents")
+      .withColumn("_ts", tokenStats(col("text")))
       .select(
         col("doc_id"),
         (nStop / nTok).as("stopword_ratio"),
@@ -71,16 +79,20 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   /** The language-ID transform itself, over any frame with
-    * (doc_id, lang, text). */
+    * (doc_id, lang, text). The per-language indicator hits come from
+    * ONE native tokenize+probe pass
+    * ([[graft.functions.VectorKernels.CountInSets]]) instead of one
+    * interpreted filter lambda per language. */
   def langIdOver(docs: DataFrame): DataFrame = {
-    val indicator: Map[String, Seq[String]] = Map(
-      "en" -> Seq("the", "and", "of"),
+    val indicator: Seq[(String, Seq[String])] = Seq(
       "de" -> Seq("der", "und", "das"),
+      "en" -> Seq("the", "and", "of"),
       "es" -> Seq("el", "los", "que"),
       "fr" -> Seq("le", "les", "est"))
-    val toks = tokens(col("text"))
-    val scores = indicator.toSeq.sortBy(_._1).map { case (lang, words) =>
-      lang -> size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+    val votes = call_function("graft_count_in_sets", col("text"),
+      typedLit(indicator.map(_._2)))
+    val scores = indicator.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(votes, i + 1)
     }
     // greatest-score-wins with lexicographic tiebreak: fold over languages
     val (bestLang, _) = scores.tail.foldLeft(
@@ -123,6 +135,41 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(50)
+  }
+
+  /**
+   * Per-document top-k TF-IDF terms — the salience/keyword pass of a
+   * corpus-analysis pipeline. Score = tf · N / df, a pure rational
+   * (no log) so both engines compute bit-identical doubles and the
+   * rank order is deterministic (ties broken by term).
+   *
+   * Shape at 100 TB: one explode + two partial-aggregated shuffles
+   * (tf by (doc,term), df folded FROM tf by term — never a second scan
+   * of the corpus), N carried as a broadcast 1-row frame (no driver
+   * collect), and the per-doc top-k is a window over the tf table,
+   * whose size is bounded by distinct terms per doc, not corpus size.
+   */
+  def tfidfQuery(spark: SparkSession, sfDir: String,
+      topK: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", (col("tf") * col("n_docs")).cast("double") /
+        col("df").cast("double"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 4).as("tfidf"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
   }
 
   /** 64-bit polynomial rolling hash of a string's chars:

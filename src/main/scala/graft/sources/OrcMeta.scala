@@ -170,6 +170,41 @@ object OrcMeta {
       }.toDF()
   }
 
+  case class StripeEncoding(file: String, stripe: Int, columnId: Int,
+      column: String, encoding: String, dictionarySize: Int)
+
+  /**
+   * One row per (file, stripe, column): the column encodings the
+   * `meta` tool dumps per stripe (`FileDump.java` "Encoding column"
+   * section) — DIRECT vs DICTIONARY (and their RLEv2 `_V2` forms),
+   * plus dictionary size. This is the observable of the writer's
+   * encoding-selection rule (W2: distinct/total ≤ 0.8 after the first
+   * 10k rows, `WriterImpl.java:1227-1236`), which OrcIoSpec pins.
+   */
+  def stripeEncodings(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = orcFiles(spark, path)
+    spark.sparkContext.parallelize(files, math.max(1, files.size / 16))
+      .flatMap { file =>
+        withReader(file) { r =>
+          val names = flatColumnNames(r.getSchema)
+          val rows = r.rows()
+            .asInstanceOf[org.apache.orc.impl.RecordReaderImpl]
+          try {
+            import scala.jdk.CollectionConverters._
+            r.getStripes.asScala.zipWithIndex.flatMap { case (si, i) =>
+              rows.readStripeFooter(si).getColumnsList.asScala.zipWithIndex
+                .map { case (enc, ci) =>
+                  StripeEncoding(file, i, ci,
+                    names.getOrElse(ci, s"_col$ci"),
+                    enc.getKind.toString, enc.getDictionarySize)
+                }
+            }.toSeq
+          } finally rows.close()
+        }
+      }.toDF()
+  }
+
   /** One row per file: the `orc-metadata` summary. */
   def fileMeta(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._

@@ -90,6 +90,30 @@ class OrcIoSpec extends SparkSpec {
     assert(globalMin == actualMin, s"rg min $globalMin != $actualMin")
   }
 
+  test("encoding selection (W2): dictionary for low-cardinality, " +
+      "direct when threshold disables it") {
+    val d = OrcIo.scratchDir("enc_sel")
+    // 20k rows, 3 distinct strings → distinct/total ≪ 0.8 → dictionary
+    val df = spark.range(20000).toDF("id")
+      .withColumn("s", concat(lit("val_"), col("id") % 3))
+      .coalesce(1)
+    OrcIo.write(df, s"$d/dict")
+    val dictEnc = OrcMeta.stripeEncodings(spark, s"$d/dict")
+      .filter(col("column") === "s").collect()
+    assert(dictEnc.nonEmpty)
+    assert(dictEnc.forall(_.getAs[String]("encoding")
+      .startsWith("DICTIONARY")),
+      s"low-cardinality column should dictionary-encode: ${dictEnc.toSeq}")
+    assert(dictEnc.forall(_.getAs[Int]("dictionarySize") == 3))
+    // threshold 0 disables dictionary encoding entirely
+    OrcIo.write(df, s"$d/direct", dictionaryThreshold = 0.0)
+    val directEnc = OrcMeta.stripeEncodings(spark, s"$d/direct")
+      .filter(col("column") === "s").collect()
+    assert(directEnc.forall(_.getAs[String]("encoding")
+      .startsWith("DIRECT")),
+      s"threshold 0 must force direct encoding: ${directEnc.toSeq}")
+  }
+
   test("timezone: instants preserved across session-tz change") {
     val dir = OrcIo.scratchDir("tz")
     import SparkSpec.spark.implicits._

@@ -245,6 +245,35 @@ class PushdownSpec extends SparkSpec {
     assert(q.count() == 1L) // the single userid=2 row
   }
 
+  test("z-order clustering: non-leading-dim filter skips row groups a linear sort cannot") {
+    val d = OrcIo.scratchDir("pushdown_zorder")
+    // two INDEPENDENT pseudo-random dims in [0, 1024) — distinct hash
+    // inputs; affine maps like id*k % 1024 would make b a bijection of
+    // a and let the a-sort partially prune b too
+    val df = spark.range(100000).toDF("id")
+      .withColumn("a", pmod(hash(col("id")), lit(1024)).cast("long"))
+      .withColumn("b",
+        pmod(hash(col("id") + 500000), lit(1024)).cast("long"))
+    // layout 1: linear sort by a — every row group spans b's full range
+    OrcIo.write(df.repartitionByRange(1, col("a"))
+      .sortWithinPartitions(col("a")), s"$d/linear", indexStride = 1000)
+    // layout 2: z-order on (a, b) — row groups cover small rectangles
+    graft.operators.Scale.zorderWrite(df, s"$d/z", "a", "b",
+      files = 1, indexStride = 1000)
+    withPushdown(on = true) {
+      val linear = scanRows(
+        spark.read.orc(s"$d/linear").filter(col("b") < 32))
+      val z = scanRows(spark.read.orc(s"$d/z").filter(col("b") < 32))
+      assert(linear == 100000L,
+        s"a-sorted layout cannot prune a b filter, read $linear")
+      assert(z <= linear / 3,
+        s"z-order should skip most row groups on a b filter, read $z")
+      // clustering must not lose rows
+      assert(spark.read.orc(s"$d/z").filter(col("b") < 32).count() ==
+        df.filter(col("b") < 32).count())
+    }
+  }
+
   test("reference over1k_bloom.orc: blooms skip an absent in-range key") {
     val f = "/root/reference/examples/over1k_bloom.orc"
     // _col2 has 257 distinct values in [-10000, 65791]; 12345 is absent

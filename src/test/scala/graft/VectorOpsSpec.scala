@@ -41,6 +41,42 @@ class VectorOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(3, 0, 64))
   }
 
+  test("graft_token_stats matches the HOF formulation on tricky tokens") {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val docs = Seq(
+      "the cat sat on the mat",
+      "a  b", // consecutive spaces → empty token (counted, short, distinct)
+      "",
+      "is is is",
+      "one two three four").toDF("text")
+    val toks = split(col("text"), " ")
+    val expected = docs.select(
+      size(toks).as("n_tok"),
+      size(filter(toks, t => t.isin(stop.map(lit(_)): _*))).as("n_stop"),
+      size(filter(toks, t => length(t) <= 2)).as("n_short"),
+      size(array_distinct(toks)).as("n_distinct")).collect()
+    val got = docs.select(
+      graft.operators.TextAnalysis.tokenStats(col("text")).as("ts"))
+      .select("ts.n_tok", "ts.n_stop", "ts.n_short", "ts.n_distinct")
+      .collect()
+    assert(got.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq)
+  }
+
+  test("graft_count_in_sets matches per-set filter counts") {
+    val sets = Seq(Seq("der", "und", "das"), Seq("the", "and", "of"))
+    val docs = Seq("der hund und das", "the cat and the dog of war", "nada")
+      .toDF("text")
+    val toks = split(col("text"), " ")
+    val expected = docs.select(
+      sets.map(ws =>
+        size(filter(toks, t => t.isin(ws.map(lit(_)): _*)))): _*).collect()
+    val got = docs.select(
+      call_function("graft_count_in_sets", col("text"), typedLit(sets))
+        .as("c"))
+      .select(element_at(col("c"), 1), element_at(col("c"), 2)).collect()
+    assert(got.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq)
+  }
+
   test("hyperplaneSignature is deterministic and bucket-stable") {
     val df = Seq(
       Tuple1(Array.fill(64)(0.5f)),
