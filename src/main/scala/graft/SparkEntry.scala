@@ -82,11 +82,30 @@ object SparkEntry {
     "q_dedup_simhash" -> (Dedup.simhashQuery _),
     "q_dedup_embedding" -> (Dedup.embeddingNearDupQuery _),
     "q_dedup_incremental" -> (Dedup.incrementalQuery _),
+    "q_dup_clusters" -> (Dedup.dupClustersQuery _),
     // Similarity search (north star)
     "q_ann_topk" -> (Similarity.annBruteForceQuery _),
     "q_ann_lsh" -> (Similarity.lshBucketQuery _),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q_embed_stats" -> (Similarity.embeddingStatsQuery _),
+    // Corpus curation (north star: decontamination, privacy, quality
+    // gates, sequence packing)
+    "q_contamination" -> (Curation.contaminationQuery _),
+    "q_pii_scrub" -> (Curation.piiScrubQuery _),
+    "q_text_repetition" -> ((s, d) => Curation.repetitionQuery(s, d)),
+    "q_seq_pack" -> (Curation.seqPackQuery _),
+    "q_embed_quant" -> (Similarity.quantizationQuery _),
+    // Streaming sessionization with custom event-time state
+    // (flatMapGroupsWithState): drained replay of the static events
+    // table; emitted set = gap-closed sessions + watermark-timed-out
+    // finals (see the oracle's WHERE clause)
+    "q_stream_sessions" -> ((s, d) =>
+      graft.streaming.StreamingIngest.replaySessions(s, d)
+        .select(col("user_id"), col("session_no"), col("n_events"),
+          org.apache.spark.sql.functions.round(col("sum_value"), 2)
+            .as("sum_value"),
+          col("session_start"))
+        .orderBy(col("user_id"), col("session_no"))),
     // Multimodal columns (north star)
     "q_media_meta" -> (Multimodal.mediaMetaQuery _),
     "q_media_decode" -> (Multimodal.decodePipelineQuery _),
@@ -690,6 +709,217 @@ object SparkEntry {
         |  round(avg(c0), 4) AS avg_c0
         |FROM s GROUP BY label
         |ORDER BY label""".stripMargin,
+    // Connected components over the near-dup pair graph (same pair
+    // definition as q_dedup_jaccard); cluster id = min reachable
+    // doc_id, via transitive closure.
+    "q_dup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, lang, CAST(floor(length(text) / 100) AS BIGINT)
+        |      AS len_bucket,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+        |      i -> concat_ws(' ', string_split(text,' ')[i],
+        |        string_split(text,' ')[i+1], string_split(text,' ')[i+2])))
+        |      AS s
+        |  FROM documents),
+        |ex AS (SELECT doc_id, lang, len_bucket, unnest(s) AS g FROM sh),
+        |kept AS (
+        |  SELECT * FROM ex WHERE g NOT IN (
+        |    SELECT g FROM ex GROUP BY g HAVING count(*) > 1000)),
+        |n AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM kept a JOIN kept b
+        |    ON a.g = b.g AND a.lang = b.lang
+        |    AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT doc_a, doc_b FROM pr
+        |  JOIN n na ON pr.doc_a = na.doc_id
+        |  JOIN n nb ON pr.doc_b = nb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) /
+        |    CAST(na.n_sh + nb.n_sh - inter AS DOUBLE) >= 0.5),
+        |e2 AS (SELECT doc_a AS a, doc_b AS b FROM jp
+        |  UNION SELECT doc_b, doc_a FROM jp),
+        |walk(node, reach) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT w.node, e.b FROM walk w JOIN e2 e ON w.reach = e.a),
+        |cl AS (SELECT node AS doc_id, min(reach) AS cluster_id
+        |  FROM walk GROUP BY node),
+        |sz AS (SELECT cluster_id, count(*) AS n_members
+        |  FROM cl GROUP BY cluster_id)
+        |SELECT cl.doc_id, cl.cluster_id, sz.n_members
+        |FROM cl JOIN sz ON cl.cluster_id = sz.cluster_id
+        |ORDER BY cl.doc_id""".stripMargin,
+    // 4-gram overlap against the doc_id%50==0 "benchmark" slice; the
+    // engine joins on 64-bit gram hashes, the oracle on the strings —
+    // identical sets (collision p ≈ n²/2⁶⁵).
+    "q_contamination" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text,' ')) - 3, 1) + 1),
+        |    i -> concat_ws(' ', string_split(text,' ')[i],
+        |      string_split(text,' ')[i+1], string_split(text,' ')[i+2],
+        |      string_split(text,' ')[i+3]))) AS gs
+        |  FROM documents),
+        |ev AS (SELECT DISTINCT unnest(gs) AS g FROM g
+        |  WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, CAST(len(gs) AS INTEGER) AS n_grams,
+        |    unnest(gs) AS g
+        |  FROM g WHERE doc_id % 50 <> 0)
+        |SELECT tr.doc_id, tr.n_grams, count(*) AS n_shared,
+        |  CAST(count(*) AS DOUBLE) / CAST(tr.n_grams AS DOUBLE)
+        |    AS contaminated_frac
+        |FROM tr JOIN ev ON tr.g = ev.g
+        |GROUP BY tr.doc_id, tr.n_grams
+        |ORDER BY tr.doc_id""".stripMargin,
+    // Same scrub pipeline: email → url → phone → name-dict redaction,
+    // whitespace collapse, trim; scrubbed text witnessed by md5.
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+        |    len(regexp_extract_all(text, 'https?://[^ ]+')) +
+        |    len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{6,}[0-9]'))
+        |    AS INTEGER) AS n_pii,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|user|key)\b'))
+        |    AS INTEGER) AS n_names,
+        |  CAST(length(trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(text,
+        |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |            '<EMAIL>', 'g'),
+        |          'https?://[^ ]+', '<URL>', 'g'),
+        |        '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g'),
+        |      '\b(customer|user|key)\b', '<NAME>', 'g'),
+        |    '  +', ' ', 'g'))) AS INTEGER) AS n_chars_clean,
+        |  md5(trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(text,
+        |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |            '<EMAIL>', 'g'),
+        |          'https?://[^ ]+', '<URL>', 'g'),
+        |        '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g'),
+        |      '\b(customer|user|key)\b', '<NAME>', 'g'),
+        |    '  +', ' ', 'g'))) AS clean_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // Gopher-style repetition gates over word bigrams.
+    "q_text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_transform(
+        |    range(1, greatest(len(string_split(text,' ')) - 1, 0) + 1),
+        |    i -> concat_ws(' ', string_split(text,' ')[i],
+        |      string_split(text,' ')[i+1])) AS gr
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    CAST(len(gr) AS INTEGER) AS n_bigrams,
+        |    CAST(len(list_distinct(gr)) AS INTEGER) AS n_distinct,
+        |    CAST(list_max(list_transform(list_distinct(gr),
+        |      g -> len(list_filter(gr, x -> x = g)))) AS INTEGER) AS top
+        |  FROM t),
+        |f AS (SELECT doc_id, n_bigrams, n_distinct,
+        |    CASE WHEN n_bigrams = 0 THEN 0.0
+        |      ELSE 1.0 - CAST(n_distinct AS DOUBLE) /
+        |        CAST(n_bigrams AS DOUBLE) END AS dup_frac,
+        |    CASE WHEN n_bigrams = 0 THEN 0.0
+        |      ELSE CAST(top AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END
+        |      AS top_frac
+        |  FROM s)
+        |SELECT doc_id, n_bigrams, n_distinct, dup_frac, top_frac,
+        |  (dup_frac > 0.1 OR top_frac > 0.1) AS flagged
+        |FROM f
+        |ORDER BY doc_id""".stripMargin,
+    // Deterministic concat-and-chunk packing: shard = doc_id mod 8,
+    // running token sum per shard, bin = floor(cum_before / 2048).
+    "q_seq_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tok,
+        |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM d)
+        |SELECT doc_id, shard, n_tok, cum_before,
+        |  CAST(floor(cum_before / 2048) AS BIGINT) AS bin
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
+    // Symmetric max-abs int8 quantize/dequantize QA per label; the
+    // engine's kernel and this SQL share the exact arithmetic
+    // (floor(x/scale + 0.5), clamp ±127, double accumulation in index
+    // order).
+    "q_embed_quant" ->
+      """WITH q AS (
+        |  SELECT label, CAST(len(embedding) AS INTEGER) AS dims,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+        |      / 127.0 AS scale,
+        |    embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT label, dims, scale,
+        |    CASE WHEN scale = 0 THEN NULL ELSE
+        |      list_transform(v, x ->
+        |        least(greatest(floor(x / scale + 0.5), -127), 127) * scale)
+        |    END AS dq, v
+        |  FROM q),
+        |c AS (
+        |  SELECT label, dims, scale,
+        |    round(CASE WHEN scale = 0 THEN NULL ELSE
+        |      list_dot_product(v, dq) /
+        |        (sqrt(list_dot_product(v, v)) *
+        |         sqrt(list_dot_product(dq, dq))) END, 6) AS cos_q
+        |  FROM d)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(avg(scale), 6) AS avg_scale,
+        |  round(avg(cos_q), 6) AS avg_cos,
+        |  round(min(cos_q), 6) AS min_cos,
+        |  CAST(sum(dims * 4) AS BIGINT) AS bytes_fp32,
+        |  CAST(sum(dims + 8) AS BIGINT) AS bytes_int8
+        |FROM c GROUP BY label
+        |ORDER BY label""".stripMargin,
+    // Drained-replay sessionization: every non-final session closes by
+    // gap; a user's final session is emitted iff the final watermark
+    // (max event time − 10 min) strictly passed its end + 30 min —
+    // the EventTimeTimeout contract.
+    "q_stream_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+        |    THEN 1 ELSE 0 END AS new_session FROM g),
+        |n AS (
+        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS session_no
+        |  FROM s),
+        |g2 AS (
+        |  SELECT user_id, session_no, count(*) AS n_events,
+        |    round(sum(value), 2) AS sum_value, min(ts) AS session_start,
+        |    max(ts) AS session_end
+        |  FROM n GROUP BY user_id, session_no),
+        |wm AS (
+        |  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS w
+        |  FROM events),
+        |l AS (SELECT user_id, max(session_no) AS last_no
+        |  FROM g2 GROUP BY user_id)
+        |SELECT g2.user_id, g2.session_no, g2.n_events, g2.sum_value,
+        |  g2.session_start
+        |FROM g2 JOIN l ON g2.user_id = l.user_id CROSS JOIN wm
+        |WHERE g2.session_no < l.last_no
+        |   OR epoch_ms(g2.session_end) + 1800000 < epoch_ms(wm.w)
+        |ORDER BY g2.user_id, g2.session_no""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

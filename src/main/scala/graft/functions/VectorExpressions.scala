@@ -627,6 +627,129 @@ object VectorKernels {
       copy(child = newChild)
   }
 
+  /**
+   * One-pass int8 quantization statistics for an embedding: symmetric
+   * max-abs scaling (scale = max|v|/127), round-half-up quantization
+   * `clamp(floor(v/scale + 0.5), -127, 127)`, and the cosine between
+   * the original vector and its dequantized reconstruction — the
+   * quality gate run before shipping a quantized vector store. All
+   * arithmetic is double-precision in index order, replicable in SQL
+   * (`floor(x + 0.5)` avoids engine-specific round-half-even).
+   * Zero vectors yield scale 0 and null cosine.
+   */
+  def int8QuantJava(emb: ArrayData)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = emb.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (emb.isNullAt(i)) 0.0 else math.abs(emb.getFloat(i).toDouble)
+      if (x > maxAbs) maxAbs = x
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    if (scale == 0.0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0.0, null))
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    i = 0
+    while (i < n) {
+      val x = if (emb.isNullAt(i)) 0.0 else emb.getFloat(i).toDouble
+      var q = math.floor(x / scale + 0.5)
+      if (q > 127.0) q = 127.0
+      if (q < -127.0) q = -127.0
+      val d = q * scale
+      dot += x * d; na += x * x; nb += d * d
+      i += 1
+    }
+    val cos =
+      if (na == 0.0 || nb == 0.0) null
+      else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, cos))
+  }
+
+  /** See [[int8QuantJava]]: array<float> → struct(scale, cos). */
+  case class Int8QuantStats(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float> input, got " + other.simpleString)
+      }
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("scale", DoubleType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("cos", DoubleType,
+        nullable = true)))
+    override def prettyName: String = "graft_int8_quant"
+    override protected def nullSafeEval(a: Any): Any =
+      int8QuantJava(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.int8QuantJava($a)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /**
+   * One-pass word-n-gram repetition statistics:
+   * (n_grams, n_distinct, top_count) where top_count is the highest
+   * multiplicity of any single n-gram — the Gopher-style repetition
+   * gates (duplicate-n-gram fraction, top-n-gram mass) derive from
+   * these. Same tokenize+window semantics as [[ngramsJava]]; counting
+   * is a per-row hash map, so the whole operator is a narrow
+   * projection — no explode, no shuffle.
+   */
+  def ngramRepJava(text: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = text.toString.split(" ", -1)
+    val count = math.max(toks.length - n + 1, 0)
+    val freq = new java.util.HashMap[String, Integer](count * 2)
+    var top = 0
+    var i = 0
+    while (i < count) {
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < i + n) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      val c = freq.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](count, freq.size, top))
+  }
+
+  /** See [[ngramRepJava]]: string → struct(n_grams, n_distinct,
+    * top_count). */
+  case class NGramRepetition(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got " + other.simpleString)
+      }
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(
+      Seq("n_grams", "n_distinct", "top_count").map(
+        org.apache.spark.sql.types.StructField(_, IntegerType,
+          nullable = false)))
+    override def prettyName: String = "graft_ngram_rep"
+    override protected def nullSafeEval(a: Any): Any =
+      ngramRepJava(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.ngramRepJava($a, $n)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** One-pass membership counts against several word sets (the
     * language-ID vote kernel): result[i] = tokens of `text` contained
     * in set i. One tokenize + one hash probe per token, versus one
@@ -740,6 +863,10 @@ object VectorKernels {
     // sets must be a foldable array<array<string>> literal
     fn("graft_count_in_sets", es => CountInSets(es(0),
       toStringSeqs(es(1).eval()))),
+    fn("graft_int8_quant", es => Int8QuantStats(es.head)),
+    // n must be a foldable int literal, e.g. graft_ngram_rep(text, 2)
+    fn("graft_ngram_rep", es => NGramRepetition(es(0),
+      es(1).eval().asInstanceOf[Int])),
   )
 
   /** SparkSessionExtensions hook: `.withExtensions(VectorKernels.register)`. */

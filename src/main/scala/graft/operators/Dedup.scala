@@ -266,4 +266,74 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
   }
+
+  /**
+   * Connected components by min-label propagation: every node starts
+   * labelled with its own id; each round a node takes the minimum of
+   * its own label and its neighbours' labels, until a fixpoint. The
+   * component id is the minimum node id in the component —
+   * deterministic, so the result is oracle-comparable.
+   *
+   * Scale: pair-dedup edge sets are tiny relative to the corpus (edges
+   * exist only between near-dups) and component diameters are small
+   * (dup clusters are dense), so the round count stays low; each round
+   * is one edge⋈label join + one partial-aggregated min. Lineage is
+   * cut per round (`localCheckpoint` — a cluster deployment would use
+   * reliable `checkpoint`), the convergence check is a metadata-sized
+   * count, and `maxIters` bounds the worst case (a path graph).
+   *
+   * @param edges (a, b) node-id pairs, undirected (either orientation)
+   * @param nodes (id) — all node ids; isolated nodes become singletons
+   */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+      maxIters: Int = 25): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("b"), col("label")), Seq("b"))
+        .groupBy(col("a")).agg(min(col("label")).as("nbr_label"))
+      val next = labels
+        .join(nbrMin.select(col("a").as("id"), col("nbr_label")),
+          Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.select(col("id"), col("label").as("_old")), Seq("id"))
+        .filter(col("label") =!= col("_old")).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels
+  }
+
+  /**
+   * Duplicate-cluster assignment: connected components over the
+   * near-dup pair graph ([[ngramJaccard]] ≥ 0.5), every document
+   * labelled with its cluster id (= min doc_id reachable through dup
+   * edges; non-duplicated docs are their own singleton cluster) and
+   * the cluster size. This is the step that turns pairwise dedup
+   * output into a keep-one-per-cluster decision — pairs alone
+   * under-delete when dups chain (A≈B, B≈C but A≉C).
+   */
+  def dupClustersQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val pairs = ngramJaccard(docs, maxShingleDf = 1000)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val cc = connectedComponents(pairs, docs.select(col("doc_id").as("id")))
+    val sizes = cc.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    cc.join(sizes, Seq("label"))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("n_members"))
+      .orderBy(col("doc_id"))
+  }
 }

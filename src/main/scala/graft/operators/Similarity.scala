@@ -183,6 +183,31 @@ object Similarity {
         round(avg(col("c0")), 4).as("avg_c0"))
       .orderBy(col("label"))
 
+  /**
+   * Int8 quantization QA: per-label reconstruction quality of
+   * symmetric max-abs int8 quantization (scale = max|v|/127,
+   * round-half-up, clamp ±127) — the compression step a 100 TB vector
+   * store applies before serving, gated on the cosine between each
+   * vector and its dequantized reconstruction. One native one-pass
+   * kernel per row ([[graft.functions.VectorKernels.Int8QuantStats]]),
+   * then a tiny partial-aggregated shuffle on label; byte accounting
+   * shows the 4×(−8B/vec overhead) win.
+   */
+  def quantizationQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "embeddings")
+      .select(col("label"), size(col("embedding")).as("dims"),
+        call_function("graft_int8_quant", col("embedding")).as("_q"))
+      .select(col("label"), col("dims"), col("_q.scale").as("scale"),
+        round(col("_q.cos"), 6).as("cos_q"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("scale")), 6).as("avg_scale"),
+        round(avg(col("cos_q")), 6).as("avg_cos"),
+        round(min(col("cos_q")), 6).as("min_cos"),
+        sum(col("dims").cast("long") * 4).as("bytes_fp32"),
+        sum(col("dims").cast("long") + 8).as("bytes_int8"))
+      .orderBy(col("label"))
+
   def ivfTopK(spark: SparkSession, sfDir: String, nprobe: Int = 4)
       : DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")

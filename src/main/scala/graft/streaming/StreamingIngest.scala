@@ -106,6 +106,115 @@ object StreamingIngest {
       }
   }
 
+  case class SessEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, value: Double)
+  // session_start keeps the first event's full (µs) timestamp; gap
+  // arithmetic is on epoch millis, matching the batch query's
+  // unix_millis semantics
+  case class SessState(sessionNo: Long, nEvents: Long, sumValue: Double,
+      startTs: java.sql.Timestamp, lastMs: Long)
+  case class SessRow(user_id: Long, session_no: Long, n_events: Long,
+      sum_value: Double, session_start: java.sql.Timestamp)
+
+  /**
+   * Event-time streaming sessionization via flatMapGroupsWithState:
+   * the production face of [[sessionize]] — sessions close on a
+   * 30-minute event-time gap, and the LAST open session per user
+   * closes when the watermark passes its end + gap (EventTimeTimeout),
+   * not on wall-clock. Emitted sessions carry the same per-user
+   * session numbering as the batch query
+   * ([[graft.operators.Scale.sessionWindowQuery]]), so drained-replay
+   * output is oracle-comparable.
+   *
+   * State per user is one open session (a few longs) — bounded by
+   * user cardinality, not stream length, and evicted on timeout; this
+   * is what lets an unbounded clickstream sessionize in bounded
+   * memory. Within an invocation events are sorted by (ts, event_id);
+   * cross-batch disorder is bounded by the watermark, the same
+   * contract as the built-in windowed aggregates.
+   */
+  def sessionizeEventTime(events: Dataset[SessEvent], gapMin: Int = 30,
+      watermarkDelay: String = "10 minutes"): Dataset[SessRow] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMin * 60000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SessEvent],
+            state: GroupState[SessState]) =>
+          def close(s: SessState): SessRow =
+            SessRow(userId, s.sessionNo, s.nEvents, s.sumValue, s.startTs)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(s))
+          } else {
+            val evs = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = Seq.newBuilder[SessRow]
+            var cur = state.getOption.orNull
+            evs.foreach { e =>
+              val ms = e.ts.getTime
+              if (cur == null) {
+                cur = SessState(1L, 1L, e.value, e.ts, ms)
+              } else if (ms - cur.lastMs > gapMs) {
+                out += close(cur)
+                cur = SessState(cur.sessionNo + 1, 1L, e.value, e.ts, ms)
+              } else {
+                cur = cur.copy(nEvents = cur.nEvents + 1,
+                  sumValue = cur.sumValue + e.value,
+                  lastMs = math.max(cur.lastMs, ms))
+              }
+            }
+            if (cur != null) {
+              val timeoutMs = cur.lastMs + gapMs
+              if (timeoutMs < state.getCurrentWatermarkMs()) {
+                // the watermark already passed this session's end + gap:
+                // close now (same strict-inequality contract as the
+                // EventTimeTimeout that would otherwise have fired)
+                if (state.exists) state.remove()
+                out += close(cur)
+              } else {
+                state.update(cur)
+                // fires when the watermark strictly passes end + gap
+                state.setTimeoutTimestamp(timeoutMs)
+              }
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Drained-replay gate for [[sessionizeEventTime]]: stream the
+    * static events table, sessionize, and return the emitted sessions.
+    * The emitted set is deterministic: every non-final session closes
+    * by gap; a user's final session closes iff the final watermark
+    * (max event time − 10 min) strictly passed its end + 30 min. */
+  def replaySessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = graft.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val stage = graft.sources.OrcIo.scratchDir("stream_sess")
+    src.coalesce(4).write.mode("overwrite").parquet(s"$stage/in")
+    val out = s"$stage/out"
+    val streamSession = spark.newSession()
+    streamSession.conf.set("spark.sql.shuffle.partitions", "4")
+    val stream = streamSession.readStream
+      .schema(src.schema)
+      .parquet(s"$stage/in")
+      .as[SessEvent]
+    val q = sessionizeEventTime(stream).writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$stage/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .outputMode(OutputMode.Append())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
   /**
    * Batch-replay harness: runs the streaming pipeline over the static
    * events table via a file stream with AvailableNow, writes ORC, and

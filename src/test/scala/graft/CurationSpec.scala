@@ -1,0 +1,140 @@
+package graft
+
+import graft.operators.{Curation, Dedup}
+import org.apache.spark.sql.functions._
+
+/** Crafted-corpus ground truth for the curation operators
+  * (contamination, PII scrub, repetition gates, sequence packing,
+  * duplicate-cluster connected components) plus their plan-shape
+  * assertions (broadcast where expected, no shuffle where promised). */
+class CurationSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  test("contamination flags exactly the docs sharing a 4-gram with eval") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"), // eval (id%50==0)
+      (1L, "alpha beta gamma delta something else here now"), // contaminated
+      (2L, "totally different words with no overlap at all"), // clean
+      (3L, "prefix words then alpha beta gamma delta suffix") // contaminated
+    ).toDF("doc_id", "text")
+    val res = Curation.contamination(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0), n = 4)
+      .orderBy(col("doc_id")).collect()
+    assert(res.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // doc 1 shares exactly one distinct 4-gram: "alpha beta gamma delta"
+    assert(res(0).getLong(2) == 1L)
+    assert(res(1).getLong(2) == 1L)
+  }
+
+  test("contamination plan broadcasts the eval side (corpus never shuffles)") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = Curation.contamination(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0), n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval n-gram set must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"training corpus must not shuffle for the join:\n$plan")
+  }
+
+  test("piiClean redacts emails, urls, phones, and dictionary names") {
+    val rows = Seq(
+      "contact bob@example.com or visit https://example.com/x today",
+      "call +1 (555) 123-4567 now",
+      "the customer ordered a key for the user",
+      "customers keyboard users untouched" // word boundaries hold
+    ).toDF("text")
+    val got = rows.select(
+      Curation.piiClean(col("text"), Seq("customer", "user", "key")))
+      .as[String].collect()
+    assert(got(0) == "contact <EMAIL> or visit <URL> today")
+    assert(got(1) == "call <PHONE> now")
+    assert(got(2) == "the <NAME> ordered a <NAME> for the <NAME>")
+    assert(got(3) == "customers keyboard users untouched")
+  }
+
+  test("piiScrub counts match what piiClean redacts") {
+    val docs = Seq(
+      (1L, "mail a@b.co and c@d.org plus https://e.fg"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val res = Curation.piiScrub(docs, Seq("customer"))
+      .orderBy(col("doc_id")).collect()
+    assert(res(0).getInt(1) == 3) // 2 emails + 1 url
+    assert(res(1).getInt(1) == 0)
+  }
+
+  test("repetition gates: crafted repeats flagged, varied text not") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"), // one bigram repeated 5x
+      (2L, "each of the thirteen separate words appearing right here shows up just once")
+    ).toDF("doc_id", "text")
+    val res = Curation.repetition(docs).orderBy(col("doc_id")).collect()
+    // doc 1: 5 bigrams, 1 distinct, dup_frac 0.8, top_frac 1.0
+    assert(res(0).getInt(1) == 5 && res(0).getInt(2) == 1)
+    assert(math.abs(res(0).getDouble(3) - 0.8) < 1e-15)
+    assert(math.abs(res(0).getDouble(4) - 1.0) < 1e-15)
+    assert(res(0).getBoolean(5))
+    // doc 2: 12 distinct bigrams → dup_frac 0, top_frac 1/12 < 0.1
+    assert(res(1).getInt(1) == 12 && res(1).getInt(2) == 12)
+    assert(res(1).getDouble(3) == 0.0)
+    assert(math.abs(res(1).getDouble(4) - 1.0 / 12) < 1e-15)
+    assert(!res(1).getBoolean(5))
+  }
+
+  test("repetition and piiScrub are shuffle-free narrow plans") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    for (df <- Seq(Curation.repetition(docs),
+        Curation.piiScrub(docs, Seq("customer")))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"quality/scrub pass must not shuffle:\n$plan")
+    }
+  }
+
+  test("sequence packing: bins respect the running-sum definition") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val res = Curation.sequencePack(docs, budget = 2048, shards = 8)
+      .collect()
+    val byShard = res.groupBy(_.getLong(1))
+    assert(byShard.size == 8)
+    byShard.foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(_.getLong(0))
+      var cum = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(0) % 8 == shard)
+        assert(r.getLong(3) == cum, "cum_before must be the prefix sum")
+        assert(r.getLong(4) == cum / 2048, "bin = floor(cum_before/budget)")
+        cum += r.getLong(2)
+      }
+    }
+    // deterministic: a second run packs identically
+    val again = Curation.sequencePack(docs, budget = 2048, shards = 8)
+      .collect()
+    assert(res.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
+  test("connected components: chains merge transitively, singletons stay") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L).toDF("id")
+    val got = Dedup.connectedComponents(edges, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dup clusters cover every document exactly once") {
+    val res = graft.operators.Dedup.dupClustersQuery(spark, sfDir)
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(res.count() == docs.count())
+    // cluster ids are the minimum member id
+    val bad = res.filter(col("cluster_id") > col("doc_id")).count()
+    assert(bad == 0)
+    // member counts are consistent with the grouping
+    val sizes = res.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"), first(col("n_members")).as("m"))
+      .filter(col("n") =!= col("m")).count()
+    assert(sizes == 0)
+  }
+}

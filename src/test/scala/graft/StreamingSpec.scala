@@ -90,6 +90,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeEventTime: gap-close emits, watermark timeout closes finals") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingIngest.SessEvent]
+    val q = StreamingIngest.sessionizeEventTime(mem.toDS())
+      .writeStream.format("memory").queryName("sess_et_test")
+      .outputMode("append").start()
+    try {
+      // u1 session 1: two events 10 min apart
+      mem.addData(
+        StreamingIngest.SessEvent(1L, 1L, ts("2026-01-01 10:00:00"), 1.0),
+        StreamingIngest.SessEvent(1L, 2L, ts("2026-01-01 10:10:00"), 2.0))
+      q.processAllAvailable()
+      // u1 session 2 opens (gap > 30 min ⇒ session 1 closes); u2's lone
+      // event pushes the watermark to 17:50, far past session 2's
+      // end + gap (12:30), so the event-time timeout closes it too
+      mem.addData(
+        StreamingIngest.SessEvent(1L, 3L, ts("2026-01-01 12:00:00"), 4.0),
+        StreamingIngest.SessEvent(2L, 4L, ts("2026-01-01 18:00:00"), 8.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_et_test")
+        .select(col("user_id"), col("session_no"), col("n_events"),
+          col("sum_value"), col("session_start"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getTimestamp(4).toString)))
+        .toMap
+      // u1 s1 closed by gap; u1 s2 closed by timeout; u2's session still
+      // open (18:00 + 30 min is past the 17:50 watermark)
+      assert(got == Map(
+        (1L, 1L) -> ((2L, 3.0, "2026-01-01 10:00:00.0")),
+        (1L, 2L) -> ((1L, 4.0, "2026-01-01 12:00:00.0"))), got)
+    } finally q.stop()
+  }
+
+  test("replaySessions matches the batch session query on closed sessions") {
+    val res = StreamingIngest.replaySessions(spark, sfDir)
+      .withColumn("sum_value", round(col("sum_value"), 2))
+    val batch = graft.operators.Scale.sessionWindowQuery(spark, sfDir)
+    // the replay emits a watermark-determined subset of batch sessions;
+    // every emitted session must match its batch twin exactly
+    val joined = res.alias("s").join(batch.alias("b"),
+      col("s.user_id") === col("b.user_id") &&
+        col("s.session_no") === col("b.session_no"))
+    assert(joined.count() == res.count(),
+      "every streamed session must exist in the batch result")
+    val mismatched = joined.filter(
+      col("s.n_events") =!= col("b.n_events") ||
+        col("s.sum_value") =!= col("b.sum_value") ||
+        col("s.session_start") =!= col("b.session_start")).count()
+    assert(mismatched == 0)
+    assert(res.count() > 0)
+  }
+
   test("replayIngest: stream -> ORC sink -> read-back round trip") {
     val res = StreamingIngest.replayIngest(spark, sfDir)
     assert(res.columns.toSeq == Seq(

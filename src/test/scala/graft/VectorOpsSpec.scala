@@ -77,6 +77,40 @@ class VectorOpsSpec extends SparkSpec {
     assert(got.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq)
   }
 
+  test("graft_int8_quant reproduces hand-computed scale and cosine") {
+    val v = Array(1.27f, -0.635f, 0.01f, 0.0f)
+    val df = Seq(Tuple1(v), Tuple1(Array.fill(4)(0.0f))).toDF("v")
+    val got = df.select(
+      call_function("graft_int8_quant", col("v")).as("q"))
+      .select(col("q.scale"), col("q.cos")).collect()
+    // replicate the kernel arithmetic in test code
+    val maxAbs = v.map(x => math.abs(x.toDouble)).max
+    val scale = maxAbs / 127.0
+    val deq = v.map { x =>
+      val q = math.max(math.min(math.floor(x / scale + 0.5), 127.0), -127.0)
+      q * scale
+    }
+    val dot = v.map(_.toDouble).zip(deq).map { case (a, b) => a * b }.sum
+    val na = math.sqrt(v.map(x => x.toDouble * x).sum)
+    val nb = math.sqrt(deq.map(x => x * x).sum)
+    assert(got(0).getDouble(0) == scale)
+    assert(math.abs(got(0).getDouble(1) - dot / (na * nb)) < 1e-12)
+    assert(got(0).getDouble(1) > 0.99, "int8 reconstruction should be close")
+    // zero vector: zero scale, null cosine
+    assert(got(1).getDouble(0) == 0.0 && got(1).isNullAt(1))
+  }
+
+  test("graft_ngram_rep counts bigram multiplicities in one pass") {
+    val df = Seq("spam spam spam spam", "a b c d", "solo").toDF("text")
+    val got = df.select(
+      call_function("graft_ngram_rep", col("text"), lit(2)).as("r"))
+      .select(col("r.n_grams"), col("r.n_distinct"), col("r.top_count"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(got(0) == ((3, 1, 3))) // "spam spam" ×3
+    assert(got(1) == ((3, 3, 1)))
+    assert(got(2) == ((0, 0, 0))) // single token: no bigram
+  }
+
   test("hyperplaneSignature is deterministic and bucket-stable") {
     val df = Seq(
       Tuple1(Array.fill(64)(0.5f)),
