@@ -75,6 +75,7 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, d) => Sampling.stratifiedSampleQuery(s, d)),
     // End-to-end corpus cleaning (north-star composition)
     "q_pipeline_clean" -> (Pipeline.cleanCorpusQuery _),
+    "q_pipeline_curate" -> (Pipeline.curateCorpusQuery _),
     // Deduplication family (north star)
     "q_dedup_exact" -> (Dedup.exactQuery _),
     "q_dedup_jaccard" -> ((s, d) => Dedup.ngramJaccardQuery(s, d)),
@@ -83,6 +84,7 @@ object SparkEntry {
     "q_dedup_embedding" -> (Dedup.embeddingNearDupQuery _),
     "q_dedup_incremental" -> (Dedup.incrementalQuery _),
     "q_dup_clusters" -> (Dedup.dupClustersQuery _),
+    "q_cluster_canonical" -> (Dedup.clusterCanonicalQuery _),
     // Similarity search (north star)
     "q_ann_topk" -> (Similarity.annBruteForceQuery _),
     "q_ann_lsh" -> (Similarity.lshBucketQuery _),
@@ -106,11 +108,57 @@ object SparkEntry {
             .as("sum_value"),
           col("session_start"))
         .orderBy(col("user_id"), col("session_no"))),
+    // Stream-stream interval join (click→purchase attribution within
+    // 1 h): watermark-bounded state; drained replay = batch interval
+    // join
+    "q_stream_attrib" -> ((s, d) =>
+      graft.streaming.StreamingIngest.replayAttribution(s, d)
+        .orderBy(col("click_id"), col("purchase_id"))),
     // Multimodal columns (north star)
     "q_media_meta" -> (Multimodal.mediaMetaQuery _),
     "q_media_decode" -> (Multimodal.decodePipelineQuery _),
     "q_media_neardup" -> (Multimodal.mediaNearDupQuery _),
   )
+
+  /** Shared oracle fragment: the near-dup pair graph of
+    * q_dedup_jaccard (DF-capped 3-gram shingles, (lang, len_bucket)
+    * blocking, Jaccard ≥ 0.5) as CTEs ending in `jp(doc_a, doc_b)` —
+    * reused by the cluster-level oracles. */
+  private val jaccardPairsCte: String =
+    """sh AS (
+      |  SELECT doc_id, lang, CAST(floor(length(text) / 100) AS BIGINT)
+      |      AS len_bucket,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+      |      i -> concat_ws(' ', string_split(text,' ')[i],
+      |        string_split(text,' ')[i+1], string_split(text,' ')[i+2])))
+      |      AS s
+      |  FROM documents),
+      |ex AS (SELECT doc_id, lang, len_bucket, unnest(s) AS g FROM sh),
+      |kept AS (
+      |  SELECT * FROM ex WHERE g NOT IN (
+      |    SELECT g FROM ex GROUP BY g HAVING count(*) > 1000)),
+      |n AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+      |pr AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM kept a JOIN kept b
+      |    ON a.g = b.g AND a.lang = b.lang
+      |    AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT doc_a, doc_b FROM pr
+      |  JOIN n na ON pr.doc_a = na.doc_id
+      |  JOIN n nb ON pr.doc_b = nb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) /
+      |    CAST(na.n_sh + nb.n_sh - inter AS DOUBLE) >= 0.5),
+      |e2 AS (SELECT doc_a AS a, doc_b AS b FROM jp
+      |  UNION SELECT doc_b, doc_a FROM jp),
+      |walk(node, reach) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT w.node, e.b FROM walk w JOIN e2 e ON w.reach = e.a),
+      |cl AS (SELECT node AS doc_id, min(reach) AS cluster_id
+      |  FROM walk GROUP BY node)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -467,6 +515,77 @@ object SparkEntry {
         |    (a, b) -> (a * 131 + b) % 1000000007) AS rolling_hash
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // Full curation gate chain over the training slice (eval docs
+    // excluded): quality ≥ 0.5, repetition gates, decontamination,
+    // exact dedup keep-first.
+    "q_pipeline_curate" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, text,
+        |    (CAST(len(list_filter(string_split(text, ' '), x ->
+        |       x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) /
+        |     CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.25 +
+        |    (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |     CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5 +
+        |    (1.0 - CAST(len(list_filter(string_split(text, ' '), x ->
+        |       len(x) <= 2)) AS DOUBLE) /
+        |     CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.25
+        |      AS quality_score
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |rg AS (
+        |  SELECT doc_id, list_transform(
+        |    range(1, greatest(len(string_split(text,' ')) - 1, 0) + 1),
+        |    i -> concat_ws(' ', string_split(text,' ')[i],
+        |      string_split(text,' ')[i+1])) AS gr
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |rep AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(gr) = 0 THEN 0.0
+        |      ELSE 1.0 - CAST(len(list_distinct(gr)) AS DOUBLE) /
+        |        CAST(len(gr) AS DOUBLE) END AS dup_frac,
+        |    CASE WHEN len(gr) = 0 THEN 0.0
+        |      ELSE CAST(list_max(list_transform(list_distinct(gr),
+        |        g -> len(list_filter(gr, x -> x = g)))) AS DOUBLE) /
+        |        CAST(len(gr) AS DOUBLE) END AS top_frac
+        |  FROM rg),
+        |cg AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text,' ')) - 3, 1) + 1),
+        |    i -> concat_ws(' ', string_split(text,' ')[i],
+        |      string_split(text,' ')[i+1], string_split(text,' ')[i+2],
+        |      string_split(text,' ')[i+3]))) AS gs
+        |  FROM documents),
+        |ev AS (SELECT DISTINCT unnest(gs) AS g FROM cg
+        |  WHERE doc_id % 50 = 0),
+        |contaminated AS (
+        |  SELECT DISTINCT tr.doc_id FROM
+        |    (SELECT doc_id, unnest(gs) AS g FROM cg
+        |     WHERE doc_id % 50 <> 0) tr
+        |  JOIN ev ON tr.g = ev.g),
+        |f AS (
+        |  SELECT q.doc_id, q.lang, q.text, q.quality_score
+        |  FROM q JOIN rep ON q.doc_id = rep.doc_id
+        |  WHERE q.quality_score >= 0.5
+        |    AND rep.dup_frac <= 0.1 AND rep.top_frac <= 0.1
+        |    AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+        |    ORDER BY doc_id) AS rn FROM f)
+        |SELECT doc_id, lang, quality_score
+        |FROM k WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    // All click→purchase pairs within 1 h per user — the batch twin of
+    // the drained stream-stream interval join.
+    "q_stream_attrib" ->
+      """SELECT e1.user_id, e1.event_id AS click_id,
+        |  e2.event_id AS purchase_id, e2.value AS purchase_value,
+        |  CAST(e1.ts AS TIMESTAMP) AS click_ts,
+        |  CAST(e2.ts AS TIMESTAMP) AS purchase_ts
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        |  AND e1.event_type = 'click' AND e2.event_type = 'purchase'
+        |  AND CAST(e2.ts AS TIMESTAMP) >= CAST(e1.ts AS TIMESTAMP)
+        |  AND CAST(e2.ts AS TIMESTAMP) <=
+        |      CAST(e1.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "q_pipeline_clean" ->
       """WITH s AS (
         |  SELECT doc_id, lang, text,
@@ -713,45 +832,32 @@ object SparkEntry {
     // definition as q_dedup_jaccard); cluster id = min reachable
     // doc_id, via transitive closure.
     "q_dup_clusters" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id, lang, CAST(floor(length(text) / 100) AS BIGINT)
-        |      AS len_bucket,
-        |    list_distinct(list_transform(
-        |      range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
-        |      i -> concat_ws(' ', string_split(text,' ')[i],
-        |        string_split(text,' ')[i+1], string_split(text,' ')[i+2])))
-        |      AS s
-        |  FROM documents),
-        |ex AS (SELECT doc_id, lang, len_bucket, unnest(s) AS g FROM sh),
-        |kept AS (
-        |  SELECT * FROM ex WHERE g NOT IN (
-        |    SELECT g FROM ex GROUP BY g HAVING count(*) > 1000)),
-        |n AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
-        |pr AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM kept a JOIN kept b
-        |    ON a.g = b.g AND a.lang = b.lang
-        |    AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |jp AS (
-        |  SELECT doc_a, doc_b FROM pr
-        |  JOIN n na ON pr.doc_a = na.doc_id
-        |  JOIN n nb ON pr.doc_b = nb.doc_id
-        |  WHERE CAST(inter AS DOUBLE) /
-        |    CAST(na.n_sh + nb.n_sh - inter AS DOUBLE) >= 0.5),
-        |e2 AS (SELECT doc_a AS a, doc_b AS b FROM jp
-        |  UNION SELECT doc_b, doc_a FROM jp),
-        |walk(node, reach) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT w.node, e.b FROM walk w JOIN e2 e ON w.reach = e.a),
-        |cl AS (SELECT node AS doc_id, min(reach) AS cluster_id
-        |  FROM walk GROUP BY node),
+      (s"WITH RECURSIVE $jaccardPairsCte," +
+        """
         |sz AS (SELECT cluster_id, count(*) AS n_members
         |  FROM cl GROUP BY cluster_id)
         |SELECT cl.doc_id, cl.cluster_id, sz.n_members
         |FROM cl JOIN sz ON cl.cluster_id = sz.cluster_id
-        |ORDER BY cl.doc_id""".stripMargin,
+        |ORDER BY cl.doc_id""".stripMargin),
+    // Canonical member per multi-member dup cluster: longest doc wins,
+    // ties to the lower doc_id.
+    "q_cluster_canonical" ->
+      (s"WITH RECURSIVE $jaccardPairsCte," +
+        """
+        |sz AS (SELECT cluster_id, count(*) AS n_members
+        |  FROM cl GROUP BY cluster_id HAVING count(*) >= 2),
+        |tk AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok
+        |  FROM documents),
+        |r AS (SELECT cl.cluster_id, cl.doc_id, tk.n_tok, sz.n_members,
+        |    row_number() OVER (PARTITION BY cl.cluster_id
+        |      ORDER BY tk.n_tok DESC, cl.doc_id) AS rn
+        |  FROM cl JOIN sz ON cl.cluster_id = sz.cluster_id
+        |  JOIN tk ON cl.doc_id = tk.doc_id)
+        |SELECT cluster_id, doc_id AS keep_doc_id, n_tok AS keep_n_tok,
+        |  n_members
+        |FROM r WHERE rn = 1
+        |ORDER BY cluster_id""".stripMargin),
     // 4-gram overlap against the doc_id%50==0 "benchmark" slice; the
     // engine joins on 64-bit gram hashes, the oracle on the strings —
     // identical sets (collision p ≈ n²/2⁶⁵).

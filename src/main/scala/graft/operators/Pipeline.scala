@@ -43,4 +43,44 @@ object Pipeline {
       .filter(col("_rn") === 1)
       .select(col("doc_id"), col("lang"), col("quality_score"))
       .orderBy(col("doc_id"))
+
+  /**
+   * Full curation pipeline — the round-trip composition of every gate
+   * a pretraining corpus passes: quality score ≥ 0.5, repetition gates
+   * (Gopher-style dup/top bigram fractions, [[Curation.repetition]]),
+   * benchmark decontamination ([[Curation.contamination]], 4-gram
+   * overlap with the doc_id%50==0 eval slice — those eval docs are
+   * themselves excluded from the corpus), then exact dedup keep-first.
+   *
+   * Plan shape: all three scoring gates are narrow codegen'd
+   * projections over ONE scan; contamination adds one broadcast join
+   * against the (tiny) eval n-gram set; dedup adds the single
+   * digest-keyed shuffle. Nothing here changes at 100 TB.
+   */
+  def curateCorpusQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val contaminated = Curation.contamination(
+      train, docs.filter(col("doc_id") % 50 === 0), n = 4)
+      .select(col("doc_id"))
+    val rep = call_function("graft_ngram_rep", col("text"), lit(2))
+    val nGrams = col("_r.n_grams")
+    val dupFrac = when(nGrams === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        col("_r.n_distinct").cast("double") / nGrams.cast("double"))
+    val topFrac = when(nGrams === 0, lit(0.0))
+      .otherwise(col("_r.top_count").cast("double") / nGrams.cast("double"))
+    train
+      .withColumn("quality_score", qualityScore)
+      .withColumn("_r", rep)
+      .filter(col("quality_score") >= 0.5 &&
+        dupFrac <= 0.1 && topFrac <= 0.1)
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
 }

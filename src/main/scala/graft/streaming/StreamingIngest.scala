@@ -216,6 +216,59 @@ object StreamingIngest {
   }
 
   /**
+   * Stream-stream interval join (click→purchase attribution): for
+   * every click, the same user's purchases within the following hour.
+   * Both sides carry watermarks, so Spark bounds the join state — a
+   * click's buffered row is evicted once the watermark passes
+   * click_ts + 1 h, which is what lets two unbounded streams join in
+   * bounded memory. Inner-join semantics: results are exactly the
+   * batch interval join over all non-late data.
+   */
+  def streamAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("purchase_value"), col("click_ts"), col("purchase_ts"))
+  }
+
+  /** Drained-replay gate for [[streamAttribution]]: all events arrive
+    * within the watermark, so the emitted pairs equal the batch
+    * interval join. */
+  def replayAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = graft.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        col("event_type"))
+    val stage = graft.sources.OrcIo.scratchDir("stream_attr")
+    src.coalesce(4).write.mode("overwrite").parquet(s"$stage/in")
+    val out = s"$stage/out"
+    val streamSession = spark.newSession()
+    streamSession.conf.set("spark.sql.shuffle.partitions", "4")
+    val stream = streamSession.readStream
+      .schema(src.schema)
+      .parquet(s"$stage/in")
+    val q = streamAttribution(stream).writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$stage/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .outputMode(OutputMode.Append())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
+  /**
    * Batch-replay harness: runs the streaming pipeline over the static
    * events table via a file stream with AvailableNow, writes ORC, and
    * returns the re-read result. Exercises the full W8 path (stream

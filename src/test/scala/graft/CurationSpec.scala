@@ -124,6 +124,34 @@ class CurationSpec extends SparkSpec {
       5L -> 5L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("cluster canonical keeps the longest member of each cluster") {
+    val clusters = graft.operators.Dedup.dupClustersQuery(spark, sfDir)
+      .filter(col("n_members") >= 2)
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+    val maxTok = clusters.join(toks, Seq("doc_id"))
+      .groupBy(col("cluster_id")).agg(max(col("n_tok")).as("max_tok"))
+    val canon = graft.operators.Dedup.clusterCanonicalQuery(spark, sfDir)
+    assert(canon.count() == clusters.select(col("cluster_id"))
+      .distinct().count())
+    val wrong = canon.join(maxTok, Seq("cluster_id"))
+      .filter(col("keep_n_tok") =!= col("max_tok")).count()
+    assert(wrong == 0, "keeper must have the cluster's max token count")
+  }
+
+  test("curated corpus is a gated subset of the cleaned corpus") {
+    val curated = graft.operators.Pipeline.curateCorpusQuery(spark, sfDir)
+    val cleaned = graft.operators.Pipeline.cleanCorpusQuery(spark, sfDir)
+    assert(curated.count() > 0)
+    // no eval docs survive, quality gate holds
+    assert(curated.filter(col("doc_id") % 50 === 0).count() == 0)
+    assert(curated.filter(col("quality_score") < 0.5).count() == 0)
+    // every curated doc also passes the weaker clean pipeline
+    val extra = curated.select(col("doc_id"))
+      .except(cleaned.select(col("doc_id"))).count()
+    assert(extra == 0, "curation must only remove docs relative to clean")
+  }
+
   test("dup clusters cover every document exactly once") {
     val res = graft.operators.Dedup.dupClustersQuery(spark, sfDir)
     val docs = Tables.load(spark, sfDir, "documents")

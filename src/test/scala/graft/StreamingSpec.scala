@@ -143,6 +143,30 @@ class StreamingSpec extends SparkSpec {
     assert(res.count() > 0)
   }
 
+  test("streamAttribution joins clicks to purchases within the hour") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Timestamp, Double, String)]
+    val events = mem.toDF()
+      .toDF("user_id", "event_id", "ts", "value", "event_type")
+    val q = StreamingIngest.streamAttribution(events)
+      .writeStream.format("memory").queryName("attrib_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, 1L, ts("2026-01-01 10:00:00"), 0.0, "click"),
+        (1L, 2L, ts("2026-01-01 10:30:00"), 9.5, "purchase"), // match
+        (1L, 3L, ts("2026-01-01 11:30:00"), 3.0, "purchase"), // > 1h: no
+        (2L, 4L, ts("2026-01-01 10:15:00"), 7.0, "purchase"), // other user
+        (1L, 5L, ts("2026-01-01 09:00:00"), 2.0, "purchase")) // before: no
+      q.processAllAvailable()
+      val got = spark.table("attrib_test")
+        .select(col("click_id"), col("purchase_id"), col("purchase_value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got == Set((1L, 2L, 9.5)), got)
+    } finally q.stop()
+  }
+
   test("replayIngest: stream -> ORC sink -> read-back round trip") {
     val res = StreamingIngest.replayIngest(spark, sfDir)
     assert(res.columns.toSeq == Seq(
