@@ -51,11 +51,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("media near-dup finds identical payloads at cos 1.0") {
+  test("media near-dup matches kind-blocked brute force exactly") {
     val res = Multimodal.mediaNearDupQuery(spark, sfDir)
-    // result may be empty at this SF; the contract is determinism and
-    // correct thresholding
     res.collect().foreach(r => assert(r.getDouble(2) >= 0.999))
+    // IVF-cell blocking with 2-cell probing must not lose pairs vs the
+    // exact kind-blocked join at this threshold (precision is exact by
+    // construction: every candidate is cosine-verified)
+    val feats = spark.read.parquet(
+      Multimodal.buildFeatureStore(spark, sfDir))
+    val a = feats.select(col("media_id").as("media_a"), col("kind"),
+      col("embedding").as("emb_a"))
+    val b = feats.select(col("media_id").as("media_b"), col("kind"),
+      col("embedding").as("emb_b"))
+    val brute = a.join(b, Seq("kind"))
+      .filter(col("media_a") < col("media_b"))
+      .withColumn("cos_sim", round(graft.functions.VectorOps
+        .cosine(col("emb_a"), col("emb_b")), 4))
+      .filter(col("cos_sim") >= 0.999)
+      .select(col("media_a"), col("media_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = res.select(col("media_a"), col("media_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute,
+      s"missed=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
   }
 
   test("decode pipeline aggregates per kind over the full corpus") {
