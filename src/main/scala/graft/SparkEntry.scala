@@ -70,6 +70,7 @@ object SparkEntry {
     "q_fingerprint" -> (TextAnalysis.fingerprintQuery _),
     "q_ngram_freq" -> (TextAnalysis.ngramFrequencyQuery _),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidfQuery(s, d)),
+    "q_feature_hash" -> (TextAnalysis.featureHashQuery _),
     // Deterministic sampling (north star: reproducible subsets)
     "q_sample_hash" -> (Sampling.hashSampleQuery _),
     "q_sample_stratified" -> ((s, d) => Sampling.stratifiedSampleQuery(s, d)),
@@ -785,6 +786,32 @@ object SparkEntry {
         |  CAST(df AS BIGINT) AS df, round(tfidf, 4) AS tfidf, rnk
         |FROM r WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
+    // Hashing-trick embedding: bucket = first md5 byte mod 64 (the
+    // first MD5 byte equals the first two hex chars), counts
+    // L2-normalized.
+    "q_feature_hash" ->
+      """WITH b AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '),
+        |    t -> ('0x' || substring(md5(t), 1, 2))::INTEGER % 64)
+        |    AS buckets
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, list_transform(range(0, 64),
+        |    i -> CAST(len(list_filter(buckets, k -> k = i)) AS DOUBLE))
+        |    AS cnts
+        |  FROM b),
+        |n AS (SELECT doc_id, cnts,
+        |    sqrt(list_dot_product(cnts, cnts)) AS nrm FROM v),
+        |a AS (SELECT doc_id,
+        |    list_transform(cnts, c -> c / nrm) AS arr FROM n)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(arr, x -> x <> 0)) AS INTEGER) AS nnz,
+        |  CAST(list_position(arr, list_max(arr)) - 1 AS INTEGER)
+        |    AS top_bucket,
+        |  round(list_max(arr), 6) AS top_weight,
+        |  round(arr[1], 6) AS c0
+        |FROM a
+        |ORDER BY doc_id""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, lang, substring(md5(text), 1, 2) AS hash_bucket
         |FROM documents

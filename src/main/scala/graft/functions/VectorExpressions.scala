@@ -750,6 +750,67 @@ object VectorKernels {
       copy(child = newChild)
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /**
+   * Feature-hashing text embedding (hashing trick): token → bucket =
+   * first md5 byte mod dims, counts L2-normalized — a deterministic,
+   * cross-engine-replicable text vectorizer (the oracle computes the
+   * same buckets via `('0x' || substring(md5(t),1,2))::INTEGER`; the
+   * first MD5 byte IS the first two hex chars). Output plugs into the
+   * [[graft.operators.Similarity]] family after a float cast. Zero
+   * tokens → zero vector (no NaNs).
+   */
+  def featureHashJava(text: org.apache.spark.unsafe.types.UTF8String,
+      dims: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val counts = new Array[Double](dims)
+    val md = md5Local.get()
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val d = md.digest(
+        toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      counts((d(0) & 0xFF) % dims) += 1.0
+      i += 1
+    }
+    var s = 0.0
+    var j = 0
+    while (j < dims) { s += counts(j) * counts(j); j += 1 }
+    if (s > 0.0) {
+      val n = math.sqrt(s)
+      j = 0
+      while (j < dims) { counts(j) /= n; j += 1 }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(counts)
+  }
+
+  /** See [[featureHashJava]]: string → array<double> (unit-norm). */
+  case class FeatureHash(child: Expression, dims: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got " + other.simpleString)
+      }
+    override def dataType: DataType =
+      ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "graft_feature_hash"
+    override protected def nullSafeEval(a: Any): Any =
+      featureHashJava(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], dims)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.featureHashJava($a, $dims)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** One-pass membership counts against several word sets (the
     * language-ID vote kernel): result[i] = tokens of `text` contained
     * in set i. One tokenize + one hash probe per token, versus one
@@ -864,6 +925,9 @@ object VectorKernels {
     fn("graft_count_in_sets", es => CountInSets(es(0),
       toStringSeqs(es(1).eval()))),
     fn("graft_int8_quant", es => Int8QuantStats(es.head)),
+    // dims must be a foldable int literal
+    fn("graft_feature_hash", es => FeatureHash(es(0),
+      es(1).eval().asInstanceOf[Int])),
     // n must be a foldable int literal, e.g. graft_ngram_rep(text, 2)
     fn("graft_ngram_rep", es => NGramRepetition(es(0),
       es(1).eval().asInstanceOf[Int])),

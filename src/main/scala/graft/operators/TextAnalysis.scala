@@ -172,6 +172,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Feature-hash embedding of the text (hashing trick, unit-norm
+    * 64-dim): the deterministic text vectorizer that feeds the
+    * [[Similarity]] operators when no learned encoder is available.
+    * One native pass per row ([[graft.functions.VectorKernels.FeatureHash]]). */
+  def featureHash(text: org.apache.spark.sql.Column, dims: Int = 64)
+      : org.apache.spark.sql.Column =
+    call_function("graft_feature_hash", text, lit(dims))
+
+  /**
+   * Correctness gate for [[featureHash]]: per-doc sparsity, argmax
+   * bucket, peak weight, and first component of the hashed embedding —
+   * each derivable by the SQL oracle from the same md5-bucket
+   * definition. The vector production is the native kernel; the gate
+   * scalars use array functions over the (64-element) result.
+   */
+  def featureHashQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .withColumn("_v", featureHash(col("text")))
+      .select(col("doc_id"),
+        size(filter(col("_v"), x => x =!= 0.0)).as("nnz"),
+        (array_position(col("_v"), array_max(col("_v"))) - 1)
+          .cast("int").as("top_bucket"),
+        round(array_max(col("_v")), 6).as("top_weight"),
+        round(element_at(col("_v"), 1), 6).as("c0"))
+      .orderBy(col("doc_id"))
+
   /** 64-bit polynomial rolling hash of a string's chars:
     * h = Σ c_i·B^(n-1-i) mod M, sequential, overflow-free (M < 2^31 so
     * h·B + c fits a long). */

@@ -115,6 +115,15 @@ class CurationSpec extends SparkSpec {
     assert(res.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("sequence packing shuffles exactly once (the shard partitioning)") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = Curation.sequencePack(docs, budget = 2048, shards = 8)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected exactly one hash exchange (shard), got $exchanges:\n$plan")
+  }
+
   test("connected components: chains merge transitively, singletons stay") {
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L).toDF("id")

@@ -111,6 +111,26 @@ class VectorOpsSpec extends SparkSpec {
     assert(got(2) == ((0, 0, 0))) // single token: no bigram
   }
 
+  test("graft_feature_hash emits unit-norm deterministic embeddings") {
+    val df = Seq("the cat sat", "the cat sat", "completely different words")
+      .toDF("text")
+    val arrs = df.select(
+      call_function("graft_feature_hash", col("text"), lit(64)).as("v"))
+      .collect().map(_.getSeq[Double](0))
+    // unit norm
+    arrs.foreach { v =>
+      assert(v.length == 64)
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-12)
+    }
+    // identical text → identical vector; different text → different
+    assert(arrs(0) == arrs(1))
+    assert(arrs(0) != arrs(2))
+    // bucket arithmetic matches the oracle definition: first md5 byte
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val b = md.digest("the".getBytes("UTF-8"))(0) & 0xFF
+    assert(arrs(0)(b % 64) > 0.0)
+  }
+
   test("hyperplaneSignature is deterministic and bucket-stable") {
     val df = Seq(
       Tuple1(Array.fill(64)(0.5f)),
