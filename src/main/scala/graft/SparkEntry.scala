@@ -35,6 +35,7 @@ object SparkEntry {
     "q_percentiles" -> (Relational.percentileQuery _),
     "q_session_window" -> ((s, d) => Scale.sessionWindowQuery(s, d)),
     "q_approx_distinct" -> (Scale.approxDistinctQuery _),
+    "q_topk_agg" -> ((s, d) => Scale.topKAggQuery(s, d)),
     "q_asof_join" -> (Scale.asOfJoinQuery _),
     "q_zorder" -> (Scale.zorderQuery _),
     // ORC format engine (SURVEY.md §2.1/2.5: scans, writers, codecs)
@@ -737,6 +738,18 @@ object SparkEntry {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    // Custom bounded-heap aggregate vs the window formulation: same
+    // total order (price DESC, orderkey ASC), same rows.
+    "q_topk_agg" ->
+      """SELECT l_returnflag, rank, price, l_orderkey FROM (
+        |  SELECT l_returnflag,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey) AS INTEGER)
+        |      AS rank,
+        |    round(l_extendedprice, 2) AS price, l_orderkey
+        |  FROM lineitem) t
+        |WHERE rank <= 5
+        |ORDER BY l_returnflag, rank""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,

@@ -931,6 +931,9 @@ object VectorKernels {
     // n must be a foldable int literal, e.g. graft_ngram_rep(text, 2)
     fn("graft_ngram_rep", es => NGramRepetition(es(0),
       es(1).eval().asInstanceOf[Int])),
+    // custom AggregateFunction (SURVEY §2.11): k must be a foldable int
+    fn("graft_topk", es => TopKAgg(es(0), es(1),
+      es(2).eval().asInstanceOf[Int])),
   )
 
   /** SparkSessionExtensions hook: `.withExtensions(VectorKernels.register)`. */

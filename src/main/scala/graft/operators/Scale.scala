@@ -49,6 +49,29 @@ object Scale {
     saltedLarge.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
   }
 
+  /**
+   * Per-group top-k via the custom bounded-heap aggregate
+   * ([[graft.functions.TopKAgg]], SURVEY §2.11): keeps k (ord, id)
+   * pairs per group with map-side partial aggregation, so the shuffle
+   * carries ≤ k pairs per (partition, group) instead of every row —
+   * unlike the window row_number formulation, which sorts each group's
+   * full row set. Order: ord DESC, id ASC tiebreak (a total order, so
+   * the window oracle reproduces it exactly).
+   */
+  def topKAggQuery(spark: SparkSession, sfDir: String,
+      k: Int = 5): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(call_function("graft_topk", col("l_extendedprice"),
+        col("l_orderkey"), lit(k)).as("_tk"))
+      .select(col("l_returnflag"),
+        posexplode(col("_tk")).as(Seq("pos", "e")))
+      .select(col("l_returnflag"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("e.ord"), 2).as("price"),
+        col("e.id").as("l_orderkey"))
+      .orderBy(col("l_returnflag"), col("rank"))
+
   /** Approximate distinct (HLL++): the sketch aggregate a 100 TB
     * pipeline uses instead of exact countDistinct. rsd 0.01 → ~1%
     * error with constant memory per group. */

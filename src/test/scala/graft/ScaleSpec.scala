@@ -71,6 +71,29 @@ class ScaleSpec extends SparkSpec {
     assert(got == Map(1L -> "b", 2L -> "a", 4L -> "c"))
   }
 
+  test("top-k aggregate matches the window formulation, without a sort") {
+    val agg = Scale.topKAggQuery(spark, sfDir, k = 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"))
+    val win = Tables.load(spark, sfDir, "lineitem")
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 3)
+      .select(col("l_returnflag"), col("rank"),
+        round(col("l_extendedprice"), 2).as("price"), col("l_orderkey"))
+    assert(agg.collect().map(_.toSeq).toSet ==
+      win.collect().map(_.toSeq).toSet)
+    // the aggregate path must be a partial-aggregated ObjectHashAggregate
+    // with no per-group sort of the input
+    val plan = Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(call_function("graft_topk", col("l_extendedprice"),
+        col("l_orderkey"), lit(3)).as("tk"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Sort "), s"no sort expected:\n$plan")
+  }
+
   test("session windows split on gaps > threshold only") {
     import SparkSpec.spark.implicits._
     val res = Scale.sessionWindowQuery(spark, sfDir, gapMinutes = 30)
