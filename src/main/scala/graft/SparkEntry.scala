@@ -122,11 +122,12 @@ object SparkEntry {
     "q_media_neardup" -> (Multimodal.mediaNearDupQuery _),
   )
 
-  /** Shared oracle fragment: the near-dup pair graph of
-    * q_dedup_jaccard (DF-capped 3-gram shingles, (lang, len_bucket)
-    * blocking, Jaccard ≥ 0.5) as CTEs ending in `jp(doc_a, doc_b)` —
-    * reused by the cluster-level oracles. */
-  private val jaccardPairsCte: String =
+  /** Shared oracle fragment: the near-dup pair definition (DF-capped
+    * 3-gram shingles, (lang, len_bucket) blocking) as CTEs ending in
+    * `jpv(doc_a, doc_b, jaccard)` — the SINGLE source of truth for the
+    * pairwise oracle (q_dedup_jaccard) and the cluster-level oracles,
+    * so the two can never drift apart. */
+  private val jaccardBaseCte: String =
     """sh AS (
       |  SELECT doc_id, lang, CAST(floor(length(text) / 100) AS BIGINT)
       |      AS len_bucket,
@@ -147,12 +148,18 @@ object SparkEntry {
       |    ON a.g = b.g AND a.lang = b.lang
       |    AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
-      |jp AS (
-      |  SELECT doc_a, doc_b FROM pr
+      |jpv AS (
+      |  SELECT doc_a, doc_b, CAST(inter AS DOUBLE) /
+      |      CAST(na.n_sh + nb.n_sh - inter AS DOUBLE) AS jaccard
+      |  FROM pr
       |  JOIN n na ON pr.doc_a = na.doc_id
-      |  JOIN n nb ON pr.doc_b = nb.doc_id
-      |  WHERE CAST(inter AS DOUBLE) /
-      |    CAST(na.n_sh + nb.n_sh - inter AS DOUBLE) >= 0.5),
+      |  JOIN n nb ON pr.doc_b = nb.doc_id)""".stripMargin
+
+  /** Transitive closure over the ≥ 0.5 pair graph → `cl(doc_id,
+    * cluster_id)`; appended to [[jaccardBaseCte]] by the cluster
+    * oracles. */
+  private val clusterCte: String =
+    """jp AS (SELECT doc_a, doc_b FROM jpv WHERE jaccard >= 0.5),
       |e2 AS (SELECT doc_a AS a, doc_b AS b FROM jp
       |  UNION SELECT doc_b, doc_a FROM jp),
       |walk(node, reach) AS (
@@ -624,38 +631,15 @@ object SparkEntry {
         |GROUP BY text
         |ORDER BY keep_doc_id""".stripMargin,
     // Jaccard over DF-capped shingle sets (cap 1000 = the engine's
-    // maxShingleDf): same blocking, same universe of shingles.
+    // maxShingleDf): same blocking, same universe of shingles — the
+    // pair definition lives in jaccardBaseCte, shared with the cluster
+    // oracles.
     "q_dedup_jaccard" ->
-      """WITH sh AS (
-        |  SELECT doc_id, lang, CAST(floor(length(text) / 100) AS BIGINT)
-        |      AS len_bucket,
-        |    list_distinct(list_transform(
-        |      range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
-        |      i -> concat_ws(' ', string_split(text,' ')[i],
-        |        string_split(text,' ')[i+1], string_split(text,' ')[i+2])))
-        |      AS s
-        |  FROM documents),
-        |ex AS (SELECT doc_id, lang, len_bucket, unnest(s) AS g FROM sh),
-        |kept AS (
-        |  SELECT * FROM ex WHERE g NOT IN (
-        |    SELECT g FROM ex GROUP BY g HAVING count(*) > 1000)),
-        |n AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    count(*) AS inter
-        |  FROM kept a JOIN kept b
-        |    ON a.g = b.g AND a.lang = b.lang
-        |    AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  CAST(inter AS DOUBLE) /
-        |    CAST(na.n_sh + nb.n_sh - inter AS DOUBLE) AS jaccard
-        |FROM pairs
-        |JOIN n na ON pairs.doc_a = na.doc_id
-        |JOIN n nb ON pairs.doc_b = nb.doc_id
-        |WHERE CAST(inter AS DOUBLE) /
-        |    CAST(na.n_sh + nb.n_sh - inter AS DOUBLE) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      (s"WITH $jaccardBaseCte" +
+        """
+        |SELECT doc_a, doc_b, jaccard FROM jpv
+        |WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin),
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -872,7 +856,7 @@ object SparkEntry {
     // definition as q_dedup_jaccard); cluster id = min reachable
     // doc_id, via transitive closure.
     "q_dup_clusters" ->
-      (s"WITH RECURSIVE $jaccardPairsCte," +
+      (s"WITH RECURSIVE $jaccardBaseCte,\n$clusterCte," +
         """
         |sz AS (SELECT cluster_id, count(*) AS n_members
         |  FROM cl GROUP BY cluster_id)
@@ -882,7 +866,7 @@ object SparkEntry {
     // Canonical member per multi-member dup cluster: longest doc wins,
     // ties to the lower doc_id.
     "q_cluster_canonical" ->
-      (s"WITH RECURSIVE $jaccardPairsCte," +
+      (s"WITH RECURSIVE $jaccardBaseCte,\n$clusterCte," +
         """
         |sz AS (SELECT cluster_id, count(*) AS n_members
         |  FROM cl GROUP BY cluster_id HAVING count(*) >= 2),

@@ -76,7 +76,11 @@ case class TopKAgg(
       input: InternalRow): java.util.ArrayList[(Double, Long)] = {
     val o = ord.eval(input)
     val i = id.eval(input)
-    if (o == null || i == null) buf
+    // NaN has no position in the total order (`beats` would be false
+    // both ways, letting a NaN squat in the buffer forever) — skip it,
+    // like nulls
+    if (o == null || i == null ||
+      java.lang.Double.isNaN(o.asInstanceOf[Double])) buf
     else insert(buf, (o.asInstanceOf[Double], i.asInstanceOf[Long]))
   }
 

@@ -71,10 +71,18 @@ object Curation {
    * text; counts make the redaction auditable. Patterns are RE2-safe
    * so the SQL oracle replays them verbatim.
    */
+  /** Escape regex metacharacters in a dictionary entry (portable
+    * escaping — `\Q…\E` is Java-only and the oracle dialect is RE2). */
+  private def escapeRe(s: String): String =
+    s.flatMap(c => if ("\\^$.|?*+()[]{}".contains(c)) s"\\$c" else c.toString)
+
+  private def nameRegex(nameDict: Seq[String]): String =
+    "\\b(" + nameDict.map(escapeRe).mkString("|") + ")\\b"
+
   /** The scrub transform itself: redactions in a fixed order (email →
     * url → phone → name-dict), then whitespace collapse + trim. */
   def piiClean(text: Column, nameDict: Seq[String]): Column = {
-    val nameRe = "\\b(" + nameDict.mkString("|") + ")\\b"
+    val nameRe = nameRegex(nameDict)
     val scrubbed =
       regexp_replace(
         regexp_replace(
@@ -87,7 +95,7 @@ object Curation {
   }
 
   def piiScrub(docs: DataFrame, nameDict: Seq[String]): DataFrame = {
-    val nameRe = "\\b(" + nameDict.mkString("|") + ")\\b"
+    val nameRe = nameRegex(nameDict)
     val clean = piiClean(col("text"), nameDict)
     docs.select(
       col("doc_id"),

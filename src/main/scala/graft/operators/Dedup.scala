@@ -299,11 +299,20 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("id").as("b"), col("label")), Seq("b"))
         .groupBy(col("a")).agg(min(col("label")).as("nbr_label"))
-      val next = labels
+      val viaNbr = labels
         .join(nbrMin.select(col("a").as("id"), col("nbr_label")),
           Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+      // pointer jumping: also adopt the label OF the current label
+      // (label chains halve every round → O(log n) rounds on paths,
+      // where pure neighbour propagation needs O(diameter))
+      val next = viaNbr
+        .join(viaNbr.select(col("id").as("label"),
+          col("label").as("_parent")), Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("_parent"), col("label")))
             .as("label"))
         .localCheckpoint()
       val changed = next
@@ -313,27 +322,40 @@ object Dedup {
       converged = changed == 0
       it += 1
     }
+    // silent partial labels would mislabel clusters with no signal —
+    // fail loudly instead (raise maxIters; with pointer jumping the
+    // bound is logarithmic, so exhaustion means something is wrong)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations")
     labels
   }
 
   /** Cluster-index cache: like [[Similarity.buildIndex]], the dup
-    * cluster labelling is an offline artifact built once per corpus
-    * (a production pipeline persists it next to the data); the two
+    * cluster labelling is an offline artifact built once per corpus (a
+    * production pipeline persists it next to the data); the two
     * cluster-level queries share it instead of re-running the pair
-    * graph + propagation. The cached frame is localCheckpoint-backed
-    * (materialized). */
+    * graph + propagation. Persisted as scratch parquet and cached by
+    * PATH (like the media feature store): restart-safe and no
+    * executor storage pinned for the JVM lifetime, unlike holding the
+    * localCheckpoint-backed frame itself. */
   private val clusterCache =
-    scala.collection.concurrent.TrieMap[String, DataFrame]()
+    scala.collection.concurrent.TrieMap[String, String]()
 
   /** (id, label) for every document — connected components over the
     * [[ngramJaccard]] ≥ 0.5 pair graph, cached per corpus. */
-  def clusterLabels(spark: SparkSession, sfDir: String): DataFrame =
-    clusterCache.getOrElseUpdate(sfDir, {
+  def clusterLabels(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = clusterCache.getOrElseUpdate(sfDir, {
       val docs = Tables.load(spark, sfDir, "documents")
       val pairs = ngramJaccard(docs, maxShingleDf = 1000)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val out = graft.sources.OrcIo.scratchDir("dup_clusters")
       connectedComponents(pairs, docs.select(col("doc_id").as("id")))
+        .write.mode("overwrite").parquet(s"$out/labels")
+      s"$out/labels"
     })
+    spark.read.parquet(path)
+  }
 
   /**
    * Duplicate-cluster assignment: connected components over the

@@ -128,12 +128,6 @@ object Multimodal {
         r.payload.foreach(b => hist((b & 0xFF) % 64) += 1f)
         val n = math.sqrt(hist.map(v => v.toDouble * v).sum)
         val emb = if (n == 0) hist else hist.map(v => (v / n).toFloat)
-        // DC-removed residual: histogram embeddings all point near the
-        // uniform direction, so raw hyperplane signs barely separate
-        // them (measured: 5000 docs → 79 buckets → 1.8M candidate
-        // pairs). Centering spreads the signs over the discriminative
-        // residual; near-identical payloads still share near-identical
-        // residuals, so near-dup recall is preserved (spec-checked).
         (r.media_id, r.kind, emb)
       }.toDF("media_id", "kind", "embedding")
   }

@@ -111,27 +111,35 @@ object StreamingIngest {
   // session_start keeps the first event's full (µs) timestamp; gap
   // arithmetic is on epoch millis, matching the batch query's
   // unix_millis semantics
-  case class SessState(sessionNo: Long, nEvents: Long, sumValue: Double,
-      startTs: java.sql.Timestamp, lastMs: Long)
+  // startUs (µs) orders sessions/events exactly (batch min(ts) is µs);
+  // lastMs stays millisecond-granular because the gap arithmetic is
+  // epoch-ms on both engine and oracle
+  case class OpenSession(nEvents: Long, sumValue: Double,
+      startTs: java.sql.Timestamp, startUs: Long, lastMs: Long)
+  // nextNo survives session finalization (numbering tombstone) so a
+  // user's later sessions keep batch-equivalent numbers
+  case class SessState(nextNo: Long, open: List[OpenSession])
   case class SessRow(user_id: Long, session_no: Long, n_events: Long,
       sum_value: Double, session_start: java.sql.Timestamp)
 
   /**
    * Event-time streaming sessionization via flatMapGroupsWithState:
-   * the production face of [[sessionize]] — sessions close on a
-   * 30-minute event-time gap, and the LAST open session per user
-   * closes when the watermark passes its end + gap (EventTimeTimeout),
-   * not on wall-clock. Emitted sessions carry the same per-user
-   * session numbering as the batch query
-   * ([[graft.operators.Scale.sessionWindowQuery]]), so drained-replay
-   * output is oracle-comparable.
+   * the production face of [[sessionize]] — 30-minute event-time gap,
+   * finalized ONLY by the watermark (EventTimeTimeout), never eagerly:
+   * a session is emitted when the watermark strictly passes its
+   * end + gap, exactly the contract of the built-in windowed
+   * aggregates in append mode. Until then it stays in state, so
+   * within-watermark late events merge into (or bridge) open sessions
+   * instead of being mis-assigned; events older than the watermark
+   * are dropped deterministically.
    *
-   * State per user is one open session (a few longs) — bounded by
-   * user cardinality, not stream length, and evicted on timeout; this
-   * is what lets an unbounded clickstream sessionize in bounded
-   * memory. Within an invocation events are sorted by (ts, event_id);
-   * cross-batch disorder is bounded by the watermark, the same
-   * contract as the built-in windowed aggregates.
+   * State per user is its open-session list (sessions not yet
+   * watermark-finalizable — bounded by the watermark horizon, not
+   * stream length) plus a session counter. The counter outlives
+   * finalized sessions while any state exists and is garbage-collected
+   * one extra gap after the last session closes, so numbering matches
+   * the batch query ([[graft.operators.Scale.sessionWindowQuery]])
+   * for any user active within that horizon.
    */
   def sessionizeEventTime(events: Dataset[SessEvent], gapMin: Int = 30,
       watermarkDelay: String = "10 minutes"): Dataset[SessRow] = {
@@ -144,45 +152,63 @@ object StreamingIngest {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[SessEvent],
             state: GroupState[SessState]) =>
-          def close(s: SessState): SessRow =
-            SessRow(userId, s.sessionNo, s.nEvents, s.sumValue, s.startTs)
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(close(s))
-          } else {
-            val evs = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
-            val out = Seq.newBuilder[SessRow]
-            var cur = state.getOption.orNull
-            evs.foreach { e =>
-              val ms = e.ts.getTime
-              if (cur == null) {
-                cur = SessState(1L, 1L, e.value, e.ts, ms)
-              } else if (ms - cur.lastMs > gapMs) {
-                out += close(cur)
-                cur = SessState(cur.sessionNo + 1, 1L, e.value, e.ts, ms)
-              } else {
-                cur = cur.copy(nEvents = cur.nEvents + 1,
-                  sumValue = cur.sumValue + e.value,
-                  lastMs = math.max(cur.lastMs, ms))
-              }
+          val wm = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(SessState(1L, Nil))
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime * 1000 + (t.getNanos / 1000) % 1000
+          // fold the batch's events into the open sessions: merge the
+          // (sorted, non-adjacent) open list with the sorted in-batch
+          // events, joining anything within the gap — a late event can
+          // bridge two previously separate open sessions
+          val evs = rows.toArray
+            .filter(_.ts.getTime >= wm) // beyond-watermark: dropped
+            .sortBy(e => (micros(e.ts), e.event_id))
+          val units = (prev.open.map(Left(_)) ++ evs.map(Right(_)))
+            .sortBy {
+              case Left(s) => (s.startUs, Long.MinValue)
+              case Right(e) => (micros(e.ts), e.event_id)
             }
-            if (cur != null) {
-              val timeoutMs = cur.lastMs + gapMs
-              if (timeoutMs < state.getCurrentWatermarkMs()) {
-                // the watermark already passed this session's end + gap:
-                // close now (same strict-inequality contract as the
-                // EventTimeTimeout that would otherwise have fired)
-                if (state.exists) state.remove()
-                out += close(cur)
-              } else {
-                state.update(cur)
-                // fires when the watermark strictly passes end + gap
-                state.setTimeoutTimestamp(timeoutMs)
+          val merged = units.foldLeft(List.empty[OpenSession]) {
+            case (acc, u) =>
+              val (ne, sum, ts, sUs, lMs) = u match {
+                case Left(s) => (s.nEvents, s.sumValue, s.startTs,
+                  s.startUs, s.lastMs)
+                case Right(e) => (1L, e.value, e.ts,
+                  micros(e.ts), e.ts.getTime)
               }
-            }
-            out.result().iterator
+              acc match {
+                case head :: tail if sUs / 1000 - head.lastMs <= gapMs =>
+                  OpenSession(head.nEvents + ne, head.sumValue + sum,
+                    head.startTs, head.startUs,
+                    math.max(head.lastMs, lMs)) :: tail
+                case _ =>
+                  OpenSession(ne, sum, ts, sUs, lMs) :: acc
+              }
+          }.reverse
+          // finalize the prefix the watermark strictly passed (sessions
+          // are gap-separated, so closable ones are always a prefix)
+          val (closed, stillOpen) = merged.span(_.lastMs + gapMs < wm)
+          val out = closed.zipWithIndex.map { case (s, i) =>
+            SessRow(userId, prev.nextNo + i, s.nEvents, s.sumValue,
+              s.startTs)
           }
+          val nextNo = prev.nextNo + closed.size
+          if (stillOpen.nonEmpty) {
+            state.update(SessState(nextNo, stillOpen))
+            // fires when the earliest open session becomes finalizable
+            state.setTimeoutTimestamp(
+              math.max(stillOpen.head.lastMs + gapMs, wm + 1))
+          } else if (state.exists || closed.nonEmpty) {
+            // numbering tombstone: keep the counter one extra gap so a
+            // quickly-returning user continues numbering, then GC
+            if (prev.open.isEmpty && evs.isEmpty) {
+              state.remove() // the GC timeout itself fired
+            } else {
+              state.update(SessState(nextNo, Nil))
+              state.setTimeoutTimestamp(math.max(wm + gapMs, wm + 1))
+            }
+          }
+          out.iterator
       }
   }
 

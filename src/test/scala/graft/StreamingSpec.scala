@@ -124,6 +124,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeEventTime merges late events and keeps numbering across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingIngest.SessEvent]
+    val q = StreamingIngest.sessionizeEventTime(mem.toDS())
+      .writeStream.format("memory").queryName("sess_mb_test")
+      .outputMode("append").start()
+    def e(u: Long, id: Long, t: String, v: Double) =
+      StreamingIngest.SessEvent(u, id, ts(s"2026-01-01 $t"), v)
+    try {
+      mem.addData(e(1, 1, "10:00:00", 1.0), e(1, 2, "10:10:00", 2.0))
+      q.processAllAvailable() // wm -> 10:00
+      // 10:05 is late but within watermark: must merge into session 1;
+      // 09:00 is beyond the watermark: dropped deterministically
+      mem.addData(e(1, 3, "10:05:00", 4.0), e(1, 7, "09:00:00", 99.0),
+        e(2, 4, "13:00:00", 8.0))
+      q.processAllAvailable() // wm -> 12:50; u1 session 1 finalizes
+      // u1 returns within the numbering horizon: session_no continues
+      mem.addData(e(1, 5, "13:30:00", 16.0))
+      q.processAllAvailable() // wm -> 13:20
+      mem.addData(e(2, 6, "15:00:00", 32.0))
+      q.processAllAvailable() // wm -> 14:50; u1 session 2 finalizes
+      val u1 = spark.table("sess_mb_test")
+        .filter(col("user_id") === 1L)
+        .collect().map(r => r.getLong(1) ->
+          ((r.getLong(2), r.getDouble(3), r.getTimestamp(4).toString)))
+        .toMap
+      assert(u1 == Map(
+        1L -> ((3L, 7.0, "2026-01-01 10:00:00.0")),
+        2L -> ((1L, 16.0, "2026-01-01 13:30:00.0"))), u1)
+    } finally q.stop()
+  }
+
   test("replaySessions matches the batch session query on closed sessions") {
     val res = StreamingIngest.replaySessions(spark, sfDir)
       .withColumn("sum_value", round(col("sum_value"), 2))
