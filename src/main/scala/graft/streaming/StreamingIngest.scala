@@ -212,6 +212,45 @@ object StreamingIngest {
       }
   }
 
+  /** Staged replay source cache: the static events table copied once
+    * per corpus as a handful of parquet files for file-stream replays
+    * (checkpoint/output dirs stay fresh per replay — only the
+    * immutable input staging is shared). */
+  private val eventStage =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Path of (and schema-stable frame for) the staged events table. */
+  private def stagedEvents(spark: SparkSession, sfDir: String): String =
+    eventStage.getOrElseUpdate(sfDir, {
+      val stage = graft.sources.OrcIo.scratchDir("stream_src")
+      graft.Tables.load(spark, sfDir, "events")
+        .coalesce(4).write.mode("overwrite").parquet(s"$stage/in")
+      s"$stage/in"
+    })
+
+  /** Fresh cloned session + file stream over the staged events. */
+  private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val inPath = stagedEvents(spark, sfDir)
+    val streamSession = spark.newSession()
+    streamSession.conf.set("spark.sql.shuffle.partitions", "4")
+    streamSession.readStream
+      .schema(spark.read.parquet(inPath).schema)
+      .parquet(inPath)
+  }
+
+  private def runToParquet(df: DataFrame, tag: String): String = {
+    val dir = graft.sources.OrcIo.scratchDir(tag)
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .outputMode(OutputMode.Append())
+      .start()
+    q.awaitTermination()
+    s"$dir/out"
+  }
+
   /** Drained-replay gate for [[sessionizeEventTime]]: stream the
     * static events table, sessionize, and return the emitted sessions.
     * The emitted set is deterministic: every non-final session closes
@@ -219,26 +258,11 @@ object StreamingIngest {
     * (max event time − 10 min) strictly passed its end + 30 min. */
   def replaySessions(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val src = graft.Tables.load(spark, sfDir, "events")
+    val stream = eventStream(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-    val stage = graft.sources.OrcIo.scratchDir("stream_sess")
-    src.coalesce(4).write.mode("overwrite").parquet(s"$stage/in")
-    val out = s"$stage/out"
-    val streamSession = spark.newSession()
-    streamSession.conf.set("spark.sql.shuffle.partitions", "4")
-    val stream = streamSession.readStream
-      .schema(src.schema)
-      .parquet(s"$stage/in")
       .as[SessEvent]
-    val q = sessionizeEventTime(stream).writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", s"$stage/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .outputMode(OutputMode.Append())
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(out)
+    spark.read.parquet(
+      runToParquet(sessionizeEventTime(stream).toDF(), "stream_sess"))
   }
 
   /**
@@ -271,28 +295,9 @@ object StreamingIngest {
   /** Drained-replay gate for [[streamAttribution]]: all events arrive
     * within the watermark, so the emitted pairs equal the batch
     * interval join. */
-  def replayAttribution(spark: SparkSession, sfDir: String): DataFrame = {
-    val src = graft.Tables.load(spark, sfDir, "events")
-      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
-        col("event_type"))
-    val stage = graft.sources.OrcIo.scratchDir("stream_attr")
-    src.coalesce(4).write.mode("overwrite").parquet(s"$stage/in")
-    val out = s"$stage/out"
-    val streamSession = spark.newSession()
-    streamSession.conf.set("spark.sql.shuffle.partitions", "4")
-    val stream = streamSession.readStream
-      .schema(src.schema)
-      .parquet(s"$stage/in")
-    val q = streamAttribution(stream).writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", s"$stage/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .outputMode(OutputMode.Append())
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(out)
-  }
+  def replayAttribution(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(runToParquet(
+      streamAttribution(eventStream(spark, sfDir)), "stream_attr"))
 
   /**
    * Batch-replay harness: runs the streaming pipeline over the static
@@ -301,26 +306,15 @@ object StreamingIngest {
    * source → transform → ORC sink → commit-log read-back) in one call.
    */
   def replayIngest(spark: SparkSession, sfDir: String): DataFrame = {
-    val src = graft.Tables.load(spark, sfDir, "events")
-    val stage = graft.sources.OrcIo.scratchDir("stream_src")
-    // stage the table as a handful of parquet files for the file stream
-    // to discover (few large files: file-listing and per-file batch
-    // overheads dominate at replay scale, not row decode)
-    src.coalesce(4).write.mode("overwrite").parquet(s"$stage/in")
-    val out = s"$stage/out"
-    // size streaming state to the stream volume: each micro-batch
-    // commits one state-store dir per shuffle partition, and a few
-    // thousand windows need 4, not 32 (at production volume this is
-    // sized to the cluster like any shuffle). The override lives in a
-    // cloned session so concurrently-planning batch queries (Verify
-    // runs 4 at a time) never see it.
-    val streamSession = spark.newSession()
-    streamSession.conf.set("spark.sql.shuffle.partitions", "4")
-    val stream2 = streamSession.readStream
-      .schema(src.schema)
-      .parquet(s"$stage/in")
-    val q = orcSink(hourlyRollup(stream2), out, s"$stage/ckpt")
+    // the staged input is shared across replays ([[stagedEvents]]: few
+    // large files — file-listing and per-file batch overheads dominate
+    // at replay scale); the 4-partition state sizing lives in the
+    // cloned session ([[eventStream]]) so concurrently-planning batch
+    // queries never see it
+    val stage = graft.sources.OrcIo.scratchDir("stream_ingest")
+    val q = orcSink(hourlyRollup(eventStream(spark, sfDir)),
+      s"$stage/out", s"$stage/ckpt")
     q.awaitTermination()
-    spark.read.orc(out)
+    spark.read.orc(s"$stage/out")
   }
 }

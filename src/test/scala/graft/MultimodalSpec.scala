@@ -56,7 +56,11 @@ class MultimodalSpec extends SparkSpec {
     res.collect().foreach(r => assert(r.getDouble(2) >= 0.999))
     // IVF-cell blocking with 2-cell probing must not lose pairs vs the
     // exact kind-blocked join at this threshold (precision is exact by
-    // construction: every candidate is cosine-verified)
+    // construction: every candidate is cosine-verified). Exact recall
+    // is a property of THIS fixed corpus + deterministic k-means fit
+    // (pinned on purpose — it cannot flake run-to-run); 2-probe recall
+    // is not structurally guaranteed for arbitrary data, where a pair
+    // straddling a 3-cell corner can miss.
     val feats = spark.read.parquet(
       Multimodal.buildFeatureStore(spark, sfDir))
     val a = feats.select(col("media_id").as("media_a"), col("kind"),
