@@ -116,6 +116,13 @@ object SparkEntry {
     "q_stream_attrib" -> ((s, d) =>
       graft.streaming.StreamingIngest.replayAttribution(s, d)
         .orderBy(col("click_id"), col("purchase_id"))),
+    // Stream-static broadcast enrichment (stateless → replay = batch)
+    "q_stream_enrich" -> ((s, d) =>
+      graft.streaming.StreamingIngest.replayEnrich(s, d)
+        .orderBy(col("event_id"))),
+    // Sketch percentiles (engine-specific values → rows-only gate;
+    // error-bounded against the exact gate in ScaleSpec)
+    "q_approx_percentiles" -> (Scale.approxPercentileQuery _),
     // Multimodal columns (north star)
     "q_media_meta" -> (Multimodal.mediaMetaQuery _),
     "q_media_decode" -> (Multimodal.decodePipelineQuery _),
@@ -581,6 +588,11 @@ object SparkEntry {
         |SELECT doc_id, lang, quality_score
         |FROM k WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    "q_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment,
+        |  e.value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
     // All click→purchase pairs within 1 h per user — the batch twin of
     // the drained stream-stream interval join.
     "q_stream_attrib" ->

@@ -72,6 +72,29 @@ object Scale {
         col("e.id").as("l_orderkey"))
       .orderBy(col("l_returnflag"), col("rank"))
 
+  /**
+   * Approximate percentiles (Greenwald-Khanna sketch): the 100 TB path
+   * the exact [[Relational.percentileQuery]] gate verifies — bounded
+   * memory per group (accuracy 10000 → ~0.01% rank error) where the
+   * exact aggregate buffers every value. Deterministic for a fixed
+   * input layout but engine-specific → rows-only gate; ScaleSpec
+   * bounds its error against the exact result.
+   */
+  def approxPercentileQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, " +
+          "array(0.25D, 0.5D, 0.75D, 0.95D), 10000)").as("_ps"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"),
+        round(element_at(col("_ps"), 1), 2).as("p25"),
+        round(element_at(col("_ps"), 2), 2).as("p50"),
+        round(element_at(col("_ps"), 3), 2).as("p75"),
+        round(element_at(col("_ps"), 4), 2).as("p95"),
+        col("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   /** Approximate distinct (HLL++): the sketch aggregate a 100 TB
     * pipeline uses instead of exact countDistinct. rsd 0.01 → ~1%
     * error with constant memory per group. */

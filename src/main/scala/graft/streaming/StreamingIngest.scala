@@ -266,6 +266,30 @@ object StreamingIngest {
   }
 
   /**
+   * Stream-static enrichment: join the event stream against a
+   * broadcast dimension table — the standard "decorate the stream with
+   * reference data" pattern. The static side is planned per
+   * micro-batch (a broadcast hash join inside each batch), so no
+   * stream state at all is needed; append mode works without a
+   * watermark because no aggregation happens.
+   */
+  def streamEnrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim),
+      col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment"), col("value"))
+
+  /** Drained-replay gate for [[streamEnrich]]: stateless inner join ⇒
+    * replay equals the batch join row-for-row. */
+  def replayEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val stream = eventStream(spark, sfDir)
+    val dim = graft.Tables.load(stream.sparkSession, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    spark.read.parquet(
+      runToParquet(streamEnrich(stream, dim), "stream_enrich"))
+  }
+
+  /**
    * Stream-stream interval join (click→purchase attribution): for
    * every click, the same user's purchases within the following hour.
    * Both sides carry watermarks, so Spark bounds the join state — a

@@ -94,6 +94,22 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Sort "), s"no sort expected:\n$plan")
   }
 
+  test("approx percentiles track the exact gate within 1%") {
+    val exact = graft.operators.Relational.percentileQuery(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4))).toMap
+    val approx = Scale.approxPercentileQuery(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((g, ps) <- approx; (a, e) <- ps.zip(exact(g))) {
+      assert(math.abs(a - e) / e < 0.01,
+        s"group $g: approx $a vs exact $e")
+    }
+  }
+
   test("session windows split on gaps > threshold only") {
     import SparkSpec.spark.implicits._
     val res = Scale.sessionWindowQuery(spark, sfDir, gapMinutes = 30)

@@ -111,6 +111,29 @@ class VectorOpsSpec extends SparkSpec {
     assert(got(2) == ((0, 0, 0))) // single token: no bigram
   }
 
+  test("graft_ngram_rep agrees with the explode+groupBy formulation") {
+    // property check on the real corpus: the one-pass kernel must
+    // equal the relational multiset count for every document
+    val docs = Tables.load(spark, sfDir, "documents").limit(100)
+    val kernel = docs.select(col("doc_id"),
+      call_function("graft_ngram_rep", col("text"), lit(2)).as("r"))
+      .select(col("doc_id"), col("r.n_grams"), col("r.n_distinct"),
+        col("r.top_count"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    val relational = docs.select(col("doc_id"),
+      explode(call_function("graft_ngrams", col("text"), lit(2)))
+        .as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("int").as("n"),
+        count(lit(1)).cast("int").as("d"),
+        max(col("c")).cast("int").as("t"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(kernel == relational)
+  }
+
   test("graft_feature_hash emits unit-norm deterministic embeddings") {
     val df = Seq("the cat sat", "the cat sat", "completely different words")
       .toDF("text")
