@@ -101,8 +101,8 @@ object SparkEntry {
     "q_embed_quant" -> (Similarity.quantizationQuery _),
     // Streaming sessionization with custom event-time state
     // (flatMapGroupsWithState): drained replay of the static events
-    // table; emitted set = gap-closed sessions + watermark-timed-out
-    // finals (see the oracle's WHERE clause)
+    // table; emitted set = sessions whose end + gap the final
+    // watermark strictly passed (see the oracle's WHERE clause)
     "q_stream_sessions" -> ((s, d) =>
       graft.streaming.StreamingIngest.replaySessions(s, d)
         .select(col("user_id"), col("session_no"), col("n_events"),
@@ -1027,10 +1027,12 @@ object SparkEntry {
         |  CAST(sum(dims + 8) AS BIGINT) AS bytes_int8
         |FROM c GROUP BY label
         |ORDER BY label""".stripMargin,
-    // Drained-replay sessionization: every non-final session closes by
-    // gap; a user's final session is emitted iff the final watermark
-    // (max event time − 10 min) strictly passed its end + 30 min —
-    // the EventTimeTimeout contract.
+    // Drained-replay sessionization: a session is emitted iff the
+    // final watermark (max event time − 10 min) strictly passed its
+    // end + 30 min — the append-mode watermark contract. Emitted
+    // sessions are always a per-user prefix in time order (sessions
+    // are gap-separated), so their numbering equals the batch
+    // session_no.
     "q_stream_sessions" ->
       """WITH g AS (
         |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
@@ -1053,14 +1055,11 @@ object SparkEntry {
         |  FROM n GROUP BY user_id, session_no),
         |wm AS (
         |  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS w
-        |  FROM events),
-        |l AS (SELECT user_id, max(session_no) AS last_no
-        |  FROM g2 GROUP BY user_id)
+        |  FROM events)
         |SELECT g2.user_id, g2.session_no, g2.n_events, g2.sum_value,
         |  g2.session_start
-        |FROM g2 JOIN l ON g2.user_id = l.user_id CROSS JOIN wm
-        |WHERE g2.session_no < l.last_no
-        |   OR epoch_ms(g2.session_end) + 1800000 < epoch_ms(wm.w)
+        |FROM g2 CROSS JOIN wm
+        |WHERE epoch_ms(g2.session_end) + 1800000 < epoch_ms(wm.w)
         |ORDER BY g2.user_id, g2.session_no""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id AS media_id,

@@ -215,26 +215,28 @@ object StreamingIngest {
   /** Staged replay source cache: the static events table copied once
     * per corpus as a handful of parquet files for file-stream replays
     * (checkpoint/output dirs stay fresh per replay — only the
-    * immutable input staging is shared). */
-  private val eventStage =
-    scala.collection.concurrent.TrieMap[String, String]()
+    * immutable input staging is shared). The schema is captured at
+    * staging time so replays skip the footer re-read. */
+  private val eventStage = scala.collection.concurrent.TrieMap[
+    String, (String, org.apache.spark.sql.types.StructType)]()
 
-  /** Path of (and schema-stable frame for) the staged events table. */
-  private def stagedEvents(spark: SparkSession, sfDir: String): String =
+  /** (path, schema) of the staged events table. */
+  private def stagedEvents(spark: SparkSession, sfDir: String)
+      : (String, org.apache.spark.sql.types.StructType) =
     eventStage.getOrElseUpdate(sfDir, {
       val stage = graft.sources.OrcIo.scratchDir("stream_src")
-      graft.Tables.load(spark, sfDir, "events")
-        .coalesce(4).write.mode("overwrite").parquet(s"$stage/in")
-      s"$stage/in"
+      val src = graft.Tables.load(spark, sfDir, "events")
+      src.coalesce(4).write.mode("overwrite").parquet(s"$stage/in")
+      (s"$stage/in", src.schema)
     })
 
   /** Fresh cloned session + file stream over the staged events. */
   private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val inPath = stagedEvents(spark, sfDir)
+    val (inPath, schema) = stagedEvents(spark, sfDir)
     val streamSession = spark.newSession()
     streamSession.conf.set("spark.sql.shuffle.partitions", "4")
     streamSession.readStream
-      .schema(spark.read.parquet(inPath).schema)
+      .schema(schema)
       .parquet(inPath)
   }
 
@@ -253,9 +255,10 @@ object StreamingIngest {
 
   /** Drained-replay gate for [[sessionizeEventTime]]: stream the
     * static events table, sessionize, and return the emitted sessions.
-    * The emitted set is deterministic: every non-final session closes
-    * by gap; a user's final session closes iff the final watermark
-    * (max event time − 10 min) strictly passed its end + 30 min. */
+    * The emitted set is deterministic: exactly the sessions whose
+    * end + 30 min the final watermark (max event time − 10 min)
+    * strictly passed — always a per-user prefix in time order, so
+    * numbering matches the batch query. */
   def replaySessions(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val stream = eventStream(spark, sfDir)

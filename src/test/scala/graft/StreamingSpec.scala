@@ -116,8 +116,9 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1)) ->
           ((r.getLong(2), r.getDouble(3), r.getTimestamp(4).toString)))
         .toMap
-      // u1 s1 closed by gap; u1 s2 closed by timeout; u2's session still
-      // open (18:00 + 30 min is past the 17:50 watermark)
+      // the 17:50 watermark passed both u1 sessions' end + gap
+      // (10:40, 12:30), so both finalized; u2's session is still open
+      // (18:00 + 30 min is past the watermark)
       assert(got == Map(
         (1L, 1L) -> ((2L, 3.0, "2026-01-01 10:00:00.0")),
         (1L, 2L) -> ((1L, 4.0, "2026-01-01 12:00:00.0"))), got)

@@ -114,7 +114,11 @@ class VectorOpsSpec extends SparkSpec {
   test("graft_ngram_rep agrees with the explode+groupBy formulation") {
     // property check on the real corpus: the one-pass kernel must
     // equal the relational multiset count for every document
-    val docs = Tables.load(spark, sfDir, "documents").limit(100)
+    // (deterministic subset — limit() would be re-planned per collect;
+    // explode drops zero-bigram docs, so compare on n_grams > 0 and
+    // pin the zero case separately)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") < 100)
     val kernel = docs.select(col("doc_id"),
       call_function("graft_ngram_rep", col("text"), lit(2)).as("r"))
       .select(col("doc_id"), col("r.n_grams"), col("r.n_distinct"),
@@ -131,7 +135,9 @@ class VectorOpsSpec extends SparkSpec {
         max(col("c")).cast("int").as("t"))
       .collect().map(r => r.getLong(0) ->
         ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
-    assert(kernel == relational)
+    assert(kernel.filter(_._2._1 > 0) == relational)
+    kernel.filter(_._2._1 == 0).values.foreach(v =>
+      assert(v == ((0, 0, 0))))
   }
 
   test("graft_feature_hash emits unit-norm deterministic embeddings") {
