@@ -15,7 +15,8 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
     // warm-up: JVM/codegen/scan-cache spin-up is ~5s and would otherwise
     // be billed entirely to the first timed query
-    run(SparkEntry.queries("q1_agg")(spark, sfDir))
+    try run(SparkEntry.queries("q1_agg")(spark, sfDir))
+    catch { case t: Throwable => System.err.println(s"[bench] warm-up failed: $t") }
     // two timed passes per query, report the minimum: single-shot
     // timings on a shared machine carry ±30% co-tenant noise (observed
     // 1.2s↔31s on the same query); the min is the reproducible number.
@@ -24,23 +25,50 @@ object Bench {
     // one contiguous alphabetical block all 3-7s while neighbors are
     // subsecond), so back-to-back passes share the same noise window and
     // the min rejects nothing.
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): Double = {
+    // A failed run is NEVER reported as a timing: it yields Left(error)
+    // and surfaces in an "errors" object in the emitted JSON.
+    def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        run(fn(spark, sfDir))
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case t: Throwable =>
+          val root = Option(t.getCause).getOrElse(t)
+          System.err.println(s"[bench] $name FAILED: $root")
+          Left(s"${root.getClass.getSimpleName}: ${Option(root.getMessage).getOrElse("").take(120)}")
+      }
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val pass1 = ordered.map { case (name, fn) => name -> timeOnce(fn) }.toMap
+    val pass1 = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
     val results = ordered.map { case (name, fn) =>
-      val sec = math.min(pass1(name), timeOnce(fn))
-      System.err.println(f"[bench] $name%-20s $sec%8.2fs")
-      name -> sec
+      val second = timeOnce(name, fn)
+      val outcome = (pass1(name), second) match {
+        case (Right(a), Right(b)) => Right(math.min(a, b))
+        case (Right(a), Left(_))  => Right(a) // one clean run is a valid timing
+        case (Left(_), Right(b))  => Right(b)
+        case (Left(e), Left(_))   => Left(e)
+      }
+      outcome match {
+        case Right(sec) => System.err.println(f"[bench] $name%-20s $sec%8.2fs")
+        case Left(err)  => System.err.println(s"[bench] $name ERROR $err")
+      }
+      name -> outcome
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal timings keep the full 70+-query JSON line small enough to
+    // survive the driver's tail capture (full double repr overflowed it
+    // in round 4 and truncated the head of the object).
+    def d3(v: Double): String = f"$v%.3f"
+    val qs = results.collect { case (k, Right(v)) => "\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, Left(e)) =>
+      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }
+    val errObj = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    val total = d3(results.collect { case (_, Right(v)) => v }.sum)
+    System.err.flush()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errObj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

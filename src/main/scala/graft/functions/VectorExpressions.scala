@@ -378,6 +378,47 @@ object VectorKernels {
       copy(child = newChild)
   }
 
+  /**
+   * 64-bit polynomial rolling hash over a string's code points:
+   * h = fold((h·131 + cp) mod 1e9+7, 0) — the Rabin-Karp fingerprint
+   * primitive. Semantics identical to the SQL-expressible HOF form
+   * (`aggregate(transform(split(text,''), ascii), ...)`) that the
+   * DuckDB oracle replays, but one native pass instead of a boxed
+   * interpreted lambda per character (measured 1.01 s → native at
+   * sf0.1 on q_fingerprint). M < 2^31, so h·B + cp never overflows.
+   */
+  def rollingHashJava(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val s = text.toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 131L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** See [[rollingHashJava]]: string → bigint. */
+  case class RollingHash(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got " + other.simpleString)
+      }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_rolling_hash"
+    override protected def nullSafeEval(a: Any): Any =
+      rollingHashJava(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.rollingHashJava($a)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   private def longArrayCheck(e: Expression, name: String): TypeCheckResult =
     e.dataType match {
       case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
