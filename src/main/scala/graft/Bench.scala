@@ -58,17 +58,34 @@ object Bench {
     }
     // 3-decimal timings keep the full 70+-query JSON line small enough to
     // survive the driver's tail capture (full double repr overflowed it
-    // in round 4 and truncated the head of the object).
-    def d3(v: Double): String = f"$v%.3f"
+    // in round 4 and truncated the head of the object). Locale pinned to
+    // ROOT: a comma-decimal default locale would emit invalid JSON.
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.collect { case (k, Right(v)) => "\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(e)) =>
-      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      // Exception messages can carry newlines/tabs (AnalysisException plan
+      // fragments); control chars would break both JSON validity and the
+      // single-line contract, so flatten them before quoting.
+      val clean = e.replaceAll("\\p{Cntrl}", " ")
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+      "\"" + k + "\":\"" + clean + "\""
     }
     val errObj = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = d3(results.collect { case (_, Right(v)) => v }.sum)
     System.err.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errObj,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errObj,"sf":"$sfDir"}"""
+    println(json)
+    // Also write the line to the raw stdout file descriptor: under sbt,
+    // println is routed through the logger and lands in the captured
+    // output as "[info] {...}", which a per-line JSON parse rejects
+    // (every BENCH_r* so far shows parsed:null). FileDescriptor.out
+    // bypasses System.setOut, so this copy arrives prefix-free.
+    val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+    raw.write((json + "\n").getBytes("UTF-8"))
+    raw.flush()
     spark.stop()
   }
 }

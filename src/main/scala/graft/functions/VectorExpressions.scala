@@ -381,11 +381,14 @@ object VectorKernels {
   /**
    * 64-bit polynomial rolling hash over a string's code points:
    * h = fold((h·131 + cp) mod 1e9+7, 0) — the Rabin-Karp fingerprint
-   * primitive. Semantics identical to the SQL-expressible HOF form
-   * (`aggregate(transform(split(text,''), ascii), ...)`) that the
-   * DuckDB oracle replays, but one native pass instead of a boxed
-   * interpreted lambda per character (measured 1.01 s → native at
-   * sf0.1 on q_fingerprint). M < 2^31, so h·B + cp never overflows.
+   * primitive. Code-point semantics match the DuckDB oracle
+   * (`list_transform(string_split(text,''), ascii)` iterates code
+   * points); they diverge from the Spark HOF form
+   * (`aggregate(transform(split(text,''), ascii), ...)`) on
+   * supplementary (non-BMP) characters, where Spark's split('')
+   * yields UTF-16 surrogate halves. One native pass instead of a
+   * boxed interpreted lambda per character.
+   * M < 2^31, so h·B + cp never overflows.
    */
   def rollingHashJava(text: org.apache.spark.unsafe.types.UTF8String): Long = {
     val s = text.toString
@@ -952,6 +955,7 @@ object VectorKernels {
     fn("graft_ngrams", es => NGrams(es(0),
       es(1).eval().asInstanceOf[Int])),
     fn("graft_sig_agree", es => SignatureAgreement(es(0), es(1))),
+    fn("graft_rolling_hash", es => RollingHash(es.head)),
     // centroid matrix must be a foldable array<array<float>> literal
     // (typedLit), n a foldable int
     fn("graft_nearest_cells", es => NearestCells(es(0),

@@ -198,16 +198,13 @@ object TextAnalysis {
         round(element_at(col("_v"), 1), 6).as("c0"))
       .orderBy(col("doc_id"))
 
-  /** 64-bit polynomial rolling hash of a string's chars:
-    * h = Σ c_i·B^(n-1-i) mod M, sequential, overflow-free (M < 2^31 so
-    * h·B + c fits a long). */
-  def rollingHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val B = 131L
-    val M = 1000000007L
-    aggregate(
-      // ascii codepoints of each char, in order
-      transform(split(c, ""), ch => ascii(ch).cast("long")),
-      lit(0L),
-      (acc, v) => (acc * B + v) % M)
-  }
+  /** 64-bit polynomial rolling hash of a string's code points:
+    * h = Σ cp_i·B^(n-1-i) mod M, sequential, overflow-free (M < 2^31 so
+    * h·B + cp fits a long). Native codegen'd kernel
+    * ([[graft.functions.VectorKernels.RollingHash]]) — the HOF form
+    * (`aggregate(transform(split(c,''), ascii), ...)`) evaluates a
+    * boxed interpreted lambda per character and dominated
+    * q_fingerprint's cost at sf0.1. */
+  def rollingHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("graft_rolling_hash", c)
 }

@@ -6,13 +6,38 @@ import org.apache.spark.sql.functions._
 class TextAnalysisSpec extends SparkSpec {
   import SparkSpec.spark.implicits._
 
-  test("rollingHash matches a Scala reference implementation") {
-    def ref(s: String): Long =
-      s.foldLeft(0L)((acc, c) => (acc * 131L + c.toLong) % 1000000007L)
-    val samples = Seq("", "a", "hello world", "The quick brown fox! 123")
+  test("rollingHash matches a code-point Scala reference implementation") {
+    // Code-point fold (not UTF-16 code units): supplementary characters
+    // hash as one code point, matching the DuckDB oracle's
+    // string_split(text, '') semantics.
+    def ref(s: String): Long = {
+      var h = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * 131L + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+      h
+    }
+    val samples = Seq("", "a", "hello world", "The quick brown fox! 123",
+      "café 你好", "non-BMP 😀 emoji 🤖")
     val got = samples.toDF("text")
       .select(TextAnalysis.rollingHash(col("text"))).as[Long].collect()
     assert(got.toSeq == samples.map(ref))
+    // seeded pseudo-random strings, mixed BMP/non-BMP
+    val rng = new scala.util.Random(42)
+    val rand = (1 to 50).map { _ =>
+      (1 to rng.nextInt(40)).map { _ =>
+        val cp = rng.nextInt(0x2F000) match {
+          case c if c >= 0xD800 && c <= 0xDFFF => 'x'.toInt // skip surrogates
+          case c => c
+        }
+        new String(Character.toChars(cp))
+      }.mkString
+    }
+    val gotR = rand.toDF("text")
+      .select(TextAnalysis.rollingHash(col("text"))).as[Long].collect()
+    assert(gotR.toSeq == rand.map(ref))
   }
 
   test("token stats on a crafted document") {
