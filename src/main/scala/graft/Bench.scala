@@ -78,14 +78,18 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errObj,"sf":"$sfDir"}"""
     println(json)
+    spark.stop()
     // Also write the line to the raw stdout file descriptor: under sbt,
     // println is routed through the logger and lands in the captured
     // output as "[info] {...}", which a per-line JSON parse rejects
     // (every BENCH_r* so far shows parsed:null). FileDescriptor.out
-    // bypasses System.setOut, so this copy arrives prefix-free.
+    // bypasses System.setOut, so this copy arrives prefix-free. It must
+    // be the FINAL bytes of the process: the driver's tail capture is
+    // bounded, and in round 6 this copy flushed before sbt's logger
+    // line, so its head was truncated out of the window. Emitting after
+    // spark.stop() (nothing logs afterwards) keeps it intact at the end.
     val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
     raw.write((json + "\n").getBytes("UTF-8"))
     raw.flush()
-    spark.stop()
   }
 }

@@ -57,6 +57,7 @@ object SparkEntry {
     // Side-file salvage (W8 _flush_length) + user metadata surface
     "q_salvage" -> (graft.sources.OrcIo.salvageQuery _),
     "q_user_metadata" -> (graft.sources.OrcMeta.userMetadataQuery _),
+    "q_orc_memory" -> (graft.sources.OrcMeta.memoryEstimateQuery _),
     // JSON tools (SURVEY.md §2.9)
     "q_json_convert" -> (graft.sources.JsonTools.jsonConvertQuery _),
     // Streaming ingest (SURVEY.md §2.10 W8): stream → watermarked
@@ -126,6 +127,7 @@ object SparkEntry {
     // Multimodal columns (north star)
     "q_media_meta" -> (Multimodal.mediaMetaQuery _),
     "q_media_decode" -> (Multimodal.decodePipelineQuery _),
+    "q_image_decode" -> (Multimodal.imageDecodeQuery _),
     "q_media_neardup" -> (Multimodal.mediaNearDupQuery _),
   )
 
@@ -1061,6 +1063,16 @@ object SparkEntry {
         |FROM g2 CROSS JOIN wm
         |WHERE epoch_ms(g2.session_end) + 1800000 < epoch_ms(wm.w)
         |ORDER BY g2.user_id, g2.session_no""".stripMargin,
+    // the real-codec round trip: the engine ENCODES genuine PNGs with
+    // id-derived dimensions and DECODES them via javax.imageio; the
+    // oracle predicts what a correct codec must recover from doc_id
+    "q_image_decode" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        |  CAST(4 + doc_id % 13 AS INTEGER) AS width,
+        |  CAST(4 + doc_id % 11 AS INTEGER) AS height,
+        |  CAST(1 AS INTEGER) AS n_frames
+        |FROM documents
+        |ORDER BY media_id""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -277,48 +277,70 @@ object Dedup {
    * Scale: pair-dedup edge sets are tiny relative to the corpus (edges
    * exist only between near-dups) and component diameters are small
    * (dup clusters are dense), so the round count stays low; each round
-   * is one edge⋈label join + one partial-aggregated min. Lineage is
-   * cut per round (`localCheckpoint` — a cluster deployment would use
-   * reliable `checkpoint`), the convergence check is a metadata-sized
-   * count, and `maxIters` bounds the worst case (a path graph).
+   * is one edge⋈label join + one partial-aggregated min — and exactly
+   * ONE Spark job: the changed-row count rides the materialization job
+   * as an `observe` metric instead of a second driver-blocking
+   * `count()`, and lineage is cut by the same materialization.
+   * `checkpointDir` selects the cut: a reliable store path (HDFS/S3 on
+   * a cluster — survives executor loss, ping-pong between two
+   * subdirectories so storage stays bounded at two label generations)
+   * or, by default, executor-local `localCheckpoint` (fine for the
+   * single-JVM harness). `maxIters` bounds the worst case (a path
+   * graph).
    *
    * @param edges (a, b) node-id pairs, undirected (either orientation)
    * @param nodes (id) — all node ids; isolated nodes become singletons
+   * @param checkpointDir reliable per-round checkpoint location; None →
+   *        executor-local checkpoints
    */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
-      maxIters: Int = 25): DataFrame = {
-    val sym = edges.select(col("a"), col("b"))
+      maxIters: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    def cut(df: DataFrame, name: String): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val p = s"$dir/$name"
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      case None => df.localCheckpoint()
+    }
+    val sym = cut(edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("label"))
-      .localCheckpoint()
+      .distinct(), "sym")
+    var labels = cut(nodes.select(col("id"), col("id").as("label")),
+      "labels_0")
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
       val nbrMin = sym
         .join(labels.select(col("id").as("b"), col("label")), Seq("b"))
         .groupBy(col("a")).agg(min(col("label")).as("nbr_label"))
+      // carry the incoming label as _old so the convergence signal can
+      // be computed inline, inside the materialization job
       val viaNbr = labels
         .join(nbrMin.select(col("a").as("id"), col("nbr_label")),
           Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("_old"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
       // pointer jumping: also adopt the label OF the current label
       // (label chains halve every round → O(log n) rounds on paths,
       // where pure neighbour propagation needs O(diameter))
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$it")
       val next = viaNbr
         .join(viaNbr.select(col("id").as("label"),
           col("label").as("_parent")), Seq("label"), "left")
-        .select(col("id"),
+        .select(col("id"), col("_old"),
           least(col("label"), coalesce(col("_parent"), col("label")))
             .as("label"))
-        .localCheckpoint()
-      val changed = next
-        .join(labels.select(col("id"), col("label").as("_old")), Seq("id"))
-        .filter(col("label") =!= col("_old")).count()
-      labels = next
+        .observe(obs,
+          sum(when(col("label") =!= col("_old"), 1L).otherwise(0L))
+            .as("changed"))
+        .drop("_old")
+      // ping-pong between two generations in reliable mode (labels_1 /
+      // labels_2) so old rounds don't accumulate in the store
+      labels = cut(next, s"labels_${it % 2 + 1}")
+      val changed =
+        Option(obs.get("changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
       converged = changed == 0
       it += 1
     }

@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
  * `binary` columns with typed metadata, flowing through decode /
  * feature-extract / sample stages.
  *
- * The container has no image/audio codecs, so the *decode kernel* is a
- * clearly-marked deterministic fake ([[fakeDecodeHeader]]); everything
- * around it — schema, batch shape, partition-preserving mapPartitions,
- * metadata extraction — is real and tested. Swapping in a real codec
- * means replacing the one marked function.
+ * The image kind decodes through a REAL codec (`javax.imageio`, in the
+ * JDK): [[syntheticImages]] encodes genuine PNGs and [[decodeHeader]]
+ * parses them back, oracle-gated end-to-end (q_image_decode predicts
+ * the encoded dimensions in SQL). Audio/video have no codec in this
+ * container, so their kernel is a clearly-marked deterministic fake
+ * ([[fakeDecodeHeader]]); everything around it — schema, batch shape,
+ * partition-preserving mapPartitions, metadata extraction — is real
+ * and tested. Swapping in a real audio codec means replacing the one
+ * marked function, exactly as the image kind already does.
  *
  * Scale: rows carry payload bytes; all stages are narrow (no shuffle),
  * so 100 TB of media flows one partition at a time. Byte-level ops
@@ -32,11 +36,12 @@ object Multimodal {
       width: Int, height: Int, n_frames: Int)
 
   /**
-   * STUB — deterministic fake decode standing in for an image/audio
-   * codec (none installed in this container). Derives "dimensions"
-   * from payload bytes so outputs are stable and testable. Replace the
-   * body with a real codec call (e.g. javax.imageio / ffmpeg) to go
-   * live; the signature and surrounding plumbing do not change.
+   * STUB — deterministic fake decode standing in for an audio/video
+   * codec (none installed in this container; images go through the
+   * real path in [[decodeHeader]]). Derives "dimensions" from payload
+   * bytes so outputs are stable and testable. Replace the body with a
+   * real codec call (e.g. ffmpeg) to go live; the signature and
+   * surrounding plumbing do not change.
    */
   def fakeDecodeHeader(payload: Array[Byte]): (Int, Int, Int) = {
     val len = payload.length
@@ -44,6 +49,27 @@ object Multimodal {
     val b1 = if (len > 1) payload(1) & 0xFF else 0
     (64 + b0 % 64, 64 + b1 % 64, 1 + len % 16)
   }
+
+  private val PngMagic =
+    Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+
+  def isPng(payload: Array[Byte]): Boolean =
+    payload.length > PngMagic.length &&
+      PngMagic.indices.forall(i => payload(i) == PngMagic(i))
+
+  /**
+   * Decode kernel: PNG payloads decode through the REAL codec
+   * (`javax.imageio.ImageIO` — container-independent, ships in the
+   * JDK); anything else falls to the marked audio/video stub. Returns
+   * (width, height, frameCount).
+   */
+  def decodeHeader(payload: Array[Byte]): (Int, Int, Int) =
+    if (isPng(payload)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "corrupt PNG payload")
+      (img.getWidth, img.getHeight, 1)
+    } else fakeDecodeHeader(payload)
 
   /** Decode stage: batched per-partition iteration (the Scala analogue
     * of a vectorized decode UDF — one partition in, one partition out,
@@ -54,7 +80,7 @@ object Multimodal {
       .as[MediaRecord]
       .mapPartitions { it =>
         it.map { r =>
-          val (w, h, f) = fakeDecodeHeader(r.payload)
+          val (w, h, f) = decodeHeader(r.payload)
           DecodedMeta(r.media_id, r.kind, r.payload.length, w, h, f)
         }
       }.toDF()
@@ -70,6 +96,53 @@ object Multimodal {
           .when(col("doc_id") % 3 === 1, "audio")
           .otherwise("video").as("kind"),
         col("text").cast("binary").as("payload"))
+
+  /**
+   * Real-codec image corpus: one genuine PNG per document, encoded via
+   * `javax.imageio`. Dimensions are a fixed function of `doc_id`
+   * (width = 4 + id mod 13, height = 4 + id mod 11) so an SQL oracle
+   * can predict what a real decode must recover; pixels are a
+   * deterministic hash of (id, x, y) so payload bytes are stable.
+   * Narrow per-partition encode, no shuffle — the write-side twin of
+   * the decode stage.
+   */
+  def syntheticImages(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 4 + (id % 13).toInt
+          val h = 4 + (id % 11).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val m = java.lang.Long
+                .hashCode(id * 1000003L + y * 1009L + x * 31L)
+              img.setRGB(x, y, m & 0xFFFFFF)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRecord(id, "image", bos.toByteArray)
+        }
+      }.toDF()
+  }
+
+  /** Correctness-gate query for the REAL image decode: encode PNGs with
+    * id-derived dimensions, decode them back with `javax.imageio`, and
+    * let the DuckDB oracle predict the recovered dimensions from
+    * `doc_id` alone — a full codec round-trip behind a hash gate. */
+  def imageDecodeQuery(spark: SparkSession, sfDir: String): DataFrame =
+    decode(spark, syntheticImages(spark, sfDir))
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("n_frames"))
+      .orderBy(col("media_id"))
 
   /**
    * Correctness-gate query (SQL-expressible subset): byte length,

@@ -281,6 +281,183 @@ object OrcMeta {
       .orderBy(col("key"))
   }
 
+  case class MemoryEstimate(file: String, columns: String,
+      selectedColumnIds: Seq[Int], selectedStreams: Long,
+      maxStripeDataLength: Long, decompressorMemory: Long,
+      readerMemory: Long, batchMemory: Option[Long], totalMemory: Long,
+      variableLength: Boolean, compression: String)
+
+  /** Worst-case stream count a column of this type can carry in a stripe
+    * (`Reader.cc:608-635` `maxStreamsForType`): present + data for most
+    * kinds, plus length/secondary/dictionary streams for binary-ish,
+    * decimal, timestamp and string kinds. */
+  private def maxStreamsFor(
+      cat: org.apache.orc.TypeDescription.Category): Long = {
+    import org.apache.orc.TypeDescription.Category._
+    cat match {
+      case STRUCT => 1L
+      case INT | LONG | SHORT | FLOAT | DOUBLE | BOOLEAN | BYTE | DATE |
+           LIST | MAP | UNION => 2L
+      case BINARY | DECIMAL | TIMESTAMP | TIMESTAMP_INSTANT => 3L
+      case CHAR | STRING | VARCHAR => 4L
+      case _ => 0L
+    }
+  }
+
+  /** Decoded-batch footprint of one column vector at `rows` capacity
+    * (`Vector.cc:51,82,110,140,214,249,294,341,375,430`): a null byte
+    * per row, plus the type's fixed-width payload buffers. Returns None
+    * when the selection contains a LIST or MAP — element counts are
+    * data-dependent, so the reference refuses to estimate
+    * (`hasVariableLength`, `FileMemory.cc:86-88`). */
+  private def batchMemoryOf(t: org.apache.orc.TypeDescription,
+      selected: Set[Int], rows: Long): Option[Long] = {
+    import org.apache.orc.TypeDescription.Category._
+    import scala.jdk.CollectionConverters._
+    if (!selected.contains(t.getId)) return Some(0L)
+    val children = Option(t.getChildren).map(_.asScala.toSeq).getOrElse(Nil)
+    val notNull = rows // one byte per row
+    t.getCategory match {
+      case BOOLEAN | BYTE | SHORT | INT | LONG | DATE =>
+        Some(notNull + 8L * rows)
+      case FLOAT | DOUBLE => Some(notNull + 8L * rows)
+      case STRING | CHAR | VARCHAR | BINARY =>
+        Some(notNull + 16L * rows) // char* data + int64 length
+      case TIMESTAMP | TIMESTAMP_INSTANT =>
+        Some(notNull + 16L * rows) // seconds + nanoseconds
+      case DECIMAL =>
+        // Decimal64 (≤18 digits): values + readScales; Decimal128: 16-byte
+        // values + readScales
+        val payload = if (t.getPrecision <= 18) 16L else 24L
+        Some(notNull + payload * rows)
+      case STRUCT =>
+        children.foldLeft(Option(notNull)) { (acc, c) =>
+          for (a <- acc; m <- batchMemoryOf(c, selected, rows)) yield a + m
+        }
+      case UNION =>
+        // tags (1 byte) + offsets (8 bytes) + children
+        children.foldLeft(Option(notNull + 9L * rows)) { (acc, c) =>
+          for (a <- acc; m <- batchMemoryOf(c, selected, rows)) yield a + m
+        }
+      case LIST | MAP => None // variable length
+      case _ => Some(notNull)
+    }
+  }
+
+  /**
+   * Reader-memory estimate for a column selection — the `orc-memory`
+   * tool (`tools/src/FileMemory.cc`; accounting rules
+   * `Reader.cc:697-771` `ReaderImpl::getMemoryUse`):
+   *
+   *  - data buffers: `2 × max stripe dataLength` when any selected
+   *    column is string-like (dictionary size unknown → both the input
+   *    stream and the seekable stream buffer the stripe), else
+   *    `min(max stripe dataLength, selectedStreams × 128 KiB)` (the
+   *    local-file natural read size, `OrcFile.cc:60`);
+   *  - floored by the tail: `footerLength + 16 KiB` directory guess
+   *    (`Reader.hh:33`) and `metadataLength`;
+   *  - `+ 8 bytes × stripeCount` (firstRowOfStripe index);
+   *  - decompressor buffers: `selectedStreams × compressionBlockSize`
+   *    when compressed, doubled for snappy (second scratch buffer).
+   *
+   * `columns` are top-level field names; empty selects all (the C++
+   * tool's default). The decoded-batch estimate for `batchSize` rows is
+   * reported separately, `None` when the selection contains LIST/MAP
+   * (data-dependent, the tool's "cannot estimate" case).
+   *
+   * Scale: footer-only I/O, one task per file batch — sizing a 100k-file
+   * dataset's executors is a metadata sweep, not a data read.
+   */
+  def memoryEstimate(spark: SparkSession, path: String,
+      columns: Seq[String] = Nil, batchSize: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val files = orcFiles(spark, path)
+    val colsLabel = if (columns.isEmpty) "*" else columns.mkString(",")
+    spark.sparkContext.parallelize(files, math.max(1, files.size / 16))
+      .map { file =>
+        withReader(file) { r =>
+          import scala.jdk.CollectionConverters._
+          val schema = r.getSchema
+          // selection: named top-level subtrees + parents, root always
+          // (ColumnSelector semantics, Reader.cc:643-658)
+          val selected: Set[Int] = {
+            val fieldIds: Seq[Int] =
+              if (columns.isEmpty ||
+                schema.getCategory !=
+                  org.apache.orc.TypeDescription.Category.STRUCT) {
+                (0 to schema.getMaximumId)
+              } else {
+                val names = schema.getFieldNames.asScala
+                val kids = schema.getChildren.asScala
+                columns.flatMap { c =>
+                  val i = names.indexOf(c)
+                  require(i >= 0, s"no such column: $c in ${names.mkString(",")}")
+                  kids(i).getId to kids(i).getMaximumId
+                }
+              }
+            (fieldIds :+ 0).toSet
+          }
+          def walk(t: org.apache.orc.TypeDescription)
+              : Seq[org.apache.orc.TypeDescription] =
+            t +: Option(t.getChildren).map(_.asScala.toSeq).getOrElse(Nil)
+              .flatMap(walk)
+          val selTypes = walk(schema).filter(t => selected.contains(t.getId))
+          val nStreams = selTypes.map(t => maxStreamsFor(t.getCategory)).sum
+          val hasString = selTypes.exists { t =>
+            import org.apache.orc.TypeDescription.Category._
+            Seq(CHAR, STRING, VARCHAR, BINARY).contains(t.getCategory)
+          }
+          val stripes = r.getStripes.asScala
+          val maxDataLength =
+            if (stripes.isEmpty) 0L else stripes.map(_.getDataLength).max
+          val naturalReadSize = 128L * 1024 // OrcFile.cc:60
+          val directoryGuess = 16L * 1024 // Reader.hh:33
+          val ps = r.getFileTail.getPostscript
+          var memory =
+            if (hasString) 2L * maxDataLength
+            else math.min(maxDataLength, nStreams * naturalReadSize)
+          memory = math.max(memory, ps.getFooterLength + directoryGuess)
+          memory = math.max(memory, ps.getMetadataLength)
+          memory += stripes.size.toLong * 8L
+          val compression = r.getCompressionKind
+          val decompressor =
+            if (compression == org.apache.orc.CompressionKind.NONE) 0L
+            else {
+              val base = nStreams * r.getCompressionSize
+              if (compression == org.apache.orc.CompressionKind.SNAPPY)
+                2L * base
+              else base
+            }
+          val readerMemory = memory + decompressor
+          val batchMem = batchMemoryOf(schema, selected, batchSize.toLong)
+          MemoryEstimate(file, colsLabel, selected.toSeq.sorted, nStreams,
+            maxDataLength, decompressor, readerMemory, batchMem,
+            readerMemory + batchMem.getOrElse(0L), batchMem.isEmpty,
+            compression.toString)
+        }
+      }.toDF()
+  }
+
+  /** Driver-gate query for the `orc-memory` surface: write a fixed table
+    * as one compressed ORC file, estimate reader memory for three column
+    * selections. Engine-internal byte accounting → rows-only check; the
+    * exact accounting rules are spec-gated (OrcIoSpec). */
+  def memoryEstimateQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_orc_memory_q").toString
+    OrcIo.write(graft.Tables.load(spark, sfDir, "nation").coalesce(1),
+      s"$dir/nation", compression = "zlib")
+    Seq("*" -> Nil, "n_name" -> Seq("n_name"),
+      "n_nationkey" -> Seq("n_nationkey"))
+      .map { case (label, cols) =>
+        memoryEstimate(spark, s"$dir/nation", cols)
+          .select(org.apache.spark.sql.functions.lit(label).as("selection"),
+            col("selectedStreams"), col("readerMemory"), col("batchMemory"),
+            col("totalMemory"), col("variableLength"))
+      }.reduce(_.unionAll(_)).orderBy(col("selection"))
+  }
+
   /** The HIVE-8732 trust gate (`OrcFile.java:116-127`): a writer version
     * `includes` the fix iff its id is at least HIVE_8732's. ORIGINAL
     * (format 0.11/early 0.12 writers) predates it → untrusted. */

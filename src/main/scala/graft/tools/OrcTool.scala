@@ -15,6 +15,8 @@ import graft.sources.{JsonTools, OrcIo, OrcMeta}
  *   json-schema <path>     inferred typed schema of JSON files
  *   convert <json> <out>   JSON → ORC
  *   merge <dir> <out>      compact ORC files (W9)
+ *   memory <path> [cols]   reader memory estimate (`orc-memory`,
+ *                          FileMemory.cc; cols = comma-separated names)
  */
 object OrcTool {
   def main(args: Array[String]): Unit = {
@@ -43,6 +45,23 @@ object OrcTool {
       case "merge" =>
         OrcIo.merge(spark, Seq(path), args(2))
         println(s"merged into ${args(2)}")
+      case "memory" =>
+        val cols =
+          if (args.length > 2) args(2).split(",").toSeq.filter(_.nonEmpty)
+          else Nil
+        val est = OrcMeta.memoryEstimate(spark, path, cols).collect()
+        est.foreach { row =>
+          // the C++ tool's output shape (FileMemory.cc:84-92)
+          println(row.getAs[String]("file"))
+          println(s"Reader memory estimate: ${row.getAs[Long]("readerMemory")}")
+          if (row.isNullAt(row.fieldIndex("batchMemory")))
+            println("Batch memory estimate:  " +
+              "Cannot estimate because reading ARRAY or MAP columns")
+          else {
+            println(s"Batch memory estimate:  ${row.getAs[Long]("batchMemory")}")
+            println(s"Total memory estimate:  ${row.getAs[Long]("totalMemory")}")
+          }
+        }
       case other => sys.error(s"unknown command: $other")
     }
     spark.stop()

@@ -133,6 +133,59 @@ class CurationSpec extends SparkSpec {
       5L -> 5L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components: path graph converges in O(log n) rounds " +
+      "with one job per round (observe-folded convergence)") {
+    // 32-node path — worst case for neighbour propagation (diameter 31);
+    // pointer jumping must close it in ~log2(32)+slack rounds
+    val n = 32
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    val nodes = (0L until n.toLong).toDF("id")
+    // count Dataset ACTIONS, not Spark jobs (AQE splits one
+    // materialization into several stage jobs): a regression to a
+    // driver-blocking count() per round shows up as "count" actions,
+    // and extra rounds blow the action total
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = actions.add(funcName)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val got = Dedup.connectedComponents(edges, nodes)
+      assert(got.collect().forall(_.getLong(1) == 0L),
+        "every path node must reach label 0")
+      // listener delivery is async; give the bus a beat to drain
+      Thread.sleep(1000)
+      import scala.jdk.CollectionConverters._
+      val seen = actions.asScala.toSeq
+      assert(!seen.contains("count"),
+        s"convergence must ride the materialization job, not a count(): $seen")
+      // 2 setup cuts + ≤10 rounds × 1 materialization action + the
+      // final collect — a path-32 needs ~6 pointer-jump rounds
+      assert(seen.size <= 13, s"path-32 took ${seen.size} actions " +
+        s"($seen) — extra per-round work or pointer jumping regressed")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("connected components: reliable checkpoint(dir) mode matches") {
+    val dir = graft.sources.OrcIo.scratchDir("cc_reliable")
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L).toDF("id")
+    val got = Dedup.connectedComponents(edges, nodes,
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 10L -> 10L, 11L -> 10L))
+    // the ping-pong keeps at most sym + two label generations on disk
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(subdirs.subsetOf(Set("sym", "labels_0", "labels_1", "labels_2")))
+  }
+
   test("cluster canonical keeps the longest member of each cluster") {
     val clusters = graft.operators.Dedup.dupClustersQuery(spark, sfDir)
       .filter(col("n_members") >= 2)

@@ -170,6 +170,9 @@ class GoldenSpec extends SparkSpec {
   test("golden: TestOrcFile.testMemoryManagementV11.orc") { checkGolden("TestOrcFile.testMemoryManagementV11") }
   test("golden: TestOrcFile.testMemoryManagementV12.orc") { checkGolden("TestOrcFile.testMemoryManagementV12") }
   test("golden: TestOrcFile.metaData.orc") { checkGolden("TestOrcFile.metaData") }
+  test("golden: TestOrcFile.testStringAndBinaryStatistics.orc") {
+    checkGolden("TestOrcFile.testStringAndBinaryStatistics")
+  }
   test("golden: TestOrcFile.emptyFile.orc (zero rows)") { checkGolden("TestOrcFile.emptyFile") }
 
   /** The two files stock Spark can't open (bare non-struct root; union

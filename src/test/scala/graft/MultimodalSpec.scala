@@ -13,6 +13,26 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.fakeDecodeHeader(Array.emptyByteArray) == (64, 64, 1))
   }
 
+  test("image kind decodes through the real codec: PNG encode → " +
+      "javax.imageio decode round-trips dimensions") {
+    val imgs = Multimodal.syntheticImages(spark, sfDir).limit(50).collect()
+    assert(imgs.nonEmpty)
+    imgs.foreach { r =>
+      val id = r.getLong(0)
+      val payload = r.getAs[Array[Byte]]("payload")
+      assert(Multimodal.isPng(payload), s"media $id must be a real PNG")
+      val (w, h, f) = Multimodal.decodeHeader(payload)
+      assert(w == 4 + (id % 13).toInt, s"media $id width")
+      assert(h == 4 + (id % 11).toInt, s"media $id height")
+      assert(f == 1)
+    }
+    // non-PNG payloads route to the audio/video stub, not the codec
+    val textBytes = "not a png".getBytes("UTF-8")
+    assert(!Multimodal.isPng(textBytes))
+    assert(Multimodal.decodeHeader(textBytes) ==
+      Multimodal.fakeDecodeHeader(textBytes))
+  }
+
   test("decode preserves row count and derives byte_len from payload") {
     val media = Multimodal.syntheticMedia(spark, sfDir)
     val decoded = Multimodal.decode(spark, media)

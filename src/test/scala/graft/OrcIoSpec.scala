@@ -188,6 +188,58 @@ class OrcIoSpec extends SparkSpec {
     assert(got == Map("graft.owner" -> "pipeline-a", "graft.note" -> "v2"))
   }
 
+  test("memoryEstimate (orc-memory): selection, compression and batch " +
+      "accounting follow FileMemory.cc / ReaderImpl::getMemoryUse") {
+    val dir = OrcIo.scratchDir("memest")
+    val df = spark.range(10000).select(
+      col("id").as("k"),
+      concat(lit("doc-"), col("id")).as("s"),
+      array(col("id"), col("id") + 1).as("arr")).coalesce(1)
+    OrcIo.write(df, s"$dir/zlib", compression = "zlib")
+    OrcIo.write(df, s"$dir/none", compression = "none")
+    OrcIo.write(df, s"$dir/snappy", compression = "snappy")
+    def est(path: String, cols: Seq[String]) =
+      OrcMeta.memoryEstimate(spark, path, cols).head()
+    def blockSize(path: String): Long =
+      OrcMeta.fileMeta(spark, path).head().getAs[Long]("compressionBlockSize")
+
+    val all = est(s"$dir/zlib", Nil)
+    val intOnly = est(s"$dir/zlib", Seq("k"))
+    val strOnly = est(s"$dir/zlib", Seq("s"))
+
+    // stream accounting (Reader.cc maxStreamsForType): root struct 1,
+    // long 2, string 4, list 2 + element long 2
+    assert(intOnly.getAs[Long]("selectedStreams") == 3L)
+    assert(strOnly.getAs[Long]("selectedStreams") == 5L)
+    assert(all.getAs[Long]("selectedStreams") == 11L)
+    // narrower selection → strictly less reader memory (compressed file:
+    // decompressor buffers scale with stream count)
+    assert(intOnly.getAs[Long]("readerMemory") < all.getAs[Long]("readerMemory"))
+    assert(intOnly.getAs[Long]("decompressorMemory") ==
+      3L * blockSize(s"$dir/zlib"))
+    // string selection buffers the stripe twice (dictionary unknown)
+    assert(strOnly.getAs[Long]("readerMemory") >=
+      2L * strOnly.getAs[Long]("maxStripeDataLength"))
+
+    // compression matrix: none → no decompressor buffers; snappy → the
+    // doubled scratch buffer rule
+    val nonEst = est(s"$dir/none", Seq("k"))
+    assert(nonEst.getAs[Long]("decompressorMemory") == 0L)
+    val snapEst = est(s"$dir/snappy", Seq("k"))
+    assert(snapEst.getAs[Long]("decompressorMemory") ==
+      2L * 3L * blockSize(s"$dir/snappy"))
+
+    // batch estimate: exact Vector.cc formulas at the default 1000 rows;
+    // LIST in the selection → "cannot estimate" (variable length)
+    assert(intOnly.getAs[Long]("batchMemory") == 10000L) // struct 1k + long 9k
+    assert(strOnly.getAs[Long]("batchMemory") == 18000L) // struct 1k + str 17k
+    assert(!intOnly.getAs[Boolean]("variableLength"))
+    assert(all.getAs[Boolean]("variableLength"))
+    assert(all.isNullAt(all.fieldIndex("batchMemory")))
+    assert(intOnly.getAs[Long]("totalMemory") ==
+      intOnly.getAs[Long]("readerMemory") + 10000L)
+  }
+
   test("columnStats surface footer min/max/sum per column") {
     val dir = OrcIo.scratchDir("stats")
     OrcIo.write(Tables.load(spark, sfDir, "region"), s"$dir/region")
