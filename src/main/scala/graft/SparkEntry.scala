@@ -128,6 +128,7 @@ object SparkEntry {
     "q_media_meta" -> (Multimodal.mediaMetaQuery _),
     "q_media_decode" -> (Multimodal.decodePipelineQuery _),
     "q_image_decode" -> (Multimodal.imageDecodeQuery _),
+    "q_image_resize" -> (Multimodal.imageResizeQuery _),
     "q_media_neardup" -> (Multimodal.mediaNearDupQuery _),
   )
 
@@ -1072,6 +1073,22 @@ object SparkEntry {
         |  CAST(4 + doc_id % 11 AS INTEGER) AS height,
         |  CAST(1 AS INTEGER) AS n_frames
         |FROM documents
+        |ORDER BY media_id""".stripMargin,
+    // the raster chain: encode → resize-to-fit-8 → re-encode → decode;
+    // the oracle replays the integer resize math on the id-derived dims
+    "q_image_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id AS media_id, 4 + doc_id % 13 AS w,
+        |    4 + doc_id % 11 AS h
+        |  FROM documents)
+        |SELECT media_id,
+        |  CAST(CASE WHEN greatest(w, h) <= 8 THEN w
+        |       ELSE greatest(1, (w * 8) // greatest(w, h)) END
+        |    AS INTEGER) AS width,
+        |  CAST(CASE WHEN greatest(w, h) <= 8 THEN h
+        |       ELSE greatest(1, (h * 8) // greatest(w, h)) END
+        |    AS INTEGER) AS height
+        |FROM dims
         |ORDER BY media_id""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id AS media_id,

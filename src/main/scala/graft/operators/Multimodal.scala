@@ -134,12 +134,80 @@ object Multimodal {
       }.toDF()
   }
 
+  case class ResizedImage(media_id: Long, payload: Array[Byte])
+
+  /**
+   * Resize stage: decode PNG → scale to fit `maxDim` on the longest
+   * side (aspect preserved, integer math: `out = dim × maxDim ÷
+   * longest`, floor, min 1; no-op when it already fits) → re-encode
+   * PNG. Real codec + real raster op (`java.awt.Graphics2D`), narrow
+   * per-partition work, no shuffle — the standard pre-training image
+   * normalization pass. Non-PNG payloads pass through untouched.
+   */
+  def resizeImages(spark: SparkSession, media: DataFrame, maxDim: Int)
+      : DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          if (!isPng(r.payload)) ResizedImage(r.media_id, r.payload)
+          else {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload))
+            val (w, h) = (img.getWidth, img.getHeight)
+            val longest = math.max(w, h)
+            if (longest <= maxDim) ResizedImage(r.media_id, r.payload)
+            else {
+              val ow = math.max(1, w * maxDim / longest)
+              val oh = math.max(1, h * maxDim / longest)
+              val out = new java.awt.image.BufferedImage(ow, oh,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try g.drawImage(img, 0, 0, ow, oh, null) finally g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              ResizedImage(r.media_id, bos.toByteArray)
+            }
+          }
+        }
+      }.toDF()
+  }
+
+  /** Materialized PNG corpus per sf dir — the synthetic stand-in for
+    * the image lake a real pipeline READS (encoding it is fixture
+    * creation, not the measured operator); built once, shared by the
+    * decode and resize queries, same pattern as [[buildFeatureStore]]. */
+  private val imageStore =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  def buildImageStore(spark: SparkSession, sfDir: String): String =
+    imageStore.getOrElseUpdate(sfDir, {
+      val store = graft.sources.OrcIo.scratchDir("media_images")
+      syntheticImages(spark, sfDir)
+        .write.mode("overwrite").parquet(s"$store/images")
+      s"$store/images"
+    })
+
+  /** Correctness-gate query for the full raster chain: encode PNGs
+    * (id-derived dims) → resize to fit 8 px → re-encode → DECODE THE
+    * RESIZED BYTES BACK — the reported dimensions come out of the
+    * second real decode, and the oracle predicts them from `doc_id`
+    * with the same integer math. */
+  def imageResizeQuery(spark: SparkSession, sfDir: String): DataFrame =
+    decode(spark,
+      resizeImages(spark,
+        spark.read.parquet(buildImageStore(spark, sfDir)), maxDim = 8)
+        .withColumn("kind", lit("image")))
+      .select(col("media_id"), col("width"), col("height"))
+      .orderBy(col("media_id"))
+
   /** Correctness-gate query for the REAL image decode: encode PNGs with
     * id-derived dimensions, decode them back with `javax.imageio`, and
     * let the DuckDB oracle predict the recovered dimensions from
     * `doc_id` alone — a full codec round-trip behind a hash gate. */
   def imageDecodeQuery(spark: SparkSession, sfDir: String): DataFrame =
-    decode(spark, syntheticImages(spark, sfDir))
+    decode(spark, spark.read.parquet(buildImageStore(spark, sfDir)))
       .select(col("media_id"), col("kind"), col("width"), col("height"),
         col("n_frames"))
       .orderBy(col("media_id"))

@@ -17,6 +17,8 @@ import graft.sources.{JsonTools, OrcIo, OrcMeta}
  *   merge <dir> <out>      compact ORC files (W9)
  *   memory <path> [cols]   reader memory estimate (`orc-memory`,
  *                          FileMemory.cc; cols = comma-separated names)
+ *   timezone <name...>     timezone rule dump (`timezone-dump`,
+ *                          TimezoneDump.cc — JVM tzdb via ZoneRules)
  */
 object OrcTool {
   def main(args: Array[String]): Unit = {
@@ -61,6 +63,21 @@ object OrcTool {
             println(s"Batch memory estimate:  ${row.getAs[Long]("batchMemory")}")
             println(s"Total memory estimate:  ${row.getAs[Long]("totalMemory")}")
           }
+        }
+      case "timezone" =>
+        // TimezoneDump.cc prints each zone's version + transition rules;
+        // the JVM analogue walks java.time's tzdb ZoneRules
+        args.drop(1).foreach { name =>
+          val zone = java.time.ZoneId.of(name)
+          val rules = zone.getRules
+          println(s"Timezone $name:")
+          println(s"  version: ${java.time.zone.ZoneRulesProvider
+            .getVersions(name).lastKey()}")
+          import scala.jdk.CollectionConverters._
+          rules.getTransitionRules.asScala.foreach(r =>
+            println(s"  rule: $r"))
+          rules.getTransitions.asScala.takeRight(10).foreach(t =>
+            println(s"  transition: $t"))
         }
       case other => sys.error(s"unknown command: $other")
     }

@@ -33,6 +33,35 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.fakeDecodeHeader(textBytes))
   }
 
+  test("resizeImages: real raster scale-to-fit, no-op when it fits, " +
+      "pass-through for non-PNG") {
+    val imgs = Multimodal.syntheticImages(spark, sfDir).limit(60)
+    val resized = Multimodal.resizeImages(spark, imgs, maxDim = 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload"))
+      .toMap
+    val orig = imgs.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    orig.foreach { case (id, payload) =>
+      val (w, h, _) = Multimodal.decodeHeader(payload)
+      val out = resized(id)
+      assert(Multimodal.isPng(out))
+      val (ow, oh, _) = Multimodal.decodeHeader(out)
+      if (math.max(w, h) <= 8) {
+        assert(out.sameElements(payload), s"media $id must pass unchanged")
+      } else {
+        assert(ow == math.max(1, w * 8 / math.max(w, h)), s"media $id width")
+        assert(oh == math.max(1, h * 8 / math.max(w, h)), s"media $id height")
+      }
+    }
+    // non-PNG payloads pass through byte-identical
+    import SparkSpec.spark.implicits._
+    val raw = Seq((1L, "audio", "not a png".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    val through = Multimodal.resizeImages(spark, raw, maxDim = 8).head()
+    assert(through.getAs[Array[Byte]]("payload")
+      .sameElements("not a png".getBytes("UTF-8")))
+  }
+
   test("decode preserves row count and derives byte_len from payload") {
     val media = Multimodal.syntheticMedia(spark, sfDir)
     val decoded = Multimodal.decode(spark, media)
