@@ -78,7 +78,10 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errObj,"sf":"$sfDir"}"""
     println(json)
-    spark.stop()
+    // a shutdown hiccup (listener-bus teardown race) must not cost the
+    // round's only machine-parseable bench line below
+    try spark.stop()
+    catch { case t: Throwable => System.err.println(s"[bench] stop: $t") }
     // Also write the line to the raw stdout file descriptor: under sbt,
     // println is routed through the logger and lands in the captured
     // output as "[info] {...}", which a per-line JSON parse rejects

@@ -155,6 +155,7 @@ object Multimodal {
           else {
             val img = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(r.payload))
+            require(img != null, s"corrupt PNG payload (media ${r.media_id})")
             val (w, h) = (img.getWidth, img.getHeight)
             val longest = math.max(w, h)
             if (longest <= maxDim) ResizedImage(r.media_id, r.payload)

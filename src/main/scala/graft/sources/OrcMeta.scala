@@ -444,8 +444,7 @@ object OrcMeta {
     * exact accounting rules are spec-gated (OrcIoSpec). */
   def memoryEstimateQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_orc_memory_q").toString
+    val dir = OrcIo.scratchDir("orc_memory_q")
     OrcIo.write(graft.Tables.load(spark, sfDir, "nation").coalesce(1),
       s"$dir/nation", compression = "zlib")
     Seq("*" -> Nil, "n_name" -> Seq("n_name"),

@@ -71,8 +71,11 @@ object OrcTool {
           val zone = java.time.ZoneId.of(name)
           val rules = zone.getRules
           println(s"Timezone $name:")
-          println(s"  version: ${java.time.zone.ZoneRulesProvider
-            .getVersions(name).lastKey()}")
+          // offset-style ids (Z, UTC+05:00) resolve via ZoneId but are
+          // not in the region tzdb provider — no version to print
+          scala.util.Try(java.time.zone.ZoneRulesProvider
+            .getVersions(name).lastKey())
+            .foreach(v => println(s"  version: $v"))
           import scala.jdk.CollectionConverters._
           rules.getTransitionRules.asScala.foreach(r =>
             println(s"  rule: $r"))

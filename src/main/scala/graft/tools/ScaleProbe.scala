@@ -4,10 +4,14 @@ import graft.{GraftSession, SparkEntry}
 
 /**
  * Scaling-evidence probe: time a named subset of `SparkEntry.queries`
- * against one sf directory (min of two interleaved passes, noop
- * materializer — same protocol as [[graft.Bench]]). Run it at two
- * scales and compare: a scale-sound plan's wall time grows ~linearly
- * with input size, not quadratically.
+ * against one sf directory, two passes per query with the noop
+ * materializer ([[graft.Bench]]'s sink). Unlike Bench's min-of-two,
+ * BOTH passes are reported: pass 1 is the cold time (includes
+ * per-corpus artifact builds — cluster labels, IVF fit, image/feature
+ * stores), pass 2 the steady state. The JVM/codegen warm-up is a
+ * neutral `spark.range` write, NOT a query from the list, so the
+ * first query's cold time stays cold. Run at two scales and compare:
+ * a scale-sound plan's wall time grows ~linearly with input size.
  *
  * Usage: runMain graft.tools.ScaleProbe <sfDir> <q1,q2,...>
  */
@@ -23,7 +27,10 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    run(names.head) // warm-up
+    // neutral warm-up (JVM + codegen + scan machinery) that executes
+    // none of the probed queries
+    spark.range(1000000).selectExpr("id", "id * 2 as v")
+      .write.format("noop").mode("overwrite").save()
     // pass 1 is the COLD time (includes per-corpus artifact builds:
     // cluster labels, IVF centroids, feature stores); pass 2 is warm
     val pass1 = names.map(n => n -> run(n)).toMap
