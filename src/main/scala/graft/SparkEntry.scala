@@ -121,6 +121,10 @@ object SparkEntry {
     "q_stream_enrich" -> ((s, d) =>
       graft.streaming.StreamingIngest.replayEnrich(s, d)
         .orderBy(col("event_id"))),
+    // Streaming exact dedup (bounded state within the watermark)
+    "q_stream_dedup" -> ((s, d) =>
+      graft.streaming.StreamingIngest.replayDedup(s, d)
+        .orderBy(col("user_id"), col("event_type"))),
     // Sketch percentiles (engine-specific values → rows-only gate;
     // error-bounded against the exact gate in ScaleSpec)
     "q_approx_percentiles" -> (Scale.approxPercentileQuery _),
@@ -596,6 +600,11 @@ object SparkEntry {
         |  e.value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY e.event_id""".stripMargin,
+    // Streaming dedup drained replay = the distinct key set
+    "q_stream_dedup" ->
+      """SELECT user_id, event_type FROM events
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     // All click→purchase pairs within 1 h per user — the batch twin of
     // the drained stream-stream interval join.
     "q_stream_attrib" ->

@@ -268,6 +268,17 @@ object StreamingIngest {
       runToParquet(sessionizeEventTime(stream).toDF(), "stream_sess"))
   }
 
+  /** Drained-replay gate for [[dedupStream]]: dedup on (user_id,
+    * event_type) — a key with real duplicates in the corpus. Only the
+    * key columns are emitted: WHICH physical row survives depends on
+    * intra-batch encounter order (nondeterministic under shuffle), but
+    * the emitted KEY SET is exactly the distinct keys — the semantics
+    * the gate pins. */
+  def replayDedup(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(runToParquet(
+      dedupStream(eventStream(spark, sfDir), Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type")), "stream_dedup"))
+
   /**
    * Stream-static enrichment: join the event stream against a
    * broadcast dimension table — the standard "decorate the stream with

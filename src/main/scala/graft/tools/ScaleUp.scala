@@ -84,8 +84,12 @@ object ScaleUp {
       spark.read.parquet(Tables.path(baseDir, "orders")), factor) {
       (df, i) => df.withColumn("o_orderkey", shift("o_orderkey", i))
     }
-    val events = replicate(
-      spark.read.parquet(Tables.path(baseDir, "events")), factor) {
+    // via Tables.load, NOT a raw read: the base events.ts is
+    // TIMESTAMP(NANOS), which Spark surfaces as a bare nanos long
+    // (nanosAsLong) — writing that back as BIGINT would break every
+    // oracle's CAST(ts AS TIMESTAMP). load converts to a true
+    // microsecond timestamp, the precision both engines compute in.
+    val events = replicate(Tables.load(spark, baseDir, "events"), factor) {
       (df, i) => df
         .withColumn("event_id", shift("event_id", i))
         .withColumn("user_id", shift("user_id", i))

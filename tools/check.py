@@ -10,6 +10,7 @@ diagnostics; also reports exact-hash match, which is what the driver checks).
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -63,8 +64,13 @@ def type_diffs(con, sql, parquet_glob):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata are single files; ScaleUp output is a Spark
+        # directory of part files — glob in that case
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
@@ -107,7 +113,6 @@ def main(sf_dir, out_dir):
                   f"first: oracle={diffs[0][0]} spark={diffs[0][1]}")
             n_fail += 1
     # queries with no oracle: rows-only
-    import os
     for name in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, name)
         if os.path.isdir(p) and name not in oracle:
