@@ -219,7 +219,8 @@ object SparkEntry {
         |LIMIT 10""".stripMargin,
     "q5_join" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -303,10 +304,12 @@ object SparkEntry {
         |ORDER BY codec""".stripMargin,
     "q_stats_footer" ->
       """SELECT col_name, n_values, min_val, max_val, sum_val FROM (
+        |  -- integral sums: cast once, no double round — DuckDB's
+        |  -- round(x,2) is nearbyint(x*100)/100, lossy beyond 2^53
         |  SELECT 'l_orderkey' AS col_name, count(l_orderkey) AS n_values,
         |    round(CAST(min(l_orderkey) AS DOUBLE), 2) AS min_val,
         |    round(CAST(max(l_orderkey) AS DOUBLE), 2) AS max_val,
-        |    round(CAST(sum(l_orderkey) AS DOUBLE), 2) AS sum_val
+        |    CAST(sum(l_orderkey) AS DOUBLE) AS sum_val
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'l_quantity', count(l_quantity),
@@ -600,6 +603,20 @@ object SparkEntry {
         |  e.value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY e.event_id""".stripMargin,
+    // orc-memory accounting oracle: the schema-derived constants
+    // (Reader.cc maxStreamsForType + Vector.cc batch formulas at 1000
+    // rows) restated independently for the nation schema
+    // struct<n_nationkey:bigint,n_name:string,n_regionkey:bigint>
+    "q_orc_memory" ->
+      """SELECT selection,
+        |  CAST(streams AS BIGINT) AS "selectedStreams",
+        |  CAST(batch AS BIGINT) AS "batchMemory",
+        |  vl AS "variableLength"
+        |FROM (VALUES ('*', 9, 36000, false),
+        |             ('n_name', 5, 18000, false),
+        |             ('n_nationkey', 3, 10000, false))
+        |  AS t(selection, streams, batch, vl)
+        |ORDER BY selection""".stripMargin,
     // Streaming dedup drained replay = the distinct key set
     "q_stream_dedup" ->
       """SELECT user_id, event_type FROM events

@@ -108,8 +108,13 @@ object Relational {
       .join(broadcast(nation), sup("s_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
+      // sum in DECIMAL, not double: a double accumulation is
+      // order-dependent, and at sf1 (~240k terms per group) the
+      // engine's and the oracle's different summation orders land on
+      // opposite sides of a half-cent rounding boundary. The per-term
+      // double→decimal cast is order-free, the decimal sum exact.
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(28,8)")), 2).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 

@@ -122,13 +122,18 @@ object Stats {
       .filter(col("columnId") > 0)
       .withColumn("min_d", col("min").cast("double"))
       .withColumn("max_d", col("max").cast("double"))
-      .withColumn("sum_d", col("sum").cast("double"))
+      // merge per-file sums in DECIMAL, not double: integer-column
+      // footer sums are exact longs, and a double ADD of per-file
+      // partials rounds once per file beyond 2^53 (diverged from the
+      // oracle's exact sum by 1 ulp at sf1) — decimal keeps the merge
+      // exact, the single final double cast matches CAST(sum AS DOUBLE)
+      .withColumn("sum_dec", col("sum").cast("decimal(38,6)"))
     per.groupBy(col("column").as("col_name"))
       .agg(
         sum(col("count")).as("n_values"),
         round(min(col("min_d")), 2).as("min_val"),
         round(max(col("max_d")), 2).as("max_val"),
-        round(sum(col("sum_d")), 2).as("sum_val"))
+        round(sum(col("sum_dec")).cast("double"), 2).as("sum_val"))
       .orderBy(col("col_name"))
   }
 

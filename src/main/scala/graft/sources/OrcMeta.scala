@@ -440,8 +440,12 @@ object OrcMeta {
 
   /** Driver-gate query for the `orc-memory` surface: write a fixed table
     * as one compressed ORC file, estimate reader memory for three column
-    * selections. Engine-internal byte accounting → rows-only check; the
-    * exact accounting rules are spec-gated (OrcIoSpec). */
+    * selections. The emitted columns are the SCHEMA-DERIVED accounting
+    * (stream counts per `Reader.cc:608`, batch bytes per the Vector.cc
+    * formulas at 1000 rows) — independently restatable by the oracle as
+    * constants, so the driver hash-gates the accounting rules. The
+    * file-dependent byte terms (readerMemory) are spec-gated instead
+    * (OrcIoSpec, exact formulas incl. compression). */
   def memoryEstimateQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val dir = OrcIo.scratchDir("orc_memory_q")
@@ -452,8 +456,8 @@ object OrcMeta {
       .map { case (label, cols) =>
         memoryEstimate(spark, s"$dir/nation", cols)
           .select(org.apache.spark.sql.functions.lit(label).as("selection"),
-            col("selectedStreams"), col("readerMemory"), col("batchMemory"),
-            col("totalMemory"), col("variableLength"))
+            col("selectedStreams"), col("batchMemory"),
+            col("variableLength"))
       }.reduce(_.unionAll(_)).orderBy(col("selection"))
   }
 
