@@ -39,7 +39,8 @@ object OrcIo {
       bloomColumns: Seq[String] = Nil,
       bloomFpp: Double = DefaultBloomFpp,
       dictionaryThreshold: Double = 0.8,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite",
+      partitionBy: Seq[String] = Nil): Unit = {
     var w = df.write.mode(mode)
       .option("compression", compression)
       .option("orc.stripe.size", stripeSize.toString)
@@ -48,6 +49,10 @@ object OrcIo {
     if (bloomColumns.nonEmpty)
       w = w.option("orc.bloom.filter.columns", bloomColumns.mkString(","))
         .option("orc.bloom.filter.fpp", bloomFpp.toString)
+    // hive-style directory partitioning: the coarsest pruning layer a
+    // 100 TB layout leans on (partition elimination before any footer
+    // or stripe stat is read)
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     w.orc(path)
   }
 

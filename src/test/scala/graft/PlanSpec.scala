@@ -116,6 +116,63 @@ class PlanSpec extends SparkSpec {
     assert(keys == (10L until 20L))
   }
 
+  test("partition pruning: a partition-column filter reads only that " +
+      "directory's files (static), and a filtered dim join prunes " +
+      "fact partitions at runtime (dynamic)") {
+    import org.apache.spark.sql.functions._
+    import SparkSpec.spark.implicits._
+    val dir = graft.sources.OrcIo.scratchDir("part_prune")
+    graft.sources.OrcIo.write(
+      Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type")),
+      s"$dir/events", partitionBy = Seq("event_type"))
+    val all = spark.read.orc(s"$dir/events")
+    val nTypes = all.select(col("event_type")).distinct().count()
+    assert(nTypes >= 3, "fixture needs several partitions")
+
+    // recursive scan finder that descends into AQE stages
+    def scans(p: SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+
+    // static pruning: the scan plans only the matching directory
+    // (collect() so the metrics belong to THIS QueryExecution — a
+    // write would execute a separate plan instance)
+    val one = all.filter(col("event_type") === "click")
+    one.collect()
+    val scan = scans(one.queryExecution.executedPlan).head
+    assert(scan.metrics("numPartitions").value == 1,
+      s"static pruning read ${scan.metrics("numPartitions").value} " +
+        s"of $nTypes partitions")
+
+    // dynamic pruning: join against a dim filtered to one type — the
+    // fact scan's partition filter is a runtime subquery (DPP), so
+    // only the surviving partition is read
+    // the dim must live on disk: a filter over a LocalRelation is
+    // constant-folded away, and DPP keys on a surviving selective
+    // Filter on the build side
+    Seq(("click", 1), ("view", 0), ("purchase", 0), ("login", 0),
+      ("search", 0)).toDF("event_type", "flag")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim").filter(col("flag") === 1)
+    val joined = all.join(dim.hint("broadcast"), Seq("event_type"))
+    joined.collect()
+    val jp = joined.queryExecution.executedPlan.toString
+    assert(jp.contains("dynamicpruning"),
+      s"no dynamic partition pruning subquery in plan:\n$jp")
+    val jScan = scans(joined.queryExecution.executedPlan)
+      .find(_.output.exists(_.name == "event_id")).get
+    assert(jScan.metrics("numPartitions").value == 1,
+      s"DPP read ${jScan.metrics("numPartitions").value} of $nTypes")
+  }
+
   test("exact dedup shuffles the digest, not the document text") {
     val p = planString(Dedup.exactQuery(spark, sfDir))
     val hashExchanges = p.linesIterator
