@@ -86,6 +86,26 @@ object Multimodal {
       }.toDF()
   }
 
+  /**
+   * Ingest a directory tree of media files through Spark's
+   * `binaryFile` source — how a production pipeline actually acquires
+   * images (object-store prefixes of image files → binary column +
+   * file metadata). `media_id` is the 64-bit hash of the file path:
+   * stable across re-ingests, shardable, no driver-side numbering.
+   * Scale: binaryFile splits by file across the cluster;
+   * `pathGlobFilter` prunes at listing time, before any byte is read.
+   */
+  def readMediaDir(spark: SparkSession, dir: String, kind: String,
+      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        lit(kind).as("kind"),
+        col("content").as("payload"),
+        col("path"), col("length"))
+
   /** Synthesize a deterministic binary corpus from documents (UTF-8
     * payloads): the test stand-in for real media files. */
   def syntheticMedia(spark: SparkSession, sfDir: String): DataFrame =

@@ -361,7 +361,9 @@ object OrcMeta {
    *    when compressed, doubled for snappy (second scratch buffer).
    *
    * `columns` are top-level field names; empty selects all (the C++
-   * tool's default). The decoded-batch estimate for `batchSize` rows is
+   * tool's default). `stripeIx` ≥ 0 restricts the data-buffer term to
+   * one stripe (the API's per-stripe estimate); −1 takes the worst
+   * stripe. The decoded-batch estimate for `batchSize` rows is
    * reported separately, `None` when the selection contains LIST/MAP
    * (data-dependent, the tool's "cannot estimate" case).
    *
@@ -369,7 +371,8 @@ object OrcMeta {
    * dataset's executors is a metadata sweep, not a data read.
    */
   def memoryEstimate(spark: SparkSession, path: String,
-      columns: Seq[String] = Nil, batchSize: Int = 1000): DataFrame = {
+      columns: Seq[String] = Nil, batchSize: Int = 1000,
+      stripeIx: Int = -1): DataFrame = {
     import spark.implicits._
     val files = orcFiles(spark, path)
     val colsLabel = if (columns.isEmpty) "*" else columns.mkString(",")
@@ -407,9 +410,14 @@ object OrcMeta {
             import org.apache.orc.TypeDescription.Category._
             Seq(CHAR, STRING, VARCHAR, BINARY).contains(t.getCategory)
           }
+          // stripeIx ≥ 0 estimates for reading that one stripe; the
+          // default −1 takes the worst stripe (Reader.cc:700-712)
           val stripes = r.getStripes.asScala
+          val sized =
+            if (stripeIx >= 0 && stripeIx < stripes.size)
+              Seq(stripes(stripeIx)) else stripes
           val maxDataLength =
-            if (stripes.isEmpty) 0L else stripes.map(_.getDataLength).max
+            if (sized.isEmpty) 0L else sized.map(_.getDataLength).max
           val naturalReadSize = 128L * 1024 // OrcFile.cc:60
           val directoryGuess = 16L * 1024 // Reader.hh:33
           val ps = r.getFileTail.getPostscript

@@ -229,6 +229,15 @@ class OrcIoSpec extends SparkSpec {
     assert(snapEst.getAs[Long]("decompressorMemory") ==
       2L * 3L * blockSize(s"$dir/snappy"))
 
+    // per-stripe estimate (stripeIx ≥ 0) never exceeds the worst-stripe
+    // default, and out-of-range behaves like the default (Reader.cc)
+    val s0 = OrcMeta.memoryEstimate(spark, s"$dir/zlib", Seq("k"),
+      stripeIx = 0).head()
+    assert(s0.getAs[Long]("maxStripeDataLength") <=
+      intOnly.getAs[Long]("maxStripeDataLength"))
+    assert(s0.getAs[Long]("readerMemory") <=
+      intOnly.getAs[Long]("readerMemory"))
+
     // batch estimate: exact Vector.cc formulas at the default 1000 rows;
     // LIST in the selection → "cannot estimate" (variable length)
     assert(intOnly.getAs[Long]("batchMemory") == 10000L) // struct 1k + long 9k
