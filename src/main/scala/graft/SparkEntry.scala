@@ -606,7 +606,9 @@ object SparkEntry {
     // orc-memory accounting oracle: the schema-derived constants
     // (Reader.cc maxStreamsForType + Vector.cc batch formulas at 1000
     // rows) restated independently for the nation schema
-    // struct<n_nationkey:bigint,n_name:string,n_regionkey:bigint>
+    // struct<n_nationkey:int,n_name:string,n_regionkey:int> (parquet
+    // INT32 → ORC INT; INT and LONG share stream count and batch
+    // bytes, so the constants below hold for either width)
     "q_orc_memory" ->
       """SELECT selection,
         |  CAST(streams AS BIGINT) AS "selectedStreams",

@@ -53,22 +53,46 @@ object Multimodal {
   private val PngMagic =
     Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
 
+  // every complete PNG ends with the constant IEND chunk (zero length,
+  // type, fixed CRC) — an O(1) truncation witness
+  private val PngIend = Array(0x00, 0x00, 0x00, 0x00, 'I', 'E', 'N', 'D',
+    0xAE, 0x42, 0x60, 0x82).map(_.toByte)
+
   def isPng(payload: Array[Byte]): Boolean =
     payload.length > PngMagic.length &&
       PngMagic.indices.forall(i => payload(i) == PngMagic(i))
 
   /**
    * Decode kernel: PNG payloads decode through the REAL codec
-   * (`javax.imageio.ImageIO` — container-independent, ships in the
-   * JDK); anything else falls to the marked audio/video stub. Returns
+   * (`javax.imageio` — container-independent, ships in the JDK);
+   * anything else falls to the marked audio/video stub. Returns
    * (width, height, frameCount).
+   *
+   * Header-only parse: `ImageReader.getWidth/getHeight` read the
+   * IHDR chunk without rasterizing pixels — the metadata pass a 100 TB
+   * media sweep runs (full rasterization stays where pixels are
+   * needed, [[resizeImages]]).
    */
   def decodeHeader(payload: Array[Byte]): (Int, Int, Int) =
     if (isPng(payload)) {
-      val img = javax.imageio.ImageIO.read(
+      // a header parse alone would accept a truncated body (the full
+      // rasterize this replaced rejected it); the constant IEND
+      // trailer restores the completeness check at O(1)
+      require(payload.length >= PngIend.length &&
+        PngIend.indices.forall(i =>
+          payload(payload.length - PngIend.length + i) == PngIend(i)),
+        "truncated PNG payload (missing IEND)")
+      val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      require(img != null, "corrupt PNG payload")
-      (img.getWidth, img.getHeight, 1)
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "no PNG reader")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          (reader.getWidth(0), reader.getHeight(0), 1)
+        } finally reader.dispose()
+      } finally iis.close()
     } else fakeDecodeHeader(payload)
 
   /** Decode stage: batched per-partition iteration (the Scala analogue

@@ -31,6 +31,14 @@ class MultimodalSpec extends SparkSpec {
     assert(!Multimodal.isPng(textBytes))
     assert(Multimodal.decodeHeader(textBytes) ==
       Multimodal.fakeDecodeHeader(textBytes))
+    // a truncated PNG (valid signature + IHDR, body cut) is rejected,
+    // not silently emitted with header dims
+    val whole = imgs.head.getAs[Array[Byte]]("payload")
+    val truncated = java.util.Arrays.copyOf(whole, whole.length - 6)
+    assert(Multimodal.isPng(truncated))
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeHeader(truncated)
+    }
   }
 
   test("resizeImages: real raster scale-to-fit, no-op when it fits, " +
