@@ -48,9 +48,19 @@ object OrcTool {
         OrcIo.merge(spark, Seq(path), args(2))
         println(s"merged into ${args(2)}")
       case "memory" =>
-        val cols =
+        var cols =
           if (args.length > 2) args(2).split(",").toSeq.filter(_.nonEmpty)
           else Nil
+        // C++-tool parity: --columns takes top-level FIELD IDS
+        // (FileMemory.cc:113-117); all-numeric tokens are resolved to
+        // names via the first file's schema, names pass through
+        if (cols.nonEmpty && cols.forall(_.forall(_.isDigit))) {
+          val schema = OrcMeta.fileMeta(spark, path).head()
+            .getAs[String]("schema")
+          val names = org.apache.orc.TypeDescription.fromString(schema)
+            .getFieldNames
+          cols = cols.map(c => names.get(c.toInt))
+        }
         val est = OrcMeta.memoryEstimate(spark, path, cols).collect()
         est.foreach { row =>
           // the C++ tool's output shape (FileMemory.cc:84-92)
