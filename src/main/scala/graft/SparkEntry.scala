@@ -133,6 +133,8 @@ object SparkEntry {
     "q_media_decode" -> (Multimodal.decodePipelineQuery _),
     "q_image_decode" -> (Multimodal.imageDecodeQuery _),
     "q_image_resize" -> (Multimodal.imageResizeQuery _),
+    "q_audio_decode" -> (Multimodal.audioDecodeQuery _),
+    "q_audio_energy" -> (Multimodal.audioEnergyQuery _),
     "q_media_neardup" -> (Multimodal.mediaNearDupQuery _),
   )
 
@@ -1117,6 +1119,38 @@ object SparkEntry {
         |       ELSE greatest(1, (h * 8) // greatest(w, h)) END
         |    AS INTEGER) AS height
         |FROM dims
+        |ORDER BY media_id""".stripMargin,
+    // q_audio_decode proves the REAL audio codec: Spark encodes WAVE
+    // files with id-derived rate/frames and decodes them via
+    // javax.sound.sampled; the oracle predicts the recovered metadata
+    // from doc_id alone
+    "q_audio_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(64 + doc_id % 192 AS BIGINT) AS n_frames,
+        |  CAST((64 + doc_id % 192) * 1000
+        |    // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms
+        |FROM documents
+        |ORDER BY media_id""".stripMargin,
+    // q_audio_energy replays the deterministic PCM waveform per sample:
+    // a hash match means the real WAVE decode recovered every 16-bit
+    // sample bit-for-bit (integer sum-of-squares, floor-scaled RMS)
+    "q_audio_energy" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(64 + doc_id % 192 AS BIGINT) AS n
+        |  FROM documents),
+        |s AS (SELECT media_id, n, unnest(range(0, n)) AS i FROM f),
+        |v AS (
+        |  SELECT media_id, n,
+        |    (media_id * 7919 + i * 104729) % 65536 - 32768 AS smp
+        |  FROM s)
+        |SELECT media_id, n AS n_frames,
+        |  CAST(max(abs(smp)) AS INTEGER) AS peak,
+        |  CAST(floor(sqrt(CAST(sum(smp * smp) AS DOUBLE) / n) * 10000)
+        |    AS BIGINT) AS rms_e4
+        |FROM v GROUP BY media_id, n
         |ORDER BY media_id""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id AS media_id,

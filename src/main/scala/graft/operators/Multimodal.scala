@@ -12,12 +12,18 @@ import org.apache.spark.sql.functions._
  * The image kind decodes through a REAL codec (`javax.imageio`, in the
  * JDK): [[syntheticImages]] encodes genuine PNGs and [[decodeHeader]]
  * parses them back, oracle-gated end-to-end (q_image_decode predicts
- * the encoded dimensions in SQL). Audio/video have no codec in this
- * container, so their kernel is a clearly-marked deterministic fake
- * ([[fakeDecodeHeader]]); everything around it — schema, batch shape,
- * partition-preserving mapPartitions, metadata extraction — is real
- * and tested. Swapping in a real audio codec means replacing the one
- * marked function, exactly as the image kind already does.
+ * the encoded dimensions in SQL). The audio kind likewise runs a REAL
+ * codec (`javax.sound.sampled`, also in the JDK): [[syntheticAudio]]
+ * encodes genuine RIFF/WAVE files and [[decodeAudioHeader]] /
+ * [[decodeAudioSamples]] parse them back — the energy gate
+ * (q_audio_energy) proves bit-exact PCM recovery, because its oracle
+ * replays the sample-generation math and any decode divergence breaks
+ * the hash. Video has no codec in this container, so its kernel is a
+ * clearly-marked deterministic fake ([[fakeDecodeHeader]]); everything
+ * around it — schema, batch shape, partition-preserving mapPartitions,
+ * metadata extraction — is real and tested. Swapping in a real video
+ * codec means replacing the one marked function, exactly as the image
+ * and audio kinds already do.
  *
  * Scale: rows carry payload bytes; all stages are narrow (no shuffle),
  * so 100 TB of media flows one partition at a time. Byte-level ops
@@ -177,6 +183,194 @@ object Multimodal {
         }
       }.toDF()
   }
+
+  // ---------------------------------------------------------------- audio
+
+  private val RiffMagic = "RIFF".getBytes("US-ASCII")
+  private val WaveMagic = "WAVE".getBytes("US-ASCII")
+
+  /** RIFF/WAVE magic check: `RIFF` at offset 0, `WAVE` at offset 8. */
+  def isWav(payload: Array[Byte]): Boolean =
+    payload.length >= 12 &&
+      RiffMagic.indices.forall(i => payload(i) == RiffMagic(i)) &&
+      WaveMagic.indices.forall(i => payload(8 + i) == WaveMagic(i))
+
+  /** The deterministic 16-bit PCM waveform for the synthetic audio
+    * corpus: sample i of media `id`. Pure integer math so the SQL
+    * oracle replays it exactly — a decoded stream that matches proves
+    * the REAL codec recovered every sample bit-for-bit. */
+  def pcmSample(id: Long, i: Int): Short =
+    ((id * 7919L + i * 104729L) % 65536L - 32768L).toShort
+
+  /** Frame count / sample rate as fixed functions of `media_id`, so the
+    * oracle can predict what a real decode must recover (the audio twin
+    * of [[syntheticImages]]'s id-derived dimensions). */
+  def audioFrames(id: Long): Int = 64 + (id % 192).toInt
+  def audioRate(id: Long): Int = 8000 * (1 + (id % 3).toInt)
+
+  /**
+   * Real-codec audio corpus: one genuine RIFF/WAVE file per document,
+   * encoded via `javax.sound.sampled` (16-bit PCM, mono,
+   * little-endian). Narrow per-partition encode, no shuffle — the
+   * write-side twin of the audio decode stage.
+   */
+  def syntheticAudio(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = audioFrames(id)
+          val rate = audioRate(id)
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = pcmSample(id, i)
+            pcm(2 * i) = (s & 0xFF).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            rate.toFloat, 16, 1, 2, rate.toFloat, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          try javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          finally ais.close()
+          MediaRecord(id, "audio", bos.toByteArray)
+        }
+      }.toDF()
+  }
+
+  case class AudioMeta(media_id: Long, sample_rate: Int, channels: Int,
+      n_frames: Long, duration_ms: Long)
+
+  /**
+   * Header-only audio metadata decode through the REAL codec:
+   * `AudioSystem.getAudioFileFormat` parses the WAVE `fmt ` chunk
+   * without reading sample data — the metadata pass a 100 TB audio
+   * sweep runs (sample decode stays where samples are needed,
+   * [[decodeAudioSamples]]).
+   */
+  def decodeAudioHeader(payload: Array[Byte]): (Int, Int, Long) = {
+    require(isWav(payload), "not a RIFF/WAVE payload")
+    val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = aff.getFormat
+    (fmt.getSampleRate.toInt, fmt.getChannels, aff.getFrameLength.toLong)
+  }
+
+  /** Full PCM sample decode through the real codec: WAVE bytes →
+    * 16-bit signed samples (mono). The returned array is what the
+    * encoder was fed — any codec divergence shows up bit-for-bit. */
+  def decodeAudioSamples(payload: Array[Byte]): Array[Short] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected 16-bit mono PCM, got $fmt")
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      val out = new Array[Short](n)
+      var i = 0
+      if (fmt.isBigEndian)
+        while (i < n) {
+          out(i) = (((bytes(2 * i) & 0xFF) << 8) |
+            (bytes(2 * i + 1) & 0xFF)).toShort
+          i += 1
+        }
+      else
+        while (i < n) {
+          out(i) = (((bytes(2 * i + 1) & 0xFF) << 8) |
+            (bytes(2 * i) & 0xFF)).toShort
+          i += 1
+        }
+      out
+    } finally ais.close()
+  }
+
+  /** Audio metadata stage: per-partition header decode, no shuffle. */
+  def decodeAudio(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val (rate, ch, frames) = decodeAudioHeader(r.payload)
+          AudioMeta(r.media_id, rate, ch, frames, frames * 1000L / rate)
+        }
+      }.toDF()
+  }
+
+  /** Materialized WAVE corpus per sf dir (the audio twin of
+    * [[buildImageStore]]): encoding is fixture creation, not the
+    * measured operator; built once, shared by the decode and energy
+    * queries. */
+  private val audioStore =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  def buildAudioStore(spark: SparkSession, sfDir: String): String =
+    audioStore.getOrElseUpdate(sfDir, {
+      val store = graft.sources.OrcIo.scratchDir("media_audio")
+      syntheticAudio(spark, sfDir)
+        .write.mode("overwrite").parquet(s"$store/audio")
+      s"$store/audio"
+    })
+
+  /** Correctness-gate query for the REAL audio header decode: encode
+    * WAVE files with id-derived rate/frame-count, decode them back via
+    * `javax.sound.sampled`, and let the DuckDB oracle predict the
+    * recovered metadata from `doc_id` alone. */
+  def audioDecodeQuery(spark: SparkSession, sfDir: String): DataFrame =
+    decodeAudio(spark, spark.read.parquet(buildAudioStore(spark, sfDir)))
+      .select(col("media_id"), col("sample_rate"), col("channels"),
+        col("n_frames"), col("duration_ms"))
+      .orderBy(col("media_id"))
+
+  case class AudioEnergy(media_id: Long, n_frames: Long, peak: Int,
+      rms_e4: Long)
+
+  /**
+   * Real DSP over really-decoded samples: peak amplitude and RMS
+   * energy per file — the loudness screen an audio-curation pipeline
+   * runs (silence / clipping gates). Samples come out of the REAL
+   * WAVE decode; the oracle replays the generation math, so a hash
+   * match proves the codec round-tripped every 16-bit sample exactly.
+   * Integer sum-of-squares (exact, order-free) feeds one double sqrt;
+   * the RMS is reported floor-scaled to 1e-4 (`rms_e4`) — floor of an
+   * IEEE-identical double is engine-independent, where `round` tie
+   * semantics (half-even vs half-up) are not.
+   */
+  def audioEnergy(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val samples = decodeAudioSamples(r.payload)
+          var sumSq = 0L
+          var peak = 0
+          samples.foreach { s =>
+            val v = s.toInt
+            sumSq += v.toLong * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+          }
+          val n = samples.length
+          val rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n)
+          AudioEnergy(r.media_id, n.toLong, peak,
+            math.floor(rms * 10000).toLong)
+        }
+      }.toDF()
+  }
+
+  def audioEnergyQuery(spark: SparkSession, sfDir: String): DataFrame =
+    audioEnergy(spark, spark.read.parquet(buildAudioStore(spark, sfDir)))
+      .orderBy(col("media_id"))
+
+  // ---------------------------------------------------------------- images
 
   case class ResizedImage(media_id: Long, payload: Array[Byte])
 

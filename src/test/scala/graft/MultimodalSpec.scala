@@ -158,6 +158,53 @@ class MultimodalSpec extends SparkSpec {
       s"missed=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
   }
 
+  test("audio kind decodes through the real codec: WAVE encode → " +
+      "javax.sound.sampled decode round-trips metadata and samples") {
+    val wavs = Multimodal.syntheticAudio(spark, sfDir).limit(50).collect()
+    assert(wavs.nonEmpty)
+    wavs.foreach { r =>
+      val id = r.getLong(0)
+      val payload = r.getAs[Array[Byte]]("payload")
+      assert(Multimodal.isWav(payload), s"media $id must be a real WAVE")
+      val (rate, ch, frames) = Multimodal.decodeAudioHeader(payload)
+      assert(rate == Multimodal.audioRate(id), s"media $id rate")
+      assert(ch == 1, s"media $id channels")
+      assert(frames == Multimodal.audioFrames(id), s"media $id frames")
+      // the decoded PCM stream is bit-for-bit what the encoder was fed
+      val samples = Multimodal.decodeAudioSamples(payload)
+      assert(samples.length == frames)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        assert(s == Multimodal.pcmSample(id, i), s"media $id sample $i")
+      }
+    }
+    // non-WAVE payloads are rejected loudly, not mis-parsed
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeAudioHeader("not a wav".getBytes("UTF-8"))
+    }
+  }
+
+  test("audioEnergy computes peak and floor-scaled RMS from decoded " +
+      "samples") {
+    val res = Multimodal.audioEnergyQuery(spark, sfDir).limit(20).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val id = r.getLong(0)
+      val n = Multimodal.audioFrames(id)
+      assert(r.getLong(1) == n, s"media $id n_frames")
+      var sumSq = 0L
+      var peak = 0
+      (0 until n).foreach { i =>
+        val v = Multimodal.pcmSample(id, i).toInt
+        sumSq += v.toLong * v
+        peak = math.max(peak, math.abs(v))
+      }
+      assert(r.getInt(2) == peak, s"media $id peak")
+      assert(r.getLong(3) ==
+        math.floor(math.sqrt(sumSq.toDouble / n) * 10000).toLong,
+        s"media $id rms_e4")
+    }
+  }
+
   test("decode pipeline aggregates per kind over the full corpus") {
     val res = Multimodal.decodePipelineQuery(spark, sfDir).collect()
     val kinds = res.map(_.getString(0)).toSet
