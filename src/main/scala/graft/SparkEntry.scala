@@ -86,6 +86,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (Dedup.simhashQuery _),
     "q_dedup_embedding" -> (Dedup.embeddingNearDupQuery _),
     "q_dedup_incremental" -> (Dedup.incrementalQuery _),
+    "q_dedup_segments" -> (Dedup.segmentDedupQuery _),
     "q_dup_clusters" -> (Dedup.dupClustersQuery _),
     "q_cluster_canonical" -> (Dedup.clusterCanonicalQuery _),
     // Similarity search (north star)
@@ -685,6 +686,34 @@ object SparkEntry {
         |SELECT doc_a, doc_b, jaccard FROM jpv
         |WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // Segment-level dedup: the oracle works on segment STRINGS where
+    // the engine shuffles xxhash64 digests — equivalent modulo 64-bit
+    // collisions (p ≈ n²/2⁶⁵). Same 2-word chunking, same df > 20
+    // boilerplate rule, kept segments re-joined in order.
+    "q_dedup_segments" ->
+      """WITH segs AS (
+        |  SELECT doc_id, i,
+        |    array_to_string(
+        |      (string_split(text, ' '))[(i-1)*2+1 : (i-1)*2+2], ' ') AS seg
+        |  FROM documents,
+        |    unnest(range(1, CAST(ceil(len(string_split(text, ' ')) / 2.0)
+        |      AS BIGINT) + 1)) AS t(i)),
+        |freq AS (
+        |  SELECT seg FROM (
+        |    SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+        |  WHERE df > 20),
+        |marked AS (
+        |  SELECT s.doc_id, s.i, s.seg, f.seg IS NOT NULL AS is_boiler
+        |  FROM segs s LEFT JOIN freq f USING (seg))
+        |SELECT doc_id,
+        |  CAST(count(*) AS INTEGER) AS n_segments,
+        |  CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS INTEGER)
+        |    AS n_removed,
+        |  md5(coalesce(string_agg(CASE WHEN NOT is_boiler THEN seg END,
+        |    ' ' ORDER BY i), '')) AS clean_md5
+        |FROM marked
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /

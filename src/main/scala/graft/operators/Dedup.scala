@@ -259,6 +259,74 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Non-overlapping k-word chunks of a text column (last chunk may be
+    * short) — the segmenter the correctness gate uses, because the
+    * synthetic corpus has no newlines. Production corpora pass
+    * [[lineSegments]] instead; [[segmentDedup]] takes either. */
+  def wordChunks(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    transform(
+      sequence(lit(0), ceil(size(toks) / lit(k.toDouble)).cast("int") - 1),
+      i => concat_ws(" ", slice(toks, i * k + 1, lit(k))))
+  }
+
+  /** Newline-delimited segments — the production segmenter (line-level
+    * dedup over web corpora à la CCNet). */
+  def lineSegments(text: Column): Column = split(text, "\n")
+
+  /**
+   * Segment-level dedup (boilerplate removal): drop every segment
+   * (line / paragraph / fixed word-chunk) that occurs in more than
+   * `minDocFreq` DISTINCT documents — the pass that strips navigation
+   * bars, license blurbs, and cookie banners from a web corpus while
+   * leaving document-unique prose intact (the segment-granularity
+   * complement of [[exactQuery]]'s whole-document dedup).
+   *
+   * Scale shape (100 TB): pass 1 shuffles only (xxhash64(segment),
+   * doc_id) pairs — 16 bytes/segment, never the text — to count
+   * per-segment document frequency; the resulting boilerplate set is
+   * small BY CONSTRUCTION (a segment kept by the `> minDocFreq` filter
+   * appears in many docs, so there can be at most n_docs·segs_per_doc
+   * / minDocFreq of them) and is folded to ONE array row broadcast to
+   * every task (the [[graft.operators.TextAnalysis]] 1-row crossJoin
+   * pattern). Pass 2 is then a NARROW projection: a codegen'd HOF
+   * filter drops segments whose hash is in the broadcast set — the
+   * corpus text itself is scanned twice and shuffled never. Hash
+   * equality stands in for string equality as in [[hashedShingles]]
+   * (collision p ≈ n²/2⁶⁵).
+   *
+   * Output is auditable, not bulky: per-doc segment counts plus the
+   * md5 of the cleaned text (kept segments re-joined in order).
+   */
+  def segmentDedup(docs: DataFrame, segments: Column, minDocFreq: Int)
+      : DataFrame = {
+    val segged = docs.select(col("doc_id"), segments.as("segs"))
+    val boiler = segged
+      .select(col("doc_id"), explode(col("segs")).as("seg"))
+      .select(col("doc_id"), xxhash64(col("seg")).as("h"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > minDocFreq)
+      .agg(coalesce(collect_set(col("h")),
+        array().cast("array<bigint>")).as("boiler"))
+    segged
+      .crossJoin(broadcast(boiler))
+      .withColumn("kept",
+        filter(col("segs"), s => !array_contains(col("boiler"), xxhash64(s))))
+      .select(col("doc_id"),
+        size(col("segs")).as("n_segments"),
+        (size(col("segs")) - size(col("kept"))).as("n_removed"),
+        md5(concat_ws(" ", col("kept"))).as("clean_md5"))
+  }
+
+  /** Correctness gate: 2-word chunks, boilerplate = chunks in more
+    * than 20 distinct docs (the synthetic vocabulary is small enough
+    * that common bigram chunks genuinely recur across documents). */
+  def segmentDedupQuery(spark: SparkSession, sfDir: String): DataFrame =
+    segmentDedup(Tables.load(spark, sfDir, "documents"),
+      wordChunks(col("text"), 2), minDocFreq = 20)
+      .orderBy(col("doc_id"))
+
   /** Window-dedup keep-first: the generic "keep one row per key"
     * operator (also the ACID resolve primitive). */
   def keepFirst(df: DataFrame, key: Seq[String], order: Column): DataFrame = {

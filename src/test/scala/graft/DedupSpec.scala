@@ -106,6 +106,38 @@ class DedupSpec extends SparkSpec {
     assert(uncapped == Set((900L, 901L)))
   }
 
+  test("segmentDedup strips cross-doc boilerplate, keeps unique prose") {
+    // 25 docs share a boilerplate line; each carries unique prose too
+    val docs = (0 until 25).map { i =>
+      (i.toLong, s"unique prose number $i\ncookie banner text here\nmore unique $i")
+    } :+ (100L, "entirely unique document\nwith its own lines")
+    val df = docs.toDF("doc_id", "text")
+    val res = Dedup.segmentDedup(df, Dedup.lineSegments(col("text")),
+      minDocFreq = 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // the shared line is removed from every sharing doc...
+    (0 until 25).foreach { i =>
+      val (nSeg, nRem, md5) = res(i.toLong)
+      assert(nSeg == 3 && nRem == 1, s"doc $i: $nSeg/$nRem")
+      val expected = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"unique prose number $i more unique $i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(md5 == expected, s"doc $i clean_md5")
+    }
+    // ...and the non-sharing doc is untouched
+    assert(res(100L)._1 == 2 && res(100L)._2 == 0)
+    // below-threshold sharing removes nothing
+    val loose = Dedup.segmentDedup(df, Dedup.lineSegments(col("text")),
+      minDocFreq = 30).agg(sum(col("n_removed"))).head.getLong(0)
+    assert(loose == 0L)
+    // wordChunks: ceil(n/k) chunks, short tail included
+    val chunks = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+      .select(Dedup.wordChunks(col("text"), 2).as("c"))
+      .head.getSeq[String](0)
+    assert(chunks == Seq("a b", "c d", "e"))
+  }
+
   test("keepFirst keeps exactly one row per key") {
     val df = Seq((1, "a", 10), (1, "b", 5), (2, "c", 7)).toDF("k", "v", "ord")
     val kept = Dedup.keepFirst(df, Seq("k"), col("ord"))
