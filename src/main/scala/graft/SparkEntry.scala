@@ -93,6 +93,9 @@ object SparkEntry {
     "q_ann_topk" -> (Similarity.annBruteForceQuery _),
     "q_ann_lsh" -> (Similarity.lshBucketQuery _),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    // PQ/ADC ANN: approximate by construction → no SQL oracle;
+    // recall + reconstruction quality spec-gated in SimilaritySpec
+    "q_ann_pq" -> (Similarity.annPqQuery _),
     "q_embed_stats" -> (Similarity.embeddingStatsQuery _),
     // Corpus curation (north star: decontamination, privacy, quality
     // gates, sequence packing)

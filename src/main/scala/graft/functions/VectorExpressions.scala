@@ -531,6 +531,55 @@ object VectorKernels {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** Index of the L2-nearest centroid (the product-quantization
+    * assignment rule — unlike the IVF coarse quantizer, PQ must honor
+    * sub-vector MAGNITUDE, so cosine is the wrong metric here). Ties
+    * to the lower index; one O(k·dims) pass, same shape as
+    * [[nearestCellsJava]]. */
+  def nearestCellL2Java(emb: ArrayData, cents: Array[Array[Float]]): Int = {
+    val k = cents.length
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < k) {
+      val cent = cents(c)
+      val d = math.min(emb.numElements(), cent.length)
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        val x = if (emb.isNullAt(i)) 0.0 else emb.getFloat(i).toDouble
+        val diff = x - cent(i)
+        acc += diff * diff
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** See [[nearestCellL2Java]]. */
+  case class NearestCellL2(child: Expression, cents: Array[Array[Float]])
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float> input, got " + other.simpleString)
+      }
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_nearest_cell_l2"
+    override protected def nullSafeEval(a: Any): Any =
+      nearestCellL2Java(a.asInstanceOf[ArrayData], cents)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.nearestCellL2Java($a, $centsRef)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** See [[nearestCellsJava]]. */
   case class NearestCells(child: Expression, cents: Array[Array[Float]],
       n: Int) extends UnaryExpression {
@@ -960,6 +1009,8 @@ object VectorKernels {
     // (typedLit), n a foldable int
     fn("graft_nearest_cells", es => NearestCells(es(0),
       toMatrix(es(1).eval()), es(2).eval().asInstanceOf[Int])),
+    fn("graft_nearest_cell_l2", es => NearestCellL2(es(0),
+      toMatrix(es(1).eval()))),
     // planes and dims must be foldable int literals
     fn("graft_hyperplane", es => HyperplaneSig(es(0),
       es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),

@@ -90,6 +90,12 @@ object Similarity {
     element_at(
       call_function("graft_nearest_cells", vec, centsLit(m), lit(1)), 1)
 
+  /** L2 variant — the PQ assignment rule (sub-vector magnitude
+    * matters, so cosine is the wrong metric for sub-quantizers). */
+  private def cellOfL2(m: Array[Array[Float]],
+      vec: org.apache.spark.sql.Column) =
+    call_function("graft_nearest_cell_l2", vec, centsLit(m))
+
   /**
    * Lloyd's k-means over the embedding column: deterministic seeding
    * (every corpus_size/k-th vector), then `iters` rounds of
@@ -100,7 +106,8 @@ object Similarity {
    * partial-aggregated groupBy whose shuffle is O(k·dims·partitions).
    * Each round materializes k·dims means (≈1k rows) on the driver.
    */
-  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int,
+      l2: Boolean = false): DataFrame = {
     val spark = emb.sparkSession
     val n = emb.count()
     val stride = math.max(n / k, 1)
@@ -114,9 +121,11 @@ object Similarity {
       // into the Generate, the O(k·dims) nearest-cell expression
       // re-evaluates once per exploded ELEMENT (dims× amplification —
       // measured 35 s vs 2 s for k=256, dims=64)
+      val assign =
+        if (l2) cellOfL2(matrix, col("embedding"))
+        else cellOf(matrix, col("embedding"))
       val assigned = emb
-        .select(cellOf(matrix, col("embedding")).as("cell"),
-          col("embedding"))
+        .select(assign.as("cell"), col("embedding"))
         .localCheckpoint()
       val means = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
@@ -224,6 +233,112 @@ object Similarity {
         sum(col("dims").cast("long") * 4).as("bytes_fp32"),
         sum(col("dims").cast("long") + 8).as("bytes_int8"))
       .orderBy(col("label"))
+
+  // ------------------------------------------------- product quantization
+
+  /** PQ codebook: `m` sub-quantizers of `ksub` centroids over
+    * `subDim`-dim slices — m·ksub·subDim floats, a driver-side model
+    * like the IVF centroid matrix. */
+  case class PqModel(m: Int, ksub: Int, subDim: Int,
+      codebook: Array[Array[Array[Float]]])
+
+  /**
+   * Fit a product-quantization codebook: split the `dims`-dim space
+   * into `m` contiguous sub-spaces and run an independent L2 k-means
+   * ([[kmeansCentroids]] with the L2 assignment rule) in each. Every
+   * vector then compresses to `m` small codes (here m bytes) — at
+   * 100 TB this is THE memory story for vector serving: 64-dim fp32
+   * (256 B) → 8 B per vector (32×), so a trillion-vector corpus scans
+   * codes from memory instead of fp32 from disk.
+   */
+  def fitPq(emb: DataFrame, m: Int = 8, ksub: Int = 64, iters: Int = 3)
+      : PqModel = {
+    val dims = emb.select(size(col("embedding"))).head.getInt(0)
+    require(dims % m == 0, s"dims $dims not divisible by m $m")
+    val subDim = dims / m
+    val codebook = (0 until m).map { s =>
+      kmeansCentroids(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), s * subDim + 1, subDim).as("embedding")),
+        ksub, iters, l2 = true)
+        .orderBy(col("cent_id")).select(col("cent_emb")).collect()
+        .map(_.getSeq[Float](0).toArray)
+    }.toArray
+    PqModel(m, ksub, subDim, codebook)
+  }
+
+  private val pqCache =
+    scala.collection.concurrent.TrieMap[String, PqModel]()
+
+  /** Offline PQ index build per corpus (idempotent, like
+    * [[buildIndex]]). */
+  def buildPqIndex(spark: SparkSession, sfDir: String): PqModel =
+    pqCache.getOrElseUpdate(sfDir,
+      fitPq(Tables.load(spark, sfDir, "embeddings")))
+
+  /** Encode column: the vector's `m` sub-space codes (L2-nearest
+    * centroid per slice) — a narrow codegen'd projection, no shuffle. */
+  def pqCodes(model: PqModel, vec: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    array((0 until model.m).map { s =>
+      cellOfL2(model.codebook(s),
+        slice(vec, s * model.subDim + 1, model.subDim))
+    }: _*)
+
+  /**
+   * PQ ANN top-k by asymmetric distance computation (ADC): the corpus
+   * is scanned as codes only; each query precomputes a LUT of partial
+   * dot products against every sub-centroid (m·ksub entries, one row
+   * per query), and a candidate's approximate cosine is m table
+   * lookups — never a fp32 corpus read. Reconstruction norms come from
+   * a query-independent m×ksub table folded into the plan as a
+   * literal. Approximate by construction → no SQL oracle; recall and
+   * reconstruction quality are spec-gated against brute force
+   * (SimilaritySpec).
+   */
+  def pqTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val model = buildPqIndex(spark, sfDir)
+    // m × ksub × subDim codebook and m × ksub squared-norm table as
+    // plan literals (tiny model material, like the IVF centroid lit)
+    val cbLit = typedLit(model.codebook.map(_.map(_.toSeq).toSeq).toSeq)
+    val sqLit = typedLit(model.codebook.map(_.map(c =>
+      c.map(v => v.toDouble * v).sum).toSeq).toSeq)
+    val codes = emb.select(col("vec_id").as("neighbor_id"),
+      pqCodes(model, col("embedding")).as("codes"))
+    // per-query LUT: lut[s][c] = <query slice s, centroid c of s>
+    val queries = emb.filter(col("vec_id") < 5).select(
+      col("vec_id").as("query_id"),
+      VectorOps.norm(col("embedding")).as("q_norm"),
+      transform(sequence(lit(0), lit(model.m - 1)), s =>
+        transform(sequence(lit(0), lit(model.ksub - 1)), c =>
+          VectorOps.dot(
+            slice(col("embedding"), s * model.subDim + 1, lit(model.subDim)),
+            element_at(element_at(cbLit, s + 1), c + 1)
+              .cast("array<float>")))).as("lut"))
+    // ADC: approx dot = Σ_s lut[s][code_s]; reconstruction norm² =
+    // Σ_s sq[s][code_s] — both O(m) per candidate over the code bytes
+    val approxDot = aggregate(
+      zip_with(col("codes"), col("lut"),
+        (c, l) => element_at(l, c + 1).cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val recNormSq = aggregate(
+      zip_with(col("codes"), sqLit, (c, sq) => element_at(sq, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    codes.crossJoin(broadcast(queries))
+      .withColumn("approx_cos", round(
+        approxDot / (col("q_norm") * sqrt(recNormSq)), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("approx_cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def annPqQuery(spark: SparkSession, sfDir: String): DataFrame =
+    pqTopK(spark, sfDir)
 
   def ivfTopK(spark: SparkSession, sfDir: String, nprobe: Int = 4)
       : DataFrame = {

@@ -48,6 +48,57 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ/ADC ANN: self at rank 1, recall@10 vs brute force, codes " +
+      "in range, reconstruction cosine high") {
+    val res = Similarity.annPqQuery(spark, sfDir).collect()
+    assert(res.groupBy(_.getLong(0)).keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // 32x-compressed codes must still put the query itself on top
+    res.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.find(_.getInt(2) == 1).get.getLong(1) == q,
+        s"query $q must rank itself first under ADC")
+      assert(rows.length == 10)
+    }
+    // recall@10 against exact brute force — PQ ADC over 8 byte-codes
+    // is lossy by design, but must keep the neighborhood (threshold
+    // pinned for THIS corpus + deterministic L2 k-means fit)
+    val brute = collectRanks(Similarity.annBruteForceQuery(spark, sfDir))
+    val pq = collectRanks(Similarity.annPqQuery(spark, sfDir))
+    val bruteSets = brute.groupBy(_._1._1)
+      .map { case (q, m) => q -> m.values.toSet }
+    val recall = bruteSets.map { case (q, bs) =>
+      val ps = pq.filter(_._1._1 == q).values.toSet
+      (bs intersect ps).size.toDouble / bs.size
+    }
+    assert(recall.sum / recall.size >= 0.5,
+      s"mean PQ recall@10 ${recall.sum / recall.size}")
+    // every vector reconstructs with high cosine: decode codes back to
+    // centroid concatenation and compare against the original
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val model = Similarity.buildPqIndex(spark, sfDir)
+    val checked = emb.limit(100).collect().map { r =>
+      val v = r.getSeq[Float](r.fieldIndex("embedding")).toArray
+      val rec = (0 until model.m).flatMap { s =>
+        val sub = v.slice(s * model.subDim, (s + 1) * model.subDim)
+        val cents = model.codebook(s)
+        val best = cents.indices.minBy { c =>
+          sub.zip(cents(c)).map { case (a, b) =>
+            (a - b).toDouble * (a - b) }.sum
+        }
+        // the engine-side encoder must agree with this L2 rule
+        cents(best)
+      }.toArray
+      val dot = v.zip(rec).map { case (a, b) => a.toDouble * b }.sum
+      val na = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(rec.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    // ~0.82 measured for 8×64-centroid codebooks at 32× compression on
+    // THIS corpus (deterministic fit — cannot flake); threshold pinned
+    // just below as the regression floor
+    assert(checked.sum / checked.length >= 0.8,
+      s"mean reconstruction cosine ${checked.sum / checked.length}")
+  }
+
   test("LSH recall@10 vs brute force is reasonable for 12-bit buckets") {
     val brute = collectRanks(Similarity.annBruteForceQuery(spark, sfDir))
     val lsh = collectRanks(Similarity.lshBucketQuery(spark, sfDir))
