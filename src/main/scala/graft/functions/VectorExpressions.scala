@@ -310,6 +310,163 @@ object VectorKernels {
       java.util.Arrays.copyOf(out, m))
   }
 
+  /** FNV-1a 64 over the chars of one string (the [[shingleHashesJava]]
+    * hash, factored out for the segment-dedup kernels). */
+  def fnv1aJava(s: String): Long = {
+    var h = 0xCBF29CE484222325L
+    var k = 0
+    while (k < s.length) {
+      h = (h ^ s.charAt(k).toLong) * 0x100000001B3L
+      k += 1
+    }
+    h
+  }
+
+  /** Non-overlapping k-word chunks of a text (split on single space
+    * keeping empties, last chunk may be short) — the native form of the
+    * HOF `transform(sequence…, slice…)` chunker, which costs ~1ms of
+    * interpreted lambdas per document. Order preserved, duplicates
+    * kept. */
+  def wordChunksJava(text: org.apache.spark.unsafe.types.UTF8String,
+      k: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val count = (toks.length + k - 1) / k
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](count)
+    var c = 0
+    while (c < count) {
+      val sb = new java.lang.StringBuilder
+      val end = math.min((c + 1) * k, toks.length)
+      var j = c * k
+      while (j < end) {
+        if (j > c * k) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(c) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** See [[wordChunksJava]]. */
+  case class WordChunks(child: Expression, k: Int) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got " + other.simpleString)
+      }
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+    override def prettyName: String = "graft_word_chunks"
+    override protected def nullSafeEval(a: Any): Any =
+      wordChunksJava(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.wordChunksJava($a, $k)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** FNV-1a 64 of every element of a string array (order preserved,
+    * duplicates kept) — one native pass replacing the interpreted
+    * `transform(segs, xxhash64)` lambda. */
+  def segHashesJava(segs: ArrayData): ArrayData = {
+    val n = segs.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (segs.isNullAt(i)) fnv1aJava("")
+        else fnv1aJava(segs.getUTF8String(i).toString)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** See [[segHashesJava]]. */
+  case class SegHashes(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string> input, got " + other.simpleString)
+      }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_seg_hashes"
+    override protected def nullSafeEval(a: Any): Any =
+      segHashesJava(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.segHashesJava($a)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Drop segments whose FNV-1a hash is in the SORTED `boiler` array
+    * (binary search per segment), re-join keepers with ' ': the
+    * segment-dedup removal pass as one native kernel —
+    * (n_segments, n_removed, clean). The boiler set arrives as a
+    * regular column (it is data-dependent, broadcast via a 1-row
+    * crossJoin), so this is a binary expression, not a literal-bound
+    * one. */
+  def segStripJava(segs: ArrayData, boiler: ArrayData)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val nb = boiler.numElements()
+    val b = new Array[Long](nb)
+    var i = 0
+    while (i < nb) { b(i) = boiler.getLong(i); i += 1 }
+    val n = segs.numElements()
+    val sb = new java.lang.StringBuilder
+    var removed = 0
+    var kept = 0
+    i = 0
+    while (i < n) {
+      val s = if (segs.isNullAt(i)) "" else segs.getUTF8String(i).toString
+      if (java.util.Arrays.binarySearch(b, fnv1aJava(s)) >= 0) removed += 1
+      else {
+        if (kept > 0) sb.append(' ')
+        sb.append(s)
+        kept += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, removed,
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
+  }
+
+  /** See [[segStripJava]]. */
+  case class SegStrip(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(org.apache.spark.sql.types.StringType, _),
+            ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<string>, array<bigint>), got " + other)
+      }
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(
+      Seq(
+        org.apache.spark.sql.types.StructField("n_segments", IntegerType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("n_removed", IntegerType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("clean",
+          org.apache.spark.sql.types.StringType, nullable = false)))
+    override def prettyName: String = "graft_seg_strip"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      segStripJava(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.VectorKernels.segStripJava($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** See [[shingleHashesJava]]. */
   case class ShingleHashes(child: Expression, n: Int)
       extends UnaryExpression {
@@ -999,6 +1156,11 @@ object VectorKernels {
       es(1).eval().asInstanceOf[Int])),
     fn("graft_simhash", es => SimHash64(es.head)),
     // n must be a foldable int literal, e.g. graft_shingles(text, 3)
+    // k must be a foldable int literal
+    fn("graft_word_chunks", es => WordChunks(es(0),
+      es(1).eval().asInstanceOf[Int])),
+    fn("graft_seg_hashes", es => SegHashes(es(0))),
+    fn("graft_seg_strip", es => SegStrip(es(0), es(1))),
     fn("graft_shingles", es => ShingleHashes(es(0),
       es(1).eval().asInstanceOf[Int])),
     fn("graft_ngrams", es => NGrams(es(0),

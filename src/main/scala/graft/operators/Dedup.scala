@@ -262,13 +262,12 @@ object Dedup {
   /** Non-overlapping k-word chunks of a text column (last chunk may be
     * short) — the segmenter the correctness gate uses, because the
     * synthetic corpus has no newlines. Production corpora pass
-    * [[lineSegments]] instead; [[segmentDedup]] takes either. */
-  def wordChunks(text: Column, k: Int): Column = {
-    val toks = split(text, " ")
-    transform(
-      sequence(lit(0), ceil(size(toks) / lit(k.toDouble)).cast("int") - 1),
-      i => concat_ws(" ", slice(toks, i * k + 1, lit(k))))
-  }
+    * [[lineSegments]] instead; [[segmentDedup]] takes either. Native
+    * one-pass kernel ([[graft.functions.VectorKernels.WordChunks]]) —
+    * the `transform(sequence…, slice…)` HOF form costs ~1ms of
+    * interpreted lambdas per document. */
+  def wordChunks(text: Column, k: Int): Column =
+    call_function("graft_word_chunks", text, lit(k))
 
   /** Newline-delimited segments — the production segmenter (line-level
     * dedup over web corpora à la CCNet). */
@@ -282,18 +281,19 @@ object Dedup {
    * leaving document-unique prose intact (the segment-granularity
    * complement of [[exactQuery]]'s whole-document dedup).
    *
-   * Scale shape (100 TB): pass 1 shuffles only (xxhash64(segment),
+   * Scale shape (100 TB): pass 1 shuffles only (fnv1a64(segment),
    * doc_id) pairs — 16 bytes/segment, never the text — to count
    * per-segment document frequency; the resulting boilerplate set is
    * small BY CONSTRUCTION (a segment kept by the `> minDocFreq` filter
    * appears in many docs, so there can be at most n_docs·segs_per_doc
-   * / minDocFreq of them) and is folded to ONE array row broadcast to
-   * every task (the [[graft.operators.TextAnalysis]] 1-row crossJoin
-   * pattern). Pass 2 is then a NARROW projection: a codegen'd HOF
-   * filter drops segments whose hash is in the broadcast set — the
-   * corpus text itself is scanned twice and shuffled never. Hash
-   * equality stands in for string equality as in [[hashedShingles]]
-   * (collision p ≈ n²/2⁶⁵).
+   * / minDocFreq of them) and is folded to ONE sorted array row
+   * broadcast to every task (the [[graft.operators.TextAnalysis]]
+   * 1-row crossJoin pattern). Pass 2 is then a NARROW projection: a
+   * native kernel ([[graft.functions.VectorKernels.SegStrip]])
+   * binary-searches each segment's hash against the broadcast set and
+   * rebuilds the kept text in one pass — the corpus text itself is
+   * scanned twice and shuffled never. Hash equality stands in for
+   * string equality as in [[hashedShingles]] (collision p ≈ n²/2⁶⁵).
    *
    * Output is auditable, not bulky: per-doc segment counts plus the
    * md5 of the cleaned text (kept segments re-joined in order).
@@ -302,21 +302,21 @@ object Dedup {
       : DataFrame = {
     val segged = docs.select(col("doc_id"), segments.as("segs"))
     val boiler = segged
-      .select(col("doc_id"), explode(col("segs")).as("seg"))
-      .select(col("doc_id"), xxhash64(col("seg")).as("h"))
+      .select(col("doc_id"),
+        explode(call_function("graft_seg_hashes", col("segs"))).as("h"))
       .groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > minDocFreq)
-      .agg(coalesce(collect_set(col("h")),
-        array().cast("array<bigint>")).as("boiler"))
+      .agg(sort_array(coalesce(collect_set(col("h")),
+        array().cast("array<bigint>"))).as("boiler"))
     segged
       .crossJoin(broadcast(boiler))
-      .withColumn("kept",
-        filter(col("segs"), s => !array_contains(col("boiler"), xxhash64(s))))
+      .withColumn("_s",
+        call_function("graft_seg_strip", col("segs"), col("boiler")))
       .select(col("doc_id"),
-        size(col("segs")).as("n_segments"),
-        (size(col("segs")) - size(col("kept"))).as("n_removed"),
-        md5(concat_ws(" ", col("kept"))).as("clean_md5"))
+        col("_s.n_segments").as("n_segments"),
+        col("_s.n_removed").as("n_removed"),
+        md5(col("_s.clean")).as("clean_md5"))
   }
 
   /** Correctness gate: 2-word chunks, boilerplate = chunks in more
