@@ -285,16 +285,35 @@ object Similarity {
         slice(vec, s * model.subDim + 1, model.subDim))
     }: _*)
 
+  /** Materialized PQ code store per corpus: encoding is the offline
+    * half of the index build (one narrow pass over the fp32 corpus);
+    * serving reads ONLY this table — at 100 TB the codes are ~3 TB and
+    * live in memory while the fp32 vectors stay cold. */
+  private val pqStore =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  def buildPqStore(spark: SparkSession, sfDir: String): String =
+    pqStore.getOrElseUpdate(sfDir, {
+      val model = buildPqIndex(spark, sfDir)
+      val store = graft.sources.OrcIo.scratchDir("pq_codes")
+      Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id").as("neighbor_id"),
+          pqCodes(model, col("embedding")).as("codes"))
+        .write.mode("overwrite").parquet(s"$store/codes")
+      s"$store/codes"
+    })
+
   /**
    * PQ ANN top-k by asymmetric distance computation (ADC): the corpus
-   * is scanned as codes only; each query precomputes a LUT of partial
-   * dot products against every sub-centroid (m·ksub entries, one row
-   * per query), and a candidate's approximate cosine is m table
-   * lookups — never a fp32 corpus read. Reconstruction norms come from
-   * a query-independent m×ksub table folded into the plan as a
-   * literal. Approximate by construction → no SQL oracle; recall and
-   * reconstruction quality are spec-gated against brute force
-   * (SimilaritySpec).
+   * is scanned as codes only (the materialized [[buildPqStore]] table
+   * — the fp32 embeddings are never read at serving time); each query
+   * precomputes a LUT of partial dot products against every
+   * sub-centroid (m·ksub entries, one row per query), and a
+   * candidate's approximate cosine is m table lookups. Reconstruction
+   * norms come from a query-independent m×ksub table folded into the
+   * plan as a literal. Approximate by construction → no SQL oracle;
+   * recall and reconstruction quality are spec-gated against brute
+   * force (SimilaritySpec).
    */
   def pqTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
@@ -304,8 +323,7 @@ object Similarity {
     val cbLit = typedLit(model.codebook.map(_.map(_.toSeq).toSeq).toSeq)
     val sqLit = typedLit(model.codebook.map(_.map(c =>
       c.map(v => v.toDouble * v).sum).toSeq).toSeq)
-    val codes = emb.select(col("vec_id").as("neighbor_id"),
-      pqCodes(model, col("embedding")).as("codes"))
+    val codes = spark.read.parquet(buildPqStore(spark, sfDir))
     // per-query LUT: lut[s][c] = <query slice s, centroid c of s>
     val queries = emb.filter(col("vec_id") < 5).select(
       col("vec_id").as("query_id"),

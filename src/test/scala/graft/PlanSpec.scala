@@ -200,6 +200,38 @@ class PlanSpec extends SparkSpec {
       s"corpus embeddings flow through a shuffle:\n$p")
   }
 
+  test("segment dedup: text never enters an exchange; strip pass is " +
+      "a native projection") {
+    val p = planString(graft.SparkEntry.queries("q_dedup_segments")(
+      spark, sfDir))
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, s"no df-count shuffle found:\n$p")
+    // pass 1 shuffles (hash, doc_id) pairs only — document text and
+    // the segment strings must stay out of every exchange
+    assert(!exchanges.exists(e => e.contains("text#") || e.contains("segs#")),
+      s"text/segments flow through a shuffle:\n$exchanges")
+    // the boilerplate set rides a broadcast, and removal is the native
+    // kernel inside a Project (not a join per segment)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("Broadcast"),
+      s"boilerplate set not broadcast:\n$p")
+    assert(p.contains("graft_seg_strip"), s"strip kernel not in plan:\n$p")
+  }
+
+  test("PQ serving scans the code store, not the fp32 embeddings") {
+    val p = planString(Similarity.pqTopK(spark, sfDir))
+    // the corpus side must read the materialized codes parquet; the
+    // embeddings table appears only on the (broadcast) query side
+    val scans = p.linesIterator.filter(_.contains("Scan parquet")).toSeq
+    assert(scans.exists(_.contains("pq_codes")),
+      s"code-store scan missing:\n$scans")
+    // the scored (streamed) side never materializes an embedding col:
+    // no exchange may carry one
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(_.contains("embedding#")),
+      s"fp32 embeddings shuffled at serving time:\n$exchanges")
+  }
+
   test("jaccard DF cap: hot-shingle filter is a broadcast anti join") {
     val p = planString(Dedup.ngramJaccardQuery(spark, sfDir))
     // the anti join against the (tiny) hot-shingle set must broadcast —
