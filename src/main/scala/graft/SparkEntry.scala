@@ -73,6 +73,9 @@ object SparkEntry {
     "q_ngram_freq" -> (TextAnalysis.ngramFrequencyQuery _),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidfQuery(s, d)),
     "q_feature_hash" -> (TextAnalysis.featureHashQuery _),
+    "q_winnow" -> (TextAnalysis.winnowQuery _),
+    // Corpus snapshot versioning (added/removed/changed audit)
+    "q_corpus_diff" -> (Versioning.corpusDiffQuery _),
     // Deterministic sampling (north star: reproducible subsets)
     "q_sample_hash" -> (Sampling.hashSampleQuery _),
     "q_sample_stratified" -> ((s, d) => Sampling.stratifiedSampleQuery(s, d)),
@@ -87,6 +90,7 @@ object SparkEntry {
     "q_dedup_embedding" -> (Dedup.embeddingNearDupQuery _),
     "q_dedup_incremental" -> (Dedup.incrementalQuery _),
     "q_dedup_segments" -> (Dedup.segmentDedupQuery _),
+    "q_dedup_editdist" -> (Dedup.editDistQuery _),
     "q_dup_clusters" -> (Dedup.dupClustersQuery _),
     "q_cluster_canonical" -> (Dedup.clusterCanonicalQuery _),
     // Similarity search (north star)
@@ -101,6 +105,8 @@ object SparkEntry {
     // gates, sequence packing)
     "q_contamination" -> (Curation.contaminationQuery _),
     "q_pii_scrub" -> (Curation.piiScrubQuery _),
+    "q_text_normalize" -> (Curation.normalizeQuery _),
+    "q_html_strip" -> (Curation.htmlStripQuery _),
     "q_text_repetition" -> ((s, d) => Curation.repetitionQuery(s, d)),
     "q_seq_pack" -> (Curation.seqPackQuery _),
     "q_embed_quant" -> (Similarity.quantizationQuery _),
@@ -689,6 +695,23 @@ object SparkEntry {
         |SELECT doc_a, doc_b, jaccard FROM jpv
         |WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // Edit-distance verification of the loose-threshold (≥ 0.3)
+    // Jaccard candidate pairs: DuckDB's levenshtein matches Spark's
+    // on ASCII text, so the verify stage replays exactly.
+    "q_dedup_editdist" ->
+      (s"WITH $jaccardBaseCte," +
+        """
+        |t AS (SELECT doc_id, substr(text, 1, 400) AS p FROM documents)
+        |SELECT j.doc_a, j.doc_b, round(j.jaccard, 4) AS jaccard,
+        |  CAST(levenshtein(ta.p, tb.p) AS INTEGER) AS lev,
+        |  round(1.0 - CAST(levenshtein(ta.p, tb.p) AS DOUBLE) /
+        |    CAST(greatest(length(ta.p), length(tb.p)) AS DOUBLE), 4)
+        |    AS edit_sim
+        |FROM jpv j
+        |JOIN t ta ON j.doc_a = ta.doc_id
+        |JOIN t tb ON j.doc_b = tb.doc_id
+        |WHERE j.jaccard >= 0.3
+        |ORDER BY j.doc_a, j.doc_b""".stripMargin),
     // Segment-level dedup: the oracle works on segment STRINGS where
     // the engine shuffles xxhash64 digests — equivalent modulo 64-bit
     // collisions (p ≈ n²/2⁶⁵). Same 2-word chunking, same df > 20
@@ -886,6 +909,58 @@ object SparkEntry {
         |  round(arr[1], 6) AS c0
         |FROM a
         |ORDER BY doc_id""".stripMargin,
+    // Winnowing (MOSS): word 3-gram hashes = first 32 md5 bits (the
+    // portable-hash idiom of q_feature_hash), windows of 4, distinct
+    // sorted minima — the oracle replays gram building, hashing,
+    // window minima, and the set summary exactly.
+    "q_winnow" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_transform(
+        |    range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+        |    i -> concat_ws(' ', string_split(text,' ')[i],
+        |      string_split(text,' ')[i+1], string_split(text,' ')[i+2]))
+        |    AS grams
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_transform(grams,
+        |    t -> ('0x' || substring(md5(t), 1, 8))::BIGINT) AS hs FROM g),
+        |w AS (SELECT doc_id, len(hs) AS n_grams,
+        |    list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+        |      i -> list_min(hs[i:i+3])) AS mins FROM h),
+        |f AS (SELECT doc_id, n_grams,
+        |    list_sort(list_distinct(mins)) AS fp FROM w)
+        |SELECT doc_id,
+        |  CAST(n_grams AS INTEGER) AS n_grams,
+        |  CAST(len(fp) AS INTEGER) AS n_fp,
+        |  fp[1] AS fp_min,
+        |  fp[len(fp)] AS fp_max,
+        |  CAST(list_sum(fp) AS BIGINT) AS fp_sum
+        |FROM f
+        |ORDER BY doc_id""".stripMargin,
+    // Snapshot diff: the oracle rebuilds the same deterministic v2
+    // (÷17 removed, ÷13 edited, ÷29 re-added at +1000000) and replays
+    // the digest-level full-outer diff.
+    "q_corpus_diff" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, txt AS text FROM (
+        |    SELECT doc_id, 'new doc ' || CAST(doc_id AS VARCHAR) AS txt
+        |    FROM documents WHERE doc_id % 29 = 0)),
+        |o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
+        |nn AS (SELECT doc_id, md5(text) AS new_md5 FROM v2),
+        |j AS (
+        |  SELECT COALESCE(o.doc_id, nn.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN nn.doc_id IS NULL THEN 'removed'
+        |         WHEN old_md5 <> new_md5 THEN 'changed' END AS status,
+        |    old_md5, new_md5
+        |  FROM o FULL OUTER JOIN nn ON o.doc_id = nn.doc_id)
+        |SELECT doc_id, status, old_md5, new_md5 FROM j
+        |WHERE status IS NOT NULL
+        |ORDER BY doc_id, status""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, lang, substring(md5(text), 1, 2) AS hash_bucket
         |FROM documents
@@ -1015,6 +1090,77 @@ object SparkEntry {
         |      '\b(customer|user|key)\b', '<NAME>', 'g'),
         |    '  +', ' ', 'g'))) AS clean_md5
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // Unicode normalization: both engines append the same dirty suffix
+    // (decomposed accents via chr(769)/chr(776), a BEL control, a tab)
+    // to the ASCII corpus text; DuckDB's nfc_normalize (utf8proc) and
+    // the engine's graft_nfc kernel (JDK Normalizer) implement the
+    // same UAX #15 algorithm, so the md5 over the cleaned text gates
+    // the whole pipeline bit-for-bit.
+    "q_text_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 120) || ' cafe' || chr(769) || ' nai' ||
+        |      chr(776) || 've ' || chr(7) || 'beep' || chr(9) || 'tab '
+        |      AS dirty
+        |  FROM documents),
+        |n AS (SELECT doc_id, dirty, nfc_normalize(dirty) AS nfc FROM d),
+        |c AS (SELECT doc_id, dirty, nfc,
+        |  trim(regexp_replace(regexp_replace(nfc,
+        |    '[\x00-\x1f\x7f]', ' ', 'g'), '  +', ' ', 'g')) AS clean
+        |  FROM n)
+        |SELECT doc_id,
+        |  CAST(length(dirty) AS INTEGER) AS n_raw,
+        |  CAST(length(nfc) AS INTEGER) AS n_nfc,
+        |  CAST(length(clean) AS INTEGER) AS n_clean,
+        |  md5(clean) AS clean_md5
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
+    // HTML extraction: both engines wrap the text in the same page and
+    // replay the same strip order (script/style blocks, comments, tags,
+    // entities with &amp; last, whitespace collapse).
+    "q_html_strip" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc</title><style>p {color: red}</style>' ||
+        |    '</head>' || chr(10) || '<body><h1 id="t">' ||
+        |    substr(text, 1, 40) || '</h1>' || chr(10) ||
+        |    '<p class="body">' ||
+        |    regexp_replace(substr(text, 1, 160), ' the ', ' &amp; ', 'g') ||
+        |    ' &lt;escaped&gt; &quot;q&quot;&nbsp;end</p><!-- hidden -->' ||
+        |    '<script>var x = "<p>tricky</p>";</script></body></html>'
+        |      AS dirty
+        |  FROM documents),
+        |c AS (SELECT doc_id, dirty,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(dirty,
+        |                  '<(script|style)[^>]*>.*?</(script|style)>',
+        |                  ' ', 'g'),
+        |                '<!--.*?-->', ' ', 'g'),
+        |              '<[^>]*>', ' ', 'g'),
+        |            '&nbsp;', ' ', 'g'),
+        |          '&quot;', '"', 'g'),
+        |        '&gt;', '>', 'g'),
+        |      '&lt;', '<', 'g'),
+        |    '&amp;', '&', 'g') AS clean0
+        |  FROM d),
+        |f AS (SELECT doc_id, dirty,
+        |  trim(regexp_replace(clean0, '[ \t\n\r]+', ' ', 'g')) AS clean
+        |  FROM c)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(dirty, '<[^>]*>')) AS INTEGER)
+        |    AS n_tags,
+        |  CAST(len(regexp_extract_all(dirty, '&[a-z]+;')) AS INTEGER)
+        |    AS n_entities,
+        |  CAST(length(clean) AS INTEGER) AS n_clean,
+        |  md5(clean) AS clean_md5
+        |FROM f
         |ORDER BY doc_id""".stripMargin,
     // Gopher-style repetition gates over word bigrams.
     "q_text_repetition" ->

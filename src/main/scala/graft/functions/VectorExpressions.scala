@@ -579,6 +579,122 @@ object VectorKernels {
       copy(child = newChild)
   }
 
+  /** Unicode NFC canonical composition (UAX #15) — see [[NfcNormalize]].
+    * Fast path: an already-composed string (every pure-ASCII string is)
+    * returns the input buffer untouched, so the overwhelmingly common
+    * case does zero allocation; only rows that actually carry combining
+    * marks pay the normalizer. The JDK and DuckDB's utf8proc implement
+    * the same Unicode algorithm, so the oracle comparison is exact. */
+  def nfcJava(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  /** See [[nfcJava]]: string → NFC-normalized string. The canonical-
+    * composition pass every web-scale text pipeline runs before hashing
+    * or dedup (decomposed e+U+0301 must hash like precomposed é). */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got " + other.simpleString)
+      }
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def prettyName: String = "graft_nfc"
+    override protected def nullSafeEval(a: Any): Any =
+      nfcJava(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.nfcJava($a)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS algorithm) over word k-grams: hash every k-gram (first 32
+    * bits of its md5, so the SQL oracle reproduces the hash exactly),
+    * slide a window of `w` hashes, keep each window's minimum; the
+    * fingerprint set is the sorted distinct minima. Guarantees: any
+    * shared substring of ≥ w+k-1 words between two documents yields at
+    * least one shared fingerprint, at ~1/w the storage of the full
+    * hash sequence — substring-granularity overlap detection without
+    * shipping every shingle.
+    *
+    * Short-input convention mirrors the SQL formulation: fewer than k
+    * words → ONE k-gram of all available words; fewer than w hashes →
+    * one window over them all. One pass, no allocation beyond the
+    * gram strings and the result set. */
+  def winnowJava(text: org.apache.spark.unsafe.types.UTF8String,
+      k: Int, w: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val n = words.length
+    val nGrams = math.max(n - k + 1, 1)
+    val hashes = new Array[Long](nGrams)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < nGrams) {
+      val sb = new java.lang.StringBuilder
+      var j = i
+      val end = math.min(i + k, n)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes
+        (java.nio.charset.StandardCharsets.UTF_8))
+      hashes(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    val minima = new java.util.TreeSet[java.lang.Long]()
+    val nWin = math.max(nGrams - w + 1, 1)
+    i = 0
+    while (i < nWin) {
+      var min = Long.MaxValue
+      var j = i
+      val end = math.min(i + w, nGrams)
+      while (j < end) {
+        if (hashes(j) < min) min = hashes(j)
+        j += 1
+      }
+      minima.add(min)
+      i += 1
+    }
+    val out = new Array[Long](minima.size)
+    val it = minima.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** See [[winnowJava]]: string → sorted distinct window-min hashes. */
+  case class Winnow(child: Expression, k: Int, w: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got " + other.simpleString)
+      }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_winnow"
+    override protected def nullSafeEval(a: Any): Any =
+      winnowJava(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.winnowJava($a, $k, $w)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   private def longArrayCheck(e: Expression, name: String): TypeCheckResult =
     e.dataType match {
       case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -1167,6 +1283,10 @@ object VectorKernels {
       es(1).eval().asInstanceOf[Int])),
     fn("graft_sig_agree", es => SignatureAgreement(es(0), es(1))),
     fn("graft_rolling_hash", es => RollingHash(es.head)),
+    fn("graft_nfc", es => NfcNormalize(es.head)),
+    // k and w must be foldable int literals, e.g. graft_winnow(text, 3, 4)
+    fn("graft_winnow", es => Winnow(es(0),
+      es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
     // centroid matrix must be a foldable array<array<float>> literal
     // (typedLit), n a foldable int
     fn("graft_nearest_cells", es => NearestCells(es(0),

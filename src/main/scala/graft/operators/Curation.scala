@@ -116,6 +116,98 @@ object Curation {
       .orderBy(col("doc_id"))
 
   /**
+   * Unicode + whitespace normalization — the canonicalization pass that
+   * must run before any hashing/dedup stage (decomposed e+U+0301 and
+   * precomposed é are the "same" text but hash differently): NFC
+   * canonical composition (native codegen'd kernel
+   * [[graft.functions.VectorKernels.NfcNormalize]], zero-allocation on
+   * the already-composed common case), control characters → space,
+   * whitespace-run collapse, trim. Pure codegen'd projection — no
+   * shuffle, embarrassingly parallel over 100 TB.
+   */
+  def normalizeText(text: Column): Column = {
+    val composed = call_function("graft_nfc", text)
+    val noCtrl = regexp_replace(composed, "[\\x00-\\x1f\\x7f]", " ")
+    trim(regexp_replace(noCtrl, "  +", " "))
+  }
+
+  /** Correctness gate for [[normalizeText]]: the synthetic corpus is
+    * pure ASCII (already NFC), so both engines append the same dirty
+    * suffix — combining acute/diaeresis (must compose), a BEL control
+    * and a tab (must become collapsed spaces) — and the oracle replays
+    * the cleanup with `nfc_normalize` + RE2. Char counts before/after
+    * NFC witness that composition actually ran; the md5 gates the full
+    * cleaned content. */
+  def normalizeQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val dirty = concat(substring(col("text"), 1, 120),
+      lit(" cafe\u0301 nai\u0308ve \u0007beep\ttab "))
+    val clean = normalizeText(dirty)
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        length(dirty).as("n_raw"),
+        length(call_function("graft_nfc", dirty)).as("n_nfc"),
+        length(clean).as("n_clean"),
+        md5(clean).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val scriptStyleRe = "<(script|style)[^>]*>.*?</(script|style)>"
+  private val commentRe = "<!--.*?-->"
+  private val tagRe = "<[^>]*>"
+
+  /**
+   * HTML → text extraction, the first stage of every web-crawl
+   * pipeline: drop <script>/<style> blocks (their CONTENT is not
+   * text), then comments, then all remaining tags; decode the common
+   * entities (&amp; last, so "&amp;lt;" correctly yields "&lt;" and
+   * not "<"); collapse whitespace. All RE2-safe regexes + replace
+   * chains, so the SQL oracle replays the definition verbatim; pure
+   * codegen'd projection, no shuffle.
+   */
+  def htmlClean(html: Column): Column = {
+    val noBlocks = regexp_replace(html, scriptStyleRe, " ")
+    val noComments = regexp_replace(noBlocks, commentRe, " ")
+    val noTags = regexp_replace(noComments, tagRe, " ")
+    val decoded =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(noTags, "&nbsp;", " "),
+              "&quot;", "\""),
+            "&gt;", ">"),
+          "&lt;", "<"),
+        "&amp;", "&")
+    trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+  }
+
+  /** Correctness gate for [[htmlClean]]: both engines wrap each
+    * document's text in the same deterministic HTML page (tags,
+    * attributes, entities, a comment, a script with a tag-bearing
+    * string literal) and the oracle replays the extraction. Tag/entity
+    * counts make the strip auditable; the md5 gates the full extracted
+    * content. */
+  def htmlStripQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val dirty = concat(
+      lit("<html><head><title>Doc</title><style>p {color: red}</style>" +
+        "</head>\n<body><h1 id=\"t\">"),
+      substring(col("text"), 1, 40),
+      lit("</h1>\n<p class=\"body\">"),
+      regexp_replace(substring(col("text"), 1, 160), " the ", " &amp; "),
+      lit(" &lt;escaped&gt; &quot;q&quot;&nbsp;end</p><!-- hidden -->" +
+        "<script>var x = \"<p>tricky</p>\";</script></body></html>"))
+    val clean = htmlClean(dirty)
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(dirty, lit(tagRe), lit(0))).as("n_tags"),
+        size(regexp_extract_all(dirty, lit("&[a-z]+;"), lit(0)))
+          .as("n_entities"),
+        length(clean).as("n_clean"),
+        md5(clean).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * Repetition-based quality signals (Gopher-style gates): duplicate
    * word-bigram fraction and top-bigram mass per document. One native
    * one-pass kernel per row ([[graft.functions.VectorKernels.NGramRepetition]])

@@ -78,8 +78,12 @@ object Dedup {
       maxShingleDf: Int = 1000): DataFrame =
     ngramJaccard(Tables.load(spark, sfDir, "documents"), maxShingleDf)
 
-  /** Core of [[ngramJaccardQuery]] over any (doc_id, lang, text) frame. */
-  def ngramJaccard(documents: DataFrame, maxShingleDf: Int): DataFrame = {
+  /** Core of [[ngramJaccardQuery]] over any (doc_id, lang, text) frame.
+    * `minJaccard` is the emission threshold: 0.5 for the near-dup
+    * operator itself, lower for candidate generation feeding a
+    * downstream verifier ([[editDistVerify]]). */
+  def ngramJaccard(documents: DataFrame, maxShingleDf: Int,
+      minJaccard: Double = 0.5): DataFrame = {
     // Inverted-index formulation: explode shingles, count co-occurrences
     // per candidate pair, then |A∩B| = co-count and |A∪B| = |A|+|B|−∩.
     // Scales as Σ_shingle (docs sharing it)² — pairwise array_intersect
@@ -117,10 +121,52 @@ object Dedup {
         Seq("doc_b"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /**
+   * Edit-distance verification of near-dup candidates — the
+   * candidates-then-verify pattern every production dedup pipeline
+   * uses: candidate pairs come from the CHEAP set-similarity stage
+   * (shingle Jaccard at a loose threshold), and only those pairs pay
+   * the quadratic Levenshtein. The comparison runs on a fixed-length
+   * prefix, so per-pair cost is a constant O(prefixLen²) independent
+   * of document size.
+   *
+   * Scale shape: verification cost is linear in CANDIDATE PAIRS, not
+   * corpus size; the pair table (tiny) joins back to the corpus for
+   * its two prefix columns — AQE broadcasts the pair side, so the
+   * 100 TB corpus is never shuffled.
+   */
+  def editDistVerify(documents: DataFrame, minJaccard: Double = 0.3,
+      prefixLen: Int = 400): DataFrame = {
+    // The emitted pair table (post-threshold near-dup candidates) is
+    // orders of magnitude smaller than the corpus, so it broadcasts and
+    // the corpus is scanned once, never shuffled, for the prefix attach.
+    val pairs = broadcast(
+      ngramJaccard(documents, maxShingleDf = 1000, minJaccard))
+    val prefixes = documents
+      .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("p"))
+    pairs
+      .join(prefixes.select(col("doc_id").as("doc_a"), col("p").as("pa")),
+        Seq("doc_a"))
+      .join(prefixes.select(col("doc_id").as("doc_b"), col("p").as("pb")),
+        Seq("doc_b"))
+      .withColumn("lev", levenshtein(col("pa"), col("pb")))
+      .withColumn("edit_sim", lit(1.0) - col("lev").cast("double") /
+        greatest(length(col("pa")), length(col("pb"))).cast("double"))
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4)
+        .as("jaccard"), col("lev"), round(col("edit_sim"), 4).as("edit_sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Correctness gate for [[editDistVerify]] (DuckDB has the same
+    * `levenshtein`, so the verification is exactly oracle-replayable —
+    * unlike the banded MinHash/SimHash candidate generators). */
+  def editDistQuery(spark: SparkSession, sfDir: String): DataFrame =
+    editDistVerify(Tables.load(spark, sfDir, "documents"))
 
   /**
    * MinHash signature: k minimums over splitmix64(shingle ^ seed_j) —

@@ -198,6 +198,36 @@ object TextAnalysis {
         round(element_at(col("_v"), 1), 6).as("c0"))
       .orderBy(col("doc_id"))
 
+  /** Winnowing fingerprints (the MOSS algorithm) of the text — the
+    * substring-granularity overlap primitive: any shared run of
+    * ≥ w+k-1 words between two documents is guaranteed a shared
+    * fingerprint, at ~1/w the storage of full shingling. One native
+    * codegen'd pass ([[graft.functions.VectorKernels.Winnow]]); hash =
+    * first 32 md5 bits of each word k-gram, so the SQL oracle replays
+    * the selection exactly. */
+  def winnow(text: org.apache.spark.sql.Column, k: Int = 3, w: Int = 4)
+      : org.apache.spark.sql.Column =
+    call_function("graft_winnow", text, lit(k), lit(w))
+
+  /**
+   * Correctness gate for [[winnow]]: per-doc fingerprint-set summary
+   * (gram count, fingerprint count, min/max/sum of selected hashes) —
+   * each derivable by the oracle from the same md5-based definition.
+   * The compression ratio n_fp/n_grams ≈ 2/(w+1) is the winnowing
+   * density guarantee; WinnowSpec pins the shared-substring property.
+   */
+  def winnowQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = winnow(col("text"))
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        greatest(size(tokens(col("text"))) - lit(2), lit(1)).as("n_grams"),
+        size(fp).as("n_fp"),
+        element_at(fp, 1).as("fp_min"),
+        element_at(fp, size(fp)).as("fp_max"),
+        aggregate(fp, lit(0L), (acc, x) => acc + x).as("fp_sum"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit polynomial rolling hash of a string's code points:
     * h = Σ cp_i·B^(n-1-i) mod M, sequential, overflow-free (M < 2^31 so
     * h·B + cp fits a long). Native codegen'd kernel

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus snapshot versioning: diff two corpus versions into
+ * added / removed / changed document sets — the audit step between
+ * crawl refreshes or curation re-runs (what changed since the corpus
+ * the last model trained on?).
+ *
+ * Scale shape: each side reduces to (doc_id, md5) BEFORE the full-outer
+ * join, so the one shuffle carries 40-byte digest rows, never document
+ * text — at 100 TB per side the join input is ~0.04% of the corpus.
+ * Unchanged documents (the overwhelming bulk) are dropped immediately
+ * after the join, so the output is proportional to the churn, not the
+ * corpus.
+ */
+object Versioning {
+
+  /** Diff two (doc_id, text) corpus versions. Emits one row per
+    * added / removed / changed doc_id with both content digests
+    * (null where the side is absent); unchanged docs are omitted. */
+  def snapshotDiff(oldCorpus: DataFrame, newCorpus: DataFrame): DataFrame = {
+    val o = oldCorpus.select(col("doc_id"), md5(col("text")).as("old_md5"))
+    val n = newCorpus.select(col("doc_id"), md5(col("text")).as("new_md5"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_md5").isNull, lit("added"))
+          .when(col("new_md5").isNull, lit("removed"))
+          .when(col("old_md5") =!= col("new_md5"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"), col("old_md5"), col("new_md5"))
+  }
+
+  /** Correctness gate: v2 of the documents table is derived
+    * deterministically (docs with doc_id % 17 == 0 removed, % 13 == 0
+    * edited, one new doc per % 29 == 0 at doc_id + 1000000), and the
+    * oracle rebuilds the same v2 in SQL and replays the diff. */
+  def corpusDiffQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val v1 = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val kept = v1.filter(col("doc_id") % 17 =!= 0)
+    val v2 = kept
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(v1.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text")))
+    snapshotDiff(v1, v2).orderBy(col("doc_id"), col("status"))
+  }
+}

@@ -93,6 +93,61 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("normalizeText: NFC composes, controls and runs collapse, idempotent") {
+    val rows = Seq(
+      "plain ascii stays",
+      "cafe\u0301 and nai\u0308ve", // decomposed -> composed
+      "café already composed", // precomposed unchanged
+      "ab\tc\r\nd", // controls -> single spaces
+      "  lots   of    space  ").toDF("text")
+    val got = rows.select(Curation.normalizeText(col("text")))
+      .as[String].collect()
+    assert(got(0) == "plain ascii stays")
+    assert(got(1) == "café and naïve")
+    assert(got(1).length == "cafe and naive".length) // truly composed
+    assert(got(2) == "café already composed")
+    assert(got(3) == "a b c d")
+    assert(got(4) == "lots of space")
+    // idempotence: normalizing normalized text is the identity
+    val twice = rows
+      .select(Curation.normalizeText(Curation.normalizeText(col("text")))
+        .as("t2"))
+      .as[String].collect()
+    assert(twice.toSeq == got.toSeq)
+  }
+
+  test("htmlClean: tags/comments/script content dropped, entities decoded") {
+    val rows = Seq(
+      "<p>hello <b>world</b></p>",
+      "<script>var x = \"<p>not text</p>\";</script>visible",
+      "<style>p {color: red}</style>styled",
+      "a &amp; b &lt;c&gt; &quot;d&quot;&nbsp;e",
+      "&amp;lt; stays escaped-once", // &amp; decoded LAST -> "&lt;"
+      "<div class=\"x\" data-y='1'>attr</div><!-- gone -->").toDF("text")
+    val got = rows.select(Curation.htmlClean(col("text")))
+      .as[String].collect()
+    assert(got(0) == "hello world")
+    assert(got(1) == "visible") // script CONTENT removed, not just tags
+    assert(got(2) == "styled")
+    assert(got(3) == "a & b <c> \"d\" e")
+    assert(got(4) == "&lt; stays escaped-once")
+    assert(got(5) == "attr")
+  }
+
+  test("normalizeText and htmlClean are shuffle-free codegen projections") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    for (c <- Seq(Curation.normalizeText(col("text")),
+        Curation.htmlClean(col("text")))) {
+      val qe = docs.select(col("doc_id"), c.as("t")).queryExecution
+      val plan = qe.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"normalization must not shuffle:\n$plan")
+      // "*(n)" prefixes mark WholeStageCodegen spans in plan toString
+      assert(plan.contains("*(1) Project"),
+        s"normalization must stay inside codegen:\n$plan")
+    }
+  }
+
   test("sequence packing: bins respect the running-sum definition") {
     val docs = Tables.load(spark, sfDir, "documents")
     val res = Curation.sequencePack(docs, budget = 2048, shards = 8)

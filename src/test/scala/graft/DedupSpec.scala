@@ -106,6 +106,40 @@ class DedupSpec extends SparkSpec {
     assert(uncapped == Set((900L, 901L)))
   }
 
+  test("editDistVerify: Jaccard candidates get exact Levenshtein check") {
+    val t1 = "the quick brown fox jumps over the lazy dog today"
+    val t2 = "the quick brown fox jumps over the lazy cat today"
+    val docs = Seq(
+      (1L, "en", t1),
+      (2L, "en", t2), // dog -> cat: 3 substitutions
+      (3L, "en", "completely unrelated text sharing none of those shingles")
+    ).toDF("doc_id", "lang", "text")
+    val res = Dedup.editDistVerify(docs, minJaccard = 0.3, prefixLen = 400)
+      .collect()
+    // only the candidate pair reaches (and pays for) verification
+    assert(res.length == 1, s"got ${res.mkString(", ")}")
+    val r = res.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    // 10 words -> 8 3-shingles; the 2 containing "dog" differ:
+    // jaccard = 6 / (8 + 8 - 6)
+    assert(math.abs(r.getDouble(2) - 0.6) < 1e-9)
+    assert(r.getInt(3) == 3)
+    assert(math.abs(r.getDouble(4) - (1.0 - 3.0 / t1.length)) < 1e-4)
+  }
+
+  test("editDistVerify broadcasts the pair side (corpus never shuffles " +
+      "for the verify join)") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = Dedup.editDistVerify(docs).queryExecution.executedPlan
+      .toString
+    // the two prefix-attach joins must be broadcasts of the small pair
+    // table, not sort-merge shuffles of the corpus
+    assert(plan.contains("BroadcastHashJoin"),
+      s"pair table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not sort-merge for prefix attach:\n$plan")
+  }
+
   test("segmentDedup strips cross-doc boilerplate, keeps unique prose") {
     // 25 docs share a boilerplate line; each carries unique prose too
     val docs = (0 until 25).map { i =>

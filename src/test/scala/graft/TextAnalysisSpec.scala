@@ -93,4 +93,55 @@ class TextAnalysisSpec extends SparkSpec {
       assert(q >= 0.0 && q <= 1.0, s"quality out of range: $q")
     }
   }
+
+  test("winnowing: shared >= w+k-1 word run guarantees a shared " +
+      "fingerprint; disjoint texts share none") {
+    // k=3, w=4: any common run of 6+ words must yield a common
+    // window-min (the winnowing guarantee, Schleimer et al. §3)
+    val shared = "one two three four five six" // exactly w+k-1 = 6 words
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"epsilon zeta eta $shared theta"),
+      (3L, "iota kappa lambda mu nu xi omicron pi rho sigma")
+    ).toDF("doc_id", "text")
+    val fps = docs
+      .select(col("doc_id"), TextAnalysis.winnow(col("text")).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert((fps(1L).toSet intersect fps(2L).toSet).nonEmpty,
+      "docs sharing a 6-word run must share a fingerprint")
+    assert((fps(1L).toSet intersect fps(3L).toSet).isEmpty,
+      "fully disjoint vocabularies must not collide")
+    // determinism + distinctness + sortedness of the selected set
+    assert(fps(1L) == fps(1L).distinct.sorted)
+  }
+
+  test("winnowing compresses: n_fp well below n_grams on real docs") {
+    val res = TextAnalysis.winnowQuery(spark, sfDir)
+      .select(col("n_grams"), col("n_fp")).collect()
+    assert(res.nonEmpty)
+    // expected density is 2/(w+1) = 0.4; allow generous slack but
+    // require real compression on docs long enough to have windows
+    val big = res.filter(_.getInt(0) >= 50)
+    assert(big.nonEmpty)
+    big.foreach { r =>
+      val ratio = r.getInt(1).toDouble / r.getInt(0).toDouble
+      assert(ratio < 0.8, s"no compression: ${r.getInt(1)}/${r.getInt(0)}")
+    }
+    // degenerate inputs still fingerprint (>= 1)
+    res.foreach(r => assert(r.getInt(1) >= 1))
+  }
+
+  test("winnow short inputs: fewer words than k, fewer grams than w") {
+    val docs = Seq((1L, "solo"), (2L, "two words"),
+      (3L, "exactly three words"), (4L, "now four whole words"))
+      .toDF("doc_id", "text")
+    val fps = docs
+      .select(col("doc_id"), TextAnalysis.winnow(col("text")).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // < k words -> one gram of all words -> one fingerprint
+    assert(fps(1L).length == 1 && fps(2L).length == 1)
+    // 3 words -> 1 gram; 4 words -> 2 grams, 1 window -> 1 min
+    assert(fps(3L).length == 1)
+    assert(fps(4L).length == 1)
+  }
 }

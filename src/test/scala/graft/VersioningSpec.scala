@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Versioning
+import org.apache.spark.sql.functions._
+
+/** Crafted-corpus ground truth for the snapshot-diff operator plus its
+  * plan-shape promise (digest-only shuffle: text never reaches the
+  * full-outer exchange). */
+class VersioningSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val v1 = Seq(
+      (1L, "stays the same"),
+      (2L, "will be edited"),
+      (3L, "will be deleted")).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "stays the same"),
+      (2L, "was edited"),
+      (4L, "brand new")).toDF("doc_id", "text")
+    val res = Versioning.snapshotDiff(v1, v2)
+      .orderBy(col("doc_id")).collect()
+    assert(res.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+    // digests present exactly on the sides that exist
+    assert(!res(0).isNullAt(2) && !res(0).isNullAt(3)) // changed: both
+    assert(!res(1).isNullAt(2) && res(1).isNullAt(3)) // removed: old only
+    assert(res(2).isNullAt(2) && !res(2).isNullAt(3)) // added: new only
+  }
+
+  test("corpusDiffQuery counts follow the deterministic v2 derivation") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"))
+    val n17 = docs.filter(col("doc_id") % 17 === 0).count()
+    val n13 = docs.filter(col("doc_id") % 13 === 0 &&
+      col("doc_id") % 17 =!= 0).count()
+    val n29 = docs.filter(col("doc_id") % 29 === 0).count()
+    val res = Versioning.corpusDiffQuery(spark, sfDir)
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(res.getOrElse("removed", 0L) == n17)
+    assert(res.getOrElse("changed", 0L) == n13)
+    assert(res.getOrElse("added", 0L) == n29)
+  }
+
+  test("snapshotDiff shuffles digests, not text") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = Versioning.snapshotDiff(docs, docs)
+      .queryExecution.executedPlan.toString
+    // Exchange lines list their output attributes: the md5 projection
+    // must sit below the shuffle, so no exchange may carry the text
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, s"full-outer diff should shuffle:\n$plan")
+    assert(!exchanges.exists(_.contains("text#")),
+      s"document text flows through the shuffle:\n$exchanges")
+  }
+}
