@@ -74,6 +74,7 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidfQuery(s, d)),
     "q_feature_hash" -> (TextAnalysis.featureHashQuery _),
     "q_winnow" -> (TextAnalysis.winnowQuery _),
+    "q_winnow_contam" -> (TextAnalysis.winnowContamQuery _),
     // Corpus snapshot versioning (added/removed/changed audit)
     "q_corpus_diff" -> (Versioning.corpusDiffQuery _),
     // Deterministic sampling (north star: reproducible subsets)
@@ -935,6 +936,32 @@ object SparkEntry {
         |  fp[len(fp)] AS fp_max,
         |  CAST(list_sum(fp) AS BIGINT) AS fp_sum
         |FROM f
+        |ORDER BY doc_id""".stripMargin,
+    // Winnowing contamination (k=2, w=2): eval split = doc_id%50==0,
+    // same fingerprint definition as q_winnow at the shorter window.
+    "q_winnow_contam" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_transform(
+        |    range(1, greatest(len(string_split(text,' ')) - 1, 1) + 1),
+        |    i -> concat_ws(' ', string_split(text,' ')[i],
+        |      string_split(text,' ')[i+1])) AS grams
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_transform(grams,
+        |    t -> ('0x' || substring(md5(t), 1, 8))::BIGINT) AS hs FROM g),
+        |w AS (SELECT doc_id,
+        |    list_transform(range(1, greatest(len(hs) - 1, 1) + 1),
+        |      i -> list_min(hs[i:i+1])) AS mins FROM h),
+        |f AS (SELECT doc_id,
+        |    list_sort(list_distinct(mins)) AS fp FROM w),
+        |e AS (SELECT DISTINCT unnest(fp) AS fps FROM f
+        |  WHERE doc_id % 50 = 0),
+        |t AS (SELECT doc_id, len(fp) AS n_fp, unnest(fp) AS fps FROM f
+        |  WHERE doc_id % 50 <> 0),
+        |m AS (SELECT t.doc_id, t.n_fp, count(*) AS n_shared
+        |  FROM t JOIN e ON t.fps = e.fps GROUP BY t.doc_id, t.n_fp)
+        |SELECT doc_id, CAST(n_fp AS INTEGER) AS n_fp, n_shared,
+        |  CAST(n_shared AS DOUBLE) / CAST(n_fp AS DOUBLE) AS shared_frac
+        |FROM m
         |ORDER BY doc_id""".stripMargin,
     // Snapshot diff: the oracle rebuilds the same deterministic v2
     // (÷17 removed, ÷13 edited, ÷29 re-added at +1000000) and replays

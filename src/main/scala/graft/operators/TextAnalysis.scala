@@ -228,6 +228,47 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * Winnowing-based contamination: substring-granularity overlap
+   * between a training corpus and an evaluation set — the MOSS use
+   * case at pipeline scale. Where [[Curation.contamination]] asks "any
+   * shared n-gram?", this asks "how much fingerprint mass is shared?",
+   * with the winnowing guarantee that any shared run of ≥ w+k-1 words
+   * is caught, at ~1/w the index size of full shingling.
+   *
+   * Scale shape mirrors contamination: the eval side reduces to its
+   * distinct fingerprints (tiny — benchmarks are small, and winnowing
+   * compresses them further) and is broadcast; the 100 TB training
+   * side is one narrow kernel scan + explode, no shuffle of its text.
+   */
+  def winnowContamination(train: DataFrame, evalSet: DataFrame,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    val evalFp = evalSet
+      .select(explode(winnow(col("text"), k, w)).as("fp")).distinct()
+    train
+      .select(col("doc_id"), winnow(col("text"), k, w).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fp"),
+        explode(col("fps")).as("fp"))
+      .join(broadcast(evalFp), Seq("fp"))
+      .groupBy(col("doc_id"))
+      // n_fp is constant per doc (first() is deterministic here)
+      .agg(first(col("n_fp")).as("n_fp"), count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_fp"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_fp").cast("double"))
+          .as("shared_frac"))
+  }
+
+  /** Correctness gate: same eval split as q_contamination (doc_id %
+    * 50 == 0); k=2/w=2 so the guarantee window (w+k-1 = 3 words) is
+    * short enough that the synthetic corpus actually overlaps. */
+  def winnowContamQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    winnowContamination(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0), k = 2, w = 2)
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit polynomial rolling hash of a string's code points:
     * h = Σ cp_i·B^(n-1-i) mod M, sequential, overflow-free (M < 2^31 so
     * h·B + cp fits a long). Native codegen'd kernel

@@ -131,6 +131,28 @@ class TextAnalysisSpec extends SparkSpec {
     res.foreach(r => assert(r.getInt(1) >= 1))
   }
 
+  test("winnowContamination flags the doc embedding an eval substring") {
+    val evalSet = Seq((100L, "the secret benchmark answer is forty two"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // embeds a 7-word run (>= w+k-1 = 6) from the eval doc
+      (1L, "padding words the secret benchmark answer is forty two more padding"),
+      (2L, "entirely unrelated content with no overlap whatsoever here")
+    ).toDF("doc_id", "text")
+    val res = TextAnalysis.winnowContamination(train, evalSet)
+      .collect()
+    assert(res.map(_.getLong(0)).toSeq == Seq(1L),
+      s"got ${res.mkString(", ")}")
+    assert(res.head.getLong(2) >= 1) // at least one shared fingerprint
+    // plan shape: eval fingerprints broadcast, corpus never sort-merges
+    val plan = TextAnalysis.winnowContamination(train, evalSet)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval fingerprint set must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"training corpus must not shuffle for the join:\n$plan")
+  }
+
   test("winnow short inputs: fewer words than k, fewer grams than w") {
     val docs = Seq((1L, "solo"), (2L, "two words"),
       (3L, "exactly three words"), (4L, "now four whole words"))
