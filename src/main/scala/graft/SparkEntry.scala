@@ -101,6 +101,9 @@ object SparkEntry {
     // PQ/ADC ANN: approximate by construction → no SQL oracle;
     // recall + reconstruction quality spec-gated in SimilaritySpec
     "q_ann_pq" -> (Similarity.annPqQuery _),
+    // IVFADC: cell-partitioned code store, nprobe-cell partition-pruned
+    // serving; recall-vs-flat-ADC + scanned-fraction spec-gated
+    "q_ann_ivfpq" -> (Similarity.annIvfPqQuery _),
     "q_embed_stats" -> (Similarity.embeddingStatsQuery _),
     // Corpus curation (north star: decontamination, privacy, quality
     // gates, sequence packing)

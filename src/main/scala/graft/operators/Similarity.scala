@@ -315,18 +315,14 @@ object Similarity {
    * recall and reconstruction quality are spec-gated against brute
    * force (SimilaritySpec).
    */
-  def pqTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
-    val emb = Tables.load(spark, sfDir, "embeddings")
-    val model = buildPqIndex(spark, sfDir)
-    // m × ksub × subDim codebook and m × ksub squared-norm table as
-    // plan literals (tiny model material, like the IVF centroid lit)
+  /** Per-query ADC lookup table: lut[s][c] = <query slice s, centroid
+    * c of sub-space s> — m·ksub doubles per query, computed once on the
+    * (broadcast) query side so candidate scoring is m array lookups. */
+  private def pqQueries(emb: DataFrame, model: PqModel): DataFrame = {
     val cbLit = typedLit(model.codebook.map(_.map(_.toSeq).toSeq).toSeq)
-    val sqLit = typedLit(model.codebook.map(_.map(c =>
-      c.map(v => v.toDouble * v).sum).toSeq).toSeq)
-    val codes = spark.read.parquet(buildPqStore(spark, sfDir))
-    // per-query LUT: lut[s][c] = <query slice s, centroid c of s>
-    val queries = emb.filter(col("vec_id") < 5).select(
+    emb.filter(col("vec_id") < 5).select(
       col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
       VectorOps.norm(col("embedding")).as("q_norm"),
       transform(sequence(lit(0), lit(model.m - 1)), s =>
         transform(sequence(lit(0), lit(model.ksub - 1)), c =>
@@ -334,8 +330,14 @@ object Similarity {
             slice(col("embedding"), s * model.subDim + 1, lit(model.subDim)),
             element_at(element_at(cbLit, s + 1), c + 1)
               .cast("array<float>")))).as("lut"))
-    // ADC: approx dot = Σ_s lut[s][code_s]; reconstruction norm² =
-    // Σ_s sq[s][code_s] — both O(m) per candidate over the code bytes
+  }
+
+  /** ADC score: approx dot = Σ_s lut[s][code_s]; reconstruction
+    * norm² = Σ_s sq[s][code_s] — both O(m) per candidate over the code
+    * bytes. Returns the rounded approx-cosine column. */
+  private def adcCosine(model: PqModel): org.apache.spark.sql.Column = {
+    val sqLit = typedLit(model.codebook.map(_.map(c =>
+      c.map(v => v.toDouble * v).sum).toSeq).toSeq)
     val approxDot = aggregate(
       zip_with(col("codes"), col("lut"),
         (c, l) => element_at(l, c + 1).cast("double")),
@@ -343,11 +345,13 @@ object Similarity {
     val recNormSq = aggregate(
       zip_with(col("codes"), sqLit, (c, sq) => element_at(sq, c + 1)),
       lit(0.0), (acc, x) => acc + x)
+    round(approxDot / (col("q_norm") * sqrt(recNormSq)), 4)
+  }
+
+  private def adcRank(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cos").desc, col("neighbor_id"))
-    codes.crossJoin(broadcast(queries))
-      .withColumn("approx_cos", round(
-        approxDot / (col("q_norm") * sqrt(recNormSq)), 4))
+    scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -355,8 +359,80 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  def pqTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val model = buildPqIndex(spark, sfDir)
+    val codes = spark.read.parquet(buildPqStore(spark, sfDir))
+    val queries = pqQueries(emb, model).drop("q_emb")
+    adcRank(
+      codes.crossJoin(broadcast(queries))
+        .withColumn("approx_cos", adcCosine(model)), k)
+  }
+
   def annPqQuery(spark: SparkSession, sfDir: String): DataFrame =
     pqTopK(spark, sfDir)
+
+  // --------------------------------------------------------------- IVFADC
+
+  /** Cell-partitioned PQ code store: the IVFADC layout. Codes are the
+    * same 8 B/vec as [[buildPqStore]], but the table is PARTITIONED BY
+    * the IVF coarse cell — at 100 TB each cell is a parquet partition
+    * directory, so probing `nprobe` cells is static partition pruning:
+    * the unprobed ~`(1 - nprobe/k)` of the code store is never read,
+    * on top of the 32× fp32→code compression. */
+  private val ivfPqStore =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  def buildIvfPqStore(spark: SparkSession, sfDir: String): String =
+    ivfPqStore.getOrElseUpdate(sfDir, {
+      val model = buildPqIndex(spark, sfDir)
+      val cents = buildIndex(spark, sfDir)
+      val store = graft.sources.OrcIo.scratchDir("ivfpq_codes")
+      Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id").as("neighbor_id"),
+          cellOf(cents, col("embedding")).as("cell"),
+          pqCodes(model, col("embedding")).as("codes"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$store/codes")
+      s"$store/codes"
+    })
+
+  /**
+   * IVF+ADC serving — the composition a trillion-vector store actually
+   * runs (coarse quantizer prunes cells, PQ codes bound the bytes
+   * scanned): each query probes its `nprobe` nearest coarse cells, the
+   * union of probed cells (a tiny driver-side int set, ≤ nprobe·|Q|)
+   * is pushed into the cell-partitioned code store as an `isin`
+   * partition filter (static pruning — unprobed directories unread),
+   * and only the surviving codes are ADC-scored against the broadcast
+   * per-query LUTs. vs the flat-ADC scan in [[pqTopK]]: same scoring
+   * math, `nprobe/k` of the codes touched. Recall vs flat ADC and the
+   * scanned-fraction bound are spec-gated (SimilaritySpec).
+   */
+  def ivfPqTopK(spark: SparkSession, sfDir: String, k: Int = 10,
+      nprobe: Int = 4): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val model = buildPqIndex(spark, sfDir)
+    val cents = buildIndex(spark, sfDir)
+    val codes = spark.read.parquet(buildIvfPqStore(spark, sfDir))
+    // per-query probe set: nprobe nearest coarse cells
+    val probes = pqQueries(emb, model).select(
+      col("query_id"), col("q_norm"), col("lut"),
+      explode(call_function("graft_nearest_cells", col("q_emb"),
+        centsLit(cents), lit(nprobe))).as("cell"))
+    // Driver-side union of probed cells → partition-pruning filter.
+    // This is tiny model-sized material (≤ nprobe·|Q| ints), not data:
+    // the collect is the price of STATIC pruning on the store.
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    adcRank(
+      codes.filter(col("cell").isin(probedCells: _*))
+        .join(broadcast(probes), Seq("cell"))
+        .withColumn("approx_cos", adcCosine(model)), k)
+  }
+
+  def annIvfPqQuery(spark: SparkSession, sfDir: String): DataFrame =
+    ivfPqTopK(spark, sfDir)
 
   def ivfTopK(spark: SparkSession, sfDir: String, nprobe: Int = 4)
       : DataFrame = {

@@ -99,6 +99,52 @@ class SimilaritySpec extends SparkSpec {
       s"mean reconstruction cosine ${checked.sum / checked.length}")
   }
 
+  test("IVFADC: self at rank 1, recall close to flat ADC, scans a " +
+      "small measured fraction of the code store") {
+    val res = Similarity.annIvfPqQuery(spark, sfDir).collect()
+    assert(res.nonEmpty)
+    res.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.find(_.getInt(2) == 1).get.getLong(1) == q,
+        s"query $q must rank itself first under IVFADC")
+    }
+    // recall@10 vs exact brute force must be within a few points of the
+    // flat-ADC scan: the coarse quantizer prunes cells, not quality
+    val brute = collectRanks(Similarity.annBruteForceQuery(spark, sfDir))
+    val bruteSets = brute.groupBy(_._1._1)
+      .map { case (q, m) => q -> m.values.toSet }
+    def recallOf(m: Map[(Long, Int), Long]): Double = {
+      val r = bruteSets.map { case (q, bs) =>
+        val ps = m.filter(_._1._1 == q).values.toSet
+        (bs intersect ps).size.toDouble / bs.size
+      }
+      r.sum / r.size
+    }
+    val flat = recallOf(collectRanks(Similarity.annPqQuery(spark, sfDir)))
+    val ivf = recallOf(collectRanks(Similarity.annIvfPqQuery(spark, sfDir)))
+    assert(ivf >= flat - 0.15,
+      s"IVFADC recall $ivf vs flat ADC $flat — pruning should cost " +
+        "only a few points")
+    // the scanned fraction is the point of IVF: nprobe=4 of k=20 cells
+    // must touch well under half the code store (cells are uneven, so
+    // the bound is loose but still proves pruning happened)
+    val store = spark.read.parquet(
+      Similarity.buildIvfPqStore(spark, sfDir))
+    val total = store.count().toDouble
+    val probed = {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val cents = Similarity.buildIndex(spark, sfDir)
+      val cells = emb.filter(col("vec_id") < 5)
+        .select(explode(call_function("graft_nearest_cells",
+          col("embedding"), Similarity.centroidLit(cents), lit(4)))
+          .as("cell"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      store.filter(col("cell").isin(cells.toSeq: _*)).count().toDouble
+    }
+    assert(probed / total <= 0.6,
+      s"IVFADC scanned ${probed / total} of codes — pruning ineffective")
+    assert(probed < total, "probing must exclude at least one cell")
+  }
+
   test("LSH recall@10 vs brute force is reasonable for 12-bit buckets") {
     val brute = collectRanks(Similarity.annBruteForceQuery(spark, sfDir))
     val lsh = collectRanks(Similarity.lshBucketQuery(spark, sfDir))
