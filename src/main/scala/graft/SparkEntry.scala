@@ -149,6 +149,8 @@ object SparkEntry {
     "q_image_resize" -> (Multimodal.imageResizeQuery _),
     "q_audio_decode" -> (Multimodal.audioDecodeQuery _),
     "q_audio_energy" -> (Multimodal.audioEnergyQuery _),
+    "q_video_decode" -> (Multimodal.videoDecodeQuery _),
+    "q_video_frames" -> (Multimodal.videoFramesQuery _),
     "q_media_neardup" -> (Multimodal.mediaNearDupQuery _),
   )
 
@@ -774,22 +776,29 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rank, cos_sim
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
-    // Replays the STUB decode kernel (Multimodal.fakeDecodeHeader):
-    // deterministic byte math — width = 64 + byte0 % 64,
-    // n_frames = 1 + byte_len % 16 — so it IS SQL-expressible.
+    // The mixed REAL-codec corpus: every payload is a genuine container
+    // (PNG / RIFF WAVE / RIFF AVI) with id-derived metadata, decoded by
+    // the real parser for its kind — the oracle predicts every reported
+    // quantity from doc_id alone, so a hash match proves all three
+    // container parses recovered the muxed metadata exactly.
     "q_media_decode" ->
       """WITH m AS (
         |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
         |              WHEN doc_id % 3 = 1 THEN 'audio'
         |              ELSE 'video' END AS kind,
-        |    octet_length(text::BLOB) AS byte_len,
-        |    CASE WHEN octet_length(text::BLOB) > 0
-        |         THEN ascii(substring(text, 1, 1)) ELSE 0 END AS b0
+        |    CASE WHEN doc_id % 3 = 0 THEN 4 + doc_id % 13
+        |         WHEN doc_id % 3 = 1 THEN 0
+        |         ELSE 8 + doc_id % 9 END AS w,
+        |    CASE WHEN doc_id % 3 = 0 THEN 4 + doc_id % 11
+        |         WHEN doc_id % 3 = 1 THEN 0
+        |         ELSE 6 + doc_id % 7 END AS h,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1
+        |         WHEN doc_id % 3 = 1 THEN 64 + doc_id % 192
+        |         ELSE 4 + doc_id % 12 END AS f
         |  FROM documents)
         |SELECT kind, count(*) AS n_media,
-        |  CAST(sum(byte_len) AS BIGINT) AS total_bytes,
-        |  avg(64 + b0 % 64) AS avg_width,
-        |  avg(1 + byte_len % 16) AS avg_frames
+        |  avg(w) AS avg_width, avg(h) AS avg_height,
+        |  avg(f) AS avg_frames
         |FROM m GROUP BY kind
         |ORDER BY kind""".stripMargin,
     "q_cube" ->
@@ -1360,6 +1369,34 @@ object SparkEntry {
         |    AS BIGINT) AS rms_e4
         |FROM v GROUP BY media_id, n
         |ORDER BY media_id""".stripMargin,
+    // q_video_decode proves the REAL AVI container parse: Spark muxes
+    // AVI files with id-derived dims/frame-count and walks the RIFF
+    // tree back to the avih header; the oracle predicts the recovered
+    // metadata from doc_id alone
+    "q_video_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8 + doc_id % 9 AS INTEGER) AS width,
+        |  CAST(6 + doc_id % 7 AS INTEGER) AS height,
+        |  CAST(4 + doc_id % 12 AS INTEGER) AS n_frames
+        |FROM documents
+        |ORDER BY media_id""".stripMargin,
+    // q_video_frames replays the mux math per frame chunk: a hash
+    // match proves the movi demux recovered every frame boundary,
+    // length, and leading pixel byte exactly
+    "q_video_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id,
+        |    8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+        |    CAST(4 + doc_id % 12 AS BIGINT) AS n
+        |  FROM documents),
+        |f AS (SELECT media_id, w, h, unnest(range(0, n)) AS frame_no
+        |      FROM v)
+        |SELECT media_id, CAST(frame_no AS INTEGER) AS frame_no,
+        |  CAST(w * h * 3 AS INTEGER) AS frame_len,
+        |  CAST((media_id * 31 + frame_no * 7) % 256 AS INTEGER)
+        |    AS first_byte
+        |FROM f
+        |ORDER BY media_id, frame_no""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -5,12 +5,41 @@ import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
 
-  test("fakeDecodeHeader is deterministic and in range") {
-    val payload = "some synthetic bytes".getBytes("UTF-8")
-    val (w, h, f) = Multimodal.fakeDecodeHeader(payload)
-    assert((w, h, f) == Multimodal.fakeDecodeHeader(payload))
-    assert(w >= 64 && w < 128 && h >= 64 && h < 128 && f >= 1 && f <= 16)
-    assert(Multimodal.fakeDecodeHeader(Array.emptyByteArray) == (64, 64, 1))
+  test("video kind round-trips through the real container path: AVI " +
+      "mux → RIFF walk header parse → movi demux") {
+    Seq(0L, 1L, 7L, 42L, 313L).foreach { id =>
+      val payload = Multimodal.encodeAvi(id)
+      assert(Multimodal.isAvi(payload), s"media $id must be a real AVI")
+      assert(!Multimodal.isWav(payload) && !Multimodal.isPng(payload))
+      val (w, h, f) = Multimodal.decodeVideoHeader(payload)
+      assert(w == Multimodal.videoWidth(id), s"media $id width")
+      assert(h == Multimodal.videoHeight(id), s"media $id height")
+      assert(f == Multimodal.videoFrames(id), s"media $id frames")
+      // decodeHeader dispatches AVI to the same parse
+      assert(Multimodal.decodeHeader(payload) == (w, h, f))
+      // the demux walks every frame chunk back out, bytes intact
+      val frames = Multimodal.demuxFrames(payload)
+      assert(frames.length == f, s"media $id demuxed frame count")
+      frames.zipWithIndex.foreach { case (b, fr) =>
+        assert(b.length == w * h * 3, s"media $id frame $fr length")
+        b.indices.foreach { i =>
+          assert(b(i) == Multimodal.videoFrameByte(id, fr, i),
+            s"media $id frame $fr byte $i")
+        }
+      }
+    }
+    // truncated AVI (movi list cut) still header-parses but demux of a
+    // payload with no movi is rejected loudly
+    val whole = Multimodal.encodeAvi(5L)
+    intercept[IllegalArgumentException] {
+      Multimodal.demuxFrames("RIFF1234AVI not really".getBytes("UTF-8"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeVideoHeader("not an avi".getBytes("UTF-8"))
+    }
+    assert(Multimodal.decodeVideoHeader(whole) ==
+      (Multimodal.videoWidth(5L), Multimodal.videoHeight(5L),
+        Multimodal.videoFrames(5L)))
   }
 
   test("image kind decodes through the real codec: PNG encode → " +
@@ -26,11 +55,12 @@ class MultimodalSpec extends SparkSpec {
       assert(h == 4 + (id % 11).toInt, s"media $id height")
       assert(f == 1)
     }
-    // non-PNG payloads route to the audio/video stub, not the codec
+    // unknown containers are rejected loudly — no fake fallback
     val textBytes = "not a png".getBytes("UTF-8")
     assert(!Multimodal.isPng(textBytes))
-    assert(Multimodal.decodeHeader(textBytes) ==
-      Multimodal.fakeDecodeHeader(textBytes))
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeHeader(textBytes)
+    }
     // a truncated PNG (valid signature + IHDR, body cut) is rejected,
     // not silently emitted with header dims
     val whole = imgs.head.getAs[Array[Byte]]("payload")
@@ -92,7 +122,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("decode preserves row count and derives byte_len from payload") {
-    val media = Multimodal.syntheticMedia(spark, sfDir)
+    val media = Multimodal.syntheticMediaReal(spark, sfDir)
     val decoded = Multimodal.decode(spark, media)
     assert(decoded.count() == media.count())
     assert(decoded.columns.toSeq == Seq(
@@ -104,16 +134,26 @@ class MultimodalSpec extends SparkSpec {
     assert(joined.filter(col("byte_len") =!= col("plen")).count() == 0)
   }
 
-  test("frameSample emits every Nth frame with payload-derived bytes") {
-    val media = Multimodal.syntheticMedia(spark, sfDir).limit(20)
+  test("frameSample demuxes every Nth movi frame chunk") {
+    val media = spark.read.parquet(
+      Multimodal.buildVideoStore(spark, sfDir)).limit(20)
     val frames = Multimodal.frameSample(spark, media, everyN = 4)
     assert(frames.columns.toSeq == Seq("media_id", "frame_no", "frame_bytes"))
     val byMedia = frames.collect().groupBy(_.getLong(0))
     assert(byMedia.nonEmpty)
-    byMedia.values.foreach { fs =>
+    byMedia.foreach { case (id, fs) =>
       val nos = fs.map(_.getInt(1)).sorted
       assert(nos.head == 0 && nos.forall(_ % 4 == 0),
         s"frame numbers not sampled every 4: ${nos.toSeq}")
+      assert(nos.length == (Multimodal.videoFrames(id) + 3) / 4,
+        s"media $id sampled count")
+      // sampled bytes are the real chunk payloads
+      fs.foreach { r =>
+        val b = r.getAs[Array[Byte]]("frame_bytes")
+        assert(b.length ==
+          Multimodal.videoWidth(id) * Multimodal.videoHeight(id) * 3)
+        assert(b(0) == Multimodal.videoFrameByte(id, r.getInt(1), 0))
+      }
     }
   }
 
