@@ -120,13 +120,18 @@ object OrcIo {
   }
 
   /**
-   * File merge / compaction (SURVEY.md W9). The reference appends raw
-   * pre-encoded stripes across files (`WriterImpl.appendStripe`);
-   * the Spark-idiomatic equivalent is a distributed rewrite sized to
-   * the stripe/block budget — same outcome (few large files, merged
-   * stats), but parallel and codec-converting if asked. Raw
-   * stripe-level concat without decode is a non-goal (single-writer,
-   * driver-bound — the opposite of a 100 TB compaction).
+   * File merge / compaction (SURVEY.md W9), two paths mirroring the
+   * reference's two use cases:
+   *
+   *  - [[merge]]: distributed rewrite sized to the stripe/block budget
+   *    — the Spark-idiomatic 100 TB compaction (parallel,
+   *    codec-converting if asked).
+   *  - [[concat]]: raw stripe-append without decode, the exact
+   *    `WriterImpl.appendStripe` parity path (reference
+   *    `java/core/src/java/org/apache/orc/impl/WriterImpl.java:2889`,
+   *    gated like `TestVectorOrcFile.testMerge:3098`) — single-writer
+   *    and driver-bound by design, the fast small-file concat for
+   *    same-layout files.
    */
   def merge(spark: SparkSession, inPaths: Seq[String], outPath: String,
       targetFileBytes: Long = 256L * 1024 * 1024,
@@ -139,6 +144,68 @@ object OrcIo {
     }.sum
     val nFiles = math.max(1, (totalBytes / targetFileBytes).toInt)
     write(df.repartition(nFiles), outPath, compression = compression)
+  }
+
+  /**
+   * Raw stripe-append concat: copies every input stripe's pre-encoded
+   * bytes into one output file WITHOUT decoding — `Writer.appendStripe`
+   * carries the original `StripeInformation` + per-stripe column
+   * statistics into the new footer/metadata, and `addUserMetadata`
+   * merges the user metadata maps (last writer wins per key, the
+   * reference's rule). Inputs must share schema and compression, like
+   * the reference's merge precondition. Returns the output row count.
+   */
+  def concat(spark: SparkSession, inFiles: Seq[String], outFile: String)
+      : Long = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val first = org.apache.orc.OrcFile.createReader(
+      new org.apache.hadoop.fs.Path(inFiles.head),
+      org.apache.orc.OrcFile.readerOptions(conf))
+    val schema = first.getSchema
+    val codec = first.getCompressionKind
+    val opts = org.apache.orc.OrcFile.writerOptions(conf)
+      .setSchema(schema)
+      .compress(codec)
+      .bufferSize(first.getCompressionSize)
+      .rowIndexStride(first.getRowIndexStride)
+      .overwrite(true)
+    first.close()
+    val writer = org.apache.orc.OrcFile.createWriter(
+      new org.apache.hadoop.fs.Path(outFile), opts)
+    // user metadata merged across inputs, last writer wins per key
+    val userMeta =
+      scala.collection.mutable.LinkedHashMap[String, java.nio.ByteBuffer]()
+    var rows = 0L
+    inFiles.foreach { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val reader = org.apache.orc.OrcFile.createReader(path,
+        org.apache.orc.OrcFile.readerOptions(conf))
+      require(reader.getSchema.equals(schema),
+        s"concat schema mismatch at $p: ${reader.getSchema} vs $schema")
+      require(reader.getCompressionKind == codec,
+        s"concat compression mismatch at $p")
+      val stripeStats = reader.getStripeStatistics()
+      val fs = path.getFileSystem(conf)
+      val in = fs.open(path)
+      try {
+        reader.getStripes.asScala.zipWithIndex.foreach { case (si, i) =>
+          val len = si.getLength.toInt // index + data + stripe footer
+          val buf = new Array[Byte](len)
+          in.readFully(si.getOffset, buf, 0, len)
+          writer.appendStripe(buf, 0, len, si,
+            Array(stripeStats.get(i)))
+        }
+      } finally in.close()
+      reader.getMetadataKeys.asScala.foreach { k =>
+        userMeta(k) = reader.getMetadataValue(k)
+      }
+      rows += reader.getNumberOfRows
+      reader.close()
+    }
+    userMeta.foreach { case (k, v) => writer.addUserMetadata(k, v) }
+    writer.close()
+    rows
   }
 
   /** Side-file suffix advertising the last flushed (readable) length of

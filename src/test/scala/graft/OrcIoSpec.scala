@@ -35,6 +35,69 @@ class OrcIoSpec extends SparkSpec {
     assert(spark.read.orc(s"$dir/out").count() == src.count())
   }
 
+  test("concat (W9 raw parity): stripe-append without decode — rows " +
+      "identical to the rewrite path, stripes and stripe-stats merged, " +
+      "user metadata carried") {
+    import scala.jdk.CollectionConverters._
+    val dir = OrcIo.scratchDir("concat")
+    val src = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    // three single-file inputs with distinct row ranges + user metadata
+    val inFiles = (0 until 3).map { i =>
+      OrcIo.write(src.filter(col("o_orderkey") % 3 === i).repartition(1),
+        s"$dir/in$i")
+      new java.io.File(s"$dir/in$i").listFiles()
+        .filter(_.getName.endsWith(".orc")).head.getPath
+    }
+    val outFile = s"$dir/out.orc"
+    val rows = OrcIo.concat(spark, inFiles, outFile)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def readerOf(p: String) = org.apache.orc.OrcFile.createReader(
+      new org.apache.hadoop.fs.Path(p),
+      org.apache.orc.OrcFile.readerOptions(conf))
+    val readers = inFiles.map(readerOf)
+    val out = readerOf(outFile)
+    // testMerge's structural assertions: stripe count and row count are
+    // the sums of the inputs' — proof no stripe was re-encoded or split
+    assert(out.getStripes.size == readers.map(_.getStripes.size).sum)
+    assert(out.getNumberOfRows == readers.map(_.getNumberOfRows).sum)
+    assert(rows == out.getNumberOfRows)
+    // footer stripe-statistics merged in input order: min/max per
+    // stripe equal the concatenation of the inputs' stripe stats
+    def statMinMax(r: org.apache.orc.Reader): Seq[(Long, Long)] =
+      r.getStripeStatistics.asScala.map { ss =>
+        val c = ss.getColumnStatistics()(1)
+          .asInstanceOf[org.apache.orc.IntegerColumnStatistics]
+        (c.getMinimum, c.getMaximum)
+      }.toSeq
+    assert(statMinMax(out) == readers.flatMap(statMinMax))
+    readers.foreach(_.close()); out.close()
+    // contents: identical row set to reading the inputs directly (and
+    // to what the distributed rewrite would produce)
+    val direct = spark.read.orc(inFiles: _*)
+      .collect().map(_.toSeq).toSet
+    val merged = spark.read.orc(outFile).collect().map(_.toSeq).toSet
+    assert(merged == direct && merged.nonEmpty)
+    // user metadata merged across inputs, last writer wins per key
+    OrcMeta.writeMetadataFile(s"$dir/ma.orc",
+      Map("k.shared" -> "a", "k.a" -> "1"))
+    OrcMeta.writeMetadataFile(s"$dir/mb.orc",
+      Map("k.shared" -> "b", "k.b" -> "2"))
+    OrcIo.concat(spark, Seq(s"$dir/ma.orc", s"$dir/mb.orc"),
+      s"$dir/meta_out.orc")
+    val meta = OrcMeta.userMetadata(spark, s"$dir/meta_out.orc")
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(meta == Map("k.shared" -> "b", "k.a" -> "1", "k.b" -> "2"))
+    // mixed-layout inputs are rejected, not silently re-encoded
+    OrcIo.write(src.limit(10).repartition(1), s"$dir/in_zstd",
+      compression = "zstd")
+    val zf = new java.io.File(s"$dir/in_zstd").listFiles()
+      .filter(_.getName.endsWith(".orc")).head.getPath
+    intercept[IllegalArgumentException] {
+      OrcIo.concat(spark, inFiles :+ zf, s"$dir/out2.orc")
+    }
+  }
+
   test("readEvolved: missing column nulls, widened column casts") {
     val dir = OrcIo.scratchDir("evolve")
     OrcIo.write(Tables.load(spark, sfDir, "nation")
