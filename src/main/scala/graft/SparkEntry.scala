@@ -91,6 +91,7 @@ object SparkEntry {
     "q_dedup_embedding" -> (Dedup.embeddingNearDupQuery _),
     "q_dedup_incremental" -> (Dedup.incrementalQuery _),
     "q_dedup_segments" -> (Dedup.segmentDedupQuery _),
+    "q_dedup_lines" -> (Dedup.lineDedupQuery _),
     "q_dedup_editdist" -> (Dedup.editDistQuery _),
     "q_dup_clusters" -> (Dedup.dupClustersQuery _),
     "q_cluster_canonical" -> (Dedup.clusterCanonicalQuery _),
@@ -743,6 +744,37 @@ object SparkEntry {
         |    AS n_removed,
         |  md5(coalesce(string_agg(CASE WHEN NOT is_boiler THEN seg END,
         |    ' ' ORDER BY i), '')) AS clean_md5
+        |FROM marked
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // q_dedup_lines replays the web-page synthesis (prose + three
+    // boilerplate lines), the newline split, the >20-distinct-doc
+    // frequency gate, and the '\n' re-join — string equality standing
+    // in for the engine's FNV-1a hash equality
+    "q_dedup_lines" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'subscribe to our newsletter' ||
+        |    chr(10) || 'source: ' || source ||
+        |    chr(10) || 'lang: ' || lang AS text
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, i, (string_split(text, chr(10)))[i] AS seg
+        |  FROM lined,
+        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS t(i)),
+        |freq AS (
+        |  SELECT seg FROM (
+        |    SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+        |  WHERE df > 20),
+        |marked AS (
+        |  SELECT s.doc_id, s.i, s.seg, f.seg IS NOT NULL AS is_boiler
+        |  FROM segs s LEFT JOIN freq f USING (seg))
+        |SELECT doc_id,
+        |  CAST(count(*) AS INTEGER) AS n_segments,
+        |  CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS INTEGER)
+        |    AS n_removed,
+        |  md5(coalesce(string_agg(CASE WHEN NOT is_boiler THEN seg END,
+        |    chr(10) ORDER BY i), '')) AS clean_md5
         |FROM marked
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,

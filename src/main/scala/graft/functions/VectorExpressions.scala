@@ -406,13 +406,13 @@ object VectorKernels {
   }
 
   /** Drop segments whose FNV-1a hash is in the SORTED `boiler` array
-    * (binary search per segment), re-join keepers with ' ': the
-    * segment-dedup removal pass as one native kernel —
-    * (n_segments, n_removed, clean). The boiler set arrives as a
-    * regular column (it is data-dependent, broadcast via a 1-row
-    * crossJoin), so this is a binary expression, not a literal-bound
-    * one. */
-  def segStripJava(segs: ArrayData, boiler: ArrayData)
+    * (binary search per segment), re-join keepers with `delim` (' '
+    * for word chunks, '\n' for line segments): the segment-dedup
+    * removal pass as one native kernel — (n_segments, n_removed,
+    * clean). The boiler set arrives as a regular column (it is
+    * data-dependent, broadcast via a 1-row crossJoin), so this is a
+    * binary expression, not a literal-bound one. */
+  def segStripJava(segs: ArrayData, boiler: ArrayData, delim: String)
       : org.apache.spark.sql.catalyst.InternalRow = {
     val nb = boiler.numElements()
     val b = new Array[Long](nb)
@@ -427,7 +427,7 @@ object VectorKernels {
       val s = if (segs.isNullAt(i)) "" else segs.getUTF8String(i).toString
       if (java.util.Arrays.binarySearch(b, fnv1aJava(s)) >= 0) removed += 1
       else {
-        if (kept > 0) sb.append(' ')
+        if (kept > 0) sb.append(delim)
         sb.append(s)
         kept += 1
       }
@@ -438,8 +438,10 @@ object VectorKernels {
         org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
   }
 
-  /** See [[segStripJava]]. */
-  case class SegStrip(left: Expression, right: Expression)
+  /** See [[segStripJava]]. `delim` rides the expression as model
+    * material (like [[ShingleHashes]]'s `n`), not a child column. */
+  case class SegStrip(left: Expression, right: Expression,
+      delim: String = " ")
       extends BinaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       (left.dataType, right.dataType) match {
@@ -458,10 +460,13 @@ object VectorKernels {
           org.apache.spark.sql.types.StringType, nullable = false)))
     override def prettyName: String = "graft_seg_strip"
     override protected def nullSafeEval(a: Any, b: Any): Any =
-      segStripJava(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      segStripJava(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        delim)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val d = ctx.addReferenceObj("segDelim", delim, "java.lang.String")
       defineCodeGen(ctx, ev, (a, b) =>
-        s"graft.functions.VectorKernels.segStripJava($a, $b)")
+        s"graft.functions.VectorKernels.segStripJava($a, $b, $d)")
+    }
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
@@ -1276,7 +1281,9 @@ object VectorKernels {
     fn("graft_word_chunks", es => WordChunks(es(0),
       es(1).eval().asInstanceOf[Int])),
     fn("graft_seg_hashes", es => SegHashes(es(0))),
-    fn("graft_seg_strip", es => SegStrip(es(0), es(1))),
+    // optional 3rd arg: foldable string literal join delimiter
+    fn("graft_seg_strip", es => SegStrip(es(0), es(1),
+      if (es.length > 2) es(2).eval().toString else " ")),
     fn("graft_shingles", es => ShingleHashes(es(0),
       es(1).eval().asInstanceOf[Int])),
     fn("graft_ngrams", es => NGrams(es(0),

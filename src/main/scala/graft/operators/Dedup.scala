@@ -344,8 +344,8 @@ object Dedup {
    * Output is auditable, not bulky: per-doc segment counts plus the
    * md5 of the cleaned text (kept segments re-joined in order).
    */
-  def segmentDedup(docs: DataFrame, segments: Column, minDocFreq: Int)
-      : DataFrame = {
+  def segmentDedup(docs: DataFrame, segments: Column, minDocFreq: Int,
+      delim: String = " "): DataFrame = {
     val segged = docs.select(col("doc_id"), segments.as("segs"))
     val boiler = segged
       .select(col("doc_id"),
@@ -358,7 +358,8 @@ object Dedup {
     segged
       .crossJoin(broadcast(boiler))
       .withColumn("_s",
-        call_function("graft_seg_strip", col("segs"), col("boiler")))
+        call_function("graft_seg_strip", col("segs"), col("boiler"),
+          lit(delim)))
       .select(col("doc_id"),
         col("_s.n_segments").as("n_segments"),
         col("_s.n_removed").as("n_removed"),
@@ -372,6 +373,26 @@ object Dedup {
     segmentDedup(Tables.load(spark, sfDir, "documents"),
       wordChunks(col("text"), 2), minDocFreq = 20)
       .orderBy(col("doc_id"))
+
+  /** Line-granularity gate for the PRODUCTION segmenter: the synthetic
+    * corpus has no newlines, so web-page-shaped docs are synthesized in
+    * SQL-replayable form — each doc's prose plus three boilerplate
+    * lines (a global banner, a per-source footer, a per-lang tag), the
+    * exact shape CCNet-style line dedup exists for. [[lineSegments]]
+    * splits on '\n', boilerplate = lines in more than 20 distinct docs
+    * (the injected banner/footer/tag lines; prose survives unless the
+    * doc itself is a mass duplicate), keepers re-join with '\n'. */
+  def lineDedupQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val lined = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), concat_ws("\n",
+        col("text"),
+        lit("subscribe to our newsletter"),
+        concat(lit("source: "), col("source")),
+        concat(lit("lang: "), col("lang"))).as("text"))
+    segmentDedup(lined, lineSegments(col("text")), minDocFreq = 20,
+      delim = "\n")
+      .orderBy(col("doc_id"))
+  }
 
   /** Window-dedup keep-first: the generic "keep one row per key"
     * operator (also the ACID resolve primitive). */
