@@ -889,6 +889,30 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // Error-BOUND gates for the sketch aggregates: the oracle emits the
+    // exact values plus TRUE for the bound flag; the engine emits the
+    // same exact values plus its own |sketch − exact| ≤ bound check, so
+    // a sketch regression past its published bound breaks the hash even
+    // though the estimate itself is engine-specific.
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  count(*) AS n_rows,
+        |  TRUE AS within_3rsd
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_approx_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+        |  count(*) AS n_rows,
+        |  TRUE AS within_rank_eps
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // Z-order clustering must not change content: the oracle replays
     // the rectangle filter on the unclustered source.
     "q_zorder" ->

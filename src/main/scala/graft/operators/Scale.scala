@@ -76,34 +76,55 @@ object Scale {
    * Approximate percentiles (Greenwald-Khanna sketch): the 100 TB path
    * the exact [[Relational.percentileQuery]] gate verifies — bounded
    * memory per group (accuracy 10000 → ~0.01% rank error) where the
-   * exact aggregate buffers every value. Deterministic for a fixed
-   * input layout but engine-specific → rows-only gate; ScaleSpec
-   * bounds its error against the exact result.
+   * exact aggregate buffers every value. The sketch values themselves
+   * are engine-specific, so the HASH-GATED output carries the exact
+   * percentiles plus `within_rank_eps`: each GK estimate must lie
+   * between the exact percentiles at q ± 0.002 (20× the sketch's rank
+   * guarantee — an error-BOUND check the DuckDB oracle replays as
+   * TRUE, so any sketch regression past the bound breaks the hash).
+   * ScaleSpec additionally bounds the raw estimates against the exact
+   * gate.
    */
   def approxPercentileQuery(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         expr("approx_percentile(l_extendedprice, " +
-          "array(0.25D, 0.5D, 0.75D, 0.95D), 10000)").as("_ps"),
+          "array(0.25D, 0.5D, 0.75D, 0.95D), 10000)").as("_aps"),
+        expr("percentile(l_extendedprice, " +
+          "array(0.25D, 0.5D, 0.75D, 0.95D))").as("_eps"),
+        expr("percentile(l_extendedprice, " +
+          "array(0.248D, 0.252D, 0.498D, 0.502D, 0.748D, 0.752D, " +
+          "0.948D, 0.952D))").as("_b"),
         count(lit(1)).as("n_rows"))
       .select(col("l_returnflag"),
-        round(element_at(col("_ps"), 1), 2).as("p25"),
-        round(element_at(col("_ps"), 2), 2).as("p50"),
-        round(element_at(col("_ps"), 3), 2).as("p75"),
-        round(element_at(col("_ps"), 4), 2).as("p95"),
-        col("n_rows"))
+        round(element_at(col("_eps"), 1), 2).as("p25"),
+        round(element_at(col("_eps"), 2), 2).as("p50"),
+        round(element_at(col("_eps"), 3), 2).as("p75"),
+        round(element_at(col("_eps"), 4), 2).as("p95"),
+        col("n_rows"),
+        (1 to 4).map(i =>
+          element_at(col("_aps"), i) >= element_at(col("_b"), 2 * i - 1) &&
+            element_at(col("_aps"), i) <= element_at(col("_b"), 2 * i))
+          .reduce(_ && _).as("within_rank_eps"))
       .orderBy(col("l_returnflag"))
 
   /** Approximate distinct (HLL++): the sketch aggregate a 100 TB
     * pipeline uses instead of exact countDistinct. rsd 0.01 → ~1%
-    * error with constant memory per group. */
+    * error with constant memory per group. The estimate is
+    * engine-specific, so the HASH-GATED output carries the exact
+    * count plus `within_3rsd` = |est/exact − 1| ≤ 3·rsd — the oracle
+    * emits TRUE, so an estimator drifting past its own bound breaks
+    * the hash (the error-bound upgrade from a rows-only gate). */
   def approxDistinctQuery(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey"), 0.01)
-        .as("approx_orders"),
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("_est"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("exact_orders"), col("n_rows"),
+        (abs(col("_est").cast("double") / col("exact_orders") - 1.0)
+          <= 0.03).as("within_3rsd"))
       .orderBy(col("l_returnflag"))
 
   /**
