@@ -114,6 +114,7 @@ object SparkEntry {
     "q_html_strip" -> (Curation.htmlStripQuery _),
     "q_text_repetition" -> ((s, d) => Curation.repetitionQuery(s, d)),
     "q_seq_pack" -> (Curation.seqPackQuery _),
+    "q_quality_score" -> (Curation.qualityScoreQuery _),
     "q_embed_quant" -> (Similarity.quantizationQuery _),
     // Streaming sessionization with custom event-time state
     // (flatMapGroupsWithState): drained replay of the static events
@@ -977,6 +978,36 @@ object SparkEntry {
         |  round(list_max(arr), 6) AS top_weight,
         |  round(arr[1], 6) AS c0
         |FROM a
+        |ORDER BY doc_id""".stripMargin,
+    // Model-based quality gate: the oracle replays the md5-bucket
+    // feature hashing (the q_feature_hash CTEs), the literal
+    // "pretrained" weight formula, the left-to-right dot product
+    // (list_dot_product — IEEE-identical, the q_ann_topk precedent),
+    // and the sigmoid + threshold.
+    "q_quality_score" ->
+      """WITH b AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '),
+        |    t -> ('0x' || substring(md5(t), 1, 2))::INTEGER % 64)
+        |    AS buckets
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, list_transform(range(0, 64),
+        |    i -> CAST(len(list_filter(buckets, k -> k = i)) AS DOUBLE))
+        |    AS cnts
+        |  FROM b),
+        |n AS (SELECT doc_id, cnts,
+        |    sqrt(list_dot_product(cnts, cnts)) AS nrm FROM v),
+        |a AS (SELECT doc_id,
+        |    list_transform(cnts, c -> c / nrm) AS arr FROM n),
+        |wt AS (SELECT list_transform(range(0, 64),
+        |    b -> CAST((b * 37 + 11) % 13 - 6 AS DOUBLE) / 10.0) AS w),
+        |s AS (SELECT doc_id,
+        |    round(1.0 / (1.0 + exp(-(list_dot_product(arr, w) + 0.1))), 6)
+        |      AS quality_score
+        |  FROM a, wt)
+        |SELECT doc_id, quality_score,
+        |  quality_score >= 0.5 AS is_quality
+        |FROM s
         |ORDER BY doc_id""".stripMargin,
     // Winnowing (MOSS): word 3-gram hashes = first 32 md5 bits (the
     // portable-hash idiom of q_feature_hash), windows of 4, distinct

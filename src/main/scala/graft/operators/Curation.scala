@@ -271,4 +271,100 @@ object Curation {
     sequencePack(Tables.load(spark, sfDir, "documents"),
       budget = 2048, shards = 8)
       .orderBy(col("doc_id"))
+
+  // --------------------------------------- model-based quality filtering
+
+  /** Logistic score of a hashed-unigram feature vector against a
+    * weight vector: sigmoid(w·featureHash(text) + bias). The features
+    * are the oracle-replayable md5-bucket hashing trick
+    * ([[TextAnalysis.featureHash]]); the dot product runs left-to-right
+    * over the fixed `dims` buckets, so DuckDB's `list_dot_product`
+    * reproduces it IEEE-identically (the q_ann_topk precedent). */
+  def qualityScore(text: Column, weights: Seq[Double], bias: Double)
+      : Column = {
+    val v = TextAnalysis.featureHash(text, weights.length)
+    val z = aggregate(zip_with(v, typedLit(weights), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x) + lit(bias)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** The fixed "pretrained" scoring model for the hash-gated query: a
+    * deterministic literal weight pattern over the 64 buckets (the
+    * oracle replays the same formula), bias 0.1. A production
+    * deployment swaps in [[trainQualityModel]]'s fitted weights — the
+    * serving plan is identical either way (weights are model material
+    * folded into one codegen'd projection). */
+  def pretrainedWeights(dims: Int = 64): Seq[Double] =
+    (0 until dims).map(b => ((b * 37 + 11) % 13 - 6) / 10.0)
+
+  /**
+   * Model-based quality filtering (the fastText-style classifier gate
+   * every pretraining pipeline runs alongside the rule-based
+   * [[repetition]] heuristics): per-doc quality probability + keep
+   * decision at threshold 0.5. Pure narrow projection — features,
+   * dot product, and sigmoid all inside one codegen'd stage, zero
+   * shuffle; at 100 TB this is a single scan.
+   */
+  def qualityScoreQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .withColumn("quality_score",
+        round(qualityScore(col("text"), pretrainedWeights(), 0.1), 6))
+      .select(col("doc_id"), col("quality_score"),
+        (col("quality_score") >= 0.5).as("is_quality"))
+      .orderBy(col("doc_id"))
+
+  /**
+   * Fit the quality classifier by deterministic full-batch gradient
+   * descent (logistic loss): the offline half of the operator, like
+   * [[Similarity.kmeansCentroids]] for IVF. The bias rides as a
+   * constant 65th feature, so each iteration is ONE pass: residuals
+   * (p − y) are a narrow projection against the current weights
+   * (broadcast as a literal — model material, not data), and the
+   * gradient is a posexplode + partial-aggregated groupBy whose
+   * shuffle is O(dims · partitions), independent of corpus size. The
+   * seeding, order, and iteration count are fixed, so the fit is
+   * reproducible run-to-run (CurationSpec gates accuracy and loss
+   * descent on a synthetic separable label).
+   *
+   * @return (weights, bias)
+   */
+  def trainQualityModel(docs: DataFrame, label: Column, dims: Int = 64,
+      iters: Int = 50, lr: Double = 8.0): (Seq[Double], Double) = {
+    // x' = [featureHash | 1.0]: bias as the last feature
+    val feats = docs.select(
+      concat(TextAnalysis.featureHash(col("text"), dims),
+        array(lit(1.0))).as("x"),
+      label.cast("double").as("y"))
+      .localCheckpoint()
+    val n = feats.count().toDouble
+    var w = Array.fill(dims + 1)(0.0)
+    (1 to iters).foreach { _ =>
+      val wLit = typedLit(w.toSeq)
+      val grad = feats
+        .select(((lit(1.0) / (lit(1.0) + exp(-aggregate(
+          zip_with(col("x"), wLit, (a, b) => a * b),
+          lit(0.0), (acc, v) => acc + v)))) - col("y")).as("r"),
+          col("x"))
+        .select(col("r"), posexplode(col("x")).as(Seq("dim", "xv")))
+        .groupBy(col("dim"))
+        .agg(sum(col("r") * col("xv")).as("g"))
+        .collect()
+      val next = w.clone()
+      grad.foreach { row =>
+        next(row.getInt(0)) -= lr * row.getDouble(1) / n
+      }
+      w = next
+    }
+    (w.take(dims).toSeq, w(dims))
+  }
+
+  /** Mean logistic loss of a (weights, bias) model over labelled docs —
+    * the spec's descent/accuracy probe. */
+  def qualityLoss(docs: DataFrame, label: Column, weights: Seq[Double],
+      bias: Double): Double =
+    docs.select(qualityScore(col("text"), weights, bias).as("p"),
+      label.cast("double").as("y"))
+      .select((-(col("y") * log(col("p")) +
+        (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))).as("l"))
+      .agg(avg(col("l"))).head.getDouble(0)
 }

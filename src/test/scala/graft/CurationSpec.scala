@@ -269,6 +269,51 @@ class CurationSpec extends SparkSpec {
     assert(extra == 0, "curation must only remove docs relative to clean")
   }
 
+  test("quality classifier: GD training descends the loss and " +
+      "separates a token-presence label well above the base rate") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    // synthetic separable-ish label: does the doc mention 'spark'
+    // (hashed-unigram features carry the signal through one bucket,
+    // modulo collisions in the 64-bucket table)
+    val label = array_contains(split(col("text"), " "), "spark")
+    val base = {
+      val n = docs.count().toDouble
+      val pos = docs.filter(label).count().toDouble
+      math.max(pos, n - pos) / n
+    }
+    val lossBefore = Curation.qualityLoss(docs, label,
+      Seq.fill(64)(0.0), 0.0)
+    val (w, b) = Curation.trainQualityModel(docs, label)
+    val lossAfter = Curation.qualityLoss(docs, label, w, b)
+    assert(lossAfter < lossBefore * 0.8,
+      s"GD failed to descend: $lossBefore -> $lossAfter")
+    val acc = docs.select(
+      (Curation.qualityScore(col("text"), w, b) >= 0.5).as("pred"),
+      label.as("y"))
+      .filter(col("pred") === col("y")).count().toDouble / docs.count()
+    // 0.88 measured for (iters 50, lr 8) on THIS corpus (deterministic
+    // full-batch fit — cannot flake); floor pinned just below
+    assert(acc > base + 0.05 && acc >= 0.84,
+      s"accuracy $acc vs base rate $base")
+    // determinism: a re-fit on the same corpus is bit-identical
+    val (w2, b2) = Curation.trainQualityModel(docs, label)
+    assert(w == w2 && b == b2, "training must be reproducible")
+  }
+
+  test("pretrained quality gate is a pure projection with a stable " +
+      "score distribution") {
+    val res = Curation.qualityScoreQuery(spark, sfDir).collect()
+    assert(res.length ==
+      Tables.load(spark, sfDir, "documents").count())
+    res.foreach { r =>
+      val s = r.getDouble(1)
+      assert(s > 0.0 && s < 1.0, s"score $s out of (0,1)")
+      assert(r.getBoolean(2) == (s >= 0.5))
+    }
+    // both classes occur (the fixed weights are not degenerate)
+    assert(res.exists(_.getBoolean(2)) && res.exists(!_.getBoolean(2)))
+  }
+
   test("dup clusters cover every document exactly once") {
     val res = graft.operators.Dedup.dupClustersQuery(spark, sfDir)
     val docs = Tables.load(spark, sfDir, "documents")
