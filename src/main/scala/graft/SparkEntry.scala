@@ -133,6 +133,11 @@ object SparkEntry {
     "q_stream_attrib" -> ((s, d) =>
       graft.streaming.StreamingIngest.replayAttribution(s, d)
         .orderBy(col("click_id"), col("purchase_id"))),
+    // LEFT OUTER stream-stream interval join: unconverted clicks emit
+    // null-extended once the watermark provably closes their window
+    "q_stream_attrib_outer" -> ((s, d) =>
+      graft.streaming.StreamingIngest.replayAttributionOuter(s, d)
+        .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)),
     // Stream-static broadcast enrichment (stateless → replay = batch)
     "q_stream_enrich" -> ((s, d) =>
       graft.streaming.StreamingIngest.replayEnrich(s, d)
@@ -658,6 +663,41 @@ object SparkEntry {
         |  AND CAST(e2.ts AS TIMESTAMP) <=
         |      CAST(e1.ts AS TIMESTAMP) + INTERVAL 1 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
+    // Outer variant: matched pairs = the batch interval join; a click
+    // with no in-window purchase emits null-extended iff the final
+    // global watermark (min of the two sides' max event time − 10 min)
+    // passed click_ts + 1 h — i.e. its window provably closed before
+    // the drain ended.
+    "q_stream_attrib_outer" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id,
+        |    CAST(ts AS TIMESTAMP) AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id AS p_user, event_id AS purchase_id,
+        |    CAST(ts AS TIMESTAMP) AS purchase_ts,
+        |    value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |wm AS (
+        |  SELECT least(
+        |    (SELECT max(CAST(ts AS TIMESTAMP)) FROM events
+        |      WHERE event_type = 'click'),
+        |    (SELECT max(CAST(ts AS TIMESTAMP)) FROM events
+        |      WHERE event_type = 'purchase'))
+        |    - INTERVAL 10 MINUTE AS w),
+        |j AS (
+        |  SELECT c.user_id, c.click_id, p.purchase_id,
+        |    p.purchase_value, c.click_ts, p.purchase_ts
+        |  FROM c LEFT JOIN p
+        |    ON c.user_id = p.p_user
+        |    AND p.purchase_ts >= c.click_ts
+        |    AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
+        |SELECT user_id, click_id, purchase_id, purchase_value,
+        |  click_ts, purchase_ts
+        |FROM j, wm
+        |WHERE purchase_id IS NOT NULL
+        |   OR click_ts + INTERVAL 1 HOUR < w
+        |ORDER BY click_id, purchase_id ASC NULLS FIRST""".stripMargin,
     "q_pipeline_clean" ->
       """WITH s AS (
         |  SELECT doc_id, lang, text,

@@ -338,6 +338,45 @@ object StreamingIngest {
       streamAttribution(eventStream(spark, sfDir)), "stream_attr"))
 
   /**
+   * LEFT OUTER stream-stream interval join: [[streamAttribution]] plus
+   * the unconverted clicks — the funnel-analysis shape ("which clicks
+   * never purchased inside the hour"). Outer semantics on two streams
+   * are only possible BECAUSE the state is watermark-bounded: a click
+   * emits null-extended exactly when the watermark passes
+   * click_ts + 1 h (its match window provably closed — no purchase can
+   * still arrive), which is also the moment its buffered row is
+   * evicted. Clicks whose window the final watermark never passed are
+   * still open at drain end and are NOT emitted — the oracle encodes
+   * that boundary explicitly.
+   */
+  def streamAttributionOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("purchase_value"), col("click_ts"), col("purchase_ts"))
+  }
+
+  /** Drained-replay gate for [[streamAttributionOuter]]: matched pairs
+    * equal the batch interval join; null-extended rows are exactly the
+    * unmatched clicks whose 1 h window closed before the final global
+    * watermark (min of the two sides' max event time, − 10 min). */
+  def replayAttributionOuter(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(runToParquet(
+      streamAttributionOuter(eventStream(spark, sfDir)), "stream_attr_o"))
+
+  /**
    * Batch-replay harness: runs the streaming pipeline over the static
    * events table via a file stream with AvailableNow, writes ORC, and
    * returns the re-read result. Exercises the full W8 path (stream

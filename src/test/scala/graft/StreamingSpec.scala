@@ -200,6 +200,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamAttributionOuter: matches emit immediately; unmatched " +
+      "clicks emit null-extended only once the watermark closes their " +
+      "window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Timestamp, Double, String)]
+    val events = mem.toDF()
+      .toDF("user_id", "event_id", "ts", "value", "event_type")
+    val q = StreamingIngest.streamAttributionOuter(events)
+      .writeStream.format("memory").queryName("attrib_outer_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, 1L, ts("2026-01-01 10:00:00"), 0.0, "click"),
+        (1L, 2L, ts("2026-01-01 10:30:00"), 9.5, "purchase"), // match
+        (2L, 3L, ts("2026-01-01 10:05:00"), 0.0, "click"))    // no match
+      q.processAllAvailable()
+      def rows() = spark.table("attrib_outer_test")
+        .select(col("click_id"), col("purchase_id"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      // before the watermark passes 10:05 + 1h, only the match shows
+      assert(rows() == Set((1L, Some(2L))), rows())
+      // advance both sides' event time past 11:05 + 10 min delay →
+      // click 3's window provably closed → null-extended row emits
+      mem.addData(
+        (9L, 8L, ts("2026-01-01 11:30:00"), 0.0, "click"),
+        (9L, 9L, ts("2026-01-01 11:30:00"), 1.0, "purchase"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      assert(rows().contains((3L, None)),
+        s"expired click must emit null-extended: ${rows()}")
+      // the matched click never re-emits as unmatched
+      assert(!rows().contains((1L, None)), rows())
+    } finally q.stop()
+  }
+
   test("replayIngest: stream -> ORC sink -> read-back round trip") {
     val res = StreamingIngest.replayIngest(spark, sfDir)
     assert(res.columns.toSeq == Seq(
