@@ -374,61 +374,118 @@ object Similarity {
 
   // --------------------------------------------------------------- IVFADC
 
-  /** Cell-partitioned PQ code store: the IVFADC layout. Codes are the
-    * same 8 B/vec as [[buildPqStore]], but the table is PARTITIONED BY
-    * the IVF coarse cell — at 100 TB each cell is a parquet partition
-    * directory, so probing `nprobe` cells is static partition pruning:
-    * the unprobed ~`(1 - nprobe/k)` of the code store is never read,
-    * on top of the 32× fp32→code compression. */
+  /** Cell-partitioned RESIDUAL-PQ code store: the textbook IVFADC
+    * layout (Jégou et al.). Each vector's code quantizes its residual
+    * `x − centroid(cell(x))` — residuals have far less variance than
+    * raw vectors, so the same 8 B/vec carries more precision — and the
+    * table is PARTITIONED BY the IVF coarse cell: at 100 TB each cell
+    * is a parquet partition directory, so probing `nprobe` cells is
+    * static partition pruning (the unprobed ~`(1 − nprobe/k)` of the
+    * store is never read), on top of the 32× fp32→code compression.
+    * Returns (store path, residual PQ model). */
   private val ivfPqStore =
-    scala.collection.concurrent.TrieMap[String, String]()
+    scala.collection.concurrent.TrieMap[String, (String, PqModel)]()
 
-  def buildIvfPqStore(spark: SparkSession, sfDir: String): String =
+  def buildIvfPqStore(spark: SparkSession, sfDir: String)
+      : (String, PqModel) =
     ivfPqStore.getOrElseUpdate(sfDir, {
-      val model = buildPqIndex(spark, sfDir)
       val cents = buildIndex(spark, sfDir)
+      val cLit = centsLit(cents)
+      // residuals feed both the codebook fit (8 sub-space k-means) and
+      // the encode pass — materialize once
+      val assigned = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          cellOf(cents, col("embedding")).as("cell"))
+        .withColumn("residual",
+          zip_with(col("embedding"), element_at(cLit, col("cell") + 1),
+            (a, b) => a - b).cast("array<float>"))
+        .localCheckpoint()
+      val resModel = fitPq(
+        assigned.select(col("vec_id"), col("residual").as("embedding")))
       val store = graft.sources.OrcIo.scratchDir("ivfpq_codes")
-      Tables.load(spark, sfDir, "embeddings")
-        .select(col("vec_id").as("neighbor_id"),
-          cellOf(cents, col("embedding")).as("cell"),
-          pqCodes(model, col("embedding")).as("codes"))
+      assigned
+        .select(col("vec_id").as("neighbor_id"), col("cell"),
+          pqCodes(resModel, col("residual")).as("codes"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$store/codes")
-      s"$store/codes"
+      (s"$store/codes", resModel)
     })
 
   /**
-   * IVF+ADC serving — the composition a trillion-vector store actually
-   * runs (coarse quantizer prunes cells, PQ codes bound the bytes
-   * scanned): each query probes its `nprobe` nearest coarse cells, the
-   * union of probed cells (a tiny driver-side int set, ≤ nprobe·|Q|)
-   * is pushed into the cell-partitioned code store as an `isin`
-   * partition filter (static pruning — unprobed directories unread),
-   * and only the surviving codes are ADC-scored against the broadcast
-   * per-query LUTs. vs the flat-ADC scan in [[pqTopK]]: same scoring
-   * math, `nprobe/k` of the codes touched. Recall vs flat ADC and the
-   * scanned-fraction bound are spec-gated (SimilaritySpec).
+   * IVFADC serving — the composition a trillion-vector store actually
+   * runs (coarse quantizer prunes cells, residual PQ codes bound the
+   * bytes scanned): each query probes its `nprobe` nearest coarse
+   * cells; the union of probed cells (tiny driver-side int set,
+   * ≤ nprobe·|Q|) is pushed into the cell-partitioned code store as an
+   * `isin` partition filter (static pruning — unprobed directories
+   * unread); surviving codes are ADC-scored against broadcast
+   * per-query LUTs. With residual encoding the score decomposes as
+   * `q·x̂ = q·cent_c + Σ_s lut[s][code_s]` and the reconstruction norm
+   * as `‖cent_c‖² + 2·Σ_s cross[c][s][code_s] + Σ_s sq[s][code_s]`,
+   * where `cross` (k×m×ksub inner products of centroid slices with
+   * residual codewords) and `sq` are query-independent literal tables
+   * — every per-candidate term is O(m) lookups. Recall vs flat ADC and
+   * the scanned-fraction bound are spec-gated (SimilaritySpec).
    */
   def ivfPqTopK(spark: SparkSession, sfDir: String, k: Int = 10,
       nprobe: Int = 4): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
-    val model = buildPqIndex(spark, sfDir)
     val cents = buildIndex(spark, sfDir)
-    val codes = spark.read.parquet(buildIvfPqStore(spark, sfDir))
-    // per-query probe set: nprobe nearest coarse cells
+    val (path, model) = buildIvfPqStore(spark, sfDir)
+    val codes = spark.read.parquet(path)
+    val cLit = centsLit(cents)
+    // query-independent model tables, folded into the plan as literals
+    val sqLit = typedLit(model.codebook.map(_.map(c =>
+      c.map(v => v.toDouble * v).sum).toSeq).toSeq)
+    val centNormSq = typedLit(cents.map(c =>
+      c.map(v => v.toDouble * v).sum).toSeq)
+    val crossLit = typedLit(cents.map { cent =>
+      (0 until model.m).map { s =>
+        model.codebook(s).map { cw =>
+          var d = 0.0
+          var i = 0
+          while (i < model.subDim) {
+            d += cent(s * model.subDim + i).toDouble * cw(i)
+            i += 1
+          }
+          d
+        }.toSeq
+      }
+    }.toSeq)
+    // per-query probe set: LUT vs the RESIDUAL codebook, plus the
+    // q·centroid term per probed cell
     val probes = pqQueries(emb, model).select(
       col("query_id"), col("q_norm"), col("lut"),
       explode(call_function("graft_nearest_cells", col("q_emb"),
-        centsLit(cents), lit(nprobe))).as("cell"))
+        cLit, lit(nprobe))).as("cell"),
+      col("q_emb"))
+      .withColumn("q_dot_c",
+        VectorOps.dot(col("q_emb"), element_at(cLit, col("cell") + 1)))
+      .drop("q_emb")
     // Driver-side union of probed cells → partition-pruning filter.
     // This is tiny model-sized material (≤ nprobe·|Q| ints), not data:
     // the collect is the price of STATIC pruning on the store.
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
+    val lutDot = aggregate(
+      zip_with(col("codes"), col("lut"),
+        (c, l) => element_at(l, c + 1).cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val resSq = aggregate(
+      zip_with(col("codes"), sqLit, (c, sq) => element_at(sq, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val crossSum = aggregate(
+      zip_with(col("codes"), element_at(crossLit, col("cell") + 1),
+        (c, cr) => element_at(cr, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val recNormSq = element_at(centNormSq, col("cell") + 1) +
+      lit(2.0) * crossSum + resSq
     adcRank(
       codes.filter(col("cell").isin(probedCells: _*))
         .join(broadcast(probes), Seq("cell"))
-        .withColumn("approx_cos", adcCosine(model)), k)
+        .withColumn("approx_cos", round(
+          (col("q_dot_c") + lutDot) / (col("q_norm") * sqrt(recNormSq)),
+          4)), k)
   }
 
   def annIvfPqQuery(spark: SparkSession, sfDir: String): DataFrame =

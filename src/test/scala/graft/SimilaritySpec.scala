@@ -128,7 +128,7 @@ class SimilaritySpec extends SparkSpec {
     // must touch well under half the code store (cells are uneven, so
     // the bound is loose but still proves pruning happened)
     val store = spark.read.parquet(
-      Similarity.buildIvfPqStore(spark, sfDir))
+      Similarity.buildIvfPqStore(spark, sfDir)._1)
     val total = store.count().toDouble
     val probed = {
       val emb = Tables.load(spark, sfDir, "embeddings")
