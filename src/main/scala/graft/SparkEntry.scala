@@ -77,6 +77,9 @@ object SparkEntry {
     "q_winnow_contam" -> (TextAnalysis.winnowContamQuery _),
     // Corpus snapshot versioning (added/removed/changed audit)
     "q_corpus_diff" -> (Versioning.corpusDiffQuery _),
+    // Dataset publication: sharded write + order-free integrity
+    // manifest of the files that actually landed
+    "q_publish_manifest" -> (Versioning.publishManifestQuery _),
     // Deterministic sampling (north star: reproducible subsets)
     "q_sample_hash" -> (Sampling.hashSampleQuery _),
     "q_sample_stratified" -> ((s, d) => Sampling.stratifiedSampleQuery(s, d)),
@@ -1127,6 +1130,25 @@ object SparkEntry {
         |SELECT doc_id, status, old_md5, new_md5 FROM j
         |WHERE status IS NOT NULL
         |ORDER BY doc_id, status""".stripMargin,
+    // Publish manifest: the oracle recomputes the per-shard integrity
+    // lines from the SOURCE table; the engine computes them from the
+    // files the publish step wrote — a hash match proves the sharded
+    // round trip lost/changed nothing. digest_sum is an order-free
+    // DECIMAL(38,0) sum of 60-bit md5 prefixes (commutative, so shard
+    // file ordering is irrelevant; 38 digits cannot overflow).
+    "q_publish_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id % 8 AS shard, doc_id,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    CAST(('0x' || substring(md5(text), 1, 15))::BIGINT
+        |      AS DECIMAL(38,0)) AS dg
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS id_min, max(doc_id) AS id_max,
+        |  sum(dg) AS digest_sum
+        |FROM d GROUP BY shard
+        |ORDER BY shard""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, lang, substring(md5(text), 1, 2) AS hash_bucket
         |FROM documents

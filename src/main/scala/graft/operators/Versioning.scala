@@ -51,4 +51,68 @@ object Versioning {
           concat(lit("new doc "), col("doc_id").cast("string")).as("text")))
     snapshotDiff(v1, v2).orderBy(col("doc_id"), col("status"))
   }
+
+  // ----------------------------------------------------- dataset publish
+
+  /**
+   * Publish a corpus as an immutable sharded dataset: deterministic
+   * shard assignment (`doc_id mod nShards` — reproducible across
+   * re-publishes, the [[Curation.sequencePack]] rule), one
+   * `partitionBy` write. Returns the published path.
+   *
+   * Scale shape: the write is the only data movement; shards scale out
+   * with the corpus (raise `nShards`, not per-task memory).
+   */
+  def publishCorpus(docs: DataFrame, dir: String, nShards: Int): String = {
+    docs
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(dir)
+    dir
+  }
+
+  /**
+   * Integrity manifest of a published dataset: per-shard row count,
+   * token count, id range, and an ORDER-FREE content digest — the
+   * `sum` (in DECIMAL(38,0), overflow-free at any corpus size) of each
+   * doc's 60-bit md5 prefix. Commutative aggregation means shard-
+   * internal file ordering never affects the digest, so a consumer
+   * re-computes the manifest after transfer and compares row-for-row:
+   * any lost, duplicated, or corrupted document changes its shard's
+   * line. One narrow projection + one tiny shuffle (nShards rows).
+   */
+  def manifest(published: DataFrame): DataFrame =
+    published
+      .select(col("shard").cast("bigint").as("shard"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10)
+          .cast("decimal(38,0)").as("dg"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("id_min"),
+        max(col("doc_id")).as("id_max"),
+        sum(col("dg")).as("digest_sum"))
+      .orderBy(col("shard"))
+
+  /** Published-store cache (fixture: publishing is the offline half;
+    * the gate reads the manifest OF THE WRITTEN FILES, so the hash
+    * match proves what landed on disk, not what was about to be
+    * written). */
+  private val publishStore =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Correctness gate: publish the documents table into 8 shards, read
+    * the published files back, manifest them. The oracle recomputes
+    * the same manifest from the source table — equality proves the
+    * publish round-trip lost and changed nothing. */
+  def publishManifestQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = publishStore.getOrElseUpdate(sfDir,
+      publishCorpus(
+        Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text")),
+        graft.sources.OrcIo.scratchDir("publish") + "/corpus",
+        nShards = 8))
+    manifest(spark.read.parquet(dir))
+  }
 }

@@ -143,6 +143,13 @@ class SimilaritySpec extends SparkSpec {
     assert(probed / total <= 0.6,
       s"IVFADC scanned ${probed / total} of codes — pruning ineffective")
     assert(probed < total, "probing must exclude at least one cell")
+    // and the pruning is STATIC: the serving plan carries a partition
+    // filter on the cell directory column, so unprobed directories are
+    // dropped at planning time, not row-filtered after a full read
+    val plan = Similarity.ivfPqTopK(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"expected a static cell partition filter in:\n${plan.take(2000)}")
   }
 
   test("LSH recall@10 vs brute force is reasonable for 12-bit buckets") {

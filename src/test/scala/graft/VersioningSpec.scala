@@ -43,6 +43,40 @@ class VersioningSpec extends SparkSpec {
     assert(res.getOrElse("added", 0L) == n29)
   }
 
+  test("publish manifest: source and published files agree; loss and " +
+      "corruption each break exactly the affected shard's line") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = graft.sources.OrcIo.scratchDir("publish_spec") + "/corpus"
+    Versioning.publishCorpus(docs, dir, nShards = 4)
+    val pub = spark.read.parquet(dir)
+    val m1 = Versioning.manifest(pub).collect()
+    assert(m1.length == 4)
+    // the consumer-side recompute (from the published FILES) equals
+    // the producer-side manifest (from the source table)
+    val mSrc = Versioning.manifest(
+      docs.withColumn("shard", pmod(col("doc_id"), lit(4L)))).collect()
+    assert(m1.map(_.toSeq).toSeq == mSrc.map(_.toSeq).toSeq)
+    def digests(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> r.getDecimal(5)).toMap
+    // a lost document changes its shard's count AND digest, no other
+    val lost = Versioning.manifest(pub.filter(col("doc_id") =!= 9))
+      .collect()
+    assert(lost.find(_.getLong(0) == 1L).get.getLong(1) ==
+      m1.find(_.getLong(0) == 1L).get.getLong(1) - 1)
+    assert(digests(lost)(1L) != digests(m1)(1L))
+    assert((digests(lost) - 1L) == (digests(m1) - 1L),
+      "unaffected shards must keep their digests")
+    // a corrupted payload keeps the counts but breaks the digest
+    val corrupt = Versioning.manifest(pub.withColumn("text",
+      when(col("doc_id") === 10, lit("bitrot")).otherwise(col("text"))))
+      .collect()
+    assert(corrupt.find(_.getLong(0) == 2L).get.getLong(1) ==
+      m1.find(_.getLong(0) == 2L).get.getLong(1))
+    assert(digests(corrupt)(2L) != digests(m1)(2L))
+    assert((digests(corrupt) - 2L) == (digests(m1) - 2L))
+  }
+
   test("snapshotDiff shuffles digests, not text") {
     val docs = Tables.load(spark, sfDir, "documents")
     val plan = Versioning.snapshotDiff(docs, docs)
