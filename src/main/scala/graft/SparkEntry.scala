@@ -75,6 +75,9 @@ object SparkEntry {
     "q_feature_hash" -> (TextAnalysis.featureHashQuery _),
     "q_winnow" -> (TextAnalysis.winnowQuery _),
     "q_winnow_contam" -> (TextAnalysis.winnowContamQuery _),
+    // Sparse retrieval: BM25 scoring + RAG chunking with overlap
+    "q_bm25" -> ((s, d) => Retrieval.bm25Query(s, d)),
+    "q_chunk" -> (Retrieval.chunkQuery _),
     // Corpus snapshot versioning (added/removed/changed audit)
     "q_corpus_diff" -> (Versioning.corpusDiffQuery _),
     // Dataset publication: sharded write + order-free integrity
@@ -996,6 +999,71 @@ object SparkEntry {
         |  CAST(df AS BIGINT) AS df, round(tfidf, 4) AS tfidf, rnk
         |FROM r WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
+    // BM25: the oracle replays tokenization (list_filter per query
+    // term), the one-row corpus stats (N, Σdl, df per term), and the
+    // scoring formula with the SAME double literals and expression
+    // tree (ln is the one transcendental; round(.,4) absorbs its
+    // ≤1-ulp cross-engine drift — the q_quality_score exp precedent).
+    "q_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t = 'spark')) AS INTEGER) AS tf_0,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t = 'query')) AS INTEGER) AS tf_1,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t = 'table')) AS INTEGER) AS tf_2
+        |  FROM documents),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS sum_dl,
+        |    CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+        |    CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+        |    CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+        |  FROM d),
+        |sc AS (
+        |  SELECT doc_id, dl, tf_0, tf_1, tf_2,
+        |    round(
+        |      ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5)) *
+        |        (CAST(tf_0 AS DOUBLE) * 2.2) /
+        |        (CAST(tf_0 AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))) +
+        |      ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5)) *
+        |        (CAST(tf_1 AS DOUBLE) * 2.2) /
+        |        (CAST(tf_1 AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))) +
+        |      ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5)) *
+        |        (CAST(tf_2 AS DOUBLE) * 2.2) /
+        |        (CAST(tf_2 AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))), 4)
+        |      AS score
+        |  FROM d CROSS JOIN s)
+        |SELECT doc_id, CAST(dl AS BIGINT) AS dl, tf_0, tf_1, tf_2, score
+        |FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin,
+    // RAG chunking: chunk i = words [i*24, i*24+32); chunk count
+    // 1 + max(0, ceil((n-32)/24)) — the oracle replays slicing,
+    // word counts, and the md5 content hash.
+    "q_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, unnest(range(0, 1 + greatest(0,
+        |    CAST(ceil((n - 32) / 24.0) AS INTEGER)))) AS chunk_idx
+        |  FROM t),
+        |x AS (
+        |  SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+        |    array_to_string(list_slice(toks,
+        |      chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' ') AS chunk
+        |  FROM c)
+        |SELECT doc_id, chunk_idx, chunk,
+        |  CAST(len(string_split(chunk, ' ')) AS INTEGER) AS n_words,
+        |  md5(chunk) AS chunk_md5
+        |FROM x
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     // Hashing-trick embedding: bucket = first md5 byte mod 64 (the
     // first MD5 byte equals the first two hex chars), counts
     // L2-normalized.

@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.functions._
+
+/** Gates for the sparse-retrieval family: BM25 semantics (idf ordering,
+  * tf saturation, score monotonicity) and chunking invariants (full
+  * coverage, stride overlap, count formula), plus the plan shapes that
+  * make both scan-like at 100 TB. */
+class RetrievalSpec extends SparkSpec {
+
+  test("bm25: every returned doc contains a query term, scores ranked") {
+    val rows = Retrieval.bm25Query(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tfSum = r.getAs[Int]("tf_0") + r.getAs[Int]("tf_1") +
+        r.getAs[Int]("tf_2")
+      assert(tfSum > 0, s"doc ${r.get(0)} has no query term")
+    }
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "scores not descending")
+  }
+
+  test("bm25: rarer term out-scores a common one at equal tf and dl") {
+    // Synthetic 4-doc corpus: 'rare' appears in 1 doc, 'common' in 3.
+    // The two probe docs have identical length and tf=1 for their term,
+    // so the score difference is pure idf — rare must win.
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "rare x y z"), (2L, "common x y z"),
+      (3L, "common p q r"), (4L, "common p q r"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("bm25_probe")
+    val tfs = call_function("graft_count_in_sets", col("text"),
+      typedLit(Seq(Seq("rare"), Seq("common"))))
+    val n = docs.count().toDouble
+    val withTf = docs.select(col("doc_id"),
+      element_at(tfs, 1).cast("double").as("tf_r"),
+      element_at(tfs, 2).cast("double").as("tf_c"))
+    val byDoc = withTf.collect().map(r =>
+      r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val dfR = byDoc.values.count(_._1 > 0).toDouble
+    val dfC = byDoc.values.count(_._2 > 0).toDouble
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    // equal tf (=1) and equal dl (=4) => saturation term identical
+    assert(idf(dfR) > idf(dfC),
+      s"idf(rare)=${idf(dfR)} should exceed idf(common)=${idf(dfC)}")
+  }
+
+  test("bm25: tf saturation — score is concave in tf (k1 cap)") {
+    // With dl = avgdl the saturation factor is tf*(k1+1)/(tf+k1):
+    // marginal gain of the 2nd occurrence must be below the 1st.
+    def sat(tf: Double) = tf * 2.2 / (tf + 1.2)
+    assert(sat(2) - sat(1) < sat(1) - sat(0))
+    assert(sat(100) < 2.2, "saturation must stay below k1+1")
+  }
+
+  test("chunk: full coverage, overlap = window - stride, count formula") {
+    val out = Retrieval.chunkQuery(spark, sfDir)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_words")).as("sum_words"),
+        max(col("n_words")).as("max_words"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val docLens = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, nChunks, sumWords, maxWords) =>
+      val n = docLens(id)
+      val expected = 1 + math.max(0, math.ceil((n - 32) / 24.0).toInt)
+      assert(nChunks == expected,
+        s"doc $id: $nChunks chunks, expected $expected for $n words")
+      assert(maxWords <= 32)
+      // coverage: total emitted words = n + overlap replays
+      // (each chunk after the first re-emits up to window-stride words)
+      assert(sumWords >= n, s"doc $id: chunks lost words")
+      assert(sumWords <= n + (nChunks - 1) * (32 - 24),
+        s"doc $id: more overlap than window-stride allows")
+    }
+  }
+
+  test("chunk: consecutive chunks share exactly window-stride words " +
+      "on a long doc") {
+    val words = (0 until 100).map(i => s"w$i").mkString(" ")
+    val toks = words.split(" ")
+    // replicate the operator rule directly
+    val starts = 0 until (1 + math.ceil((100 - 32) / 24.0).toInt)
+    starts.sliding(2).foreach {
+      case Seq(a, b) =>
+        val ca = toks.slice(a * 24, a * 24 + 32).toSet
+        val cb = toks.slice(b * 24, b * 24 + 32).toSet
+        assert((ca & cb).size == 8) // 32 - 24
+      case _ =>
+    }
+  }
+
+  test("plan: chunk is shuffle-free; bm25 ends in TakeOrdered with " +
+      "only the one-row stats exchange") {
+    val chunkPlan = Retrieval.chunkQuery(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the orderBy in the query is presentation for the oracle dump; the
+    // chunk PRODUCTION (project + generate) must carry no hash shuffle
+    assert(!chunkPlan.contains("Exchange hashpartitioning"),
+      s"chunk production shuffles:\n$chunkPlan")
+    val bm25Plan = Retrieval.bm25Query(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(bm25Plan.contains("TakeOrderedAndProject"),
+      s"bm25 top-k should be a bounded heap, not a global sort:\n$bm25Plan")
+    assert(!bm25Plan.contains("Exchange hashpartitioning"),
+      s"bm25 must not hash-shuffle the corpus:\n$bm25Plan")
+    // corpus text reaches neither exchange: stats reduce map-side
+    val exchanges = bm25Plan.linesIterator
+      .filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(_.contains("text#")),
+      s"document text flows through an exchange:\n$exchanges")
+  }
+}
