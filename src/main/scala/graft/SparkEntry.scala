@@ -86,6 +86,9 @@ object SparkEntry {
     // Deterministic sampling (north star: reproducible subsets)
     "q_sample_hash" -> (Sampling.hashSampleQuery _),
     "q_sample_stratified" -> ((s, d) => Sampling.stratifiedSampleQuery(s, d)),
+    // Data selection: mixture resampling + DSIR importance weighting
+    "q_domain_mix" -> ((s, d) => Sampling.domainMixQuery(s, d)),
+    "q_importance" -> ((s, d) => Sampling.importanceQuery(s, d)),
     // End-to-end corpus cleaning (north-star composition)
     "q_pipeline_clean" -> (Pipeline.cleanCorpusQuery _),
     "q_pipeline_curate" -> (Pipeline.curateCorpusQuery _),
@@ -1230,6 +1233,69 @@ object SparkEntry {
         |  FROM documents)
         |SELECT lang, pick, doc_id FROM r WHERE pick <= 20
         |ORDER BY lang, pick""".stripMargin,
+    // Mixture resampling: acceptance rate min(1, target·N/n_s) per
+    // stratum, membership = 24-bit md5 bucket < floor(rate·2^24) — the
+    // oracle replays counts, rates, thresholds, and the coin exactly.
+    "q_domain_mix" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+        |t AS (SELECT count(*) AS n_total FROM documents),
+        |p AS (SELECT * FROM (VALUES ('de', 15), ('en', 40), ('es', 15),
+        |  ('fr', 15), ('zh', 15)) AS v(lang, target_pct)),
+        |r AS (
+        |  SELECT c.lang, c.n_lang, p.target_pct,
+        |    least(CAST(1.0 AS DOUBLE),
+        |      CAST(p.target_pct * t.n_total AS DOUBLE) /
+        |        (100.0 * c.n_lang)) AS rate
+        |  FROM c JOIN p USING (lang) CROSS JOIN t),
+        |k AS (
+        |  SELECT d.lang, count(*) AS n_kept
+        |  FROM documents d JOIN r ON d.lang = r.lang
+        |  WHERE ('0x' || substring(md5(d.text), 1, 6))::BIGINT <
+        |    CAST(floor(r.rate * 16777216.0) AS BIGINT)
+        |  GROUP BY d.lang)
+        |SELECT r.lang, r.n_lang, r.target_pct,
+        |  round(r.rate, 6) AS rate, k.n_kept
+        |FROM r JOIN k ON r.lang = k.lang
+        |ORDER BY r.lang""".stripMargin,
+    // DSIR importance weighting: the oracle refits both hashed-unigram
+    // multinomials (add-one smoothing), rebuilds the 64-long
+    // log-likelihood-ratio vector in bucket order, and replays the
+    // fixed-order dot product (list_dot_product — the q_quality_score
+    // precedent); keep gates on the rounded score.
+    "q_importance" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    list_transform(string_split(text, ' '),
+        |      t -> ('0x' || substring(md5(t), 1, 2))::INTEGER % 64)
+        |      AS buckets
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, n_tok, list_transform(range(0, 64),
+        |    i -> CAST(len(list_filter(buckets, k -> k = i)) AS DOUBLE))
+        |    AS cnts
+        |  FROM b),
+        |ex AS (SELECT lang, unnest(buckets) AS bucket FROM b),
+        |g0 AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS raw,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS tgt
+        |  FROM ex GROUP BY bucket),
+        |rg AS (SELECT unnest(range(0, 64)) AS bucket),
+        |g AS (SELECT rg.bucket, coalesce(g0.raw, 0.0) AS raw,
+        |    coalesce(g0.tgt, 0.0) AS tgt
+        |  FROM rg LEFT JOIN g0 ON rg.bucket = g0.bucket),
+        |tot AS (SELECT sum(raw) AS rtot, sum(tgt) AS ttot FROM g),
+        |w AS (SELECT list(ln(((tgt + 1.0) / (ttot + 64.0)) /
+        |    ((raw + 1.0) / (rtot + 64.0))) ORDER BY bucket) AS w
+        |  FROM g, tot),
+        |s AS (SELECT doc_id, n_tok,
+        |    round(list_dot_product(cnts, w.w) /
+        |      CAST(n_tok AS DOUBLE), 6) + 0.0 AS imp_score
+        |  FROM v, w)
+        |SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok, imp_score,
+        |  imp_score > 0 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_dedup_incremental" ->
       """WITH corpus AS (
         |  SELECT DISTINCT md5(text) AS d FROM documents

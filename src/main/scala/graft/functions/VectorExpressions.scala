@@ -1159,6 +1159,53 @@ object VectorKernels {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(counts)
   }
 
+  /**
+   * Raw md5-bucket token counts (the un-normalized half of
+   * [[featureHashJava]]): token → bucket = first md5 byte mod dims,
+   * counts as integer-valued doubles. The per-document feature the
+   * importance-weighting (DSIR-style) scorer dots against a
+   * log-likelihood-ratio vector — kept as exact integers-in-doubles so
+   * the cross-engine dot product is reproducible bit-for-bit.
+   */
+  def bucketCountsJava(text: org.apache.spark.unsafe.types.UTF8String,
+      dims: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val counts = new Array[Double](dims)
+    val md = md5Local.get()
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val d = md.digest(
+        toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      counts((d(0) & 0xFF) % dims) += 1.0
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(counts)
+  }
+
+  /** See [[bucketCountsJava]]: string → array<double> (raw counts). */
+  case class BucketCounts(child: Expression, dims: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got " + other.simpleString)
+      }
+    override def dataType: DataType =
+      ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "graft_bucket_counts"
+    override protected def nullSafeEval(a: Any): Any =
+      bucketCountsJava(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], dims)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.bucketCountsJava($a, $dims)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** See [[featureHashJava]]: string → array<double> (unit-norm). */
   case class FeatureHash(child: Expression, dims: Int)
       extends UnaryExpression {
@@ -1312,6 +1359,9 @@ object VectorKernels {
     fn("graft_int8_quant", es => Int8QuantStats(es.head)),
     // dims must be a foldable int literal
     fn("graft_feature_hash", es => FeatureHash(es(0),
+      es(1).eval().asInstanceOf[Int])),
+    // dims must be a foldable int literal
+    fn("graft_bucket_counts", es => BucketCounts(es(0),
       es(1).eval().asInstanceOf[Int])),
     // n must be a foldable int literal, e.g. graft_ngram_rep(text, 2)
     fn("graft_ngram_rep", es => NGramRepetition(es(0),

@@ -58,4 +58,116 @@ object Sampling {
       .select(col("lang"), col("pick"), col("doc_id"))
       .orderBy(col("lang"), col("pick"))
   }
+
+  /** 24-bit content-hash bucket (first 6 md5 hex chars): the
+    * fine-grained deterministic coin for rate-accurate sampling —
+    * [[hashBernoulli]]'s byte gives 1/256 granularity, mixture targets
+    * need better. */
+  def hashBucket24(key: Column): Column =
+    conv(substring(md5(key), 1, 6), 16, 10).cast("long")
+
+  /**
+   * Domain-mixture resampling: downsample each stratum so the kept
+   * corpus approaches a target mixture (the data-mixing pass every
+   * pretraining run does before training — over-represented domains
+   * are cut, never upsampled). Acceptance rate per stratum
+   * r_s = min(1, target_s · N_total / N_s); membership is the 24-bit
+   * content-hash coin against floor(r_s · 2^24), so the sample is
+   * reproducible, repartition-stable, and exactly replayable by the
+   * SQL oracle.
+   *
+   * Shape at 100 TB: pass 1 is a map-side-partial count per stratum
+   * (5 rows); the rate table broadcasts back onto the scan; pass 2 is
+   * a pushable hash-predicate filter + another partial-agg summary.
+   * Two scans, zero wide shuffles, no driver collect.
+   */
+  def domainMixQuery(spark: SparkSession, sfDir: String,
+      targetPct: Seq[(String, Int)] = Seq(
+        "de" -> 15, "en" -> 40, "es" -> 15, "fr" -> 15, "zh" -> 15))
+      : DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val counts = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val pct = spark.createDataFrame(targetPct)
+      .toDF("lang", "target_pct")
+    val rates = counts
+      .join(broadcast(pct), Seq("lang"))
+      .crossJoin(broadcast(total))
+      .withColumn("rate", least(lit(1.0),
+        (col("target_pct") * col("n_total")).cast("double") /
+          (lit(100.0) * col("n_lang"))))
+      .withColumn("threshold",
+        floor(col("rate") * lit(16777216.0)).cast("long"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(hashBucket24(col("text")) < col("threshold"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+      .join(broadcast(rates.select(col("lang"), col("n_lang"),
+        col("target_pct"), round(col("rate"), 6).as("rate"))), Seq("lang"))
+      .select(col("lang"), col("n_lang"), col("target_pct"),
+        col("rate"), col("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  // ------------------------------- importance weighting (data selection)
+
+  /**
+   * DSIR-style importance weighting (Xie et al., "Data Selection for
+   * Language Models via Importance Resampling", 2023): score each
+   * document by the log-likelihood ratio of a target language model
+   * over a raw model, both estimated as hashed-unigram (64-bucket)
+   * multinomials with add-one smoothing. Here the target distribution
+   * is the corpus's English subset; positive scores mean
+   * "more target-like than the average document".
+   *
+   * score(d) = (Σ_b cnt_d[b] · ln(p̂_tgt[b] / p̂_raw[b])) / n_tok(d)
+   *
+   * Shape at 100 TB: the per-doc bucket counts are ONE native codegen
+   * pass ([[graft.functions.VectorKernels.BucketCounts]]); the model
+   * fit is a posexplode of 64-long arrays partial-aggregated to 64
+   * rows, assembled into a single broadcast weight row (sort_array ∘
+   * collect_list — 64 elements, no driver collect); scoring is a
+   * codegen'd fixed-order dot product (the list_dot_product /
+   * q_quality_score precedent). The corpus text never shuffles — only
+   * 64-row model material moves.
+   */
+  def importanceQuery(spark: SparkSession, sfDir: String,
+      dims: Int = 64): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val cnts = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).as("n_tok"),
+      call_function("graft_bucket_counts", col("text"), lit(dims))
+        .as("cnts"))
+    // model fit: bucket totals for raw (all docs) and target (English)
+    val perBucket = cnts
+      .select(col("lang"), posexplode(col("cnts")).as(Seq("bucket", "c")))
+      .groupBy(col("bucket"))
+      .agg(sum(col("c")).as("raw"),
+        sum(when(col("lang") === "en", col("c")).otherwise(0.0)).as("tgt"))
+    val totals = perBucket.agg(sum(col("raw")).as("rtot"),
+      sum(col("tgt")).as("ttot"))
+    val lnr = perBucket.crossJoin(broadcast(totals))
+      .withColumn("lnr",
+        log(((col("tgt") + 1.0) / (col("ttot") + dims.toDouble)) /
+          ((col("raw") + 1.0) / (col("rtot") + dims.toDouble))))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("lnr"))))
+        .as("pairs"))
+      .select(transform(col("pairs"), p => p.getField("lnr")).as("w"))
+    // scoring: fixed-order dot product over the dims buckets
+    cnts.crossJoin(broadcast(lnr))
+      .withColumn("dot", aggregate(
+        zip_with(col("cnts"), col("w"), (c, l) => c * l),
+        lit(0.0), (acc, x) => acc + x))
+      // + 0.0 canonicalizes the negative zero a tiny negative score
+      // rounds to (-0.0 + 0.0 = +0.0 in IEEE; engines differ on
+      // whether round preserves the sign of zero)
+      .withColumn("imp_score",
+        round(col("dot") / col("n_tok").cast("double"), 6) + lit(0.0))
+      // keep gates on the ROUNDED score: the raw dot's last-ulp can
+      // differ across engines near zero; the rounded value cannot
+      .select(col("doc_id"), col("n_tok"), col("imp_score"),
+        (col("imp_score") > 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -54,4 +54,66 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept.contains(1L) == kept.contains(2L))
   }
+
+  test("domain mix: rates capped at 1, kept counts track rate·n within " +
+      "binomial noise, under-represented strata keep everything") {
+    val rows = Sampling.domainMixQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nLang = r.getAs[Long]("n_lang").toDouble
+      val rate = r.getAs[Double]("rate")
+      val nKept = r.getAs[Long]("n_kept").toDouble
+      assert(rate > 0.0 && rate <= 1.0)
+      if (rate == 1.0) assert(nKept == nLang,
+        s"${r.getString(0)}: rate 1 must keep the whole stratum")
+      else {
+        val sigma = math.sqrt(rate * (1 - rate) * nLang)
+        assert(math.abs(nKept - rate * nLang) <= 4 * sigma + 2,
+          s"${r.getString(0)}: kept $nKept of $nLang at rate $rate")
+      }
+    }
+    // the whole point: the over-represented stratum is cut hardest
+    val byLang = rows.map(r => r.getString(0) ->
+      (r.getAs[Long]("n_kept").toDouble / r.getAs[Long]("n_lang"))).toMap
+    assert(byLang.values.min < 1.0, "no stratum was downsampled")
+  }
+
+  test("domain mix: kept-set membership is repartition-stable") {
+    // membership coin is a content hash: the summary must not change
+    // when the source is repartitioned (rand()-based sampling fails this)
+    val a = Sampling.domainMixQuery(spark, sfDir).collect().toSeq
+    val b = Sampling.domainMixQuery(spark, sfDir).collect().toSeq
+    assert(a.map(_.toString).sorted == b.map(_.toString).sorted)
+  }
+
+  test("importance: English docs score above non-English on average " +
+      "(the target distribution is the en subset)") {
+    val scored = Sampling.importanceQuery(spark, sfDir)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy((col("lang") === "en").as("is_en"))
+      .agg(avg(col("imp_score")).as("mean_score"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(scored(true) > scored(false),
+      s"mean en score ${scored(true)} should exceed " +
+        s"non-en ${scored(false)}")
+  }
+
+  test("importance: corpus-level mean log-ratio of the raw model is " +
+      "non-positive (Gibbs' inequality direction)") {
+    // E_raw[ln(p_tgt/p_raw)] = -KL(raw || tgt) ≤ 0: the token-weighted
+    // mean score over ALL docs must not be positive
+    val r = Sampling.importanceQuery(spark, sfDir)
+      .agg((sum(col("imp_score") * col("n_tok")) / sum(col("n_tok")))
+        .as("m")).collect().head.getDouble(0)
+    assert(r <= 1e-9, s"token-weighted mean $r must be ≤ 0")
+  }
+
+  test("plan: importance scoring never shuffles document text") {
+    val p = Sampling.importanceQuery(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty) // the 64-row model fit does shuffle
+    assert(!exchanges.exists(_.contains("text#")),
+      s"document text flows through an exchange:\n$exchanges")
+  }
 }
