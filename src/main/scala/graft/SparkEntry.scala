@@ -35,6 +35,7 @@ object SparkEntry {
     "q_percentiles" -> (Relational.percentileQuery _),
     "q_session_window" -> ((s, d) => Scale.sessionWindowQuery(s, d)),
     "q_approx_distinct" -> (Scale.approxDistinctQuery _),
+    "q_heavy_hitters" -> ((s, d) => Scale.heavyHittersQuery(s, d)),
     "q_topk_agg" -> ((s, d) => Scale.topKAggQuery(s, d)),
     "q_asof_join" -> (Scale.asOfJoinQuery _),
     "q_zorder" -> (Scale.zorderQuery _),
@@ -952,6 +953,46 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // Count-min heavy hitters: the sketch's row hashes are md5 bytes
+    // 0..3, so the oracle recomputes each probe's ESTIMATE exactly —
+    // counter[j][b] = Σ counts of terms sharing md5 byte j — and the
+    // min over rows replays the sketch's min-probe. A Spark-side
+    // update/merge bug would break the hash.
+    "q_heavy_hitters" ->
+      """WITH ex AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |cnt AS (SELECT term, count(*) AS n FROM ex GROUP BY term),
+        |top AS (SELECT term, n FROM cnt
+        |  ORDER BY n DESC, term LIMIT 10)
+        |SELECT t.term, t.n AS exact_n,
+        |  least(
+        |    (SELECT CAST(sum(c.n) AS BIGINT) FROM cnt c
+        |      WHERE substring(md5(c.term), 1, 2) =
+        |        substring(md5(t.term), 1, 2)),
+        |    (SELECT CAST(sum(c.n) AS BIGINT) FROM cnt c
+        |      WHERE substring(md5(c.term), 3, 2) =
+        |        substring(md5(t.term), 3, 2)),
+        |    (SELECT CAST(sum(c.n) AS BIGINT) FROM cnt c
+        |      WHERE substring(md5(c.term), 5, 2) =
+        |        substring(md5(t.term), 5, 2)),
+        |    (SELECT CAST(sum(c.n) AS BIGINT) FROM cnt c
+        |      WHERE substring(md5(c.term), 7, 2) =
+        |        substring(md5(t.term), 7, 2))) AS est_n,
+        |  least(
+        |    (SELECT CAST(sum(c.n) AS BIGINT) FROM cnt c
+        |      WHERE substring(md5(c.term), 1, 2) =
+        |        substring(md5(t.term), 1, 2)),
+        |    (SELECT CAST(sum(c.n) AS BIGINT) FROM cnt c
+        |      WHERE substring(md5(c.term), 3, 2) =
+        |        substring(md5(t.term), 3, 2)),
+        |    (SELECT CAST(sum(c.n) AS BIGINT) FROM cnt c
+        |      WHERE substring(md5(c.term), 5, 2) =
+        |        substring(md5(t.term), 5, 2)),
+        |    (SELECT CAST(sum(c.n) AS BIGINT) FROM cnt c
+        |      WHERE substring(md5(c.term), 7, 2) =
+        |        substring(md5(t.term), 7, 2))) - t.n AS over_n
+        |FROM top t
+        |ORDER BY t.n DESC, t.term""".stripMargin,
     "q_approx_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,

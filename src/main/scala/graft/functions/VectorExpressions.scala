@@ -1369,6 +1369,8 @@ object VectorKernels {
     // custom AggregateFunction (SURVEY §2.11): k must be a foldable int
     fn("graft_topk", es => TopKAgg(es(0), es(1),
       es(2).eval().asInstanceOf[Int])),
+    // count-min sketch aggregate: fixed 4×256 md5-byte rows
+    fn("graft_cms", es => CmsAgg(es(0))),
   )
 
   /** SparkSessionExtensions hook: `.withExtensions(VectorKernels.register)`. */

@@ -139,6 +139,44 @@ object Scale {
       .orderBy(col("l_returnflag"))
 
   /**
+   * Count-min heavy hitters: sketch the corpus token stream with
+   * [[graft.functions.CmsAgg]] (fixed 8 KB buffer, element-wise-add
+   * merge — shuffles 1024 longs per partition instead of the token
+   * stream), then probe the sketch for candidate terms. The exact
+   * per-term counts alongside are the AUDIT twin (the
+   * q_percentiles / q_approx_percentiles pairing): the sketch is the
+   * 100 TB path, the exact group-by is the gate harness.
+   *
+   * The row hashes are md5 bytes 0..3, so the oracle recomputes the
+   * ESTIMATE itself (counter[j][b] = Σ counts of terms whose md5 byte
+   * j is b) — the estimate is hash-gated exactly, not just
+   * bound-checked. `over_n = est − exact ≥ 0` is the CMS one-sided
+   * guarantee (spec-pinned; the oracle gate would catch any drift).
+   */
+  def heavyHittersQuery(spark: SparkSession, sfDir: String,
+      k: Int = 10): DataFrame = {
+    val terms = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+    val sketch = terms.agg(
+      call_function("graft_cms", col("term")).as("sk"))
+    val exact = terms.groupBy(col("term"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("term"))
+      .limit(k)
+    def mdByte(c: org.apache.spark.sql.Column, j: Int) =
+      conv(substring(md5(c), 2 * j + 1, 2), 16, 10).cast("int")
+    val est = (0 until graft.functions.CmsAgg.Depth).map { j =>
+      element_at(col("sk"),
+        mdByte(col("term"), j) + j * graft.functions.CmsAgg.Width + 1)
+    }
+    exact.crossJoin(broadcast(sketch))
+      .withColumn("est_n", est.reduce((a, b) => least(a, b)))
+      .select(col("term"), col("exact_n"), col("est_n"),
+        (col("est_n") - col("exact_n")).as("over_n"))
+      .orderBy(col("exact_n").desc, col("term"))
+  }
+
+  /**
    * As-of join (temporal "latest record at or before t"): for each left
    * row, the right row with the greatest timestamp ≤ the left
    * timestamp, per key. Spark has no native as-of join; the scalable

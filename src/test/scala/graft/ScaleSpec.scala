@@ -129,4 +129,55 @@ class ScaleSpec extends SparkSpec {
       assert(ss == (1L to ss.size), s"user $u sessions not dense: $ss")
     }
   }
+
+  test("count-min sketch: estimate replays exactly from true counts, " +
+      "never under-counts, and is repartition-invariant") {
+    import org.apache.spark.sql.functions._
+    val terms = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+    val sk = terms.agg(call_function("graft_cms", col("term")))
+      .collect().head.getSeq[Long](0).toArray
+    val skRepart = terms.repartition(7)
+      .agg(call_function("graft_cms", col("term")))
+      .collect().head.getSeq[Long](0).toArray
+    // mergeable aggregate: partition layout must not change the sketch
+    assert(sk.sameElements(skRepart), "sketch depends on partitioning")
+    val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // reference sketch replayed from the exact counts
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ref = new Array[Long](graft.functions.CmsAgg.Depth *
+      graft.functions.CmsAgg.Width)
+    exact.foreach { case (t, n) =>
+      md.reset()
+      val d = md.digest(t.getBytes("UTF-8"))
+      (0 until graft.functions.CmsAgg.Depth).foreach { j =>
+        ref(j * graft.functions.CmsAgg.Width + (d(j) & 0xFF)) += n
+      }
+    }
+    assert(sk.sameElements(ref), "sketch diverges from replay")
+    // one-sided guarantee over the WHOLE vocabulary
+    exact.foreach { case (t, n) =>
+      md.reset()
+      val d = md.digest(t.getBytes("UTF-8"))
+      val est = (0 until graft.functions.CmsAgg.Depth).map { j =>
+        sk(j * graft.functions.CmsAgg.Width + (d(j) & 0xFF))
+      }.min
+      assert(est >= n, s"'$t': est $est under-counts true $n")
+    }
+  }
+
+  test("heavy hitters query: over_n non-negative, probes are the " +
+      "exact top-k") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Scale.heavyHittersQuery(spark, sfDir)
+      .collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("over_n") >= 0L)
+      assert(r.getAs[Long]("est_n") >= r.getAs[Long]("exact_n"))
+    }
+    val counts = rows.map(_.getAs[Long]("exact_n"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
 }
