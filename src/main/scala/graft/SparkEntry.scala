@@ -107,6 +107,8 @@ object SparkEntry {
     "q_cluster_canonical" -> (Dedup.clusterCanonicalQuery _),
     // Similarity search (north star)
     "q_ann_topk" -> (Similarity.annBruteForceQuery _),
+    // Bitext mining: cross-lingual top-1 + margin over embeddings
+    "q_bitext" -> (Similarity.bitextMineQuery _),
     "q_ann_lsh" -> (Similarity.lshBucketQuery _),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     // PQ/ADC ANN: approximate by construction → no SQL oracle;
@@ -842,6 +844,38 @@ object SparkEntry {
         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
         |    >= 0.95
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // Bitext mining: the oracle replays the cosine (list_dot_product,
+    // the q_ann_topk precedent), the top-2 ranking with id tiebreak
+    // (the TopKAgg order), and the margin as a difference of already-
+    // rounded values.
+    "q_bitext" ->
+      """WITH j AS (
+        |  SELECT d.doc_id, d.lang, e.embedding
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |src AS (SELECT doc_id AS src_id, embedding AS s_emb
+        |  FROM j WHERE lang = 'de'),
+        |tgt AS (SELECT doc_id AS tgt_id, embedding AS t_emb
+        |  FROM j WHERE lang = 'en'),
+        |sims AS (
+        |  SELECT src_id, tgt_id,
+        |    round(list_dot_product(s_emb::DOUBLE[], t_emb::DOUBLE[]) /
+        |      (sqrt(list_dot_product(s_emb::DOUBLE[], s_emb::DOUBLE[])) *
+        |       sqrt(list_dot_product(t_emb::DOUBLE[], t_emb::DOUBLE[]))), 4)
+        |      AS cos_sim
+        |  FROM src CROSS JOIN tgt),
+        |ranked AS (
+        |  SELECT src_id, tgt_id, cos_sim,
+        |    row_number() OVER (PARTITION BY src_id
+        |      ORDER BY cos_sim DESC, tgt_id) AS rnk
+        |  FROM sims)
+        |SELECT src_id,
+        |  max(CASE WHEN rnk = 1 THEN tgt_id END) AS tgt_id,
+        |  max(CASE WHEN rnk = 1 THEN cos_sim END) AS cos_sim,
+        |  round(max(CASE WHEN rnk = 1 THEN cos_sim END) -
+        |    max(CASE WHEN rnk = 2 THEN cos_sim END), 4) AS margin
+        |FROM ranked WHERE rnk <= 2
+        |GROUP BY src_id
+        |ORDER BY src_id""".stripMargin,
     "q_ann_topk" ->
       """WITH sims AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

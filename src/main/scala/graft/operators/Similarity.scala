@@ -52,6 +52,45 @@ object Similarity {
   }
 
   /**
+   * Bitext mining (parallel-corpus discovery à la LASER/CCMatrix): for
+   * each document on the low-resource side (here `de`), the best
+   * target-side (`en`) match by embedding cosine, with the margin to
+   * the runner-up — the standard confidence signal (a high-cosine
+   * match with near-zero margin is a hub, not a translation).
+   *
+   * Shape at 100 TB: the low-resource side broadcasts (it is small by
+   * definition); the target side streams through ONE narrow scoring
+   * pass; per-source top-2 uses the bounded-heap [[graft.functions.TopKAgg]]
+   * with map-side partial aggregation — the shuffle carries ≤ 2
+   * (cos, id) pairs per (partition, source), never the pair matrix and
+   * never an embedding. No window sort anywhere.
+   */
+  def bitextMineQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val joined = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(col("doc_id"), col("lang"), col("embedding"))
+    val src = joined.filter(col("lang") === "de")
+      .select(col("doc_id").as("src_id"), col("embedding").as("s_emb"))
+    val tgt = joined.filter(col("lang") === "en")
+      .select(col("doc_id").as("tgt_id"), col("embedding").as("t_emb"))
+    val top2 = tgt.join(broadcast(src))
+      .withColumn("cos_sim",
+        round(VectorOps.cosine(col("s_emb"), col("t_emb")), 4))
+      .groupBy(col("src_id"))
+      .agg(call_function("graft_topk",
+        col("cos_sim"), col("tgt_id"), lit(2)).as("tk"))
+    top2.select(
+      col("src_id"),
+      element_at(col("tk"), 1).getField("id").as("tgt_id"),
+      element_at(col("tk"), 1).getField("ord").as("cos_sim"),
+      round(element_at(col("tk"), 1).getField("ord") -
+        element_at(col("tk"), 2).getField("ord"), 4).as("margin"))
+      .orderBy(col("src_id"))
+  }
+
+  /**
    * LSH-bucketed ANN (the scale path): 12-bit hyperplane signatures
    * (~4096 buckets), query probes its own bucket only. Recall measured
    * against brute force in SimilaritySpec; rows-only correctness check

@@ -161,4 +161,52 @@ class SimilaritySpec extends SparkSpec {
       brute.exists { case ((bq, _), bn) => bq == q && bn == n } }
     assert(overlap.nonEmpty)
   }
+
+  test("bitext mining: matches the window formulation, margin " +
+      "non-negative, no pair matrix in any exchange") {
+    import org.apache.spark.sql.expressions.Window
+    val mined = Similarity.bitextMineQuery(spark, sfDir)
+    val rows = mined.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[Any]("margin")
+      if (m != null) assert(m.asInstanceOf[Double] >= 0.0,
+        s"src ${r.get(0)}: negative margin $m")
+      assert(r.getAs[Double]("cos_sim") >= -1.0001 &&
+        r.getAs[Double]("cos_sim") <= 1.0001)
+    }
+    // independent window-sort formulation must agree on the top-1
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val j = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(col("doc_id"), col("lang"), col("embedding"))
+    val src = j.filter(col("lang") === "de")
+      .select(col("doc_id").as("src_id"), col("embedding").as("s"))
+    val tgt = j.filter(col("lang") === "en")
+      .select(col("doc_id").as("tgt_id"), col("embedding").as("t"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("c").desc, col("tgt_id"))
+    val ref = tgt.crossJoin(src)
+      .withColumn("c", round(
+        graft.functions.VectorOps.cosine(col("s"), col("t")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("src_id"), col("tgt_id"), col("c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    rows.foreach { r =>
+      val (refTgt, refCos) = ref(r.getLong(0))
+      assert(r.getLong(1) == refTgt && r.getDouble(2) == refCos,
+        s"src ${r.getLong(0)}: ${r.getLong(1)}@${r.getDouble(2)} " +
+          s"vs window $refTgt@$refCos")
+    }
+    // scale shape: embeddings stay out of every exchange (the shuffle
+    // carries only the ≤2-entry topk buffers per source)
+    val exchanges = mined.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(l =>
+      l.contains("s_emb") || l.contains("t_emb") || l.contains("embedding")),
+      s"embeddings flow through an exchange:\n$exchanges")
+  }
 }
