@@ -79,6 +79,9 @@ object SparkEntry {
     // Sparse retrieval: BM25 scoring + RAG chunking with overlap
     "q_bm25" -> ((s, d) => Retrieval.bm25Query(s, d)),
     "q_chunk" -> (Retrieval.chunkQuery _),
+    // Real BPE tokenizer (fit + apply); merge table is data-dependent
+    // model state → rows-only driver check, algorithm spec-gated
+    "q_bpe" -> ((s, d) => Tokenize.bpeQuery(s, d)),
     // Corpus snapshot versioning (added/removed/changed audit)
     "q_corpus_diff" -> (Versioning.corpusDiffQuery _),
     // Dataset publication: sharded write + order-free integrity

@@ -1229,6 +1229,164 @@ object VectorKernels {
       copy(child = newChild)
   }
 
+  /**
+   * Byte-pair-encoding segmentation of one word (Sennrich et al.,
+   * "Neural Machine Translation of Rare Words with Subword Units",
+   * ACL 2016): start from characters, repeatedly merge the
+   * highest-priority adjacent pair (priority = merge index), until no
+   * merge applies. Shared by the pair-count (training) and tokenize
+   * (serving) kernels so fit and apply can never disagree.
+   */
+  private def bpeSegment(word: String,
+      rank: java.util.HashMap[String, Integer]): java.util.ArrayList[String] = {
+    val syms = new java.util.ArrayList[String](word.length)
+    var ci = 0
+    while (ci < word.length) {
+      val cp = word.codePointAt(ci)
+      val n = Character.charCount(cp)
+      syms.add(word.substring(ci, ci + n))
+      ci += n
+    }
+    if (rank.isEmpty) return syms
+    var changed = true
+    while (changed && syms.size > 1) {
+      changed = false
+      var best = Integer.MAX_VALUE
+      var a: String = null
+      var b: String = null
+      var i = 0
+      while (i < syms.size - 1) {
+        val r = rank.get(syms.get(i) + " " + syms.get(i + 1))
+        if (r != null && r < best) {
+          best = r
+          a = syms.get(i)
+          b = syms.get(i + 1)
+        }
+        i += 1
+      }
+      if (best != Integer.MAX_VALUE) {
+        changed = true
+        var j = 0
+        while (j < syms.size - 1) {
+          if (syms.get(j) == a && syms.get(j + 1) == b) {
+            syms.set(j, a + b)
+            syms.remove(j + 1)
+          } else j += 1
+        }
+      }
+    }
+    syms
+  }
+
+  private def buildRank(merges: Seq[String])
+      : java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    merges.zipWithIndex.foreach { case (p, i) =>
+      if (!m.containsKey(p)) m.put(p, i)
+    }
+    m
+  }
+
+  /** BPE-tokenize `text`: whitespace words → per-word BPE segmentation
+    * under the given ordered merge list → concatenated token stream. */
+  def bpeTokensJava(text: org.apache.spark.unsafe.types.UTF8String,
+      rank: java.util.HashMap[String, Integer]): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty) {
+        val syms = bpeSegment(words(i), rank)
+        var j = 0
+        while (j < syms.size) {
+          out.add(org.apache.spark.unsafe.types.UTF8String
+            .fromString(syms.get(j)))
+          j += 1
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      out.toArray(new Array[org.apache.spark.unsafe.types.UTF8String](out.size)))
+  }
+
+  /** Adjacent symbol pairs of the BPE segmentation (the statistic the
+    * trainer counts): one "a b" string per adjacent pair per word. */
+  def bpePairsJava(text: org.apache.spark.unsafe.types.UTF8String,
+      rank: java.util.HashMap[String, Integer]): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty) {
+        val syms = bpeSegment(words(i), rank)
+        var j = 0
+        while (j < syms.size - 1) {
+          out.add(org.apache.spark.unsafe.types.UTF8String
+            .fromString(syms.get(j) + " " + syms.get(j + 1)))
+          j += 1
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      out.toArray(new Array[org.apache.spark.unsafe.types.UTF8String](out.size)))
+  }
+
+  /** See [[bpeTokensJava]]. Merges must be a foldable array<string>
+    * literal of "a b" pairs in priority order. */
+  case class BpeTokens(child: Expression, merges: Seq[String])
+      extends UnaryExpression {
+    @transient private lazy val rank = buildRank(merges)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got " + other.simpleString)
+      }
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+    override def prettyName: String = "graft_bpe"
+    override protected def nullSafeEval(a: Any): Any =
+      bpeTokensJava(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], rank)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val rankRef = ctx.addReferenceObj("bpeRank", rank, "java.util.HashMap")
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.bpeTokensJava($a, $rankRef)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** See [[bpePairsJava]]. Merges must be a foldable array<string>
+    * literal of "a b" pairs in priority order. */
+  case class BpePairs(child: Expression, merges: Seq[String])
+      extends UnaryExpression {
+    @transient private lazy val rank = buildRank(merges)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got " + other.simpleString)
+      }
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+    override def prettyName: String = "graft_bpe_pairs"
+    override protected def nullSafeEval(a: Any): Any =
+      bpePairsJava(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], rank)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val rankRef = ctx.addReferenceObj("bpeRank", rank, "java.util.HashMap")
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.bpePairsJava($a, $rankRef)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** One-pass membership counts against several word sets (the
     * language-ID vote kernel): result[i] = tokens of `text` contained
     * in set i. One tokenize + one hash probe per token, versus one
@@ -1371,6 +1529,9 @@ object VectorKernels {
       es(2).eval().asInstanceOf[Int])),
     // count-min sketch aggregate: fixed 4×256 md5-byte rows
     fn("graft_cms", es => CmsAgg(es(0))),
+    // merges must be a foldable array<string> literal ("a b" pairs)
+    fn("graft_bpe", es => BpeTokens(es(0), toStringSeq(es(1).eval()))),
+    fn("graft_bpe_pairs", es => BpePairs(es(0), toStringSeq(es(1).eval()))),
   )
 
   /** SparkSessionExtensions hook: `.withExtensions(VectorKernels.register)`. */

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Subword tokenization for training pipelines: a real byte-pair-
+ * encoding trainer and tokenizer (Sennrich et al., ACL 2016) — the
+ * step every pretraining corpus goes through between curation and
+ * packing, upgrading the BPE-ish regex proxy in
+ * [[TextAnalysis.tokenStatsQuery]] to actual learned merges.
+ *
+ * Training is the distributed half: each merge round counts adjacent
+ * symbol pairs over the whole corpus with ONE native kernel pass +
+ * one map-side-partial aggregated shuffle of (pair, count) rows —
+ * corpus text never shuffles, and the only driver material is the
+ * single winning pair per round (the k-means / logistic-GD fit
+ * pattern). Serving folds the learned merge table into a codegen'd
+ * projection ([[graft.functions.VectorKernels.BpeTokens]]) — zero
+ * shuffle, model as literal.
+ *
+ * A production trainer maintains incremental pair-count deltas
+ * instead of re-scanning per round; the re-scan here keeps the fit a
+ * pure function of the corpus (reproducible run-to-run), and rounds
+ * are few (vocab budget), so the cost is rounds × one narrow scan.
+ */
+object Tokenize {
+
+  /**
+   * Fit `nMerges` BPE merges on the corpus: each round takes the
+   * globally most frequent adjacent pair (ties broken lexicographically
+   * so the fit is deterministic), then re-segments under the grown
+   * table.
+   */
+  def fitBpe(docs: DataFrame, nMerges: Int): Seq[String] = {
+    var merges = Vector.empty[String]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val top = docs
+        .select(explode(call_function("graft_bpe_pairs",
+          col("text"), typedLit(merges))).as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty || top(0).getLong(1) < 2) exhausted = true
+      else merges = merges :+ top(0).getString(0)
+      round += 1
+    }
+    merges
+  }
+
+  /** BPE token stream of `text` under the given ordered merges. */
+  def bpeTokens(text: org.apache.spark.sql.Column, merges: Seq[String])
+      : org.apache.spark.sql.Column =
+    call_function("graft_bpe", text, typedLit(merges))
+
+  /**
+   * Gate query: fit 24 merges, tokenize the corpus, and emit per-doc
+   * segmentation evidence — BPE token count, character count, the
+   * compression ratio, and an md5 over the delimited token stream that
+   * pins the EXACT segmentation (any apply-order or tie-break drift
+   * changes the hash). The merge table itself is data-dependent model
+   * state, so this is a rows-only driver check; TokenizeSpec gates the
+   * algorithm against hand-computed Sennrich examples, the
+   * character-preservation invariant, monotone compression, and
+   * refit determinism.
+   */
+  def bpeQuery(spark: SparkSession, sfDir: String,
+      nMerges: Int = 24): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val merges = fitBpe(docs, nMerges)
+    val toks = bpeTokens(col("text"), merges)
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_bpe_tokens"),
+      length(regexp_replace(col("text"), " ", "")).as("n_chars"),
+      round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+        size(toks).cast("double"), 4).as("chars_per_token"),
+      md5(concat_ws("|", toks)).as("seg_md5"))
+      .orderBy(col("doc_id"))
+  }
+}
