@@ -161,6 +161,9 @@ object SparkEntry {
     "q_stream_dedup" -> ((s, d) =>
       graft.streaming.StreamingIngest.replayDedup(s, d)
         .orderBy(col("user_id"), col("event_type"))),
+    // Streaming windowed count-min sketch (bounded 8KB state/window);
+    // per-window estimates oracle-replayed exactly
+    "q_stream_cms" -> (graft.streaming.StreamingIngest.replayWindowedCms _),
     // Sketch percentiles (engine-specific values → rows-only gate;
     // error-bounded against the exact gate in ScaleSpec)
     "q_approx_percentiles" -> (Scale.approxPercentileQuery _),
@@ -521,6 +524,47 @@ object SparkEntry {
         |GROUP BY 1, 2, wm.w
         |HAVING hour_start + INTERVAL 1 HOUR <= wm.w
         |ORDER BY hour_start, event_type""".stripMargin,
+    // Streaming windowed CMS: the oracle composes the q_stream_ingest
+    // window-close rule (watermark = max ts − 10 min, emit windows
+    // whose end ≤ watermark) with the q_heavy_hitters estimate replay
+    // (min over md5-byte rows of colliding-key count sums), per window.
+    "q_stream_cms" ->
+      """WITH wm AS (
+        |  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS w
+        |  FROM events),
+        |win AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+        |      AS hour_start,
+        |    event_type, count(*) AS n
+        |  FROM events, wm
+        |  GROUP BY 1, 2, wm.w
+        |  HAVING hour_start + INTERVAL 1 HOUR <= wm.w),
+        |tot AS (SELECT hour_start, CAST(sum(n) AS BIGINT) AS n_events
+        |  FROM win GROUP BY hour_start),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |probe AS (SELECT t.hour_start, t.n_events, y.event_type
+        |  FROM tot t CROSS JOIN ty y)
+        |SELECT p.hour_start, p.event_type,
+        |  least(
+        |    (SELECT CAST(coalesce(sum(w.n), 0) AS BIGINT) FROM win w
+        |      WHERE w.hour_start = p.hour_start
+        |        AND substring(md5(w.event_type), 1, 2) =
+        |          substring(md5(p.event_type), 1, 2)),
+        |    (SELECT CAST(coalesce(sum(w.n), 0) AS BIGINT) FROM win w
+        |      WHERE w.hour_start = p.hour_start
+        |        AND substring(md5(w.event_type), 3, 2) =
+        |          substring(md5(p.event_type), 3, 2)),
+        |    (SELECT CAST(coalesce(sum(w.n), 0) AS BIGINT) FROM win w
+        |      WHERE w.hour_start = p.hour_start
+        |        AND substring(md5(w.event_type), 5, 2) =
+        |          substring(md5(p.event_type), 5, 2)),
+        |    (SELECT CAST(coalesce(sum(w.n), 0) AS BIGINT) FROM win w
+        |      WHERE w.hour_start = p.hour_start
+        |        AND substring(md5(w.event_type), 7, 2) =
+        |          substring(md5(p.event_type), 7, 2))) AS est_n,
+        |  p.n_events
+        |FROM probe p
+        |ORDER BY p.hour_start, p.event_type""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INTEGER) AS n_chars_text,

@@ -31,27 +31,43 @@ object Tokenize {
    * Fit `nMerges` BPE merges on the corpus: each round takes the
    * globally most frequent adjacent pair (ties broken lexicographically
    * so the fit is deterministic), then re-segments under the grown
-   * table.
+   * table. The text projection is cached for the duration of the fit
+   * so the source is scanned once, not once per round.
    */
   def fitBpe(docs: DataFrame, nMerges: Int): Seq[String] = {
-    var merges = Vector.empty[String]
-    var round = 0
-    var exhausted = false
-    while (round < nMerges && !exhausted) {
-      val top = docs
-        .select(explode(call_function("graft_bpe_pairs",
-          col("text"), typedLit(merges))).as("pair"))
-        .groupBy(col("pair"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("pair"))
-        .limit(1)
-        .collect()
-      if (top.isEmpty || top(0).getLong(1) < 2) exhausted = true
-      else merges = merges :+ top(0).getString(0)
-      round += 1
-    }
-    merges
+    val text = docs.select(col("text")).persist()
+    try {
+      var merges = Vector.empty[String]
+      var round = 0
+      var exhausted = false
+      while (round < nMerges && !exhausted) {
+        val top = text
+          .select(explode(call_function("graft_bpe_pairs",
+            col("text"), typedLit(merges))).as("pair"))
+          .groupBy(col("pair"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(1)
+          .collect()
+        if (top.isEmpty || top(0).getLong(1) < 2) exhausted = true
+        else merges = merges :+ top(0).getString(0)
+        round += 1
+      }
+      merges
+    } finally text.unpersist()
   }
+
+  private val mergeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[String]]
+
+  /** Offline model build: fit (or reuse) the merge table for a corpus —
+    * the [[Similarity.buildIndex]] pattern; the fit is the offline half
+    * of the tokenizer's serving path. Idempotent per (corpus, budget). */
+  def buildMerges(spark: SparkSession, sfDir: String,
+      nMerges: Int = 24): Seq[String] =
+    mergeCache.getOrElseUpdate((sfDir, nMerges), {
+      fitBpe(Tables.load(spark, sfDir, "documents"), nMerges)
+    })
 
   /** BPE token stream of `text` under the given ordered merges. */
   def bpeTokens(text: org.apache.spark.sql.Column, merges: Seq[String])
@@ -72,7 +88,7 @@ object Tokenize {
   def bpeQuery(spark: SparkSession, sfDir: String,
       nMerges: Int = 24): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val merges = fitBpe(docs, nMerges)
+    val merges = buildMerges(spark, sfDir, nMerges)
     val toks = bpeTokens(col("text"), merges)
     docs.select(
       col("doc_id"),

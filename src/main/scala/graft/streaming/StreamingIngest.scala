@@ -377,6 +377,51 @@ object StreamingIngest {
       streamAttributionOuter(eventStream(spark, sfDir)), "stream_attr_o"))
 
   /**
+   * Watermarked per-window count-min sketch of the event-type stream:
+   * the streaming face of [[graft.operators.Scale.heavyHittersQuery]].
+   * Per-window state is the FIXED 8 KB counter matrix of
+   * [[graft.functions.CmsAgg]] regardless of key cardinality — the
+   * layout that lets a 100 TB/day stream track per-window key
+   * frequencies in bounded memory where an exact per-key windowed
+   * count would grow state with the key universe. The watermark closes
+   * windows deterministically (append mode), and the sketch merges
+   * across micro-batches by element-wise add — order-insensitive, so
+   * the drained replay equals the batch sketch.
+   */
+  def windowedCms(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(call_function("graft_cms", col("event_type")).as("sk"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("hour_start"), col("sk"),
+        col("n_events"))
+
+  /** Drained-replay gate for [[windowedCms]]: stream the static events
+    * table, sketch per closed window, then probe every event type
+    * against each window's sketch. The md5-byte hash family makes the
+    * per-window ESTIMATES oracle-replayable (the q_heavy_hitters
+    * gate, composed with the q_stream_ingest window-close rule). */
+  def replayWindowedCms(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = runToParquet(windowedCms(eventStream(spark, sfDir)),
+      "stream_cms")
+    val sketches = spark.read.parquet(out)
+    val types = graft.Tables.load(spark, sfDir, "events")
+      .select(col("event_type")).distinct()
+    def mdByte(c: org.apache.spark.sql.Column, j: Int) =
+      conv(substring(md5(c), 2 * j + 1, 2), 16, 10).cast("int")
+    val est = (0 until graft.functions.CmsAgg.Depth).map { j =>
+      element_at(col("sk"),
+        mdByte(col("event_type"), j) + j * graft.functions.CmsAgg.Width + 1)
+    }.reduce((a, b) => least(a, b))
+    sketches.crossJoin(broadcast(types))
+      .withColumn("est_n", est)
+      .select(col("hour_start"), col("event_type"), col("est_n"),
+        col("n_events"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  /**
    * Batch-replay harness: runs the streaming pipeline over the static
    * events table via a file stream with AvailableNow, writes ORC, and
    * returns the re-read result. Exercises the full W8 path (stream

@@ -250,4 +250,43 @@ class StreamingSpec extends SparkSpec {
     assert(n > 0, "no finalized windows emitted by replay")
     assert(n <= batch.count())
   }
+
+  test("replayWindowedCms: per-window estimates equal a batch-side " +
+      "sketch replay; sketch never under-counts") {
+    val res = StreamingIngest.replayWindowedCms(spark, sfDir).collect()
+    assert(res.nonEmpty, "no closed windows emitted")
+    // batch reference: per-(window, type) exact counts over the SAME
+    // window-close rule, estimates replayed from md5 bytes in Scala
+    val events = Tables.load(spark, sfDir, "events")
+    val maxTs = events.agg(max(col("ts"))).collect().head.getTimestamp(0)
+    val wmMs = maxTs.getTime - 10 * 60 * 1000L
+    val counts = events
+      .select(window(col("ts"), "1 hour").getField("start").as("hs"),
+        col("event_type"))
+      .groupBy(col("hs"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+      .filter { case ((hs, _), _) => hs.getTime + 3600 * 1000L <= wmMs }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bytes(s: String) = { md.reset(); md.digest(s.getBytes("UTF-8")) }
+    res.foreach { r =>
+      val hs = r.getTimestamp(0)
+      val ty = r.getString(1)
+      val est = r.getLong(2)
+      val pb = bytes(ty)
+      val ref = (0 until 4).map { j =>
+        counts.collect { case ((h, t), n)
+          if h == hs && bytes(t)(j) == pb(j) => n }.sum
+      }.min
+      assert(est == ref, s"($hs, $ty): est $est != replay $ref")
+      val exact = counts.getOrElse((hs, ty), 0L)
+      assert(est >= exact, s"($hs, $ty): under-count")
+    }
+    // every closed window probed for every type
+    val nWindows = counts.keySet.map(_._1).size
+    val nTypes = events.select(col("event_type")).distinct().count()
+    assert(res.length == nWindows * nTypes)
+  }
 }
