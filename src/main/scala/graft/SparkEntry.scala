@@ -127,6 +127,7 @@ object SparkEntry {
     "q_pii_scrub" -> (Curation.piiScrubQuery _),
     "q_text_normalize" -> (Curation.normalizeQuery _),
     "q_html_strip" -> (Curation.htmlStripQuery _),
+    "q_url_normalize" -> (Curation.urlNormalizeQuery _),
     "q_text_repetition" -> ((s, d) => Curation.repetitionQuery(s, d)),
     "q_seq_pack" -> (Curation.seqPackQuery _),
     "q_quality_score" -> (Curation.qualityScoreQuery _),
@@ -1605,6 +1606,36 @@ object SparkEntry {
         |  CAST(length(clean) AS INTEGER) AS n_clean,
         |  md5(clean) AS clean_md5
         |FROM f
+        |ORDER BY doc_id""".stripMargin,
+    // URL canonicalization over an id-derived synthetic corpus: the
+    // oracle PREDICTS the canonical form from doc_id arithmetic (the
+    // multimodal gating pattern) — a hash match proves the real
+    // java.net.URI parse + normalization pipeline (case, default
+    // ports, slash collapse, tracking-param removal, param sort,
+    // fragment drop) recovered it exactly.
+    "q_url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END ||
+        |     '://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM' ||
+        |     CASE WHEN doc_id % 5 = 0 THEN ':8080'
+        |          WHEN doc_id % 5 = 1 THEN
+        |            (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+        |          ELSE '' END ||
+        |     '/a//b' || CAST(doc_id % 4 AS VARCHAR) || '/' ||
+        |     '?utm_source=news&b=' || CAST(doc_id % 3 AS VARCHAR) ||
+        |     '&a=1' ||
+        |     CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END)
+        |      AS url_raw,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END ||
+        |     '://www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com' ||
+        |     CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
+        |     '/a/b' || CAST(doc_id % 4 AS VARCHAR) ||
+        |     '?a=1&b=' || CAST(doc_id % 3 AS VARCHAR)) AS url_norm
+        |  FROM documents)
+        |SELECT doc_id, url_raw, url_norm,
+        |  url_norm <> url_raw AS changed
+        |FROM u
         |ORDER BY doc_id""".stripMargin,
     // Gopher-style repetition gates over word bigrams.
     "q_text_repetition" ->

@@ -1230,6 +1230,68 @@ object VectorKernels {
   }
 
   /**
+   * URL canonicalization (RFC 3986-lite, the web-curation dedup key):
+   * lowercase scheme+host, strip default ports (http:80 / https:443),
+   * drop the fragment, collapse duplicate path slashes and the
+   * trailing slash, remove tracking parameters (utm_*, fbclid, gclid),
+   * and sort the surviving query parameters. Real `java.net.URI`
+   * parsing — malformed input returns null rather than garbage.
+   */
+  def urlNormalizeJava(url: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    try {
+      val u = java.net.URI.create(url.toString)
+      if (u.getScheme == null || u.getHost == null) return null
+      val scheme = u.getScheme.toLowerCase(java.util.Locale.ROOT)
+      val host = u.getHost.toLowerCase(java.util.Locale.ROOT)
+      val port = u.getPort match {
+        case -1 => ""
+        case 80 if scheme == "http" => ""
+        case 443 if scheme == "https" => ""
+        case p => ":" + p
+      }
+      var path = Option(u.getPath).getOrElse("")
+        .replaceAll("/{2,}", "/")
+      if (path.endsWith("/")) path = path.substring(0, path.length - 1)
+      val query = Option(u.getQuery).map { q =>
+        val kept = q.split("&").filter { kv =>
+          val k = kv.split("=", 2)(0)
+          !k.startsWith("utm_") && k != "fbclid" && k != "gclid"
+        }.sorted
+        if (kept.isEmpty) "" else "?" + kept.mkString("&")
+      }.getOrElse("")
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        scheme + "://" + host + port + path + query)
+    } catch {
+      case _: IllegalArgumentException => null
+    }
+  }
+
+  /** See [[urlNormalizeJava]]. */
+  case class UrlNormalize(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got " + other.simpleString)
+      }
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_url_normalize"
+    override protected def nullSafeEval(a: Any): Any =
+      urlNormalizeJava(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"""
+        ${ev.value} = graft.functions.VectorKernels.urlNormalizeJava($a);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /**
    * Byte-pair-encoding segmentation of one word (Sennrich et al.,
    * "Neural Machine Translation of Rare Words with Subword Units",
    * ACL 2016): start from characters, repeatedly merge the
@@ -1529,6 +1591,7 @@ object VectorKernels {
       es(2).eval().asInstanceOf[Int])),
     // count-min sketch aggregate: fixed 4×256 md5-byte rows
     fn("graft_cms", es => CmsAgg(es(0))),
+    fn("graft_url_normalize", es => UrlNormalize(es(0))),
     // merges must be a foldable array<string> literal ("a b" pairs)
     fn("graft_bpe", es => BpeTokens(es(0), toStringSeq(es(1).eval()))),
     fn("graft_bpe_pairs", es => BpePairs(es(0), toStringSeq(es(1).eval()))),

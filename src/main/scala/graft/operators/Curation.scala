@@ -367,4 +367,45 @@ object Curation {
       .select((-(col("y") * log(col("p")) +
         (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))).as("l"))
       .agg(avg(col("l"))).head.getDouble(0)
+
+  // ------------------------------------------------ URL canonicalization
+
+  /** Canonical form of a URL column — the web-curation dedup/grouping
+    * key. One codegen'd pass ([[graft.functions.VectorKernels.UrlNormalize]]):
+    * real `java.net.URI` parsing; lowercased scheme+host, default ports
+    * and fragments stripped, duplicate/trailing slashes collapsed,
+    * tracking params (utm_*, fbclid, gclid) removed, remaining query
+    * params sorted. Malformed input → null (quarantine, not garbage). */
+  def normalizeUrl(url: Column): Column =
+    call_function("graft_url_normalize", url)
+
+  /**
+   * Gate query for [[normalizeUrl]] over an id-derived synthetic URL
+   * corpus (the multimodal gating pattern: the oracle predicts the
+   * canonical form from doc_id arithmetic, so a hash match proves the
+   * REAL parser recovered scheme, host, port, path, query, and
+   * fragment handling exactly). The synthetic mess covers uppercase
+   * scheme/host, default and non-default ports, duplicate and trailing
+   * slashes, tracking and unsorted query params, and fragments. Pure
+   * projection — zero shuffle at any scale.
+   */
+  def urlNormalizeQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val id = col("doc_id")
+    val rawUrl = concat(
+      when(id % 2 === 0, lit("HTTPS")).otherwise(lit("http")),
+      lit("://WWW.Site"), (id % 7).cast("string"), lit(".COM"),
+      when(id % 5 === 0, lit(":8080"))
+        .when(id % 5 === 1,
+          when(id % 2 === 0, lit(":443")).otherwise(lit(":80")))
+        .otherwise(lit("")),
+      lit("/a//b"), (id % 4).cast("string"), lit("/"),
+      lit("?utm_source=news&b="), (id % 3).cast("string"), lit("&a=1"),
+      when(id % 3 === 0, lit("#frag")).otherwise(lit("")))
+    Tables.load(spark, sfDir, "documents")
+      .select(id, rawUrl.as("url_raw"))
+      .withColumn("url_norm", normalizeUrl(col("url_raw")))
+      .select(col("doc_id"), col("url_raw"), col("url_norm"),
+        (col("url_norm") =!= col("url_raw")).as("changed"))
+      .orderBy(col("doc_id"))
+  }
 }

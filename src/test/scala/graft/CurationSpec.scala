@@ -327,4 +327,39 @@ class CurationSpec extends SparkSpec {
       .filter(col("n") =!= col("m")).count()
     assert(sizes == 0)
   }
+
+  test("url normalize: hand cases, idempotence, malformed to null") {
+    val cases = Seq(
+      // default port + fragment + trailing slash + case
+      "HTTP://Example.COM:80/path/#sec" -> "http://example.com/path",
+      // non-default port kept; duplicate slashes collapse
+      "https://a.b:8443//x//y" -> "https://a.b:8443/x/y",
+      // tracking-only query disappears entirely
+      "http://h/p?utm_source=x&utm_medium=y&fbclid=1&gclid=2"
+        -> "http://h/p",
+      // query params sort; non-tracking survive
+      "http://h/p?z=9&a=1&utm_c=2" -> "http://h/p?a=1&z=9",
+      // bare host, no path
+      "https://HOST.tld" -> "https://host.tld",
+      // scheme-less and garbage → null
+      "not a url" -> null,
+      "/relative/only" -> null)
+    val df = cases.map(_._1).zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+      .withColumn("norm", Curation.normalizeUrl(col("url")))
+      .orderBy(col("id"))
+    val got = df.collect().map(r => r.getString(1) ->
+      (if (r.isNullAt(2)) null else r.getString(2)))
+    got.zip(cases).foreach { case ((u, g), (_, want)) =>
+      assert(g == want, s"$u -> $g, want $want")
+    }
+    // idempotence: a canonical form is its own canonical form
+    val again = cases.collect { case (_, n) if n != null => n }
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .withColumn("n2", Curation.normalizeUrl(col("url")))
+      .collect()
+    again.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"not idempotent: ${r.getString(1)} -> ${r.getString(2)}"))
+  }
 }
