@@ -84,6 +84,8 @@ object SparkEntry {
     "q_bpe" -> ((s, d) => Tokenize.bpeQuery(s, d)),
     // Corpus snapshot versioning (added/removed/changed audit)
     "q_corpus_diff" -> (Versioning.corpusDiffQuery _),
+    // Per-source KL drift from the corpus mixture (statistical QA)
+    "q_corpus_drift" -> ((s, d) => Versioning.corpusDriftQuery(s, d)),
     // Dataset publication: sharded write + order-free integrity
     // manifest of the files that actually landed
     "q_publish_manifest" -> (Versioning.publishManifestQuery _),
@@ -1300,6 +1302,46 @@ object SparkEntry {
         |FROM m
         |ORDER BY doc_id""".stripMargin,
     // Snapshot diff: the oracle rebuilds the same deterministic v2
+    // Per-source KL drift: the oracle rebuilds both smoothed
+    // distributions from the same md5-bucket definition, computes the
+    // per-bucket contributions, and sums them in fixed bucket order
+    // via a dot product with a ones vector (sequential, IEEE-identical
+    // to the Spark fixed-order fold — the q_importance pattern).
+    "q_corpus_drift" ->
+      """WITH b AS (
+        |  SELECT source, list_transform(string_split(text, ' '),
+        |    t -> ('0x' || substring(md5(t), 1, 2))::INTEGER % 64)
+        |    AS buckets
+        |  FROM documents),
+        |nd AS (SELECT source, count(*) AS n_docs FROM documents
+        |  GROUP BY source),
+        |ex AS (SELECT source, unnest(buckets) AS bucket FROM b),
+        |rg AS (SELECT unnest(range(0, 64)) AS bucket),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |grid AS (SELECT s.source, r.bucket FROM srcs s CROSS JOIN rg r),
+        |g0 AS (SELECT source, bucket, CAST(count(*) AS DOUBLE) AS sc
+        |  FROM ex GROUP BY 1, 2),
+        |g AS (SELECT grid.source, grid.bucket, coalesce(g0.sc, 0.0) AS sc
+        |  FROM grid LEFT JOIN g0
+        |    ON grid.source = g0.source AND grid.bucket = g0.bucket),
+        |st AS (SELECT source, sum(sc) AS st FROM g GROUP BY source),
+        |cb AS (SELECT bucket, sum(sc) AS cc FROM g GROUP BY bucket),
+        |ct AS (SELECT sum(cc) AS ct FROM cb),
+        |terms AS (
+        |  SELECT g.source, g.bucket,
+        |    ((g.sc + 1.0) / (st.st + 64.0)) *
+        |      ln(((g.sc + 1.0) / (st.st + 64.0)) /
+        |         ((cb.cc + 1.0) / (ct.ct + 64.0))) AS term
+        |  FROM g JOIN st ON g.source = st.source
+        |  JOIN cb ON g.bucket = cb.bucket CROSS JOIN ct),
+        |kl AS (SELECT source, list(term ORDER BY bucket) AS tl
+        |  FROM terms GROUP BY source)
+        |SELECT k.source, nd.n_docs, CAST(st.st AS BIGINT) AS n_tok,
+        |  round(list_dot_product(k.tl,
+        |    list_transform(range(0, 64), i -> 1.0)), 6) + 0.0 AS kl
+        |FROM kl k JOIN st ON k.source = st.source
+        |JOIN nd ON k.source = nd.source
+        |ORDER BY k.source""".stripMargin,
     // (÷17 removed, ÷13 edited, ÷29 re-added at +1000000) and replays
     // the digest-level full-outer diff.
     "q_corpus_diff" ->

@@ -115,4 +115,60 @@ object Versioning {
         nShards = 8))
     manifest(spark.read.parquet(dir))
   }
+
+  /**
+   * Corpus drift diagnostics: per-source KL divergence of the source's
+   * hashed-unigram (64-bucket, add-one-smoothed) token distribution
+   * from the whole-corpus mixture — the statistical QA twin of
+   * [[snapshotDiff]] (that one asks WHICH documents changed; this one
+   * asks whether a domain's LANGUAGE drifted from the blend, the check
+   * run before each training refresh).
+   *
+   * Shape at 100 TB: per-doc bucket counts are ONE native kernel pass;
+   * everything after is arithmetic on (source × 64) partial-aggregated
+   * rows — the corpus text never shuffles. The per-source sum runs in
+   * fixed bucket order (sort_array ∘ collect_list, the q_importance
+   * dot-product pattern), so the oracle replays it IEEE-exactly.
+   */
+  def corpusDriftQuery(spark: SparkSession, sfDir: String,
+      dims: Int = 64): DataFrame =
+    driftOver(Tables.load(spark, sfDir, "documents"), dims)
+
+  /** The drift transform itself, over any (source, text) frame. */
+  def driftOver(docs: DataFrame, dims: Int = 64): DataFrame = {
+    val nDocs = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val perBucket = docs
+      .select(col("source"),
+        posexplode(call_function("graft_bucket_counts",
+          col("text"), lit(dims))).as(Seq("bucket", "c")))
+      .groupBy(col("source"), col("bucket"))
+      .agg(sum(col("c")).as("sc"))
+    val srcTot = perBucket.groupBy(col("source"))
+      .agg(sum(col("sc")).as("st"))
+    val corpBucket = perBucket.groupBy(col("bucket"))
+      .agg(sum(col("sc")).as("cc"))
+    val corpTot = corpBucket.agg(sum(col("cc")).as("ct"))
+    val d = dims.toDouble
+    val p = (col("sc") + 1.0) / (col("st") + d)
+    val q = (col("cc") + 1.0) / (col("ct") + d)
+    val terms = perBucket
+      .join(srcTot, Seq("source"))
+      .join(broadcast(corpBucket), Seq("bucket"))
+      .crossJoin(broadcast(corpTot))
+      .withColumn("term", p * log(p / q))
+    terms.groupBy(col("source"))
+      .agg(
+        sort_array(collect_list(struct(col("bucket"), col("term"))))
+          .as("pairs"),
+        max(col("st")).as("st"))
+      .join(broadcast(nDocs), Seq("source"))
+      .withColumn("kl", aggregate(
+        transform(col("pairs"), x => x.getField("term")),
+        lit(0.0), (acc, x) => acc + x))
+      .select(col("source"), col("n_docs"),
+        col("st").cast("long").as("n_tok"),
+        (round(col("kl"), 6) + lit(0.0)).as("kl"))
+      .orderBy(col("source"))
+  }
 }

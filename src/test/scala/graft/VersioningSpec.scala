@@ -89,4 +89,27 @@ class VersioningSpec extends SparkSpec {
     assert(!exchanges.exists(_.contains("text#")),
       s"document text flows through the shuffle:\n$exchanges")
   }
+
+  test("corpus drift: KL non-negative everywhere (Gibbs), zero for a " +
+      "single-source corpus, and text stays out of every exchange") {
+    val q = Versioning.corpusDriftQuery(spark, sfDir)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("kl") >= 0.0,
+        s"${r.getString(0)}: negative KL ${r.getAs[Double]("kl")}")
+      assert(r.getAs[Long]("n_tok") > 0)
+    }
+    // a corpus with ONE source has p == q exactly -> KL == 0
+    val single = Seq((1L, "one", "a b c"), (2L, "one", "c d e f"))
+      .toDF("doc_id", "source", "text")
+    val kl0 = Versioning.driftOver(single).collect()
+    assert(kl0.length == 1 && kl0.head.getAs[Double]("kl") == 0.0,
+      s"single-source KL must be exactly 0, got ${kl0.toSeq}")
+    // scale shape: only (source, bucket) arithmetic rows shuffle
+    val exchanges = q.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(_.contains("text#")),
+      s"document text flows through an exchange:\n$exchanges")
+  }
 }
