@@ -61,6 +61,8 @@ object SparkEntry {
     "q_orc_memory" -> (graft.sources.OrcMeta.memoryEstimateQuery _),
     // JSON tools (SURVEY.md §2.9)
     "q_json_convert" -> (graft.sources.JsonTools.jsonConvertQuery _),
+    // Schema-on-read error quarantine (id-predicted oracle)
+    "q_json_quarantine" -> (graft.sources.JsonTools.jsonQuarantineQuery _),
     // Streaming ingest (SURVEY.md §2.10 W8): stream → watermarked
     // rollup → ORC sink with commit log → read-back
     "q_stream_ingest" -> ((s, d) =>
@@ -439,6 +441,28 @@ object SparkEntry {
         |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
         |FROM events
         |ORDER BY event_id""".stripMargin,
+    // JSON quarantine: the corpus is id-derived (every 7th line loses
+    // its opening brace, failing the parse at the first token — tail
+    // truncation is avoided because PERMISSIVE mode can return partial
+    // results there), so the oracle PREDICTS parse outcomes and typed
+    // values from doc_id math — a hash match proves the parser
+    // accepts/rejects exactly the right lines and extracts the right
+    // fields (the multimodal gating pattern).
+    "q_json_quarantine" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang,
+        |    doc_id % 7 <> 0 AS ok,
+        |    CASE WHEN doc_id % 7 = 0 THEN '' ELSE '{' END ||
+        |      '"id":' || CAST(doc_id AS VARCHAR) || ',"lang":"' || lang ||
+        |      '","score":' || CAST(doc_id % 100 AS VARCHAR) || '}' AS raw
+        |  FROM documents)
+        |SELECT doc_id, ok AS is_valid,
+        |  CASE WHEN ok THEN doc_id END AS id_parsed,
+        |  CASE WHEN ok THEN lang END AS lang_parsed,
+        |  CASE WHEN ok THEN doc_id % 100 END AS score_parsed,
+        |  CASE WHEN NOT ok THEN md5(raw) END AS quarantine_md5
+        |FROM u
+        |ORDER BY doc_id""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |  round(sum(l_quantity), 2) AS sum_qty

@@ -62,6 +62,42 @@ object JsonTools {
       .orderBy(col("event_id"))
   }
 
+  /**
+   * Malformed-record quarantine — the error-handling half of
+   * schema-on-read ingestion (the reference's `ConvertTool` simply
+   * aborts on bad JSON; a 100 TB crawl cannot). Valid records parse to
+   * typed columns; malformed records null out and carry a content
+   * digest for the quarantine sink. The gate corpus is id-derived
+   * (every 7th line truncated mid-object), so the oracle predicts both
+   * the parse outcomes and the typed values — a hash match proves the
+   * parser accepts/rejects EXACTLY the right lines and extracts the
+   * right fields. Pure projection, zero shuffle.
+   */
+  def jsonQuarantineQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val id = col("doc_id")
+    val validLine = concat(lit("{\"id\":"), id.cast("string"),
+      lit(",\"lang\":\""), col("lang"), lit("\",\"score\":"),
+      (id % 100).cast("string"), lit("}"))
+    // malformed from the first token: the opening brace is missing, so
+    // the parse fails outright (a tail truncation can yield PARTIAL
+    // results under PERMISSIVE mode — that would make the quarantine
+    // decision parser-version-dependent)
+    val rawLine = when(id % 7 === 0,
+      regexp_replace(validLine, "^\\{", "")).otherwise(validLine)
+    val schema = "id BIGINT, lang STRING, score BIGINT"
+    graft.Tables.load(spark, sfDir, "documents")
+      .select(id, rawLine.as("raw"))
+      .withColumn("parsed", from_json(col("raw"), StructType.fromDDL(schema)))
+      .select(
+        col("doc_id"),
+        col("parsed.id").isNotNull.as("is_valid"),
+        col("parsed.id").as("id_parsed"),
+        col("parsed.lang").as("lang_parsed"),
+        col("parsed.score").as("score_parsed"),
+        when(col("parsed.id").isNull, md5(col("raw"))).as("quarantine_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** File-based inference (the CLI `json-schema` surface). */
   def inferSchemaPath(spark: SparkSession, path: String,
       samplingRatio: Double = 1.0): StructType =

@@ -75,4 +75,23 @@ class JsonLatticeSpec extends SparkSpec {
     assert(typeOf(infer("""{"v": true}""", """{"v": 1}"""), "v")
       == StringType)
   }
+
+  test("quarantine: exactly the brace-stripped lines reject; valid " +
+      "lines round-trip their fields") {
+    val rows = JsonTools.jsonQuarantineQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val valid = r.getBoolean(1)
+      assert(valid == (id % 7 != 0), s"doc $id: wrong quarantine side")
+      if (valid) {
+        assert(r.getLong(2) == id)
+        assert(r.getLong(4) == id % 100)
+        assert(r.isNullAt(5))
+      } else {
+        assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+        assert(r.getString(5).length == 32, "quarantine digest missing")
+      }
+    }
+  }
 }
