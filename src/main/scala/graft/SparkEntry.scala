@@ -116,6 +116,9 @@ object SparkEntry {
     "q_ann_topk" -> (Similarity.annBruteForceQuery _),
     // Bitext mining: cross-lingual top-1 + margin over embeddings
     "q_bitext" -> (Similarity.bitextMineQuery _),
+    // IVF-blocked bitext (the 100 TB serving path; recall + scanned-
+    // fraction spec-gated, cell assignment engine-internal)
+    "q_bitext_ann" -> ((s, d) => Similarity.bitextMineAnnQuery(s, d)),
     "q_ann_lsh" -> (Similarity.lshBucketQuery _),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     // PQ/ADC ANN: approximate by construction → no SQL oracle;

@@ -121,11 +121,11 @@ object Similarity {
   /** Centroid matrix → the literal the native nearest-cell kernel
     * takes (k×dims floats — a tiny model, shipped as a reference
     * object inside one codegen'd projection). */
-  private def centsLit(m: Array[Array[Float]]) =
+  private[graft] def centsLit(m: Array[Array[Float]]) =
     typedLit(m.map(_.toSeq).toSeq)
 
   /** Cell-id column: index of the nearest centroid (top-1). */
-  private def cellOf(m: Array[Array[Float]], vec: org.apache.spark.sql.Column) =
+  private[graft] def cellOf(m: Array[Array[Float]], vec: org.apache.spark.sql.Column) =
     element_at(
       call_function("graft_nearest_cells", vec, centsLit(m), lit(1)), 1)
 
@@ -529,6 +529,48 @@ object Similarity {
 
   def annIvfPqQuery(spark: SparkSession, sfDir: String): DataFrame =
     ivfPqTopK(spark, sfDir)
+
+  /**
+   * IVF-blocked bitext mining — the 100 TB serving path for
+   * [[bitextMineQuery]] (which is the exact gate twin, quadratic in
+   * the pair matrix by construction). The target (`en`) side is
+   * assigned to IVF cells once (narrow kernel projection); each
+   * source probes only its `nprobe` nearest cells, so the scanned
+   * pair fraction is ≈ nprobe/k instead of 1 — the same
+   * candidates-then-score layout as [[ivfTopK]], finished by the
+   * bounded-heap top-2 (margin) aggregate. Recall vs the exact twin
+   * and the measured scanned fraction are spec-gated
+   * (cell assignment is engine-internal → rows-only driver check).
+   */
+  def bitextMineAnnQuery(spark: SparkSession, sfDir: String,
+      nprobe: Int = 4): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val joined = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(col("doc_id"), col("lang"), col("embedding"))
+    val m = buildIndex(spark, sfDir)
+    val tgt = joined.filter(col("lang") === "en").select(
+      col("doc_id").as("tgt_id"), col("embedding").as("t_emb"),
+      cellOf(m, col("embedding")).as("cell"))
+    val src = joined.filter(col("lang") === "de").select(
+      col("doc_id").as("src_id"), col("embedding").as("s_emb"),
+      explode(call_function("graft_nearest_cells", col("embedding"),
+        centsLit(m), lit(nprobe))).as("cell"))
+    val top2 = tgt.join(broadcast(src), Seq("cell"))
+      .withColumn("cos_sim",
+        round(VectorOps.cosine(col("s_emb"), col("t_emb")), 4))
+      .groupBy(col("src_id"))
+      .agg(call_function("graft_topk",
+        col("cos_sim"), col("tgt_id"), lit(2)).as("tk"))
+    top2.select(
+      col("src_id"),
+      element_at(col("tk"), 1).getField("id").as("tgt_id"),
+      element_at(col("tk"), 1).getField("ord").as("cos_sim"),
+      round(element_at(col("tk"), 1).getField("ord") -
+        element_at(col("tk"), 2).getField("ord"), 4).as("margin"))
+      .orderBy(col("src_id"))
+  }
 
   def ivfTopK(spark: SparkSession, sfDir: String, nprobe: Int = 4)
       : DataFrame = {

@@ -209,4 +209,39 @@ class SimilaritySpec extends SparkSpec {
       l.contains("s_emb") || l.contains("t_emb") || l.contains("embedding")),
       s"embeddings flow through an exchange:\n$exchanges")
   }
+
+  test("IVF-blocked bitext: decent top-1 recall vs the exact twin " +
+      "while scanning a measured fraction of the pair matrix") {
+    val exact = Similarity.bitextMineQuery(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ann = Similarity.bitextMineAnnQuery(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ann.nonEmpty)
+    // every ANN source is a real source (subset: a src whose probed
+    // cells hold no en doc is legitimately absent)
+    assert(ann.keySet.subsetOf(exact.keySet))
+    val hits = ann.count { case (s, t) => exact(s) == t }
+    val recall = hits.toDouble / exact.size
+    assert(recall >= 0.5,
+      s"top-1 recall $recall ($hits/${exact.size}) below 0.5")
+    // measured scanned fraction: candidate pairs after cell blocking
+    // must be well under the full |src| x |en| matrix
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("lang"))
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val joined = docs.join(emb, docs("doc_id") === emb("vec_id"))
+    val nSrc = joined.filter(col("lang") === "de").count()
+    val nTgt = joined.filter(col("lang") === "en").count()
+    val m = Similarity.buildIndex(spark, sfDir)
+    val tgtCells = joined.filter(col("lang") === "en").select(
+      Similarity.cellOf(m, col("embedding")).as("cell"))
+    val srcCells = joined.filter(col("lang") === "de").select(
+      col("doc_id").as("src_id"),
+      explode(call_function("graft_nearest_cells", col("embedding"),
+        Similarity.centsLit(m), lit(4))).as("cell"))
+    val scanned = tgtCells.join(srcCells, Seq("cell")).count()
+    val frac = scanned.toDouble / (nSrc * nTgt)
+    assert(frac < 0.8, s"cell blocking scanned fraction $frac not < 0.8")
+  }
 }
