@@ -29,6 +29,8 @@ object SparkEntry {
     "q_rollup" -> (Relational.rollupAgg _),
     "q_grouping_sets" -> (Relational.groupingSetsQuery _),
     "q_events_hourly" -> (Relational.eventsHourly _),
+    "q_funnel" -> (Relational.funnelQuery _),
+    "q_cohort" -> (Relational.cohortQuery _),
     "q_cube" -> (Relational.cubeAgg _),
     "q_window_funcs" -> (Relational.windowFuncsQuery _),
     "q_pivot" -> (Relational.pivotQuery _),
@@ -337,6 +339,56 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_start, event_type""".stripMargin,
+    // Ordered funnel: each stage's first event strictly after the
+    // previous stage's first — the oracle replays the three staged
+    // min-aggregations and the left-join stage classification.
+    "q_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND CAST(e.ts AS TIMESTAMP) > v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND CAST(e.ts AS TIMESTAMP) > c.t_click
+        |  GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+        |            WHEN c.t_click IS NOT NULL THEN 2
+        |            WHEN v.t_view IS NOT NULL THEN 1
+        |            ELSE 0 END AS INTEGER) AS funnel_stage,
+        |  v.t_view, c.t_click, p.t_purchase
+        |FROM u
+        |LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN c ON u.user_id = c.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id
+        |ORDER BY u.user_id""".stripMargin,
+    // Cohort retention: first-activity-day cohorts, day-1/day-7
+    // re-activity counts.
+    "q_cohort" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |ch AS (SELECT user_id, min(day) AS cohort_day FROM ud
+        |  GROUP BY user_id),
+        |j AS (SELECT ud.user_id, ch.cohort_day,
+        |    ud.day - ch.cohort_day AS off
+        |  FROM ud JOIN ch ON ud.user_id = ch.user_id)
+        |SELECT cohort_day, count(DISTINCT user_id) AS n_cohort,
+        |  count(DISTINCT CASE WHEN off = 1 THEN user_id END)
+        |    AS d1_retained,
+        |  count(DISTINCT CASE WHEN off = 7 THEN user_id END)
+        |    AS d7_retained
+        |FROM j GROUP BY cohort_day
+        |ORDER BY cohort_day""".stripMargin,
     "q_orc_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n_rows,
         |  round(sum(l_extendedprice), 2) AS sum_price,

@@ -210,6 +210,68 @@ object Relational {
         round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour_start"), col("event_type"))
 
+  /**
+   * Ordered conversion funnel (view → click → purchase): each stage's
+   * first event must STRICTLY follow the previous stage's first event
+   * — the product-analytics query every event warehouse runs.
+   *
+   * Shape at 100 TB: three stage aggregations, each a map-side-partial
+   * groupBy on user_id over a type-filtered scan (the filter prunes at
+   * the source), joined on the same key — no window sort, no
+   * per-event shuffle beyond the keyed partials. Stage tables shrink
+   * monotonically, so joins 2 and 3 are against strictly smaller
+   * sides.
+   */
+  def funnelQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    val users = ev.select(col("user_id")).distinct()
+    users
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0)).as("funnel_stage"),
+        col("t_view"), col("t_click"), col("t_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  /**
+   * Cohort retention: users grouped by first-activity day; per cohort,
+   * how many were active again exactly 1 and 7 days later. Two keyed
+   * aggregations (first-day per user, distinct user-days) and one
+   * broadcast-scale join — the (cohort × offset) matrix is tiny at any
+   * corpus size, and nothing wider than (user_id, day) ever shuffles.
+   */
+  def cohortQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val userDays = ev
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = userDays.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    val joined = userDays.join(cohorts, Seq("user_id"))
+      .withColumn("offset", datediff(col("day"), col("cohort_day")))
+    joined.groupBy(col("cohort_day"))
+      .agg(count_distinct(col("user_id")).as("n_cohort"),
+        count_distinct(when(col("offset") === 1, col("user_id")))
+          .as("d1_retained"),
+        count_distinct(when(col("offset") === 7, col("user_id")))
+          .as("d7_retained"))
+      .orderBy(col("cohort_day"))
+  }
+
   /** Full cube over (returnflag, linestatus): all 4 grouping sets in one
     * pass — like rollup, Catalyst expands map-side, one shuffle. */
   def cubeAgg(s: SparkSession, dir: String): DataFrame =

@@ -130,6 +130,33 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("funnel: stage timestamps strictly ordered, stage counts " +
+      "monotone non-increasing; cohort retention bounded by cohort") {
+    import org.apache.spark.sql.functions._
+    val f = graft.operators.Relational.funnelQuery(spark, sfDir).collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      val (tv, tc, tp) = (r.getTimestamp(2), r.getTimestamp(3),
+        r.getTimestamp(4))
+      if (tc != null) assert(tv != null && tc.after(tv),
+        s"user ${r.get(0)}: click not after view")
+      if (tp != null) assert(tc != null && tp.after(tc),
+        s"user ${r.get(0)}: purchase not after click")
+      val stage = r.getInt(1)
+      assert(stage == Seq(tv, tc, tp).count(_ != null))
+    }
+    val byStage = (0 to 3).map(k => f.count(_.getInt(1) >= k))
+    assert(byStage.zip(byStage.tail).forall { case (a, b) => a >= b })
+    val c = graft.operators.Relational.cohortQuery(spark, sfDir).collect()
+    assert(c.nonEmpty)
+    c.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= r.getLong(1),
+        s"cohort ${r.get(0)}: retained exceeds cohort size")
+    }
+    // every user appears in exactly one cohort
+    assert(c.map(_.getLong(1)).sum == f.length)
+  }
+
   test("count-min sketch: estimate replays exactly from true counts, " +
       "never under-counts, and is repartition-invariant") {
     import org.apache.spark.sql.functions._
