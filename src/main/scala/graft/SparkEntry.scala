@@ -174,6 +174,11 @@ object SparkEntry {
     // Streaming windowed count-min sketch (bounded 8KB state/window);
     // per-window estimates oracle-replayed exactly
     "q_stream_cms" -> (graft.streaming.StreamingIngest.replayWindowedCms _),
+    // Streaming ordered funnel: per-user staged minima with a
+    // watermark-horizon buffer; emitted once per quiet user
+    "q_stream_funnel" -> ((s, d) =>
+      graft.streaming.StreamingIngest.replayFunnel(s, d)
+        .orderBy(col("user_id"))),
     // Sketch percentiles (engine-specific values → rows-only gate;
     // error-bounded against the exact gate in ScaleSpec)
     "q_approx_percentiles" -> (Scale.approxPercentileQuery _),
@@ -1840,6 +1845,45 @@ object SparkEntry {
     // sessions are always a per-user prefix in time order (sessions
     // are gap-separated), so their numbering equals the batch
     // session_no.
+    // Streaming funnel: batch-funnel stages for exactly the users whose
+    // last event + 30 min the final watermark strictly passed (the
+    // q_stream_sessions emission-boundary formulation).
+    "q_stream_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND CAST(e.ts AS TIMESTAMP) > v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND CAST(e.ts AS TIMESTAMP) > c.t_click
+        |  GROUP BY e.user_id),
+        |wm AS (
+        |  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS w
+        |  FROM events),
+        |lastev AS (
+        |  SELECT user_id, max(CAST(ts AS TIMESTAMP)) AS last_ts
+        |  FROM events GROUP BY user_id),
+        |u AS (
+        |  SELECT l.user_id FROM lastev l CROSS JOIN wm
+        |  WHERE epoch_ms(l.last_ts) + 1800000 < epoch_ms(wm.w))
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+        |            WHEN c.t_click IS NOT NULL THEN 2
+        |            WHEN v.t_view IS NOT NULL THEN 1
+        |            ELSE 0 END AS INTEGER) AS funnel_stage,
+        |  v.t_view, c.t_click, p.t_purchase
+        |FROM u
+        |LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN c ON u.user_id = c.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id
+        |ORDER BY u.user_id""".stripMargin,
     "q_stream_sessions" ->
       """WITH g AS (
         |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,

@@ -212,6 +212,101 @@ object StreamingIngest {
       }
   }
 
+  case class FunnelEv(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String)
+  // µs sentinels: Long.MinValue = stage not reached. buf holds events
+  // still inside the watermark horizon as (µs, type); lastMs drives the
+  // quiet-user timeout.
+  case class FunnelSt(tView: Long, tClick: Long, tPurchase: Long,
+      buf: List[(Long, String)], lastMs: Long)
+  case class FunnelOut(user_id: Long, funnel_stage: Int,
+      t_view: Option[java.sql.Timestamp],
+      t_click: Option[java.sql.Timestamp],
+      t_purchase: Option[java.sql.Timestamp])
+
+  /**
+   * Streaming ordered funnel (view → click → purchase, each stage's
+   * first event strictly after the previous stage's) — the real-time
+   * face of [[graft.operators.Relational.funnelQuery]].
+   *
+   * The staged-minima recursion is order-sensitive, so correctness
+   * under late (within-watermark) arrivals comes from the same split
+   * the sessionizer uses: events at or beyond the watermark stay in a
+   * per-user BUFFER (bounded by the horizon); only the prefix the
+   * watermark has passed — which the watermark contract guarantees
+   * complete — is folded, in timestamp order, into the finalized
+   * stage minima. A user's funnel row is emitted exactly once, via
+   * EventTimeTimeout, when the watermark strictly passes their last
+   * event + `quietMin` — so the emitted set is deterministic on a
+   * drained replay and the oracle can encode the boundary.
+   */
+  def funnelStream(events: Dataset[FunnelEv], quietMin: Int = 30,
+      watermarkDelay: String = "10 minutes"): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val quietMs = quietMin * 60000L
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelSt, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[FunnelEv],
+            state: GroupState[FunnelSt]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(
+            FunnelSt(Long.MinValue, Long.MinValue, Long.MinValue,
+              Nil, Long.MinValue))
+          val incoming = rows.toArray
+            .filter(_.ts.getTime >= wm)
+            .map(e => (micros(e.ts), e.event_type))
+          val buf = (prev.buf ++ incoming).sortBy(_._1)
+          // fold the complete (< watermark) prefix into the minima
+          val (ready, still) = buf.partition(_._1 / 1000 < wm)
+          var (tv, tc, tp) = (prev.tView, prev.tClick, prev.tPurchase)
+          ready.foreach { case (us, ty) =>
+            if (ty == "view" && tv == Long.MinValue) tv = us
+            else if (ty == "click" && tv != Long.MinValue && us > tv &&
+              tc == Long.MinValue) tc = us
+            else if (ty == "purchase" && tc != Long.MinValue && us > tc &&
+              tp == Long.MinValue) tp = us
+          }
+          val lastMs = math.max(prev.lastMs,
+            if (buf.nonEmpty) buf.map(_._1 / 1000).max else Long.MinValue)
+          if (state.hasTimedOut && still.isEmpty) {
+            state.remove()
+            def ts(us: Long): Option[java.sql.Timestamp] =
+              if (us == Long.MinValue) None
+              else {
+                val t = new java.sql.Timestamp(us / 1000)
+                t.setNanos(((us % 1000000) * 1000).toInt)
+                Some(t)
+              }
+            val stage = Seq(tv, tc, tp).count(_ != Long.MinValue)
+            Iterator.single(
+              FunnelOut(userId, stage, ts(tv), ts(tc), ts(tp)))
+          } else {
+            state.update(FunnelSt(tv, tc, tp, still, lastMs))
+            state.setTimeoutTimestamp(
+              math.max(lastMs + quietMs, wm + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Drained-replay gate for [[funnelStream]]: the emitted set is the
+    * users whose last event + 30 min the final watermark strictly
+    * passed, each with their batch-funnel stage (the oracle encodes
+    * both). */
+  def replayFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = eventStream(spark, sfDir)
+    val typed = src.select(col("user_id"), col("ts"), col("event_type"))
+      .as[FunnelEv]
+    val out = runToParquet(funnelStream(typed).toDF(), "stream_funnel")
+    spark.read.parquet(out)
+  }
+
   /** Staged replay source cache: the static events table copied once
     * per corpus as a handful of parquet files for file-stream replays
     * (checkpoint/output dirs stay fresh per replay — only the

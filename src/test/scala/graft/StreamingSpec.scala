@@ -251,6 +251,29 @@ class StreamingSpec extends SparkSpec {
     assert(n <= batch.count())
   }
 
+  test("replayFunnel: emits exactly the watermark-quiet users, each " +
+      "with their batch-funnel stage") {
+    val res = StreamingIngest.replayFunnel(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(res.nonEmpty)
+    val batch = graft.operators.Relational.funnelQuery(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val events = Tables.load(spark, sfDir, "events")
+    val maxTs = events.agg(max(col("ts"))).collect().head.getTimestamp(0)
+    val wmMs = maxTs.getTime - 10 * 60 * 1000L
+    val lastPer = events.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last"))
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1).getTime)
+      .toMap
+    val eligible = lastPer.filter { case (_, l) =>
+      l + 30 * 60 * 1000L < wmMs }.keySet
+    assert(res.keySet == eligible,
+      s"emitted ${res.keySet.size} != eligible ${eligible.size}")
+    res.foreach { case (u, stage) =>
+      assert(stage == batch(u), s"user $u: stream $stage != batch")
+    }
+  }
+
   test("replayWindowedCms: per-window estimates equal a batch-side " +
       "sketch replay; sketch never under-counts") {
     val res = StreamingIngest.replayWindowedCms(spark, sfDir).collect()
