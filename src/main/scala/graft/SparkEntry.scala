@@ -90,6 +90,9 @@ object SparkEntry {
     "q_corpus_diff" -> (Versioning.corpusDiffQuery _),
     // Per-source KL drift from the corpus mixture (statistical QA)
     "q_corpus_drift" -> ((s, d) => Versioning.corpusDriftQuery(s, d)),
+    // Incremental refresh: recompute only the churn; gate = equality
+    // with a from-scratch recompute of v2
+    "q_incremental_curate" -> (Versioning.incrementalCurateQuery _),
     // Dataset publication: sharded write + order-free integrity
     // manifest of the files that actually landed
     "q_publish_manifest" -> (Versioning.publishManifestQuery _),
@@ -1386,6 +1389,40 @@ object SparkEntry {
         |FROM m
         |ORDER BY doc_id""".stripMargin,
     // Snapshot diff: the oracle rebuilds the same deterministic v2
+    // Incremental refresh: the oracle curates v2 FROM SCRATCH (same
+    // derivation as q_corpus_diff, same quality formula as
+    // q_text_quality) — equality proves the incremental path (cached
+    // v1 minus dead rows plus churn-only recompute) lost, kept stale,
+    // or doubled nothing.
+    "q_incremental_curate" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END
+        |      AS text
+        |  FROM v1 WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    'new doc ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM v1 WHERE doc_id % 29 = 0),
+        |s AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |  CAST(len(list_filter(string_split(text, ' '), x ->
+        |    x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |    AS n_stop,
+        |  CAST(len(list_filter(string_split(text, ' '), x ->
+        |    len(x) <= 2)) AS DOUBLE) AS n_short,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    AS n_distinct
+        |FROM v2)
+        |SELECT doc_id,
+        |  n_stop / n_tok AS stopword_ratio,
+        |  n_short / n_tok AS short_ratio,
+        |  n_distinct / n_tok AS distinct_ratio,
+        |  (n_stop / n_tok) * 0.25 + (n_distinct / n_tok) * 0.5 +
+        |    (1.0 - n_short / n_tok) * 0.25 AS quality_score
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
     // Per-source KL drift: the oracle rebuilds both smoothed
     // distributions from the same md5-bucket definition, computes the
     // per-bucket contributions, and sums them in fixed bucket order

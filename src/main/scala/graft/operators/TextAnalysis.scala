@@ -51,12 +51,19 @@ object TextAnalysis {
    * Ratios are exact integer-over-integer doubles (identical to the
    * SQL formulation the oracle replays).
    */
-  def qualityQuery(spark: SparkSession, sfDir: String): DataFrame = {
+  def qualityQuery(spark: SparkSession, sfDir: String): DataFrame =
+    qualityOver(Tables.load(spark, sfDir, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** The quality transform itself over any (doc_id, text) frame — a
+    * pure per-document projection, reused by the incremental-refresh
+    * composition ([[Versioning.incrementalCurateQuery]]). */
+  def qualityOver(docs: DataFrame): DataFrame = {
     val nTok = col("_ts.n_tok").cast("double")
     val nStop = col("_ts.n_stop").cast("double")
     val nShort = col("_ts.n_short").cast("double")
     val nDistinct = col("_ts.n_distinct").cast("double")
-    Tables.load(spark, sfDir, "documents")
+    docs
       .withColumn("_ts", tokenStats(col("text")))
       .select(
         col("doc_id"),
@@ -65,7 +72,6 @@ object TextAnalysis {
         (nDistinct / nTok).as("distinct_ratio"),
         ((nStop / nTok) * 0.25 + (nDistinct / nTok) * 0.5 +
           (lit(1.0) - nShort / nTok) * 0.25).as("quality_score"))
-      .orderBy(col("doc_id"))
   }
 
   /**

@@ -41,15 +41,7 @@ object Versioning {
   def corpusDiffQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val v1 = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
-    val kept = v1.filter(col("doc_id") % 17 =!= 0)
-    val v2 = kept
-      .select(col("doc_id"),
-        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
-          .otherwise(col("text")).as("text"))
-      .unionAll(v1.filter(col("doc_id") % 29 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(lit("new doc "), col("doc_id").cast("string")).as("text")))
-    snapshotDiff(v1, v2).orderBy(col("doc_id"), col("status"))
+    snapshotDiff(v1, deriveV2(v1)).orderBy(col("doc_id"), col("status"))
   }
 
   // ----------------------------------------------------- dataset publish
@@ -114,6 +106,62 @@ object Versioning {
         graft.sources.OrcIo.scratchDir("publish") + "/corpus",
         nShards = 8))
     manifest(spark.read.parquet(dir))
+  }
+
+  /** v2 of the documents corpus, derived deterministically from v1
+    * (÷17 removed, ÷13 edited, ÷29 re-added at +1000000) — shared by
+    * the diff gate and the incremental-refresh gate so the two can
+    * never drift. */
+  private[graft] def deriveV2(v1: DataFrame): DataFrame = {
+    val kept = v1.filter(col("doc_id") % 17 =!= 0)
+    kept
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(v1.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text")))
+  }
+
+  /** Cached curated-v1 store per corpus (the standing output of the
+    * previous refresh — the incremental query's starting point). */
+  private val curateStore =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /**
+   * Incremental corpus refresh: update a curated corpus to version 2
+   * while recomputing ONLY the churn — the pattern that makes a
+   * 100 TB refresh affordable (churn is typically a few percent).
+   * [[snapshotDiff]] reduces both versions to digests (one digest-only
+   * shuffle); removed/changed rows are anti-joined out of the cached
+   * curated store; the per-doc transform ([[TextAnalysis.qualityOver]])
+   * runs only over changed+added documents. The gate proves the
+   * incremental result EQUALS a full recompute of v2 — the oracle
+   * curates v2 from scratch, so any stale, lost, or double row breaks
+   * the hash.
+   */
+  def incrementalCurateQuery(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val v1 = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val v2 = deriveV2(v1)
+    val cachedDir = curateStore.getOrElseUpdate(sfDir, {
+      val dir = graft.sources.OrcIo.scratchDir("curate_v1") + "/store"
+      graft.operators.TextAnalysis.qualityOver(v1)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+    val cached = spark.read.parquet(cachedDir)
+    val diff = snapshotDiff(v1, v2).select(col("doc_id"), col("status"))
+    val dead = diff.filter(col("status").isin("removed", "changed"))
+      .select(col("doc_id"))
+    val fresh = diff.filter(col("status").isin("added", "changed"))
+      .select(col("doc_id"))
+    val recomputed = graft.operators.TextAnalysis.qualityOver(
+      v2.join(fresh, Seq("doc_id")))
+    cached.join(dead, Seq("doc_id"), "left_anti")
+      .unionByName(recomputed)
+      .orderBy(col("doc_id"))
   }
 
   /**

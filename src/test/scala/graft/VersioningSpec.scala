@@ -90,6 +90,28 @@ class VersioningSpec extends SparkSpec {
       s"document text flows through the shuffle:\n$exchanges")
   }
 
+  test("incremental curate: equals full recompute, reads the cached " +
+      "store, and the churn is a small fraction of the corpus") {
+    val inc = Versioning.incrementalCurateQuery(spark, sfDir)
+    val rows = inc.collect()
+    // full recompute reference over the same derived v2
+    val v1 = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val full = graft.operators.TextAnalysis.qualityOver(
+      Versioning.deriveV2(v1)).orderBy(col("doc_id")).collect()
+    assert(rows.map(_.toString).toSeq == full.map(_.toString).toSeq,
+      "incremental result diverges from full recompute")
+    // the cached half must come from the materialized v1 store
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(plan.contains("curate_v1"),
+      s"cached store not in the plan:\n$plan")
+    // the refresh only pays for the churn
+    val churn = Versioning.corpusDiffQuery(spark, sfDir).count().toDouble
+    assert(churn / full.length < 0.35,
+      s"churn fraction ${churn / full.length} too large for the gate " +
+        "to demonstrate incrementality")
+  }
+
   test("corpus drift: KL non-negative everywhere (Gibbs), zero for a " +
       "single-source corpus, and text stays out of every exchange") {
     val q = Versioning.corpusDriftQuery(spark, sfDir)
