@@ -102,11 +102,14 @@ object SparkEntry {
     // Data selection: mixture resampling + DSIR importance weighting
     "q_domain_mix" -> ((s, d) => Sampling.domainMixQuery(s, d)),
     "q_importance" -> ((s, d) => Sampling.importanceQuery(s, d)),
+    // Deterministic per-epoch training-data ordering
+    "q_epoch_shuffle" -> ((s, d) => Sampling.epochShuffleQuery(s, d)),
     // End-to-end corpus cleaning (north-star composition)
     "q_pipeline_clean" -> (Pipeline.cleanCorpusQuery _),
     "q_pipeline_curate" -> (Pipeline.curateCorpusQuery _),
     // Deduplication family (north star)
     "q_dedup_exact" -> (Dedup.exactQuery _),
+    "q_dedup_priority" -> (Dedup.priorityDedupQuery _),
     "q_dedup_jaccard" -> ((s, d) => Dedup.ngramJaccardQuery(s, d)),
     "q_dedup_minhash" -> (Dedup.minhashLshQuery _),
     "q_dedup_simhash" -> (Dedup.simhashQuery _),
@@ -1582,6 +1585,37 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok, imp_score,
         |  imp_score > 0 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+    // Provenance-priority dedup: lowest source number wins, doc_id
+    // tiebreak; text reduced to md5 before the digest-keyed window.
+    "q_dedup_priority" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) AS prio,
+        |    md5(text) AS text_md5
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY text_md5
+        |    ORDER BY prio, doc_id) AS rn FROM d)
+        |SELECT doc_id, source, text_md5 FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    // Epoch shuffle: md5(epoch:doc_id) drives both shard assignment
+    // and within-shard order — the oracle replays the permutation.
+    "q_epoch_shuffle" ->
+      """WITH e AS (
+        |  SELECT doc_id, unnest(range(0, 2)) AS epoch FROM documents),
+        |k AS (
+        |  SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,
+        |    md5(CAST(epoch AS VARCHAR) || ':' ||
+        |      CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM e),
+        |s AS (
+        |  SELECT doc_id, epoch, skey,
+        |    ('0x' || substring(skey, 1, 6))::BIGINT % 8 AS shard
+        |  FROM k)
+        |SELECT doc_id, epoch, shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, shard
+        |    ORDER BY skey, doc_id) AS INTEGER) AS pos
+        |FROM s
+        |ORDER BY epoch, shard, pos""".stripMargin,
     "q_dedup_incremental" ->
       """WITH corpus AS (
         |  SELECT DISTINCT md5(text) AS d FROM documents

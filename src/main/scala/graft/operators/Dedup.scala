@@ -39,6 +39,29 @@ object Dedup {
       .select(col("keep_doc_id"), col("n_copies"))
       .orderBy(col("keep_doc_id"))
 
+  /**
+   * Cross-source priority dedup: when the same content appears in
+   * several sources, keep the copy from the HIGHEST-priority source
+   * (lowest source number here — e.g. prefer the curated wiki dump
+   * over its crawl duplicates), ties to the lowest doc_id. The
+   * provenance-aware variant of [[exactQuery]] every multi-source
+   * merge runs. One digest-keyed window — text reduces to its md5
+   * before the shuffle, so only (digest, prio, ids) rows move.
+   */
+  def priorityDedupQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("text_md5"))
+      .orderBy(col("prio"), col("doc_id"))
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        regexp_extract(col("source"), "(\\d+)", 1).cast("int").as("prio"),
+        md5(col("text")).as("text_md5"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("source"), col("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Distinct word-3-gram shingles of the text column. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = split(text, " ")

@@ -110,6 +110,34 @@ object Sampling {
       .orderBy(col("lang"))
   }
 
+  /**
+   * Deterministic epoch shuffling: the data-ORDER half of training
+   * reproducibility. Each epoch gets an independent pseudorandom
+   * permutation keyed by md5(epoch ":" doc_id) — shard assignment and
+   * within-shard position both derive from it, so any worker can
+   * reconstruct exactly which sample follows which, in any epoch,
+   * without a coordinator. One shuffle on (epoch, shard) + an
+   * in-partition sort — the same layout a sharded training-data write
+   * produces, repeated per epoch.
+   */
+  def epochShuffleQuery(spark: SparkSession, sfDir: String,
+      epochs: Int = 2, shards: Int = 8): DataFrame = {
+    val key = md5(concat(col("epoch").cast("string"), lit(":"),
+      col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("skey"), col("doc_id"))
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("skey", key)
+      .withColumn("shard",
+        pmod(conv(substring(col("skey"), 1, 6), 16, 10).cast("long"),
+          lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("epoch"), col("shard"), col("pos"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
+
   // ------------------------------- importance weighting (data selection)
 
   /**

@@ -179,4 +179,22 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getString(1)).toMap
     assert(kept == Map(1 -> "b", 2 -> "c"))
   }
+
+  test("priority dedup: one keeper per digest, always from the " +
+      "highest-priority source holding that content") {
+    import org.apache.spark.sql.functions._
+    val kept = graft.operators.Dedup.priorityDedupQuery(spark, sfDir)
+      .collect().map(r => r.getString(2) -> r.getString(1)).toMap
+    val all = Tables.load(spark, sfDir, "documents")
+      .select(md5(col("text")).as("d"), col("source"))
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r =>
+        r.getString(1).replaceAll("\\D", "").toInt).min).toMap
+    assert(kept.nonEmpty && kept.size == all.size)
+    kept.foreach { case (d, src) =>
+      assert(src.replaceAll("\\D", "").toInt == all(d),
+        s"digest $d kept $src, best priority was ${all(d)}")
+    }
+  }
 }

@@ -86,6 +86,26 @@ class SamplingSpec extends SparkSpec {
     assert(a.map(_.toString).sorted == b.map(_.toString).sorted)
   }
 
+  test("epoch shuffle: every doc exactly once per epoch, dense " +
+      "positions per shard, epochs genuinely reordered") {
+    val rows = Sampling.epochShuffleQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    val nDocs = docs.count()
+    (0 to 1).foreach { e =>
+      val epoch = rows.filter(_._2 == e)
+      assert(epoch.length == nDocs, s"epoch $e is not a permutation")
+      assert(epoch.map(_._1).toSet.size == nDocs)
+      epoch.groupBy(_._3).foreach { case (shard, in) =>
+        assert(in.map(_._4).sorted.toSeq == (1 to in.length),
+          s"epoch $e shard $shard positions not dense")
+      }
+    }
+    // the two epochs must order docs differently (independent keys)
+    val order0 = rows.filter(_._2 == 0).sortBy(r => (r._3, r._4)).map(_._1)
+    val order1 = rows.filter(_._2 == 1).sortBy(r => (r._3, r._4)).map(_._1)
+    assert(!order0.sameElements(order1), "epochs produced the same order")
+  }
+
   test("importance: English docs score above non-English on average " +
       "(the target distribution is the en subset)") {
     val scored = Sampling.importanceQuery(spark, sfDir)
