@@ -40,6 +40,8 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s, d) => Scale.heavyHittersQuery(s, d)),
     "q_topk_agg" -> ((s, d) => Scale.topKAggQuery(s, d)),
     "q_asof_join" -> (Scale.asOfJoinQuery _),
+    // Interval join via time-axis binning (equi-join, no nested loop)
+    "q_range_join" -> (Scale.rangeJoinQuery _),
     "q_zorder" -> (Scale.zorderQuery _),
     // ORC format engine (SURVEY.md §2.1/2.5: scans, writers, codecs)
     "q_orc_roundtrip" -> (graft.sources.OrcIo.roundTripQuery _),
@@ -603,6 +605,23 @@ object SparkEntry {
         |ASOF JOIN o ON e.user_id = o.o_custkey
         |  AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
         |ORDER BY event_id""".stripMargin,
+    // Interval join: the oracle uses the plain inequality join — the
+    // binned equi-join must reproduce it exactly (bins are an
+    // execution detail, not a semantics change).
+    "q_range_join" ->
+      """WITH w AS (
+        |  SELECT event_id AS incident_id,
+        |    CAST(ts AS TIMESTAMP) - INTERVAL 15 MINUTE AS lo,
+        |    CAST(ts AS TIMESTAMP) + INTERVAL 15 MINUTE AS hi
+        |  FROM events
+        |  WHERE event_type = 'error' AND event_id % 20 = 0)
+        |SELECT w.incident_id, count(*) AS n_events,
+        |  round(sum(e.value), 2) AS sum_value
+        |FROM w JOIN events e
+        |  ON CAST(e.ts AS TIMESTAMP) >= w.lo
+        |  AND CAST(e.ts AS TIMESTAMP) <= w.hi
+        |GROUP BY w.incident_id
+        |ORDER BY w.incident_id""".stripMargin,
     // Append-mode watermarking emits exactly the windows whose end is
     // at or before (max event time - 10 min) when the stream drains.
     "q_stream_ingest" ->

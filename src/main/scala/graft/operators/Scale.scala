@@ -139,6 +139,44 @@ object Scale {
       .orderBy(col("l_returnflag"))
 
   /**
+   * Range (interval) join via time-axis binning — the join shape Spark
+   * has no native operator for: `events.ts BETWEEN w.lo AND w.hi`
+   * planned naively becomes a BroadcastNestedLoopJoin (every event
+   * tested against every window). Binning makes it an EQUI-join: each
+   * ±15-minute incident window covers at most two 30-minute bins, so
+   * the window side explodes into ≤ 2 (bin, window) rows, the event
+   * side maps to its single bin, and the hash join on `bin` + an exact
+   * containment filter reproduces the inequality join at
+   * O(|events| + |windows| · binsPerWindow) — the standard interval-
+   * join layout at 100 TB. PlanSpec-style assert: no nested-loop or
+   * cartesian operator anywhere in the plan.
+   *
+   * Incidents here are every 20th error event; the query reports the
+   * activity surrounding each (count + value sum of events within
+   * ±15 min).
+   */
+  def rangeJoinQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val binMs = 30 * 60 * 1000L
+    val ev = Tables.load(spark, sfDir, "events")
+    val windows = ev
+      .filter(col("event_type") === "error" && col("event_id") % 20 === 0)
+      .select(col("event_id").as("incident_id"),
+        (col("ts") - expr("INTERVAL 15 MINUTES")).as("lo"),
+        (col("ts") + expr("INTERVAL 15 MINUTES")).as("hi"))
+    val wBinned = windows.withColumn("bin",
+      explode(sequence(floor(unix_millis(col("lo")) / binMs),
+        floor(unix_millis(col("hi")) / binMs))))
+    val eBinned = ev.select(col("ts"), col("value"),
+      floor(unix_millis(col("ts")) / binMs).as("bin"))
+    eBinned.join(wBinned, Seq("bin"))
+      .filter(col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("incident_id"))
+  }
+
+  /**
    * Count-min heavy hitters: sketch the corpus token stream with
    * [[graft.functions.CmsAgg]] (fixed 8 KB buffer, element-wise-add
    * merge — shuffles 1024 longs per partition instead of the token

@@ -130,6 +130,31 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("range join: binned plan is a hash equi-join (no nested loop), " +
+      "and matches the naive inequality join exactly") {
+    import org.apache.spark.sql.functions._
+    val binned = graft.operators.Scale.rangeJoinQuery(spark, sfDir)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join fell back to a product plan:\n$plan")
+    assert(plan.contains("Join") || plan.contains("join"),
+      s"no join in plan:\n$plan")
+    // semantics: identical to the naive inequality join
+    val ev = Tables.load(spark, sfDir, "events")
+    val w = ev.filter(col("event_type") === "error" &&
+        col("event_id") % 20 === 0)
+      .select(col("event_id").as("incident_id"),
+        (col("ts") - expr("INTERVAL 15 MINUTES")).as("lo"),
+        (col("ts") + expr("INTERVAL 15 MINUTES")).as("hi"))
+    val naive = ev.join(w, col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("incident_id"))
+      .collect().map(_.toString)
+    assert(binned.collect().map(_.toString).toSeq == naive.toSeq)
+  }
+
   test("funnel: stage timestamps strictly ordered, stage counts " +
       "monotone non-increasing; cohort retention bounded by cohort") {
     import org.apache.spark.sql.functions._
