@@ -121,6 +121,9 @@ object SparkEntry {
     "q_dedup_lines" -> (Dedup.lineDedupQuery _),
     "q_dedup_editdist" -> (Dedup.editDistQuery _),
     "q_dup_clusters" -> (Dedup.dupClustersQuery _),
+    // Graph centrality: 3-iteration PageRank over an id-derived link
+    // graph (web-corpus importance weighting)
+    "q_pagerank" -> ((s, d) => Graph.pageRankQuery(s, d)),
     "q_cluster_canonical" -> (Dedup.clusterCanonicalQuery _),
     // Similarity search (north star)
     "q_ann_topk" -> (Similarity.annBruteForceQuery _),
@@ -1604,6 +1607,52 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok, imp_score,
         |  imp_score > 0 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+    // PageRank: the oracle rebuilds the id-derived edge list and
+    // replays the 3 power iterations as chained CTEs — same literals
+    // (0.15, 0.85), same per-iteration round(·,10) so float-summation
+    // order can't compound, same dangling-drop variant.
+    "q_pagerank" ->
+      """WITH nn AS (SELECT count(*) AS n,
+        |    CAST(count(*) AS DOUBLE) AS nd FROM documents),
+        |ed0 AS (
+        |  SELECT doc_id AS src,
+        |    (doc_id * 7 + 3) % (SELECT n FROM nn) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    (doc_id * 13 + 5) % (SELECT n FROM nn) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    (doc_id * 31 + 11) % (SELECT n FROM nn) FROM documents),
+        |ed AS (SELECT src, dst FROM ed0 WHERE src <> dst),
+        |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+        |e AS (SELECT ed.src, ed.dst, dg.deg FROM ed
+        |  JOIN dg ON ed.src = dg.src),
+        |it0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) / nn.nd AS pr
+        |  FROM documents, nn),
+        |s1 AS (SELECT e.dst, sum(it0.pr / e.deg) AS s FROM e
+        |  JOIN it0 ON e.src = it0.doc_id GROUP BY e.dst),
+        |it1 AS (SELECT d.doc_id,
+        |    round(CAST(0.15 AS DOUBLE) / nn.nd +
+        |      CAST(0.85 AS DOUBLE) * coalesce(s1.s, 0.0), 10) AS pr
+        |  FROM documents d CROSS JOIN nn
+        |  LEFT JOIN s1 ON d.doc_id = s1.dst),
+        |s2 AS (SELECT e.dst, sum(it1.pr / e.deg) AS s FROM e
+        |  JOIN it1 ON e.src = it1.doc_id GROUP BY e.dst),
+        |it2 AS (SELECT d.doc_id,
+        |    round(CAST(0.15 AS DOUBLE) / nn.nd +
+        |      CAST(0.85 AS DOUBLE) * coalesce(s2.s, 0.0), 10) AS pr
+        |  FROM documents d CROSS JOIN nn
+        |  LEFT JOIN s2 ON d.doc_id = s2.dst),
+        |s3 AS (SELECT e.dst, sum(it2.pr / e.deg) AS s FROM e
+        |  JOIN it2 ON e.src = it2.doc_id GROUP BY e.dst),
+        |it3 AS (SELECT d.doc_id,
+        |    round(CAST(0.15 AS DOUBLE) / nn.nd +
+        |      CAST(0.85 AS DOUBLE) * coalesce(s3.s, 0.0), 10) AS pr
+        |  FROM documents d CROSS JOIN nn
+        |  LEFT JOIN s3 ON d.doc_id = s3.dst)
+        |SELECT it3.doc_id, round(it3.pr * nn.nd, 8) AS pr_scaled
+        |FROM it3 CROSS JOIN nn
+        |ORDER BY it3.doc_id""".stripMargin,
     // Provenance-priority dedup: lowest source number wins, doc_id
     // tiebreak; text reduced to md5 before the digest-keyed window.
     "q_dedup_priority" ->

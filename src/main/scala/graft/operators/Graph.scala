@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph centrality over document link graphs — the page-importance
+ * signal web-corpus pipelines weight their sampling by (the classic
+ * complement to content quality scores). Sits beside the
+ * connected-components operator in [[Dedup]]: CC answers "which docs
+ * are the same", centrality answers "which docs matter".
+ *
+ * The iteration is the standard distributed PageRank shape: ranks live
+ * as a (doc_id, pr) frame; each round is one equi-join onto the edge
+ * list and one partial-aggregated groupBy on the destination — the
+ * shuffle carries (dst, contribution) pairs, never adjacency lists,
+ * and the iteration count is fixed (power iteration converges
+ * geometrically; 3 rounds is the gate's pinned depth so the oracle can
+ * replay it as chained CTEs).
+ *
+ * Variant note: dangling mass is dropped, not redistributed —
+ * (1−d)/N + d·Σ incoming — the formulation replayable in pure SQL;
+ * with the id-derived 3-out-link graph there are no dangling nodes.
+ */
+object Graph {
+
+  // Fixed damping 0.85 (Brin/Page convention). The teleport mass is
+  // written as the LITERAL 0.15 in both engines: the compile-time
+  // double 1.0 − 0.85 differs from the literal 0.15 in the last bit.
+  private val D = 0.85
+  private val Teleport = 0.15
+
+  /**
+   * Deterministic id-derived link graph: doc i links to
+   * (7i+3) mod N, (13i+5) mod N, (31i+11) mod N (self-links dropped) —
+   * the multimodal gating pattern: the oracle rebuilds the same edges
+   * from doc_id arithmetic, so the gate checks the ITERATION, not the
+   * synthesis.
+   */
+  private def edges(docs: DataFrame, n: Long): DataFrame = {
+    val i = col("doc_id")
+    val dsts = array(
+      pmod(i * 7 + 3, lit(n)), pmod(i * 13 + 5, lit(n)),
+      pmod(i * 31 + 11, lit(n)))
+    docs.select(i.as("src"), explode(dsts).as("dst"))
+      .filter(col("src") =!= col("dst"))
+  }
+
+  /**
+   * 3-iteration PageRank from the uniform vector, each iteration
+   * rounded to 10 decimals in BOTH engines so cross-engine
+   * float-summation order noise (≈1e-16 per in-degree) can never
+   * compound across rounds.
+   */
+  def pageRankQuery(spark: SparkSession, sfDir: String,
+      iters: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val e = edges(docs, n)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(outdeg, Seq("src"))
+    var ranks = docs.select(col("doc_id"),
+      (lit(1.0) / n.toDouble).as("pr"))
+    (1 to iters).foreach { _ =>
+      val contrib = withDeg
+        .join(ranks, withDeg("src") === ranks("doc_id"))
+        .select(col("dst"), (col("pr") / col("deg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      ranks = docs
+        .join(contrib, docs("doc_id") === contrib("dst"), "left")
+        .select(docs("doc_id"),
+          round(lit(Teleport / n.toDouble) +
+            lit(D) * coalesce(col("in_sum"), lit(0.0)), 10).as("pr"))
+    }
+    ranks.select(col("doc_id"), round(col("pr") * n.toDouble, 8)
+      .as("pr_scaled"))
+      .orderBy(col("doc_id"))
+  }
+}
