@@ -257,9 +257,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,8))), 2)
+        |    AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,8))), 2)
+        |    AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(avg(l_discount), 4) AS avg_disc,
         |  count(*) AS count_order
@@ -407,7 +410,8 @@ object SparkEntry {
         |ORDER BY cohort_day""".stripMargin,
     "q_orc_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n_rows,
-        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,8))), 2)
+        |    AS DOUBLE) AS sum_price,
         |  round(min(l_quantity), 2) AS min_qty,
         |  round(max(l_quantity), 2) AS max_qty
         |FROM lineitem
@@ -417,7 +421,8 @@ object SparkEntry {
     "q_orc_codecs" ->
       """SELECT codec, n_rows, sum_price
         |FROM (SELECT count(*) AS n_rows,
-        |        round(sum(o_totalprice), 2) AS sum_price FROM orders)
+        |        CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,8))), 2)
+        |          AS DOUBLE) AS sum_price FROM orders)
         |CROSS JOIN (VALUES ('lz4'), ('lzo'), ('none'), ('snappy'),
         |  ('zlib'), ('zstd')) AS t(codec)
         |ORDER BY codec""".stripMargin,
@@ -1082,7 +1087,8 @@ object SparkEntry {
         |ORDER BY kind""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-        |  round(sum(l_extendedprice), 2) AS sum_price
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,8))), 2)
+        |    AS DOUBLE) AS sum_price
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST,

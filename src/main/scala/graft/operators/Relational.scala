@@ -39,11 +39,18 @@ object Relational {
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
+      // money/quantity sums in DECIMAL (the q5 rule): at 100× scale a
+      // group's Σ price reaches ~3e11 where double ulp is ~6e-5, and
+      // the engines' different accumulation orders land on opposite
+      // sides of a half-cent boundary (caught by the sf10 gate).
+      // Per-term double→decimal cast is order-free, the sum exact.
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
+        round(sum(col("l_quantity").cast("decimal(28,8)")), 2)
+          .cast("double").as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(28,8)")), 2)
+          .cast("double").as("sum_base_price"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,8)")), 2).cast("double").as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -277,8 +284,11 @@ object Relational {
   def cubeAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .cube(col("l_returnflag"), col("l_linestatus"))
+      // price sum in DECIMAL (the q1/q5 rule): the grand-total cell
+      // reaches ~1e12 at 100×, past double half-cent stability
       .agg(count(lit(1)).as("n_rows"),
-        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        round(sum(col("l_extendedprice").cast("decimal(28,8)")), 2)
+          .cast("double").as("sum_price"))
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 

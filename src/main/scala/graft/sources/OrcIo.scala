@@ -112,8 +112,11 @@ object OrcIo {
     read(spark, s"$dir/lineitem_orc")
       .filter(col("l_quantity") >= 25.0)
       .groupBy(col("l_returnflag"))
+      // price sum in DECIMAL (the q1/q5 rule — double accumulation
+      // order breaks half-cent stability at 100× magnitudes)
       .agg(count(lit(1)).as("n_rows"),
-        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(sum(col("l_extendedprice").cast("decimal(28,8)")), 2)
+          .cast("double").as("sum_price"),
         round(min(col("l_quantity")), 2).as("min_qty"),
         round(max(col("l_quantity")), 2).as("max_qty"))
       .orderBy(col("l_returnflag"))
@@ -363,8 +366,10 @@ object OrcIo {
       scala.concurrent.duration.Duration.Inf)
     codecs.map { c =>
       read(spark, s"$dir/$c")
+        // price sum in DECIMAL (the q1/q5 rule) — exact at any scale
         .agg(lit(c).as("codec"), count(lit(1)).as("n_rows"),
-          round(sum(col("o_totalprice")), 2).as("sum_price"))
+          round(sum(col("o_totalprice").cast("decimal(28,8)")), 2)
+            .cast("double").as("sum_price"))
         .select(col("codec"), col("n_rows"), col("sum_price"))
     }.reduce(_.unionAll(_)).orderBy(col("codec"))
   }
