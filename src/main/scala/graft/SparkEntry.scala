@@ -38,6 +38,8 @@ object SparkEntry {
     "q_session_window" -> ((s, d) => Scale.sessionWindowQuery(s, d)),
     "q_approx_distinct" -> (Scale.approxDistinctQuery _),
     "q_heavy_hitters" -> ((s, d) => Scale.heavyHittersQuery(s, d)),
+    // KMV distinct sketch + set ops (union/intersection estimates)
+    "q_distinct_sketch" -> ((s, d) => Scale.kmvSketchQuery(s, d)),
     "q_topk_agg" -> ((s, d) => Scale.topKAggQuery(s, d)),
     "q_asof_join" -> (Scale.asOfJoinQuery _),
     // Interval join via time-axis binning (equi-join, no nested loop)
@@ -1195,6 +1197,50 @@ object SparkEntry {
         |        substring(md5(t.term), 7, 2))) - t.n AS over_n
         |FROM top t
         |ORDER BY t.n DESC, t.term""".stripMargin,
+    // KMV sketch set ops: the oracle rebuilds each side's k smallest
+    // distinct 60-bit md5 hashes (= first 15 hex chars), replays the
+    // (k−1)/R_k estimator with the same literals, and the intersection
+    // membership counting — sketch contents AND estimates hash-gated.
+    "q_distinct_sketch" ->
+      """WITH a AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS key
+        |  FROM lineitem WHERE l_returnflag = 'A'),
+        |n AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS key
+        |  FROM lineitem WHERE l_returnflag = 'N'),
+        |u AS (SELECT key FROM a UNION SELECT key FROM n),
+        |ka AS (SELECT list(h ORDER BY h) AS sk FROM (
+        |  SELECT ('0x' || substring(md5(key), 1, 15))::BIGINT AS h
+        |  FROM a ORDER BY h LIMIT 256)),
+        |kn AS (SELECT list(h ORDER BY h) AS sk FROM (
+        |  SELECT ('0x' || substring(md5(key), 1, 15))::BIGINT AS h
+        |  FROM n ORDER BY h LIMIT 256)),
+        |ku AS (SELECT list(h ORDER BY h) AS sk FROM (
+        |  SELECT ('0x' || substring(md5(key), 1, 15))::BIGINT AS h
+        |  FROM u ORDER BY h LIMIT 256)),
+        |ex AS (SELECT
+        |  (SELECT count(*) FROM a) AS ex_a,
+        |  (SELECT count(*) FROM n) AS ex_n,
+        |  (SELECT count(*) FROM u) AS ex_union,
+        |  (SELECT count(*) FROM a JOIN n ON a.key = n.key) AS ex_inter)
+        |SELECT ex.ex_a,
+        |  round(CASE WHEN len(ka.sk) < 256 THEN CAST(len(ka.sk) AS DOUBLE)
+        |    ELSE 255.0 * 1152921504606846976.0 / CAST(ka.sk[256] AS DOUBLE)
+        |    END, 4) + 0.0 AS est_a,
+        |  ex.ex_n,
+        |  round(CASE WHEN len(kn.sk) < 256 THEN CAST(len(kn.sk) AS DOUBLE)
+        |    ELSE 255.0 * 1152921504606846976.0 / CAST(kn.sk[256] AS DOUBLE)
+        |    END, 4) + 0.0 AS est_n,
+        |  ex.ex_union,
+        |  round(CASE WHEN len(ku.sk) < 256 THEN CAST(len(ku.sk) AS DOUBLE)
+        |    ELSE 255.0 * 1152921504606846976.0 / CAST(ku.sk[256] AS DOUBLE)
+        |    END, 4) + 0.0 AS est_union,
+        |  ex.ex_inter,
+        |  round(CAST(len(list_filter(ku.sk, x ->
+        |      list_contains(ka.sk, x) AND list_contains(kn.sk, x)))
+        |      AS DOUBLE) / 256.0 *
+        |    (CASE WHEN len(ku.sk) < 256 THEN CAST(len(ku.sk) AS DOUBLE)
+        |      ELSE 255.0 * 1152921504606846976.0 /
+        |        CAST(ku.sk[256] AS DOUBLE) END), 4) + 0.0 AS est_inter
+        |FROM ex, ka, kn, ku""".stripMargin,
     "q_approx_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,

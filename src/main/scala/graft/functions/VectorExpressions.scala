@@ -1591,6 +1591,9 @@ object VectorKernels {
       es(2).eval().asInstanceOf[Int])),
     // count-min sketch aggregate: fixed 4×256 md5-byte rows
     fn("graft_cms", es => CmsAgg(es(0))),
+    // KMV distinct sketch: k must be a foldable int literal
+    fn("graft_kmv", es => KmvAgg(es(0),
+      es(1).eval().asInstanceOf[Int])),
     fn("graft_url_normalize", es => UrlNormalize(es(0))),
     // merges must be a foldable array<string> literal ("a b" pairs)
     fn("graft_bpe", es => BpeTokens(es(0), toStringSeq(es(1).eval()))),

@@ -139,6 +139,58 @@ object Scale {
       .orderBy(col("l_returnflag"))
 
   /**
+   * KMV (theta-style) distinct sketches with SET OPERATIONS: distinct
+   * counts for two key populations plus their union and intersection,
+   * estimated from k-minimum-values samples — the overlap-analysis
+   * pass (corpus-version intersection, cross-source key overlap) that
+   * HLL cannot answer. Exact twins ride alongside as the audit
+   * harness (the q_heavy_hitters pairing). The sketch hash is the top
+   * 60 md5 bits, so the oracle replays sketch contents AND estimates
+   * exactly — sketches here are hash-gated, not just bound-checked.
+   *
+   * Scale shape: three ≤k-long mergeable buffers (partial aggregation;
+   * the shuffle is ≤ k longs per partition) + the exact twins' keyed
+   * distincts; at 100 TB you drop the twins and keep the sketches.
+   */
+  def kmvSketchQuery(spark: SparkSession, sfDir: String,
+      k: Int = 256): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    def side(f: String) = li.filter(col("l_returnflag") === f)
+      .select(col("l_orderkey").cast("string").as("key"))
+    val a = side("A")
+    val nS = side("N")
+    val kmv = (c: org.apache.spark.sql.Column) =>
+      call_function("graft_kmv", c, lit(k))
+    val est = (sk: org.apache.spark.sql.Column) =>
+      when(size(sk) < k, size(sk).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18) /
+          element_at(sk, k).cast("double"))
+    val skA = a.agg(kmv(col("key")).as("sk_a"))
+    val skN = nS.agg(kmv(col("key")).as("sk_n"))
+    val skU = a.unionAll(nS).agg(kmv(col("key")).as("sk_u"))
+    val exA = a.agg(count_distinct(col("key")).as("ex_a"))
+    val exN = nS.agg(count_distinct(col("key")).as("ex_n"))
+    val exU = a.unionAll(nS).agg(count_distinct(col("key")).as("ex_union"))
+    val exI = a.distinct().join(nS.distinct(), Seq("key"))
+      .agg(count(lit(1)).as("ex_inter"))
+    val rho = size(filter(col("sk_u"), h =>
+      array_contains(col("sk_a"), h) && array_contains(col("sk_n"), h)))
+    skA.crossJoin(skN).crossJoin(skU)
+      .crossJoin(broadcast(exA)).crossJoin(broadcast(exN))
+      .crossJoin(broadcast(exU)).crossJoin(broadcast(exI))
+      .select(
+        col("ex_a"),
+        (round(est(col("sk_a")), 4) + lit(0.0)).as("est_a"),
+        col("ex_n"),
+        (round(est(col("sk_n")), 4) + lit(0.0)).as("est_n"),
+        col("ex_union"),
+        (round(est(col("sk_u")), 4) + lit(0.0)).as("est_union"),
+        col("ex_inter"),
+        (round(rho.cast("double") / lit(k.toDouble) * est(col("sk_u")), 4)
+          + lit(0.0)).as("est_inter"))
+  }
+
+  /**
    * Range (interval) join via time-axis binning — the join shape Spark
    * has no native operator for: `events.ts BETWEEN w.lo AND w.hi`
    * planned naively becomes a BroadcastNestedLoopJoin (every event

@@ -219,6 +219,38 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("kmv sketch: estimates within the 3/sqrt(k) KMV bound, " +
+      "repartition-invariant, exact below saturation") {
+    import org.apache.spark.sql.functions._
+    val r = graft.operators.Scale.kmvSketchQuery(spark, sfDir)
+      .collect().head
+    val pairs = Seq(
+      (r.getLong(0), r.getDouble(1)), (r.getLong(2), r.getDouble(3)),
+      (r.getLong(4), r.getDouble(5)))
+    pairs.foreach { case (exact, est) =>
+      if (exact <= 256) assert(est == exact.toDouble,
+        s"below saturation est must be exact: $est vs $exact")
+      else assert(math.abs(est / exact - 1.0) <= 3.0 / math.sqrt(256.0),
+        s"est $est outside KMV bound of exact $exact")
+    }
+    // intersection: looser bound (variance ~ 1/sqrt(rho)), sanity only
+    val (exI, estI) = (r.getLong(6), r.getDouble(7))
+    if (exI > 256)
+      assert(math.abs(estI / exI - 1.0) <= 0.5,
+        s"intersection est $estI wildly off exact $exI")
+    // mergeability: sketch independent of partitioning
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").cast("string").as("key"))
+    val s1 = li.agg(call_function("graft_kmv", col("key"), lit(256)))
+      .collect().head.getSeq[Long](0)
+    val s2 = li.repartition(11)
+      .agg(call_function("graft_kmv", col("key"), lit(256)))
+      .collect().head.getSeq[Long](0)
+    assert(s1 == s2, "KMV sketch depends on partitioning")
+    assert(s1 == s1.sorted && s1.toSet.size == s1.size,
+      "sketch must be sorted distinct hashes")
+  }
+
   test("heavy hitters query: over_n non-negative, probes are the " +
       "exact top-k") {
     import org.apache.spark.sql.functions._
