@@ -454,26 +454,30 @@ object SparkEntry {
         |      AS BIGINT) AS n_nulls,
         |    round(CAST(min(l_quantity) AS DOUBLE), 2) AS min_val,
         |    round(CAST(max(l_quantity) AS DOUBLE), 2) AS max_val,
-        |    round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_val
+        |    round(CAST(sum(CAST(l_quantity AS DECIMAL(28,8)))
+        |      AS DOUBLE), 2) AS sum_val
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'l_extendedprice', count(l_extendedprice),
         |    CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
         |      AS BIGINT),
         |    round(min(l_extendedprice), 2), round(max(l_extendedprice), 2),
-        |    round(sum(l_extendedprice), 2) FROM lineitem
+        |    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8)))
+        |      AS DOUBLE), 2) FROM lineitem
         |  UNION ALL
         |  SELECT 'l_discount', count(l_discount),
         |    CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
         |      AS BIGINT),
         |    round(min(l_discount), 2), round(max(l_discount), 2),
-        |    round(sum(l_discount), 2) FROM lineitem
+        |    round(CAST(sum(CAST(l_discount AS DECIMAL(28,8)))
+        |      AS DOUBLE), 2) FROM lineitem
         |  UNION ALL
         |  SELECT 'l_tax', count(l_tax),
         |    CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)
         |      AS BIGINT),
         |    round(min(l_tax), 2), round(max(l_tax), 2),
-        |    round(sum(l_tax), 2) FROM lineitem) t
+        |    round(CAST(sum(CAST(l_tax AS DECIMAL(28,8)))
+        |      AS DOUBLE), 2) FROM lineitem) t
         |ORDER BY col_name""".stripMargin,
     "q_cast_matrix" ->
       """SELECT l_orderkey,

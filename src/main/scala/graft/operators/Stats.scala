@@ -112,6 +112,12 @@ object Stats {
    * lexicographically, so the per-file numeric cast happens before the
    * cross-file merge.
    */
+  // Magnitude note: for DOUBLE columns the ORC footer itself
+  // accumulates the per-file sum in double (DoubleColumnStatistics),
+  // so beyond ~1e11 per file the FOOTER value drifts from the exact
+  // scan sum by design — a property of the format (the reference
+  // behaves identically), not of this reader. The gate corpus stays
+  // well under that; integer-column footer sums are exact longs.
   def statsOnlyQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val src = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
@@ -157,7 +163,10 @@ object Stats {
         sum(when(col(c).isNull, 1).otherwise(0)).as("n_nulls"),
         round(min(col(c)).cast("double"), 2).as("min_val"),
         round(max(col(c)).cast("double"), 2).as("max_val"),
-        round(sum(col(c)).cast("double"), 2).as("sum_val"))
+        // sum in DECIMAL (the q1/q5 rule): order-free and exact at any
+        // scale, then one final double cast before the display round
+        round(sum(col(c).cast("decimal(28,8)")).cast("double"), 2)
+          .as("sum_val"))
         .select(col("col_name"), col("n_values"), col("n_nulls"),
           col("min_val"), col("max_val"), col("sum_val"))
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
