@@ -84,6 +84,7 @@ object SparkEntry {
     "q_feature_hash" -> (TextAnalysis.featureHashQuery _),
     "q_winnow" -> (TextAnalysis.winnowQuery _),
     "q_winnow_contam" -> (TextAnalysis.winnowContamQuery _),
+    "q_lm_ppl" -> (TextAnalysis.lmScoreQuery _),
     // Sparse retrieval: BM25 scoring + RAG chunking with overlap
     "q_bm25" -> ((s, d) => Retrieval.bm25Query(s, d)),
     "q_chunk" -> (Retrieval.chunkQuery _),
@@ -1468,6 +1469,47 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_fp AS INTEGER) AS n_fp, n_shared,
         |  CAST(n_shared AS DOUBLE) / CAST(n_fp AS DOUBLE) AS shared_frac
         |FROM m
+        |ORDER BY doc_id""".stripMargin,
+    // LM perplexity: the oracle refits the ENTIRE bigram model
+    // (context counts, minCount-pruned bigram counts, vocab size) on
+    // the same reference slice and replays the smoothed scoring.
+    // Each ln() term is rounded to 10 dp and summed as DECIMAL, so
+    // the distributed sum and DuckDB's sequential sum agree exactly;
+    // the final exp() rides on the already-rounded avg (q_bm25 rule).
+    "q_lm_ppl" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+        |    unnest(t[2:len(t)]) AS w2
+        |  FROM toks),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg
+        |  WHERE doc_id % 5 = 0 GROUP BY w1, w2 HAVING count(*) >= 2),
+        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg
+        |  WHERE doc_id % 5 = 0 GROUP BY w1),
+        |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bg
+        |  WHERE doc_id % 5 = 0),
+        |terms AS (
+        |  SELECT bg.doc_id,
+        |    CAST(round(ln(
+        |      (CAST(coalesce(c2.c2, 0) AS DOUBLE) + 0.1) /
+        |      (CAST(coalesce(c1.c1, 0) AS DOUBLE) +
+        |        0.1 * CAST(v.v AS DOUBLE))), 10)
+        |      AS DECIMAL(20,10)) AS term
+        |  FROM bg
+        |  LEFT JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+        |  LEFT JOIN c1 ON bg.w1 = c1.w1
+        |  CROSS JOIN v),
+        |agg AS (SELECT doc_id, sum(term) AS sum_lp,
+        |    CAST(count(*) AS BIGINT) AS n_bigrams
+        |  FROM terms GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  round(CAST(sum_lp AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+        |    AS avg_logp,
+        |  round(exp(-round(CAST(sum_lp AS DOUBLE) /
+        |    CAST(n_bigrams AS DOUBLE), 6)), 4) AS ppl
+        |FROM agg
         |ORDER BY doc_id""".stripMargin,
     // Snapshot diff: the oracle rebuilds the same deterministic v2
     // Incremental refresh: the oracle curates v2 FROM SCRATCH (same

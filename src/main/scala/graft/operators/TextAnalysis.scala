@@ -284,4 +284,68 @@ object TextAnalysis {
     * q_fingerprint's cost at sf0.1. */
   def rollingHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     call_function("graft_rolling_hash", c)
+
+  /**
+   * Bigram-LM perplexity scoring — the CCNet/KenLM-style quality
+   * filter: fit a smoothed bigram language model on a trusted
+   * reference slice of the corpus, then score EVERY document by its
+   * mean per-bigram log-probability under that model (low perplexity
+   * = close to the reference distribution; high = boilerplate, spam,
+   * wrong language). This is the model-based twin of the heuristic
+   * [[qualityQuery]] gates — the step crawl pipelines run between
+   * dedup and training.
+   *
+   * Scale design (100 TB): the corpus side never shuffles text — the
+   * bigram explode is narrow, both model joins are broadcast, and the
+   * final groupBy ships only (doc_id, decimal partial-sum) pairs via
+   * map-side partial aggregation. The model is bounded by
+   * construction: bigrams below `minCount` are pruned (they score as
+   * unseen), so the broadcast is vocabulary-sized, not corpus-sized;
+   * at the extreme the reference slice is itself a deterministic
+   * hash-sample ([[Sampling]]).
+   *
+   * Exactness: each per-position ln() term is rounded to 10 dp and
+   * summed as DECIMAL — order-free, so the single-threaded oracle sum
+   * matches the distributed one bit-for-bit (the q1/q5 decimal rule
+   * applied in log-space). P(w2|w1) = (c2 + a) / (c1 + a*V) with c1 a
+   * bigram-CONTEXT count (unsmoothed probs sum to 1 over the vocab).
+   */
+  def lmScoreOver(docs: DataFrame,
+      refFilter: org.apache.spark.sql.Column, minCount: Int = 2,
+      alpha: Double = 0.1): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2)," +
+          " i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val ref = bg.filter(refFilter)
+    val c2 = ref.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2")).filter(col("c2") >= minCount)
+    val c1 = ref.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = ref.agg(countDistinct(col("w2")).as("v"))
+    bg.join(broadcast(c2), Seq("w1", "w2"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("term", round(log(
+        (coalesce(col("c2"), lit(0L)).cast("double") + lit(alpha)) /
+          (coalesce(col("c1"), lit(0L)).cast("double") +
+            lit(alpha) * col("v").cast("double"))), 10)
+        .cast("decimal(20,10)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term")).as("sum_lp"), count(lit(1)).as("n_bigrams"))
+      .withColumn("avg_logp", round(
+        col("sum_lp").cast("double") / col("n_bigrams").cast("double"),
+        6))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logp"),
+        round(exp(-col("avg_logp")), 4).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[lmScoreOver]] wired to the documents table; reference slice =
+    * every 5th document (deterministic, oracle-replayable). */
+  def lmScoreQuery(spark: SparkSession, sfDir: String): DataFrame =
+    lmScoreOver(Tables.load(spark, sfDir, "documents"),
+      col("doc_id") % 5 === 0)
 }

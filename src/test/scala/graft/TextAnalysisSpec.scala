@@ -166,4 +166,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(3L).length == 1)
     assert(fps(4L).length == 1)
   }
+
+  test("lmScoreOver matches a hand-computed smoothed bigram model") {
+    // Reference slice = doc 0 only: "a b a b a c".
+    // Context counts c1: a->3 (ab,ab,ac), b->2 (ba,ba); vocab V
+    // (distinct w2 in slice) = {b,a,c} = 3. minCount=2 prunes (a,c)
+    // [count 1], keeps (a,b)=2 and (b,a)=2.
+    val docs = Seq(
+      (0L, "a b a b a c"), // in-model doc
+      (1L, "a b"),         // single kept bigram
+      (2L, "z q")          // fully OOV
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .lmScoreOver(docs, col("doc_id") === 0L)
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logp"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (k, n, lp) => k -> ((n, lp)) }.toMap
+    val a = 0.1; val v = 3.0
+    def term(c2: Long, c1: Long): Double =
+      BigDecimal(math.log((c2 + a) / (c1 + a * v)))
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def avg(ts: Seq[Double]): Double =
+      BigDecimal(ts.map(BigDecimal(_)).sum.toDouble / ts.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 0: ab, ba, ab, ba, ac(pruned -> c2=0)
+    assert(got(0L) == ((5L,
+      avg(Seq(term(2, 3), term(2, 2), term(2, 3), term(2, 2),
+        term(0, 3))))))
+    // doc 1: one kept bigram
+    assert(got(1L) == ((1L, avg(Seq(term(2, 3))))))
+    // doc 2: OOV context -> c1=0, c2=0 -> ln(0.1/0.3)
+    assert(got(2L) == ((1L, avg(Seq(term(0, 0))))))
+  }
 }
