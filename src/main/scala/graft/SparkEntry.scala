@@ -130,6 +130,7 @@ object SparkEntry {
     "q_cluster_canonical" -> (Dedup.clusterCanonicalQuery _),
     // Similarity search (north star)
     "q_ann_topk" -> (Similarity.annBruteForceQuery _),
+    "q_kmeans" -> ((s, d) => Similarity.kmeansClusterQuery(s, d)),
     // Bitext mining: cross-lingual top-1 + margin over embeddings
     "q_bitext" -> (Similarity.bitextMineQuery _),
     // IVF-blocked bitext (the 100 TB serving path; recall + scanned-
@@ -1067,6 +1068,78 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rank, cos_sim
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // Distributed k-means (q_pagerank pattern): the oracle replays
+    // stride seeding and BOTH Lloyd rounds CTE-for-CTE. Distances use
+    // the list_dot_product 3-term form rounded to 6 dp (+0.0 kills
+    // cancellation's -0.0) BEFORE the argmin so cell decisions are
+    // engine-independent; centroid means are 1e-6 fixed-point BIGINT
+    // sums — order-free, exact on both engines.
+    "q_kmeans" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |seeds AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER)
+        |      - 1 AS cent_id, v AS c
+        |  FROM e
+        |  WHERE vec_id % (SELECT greatest(CAST(count(*) AS BIGINT)
+        |    // 8, 1) FROM e) = 0
+        |  ORDER BY vec_id LIMIT 8),
+        |d0 AS (
+        |  SELECT e.vec_id, e.v, s.cent_id,
+        |    round(list_dot_product(e.v, e.v)
+        |      - 2.0 * list_dot_product(e.v, s.c)
+        |      + list_dot_product(s.c, s.c), 6) + 0.0 AS d
+        |  FROM e CROSS JOIN seeds s),
+        |a0 AS (
+        |  SELECT vec_id, v, cent_id AS cell, d FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d, cent_id) AS rn FROM d0) WHERE rn = 1),
+        |u0 AS (
+        |  SELECT cell AS cent_id, unnest(range(len(v))) AS dim,
+        |    unnest(v) AS x FROM a0),
+        |m0 AS (
+        |  SELECT cent_id, dim, CAST(sum(CAST(round(x * 1000000.0, 0)
+        |      AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM u0 GROUP BY cent_id, dim),
+        |c1 AS (
+        |  SELECT cent_id, list(CAST(s AS DOUBLE) /
+        |    (CAST(cnt AS DOUBLE) * 1000000.0) ORDER BY dim) AS c
+        |  FROM m0 GROUP BY cent_id),
+        |d1 AS (
+        |  SELECT e.vec_id, e.v, s.cent_id,
+        |    round(list_dot_product(e.v, e.v)
+        |      - 2.0 * list_dot_product(e.v, s.c)
+        |      + list_dot_product(s.c, s.c), 6) + 0.0 AS d
+        |  FROM e CROSS JOIN c1 s),
+        |a1 AS (
+        |  SELECT vec_id, v, cent_id AS cell, d FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d, cent_id) AS rn FROM d1) WHERE rn = 1),
+        |u1 AS (
+        |  SELECT cell AS cent_id, unnest(range(len(v))) AS dim,
+        |    unnest(v) AS x FROM a1),
+        |m1 AS (
+        |  SELECT cent_id, dim, CAST(sum(CAST(round(x * 1000000.0, 0)
+        |      AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM u1 GROUP BY cent_id, dim),
+        |c2 AS (
+        |  SELECT cent_id, list(CAST(s AS DOUBLE) /
+        |    (CAST(cnt AS DOUBLE) * 1000000.0) ORDER BY dim) AS c
+        |  FROM m1 GROUP BY cent_id),
+        |d2 AS (
+        |  SELECT e.vec_id, s.cent_id,
+        |    round(list_dot_product(e.v, e.v)
+        |      - 2.0 * list_dot_product(e.v, s.c)
+        |      + list_dot_product(s.c, s.c), 6) + 0.0 AS d
+        |  FROM e CROSS JOIN c2 s)
+        |SELECT vec_id, cell, d FROM (
+        |  SELECT vec_id, cent_id AS cell, d,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d, cent_id) AS rn FROM d2) t
+        |WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
     // The mixed REAL-codec corpus: every payload is a genuine container
     // (PNG / RIFF WAVE / RIFF AVI) with id-derived metadata, decoded by
     // the real parser for its kind — the oracle predicts every reported

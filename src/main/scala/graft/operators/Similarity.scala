@@ -597,4 +597,79 @@ object Similarity {
         col("cos_sim"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Sequential-fold dot product in DOUBLE — bit-identical to DuckDB's
+    * `list_dot_product` (same index order, same promotion), the parity
+    * primitive every cross-engine distance gate rides on. */
+  private def dotD(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
+      (acc, x) => acc + x)
+
+  /**
+   * Distributed Lloyd's k-means as a GATE QUERY — the topic-bucketing
+   * / SemDeDup primitive: deterministic stride seeding, `iters` rounds
+   * of (assign to nearest centroid, recompute centroid means), final
+   * per-vector assignment. Unlike [[kmeansCentroids]] (the driver-side
+   * model fit that feeds IVF serving), this formulation never collects:
+   * centroids stay a k-row DataFrame, so the whole refinement is one
+   * lazy plan the oracle can replay CTE-for-CTE (the q_pagerank
+   * pattern applied to clustering).
+   *
+   * Scale shape: assignment = corpus × broadcast(k centroids) with a
+   * groupBy(vec_id) min(struct) — the shuffle carries one 16-byte
+   * (dist, cell) struct per vector, never the embedding; the update
+   * step ships O(k·dims·partitions) quantized partial sums. At real
+   * scale each round would checkpoint the k-row centroid frame (the
+   * q_pagerank reliable-checkpoint mode); at gate scale the lazy
+   * 2-round lineage is cheaper than the action.
+   *
+   * Cross-engine exactness, by construction: distances use the 3-term
+   * dot form with [[dotD]] parity, rounded to 6 dp (+0.0 canonicalizes
+   * negative zero from cancellation) BEFORE the argmin, so the integer
+   * cell decisions are engine-independent; centroid means quantize
+   * components to 1e-6 fixed point and sum BIGINTs — order-free, so
+   * the distributed mean equals DuckDB's sequential one bit-for-bit.
+   * Cells are provably non-empty: every seed is a corpus vector at
+   * distance 0 of itself (exact-duplicate seeds would merge — absent
+   * from the gate corpus and spec-asserted).
+   */
+  def kmeansClusterQuery(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val stride = math.max(emb.count() / k, 1L)
+    val seeds = emb.filter(col("vec_id") % stride === 0)
+      .orderBy(col("vec_id")).limit(k)
+      .withColumn("cent_id",
+        row_number().over(Window.orderBy(col("vec_id"))) - 1)
+      .select(col("cent_id"), col("v").as("c"))
+    def assign(cents: DataFrame): DataFrame = emb
+      .crossJoin(broadcast(cents))
+      .withColumn("d", round(
+        dotD(col("v"), col("v")) - lit(2.0) * dotD(col("v"), col("c")) +
+          dotD(col("c"), col("c")), 6) + lit(0.0))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cent_id"))).as("m"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), col("m.cent_id").as("cell"),
+        col("m.d").as("d"))
+    def update(assigned: DataFrame): DataFrame = assigned
+      .select(col("cell").as("cent_id"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      .withColumn("q", round(col("x") * lit(1000000.0), 0).cast("long"))
+      .groupBy(col("cent_id"), col("dim"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("cnt"))
+      .withColumn("m", col("s").cast("double") /
+        (col("cnt").cast("double") * lit(1000000.0)))
+      .groupBy(col("cent_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as("c"))
+    var cents = seeds
+    (1 to iters).foreach(_ => cents = update(assign(cents)))
+    assign(cents)
+      .select(col("vec_id"), col("cell"), col("d"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -244,4 +244,27 @@ class SimilaritySpec extends SparkSpec {
     val frac = scanned.toDouble / (nSrc * nTgt)
     assert(frac < 0.8, s"cell blocking scanned fraction $frac not < 0.8")
   }
+
+  test("kmeans gate query: all cells non-empty, refinement helps, " +
+      "deterministic") {
+    val r2 = Similarity.kmeansClusterQuery(spark, sfDir, k = 8,
+      iters = 2).collect()
+    // every vector assigned exactly once; all 8 cells captured vectors
+    // (seed-contains-self guarantees non-empty absent duplicate seeds)
+    assert(r2.map(_.getLong(0)).distinct.length == r2.length)
+    assert(r2.map(_.getInt(1)).toSet == (0 until 8).toSet)
+    // Lloyd refinement: within-cluster squared distance after two
+    // rounds is no worse than the seed assignment's
+    val r0 = Similarity.kmeansClusterQuery(spark, sfDir, k = 8,
+      iters = 0).collect()
+    val wss0 = r0.map(_.getDouble(2)).sum
+    val wss2 = r2.map(_.getDouble(2)).sum
+    assert(wss2 <= wss0 + 1e-6, s"WSS grew: $wss0 -> $wss2")
+    // bit-identical re-run (the property the oracle hash relies on)
+    val again = Similarity.kmeansClusterQuery(spark, sfDir, k = 8,
+      iters = 2).collect()
+    assert(r2.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .toSeq == again.map(r => (r.getLong(0), r.getInt(1),
+        r.getDouble(2))).toSeq)
+  }
 }
