@@ -104,6 +104,7 @@ object SparkEntry {
     // Deterministic sampling (north star: reproducible subsets)
     "q_sample_hash" -> (Sampling.hashSampleQuery _),
     "q_sample_stratified" -> ((s, d) => Sampling.stratifiedSampleQuery(s, d)),
+    "q_split_leakfree" -> (Sampling.leakFreeSplitQuery _),
     // Data selection: mixture resampling + DSIR importance weighting
     "q_domain_mix" -> ((s, d) => Sampling.domainMixQuery(s, d)),
     "q_importance" -> ((s, d) => Sampling.importanceQuery(s, d)),
@@ -1707,6 +1708,21 @@ object SparkEntry {
         |FROM documents
         |WHERE substring(md5(text), 1, 2) < '28'
         |ORDER BY doc_id""".stripMargin,
+    // Leakage-free split: the 80/10/10 hash split keyed on the
+    // duplicate-CLUSTER id (shared recursive-CTE pair/cluster
+    // definition), so near-dup docs provably share a split.
+    "q_split_leakfree" ->
+      (s"WITH RECURSIVE $jaccardBaseCte,\n$clusterCte," +
+        """
+        |b AS (SELECT doc_id, cluster_id,
+        |    ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 6))
+        |      ::BIGINT % 10 AS b
+        |  FROM cl)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM b
+        |ORDER BY doc_id""".stripMargin),
     "q_sample_stratified" ->
       """WITH r AS (
         |  SELECT lang, doc_id,

@@ -198,4 +198,31 @@ object Sampling {
         (col("imp_score") > 0).as("keep"))
       .orderBy(col("doc_id"))
   }
+
+  /**
+   * Leakage-free train/val/test split: the deterministic 80/10/10
+   * hash split, but keyed on the DUPLICATE-CLUSTER id
+   * ([[Dedup.clusterLabels]]) instead of the document id — near-dup
+   * documents land in the SAME split by construction, so evaluation
+   * never scores paraphrases of training rows (the train/test-leakage
+   * failure every dataset paper warns about; a doc-keyed split leaks
+   * every cluster that straddles the boundary).
+   *
+   * Scale shape: cluster labels come from the cached
+   * connected-components pass (one pointer-jumping job per corpus
+   * version, already built by the dedup family); the split itself is
+   * a pure md5 projection on the label + one broadcast-size join —
+   * no new shuffle over text. The 24-bit coin makes the rate exact
+   * and repartition-stable at any corpus size.
+   */
+  def leakFreeSplitQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val cc = Dedup.clusterLabels(spark, sfDir)
+    cc.select(col("id").as("doc_id"), col("label").as("cluster_id"),
+      (hashBucket24(col("label").cast("string")) % 10).as("b"))
+      .withColumn("split",
+        when(col("b") < 8, "train")
+          .when(col("b") === 8, "val").otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
 }

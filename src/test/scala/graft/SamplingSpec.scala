@@ -136,4 +136,23 @@ class SamplingSpec extends SparkSpec {
     assert(!exchanges.exists(_.contains("text#")),
       s"document text flows through an exchange:\n$exchanges")
   }
+
+  test("leak-free split: clusters never straddle a split boundary") {
+    val rows = Sampling.leakFreeSplitQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // every document assigned exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // THE property: one split per cluster (a doc-keyed 80/10/10 split
+    // would violate this for any cluster crossing a bucket boundary)
+    rows.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $cl straddles splits: ${members.toSeq}")
+    }
+    // rate sanity: train strictly dominates, all three splits present
+    // at gate size (500 docs, ~488 clusters)
+    val bySplit = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"), s"$bySplit")
+    assert(bySplit("train") > bySplit("val") &&
+      bySplit("train") > bySplit("test"), s"$bySplit")
+  }
 }
