@@ -132,6 +132,7 @@ object SparkEntry {
     // Similarity search (north star)
     "q_ann_topk" -> (Similarity.annBruteForceQuery _),
     "q_kmeans" -> ((s, d) => Similarity.kmeansClusterQuery(s, d)),
+    "q_dedup_semantic" -> ((s, d) => Similarity.semanticDedupQuery(s, d)),
     // Bitext mining: cross-lingual top-1 + margin over embeddings
     "q_bitext" -> (Similarity.bitextMineQuery _),
     // IVF-blocked bitext (the 100 TB serving path; recall + scanned-
@@ -256,6 +257,79 @@ object SparkEntry {
       |  SELECT w.node, e.b FROM walk w JOIN e2 e ON w.reach = e.a),
       |cl AS (SELECT node AS doc_id, min(reach) AS cluster_id
       |  FROM walk GROUP BY node)""".stripMargin
+
+  /** Shared oracle fragment: the FULL distributed-k-means replay
+    * (stride seeding + two Lloyd assign/update rounds) ending in
+    * `a2(vec_id, v, cell, d)` — the single source of truth for the
+    * clustering gate (q_kmeans) and the cell-blocked semantic-dedup
+    * gate (q_dedup_semantic), mirroring the engine's shared
+    * `kmeansAssignments`. Distances: list_dot_product 3-term form
+    * rounded to 6 dp (+0.0 kills cancellation's -0.0) BEFORE the
+    * argmin; centroid means: 1e-6 fixed-point BIGINT sums. */
+  private val kmeansCte: String =
+    """e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |seeds AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER)
+      |      - 1 AS cent_id, v AS c
+      |  FROM e
+      |  WHERE vec_id % (SELECT greatest(CAST(count(*) AS BIGINT)
+      |    // 8, 1) FROM e) = 0
+      |  ORDER BY vec_id LIMIT 8),
+      |d0 AS (
+      |  SELECT e.vec_id, e.v, s.cent_id,
+      |    round(list_dot_product(e.v, e.v)
+      |      - 2.0 * list_dot_product(e.v, s.c)
+      |      + list_dot_product(s.c, s.c), 6) + 0.0 AS d
+      |  FROM e CROSS JOIN seeds s),
+      |a0 AS (
+      |  SELECT vec_id, v, cent_id AS cell, d FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY d, cent_id) AS rn FROM d0) WHERE rn = 1),
+      |u0 AS (
+      |  SELECT cell AS cent_id, unnest(range(len(v))) AS dim,
+      |    unnest(v) AS x FROM a0),
+      |m0 AS (
+      |  SELECT cent_id, dim, CAST(sum(CAST(round(x * 1000000.0, 0)
+      |      AS BIGINT)) AS BIGINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM u0 GROUP BY cent_id, dim),
+      |c1 AS (
+      |  SELECT cent_id, list(CAST(s AS DOUBLE) /
+      |    (CAST(cnt AS DOUBLE) * 1000000.0) ORDER BY dim) AS c
+      |  FROM m0 GROUP BY cent_id),
+      |d1 AS (
+      |  SELECT e.vec_id, e.v, s.cent_id,
+      |    round(list_dot_product(e.v, e.v)
+      |      - 2.0 * list_dot_product(e.v, s.c)
+      |      + list_dot_product(s.c, s.c), 6) + 0.0 AS d
+      |  FROM e CROSS JOIN c1 s),
+      |a1 AS (
+      |  SELECT vec_id, v, cent_id AS cell, d FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY d, cent_id) AS rn FROM d1) WHERE rn = 1),
+      |u1 AS (
+      |  SELECT cell AS cent_id, unnest(range(len(v))) AS dim,
+      |    unnest(v) AS x FROM a1),
+      |m1 AS (
+      |  SELECT cent_id, dim, CAST(sum(CAST(round(x * 1000000.0, 0)
+      |      AS BIGINT)) AS BIGINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM u1 GROUP BY cent_id, dim),
+      |c2 AS (
+      |  SELECT cent_id, list(CAST(s AS DOUBLE) /
+      |    (CAST(cnt AS DOUBLE) * 1000000.0) ORDER BY dim) AS c
+      |  FROM m1 GROUP BY cent_id),
+      |d2 AS (
+      |  SELECT e.vec_id, e.v, s.cent_id,
+      |    round(list_dot_product(e.v, e.v)
+      |      - 2.0 * list_dot_product(e.v, s.c)
+      |      + list_dot_product(s.c, s.c), 6) + 0.0 AS d
+      |  FROM e CROSS JOIN c2 s),
+      |a2 AS (
+      |  SELECT vec_id, v, cent_id AS cell, d FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY d, cent_id) AS rn FROM d2) WHERE rn = 1)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1076,71 +1150,36 @@ object SparkEntry {
     // engine-independent; centroid means are 1e-6 fixed-point BIGINT
     // sums — order-free, exact on both engines.
     "q_kmeans" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |seeds AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER)
-        |      - 1 AS cent_id, v AS c
-        |  FROM e
-        |  WHERE vec_id % (SELECT greatest(CAST(count(*) AS BIGINT)
-        |    // 8, 1) FROM e) = 0
-        |  ORDER BY vec_id LIMIT 8),
-        |d0 AS (
-        |  SELECT e.vec_id, e.v, s.cent_id,
-        |    round(list_dot_product(e.v, e.v)
-        |      - 2.0 * list_dot_product(e.v, s.c)
-        |      + list_dot_product(s.c, s.c), 6) + 0.0 AS d
-        |  FROM e CROSS JOIN seeds s),
-        |a0 AS (
-        |  SELECT vec_id, v, cent_id AS cell, d FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY d, cent_id) AS rn FROM d0) WHERE rn = 1),
-        |u0 AS (
-        |  SELECT cell AS cent_id, unnest(range(len(v))) AS dim,
-        |    unnest(v) AS x FROM a0),
-        |m0 AS (
-        |  SELECT cent_id, dim, CAST(sum(CAST(round(x * 1000000.0, 0)
-        |      AS BIGINT)) AS BIGINT) AS s,
-        |    CAST(count(*) AS BIGINT) AS cnt
-        |  FROM u0 GROUP BY cent_id, dim),
-        |c1 AS (
-        |  SELECT cent_id, list(CAST(s AS DOUBLE) /
-        |    (CAST(cnt AS DOUBLE) * 1000000.0) ORDER BY dim) AS c
-        |  FROM m0 GROUP BY cent_id),
-        |d1 AS (
-        |  SELECT e.vec_id, e.v, s.cent_id,
-        |    round(list_dot_product(e.v, e.v)
-        |      - 2.0 * list_dot_product(e.v, s.c)
-        |      + list_dot_product(s.c, s.c), 6) + 0.0 AS d
-        |  FROM e CROSS JOIN c1 s),
-        |a1 AS (
-        |  SELECT vec_id, v, cent_id AS cell, d FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY d, cent_id) AS rn FROM d1) WHERE rn = 1),
-        |u1 AS (
-        |  SELECT cell AS cent_id, unnest(range(len(v))) AS dim,
-        |    unnest(v) AS x FROM a1),
-        |m1 AS (
-        |  SELECT cent_id, dim, CAST(sum(CAST(round(x * 1000000.0, 0)
-        |      AS BIGINT)) AS BIGINT) AS s,
-        |    CAST(count(*) AS BIGINT) AS cnt
-        |  FROM u1 GROUP BY cent_id, dim),
-        |c2 AS (
-        |  SELECT cent_id, list(CAST(s AS DOUBLE) /
-        |    (CAST(cnt AS DOUBLE) * 1000000.0) ORDER BY dim) AS c
-        |  FROM m1 GROUP BY cent_id),
-        |d2 AS (
-        |  SELECT e.vec_id, s.cent_id,
-        |    round(list_dot_product(e.v, e.v)
-        |      - 2.0 * list_dot_product(e.v, s.c)
-        |      + list_dot_product(s.c, s.c), 6) + 0.0 AS d
-        |  FROM e CROSS JOIN c2 s)
-        |SELECT vec_id, cell, d FROM (
-        |  SELECT vec_id, cent_id AS cell, d,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY d, cent_id) AS rn FROM d2) t
-        |WHERE rn = 1
-        |ORDER BY vec_id""".stripMargin,
+      (s"WITH $kmeansCte\n" +
+        """SELECT vec_id, cell, d FROM a2
+        |ORDER BY vec_id""".stripMargin),
+    // SemDeDup audit: pairwise cosine ONLY within the shared-CTE
+    // k-means cells; norms precomputed per vector (IEEE sqrt is
+    // correctly rounded -> cross-engine exact); close-pair decisions
+    // on the ROUNDED cosine.
+    "q_dedup_semantic" ->
+      (s"WITH $kmeansCte,\n" +
+        """nrm AS (SELECT vec_id, v, cell,
+        |    sqrt(list_dot_product(v, v)) AS nrm FROM a2),
+        |p AS (
+        |  SELECT x.cell, x.vec_id AS a, y.vec_id AS b,
+        |    round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4)
+        |      AS cos
+        |  FROM nrm x JOIN nrm y
+        |    ON x.cell = y.cell AND x.vec_id < y.vec_id),
+        |sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members
+        |  FROM a2 GROUP BY cell),
+        |clo AS (SELECT cell, CAST(sum(CASE WHEN cos >= 0.5 THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_close
+        |  FROM p GROUP BY cell),
+        |best AS (SELECT cell, a, b, cos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cell
+        |      ORDER BY cos DESC, a, b) AS rn FROM p) WHERE rn = 1)
+        |SELECT sz.cell, sz.n_members, clo.n_close, best.a, best.b,
+        |  best.cos
+        |FROM sz JOIN clo ON sz.cell = clo.cell
+        |JOIN best ON sz.cell = best.cell
+        |ORDER BY sz.cell""".stripMargin),
     // The mixed REAL-codec corpus: every payload is a genuine container
     // (PNG / RIFF WAVE / RIFF AVI) with id-derived metadata, decoded by
     // the real parser for its kind — the oracle predicts every reported

@@ -635,7 +635,17 @@ object Similarity {
    * from the gate corpus and spec-asserted).
    */
   def kmeansClusterQuery(spark: SparkSession, sfDir: String, k: Int = 8,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2): DataFrame =
+    kmeansAssignments(spark, sfDir, k, iters)
+      .select(col("vec_id"), col("cell"), col("d"))
+      .orderBy(col("vec_id"))
+
+  /** The shared Lloyd refinement behind [[kmeansClusterQuery]] and
+    * [[semanticDedupQuery]]: final (vec_id, v, cell, d) assignment
+    * after `iters` assign/update rounds (the engine twin of the
+    * shared `kmeansCte` oracle chain). */
+  private[graft] def kmeansAssignments(spark: SparkSession,
+      sfDir: String, k: Int, iters: Int): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val stride = math.max(emb.count() / k, 1L)
@@ -669,7 +679,46 @@ object Similarity {
     var cents = seeds
     (1 to iters).foreach(_ => cents = update(assign(cents)))
     assign(cents)
-      .select(col("vec_id"), col("cell"), col("d"))
-      .orderBy(col("vec_id"))
+  }
+
+  /**
+   * SemDeDup-style semantic dedup audit: pairwise cosine ONLY within
+   * k-means cells ([[kmeansAssignments]]) — the blocking that turns
+   * the O(N²) all-pairs scan into Σ O(|cell|²), the entire point of
+   * semantic dedup at 100 TB (embeddings shuffle exactly once, by
+   * cell; pair work never crosses a cell boundary). Per cell: member
+   * count, how many pairs clear the near-dup bar (on the ROUNDED
+   * cosine — the engine-independent decision), and the closest pair.
+   *
+   * Norms are precomputed per vector BEFORE the pair join (IEEE sqrt
+   * is correctly rounded, so cross-engine-exact), so each pair costs
+   * one dot product; the dot is the [[dotD]] parity fold.
+   */
+  def semanticDedupQuery(spark: SparkSession, sfDir: String,
+      k: Int = 8, iters: Int = 2, closeBar: Double = 0.5): DataFrame = {
+    val a = kmeansAssignments(spark, sfDir, k, iters)
+      .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+      .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+    val pairs = a.select(col("cell"), col("vec_id").as("a"),
+        col("v").as("va"), col("nrm").as("na"))
+      .join(a.select(col("cell"), col("vec_id").as("b"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("cell"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", round(
+        dotD(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+    val sizes = a.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"))
+    val close = pairs.groupBy(col("cell"))
+      .agg(sum(when(col("cos") >= closeBar, 1L).otherwise(0L))
+        .as("n_close"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("cos").desc, col("a"), col("b"))
+    val best = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("a"), col("b"), col("cos"))
+    sizes.join(close, Seq("cell")).join(best, Seq("cell"))
+      .select(col("cell"), col("n_members"), col("n_close"),
+        col("a"), col("b"), col("cos"))
+      .orderBy(col("cell"))
   }
 }

@@ -267,4 +267,33 @@ class SimilaritySpec extends SparkSpec {
       .toSeq == again.map(r => (r.getLong(0), r.getInt(1),
         r.getDouble(2))).toSeq)
   }
+
+  test("semantic dedup: cell blocking examines a strict subset of " +
+      "all pairs, and the best pair is the true within-cell max") {
+    val res = Similarity.semanticDedupQuery(spark, sfDir).collect()
+    assert(res.length == 8)
+    val n = res.map(_.getLong(1)).sum
+    // Σ C(|cell|,2) < C(N,2): the point of blocking
+    val examined = res.map(r => {
+      val m = r.getLong(1); m * (m - 1) / 2
+    }).sum
+    assert(examined < n * (n - 1) / 2,
+      s"blocking saved nothing: $examined vs ${n * (n - 1) / 2}")
+    // best pair really is the max: brute-force one cell
+    val a = Similarity.kmeansAssignments(spark, sfDir, 8, 2)
+      .select(col("cell"), col("vec_id"), col("v")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+    val cell0 = a.filter(_._1 == res.head.getInt(0))
+    def cos(x: Seq[Double], y: Seq[Double]) = {
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      BigDecimal(d / (math.sqrt(x.map(p => p * p).sum) *
+        math.sqrt(y.map(p => p * p).sum)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val brute = (for {
+      (_, i, vi) <- cell0; (_, j, vj) <- cell0 if i < j
+    } yield cos(vi, vj)).max
+    assert(res.head.getDouble(5) == brute,
+      s"best-pair cos ${res.head.getDouble(5)} != brute $brute")
+  }
 }
