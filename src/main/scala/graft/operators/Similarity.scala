@@ -690,6 +690,14 @@ object Similarity {
    * count, how many pairs clear the near-dup bar (on the ROUNDED
    * cosine — the engine-independent decision), and the closest pair.
    *
+   * SCALE RULE — k grows with the corpus: blocking is only linear if
+   * cell size stays bounded, so production sets k ≈ N/targetCellSize
+   * (Σ|cell|² ≈ N·cellSize); a FIXED k makes cells — and pair work —
+   * grow quadratically with N (the sf10 probe measures exactly that,
+   * which is why this gate is probed at gate scales only). The gate
+   * pins k=8 to match the shared oracle chain; the spec proves the
+   * k-scaling law by measuring examined-pair counts at two k.
+   *
    * Norms are precomputed per vector BEFORE the pair join (IEEE sqrt
    * is correctly rounded, so cross-engine-exact), so each pair costs
    * one dot product; the dot is the [[dotD]] parity fold.

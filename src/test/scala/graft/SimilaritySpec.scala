@@ -296,4 +296,16 @@ class SimilaritySpec extends SparkSpec {
     assert(res.head.getDouble(5) == brute,
       s"best-pair cos ${res.head.getDouble(5)} != brute $brute")
   }
+
+  test("semantic dedup scale rule: growing k shrinks pair work") {
+    // the production law k ≈ N/cellSize: 4x the cells ⇒ ~1/4 the
+    // examined pairs (Σ C(|cell|,2) ∝ N·cellSize when cells balance)
+    def examined(k: Int): Long =
+      Similarity.semanticDedupQuery(spark, sfDir, k = k).collect()
+        .map(r => { val m = r.getLong(1); m * (m - 1) / 2 }).sum
+    val at8 = examined(8)
+    val at32 = examined(32)
+    assert(at32 < at8,
+      s"k=32 examined $at32 pairs, not fewer than k=8's $at8")
+  }
 }
