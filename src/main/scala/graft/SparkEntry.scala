@@ -105,6 +105,7 @@ object SparkEntry {
     "q_sample_hash" -> (Sampling.hashSampleQuery _),
     "q_sample_stratified" -> ((s, d) => Sampling.stratifiedSampleQuery(s, d)),
     "q_split_leakfree" -> (Sampling.leakFreeSplitQuery _),
+    "q_sample_weighted" -> ((s, d) => Sampling.weightedSampleQuery(s, d)),
     // Data selection: mixture resampling + DSIR importance weighting
     "q_domain_mix" -> ((s, d) => Sampling.domainMixQuery(s, d)),
     "q_importance" -> ((s, d) => Sampling.importanceQuery(s, d)),
@@ -1747,6 +1748,24 @@ object SparkEntry {
         |FROM documents
         |WHERE substring(md5(text), 1, 2) < '28'
         |ORDER BY doc_id""".stripMargin,
+    // Weighted sampling (Efraimidis–Spirakis): top-k by ln(u)/w with
+    // u the 24-bit md5 coin (exact dyadic) and w the token count;
+    // round(.,10) pins ln's 1-ulp so the RANKING is engine-exact.
+    "q_sample_weighted" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+        |    round(ln(
+        |      (CAST(('0x' || substring(md5(text), 1, 6))::BIGINT
+        |        AS DOUBLE) + 1.0) / 16777216.0) /
+        |      CAST(len(string_split(text, ' ')) AS DOUBLE), 10)
+        |      AS lnkey
+        |  FROM documents),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |    ORDER BY lnkey DESC, doc_id) AS INTEGER) AS pick FROM d)
+        |SELECT pick, doc_id, lang, n_tok, lnkey
+        |FROM r WHERE pick <= 100
+        |ORDER BY pick""".stripMargin,
     // Leakage-free split: the 80/10/10 hash split keyed on the
     // duplicate-CLUSTER id (shared recursive-CTE pair/cluster
     // definition), so near-dup docs provably share a split.

@@ -215,6 +215,40 @@ object Sampling {
    * no new shuffle over text. The 24-bit coin makes the rate exact
    * and repartition-stable at any corpus size.
    */
+  /**
+   * Deterministic weighted sampling (Efraimidis–Spirakis A-ES): each
+   * doc gets key u^(1/w) with u a content-hash coin and w its token
+   * count, and the global top-k by key IS a weighted sample without
+   * replacement — P(selected) ∝ weight, the data-mixing primitive for
+   * token-budgeted corpus draws (an unweighted doc sample
+   * over-represents short docs token-wise). Ranking by ln(u)/w is
+   * monotone-equivalent and numerically tame; rounded to 10 dp so the
+   * order is engine-independent (u is an exact dyadic rational, w an
+   * exact integer — ln is the only 1-ulp term).
+   *
+   * Scale shape: the key is a pure projection; the global top-k is
+   * orderBy+limit = TakeOrdered (bounded heap per partition, one
+   * k-row collect to the driver-side stage) — no global sort, no
+   * shuffle of text. Replayable: same corpus, same sample, on any
+   * partitioning.
+   */
+  def weightedSampleQuery(spark: SparkSession, sfDir: String,
+      k: Int = 100): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val nTok = size(split(col("text"), " "))
+    val u = (hashBucket24(col("text")).cast("double") + lit(1.0)) /
+      lit(16777216.0)
+    val top = docs.select(col("doc_id"), col("lang"),
+        nTok.as("n_tok"),
+        round(log(u) / nTok.cast("double"), 10).as("lnkey"))
+      .orderBy(col("lnkey").desc, col("doc_id")).limit(k)
+    top.withColumn("pick", row_number().over(
+        Window.orderBy(col("lnkey").desc, col("doc_id"))))
+      .select(col("pick"), col("doc_id"), col("lang"), col("n_tok"),
+        col("lnkey"))
+      .orderBy(col("pick"))
+  }
+
   def leakFreeSplitQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val cc = Dedup.clusterLabels(spark, sfDir)
     cc.select(col("id").as("doc_id"), col("label").as("cluster_id"),

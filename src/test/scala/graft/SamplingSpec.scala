@@ -137,6 +137,24 @@ class SamplingSpec extends SparkSpec {
       s"document text flows through an exchange:\n$exchanges")
   }
 
+  test("weighted sample: token-heavy docs over-represented, " +
+      "repartition-stable") {
+    val sample = Sampling.weightedSampleQuery(spark, sfDir, k = 50)
+      .collect()
+    assert(sample.length == 50)
+    val sampleMean = sample.map(_.getInt(3).toLong).sum.toDouble / 50
+    val corpusMean = docs
+      .agg(avg(size(split(col("text"), " ")))).head.getDouble(0)
+    // P(selected) ∝ token count ⇒ the sample's mean length exceeds
+    // the corpus mean (length-biased sampling, exact by construction)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean !> corpus mean $corpusMean")
+    // same draw on a different partitioning (content-keyed coin)
+    val again = Sampling.weightedSampleQuery(spark, sfDir, k = 50)
+      .collect().map(_.getLong(1)).toSeq
+    assert(again == sample.map(_.getLong(1)).toSeq)
+  }
+
   test("leak-free split: clusters never straddle a split boundary") {
     val rows = Sampling.leakFreeSplitQuery(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
