@@ -646,8 +646,12 @@ object Similarity {
     * shared `kmeansCte` oracle chain). */
   private[graft] def kmeansAssignments(spark: SparkSession,
       sfDir: String, k: Int, iters: Int): DataFrame = {
+    // v (double) feeds the centroid-distance parity math; the original
+    // float embedding rides along for consumers with float kernels
+    // (the pair phase of [[semanticDedupQuery]])
     val emb = Tables.load(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("embedding"),
+        col("embedding").cast("array<double>").as("v"))
     val stride = math.max(emb.count() / k, 1L)
     val seeds = emb.filter(col("vec_id") % stride === 0)
       .orderBy(col("vec_id")).limit(k)
@@ -661,9 +665,9 @@ object Similarity {
           dotD(col("c"), col("c")), 6) + lit(0.0))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d"), col("cent_id"))).as("m"),
-        first(col("v")).as("v"))
-      .select(col("vec_id"), col("v"), col("m.cent_id").as("cell"),
-        col("m.d").as("d"))
+        first(col("v")).as("v"), first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("v"),
+        col("m.cent_id").as("cell"), col("m.d").as("d"))
     def update(assigned: DataFrame): DataFrame = assigned
       .select(col("cell").as("cent_id"),
         posexplode(col("v")).as(Seq("dim", "x")))
@@ -698,22 +702,28 @@ object Similarity {
    * pins k=8 to match the shared oracle chain; the spec proves the
    * k-scaling law by measuring examined-pair counts at two k.
    *
-   * Norms are precomputed per vector BEFORE the pair join (IEEE sqrt
-   * is correctly rounded, so cross-engine-exact), so each pair costs
-   * one dot product; the dot is the [[dotD]] parity fold.
+   * Pair cosines run on the ORIGINAL float embeddings through the
+   * fused codegen'd `graft_cosine` kernel (one loop accumulates dot
+   * and both norms in double — arithmetically identical to the
+   * oracle's `::DOUBLE[]` norm-then-dot composition, the q_ann_topk
+   * parity precedent); only the centroid math needs the double copies.
    */
   def semanticDedupQuery(spark: SparkSession, sfDir: String,
       k: Int = 8, iters: Int = 2, closeBar: Double = 0.5): DataFrame = {
+    // the assignment feeds three consumers (both pair sides + sizes):
+    // materialize it once instead of re-running the Lloyd chain per
+    // consumer — at scale this is the cell-partitioned store the pair
+    // pass would read anyway
     val a = kmeansAssignments(spark, sfDir, k, iters)
-      .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
-      .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+      .select(col("cell"), col("vec_id"), col("embedding"))
+      .localCheckpoint()
     val pairs = a.select(col("cell"), col("vec_id").as("a"),
-        col("v").as("va"), col("nrm").as("na"))
+        col("embedding").as("va"))
       .join(a.select(col("cell"), col("vec_id").as("b"),
-        col("v").as("vb"), col("nrm").as("nb")), Seq("cell"))
+        col("embedding").as("vb")), Seq("cell"))
       .filter(col("a") < col("b"))
-      .withColumn("cos", round(
-        dotD(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .withColumn("cos",
+        round(VectorOps.cosine(col("va"), col("vb")), 4))
     val sizes = a.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"))
     val close = pairs.groupBy(col("cell"))
