@@ -35,6 +35,7 @@ object SparkEntry {
     "q_window_funcs" -> (Relational.windowFuncsQuery _),
     "q_pivot" -> (Relational.pivotQuery _),
     "q_percentiles" -> (Relational.percentileQuery _),
+    "q_outliers" -> (Relational.outlierQuery _),
     "q_session_window" -> ((s, d) => Scale.sessionWindowQuery(s, d)),
     "q_approx_distinct" -> (Scale.approxDistinctQuery _),
     "q_heavy_hitters" -> ((s, d) => Scale.heavyHittersQuery(s, d)),
@@ -51,6 +52,7 @@ object SparkEntry {
     // Stats engine (SURVEY.md §2.6/M2: footer-stats answering)
     "q_stats_footer" -> (Stats.statsOnlyQuery _),
     "q_col_profile" -> (Stats.columnProfileQuery _),
+    "q_histogram" -> ((s, d) => Stats.histogramQuery(s, d)),
     // Schema evolution + union type (SURVEY.md §2.3, §1.2)
     "q_cast_matrix" -> (Evolution.castMatrixQuery _),
     "q_reader_schema" -> (Evolution.readerSchemaQuery _),
@@ -1253,6 +1255,46 @@ object SparkEntry {
         |  FROM lineitem) t
         |WHERE rank <= 5
         |ORDER BY l_returnflag, rank""".stripMargin,
+    // Equi-width histogram: bucket = least(floor((x-min)/width),
+    // buckets-1) with the identical DOUBLE expression tree; money
+    // sums per bucket use the q1/q5 DECIMAL rule.
+    "q_histogram" ->
+      """WITH mm AS (
+        |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |  FROM lineitem)
+        |SELECT CAST(least(floor((l_extendedprice - lo) /
+        |    ((hi - lo) / 10.0)), 9) AS INTEGER) AS bucket,
+        |  count(*) AS n_rows,
+        |  round(min(l_extendedprice), 2) AS bucket_min,
+        |  round(max(l_extendedprice), 2) AS bucket_max,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,8))), 2)
+        |    AS DOUBLE) AS bucket_sum
+        |FROM lineitem CROSS JOIN mm
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
+    // Median/MAD robust outliers: both medians rounded to 2 dp before
+    // any downstream arithmetic; fence constant inline as 3.0*1.4826
+    // in both trees — every comparison runs on identical doubles.
+    "q_outliers" ->
+      """WITH d AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS x
+        |  FROM lineitem),
+        |med AS (SELECT flag, round(quantile_cont(x, 0.5), 2) AS med
+        |  FROM d GROUP BY flag),
+        |dev AS (SELECT d.flag, d.x, med.med, abs(d.x - med.med) AS adev
+        |  FROM d JOIN med USING (flag)),
+        |mad AS (SELECT flag, round(quantile_cont(adev, 0.5), 2) AS mad
+        |  FROM dev GROUP BY flag),
+        |o AS (SELECT dev.flag, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN adev > 3.0 * 1.4826 * mad.mad
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |  FROM dev JOIN mad USING (flag) GROUP BY dev.flag)
+        |SELECT o.flag AS l_returnflag, o.n_rows, med.med, mad.mad,
+        |  o.n_outliers,
+        |  round(CAST(o.n_outliers AS DOUBLE) /
+        |    CAST(o.n_rows AS DOUBLE), 6) AS outlier_frac
+        |FROM o JOIN med USING (flag) JOIN mad USING (flag)
+        |ORDER BY l_returnflag""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,

@@ -353,6 +353,44 @@ object Relational {
         col("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /**
+   * Robust outlier detection (median/MAD): per group, the median,
+   * the median absolute deviation, and how many rows sit beyond the
+   * 3σ-equivalent robust fence (3·1.4826·MAD) — the data-quality
+   * anomaly gate that, unlike mean/stddev z-scores, is not itself
+   * dragged by the outliers it hunts. Three aggregation passes by
+   * necessity (exact nested medians); the streaming-scale twin is the
+   * GK-sketch percentile path (q_approx_percentiles).
+   *
+   * Cross-engine exactness: both medians are ROUNDED to 2 dp before
+   * any downstream arithmetic (absorbing the ≤1-ulp interpolation
+   * difference, the q_percentiles precedent), and the fence constant
+   * is the literal product 3.0·1.4826 inline in both expression
+   * trees — every comparison then runs on identical doubles.
+   */
+  def outlierQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").as("x"))
+    val med = d.groupBy(col("flag"))
+      .agg(round(expr("percentile(x, 0.5D)"), 2).as("med"))
+    val dev = d.join(broadcast(med), Seq("flag"))
+      .withColumn("adev", abs(col("x") - col("med")))
+    val mad = dev.groupBy(col("flag"))
+      .agg(round(expr("percentile(adev, 0.5D)"), 2).as("mad"))
+    val o = dev.join(broadcast(mad), Seq("flag"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+    o.join(med, Seq("flag")).join(mad, Seq("flag"))
+      .select(col("flag").as("l_returnflag"), col("n_rows"),
+        col("med"), col("mad"), col("n_outliers"),
+        round(col("n_outliers").cast("double") /
+          col("n_rows").cast("double"), 6).as("outlier_frac"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Arbitrary GROUPING SETS (beyond rollup's prefix lattice):
     * (flag, status), (status), () — exercised through Spark SQL since
     * the DataFrame API only exposes cube/rollup shorthands. */

@@ -182,4 +182,40 @@ object Stats {
     import spark.implicits._
     OrcMeta.fileMeta(spark, orcPath).agg(sum($"rawDataSize")).as[Long].head()
   }
+
+  /**
+   * Equi-width histogram of a numeric column — the profiling operator
+   * behind optimizer NDV/selectivity guesses and data-quality drift
+   * views. Two scan-shaped passes: a one-row (min, max) aggregate
+   * broadcast back onto the scan, then one groupBy over ≤ `buckets`
+   * keys — the [[Sampling.domainMixQuery]] shape; no sort, no wide
+   * shuffle, scales to any corpus. The deliberate contrast is the
+   * equi-DEPTH twin: exact deciles need the full sort of
+   * `q_percentiles`, whose documented scale path is the GK sketch
+   * (`q_approx_percentiles`).
+   *
+   * Exactness: bucket = least(floor((x−min)/width), buckets−1) in
+   * DOUBLE with the identical expression tree in the oracle; money
+   * sums use the q1/q5 DECIMAL rule.
+   */
+  def histogramQuery(spark: SparkSession, sfDir: String,
+      buckets: Int = 10): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_extendedprice").as("x"))
+    val mm = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    li.crossJoin(broadcast(mm))
+      .withColumn("bucket", least(
+        floor((col("x") - col("lo")) /
+          ((col("hi") - col("lo")) / lit(buckets.toDouble))),
+        lit(buckets - 1L)).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(min(col("x")), 2).as("bucket_min"),
+        round(max(col("x")), 2).as("bucket_max"),
+        // round while still DECIMAL (exact), cast once for display —
+        // the q1 ordering, mirrored verbatim in the oracle
+        round(sum(col("x").cast("decimal(28,8)")), 2).cast("double")
+          .as("bucket_sum"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -67,4 +67,33 @@ class StatsSpec extends SparkSpec {
       .filter(col("o_orderkey") % 2 === 0), s"$d2/orders")
     assert(Stats.rawDataSize(spark, s"$d2/orders") < size)
   }
+
+  test("equi-width histogram: buckets partition the table exactly") {
+    val h = Stats.histogramQuery(spark, sfDir).collect()
+    val li = Tables.load(spark, sfDir, "lineitem")
+    assert(h.map(_.getLong(1)).sum == li.count(),
+      "bucket counts must sum to the row count — no row lost or doubled")
+    // buckets are contiguous, ordered, non-overlapping
+    assert(h.map(_.getInt(0)).toSeq == h.map(_.getInt(0)).toSeq.sorted)
+    h.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDouble(3) <= b.getDouble(2),
+          s"bucket ${a.getInt(0)} max ${a.getDouble(3)} overlaps " +
+            s"bucket ${b.getInt(0)} min ${b.getDouble(2)}")
+      case _ =>
+    }
+  }
+
+  test("MAD outliers: robust fence flags a small minority per group") {
+    val o = graft.operators.Relational.outlierQuery(spark, sfDir)
+      .collect()
+    assert(o.nonEmpty)
+    o.foreach { r =>
+      assert(r.getDouble(3) > 0.0, "MAD must be positive on real data")
+      val frac = r.getDouble(5)
+      assert(frac >= 0.0 && frac < 0.5,
+        s"robust fence flagged $frac of group ${r.getString(0)} — " +
+          "a majority-outlier result means the fence math is wrong")
+    }
+  }
 }
