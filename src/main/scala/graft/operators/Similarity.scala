@@ -648,7 +648,11 @@ object Similarity {
       sfDir: String, k: Int, iters: Int): DataFrame = {
     // v (double) feeds the centroid-distance parity math; the original
     // float embedding rides along for consumers with float kernels
-    // (the pair phase of [[semanticDedupQuery]])
+    // (the pair phase of [[semanticDedupQuery]]). Gate-scale wall time
+    // is dominated by fixed per-job scheduling latency (~8 sequential
+    // jobs for seeds/broadcasts/updates — measured: checkpointing the
+    // source saves nothing at sf0.1), which amortizes with data size;
+    // at real scale the re-scanned source would be cached/checkpointed.
     val emb = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         col("embedding").cast("array<double>").as("v"))
