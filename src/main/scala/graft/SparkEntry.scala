@@ -53,6 +53,7 @@ object SparkEntry {
     "q_stats_footer" -> (Stats.statsOnlyQuery _),
     "q_col_profile" -> (Stats.columnProfileQuery _),
     "q_histogram" -> ((s, d) => Stats.histogramQuery(s, d)),
+    "q_stats_moments" -> (Stats.momentsQuery _),
     // Schema evolution + union type (SURVEY.md §2.3, §1.2)
     "q_cast_matrix" -> (Evolution.castMatrixQuery _),
     "q_reader_schema" -> (Evolution.readerSchemaQuery _),
@@ -1255,6 +1256,44 @@ object SparkEntry {
         |  FROM lineitem) t
         |WHERE rank <= 5
         |ORDER BY l_returnflag, rank""".stripMargin,
+    // Exact second moments: built-in corr/covar accumulate co-moments
+    // in order-dependent DOUBLE and can never hash-gate; both engines
+    // instead reduce to exact DECIMAL power sums (identical product
+    // doubles per term — the q1 cast precedent) and compute every
+    // statistic from the sums with one shared double tree.
+    "q_stats_moments" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |    sum(CAST(l_quantity AS DECIMAL(28,8))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS sy,
+        |    sum(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS sxx,
+        |    sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8)))
+        |      AS sxy,
+        |    sum(CAST(l_extendedprice * l_extendedprice
+        |      AS DECIMAL(28,8))) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n_rows,
+        |  round(CAST(sx AS DOUBLE) / CAST(n_rows AS DOUBLE), 4)
+        |    AS mean_x,
+        |  round(CAST(sy AS DOUBLE) / CAST(n_rows AS DOUBLE), 4)
+        |    AS mean_y,
+        |  round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |    CAST(sx AS DOUBLE) / CAST(n_rows AS DOUBLE)) /
+        |    CAST(n_rows AS DOUBLE)), 4) AS stddev_x,
+        |  round(sqrt((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) *
+        |    CAST(sy AS DOUBLE) / CAST(n_rows AS DOUBLE)) /
+        |    CAST(n_rows AS DOUBLE)), 4) AS stddev_y,
+        |  round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |    CAST(sy AS DOUBLE) / CAST(n_rows AS DOUBLE)) /
+        |    CAST(n_rows AS DOUBLE), 4) AS covar,
+        |  round((CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     sqrt(CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
+        |FROM a
+        |ORDER BY l_returnflag""".stripMargin,
     // Equi-width histogram: bucket = least(floor((x-min)/width),
     // buckets-1) with the identical DOUBLE expression tree; money
     // sums per bucket use the q1/q5 DECIMAL rule.

@@ -198,6 +198,48 @@ object Stats {
    * DOUBLE with the identical expression tree in the oracle; money
    * sums use the q1/q5 DECIMAL rule.
    */
+  /**
+   * Exact second-moment statistics per group: mean / stddev /
+   * covariance / Pearson correlation of (quantity, price) — the
+   * profiling behind CBO cardinality guesses and feature-drift
+   * monitors. Built-in `corr`/`covar_pop` accumulate co-moments in
+   * DOUBLE with order-dependent merges, so they can NEVER hash-gate
+   * across engines; this formulation instead reduces each group to
+   * exact DECIMAL power sums (Σx, Σy, Σx², Σxy, Σy² — each term is
+   * the same product double on both engines, the q1 cast precedent,
+   * and the sums are order-free), then computes every statistic from
+   * those sums with one shared double expression tree. One map-side-
+   * partial aggregation pass; the shuffle carries five decimals + a
+   * count per group.
+   */
+  def momentsQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").as("x"),
+        col("l_extendedprice").as("y"))
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(28,8)"))
+    val agg = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("x")).as("sx"),
+        dsum(col("y")).as("sy"),
+        dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("x") * col("y")).as("sxy"),
+        dsum(col("y") * col("y")).as("syy"))
+    val n = col("n_rows").cast("double")
+    def d(c: String) = col(c).cast("double")
+    agg.select(col("l_returnflag"), col("n_rows"),
+        round(d("sx") / n, 4).as("mean_x"),
+        round(d("sy") / n, 4).as("mean_y"),
+        round(sqrt((d("sxx") - d("sx") * d("sx") / n) / n), 4)
+          .as("stddev_x"),
+        round(sqrt((d("syy") - d("sy") * d("sy") / n) / n), 4)
+          .as("stddev_y"),
+        round((d("sxy") - d("sx") * d("sy") / n) / n, 4).as("covar"),
+        round((n * d("sxy") - d("sx") * d("sy")) /
+          (sqrt(n * d("sxx") - d("sx") * d("sx")) *
+            sqrt(n * d("syy") - d("sy") * d("sy"))), 6).as("corr"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def histogramQuery(spark: SparkSession, sfDir: String,
       buckets: Int = 10): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")

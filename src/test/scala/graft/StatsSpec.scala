@@ -84,6 +84,32 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("exact-moment stats agree with built-in corr/covar and run " +
+      "in one aggregation pass") {
+    val m = Stats.momentsQuery(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(6), r.getDouble(7))))
+      .toMap
+    val builtin = Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(covar_pop(col("l_quantity"), col("l_extendedprice"))
+        .as("cv"), corr(col("l_quantity"), col("l_extendedprice"))
+        .as("cr")).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    m.foreach { case (flag, (cv, cr)) =>
+      assert(math.abs(cv - builtin(flag)._1) < 1e-3,
+        s"$flag covar $cv vs builtin ${builtin(flag)._1}")
+      assert(math.abs(cr - builtin(flag)._2) < 1e-5,
+        s"$flag corr $cr vs builtin ${builtin(flag)._2}")
+    }
+    // one shuffle only: the power sums are a single partial-agg pass
+    val exchanges = Stats.momentsQuery(spark, sfDir)
+      .queryExecution.executedPlan.toString
+      .linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, // group-agg + final sort
+      s"moments query should be one agg pass + sort, saw $exchanges exchanges")
+  }
+
   test("MAD outliers: robust fence flags a small minority per group") {
     val o = graft.operators.Relational.outlierQuery(spark, sfDir)
       .collect()
