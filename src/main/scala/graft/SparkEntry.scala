@@ -1616,6 +1616,18 @@ object SparkEntry {
     // portable-hash idiom of q_feature_hash), windows of 4, distinct
     // sorted minima — the oracle replays gram building, hashing,
     // window minima, and the set summary exactly.
+    // BPE invariant gate (q_approx_distinct pattern): the oracle
+    // cannot refit the merge table, but it CAN predict that a valid
+    // segmentation re-joins to the exact character stream and emits
+    // 1..n_chars tokens — the engine computes those checks against
+    // its real segmentation, the oracle emits the expected TRUEs.
+    "q_bpe" ->
+      """SELECT doc_id,
+        |  CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_chars,
+        |  TRUE AS roundtrip_ok,
+        |  TRUE AS compress_ok
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "q_winnow" ->
       """WITH g AS (
         |  SELECT doc_id, list_transform(
