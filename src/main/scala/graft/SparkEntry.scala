@@ -121,8 +121,12 @@ object SparkEntry {
     "q_dedup_exact" -> (Dedup.exactQuery _),
     "q_dedup_priority" -> (Dedup.priorityDedupQuery _),
     "q_dedup_jaccard" -> ((s, d) => Dedup.ngramJaccardQuery(s, d)),
-    "q_dedup_minhash" -> (Dedup.minhashLshQuery _),
-    "q_dedup_simhash" -> (Dedup.simhashQuery _),
+    // MinHash/SimHash gates (q_approx_distinct pattern): candidate
+    // lists ride engine-internal signatures, but estimate-error vs
+    // exact Jaccard (minhash) and banding losslessness vs the
+    // exhaustive hamming scan (simhash) are oracle-predictable.
+    "q_dedup_minhash" -> (Dedup.minhashGateQuery _),
+    "q_dedup_simhash" -> (Dedup.simhashGateQuery _),
     "q_dedup_embedding" -> (Dedup.embeddingNearDupQuery _),
     "q_dedup_incremental" -> (Dedup.incrementalQuery _),
     "q_dedup_segments" -> (Dedup.segmentDedupQuery _),
@@ -141,15 +145,16 @@ object SparkEntry {
     "q_bitext" -> (Similarity.bitextMineQuery _),
     // IVF-blocked bitext (the 100 TB serving path; recall + scanned-
     // fraction spec-gated, cell assignment engine-internal)
-    "q_bitext_ann" -> ((s, d) => Similarity.bitextMineAnnQuery(s, d)),
-    "q_ann_lsh" -> (Similarity.lshBucketQuery _),
-    "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
-    // PQ/ADC ANN: approximate by construction → no SQL oracle;
-    // recall + reconstruction quality spec-gated in SimilaritySpec
-    "q_ann_pq" -> (Similarity.annPqQuery _),
-    // IVFADC: cell-partitioned code store, nprobe-cell partition-pruned
-    // serving; recall-vs-flat-ADC + scanned-fraction spec-gated
-    "q_ann_ivfpq" -> (Similarity.annIvfPqQuery _),
+    "q_bitext_ann" -> (Similarity.bitextAnnGateQuery _),
+    // ANN serving paths, each hash-gated through the recallGate
+    // invariant check (q_approx_distinct pattern): the ranked lists
+    // are engine-internal model state, but self-retrieval and
+    // mean-recall-above-floor vs in-engine brute force are
+    // oracle-predictable; ranked-list exactness stays spec-gated.
+    "q_ann_lsh" -> (Similarity.lshRecallGateQuery _),
+    "q_ann_ivf" -> (Similarity.ivfRecallGateQuery _),
+    "q_ann_pq" -> (Similarity.pqRecallGateQuery _),
+    "q_ann_ivfpq" -> (Similarity.ivfPqRecallGateQuery _),
     "q_embed_stats" -> (Similarity.embeddingStatsQuery _),
     // Corpus curation (north star: decontamination, privacy, quality
     // gates, sequence packing)
@@ -212,7 +217,7 @@ object SparkEntry {
     "q_audio_energy" -> (Multimodal.audioEnergyQuery _),
     "q_video_decode" -> (Multimodal.videoDecodeQuery _),
     "q_video_frames" -> (Multimodal.videoFramesQuery _),
-    "q_media_neardup" -> (Multimodal.mediaNearDupQuery _),
+    "q_media_neardup" -> (Multimodal.mediaNearDupGateQuery _),
   )
 
   /** Shared oracle fragment: the near-dup pair definition (DF-capped
@@ -1147,6 +1152,49 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rank, cos_sim
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // ANN recall gates: the oracle cannot replay the index (murmur3 /
+    // fitted centroids / PQ codes), but it CAN predict the invariants
+    // the gate emits — 5 queries, self always retrieved, mean recall
+    // above the measured-with-margin floor.
+    "q_ann_ivf" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  TRUE AS self_ok, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "q_ann_lsh" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  TRUE AS self_ok, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "q_ann_pq" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  TRUE AS self_ok, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "q_ann_ivfpq" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  TRUE AS self_ok, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    // IVF-blocked bitext gate: n_src = every embedded de doc (SQL-
+    // predictable); subset + top-1-agreement invariants engine-checked
+    // against the exact twin.
+    "q_bitext_ann" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_src,
+        |  TRUE AS subset_ok, TRUE AS top1_ok
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |WHERE d.lang = 'de'""".stripMargin,
+    // Media near-dup gate: cell blocking must be lossless at the
+    // 0.999 bar — completeness and precision vs the exhaustive
+    // within-kind pair scan, both computed in-engine.
+    "q_media_neardup" ->
+      """SELECT TRUE AS complete_ok, TRUE AS precision_ok""".stripMargin,
+    // MinHash gate: every emitted candidate's 64-hash estimate within
+    // 0.25 of exact shingle Jaccard (σ≈0.06; measured max 0.12) and
+    // exact ≥ 0.4 — both checked in-engine on the same shingle sets.
+    "q_dedup_minhash" ->
+      """SELECT TRUE AS est_ok, TRUE AS sim_ok""".stripMargin,
+    // SimHash gate: 4×16-bit chunk banding is LOSSLESS for hamming ≤ 3
+    // (pigeonhole) — completeness and precision vs the exhaustive
+    // all-pairs hamming scan, both computed in-engine.
+    "q_dedup_simhash" ->
+      """SELECT TRUE AS complete_ok, TRUE AS precision_ok""".stripMargin,
     // Distributed k-means (q_pagerank pattern): the oracle replays
     // stride seeding and BOTH Lloyd rounds CTE-for-CTE. Distances use
     // the list_dot_product 3-term form rounded to 6 dp (+0.0 kills

@@ -268,6 +268,63 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /**
+   * Oracle-predictable gate over [[minhashLshQuery]] (the
+   * q_approx_distinct bound-check pattern): the candidate list rides
+   * on engine-internal murmur3 signatures, but every emitted
+   * candidate must (a) estimate the exact shingle-set Jaccard within
+   * 0.25 (64 hashes ⇒ σ≈0.06; measured max error 0.12 at
+   * sf0.01/sf0.1) and (b) be genuinely similar (exact ≥ 0.4 when the
+   * est-filter is 0.5). Exact Jaccard is computed in-engine on the
+   * SAME shingle arrays; the oracle emits the expected TRUEs.
+   */
+  def minhashGateQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        array_distinct(hashedShingles(col("text"))).as("sh"))
+    minhashLshQuery(spark, sfDir)
+      .join(docs.select(col("doc_id").as("doc_a"),
+        col("sh").as("sh_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"),
+        col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("exact",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .agg(
+        min(abs(col("est_jaccard") - col("exact")) <= 0.25).as("est_ok"),
+        min(col("exact") >= 0.4).as("sim_ok"))
+  }
+
+  /**
+   * Oracle-predictable gate over [[simhashQuery]]: the pigeonhole
+   * guarantee — any pair within hamming ≤ 3 of 64 bits differs in at
+   * most 3 of the 4 16-bit chunks, so chunk banding finds it — makes
+   * banding LOSSLESS, and the gate proves it by comparing the banded
+   * result against the exhaustive all-pairs hamming scan in-engine
+   * (completeness AND precision). The oracle emits the TRUEs the
+   * theorem predicts.
+   */
+  def simhashGateQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), simhash64(col("text")).as("sig"))
+    val banded = simhashQuery(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val exhaustive = sigs.select(col("doc_id").as("doc_a"),
+        col("sig").as("sig_a"))
+      .crossJoin(sigs.select(col("doc_id").as("doc_b"),
+        col("sig").as("sig_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(VectorOps.hamming(col("sig_a"), col("sig_b")) <= 3)
+      .select(col("doc_a"), col("doc_b"))
+    val missed = exhaustive.join(banded, Seq("doc_a", "doc_b"),
+      "left_anti").agg(count(lit(1)).as("n_missed"))
+    val spurious = banded.join(exhaustive, Seq("doc_a", "doc_b"),
+      "left_anti").agg(count(lit(1)).as("n_spurious"))
+    missed.crossJoin(broadcast(spurious))
+      .select((col("n_missed") === 0).as("complete_ok"),
+        (col("n_spurious") === 0).as("precision_ok"))
+  }
+
   /** 64-bit SimHash of whitespace tokens: per-bit ±1 votes weighted by
     * token occurrence, sign → bit. Tokens are hashed once (xxhash64);
     * the 64-bit vote loop is a native codegen'd expression

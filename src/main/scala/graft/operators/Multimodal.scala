@@ -757,6 +757,40 @@ object Multimodal {
       .orderBy(col("media_a"), col("media_b"))
   }
 
+  /**
+   * Oracle-predictable gate over [[mediaNearDupQuery]] (the
+   * q_approx_distinct bound-check pattern): the pair list depends on
+   * the engine-internal feature store and IVF cells, but cell
+   * blocking must be LOSSLESS at this threshold — every exhaustive
+   * within-kind pair at cos ≥ 0.999 found (completeness) and nothing
+   * else (precision). Both sides computed in-engine on the same
+   * rounded cosine; the oracle emits the expected TRUEs.
+   */
+  def mediaNearDupGateQuery(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{round => rnd}
+    val blocked = mediaNearDupQuery(spark, sfDir)
+      .select(col("media_a"), col("media_b"))
+    val feats = spark.read.parquet(buildFeatureStore(spark, sfDir))
+    val a = feats.select(col("media_id").as("media_a"), col("kind"),
+      col("embedding").as("emb_a"))
+    val b = feats.select(col("media_id").as("media_b"), col("kind"),
+      col("embedding").as("emb_b"))
+    val exact = a.join(b, Seq("kind"))
+      .filter(col("media_a") < col("media_b"))
+      .withColumn("cos_sim", rnd(
+        graft.functions.VectorOps.cosine(col("emb_a"), col("emb_b")), 4))
+      .filter(col("cos_sim") >= 0.999)
+      .select(col("media_a"), col("media_b"))
+    val missed = exact.join(blocked, Seq("media_a", "media_b"),
+      "left_anti").agg(count(lit(1)).as("n_missed"))
+    val spurious = blocked.join(exact, Seq("media_a", "media_b"),
+      "left_anti").agg(count(lit(1)).as("n_spurious"))
+    missed.crossJoin(broadcast(spurious))
+      .select((col("n_missed") === 0).as("complete_ok"),
+        (col("n_spurious") === 0).as("precision_ok"))
+  }
+
   /** Mixed REAL-codec corpus: kind by `doc_id mod 3`, each payload a
     * genuine container — PNG ([[encodePng]]), RIFF/WAVE
     * ([[encodeWav]]), RIFF/AVI ([[encodeAvi]]) — so the decode

@@ -598,6 +598,78 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /**
+   * Oracle-predictable recall gate (the q_approx_distinct bound-check
+   * pattern, applied to ANN serving): run the approximate path AND
+   * the exact brute-force top-k in-engine, emit one row with the
+   * query count, a self-retrieval flag, and mean-recall-above-floor.
+   * The ranked lists themselves are model state the SQL oracle cannot
+   * replay, but the oracle CAN predict these invariants — so an index
+   * regression (wrong cells probed, broken codes, lost self-match)
+   * breaks the driver hash even though the index is engine-internal.
+   * Floors sit well under the measured deterministic recalls
+   * (fixed corpus, fixed seeding ⇒ recall is a constant per sf).
+   */
+  private[graft] def recallGate(approx: DataFrame, exact: DataFrame,
+      floor: Double): DataFrame = {
+    val hit = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    val selfHit = approx.filter(col("query_id") === col("neighbor_id"))
+      .select(col("query_id")).distinct()
+      .withColumn("self_found", lit(true))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hit, Seq("query_id"), "left")
+      .join(selfHit, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall"),
+        coalesce(col("self_found"), lit(false)).as("self_found"))
+      .agg(count(lit(1)).as("n_queries"),
+        min(col("self_found")).as("self_ok"),
+        (round(avg(col("recall")), 4) >= lit(floor)).as("recall_ok"))
+  }
+
+  /** [[recallGate]] wired to each ANN serving path (floors from
+    * measured deterministic recalls at sf0.01/sf0.1, with margin:
+    * ivf .54–.62, lsh .10–.12, pq .32–.44, ivfpq .36–.52). */
+  def ivfRecallGateQuery(spark: SparkSession, sfDir: String): DataFrame =
+    recallGate(ivfTopK(spark, sfDir),
+      annBruteForceQuery(spark, sfDir), 0.3)
+  def lshRecallGateQuery(spark: SparkSession, sfDir: String): DataFrame =
+    recallGate(lshBucketQuery(spark, sfDir),
+      annBruteForceQuery(spark, sfDir), 0.08)
+  def pqRecallGateQuery(spark: SparkSession, sfDir: String): DataFrame =
+    recallGate(annPqQuery(spark, sfDir),
+      annBruteForceQuery(spark, sfDir), 0.15)
+  def ivfPqRecallGateQuery(spark: SparkSession, sfDir: String): DataFrame =
+    recallGate(annIvfPqQuery(spark, sfDir),
+      annBruteForceQuery(spark, sfDir), 0.15)
+
+  /** IVF-blocked bitext gate: source count is SQL-predictable (every
+    * `de` doc), the subset and top-1-agreement invariants are
+    * engine-checked against the exact twin (floor 0.3 under the
+    * measured ≥0.5 deterministic recall). */
+  def bitextAnnGateQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = bitextMineQuery(spark, sfDir)
+      .select(col("src_id"), col("tgt_id").as("exact_tgt"))
+    val ann = bitextMineAnnQuery(spark, sfDir)
+      .select(col("src_id"), col("tgt_id").as("ann_tgt"))
+    val agg = exact.join(ann, Seq("src_id"), "left")
+      .select(col("src_id"),
+        (col("ann_tgt") === col("exact_tgt")).as("agree"))
+      .agg(count(lit(1)).as("n_src"),
+        (round(sum(when(col("agree"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double"), 4) >= 0.3)
+          .as("top1_ok"))
+    val extra = ann.join(exact, Seq("src_id"), "left_anti")
+      .agg(count(lit(1)).as("n_extra"))
+    agg.crossJoin(broadcast(extra))
+      .select(col("n_src"), (col("n_extra") === 0).as("subset_ok"),
+        col("top1_ok"))
+  }
+
   /** Sequential-fold dot product in DOUBLE — bit-identical to DuckDB's
     * `list_dot_product` (same index order, same promotion), the parity
     * primitive every cross-engine distance gate rides on. */
