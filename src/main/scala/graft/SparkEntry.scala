@@ -131,6 +131,9 @@ object SparkEntry {
     "q_dedup_incremental" -> (Dedup.incrementalQuery _),
     "q_dedup_segments" -> (Dedup.segmentDedupQuery _),
     "q_dedup_lines" -> (Dedup.lineDedupQuery _),
+    // Exact duplicated-substring spans (Lee et al. 2022): maximal
+    // merged intervals of cross-doc-duplicated 5-word grams
+    "q_dedup_spans" -> (Dedup.dupSpansQuery _),
     "q_dedup_editdist" -> (Dedup.editDistQuery _),
     "q_dup_clusters" -> (Dedup.dupClustersQuery _),
     // Graph centrality: 3-iteration PageRank over an id-derived link
@@ -1090,6 +1093,42 @@ object SparkEntry {
         |FROM marked
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    // q_dedup_spans replays gram extraction (overlapping 5-word
+    // windows), the 60-bit md5-prefix gram key, the >1-distinct-doc
+    // filter, and the gaps-and-islands interval merge window-for-
+    // window — exact string equality on md5 standing in for nothing:
+    // both engines key on the SAME digest prefix.
+    "q_dedup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    ('0x' || substring(md5(array_to_string(w[i:i+4], ' ')),
+        |      1, 15))::BIGINT AS h
+        |  FROM toks, unnest(range(1, len(w) - 4 + 1)) AS t(i)),
+        |dup AS (
+        |  SELECT h FROM grams GROUP BY h
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |starts AS (
+        |  SELECT g.doc_id, g.pos, g.pos + 4 AS e FROM grams g
+        |  WHERE g.h IN (SELECT h FROM dup)),
+        |flag AS (
+        |  SELECT doc_id, pos, e,
+        |    CASE WHEN max(e) OVER prev IS NULL
+        |         OR pos > max(e) OVER prev + 1 THEN 1 ELSE 0 END
+        |      AS new_span
+        |  FROM starts
+        |  WINDOW prev AS (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |isl AS (
+        |  SELECT doc_id, pos, e,
+        |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM flag)
+        |SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+        |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_words
+        |FROM isl GROUP BY doc_id, span_id
+        |ORDER BY doc_id, span_start""".stripMargin,
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /

@@ -474,6 +474,70 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * Exact duplicated-substring SPANS (Lee et al. 2022, "Deduplicating
+   * Training Data Makes Language Models Better", adapted to word
+   * granularity): every maximal span whose k-word grams each occur in
+   * more than `minDf` OTHER distinct documents, found by merging
+   * overlapping/adjacent duplicated-gram intervals per document
+   * (gaps-and-islands). Whole-doc / segment dedup remove exact copies
+   * of FIXED units; span dedup localizes arbitrary-boundary
+   * duplication — licence blocks, quoted paragraphs, templated
+   * intros — for surgical removal rather than whole-doc drops.
+   * (Within-one-doc self-repetition is the complement, handled by the
+   * Gopher repetition gates in [[Curation]].)
+   *
+   * Scale shape (100 TB): the only wide exchanges carry
+   * (60-bit md5-prefix gram key, doc_id, pos) triples — never text.
+   * DF counting is a partially-aggregated groupBy on the 8-byte key;
+   * the duplicated-key set is NOT small by construction (unlike
+   * [[segmentDedup]]'s boilerplate set), so it stays distributed and
+   * rejoins the gram stream with a hash-partitioned left-semi join on
+   * the same key (co-partitioned with the groupBy — one shuffle
+   * reused). Interval merging is a per-doc window, partition-bounded
+   * by doc length (no skew); output rows ∝ duplication found, not
+   * corpus size. The md5-prefix key (not fnv/xxhash) is what lets the
+   * DuckDB oracle replay gram identity exactly.
+   */
+  def dupSpans(docs: DataFrame, k: Int = 5, minDf: Int = 1): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(call_function("graft_ngrams", col("text"), lit(k)))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val dup = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > minDf)
+      .select(col("h"))
+    val starts = grams.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"),
+        (col("pos") + lit(k.toLong - 1L)).as("end"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevMax = max(col("end"))
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    starts
+      .withColumn("new_span",
+        when(prevMax.isNull || col("pos") > prevMax + 1L, 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("new_span"))
+        .over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("span_start"), max(col("end")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_words"))
+  }
+
+  /** Correctness gate: 5-word grams duplicated across ≥2 distinct
+    * docs; exact duplicate docs surface as whole-doc spans, shared
+    * phrases as partial spans. Fully hash-gated — the oracle replays
+    * gram extraction, md5-prefix keys, DF filter, and the island
+    * merge window-for-window. */
+  def dupSpansQuery(spark: SparkSession, sfDir: String): DataFrame =
+    dupSpans(Tables.load(spark, sfDir, "documents"), k = 5, minDf = 1)
+      .orderBy(col("doc_id"), col("span_start"))
+
   /** Window-dedup keep-first: the generic "keep one row per key"
     * operator (also the ACID resolve primitive). */
   def keepFirst(df: DataFrame, key: Seq[String], order: Column): DataFrame = {

@@ -197,4 +197,26 @@ class DedupSpec extends SparkSpec {
         s"digest $d kept $src, best priority was ${all(d)}")
     }
   }
+
+  test("dupSpans: shared runs become maximal merged intervals") {
+    // d1/d2 share the 7-word run at offsets 0 and 1; with k=3 its five
+    // grams merge into ONE span per doc covering exactly the run.
+    // d3/d4 share two 3-word runs with a 1-word gap in d3 (pos 4 > end
+    // 2 + 1 → two spans) but a 0-word gap in d4 (pos 3 ≤ 2 + 1 → the
+    // adjacency rule merges them into one).
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over lazy u1 u2 u3"),
+      (2L, "p2 the quick brown fox jumps over lazy s2"),
+      (3L, "a b c m1 x y z"),
+      (4L, "a b c x y z q4")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(docs, k = 3, minDf = 1)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toList.sorted).toMap
+    assert(spans(1L) == List((0L, 6L, 7L)), s"d1: ${spans(1L)}")
+    assert(spans(2L) == List((1L, 7L, 7L)), s"d2: ${spans(2L)}")
+    assert(spans(3L) == List((0L, 2L, 3L), (4L, 6L, 3L)), s"d3: ${spans(3L)}")
+    assert(spans(4L) == List((0L, 5L, 6L)), s"d4: ${spans(4L)}")
+  }
 }
