@@ -129,6 +129,9 @@ object SparkEntry {
     "q_dedup_simhash" -> (Dedup.simhashGateQuery _),
     "q_dedup_embedding" -> (Dedup.embeddingNearDupQuery _),
     "q_dedup_incremental" -> (Dedup.incrementalQuery _),
+    // Bloom-prefiltered incremental dedup: 8 KB OR-merged membership
+    // sketch prunes the corpus join; bit positions md5-replayable
+    "q_dedup_bloom" -> (Dedup.bloomIncrementalQuery _),
     "q_dedup_segments" -> (Dedup.segmentDedupQuery _),
     "q_dedup_lines" -> (Dedup.lineDedupQuery _),
     // Exact duplicated-substring spans (Lee et al. 2022): maximal
@@ -2121,6 +2124,39 @@ object SparkEntry {
         |k AS (SELECT *, row_number() OVER (PARTITION BY d
         |    ORDER BY doc_id) AS rn FROM fresh)
         |SELECT doc_id, lang, source FROM k WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    // q_dedup_bloom replays the 64Ki-bit bloom bit-for-bit: the set
+    // bits are the corpus digests' four 16-bit md5(md5(text)) slices;
+    // a batch doc is a HIT iff all four of its slices are set. The
+    // keep set matches q_dedup_incremental exactly; bloom_hit on kept
+    // rows = individually-predicted false positives.
+    "q_dedup_bloom" ->
+      """WITH corpus AS (
+        |  SELECT DISTINCT md5(text) AS d FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |bits AS (
+        |  SELECT DISTINCT ('0x' || substring(md5(d), 4*j+1, 4))::INTEGER
+        |    AS p
+        |  FROM corpus, unnest([0, 1, 2, 3]) AS t(j)),
+        |batch AS (
+        |  SELECT doc_id, lang, source, md5(text) AS d FROM documents
+        |  WHERE doc_id % 2 = 1),
+        |hit AS (
+        |  SELECT doc_id, lang, source, d,
+        |    ('0x' || substring(md5(d), 1, 4))::INTEGER
+        |      IN (SELECT p FROM bits) AND
+        |    ('0x' || substring(md5(d), 5, 4))::INTEGER
+        |      IN (SELECT p FROM bits) AND
+        |    ('0x' || substring(md5(d), 9, 4))::INTEGER
+        |      IN (SELECT p FROM bits) AND
+        |    ('0x' || substring(md5(d), 13, 4))::INTEGER
+        |      IN (SELECT p FROM bits) AS bloom_hit
+        |  FROM batch),
+        |fresh AS (SELECT * FROM hit
+        |  WHERE d NOT IN (SELECT d FROM corpus)),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY d
+        |    ORDER BY doc_id) AS rn FROM fresh)
+        |SELECT doc_id, lang, source, bloom_hit FROM k WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
     "q_embed_stats" ->
       """WITH s AS (

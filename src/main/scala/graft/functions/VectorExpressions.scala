@@ -1594,6 +1594,9 @@ object VectorKernels {
     // KMV distinct sketch: k must be a foldable int literal
     fn("graft_kmv", es => KmvAgg(es(0),
       es(1).eval().asInstanceOf[Int])),
+    // Bloom membership sketch: 64Ki-bit OR-merged filter + probe
+    fn("graft_bloom", es => BloomAgg(es(0))),
+    fn("graft_bloom_might", es => BloomMight(es(0), es(1))),
     fn("graft_url_normalize", es => UrlNormalize(es(0))),
     // merges must be a foldable array<string> literal ("a b" pairs)
     fn("graft_bpe", es => BpeTokens(es(0), toStringSeq(es(1).eval()))),

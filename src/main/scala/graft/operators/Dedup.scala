@@ -385,6 +385,52 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * Bloom-prefiltered incremental dedup — the membership-sketch path
+   * [[incrementalDedup]] grows into at 100 TB. The corpus digest set
+   * folds into one 8 KB [[graft.functions.BloomAgg]] filter (OR-merged
+   * partials, broadcast as a single row); every batch doc probes it in
+   * a codegen'd projection. Bloom-NEGATIVE docs are provably new (no
+   * false negatives) and skip the corpus join entirely; only the small
+   * bloom-positive slice — true dups plus ~(1−e^(−kn/m))^k false
+   * positives — pays the exact anti-join against the digest store.
+   * Final semantics are EXACT (identical keep set to
+   * [[incrementalDedup]]); the sketch only prunes work. The bloom
+   * keys on the md5-hex digest string, so its bit positions are
+   * md5(md5(text)) slices the DuckDB oracle replays verbatim — each
+   * individual false positive is oracle-predictable.
+   */
+  def bloomIncrementalDedup(batch: DataFrame, corpusDigests: DataFrame,
+      textCol: String, orderCol: Column): DataFrame = {
+    val bloom = corpusDigests
+      .agg(call_function("graft_bloom", col("_digest")).as("_bloom"))
+    val probed = batch.withColumn("_digest", md5(col(textCol)))
+      .crossJoin(broadcast(bloom))
+      .withColumn("bloom_hit",
+        call_function("graft_bloom_might", col("_bloom"), col("_digest")))
+      .drop("_bloom")
+    val fresh = probed.filter(!col("bloom_hit"))
+      .unionByName(probed.filter(col("bloom_hit"))
+        .join(corpusDigests, Seq("_digest"), "left_anti"))
+    keepFirst(fresh, Seq("_digest"), orderCol).drop("_digest")
+  }
+
+  /** Correctness gate for [[bloomIncrementalDedup]]: the
+    * [[incrementalQuery]] split (even ids = corpus, odd = batch), plus
+    * the `bloom_hit` flag on every kept doc — a kept hit IS a bloom
+    * false positive, so the oracle's bit-set replay checks the filter
+    * itself, not just the exact keep set. */
+  def bloomIncrementalQuery(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+      .select(md5(col("text")).as("_digest")).distinct()
+    bloomIncrementalDedup(docs.filter(col("doc_id") % 2 === 1), corpus,
+      "text", col("doc_id").asc)
+      .select(col("doc_id"), col("lang"), col("source"), col("bloom_hit"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Non-overlapping k-word chunks of a text column (last chunk may be
     * short) — the segmenter the correctness gate uses, because the
     * synthetic corpus has no newlines. Production corpora pass

@@ -219,6 +219,45 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("bloom sketch: zero false negatives, repartition-invariant, " +
+      "and the keep set equals plain incremental dedup") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+      .select(md5(col("text")).as("_digest")).distinct()
+    val bloom = corpus
+      .agg(call_function("graft_bloom", col("_digest")))
+      .collect().head.getAs[Array[Byte]](0)
+    val bloomRepart = corpus.repartition(7)
+      .agg(call_function("graft_bloom", col("_digest")))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(bloom.sameElements(bloomRepart), "bloom depends on partitioning")
+    // no false negatives: every corpus digest must probe positive
+    val members = corpus.collect().map(_.getString(0))
+    members.foreach { d =>
+      assert(graft.functions.BloomAgg.mightJava(bloom,
+        org.apache.spark.unsafe.types.UTF8String.fromString(d)),
+        s"false negative for member $d")
+    }
+    // probe result replays from the md5-slice positions (byte-layout
+    // check of mightJava against the update path)
+    val probe = org.apache.spark.unsafe.types.UTF8String
+      .fromString("definitely-not-in-corpus")
+    val ref = new Array[Long](graft.functions.BloomAgg.Words)
+    members.foreach(d => graft.functions.BloomAgg.add(ref,
+      org.apache.spark.unsafe.types.UTF8String.fromString(d)))
+    val ps = graft.functions.BloomAgg.positions(probe)
+    val expect = ps.forall(p => (ref(p >>> 6) & (1L << (p & 63))) != 0L)
+    assert(graft.functions.BloomAgg.mightJava(bloom, probe) == expect)
+    // exactness: bloom path keeps exactly what plain incremental keeps
+    val plain = graft.operators.Dedup.incrementalQuery(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val viaBloom = graft.operators.Dedup
+      .bloomIncrementalQuery(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(viaBloom == plain, "bloom prefilter changed the keep set")
+  }
+
   test("kmv sketch: estimates within the 3/sqrt(k) KMV bound, " +
       "repartition-invariant, exact below saturation") {
     import org.apache.spark.sql.functions._
