@@ -101,6 +101,9 @@ object SparkEntry {
     // Incremental refresh: recompute only the churn; gate = equality
     // with a from-scratch recompute of v2
     "q_incremental_curate" -> (Versioning.incrementalCurateQuery _),
+    // Takedown/right-to-erasure propagation through the standing
+    // keeper store, with duplicate-group keeper re-election
+    "q_takedown" -> (Versioning.takedownQuery _),
     // Dataset publication: sharded write + order-free integrity
     // manifest of the files that actually landed
     "q_publish_manifest" -> (Versioning.publishManifestQuery _),
@@ -1842,6 +1845,25 @@ object SparkEntry {
         |  (n_stop / n_tok) * 0.25 + (n_distinct / n_tok) * 0.5 +
         |    (1.0 - n_short / n_tok) * 0.25 AS quality_score
         |FROM s
+        |ORDER BY doc_id""".stripMargin,
+    // q_takedown: incremental erasure + keeper re-election must equal
+    // the from-scratch election over the corpus minus the takedown
+    // set — a stale keeper, missed promotion, or double keeper breaks
+    // the hash.
+    "q_takedown" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 'src99' AS source, text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) AS prio,
+        |    md5(text) AS text_md5
+        |  FROM all_docs WHERE doc_id % 3 <> 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY text_md5
+        |    ORDER BY prio, doc_id) AS rn FROM d)
+        |SELECT doc_id, source, text_md5 FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
     // Per-source KL drift: the oracle rebuilds both smoothed
     // distributions from the same md5-bucket definition, computes the

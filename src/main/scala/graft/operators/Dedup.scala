@@ -48,18 +48,25 @@ object Dedup {
    * merge runs. One digest-keyed window — text reduces to its md5
    * before the shuffle, so only (digest, prio, ids) rows move.
    */
-  def priorityDedupQuery(spark: SparkSession, sfDir: String): DataFrame = {
+  def priorityDedupQuery(spark: SparkSession, sfDir: String): DataFrame =
+    priorityKeepers(Tables.load(spark, sfDir, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** The keeper election itself, over any (doc_id, source, text)
+    * frame — shared by [[priorityDedupQuery]] and the takedown
+    * re-election ([[Versioning.takedownPropagate]]) so the two can
+    * never drift. */
+  def priorityKeepers(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("text_md5"))
       .orderBy(col("prio"), col("doc_id"))
-    Tables.load(spark, sfDir, "documents")
+    docs
       .select(col("doc_id"), col("source"),
         regexp_extract(col("source"), "(\\d+)", 1).cast("int").as("prio"),
         md5(col("text")).as("text_md5"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("source"), col("text_md5"))
-      .orderBy(col("doc_id"))
   }
 
   /** Distinct word-3-gram shingles of the text column. */

@@ -164,6 +164,68 @@ object Versioning {
       .orderBy(col("doc_id"))
   }
 
+  /** Standing keeper-store cache for the takedown gate (the curated
+    * artifact the previous pipeline run left behind). */
+  private val keeperStore =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /**
+   * Takedown / right-to-erasure propagation: remove every document
+   * matching `takedown` (a GDPR request, a DMCA notice, an opt-out
+   * domain) from a STANDING curated keeper store — incrementally, and
+   * with correct keeper RE-ELECTION. Deleting a source's rows is not
+   * just row removal in a deduplicated artifact: where the removed doc
+   * was the elected keeper of a duplicate group with surviving copies,
+   * the next-priority copy must be PROMOTED, or content with legal
+   * surviving copies silently vanishes from the corpus.
+   *
+   * Scale shape (100 TB): untouched keepers (the overwhelming bulk)
+   * pass through without transformation; the re-election runs only
+   * over surviving copies of the LOST digests (left-semi join on the
+   * digest — work ∝ takedown size × duplication rate, not corpus
+   * size). The gate proves incremental == from-scratch: the oracle
+   * re-runs the whole election over `documents` minus the takedown
+   * set, so a stale keeper, a missed promotion, or a double keeper
+   * all break the hash.
+   */
+  def takedownPropagate(docs: DataFrame, keepers: DataFrame,
+      takedown: org.apache.spark.sql.Column): DataFrame = {
+    val lost = keepers.filter(takedown).select(col("text_md5"))
+    val reElected = Dedup.priorityKeepers(
+      docs.filter(!takedown)
+        .withColumn("_d", md5(col("text")))
+        .join(lost.withColumnRenamed("text_md5", "_d"), Seq("_d"),
+          "left_semi")
+        .drop("_d"))
+    keepers.filter(!takedown).unionByName(reElected)
+  }
+
+  /** Correctness gate: the raw corpus has no exact duplicates, so
+    * duplicate groups are synthesized SQL-replayably (the
+    * q_dedup_lines precedent) — every doc_id % 5 == 0 doc gets a
+    * low-priority mirror copy at doc_id + 1000000 under `src99`. The
+    * takedown is an id-list request (`doc_id % 3 == 0`, a DMCA-style
+    * enumeration); originals at id ≡ 0 (mod 15) are erased while
+    * their mirror (id + 1000000 ≡ 1 mod 3) survives, forcing real
+    * keeper promotions. Oracle = the full election over the
+    * synthesized corpus minus the takedown set. */
+  def takedownQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val docs = base.unionByName(
+      base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("src99").as("source"), col("text")))
+    val dir = keeperStore.getOrElseUpdate(sfDir, {
+      val d = graft.sources.OrcIo.scratchDir("keepers") + "/store"
+      Dedup.priorityKeepers(docs).write.mode("overwrite").parquet(d)
+      d
+    })
+    takedownPropagate(docs, spark.read.parquet(dir),
+      col("doc_id") % 3 === 0)
+      .orderBy(col("doc_id"))
+  }
+
   /**
    * Corpus drift diagnostics: per-source KL divergence of the source's
    * hashed-unigram (64-bucket, add-one-smoothed) token distribution

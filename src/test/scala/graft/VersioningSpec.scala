@@ -112,6 +112,26 @@ class VersioningSpec extends SparkSpec {
         "to demonstrate incrementality")
   }
 
+  test("takedown: erased ids gone, keeper promotion exercised, reads " +
+      "the standing keeper store") {
+    val q = Versioning.takedownQuery(spark, sfDir)
+    val rows = q.collect()
+    // no taken-down id survives anywhere in the result
+    assert(rows.forall(_.getLong(0) % 3 != 0), "erased id kept")
+    // promotions really happen: originals at id ≡ 0 (mod 15) are
+    // erased but their src99 mirror survives and must now hold the
+    // keeper seat for that digest
+    val promoted = rows.filter(r =>
+      r.getString(1) == "src99" && (r.getLong(0) - 1000000L) % 15 == 0)
+    assert(promoted.nonEmpty, "no keeper promotion exercised by the gate")
+    // exactly one keeper per digest
+    val perDigest = rows.groupBy(_.getString(2)).values.map(_.length)
+    assert(perDigest.forall(_ == 1), "duplicate keeper after takedown")
+    // incremental path reads the materialized keeper store
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("keepers"), s"keeper store not in plan:\n$plan")
+  }
+
   test("corpus drift: KL non-negative everywhere (Gibbs), zero for a " +
       "single-source corpus, and text stays out of every exchange") {
     val q = Versioning.corpusDriftQuery(spark, sfDir)
