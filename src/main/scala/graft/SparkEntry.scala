@@ -149,6 +149,9 @@ object SparkEntry {
     // Similarity search (north star)
     "q_ann_topk" -> (Similarity.annBruteForceQuery _),
     "q_kmeans" -> ((s, d) => Similarity.kmeansClusterQuery(s, d)),
+    // Top principal component: fixed-iteration distributed power
+    // method, oracle replays every iteration CTE-for-CTE
+    "q_pca" -> (Similarity.pcaQuery _),
     "q_dedup_semantic" -> ((s, d) => Similarity.semanticDedupQuery(s, d)),
     // Bitext mining: cross-lingual top-1 + margin over embeddings
     "q_bitext" -> (Similarity.bitextMineQuery _),
@@ -1250,6 +1253,64 @@ object SparkEntry {
       (s"WITH $kmeansCte\n" +
         """SELECT vec_id, cell, d FROM a2
         |ORDER BY vec_id""".stripMargin),
+    // Top-PC power iteration: the oracle replays fixed-point mean
+    // centering and all three s->u->normalize rounds CTE-for-CTE
+    // (list_dot_product parity, 1e-6 BIGINT sums, round(.,6)+0.0).
+    "q_pca" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+        |mx AS (
+        |  SELECT dim, sum(CAST(round(xv * 1000000.0, 0) AS BIGINT)) AS s,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(range(len(x))) AS dim, unnest(x) AS xv FROM e)
+        |  GROUP BY dim),
+        |mean AS (
+        |  SELECT list(CAST(s AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1000000.0)
+        |    ORDER BY dim) AS mean FROM mx),
+        |c AS (
+        |  SELECT vec_id, list(xv - mean[dim + 1] ORDER BY dim) AS c
+        |  FROM (SELECT vec_id, unnest(range(len(x))) AS dim, unnest(x) AS xv
+        |    FROM e) CROSS JOIN mean
+        |  GROUP BY vec_id),
+        |v0 AS (SELECT list_transform(range(64), i -> 1.0) AS v),
+        |s1 AS (SELECT c.vec_id, c.c, list_dot_product(c.c, v0.v) AS s
+        |  FROM c CROSS JOIN v0),
+        |u1x AS (
+        |  SELECT dim, sum(CAST(round(s * cj * 1000000.0, 0) AS BIGINT)) AS uq
+        |  FROM (SELECT s, unnest(range(len(c))) AS dim, unnest(c) AS cj FROM s1)
+        |  GROUP BY dim),
+        |u1 AS (SELECT list(CAST(uq AS DOUBLE) / 1000000.0 ORDER BY dim) AS u
+        |  FROM u1x),
+        |v1 AS (SELECT list_transform(u, x ->
+        |    round(x / sqrt(list_dot_product(u, u)), 6) + 0.0) AS v,
+        |  sqrt(list_dot_product(u, u)) AS norm FROM u1),
+        |s2 AS (SELECT c.vec_id, c.c, list_dot_product(c.c, v1.v) AS s
+        |  FROM c CROSS JOIN v1),
+        |u2x AS (
+        |  SELECT dim, sum(CAST(round(s * cj * 1000000.0, 0) AS BIGINT)) AS uq
+        |  FROM (SELECT s, unnest(range(len(c))) AS dim, unnest(c) AS cj FROM s2)
+        |  GROUP BY dim),
+        |u2 AS (SELECT list(CAST(uq AS DOUBLE) / 1000000.0 ORDER BY dim) AS u
+        |  FROM u2x),
+        |v2 AS (SELECT list_transform(u, x ->
+        |    round(x / sqrt(list_dot_product(u, u)), 6) + 0.0) AS v,
+        |  sqrt(list_dot_product(u, u)) AS norm FROM u2),
+        |s3 AS (SELECT c.vec_id, c.c, list_dot_product(c.c, v2.v) AS s
+        |  FROM c CROSS JOIN v2),
+        |u3x AS (
+        |  SELECT dim, sum(CAST(round(s * cj * 1000000.0, 0) AS BIGINT)) AS uq
+        |  FROM (SELECT s, unnest(range(len(c))) AS dim, unnest(c) AS cj FROM s3)
+        |  GROUP BY dim),
+        |u3 AS (SELECT list(CAST(uq AS DOUBLE) / 1000000.0 ORDER BY dim) AS u
+        |  FROM u3x),
+        |v3 AS (SELECT list_transform(u, x ->
+        |    round(x / sqrt(list_dot_product(u, u)), 6) + 0.0) AS v,
+        |  sqrt(list_dot_product(u, u)) AS norm FROM u3)
+        |SELECT CAST(dim AS INTEGER) AS dim, loading,
+        |  round(norm / n, 6) + 0.0 AS eigval
+        |FROM (SELECT unnest(range(len(v))) AS dim, unnest(v) AS loading, norm
+        |  FROM v3) CROSS JOIN n
+        |ORDER BY dim""".stripMargin,
     // SemDeDup audit: pairwise cosine ONLY within the shared-CTE
     // k-means cells; norms precomputed per vector (IEEE sqrt is
     // correctly rounded -> cross-engine exact); close-pair decisions

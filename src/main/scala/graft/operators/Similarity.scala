@@ -679,6 +679,91 @@ object Similarity {
       (acc, x) => acc + x)
 
   /**
+   * Top principal component of the embedding cloud by FIXED-iteration
+   * power method (Mises–Pollaczek-Geiringer iteration), fully
+   * distributed and collect-free — the dimensionality-reduction /
+   * whitening primitive (project embeddings onto leading directions
+   * before ANN or semantic dedup; monitor representation collapse via
+   * the top eigenvalue's share of variance).
+   *
+   * Each iteration is two narrow passes over the centered corpus:
+   * s_i = c_i·v (a per-row fold against the broadcast direction), then
+   * u = Σ_i s_i·c_i accumulated per-dimension as 1e-6 fixed-point
+   * BIGINT sums — the [[kmeansAssignments]] quantization that makes
+   * the distributed sum order-free, so the DuckDB oracle replays every
+   * iteration CTE-for-CTE (distances/norms via [[dotD]] parity;
+   * normalized loadings rounded to 6 dp, −0.0 canonicalized). The
+   * embedding matrix itself never shuffles: only (dim, BIGINT) partial
+   * rows move, O(dims · partitions) per iteration.
+   *
+   * Convergence is spectrum-dependent — error decays as (λ₂/λ₁)^t, so
+   * near-isotropic clouds (the synthetic gate corpus: λ₂/λ₁ ≈ 0.99)
+   * converge slowly while any dominant direction is found in a few
+   * iterations (spec-pinned on a planted-direction corpus at
+   * λ₂/λ₁ ≈ 0.1). The gate's hash proves EXACT distributed replay of
+   * the fixed-iteration computation, not eigen-convergence; production
+   * raises `iters` or block-iterates for flat spectra.
+   *
+   * Output: one row per dimension — (dim, loading, eigval), loadings
+   * unit-norm (up to rounding), eigval = the Rayleigh-quotient
+   * estimate ‖u‖/n from the final iteration.
+   */
+  def pcaTopComponent(emb: DataFrame, iters: Int = 3,
+      dims: Int = 64): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("x"))
+    val nRow = e.agg(count(lit(1)).cast("double").as("n"))
+    val meanRow = e
+      .select(posexplode(col("x")).as(Seq("dim", "xv")))
+      .withColumn("q", round(col("xv") * lit(1000000.0), 0).cast("long"))
+      .groupBy(col("dim"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("cnt"))
+      .withColumn("m", col("s").cast("double") /
+        (col("cnt").cast("double") * lit(1000000.0)))
+      .groupBy()
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as("mean"))
+    val cent = e.crossJoin(broadcast(meanRow))
+      .select(col("vec_id"),
+        zip_with(col("x"), col("mean"), (a, b) => a - b).as("c"))
+    // v0 = all-ones: any deterministic start works — the scale washes
+    // out at the first normalization, and both engines replay the
+    // identical quantized arithmetic regardless.
+    var vRow = e.sparkSession.range(1)
+      .select(transform(sequence(lit(0), lit(dims - 1)), _ => lit(1.0))
+        .as("v"), lit(0.0).as("norm"))
+    (1 to iters).foreach { _ =>
+      val s = cent.crossJoin(broadcast(vRow.select(col("v"))))
+        .select(dotD(col("c"), col("v")).as("s"), col("c"))
+      val uRow = s
+        .select(col("s"), posexplode(col("c")).as(Seq("dim", "cj")))
+        .withColumn("q",
+          round(col("s") * col("cj") * lit(1000000.0), 0).cast("long"))
+        .groupBy(col("dim")).agg(sum(col("q")).as("uq"))
+        .withColumn("u", col("uq").cast("double") / lit(1000000.0))
+        .groupBy()
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("u")))),
+          x => x.getField("u")).as("u"))
+      vRow = uRow
+        .withColumn("norm", sqrt(dotD(col("u"), col("u"))))
+        .select(transform(col("u"),
+          x => round(x / col("norm"), 6) + lit(0.0)).as("v"),
+          col("norm"))
+    }
+    vRow.crossJoin(broadcast(nRow))
+      .select(posexplode(col("v")).as(Seq("dim", "loading")),
+        (round(col("norm") / col("n"), 6) + lit(0.0)).as("eigval"))
+      .select(col("dim"), col("loading"), col("eigval"))
+  }
+
+  /** Correctness gate over the embeddings table (3 iterations). */
+  def pcaQuery(spark: SparkSession, sfDir: String): DataFrame =
+    pcaTopComponent(Tables.load(spark, sfDir, "embeddings"), iters = 3)
+      .orderBy(col("dim"))
+
+  /**
    * Distributed Lloyd's k-means as a GATE QUERY — the topic-bucketing
    * / SemDeDup primitive: deterministic stride seeding, `iters` rounds
    * of (assign to nearest centroid, recompute centroid means), final

@@ -245,6 +245,43 @@ class SimilaritySpec extends SparkSpec {
     assert(frac < 0.8, s"cell blocking scanned fraction $frac not < 0.8")
   }
 
+  test("pca: planted dominant direction recovered in 3 iterations, " +
+      "loadings unit-norm, repartition-invariant") {
+    import SparkSpec.spark.implicits._
+    // anisotropic corpus: y_i = g_i * d + small noise, all derived
+    // deterministically from the row id (no RNG — replayable). The
+    // planted direction d alternates sign per dimension.
+    val dims = 16
+    val rows = (0 until 200).map { i =>
+      val g = (i % 21 - 10) / 3.0 // strong variance along d
+      val emb = Array.tabulate(dims) { j =>
+        val d = if (j % 2 == 0) 0.25f else -0.25f
+        val noise = (((i * 31 + j * 17) % 13) - 6) / 60.0f
+        (g * d).toFloat + noise
+      }
+      (i.toLong, emb)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val pc = Similarity.pcaTopComponent(df, iters = 3, dims = dims)
+      .orderBy(col("dim")).collect()
+    val v = pc.map(_.getDouble(1))
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"loadings not unit norm: $norm")
+    // alignment with the planted direction
+    val d = Array.tabulate(dims)(j => if (j % 2 == 0) 0.25 else -0.25)
+    val dn = math.sqrt(d.map(x => x * x).sum)
+    val cos = math.abs(v.zip(d).map { case (a, b) => a * b }.sum / dn)
+    assert(cos >= 0.99, s"planted direction not recovered: cos=$cos")
+    // eigenvalue positive and equal across rows
+    assert(pc.map(_.getDouble(2)).distinct.length == 1)
+    assert(pc.head.getDouble(2) > 0.0)
+    // fixed-point sums make the result partition-layout-independent
+    val v2 = Similarity
+      .pcaTopComponent(df.repartition(7), iters = 3, dims = dims)
+      .orderBy(col("dim")).collect().map(_.getDouble(1))
+    assert(v.sameElements(v2), "pca depends on partitioning")
+  }
+
   test("kmeans gate query: all cells non-empty, refinement helps, " +
       "deterministic") {
     val r2 = Similarity.kmeansClusterQuery(spark, sfDir, k = 8,
