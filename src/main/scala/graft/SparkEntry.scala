@@ -119,6 +119,9 @@ object SparkEntry {
     "q_epoch_shuffle" -> ((s, d) => Sampling.epochShuffleQuery(s, d)),
     // End-to-end corpus cleaning (north-star composition)
     "q_pipeline_clean" -> (Pipeline.cleanCorpusQuery _),
+    // Token-budget selection: best-quality docs until the budget is
+    // spent, via a distributed prefix sum (no single-task window)
+    "q_token_budget" -> (Curation.tokenBudgetQuery _),
     "q_pipeline_curate" -> (Pipeline.curateCorpusQuery _),
     // Deduplication family (north star)
     "q_dedup_exact" -> (Dedup.exactQuery _),
@@ -1906,6 +1909,37 @@ object SparkEntry {
         |  (n_stop / n_tok) * 0.25 + (n_distinct / n_tok) * 0.5 +
         |    (1.0 - n_short / n_tok) * 0.25 AS quality_score
         |FROM s
+        |ORDER BY doc_id""".stripMargin,
+    // q_token_budget: the oracle replays the quality formula, the
+    // 10 dp-rounded ordering, the single-sequence running sum (the
+    // engine's two-phase distributed prefix sum must equal it for ANY
+    // partition boundaries), and the half-total-tokens budget.
+    "q_token_budget" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+        |    CAST(len(list_filter(string_split(text, ' '), x ->
+        |      x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |      AS n_stop,
+        |    CAST(len(list_filter(string_split(text, ' '), x ->
+        |      len(x) <= 2)) AS DOUBLE) AS n_short,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      AS n_distinct
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, n_tok,
+        |    round((n_stop / nt) * 0.25 + (n_distinct / nt) * 0.5 +
+        |      (1.0 - n_short / nt) * 0.25, 10) + 0.0 AS q
+        |  FROM s),
+        |b AS (SELECT sum(n_tok) // 2 AS budget FROM s),
+        |c AS (
+        |  SELECT doc_id, q, n_tok,
+        |    sum(n_tok) OVER (ORDER BY q DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, q, n_tok, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c CROSS JOIN b WHERE cum_tokens <= budget
         |ORDER BY doc_id""".stripMargin,
     // q_takedown: incremental erasure + keeper re-election must equal
     // the from-scratch election over the corpus minus the takedown

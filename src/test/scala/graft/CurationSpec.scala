@@ -362,4 +362,39 @@ class CurationSpec extends SparkSpec {
     again.foreach(r => assert(r.getString(1) == r.getString(2),
       s"not idempotent: ${r.getString(1)} -> ${r.getString(2)}"))
   }
+
+  test("token budget: two-phase prefix sum equals the single-window " +
+      "reference, respects the budget, and is layout-independent") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val total = docs.agg(sum(size(split(col("text"), " ")).cast("long")))
+      .head().getLong(0)
+    val budget = total / 2
+    val got = Curation.tokenBudgetSelect(docs, budget)
+      .orderBy(col("doc_id")).collect()
+    assert(got.nonEmpty && got.length < docs.count())
+    assert(got.map(_.getLong(2)).sum <= budget, "budget exceeded")
+    // single-window (single-task) reference — fine at spec scale
+    val scored = graft.operators.TextAnalysis.qualityOver(docs)
+      .select(col("doc_id"),
+        (round(col("quality_score"), 10) + lit(0.0)).as("q"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")),
+        Seq("doc_id"))
+    val wAll = Window.orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ref = scored.withColumn("cum", sum(col("n_tok")).over(wAll))
+      .filter(col("cum") <= budget)
+      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("cum")).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(3))).toSeq ==
+      ref.map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      "two-phase prefix sum diverges from the single-window reference")
+    // layout independence: different input partitioning, same result
+    val again = Curation.tokenBudgetSelect(docs.repartition(13), budget)
+      .orderBy(col("doc_id")).collect()
+    assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
