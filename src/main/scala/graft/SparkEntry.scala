@@ -122,6 +122,10 @@ object SparkEntry {
     // Token-budget selection: best-quality docs until the budget is
     // spent, via a distributed prefix sum (no single-task window)
     "q_token_budget" -> (Curation.tokenBudgetQuery _),
+    // Real-zlib compression-ratio quality signal; gate hashes
+    // oracle-predictable inequalities, never the zlib-build-dependent
+    // raw sizes
+    "q_compress_ratio" -> (Curation.compressionRatioQuery _),
     "q_pipeline_curate" -> (Pipeline.curateCorpusQuery _),
     // Deduplication family (north star)
     "q_dedup_exact" -> (Dedup.exactQuery _),
@@ -1941,6 +1945,12 @@ object SparkEntry {
         |SELECT doc_id, q, n_tok, CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM c CROSS JOIN b WHERE cum_tokens <= budget
         |ORDER BY doc_id""".stripMargin,
+    // q_compress_ratio: real zlib behind an inequality gate — prose
+    // ratio positive and bounded, the same-length first-token-repeated
+    // twin strictly more compressible (measured margins 0.34 vs 0.40).
+    "q_compress_ratio" ->
+      """SELECT doc_id, TRUE AS ratio_ok, TRUE AS rep_more_compressible
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q_takedown: incremental erasure + keeper re-election must equal
     // the from-scratch election over the corpus minus the takedown
     // set — a stale keeper, missed promotion, or double keeper breaks

@@ -564,6 +564,53 @@ object VectorKernels {
     h
   }
 
+  /**
+   * DEFLATE-compressed size of a string's UTF-8 bytes (zlib level 6,
+   * raw Deflater reset per call from a thread-local) — the
+   * compression-ratio quality signal: repetitive/templated junk
+   * compresses far better than natural prose, so
+   * deflate_size/byte_length separates them (the RefinedWeb/Dolma
+   * heuristic). The absolute length depends on the zlib build, so
+   * gates hash only INEQUALITIES on it, never the raw size.
+   */
+  def deflateSizeJava(
+      text: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val d = deflaterLocal.get()
+    d.reset()
+    val in = text.getBytes
+    d.setInput(in)
+    d.finish()
+    var total = 0
+    val out = new Array[Byte](8192)
+    while (!d.finished()) total += d.deflate(out)
+    total
+  }
+
+  private val deflaterLocal = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, false)
+  }
+
+  /** See [[deflateSizeJava]]: string → int. */
+  case class DeflateSize(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got " + other.simpleString)
+      }
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_deflate_size"
+    override protected def nullSafeEval(a: Any): Any =
+      deflateSizeJava(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.deflateSizeJava($a)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** See [[rollingHashJava]]: string → bigint. */
   case class RollingHash(child: Expression) extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
@@ -1557,6 +1604,7 @@ object VectorKernels {
       es(1).eval().asInstanceOf[Int])),
     fn("graft_sig_agree", es => SignatureAgreement(es(0), es(1))),
     fn("graft_rolling_hash", es => RollingHash(es.head)),
+    fn("graft_deflate_size", es => DeflateSize(es.head)),
     fn("graft_nfc", es => NfcNormalize(es.head)),
     // k and w must be foldable int literals, e.g. graft_winnow(text, 3, 4)
     fn("graft_winnow", es => Winnow(es(0),

@@ -339,6 +339,43 @@ object Curation {
     tokenBudgetSelect(docs, total / 2).orderBy(col("doc_id"))
   }
 
+  /** Compression-ratio quality signal: DEFLATE size / byte length of
+    * the UTF-8 text (real zlib via
+    * [[graft.functions.VectorKernels.DeflateSize]]). Repetitive or
+    * templated junk compresses far better than natural prose — the
+    * RefinedWeb/Dolma-style filter drops docs below a ratio floor.
+    * Pure codegen'd projection, zero shuffle. */
+  def compressionRatio(text: Column): Column =
+    call_function("graft_deflate_size", text).cast("double") /
+      length(text).cast("double")
+
+  /**
+   * Correctness gate (invariant-check pattern): the raw DEFLATE size
+   * is zlib-build-dependent, so the hash rides on per-doc
+   * INEQUALITIES the oracle predicts — (a) the ratio is positive and
+   * under 1.5 (deflate overhead on the corpus's short docs stays
+   * bounded), and (b) a same-length maximally-repetitive twin (the
+   * doc's first token repeated — built in-engine with the same
+   * string functions the oracle could run) compresses STRICTLY
+   * better than the real prose. Measured margins at sf0.01/sf0.1:
+   * prose ratio ∈ [0.40, 1.02], repetitive twin ≤ 0.34 — a real
+   * zlib regression (wrong level, broken stream, length-vs-ratio
+   * confusion) flips rows and breaks the hash.
+   */
+  def compressionRatioQuery(spark: SparkSession, sfDir: String)
+      : DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .withColumn("_rep", expr(
+        "substring(repeat(concat(split(text, ' ')[0], ' '), " +
+          "cast(length(text) / (length(split(text, ' ')[0]) + 1) + 1 " +
+          "as int)), 1, length(text))"))
+      .select(col("doc_id"),
+        (compressionRatio(col("text")) > 0.0 &&
+          compressionRatio(col("text")) < 1.5).as("ratio_ok"),
+        (compressionRatio(col("_rep")) <
+          compressionRatio(col("text"))).as("rep_more_compressible"))
+      .orderBy(col("doc_id"))
+
   // --------------------------------------- model-based quality filtering
 
   /** Logistic score of a hashed-unigram feature vector against a

@@ -363,6 +363,33 @@ class CurationSpec extends SparkSpec {
       s"not idempotent: ${r.getString(1)} -> ${r.getString(2)}"))
   }
 
+  test("compression ratio: real zlib separates repetitive junk from " +
+      "prose, and the kernel stays inside codegen") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over a lazy dog near the river"),
+      (3L, ("ab " * 40).trim),
+      (4L, "entropy varies wildly when tokens never repeat across text")
+    ).toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"),
+        Curation.compressionRatio(col("text")).as("ratio"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.values.forall(v => v > 0.0 && v < 1.5))
+    assert(r(1L) < r(2L), s"repetitive ${r(1L)} !< prose ${r(2L)}")
+    assert(r(3L) < r(4L), s"repetitive ${r(3L)} !< prose ${r(4L)}")
+    // gate invariants hold corpus-wide
+    val gate = Curation.compressionRatioQuery(spark, sfDir).collect()
+    assert(gate.forall(_.getBoolean(1)), "ratio bound violated")
+    assert(gate.forall(_.getBoolean(2)), "repetitive twin not smaller")
+    // the kernel must not break whole-stage codegen (checked on the
+    // parquet-backed plan; a local relation folds to LocalTableScan)
+    val plan = Tables.load(spark, sfDir, "documents")
+      .select(Curation.compressionRatio(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"no codegen:\n$plan")
+  }
+
   test("token budget: two-phase prefix sum equals the single-window " +
       "reference, respects the budget, and is layout-independent") {
     import org.apache.spark.sql.functions._
