@@ -147,6 +147,14 @@ object SparkEntry {
     // Exact duplicated-substring spans (Lee et al. 2022): maximal
     // merged intervals of cross-doc-duplicated 5-word grams
     "q_dedup_spans" -> (Dedup.dupSpansQuery _),
+    // The cut half of the Lee et al. pipeline: strip span words,
+    // re-emit surviving prose (byte-exact md5 reconstruction gate)
+    "q_dedup_spans_strip" -> (Dedup.dupSpanStripQuery _),
+    // Salted skew join must be row-for-row identical to the plain join
+    "q_join_salted" -> (Scale.saltedJoinQuery _),
+    // Join-key skew diagnostics: hot keys, share, and the salt factor
+    // a salted join of that key would need
+    "q_skew_report" -> (Stats.skewReportQuery _),
     "q_dedup_editdist" -> (Dedup.editDistQuery _),
     "q_dup_clusters" -> (Dedup.dupClustersQuery _),
     // Graph centrality: 3-iteration PageRank over an id-derived link
@@ -1145,6 +1153,54 @@ object SparkEntry {
         |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_words
         |FROM isl GROUP BY doc_id, span_id
         |ORDER BY doc_id, span_start""".stripMargin,
+    // q_dedup_spans_strip replays the whole span pipeline, expands
+    // spans to (doc_id, pos), anti-joins the token stream, and
+    // re-assembles surviving prose in position order — md5 equality
+    // proves byte-exact reconstruction.
+    "q_dedup_spans_strip" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    ('0x' || substring(md5(array_to_string(w[i:i+4], ' ')),
+        |      1, 15))::BIGINT AS h
+        |  FROM toks, unnest(range(1, len(w) - 4 + 1)) AS t(i)),
+        |dup AS (
+        |  SELECT h FROM grams GROUP BY h
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |starts AS (
+        |  SELECT g.doc_id, g.pos, g.pos + 4 AS e FROM grams g
+        |  WHERE g.h IN (SELECT h FROM dup)),
+        |flag AS (
+        |  SELECT doc_id, pos, e,
+        |    CASE WHEN max(e) OVER prev IS NULL
+        |         OR pos > max(e) OVER prev + 1 THEN 1 ELSE 0 END
+        |      AS new_span
+        |  FROM starts
+        |  WINDOW prev AS (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |isl AS (
+        |  SELECT doc_id, pos, e,
+        |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM flag),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS s, max(e) AS e2
+        |  FROM isl GROUP BY doc_id, span_id),
+        |pos AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS word
+        |  FROM toks, unnest(range(1, len(w) + 1)) AS t(i)),
+        |dp AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS pos
+        |  FROM spans, unnest(range(s, e2 + 1)) AS t(p)),
+        |kept AS (
+        |  SELECT p.doc_id, p.pos, p.word FROM pos p
+        |  LEFT JOIN dp ON p.doc_id = dp.doc_id AND p.pos = dp.pos
+        |  WHERE dp.doc_id IS NULL)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  md5(string_agg(word, ' ' ORDER BY pos)) AS clean_md5
+        |FROM kept GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -1405,6 +1461,33 @@ object SparkEntry {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    // q_skew_report: exact counts; share/skew rounded (+0.0), salt =
+    // ceil of the same left-assoc double expression on both engines.
+    "q_skew_report" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total,
+        |  CAST(count(*) AS BIGINT) AS n_keys FROM c)
+        |SELECT user_id, n_rows,
+        |  round(CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+        |    + 0.0 AS share,
+        |  round(CAST(n_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |    / CAST(n_total AS DOUBLE), 4) + 0.0 AS skew_factor,
+        |  CAST(ceil(CAST(n_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |    / CAST(n_total AS DOUBLE)) AS INTEGER) AS salt_rec
+        |FROM c CROSS JOIN t
+        |ORDER BY n_rows DESC, user_id LIMIT 10""".stripMargin,
+    // q_join_salted: salting must be invisible in the result — the
+    // oracle is the PLAIN join with the q5 DECIMAL sum rule.
+    "q_join_salted" ->
+      """SELECT p_brand,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,8))), 2)
+        |    AS DOUBLE) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
     // Custom bounded-heap aggregate vs the window formulation: same
     // total order (price DESC, orderkey ASC), same rows.
     "q_topk_agg" ->

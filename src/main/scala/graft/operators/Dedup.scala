@@ -591,6 +591,44 @@ object Dedup {
     dupSpans(Tables.load(spark, sfDir, "documents"), k = 5, minDf = 1)
       .orderBy(col("doc_id"), col("span_start"))
 
+  /**
+   * Surgical removal pass over [[dupSpans]]: strip every word inside
+   * a duplicated span and re-emit each document's surviving prose —
+   * the second half of the Lee et al. pipeline (localize, THEN cut).
+   * Documents whose every word sits in a span (whole-doc duplicates)
+   * disappear from the output by construction; documents with no
+   * spans pass through intact.
+   *
+   * Scale shape: span positions expand to (doc_id, pos) rows — volume
+   * ∝ duplication found, not corpus size — and anti-join the token
+   * stream on (doc_id, pos), hash-partitioned; the re-assembly is a
+   * per-doc sort inside groupBy (bounded by doc length). Output
+   * carries the surviving-word count and an md5 of the re-joined
+   * prose, so the gate proves byte-exact reconstruction.
+   */
+  def dupSpanStrip(docs: DataFrame, k: Int = 5, minDf: Int = 1)
+      : DataFrame = {
+    val spans = dupSpans(docs, k, minDf)
+    val pos = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("word"))
+    val dupPos = spans.select(col("doc_id"),
+      explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    pos.join(dupPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")))).as("clean_md5"))
+  }
+
+  /** Correctness gate for [[dupSpanStrip]] (5-word grams, df > 1). */
+  def dupSpanStripQuery(spark: SparkSession, sfDir: String): DataFrame =
+    dupSpanStrip(Tables.load(spark, sfDir, "documents"), k = 5,
+      minDf = 1).orderBy(col("doc_id"))
+
   /** Window-dedup keep-first: the generic "keep one row per key"
     * operator (also the ACID resolve primitive). */
   def keepFirst(df: DataFrame, key: Seq[String], order: Column): DataFrame = {

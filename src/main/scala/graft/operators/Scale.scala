@@ -49,6 +49,25 @@ object Scale {
     saltedLarge.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Correctness gate for [[saltedJoin]]: per-brand quantity totals
+    * through the salted plan must hash-equal the plain-join oracle —
+    * salting only spreads rows, it must never lose, duplicate, or
+    * misroute one. Quantity sums ride DECIMAL (the q5 rule) so the
+    * distributed order never shows. */
+  def saltedJoinQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey").as("k"), col("l_quantity"))
+    val part = Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey").as("k"), col("p_brand"))
+    saltedJoin(li, part, "k", salt = 8)
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_quantity").cast("decimal(28,8)")), 2)
+          .cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("p_brand"))
+  }
+
   /**
    * Per-group top-k via the custom bounded-heap aggregate
    * ([[graft.functions.TopKAgg]], SURVEY §2.11): keeps k (ord, id)

@@ -260,4 +260,41 @@ object Stats {
           .as("bucket_sum"))
       .orderBy(col("bucket"))
   }
+
+  /**
+   * Join-key skew diagnostics: per-key row counts, frequency share,
+   * skew factor (count / mean-per-key), and the salt factor a
+   * [[Scale.saltedJoin]] of that key would need (⌈skew⌉) — the report
+   * run BEFORE a big join to decide between plain shuffle, AQE skew
+   * split, and explicit salting. Top keys by count (ties to key id)
+   * so the hot tail is what the operator surfaces.
+   *
+   * Scale shape: one partial-agg'd groupBy on the key (counts only —
+   * the 8-byte key is the entire shuffle payload), a 1-row global agg
+   * broadcast back, and a TakeOrdered top-N — no global sort, no
+   * second pass over the data.
+   */
+  def skewReport(df: DataFrame, key: String, topN: Int = 10)
+      : DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(
+      sum(col("n_rows")).as("n_total"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(key), col("n_rows"),
+        (round(col("n_rows").cast("double") /
+          col("n_total").cast("double"), 6) + lit(0.0)).as("share"),
+        (round(col("n_rows").cast("double") * col("n_keys").cast("double")
+          / col("n_total").cast("double"), 4) + lit(0.0))
+          .as("skew_factor"),
+        ceil(col("n_rows").cast("double") * col("n_keys").cast("double")
+          / col("n_total").cast("double")).cast("int").as("salt_rec"))
+      .orderBy(col("n_rows").desc, col(key))
+      .limit(topN)
+  }
+
+  /** Correctness gate: hottest 10 user_ids in the events stream. */
+  def skewReportQuery(spark: SparkSession, sfDir: String): DataFrame =
+    skewReport(graft.Tables.load(spark, sfDir, "events"), "user_id")
+      .orderBy(col("n_rows").desc, col("user_id"))
 }

@@ -218,5 +218,17 @@ class DedupSpec extends SparkSpec {
     assert(spans(2L) == List((1L, 7L, 7L)), s"d2: ${spans(2L)}")
     assert(spans(3L) == List((0L, 2L, 3L), (4L, 6L, 3L)), s"d3: ${spans(3L)}")
     assert(spans(4L) == List((0L, 5L, 6L)), s"d4: ${spans(4L)}")
+
+    // the strip pass cuts exactly the span words and reassembles the
+    // survivors byte-exactly (md5 of the expected remainder)
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val stripped = Dedup.dupSpanStrip(docs, k = 3, minDf = 1)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(stripped(1L) == (3L, m("u1 u2 u3")), s"d1: ${stripped(1L)}")
+    assert(stripped(2L) == (2L, m("p2 s2")), s"d2: ${stripped(2L)}")
+    assert(stripped(3L) == (1L, m("m1")), s"d3: ${stripped(3L)}")
+    assert(stripped(4L) == (1L, m("q4")), s"d4: ${stripped(4L)}")
   }
 }

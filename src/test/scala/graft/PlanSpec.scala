@@ -232,6 +232,32 @@ class PlanSpec extends SparkSpec {
       s"fp32 embeddings shuffled at serving time:\n$exchanges")
   }
 
+  test("span dedup: only (key, doc, pos) triples enter an exchange, " +
+      "never text or gram strings") {
+    val p = planString(Dedup.dupSpansQuery(spark, sfDir))
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, s"no shuffle found:\n$p")
+    assert(!exchanges.exists(e => e.contains("text#") ||
+        e.contains("gram#")),
+      s"text/gram strings flow through a shuffle:\n$exchanges")
+  }
+
+  test("bloom incremental dedup: the filter rides one broadcast row; " +
+      "only the bloom-positive slice joins the corpus") {
+    val p = planString(Dedup.bloomIncrementalQuery(spark, sfDir))
+    assert(p.contains("graft_bloom_might"), s"probe not in plan:\n$p")
+    assert(p.contains("Broadcast"), s"bloom row not broadcast:\n$p")
+    // the probe gates both branches — Catalyst inlines it into the
+    // branch join/filter conditions (NOT might(...) on the negative
+    // side), and the positive slice still pays the exact anti-join
+    assert(p.linesIterator.exists(l =>
+      l.contains("graft_bloom_might") &&
+        (l.contains("Join") || l.contains("Filter"))),
+      s"probe not gating a branch:\n$p")
+    assert(p.contains("LeftAnti"), s"exact verify anti-join missing:\n$p")
+  }
+
   test("jaccard DF cap: hot-shingle filter is a broadcast anti join") {
     val p = planString(Dedup.ngramJaccardQuery(spark, sfDir))
     // the anti join against the (tiny) hot-shingle set must broadcast —
