@@ -104,6 +104,9 @@ object SparkEntry {
     // Takedown/right-to-erasure propagation through the standing
     // keeper store, with duplicate-group keeper re-election
     "q_takedown" -> (Versioning.takedownQuery _),
+    // SCD Type 2 dimension merge: close changed versions, pass
+    // no-ops through, insert arrivals — the nightly warehouse merge
+    "q_scd2" -> (Versioning.scdMergeQuery _),
     // Dataset publication: sharded write + order-free integrity
     // manifest of the files that actually landed
     "q_publish_manifest" -> (Versioning.publishManifestQuery _),
@@ -114,6 +117,9 @@ object SparkEntry {
     "q_sample_weighted" -> ((s, d) => Sampling.weightedSampleQuery(s, d)),
     // Data selection: mixture resampling + DSIR importance weighting
     "q_domain_mix" -> ((s, d) => Sampling.domainMixQuery(s, d)),
+    // Temperature (α=0.5) mixing: data-derived √n targets, same
+    // deterministic hash coin
+    "q_temperature_mix" -> (Sampling.temperatureMixQuery _),
     "q_importance" -> ((s, d) => Sampling.importanceQuery(s, d)),
     // Deterministic per-epoch training-data ordering
     "q_epoch_shuffle" -> ((s, d) => Sampling.epochShuffleQuery(s, d)),
@@ -152,6 +158,9 @@ object SparkEntry {
     "q_dedup_spans_strip" -> (Dedup.dupSpanStripQuery _),
     // Salted skew join must be row-for-row identical to the plain join
     "q_join_salted" -> (Scale.saltedJoinQuery _),
+    // Runtime bloom-filter join: semijoin reduction before the
+    // shuffle; result must equal the plain join
+    "q_join_bloom" -> (Scale.bloomJoinQuery _),
     // Join-key skew diagnostics: hot keys, share, and the salt factor
     // a salted join of that key would need
     "q_skew_report" -> (Stats.skewReportQuery _),
@@ -160,6 +169,9 @@ object SparkEntry {
     // Graph centrality: 3-iteration PageRank over an id-derived link
     // graph (web-corpus importance weighting)
     "q_pagerank" -> ((s, d) => Graph.pageRankQuery(s, d)),
+    // Exact triangle counts via degree-ordered orientation (bounded
+    // wedge fan-out on power-law graphs)
+    "q_triangles" -> (Graph.trianglesQuery _),
     "q_cluster_canonical" -> (Dedup.clusterCanonicalQuery _),
     // Similarity search (north star)
     "q_ann_topk" -> (Similarity.annBruteForceQuery _),
@@ -1478,6 +1490,88 @@ object SparkEntry {
         |    / CAST(n_total AS DOUBLE)) AS INTEGER) AS salt_rec
         |FROM c CROSS JOIN t
         |ORDER BY n_rows DESC, user_id LIMIT 10""".stripMargin,
+    // q_join_bloom: the bloom pre-filter may only prune work — the
+    // oracle is the PLAIN join (q5 DECIMAL revenue rule).
+    "q_join_bloom" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_scd2: CASE/UNION ALL replay of the Type-2 merge — closed +
+    // fresh versions for ÷7 changes, pass-through for no-ops and
+    // untouched keys, arrivals at key + 1000000.
+    "q_scd2" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  DATE '2020-01-01' AS valid_from,
+        |  DATE '2024-06-01' AS valid_to, FALSE AS is_current
+        |FROM customer WHERE c_custkey % 7 = 0
+        |UNION ALL
+        |SELECT c_custkey, 'MOVED', c_acctbal + 100.0,
+        |  DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+        |FROM customer WHERE c_custkey % 7 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  DATE '2020-01-01', CAST(NULL AS DATE), TRUE
+        |FROM customer WHERE c_custkey % 7 <> 0
+        |UNION ALL
+        |SELECT c_custkey + 1000000, 'NEWCOMER', 0.0,
+        |  DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+        |FROM customer WHERE c_custkey % 19 = 0
+        |ORDER BY c_custkey, valid_from, is_current""".stripMargin,
+    // q_temperature_mix: √n weights rounded to 6 decimals and summed
+    // in DECIMAL (order-free exact total); every double step after is
+    // a single left-assoc operation both engines replay bit-exactly.
+    "q_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_lang,
+        |    CAST(round(sqrt(CAST(count(*) AS DOUBLE)), 6)
+        |      AS DECIMAL(38,6)) AS w
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(w) AS DECIMAL(38,6)) AS w_tot,
+        |  CAST(sum(n_lang) AS BIGINT) AS n_total FROM c),
+        |r AS (
+        |  SELECT lang, n_lang,
+        |    CAST(w AS DOUBLE) / CAST(w_tot AS DOUBLE) AS share,
+        |    least(1.0, CAST(w AS DOUBLE) / CAST(w_tot AS DOUBLE)
+        |      * CAST(n_total AS DOUBLE) / CAST(n_lang AS DOUBLE))
+        |      AS rate
+        |  FROM c CROSS JOIN t),
+        |k AS (
+        |  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM documents d JOIN r ON d.lang = r.lang
+        |  WHERE ('0x' || substring(md5(d.text), 1, 6))::BIGINT <
+        |    CAST(floor(rate * 16777216.0) AS BIGINT)
+        |  GROUP BY d.lang)
+        |SELECT r.lang, n_lang, round(share, 6) + 0.0 AS share,
+        |  round(rate, 6) + 0.0 AS rate, n_kept
+        |FROM r JOIN k ON r.lang = k.lang
+        |ORDER BY r.lang""".stripMargin,
+    // q_triangles: canonical u<v edge set; each triangle a<b<c is
+    // enumerated exactly once as (a,b),(b,c),(a,c); per-node counts
+    // replicate each triangle to its three corners.
+    "q_triangles" ->
+      """WITH raw AS (
+        |  SELECT doc_id AS u, doc_id + 1 + doc_id % 3 AS v
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 2 + doc_id % 5 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 3 + doc_id % 7 FROM documents),
+        |e AS (
+        |  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+        |  FROM raw WHERE u <> v),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |nodes AS (
+        |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM nodes GROUP BY node ORDER BY node""".stripMargin,
     // q_join_salted: salting must be invisible in the result — the
     // oracle is the PLAIN join with the q5 DECIMAL sum rule.
     "q_join_salted" ->

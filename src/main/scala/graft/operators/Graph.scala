@@ -77,4 +77,71 @@ object Graph {
       .as("pr_scaled"))
       .orderBy(col("doc_id"))
   }
+
+  /**
+   * Exact triangle counting with degree-ordered edge orientation
+   * (Cohen 2009 / Suri–Vassilvitskii 2011 "MR triangle counting"):
+   * every undirected edge is directed from its lower-(degree, id)
+   * endpoint to the higher, wedges are enumerated only at each edge's
+   * LOW endpoint, and a wedge (b, c) closes iff the directed edge
+   * b→c exists. Orientation bounds each node's out-degree by
+   * O(√m) regardless of raw degree, so the wedge fan-out — the step
+   * that explodes on power-law graphs (a 10M-degree hub would
+   * otherwise emit 10¹³ wedges) — stays bounded at 100 TB: total
+   * wedges ≤ m^1.5 instead of Σ deg². Two self-joins on 16-byte
+   * (src, dst) pairs; adjacency lists never materialize.
+   *
+   * Counts per node: a triangle (a, b, c) increments all three — the
+   * local clustering numerator, the spam/bot-farm signal web-corpus
+   * curation weighs next to PageRank.
+   */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // canonicalize: undirected, u < v, distinct, no self-loops
+    val canon = edges
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = canon.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = canon
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+    // direct low → high in the (deg, id) total order
+    val dir = withDeg.select(
+      when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("src"), col("v").as("dst"),
+          col("dv").as("ddst")))
+        .otherwise(struct(col("v").as("src"), col("u").as("dst"),
+          col("du").as("ddst"))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.ddst"))
+    val e1 = dir.select(col("src"), col("dst").as("b"),
+      col("ddst").as("db"))
+    val e2 = dir.select(col("src"), col("dst").as("c"),
+      col("ddst").as("dc"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+    val tris = wedges.join(
+      dir.select(col("src").as("b"), col("dst").as("c")),
+      Seq("b", "c"), "left_semi")
+    tris.select(explode(array(col("src"), col("b"), col("c")))
+        .as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Correctness gate for [[triangleCounts]]: id-derived local-window
+    * graph — doc i raises edges (i, i+1+(i mod 3)), (i, i+2+(i mod 5)),
+    * (i, i+3+(i mod 7)); offsets ≤ 10 keep the neighborhood (and the
+    * oracle's triple join) bounded while the varying strides make the
+    * triangle set irregular. Per-node counts, id-ordered. */
+  def trianglesQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val i = col("doc_id")
+    val e = Tables.load(spark, sfDir, "documents")
+      .select(i.as("u"), explode(array(
+        i + lit(1) + pmod(i, lit(3L)),
+        i + lit(2) + pmod(i, lit(5L)),
+        i + lit(3) + pmod(i, lit(7L)))).as("v"))
+    triangleCounts(e).orderBy(col("node"))
+  }
 }

@@ -111,6 +111,55 @@ object Sampling {
   }
 
   /**
+   * Temperature-weighted domain mixing: target shares derive from the
+   * DATA — share_s ∝ n_s^α with α = 0.5 (the multilingual-pretraining
+   * convention: up-weight small domains, flatten the head) — instead
+   * of the hand-set percentages of [[domainMixQuery]]. Acceptance is
+   * the same deterministic 24-bit content-hash coin, so the kept set
+   * is reproducible and exactly oracle-replayable.
+   *
+   * Cross-engine exactness: n^0.5 is `sqrt` (IEEE correctly-rounded
+   * in both engines — the ONLY portable power); each weight is
+   * rounded to 6 decimals and summed in DECIMAL(38,6), so the
+   * normalizing total is order-free and exact; every double step
+   * after that is a single operation replayed left-assoc in the SQL.
+   *
+   * Shape at 100 TB: identical to [[domainMixQuery]] — one tiny
+   * stratum-count agg, the rate table broadcast back onto the scan,
+   * one pushable hash-predicate filter. Two scans, zero wide
+   * shuffles.
+   */
+  def temperatureMixQuery(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val weights = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang"))
+      .withColumn("w",
+        round(sqrt(col("n_lang").cast("double")), 6)
+          .cast("decimal(38,6)"))
+    val tot = weights.agg(sum(col("w")).as("w_tot"),
+      sum(col("n_lang")).as("n_total"))
+    val rates = weights.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("w").cast("double") / col("w_tot").cast("double"))
+      .withColumn("rate", least(lit(1.0),
+        col("share") * col("n_total").cast("double") /
+          col("n_lang").cast("double")))
+      .withColumn("threshold",
+        floor(col("rate") * lit(16777216.0)).cast("long"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(hashBucket24(col("text")) < col("threshold"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+      .join(broadcast(rates), Seq("lang"))
+      .select(col("lang"), col("n_lang"),
+        (round(col("share"), 6) + lit(0.0)).as("share"),
+        (round(col("rate"), 6) + lit(0.0)).as("rate"),
+        col("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  /**
    * Deterministic epoch shuffling: the data-ORDER half of training
    * reproducibility. Each epoch gets an independent pseudorandom
    * permutation keyed by md5(epoch ":" doc_id) — shard assignment and

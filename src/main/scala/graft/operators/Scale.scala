@@ -428,4 +428,52 @@ object Scale {
         col("sum_value"), col("session_start"))
       .orderBy(col("user_id"), col("session_no"))
   }
+
+  /**
+   * Runtime bloom-filter join (semijoin reduction): the dimension
+   * side's join-key set folds into one 8 KB
+   * [[graft.functions.BloomAgg]] sketch (OR-merged partials,
+   * broadcast as a single row) that pre-filters the fact side BEFORE
+   * the join's exchange — bloom-negative fact rows provably have no
+   * match (no false negatives) and never enter the shuffle; the
+   * bloom-positive slice (matches + bounded false positives) pays the
+   * exact join, which removes the false positives, so the result is
+   * row-for-row the plain join. This is the explicit form of the
+   * runtime-filter trick every warehouse leans on at 100 TB: a
+   * 20%-selective dimension shrinks the fact shuffle ~5× for an 8 KB
+   * broadcast. Production sizes the filter at ~10 bits/key (sharded
+   * per-partition blooms OR-merge the same way); the mechanics —
+   * build, broadcast, probe, exact-verify — are identical at any m.
+   * The join is hinted merge so the plan is the true at-scale shape
+   * (dim too big to broadcast-hash-join) and the pre-filter's work
+   * reduction is real, not shadowed by a broadcast join.
+   */
+  def bloomFilteredJoin(fact: DataFrame, dim: DataFrame, key: String)
+      : DataFrame = {
+    val bloom = dim.agg(
+      call_function("graft_bloom", col(key).cast("string")).as("_bloom"))
+    fact.crossJoin(broadcast(bloom))
+      .filter(call_function("graft_bloom_might", col("_bloom"),
+        col(key).cast("string")))
+      .drop("_bloom")
+      .join(dim.hint("merge"), Seq(key))
+  }
+
+  /** Correctness gate for [[bloomFilteredJoin]]: urgent-priority
+    * orders (≈20% selective) join the lineitem fact through the bloom
+    * pre-filter; per-month item counts and revenue must hash-equal
+    * the PLAIN-join oracle — the sketch may only prune work, never
+    * change the result. Revenue rides DECIMAL (the q5 rule). */
+  def bloomJoinQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val urgent = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
+    bloomFilteredJoin(li, urgent, "l_orderkey")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,8)")), 2).cast("double").as("revenue"))
+      .orderBy(col("month"))
+  }
 }

@@ -24,4 +24,23 @@ class GraphSpec extends SparkSpec {
     val again = Graph.pageRankQuery(spark, sfDir).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("triangle counts: hand-computed K4 + pendant, dirty-input canon") {
+    import SparkSpec.spark.implicits._
+    // K4 on {1,2,3,4} has C(4,3)=4 triangles; every K4 node sits in
+    // exactly 3 of them. Node 5 hangs off node 4 and closes nothing.
+    // Dirty input: a reversed duplicate (3,1), an exact duplicate
+    // (1,2), and a self-loop (2,2) must all be absorbed by
+    // canonicalization — counted once, loop dropped.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (3L, 1L), (1L, 2L), (2L, 2L))
+      .toDF("u", "v")
+    val got = Graph.triangleCounts(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"per-node triangle counts wrong: $got")
+    // corner sum = 3 x triangle count
+    assert(got.values.sum == 3L * 4L)
+  }
 }

@@ -173,4 +173,35 @@ class SamplingSpec extends SparkSpec {
     assert(bySplit("train") > bySplit("val") &&
       bySplit("train") > bySplit("test"), s"$bySplit")
   }
+
+  test("temperature mix: alpha=0.5 flattens the head, coin deterministic") {
+    val rows = Sampling.temperatureMixQuery(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val nTotal = rows.map(_._2).sum.toDouble
+    // shares normalize
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    rows.foreach { case (lang, nLang, share, rate, nKept) =>
+      assert(rate > 0.0 && rate <= 1.0, s"$lang rate $rate")
+      assert(nKept <= nLang, s"$lang kept $nKept of $nLang")
+      // sampled count lands near rate * n (24-bit coin, sf0.001 strata
+      // are small, so allow a loose binomial band)
+      val exp = rate * nLang
+      assert(math.abs(nKept - exp) < 6 * math.sqrt(exp.max(1.0)) + 3,
+        s"$lang kept $nKept, expected ~$exp")
+    }
+    // THE temperature property: acceptance rate = min(1, N/(sqrt(n)*S))
+    // is strictly non-increasing in stratum size — the head is
+    // down-sampled hardest, the tail kept whole
+    val byN = rows.sortBy(_._2)
+    byN.map(_._4).zip(byN.tail.map(_._4)).foreach { case (rSmall, rBig) =>
+      assert(rSmall >= rBig - 1e-9,
+        s"rate not monotone in stratum size: ${byN.toSeq}")
+    }
+    val again = Sampling.temperatureMixQuery(spark, sfDir).collect()
+      .map(_.toString).toSeq
+    assert(again == Sampling.temperatureMixQuery(spark, sfDir)
+      .collect().map(_.toString).toSeq)
+  }
 }

@@ -303,4 +303,28 @@ class ScaleSpec extends SparkSpec {
     val counts = rows.map(_.getAs[Long]("exact_n"))
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
+
+  test("bloom-filtered join returns exactly the plain join") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val urgent = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
+    val bloomed = Scale.bloomFilteredJoin(li, urgent, "l_orderkey")
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderdate"))
+      .collect().map(_.toString).sorted.toSeq
+    val plain = li.join(urgent, Seq("l_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderdate"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(bloomed == plain,
+      s"bloom prefilter changed the join: ${bloomed.length} vs ${plain.length} rows")
+    // the pre-filter must run BEFORE the join's exchange: the plan
+    // carries a bloom-membership Filter, and no broadcast-hash-join
+    // shadows the merge-join shape the at-scale plan would have
+    val plan = Scale.bloomFilteredJoin(li, urgent, "l_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_might"),
+      "bloom membership filter missing from physical plan")
+    assert(plan.contains("SortMergeJoin"),
+      s"expected hinted merge join in:\n$plan")
+  }
 }

@@ -154,4 +154,45 @@ class VersioningSpec extends SparkSpec {
     assert(!exchanges.exists(_.contains("text#")),
       s"document text flows through an exchange:\n$exchanges")
   }
+
+  test("scdMerge: close/version/no-op/insert/history, null-safe compare") {
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    // key 1: will change; key 2: no-op update; key 3: untouched;
+    // key 1 also carries CLOSED history that must pass through
+    // untouched; key 9: attribute goes null -> value (null-safe
+    // compare must see a CHANGE, not a no-op)
+    val dim = Seq(
+      (1L, "A", d("2019-01-01"), Option(d("2021-01-01")), false),
+      (1L, "B", d("2021-01-01"), Option.empty[java.sql.Date], true),
+      (2L, "C", d("2020-01-01"), Option.empty[java.sql.Date], true),
+      (3L, "D", d("2020-01-01"), Option.empty[java.sql.Date], true),
+      (9L, null.asInstanceOf[String], d("2020-01-01"),
+        Option.empty[java.sql.Date], true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val upd = d("2024-06-01")
+    val updates = Seq((1L, "B2"), (2L, "C"), (4L, "NEW"), (9L, "X"))
+      .toDF("k", "attr").withColumn("upd_date", lit(upd))
+    val out = Versioning.scdMerge(dim, updates, "k", Seq("attr"),
+      "upd_date")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2),
+        Option(r.getDate(3)), r.getBoolean(4))).toSet
+    val expected = Set(
+      // history untouched
+      (1L, "A", d("2019-01-01"), Some(d("2021-01-01")), false),
+      // key 1: old current closed at updDate, new version current
+      (1L, "B", d("2021-01-01"), Some(upd), false),
+      (1L, "B2", upd, None, true),
+      // key 2: no-op -> single unchanged current row (no phantom)
+      (2L, "C", d("2020-01-01"), None, true),
+      // key 3: untouched
+      (3L, "D", d("2020-01-01"), None, true),
+      // key 9: null -> X is a change
+      (9L, null.asInstanceOf[String], d("2020-01-01"), Some(upd), false),
+      (9L, "X", upd, None, true),
+      // key 4: brand-new insert
+      (4L, "NEW", upd, None, true))
+    assert(out == expected,
+      s"missing=${expected -- out}\nextra=${out -- expected}")
+  }
 }
