@@ -29,6 +29,12 @@ object SparkEntry {
     "q_rollup" -> (Relational.rollupAgg _),
     "q_grouping_sets" -> (Relational.groupingSetsQuery _),
     "q_events_hourly" -> (Relational.eventsHourly _),
+    // Time-series regularization: dense hourly spine + forward fill
+    "q_gap_fill" -> (Scale.gapFillQuery _),
+    // Trailing-24h z-score anomaly flags over hourly counts
+    "q_rolling_anomaly" -> (Scale.rollingAnomalyQuery _),
+    // Rank-based p05/p95 quantile clipping (robust to heavy tails)
+    "q_winsorize" -> (Relational.winsorizeQuery _),
     "q_funnel" -> (Relational.funnelQuery _),
     "q_cohort" -> (Relational.cohortQuery _),
     "q_cube" -> (Relational.cubeAgg _),
@@ -107,6 +113,8 @@ object SparkEntry {
     // SCD Type 2 dimension merge: close changed versions, pass
     // no-ops through, insert arrivals — the nightly warehouse merge
     "q_scd2" -> (Versioning.scdMergeQuery _),
+    // CDC change-log compaction: latest-wins upsert with deletes
+    "q_cdc_upsert" -> (Versioning.cdcUpsertQuery _),
     // Dataset publication: sharded write + order-free integrity
     // manifest of the files that actually landed
     "q_publish_manifest" -> (Versioning.publishManifestQuery _),
@@ -1490,6 +1498,115 @@ object SparkEntry {
         |    / CAST(n_total AS DOUBLE)) AS INTEGER) AS salt_rec
         |FROM c CROSS JOIN t
         |ORDER BY n_rows DESC, user_id LIMIT 10""".stripMargin,
+    // q_gap_fill: the oracle rebuilds the hourly spine with
+    // generate_series and replays the IGNORE NULLS carry-forward;
+    // hourly sums ride DECIMAL (order-free) before the 2-dp round.
+    "q_gap_fill" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+        |    value
+        |  FROM events WHERE value > 18),
+        |h AS (
+        |  SELECT event_type, hour_start,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(round(sum(CAST(value AS DECIMAL(28,8))), 2)
+        |      AS DOUBLE) AS sum_value
+        |  FROM f GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(hour_start) AS t0,
+        |    max(hour_start) AS t1 FROM h GROUP BY 1),
+        |s AS (SELECT event_type,
+        |    unnest(generate_series(t0, t1, INTERVAL '1 hour'))
+        |      AS hour_start FROM b),
+        |j AS (SELECT s.event_type, s.hour_start, h.n_events,
+        |    h.sum_value
+        |  FROM s LEFT JOIN h ON s.event_type = h.event_type
+        |    AND s.hour_start = h.hour_start)
+        |SELECT event_type, hour_start,
+        |  COALESCE(n_events, 0) AS n_events,
+        |  last_value(sum_value IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY hour_start
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS sum_value_ff,
+        |  n_events IS NULL AS is_gap
+        |FROM j ORDER BY event_type, hour_start""".stripMargin,
+    // q_rolling_anomaly: integer window sums (exact in any order);
+    // every double step is the same left-assoc expression in both
+    // engines; the anomaly boolean gates on the ROUNDED z.
+    "q_rolling_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, hour_start, n,
+        |    count(n) OVER win AS win_n,
+        |    sum(n) OVER win AS s1,
+        |    sum(n*n) OVER win AS s2
+        |  FROM h
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY hour_start
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour_start, n,
+        |  round(CAST(s1 AS DOUBLE) / 24.0, 4) + 0.0 AS mean_24h,
+        |  CASE WHEN 24*s2 - s1*s1 > 0 THEN
+        |    round(CAST(24*n - s1 AS DOUBLE)
+        |      / (24.0 * sqrt(CAST(24*s2 - s1*s1 AS DOUBLE) / 576.0)),
+        |      4) + 0.0
+        |  END AS z,
+        |  CASE WHEN 24*s2 - s1*s1 > 0 THEN
+        |    abs(round(CAST(24*n - s1 AS DOUBLE)
+        |      / (24.0 * sqrt(CAST(24*s2 - s1*s1 AS DOUBLE) / 576.0)),
+        |      4) + 0.0) >= 3.0
+        |  END AS is_anomaly
+        |FROM w WHERE win_n = 24
+        |ORDER BY event_type, hour_start""".stripMargin,
+    // q_winsorize: rank-based bounds (floor(p·(n−1))+1 in (value,key)
+    // order — an actual element, no interpolation arithmetic);
+    // clipped money sum rides DECIMAL.
+    "q_winsorize" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS grp, o_totalprice AS x,
+        |    o_orderkey AS k FROM orders),
+        |r AS (
+        |  SELECT grp, x, k, row_number() OVER (
+        |    PARTITION BY grp ORDER BY x, k) AS rn FROM o),
+        |n AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(floor(0.05 * CAST(count(*) - 1 AS DOUBLE))
+        |      AS BIGINT) + 1 AS k_lo,
+        |    CAST(floor(0.95 * CAST(count(*) - 1 AS DOUBLE))
+        |      AS BIGINT) + 1 AS k_hi
+        |  FROM o GROUP BY grp),
+        |b AS (
+        |  SELECT r.grp, n.n_rows,
+        |    max(CASE WHEN rn = k_lo THEN x END) AS p_lo,
+        |    max(CASE WHEN rn = k_hi THEN x END) AS p_hi
+        |  FROM r JOIN n ON r.grp = n.grp
+        |  WHERE rn = k_lo OR rn = k_hi
+        |  GROUP BY r.grp, n.n_rows)
+        |SELECT o.grp AS o_orderpriority, b.n_rows, b.p_lo, b.p_hi,
+        |  CAST(sum(CASE WHEN x < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(sum(CASE WHEN x > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi,
+        |  CAST(round(sum(CAST(least(greatest(x, p_lo), p_hi)
+        |    AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_clipped
+        |FROM o JOIN b ON o.grp = b.grp
+        |GROUP BY o.grp, b.n_rows, b.p_lo, b.p_hi
+        |ORDER BY o_orderpriority""".stripMargin,
+    // q_cdc_upsert: the oracle rebuilds the live table from the id
+    // math directly — ÷10 keys vanish (delete wins), ÷5 survivors
+    // carry the seq-2 update image, the rest keep their insert image.
+    "q_cdc_upsert" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE 'I' END AS op,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus
+        |    END AS o_orderstatus,
+        |  round(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+        |    ELSE o_totalprice END, 2) + 0.0 AS o_totalprice
+        |FROM orders WHERE o_orderkey % 10 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
     // q_join_bloom: the bloom pre-filter may only prune work — the
     // oracle is the PLAIN join (q5 DECIMAL revenue rule).
     "q_join_bloom" ->

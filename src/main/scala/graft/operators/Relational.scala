@@ -391,6 +391,57 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /**
+   * Winsorization (quantile clipping): per-group p05/p95 bounds, every
+   * value clamped into [lo, hi] — the robust-statistics answer to
+   * heavy-tailed value columns (price outliers, runaway token counts)
+   * that would otherwise dominate a mean or a training-loss weight.
+   *
+   * The bounds are RANK-based, not interpolated: the boundary value is
+   * the row at `row_number = floor(p·(n−1)) + 1` in (value, key)
+   * order — an actual data element, identically defined in both
+   * engines, so the gate dodges the engine-specific interpolation
+   * arithmetic of `percentile_cont`. Clipping and the clipped sum are
+   * then exact (DECIMAL rule for the money sum).
+   *
+   * Shape at 100 TB: one per-group sort (the same shuffle the exact
+   * percentile family pays — the GK-sketch twin `q_approx_percentiles`
+   * is the cheap path when rank exactness can relax), bounds reduce to
+   * one row per group and broadcast back onto the scan.
+   */
+  def winsorizeQuery(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("grp"),
+        col("o_totalprice").as("x"), col("o_orderkey").as("k"))
+    val ranked = o.withColumn("rn",
+      row_number().over(Window.partitionBy(col("grp"))
+        .orderBy(col("x"), col("k"))))
+    val n = o.groupBy(col("grp")).agg(count(lit(1)).as("n_rows"))
+      .withColumn("k_lo",
+        (floor(lit(0.05) * (col("n_rows") - 1).cast("double")) + 1L))
+      .withColumn("k_hi",
+        (floor(lit(0.95) * (col("n_rows") - 1).cast("double")) + 1L))
+    val bounds = ranked.join(broadcast(n), Seq("grp"))
+      .filter(col("rn") === col("k_lo") || col("rn") === col("k_hi"))
+      .groupBy(col("grp"), col("n_rows"))
+      .agg(max(when(col("rn") === col("k_lo"), col("x"))).as("p_lo"),
+        max(when(col("rn") === col("k_hi"), col("x"))).as("p_hi"))
+    o.join(broadcast(bounds), Seq("grp"))
+      .withColumn("cx", least(greatest(col("x"), col("p_lo")),
+        col("p_hi")))
+      .groupBy(col("grp"), col("n_rows"), col("p_lo"), col("p_hi"))
+      .agg(sum(when(col("x") < col("p_lo"), 1L).otherwise(0L))
+          .as("n_clip_lo"),
+        sum(when(col("x") > col("p_hi"), 1L).otherwise(0L))
+          .as("n_clip_hi"),
+        round(sum(col("cx").cast("decimal(28,8)")), 2)
+          .cast("double").as("sum_clipped"))
+      .select(col("grp").as("o_orderpriority"), col("n_rows"),
+        col("p_lo"), col("p_hi"), col("n_clip_lo"), col("n_clip_hi"),
+        col("sum_clipped"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Arbitrary GROUPING SETS (beyond rollup's prefix lattice):
     * (flag, status), (status), () — exercised through Spark SQL since
     * the DataFrame API only exposes cube/rollup shorthands. */

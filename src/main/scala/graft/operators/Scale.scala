@@ -430,6 +430,109 @@ object Scale {
   }
 
   /**
+   * Time-series gap filling: regularize an irregular per-group series
+   * onto a dense time spine (one row per `step` between each group's
+   * first and last observation) and forward-fill the value columns
+   * across the introduced gaps (last-observation-carried-forward).
+   * This is the standard pre-step before any rolling-window
+   * computation — a rolling mean over a series with silently missing
+   * hours is wrong in a way no test on dense data catches.
+   *
+   * Shape at 100 TB: the spine is generated from a per-group
+   * (min, max) aggregate — two timestamps per group, never a
+   * driver-side range — and exploded in parallel; the left join and
+   * the forward-fill window both hash-partition on the same group
+   * key, so the whole thing is ONE shuffle of the (small) aggregated
+   * series, not the raw events.
+   */
+  def gapFill(obs: DataFrame, group: String, time: String,
+      step: String, fills: Seq[String]): DataFrame = {
+    val bounds = obs.groupBy(col(group))
+      .agg(min(col(time)).as("_t0"), max(col(time)).as("_t1"))
+    val spine = bounds.select(col(group),
+      explode(expr(s"sequence(_t0, _t1, interval $step)")).as(time))
+    val joined = spine.join(obs, Seq(group, time), "left")
+    val w = Window.partitionBy(col(group)).orderBy(col(time))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fills.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"${c}_ff", last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
+  /** Correctness gate for [[gapFill]]: hourly DECIMAL-summed value of
+    * high-value events (`value > 18` sparsifies the series so real
+    * gaps exist at every SF); the oracle rebuilds the spine with
+    * `generate_series` and replays the IGNORE NULLS carry-forward.
+    * `n_events` zero-fills, `sum_value` carries forward, `is_gap`
+    * marks synthesized rows. */
+  def gapFillQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.load(spark, sfDir, "events")
+      .filter(col("value") > 18.0)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(28,8)")), 2)
+          .cast("double").as("sum_value"))
+    gapFill(hourly, "event_type", "hour_start", "1 hour",
+      Seq("sum_value"))
+      .select(col("event_type"), col("hour_start"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("sum_value_ff"),
+        col("n_events").isNull.as("is_gap"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
+  /**
+   * Rolling-window anomaly detection: each hour's event count is
+   * z-scored against the TRAILING 24 fully-observed hours (frame
+   * `[-24, -1]` — the current row never contaminates its own
+   * baseline). The ops-monitoring primitive: traffic spikes, error
+   * bursts, dead sources.
+   *
+   * Cross-engine exactness: the window sums are INTEGER (count and
+   * count², exact in any order); every double step after —
+   * `num = 24·Σn² − (Σn)²` (still integer), `var = num/576`, `sd`,
+   * `z = (24n − Σn)/(24·sd)` — is the same left-assoc scalar
+   * expression in both engines, then rounded before the anomaly gate
+   * (|z| ≥ 3 on the ROUNDED value) so the boolean can't straddle an
+   * ulp. Flat baselines (num = 0) yield null z, never a div-by-zero.
+   *
+   * Shape at 100 TB: the raw stream reduces to (group, hour) counts
+   * map-side; the window sorts only the tiny aggregated series, one
+   * shuffle on the group key. Pair with [[gapFill]] upstream when the
+   * series has holes — a row-frame over a gappy series silently spans
+   * unequal wall-clock intervals.
+   */
+  def rollingAnomalyQuery(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val hourly = Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_start"))
+      .rowsBetween(-24, -1)
+    val stats = hourly
+      .withColumn("win_n", count(col("n")).over(w))
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .filter(col("win_n") === 24)
+    val num = lit(24L) * col("s2") - col("s1") * col("s1")
+    val sd = sqrt(num.cast("double") / lit(576.0))
+    val z = (lit(24L) * col("n") - col("s1")).cast("double") /
+      (lit(24.0) * sd)
+    stats
+      .withColumn("mean_24h",
+        round(col("s1").cast("double") / lit(24.0), 4) + lit(0.0))
+      .withColumn("z",
+        when(num > 0L, round(z, 4) + lit(0.0)))
+      .withColumn("is_anomaly",
+        when(num > 0L, abs(round(z, 4) + lit(0.0)) >= 3.0))
+      .select(col("event_type"), col("hour_start"), col("n"),
+        col("mean_24h"), col("z"), col("is_anomaly"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
+  /**
    * Runtime bloom-filter join (semijoin reduction): the dimension
    * side's join-key set folds into one 8 KB
    * [[graft.functions.BloomAgg]] sketch (OR-merged partials,

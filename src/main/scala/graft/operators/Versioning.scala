@@ -311,6 +311,61 @@ object Versioning {
   }
 
   /**
+   * CDC change-log compaction (latest-wins upsert): reduce an
+   * insert/update/delete event log to the live table it describes —
+   * per key, the highest-sequence record wins; a winning delete
+   * removes the key. This is the "merge the change stream into the
+   * snapshot" operation every lakehouse table format performs on
+   * read or compaction, and the batch twin of a streaming upsert
+   * sink.
+   *
+   * Sequence numbers must be unique per key (a CDC stream's LSN/binlog
+   * position is); the winner is picked with `max_by` over the full
+   * record struct, so compaction is ONE map-side-partial aggregation
+   * on the key — no window, no sort, no join. At 100 TB the log
+   * shuffles once on the key and the output is one row per live key;
+   * combine with a date-partitioned log to compact only fresh
+   * partitions.
+   */
+  def cdcCompact(log: DataFrame, key: String, seq: String,
+      op: String): DataFrame = {
+    val payload = log.columns.filterNot(_ == key)
+    val last = log.groupBy(col(key))
+      .agg(max_by(struct(payload.map(col): _*), col(seq)).as("_w"))
+    payload.foldLeft(last)((d, c) => d.withColumn(c, col(s"_w.$c")))
+      .drop("_w")
+      .filter(col(op) =!= "D")
+  }
+
+  /** Correctness gate for [[cdcCompact]]: a three-wave change log
+    * synthesized from orders — every key inserts at seq 1; ÷5 keys
+    * update (status `U`, price +10.00) at seq 2; ÷10 keys delete at
+    * seq 3 (so every deleted key ALSO has an update the delete must
+    * beat). The oracle rebuilds the live table arithmetically: keys
+    * ÷10 vanish, ÷5 survivors carry the updated payload, everything
+    * else keeps its insert image. */
+  def cdcUpsertQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val ins = o.select(col("o_orderkey"), lit(1L).as("seq"),
+      lit("I").as("op"), col("o_orderstatus"), col("o_totalprice"))
+    val upd = o.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), lit(2L).as("seq"), lit("U").as("op"),
+        lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + lit(10.0)).as("o_totalprice"))
+    val del = o.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit(3L).as("seq"), lit("D").as("op"),
+        lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast("double").as("o_totalprice"))
+    cdcCompact(ins.unionByName(upd).unionByName(del),
+      "o_orderkey", "seq", "op")
+      .select(col("o_orderkey"), col("op"), col("o_orderstatus"),
+        (round(col("o_totalprice"), 2) + lit(0.0)).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /**
    * Corpus drift diagnostics: per-source KL divergence of the source's
    * hashed-unigram (64-bucket, add-one-smoothed) token distribution
    * from the whole-corpus mixture — the statistical QA twin of
