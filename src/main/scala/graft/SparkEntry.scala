@@ -174,6 +174,9 @@ object SparkEntry {
     "q_skew_report" -> (Stats.skewReportQuery _),
     "q_dedup_editdist" -> (Dedup.editDistQuery _),
     "q_dup_clusters" -> (Dedup.dupClustersQuery _),
+    // Entity resolution: block on messy account-no suffix, fuzzy-verify
+    // names, transitive closure → entity ids across three sources
+    "q_entity_resolve" -> (Linkage.entityResolveQuery _),
     // Graph centrality: 3-iteration PageRank over an id-derived link
     // graph (web-corpus importance weighting)
     "q_pagerank" -> ((s, d) => Graph.pageRankQuery(s, d)),
@@ -2599,6 +2602,56 @@ object SparkEntry {
     // Connected components over the near-dup pair graph (same pair
     // definition as q_dedup_jaccard); cluster id = min reachable
     // doc_id, via transitive closure.
+    // q_entity_resolve: the oracle replays the whole linkage pipeline —
+    // source mangling, normalization, suffix blocking with the ≤1000
+    // block purge, levenshtein ≤ 2 verify, recursive-CTE transitive
+    // closure (min-label = entity id, the dup_clusters pattern).
+    "q_entity_resolve" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT c_custkey AS k, c_name AS name,
+        |    md5(CAST(c_custkey AS VARCHAR)) AS acct FROM customer),
+        |recs AS (
+        |  SELECT k*4 AS rec_id, 'crm' AS source, name, acct FROM base
+        |  UNION ALL
+        |  SELECT k*4+1, 'web',
+        |    substring(replace(lower(name), '#', ' '), 1,
+        |      length(name) - 1),
+        |    upper(acct) FROM base WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k*4+2, 'app', upper(name),
+        |    concat_ws('-', substring(acct, 1, 8), substring(acct, 9, 8),
+        |      substring(acct, 17, 16))
+        |  FROM base WHERE k % 7 = 0),
+        |nr AS (
+        |  SELECT rec_id, source,
+        |    regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS nn,
+        |    right(regexp_replace(lower(acct), '[^a-z0-9]', '', 'g'), 3)
+        |      AS blk
+        |  FROM recs),
+        |ok AS (SELECT blk FROM nr GROUP BY blk
+        |  HAVING count(*) <= 1000),
+        |ib AS (SELECT nr.* FROM nr JOIN ok ON nr.blk = ok.blk),
+        |p AS (
+        |  SELECT a.rec_id AS pa, b.rec_id AS pb FROM ib a JOIN ib b
+        |    ON a.blk = b.blk AND a.rec_id < b.rec_id
+        |  WHERE levenshtein(a.nn, b.nn) <= 2),
+        |e2 AS (SELECT pa AS a, pb AS b FROM p
+        |  UNION SELECT pb, pa FROM p),
+        |walk(node, reach) AS (
+        |  SELECT rec_id, rec_id FROM nr
+        |  UNION
+        |  SELECT w.node, e.b FROM walk w JOIN e2 e ON w.reach = e.a),
+        |cl AS (SELECT node AS rec_id, min(reach) AS entity_id
+        |  FROM walk GROUP BY node),
+        |m AS (SELECT cl.rec_id, nr.source, cl.entity_id
+        |  FROM cl JOIN nr ON cl.rec_id = nr.rec_id),
+        |sz AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n_records,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |  FROM m GROUP BY entity_id)
+        |SELECT m.rec_id, m.source, m.entity_id, sz.n_records,
+        |  sz.n_sources
+        |FROM m JOIN sz ON m.entity_id = sz.entity_id
+        |ORDER BY m.rec_id""".stripMargin,
     "q_dup_clusters" ->
       (s"WITH RECURSIVE $jaccardBaseCte,\n$clusterCte," +
         """
