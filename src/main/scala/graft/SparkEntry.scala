@@ -210,6 +210,8 @@ object SparkEntry {
     // gates, sequence packing)
     "q_contamination" -> (Curation.contaminationQuery _),
     "q_pii_scrub" -> (Curation.piiScrubQuery _),
+    // K-anonymity release gate: generalization ladder + suppression
+    "q_k_anon" -> (Curation.kAnonQuery _),
     "q_text_normalize" -> (Curation.normalizeQuery _),
     "q_html_strip" -> (Curation.htmlStripQuery _),
     "q_url_normalize" -> (Curation.urlNormalizeQuery _),
@@ -2701,6 +2703,52 @@ object SparkEntry {
         |FROM tr JOIN ev ON tr.g = ev.g
         |GROUP BY tr.doc_id, tr.n_grams
         |ORDER BY tr.doc_id""".stripMargin,
+    // q_k_anon: the oracle recounts all three equivalence-class sizes
+    // and replays the first-level-that-clears-k choice; bands ride
+    // integer cents so the labels are exact at any magnitude.
+    "q_k_anon" ->
+      """WITH c AS (
+        |  SELECT c_custkey, CAST(c_nationkey AS VARCHAR) AS nation,
+        |    c_mktsegment AS segment,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+        |  FROM customer),
+        |b AS (
+        |  SELECT c_custkey, nation, segment,
+        |    '[' || CAST(CAST(floor(CAST(cents AS DOUBLE) / 10000.0)
+        |        AS BIGINT) * 100 AS VARCHAR)
+        |      || ',' || CAST((CAST(floor(CAST(cents AS DOUBLE)
+        |        / 10000.0) AS BIGINT) + 1) * 100 AS VARCHAR) || ')'
+        |      AS lab0,
+        |    '[' || CAST(CAST(floor(CAST(cents AS DOUBLE) / 100000.0)
+        |        AS BIGINT) * 1000 AS VARCHAR)
+        |      || ',' || CAST((CAST(floor(CAST(cents AS DOUBLE)
+        |        / 100000.0) AS BIGINT) + 1) * 1000 AS VARCHAR) || ')'
+        |      AS lab1
+        |  FROM c),
+        |g0 AS (SELECT nation, segment, lab0, count(*) AS n0
+        |  FROM b GROUP BY 1, 2, 3),
+        |g1 AS (SELECT nation, segment, lab1, count(*) AS n1
+        |  FROM b GROUP BY 1, 2, 3),
+        |g2 AS (SELECT nation, segment, count(*) AS n2
+        |  FROM b GROUP BY 1, 2),
+        |j AS (
+        |  SELECT b.*,
+        |    coalesce(CASE WHEN g0.n0 >= 10 THEN 0 END,
+        |             CASE WHEN g1.n1 >= 10 THEN 1 END,
+        |             CASE WHEN g2.n2 >= 10 THEN 2 END, 3) AS lvl
+        |  FROM b
+        |  JOIN g0 ON b.nation = g0.nation AND b.segment = g0.segment
+        |    AND b.lab0 = g0.lab0
+        |  JOIN g1 ON b.nation = g1.nation AND b.segment = g1.segment
+        |    AND b.lab1 = g1.lab1
+        |  JOIN g2 ON b.nation = g2.nation AND b.segment = g2.segment)
+        |SELECT c_custkey, CAST(lvl AS INTEGER) AS anon_level,
+        |  lvl < 3 AS released,
+        |  CASE WHEN lvl = 3 THEN '*' ELSE nation END AS nation,
+        |  CASE WHEN lvl = 3 THEN '*' ELSE segment END AS segment,
+        |  CASE lvl WHEN 0 THEN lab0 WHEN 1 THEN lab1 ELSE '*' END
+        |    AS acct_band
+        |FROM j ORDER BY c_custkey""".stripMargin,
     // Same scrub pipeline: email → url → phone → name-dict redaction,
     // whitespace collapse, trim; scrubbed text witnessed by md5.
     "q_pii_scrub" ->

@@ -512,4 +512,95 @@ object Curation {
         (col("url_norm") =!= col("url_raw")).as("changed"))
       .orderBy(col("doc_id"))
   }
+
+  /**
+   * K-anonymity via a fixed generalization ladder (global recoding):
+   * each row's quasi-identifier tuple is released at the FINEST level
+   * whose equivalence class (count of rows sharing the level's
+   * generalized tuple) reaches `k`; rows whose class is still smaller
+   * than `k` at the coarsest level are suppressed outright. This is
+   * the release gate a privacy-reviewed dataset export runs so no
+   * published row is re-identifiable among fewer than k peers.
+   *
+   * Every level must emit the SAME output column names (progressively
+   * coarser values — wider bands, then `*`). Deterministic by
+   * construction: class sizes are plain counts, the chosen level is
+   * the first that clears `k`, so the whole decision replays in SQL.
+   *
+   * Scale shape (100 TB): one scan; each ladder level adds one
+   * map-side-partial groupBy over its DISTINCT generalized tuples — a
+   * result that is tiny relative to the row count by definition of
+   * anonymization (classes are large or the data isn't releasable) —
+   * broadcast back onto the scan. No window over the full table, no
+   * sort.
+   *
+   * @param levels finest-first; each level maps output-column name →
+   *               generalized (string-typed) expression
+   */
+  def kAnonymize(df: DataFrame, levels: Seq[Seq[(String, Column)]],
+      k: Int): DataFrame = {
+    require(levels.nonEmpty &&
+      levels.forall(_.map(_._1) == levels.head.map(_._1)),
+      "all ladder levels must emit the same output columns")
+    val names = levels.head.map(_._1)
+    // materialize every level's generalized tuple once
+    val tagged = levels.zipWithIndex.foldLeft(df) { case (d, (lvl, i)) =>
+      lvl.foldLeft(d) { case (d2, (nm, e)) =>
+        d2.withColumn(s"_l${i}_$nm", e.cast("string"))
+      }
+    }
+    // per-level equivalence-class sizes, broadcast back
+    val sized = levels.indices.foldLeft(tagged) { (d, i) =>
+      val keys = names.map(nm => s"_l${i}_$nm")
+      val sizes = tagged.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as(s"_n$i"))
+      d.join(broadcast(sizes), keys)
+    }
+    val level = coalesce(
+      (levels.indices.map(i => when(col(s"_n$i") >= k, lit(i))) :+
+        lit(levels.size)): _*)
+    val out = sized.withColumn("anon_level", level)
+      .withColumn("released", col("anon_level") < levels.size)
+    val generalized = names.map { nm =>
+      val perLevel = levels.indices.foldRight(lit("*"): Column) { (i, acc) =>
+        when(col("anon_level") === i, col(s"_l${i}_$nm")).otherwise(acc)
+      }
+      perLevel.as(nm)
+    }
+    // generalized QI columns REPLACE same-named input columns — keeping
+    // both would leak the raw quasi-identifier past the release gate
+    out.select((df.columns.filterNot(names.contains).map(col).toSeq ++
+      Seq(col("anon_level"), col("released")) ++ generalized): _*)
+  }
+
+  /** Correctness gate for [[kAnonymize]]: customer quasi-identifiers
+    * (nation, segment, account-balance band) down a three-level ladder
+    * — $100 bands → $1000 bands → band dropped (`*`) — with k = 10.
+    * Banding rides integer cents (exact at any magnitude); the oracle
+    * replays all three class-size counts and the first-clearing-level
+    * choice. At sf0.01 most rows release at the band-dropped level and
+    * a real minority suppress (sparse nation×segment classes); at
+    * sf0.1 the $1000 bands start clearing k — the ladder is exercised
+    * differently at every SF. */
+  def kAnonQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = round(col("c_acctbal") * 100, 0).cast("bigint")
+    def band(width: Long): Column =
+      floor(cents.cast("double") / lit(width * 100.0)).cast("bigint")
+    def label(b: Column, width: Long): Column =
+      concat(lit("["), (b * width).cast("string"), lit(","),
+        ((b + 1) * width).cast("string"), lit(")"))
+    val nation = col("c_nationkey").cast("string")
+    val segment = col("c_mktsegment")
+    val ladder = Seq(
+      Seq("nation" -> nation, "segment" -> segment,
+        "acct_band" -> label(band(100), 100)),
+      Seq("nation" -> nation, "segment" -> segment,
+        "acct_band" -> label(band(1000), 1000)),
+      Seq("nation" -> nation, "segment" -> segment,
+        "acct_band" -> (lit("*"): Column)))
+    kAnonymize(Tables.load(spark, sfDir, "customer"), ladder, k = 10)
+      .select(col("c_custkey"), col("anon_level"), col("released"),
+        col("nation"), col("segment"), col("acct_band"))
+      .orderBy(col("c_custkey"))
+  }
 }

@@ -424,4 +424,54 @@ class CurationSpec extends SparkSpec {
       .orderBy(col("doc_id")).collect()
     assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("kAnonymize: finest clearing level wins; suppression nulls QIs") {
+    // 12 rows share (city=A, age band [20,30)) -> release at level 0;
+    // 5 rows city B spread over distinct fine bands -> level 1 class
+    // (B, [0,100)) has 5 < k=6... so they fall through to level 2 (city
+    // only), still 5 < 6 -> suppressed.
+    val a = (1 to 12).map(i => (i.toLong, "A", 25))
+    val b = (13 to 17).map(i => (i.toLong, "B", (i - 13) * 10))
+    val df = (a ++ b).toDF("id", "city", "age")
+    val ladder = Seq(
+      Seq("city" -> col("city"),
+        "age_band" -> (floor(col("age") / 10) * 10: org.apache.spark.sql.Column)),
+      Seq("city" -> col("city"),
+        "age_band" -> (floor(col("age") / 100) * 100: org.apache.spark.sql.Column)),
+      Seq("city" -> col("city"), "age_band" -> lit("*")))
+    val out = Curation.kAnonymize(df, ladder, k = 6)
+      .select(col("id"), col("anon_level"), col("released"),
+        col("city"), col("age_band")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getBoolean(2), r.getString(3), r.getString(4)))
+      .toMap
+    (1L to 12L).foreach { i =>
+      assert(out(i) == ((0, true, "A", "20")), s"row $i: ${out(i)}")
+    }
+    (13L to 17L).foreach { i =>
+      assert(out(i) == ((3, false, "*", "*")), s"row $i: ${out(i)}")
+    }
+  }
+
+  test("kAnonymize: suppression happens iff the coarsest class < k") {
+    // the coarsest pre-suppression tuple is (nation, segment): a row
+    // suppresses exactly when fewer than k source rows share it — and
+    // classes suppress atomically (no half-released class)
+    val src = Tables.load(spark, sfDir, "customer")
+      .groupBy(col("c_nationkey").cast("string").as("nation"),
+        col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_src"))
+    val out = Curation.kAnonQuery(spark, sfDir)
+    val joined = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"),
+        col("c_nationkey").cast("string").as("nation"),
+        col("c_mktsegment").as("segment"))
+      .join(src, Seq("nation", "segment"))
+      .join(out.select(col("c_custkey"), col("released")),
+        Seq("c_custkey"))
+    assert(joined.filter(!col("released") && col("n_src") >= 10)
+      .count() == 0, "suppressed despite a k-sized coarsest class")
+    assert(joined.filter(col("released") && col("n_src") < 10)
+      .count() == 0, "released from a sub-k coarsest class")
+  }
 }
