@@ -31,6 +31,8 @@ object SparkEntry {
     "q_events_hourly" -> (Relational.eventsHourly _),
     // Time-series regularization: dense hourly spine + forward fill
     "q_gap_fill" -> (Scale.gapFillQuery _),
+    // OPTIMIZE planning: sorted-fill file bins toward a target size
+    "q_compact_plan" -> (Scale.compactionPlanQuery _),
     // Trailing-24h z-score anomaly flags over hourly counts
     "q_rolling_anomaly" -> (Scale.rollingAnomalyQuery _),
     // Rank-based p05/p95 quantile clipping (robust to heavy tails)
@@ -1503,6 +1505,30 @@ object SparkEntry {
         |    / CAST(n_total AS DOUBLE)) AS INTEGER) AS salt_rec
         |FROM c CROSS JOIN t
         |ORDER BY n_rows DESC, user_id LIMIT 10""".stripMargin,
+    // q_compact_plan: the oracle replays the inventory aggregation,
+    // the descending sorted-fill (exclusive prefix sum // target), and
+    // both per-bin rollups; all byte math is integer.
+    "q_compact_plan" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |      AS day,
+        |    CAST(sum(32 + length(event_type) + length(props))
+        |      AS BIGINT) AS bytes
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, bytes,
+        |    (CAST(sum(bytes) OVER (PARTITION BY event_type
+        |      ORDER BY bytes DESC, day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) - bytes) // 16384 AS bin
+        |  FROM p)
+        |SELECT event_type, day, bytes, CAST(bin AS BIGINT) AS bin,
+        |  CAST(count(*) OVER (PARTITION BY event_type, bin)
+        |    AS BIGINT) AS bin_parts,
+        |  CAST(sum(bytes) OVER (PARTITION BY event_type, bin)
+        |    AS BIGINT) AS bin_bytes
+        |FROM w ORDER BY event_type, day""".stripMargin,
     // q_gap_fill: the oracle rebuilds the hourly spine with
     // generate_series and replays the IGNORE NULLS carry-forward;
     // hourly sums ride DECIMAL (order-free) before the 2-dp round.

@@ -579,4 +579,52 @@ object Scale {
           .cast("decimal(28,8)")), 2).cast("double").as("revenue"))
       .orderBy(col("month"))
   }
+
+  /**
+   * Small-file compaction planner (the planning half of OPTIMIZE /
+   * lakehouse table maintenance): given a file inventory (one row per
+   * part with its byte size), assign each part to an output bin so
+   * every rewritten file lands near `targetBytes`. Compaction never
+   * crosses `groupCols` (partition boundaries). The assignment is
+   * sorted-fill: parts ordered (bytes DESC, part key) within the
+   * group, exclusive prefix sum, `bin = prefix div targetBytes` —
+   * deterministic, one window over METADATA (a 100 TB table at 1 GB
+   * files is ~10⁵ inventory rows, so the planner's cost is nil
+   * regardless of data scale), and oversized parts (> target) land
+   * alone in their own bins because descending order fills them first.
+   * The execution half is the existing rewrite machinery
+   * ([[graft.operators.Acid]] compaction / `OrcIo.concat`).
+   */
+  def compactionPlan(parts: DataFrame, groupCols: Seq[String],
+      orderCol: String, bytesCol: String, targetBytes: Long): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(bytesCol).desc, col(orderCol))
+    val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val planned = parts
+      .withColumn("_pre",
+        sum(col(bytesCol)).over(wcum) - col(bytesCol))
+      .withColumn("bin", expr(s"_pre div ${targetBytes}L"))
+      .drop("_pre")
+    val wb = Window.partitionBy((groupCols.map(col) :+ col("bin")): _*)
+    planned
+      .withColumn("bin_parts", count(lit(1)).over(wb))
+      .withColumn("bin_bytes", sum(col(bytesCol)).over(wb))
+  }
+
+  /** Correctness gate for [[compactionPlan]]: the inventory is the
+    * per-(event_type, day) partition listing of `events` with an
+    * integer byte-size proxy (32 + both string lengths per row —
+    * exact in any order), target 16 KiB; the oracle replays the
+    * descending sorted-fill and both bin rollups. */
+  def compactionPlanQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(lit(32L) + length(col("event_type")) +
+        length(col("props"))).cast("bigint").as("bytes"))
+    compactionPlan(parts, Seq("event_type"), "day", "bytes",
+      targetBytes = 16384L)
+      .select(col("event_type"), col("day"), col("bytes"), col("bin"),
+        col("bin_parts"), col("bin_bytes"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }

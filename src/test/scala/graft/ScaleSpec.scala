@@ -327,4 +327,37 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin"),
       s"expected hinted merge join in:\n$plan")
   }
+
+  test("compactionPlan: oversize parts isolate, small parts coalesce") {
+    import SparkSpec.spark.implicits._
+    val parts = Seq(
+      // group g1: one oversize part + four small ones, target 100
+      ("g1", 1L, 250L), ("g1", 2L, 40L), ("g1", 3L, 40L),
+      ("g1", 4L, 30L), ("g1", 5L, 10L),
+      // group g2: exactly filling parts never straddle wrongly
+      ("g2", 1L, 60L), ("g2", 2L, 60L)
+    ).toDF("grp", "part_id", "bytes")
+    val out = Scale.compactionPlan(parts, Seq("grp"), "part_id",
+      "bytes", targetBytes = 100L).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // descending fill: 250 alone in bin 0; 40+40+30 spill as prefix
+    // crosses 100; nothing lands inside the oversize part's bin
+    assert(out(("g1", 1L))._1 == 0L)
+    assert(out.filter(_._1._1 == "g1").values.count(_._1 == 0L) == 1,
+      "oversize part must own its bin")
+    // every part of a bin agrees on the rollup
+    val byBin = out.groupBy { case ((g, _), (bin, _, _)) => (g, bin) }
+    byBin.foreach { case ((g, bin), m) =>
+      val (_, parts0, bytes0) = m.values.head
+      assert(m.values.forall(v => v._2 == parts0 && v._3 == bytes0))
+      assert(m.size.toLong == parts0)
+    }
+    // no multi-part bin exceeds target by more than its last part
+    // (sorted-fill guarantee: prefix-before < target for every member)
+    val g1bins = out.filter(_._1._1 == "g1").values.groupBy(_._1)
+    g1bins.values.foreach { vs =>
+      if (vs.size > 1) assert(vs.map(_._3).head <= 100L + 40L)
+    }
+  }
 }
