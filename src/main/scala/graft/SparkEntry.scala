@@ -214,6 +214,8 @@ object SparkEntry {
     "q_pii_scrub" -> (Curation.piiScrubQuery _),
     // K-anonymity release gate: generalization ladder + suppression
     "q_k_anon" -> (Curation.kAnonQuery _),
+    // Domain deny-list: longest label-boundary suffix match
+    "q_domain_filter" -> (Curation.domainFilterQuery _),
     "q_text_normalize" -> (Curation.normalizeQuery _),
     "q_html_strip" -> (Curation.htmlStripQuery _),
     "q_url_normalize" -> (Curation.urlNormalizeQuery _),
@@ -2729,6 +2731,29 @@ object SparkEntry {
         |FROM tr JOIN ev ON tr.g = ev.g
         |GROUP BY tr.doc_id, tr.n_grams
         |ORDER BY tr.doc_id""".stripMargin,
+    // q_domain_filter: the oracle rebuilds the id-derived hosts and
+    // replays suffix matching as `host = e OR host LIKE '%.' || e`
+    // (label-boundary semantics), picking the longest match.
+    "q_domain_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'w' || CAST(doc_id % 3 AS VARCHAR) || '.' ||
+        |    CASE WHEN doc_id % 11 = 0 THEN 'spam'
+        |      ELSE 'site' || CAST(doc_id % 7 AS VARCHAR) END || '.' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END AS host
+        |  FROM documents),
+        |bl(suffix) AS (VALUES ('spam.com'), ('spam.org'),
+        |  ('site3.com'), ('evil.org'), ('w1.spam.org')),
+        |m AS (
+        |  SELECT d.doc_id,
+        |    max_by(bl.suffix, length(bl.suffix)) AS matched_suffix
+        |  FROM d JOIN bl ON d.host = bl.suffix
+        |    OR d.host LIKE '%.' || bl.suffix
+        |  GROUP BY d.doc_id)
+        |SELECT d.doc_id, d.host, m.matched_suffix,
+        |  m.matched_suffix IS NOT NULL AS blocked
+        |FROM d LEFT JOIN m ON d.doc_id = m.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // q_k_anon: the oracle recounts all three equivalence-class sizes
     // and replays the first-level-that-clears-k choice; bands ride
     // integer cents so the labels are exact at any magnitude.

@@ -513,6 +513,70 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** All dot-boundary suffixes of a hostname with at least two labels
+    * (`a.b.spam.com` → `[a.b.spam.com, b.spam.com, spam.com]`) — the
+    * unit a domain blocklist matches against (never a bare TLD). */
+  def domainSuffixes(host: Column): Column = {
+    val labels = split(host, "\\.")
+    transform(sequence(lit(1), size(labels) - 1),
+      j => array_join(slice(labels, j, size(labels)), "."))
+  }
+
+  /**
+   * Domain blocklist filter: flag every document whose host matches a
+   * blocklisted domain SUFFIX at a label boundary (`spam.com` blocks
+   * `a.spam.com` but not `notspam.com`), reporting the most-specific
+   * (longest) matching entry. The deny-list pass every crawl-derived
+   * corpus runs before training.
+   *
+   * Scale shape (100 TB): the blocklist is broadcast (deny lists are
+   * thousands of rows); each doc explodes into at most
+   * `label_count - 1` suffixes (hostnames are ≤ ~5 labels), so the
+   * match is a narrow explode → broadcast-hash semi-join → per-doc
+   * `max_by` — the corpus never shuffles on content, only the tiny
+   * (doc_id, suffix) match set aggregates.
+   */
+  def domainFilter(docs: DataFrame, hostCol: String,
+      blocklist: DataFrame): DataFrame = {
+    val bl = blocklist
+      .withColumnRenamed(blocklist.columns.head, "_suf").distinct()
+    val matches = docs
+      .select(col("doc_id"),
+        explode(domainSuffixes(col(hostCol))).as("_suf"))
+      .join(broadcast(bl), Seq("_suf"))
+      .groupBy(col("doc_id"))
+      .agg(max_by(col("_suf"), length(col("_suf")))
+        .as("matched_suffix"))
+    docs.join(matches, Seq("doc_id"), "left")
+      .withColumn("blocked", col("matched_suffix").isNotNull)
+  }
+
+  /** Correctness gate for [[domainFilter]]: id-derived hosts
+    * (`w{id%3}.{spam | site{id%7}}.{com | org}`) against a fixed
+    * five-entry blocklist. Exercises boundary-only matching (`site3.
+    * com` never blocks `site33.com` — no such host exists, but
+    * `notspam` analogues reduce to the LIKE boundary in the oracle),
+    * a never-matching entry (`evil.org`), and most-specific selection
+    * (`w1.spam.org` hosts match both `spam.org` and the full
+    * three-label entry — the longer one must win). */
+  def domainFilterQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val id = col("doc_id")
+    val host = concat(lit("w"), (id % 3).cast("string"), lit("."),
+      when(id % 11 === 0, lit("spam"))
+        .otherwise(concat(lit("site"), (id % 7).cast("string"))),
+      lit("."),
+      when(id % 2 === 0, lit("com")).otherwise(lit("org")))
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(id, host.as("host"))
+    val blocklist = Seq("spam.com", "spam.org", "site3.com",
+      "evil.org", "w1.spam.org").toDF("suffix")
+    domainFilter(docs, "host", blocklist)
+      .select(col("doc_id"), col("host"), col("matched_suffix"),
+        col("blocked"))
+      .orderBy(col("doc_id"))
+  }
+
   /**
    * K-anonymity via a fixed generalization ladder (global recoding):
    * each row's quasi-identifier tuple is released at the FINEST level

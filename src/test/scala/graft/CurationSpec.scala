@@ -425,6 +425,28 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("domainFilter: label-boundary suffixes only, longest match wins") {
+    val docs = Seq(
+      (1L, "a.spam.com"),      // subdomain of a blocked domain
+      (2L, "spam.com"),        // exact match
+      (3L, "notspam.com"),     // suffix WITHOUT boundary — must pass
+      (4L, "deep.a.spam.com"), // two levels down
+      (5L, "clean.org"),
+      (6L, "x.bad.spam.com")   // matches both entries — longer wins
+    ).toDF("doc_id", "host")
+    val bl = Seq("spam.com", "bad.spam.com").toDF("suffix")
+    val out = Curation.domainFilter(docs, "host", bl)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(2)), r.getBoolean(3))).toMap
+    assert(out(1L) == ((Some("spam.com"), true)))
+    assert(out(2L) == ((Some("spam.com"), true)))
+    assert(out(3L) == ((None, false)), "no-boundary suffix must not block")
+    assert(out(4L) == ((Some("spam.com"), true)))
+    assert(out(5L) == ((None, false)))
+    assert(out(6L) == ((Some("bad.spam.com"), true)),
+      "most-specific entry must win")
+  }
+
   test("kAnonymize: finest clearing level wins; suppression nulls QIs") {
     // 12 rows share (city=A, age band [20,30)) -> release at level 0;
     // 5 rows city B spread over distinct fine bands -> level 1 class
