@@ -33,6 +33,8 @@ object SparkEntry {
     "q_gap_fill" -> (Scale.gapFillQuery _),
     // OPTIMIZE planning: sorted-fill file bins toward a target size
     "q_compact_plan" -> (Scale.compactionPlanQuery _),
+    // Linear interpolation across the same spine (continuous signals)
+    "q_interp_fill" -> (Scale.interpFillQuery _),
     // Trailing-24h z-score anomaly flags over hourly counts
     "q_rolling_anomaly" -> (Scale.rollingAnomalyQuery _),
     // Rank-based p05/p95 quantile clipping (robust to heavy tails)
@@ -1563,6 +1565,52 @@ object SparkEntry {
         |    AS sum_value_ff,
         |  n_events IS NULL AS is_gap
         |FROM j ORDER BY event_type, hour_start""".stripMargin,
+    // q_interp_fill: gap_fill's spine + IGNORE NULLS scans in both
+    // directions; the blend is the same left-assoc double expression
+    // over integer epoch-ms deltas, rounded before the hash.
+    "q_interp_fill" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+        |    value
+        |  FROM events WHERE value > 18),
+        |h AS (
+        |  SELECT event_type, hour_start,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(round(sum(CAST(value AS DECIMAL(28,8))), 2)
+        |      AS DOUBLE) AS v_obs
+        |  FROM f GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(hour_start) AS t0,
+        |    max(hour_start) AS t1 FROM h GROUP BY 1),
+        |s AS (SELECT event_type,
+        |    unnest(generate_series(t0, t1, INTERVAL '1 hour'))
+        |      AS hour_start FROM b),
+        |j AS (SELECT s.event_type, s.hour_start, h.n_events, h.v_obs
+        |  FROM s LEFT JOIN h ON s.event_type = h.event_type
+        |    AND s.hour_start = h.hour_start),
+        |w AS (
+        |  SELECT event_type, hour_start, n_events, v_obs,
+        |    last_value(v_obs IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v_obs IS NOT NULL THEN hour_start
+        |      END IGNORE NULLS) OVER wp AS pt,
+        |    first_value(v_obs IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN v_obs IS NOT NULL THEN hour_start
+        |      END IGNORE NULLS) OVER wn AS nt
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY hour_start
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY event_type ORDER BY hour_start
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, hour_start,
+        |  COALESCE(n_events, 0) AS n_events, v_obs,
+        |  CASE WHEN v_obs IS NOT NULL THEN round(v_obs, 4) + 0.0
+        |    ELSE round(pv + (nv - pv) *
+        |      (CAST(epoch_ms(hour_start) - epoch_ms(pt) AS DOUBLE)
+        |       / CAST(epoch_ms(nt) - epoch_ms(pt) AS DOUBLE)), 4)
+        |      + 0.0
+        |  END AS v_obs_interp,
+        |  n_events IS NULL AS is_gap
+        |FROM w ORDER BY event_type, hour_start""".stripMargin,
     // q_rolling_anomaly: integer window sums (exact in any order);
     // every double step is the same left-assoc expression in both
     // engines; the anomaly boolean gates on the ROUNDED z.

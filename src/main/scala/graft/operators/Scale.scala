@@ -459,6 +459,71 @@ object Scale {
     }
   }
 
+  /**
+   * Linear-interpolation fill: like [[gapFill]] but gap rows take the
+   * time-weighted blend of the surrounding observations instead of a
+   * carry-forward — the right regularization for continuous signals
+   * (rates, gauges) where LOCF introduces step artifacts. Observed
+   * rows pass through unchanged; every gap row has both neighbours by
+   * construction (the spine spans first..last observation per group).
+   *
+   * Same scale shape as [[gapFill]]: the spine comes from a two-value
+   * per-group aggregate, and both directional windows hash-partition
+   * on the group key — one shuffle of the aggregated series.
+   */
+  def interpFill(obs: DataFrame, group: String, time: String,
+      step: String, valueCol: String): DataFrame = {
+    val bounds = obs.groupBy(col(group))
+      .agg(min(col(time)).as("_t0"), max(col(time)).as("_t1"))
+    val spine = bounds.select(col(group),
+      explode(expr(s"sequence(_t0, _t1, interval $step)")).as(time))
+    val joined = spine.join(obs, Seq(group, time), "left")
+    val wp = Window.partitionBy(col(group)).orderBy(col(time))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(col(group)).orderBy(col(time))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val obsT = when(v.isNotNull, col(time))
+    val withNbr = joined
+      .withColumn("_pv", last(v, ignoreNulls = true).over(wp))
+      .withColumn("_pt", last(obsT, ignoreNulls = true).over(wp))
+      .withColumn("_nv", first(v, ignoreNulls = true).over(wn))
+      .withColumn("_nt", first(obsT, ignoreNulls = true).over(wn))
+    // integer-millisecond time deltas; the blend is one left-assoc
+    // double expression rounded to 4 dp (+0.0 kills -0.0) in both
+    // engines — observed rows short-circuit so 0/0 never evaluates
+    val frac = (unix_millis(col(time)) - unix_millis(col("_pt")))
+      .cast("double") /
+      (unix_millis(col("_nt")) - unix_millis(col("_pt"))).cast("double")
+    withNbr
+      .withColumn(s"${valueCol}_interp",
+        when(v.isNotNull, round(v, 4) + lit(0.0))
+          .otherwise(
+            round(col("_pv") + (col("_nv") - col("_pv")) * frac, 4) +
+              lit(0.0)))
+      .drop("_pv", "_pt", "_nv", "_nt")
+  }
+
+  /** Correctness gate for [[interpFill]]: same sparsified hourly
+    * series as [[gapFillQuery]]; the oracle replays the spine, both
+    * IGNORE NULLS directional scans, and the epoch-ms time-weighted
+    * blend. */
+  def interpFillQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.load(spark, sfDir, "events")
+      .filter(col("value") > 18.0)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(28,8)")), 2)
+          .cast("double").as("v_obs"))
+    interpFill(hourly, "event_type", "hour_start", "1 hour", "v_obs")
+      .select(col("event_type"), col("hour_start"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("v_obs"), col("v_obs_interp"),
+        col("n_events").isNull.as("is_gap"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
   /** Correctness gate for [[gapFill]]: hourly DECIMAL-summed value of
     * high-value events (`value > 18` sparsifies the series so real
     * gaps exist at every SF); the oracle rebuilds the spine with

@@ -328,6 +328,17 @@ class ScaleSpec extends SparkSpec {
       s"expected hinted merge join in:\n$plan")
   }
 
+  test("interpFill: gaps take the time-weighted blend, observed pass") {
+    import SparkSpec.spark.implicits._
+    import java.sql.Timestamp
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val obs = Seq(("a", t(0), 10.0), ("a", t(3), 40.0), ("a", t(4), 0.0))
+      .toDF("g", "ts", "v")
+    val out = Scale.interpFill(obs, "g", "ts", "1 hour", "v")
+      .orderBy(col("ts")).select(col("v_interp")).as[Double].collect()
+    assert(out.toSeq == Seq(10.0, 20.0, 30.0, 40.0, 0.0))
+  }
+
   test("compactionPlan: oversize parts isolate, small parts coalesce") {
     import SparkSpec.spark.implicits._
     val parts = Seq(
