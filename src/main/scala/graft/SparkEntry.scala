@@ -224,6 +224,8 @@ object SparkEntry {
     "q_text_repetition" -> ((s, d) => Curation.repetitionQuery(s, d)),
     "q_seq_pack" -> (Curation.seqPackQuery _),
     "q_quality_score" -> (Curation.qualityScoreQuery _),
+    // Threshold-sweep classifier eval: confusion counts + P/R/F1
+    "q_pr_curve" -> (Curation.prCurveQuery _),
     "q_embed_quant" -> (Similarity.quantizationQuery _),
     // Streaming sessionization with custom event-time state
     // (flatMapGroupsWithState): drained replay of the static events
@@ -310,6 +312,32 @@ object SparkEntry {
       |  FROM pr
       |  JOIN n na ON pr.doc_a = na.doc_id
       |  JOIN n nb ON pr.doc_b = nb.doc_id)""".stripMargin
+
+  /** Shared oracle fragment: the pretrained quality scorer (feature
+    * hash → unit-norm → fixed-weight logistic) ending in `s(doc_id,
+    * quality_score)` — single source of truth for q_quality_score and
+    * q_pr_curve. */
+  private val qualityScoreCte: String =
+    """b AS (
+      |  SELECT doc_id, list_transform(string_split(text, ' '),
+      |    t -> ('0x' || substring(md5(t), 1, 2))::INTEGER % 64)
+      |    AS buckets
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id, list_transform(range(0, 64),
+      |    i -> CAST(len(list_filter(buckets, k -> k = i)) AS DOUBLE))
+      |    AS cnts
+      |  FROM b),
+      |n AS (SELECT doc_id, cnts,
+      |    sqrt(list_dot_product(cnts, cnts)) AS nrm FROM v),
+      |a AS (SELECT doc_id,
+      |    list_transform(cnts, c -> c / nrm) AS arr FROM n),
+      |wt AS (SELECT list_transform(range(0, 64),
+      |    b -> CAST((b * 37 + 11) % 13 - 6 AS DOUBLE) / 10.0) AS w),
+      |s AS (SELECT doc_id,
+      |    round(1.0 / (1.0 + exp(-(list_dot_product(arr, w) + 0.1))), 6)
+      |      AS quality_score
+      |  FROM a, wt)""".stripMargin
 
   /** Transitive closure over the ≥ 0.5 pair graph → `cl(doc_id,
     * cluster_id)`; appended to [[jaccardBaseCte]] by the cluster
@@ -2124,30 +2152,50 @@ object SparkEntry {
     // (list_dot_product — IEEE-identical, the q_ann_topk precedent),
     // and the sigmoid + threshold.
     "q_quality_score" ->
-      """WITH b AS (
-        |  SELECT doc_id, list_transform(string_split(text, ' '),
-        |    t -> ('0x' || substring(md5(t), 1, 2))::INTEGER % 64)
-        |    AS buckets
-        |  FROM documents),
-        |v AS (
-        |  SELECT doc_id, list_transform(range(0, 64),
-        |    i -> CAST(len(list_filter(buckets, k -> k = i)) AS DOUBLE))
-        |    AS cnts
-        |  FROM b),
-        |n AS (SELECT doc_id, cnts,
-        |    sqrt(list_dot_product(cnts, cnts)) AS nrm FROM v),
-        |a AS (SELECT doc_id,
-        |    list_transform(cnts, c -> c / nrm) AS arr FROM n),
-        |wt AS (SELECT list_transform(range(0, 64),
-        |    b -> CAST((b * 37 + 11) % 13 - 6 AS DOUBLE) / 10.0) AS w),
-        |s AS (SELECT doc_id,
-        |    round(1.0 / (1.0 + exp(-(list_dot_product(arr, w) + 0.1))), 6)
-        |      AS quality_score
-        |  FROM a, wt)
+      (s"WITH $qualityScoreCte" +
+        """
         |SELECT doc_id, quality_score,
         |  quality_score >= 0.5 AS is_quality
         |FROM s
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
+    // q_pr_curve: scores from the SHARED quality CTE (no oracle
+    // drift), labels from lang='en'; integer confusion counts, ratios
+    // rounded from the counts, F1 from the rounded ratios.
+    "q_pr_curve" ->
+      (s"WITH $qualityScoreCte," +
+        """
+        |lab AS (
+        |  SELECT s.quality_score AS sc, d.lang = 'en' AS y
+        |  FROM s JOIN documents d ON s.doc_id = d.doc_id),
+        |t AS (SELECT CAST(x AS DOUBLE) AS thr FROM (VALUES (0.1),
+        |  (0.2), (0.3), (0.4), (0.5), (0.6), (0.7), (0.8), (0.9))
+        |  v(x)),
+        |c AS (
+        |  SELECT thr,
+        |    CAST(sum(CASE WHEN sc >= thr AND y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN sc >= thr AND NOT y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN sc < thr AND y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN sc < thr AND NOT y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tn
+        |  FROM lab CROSS JOIN t GROUP BY thr),
+        |r AS (
+        |  SELECT thr, tp, fp, fn, tn,
+        |    CASE WHEN tp + fp > 0 THEN
+        |      round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+        |    END AS prec,
+        |    CASE WHEN tp + fn > 0 THEN
+        |      round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+        |    END AS rec
+        |  FROM c)
+        |SELECT thr, tp, fp, fn, tn, prec, rec,
+        |  CASE WHEN prec IS NOT NULL AND rec IS NOT NULL
+        |      AND prec + rec > 0.0 THEN
+        |    round(2.0 * prec * rec / (prec + rec), 6)
+        |  END AS f1
+        |FROM r ORDER BY thr""".stripMargin),
     // Winnowing (MOSS): word 3-gram hashes = first 32 md5 bits (the
     // portable-hash idiom of q_feature_hash), windows of 4, distinct
     // sorted minima — the oracle replays gram building, hashing,

@@ -418,6 +418,58 @@ object Curation {
       .orderBy(col("doc_id"))
 
   /**
+   * Classifier evaluation: threshold-sweep confusion counts +
+   * precision/recall/F1 over a scored corpus — the eval harness run
+   * against every quality/langid/filter model before its threshold is
+   * frozen into a pipeline. Counts are integers (exact in any order);
+   * the ratios are computed FROM the counts and rounded, so the whole
+   * curve replays cross-engine.
+   *
+   * Scale shape: one scan; each row contributes to every threshold's
+   * conditional sums via a small explode (|thresholds| copies of two
+   * booleans, not of the text), map-side partial-aggregated down to
+   * |thresholds| rows. No sort, no per-class shuffle.
+   */
+  def prCurve(scored: DataFrame, scoreCol: String, labelCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    val exploded = scored.select(col(scoreCol).as("_s"),
+      col(labelCol).as("_y"),
+      explode(typedLit(thresholds)).as("thr"))
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val counts = exploded.groupBy(col("thr")).agg(
+      cnt(col("_s") >= col("thr") && col("_y")).as("tp"),
+      cnt(col("_s") >= col("thr") && !col("_y")).as("fp"),
+      cnt(col("_s") < col("thr") && col("_y")).as("fn"),
+      cnt(col("_s") < col("thr") && !col("_y")).as("tn"))
+    def ratio(num: Column, den: Column) =
+      when(den > 0L, round(num.cast("double") / den.cast("double"), 6))
+    counts
+      .withColumn("prec", ratio(col("tp"), col("tp") + col("fp")))
+      .withColumn("rec", ratio(col("tp"), col("tp") + col("fn")))
+      .withColumn("f1",
+        when(col("prec").isNotNull && col("rec").isNotNull &&
+          col("prec") + col("rec") > 0.0,
+          round(lit(2.0) * col("prec") * col("rec") /
+            (col("prec") + col("rec")), 6)))
+      .orderBy(col("thr"))
+  }
+
+  /** Correctness gate for [[prCurve]]: the shared quality scorer
+    * ([[qualityScoreQuery]]'s exact formula) evaluated against the
+    * `lang = 'en'` label over nine fixed thresholds; the oracle
+    * recomputes scores from the shared CTE and replays every count
+    * and rounded ratio. */
+  def prCurveQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val scored = docs.select(
+      round(qualityScore(col("text"), pretrainedWeights(), 0.1), 6)
+        .as("score"),
+      (col("lang") === "en").as("y"))
+    prCurve(scored, "score", "y",
+      Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+  }
+
+  /**
    * Fit the quality classifier by deterministic full-batch gradient
    * descent (logistic loss): the offline half of the operator, like
    * [[Similarity.kmeansCentroids]] for IVF. The bias rides as a

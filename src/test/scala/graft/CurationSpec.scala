@@ -425,6 +425,21 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("prCurve: hand-computed confusion counts and ratios") {
+    val scored = Seq((0.9, true), (0.8, false), (0.7, true),
+      (0.3, true), (0.1, false)).toDF("score", "y")
+    val out = Curation.prCurve(scored, "score", "y", Seq(0.5, 0.75))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(out(0.5) == ((2L, 1L, 1L, 1L, 0.666667, 0.666667)))
+    assert(out(0.75) == ((1L, 1L, 2L, 1L, 0.5, 0.333333)))
+    // degenerate threshold above every score: no positives predicted
+    val hi = Curation.prCurve(scored, "score", "y", Seq(0.99))
+      .collect()(0)
+    assert(hi.getLong(1) == 0L && hi.isNullAt(5) && hi.isNullAt(7))
+  }
+
   test("domainFilter: label-boundary suffixes only, longest match wins") {
     val docs = Seq(
       (1L, "a.spam.com"),      // subdomain of a blocked domain
