@@ -89,6 +89,8 @@ object SparkEntry {
         .orderBy(col("hour_start"), col("event_type"))),
     // Text analysis (north star: training-data pipeline)
     "q_text_tokens" -> (TextAnalysis.tokenStatsQuery _),
+    // Tokenizer coverage: OOV rate against a fitted top-256 vocab
+    "q_oov_rate" -> (TextAnalysis.oovRateQuery _),
     "q_text_quality" -> (TextAnalysis.qualityQuery _),
     "q_lang_id" -> (TextAnalysis.langIdQuery _),
     "q_fingerprint" -> (TextAnalysis.fingerprintQuery _),
@@ -863,6 +865,27 @@ object SparkEntry {
         |  p.n_events
         |FROM probe p
         |ORDER BY p.hour_start, p.event_type""".stripMargin,
+    // q_oov_rate: the oracle refits the whole top-256 vocabulary
+    // (count desc, token asc) and recounts per-doc membership with
+    // multiplicity — the engine's collected vocab must match exactly.
+    "q_oov_rate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |vf AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+        |vocab AS (SELECT tok FROM vf ORDER BY c DESC, tok LIMIT 256),
+        |d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |iv AS (SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_in
+        |  FROM tk JOIN vocab ON tk.tok = vocab.tok
+        |  GROUP BY tk.doc_id)
+        |SELECT d.doc_id, d.n_tokens,
+        |  d.n_tokens - COALESCE(iv.n_in, 0) AS n_oov,
+        |  round(CAST(d.n_tokens - COALESCE(iv.n_in, 0) AS DOUBLE)
+        |    / CAST(d.n_tokens AS DOUBLE), 6) AS oov_rate
+        |FROM d LEFT JOIN iv ON d.doc_id = iv.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INTEGER) AS n_chars_text,

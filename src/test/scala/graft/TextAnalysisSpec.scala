@@ -198,4 +198,12 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 2: OOV context -> c1=0, c2=0 -> ln(0.1/0.3)
     assert(got(2L) == ((1L, avg(Seq(term(0, 0))))))
   }
+
+  test("fitVocab: frequency order with lexicographic tie-break") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq((1L, "a a b c"), (2L, "b b c d")).toDF("doc_id", "text")
+    // counts: b=3, a=2, c=2, d=1 -> top-2 keeps b then a (tie a<c)
+    assert(TextAnalysis.fitVocab(docs, "text", 2) == Seq("b", "a"))
+    assert(TextAnalysis.fitVocab(docs, "text", 3) == Seq("b", "a", "c"))
+  }
 }
