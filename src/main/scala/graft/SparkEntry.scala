@@ -33,6 +33,8 @@ object SparkEntry {
     "q_gap_fill" -> (Scale.gapFillQuery _),
     // OPTIMIZE planning: sorted-fill file bins toward a target size
     "q_compact_plan" -> (Scale.compactionPlanQuery _),
+    // Declarative DQ constraint suite: rows/uniqueness/FK in one report
+    "q_dq_rules" -> (DataQuality.dqRulesQuery _),
     // Linear interpolation across the same spine (continuous signals)
     "q_interp_fill" -> (Scale.interpFillQuery _),
     // Trailing-24h z-score anomaly flags over hourly counts
@@ -1584,6 +1586,55 @@ object SparkEntry {
         |  CAST(sum(bytes) OVER (PARTITION BY event_type, bin)
         |    AS BIGINT) AS bin_bytes
         |FROM w ORDER BY event_type, day""".stripMargin,
+    // q_dq_rules: the oracle recomputes every rule count with the
+    // same three-valued-logic semantics (NULL predicate = violation);
+    // uniqueness sums over-represented groups, FK counts orphans.
+    "q_dq_rules" ->
+      """WITH rr AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN NOT COALESCE(l_quantity >= 1.0
+        |      AND l_quantity <= 50.0, FALSE) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS r1,
+        |    CAST(sum(CASE WHEN NOT COALESCE(l_quantity <= 10.0,
+        |      FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+        |    CAST(sum(CASE WHEN NOT COALESCE(l_discount >= 0.0
+        |      AND l_discount <= 0.1, FALSE) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS r3,
+        |    CAST(sum(CASE WHEN NOT COALESCE(
+        |      l_returnflag IN ('A', 'N', 'R'), FALSE)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS r4,
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS r5
+        |  FROM lineitem),
+        |g AS (SELECT count(*) AS c FROM lineitem
+        |  GROUP BY l_orderkey, l_linenumber),
+        |u AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(COALESCE(sum(CASE WHEN c > 1 THEN c END), 0)
+        |    AS BIGINT) AS v FROM g),
+        |g2 AS (SELECT count(*) AS c FROM orders GROUP BY o_orderkey),
+        |u2 AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(COALESCE(sum(CASE WHEN c > 1 THEN c END), 0)
+        |    AS BIGINT) AS v FROM g2),
+        |fk AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem li
+        |    LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON li.l_orderkey = o.o_orderkey
+        |    WHERE o.o_orderkey IS NULL) AS v),
+        |allr AS (
+        |  SELECT 'li_quantity_range' AS rule, n, r1 AS v FROM rr
+        |  UNION ALL SELECT 'li_quantity_max10', n, r2 FROM rr
+        |  UNION ALL SELECT 'li_discount_range', n, r3 FROM rr
+        |  UNION ALL SELECT 'li_returnflag_domain', n, r4 FROM rr
+        |  UNION ALL SELECT 'li_shipdate_complete', n, r5 FROM rr
+        |  UNION ALL SELECT 'li_line_unique', n, v FROM u
+        |  UNION ALL SELECT 'o_orderkey_unique', n, v FROM u2
+        |  UNION ALL SELECT 'li_orderkey_fk', n, v FROM fk)
+        |SELECT rule, n AS n_rows, v AS n_violations,
+        |  round(CAST(v AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS violation_rate,
+        |  v = 0 AS passed
+        |FROM allr ORDER BY rule""".stripMargin,
     // q_gap_fill: the oracle rebuilds the hourly spine with
     // generate_series and replays the IGNORE NULLS carry-forward;
     // hourly sums ride DECIMAL (order-free) before the 2-dp round.

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Declarative data-quality constraint suite (Deequ-style): a rule set
+ * — row predicates, key uniqueness, referential integrity — evaluated
+ * into one violations report per rule. This is the CI gate a
+ * production table runs before a partition is published; a training
+ * pipeline points it at every ingest batch.
+ *
+ * Scale shape (100 TB):
+ *  - ALL row predicates fold into ONE map-side-partial aggregation
+ *    over a single scan — adding a rule adds a conditional sum, never
+ *    a pass.
+ *  - Uniqueness shuffles only the key columns (count per key, sum the
+ *    over-represented groups).
+ *  - Referential integrity is a key-only anti join — both sides
+ *    project to their key before the join, so the shuffle carries
+ *    8-byte keys, not rows.
+ * A row with a NULL predicate result counts as a violation (unknown
+ * is not proof of quality), matching SQL's three-valued logic via
+ * `NOT coalesce(pred, false)` in both engines.
+ */
+object DataQuality {
+
+  /** Evaluate row-predicate rules in one aggregation pass.
+    * @return one row per rule: (rule, n_rows, n_violations) */
+  def checkRows(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val aggs = rules.map { case (name, pred) =>
+      sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(name)
+    }
+    val one = df.agg(count(lit(1)).as("_n"), aggs: _*)
+    val stackArgs = rules
+      .map { case (name, _) => s"'$name', `$name`" }.mkString(", ")
+    one.select(
+      expr(s"stack(${rules.size}, $stackArgs) as (rule, n_violations)"),
+      col("_n").as("n_rows"))
+      .select(col("rule"), col("n_rows"), col("n_violations"))
+  }
+
+  /** Uniqueness rule: every row whose key group holds more than one
+    * row is a violation (Deequ's uniqueness complement). */
+  def checkUnique(df: DataFrame, name: String,
+      keys: Seq[String]): DataFrame = {
+    val g = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_c"))
+    g.agg(sum(col("_c")).as("n_rows"),
+        coalesce(sum(when(col("_c") > 1L, col("_c"))), lit(0L))
+          .as("n_violations"))
+      .select(lit(name).as("rule"), col("n_rows"), col("n_violations"))
+  }
+
+  /** Referential-integrity rule: child keys with no matching parent.
+    * Both sides reduce to their key column before the anti join. */
+  def checkForeignKey(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, name: String): DataFrame = {
+    val total = child.agg(count(lit(1)).as("n_rows"))
+    val orphans = child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+    total.crossJoin(orphans)
+      .select(lit(name).as("rule"), col("n_rows"), col("n_violations"))
+  }
+
+  /** Finalize a union of rule rows into the report shape. */
+  def report(rules: DataFrame): DataFrame =
+    rules
+      .select(col("rule"), col("n_rows"), col("n_violations"),
+        round(col("n_violations").cast("double") /
+          col("n_rows").cast("double"), 6).as("violation_rate"),
+        (col("n_violations") === 0L).as("passed"))
+      .orderBy(col("rule"))
+
+  /** Correctness gate: an eight-rule suite over lineitem/orders —
+    * five row predicates (one deliberately tight so nonzero rates are
+    * exercised), composite-key and primary-key uniqueness, and the
+    * lineitem→orders foreign key. The oracle recomputes every count
+    * with the same null semantics. */
+  def dqRulesQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val o = Tables.load(spark, sfDir, "orders")
+    val rowRules = checkRows(li, Seq(
+      "li_quantity_range" ->
+        (col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0),
+      "li_quantity_max10" -> (col("l_quantity") <= 10.0),
+      "li_discount_range" ->
+        (col("l_discount") >= 0.0 && col("l_discount") <= 0.1),
+      "li_returnflag_domain" ->
+        col("l_returnflag").isin("A", "N", "R"),
+      "li_shipdate_complete" -> col("l_shipdate").isNotNull))
+    val uniq = checkUnique(li, "li_line_unique",
+      Seq("l_orderkey", "l_linenumber"))
+    val pk = checkUnique(o, "o_orderkey_unique", Seq("o_orderkey"))
+    val fk = checkForeignKey(li, "l_orderkey", o, "o_orderkey",
+      "li_orderkey_fk")
+    report(rowRules.unionByName(uniq).unionByName(pk).unionByName(fk))
+  }
+}

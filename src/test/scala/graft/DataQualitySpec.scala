@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.DataQuality
+import org.apache.spark.sql.functions._
+
+/** Crafted-corpus ground truth for the DQ constraint suite: null
+  * three-valued logic, uniqueness counting, FK orphan counting, and
+  * the one-pass plan shape for row rules. */
+class DataQualitySpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  test("checkRows: null predicate counts as violation") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 5.0), (2L, 60.0), (3L, null)).toDF("id", "qty")
+    val out = DataQuality.checkRows(df, Seq(
+      "range" -> (col("qty") >= 1.0 && col("qty") <= 50.0),
+      "complete" -> col("qty").isNotNull))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(out("range") == ((3L, 2L)), "60.0 and NULL both violate")
+    assert(out("complete") == ((3L, 1L)))
+  }
+
+  test("checkUnique counts every row of an over-represented group") {
+    val df = Seq((1L, 1), (1L, 1), (1L, 2), (2L, 1)).toDF("k", "sub")
+    val byPair = DataQuality.checkUnique(df, "pair", Seq("k", "sub"))
+      .collect()(0)
+    assert(byPair.getLong(1) == 4L && byPair.getLong(2) == 2L)
+    val byK = DataQuality.checkUnique(df, "k", Seq("k")).collect()(0)
+    assert(byK.getLong(2) == 3L, "all three k=1 rows violate")
+  }
+
+  test("checkForeignKey counts orphans with multiplicity") {
+    val child = Seq(1L, 1L, 2L, 9L, 9L, 9L).toDF("ck")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = DataQuality.checkForeignKey(child, "ck", parent, "pk",
+      "fk").collect()(0)
+    assert(out.getLong(1) == 6L && out.getLong(2) == 3L)
+  }
+
+  test("row rules evaluate in one pass (single scan, no extra shuffle)") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val plan = DataQuality.checkRows(li, Seq(
+      "a" -> (col("l_quantity") <= 10.0),
+      "b" -> col("l_returnflag").isin("A", "N", "R"),
+      "c" -> col("l_shipdate").isNotNull))
+      .queryExecution.executedPlan.toString
+    val scans = "Scan ".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one scan for all row rules:\n$plan")
+  }
+
+  test("report: rates and pass flags derive from the counts") {
+    val out = DataQuality.dqRulesQuery(spark, sfDir).collect()
+    assert(out.length == 8)
+    out.foreach { r =>
+      val (n, v, rate, passed) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+      assert(v >= 0 && v <= n)
+      assert(math.abs(rate - (v.toDouble / n * 1e6).round / 1e6) < 1e-12)
+      assert(passed == (v == 0))
+    }
+    val m = out.map(r => r.getString(0) -> r.getLong(2)).toMap
+    // the deliberately tight rule must actually fire; the structural
+    // ones must hold on the generated data
+    assert(m("li_quantity_max10") > 0L)
+    assert(m("li_orderkey_fk") == 0L)
+    assert(m("o_orderkey_unique") == 0L)
+  }
+}
