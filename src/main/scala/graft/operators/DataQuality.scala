@@ -53,17 +53,19 @@ object DataQuality {
   }
 
   /** Referential-integrity rule: child keys with no matching parent.
-    * Both sides reduce to their key column before the anti join. */
+    * Both sides reduce to their key column before ONE left join whose
+    * null-extension marks the orphans — total and violation counts
+    * fall out of a single aggregation (no second pass, no 1×1 cross
+    * join in the plan). */
   def checkForeignKey(child: DataFrame, childKey: String,
-      parent: DataFrame, parentKey: String, name: String): DataFrame = {
-    val total = child.agg(count(lit(1)).as("n_rows"))
-    val orphans = child.select(col(childKey))
-      .join(parent.select(col(parentKey).as(childKey)).distinct(),
-        Seq(childKey), "left_anti")
-      .agg(count(lit(1)).as("n_violations"))
-    total.crossJoin(orphans)
+      parent: DataFrame, parentKey: String, name: String): DataFrame =
+    child.select(col(childKey))
+      .join(parent.select(col(parentKey).as("_pk")).distinct(),
+        col(childKey) === col("_pk"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_pk").isNull, 1L).otherwise(0L))
+          .as("n_violations"))
       .select(lit(name).as("rule"), col("n_rows"), col("n_violations"))
-  }
 
   /** Finalize a union of rule rows into the report shape. */
   def report(rules: DataFrame): DataFrame =
