@@ -66,6 +66,9 @@ object SparkEntry {
     "q_col_profile" -> (Stats.columnProfileQuery _),
     "q_histogram" -> ((s, d) => Stats.histogramQuery(s, d)),
     "q_stats_moments" -> (Stats.momentsQuery _),
+    // Full pairwise correlation matrix from one-pass DECIMAL power
+    // sums (feature screening / relationship-drift profiling)
+    "q_corr_matrix" -> (Stats.corrMatrixQuery _),
     // Schema evolution + union type (SURVEY.md §2.3, §1.2)
     "q_cast_matrix" -> (Evolution.castMatrixQuery _),
     "q_reader_schema" -> (Evolution.readerSchemaQuery _),
@@ -1932,6 +1935,57 @@ object SparkEntry {
         |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
         |FROM a
         |ORDER BY l_returnflag""".stripMargin,
+    // Correlation matrix: same exact-DECIMAL-power-sum rule as
+    // q_stats_moments, widened to all 6 pairs of 4 columns; the six
+    // UNION arms replay the inline-exploded pair rows, and the final
+    // SELECT is the identical shared double expression tree.
+    "q_corr_matrix" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |    sum(CAST(l_quantity AS DECIMAL(28,8))) AS s_q,
+        |    sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS s_e,
+        |    sum(CAST(l_discount AS DECIMAL(28,8))) AS s_d,
+        |    sum(CAST(l_tax AS DECIMAL(28,8))) AS s_t,
+        |    sum(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS s_qq,
+        |    sum(CAST(l_extendedprice * l_extendedprice
+        |      AS DECIMAL(28,8))) AS s_ee,
+        |    sum(CAST(l_discount * l_discount AS DECIMAL(28,8))) AS s_dd,
+        |    sum(CAST(l_tax * l_tax AS DECIMAL(28,8))) AS s_tt,
+        |    sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8)))
+        |      AS s_qe,
+        |    sum(CAST(l_quantity * l_discount AS DECIMAL(28,8))) AS s_qd,
+        |    sum(CAST(l_quantity * l_tax AS DECIMAL(28,8))) AS s_qt,
+        |    sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,8)))
+        |      AS s_ed,
+        |    sum(CAST(l_extendedprice * l_tax AS DECIMAL(28,8))) AS s_et,
+        |    sum(CAST(l_discount * l_tax AS DECIMAL(28,8))) AS s_dt
+        |  FROM lineitem GROUP BY l_returnflag),
+        |p AS (
+        |  SELECT l_returnflag, n_rows, 'quantity' AS col_x,
+        |    'extendedprice' AS col_y, s_q AS sx, s_e AS sy,
+        |    s_qq AS sxx, s_ee AS syy, s_qe AS sxy FROM a
+        |  UNION ALL SELECT l_returnflag, n_rows, 'quantity',
+        |    'discount', s_q, s_d, s_qq, s_dd, s_qd FROM a
+        |  UNION ALL SELECT l_returnflag, n_rows, 'quantity',
+        |    'tax', s_q, s_t, s_qq, s_tt, s_qt FROM a
+        |  UNION ALL SELECT l_returnflag, n_rows, 'extendedprice',
+        |    'discount', s_e, s_d, s_ee, s_dd, s_ed FROM a
+        |  UNION ALL SELECT l_returnflag, n_rows, 'extendedprice',
+        |    'tax', s_e, s_t, s_ee, s_tt, s_et FROM a
+        |  UNION ALL SELECT l_returnflag, n_rows, 'discount',
+        |    'tax', s_d, s_t, s_dd, s_tt, s_dt FROM a)
+        |SELECT l_returnflag, n_rows, col_x, col_y,
+        |  round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |    CAST(sy AS DOUBLE) / CAST(n_rows AS DOUBLE)) /
+        |    CAST(n_rows AS DOUBLE), 6) + 0.0 AS covar,
+        |  round((CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     sqrt(CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0 AS corr
+        |FROM p
+        |ORDER BY l_returnflag, col_x, col_y""".stripMargin,
     // Equi-width histogram: bucket = least(floor((x-min)/width),
     // buckets-1) with the identical DOUBLE expression tree; money
     // sums per bucket use the q1/q5 DECIMAL rule.

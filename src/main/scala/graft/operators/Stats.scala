@@ -240,6 +240,64 @@ object Stats {
       .orderBy(col("l_returnflag"))
   }
 
+  /**
+   * Full pairwise Pearson correlation matrix per group — the feature-
+   * screening profile run before model training (drop one of every
+   * collinear feature pair) and the drift monitor that catches a
+   * relationship change even when every marginal stays put. Extends
+   * [[momentsQuery]]'s exact-DECIMAL-power-sum rule from one column
+   * pair to all k·(k−1)/2 pairs of k columns, still in ONE
+   * map-side-partial aggregation pass: the shuffle carries
+   * k + k·(k+1)/2 decimals + a count per group (15 values for k = 4
+   * here), then every covariance/correlation derives from those sums
+   * with one shared double expression tree, `inline`-exploded to
+   * long-form (col_x, col_y) rows on the driver-sized agg result.
+   *
+   * Scale shape (100 TB): the data is scanned once no matter how many
+   * columns are profiled — adding a column to the matrix adds
+   * O(k) decimal accumulators, not a pass. The built-in `corr`
+   * aggregate would need k² separate accumulators with order-dependent
+   * DOUBLE merges (never hash-gateable across engines, the
+   * [[momentsQuery]] argument) and Spark would still evaluate them in
+   * one pass — but the power-sum formulation additionally makes every
+   * pair's statistic exact and oracle-replayable.
+   */
+  def corrMatrixQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq("quantity" -> "l_quantity",
+      "extendedprice" -> "l_extendedprice",
+      "discount" -> "l_discount", "tax" -> "l_tax")
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag") +:
+        cols.map { case (nm, c) => col(c).as(nm) }: _*)
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(28,8)"))
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i)._1, cols(j)._1)
+    val aggs =
+      cols.map { case (nm, _) => dsum(col(nm)).as(s"s_$nm") } ++
+      cols.map { case (nm, _) =>
+        dsum(col(nm) * col(nm)).as(s"s_${nm}_$nm") } ++
+      pairs.map { case (a, b) => dsum(col(a) * col(b)).as(s"s_${a}_$b") }
+    val agg = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val n = col("n_rows").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        // + 0.0 normalizes −0.0 (both engines, the skewReport rule)
+        (round((d(s"s_${a}_$b") - d(s"s_$a") * d(s"s_$b") / n) / n, 6) +
+          lit(0.0)).as("covar"),
+        (round((n * d(s"s_${a}_$b") - d(s"s_$a") * d(s"s_$b")) /
+          (sqrt(n * d(s"s_${a}_$a") - d(s"s_$a") * d(s"s_$a")) *
+           sqrt(n * d(s"s_${b}_$b") - d(s"s_$b") * d(s"s_$b"))), 6) +
+          lit(0.0)).as("corr"))
+    }
+    agg.select(col("l_returnflag"), col("n_rows"),
+        inline(array(rows: _*)))
+      .orderBy(col("l_returnflag"), col("col_x"), col("col_y"))
+  }
+
   def histogramQuery(spark: SparkSession, sfDir: String,
       buckets: Int = 10): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")

@@ -110,6 +110,34 @@ class StatsSpec extends SparkSpec {
       s"moments query should be one agg pass + sort, saw $exchanges exchanges")
   }
 
+  test("correlation matrix: all pairs agree with built-in corr, " +
+      "|corr| <= 1, and the matrix is one aggregation pass") {
+    val rows = Stats.corrMatrixQuery(spark, sfDir).collect()
+    // 3 flags x C(4,2) pairs
+    assert(rows.length == 3 * 6, s"expected 18 rows, got ${rows.length}")
+    val names = Map("quantity" -> "l_quantity",
+      "extendedprice" -> "l_extendedprice",
+      "discount" -> "l_discount", "tax" -> "l_tax")
+    val li = Tables.load(spark, sfDir, "lineitem")
+    rows.foreach { r =>
+      val (flag, cx, cy) =
+        (r.getString(0), r.getString(2), r.getString(3))
+      val cr = r.getDouble(5)
+      assert(cr >= -1.0 && cr <= 1.0, s"$flag $cx/$cy corr $cr")
+      val builtin = li.filter(col("l_returnflag") === flag)
+        .agg(corr(col(names(cx)), col(names(cy)))).head().getDouble(0)
+      assert(math.abs(cr - builtin) < 1e-5,
+        s"$flag $cx/$cy corr $cr vs builtin $builtin")
+    }
+    // adding 3 columns to the profile must NOT add passes: still one
+    // partial-agg shuffle (+ the output sort)
+    val exchanges = Stats.corrMatrixQuery(spark, sfDir)
+      .queryExecution.executedPlan.toString
+      .linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2,
+      s"corr matrix should stay one agg pass + sort, saw $exchanges")
+  }
+
   test("MAD outliers: robust fence flags a small minority per group") {
     val o = graft.operators.Relational.outlierQuery(spark, sfDir)
       .collect()
