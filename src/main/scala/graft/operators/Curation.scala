@@ -654,7 +654,34 @@ object Curation {
    *               generalized (string-typed) expression
    */
   def kAnonymize(df: DataFrame, levels: Seq[Seq[(String, Column)]],
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    anonymizeLadder(df, levels, k, None, 0)
+
+  /**
+   * L-diversity on the same generalization ladder: k-anonymity stops
+   * identity disclosure (you hide among ≥ k rows) but not ATTRIBUTE
+   * disclosure — if all k rows of a class share one sensitive value,
+   * the attacker learns it without re-identifying anyone. Distinct
+   * l-diversity (Machanavajjhala et al., ICDE 2006) additionally
+   * requires every released equivalence class to contain ≥ `l`
+   * distinct values of the sensitive column, so a level clears only
+   * when BOTH gates hold; rows whose class fails either gate at the
+   * coarsest level are suppressed. Generalizing coarser merges
+   * classes, so diversity is monotone up the ladder the same way size
+   * is — the first-clearing-level choice stays well-defined.
+   *
+   * Scale shape: identical to [[kAnonymize]] — the per-level class
+   * stats gain one exact `count_distinct(sensitive)` (a second
+   * partial-agg over tuples that are tiny by the anonymization
+   * argument); still one scan, no window, no sort.
+   */
+  def lDiversify(df: DataFrame, levels: Seq[Seq[(String, Column)]],
+      k: Int, sensitive: String, l: Int): DataFrame =
+    anonymizeLadder(df, levels, k, Some(sensitive), l)
+
+  private def anonymizeLadder(df: DataFrame,
+      levels: Seq[Seq[(String, Column)]], k: Int,
+      sensitive: Option[String], l: Int): DataFrame = {
     require(levels.nonEmpty &&
       levels.forall(_.map(_._1) == levels.head.map(_._1)),
       "all ladder levels must emit the same output columns")
@@ -665,15 +692,22 @@ object Curation {
         d2.withColumn(s"_l${i}_$nm", e.cast("string"))
       }
     }
-    // per-level equivalence-class sizes, broadcast back
+    // per-level equivalence-class stats (size, and distinct sensitive
+    // values when l-diversity is on), broadcast back
     val sized = levels.indices.foldLeft(tagged) { (d, i) =>
       val keys = names.map(nm => s"_l${i}_$nm")
+      val aggs = count(lit(1)).as(s"_n$i") +: sensitive.toSeq
+        .map(s => count_distinct(col(s)).as(s"_div$i"))
       val sizes = tagged.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as(s"_n$i"))
+        .agg(aggs.head, aggs.tail: _*)
       d.join(broadcast(sizes), keys)
     }
+    def clears(i: Int): Column = sensitive match {
+      case Some(_) => col(s"_n$i") >= k && col(s"_div$i") >= l
+      case None => col(s"_n$i") >= k
+    }
     val level = coalesce(
-      (levels.indices.map(i => when(col(s"_n$i") >= k, lit(i))) :+
+      (levels.indices.map(i => when(clears(i), lit(i))) :+
         lit(levels.size)): _*)
     val out = sized.withColumn("anon_level", level)
       .withColumn("released", col("anon_level") < levels.size)
@@ -683,10 +717,19 @@ object Curation {
       }
       perLevel.as(nm)
     }
+    // under l-diversity, surface the chosen class's stats (null when
+    // suppressed) — the released row's privacy certificate
+    val classStats = sensitive.toSeq.flatMap { _ =>
+      def pick(pre: String) = coalesce(levels.indices
+        .map(i => when(col("anon_level") === i, col(s"$pre$i"))): _*)
+      Seq(pick("_n").cast("bigint").as("class_size"),
+        pick("_div").cast("bigint").as("class_div"))
+    }
     // generalized QI columns REPLACE same-named input columns — keeping
     // both would leak the raw quasi-identifier past the release gate
     out.select((df.columns.filterNot(names.contains).map(col).toSeq ++
-      Seq(col("anon_level"), col("released")) ++ generalized): _*)
+      Seq(col("anon_level"), col("released")) ++ classStats ++
+      generalized): _*)
   }
 
   /** Correctness gate for [[kAnonymize]]: customer quasi-identifiers
