@@ -223,6 +223,8 @@ object SparkEntry {
     "q_pii_scrub" -> (Curation.piiScrubQuery _),
     // K-anonymity release gate: generalization ladder + suppression
     "q_k_anon" -> (Curation.kAnonQuery _),
+    // L-diversity: same ladder, sensitive-attribute diversity gate
+    "q_l_diversity" -> (Curation.lDiversityQuery _),
     // Domain deny-list: longest label-boundary suffix match
     "q_domain_filter" -> (Curation.domainFilterQuery _),
     "q_text_normalize" -> (Curation.normalizeQuery _),
@@ -3021,6 +3023,56 @@ object SparkEntry {
         |  lvl < 3 AS released,
         |  CASE WHEN lvl = 3 THEN '*' ELSE nation END AS nation,
         |  CASE WHEN lvl = 3 THEN '*' ELSE segment END AS segment,
+        |  CASE lvl WHEN 0 THEN lab0 WHEN 1 THEN lab1 ELSE '*' END
+        |    AS acct_band
+        |FROM j ORDER BY c_custkey""".stripMargin,
+    // q_l_diversity: the oracle re-derives BOTH per-level class stats
+    // (size and distinct-sensitive-values), replays the first level
+    // clearing k AND l, and re-emits the released class's certificate
+    // (null when suppressed). QIs are nation + band only; segment is
+    // the sensitive column.
+    "q_l_diversity" ->
+      """WITH c AS (
+        |  SELECT c_custkey, CAST(c_nationkey AS VARCHAR) AS nation,
+        |    c_mktsegment AS seg,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+        |  FROM customer),
+        |b AS (
+        |  SELECT c_custkey, nation, seg,
+        |    '[' || CAST(CAST(floor(CAST(cents AS DOUBLE) / 10000.0)
+        |        AS BIGINT) * 100 AS VARCHAR)
+        |      || ',' || CAST((CAST(floor(CAST(cents AS DOUBLE)
+        |        / 10000.0) AS BIGINT) + 1) * 100 AS VARCHAR) || ')'
+        |      AS lab0,
+        |    '[' || CAST(CAST(floor(CAST(cents AS DOUBLE) / 100000.0)
+        |        AS BIGINT) * 1000 AS VARCHAR)
+        |      || ',' || CAST((CAST(floor(CAST(cents AS DOUBLE)
+        |        / 100000.0) AS BIGINT) + 1) * 1000 AS VARCHAR) || ')'
+        |      AS lab1
+        |  FROM c),
+        |g0 AS (SELECT nation, lab0, count(*) AS n0,
+        |    count(DISTINCT seg) AS d0 FROM b GROUP BY 1, 2),
+        |g1 AS (SELECT nation, lab1, count(*) AS n1,
+        |    count(DISTINCT seg) AS d1 FROM b GROUP BY 1, 2),
+        |g2 AS (SELECT nation, count(*) AS n2,
+        |    count(DISTINCT seg) AS d2 FROM b GROUP BY 1),
+        |j AS (
+        |  SELECT b.*, g0.n0, g0.d0, g1.n1, g1.d1, g2.n2, g2.d2,
+        |    coalesce(CASE WHEN g0.n0 >= 10 AND g0.d0 >= 3 THEN 0 END,
+        |             CASE WHEN g1.n1 >= 10 AND g1.d1 >= 3 THEN 1 END,
+        |             CASE WHEN g2.n2 >= 10 AND g2.d2 >= 3 THEN 2 END,
+        |             3) AS lvl
+        |  FROM b
+        |  JOIN g0 ON b.nation = g0.nation AND b.lab0 = g0.lab0
+        |  JOIN g1 ON b.nation = g1.nation AND b.lab1 = g1.lab1
+        |  JOIN g2 ON b.nation = g2.nation)
+        |SELECT c_custkey, CAST(lvl AS INTEGER) AS anon_level,
+        |  lvl < 3 AS released,
+        |  CASE lvl WHEN 0 THEN n0 WHEN 1 THEN n1 WHEN 2 THEN n2 END
+        |    AS class_size,
+        |  CASE lvl WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2 END
+        |    AS class_div,
+        |  CASE WHEN lvl = 3 THEN '*' ELSE nation END AS nation,
         |  CASE lvl WHEN 0 THEN lab0 WHEN 1 THEN lab1 ELSE '*' END
         |    AS acct_band
         |FROM j ORDER BY c_custkey""".stripMargin,

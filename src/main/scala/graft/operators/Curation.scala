@@ -762,4 +762,33 @@ object Curation {
         col("nation"), col("segment"), col("acct_band"))
       .orderBy(col("c_custkey"))
   }
+
+  /** Correctness gate for [[lDiversify]]: quasi-identifiers are
+    * (nation, account band) down the same $100 → $1000 → dropped
+    * ladder; market segment is the SENSITIVE attribute (5 categories),
+    * k = 10, l = 3. Dropping segment from the QI set is what makes the
+    * exercise real: a class can easily hold 10 rows that all share one
+    * segment, so the diversity gate — not the size gate — decides many
+    * rows' release level. The released class's (size, distinct-segment)
+    * certificate is part of the output, so the oracle re-deriving both
+    * stats per level pins the whole decision, not just the label. */
+  def lDiversityQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = round(col("c_acctbal") * 100, 0).cast("bigint")
+    def band(width: Long): Column =
+      floor(cents.cast("double") / lit(width * 100.0)).cast("bigint")
+    def label(b: Column, width: Long): Column =
+      concat(lit("["), (b * width).cast("string"), lit(","),
+        ((b + 1) * width).cast("string"), lit(")"))
+    val nation = col("c_nationkey").cast("string")
+    val ladder = Seq(
+      Seq("nation" -> nation, "acct_band" -> label(band(100), 100)),
+      Seq("nation" -> nation, "acct_band" -> label(band(1000), 1000)),
+      Seq("nation" -> nation, "acct_band" -> (lit("*"): Column)))
+    lDiversify(Tables.load(spark, sfDir, "customer"), ladder, k = 10,
+        sensitive = "c_mktsegment", l = 3)
+      .select(col("c_custkey"), col("anon_level"), col("released"),
+        col("class_size"), col("class_div"), col("nation"),
+        col("acct_band"))
+      .orderBy(col("c_custkey"))
+  }
 }

@@ -511,4 +511,35 @@ class CurationSpec extends SparkSpec {
     assert(joined.filter(col("released") && col("n_src") < 10)
       .count() == 0, "released from a sub-k coarsest class")
   }
+
+  test("lDiversify: a size-clearing class still fails on low diversity") {
+    // city A band [20,30): 8 rows but ONE disease value -> fails l=2 at
+    // level 0 despite clearing k=6; at level 1 it merges with the
+    // [30,40) rows (disease y) -> 12 rows, 2 diseases -> releases at 1.
+    // city B: 5 rows, diverse -> fails k at every level -> suppressed.
+    val a20 = (1 to 8).map(i => (i.toLong, "A", 25, "x"))
+    val a30 = (9 to 12).map(i => (i.toLong, "A", 35, "y"))
+    val b = (13 to 17).map(i => (i.toLong, "B", 20 + i, s"z$i"))
+    val df = (a20 ++ a30 ++ b).toDF("id", "city", "age", "disease")
+    val ladder = Seq(
+      Seq("city" -> col("city"),
+        "age_band" -> (floor(col("age") / 10) * 10: org.apache.spark.sql.Column)),
+      Seq("city" -> col("city"),
+        "age_band" -> (floor(col("age") / 100) * 100: org.apache.spark.sql.Column)),
+      Seq("city" -> col("city"), "age_band" -> lit("*")))
+    val out = Curation.lDiversify(df, ladder, k = 6, sensitive = "disease",
+        l = 2)
+      .select(col("id"), col("anon_level"), col("released"),
+        col("class_size"), col("class_div")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .toMap
+    (1L to 12L).foreach { i =>
+      assert(out(i) == ((1, true, 12L, 2L)), s"row $i: ${out(i)}")
+    }
+    (13L to 17L).foreach { i =>
+      assert(out(i) == ((3, false, -1L, -1L)), s"row $i: ${out(i)}")
+    }
+  }
 }
