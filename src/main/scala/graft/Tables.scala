@@ -27,18 +27,31 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(path(sfDir, name))
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    // raw long (spark.sql.legacy.parquet.nanosAsLong). Convert to Spark's
-    // microsecond TimestampType by truncation — the same semantics DuckDB
-    // applies when casting TIMESTAMP_NS to TIMESTAMP.
-    if (name == "events" && df.schema("ts").dataType ==
-        org.apache.spark.sql.types.LongType) {
-      // integer division: `/` would promote the nanos long (~1.7e18) to
-      // double, whose 53-bit mantissa loses microseconds
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    } else df
+    // events.ts has shipped in two parquet encodings; both are repaired to
+    // Spark's session-tz TimestampType here so every downstream consumer
+    // (withWatermark, unix_millis, Row.getTimestamp) sees one type:
+    //  - TIMESTAMP(NANOS): Spark reads it as a raw long under
+    //    spark.sql.legacy.parquet.nanosAsLong → truncate to micros (the
+    //    same semantics DuckDB applies casting TIMESTAMP_NS to TIMESTAMP).
+    //  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    //    TIMESTAMP_NTZ → cast to TimestampType. The session tz is pinned
+    //    UTC (GraftSession), so the wall-clock values are unchanged and
+    //    the DuckDB oracle (which reads the same file as naive
+    //    timestamps) stays hash-identical.
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer division: `/` would promote the nanos long (~1.7e18) to
+        // double, whose 53-bit mantissa loses microseconds
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   /** Register every table as a temp view named after itself. */
