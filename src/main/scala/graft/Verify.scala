@@ -22,14 +22,26 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val futures = SparkEntry.queries.toSeq
+    // A query that throws must surface in the driver's correctness
+    // artifact as an error, never as silent absence (round 8 lost 9
+    // broken queries this way): record every failure, write an _ERROR
+    // marker file into the query's output dir (so a downstream read of
+    // the dir fails loudly instead of finding nothing), and dump an
+    // attempted/succeeded manifest plus _errors.json at the top level.
+    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val attempted = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val futures = attempted.map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = s"${e.getClass.getName}: ${e.getMessage}"
+          System.err.println(s"[verify] $name failed: $msg")
+          errors.put(name, msg)
+          val d = new java.io.File(s"$outDir/$name")
+          d.mkdirs()
+          Files.writeString(Paths.get(s"$outDir/$name/_ERROR"), msg)
         }
       }
     }
@@ -53,6 +65,16 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    import scala.jdk.CollectionConverters._
+    val errJson = errors.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    Files.writeString(Paths.get(s"$outDir/_manifest.json"),
+      s"""{"attempted": ${attempted.size}, "succeeded": ${attempted.size - errors.size}, "failed": ${errors.size}, "failed_queries": ${errors.asScala.keys.toSeq.sorted.map(q).mkString("[", ",", "]")}}""")
+    if (!errors.isEmpty)
+      System.err.println(
+        s"[verify] ${errors.size}/${attempted.size} queries FAILED: " +
+          errors.asScala.keys.toSeq.sorted.mkString(", "))
     spark.stop()
   }
 }
