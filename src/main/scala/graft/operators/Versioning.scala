@@ -84,7 +84,12 @@ object Versioning {
         sum(col("n_tok")).as("n_tokens"),
         min(col("doc_id")).as("id_min"),
         max(col("doc_id")).as("id_max"),
-        sum(col("dg")).as("digest_sum"))
+        // fixed-width STRING, not DECIMAL(38,0): the 20-digit sum exceeds
+        // both int64 and exact-float64 range, so any downstream numeric
+        // canonicalization (Decimal vs float vs string) could flip a
+        // comparison hash while the value is identical. A zero-padded
+        // string is representation-proof.
+        lpad(sum(col("dg")).cast("string"), 20, "0").as("digest_sum"))
       .orderBy(col("shard"))
 
   /** Published-store cache (fixture: publishing is the offline half;

@@ -57,8 +57,10 @@ class VersioningSpec extends SparkSpec {
     val mSrc = Versioning.manifest(
       docs.withColumn("shard", pmod(col("doc_id"), lit(4L)))).collect()
     assert(m1.map(_.toSeq).toSeq == mSrc.map(_.toSeq).toSeq)
+    // digest_sum is a fixed-width zero-padded STRING (representation-
+    // proof against numeric canonicalization of a >int64 value)
     def digests(rows: Array[org.apache.spark.sql.Row]) =
-      rows.map(r => r.getLong(0) -> r.getDecimal(5)).toMap
+      rows.map(r => r.getLong(0) -> r.getString(5)).toMap
     // a lost document changes its shard's count AND digest, no other
     val lost = Versioning.manifest(pub.filter(col("doc_id") =!= 9))
       .collect()
