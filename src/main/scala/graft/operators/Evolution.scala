@@ -29,6 +29,13 @@ object Evolution {
    *  - string → timestamp (StringGroup→Timestamp)
    *  - string ↔ varchar-style truncation (Char/Varchar maxLength,
    *    `TypeDescription.java:459-466`) via substring
+   *  - TIMESTAMP_NTZ ↔ TIMESTAMP(LTZ) both directions — the reference's
+   *    local/UTC timestamp conversion pair
+   *    (`ConvertTreeReaderFactory.java:1601-2059`, instant vs wall-clock
+   *    reinterpretation); the testdata itself ships NTZ parquet, so this
+   *    is a live evolution case, not a synthetic one. Session tz is
+   *    pinned UTC, so both directions are value-preserving and the
+   *    oracle (naive timestamps throughout) agrees.
    */
   def castMatrixQuery(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "lineitem")
@@ -47,6 +54,15 @@ object Evolution {
         date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("ship_str"),
         date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")
           .cast("timestamp").as("ship_rt"),
+        // NTZ → LTZ: l_shipdate reads as TIMESTAMP_NTZ from the parquet;
+        // one cast reinterprets the wall-clock in the (UTC) session tz.
+        col("l_shipdate").cast("timestamp").as("ship_ntz2ltz"),
+        // LTZ → NTZ: back through timestamp_ntz, emitted via an explicit
+        // second-precision format so both engines render identically.
+        date_format(
+          date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")
+            .cast("timestamp").cast("timestamp_ntz"),
+          "yyyy-MM-dd HH:mm:ss").as("ship_ltz2ntz"),
         substring(col("l_returnflag"), 1, 1).as("flag_char1"))
       .orderBy(col("l_orderkey"))
 
