@@ -741,20 +741,28 @@ object Curation {
     * a real minority suppress (sparse nation×segment classes); at
     * sf0.1 the $1000 bands start clearing k — the ladder is exercised
     * differently at every SF. */
+  /** Account-balance banding trio shared by [[kAnonQuery]] and
+    * [[lDiversityQuery]] — one copy so the two ladders (and their SQL
+    * oracles, which replay the same arithmetic) cannot drift apart.
+    * Banding rides integer cents: exact at any magnitude. */
+  private def acctCents: Column =
+    round(col("c_acctbal") * 100, 0).cast("bigint")
+  private def acctBand(width: Long): Column =
+    floor(acctCents.cast("double") / lit(width * 100.0)).cast("bigint")
+  private def acctBandLabel(width: Long): Column = {
+    val b = acctBand(width)
+    concat(lit("["), (b * width).cast("string"), lit(","),
+      ((b + 1) * width).cast("string"), lit(")"))
+  }
+
   def kAnonQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val cents = round(col("c_acctbal") * 100, 0).cast("bigint")
-    def band(width: Long): Column =
-      floor(cents.cast("double") / lit(width * 100.0)).cast("bigint")
-    def label(b: Column, width: Long): Column =
-      concat(lit("["), (b * width).cast("string"), lit(","),
-        ((b + 1) * width).cast("string"), lit(")"))
     val nation = col("c_nationkey").cast("string")
     val segment = col("c_mktsegment")
     val ladder = Seq(
       Seq("nation" -> nation, "segment" -> segment,
-        "acct_band" -> label(band(100), 100)),
+        "acct_band" -> acctBandLabel(100)),
       Seq("nation" -> nation, "segment" -> segment,
-        "acct_band" -> label(band(1000), 1000)),
+        "acct_band" -> acctBandLabel(1000)),
       Seq("nation" -> nation, "segment" -> segment,
         "acct_band" -> (lit("*"): Column)))
     kAnonymize(Tables.load(spark, sfDir, "customer"), ladder, k = 10)
@@ -773,22 +781,21 @@ object Curation {
     * certificate is part of the output, so the oracle re-deriving both
     * stats per level pins the whole decision, not just the label. */
   def lDiversityQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val cents = round(col("c_acctbal") * 100, 0).cast("bigint")
-    def band(width: Long): Column =
-      floor(cents.cast("double") / lit(width * 100.0)).cast("bigint")
-    def label(b: Column, width: Long): Column =
-      concat(lit("["), (b * width).cast("string"), lit(","),
-        ((b + 1) * width).cast("string"), lit(")"))
     val nation = col("c_nationkey").cast("string")
     val ladder = Seq(
-      Seq("nation" -> nation, "acct_band" -> label(band(100), 100)),
-      Seq("nation" -> nation, "acct_band" -> label(band(1000), 1000)),
+      Seq("nation" -> nation, "acct_band" -> acctBandLabel(100)),
+      Seq("nation" -> nation, "acct_band" -> acctBandLabel(1000)),
       Seq("nation" -> nation, "acct_band" -> (lit("*"): Column)))
     lDiversify(Tables.load(spark, sfDir, "customer"), ladder, k = 10,
         sensitive = "c_mktsegment", l = 3)
+      // c_mktsegment (the sensitive value itself) is part of the gated
+      // output: the hash then witnesses the values the class_div
+      // certificate summarizes, not just the certificate — a bug that
+      // permuted sensitive values within a class while preserving the
+      // distinct count would otherwise be invisible.
       .select(col("c_custkey"), col("anon_level"), col("released"),
-        col("class_size"), col("class_div"), col("nation"),
-        col("acct_band"))
+        col("class_size"), col("class_div"), col("c_mktsegment"),
+        col("nation"), col("acct_band"))
       .orderBy(col("c_custkey"))
   }
 }
