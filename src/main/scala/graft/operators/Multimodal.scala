@@ -37,6 +37,14 @@ import org.apache.spark.sql.functions._
  */
 object Multimodal {
 
+  // ImageIO's default ImageInputStream cache is a TEMP FILE per decode
+  // (FileCacheImageInputStream): with 32 concurrent decoders that is a
+  // disk-file create+delete per image, serialized on the tmp filesystem
+  // and hostage to co-tenant disk pressure — for in-memory byte arrays
+  // it buys nothing. Disable once per JVM; the object initializes in
+  // whichever JVM first touches a codec kernel (executors included).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed media record: payload + metadata, the schema a 100 TB media
     * lake would store (payload possibly externalized to object-store
     * keys at the extreme — same schema shape). */
