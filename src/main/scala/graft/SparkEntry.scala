@@ -671,6 +671,8 @@ object SparkEntry {
         |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_str,
         |  CAST(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP)
         |    AS ship_rt,
+        |  CAST(l_shipdate AS TIMESTAMP) AS ship_ntz2ltz,
+        |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_ltz2ntz,
         |  substring(l_returnflag, 1, 1) AS flag_char1
         |FROM lineitem
         |WHERE l_linenumber = 1
@@ -2592,7 +2594,9 @@ object SparkEntry {
     // files the publish step wrote — a hash match proves the sharded
     // round trip lost/changed nothing. digest_sum is an order-free
     // DECIMAL(38,0) sum of 60-bit md5 prefixes (commutative, so shard
-    // file ordering is irrelevant; 38 digits cannot overflow).
+    // file ordering is irrelevant; 38 digits cannot overflow), emitted
+    // as a zero-padded 20-char STRING so no driver-side numeric
+    // canonicalization of a >int64 value can flip the hash.
     "q_publish_manifest" ->
       """WITH d AS (
         |  SELECT doc_id % 8 AS shard, doc_id,
@@ -2603,7 +2607,7 @@ object SparkEntry {
         |SELECT shard, count(*) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS id_min, max(doc_id) AS id_max,
-        |  sum(dg) AS digest_sum
+        |  lpad(CAST(sum(dg) AS VARCHAR), 20, '0') AS digest_sum
         |FROM d GROUP BY shard
         |ORDER BY shard""".stripMargin,
     "q_sample_hash" ->
@@ -3072,6 +3076,7 @@ object SparkEntry {
         |    AS class_size,
         |  CASE lvl WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2 END
         |    AS class_div,
+        |  seg AS c_mktsegment,
         |  CASE WHEN lvl = 3 THEN '*' ELSE nation END AS nation,
         |  CASE lvl WHEN 0 THEN lab0 WHEN 1 THEN lab1 ELSE '*' END
         |    AS acct_band
