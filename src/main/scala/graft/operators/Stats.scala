@@ -262,15 +262,15 @@ object Stats {
    * one pass — but the power-sum formulation additionally makes every
    * pair's statistic exact and oracle-replayable.
    */
-  def corrMatrixQuery(spark: SparkSession, sfDir: String): DataFrame = {
+  private def corrMatrixWith(spark: SparkSession, sfDir: String,
+      dsum: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
     val cols = Seq("quantity" -> "l_quantity",
       "extendedprice" -> "l_extendedprice",
       "discount" -> "l_discount", "tax" -> "l_tax")
     val li = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_returnflag") +:
         cols.map { case (nm, c) => col(c).as(nm) }: _*)
-    def dsum(c: org.apache.spark.sql.Column) =
-      sum(c.cast("decimal(28,8)"))
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield (cols(i)._1, cols(j)._1)
@@ -297,6 +297,22 @@ object Stats {
         inline(array(rows: _*)))
       .orderBy(col("l_returnflag"), col("col_x"), col("col_y"))
   }
+
+  /**
+   * Serving-path twin of [[corrMatrixQuery]]: identical one-scan /
+   * one-tiny-shuffle shape, but the 14 power sums accumulate in DOUBLE
+   * instead of DECIMAL(28,8). Order-dependent floating-point merges
+   * mean the low bits vary with partitioning, so this twin is
+   * spec-pinned against the exact gate (6 dp agreement, StatsSpec)
+   * rather than hash-gated — it is the cheap statistic a 100 TB
+   * profile sweep would actually run, at roughly the cost of a plain
+   * SUM per column pair.
+   */
+  def corrMatrixFast(spark: SparkSession, sfDir: String): DataFrame =
+    corrMatrixWith(spark, sfDir, c => sum(c))
+
+  def corrMatrixQuery(spark: SparkSession, sfDir: String): DataFrame =
+    corrMatrixWith(spark, sfDir, c => sum(c.cast("decimal(28,8)")))
 
   def histogramQuery(spark: SparkSession, sfDir: String,
       buckets: Int = 10): DataFrame = {

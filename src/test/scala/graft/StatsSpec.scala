@@ -138,6 +138,30 @@ class StatsSpec extends SparkSpec {
       s"corr matrix should stay one agg pass + sort, saw $exchanges")
   }
 
+  test("corrMatrixFast (double serving twin) agrees with the exact " +
+      "DECIMAL gate to 6 dp and keeps the one-pass shape") {
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(2),
+        r.getString(3)) -> (r.getDouble(4), r.getDouble(5))).toMap
+    val exact = keyed(Stats.corrMatrixQuery(spark, sfDir))
+    val fast = keyed(Stats.corrMatrixFast(spark, sfDir))
+    assert(fast.keySet == exact.keySet)
+    exact.foreach { case (k, (cov, cr)) =>
+      val (fcov, fcr) = fast(k)
+      // both round to 6 dp; double accumulation may land one ulp the
+      // other side of a rounding boundary, so compare at the rounding
+      // granularity rather than demanding bit equality
+      assert(math.abs(fcov - cov) <= 1e-6 * math.max(1.0, math.abs(cov)),
+        s"$k covar $fcov vs exact $cov")
+      assert(math.abs(fcr - cr) <= 2e-6, s"$k corr $fcr vs exact $cr")
+    }
+    val exchanges = Stats.corrMatrixFast(spark, sfDir)
+      .queryExecution.executedPlan.toString
+      .linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2,
+      s"fast twin should stay one agg pass + sort, saw $exchanges")
+  }
+
   test("MAD outliers: robust fence flags a small minority per group") {
     val o = graft.operators.Relational.outlierQuery(spark, sfDir)
       .collect()

@@ -40,6 +40,30 @@ class TablesContractSpec extends SparkSpec {
     assert(lo >= "1990-01-01" && lo <= "2100-01-01", s"min ts = $lo")
   }
 
+  test("legacy nanos-as-long encoding repairs to the same micros") {
+    // The r1-r7 testdata shipped ts as TIMESTAMP(NANOS), which Spark
+    // surfaces as a raw long under nanosAsLong=true — the same LongType
+    // shape this synthetic file produces. The repair branch must
+    // truncate (integer division, not double math) to microseconds.
+    val s = spark
+    import s.implicits._
+    val dir = graft.sources.OrcIo.scratchDir("ntz_contract")
+    val nanos = Seq(
+      1700000000123456789L,  // sub-micro digits must truncate, not round
+      123456789L, 0L, -1L)   // epoch edge + negative (pre-1970)
+    nanos.toDF("ts").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val repaired = Tables.load(spark, dir, "events")
+    assert(repaired.schema("ts").dataType == TimestampType)
+    val got = repaired.select(
+      org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col("ts")))
+      .collect().map(_.getLong(0)).sorted
+    // Spark's `div` truncates toward zero, same as JVM long division —
+    // pinned here so a rewrite that changes rounding semantics fails.
+    val want = nanos.map(n => n / 1000L).sorted.toArray
+    assert(got.sameElements(want), s"${got.toSeq} vs ${want.toSeq}")
+  }
+
   test("all tables load with nonzero rows at sf0.001") {
     for (name <- Tables.all) {
       assert(Tables.load(spark, sfDir, name).limit(1).count() == 1L,
