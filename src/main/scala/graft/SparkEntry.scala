@@ -2595,8 +2595,9 @@ object SparkEntry {
     // round trip lost/changed nothing. digest_sum is an order-free
     // DECIMAL(38,0) sum of 60-bit md5 prefixes (commutative, so shard
     // file ordering is irrelevant; 38 digits cannot overflow), emitted
-    // as a zero-padded 20-char STRING so no driver-side numeric
-    // canonicalization of a >int64 value can flip the hash.
+    // as a zero-padded 26-char STRING so no driver-side numeric
+    // canonicalization of a >int64 value can flip the hash (26 because
+    // lpad truncates: the sum is 20 digits at sf1 already).
     "q_publish_manifest" ->
       """WITH d AS (
         |  SELECT doc_id % 8 AS shard, doc_id,
@@ -2607,7 +2608,7 @@ object SparkEntry {
         |SELECT shard, count(*) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS id_min, max(doc_id) AS id_max,
-        |  lpad(CAST(sum(dg) AS VARCHAR), 20, '0') AS digest_sum
+        |  lpad(CAST(sum(dg) AS VARCHAR), 26, '0') AS digest_sum
         |FROM d GROUP BY shard
         |ORDER BY shard""".stripMargin,
     "q_sample_hash" ->

@@ -84,12 +84,15 @@ object Versioning {
         sum(col("n_tok")).as("n_tokens"),
         min(col("doc_id")).as("id_min"),
         max(col("doc_id")).as("id_max"),
-        // fixed-width STRING, not DECIMAL(38,0): the 20-digit sum exceeds
+        // fixed-width STRING, not DECIMAL(38,0): the ~20-digit sum exceeds
         // both int64 and exact-float64 range, so any downstream numeric
         // canonicalization (Decimal vs float vs string) could flip a
         // comparison hash while the value is identical. A zero-padded
-        // string is representation-proof.
-        lpad(sum(col("dg")).cast("string"), 20, "0").as("digest_sum"))
+        // string is representation-proof. Width 26, not 20: lpad
+        // TRUNCATES when the value outgrows the width (measured: the sum
+        // is already 20 digits at sf1, so 20 would silently drop digits
+        // by sf10; 26 holds ~10^8 docs/shard × the 60-bit max).
+        lpad(sum(col("dg")).cast("string"), 26, "0").as("digest_sum"))
       .orderBy(col("shard"))
 
   /** Published-store cache (fixture: publishing is the offline half;
