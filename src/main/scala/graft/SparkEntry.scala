@@ -131,6 +131,9 @@ object SparkEntry {
     "q_publish_manifest" -> (Versioning.publishManifestQuery _),
     // Deterministic sampling (north star: reproducible subsets)
     "q_sample_hash" -> (Sampling.hashSampleQuery _),
+    // Rendezvous-hash sharding: stable assignment, ~1/(S+1) movement
+    // on reshard (16→17 shards materialized per doc with moved flag)
+    "q_shard_assign" -> (Sampling.shardAssignQuery _),
     "q_sample_stratified" -> ((s, d) => Sampling.stratifiedSampleQuery(s, d)),
     "q_split_leakfree" -> (Sampling.leakFreeSplitQuery _),
     "q_sample_weighted" -> ((s, d) => Sampling.weightedSampleQuery(s, d)),
@@ -2616,6 +2619,28 @@ object SparkEntry {
         |FROM documents
         |WHERE substring(md5(text), 1, 2) < '28'
         |ORDER BY doc_id""".stripMargin,
+    // Rendezvous sharding: winner = lexicographic max of
+    // md5(key:shard) 16-hex prefix + '#' + zero-padded shard id
+    // (fixed-width, so string max == digest-then-id max); the oracle
+    // replays the identical tournament at S=16 and S=17.
+    "q_shard_assign" ->
+      """WITH s AS (SELECT CAST(range AS INTEGER) AS s FROM range(0, 17)),
+        |k AS (
+        |  SELECT d.doc_id, s.s,
+        |    substring(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+        |      CAST(s.s AS VARCHAR)), 1, 16) || '#' ||
+        |      lpad(CAST(s.s AS VARCHAR), 2, '0') AS key
+        |  FROM documents d CROSS JOIN s),
+        |a AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN s < 16 THEN key END) AS k16,
+        |    max(key) AS k17
+        |  FROM k GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(right(k16, 2) AS INTEGER) AS shard16,
+        |  CAST(right(k17, 2) AS INTEGER) AS shard17,
+        |  (right(k16, 2) <> right(k17, 2)) AS moved
+        |FROM a ORDER BY doc_id""".stripMargin,
     // Weighted sampling (Efraimidis–Spirakis): top-k by ln(u)/w with
     // u the 24-bit md5 coin (exact dyadic) and w the token count;
     // round(.,10) pins ln's 1-ulp so the RANKING is engine-exact.

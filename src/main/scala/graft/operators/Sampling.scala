@@ -298,6 +298,49 @@ object Sampling {
       .orderBy(col("pick"))
   }
 
+  /**
+   * Rendezvous (highest-random-weight) shard id for `key` over
+   * `shards` shards: the winner is the shard whose keyed digest
+   * `md5(key ":" shard)` is lexicographically largest. Ties (a
+   * 64-bit digest collision) break toward the higher shard id via
+   * the appended fixed-width suffix, so the assignment is total and
+   * deterministic. Pure codegen'd projection — no state, no shuffle.
+   */
+  def rendezvousShard(key: Column, shards: Int): Column = {
+    val keys = transform(sequence(lit(0), lit(shards - 1)),
+      s => concat(
+        substring(md5(concat(key.cast("string"), lit(":"),
+          s.cast("string"))), 1, 16),
+        lit("#"), lpad(s.cast("string"), 2, "0")))
+    substring(array_max(keys), -2, 2).cast("int")
+  }
+
+  /**
+   * Consistent shard assignment with minimal-movement reshard — the
+   * layout operator for an incrementally-growing corpus: shard id is
+   * a pure function of the stable doc key (never of partition layout
+   * or arrival order), and growing S → S+1 shards relocates only the
+   * ~1/(S+1) of keys whose new shard *wins* the rendezvous, instead
+   * of the ~S/(S+1) a mod-S scheme reshuffles. The gate materializes
+   * the assignment at 16 and 17 shards per document plus the moved
+   * flag; the SQL oracle replays the digest tournament bit-for-bit.
+   *
+   * Scale shape: serving is one narrow projection (S digests per
+   * row, no shuffle, no index); a reshard touches only the moved
+   * slice — at 100 TB that is the difference between rewriting ~6%
+   * and ~94% of the corpus. Every doc with the same key lands on the
+   * same shard on any cluster size, so downstream bucketed readers
+   * can rely on the layout across runs.
+   */
+  def shardAssignQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val s16 = rendezvousShard(col("doc_id"), 16)
+    val s17 = rendezvousShard(col("doc_id"), 17)
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), s16.as("shard16"), s17.as("shard17"),
+        (s16 =!= s17).as("moved"))
+      .orderBy(col("doc_id"))
+  }
+
   def leakFreeSplitQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val cc = Dedup.clusterLabels(spark, sfDir)
     cc.select(col("id").as("doc_id"), col("label").as("cluster_id"),

@@ -46,6 +46,44 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("rendezvous shard: moved docs move only TO the new shard") {
+    val rows = Sampling.shardAssignQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s16, s17, moved) = (r.getInt(1), r.getInt(2), r.getBoolean(3))
+      assert(s16 >= 0 && s16 < 16)
+      assert(s17 >= 0 && s17 < 17)
+      // the defining rendezvous property: growing S only ever
+      // relocates keys INTO the new shard — a doc that changes
+      // assignment must land on shard 16, never migrate between
+      // pre-existing shards
+      if (moved) assert(s17 == 16, s"doc ${r.getLong(0)} moved $s16->$s17")
+      else assert(s16 == s17)
+    }
+    val movedFrac = rows.count(_.getBoolean(3)).toDouble / rows.length
+    val p = 1.0 / 17.0
+    val sigma = math.sqrt(p * (1 - p) / rows.length)
+    assert(math.abs(movedFrac - p) < 4 * sigma + 0.01,
+      s"moved fraction $movedFrac far from 1/17")
+  }
+
+  test("rendezvous shard matches a locally replayed digest tournament") {
+    def hex16(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.take(8).map(b => f"${b & 0xff}%02x").mkString
+    }
+    def expected(id: Long, shards: Int): Int =
+      (0 until shards).map(s => (hex16(s"$id:$s") + "#" + f"$s%02d", s))
+        .maxBy(_._1)._2
+    Sampling.shardAssignQuery(spark, sfDir).limit(50).collect()
+      .foreach { r =>
+        val id = r.getLong(0)
+        assert(r.getInt(1) == expected(id, 16), s"doc $id shard16")
+        assert(r.getInt(2) == expected(id, 17), s"doc $id shard17")
+      }
+  }
+
   test("duplicate texts land on the same side of the sample boundary") {
     import SparkSpec.spark.implicits._
     val dup = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
