@@ -111,6 +111,9 @@ object SparkEntry {
     // Real BPE tokenizer (fit + apply); merge table is data-dependent
     // model state → rows-only driver check, algorithm spec-gated
     "q_bpe" -> ((s, d) => Tokenize.bpeQuery(s, d)),
+    // Unigram-LM tokenizer (Kudo/SentencePiece): Viterbi-EM fit over
+    // distinct words; serving is a codegen'd projection
+    "q_unigram_lm" -> ((s, d) => Tokenize.unigramQuery(s, d)),
     // Corpus snapshot versioning (added/removed/changed audit)
     "q_corpus_diff" -> (Versioning.corpusDiffQuery _),
     // Per-source KL drift from the corpus mixture (statistical QA)
@@ -2345,6 +2348,18 @@ object SparkEntry {
         |  CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_chars,
         |  TRUE AS roundtrip_ok,
         |  TRUE AS compress_ok
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // Unigram-LM invariant gate (the q_bpe pattern): the oracle cannot
+    // refit the EM'd piece probabilities, but every valid Viterbi
+    // segmentation must re-join to the character stream, compress, and
+    // stay in-vocabulary — the engine computes the checks for real.
+    "q_unigram_lm" ->
+      """SELECT doc_id,
+        |  CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_chars,
+        |  TRUE AS roundtrip_ok,
+        |  TRUE AS compress_ok,
+        |  TRUE AS vocab_ok
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "q_winnow" ->

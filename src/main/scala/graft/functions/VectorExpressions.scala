@@ -1496,6 +1496,107 @@ object VectorKernels {
       copy(child = newChild)
   }
 
+  /** Unknown-character fallback log-probability for [[unigramTokensJava]]:
+    * far below any real piece score so known pieces always win, but
+    * finite so every word segments and corpus log-likelihood stays
+    * summable (the EM monotonicity argument needs finite scores). */
+  val UnigramUnkLogProb: Double = -100.0
+
+  /** Piece→logprob model for [[UnigramTokens]], plus the max piece
+    * length that bounds the Viterbi inner loop. */
+  def buildUnigramModel(pieces: Seq[String], logps: Seq[Double])
+      : (java.util.HashMap[String, java.lang.Double], Int) = {
+    val m = new java.util.HashMap[String, java.lang.Double]()
+    var maxLen = 1
+    pieces.zip(logps).foreach { case (p, lp) =>
+      if (!m.containsKey(p)) m.put(p, lp)
+      if (p.length > maxLen) maxLen = p.length
+    }
+    (m, maxLen)
+  }
+
+  /** Unigram-LM tokenize `text`: whitespace words → per-word Viterbi
+    * segmentation (max total piece log-probability) → concatenated
+    * token stream. Ties break toward the longer piece (the candidate
+    * with the smaller start index wins on equal score), so the
+    * segmentation is deterministic. Characters outside the model fall
+    * back to single-char pieces at [[UnigramUnkLogProb]]. */
+  def unigramTokensJava(text: org.apache.spark.unsafe.types.UTF8String,
+      model: java.util.HashMap[String, java.lang.Double], maxLen: Int)
+      : ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (w.nonEmpty) {
+        val n = w.length
+        val best = new Array[Double](n + 1)
+        val back = new Array[Int](n + 1)
+        java.util.Arrays.fill(best, Double.NegativeInfinity)
+        best(0) = 0.0
+        var e = 1
+        while (e <= n) {
+          var s = math.max(0, e - maxLen)
+          while (s < e) {
+            val lpBoxed = model.get(w.substring(s, e))
+            val lp: Double =
+              if (lpBoxed != null) lpBoxed.doubleValue()
+              else if (e - s == 1) UnigramUnkLogProb
+              else Double.NaN
+            if (lp == lp && best(s) + lp > best(e)) {
+              best(e) = best(s) + lp
+              back(e) = s
+            }
+            s += 1
+          }
+          e += 1
+        }
+        val pieces = new java.util.ArrayList[String]()
+        var p = n
+        while (p > 0) { pieces.add(w.substring(back(p), p)); p = back(p) }
+        var j = pieces.size - 1
+        while (j >= 0) {
+          out.add(org.apache.spark.unsafe.types.UTF8String
+            .fromString(pieces.get(j)))
+          j -= 1
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      out.toArray(new Array[org.apache.spark.unsafe.types.UTF8String](out.size)))
+  }
+
+  /** See [[unigramTokensJava]]. Pieces and logps must be foldable
+    * array literals of equal length (the fitted unigram model). */
+  case class UnigramTokens(child: Expression, pieces: Seq[String],
+      logps: Seq[Double]) extends UnaryExpression {
+    @transient private lazy val built = buildUnigramModel(pieces, logps)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got " + other.simpleString)
+      }
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+    override def prettyName: String = "graft_unigram"
+    override protected def nullSafeEval(a: Any): Any =
+      unigramTokensJava(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        built._1, built._2)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val modelRef = ctx.addReferenceObj("unigramModel", built._1,
+        "java.util.HashMap")
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.unigramTokensJava($a, $modelRef, ${built._2})")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** One-pass membership counts against several word sets (the
     * language-ID vote kernel): result[i] = tokens of `text` contained
     * in set i. One tokenize + one hash probe per token, versus one
@@ -1556,6 +1657,12 @@ object VectorKernels {
   private def toStringSeq(v: Any): Seq[String] = {
     val arr = v.asInstanceOf[ArrayData]
     (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+  }
+
+  /** ArrayData array<double> literal → Seq[Double]. */
+  private def toDoubleSeq(v: Any): Seq[Double] = {
+    val arr = v.asInstanceOf[ArrayData]
+    (0 until arr.numElements()).map(arr.getDouble)
   }
 
   /** ArrayData array<array<string>> literal → Seq[Seq[String]]. */
@@ -1649,6 +1756,10 @@ object VectorKernels {
     // merges must be a foldable array<string> literal ("a b" pairs)
     fn("graft_bpe", es => BpeTokens(es(0), toStringSeq(es(1).eval()))),
     fn("graft_bpe_pairs", es => BpePairs(es(0), toStringSeq(es(1).eval()))),
+    // pieces (array<string>) and logps (array<double>) must be
+    // foldable literals of equal length — the fitted unigram model
+    fn("graft_unigram", es => UnigramTokens(es(0),
+      toStringSeq(es(1).eval()), toDoubleSeq(es(2).eval()))),
   )
 
   /** SparkSessionExtensions hook: `.withExtensions(VectorKernels.register)`. */

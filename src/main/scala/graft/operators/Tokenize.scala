@@ -103,4 +103,159 @@ object Tokenize {
         (size(toks) >= 1 || length(squashed) === 0)).as("compress_ok"))
       .orderBy(col("doc_id"))
   }
+
+  /** Fitted unigram-LM tokenizer: parallel piece/logprob arrays plus
+    * the corpus Viterbi log-likelihood trace per EM round, grouped by
+    * vocab stage (likelihood is monotone within a stage; the prune
+    * between stages may drop it — that is the Kudo trade-off). */
+  case class UnigramModel(pieces: Seq[String], logps: Seq[Double],
+      llByStage: Seq[Seq[Double]])
+
+  /**
+   * Fit a unigram-LM subword tokenizer (Kudo, ACL 2018 — the
+   * SentencePiece algorithm) by hard (Viterbi) EM over the corpus:
+   * seed a candidate vocabulary from frequent substrings, then
+   * alternate (E) best-segmentation of every distinct word under the
+   * current piece probabilities with (M) multinomial re-estimation
+   * from the segment counts, pruning to the vocab budget between
+   * stages. Classification-EM guarantees the corpus Viterbi
+   * log-likelihood is non-decreasing across rounds within a stage
+   * (spec-pinned); pruning keeps every single-character piece so
+   * coverage never regresses.
+   *
+   * Scale shape (the BPE-trainer pattern, one better): EM iterates
+   * over DISTINCT WORDS weighted by frequency, not over documents —
+   * the word table is one narrow shuffle computed once and persisted,
+   * and each round is a codegen'd Viterbi projection over it plus a
+   * (piece, count) map-side-partial shuffle; only the vocab-budget-
+   * sized model ever reaches the driver (the k-means / logistic-GD
+   * fit pattern). Corpus text never shuffles.
+   */
+  def fitUnigram(docs: DataFrame, vocabSize: Int = 96,
+      seedFactor: Int = 4, maxPieceLen: Int = 6, emRounds: Int = 2)
+      : UnigramModel = {
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .persist()
+    try {
+      // Seed vocabulary: every substring up to maxPieceLen, weighted
+      // by word frequency — all single chars (coverage floor) plus
+      // the seedFactor·vocabSize most frequent multi-char candidates,
+      // ties broken lexicographically for a deterministic fit.
+      val subs = flatten(transform(
+        sequence(lit(1), length(col("w"))), i => transform(
+          sequence(lit(0),
+            least(length(col("w")) - i, lit(maxPieceLen - 1))),
+          l => col("w").substr(i, l + lit(1)))))
+      val counted = words
+        .select(col("freq"), explode(subs).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+        .persist()
+      val seed = try {
+        val chars = counted.filter(length(col("piece")) === 1)
+        val multi = counted.filter(length(col("piece")) > 1)
+          .orderBy(col("cnt").desc, col("piece"))
+          .limit(vocabSize * seedFactor)
+        chars.unionAll(multi).collect()
+          .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      } finally counted.unpersist()
+
+      def renorm(cnts: Seq[(String, Long)]): (Seq[String], Seq[Double]) = {
+        val total = cnts.map(_._2).sum.toDouble
+        (cnts.map(_._1), cnts.map(c => math.log(c._2 / total)))
+      }
+
+      // One hard-EM round: Viterbi-segment every distinct word under
+      // the current model, count pieces weighted by word frequency,
+      // and report the corpus log-likelihood of that segmentation
+      // under the CURRENT model (the monotone CEM objective).
+      def emStep(pieces: Seq[String], logps: Seq[Double])
+          : (Seq[(String, Long)], Double) = {
+        val seg = words.select(col("freq"),
+            explode(call_function("graft_unigram", col("w"),
+              typedLit(pieces), typedLit(logps))).as("piece"))
+          .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+          .sortBy(_._1).toSeq
+        val lp = pieces.zip(logps).toMap
+        val ll = seg.map { case (p, c) => c * lp.getOrElse(p,
+          graft.functions.VectorKernels.UnigramUnkLogProb) }.sum
+        (seg, ll)
+      }
+
+      def stage(init: Seq[(String, Long)]): (Seq[(String, Long)], Seq[Double]) = {
+        var cnts = init
+        var lls = Vector.empty[Double]
+        (0 until emRounds).foreach { _ =>
+          val (pieces, logps) = renorm(cnts)
+          val (seg, ll) = emStep(pieces, logps)
+          cnts = seg
+          lls = lls :+ ll
+        }
+        (cnts, lls)
+      }
+
+      val (afterSeed, lls1) = stage(seed)
+      // Prune to budget: keep every single-char piece, then the
+      // highest-count multi-char pieces up to vocabSize total.
+      val (chars1, multi1) = afterSeed.partition(_._1.length == 1)
+      val kept = chars1 ++ multi1
+        .sortBy { case (p, c) => (-c, p) }
+        .take(math.max(0, vocabSize - chars1.size))
+      val (afterPrune, lls2) = stage(kept.sortBy(_._1))
+      val (pieces, logps) = renorm(afterPrune)
+      UnigramModel(pieces, logps, Seq(lls1, lls2))
+    } finally words.unpersist()
+  }
+
+  private val unigramCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), UnigramModel]
+
+  /** Offline unigram model build — the [[buildMerges]] pattern:
+    * idempotent per (corpus, budget). */
+  def buildUnigram(spark: SparkSession, sfDir: String,
+      vocabSize: Int = 96): UnigramModel =
+    unigramCache.getOrElseUpdate((sfDir, vocabSize), {
+      fitUnigram(Tables.load(spark, sfDir, "documents"), vocabSize)
+    })
+
+  /** Unigram token stream of `text` under the fitted model. */
+  def unigramTokens(text: org.apache.spark.sql.Column, m: UnigramModel)
+      : org.apache.spark.sql.Column =
+    call_function("graft_unigram", text,
+      typedLit(m.pieces), typedLit(m.logps))
+
+  /**
+   * Gate query for the unigram tokenizer — the [[bpeQuery]] invariant
+   * pattern: the fitted model is data-dependent state the SQL oracle
+   * cannot refit, but any valid segmentation must (a) re-join to the
+   * exact character stream, (b) emit between 1 and n_chars tokens,
+   * and (c) use only in-vocabulary pieces (single-char fallbacks
+   * aside) — the engine computes those checks against its real
+   * segmentation, the oracle emits the expected TRUEs, and any
+   * Viterbi, tie-break, or model-fit regression flips a bit the
+   * driver hashes. Exact traces (hand-computed Viterbi, tie toward
+   * the longer piece, EM monotonicity) stay spec-gated in
+   * TokenizeSpec.
+   */
+  def unigramQuery(spark: SparkSession, sfDir: String,
+      vocabSize: Int = 96): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val m = buildUnigram(spark, sfDir, vocabSize)
+    val toks = unigramTokens(col("text"), m)
+    val vocab = typedLit(m.pieces)
+    val squashed = regexp_replace(col("text"), " ", "")
+    docs.select(
+      col("doc_id"),
+      length(squashed).as("n_chars"),
+      (concat_ws("", toks) === squashed).as("roundtrip_ok"),
+      (size(toks) <= length(squashed) &&
+        (size(toks) >= 1 || length(squashed) === 0)).as("compress_ok"),
+      (size(filter(toks, t =>
+        not(array_contains(vocab, t)) && length(t) > 1)) === 0)
+        .as("vocab_ok"))
+      .orderBy(col("doc_id"))
+  }
 }

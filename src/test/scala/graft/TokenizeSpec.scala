@@ -74,6 +74,95 @@ class TokenizeSpec extends SparkSpec {
     }
   }
 
+  private def viterbi(text: String, pieces: Seq[String],
+      logps: Seq[Double]): Seq[String] =
+    df(text).select(call_function("graft_unigram", col("text"),
+      typedLit(pieces), typedLit(logps))).collect().head.getSeq[String](0)
+
+  test("unigram Viterbi replays a hand-computed segmentation") {
+    // "abc" under p(ab)=-0.5, p(a)=-1, p(b)=-2, p(c)=-3:
+    //   [ab, c] = -3.5 beats [a, b, c] = -6.0
+    assert(viterbi("abc", Seq("ab", "a", "b", "c"),
+      Seq(-0.5, -1.0, -2.0, -3.0)) == Seq("ab", "c"))
+    // exact tie [ab] = -3.0 vs [a, b] = -3.0: the longer piece wins
+    assert(viterbi("ab", Seq("ab", "a", "b"),
+      Seq(-3.0, -1.0, -2.0)) == Seq("ab"))
+    // per-word segmentation across spaces, stream concatenated
+    assert(viterbi("ab ab", Seq("ab", "a", "b"),
+      Seq(-0.5, -1.0, -2.0)) == Seq("ab", "ab"))
+  }
+
+  test("unigram: out-of-model characters fall back to single chars") {
+    assert(viterbi("xy", Seq("x"), Seq(-0.5)) == Seq("x", "y"))
+  }
+
+  test("unigram fit is deterministic and likelihood is monotone " +
+      "within each EM stage") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val m1 = Tokenize.fitUnigram(docs, vocabSize = 64)
+    val m2 = Tokenize.fitUnigram(docs, vocabSize = 64)
+    assert(m1 == m2, "refit must be bit-identical")
+    assert(m1.llByStage.size == 2)
+    m1.llByStage.foreach { lls =>
+      lls.sliding(2).foreach {
+        case Seq(a, b) => assert(b >= a - 1e-6,
+          s"CEM likelihood decreased within a stage: $lls")
+        case _ =>
+      }
+    }
+    // the budget holds and single-char coverage survives the prune
+    assert(m1.pieces.size <= 64 ||
+      m1.pieces.forall(_.length == 1))
+    assert(m1.pieces.exists(_.length > 1),
+      "fit learned no multi-char pieces")
+  }
+
+  test("unigram gate query: every oracle-predicted invariant holds, " +
+      "and the learned pieces actually compress") {
+    val rows = Tokenize.unigramQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("roundtrip_ok"),
+        s"doc ${r.get(0)}: unigram re-join diverged from the char stream")
+      assert(r.getAs[Boolean]("compress_ok"),
+        s"doc ${r.get(0)}: token count outside [1, n_chars]")
+      assert(r.getAs[Boolean]("vocab_ok"),
+        s"doc ${r.get(0)}: multi-char piece outside the fitted vocab")
+    }
+    val m = Tokenize.buildUnigram(spark, sfDir)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val compressed = docs.select(
+        (size(Tokenize.unigramTokens(col("text"), m)) <
+          length(regexp_replace(col("text"), " ", ""))).as("c"))
+      .collect()
+    assert(compressed.exists(_.getBoolean(0)),
+      "unigram segmentation never beat char-level anywhere")
+  }
+
+  test("plan: unigram E-step shuffles (piece, count) only — text " +
+      "never enters an exchange; serving is codegen") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val roundPlan = words.select(col("freq"),
+        explode(call_function("graft_unigram", col("w"),
+          typedLit(Seq("a")), typedLit(Seq(-1.0)))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      .queryExecution.executedPlan.toString
+    val exchanges = roundPlan.linesIterator
+      .filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"corpus text flows through the E-step shuffle:\n$exchanges")
+    val servePlan = docs.select(call_function("graft_unigram",
+        col("text"), typedLit(Seq("a")), typedLit(Seq(-1.0))))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.CodegenMode)
+    assert(servePlan.contains("WholeStageCodegen"),
+      s"unigram serving fell out of codegen:\n${servePlan.take(2000)}")
+  }
+
   test("plan: per-round pair count shuffles (pair, count) only — " +
       "text never enters an exchange") {
     val docs = Tables.load(spark, sfDir, "documents")
