@@ -1568,6 +1568,132 @@ object VectorKernels {
       out.toArray(new Array[org.apache.spark.unsafe.types.UTF8String](out.size)))
   }
 
+  /** Forward-backward expected piece counts for one whitespace word
+    * stream (the true Kudo/SentencePiece E-step, upgrading hard
+    * Viterbi counts): for every lattice edge (s, e) with piece
+    * log-prob lp, ec(piece) += exp(fwd[s] + lp + bwd[e] − fwd[n]).
+    * Emits one struct<piece, ec> row per distinct piece per word (in
+    * sorted piece order — deterministic row set), plus one sentinel
+    * row (piece = "", ec = Σ fwd[n]) carrying the text's marginal
+    * log-likelihood: "" can never be a real piece, and the trainer
+    * splits it off for the monotone-EM objective. All per-word math
+    * is fixed-iteration-order double arithmetic, so every emitted
+    * double is a pure function of (word, model) — the aggregation
+    * above this kernel casts to DECIMAL for order-free exact sums. */
+  def unigramECountsJava(text: org.apache.spark.unsafe.types.UTF8String,
+      model: java.util.HashMap[String, java.lang.Double], maxLen: Int)
+      : ArrayData = {
+    def lse(a: Double, b: Double): Double =
+      if (a == Double.NegativeInfinity) b
+      else if (b == Double.NegativeInfinity) a
+      else if (a > b) a + math.log1p(math.exp(b - a))
+      else b + math.log1p(math.exp(a - b))
+    val words = text.toString.split(" ", -1)
+    val ec = new java.util.TreeMap[String, Double]()
+    var llSum = 0.0
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        val n = w.length
+        def lp(s: Int, e: Int): Double = {
+          val boxed = model.get(w.substring(s, e))
+          if (boxed != null) boxed.doubleValue()
+          else if (e - s == 1) UnigramUnkLogProb
+          else Double.NaN
+        }
+        val fwd = new Array[Double](n + 1)
+        val bwd = new Array[Double](n + 1)
+        java.util.Arrays.fill(fwd, Double.NegativeInfinity)
+        java.util.Arrays.fill(bwd, Double.NegativeInfinity)
+        fwd(0) = 0.0
+        bwd(n) = 0.0
+        var e = 1
+        while (e <= n) {
+          var s = math.max(0, e - maxLen)
+          while (s < e) {
+            val l = lp(s, e)
+            if (l == l) fwd(e) = lse(fwd(e), fwd(s) + l)
+            s += 1
+          }
+          e += 1
+        }
+        var s2 = n - 1
+        while (s2 >= 0) {
+          var e2 = s2 + 1
+          val cap = math.min(n, s2 + maxLen)
+          while (e2 <= cap) {
+            val l = lp(s2, e2)
+            if (l == l) bwd(s2) = lse(bwd(s2), l + bwd(e2))
+            e2 += 1
+          }
+          s2 -= 1
+        }
+        llSum += fwd(n)
+        var e3 = 1
+        while (e3 <= n) {
+          var s3 = math.max(0, e3 - maxLen)
+          while (s3 < e3) {
+            val l = lp(s3, e3)
+            if (l == l) {
+              val p = math.exp(fwd(s3) + l + bwd(e3) - fwd(n))
+              val piece = w.substring(s3, e3)
+              val prev = ec.get(piece)
+              ec.put(piece, (if (prev == null) 0.0 else prev.doubleValue) + p)
+            }
+            s3 += 1
+          }
+          e3 += 1
+        }
+      }
+      wi += 1
+    }
+    ec.put("", llSum)
+    val rows = new java.util.ArrayList[Any]()
+    val it = ec.entrySet().iterator()
+    while (it.hasNext) {
+      val kv = it.next()
+      rows.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](org.apache.spark.unsafe.types.UTF8String
+          .fromString(kv.getKey), kv.getValue.doubleValue())))
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      rows.toArray)
+  }
+
+  /** See [[unigramECountsJava]]. Same foldable-model contract as
+    * [[UnigramTokens]]. */
+  case class UnigramECounts(child: Expression, pieces: Seq[String],
+      logps: Seq[Double]) extends UnaryExpression {
+    @transient private lazy val built = buildUnigramModel(pieces, logps)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got " + other.simpleString)
+      }
+    override def dataType: DataType = ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("piece",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("ec", DoubleType,
+          nullable = false))), containsNull = false)
+    override def prettyName: String = "graft_unigram_ecounts"
+    override protected def nullSafeEval(a: Any): Any =
+      unigramECountsJava(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        built._1, built._2)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val modelRef = ctx.addReferenceObj("unigramModel", built._1,
+        "java.util.HashMap")
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.unigramECountsJava($a, $modelRef, ${built._2})")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** See [[unigramTokensJava]]. Pieces and logps must be foldable
     * array literals of equal length (the fitted unigram model). */
   case class UnigramTokens(child: Expression, pieces: Seq[String],
@@ -1759,6 +1885,8 @@ object VectorKernels {
     // pieces (array<string>) and logps (array<double>) must be
     // foldable literals of equal length — the fitted unigram model
     fn("graft_unigram", es => UnigramTokens(es(0),
+      toStringSeq(es(1).eval()), toDoubleSeq(es(2).eval()))),
+    fn("graft_unigram_ecounts", es => UnigramECounts(es(0),
       toStringSeq(es(1).eval()), toDoubleSeq(es(2).eval()))),
   )
 

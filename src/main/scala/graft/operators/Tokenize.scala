@@ -105,31 +105,39 @@ object Tokenize {
   }
 
   /** Fitted unigram-LM tokenizer: parallel piece/logprob arrays plus
-    * the corpus Viterbi log-likelihood trace per EM round, grouped by
-    * vocab stage (likelihood is monotone within a stage; the prune
+    * the corpus marginal log-likelihood trace per EM round, grouped
+    * by vocab stage (likelihood is monotone within a stage; the prune
     * between stages may drop it — that is the Kudo trade-off). */
   case class UnigramModel(pieces: Seq[String], logps: Seq[Double],
       llByStage: Seq[Seq[Double]])
 
   /**
    * Fit a unigram-LM subword tokenizer (Kudo, ACL 2018 — the
-   * SentencePiece algorithm) by hard (Viterbi) EM over the corpus:
-   * seed a candidate vocabulary from frequent substrings, then
-   * alternate (E) best-segmentation of every distinct word under the
-   * current piece probabilities with (M) multinomial re-estimation
-   * from the segment counts, pruning to the vocab budget between
-   * stages. Classification-EM guarantees the corpus Viterbi
-   * log-likelihood is non-decreasing across rounds within a stage
-   * (spec-pinned); pruning keeps every single-character piece so
-   * coverage never regresses.
+   * SentencePiece algorithm) by full EM over the corpus: seed a
+   * candidate vocabulary from frequent substrings, then alternate
+   * (E) forward-backward expected piece counts over the segmentation
+   * lattice of every distinct word with (M) multinomial
+   * re-estimation, pruning to the vocab budget between stages. The
+   * EM theorem guarantees the corpus marginal log-likelihood is
+   * non-decreasing across rounds within a stage (spec-pinned);
+   * pruning keeps every single-character piece so coverage never
+   * regresses. Serving segments with Viterbi ([[unigramTokens]]),
+   * exactly as SentencePiece does.
    *
    * Scale shape (the BPE-trainer pattern, one better): EM iterates
    * over DISTINCT WORDS weighted by frequency, not over documents —
    * the word table is one narrow shuffle computed once and persisted,
-   * and each round is a codegen'd Viterbi projection over it plus a
-   * (piece, count) map-side-partial shuffle; only the vocab-budget-
-   * sized model ever reaches the driver (the k-means / logistic-GD
-   * fit pattern). Corpus text never shuffles.
+   * and each round is a codegen'd lattice-kernel projection over it
+   * plus a (piece, count) map-side-partial shuffle; only the vocab-
+   * budget-sized model ever reaches the driver (the k-means /
+   * logistic-GD fit pattern). Corpus text never shuffles.
+   *
+   * Determinism: every per-word double is a pure function of
+   * (word, model) computed in fixed iteration order inside the
+   * kernel; cross-row accumulation casts to DECIMAL(30,9) so the
+   * shuffle-order-dependent double-sum problem never arises (the
+   * exact-power-sums precedent from Stats.momentsQuery) — refits are
+   * bit-identical on any partitioning.
    */
   def fitUnigram(docs: DataFrame, vocabSize: Int = 96,
       seedFactor: Int = 4, maxPieceLen: Int = 6, emRounds: Int = 2)
@@ -159,39 +167,48 @@ object Tokenize {
           .orderBy(col("cnt").desc, col("piece"))
           .limit(vocabSize * seedFactor)
         chars.unionAll(multi).collect()
-          .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+          .map(r => (r.getString(0), BigDecimal(r.getLong(1))))
+          .sortBy(_._1).toSeq
       } finally counted.unpersist()
 
-      def renorm(cnts: Seq[(String, Long)]): (Seq[String], Seq[Double]) = {
+      def renorm(cnts: Seq[(String, BigDecimal)])
+          : (Seq[String], Seq[Double]) = {
         val total = cnts.map(_._2).sum.toDouble
-        (cnts.map(_._1), cnts.map(c => math.log(c._2 / total)))
+        (cnts.map(_._1),
+          cnts.map(c => math.log(c._2.toDouble / total)))
       }
 
-      // One hard-EM round: Viterbi-segment every distinct word under
-      // the current model, count pieces weighted by word frequency,
-      // and report the corpus log-likelihood of that segmentation
-      // under the CURRENT model (the monotone CEM objective).
+      // One EM round: forward-backward expected counts per distinct
+      // word (codegen'd kernel), weighted by word frequency and
+      // summed EXACTLY as DECIMAL(30,9) — plus the corpus marginal
+      // log-likelihood under the CURRENT model, which rides the
+      // kernel's "" sentinel row through the same aggregate.
       def emStep(pieces: Seq[String], logps: Seq[Double])
-          : (Seq[(String, Long)], Double) = {
-        val seg = words.select(col("freq"),
-            explode(call_function("graft_unigram", col("w"),
-              typedLit(pieces), typedLit(logps))).as("piece"))
-          .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
-          .collect().map(r => (r.getString(0), r.getLong(1)))
+          : (Seq[(String, BigDecimal)], Double) = {
+        val rows = words.select(
+            explode(call_function("graft_unigram_ecounts", col("w"),
+              typedLit(pieces), typedLit(logps))).as("pe"),
+            col("freq"))
+          .select(col("pe.piece").as("piece"),
+            (col("pe.ec") * col("freq").cast("double"))
+              .cast(org.apache.spark.sql.types.DecimalType(30, 9))
+              .as("ec"))
+          .groupBy(col("piece")).agg(sum(col("ec")).as("cnt"))
+          .collect()
+          .map(r => (r.getString(0), BigDecimal(r.getDecimal(1))))
           .sortBy(_._1).toSeq
-        val lp = pieces.zip(logps).toMap
-        val ll = seg.map { case (p, c) => c * lp.getOrElse(p,
-          graft.functions.VectorKernels.UnigramUnkLogProb) }.sum
-        (seg, ll)
+        val (sentinel, cnts) = rows.partition(_._1.isEmpty)
+        (cnts.filter(_._2 > 0), sentinel.head._2.toDouble)
       }
 
-      def stage(init: Seq[(String, Long)]): (Seq[(String, Long)], Seq[Double]) = {
+      def stage(init: Seq[(String, BigDecimal)])
+          : (Seq[(String, BigDecimal)], Seq[Double]) = {
         var cnts = init
         var lls = Vector.empty[Double]
         (0 until emRounds).foreach { _ =>
           val (pieces, logps) = renorm(cnts)
-          val (seg, ll) = emStep(pieces, logps)
-          cnts = seg
+          val (ec, ll) = emStep(pieces, logps)
+          cnts = ec
           lls = lls :+ ll
         }
         (cnts, lls)
@@ -199,7 +216,7 @@ object Tokenize {
 
       val (afterSeed, lls1) = stage(seed)
       // Prune to budget: keep every single-char piece, then the
-      // highest-count multi-char pieces up to vocabSize total.
+      // highest-expected-count multi-char pieces up to vocabSize.
       val (chars1, multi1) = afterSeed.partition(_._1.length == 1)
       val kept = chars1 ++ multi1
         .sortBy { case (p, c) => (-c, p) }

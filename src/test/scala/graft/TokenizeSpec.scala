@@ -96,6 +96,30 @@ class TokenizeSpec extends SparkSpec {
     assert(viterbi("xy", Seq("x"), Seq(-0.5)) == Seq("x", "y"))
   }
 
+  test("unigram E-step replays hand-computed forward-backward " +
+      "expected counts and marginal likelihood") {
+    // word "ab", two lattice paths: [ab] with weight e^{-1} and
+    // [a, b] with weight e^{-0.5-2.0}; Z = e^{-1} + e^{-2.5}
+    val (lab, la, lb) = (-1.0, -0.5, -2.0)
+    val w1 = math.exp(lab)
+    val w2 = math.exp(la + lb)
+    val z = w1 + w2
+    val rows = df("ab").select(explode(
+        call_function("graft_unigram_ecounts", col("text"),
+          typedLit(Seq("ab", "a", "b")), typedLit(Seq(lab, la, lb))))
+        .as("pe"))
+      .select(col("pe.piece"), col("pe.ec")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(rows("") - math.log(z)) < 1e-12,
+      s"marginal LL sentinel: ${rows("")} vs ${math.log(z)}")
+    assert(math.abs(rows("ab") - w1 / z) < 1e-12)
+    assert(math.abs(rows("a") - w2 / z) < 1e-12)
+    assert(math.abs(rows("b") - w2 / z) < 1e-12)
+    // expected counts cover every char position exactly once:
+    // 2·ec(ab) + ec(a) + ec(b) = 2
+    assert(math.abs(2 * rows("ab") + rows("a") + rows("b") - 2.0) < 1e-12)
+  }
+
   test("unigram fit is deterministic and likelihood is monotone " +
       "within each EM stage") {
     val docs = Tables.load(spark, sfDir, "documents")
