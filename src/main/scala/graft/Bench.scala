@@ -34,6 +34,7 @@ object Bench {
         graft.operators.Similarity.buildIvfPqStore(spark, sfDir)
         graft.operators.Tokenize.buildMerges(spark, sfDir)
         graft.operators.Tokenize.buildUnigram(spark, sfDir)
+        graft.operators.Tokenize.buildWordpiece(spark, sfDir)
         graft.operators.TextAnalysis.buildVocab(spark, sfDir)
       } catch {
         case t: Throwable => System.err.println(s"[bench] fixture build: $t")

@@ -114,6 +114,7 @@ object SparkEntry {
     // Unigram-LM tokenizer (Kudo/SentencePiece): Viterbi-EM fit over
     // distinct words; serving is a codegen'd projection
     "q_unigram_lm" -> ((s, d) => Tokenize.unigramQuery(s, d)),
+    "q_wordpiece" -> ((s, d) => Tokenize.wordpieceQuery(s, d)),
     // Corpus snapshot versioning (added/removed/changed audit)
     "q_corpus_diff" -> (Versioning.corpusDiffQuery _),
     // Per-source KL drift from the corpus mixture (statistical QA)
@@ -2355,6 +2356,19 @@ object SparkEntry {
     // segmentation must re-join to the character stream, compress, and
     // stay in-vocabulary — the engine computes the checks for real.
     "q_unigram_lm" ->
+      """SELECT doc_id,
+        |  CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_chars,
+        |  TRUE AS roundtrip_ok,
+        |  TRUE AS compress_ok,
+        |  TRUE AS vocab_ok
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // WordPiece invariant gate (the q_bpe pattern): the oracle cannot
+    // refit the likelihood-scored vocabulary, but every greedy
+    // segmentation of the training corpus must re-join to the
+    // character stream ([UNK]-free by the alphabet rule), compress,
+    // and stay in-vocabulary — the engine computes the checks for real.
+    "q_wordpiece" ->
       """SELECT doc_id,
         |  CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_chars,
         |  TRUE AS roundtrip_ok,

@@ -1723,6 +1723,101 @@ object VectorKernels {
       copy(child = newChild)
   }
 
+  /** Token emitted by [[wordpieceTokensJava]] when a word contains a
+    * character outside the vocabulary (the BERT convention: the whole
+    * word collapses to one unknown token rather than a partial
+    * segmentation). */
+  val WordpieceUnk: String = "[UNK]"
+
+  /** Vocabulary index for [[WordpieceTokens]]: membership set plus the
+    * max piece length that bounds the longest-match scan. */
+  def buildWordpieceVocab(vocab: Seq[String])
+      : (java.util.HashSet[String], Int) = {
+    val s = new java.util.HashSet[String]()
+    var maxLen = 1
+    vocab.foreach { p =>
+      s.add(p)
+      if (p.length > maxLen) maxLen = p.length
+    }
+    (s, maxLen)
+  }
+
+  /** WordPiece-tokenize `text` (Schuster & Nakajima, ICASSP 2012; the
+    * BERT serving algorithm): whitespace words → greedy
+    * longest-match-first against the vocabulary — at each position take
+    * the LONGEST vocab piece starting there; if no piece matches (a
+    * character outside the vocabulary) the entire word becomes one
+    * [[WordpieceUnk]] token. Greedy matching is deterministic by
+    * construction (no scores, no ties). */
+  def wordpieceTokensJava(text: org.apache.spark.unsafe.types.UTF8String,
+      vocab: java.util.HashSet[String], maxLen: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String]()
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        val n = w.length
+        val pieces = new java.util.ArrayList[String]()
+        var i = 0
+        var failed = false
+        while (i < n && !failed) {
+          var j = math.min(n, i + maxLen)
+          var hit: String = null
+          while (j > i && hit == null) {
+            val cand = w.substring(i, j)
+            if (vocab.contains(cand)) hit = cand else j -= 1
+          }
+          if (hit == null) failed = true
+          else { pieces.add(hit); i += hit.length }
+        }
+        if (failed) {
+          out.add(org.apache.spark.unsafe.types.UTF8String
+            .fromString(WordpieceUnk))
+        } else {
+          var k = 0
+          while (k < pieces.size) {
+            out.add(org.apache.spark.unsafe.types.UTF8String
+              .fromString(pieces.get(k)))
+            k += 1
+          }
+        }
+      }
+      wi += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      out.toArray(new Array[org.apache.spark.unsafe.types.UTF8String](out.size)))
+  }
+
+  /** See [[wordpieceTokensJava]]. Vocab must be a foldable
+    * array<string> literal (the fitted WordPiece vocabulary). */
+  case class WordpieceTokens(child: Expression, vocab: Seq[String])
+      extends UnaryExpression {
+    @transient private lazy val built = buildWordpieceVocab(vocab)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got " + other.simpleString)
+      }
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+    override def prettyName: String = "graft_wordpiece"
+    override protected def nullSafeEval(a: Any): Any =
+      wordpieceTokensJava(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        built._1, built._2)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val vocabRef = ctx.addReferenceObj("wpVocab", built._1,
+        "java.util.HashSet")
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.wordpieceTokensJava($a, $vocabRef, ${built._2})")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** One-pass membership counts against several word sets (the
     * language-ID vote kernel): result[i] = tokens of `text` contained
     * in set i. One tokenize + one hash probe per token, versus one
@@ -1888,6 +1983,9 @@ object VectorKernels {
       toStringSeq(es(1).eval()), toDoubleSeq(es(2).eval()))),
     fn("graft_unigram_ecounts", es => UnigramECounts(es(0),
       toStringSeq(es(1).eval()), toDoubleSeq(es(2).eval()))),
+    // vocab must be a foldable array<string> literal
+    fn("graft_wordpiece", es => WordpieceTokens(es(0),
+      toStringSeq(es(1).eval()))),
   )
 
   /** SparkSessionExtensions hook: `.withExtensions(VectorKernels.register)`. */

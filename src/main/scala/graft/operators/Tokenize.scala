@@ -275,4 +275,127 @@ object Tokenize {
         .as("vocab_ok"))
       .orderBy(col("doc_id"))
   }
+
+  /** Fitted WordPiece tokenizer: the learned merge list (training
+    * state, kept for the spec's trace assertions) plus the serving
+    * vocabulary (every base character of the corpus + every symbol of
+    * the final training segmentation). */
+  case class WordpieceModel(merges: Seq[String], vocab: Seq[String])
+
+  /**
+   * Fit a WordPiece tokenizer (Schuster & Nakajima, ICASSP 2012 — the
+   * BERT vocabulary algorithm). Same merge loop as [[fitBpe]] with the
+   * one defining difference: the winning pair maximizes the LIKELIHOOD
+   * score count(ab) / (count(a)·count(b)) — the corpus log-likelihood
+   * gain of the merge under a unigram model — rather than raw pair
+   * frequency, so a rare-but-exclusive pair beats a frequent pair of
+   * independently-frequent symbols. Pairs below 2 occurrences never
+   * merge; ties break lexicographically for a deterministic fit.
+   *
+   * Scale shape (the [[fitBpe]] pattern): per round, one kernel pass
+   * emits adjacent pairs and one emits segmentation symbols over the
+   * cached narrow text projection; both reduce map-side to tiny
+   * (symbol, count) tables, the score join broadcasts the symbol
+   * counts, and only the single winning pair reaches the driver.
+   * Corpus text never shuffles. The score division is IEEE double math
+   * on exact longs — identical counts give identical scores on any
+   * partitioning, and the lexicographic tie-break settles equal
+   * scores, so refits are deterministic.
+   *
+   * The serving vocabulary adds every base character seen in the
+   * corpus (the BERT alphabet convention), so greedy longest-match can
+   * always advance on training text and [[WordpieceModel]] round-trips
+   * its own corpus without [UNK].
+   */
+  def fitWordpiece(docs: DataFrame, nMerges: Int): WordpieceModel = {
+    val text = docs.select(col("text")).persist()
+    try {
+      var merges = Vector.empty[String]
+      var round = 0
+      var exhausted = false
+      while (round < nMerges && !exhausted) {
+        val pairs = text
+          .select(explode(call_function("graft_bpe_pairs",
+            col("text"), typedLit(merges))).as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("np"))
+        val syms = text
+          .select(explode(call_function("graft_bpe",
+            col("text"), typedLit(merges))).as("sym"))
+          .groupBy(col("sym")).agg(count(lit(1)).as("ns"))
+        val top = pairs
+          .filter(col("np") >= 2)
+          .withColumn("l", element_at(split(col("pair"), " "), 1))
+          .withColumn("r", element_at(split(col("pair"), " "), 2))
+          .join(broadcast(syms.select(col("sym").as("l"),
+            col("ns").as("nl"))), Seq("l"))
+          .join(broadcast(syms.select(col("sym").as("r"),
+            col("ns").as("nr"))), Seq("r"))
+          .withColumn("score", col("np").cast("double") /
+            (col("nl") * col("nr")).cast("double"))
+          .orderBy(col("score").desc, col("pair"))
+          .limit(1)
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else merges = merges :+ top(0).getAs[String]("pair")
+        round += 1
+      }
+      val vocab = text
+        .select(explode(call_function("graft_bpe",
+          col("text"), typedLit(Seq.empty[String]))).as("s"))
+        .unionAll(text.select(explode(call_function("graft_bpe",
+          col("text"), typedLit(merges))).as("s")))
+        .distinct().orderBy(col("s"))
+        .collect().map(_.getString(0)).toSeq
+      WordpieceModel(merges, vocab)
+    } finally text.unpersist()
+  }
+
+  private val wordpieceCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), WordpieceModel]
+
+  /** Offline WordPiece model build — the [[buildMerges]] pattern:
+    * idempotent per (corpus, budget). */
+  def buildWordpiece(spark: SparkSession, sfDir: String,
+      nMerges: Int = 24): WordpieceModel =
+    wordpieceCache.getOrElseUpdate((sfDir, nMerges), {
+      fitWordpiece(Tables.load(spark, sfDir, "documents"), nMerges)
+    })
+
+  /** WordPiece token stream of `text`: greedy longest-match-first
+    * against the fitted vocabulary (codegen'd kernel, model as
+    * literal — zero shuffle). */
+  def wordpieceTokens(text: org.apache.spark.sql.Column,
+      m: WordpieceModel): org.apache.spark.sql.Column =
+    call_function("graft_wordpiece", text, typedLit(m.vocab))
+
+  /**
+   * Gate query for the WordPiece tokenizer — the [[bpeQuery]]
+   * invariant pattern: the fitted vocabulary is data-dependent state
+   * the SQL oracle cannot refit, but any valid greedy segmentation of
+   * the TRAINING corpus must (a) re-join to the exact character stream
+   * (the vocabulary contains every corpus character, so [UNK] cannot
+   * fire), (b) emit between 1 and n_chars tokens, and (c) use only
+   * in-vocabulary pieces. The engine computes the checks against its
+   * real segmentation; the oracle emits the expected TRUEs; any
+   * longest-match, vocabulary-fit, or score regression flips a hashed
+   * bit. The exact behavior (likelihood-vs-frequency merge choice,
+   * greedy trace, [UNK] collapse) stays spec-gated in TokenizeSpec.
+   */
+  def wordpieceQuery(spark: SparkSession, sfDir: String,
+      nMerges: Int = 24): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val m = buildWordpiece(spark, sfDir, nMerges)
+    val toks = wordpieceTokens(col("text"), m)
+    val vocab = typedLit(m.vocab)
+    val squashed = regexp_replace(col("text"), " ", "")
+    docs.select(
+      col("doc_id"),
+      length(squashed).as("n_chars"),
+      (concat_ws("", toks) === squashed).as("roundtrip_ok"),
+      (size(toks) <= length(squashed) &&
+        (size(toks) >= 1 || length(squashed) === 0)).as("compress_ok"),
+      (size(filter(toks, t => not(array_contains(vocab, t)))) === 0)
+        .as("vocab_ok"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -204,4 +204,55 @@ class TokenizeSpec extends SparkSpec {
       roundPlan.contains("HashAggregate"),
       s"pair count must partial-aggregate map-side:\n$roundPlan")
   }
+
+  test("wordpiece fit maximizes likelihood score, not raw frequency " +
+      "(hand-computed trace)") {
+    // words: ab x5, a x5, b x5, cd x3
+    // round 1 scores: (a b) np=5, na=10, nb=10 -> 5/100 = 0.05
+    //                 (c d) np=3, nc=3,  nd=3  -> 3/9   = 0.333
+    //   WordPiece merges "c d" — BPE (raw frequency) would take "a b".
+    // round 2: only (a b) remains with np>=2 -> "a b"
+    // round 3: every word is one symbol -> exhausted
+    val corpus = df("ab ab ab ab ab", "a a a a a", "b b b b b",
+      "cd cd cd")
+    val m = Tokenize.fitWordpiece(corpus, 5)
+    assert(m.merges == Seq("c d", "a b"), s"got ${m.merges}")
+    assert(Tokenize.fitBpe(corpus, 1) == Seq("a b"),
+      "trace premise: BPE prefers the frequent pair")
+    // vocab = base chars ∪ final symbols, sorted
+    assert(m.vocab == Seq("a", "ab", "b", "c", "cd", "d"),
+      s"got ${m.vocab}")
+  }
+
+  test("wordpiece serving is greedy longest-match-first; unknown " +
+      "characters collapse the word to [UNK]") {
+    val m = Tokenize.WordpieceModel(Nil,
+      Seq("a", "ab", "abc", "b", "c"))
+    def serve(s: String): Seq[String] =
+      df(s).select(Tokenize.wordpieceTokens(col("text"), m))
+        .collect().head.getSeq[String](0)
+    // longest match at each position, not Viterbi: abcb -> [abc, b]
+    assert(serve("abcb") == Seq("abc", "b"))
+    // greedy advances past shorter alternatives: aab -> [a, ab]
+    assert(serve("aab") == Seq("a", "ab"))
+    // a char outside the vocab kills the whole word, not the suffix
+    assert(serve("axb") == Seq("[UNK]"))
+    // per-word isolation: the [UNK] word does not poison neighbors
+    assert(serve("ab axb c") == Seq("ab", "[UNK]", "c"))
+  }
+
+  test("wordpiece refit is deterministic and the gate invariants " +
+      "hold on the real corpus") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val m1 = Tokenize.fitWordpiece(docs, 8)
+    val m2 = Tokenize.fitWordpiece(docs.repartition(7), 8)
+    assert(m1 == m2, "wordpiece fit must not depend on partitioning")
+    val rows = Tokenize.wordpieceQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"roundtrip_ok false for doc ${r.getLong(0)}")
+      assert(r.getBoolean(3), s"compress_ok false for doc ${r.getLong(0)}")
+      assert(r.getBoolean(4), s"vocab_ok false for doc ${r.getLong(0)}")
+    }
+  }
 }
