@@ -107,6 +107,7 @@ object SparkEntry {
     "q_lm_ppl" -> (TextAnalysis.lmScoreQuery _),
     // Sparse retrieval: BM25 scoring + RAG chunking with overlap
     "q_bm25" -> ((s, d) => Retrieval.bm25Query(s, d)),
+    "q_rrf_fusion" -> ((s, d) => Retrieval.rrfFusionQuery(s, d)),
     "q_chunk" -> (Retrieval.chunkQuery _),
     // Real BPE tokenizer (fit + apply); merge table is data-dependent
     // model state → rows-only driver check, algorithm spec-gated
@@ -2236,6 +2237,71 @@ object SparkEntry {
         |SELECT doc_id, CAST(dl AS BIGINT) AS dl, tf_0, tf_1, tf_2, score
         |FROM sc WHERE score > 0
         |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin,
+    // Reciprocal rank fusion: the oracle replays both arms whole —
+    // the BM25 CTE chain (q_bm25) to a ranked top-50, the dense
+    // cosine arm against the vec-0 query (list_dot_product — the
+    // q_ann_topk IEEE-identical precedent) to a ranked top-50, then
+    // the 1/(60+rank) fusion sum over a FULL OUTER join of the arms.
+    "q_rrf_fusion" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t = 'spark')) AS INTEGER) AS tf_0,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t = 'query')) AS INTEGER) AS tf_1,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t = 'table')) AS INTEGER) AS tf_2
+        |  FROM documents),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS sum_dl,
+        |    CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+        |    CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+        |    CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+        |  FROM d),
+        |sc AS (
+        |  SELECT doc_id,
+        |    round(
+        |      ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5)) *
+        |        (CAST(tf_0 AS DOUBLE) * 2.2) /
+        |        (CAST(tf_0 AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))) +
+        |      ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5)) *
+        |        (CAST(tf_1 AS DOUBLE) * 2.2) /
+        |        (CAST(tf_1 AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))) +
+        |      ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5)) *
+        |        (CAST(tf_2 AS DOUBLE) * 2.2) /
+        |        (CAST(tf_2 AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))), 4)
+        |      AS score
+        |  FROM d CROSS JOIN s),
+        |sparse AS (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |      ORDER BY score DESC, doc_id) AS INTEGER) AS sparse_rank
+        |  FROM (SELECT doc_id, score FROM sc WHERE score > 0
+        |        ORDER BY score DESC, doc_id LIMIT 50)),
+        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |dn AS (
+        |  SELECT vec_id AS doc_id,
+        |    round(list_dot_product(q_emb::DOUBLE[], embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q_emb::DOUBLE[], q_emb::DOUBLE[])) *
+        |       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+        |      AS cos_sim
+        |  FROM embeddings CROSS JOIN q),
+        |dense AS (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |      ORDER BY cos_sim DESC, doc_id) AS INTEGER) AS dense_rank
+        |  FROM (SELECT doc_id, cos_sim FROM dn
+        |        ORDER BY cos_sim DESC, doc_id LIMIT 50))
+        |SELECT COALESCE(sp.doc_id, de.doc_id) AS doc_id,
+        |  sp.sparse_rank, de.dense_rank,
+        |  round(COALESCE(1.0::DOUBLE / (60 + sp.sparse_rank), 0.0) +
+        |        COALESCE(1.0::DOUBLE / (60 + de.dense_rank), 0.0), 6)
+        |    AS rrf_score
+        |FROM sparse sp FULL OUTER JOIN dense de ON sp.doc_id = de.doc_id
+        |ORDER BY rrf_score DESC, doc_id
         |LIMIT 20""".stripMargin,
     // RAG chunking: chunk i = words [i*24, i*24+32); chunk count
     // 1 + max(0, ceil((n-32)/24)) — the oracle replays slicing,

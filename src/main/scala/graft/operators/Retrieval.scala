@@ -1,8 +1,10 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.VectorOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.{Window => SqlWindow}
 
 /**
  * Sparse-retrieval operators for training-data pipelines: BM25 scoring
@@ -108,5 +110,54 @@ object Retrieval {
       .withColumn("n_words", size(split(col("chunk"), " ")))
       .withColumn("chunk_md5", md5(col("chunk")))
       .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /**
+   * Hybrid sparse+dense retrieval via reciprocal rank fusion (Cormack,
+   * Clarke & Büttcher, SIGIR 2009): run the BM25 arm ([[bm25Query]])
+   * and a dense cosine arm (each document's embedding, `doc_id` =
+   * `vec_id`, scored against the vec-0 query — the q_ann convention)
+   * to arm-level top-`armK` lists, then fuse with
+   * rrf(d) = Σ_arms 1/(rrfK + rank_arm(d)), a document absent from an
+   * arm contributing nothing. RRF needs no score calibration between
+   * arms — only ranks — which is why it is the standard production
+   * fusion for lexical+vector search.
+   *
+   * Shape at 100 TB: each arm is its own scan — BM25's kernel pass and
+   * the dense cosine projection — reduced by bounded-heap
+   * TakeOrderedAndProject to `armK` rows, so the fusion join touches
+   * 2·armK rows total regardless of corpus size; the rank windows run
+   * over those armK-row lists, never the corpus. All fusion arithmetic
+   * is integer-rank reciprocal sums (IEEE-exact both engines), rounded
+   * for the gate.
+   */
+  def rrfFusionQuery(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("spark", "query", "table"),
+      armK: Int = 50, k: Int = 20, rrfK: Int = 60): DataFrame = {
+    val sparse = bm25Query(spark, sfDir, terms, armK)
+      .select(col("doc_id"), col("score"))
+      .withColumn("sparse_rank", row_number().over(
+        SqlWindow.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("sparse_rank"))
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val dense = emb.crossJoin(broadcast(qv))
+      .withColumn("cos_sim",
+        round(VectorOps.cosine(col("q_emb"), col("embedding")), 4))
+      .select(col("vec_id"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(armK)
+      .withColumn("dense_rank", row_number().over(
+        SqlWindow.orderBy(col("cos_sim").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("dense_rank"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("sparse_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0)), 6))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("sparse_rank"), col("dense_rank"),
+        col("rrf_score"))
   }
 }

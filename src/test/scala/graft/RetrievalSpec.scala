@@ -118,4 +118,43 @@ class RetrievalSpec extends SparkSpec {
     assert(!exchanges.exists(_.contains("text#")),
       s"document text flows through an exchange:\n$exchanges")
   }
+
+  test("rrf fusion: scores decompose into the arm reciprocals and a " +
+      "doc present in both arms beats its single-arm twin") {
+    val rows = Retrieval.rrfFusionQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sp = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val de = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      assert(sp.isDefined || de.isDefined,
+        "a fused row must come from at least one arm")
+      val expected = BigDecimal(
+        sp.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        de.map(r => 1.0 / (60 + r)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - expected) < 1e-9,
+        s"rrf_score must equal the reciprocal sum for doc ${r.getLong(0)}")
+    }
+    // ranking is non-increasing in rrf_score
+    val scores = rows.map(_.getDouble(3)).toSeq
+    assert(scores == scores.sorted.reverse)
+    // both-arm docs dominate: any doc with both ranks <= armK scores
+    // strictly above the best possible single-arm doc at those ranks
+    rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2)).foreach { r =>
+      val single = math.max(1.0 / (60 + r.getInt(1)), 1.0 / (60 + r.getInt(2)))
+      assert(r.getDouble(3) > single)
+    }
+  }
+
+  test("plan: rrf arms are bounded heaps — the fusion join touches " +
+      "2*armK rows, never the corpus") {
+    val plan = Retrieval.rrfFusionQuery(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"rrf arms must be bounded-heap top-k:\n$plan")
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(e => e.contains("text#") || e.contains("embedding#")),
+      s"corpus text/embeddings flow through an exchange:\n$exchanges")
+  }
 }
