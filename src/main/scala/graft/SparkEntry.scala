@@ -105,6 +105,7 @@ object SparkEntry {
     "q_winnow" -> (TextAnalysis.winnowQuery _),
     "q_winnow_contam" -> (TextAnalysis.winnowContamQuery _),
     "q_lm_ppl" -> (TextAnalysis.lmScoreQuery _),
+    "q_lm_kn" -> (TextAnalysis.knScoreQuery _),
     // Sparse retrieval: BM25 scoring + RAG chunking with overlap
     "q_bm25" -> ((s, d) => Retrieval.bm25Query(s, d)),
     "q_rrf_fusion" -> ((s, d) => Retrieval.rrfFusionQuery(s, d)),
@@ -2522,6 +2523,63 @@ object SparkEntry {
         |  LEFT JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
         |  LEFT JOIN c1 ON bg.w1 = c1.w1
         |  CROSS JOIN v),
+        |agg AS (SELECT doc_id, sum(term) AS sum_lp,
+        |    CAST(count(*) AS BIGINT) AS n_bigrams
+        |  FROM terms GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  round(CAST(sum_lp AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+        |    AS avg_logp,
+        |  round(exp(-round(CAST(sum_lp AS DOUBLE) /
+        |    CAST(n_bigrams AS DOUBLE), 6)), 4) AS ppl
+        |FROM agg
+        |ORDER BY doc_id""".stripMargin,
+    // Interpolated Kneser–Ney bigram scoring: the oracle replays the
+    // pruned bigram counts, per-context (c1, N1+fwd), per-word
+    // continuation N1+back, the scalar (N1+total, V) row, and the
+    // discount/backoff arithmetic in the exact double shape; per-term
+    // ln rounds to 10 dp and sums as DECIMAL (order-free, q_lm_ppl
+    // precedent).
+    "q_lm_kn" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+        |    unnest(t[2:len(t)]) AS w2
+        |  FROM toks),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg
+        |  WHERE doc_id % 5 = 0 GROUP BY w1, w2 HAVING count(*) >= 2),
+        |ctx AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1,
+        |    CAST(count(DISTINCT w2) AS BIGINT) AS n1fwd FROM bg
+        |  WHERE doc_id % 5 = 0 GROUP BY w1),
+        |cont AS (SELECT w2, CAST(count(DISTINCT w1) AS BIGINT) AS n1back
+        |  FROM bg WHERE doc_id % 5 = 0 GROUP BY w2),
+        |sc AS (SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM
+        |      (SELECT DISTINCT w1, w2 FROM bg WHERE doc_id % 5 = 0))
+        |      AS n1tot,
+        |    (SELECT CAST(count(DISTINCT w2) AS BIGINT) FROM bg
+        |      WHERE doc_id % 5 = 0) AS v),
+        |terms AS (
+        |  SELECT bg.doc_id,
+        |    CAST(round(ln(
+        |      CASE WHEN ctx.c1 IS NOT NULL THEN
+        |        (greatest(CAST(coalesce(c2.c2, 0) AS DOUBLE) - 0.75,
+        |            0.0) +
+        |          0.75 * CAST(ctx.n1fwd AS DOUBLE) *
+        |            ((CAST(coalesce(cont.n1back, 0) AS DOUBLE) + 0.1) /
+        |             (CAST(sc.n1tot AS DOUBLE) +
+        |               0.1 * CAST(sc.v AS DOUBLE)))) /
+        |          CAST(ctx.c1 AS DOUBLE)
+        |      ELSE
+        |        (CAST(coalesce(cont.n1back, 0) AS DOUBLE) + 0.1) /
+        |        (CAST(sc.n1tot AS DOUBLE) + 0.1 * CAST(sc.v AS DOUBLE))
+        |      END), 10) AS DECIMAL(20,10)) AS term
+        |  FROM bg
+        |  LEFT JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+        |  LEFT JOIN ctx ON bg.w1 = ctx.w1
+        |  LEFT JOIN cont ON bg.w2 = cont.w2
+        |  CROSS JOIN sc),
         |agg AS (SELECT doc_id, sum(term) AS sum_lp,
         |    CAST(count(*) AS BIGINT) AS n_bigrams
         |  FROM terms GROUP BY doc_id)

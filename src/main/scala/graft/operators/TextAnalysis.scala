@@ -349,6 +349,88 @@ object TextAnalysis {
     lmScoreOver(Tables.load(spark, sfDir, "documents"),
       col("doc_id") % 5 === 0)
 
+  /**
+   * Interpolated Kneser–Ney bigram scoring (Kneser & Ney, ICASSP 1995;
+   * the Chen & Goodman 1998 interpolated form) — the upgrade over the
+   * add-α model in [[lmScoreOver]] that every serious LM-perplexity
+   * quality filter uses: instead of smoothing toward raw unigram
+   * frequency, the backoff mass goes to the CONTINUATION probability
+   * (how many distinct contexts a word follows), which stops
+   * high-frequency-but-context-bound words ("Francisco") from leaking
+   * probability into novel contexts.
+   *
+   *   P(w2|w1) = (max(c(w1,w2) − D, 0) + D·N1+(w1·)·Pcont(w2)) / c(w1·)
+   *   Pcont(w2) = (N1+(·w2) + α) / (N1+(··) + α·V)
+   *
+   * with discount D = 0.75 and an add-α floor on the continuation
+   * distribution so unseen words stay scoreable; an unseen CONTEXT
+   * backs off to Pcont entirely. Bigrams below `minCount` are pruned
+   * from the count table (they score through the backoff term), but
+   * the continuation/context statistics are computed on the UNPRUNED
+   * reference so the pruning changes only which bigrams take the
+   * discounted-count path.
+   *
+   * Scale shape = [[lmScoreOver]] exactly: corpus text never shuffles,
+   * all four model tables (pruned bigram counts; per-context c(w1·)
+   * and N1+(w1·); per-word N1+(·w2); one scalar row) are
+   * vocabulary-bounded broadcasts, scoring is a codegen projection,
+   * and the per-doc reduction ships (doc_id, DECIMAL partial-sum)
+   * pairs map-side. Log terms round to 10 dp and sum as DECIMAL —
+   * order-free, oracle-exact.
+   */
+  def knScoreOver(docs: DataFrame,
+      refFilter: org.apache.spark.sql.Column, minCount: Int = 2,
+      discount: Double = 0.75, alpha: Double = 0.1): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2)," +
+          " i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val ref = bg.filter(refFilter)
+    val c2 = ref.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2")).filter(col("c2") >= minCount)
+    // per-context: total count AND distinct-continuation fan-out
+    val ctx = ref.groupBy(col("w1"))
+      .agg(count(lit(1)).as("c1"),
+        countDistinct(col("w2")).as("n1fwd"))
+    // per-word continuation: distinct contexts the word follows
+    val cont = ref.groupBy(col("w2"))
+      .agg(countDistinct(col("w1")).as("n1back"))
+    val scalars = ref.agg(
+      countDistinct(col("w1"), col("w2")).as("n1tot"),
+      countDistinct(col("w2")).as("v"))
+    val pcont = (coalesce(col("n1back"), lit(0L)).cast("double") +
+        lit(alpha)) /
+      (col("n1tot").cast("double") + lit(alpha) * col("v").cast("double"))
+    val p = when(col("c1").isNotNull,
+      (greatest(coalesce(col("c2"), lit(0L)).cast("double") -
+          lit(discount), lit(0.0)) +
+        lit(discount) * col("n1fwd").cast("double") * pcont) /
+        col("c1").cast("double"))
+      .otherwise(pcont)
+    bg.join(broadcast(c2), Seq("w1", "w2"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .join(broadcast(cont), Seq("w2"), "left")
+      .crossJoin(broadcast(scalars))
+      .withColumn("term", round(log(p), 10).cast("decimal(20,10)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term")).as("sum_lp"), count(lit(1)).as("n_bigrams"))
+      .withColumn("avg_logp", round(
+        col("sum_lp").cast("double") / col("n_bigrams").cast("double"),
+        6))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logp"),
+        round(exp(-col("avg_logp")), 4).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[knScoreOver]] wired to the documents table; reference slice =
+    * every 5th document (the [[lmScoreQuery]] convention). */
+  def knScoreQuery(spark: SparkSession, sfDir: String): DataFrame =
+    knScoreOver(Tables.load(spark, sfDir, "documents"),
+      col("doc_id") % 5 === 0)
+
   /** Fitted-vocabulary cache, keyed by corpus path (the BPE-merges
     * pattern: the vocab is offline model material, fitted once per
     * corpus and folded into the serving projection as a literal). */

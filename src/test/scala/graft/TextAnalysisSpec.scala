@@ -199,6 +199,59 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L) == ((1L, avg(Seq(term(0, 0))))))
   }
 
+  test("knScoreOver: Kneser-Ney distributes backoff by continuation " +
+      "diversity, not raw frequency") {
+    // Reference (doc 0): "francisco" is FREQUENT (4 occurrences as w2)
+    // but context-bound (only ever follows "san"); "hello" is rarer as
+    // a continuation (2 occurrences) but follows two distinct contexts.
+    // After an unseen context, KN must prefer the diverse word:
+    //   Pcont(hello)     = (2 + 0.1)/(N1tot + 0.1 V)   [n1back = 2]
+    //   Pcont(francisco) = (1 + 0.1)/(N1tot + 0.1 V)   [n1back = 1]
+    // even though c(., francisco) = 4 > c(., hello) = 2. An add-alpha
+    // model (lmScoreOver) scores the two probes identically-or-better
+    // for francisco, so the ordering flip is the KN signature.
+    val ref = "san francisco san francisco san francisco san francisco" +
+      " big hello small hello"
+    val docs = Seq(
+      (0L, ref),
+      (1L, "zzz francisco"), // unseen context -> pure continuation
+      (2L, "zzz hello")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .knScoreOver(docs, col("doc_id") === 0L)
+      .select(col("doc_id"), col("avg_logp"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(2L) > got(1L),
+      s"KN must score the context-diverse continuation higher: $got")
+  }
+
+  test("knScoreOver: with minCount=1 the conditional distribution " +
+      "over the reference vocabulary sums to exactly 1") {
+    // Identity: sum_{w2 in V} P(w2|w1) = 1 for a seen context when no
+    // bigram is pruned — the discounted mass D*N1fwd/c1 exactly equals
+    // what the max(c2-D,0) terms gave up, and Pcont sums to 1 over V
+    // by construction of the add-alpha floor. Probe docs (ids not
+    // divisible by 5 -> outside the ref slice) each carry ONE bigram
+    // "san w", so exp(avg_logp) = P(w|san).
+    val ref = "san francisco san diego hello world hello kitty"
+    // V = distinct w2 of ref bigrams
+    val vocab = ref.split(" ").sliding(2).map(_(1)).toSeq.distinct
+    val probes = vocab.zipWithIndex.map { case (w, i) =>
+      // ids 1,2,3,4,6,... skip multiples of 5
+      val id = { val k = i + 1; (k + (k - 1) / 4).toLong }
+      (id, s"san $w")
+    }
+    probes.foreach { case (id, _) => assert(id % 5 != 0) }
+    val docs = ((0L, ref) +: probes).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .knScoreOver(docs, col("doc_id") % 5 === 0, minCount = 1)
+      .select(col("doc_id"), col("avg_logp"))
+      .as[(Long, Double)].collect().toMap
+    val total = probes.map { case (id, _) => math.exp(got(id)) }.sum
+    assert(math.abs(total - 1.0) < 1e-4,
+      s"sum_w P(w|san) = $total, expected 1 (vocab=$vocab)")
+  }
+
   test("fitVocab: frequency order with lexicographic tie-break") {
     import SparkSpec.spark.implicits._
     val docs = Seq((1L, "a a b c"), (2L, "b b c d")).toDF("doc_id", "text")
