@@ -200,6 +200,7 @@ object SparkEntry {
     // Graph centrality: 3-iteration PageRank over an id-derived link
     // graph (web-corpus importance weighting)
     "q_pagerank" -> ((s, d) => Graph.pageRankQuery(s, d)),
+    "q_label_prop" -> ((s, d) => Graph.labelPropQuery(s, d)),
     // Exact triangle counts via degree-ordered orientation (bounded
     // wedge fan-out on power-law graphs)
     "q_triangles" -> (Graph.trianglesQuery _),
@@ -2944,6 +2945,53 @@ object SparkEntry {
         |SELECT it3.doc_id, round(it3.pr * nn.nd, 8) AS pr_scaled
         |FROM it3 CROSS JOIN nn
         |ORDER BY it3.doc_id""".stripMargin,
+    // Synchronous label propagation, 3 unrolled rounds: the oracle
+    // rebuilds the symmetrized id-derived edges, replays each round's
+    // neighbor-label vote (most frequent wins, ties to the smallest
+    // label via the rn=1 window), and witnesses final membership plus
+    // community sizes.
+    "q_label_prop" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |ed0 AS (
+        |  SELECT doc_id AS src,
+        |    (doc_id * 7 + 3) % (SELECT n FROM nn) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    (doc_id * 13 + 5) % (SELECT n FROM nn) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    (doc_id * 31 + 11) % (SELECT n FROM nn) FROM documents),
+        |ed AS (SELECT src, dst FROM ed0 WHERE src <> dst),
+        |und AS (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM ed
+        |   UNION ALL SELECT dst AS src, src AS dst FROM ed)),
+        |l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+        |v1 AS (SELECT und.src, l.label, count(*) AS cnt FROM und
+        |  JOIN l0 l ON und.dst = l.doc_id GROUP BY und.src, l.label),
+        |w1 AS (SELECT src, label FROM (SELECT src, label, row_number()
+        |    OVER (PARTITION BY src ORDER BY cnt DESC, label ASC) AS rn
+        |  FROM v1) WHERE rn = 1),
+        |l1 AS (SELECT l0.doc_id, coalesce(w1.label, l0.label) AS label
+        |  FROM l0 LEFT JOIN w1 ON l0.doc_id = w1.src),
+        |v2 AS (SELECT und.src, l.label, count(*) AS cnt FROM und
+        |  JOIN l1 l ON und.dst = l.doc_id GROUP BY und.src, l.label),
+        |w2 AS (SELECT src, label FROM (SELECT src, label, row_number()
+        |    OVER (PARTITION BY src ORDER BY cnt DESC, label ASC) AS rn
+        |  FROM v2) WHERE rn = 1),
+        |l2 AS (SELECT l1.doc_id, coalesce(w2.label, l1.label) AS label
+        |  FROM l1 LEFT JOIN w2 ON l1.doc_id = w2.src),
+        |v3 AS (SELECT und.src, l.label, count(*) AS cnt FROM und
+        |  JOIN l2 l ON und.dst = l.doc_id GROUP BY und.src, l.label),
+        |w3 AS (SELECT src, label FROM (SELECT src, label, row_number()
+        |    OVER (PARTITION BY src ORDER BY cnt DESC, label ASC) AS rn
+        |  FROM v3) WHERE rn = 1),
+        |l3 AS (SELECT l2.doc_id, coalesce(w3.label, l2.label) AS label
+        |  FROM l2 LEFT JOIN w3 ON l2.doc_id = w3.src),
+        |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+        |  FROM l3 GROUP BY label)
+        |SELECT l3.doc_id, l3.label, sz.community_size
+        |FROM l3 JOIN sz ON l3.label = sz.label
+        |ORDER BY l3.doc_id""".stripMargin,
     // Provenance-priority dedup: lowest source number wins, doc_id
     // tiebreak; text reduced to md5 before the digest-keyed window.
     "q_dedup_priority" ->

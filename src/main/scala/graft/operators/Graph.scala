@@ -135,6 +135,60 @@ object Graph {
     * (i, i+3+(i mod 7)); offsets ≤ 10 keep the neighborhood (and the
     * oracle's triple join) bounded while the varying strides make the
     * triangle set irregular. Per-node counts, id-ordered. */
+  /**
+   * Synchronous label-propagation community detection (Raghavan,
+   * Albert & Kumara, Phys. Rev. E 2007) over the symmetrized
+   * id-derived link graph: every node starts as its own label; each
+   * round, every node adopts the most frequent label among its
+   * neighbors (ties to the SMALLEST label — the determinism pin the
+   * async original lacks), for a fixed `iters` rounds so the oracle
+   * can replay the evolution as chained CTEs. The output witnesses
+   * both the final membership and the community sizes.
+   *
+   * Shape at 100 TB: each round is one equi-join of the edge list
+   * onto the (node, label) frame + one map-side-partial (node, label)
+   * vote count + one argmax agg — shuffles carry (id, label, count)
+   * triples only, never adjacency lists; the argmax is
+   * max_by(label, (cnt, −label)), no window sort anywhere. Same
+   * iteration economics as [[pageRankQuery]]: fixed rounds × two
+   * narrow shuffles.
+   */
+  def labelPropQuery(spark: SparkSession, sfDir: String,
+      iters: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val e = edges(docs, n)
+    val und = e.select(col("src"), col("dst"))
+      .unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    propagate(docs, und, iters)
+  }
+
+  /** The [[labelPropQuery]] iteration over an explicit node/edge pair
+    * (edges must already be symmetric): exposed so the spec can drive
+    * hand-computed graphs through the exact production rounds. */
+  private[graft] def propagate(docs: DataFrame, und: DataFrame,
+      iters: Int): DataFrame = {
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    (1 to iters).foreach { _ =>
+      val votes = und.join(labels, und("dst") === labels("doc_id"))
+        .select(und("src").as("src"), col("label"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+      val winners = votes.groupBy(col("src"))
+        .agg(max_by(col("label"), struct(col("cnt"), -col("label")))
+          .as("new_label"))
+      labels = labels
+        .join(winners, labels("doc_id") === winners("src"), "left")
+        .select(labels("doc_id"),
+          coalesce(col("new_label"), col("label")).as("label"))
+    }
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("doc_id"), col("label"), col("community_size"))
+      .orderBy(col("doc_id"))
+  }
+
   def trianglesQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val i = col("doc_id")
     val e = Tables.load(spark, sfDir, "documents")

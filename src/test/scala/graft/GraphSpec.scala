@@ -43,4 +43,28 @@ class GraphSpec extends SparkSpec {
     // corner sum = 3 x triangle count
     assert(got.values.sum == 3L * 4L)
   }
+
+  test("label propagation: hand-computed 3-round trace on bridged " +
+      "triangles — the bridge does not merge the communities") {
+    import SparkSpec.spark.implicits._
+    // Two triangles {0,1,2} and {3,4,5} joined by bridge 2-3.
+    // r1: [1,0,0,2,3,3]  (min-label ties from the identity start)
+    // r2: [0,0,0,3,2,2]
+    // r3: [0,0,0,2,2,2]  -> communities 0 (size 3) and 2 (size 3)
+    val docs = (0L to 5L).toDF("doc_id")
+    val base = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L))
+    val und = (base ++ base.map(_.swap)).toDF("src", "dst")
+    val got = Graph.propagate(docs, und, 3).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      0L -> ((0L, 3L)), 1L -> ((0L, 3L)), 2L -> ((0L, 3L)),
+      3L -> ((2L, 3L)), 4L -> ((2L, 3L)), 5L -> ((2L, 3L))),
+      s"trace mismatch: $got")
+    // determinism: same result on a repartitioned edge list
+    val again = Graph.propagate(docs.repartition(5),
+      und.repartition(3), 3).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(again == got)
+  }
 }
