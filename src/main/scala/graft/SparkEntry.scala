@@ -292,6 +292,7 @@ object SparkEntry {
     "q_media_decode" -> (Multimodal.decodePipelineQuery _),
     "q_image_decode" -> (Multimodal.imageDecodeQuery _),
     "q_image_resize" -> (Multimodal.imageResizeQuery _),
+    "q_image_phash" -> (Multimodal.imagePhashQuery _),
     "q_audio_decode" -> (Multimodal.audioDecodeQuery _),
     "q_audio_energy" -> (Multimodal.audioEnergyQuery _),
     "q_video_decode" -> (Multimodal.videoDecodeQuery _),
@@ -3618,6 +3619,45 @@ object SparkEntry {
         |       ELSE greatest(1, (h * 8) // greatest(w, h)) END
         |    AS INTEGER) AS height
         |FROM dims
+        |ORDER BY media_id""".stripMargin,
+    // Perceptual dHash over the REAL decode: the engine rasterizes
+    // each stored PNG and hashes it; the oracle recomputes the exact
+    // 64-bit fingerprint from doc_id arithmetic (pixel = low 24 bits
+    // of Long.hashCode(id*1000003 + sy*1009 + sx*31), nearest-neighbor
+    // 9x8 grid, integer luminance, row-major MSB-first halves) —
+    // agreement proves channel order, grid, and bit packing together.
+    "q_image_phash" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, x.x AS x, y.y AS y,
+        |    ((x.x * (4 + d.doc_id % 13)) // 9) AS sx,
+        |    ((y.y * (4 + d.doc_id % 11)) // 8) AS sy
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(range(0, 9)) AS x) x
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y),
+        |g AS (
+        |  SELECT doc_id, x, y,
+        |    (299 * ((m >> 16) & 255) + 587 * ((m >> 8) & 255) +
+        |      114 * (m & 255)) // 1000 AS gray
+        |  FROM (
+        |    SELECT doc_id, x, y, xor(v, v >> 32) & 16777215 AS m
+        |    FROM (SELECT doc_id, x, y,
+        |        doc_id * 1000003 + sy * 1009 + sx * 31 AS v
+        |      FROM px))),
+        |bits AS (
+        |  SELECT a.doc_id, a.x, a.y,
+        |    CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+        |  FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.y = b.y
+        |    AND b.x = a.x + 1
+        |  WHERE a.x < 8)
+        |SELECT doc_id AS media_id,
+        |  CAST(sum(CASE WHEN y < 4 THEN
+        |      bit * ((1::BIGINT) << (31 - ((y % 4) * 8 + x)))
+        |    ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |  CAST(sum(CASE WHEN y >= 4 THEN
+        |      bit * ((1::BIGINT) << (31 - ((y % 4) * 8 + x)))
+        |    ELSE 0 END) AS BIGINT) AS dhash_lo,
+        |  CAST(sum(bit) AS INTEGER) AS dhash_pop
+        |FROM bits GROUP BY doc_id
         |ORDER BY media_id""".stripMargin,
     // q_audio_decode proves the REAL audio codec: Spark encodes WAVE
     // files with id-derived rate/frames and decodes them via

@@ -639,6 +639,79 @@ object Multimodal {
       .select(col("media_id"), col("width"), col("height"))
       .orderBy(col("media_id"))
 
+  /**
+   * Difference-hash (dHash) perceptual fingerprint of one decoded
+   * image: sample a 9×8 grid nearest-neighbor (sx = x·w÷9,
+   * sy = y·h÷8 — integer floor, no interpolation, so the arithmetic
+   * is exactly replayable), integer-luminance each sample
+   * (gray = (299r + 587g + 114b) ÷ 1000), then one bit per adjacent
+   * horizontal pair: gray(x+1,y) > gray(x,y), row-major MSB-first.
+   * The 64 bits are returned as two 32-bit halves (rows 0–3 / 4–7) so
+   * both engines stay inside non-overflowing BIGINT arithmetic.
+   */
+  def dhashOf(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val gray = Array.ofDim[Int](8, 9)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val rgb = img.getRGB(x * w / 9, y * h / 8)
+        val r = (rgb >> 16) & 0xFF
+        val g = (rgb >> 8) & 0xFF
+        val b = rgb & 0xFF
+        gray(y)(x) = (299 * r + 587 * g + 114 * b) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    var hi = 0L; var lo = 0L
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val bit = if (gray(y)(x + 1) > gray(y)(x)) 1L else 0L
+        val idx = (y % 4) * 8 + x
+        if (y < 4) hi |= bit << (31 - idx) else lo |= bit << (31 - idx)
+        x += 1
+      }
+      y += 1
+    }
+    (hi, lo)
+  }
+
+  /**
+   * Correctness-gate query for perceptual image hashing: decode every
+   * stored PNG for real (`javax.imageio`) and emit its [[dhashOf]]
+   * fingerprint plus popcount. Because the fixture pixels are
+   * id-derived arithmetic and the sampling is nearest-neighbor
+   * integer math, the DuckDB oracle recomputes the EXACT 64-bit hash
+   * from `doc_id` alone — the full decode chain (PNG round-trip,
+   * channel order, luminance, grid, bit packing) sits behind an
+   * exact-hash gate, not an invariant one. Shape: narrow
+   * per-partition decode, no shuffle; the hash is the 8-byte object
+   * a 100 TB image-dedup pass would band and join on
+   * ([[mediaNearDupQuery]] is the embedding-space twin).
+   */
+  def imagePhashQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(buildImageStore(spark, sfDir))
+      .select(col("media_id"), col("kind"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          require(img != null, s"corrupt PNG payload (media ${r.media_id})")
+          val (hi, lo) = dhashOf(img)
+          (r.media_id, hi, lo,
+            java.lang.Long.bitCount(hi) + java.lang.Long.bitCount(lo))
+        }
+      }
+      .toDF("media_id", "dhash_hi", "dhash_lo", "dhash_pop")
+      .orderBy(col("media_id"))
+  }
+
   /** Correctness-gate query for the REAL image decode: encode PNGs with
     * id-derived dimensions, decode them back with `javax.imageio`, and
     * let the DuckDB oracle predict the recovered dimensions from

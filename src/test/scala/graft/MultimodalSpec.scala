@@ -252,4 +252,37 @@ class MultimodalSpec extends SparkSpec {
     val total = res.map(_.getLong(1)).sum
     assert(total == Tables.load(spark, sfDir, "documents").count())
   }
+
+  test("dhash: hand-computed gradient trace, flat-image zero, and " +
+      "the near-dup locality property") {
+    def img(w: Int, h: Int)(px: (Int, Int) => Int) = {
+      val b = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) b.setRGB(x, y, px(x, y))
+      b
+    }
+    // strictly left-to-right brightening 9x8 grayscale ramp: every
+    // adjacent comparison is "brighter" -> all 64 bits set
+    val ramp = img(9, 8)((x, _) => { val v = x * 28; (v << 16) | (v << 8) | v })
+    assert(Multimodal.dhashOf(ramp) == ((0xFFFFFFFFL, 0xFFFFFFFFL)))
+    // flat image: no comparison fires -> zero hash
+    val flat = img(9, 8)((_, _) => 0x808080)
+    assert(Multimodal.dhashOf(flat) == ((0L, 0L)))
+    // locality: brightening ONE sampled pixel changes at most its two
+    // adjacent comparisons -> Hamming distance <= 2 (the property that
+    // makes dHash a NEAR-dup key rather than an exact one)
+    val base = img(9, 8)((x, y) =>
+      { val v = (x * 37 + y * 11) % 200; (v << 16) | (v << 8) | v })
+    // (4,3) base gray 181 sits above its left neighbor (144) and
+    // above its right one (18): darkening it to 0 flips both
+    // comparisons, the worst case
+    val tweaked = img(9, 8)((x, y) =>
+      if (x == 4 && y == 3) 0x000000
+      else { val v = (x * 37 + y * 11) % 200; (v << 16) | (v << 8) | v })
+    val (h1, l1) = Multimodal.dhashOf(base)
+    val (h2, l2) = Multimodal.dhashOf(tweaked)
+    val dist = java.lang.Long.bitCount(h1 ^ h2) +
+      java.lang.Long.bitCount(l1 ^ l2)
+    assert(dist <= 2 && dist >= 1, s"one-pixel tweak moved $dist bits")
+  }
 }
