@@ -293,6 +293,7 @@ object SparkEntry {
     "q_image_decode" -> (Multimodal.imageDecodeQuery _),
     "q_image_resize" -> (Multimodal.imageResizeQuery _),
     "q_image_phash" -> (Multimodal.imagePhashQuery _),
+    "q_audio_fprint" -> (Multimodal.audioFprintQuery _),
     "q_audio_decode" -> (Multimodal.audioDecodeQuery _),
     "q_audio_energy" -> (Multimodal.audioEnergyQuery _),
     "q_video_decode" -> (Multimodal.videoDecodeQuery _),
@@ -3690,6 +3691,33 @@ object SparkEntry {
         |  CAST(floor(sqrt(CAST(sum(smp * smp) AS DOUBLE) / n) * 10000)
         |    AS BIGINT) AS rms_e4
         |FROM v GROUP BY media_id, n
+        |ORDER BY media_id""".stripMargin,
+    // Energy-contour audio fingerprint over the REAL decode: the
+    // oracle replays the id-derived waveform, 16 index-windows
+    // (w = i*16 // n), exact integer window energies, and the 15
+    // adjacent-pair comparison bits MSB-first — agreement proves the
+    // codec, the windowing, and the bit packing together.
+    "q_audio_fprint" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(64 + doc_id % 192 AS BIGINT) AS n
+        |  FROM documents),
+        |s AS (SELECT media_id, n, unnest(range(0, n)) AS i FROM f),
+        |v AS (
+        |  SELECT media_id, n, (i * 16) // n AS w,
+        |    (media_id * 7919 + i * 104729) % 65536 - 32768 AS smp
+        |  FROM s),
+        |e AS (SELECT media_id, n, w, sum(smp * smp) AS e
+        |  FROM v GROUP BY media_id, n, w),
+        |b AS (SELECT a.media_id, a.n, a.w,
+        |    CASE WHEN nx.e > a.e THEN 1 ELSE 0 END AS bit
+        |  FROM e a JOIN e nx ON a.media_id = nx.media_id
+        |    AND nx.w = a.w + 1
+        |  WHERE a.w < 15)
+        |SELECT media_id, n AS n_frames,
+        |  CAST(sum(bit * (1 << (14 - w))) AS INTEGER) AS fprint,
+        |  CAST(sum(bit) AS INTEGER) AS fprint_pop
+        |FROM b GROUP BY media_id, n
         |ORDER BY media_id""".stripMargin,
     // q_video_decode proves the REAL AVI container parse: Spark muxes
     // AVI files with id-derived dims/frame-count and walks the RIFF

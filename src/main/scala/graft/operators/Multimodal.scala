@@ -380,6 +380,58 @@ object Multimodal {
     audioEnergy(spark, spark.read.parquet(buildAudioStore(spark, sfDir)))
       .orderBy(col("media_id"))
 
+  case class AudioFprint(media_id: Long, n_frames: Long, fprint: Int,
+      fprint_pop: Int)
+
+  /** Energy-contour fingerprint of one decoded PCM stream — the audio
+    * twin of [[dhashOf]] (the shape Chromaprint-family fingerprints
+    * reduce to without the FFT): split the n samples into 16
+    * index-windows (sample i → window i·16÷n, integer floor), take
+    * each window's EXACT integer sum-of-squares energy, then one bit
+    * per adjacent window pair — energy(w+1) > energy(w) — 15 bits
+    * MSB-first. All-integer math end to end, so the SQL oracle
+    * replays the fingerprint bit-for-bit from the id-derived waveform
+    * while the engine computes it from the REAL `javax.sound` decode. */
+  def audioFprintOf(samples: Array[Short]): Int = {
+    val n = samples.length
+    val e = new Array[Long](16)
+    var i = 0
+    while (i < n) {
+      val v = samples(i).toLong
+      e(i * 16 / n) += v * v
+      i += 1
+    }
+    var fp = 0
+    var w = 0
+    while (w < 15) {
+      if (e(w + 1) > e(w)) fp |= 1 << (14 - w)
+      w += 1
+    }
+    fp
+  }
+
+  /** Correctness-gate query for audio fingerprinting: decode every
+    * stored WAVE for real, fingerprint its energy contour, and let
+    * the oracle recompute the exact 15-bit value from doc_id
+    * arithmetic — the [[imagePhashQuery]] pattern on the audio path.
+    * Narrow per-partition decode, no shuffle; the fingerprint is the
+    * band key an audio near-dup pass would block on. */
+  def audioFprintQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(buildAudioStore(spark, sfDir))
+      .select(col("media_id"), col("kind"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val samples = decodeAudioSamples(r.payload)
+          val fp = audioFprintOf(samples)
+          AudioFprint(r.media_id, samples.length.toLong, fp,
+            Integer.bitCount(fp))
+        }
+      }.toDF()
+      .orderBy(col("media_id"))
+  }
+
   // ---------------------------------------------------------------- video
 
   private val AviMagic = "AVI ".getBytes("US-ASCII")

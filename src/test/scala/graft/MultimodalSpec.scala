@@ -285,4 +285,25 @@ class MultimodalSpec extends SparkSpec {
       java.lang.Long.bitCount(l1 ^ l2)
     assert(dist <= 2 && dist >= 1, s"one-pixel tweak moved $dist bits")
   }
+
+  test("audio fingerprint: hand-computed contour traces") {
+    // 32 samples -> 16 windows of 2. Rising amplitude staircase:
+    // window w holds samples of amplitude w -> every adjacent energy
+    // comparison fires -> all 15 bits set.
+    val rising = Array.tabulate[Short](32)(i => (i / 2 * 100).toShort)
+    assert(Multimodal.audioFprintOf(rising) == 0x7FFF)
+    // constant amplitude -> zero fingerprint
+    val flat = Array.fill[Short](32)(1000)
+    assert(Multimodal.audioFprintOf(flat) == 0)
+    // single loud window (w=3 of 16): exactly two comparisons fire —
+    // into the window (bit w=2, weight 1<<12) and none rising after,
+    // so fprint = 1<<12 and popcount 1
+    val spike = Array.tabulate[Short](32)(i =>
+      if (i / 2 == 3) 5000 else 0)
+    assert(Multimodal.audioFprintOf(spike) == (1 << 12))
+    // sign invariance: energy is squared, so negated samples match
+    val neg = rising.map(s => (-s).toShort)
+    assert(Multimodal.audioFprintOf(neg) ==
+      Multimodal.audioFprintOf(rising))
+  }
 }
