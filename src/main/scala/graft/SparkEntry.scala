@@ -294,6 +294,7 @@ object SparkEntry {
     "q_image_resize" -> (Multimodal.imageResizeQuery _),
     "q_image_phash" -> (Multimodal.imagePhashQuery _),
     "q_audio_fprint" -> (Multimodal.audioFprintQuery _),
+    "q_video_fprint" -> (Multimodal.videoFprintQuery _),
     "q_audio_decode" -> (Multimodal.audioDecodeQuery _),
     "q_audio_energy" -> (Multimodal.audioEnergyQuery _),
     "q_video_decode" -> (Multimodal.videoDecodeQuery _),
@@ -3716,6 +3717,37 @@ object SparkEntry {
         |  WHERE a.w < 15)
         |SELECT media_id, n AS n_frames,
         |  CAST(sum(bit * (1 << (14 - w))) AS INTEGER) AS fprint,
+        |  CAST(sum(bit) AS INTEGER) AS fprint_pop
+        |FROM b GROUP BY media_id, n
+        |ORDER BY media_id""".stripMargin,
+    // Video brightness-contour fingerprint over the REAL RIFF demux:
+    // frame f's byte sum is Σ_{i<L} (id·31 + f·7 + i) mod 256 with
+    // L = w·h·3, replayed in closed form (q·32640 full cycles + the
+    // wrapped partial-run sum); one bit per adjacent frame pair.
+    "q_video_fprint" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(8 + doc_id % 9 AS BIGINT) *
+        |      CAST(6 + doc_id % 7 AS BIGINT) * 3 AS len,
+        |    CAST(4 + doc_id % 12 AS BIGINT) AS n
+        |  FROM documents),
+        |fr AS (SELECT media_id, len, n, unnest(range(0, n)) AS fi FROM f),
+        |cs AS (SELECT media_id, n, fi,
+        |    (media_id * 31 + fi * 7) % 256 AS c,
+        |    len // 256 AS q, len % 256 AS r
+        |  FROM fr),
+        |fs AS (SELECT media_id, n, fi,
+        |    q * 32640 + CASE WHEN r <= 256 - c
+        |      THEN r * c + (r * (r - 1)) // 2
+        |      ELSE ((c + 255) * (256 - c)) // 2 +
+        |        ((r - (256 - c)) * (r - (256 - c) - 1)) // 2 END AS fsum
+        |  FROM cs),
+        |b AS (SELECT a.media_id, a.n, a.fi,
+        |    CASE WHEN nx.fsum > a.fsum THEN 1 ELSE 0 END AS bit
+        |  FROM fs a JOIN fs nx ON a.media_id = nx.media_id
+        |    AND nx.fi = a.fi + 1)
+        |SELECT media_id, CAST(n AS INTEGER) AS n_frames,
+        |  CAST(sum(bit * (1 << (n - 2 - fi))) AS INTEGER) AS fprint,
         |  CAST(sum(bit) AS INTEGER) AS fprint_pop
         |FROM b GROUP BY media_id, n
         |ORDER BY media_id""".stripMargin,

@@ -620,6 +620,50 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame_no"))
   }
 
+  /** Temporal brightness-contour fingerprint of one demuxed frame
+    * sequence — the video member of the [[dhashOf]]/[[audioFprintOf]]
+    * triad: each frame reduces to its exact unsigned-byte sum
+    * ("brightness"), then one bit per adjacent frame pair —
+    * sum(f+1) > sum(f) — packed MSB-first into n−1 bits. Scene-cut
+    * hashing reduced to its arithmetic core: all-integer, so the SQL
+    * oracle replays it in closed form from the id-derived pixel
+    * stream while the engine walks the REAL RIFF container. */
+  def videoFprintOf(frames: Array[Array[Byte]]): Int = {
+    val sums = frames.map { fb =>
+      var s = 0L; var i = 0
+      while (i < fb.length) { s += (fb(i) & 0xFF).toLong; i += 1 }
+      s
+    }
+    var fp = 0
+    var f = 0
+    while (f < sums.length - 1) {
+      if (sums(f + 1) > sums(f)) fp |= 1 << (sums.length - 2 - f)
+      f += 1
+    }
+    fp
+  }
+
+  /** Correctness-gate query for video fingerprinting: demux every
+    * stored AVI for real and fingerprint its brightness contour; the
+    * oracle recomputes the exact value with a closed-form sum over
+    * the (id·31 + f·7 + i) mod 256 pixel bytes. Narrow per-partition
+    * demux, no shuffle. */
+  def videoFprintQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(buildVideoStore(spark, sfDir))
+      .select(col("media_id"), col("kind"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val frames = demuxFrames(r.payload)
+          val fp = videoFprintOf(frames)
+          (r.media_id, frames.length, fp, Integer.bitCount(fp))
+        }
+      }
+      .toDF("media_id", "n_frames", "fprint", "fprint_pop")
+      .orderBy(col("media_id"))
+  }
+
   // ---------------------------------------------------------------- images
 
   case class ResizedImage(media_id: Long, payload: Array[Byte])

@@ -306,4 +306,18 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioFprintOf(neg) ==
       Multimodal.audioFprintOf(rising))
   }
+
+  test("video fingerprint: hand-computed brightness-contour traces") {
+    def frame(bytes: Int*): Array[Byte] = bytes.map(_.toByte).toArray
+    // brightness sums 10, 30, 20, 20: bits = (30>10)=1, (20>30)=0,
+    // (20>20)=0 -> MSB-first over 3 bits -> 0b100 = 4
+    val frames = Array(frame(10), frame(10, 20), frame(5, 15), frame(20))
+    assert(Multimodal.videoFprintOf(frames) == 4)
+    // monotone brightening n=5 -> all 4 bits -> 0b1111
+    val rising = Array.tabulate(5)(f => frame(f * 10))
+    assert(Multimodal.videoFprintOf(rising) == 0xF)
+    // bytes are unsigned: 0xFF counts as 255, not -1
+    val unsigned = Array(frame(1), frame(0xFF))
+    assert(Multimodal.videoFprintOf(unsigned) == 1)
+  }
 }
