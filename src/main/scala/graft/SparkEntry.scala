@@ -109,6 +109,7 @@ object SparkEntry {
     // Sparse retrieval: BM25 scoring + RAG chunking with overlap
     "q_bm25" -> ((s, d) => Retrieval.bm25Query(s, d)),
     "q_rrf_fusion" -> ((s, d) => Retrieval.rrfFusionQuery(s, d)),
+    "q_sparse_cosine" -> ((s, d) => Retrieval.sparseCosineQuery(s, d)),
     "q_chunk" -> (Retrieval.chunkQuery _),
     // Real BPE tokenizer (fit + apply); merge table is data-dependent
     // model state → rows-only driver check, algorithm spec-gated
@@ -2307,6 +2308,43 @@ object SparkEntry {
         |    AS rrf_score
         |FROM sparse sp FULL OUTER JOIN dense de ON sp.doc_id = de.doc_id
         |ORDER BY rrf_score DESC, doc_id
+        |LIMIT 20""".stripMargin,
+    // Sparse TF-IDF pair cosine: the oracle refits the df-capped
+    // vocabulary, the L2 norms (squared weights rounded to 8 dp,
+    // DECIMAL-summed), and the inverted-index pair products (rounded
+    // to 10 dp, DECIMAL-summed) — the q_lm_ppl order-free-sum rule
+    // applied twice.
+    "q_sparse_cosine" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+        |  GROUP BY term HAVING count(*) <= 50),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |w AS (
+        |  SELECT doc_id, tf.term,
+        |    CAST(tf.tf AS DOUBLE) * ln(n.n / CAST(df.df AS DOUBLE)) AS w
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |nm AS (SELECT doc_id,
+        |    sqrt(CAST(sum(CAST(round(w * w, 8) AS DECIMAL(30,8)))
+        |      AS DOUBLE)) AS norm
+        |  FROM w GROUP BY doc_id),
+        |wn AS (SELECT w.doc_id, w.term, w.w / nm.norm AS wn
+        |  FROM w JOIN nm ON w.doc_id = nm.doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(round(a.wn * b.wn, 10) AS DECIMAL(20,10)) AS p
+        |  FROM wn a JOIN wn b ON a.term = b.term
+        |    AND a.doc_id < b.doc_id),
+        |s AS (SELECT doc_a, doc_b, sum(p) AS s,
+        |    CAST(count(*) AS BIGINT) AS shared_terms
+        |  FROM p GROUP BY doc_a, doc_b)
+        |SELECT doc_a, doc_b, shared_terms,
+        |  round(CAST(s AS DOUBLE), 4) AS cos_sim
+        |FROM s
+        |ORDER BY cos_sim DESC, doc_a, doc_b
         |LIMIT 20""".stripMargin,
     // RAG chunking: chunk i = words [i*24, i*24+32); chunk count
     // 1 + max(0, ceil((n-32)/24)) — the oracle replays slicing,

@@ -160,4 +160,66 @@ object Retrieval {
       .select(col("doc_id"), col("sparse_rank"), col("dense_rank"),
         col("rrf_score"))
   }
+
+  /**
+   * All-pairs sparse document similarity: TF-IDF-weighted,
+   * L2-normalized cosine over the DISCRIMINATIVE vocabulary
+   * (df ≤ `maxDf`), pairs generated through a term-inverted index —
+   * the sparse twin of the dense ANN family in
+   * [[graft.operators.Similarity]], and the classic "more-like-this"
+   * pair miner.
+   *
+   * The df cap is the skew guard that makes the inverted-index
+   * self-join scale: a stopword-grade term with df = d would emit
+   * d²/2 candidate pairs, so terms above the cap are purged BEFORE
+   * the join (mirrored in the oracle — the cap defines the
+   * vocabulary, it is not an approximation of it). Each surviving
+   * posting list is ≤ maxDf long, so the term-keyed shuffle carries
+   * bounded lists and the pair explosion is ≤ maxDf²/2 per term
+   * regardless of corpus size. The [[graft.operators.Dedup]] n-gram
+   * Jaccard miner uses the same discipline.
+   *
+   * Exactness: per-term products and squared weights round to
+   * 10/8 dp and sum as DECIMAL (order-free, the q_lm_ppl rule), so
+   * the distributed sums match DuckDB's single-threaded ones
+   * bit-for-bit; norms and the final cosine are IEEE-identical
+   * expression trees.
+   */
+  def sparseCosineQuery(spark: SparkSession, sfDir: String,
+      maxDf: Int = 50, k: Int = 20): DataFrame =
+    sparseCosineOver(Tables.load(spark, sfDir, "documents"), maxDf, k)
+
+  /** [[sparseCosineQuery]] over an explicit documents frame (spec
+    * entry point for hand-built corpora). */
+  def sparseCosineOver(docs: DataFrame,
+      maxDf: Int = 50, k: Int = 20): DataFrame = {
+    val nDocs = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val w = tf.join(broadcast(dfTab), Seq("term"))
+      .withColumn("w", col("tf").cast("double") *
+        log(lit(nDocs.toDouble) / col("df").cast("double")))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum(round(col("w") * col("w"), 8)
+        .cast("decimal(30,8)")).cast("double")).as("norm"))
+    val wn = w.join(norms, Seq("doc_id"))
+      .select(col("doc_id"), col("term"),
+        (col("w") / col("norm")).as("wn"))
+    wn.as("a")
+      .join(wn.as("b"), col("a.term") === col("b.term") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(col("a.wn") * col("b.wn"), 10)
+          .cast("decimal(20,10)").as("p"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("p")).as("s"), count(lit(1)).as("shared_terms"))
+      .select(col("doc_a"), col("doc_b"), col("shared_terms"),
+        round(col("s").cast("double"), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_a"), col("doc_b"))
+      .limit(k)
+  }
 }

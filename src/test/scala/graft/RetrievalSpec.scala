@@ -146,6 +146,35 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("sparse cosine: identical docs score 1, disjoint docs are " +
+      "absent, the df cap purges stopword-grade terms") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha beta gamma"),  // exact twin of 0
+      (2L, "delta epsilon"),     // shares nothing with 0/1
+      (3L, "alpha zeta"),        // partial overlap with 0/1
+      (4L, "common common"), (5L, "common"), (6L, "common x"),
+      (7L, "common y"), (8L, "common z")) // "common" df=5 > cap
+      .toDF("doc_id", "text")
+    val rows = Retrieval.sparseCosineOver(docs, maxDf = 4, k = 50)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // exact twins: full overlap, cosine exactly 1
+    assert(rows((0L, 1L)) == ((3L, 1.0)), s"got ${rows.get((0L, 1L))}")
+    // disjoint docs never pair
+    assert(!rows.contains((0L, 2L)) && !rows.contains((1L, 2L)))
+    // partial overlap: 0 < cos < 1
+    val (st, cs) = rows((0L, 3L))
+    assert(st == 1L && cs > 0 && cs < 1)
+    // "common" (df 5 > cap 4) must not generate any pair: docs 4,5
+    // share only the purged term
+    assert(!rows.contains((4L, 5L)))
+    // every reported cosine is a valid normalized similarity
+    rows.values.foreach { case (_, c) => assert(c > 0 && c <= 1.0) }
+  }
+
   test("plan: rrf arms are bounded heaps — the fusion join touches " +
       "2*armK rows, never the corpus") {
     val plan = Retrieval.rrfFusionQuery(spark, sfDir)
