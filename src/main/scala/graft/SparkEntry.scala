@@ -198,6 +198,7 @@ object SparkEntry {
     // Entity resolution: block on messy account-no suffix, fuzzy-verify
     // names, transitive closure → entity ids across three sources
     "q_entity_resolve" -> (Linkage.entityResolveQuery _),
+    "q_jaro_winkler" -> (Linkage.jaroWinklerQuery _),
     // Graph centrality: 3-iteration PageRank over an id-derived link
     // graph (web-corpus importance weighting)
     "q_pagerank" -> ((s, d) => Graph.pageRankQuery(s, d)),
@@ -2575,6 +2576,21 @@ object SparkEntry {
         |    CAST(n_bigrams AS DOUBLE), 6)), 4) AS ppl
         |FROM agg
         |ORDER BY doc_id""".stripMargin,
+    // Jaro-Winkler: cross-ENGINE gate — DuckDB's native
+    // jaro_winkler_similarity vs our codegen kernel, canonical
+    // parameters on both sides (window max/2-1, p=0.1, 4-char prefix,
+    // 0.7 boost threshold; either side empty -> 0).
+    "q_jaro_winkler" ->
+      """WITH nxt AS (
+        |  SELECT c_custkey - 1 AS c_custkey, c_name AS next_name
+        |  FROM customer)
+        |SELECT c.c_custkey,
+        |  round(jaro_winkler_similarity(c.c_name, nxt.next_name), 6)
+        |    AS jw_next,
+        |  round(jaro_winkler_similarity(c.c_name, c.c_mktsegment), 6)
+        |    AS jw_seg
+        |FROM customer c JOIN nxt ON c.c_custkey = nxt.c_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
     // Interpolated Kneser–Ney bigram scoring: the oracle replays the
     // pruned bigram counts, per-context (c1, N1+fwd), per-word
     // continuation N1+back, the scalar (N1+total, V) row, and the

@@ -1723,6 +1723,79 @@ object VectorKernels {
       copy(child = newChild)
   }
 
+  /** Jaro–Winkler similarity (Jaro 1989; Winkler 1990) of two strings
+    * — canonical parameters: match window ⌊max(|a|,|b|)/2⌋ − 1,
+    * transpositions = half the out-of-order matched positions (kept
+    * fractional), prefix scale p = 0.1 over at most 4 common leading
+    * characters, boost applied only when jaro > 0.7. Either input
+    * empty → 0 (the DuckDB `jaro_winkler_similarity` convention the
+    * oracle compares against). */
+  def jaroWinklerJava(left: org.apache.spark.unsafe.types.UTF8String,
+      right: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val a = left.toString; val b = right.toString
+    val m1 = a.length; val m2 = b.length
+    if (m1 == 0 || m2 == 0) return 0.0
+    val window = math.max(0, math.max(m1, m2) / 2 - 1)
+    val used1 = new Array[Boolean](m1)
+    val used2 = new Array[Boolean](m2)
+    var m = 0
+    var i = 0
+    while (i < m1) {
+      var j = math.max(0, i - window)
+      val hi = math.min(m2 - 1, i + window)
+      var matched = false
+      while (j <= hi && !matched) {
+        if (!used2(j) && a.charAt(i) == b.charAt(j)) {
+          used1(i) = true; used2(j) = true; m += 1; matched = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // out-of-order matched positions
+    var k = 0
+    var j2 = 0
+    i = 0
+    while (i < m1) {
+      if (used1(i)) {
+        while (!used2(j2)) j2 += 1
+        if (a.charAt(i) != b.charAt(j2)) k += 1
+        j2 += 1
+      }
+      i += 1
+    }
+    val t = k / 2.0
+    val jaro = (m.toDouble / m1 + m.toDouble / m2 + (m - t) / m) / 3.0
+    var l = 0
+    while (l < 4 && l < m1 && l < m2 && a.charAt(l) == b.charAt(l)) l += 1
+    if (jaro > 0.7) jaro + l * 0.1 * (1.0 - jaro) else jaro
+  }
+
+  /** See [[jaroWinklerJava]]. */
+  case class JaroWinkler(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (Seq(left, right).forall(
+          _.dataType == org.apache.spark.sql.types.StringType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string inputs, got " +
+          Seq(left, right).map(_.dataType.simpleString).mkString(", "))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_jaro_winkler"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      jaroWinklerJava(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.VectorKernels.jaroWinklerJava($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Token emitted by [[wordpieceTokensJava]] when a word contains a
     * character outside the vocabulary (the BERT convention: the whole
     * word collapses to one unknown token rather than a partial
@@ -1986,6 +2059,7 @@ object VectorKernels {
     // vocab must be a foldable array<string> literal
     fn("graft_wordpiece", es => WordpieceTokens(es(0),
       toStringSeq(es(1).eval()))),
+    fn("graft_jaro_winkler", es => JaroWinkler(es(0), es(1))),
   )
 
   /** SparkSessionExtensions hook: `.withExtensions(VectorKernels.register)`. */

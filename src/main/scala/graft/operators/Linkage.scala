@@ -117,4 +117,37 @@ object Linkage {
     resolveEntities(crm.unionByName(web).unionByName(app))
       .orderBy(col("rec_id"))
   }
+
+  /**
+   * Jaro–Winkler string similarity — the record-linkage scorer that
+   * outranks Levenshtein for person/entity names (transposition-aware,
+   * prefix-weighted; Winkler 1990). Implemented as a codegen'd
+   * Catalyst kernel ([[graft.functions.VectorKernels.JaroWinkler]])
+   * with the canonical parameters (window ⌊max/2⌋−1, p = 0.1, 4-char
+   * prefix cap, 0.7 boost threshold), which the DuckDB oracle's
+   * native `jaro_winkler_similarity` reproduces value-for-value —
+   * a cross-ENGINE check of the whole matching/transposition/boost
+   * chain, not a replay of our own arithmetic.
+   *
+   * The gate scores two pair populations per customer: the next
+   * customer's name (near-identical strings — exercises transposition
+   * bookkeeping on long common subsequences) and the customer's
+   * market segment (unrelated short strings — exercises the window
+   * cutoff and sparse-match path). Pure projection + one self-join on
+   * adjacent keys; at 100 TB the scorer runs inside whatever blocking
+   * the ER pass provides ([[resolveEntities]]).
+   */
+  def jaroWinklerQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val nxt = c.select((col("c_custkey") - 1).as("c_custkey"),
+      col("c_name").as("next_name"))
+    c.join(nxt, Seq("c_custkey"))
+      .select(col("c_custkey"),
+        round(call_function("graft_jaro_winkler",
+          col("c_name"), col("next_name")), 6).as("jw_next"),
+        round(call_function("graft_jaro_winkler",
+          col("c_name"), col("c_mktsegment")), 6).as("jw_seg"))
+      .orderBy(col("c_custkey"))
+  }
 }

@@ -74,4 +74,37 @@ class LinkageSpec extends SparkSpec {
     assert(orphan.count() == 0, "web/app record failed to link to crm")
     out.unpersist()
   }
+
+  test("jaro-winkler kernel replays the textbook values") {
+    import SparkSpec.spark.implicits._
+    // (a, b, expected to 6 dp): the canonical published examples plus
+    // the edge family — window-0 transposition, boost threshold hit
+    // exactly at jaro = 0.7333 with no shared prefix, empty-side zero.
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.961111),
+      ("DIXON", "DICKSONX", 0.813333),
+      ("JELLYFISH", "SMELLYFISH", 0.896296),
+      ("DUANE", "DYANE", 0.88),
+      ("CRATE", "TRACE", 0.733333),
+      ("apple", "apple", 1.0),
+      ("abc", "xyz", 0.0),
+      ("ab", "ba", 0.0),     // window 0: no in-window match at all
+      ("abab", "baba", 0.833333),
+      ("a", "", 0.0))
+    val got = cases.map { case (a, b, _) => (a, b) }
+      .toDF("a", "b")
+      .select(round(call_function("graft_jaro_winkler",
+        col("a"), col("b")), 6))
+      .as[Double].collect()
+    cases.zip(got).foreach { case ((a, b, want), v) =>
+      assert(v == want, s"jw($a, $b) = $v, want $want")
+    }
+    // symmetry on the real corpus scorer inputs
+    val sym = Seq(("DIXON", "DICKSONX")).toDF("a", "b")
+      .select(
+        call_function("graft_jaro_winkler", col("a"), col("b")) ===
+        call_function("graft_jaro_winkler", col("b"), col("a")))
+      .as[Boolean].collect().head
+    assert(sym, "jaro-winkler must be symmetric")
+  }
 }
