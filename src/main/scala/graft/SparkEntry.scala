@@ -203,6 +203,7 @@ object SparkEntry {
     // graph (web-corpus importance weighting)
     "q_pagerank" -> ((s, d) => Graph.pageRankQuery(s, d)),
     "q_label_prop" -> ((s, d) => Graph.labelPropQuery(s, d)),
+    "q_kcore" -> ((s, d) => Graph.kCoreQuery(s, d)),
     // Exact triangle counts via degree-ordered orientation (bounded
     // wedge fan-out on power-law graphs)
     "q_triangles" -> (Graph.trianglesQuery _),
@@ -235,6 +236,7 @@ object SparkEntry {
     "q_pii_scrub" -> (Curation.piiScrubQuery _),
     // K-anonymity release gate: generalization ladder + suppression
     "q_k_anon" -> (Curation.kAnonQuery _),
+    "q_rank_ensemble" -> (Curation.rankEnsembleQuery _),
     // L-diversity: same ladder, sensitive-attribute diversity gate
     "q_l_diversity" -> (Curation.lDiversityQuery _),
     // Domain deny-list: longest label-boundary suffix match
@@ -2576,6 +2578,32 @@ object SparkEntry {
         |    CAST(n_bigrams AS DOUBLE), 6)), 4) AS ppl
         |FROM agg
         |ORDER BY doc_id""".stripMargin,
+    // Borda rank ensemble: rank_m = docs strictly better on metric m
+    // (rank() OVER desc − 1 — identical tie semantics to the
+    // count-greater CDF the engine broadcasts); borda = Σ ranks.
+    "q_rank_ensemble" ->
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS s_len,
+        |    round(CAST(len(list_distinct(string_split(text, ' ')))
+        |        AS DOUBLE) /
+        |      CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS s_div,
+        |    round(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+        |      CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS s_wlen
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, s_len, s_div, s_wlen,
+        |    CAST(rank() OVER (ORDER BY s_len DESC) - 1 AS BIGINT)
+        |      AS r_len,
+        |    CAST(rank() OVER (ORDER BY s_div DESC) - 1 AS BIGINT)
+        |      AS r_div,
+        |    CAST(rank() OVER (ORDER BY s_wlen DESC) - 1 AS BIGINT)
+        |      AS r_wlen
+        |  FROM sc)
+        |SELECT doc_id, s_len, s_div, s_wlen, r_len, r_div, r_wlen,
+        |  r_len + r_div + r_wlen AS borda
+        |FROM r
+        |ORDER BY doc_id""".stripMargin,
     // Jaro-Winkler: cross-ENGINE gate — DuckDB's native
     // jaro_winkler_similarity vs our codegen kernel, canonical
     // parameters on both sides (window max/2-1, p=0.1, 4-char prefix,
@@ -3049,6 +3077,43 @@ object SparkEntry {
         |SELECT l3.doc_id, l3.label, sz.community_size
         |FROM l3 JOIN sz ON l3.label = sz.label
         |ORDER BY l3.doc_id""".stripMargin,
+    // K-core peeling, 3 unrolled synchronous rounds at k=5: each round
+    // keeps nodes with >= 5 live neighbors; the oracle replays the
+    // shrinking live set and the final in-core degree.
+    "q_kcore" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |ed0 AS (
+        |  SELECT doc_id AS src,
+        |    (doc_id * 7 + 3) % (SELECT n FROM nn) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    (doc_id * 13 + 5) % (SELECT n FROM nn) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    (doc_id * 31 + 11) % (SELECT n FROM nn) FROM documents),
+        |ed AS (SELECT src, dst FROM ed0 WHERE src <> dst),
+        |und AS (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM ed
+        |   UNION ALL SELECT dst AS src, src AS dst FROM ed)),
+        |a1 AS (SELECT src AS doc_id FROM und
+        |  GROUP BY src HAVING count(*) >= 5),
+        |a2 AS (SELECT u.src AS doc_id FROM und u
+        |  JOIN a1 s ON u.src = s.doc_id JOIN a1 d ON u.dst = d.doc_id
+        |  GROUP BY u.src HAVING count(*) >= 5),
+        |a3 AS (SELECT u.src AS doc_id FROM und u
+        |  JOIN a2 s ON u.src = s.doc_id JOIN a2 d ON u.dst = d.doc_id
+        |  GROUP BY u.src HAVING count(*) >= 5),
+        |fd AS (SELECT u.src AS doc_id, CAST(count(*) AS BIGINT) AS cd
+        |  FROM und u
+        |  JOIN a3 s ON u.src = s.doc_id JOIN a3 d ON u.dst = d.doc_id
+        |  GROUP BY u.src)
+        |SELECT d.doc_id,
+        |  a3.doc_id IS NOT NULL AS in_core,
+        |  coalesce(fd.cd, 0) AS core_deg
+        |FROM documents d
+        |LEFT JOIN a3 ON d.doc_id = a3.doc_id
+        |LEFT JOIN fd ON d.doc_id = fd.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // Provenance-priority dedup: lowest source number wins, doc_id
     // tiebreak; text reduced to md5 before the digest-keyed window.
     "q_dedup_priority" ->

@@ -798,4 +798,48 @@ object Curation {
         col("nation"), col("acct_band"))
       .orderBy(col("c_custkey"))
   }
+
+  /**
+   * Borda-count quality ensemble: fuse three heterogeneous per-doc
+   * quality signals (length, lexical diversity, mean word length) by
+   * RANK rather than value — the rank-aggregation answer to
+   * incommensurable score scales, the corpus-wide complement of the
+   * top-k [[Retrieval.rrfFusionQuery]]. rank_m(d) = number of docs
+   * strictly better on metric m (descending, 0-based, ties share);
+   * borda = Σ ranks, lower = better.
+   *
+   * The 100 TB trick is how ranks are computed WITHOUT a corpus-wide
+   * sort: each metric is rounded to a bounded value domain, reduced
+   * to a (value, count) table — value-DOMAIN-sized, not corpus-sized
+   * — the "docs strictly better" cumulative count runs as a window
+   * over that tiny table, and the result broadcasts back onto the
+   * scan. Three metric CDFs = three broadcast joins on one pass;
+   * corpus text never shuffles.
+   */
+  def rankEnsembleQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = split(col("text"), " ")
+    val scored = docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("s_len"),
+      round(size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double"), 4).as("s_div"),
+      round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+        size(toks).cast("double"), 4).as("s_wlen"))
+    def cdf(metric: String): DataFrame =
+      scored.groupBy(col(metric)).agg(count(lit(1)).as("c"))
+        .withColumn(s"r_$metric", coalesce(
+          sum(col("c")).over(Window.orderBy(col(metric).desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col(metric), col(s"r_$metric"))
+    scored
+      .join(broadcast(cdf("s_len")), Seq("s_len"))
+      .join(broadcast(cdf("s_div")), Seq("s_div"))
+      .join(broadcast(cdf("s_wlen")), Seq("s_wlen"))
+      .select(col("doc_id"), col("s_len"), col("s_div"), col("s_wlen"),
+        col("r_s_len").as("r_len"), col("r_s_div").as("r_div"),
+        col("r_s_wlen").as("r_wlen"),
+        (col("r_s_len") + col("r_s_div") + col("r_s_wlen")).as("borda"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -189,6 +189,60 @@ object Graph {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * K-core peeling (Seidman 1983) over the symmetrized id-derived
+   * graph: repeatedly drop nodes with fewer than `k` live neighbors —
+   * the degeneracy screen webgraph pipelines run to separate
+   * organically-linked pages from link-farm fringe. `iters` fixed
+   * synchronous peel rounds (the [[labelPropQuery]] discipline: a
+   * pinned round count makes the evolution oracle-replayable as
+   * unrolled CTEs; peeling converges monotonically, so extra rounds
+   * only ever remove more).
+   *
+   * Shape at 100 TB: each round is one semi-join of the edge list
+   * against the live set + one (node, degree) count — shuffles carry
+   * (id, count) pairs; the live set is a shrinking id column, never
+   * adjacency. Output witnesses per-node survival and the live-degree
+   * trajectory's end state.
+   */
+  def kCoreQuery(spark: SparkSession, sfDir: String,
+      k: Int = 5, iters: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val e = edges(docs, n)
+    val und = e.select(col("src"), col("dst"))
+      .unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    peel(docs, und, k, iters)
+  }
+
+  /** The [[kCoreQuery]] peel over an explicit node/edge pair (edges
+    * must already be symmetric) — spec entry point. */
+  private[graft] def peel(docs: DataFrame, und: DataFrame,
+      k: Int, iters: Int): DataFrame = {
+    var alive = docs.select(col("doc_id"))
+    (1 to iters).foreach { _ =>
+      val deg = und
+        .join(alive.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .join(alive.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+      alive = deg.select(col("src").as("doc_id"))
+    }
+    val finalDeg = und
+      .join(alive.withColumnRenamed("doc_id", "src"), Seq("src"))
+      .join(alive.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+      .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+    docs
+      .join(alive.withColumn("in_core", lit(true)), Seq("doc_id"), "left")
+      .join(finalDeg.withColumnRenamed("src", "doc_id"), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"),
+        coalesce(col("in_core"), lit(false)).as("in_core"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+      .orderBy(col("doc_id"))
+  }
+
   def trianglesQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val i = col("doc_id")
     val e = Tables.load(spark, sfDir, "documents")

@@ -542,4 +542,26 @@ class CurationSpec extends SparkSpec {
       assert(out(i) == ((3, false, -1L, -1L)), s"row $i: ${out(i)}")
     }
   }
+
+  test("rank ensemble: ranks equal strictly-better counts with " +
+      "shared ties, borda sums them") {
+    val rows = Curation.rankEnsembleQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val lens = rows.map(_.getLong(1))
+    val divs = rows.map(_.getDouble(2))
+    val wlens = rows.map(_.getDouble(3))
+    rows.foreach { r =>
+      val (rl, rd, rw) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      // rank = count of docs strictly better (descending order)
+      assert(rl == lens.count(_ > r.getLong(1)).toLong,
+        s"r_len mismatch for doc ${r.getLong(0)}")
+      assert(rd == divs.count(_ > r.getDouble(2)).toLong)
+      assert(rw == wlens.count(_ > r.getDouble(3)).toLong)
+      assert(r.getLong(7) == rl + rd + rw)
+    }
+    // at least one metric must have a unique best (rank 0 exactly once
+    // unless tied) — sanity that ranking is actually discriminating
+    assert(rows.map(_.getLong(7)).distinct.length > 1,
+      "borda collapsed to a constant")
+  }
 }

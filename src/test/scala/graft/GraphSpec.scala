@@ -67,4 +67,37 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     assert(again == got)
   }
+
+  test("k-core peel: hand-computed K4+pendant trace and the cascade " +
+      "property on a path") {
+    import SparkSpec.spark.implicits._
+    def sym(edges: Seq[(Long, Long)]) =
+      (edges ++ edges.map(_.swap)).toDF("src", "dst")
+    // K4 on {1,2,3,4} + pendant 5-4, k=3: pendant peels round 1
+    // (deg 1), K4 survives (each deg 3 in-core; node 4 loses the
+    // pendant edge but keeps 3)
+    val docs = (1L to 5L).toDF("doc_id")
+    val und = sym(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (4L, 5L)))
+    val got = Graph.peel(docs, und, k = 3, iters = 3).collect()
+      .map(r => (r.getLong(0), (r.getBoolean(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((true, 3L)), 2L -> ((true, 3L)), 3L -> ((true, 3L)),
+      4L -> ((true, 3L)), 5L -> ((false, 0L))), s"got $got")
+    // cascade: path 1-2-3-4-5, k=2 — endpoints die r1, their
+    // neighbors' live degree drops to 1 and they die r2, the center
+    // dies r3: three rounds empty the whole path
+    val pdocs = (1L to 5L).toDF("doc_id")
+    val path = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    val peeled = Graph.peel(pdocs, path, k = 2, iters = 3).collect()
+    assert(peeled.forall(!_.getBoolean(1)),
+      "the k=2 cascade must empty a 5-path within 3 rounds")
+    // but only 2 rounds leaves the center alive (synchronous rounds
+    // peel one hop per round — the fixed-depth semantics the oracle
+    // replays)
+    val partial = Graph.peel(pdocs, path, k = 2, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(partial(3L) && !partial(1L) && !partial(2L),
+      s"2-round peel should leave only the center: $partial")
+  }
 }
