@@ -106,6 +106,8 @@ object SparkEntry {
     "q_winnow_contam" -> (TextAnalysis.winnowContamQuery _),
     "q_lm_ppl" -> (TextAnalysis.lmScoreQuery _),
     "q_lm_kn" -> (TextAnalysis.knScoreQuery _),
+    "q_pmi" -> ((s, d) => TextAnalysis.pmiQuery(s, d)),
+    "q_bootstrap" -> ((s, d) => Sampling.bootstrapQuery(s, d)),
     // Sparse retrieval: BM25 scoring + RAG chunking with overlap
     "q_bm25" -> ((s, d) => Retrieval.bm25Query(s, d)),
     "q_rrf_fusion" -> ((s, d) => Retrieval.rrfFusionQuery(s, d)),
@@ -2578,6 +2580,59 @@ object SparkEntry {
         |    CAST(n_bigrams AS DOUBLE), 6)), 4) AS ppl
         |FROM agg
         |ORDER BY doc_id""".stripMargin,
+    // PMI collocations: the oracle replays the bigram stream, the
+    // position-count tables, N, and the single-double-division ln
+    // argument; exact BIGINT products, min-count floor 5, top-25.
+    "q_pmi" ->
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |  FROM toks),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg
+        |  GROUP BY w1, w2 HAVING count(*) >= 5),
+        |cl AS (SELECT w1, CAST(count(*) AS BIGINT) AS cl FROM bg
+        |  GROUP BY w1),
+        |cr AS (SELECT w2, CAST(count(*) AS BIGINT) AS cr FROM bg
+        |  GROUP BY w2),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg)
+        |SELECT c2.w1, c2.w2, c2.c2,
+        |  round(ln(CAST(c2.c2 * n.n AS DOUBLE) /
+        |    CAST(cl.cl * cr.cr AS DOUBLE)), 6) AS pmi
+        |FROM c2 JOIN cl ON c2.w1 = cl.w1 JOIN cr ON c2.w2 = cr.w2
+        |CROSS JOIN n
+        |ORDER BY pmi DESC, c2.w1, c2.w2
+        |LIMIT 25""".stripMargin,
+    // Poisson bootstrap: replicate weights are integer-threshold
+    // comparisons on the 24-bit md5 digest (cdf(k)*2^24 floors for
+    // Poisson(1), k=0..6) — no float CDF; weighted sums are exact
+    // BIGINTs; 32 replicate means form the bootstrap distribution.
+    "q_bootstrap" ->
+      """WITH r AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+        |    unnest(range(0, 32)) AS rep
+        |  FROM documents),
+        |v AS (
+        |  SELECT rep, len,
+        |    ('0x' || substring(md5(doc_id::VARCHAR || ':' ||
+        |      rep::VARCHAR), 1, 6))::BIGINT AS v
+        |  FROM r),
+        |w AS (
+        |  SELECT rep, len,
+        |    CAST(v >= 6171992 AS BIGINT) + CAST(v >= 12343985 AS BIGINT)
+        |    + CAST(v >= 15429982 AS BIGINT)
+        |    + CAST(v >= 16458647 AS BIGINT)
+        |    + CAST(v >= 16715813 AS BIGINT)
+        |    + CAST(v >= 16767247 AS BIGINT)
+        |    + CAST(v >= 16775819 AS BIGINT) AS w
+        |  FROM v)
+        |SELECT rep, CAST(sum(w) AS BIGINT) AS n_eff,
+        |  CAST(sum(w * len) AS BIGINT) AS sum_wlen,
+        |  round(CAST(sum(w * len) AS DOUBLE) / CAST(sum(w) AS DOUBLE),
+        |    6) AS mean_len
+        |FROM w GROUP BY rep
+        |ORDER BY rep""".stripMargin,
     // Borda rank ensemble: rank_m = docs strictly better on metric m
     // (rank() OVER desc − 1 — identical tie semantics to the
     // count-greater CDF the engine broadcasts); borda = Σ ranks.

@@ -351,4 +351,47 @@ object Sampling {
       .select(col("doc_id"), col("cluster_id"), col("split"))
       .orderBy(col("doc_id"))
   }
+
+  /** Cumulative Poisson(1) CDF as 24-bit integer thresholds
+    * (⌊cdf(k)·2²⁴⌋ for k = 0..6): a doc's replicate weight is the
+    * count of thresholds ≤ its 24-bit digest value — pure integer
+    * comparisons, no float CDF anywhere, so both engines agree
+    * bit-for-bit. Weights ≥ 7 collapse into 7 (P ≈ 8·10⁻⁵). */
+  private val PoissonThresholds = Seq(6171992L, 12343985L, 15429982L,
+    16458647L, 16715813L, 16767247L, 16775819L)
+
+  /**
+   * Poisson bootstrap (Chamandy et al., "Estimating Uncertainty for
+   * Massive Data Streams", Google 2012): the distributed answer to
+   * "what is the error bar on this corpus metric". Classical
+   * bootstrap resampling needs coordinated sampling WITH replacement
+   * — impossible in one pass at 100 TB; the Poisson approximation
+   * gives every (doc, replicate) an independent Poisson(1) weight, so
+   * B resample replicates ride ONE narrow scan as a ×B row explode
+   * followed by a (replicate, sums) map-side-partial aggregation —
+   * 32 output rows, no shuffle of the corpus, fully deterministic
+   * via the md5-coin convention ([[hashBucket24]]).
+   *
+   * Metric here: mean document length. Weighted sums are exact
+   * BIGINTs (weight × length), so the replicate means are identical
+   * doubles on both engines; the replicate table IS the bootstrap
+   * distribution (percentile CIs read straight off it).
+   */
+  def bootstrapQuery(spark: SparkSession, sfDir: String,
+      reps: Int = 32): DataFrame = {
+    val v = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":"), col("rep").cast("string"))), 1, 6), 16, 10).cast("long")
+    val w = PoissonThresholds
+      .map(t => (v >= lit(t)).cast("long")).reduce(_ + _)
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"),
+        explode(sequence(lit(0L), lit((reps - 1).toLong))).as("rep"))
+      .select(col("rep"), col("len"), w.as("w"))
+      .groupBy(col("rep"))
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * col("len")).as("sum_wlen"))
+      .withColumn("mean_len", round(
+        col("sum_wlen").cast("double") / col("n_eff").cast("double"), 6))
+      .orderBy(col("rep"))
+  }
 }

@@ -431,6 +431,52 @@ object TextAnalysis {
     knScoreOver(Tables.load(spark, sfDir, "documents"),
       col("doc_id") % 5 === 0)
 
+  /**
+   * Pointwise mutual information over adjacent token pairs (Church &
+   * Hanks 1990): PMI(w1,w2) = ln(c(w1,w2)·N / (c_L(w1)·c_R(w2)))
+   * over the bigram stream (c_L/c_R = left/right position counts,
+   * N = total bigrams) — the collocation miner behind phrase
+   * detection and tokenizer-seed selection. A `minCount` floor keeps
+   * the PMI estimator out of its low-count pathology (hapax pairs
+   * score arbitrarily high).
+   *
+   * Scale shape: one narrow bigram explode feeding three map-side-
+   * partial (key, count) aggregations — position-count tables are
+   * vocabulary-sized broadcasts, N is a one-row broadcast, and the
+   * top-k is a bounded-heap TakeOrdered. Corpus text never shuffles.
+   * All count products stay in exact BIGINT (≤ N² < 2⁶³) before ONE
+   * double division, so the ln argument is the identical double on
+   * both engines.
+   */
+  def pmiQuery(spark: SparkSession, sfDir: String,
+      minCount: Int = 5, k: Int = 25): DataFrame =
+    pmiOver(Tables.load(spark, sfDir, "documents"), minCount, k)
+
+  /** [[pmiQuery]] over an explicit documents frame (spec entry). */
+  def pmiOver(docs: DataFrame, minCount: Int = 5, k: Int = 25)
+      : DataFrame = {
+    val bg = docs
+      .select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2)," +
+          " i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2")).filter(col("c2") >= minCount)
+    val cl = bg.groupBy(col("w1")).agg(count(lit(1)).as("cl"))
+    val cr = bg.groupBy(col("w2")).agg(count(lit(1)).as("cr"))
+    val n = bg.agg(count(lit(1)).as("n"))
+    c2.join(broadcast(cl), Seq("w1"))
+      .join(broadcast(cr), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c2"),
+        round(log((col("c2") * col("n")).cast("double") /
+          (col("cl") * col("cr")).cast("double")), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Fitted-vocabulary cache, keyed by corpus path (the BPE-merges
     * pattern: the vocab is offline model material, fitted once per
     * corpus and folded into the serving projection as a literal). */

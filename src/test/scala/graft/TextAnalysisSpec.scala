@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.TextAnalysis
+import graft.operators.{Sampling, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
@@ -250,6 +250,62 @@ class TextAnalysisSpec extends SparkSpec {
     val total = probes.map { case (id, _) => math.exp(got(id)) }.sum
     assert(math.abs(total - 1.0) < 1e-4,
       s"sum_w P(w|san) = $total, expected 1 (vocab=$vocab)")
+  }
+
+  test("pmi replays a hand-computed collocation table") {
+    // "a b a b a b a b a b": bigrams (a,b) x5, (b,a) x4, N = 9
+    // c_L: a->5, b->4; c_R: b->5, a->4
+    // PMI(a,b) = ln(5*9 / (5*5)) = ln(1.8);  PMI(b,a) = ln(4*9/(4*4))
+    val docs = Seq((0L, "a b a b a b a b a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiOver(docs, minCount = 4, k = 10)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("a", "b")) == ((5L, r6(math.log(1.8)))))
+    assert(got(("b", "a")) == ((4L, r6(math.log(2.25)))))
+    // ordering: (b,a) has the higher PMI despite the lower count —
+    // PMI normalizes by marginals, the point of the statistic
+    assert(got(("b", "a"))._2 > got(("a", "b"))._2)
+  }
+
+  test("bootstrap: replicate weights follow the integer-threshold " +
+      "Poisson ladder and replicate means actually vary") {
+    val rows = Sampling.bootstrapQuery(spark, sfDir).collect()
+    assert(rows.length == 32)
+    val n = Tables.load(spark, sfDir, "documents").count()
+    // n_eff concentrates near n (Poisson(1) mean 1; sd ~ sqrt(n))
+    rows.foreach { r =>
+      val nEff = r.getLong(1)
+      assert(math.abs(nEff - n) < 6 * math.sqrt(n.toDouble),
+        s"replicate ${r.getLong(0)}: n_eff $nEff implausible for n $n")
+    }
+    // the bootstrap distribution is non-degenerate
+    assert(rows.map(_.getDouble(3)).distinct.length > 1)
+    // pin one weight against a from-scratch md5 replay (doc 0, rep 0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("0:0".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 6)
+    val v = java.lang.Long.parseLong(hex, 16)
+    val want = Seq(6171992L, 12343985L, 15429982L, 16458647L,
+      16715813L, 16767247L, 16775819L).count(v >= _)
+    val spark2 = spark
+    import spark2.implicits._
+    val one = Sampling.bootstrapQuery(spark, sfDir, reps = 1)
+      .select(col("n_eff")).as[Long].collect().head
+    // recompute rep-0 n_eff fully from scratch
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long].collect()
+    val expect = docs.map { id =>
+      val h = md.digest(s"$id:0".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 6)
+      val vv = java.lang.Long.parseLong(h, 16)
+      Seq(6171992L, 12343985L, 15429982L, 16458647L, 16715813L,
+        16767247L, 16775819L).count(vv >= _).toLong
+    }.sum
+    assert(one == expect,
+      s"rep-0 n_eff $one != from-scratch md5 replay $expect (doc0 w=$want)")
   }
 
   test("fitVocab: frequency order with lexicographic tie-break") {
