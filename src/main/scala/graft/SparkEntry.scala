@@ -77,6 +77,7 @@ object SparkEntry {
     "q_evolution_positional" -> (Evolution.positionalQuery _),
     // ACID merge-on-read (SURVEY.md §2.10)
     "q_acid_mor" -> (Acid.morQuery _),
+    "q_acid_timetravel" -> (Acid.timeTravelQuery _),
     "q_acid_minor_compact" -> (Acid.minorCompactQuery _),
     "q_acid_major_compact" -> (Acid.majorCompactQuery _),
     // Side-file salvage (W8 _flush_length) + user metadata surface
@@ -719,6 +720,15 @@ object SparkEntry {
         |  o_orderstatus
         |FROM orders
         |WHERE o_orderkey % 7 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+    // Snapshot time travel at txn 2: updates visible, the txn-3
+    // deletes are not — the mor oracle without the delete filter.
+    "q_acid_timetravel" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.10
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus
+        |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
     "q_json_convert" ->
       """SELECT event_id,

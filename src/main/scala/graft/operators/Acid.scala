@@ -164,8 +164,21 @@ object Acid {
    * union+window is one shuffle on the row key regardless of delta
    * count.
    */
+  /** [[readTable]] with snapshot isolation: resolve the table AS OF
+    * transaction `asOfTxn` — deltas beyond the snapshot are skipped at
+    * the METADATA level (directory-name txn ranges, nothing read), and
+    * any straggler events inside a kept minor-compacted range are
+    * filtered on `currentTransaction`. This is the time-travel read
+    * every versioned lake offers; on the reference's layout it is pure
+    * delta-list pruning, so the snapshot read costs no more than the
+    * current-state read. */
+  def readTableAsOf(spark: SparkSession, tableDir: String, asOfTxn: Long,
+      rowIdCol: String = "id", buckets: Int = 4): DataFrame =
+    readTable(spark, tableDir, rowIdCol, buckets, Some(asOfTxn))
+
   def readTable(spark: SparkSession, tableDir: String,
-      rowIdCol: String = "id", buckets: Int = 4): DataFrame = {
+      rowIdCol: String = "id", buckets: Int = 4,
+      asOf: Option[Long] = None): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
@@ -177,6 +190,10 @@ object Acid {
     // `delta_M` single-txn dirs and `delta_A_B` minor-compacted ranges
     val deltas = dirs.filter(_.startsWith("delta_"))
       .filter(_.stripPrefix("delta_").split("_").last.toLong > baseTxn)
+      // snapshot pruning: a delta whose LOW txn exceeds the snapshot
+      // is invisible wholesale (metadata-only skip)
+      .filter(d => asOf.forall(
+        _ >= d.stripPrefix("delta_").split("_").head.toLong))
     val baseRows = spark.read.orc(s"$tableDir/$base")
     val baseEvents = baseRows.select(
       lit(OpInsert).as("operation"),
@@ -191,7 +208,9 @@ object Acid {
     val all = deltas.foldLeft(baseEvents) { (acc, d) =>
       acc.unionByName(spark.read.orc(s"$tableDir/$d"))
     }
-    resolve(all)
+    // stragglers above the snapshot inside kept ranges filter out here
+    resolve(asOf.map(t =>
+      all.filter(col("currentTransaction") <= t)).getOrElse(all))
   }
 
   /**
@@ -325,6 +344,40 @@ object Acid {
     val deletes = asEvents(orders.filter(col("o_orderkey") % 7 === 0),
       OpDelete, 3L)
     resolve(base.unionAll(updates).unionAll(deletes))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /**
+   * Correctness-gate query for snapshot time travel: the
+   * [[minorCompactQuery]] base_1/delta_2/delta_3 layout read AS OF
+   * txn 2 — the txn-2 updates are visible, the txn-3 deletes are not
+   * (delta_3 pruned at the metadata level, never read). The oracle is
+   * the mor oracle WITHOUT the delete filter: time travel must equal
+   * the state the table had at the snapshot.
+   */
+  def timeTravelQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+    val dir = graft.sources.OrcIo.scratchDir("acid_asof_q")
+    graft.sources.OrcIo.write(orders, s"$dir/t/base_1")
+    def asEvents(src: DataFrame, op: Int, txn: Long): DataFrame =
+      src.select(
+        lit(op).as("operation"),
+        lit(1L).as("originalTransaction"),
+        (col("o_orderkey") % 4).cast("int").as("bucket"),
+        col("o_orderkey").as("rowId"),
+        lit(txn).as("currentTransaction"),
+        struct(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus")).as("row"))
+    writeDelta(asEvents(
+      orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.10),
+      OpUpdate, 2L), s"$dir/t/delta_2")
+    writeDelta(asEvents(orders.filter(col("o_orderkey") % 7 === 0),
+      OpDelete, 3L), s"$dir/t/delta_3")
+    readTableAsOf(spark, s"$dir/t", asOfTxn = 2L,
+      rowIdCol = "o_orderkey")
       .orderBy(col("o_orderkey"))
   }
 }

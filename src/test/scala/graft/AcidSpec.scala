@@ -58,6 +58,39 @@ class AcidSpec extends SparkSpec {
     assert(got == Map(1L -> 11.0, 3L -> 50.0), got)
   }
 
+  test("readTableAsOf walks the snapshot history and prunes future " +
+      "deltas at the metadata level") {
+    val dir = graft.sources.OrcIo.scratchDir("acid_asof")
+    Seq((1L, 10.0), (2L, 30.0)).toDF("id", "v")
+      .write.orc(s"$dir/t/base_1")
+    eventsDf(Seq(event(Acid.OpUpdate, 1, 1L, 2L, 11.0)))
+      .write.orc(s"$dir/t/delta_2")
+    eventsDf(Seq(
+      event(Acid.OpDelete, 2, 2L, 3L, 0.0),
+      event(Acid.OpInsert, 3, 3L, 3L, 50.0)))
+      .write.orc(s"$dir/t/delta_3")
+    def asOf(t: Long) =
+      Acid.readTableAsOf(spark, s"$dir/t", t).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // txn 1: pristine base
+    assert(asOf(1L) == Map(1L -> 10.0, 2L -> 30.0))
+    // txn 2: update applied, delete/insert of txn 3 invisible
+    assert(asOf(2L) == Map(1L -> 11.0, 2L -> 30.0))
+    // txn 3 == current state
+    assert(asOf(3L) == Map(1L -> 11.0, 3L -> 50.0))
+    // pruning is metadata-level: the asOf=1 plan never mentions the
+    // future delta directories
+    val plan = Acid.readTableAsOf(spark, s"$dir/t", 1L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("delta_2") && !plan.contains("delta_3"),
+      s"future deltas must be pruned from the read:\n$plan")
+    // straggler filtering: a minor-compacted range spanning the
+    // snapshot keeps only in-snapshot events
+    Acid.minorCompact(spark, s"$dir/t")  // -> delta_2_3
+    assert(asOf(2L) == Map(1L -> 11.0, 2L -> 30.0),
+      "snapshot must filter stragglers inside a kept compacted range")
+  }
+
   test("compact rewrites resolved state readable as a plain base") {
     val dir = graft.sources.OrcIo.scratchDir("acid")
     val df = eventsDf(Seq(
