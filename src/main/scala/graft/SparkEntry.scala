@@ -108,6 +108,8 @@ object SparkEntry {
     "q_lm_ppl" -> (TextAnalysis.lmScoreQuery _),
     "q_lm_kn" -> (TextAnalysis.knScoreQuery _),
     "q_pmi" -> ((s, d) => TextAnalysis.pmiQuery(s, d)),
+    "q_gini" -> (TextAnalysis.giniQuery _),
+    "q_benford" -> (DataQuality.benfordQuery _),
     "q_bootstrap" -> ((s, d) => Sampling.bootstrapQuery(s, d)),
     // Sparse retrieval: BM25 scoring + RAG chunking with overlap
     "q_bm25" -> ((s, d) => Retrieval.bm25Query(s, d)),
@@ -2614,6 +2616,49 @@ object SparkEntry {
         |CROSS JOIN n
         |ORDER BY pmi DESC, c2.w1, c2.w2
         |LIMIT 25""".stripMargin,
+    // Token-frequency Gini + head share: vocabulary-sized rank window,
+    // exact BIGINT sum(i*c), one double formula at the end.
+    "q_gini" ->
+      """WITH counts AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY term),
+        |ranked AS (SELECT c,
+        |    CAST(row_number() OVER (ORDER BY c, term) AS BIGINT) AS i
+        |  FROM counts),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(sum(i * c) AS BIGINT) AS sum_ix
+        |  FROM ranked),
+        |head AS (SELECT CAST(sum(c) AS BIGINT) AS head_tokens
+        |  FROM ranked CROSS JOIN n
+        |  WHERE CAST(i AS DOUBLE) > CAST(n_types AS DOUBLE) * 0.99)
+        |SELECT n_types, n_tokens,
+        |  round(2.0 * CAST(sum_ix AS DOUBLE) /
+        |    (CAST(n_types AS DOUBLE) * CAST(n_tokens AS DOUBLE)) -
+        |    CAST(n_types + 1 AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+        |    AS gini,
+        |  round(CAST(head_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE),
+        |    6) AS head_share
+        |FROM n CROSS JOIN head""".stripMargin,
+    // Benford first-digit audit: digit via exact integer cents ->
+    // decimal string head (no float log/formatting ambiguity).
+    "q_benford" ->
+      """WITH cents AS (
+        |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders WHERE o_totalprice > 0),
+        |d AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1)
+        |    AS INTEGER) AS digit FROM cents),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d
+        |  GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS obs_freq,
+        |  round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)
+        |    AS exp_freq
+        |FROM g CROSS JOIN t
+        |ORDER BY digit""".stripMargin,
     // Poisson bootstrap: replicate weights are integer-threshold
     // comparisons on the 24-bit md5 digest (cdf(k)*2^24 floors for
     // Poisson(1), k=0..6) — no float CDF; weighted sums are exact

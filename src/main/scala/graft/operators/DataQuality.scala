@@ -100,4 +100,36 @@ object DataQuality {
       "li_orderkey_fk")
     report(rowRules.unionByName(uniq).unionByName(pk).unionByName(fk))
   }
+
+  /**
+   * Benford's-law first-digit audit (Newcomb 1881 / Benford 1938) over
+   * order totals — the classic anomaly screen for fabricated or
+   * truncated numeric columns: natural multi-scale amounts follow
+   * P(d) = log10(1 + 1/d); a synthetic or clipped column does not
+   * (TPC-H prices are famously uniform-ish, which is exactly what the
+   * audit should SHOW — the operator reports, thresholds are policy).
+   *
+   * Digit extraction avoids float log/formatting ambiguity: price →
+   * exact integer cents → first character of the integer's decimal
+   * string (integer-to-string is unambiguous in both engines). One
+   * narrow projection + a 9-key groupBy; the observed/expected
+   * frequencies and per-digit chi-square contributions are single
+   * double expressions.
+   */
+  def benfordQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    val digits = o.filter(col("o_totalprice") > 0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("tot"))
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6)
+          .as("obs_freq"),
+        round(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+          log(lit(10.0)), 6).as("exp_freq"))
+      .orderBy(col("digit"))
+  }
 }

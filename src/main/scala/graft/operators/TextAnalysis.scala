@@ -452,6 +452,51 @@ object TextAnalysis {
       minCount: Int = 5, k: Int = 25): DataFrame =
     pmiOver(Tables.load(spark, sfDir, "documents"), minCount, k)
 
+  /**
+   * Token-frequency concentration: the Gini coefficient of the
+   * vocabulary's count distribution plus the head-share (fraction of
+   * all tokens covered by the top 1% of types) — the corpus-health
+   * diagnostic behind "is this crawl all boilerplate" (natural text
+   * is Zipfian; G near 0 means suspicious uniformity, head-share near
+   * 1 means a few templates dominate).
+   *
+   * Gini via the rank formula G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over
+   * counts sorted ascending. The sort is VOCABULARY-sized, not
+   * corpus-sized — one (token, count) map-side-partial shuffle
+   * reduces the corpus, and the rank window runs over the count
+   * table; Σ i·xᵢ stays in exact BIGINT, one double expression at the
+   * end. Ties share arbitrary ranks without affecting the sum
+   * (equal x under any rank permutation), row_number tie-break pinned
+   * for determinism anyway.
+   */
+  def giniQuery(spark: SparkSession, sfDir: String): DataFrame =
+    giniOver(Tables.load(spark, sfDir, "documents"))
+
+  /** [[giniQuery]] over an explicit documents frame (spec entry). */
+  def giniOver(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val ranked = counts.withColumn("i",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("c"), col("term"))).cast("long"))
+    val n = ranked.agg(
+      count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
+      sum(col("i") * col("c")).as("sum_ix"))
+    val head = ranked.crossJoin(broadcast(n.select(
+        col("n_types").as("nt"))))
+      .filter(col("i").cast("double") > col("nt").cast("double") * 0.99)
+      .agg(sum(col("c")).as("head_tokens"))
+    n.crossJoin(broadcast(head))
+      .select(col("n_types"), col("n_tokens"),
+        round(lit(2.0) * col("sum_ix").cast("double") /
+          (col("n_types").cast("double") * col("n_tokens").cast("double"))
+          - (col("n_types") + 1).cast("double") /
+            col("n_types").cast("double"), 6).as("gini"),
+        round(col("head_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6).as("head_share"))
+  }
+
   /** [[pmiQuery]] over an explicit documents frame (spec entry). */
   def pmiOver(docs: DataFrame, minCount: Int = 5, k: Int = 25)
       : DataFrame = {

@@ -66,4 +66,27 @@ class DataQualitySpec extends SparkSpec {
     assert(m("li_orderkey_fk") == 0L)
     assert(m("o_orderkey_unique") == 0L)
   }
+
+  test("benford audit: digits partition the rows, frequencies sum to " +
+      "one, expectations follow log10(1+1/d)") {
+    val rows = DataQuality.benfordQuery(spark, sfDir).collect()
+    val digits = rows.map(_.getInt(0))
+    assert(digits.forall(d => d >= 1 && d <= 9))
+    assert(digits.distinct.length == digits.length)
+    val n = Tables.load(spark, sfDir, "orders")
+      .filter(org.apache.spark.sql.functions.col("o_totalprice") > 0)
+      .count()
+    assert(rows.map(_.getLong(1)).sum == n,
+      "digit counts must partition the positive prices")
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      val want = BigDecimal(math.log(1.0 + 1.0 / r.getInt(0)) /
+        math.log(10.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      assert(r.getDouble(3) == want, s"exp_freq digit ${r.getInt(0)}")
+    }
+    // Benford expectations themselves sum to 1 over 1..9
+    val full = (1 to 9).map(d => math.log(1.0 + 1.0 / d) / math.log(10.0))
+    assert(math.abs(full.sum - 1.0) < 1e-12)
+  }
 }

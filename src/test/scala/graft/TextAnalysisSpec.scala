@@ -308,6 +308,24 @@ class TextAnalysisSpec extends SparkSpec {
       s"rep-0 n_eff $one != from-scratch md5 replay $expect (doc0 w=$want)")
   }
 
+  test("gini: zero on a uniform vocabulary, near-max on a " +
+      "one-type-dominant one") {
+    // 4 types x 3 occurrences each -> perfectly equal -> G = 0
+    val uniform = Seq((0L, "a b c d a b c d a b c d"))
+      .toDF("doc_id", "text")
+    val u = TextAnalysis.giniOver(uniform).collect().head
+    assert(u.getLong(0) == 4 && u.getLong(1) == 12)
+    assert(u.getDouble(2) == 0.0, s"uniform gini = ${u.getDouble(2)}")
+    // one type holds 97 of 100 tokens, three singletons -> G near max
+    val skewed = Seq((0L, (Seq.fill(97)("z") ++ Seq("a", "b", "c"))
+      .mkString(" "))).toDF("doc_id", "text")
+    val s = TextAnalysis.giniOver(skewed).collect().head
+    assert(s.getDouble(2) > 0.69, s"skewed gini = ${s.getDouble(2)}")
+    // head share: top 1% of 4 types = the single top type by rank —
+    // for the skewed corpus that is z with 97/100
+    assert(s.getDouble(3) == 0.97, s"head_share = ${s.getDouble(3)}")
+  }
+
   test("fitVocab: frequency order with lexicographic tie-break") {
     import SparkSpec.spark.implicits._
     val docs = Seq((1L, "a a b c"), (2L, "b b c d")).toDF("doc_id", "text")
