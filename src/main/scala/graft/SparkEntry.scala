@@ -171,6 +171,7 @@ object SparkEntry {
     "q_dedup_exact" -> (Dedup.exactQuery _),
     "q_dedup_priority" -> (Dedup.priorityDedupQuery _),
     "q_dedup_jaccard" -> ((s, d) => Dedup.ngramJaccardQuery(s, d)),
+    "q_setsim_join" -> (Dedup.setSimJoinQuery _),
     // MinHash/SimHash gates (q_approx_distinct pattern): candidate
     // lists ride engine-internal signatures, but estimate-error vs
     // exact Jaccard (minhash) and banding losslessness vs the
@@ -2616,6 +2617,24 @@ object SparkEntry {
         |CROSS JOIN n
         |ORDER BY pmi DESC, c2.w1, c2.w2
         |LIMIT 25""".stripMargin,
+    // Set-similarity join: the engine prunes via prefix filtering; the
+    // oracle scans ALL pairs exhaustively with the same exact integer
+    // threshold (10|∩| >= 9|∪|) — pruned-equals-exhaustive IS the gate.
+    "q_setsim_join" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS st
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.st, b.st)) AS BIGINT) AS inter,
+        |    CAST(len(a.st) + len(b.st) -
+        |      len(list_intersect(a.st, b.st)) AS BIGINT) AS uni
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, inter, uni,
+        |  round(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6)
+        |    AS jaccard
+        |FROM p WHERE inter * 10 >= uni * 9
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // Token-frequency Gini + head share: vocabulary-sized rank window,
     // exact BIGINT sum(i*c), one double formula at the end.
     "q_gini" ->

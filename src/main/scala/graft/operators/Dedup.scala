@@ -793,4 +793,68 @@ object Dedup {
         col("n_tok").as("keep_n_tok"), col("n_members"))
       .orderBy(col("cluster_id"))
   }
+
+  /**
+   * Exact set-similarity join with PREFIX FILTERING (Chaudhuri et al.
+   * 2006 / Xiao et al. PPJoin, WWW 2008): all document pairs with
+   * token-set Jaccard ≥ t, WITHOUT the all-pairs scan. Tokens get a
+   * global rarity order (df asc, token asc); each document indexes
+   * only its first |d| − ⌈t·|d|⌉ + 1 rarest tokens — the classical
+   * prefix bound guarantees any pair with J ≥ t shares at least one
+   * prefix token, so candidate generation is an inverted-index join
+   * on PREFIXES only (rare tokens → short posting lists, the exact
+   * opposite of the stopword skew the df-cap guards against
+   * elsewhere). Candidates then verify with exact integer arithmetic:
+   * J ≥ 0.9 ⟺ 10·|∩| ≥ 9·|∪| — no float threshold anywhere, so the
+   * engine's PRUNED search provably equals the oracle's EXHAUSTIVE
+   * O(n²) scan, which is exactly what the gate checks.
+   *
+   * Scale: the prefix shrinks as t grows (at t = 0.9 only ~10% of
+   * each set indexes); posting lists are rarity-bounded; the verify
+   * join ships token sets only for surviving candidate pairs.
+   */
+  def setSimJoinQuery(spark: SparkSession, sfDir: String): DataFrame =
+    setSimJoinOver(Tables.load(spark, sfDir, "documents"))
+
+  /** [[setSimJoinQuery]] over an explicit documents frame. */
+  def setSimJoinOver(docs: DataFrame): DataFrame = {
+    // t = 9/10 carried as the integer pair (9, 10) — see verify step
+    val sets = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("set"))
+    val df_ = sets.select(col("doc_id"), explode(col("set")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // rarity-sorted token array per doc: sort_array over (df, term)
+    // structs — deterministic global order, the q_importance pattern
+    val sorted = sets
+      .select(col("doc_id"), explode(col("set")).as("term"))
+      .join(df_, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("term"))))
+        .as("ord"))
+      .select(col("doc_id"),
+        expr("transform(ord, s -> s.term)").as("toks"))
+    val prefixLen = (size(col("toks")) -
+      ceil(lit(0.9) * size(col("toks")).cast("double")).cast("int") + 1)
+    val prefixes = sorted.select(col("doc_id"),
+      explode(slice(col("toks"), lit(1), prefixLen)).as("term"))
+    val cands = prefixes.as("a")
+      .join(prefixes.as("b"), col("a.term") === col("b.term") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val setsA = sets.select(col("doc_id").as("doc_a"),
+      col("set").as("set_a"))
+    val setsB = sets.select(col("doc_id").as("doc_b"),
+      col("set").as("set_b"))
+    cands.join(setsA, Seq("doc_a")).join(setsB, Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("uni", (size(col("set_a")) + size(col("set_b")))
+        .cast("long") - col("inter"))
+      .filter(col("inter") * 10 >= col("uni") * 9)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
+        round(col("inter").cast("double") / col("uni").cast("double"),
+          6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

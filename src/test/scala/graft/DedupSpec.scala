@@ -231,4 +231,39 @@ class DedupSpec extends SparkSpec {
     assert(stripped(3L) == (1L, m("m1")), s"d3: ${stripped(3L)}")
     assert(stripped(4L) == (1L, m("q4")), s"d4: ${stripped(4L)}")
   }
+
+  test("set-similarity join: prefix filtering loses no qualifying " +
+      "pair (matches a brute-force scan) and respects the exact " +
+      "9/10 threshold") {
+    // 20 docs over a 10-token alphabet, sets of varying size — small
+    // enough to brute-force, structured enough that prefixes differ
+    val vocab = "abcdefghij".map(_.toString)
+    val docs = (0 until 20).map { i =>
+      val size = 5 + i % 6
+      val toks = (0 until size).map(j => vocab((i + j * 3) % 10))
+        .distinct
+      (i.toLong, toks.mkString(" "))
+    }
+    // exact twins guarantee at least one qualifying pair
+    val all = docs :+ (20L -> docs(3)._2) :+ (21L -> docs(7)._2)
+    val got = Dedup.setSimJoinOver(all.toDF("doc_id", "text"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // brute force over all pairs
+    val sets = all.map { case (id, t) => id -> t.split(" ").distinct.toSet }
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size.toLong
+      uni = (sa | sb).size.toLong
+      if inter * 10 >= uni * 9
+    } yield ((a, b), (inter, uni))).toMap
+    assert(got == want,
+      s"pruned != exhaustive: missing ${want.keySet -- got.keySet}, " +
+        s"extra ${got.keySet -- want.keySet}")
+    assert(want.nonEmpty, "trace premise: twins must qualify")
+    // the twins appear with Jaccard exactly 1
+    assert(got.contains((3L, 20L)) && got.contains((7L, 21L)))
+    got.foreach { case ((_, _), (i, u)) => assert(i * 10 >= u * 9) }
+  }
 }
