@@ -86,6 +86,7 @@ object SparkEntry {
     "q_orc_memory" -> (graft.sources.OrcMeta.memoryEstimateQuery _),
     // JSON tools (SURVEY.md §2.9)
     "q_json_convert" -> (graft.sources.JsonTools.jsonConvertQuery _),
+    "q_csv_roundtrip" -> (graft.sources.CsvTools.csvRoundtripQuery _),
     // Schema-on-read error quarantine (id-predicted oracle)
     "q_json_quarantine" -> (graft.sources.JsonTools.jsonQuarantineQuery _),
     // Streaming ingest (SURVEY.md §2.10 W8): stream → watermarked
@@ -2617,6 +2618,18 @@ object SparkEntry {
         |CROSS JOIN n
         |ORDER BY pmi DESC, c2.w1, c2.w2
         |LIMIT 25""".stripMargin,
+    // CSV round trip + quarantine: the oracle predicts the good-row
+    // aggregate witness from the customer table (tricky column =
+    // 'name,"' || c_name || '" x', 9 chars + the name) and the two
+    // injected malformed rows.
+    "q_csv_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_good,
+        |  CAST(2 AS BIGINT) AS n_bad,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2)
+        |    AS DOUBLE) AS sum_acctbal,
+        |  CAST(sum(length(c_name) + 9) AS BIGINT) AS tricky_chars
+        |FROM customer""".stripMargin,
     // Set-similarity join: the engine prunes via prefix filtering; the
     // oracle scans ALL pairs exhaustively with the same exact integer
     // threshold (10|∩| >= 9|∪|) — pruned-equals-exhaustive IS the gate.
