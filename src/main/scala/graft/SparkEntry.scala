@@ -39,6 +39,8 @@ object SparkEntry {
     "q_interp_fill" -> (Scale.interpFillQuery _),
     // Trailing-24h z-score anomaly flags over hourly counts
     "q_rolling_anomaly" -> (Scale.rollingAnomalyQuery _),
+    // Hour-of-day seasonal-profile anomalies (broadcast profile)
+    "q_seasonal_anomaly" -> (Scale.seasonalAnomalyQuery _),
     // Rank-based p05/p95 quantile clipping (robust to heavy tails)
     "q_winsorize" -> (Relational.winsorizeQuery _),
     "q_funnel" -> (Relational.funnelQuery _),
@@ -1784,6 +1786,38 @@ object SparkEntry {
         |  END AS is_anomaly
         |FROM w WHERE win_n = 24
         |ORDER BY event_type, hour_start""".stripMargin,
+    // Seasonal profile: per (event_type, hour-of-day) mean/sd over all
+    // days, z against one's own clock hour; the oracle replays the
+    // exact double nesting (sd = sqrt(num)/m inside the z division).
+    "q_seasonal_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |hh AS (SELECT event_type, hour_start, n,
+        |    CAST(extract(hour FROM hour_start) AS BIGINT) AS hod
+        |  FROM h),
+        |p AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(n) AS BIGINT) AS s1,
+        |    CAST(sum(n*n) AS BIGINT) AS s2
+        |  FROM hh GROUP BY event_type, hod)
+        |SELECT hh.event_type, hh.hour_start, hh.hod, hh.n,
+        |  round(CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE), 4) + 0.0
+        |    AS mean_hod,
+        |  CASE WHEN m*s2 - s1*s1 > 0 THEN
+        |    round(CAST(m*hh.n - s1 AS DOUBLE) / (CAST(m AS DOUBLE) *
+        |      (sqrt(CAST(m*s2 - s1*s1 AS DOUBLE)) / CAST(m AS DOUBLE))),
+        |      4) + 0.0
+        |  END AS z,
+        |  CASE WHEN m*s2 - s1*s1 > 0 THEN
+        |    abs(round(CAST(m*hh.n - s1 AS DOUBLE) / (CAST(m AS DOUBLE) *
+        |      (sqrt(CAST(m*s2 - s1*s1 AS DOUBLE)) / CAST(m AS DOUBLE))),
+        |      4) + 0.0) >= 3.0
+        |  END AS is_anomaly
+        |FROM hh JOIN p ON hh.event_type = p.event_type
+        |  AND hh.hod = p.hod
+        |ORDER BY hh.event_type, hh.hour_start""".stripMargin,
     // q_winsorize: rank-based bounds (floor(p·(n−1))+1 in (value,key)
     // order — an actual element, no interpolation arithmetic);
     // clipped money sum rides DECIMAL.

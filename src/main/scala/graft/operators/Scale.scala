@@ -598,6 +598,48 @@ object Scale {
   }
 
   /**
+   * Seasonal-profile anomaly detection — the calendar-aware
+   * complement of [[rollingAnomalyQuery]]: instead of a trailing
+   * window, each (event_type, hour-of-day) gets a SEASONAL baseline
+   * (mean/sd over every day's observation of that clock hour), and an
+   * hour is anomalous when it sits ≥ 3 z-scores from its own hour's
+   * profile — the decomposition that catches "3 AM traffic at 3 PM
+   * levels", which a trailing window normalizes away.
+   *
+   * Shape at 100 TB: the profile is a (types × 24)-row broadcast
+   * built from one map-side-partial aggregation of the hourly counts;
+   * scoring is a broadcast join + codegen projection — no window over
+   * the series at all (strictly cheaper than the trailing-window
+   * twin). Integer power sums, one double sqrt, the
+   * [[rollingAnomalyQuery]] rounding discipline.
+   */
+  def seasonalAnomalyQuery(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val hourly = Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hod", hour(col("hour_start")).cast("long"))
+    val profile = hourly.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("m"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+    val num = col("m") * col("s2") - col("s1") * col("s1")
+    val sd = sqrt(num.cast("double")) / col("m").cast("double")
+    val z = (col("m") * col("n") - col("s1")).cast("double") /
+      (col("m").cast("double") * sd)
+    hourly.join(broadcast(profile), Seq("event_type", "hod"))
+      .withColumn("mean_hod",
+        round(col("s1").cast("double") / col("m").cast("double"), 4) +
+          lit(0.0))
+      .withColumn("z", when(num > 0L, round(z, 4) + lit(0.0)))
+      .withColumn("is_anomaly",
+        when(num > 0L, abs(round(z, 4) + lit(0.0)) >= 3.0))
+      .select(col("event_type"), col("hour_start"), col("hod"), col("n"),
+        col("mean_hod"), col("z"), col("is_anomaly"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
+  /**
    * Runtime bloom-filter join (semijoin reduction): the dimension
    * side's join-key set folds into one 8 KB
    * [[graft.functions.BloomAgg]] sketch (OR-merged partials,
