@@ -152,6 +152,7 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, d) => Sampling.stratifiedSampleQuery(s, d)),
     "q_split_leakfree" -> (Sampling.leakFreeSplitQuery _),
     "q_sample_weighted" -> ((s, d) => Sampling.weightedSampleQuery(s, d)),
+    "q_sample_wor" -> ((s, d) => Sampling.weightedWorQuery(s, d)),
     // Data selection: mixture resampling + DSIR importance weighting
     "q_domain_mix" -> ((s, d) => Sampling.domainMixQuery(s, d)),
     // Temperature (α=0.5) mixing: data-derived √n targets, same
@@ -2652,6 +2653,21 @@ object SparkEntry {
         |CROSS JOIN n
         |ORDER BY pmi DESC, c2.w1, c2.w2
         |LIMIT 25""".stripMargin,
+    // A-ES weighted WOR sample: key = ln(u)/w on the md5 uniform,
+    // top-k by raw key (ln/division bit-agree across engines), key
+    // reported scaled+rounded.
+    "q_sample_wor" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS w,
+        |    ln((('0x' || substring(md5(doc_id::VARCHAR), 1, 6))::BIGINT
+        |        + 1)::DOUBLE / 16777216.0) /
+        |      CAST(length(text) AS DOUBLE) AS key
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w,
+        |  round(key * 1000000.0, 4) AS key_e6
+        |FROM s
+        |ORDER BY key DESC, doc_id
+        |LIMIT 100""".stripMargin,
     // CSV round trip + quarantine: the oracle predicts the good-row
     // aggregate witness from the customer table (tricky column =
     // 'name,"' || c_name || '" x', 9 chars + the name) and the two

@@ -352,6 +352,36 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * Weighted sampling WITHOUT replacement via exponential sort keys
+   * (Efraimidis & Spirakis 2006, the A-ES scheme): each item draws
+   * key = ln(u)/w from a deterministic md5 uniform u ∈ (0,1], and the
+   * k largest keys ARE a weight-proportional WOR sample — the
+   * one-pass, coordinator-free answer to "pick 100 docs biased by
+   * quality, no duplicates", where the md5-coin Bernoulli sampler
+   * ([[hashSampleQuery]]) can neither hit an exact k nor avoid
+   * replacement semantics across strata.
+   *
+   * Shape at 100 TB: one narrow projection computes the key; the
+   * top-k is a bounded-heap TakeOrderedAndProject — no sort, no
+   * shuffle of the corpus. Selection ranks on the RAW double keys
+   * (ln and division agree bit-for-bit across engines — the q_lm_ppl
+   * ln precedent), so the selected SET is deterministic; the reported
+   * key is rounded for the gate.
+   */
+  def weightedWorQuery(spark: SparkSession, sfDir: String,
+      k: Int = 100): DataFrame = {
+    val w = length(col("text")).cast("double")
+    val u = (hashBucket24(col("doc_id").cast("string")) + lit(1L))
+      .cast("double") / lit(16777216.0)
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), w.as("w"), (log(u) / w).as("key"))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("w").cast("long").as("w"),
+        round(col("key") * 1e6, 4).as("key_e6"))
+  }
+
   /** Cumulative Poisson(1) CDF as 24-bit integer thresholds
     * (⌊cdf(k)·2²⁴⌋ for k = 0..6): a doc's replicate weight is the
     * count of thresholds ≤ its 24-bit digest value — pure integer

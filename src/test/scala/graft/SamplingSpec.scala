@@ -242,4 +242,34 @@ class SamplingSpec extends SparkSpec {
     assert(again == Sampling.temperatureMixQuery(spark, sfDir)
       .collect().map(_.toString).toSeq)
   }
+
+  test("A-ES weighted WOR: no duplicates, weight bias, determinism, " +
+      "and the exact key formula") {
+    val rows = Sampling.weightedWorQuery(spark, sfDir).collect()
+    assert(rows.length == 100)
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "WOR must not repeat")
+    // weight bias: the selected docs' mean length must exceed the
+    // corpus mean (keys = ln(u)/w favor heavy docs; u is independent
+    // of w, so at 100-of-500 the bias is overwhelming)
+    val corpusMean = docs.agg(avg(length(col("text"))))
+      .collect().head.getDouble(0)
+    val sampleMean = rows.map(_.getLong(1)).sum.toDouble / rows.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean should exceed corpus mean $corpusMean")
+    // exact key replay for the top row
+    val top = rows.head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(top.getLong(0).toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 6)
+    val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 16777216.0
+    val key = math.log(u) / top.getLong(1).toDouble
+    assert(top.getDouble(2) ==
+      BigDecimal(key * 1e6).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // determinism
+    val again = Sampling.weightedWorQuery(spark, sfDir).collect()
+      .map(_.toString).toSeq
+    assert(again == rows.map(_.toString).toSeq)
+  }
 }
