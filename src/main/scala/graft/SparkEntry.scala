@@ -214,6 +214,7 @@ object SparkEntry {
     "q_pagerank" -> ((s, d) => Graph.pageRankQuery(s, d)),
     "q_label_prop" -> ((s, d) => Graph.labelPropQuery(s, d)),
     "q_kcore" -> ((s, d) => Graph.kCoreQuery(s, d)),
+    "q_hits" -> ((s, d) => Graph.hitsQuery(s, d)),
     // Exact triangle counts via degree-ordered orientation (bounded
     // wedge fan-out on power-law graphs)
     "q_triangles" -> (Graph.trianglesQuery _),
@@ -3269,6 +3270,60 @@ object SparkEntry {
         |SELECT l3.doc_id, l3.label, sz.community_size
         |FROM l3 JOIN sz ON l3.label = sz.label
         |ORDER BY l3.doc_id""".stripMargin,
+    // HITS, 2 unrolled rounds: per-node sums round to 10 dp (pagerank
+    // rule); the GLOBAL normalization denominators sum the rounded
+    // scores as DECIMAL(24,10) — order-free exact.
+    "q_hits" ->
+      """WITH nn AS (SELECT count(*) AS n,
+        |    CAST(count(*) AS DOUBLE) AS nd FROM documents),
+        |ed0 AS (
+        |  SELECT doc_id AS src,
+        |    (doc_id * 7 + 3) % (SELECT n FROM nn) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    (doc_id * 13 + 5) % (SELECT n FROM nn) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    (doc_id * 31 + 11) % (SELECT n FROM nn) FROM documents),
+        |ed AS (SELECT src, dst FROM ed0 WHERE src <> dst),
+        |h0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) / nn.nd AS h
+        |  FROM documents, nn),
+        |ra1 AS (SELECT ed.dst, round(sum(h0.h), 10) AS ra FROM ed
+        |  JOIN h0 ON ed.src = h0.doc_id GROUP BY ed.dst),
+        |sa1 AS (SELECT CAST(sum(CAST(ra AS DECIMAL(24,10))) AS DOUBLE)
+        |  AS sa FROM ra1),
+        |a1 AS (SELECT d.doc_id,
+        |    round(coalesce(ra1.ra, 0.0) / sa1.sa, 10) AS a
+        |  FROM documents d CROSS JOIN sa1
+        |  LEFT JOIN ra1 ON d.doc_id = ra1.dst),
+        |rh1 AS (SELECT ed.src, round(sum(a1.a), 10) AS rh FROM ed
+        |  JOIN a1 ON ed.dst = a1.doc_id GROUP BY ed.src),
+        |sh1 AS (SELECT CAST(sum(CAST(rh AS DECIMAL(24,10))) AS DOUBLE)
+        |  AS sh FROM rh1),
+        |h1 AS (SELECT d.doc_id,
+        |    round(coalesce(rh1.rh, 0.0) / sh1.sh, 10) AS h
+        |  FROM documents d CROSS JOIN sh1
+        |  LEFT JOIN rh1 ON d.doc_id = rh1.src),
+        |ra2 AS (SELECT ed.dst, round(sum(h1.h), 10) AS ra FROM ed
+        |  JOIN h1 ON ed.src = h1.doc_id GROUP BY ed.dst),
+        |sa2 AS (SELECT CAST(sum(CAST(ra AS DECIMAL(24,10))) AS DOUBLE)
+        |  AS sa FROM ra2),
+        |a2 AS (SELECT d.doc_id,
+        |    round(coalesce(ra2.ra, 0.0) / sa2.sa, 10) AS a
+        |  FROM documents d CROSS JOIN sa2
+        |  LEFT JOIN ra2 ON d.doc_id = ra2.dst),
+        |rh2 AS (SELECT ed.src, round(sum(a2.a), 10) AS rh FROM ed
+        |  JOIN a2 ON ed.dst = a2.doc_id GROUP BY ed.src),
+        |sh2 AS (SELECT CAST(sum(CAST(rh AS DECIMAL(24,10))) AS DOUBLE)
+        |  AS sh FROM rh2),
+        |h2 AS (SELECT d.doc_id,
+        |    round(coalesce(rh2.rh, 0.0) / sh2.sh, 10) AS h
+        |  FROM documents d CROSS JOIN sh2
+        |  LEFT JOIN rh2 ON d.doc_id = rh2.src)
+        |SELECT a2.doc_id, round(a2.a * nn.nd, 8) AS authority,
+        |  round(h2.h * nn.nd, 8) AS hub
+        |FROM a2 JOIN h2 ON a2.doc_id = h2.doc_id CROSS JOIN nn
+        |ORDER BY a2.doc_id""".stripMargin,
     // K-core peeling, 3 unrolled synchronous rounds at k=5: each round
     // keeps nodes with >= 5 live neighbors; the oracle replays the
     // shrinking live set and the final in-core degree.

@@ -190,6 +190,53 @@ object Graph {
   }
 
   /**
+   * HITS hubs and authorities (Kleinberg, JACM 1999) over the
+   * DIRECTED id-derived link graph — the query-independent half of
+   * the classic ranking pair: authority(v) = Σ hub over in-links,
+   * hub(v) = Σ authority over out-links, sum-normalized each half
+   * round. Two rounds, pinned, so the oracle replays the evolution as
+   * unrolled CTEs (the [[pageRankQuery]] discipline).
+   *
+   * Exactness: per-node in/out sums are small-fan-in float sums
+   * rounded to 10 dp (the pagerank rule); the GLOBAL normalization
+   * sums — where float order would actually bite at scale — cast the
+   * rounded scores to DECIMAL(24,10) first, so the denominator is
+   * order-free exact on any partitioning.
+   */
+  def hitsQuery(spark: SparkSession, sfDir: String,
+      iters: Int = 2): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val e = edges(docs, n)
+    var hub = docs.select(col("doc_id"), (lit(1.0) / n.toDouble).as("h"))
+    var auth = docs.select(col("doc_id"), lit(0.0).as("a"))
+    (1 to iters).foreach { _ =>
+      val rawA = e.join(hub, e("src") === hub("doc_id"))
+        .groupBy(col("dst")).agg(round(sum(col("h")), 10).as("ra"))
+      val sumA = rawA.agg(
+        sum(col("ra").cast("decimal(24,10)")).cast("double").as("sa"))
+      auth = docs.join(rawA, docs("doc_id") === rawA("dst"), "left")
+        .crossJoin(broadcast(sumA))
+        .select(docs("doc_id"),
+          round(coalesce(col("ra"), lit(0.0)) / col("sa"), 10).as("a"))
+      val rawH = e.join(auth, e("dst") === auth("doc_id"))
+        .groupBy(col("src")).agg(round(sum(col("a")), 10).as("rh"))
+      val sumH = rawH.agg(
+        sum(col("rh").cast("decimal(24,10)")).cast("double").as("sh"))
+      hub = docs.join(rawH, docs("doc_id") === rawH("src"), "left")
+        .crossJoin(broadcast(sumH))
+        .select(docs("doc_id"),
+          round(coalesce(col("rh"), lit(0.0)) / col("sh"), 10).as("h"))
+    }
+    auth.join(hub.withColumnRenamed("doc_id", "d2"),
+        auth("doc_id") === col("d2"))
+      .select(col("doc_id"),
+        round(col("a") * n.toDouble, 8).as("authority"),
+        round(col("h") * n.toDouble, 8).as("hub"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * K-core peeling (Seidman 1983) over the symmetrized id-derived
    * graph: repeatedly drop nodes with fewer than `k` live neighbors —
    * the degeneracy screen webgraph pipelines run to separate
