@@ -112,6 +112,7 @@ object SparkEntry {
     "q_lm_kn" -> (TextAnalysis.knScoreQuery _),
     "q_pmi" -> ((s, d) => TextAnalysis.pmiQuery(s, d)),
     "q_gini" -> (TextAnalysis.giniQuery _),
+    "q_zipf" -> (TextAnalysis.zipfQuery _),
     "q_benford" -> (DataQuality.benfordQuery _),
     "q_bootstrap" -> ((s, d) => Sampling.bootstrapQuery(s, d)),
     // Sparse retrieval: BM25 scoring + RAG chunking with overlap
@@ -2725,6 +2726,45 @@ object SparkEntry {
         |  round(CAST(head_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE),
         |    6) AS head_share
         |FROM n CROSS JOIN head""".stripMargin,
+    // Zipf OLS fit: per-type log terms round to 10 dp and DECIMAL-sum;
+    // the closed form runs on identical sums in both engines.
+    "q_zipf" ->
+      """WITH counts AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY term HAVING count(*) >= 2),
+        |ranked AS (SELECT c,
+        |    CAST(row_number() OVER (ORDER BY c DESC, term) AS BIGINT)
+        |      AS r
+        |  FROM counts),
+        |t AS (SELECT
+        |    CAST(round(ln(CAST(r AS DOUBLE)), 10) AS DECIMAL(24,10))
+        |      AS x,
+        |    CAST(round(ln(CAST(c AS DOUBLE)), 10) AS DECIMAL(24,10))
+        |      AS y,
+        |    CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE)),
+        |      10) AS DECIMAL(24,10)) AS xy,
+        |    CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)),
+        |      10) AS DECIMAL(24,10)) AS xx
+        |  FROM ranked),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+        |    sum(x) AS sx, sum(y) AS sy, sum(xy) AS sxy, sum(xx) AS sxx
+        |  FROM t)
+        |SELECT n_types,
+        |  round((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+        |    AS zipf_slope,
+        |  round((CAST(sy AS DOUBLE) -
+        |    ((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
+        |    CAST(sx AS DOUBLE)) / CAST(n_types AS DOUBLE), 4)
+        |    AS zipf_intercept
+        |FROM s""".stripMargin,
     // Benford first-digit audit: digit via exact integer cents ->
     // decimal string head (no float log/formatting ambiguity).
     "q_benford" ->

@@ -472,6 +472,60 @@ object TextAnalysis {
   def giniQuery(spark: SparkSession, sfDir: String): DataFrame =
     giniOver(Tables.load(spark, sfDir, "documents"))
 
+  /**
+   * Zipf-law fit: OLS slope of ln(freq) on ln(rank) over the
+   * frequency-ranked vocabulary (types with count ≥ 2 — hapax mass
+   * bends the tail) — natural language sits near slope −1; a corpus
+   * of templates or mangled text does not. The companion diagnostic
+   * to [[giniQuery]]: Gini says HOW concentrated, the Zipf slope says
+   * whether the concentration follows the power law real text obeys.
+   *
+   * Shape: vocabulary-sized rank window; each per-type (x, y, xy, x²)
+   * term rounds to 10 dp and sums as DECIMAL (the q_lm_ppl order-free
+   * rule), so the OLS closed form runs on identical sums in both
+   * engines.
+   */
+  def zipfQuery(spark: SparkSession, sfDir: String): DataFrame =
+    zipfOver(Tables.load(spark, sfDir, "documents"))
+
+  /** [[zipfQuery]] over an explicit documents frame. */
+  def zipfOver(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+    val ranked = counts.withColumn("r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("term"))).cast("long"))
+    val terms = ranked.select(
+      round(log(col("r").cast("double")), 10)
+        .cast("decimal(24,10)").as("x"),
+      round(log(col("c").cast("double")), 10)
+        .cast("decimal(24,10)").as("y"),
+      round(log(col("r").cast("double")) *
+        log(col("c").cast("double")), 10)
+        .cast("decimal(24,10)").as("xy"),
+      round(log(col("r").cast("double")) *
+        log(col("r").cast("double")), 10)
+        .cast("decimal(24,10)").as("xx"))
+    terms.agg(count(lit(1)).as("n_types"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("xy")).as("sxy"), sum(col("xx")).as("sxx"))
+      .select(col("n_types"),
+        round((col("n_types").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n_types").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")), 4)
+          .as("zipf_slope"),
+        round((col("sy").cast("double") -
+          ((col("n_types").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n_types").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))) *
+          col("sx").cast("double")) /
+          col("n_types").cast("double"), 4).as("zipf_intercept"))
+  }
+
   /** [[giniQuery]] over an explicit documents frame (spec entry). */
   def giniOver(docs: DataFrame): DataFrame = {
     val counts = docs

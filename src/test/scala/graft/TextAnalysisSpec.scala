@@ -326,6 +326,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s.getDouble(3) == 0.97, s"head_share = ${s.getDouble(3)}")
   }
 
+  test("zipf fit: slope -1 on an exact power law, 0 on a flat " +
+      "vocabulary") {
+    // counts 64, 32, 16, 8, 4, 2 at ranks 1..6: freq = 128 * r^-1 on
+    // ranks {1,2,4,8,16,32}? no — construct freq(r) = 64/2^(r-1),
+    // which is ln f = ln 64 - (r-1) ln 2, NOT a power law in rank;
+    // instead use freq(r) = 96/r exactly: 96, 48, 32, 24 (r=1..4)
+    val words = Seq("a" -> 96, "b" -> 48, "c" -> 32, "d" -> 24)
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }
+      .mkString(" ")
+    val fit = TextAnalysis.zipfOver(Seq((0L, text)).toDF("doc_id", "text"))
+      .collect().head
+    assert(fit.getLong(0) == 4)
+    assert(math.abs(fit.getDouble(1) - (-1.0)) < 1e-3,
+      s"power-law slope ${fit.getDouble(1)} should be -1")
+    // flat vocabulary: y constant -> slope exactly 0
+    val flat = Seq((0L, "x y z x y z x y z")).toDF("doc_id", "text")
+    val f2 = TextAnalysis.zipfOver(flat).collect().head
+    assert(f2.getDouble(1) == 0.0, s"flat slope ${f2.getDouble(1)}")
+  }
+
   test("fitVocab: frequency order with lexicographic tie-break") {
     import SparkSpec.spark.implicits._
     val docs = Seq((1L, "a a b c"), (2L, "b b c d")).toDF("doc_id", "text")
