@@ -267,4 +267,57 @@ class PlanSpec extends SparkSpec {
       l.contains("LeftAnti") && l.contains("Broadcast")),
       s"hot-shingle anti join is not broadcast:\n$p")
   }
+
+  test("label propagation / k-core rounds: exchanges carry ids and " +
+      "counts, never adjacency lists or text") {
+    Seq(
+      graft.operators.Graph.labelPropQuery(spark, sfDir),
+      graft.operators.Graph.kCoreQuery(spark, sfDir)).foreach { q =>
+      val p = q.queryExecution.executedPlan.toString
+      val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(exchanges.nonEmpty)
+      assert(!exchanges.exists(_.contains("text#")),
+        s"document text entered a graph-iteration exchange:\n$exchanges")
+    }
+  }
+
+  test("bootstrap: one narrow scan, map-side partial agg, no shuffle " +
+      "of the corpus rows") {
+    val p = graft.operators.Sampling.bootstrapQuery(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"),
+      s"bootstrap must partial-aggregate:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(_.contains("text#")),
+      s"document text entered the bootstrap exchange:\n$exchanges")
+  }
+
+  test("A-ES WOR sample compiles to a bounded heap, not a global sort") {
+    val p = graft.operators.Sampling.weightedWorQuery(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"WOR top-k should be a bounded heap:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"WOR sample must not shuffle the corpus:\n$p")
+  }
+
+  test("set-similarity join: raw document text never enters an " +
+      "exchange (only token arrays for candidate verification)") {
+    val p = graft.operators.Dedup.setSimJoinQuery(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"raw text entered a set-sim exchange:\n$exchanges")
+  }
+
+  test("seasonal anomaly: the profile joins back as a broadcast — " +
+      "no window over the series") {
+    val p = graft.operators.Scale.seasonalAnomalyQuery(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"seasonal profile must broadcast:\n$p")
+    assert(!p.contains("Window"),
+      s"seasonal scoring must not use a series window:\n$p")
+  }
 }
