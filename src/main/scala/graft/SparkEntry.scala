@@ -216,6 +216,12 @@ object SparkEntry {
     "q_label_prop" -> ((s, d) => Graph.labelPropQuery(s, d)),
     "q_kcore" -> ((s, d) => Graph.kCoreQuery(s, d)),
     "q_hits" -> ((s, d) => Graph.hitsQuery(s, d)),
+    // Multi-source BFS seed distance (TrustRank order-0); 3 relaxation
+    // rounds, unreached → -1
+    "q_bfs_dist" -> ((s, d) => Graph.bfsDistQuery(s, d)),
+    // Adamic-Adar link prediction over common neighbors, hub centers
+    // excluded by the degree skew cap
+    "q_adamic_adar" -> ((s, d) => Graph.adamicAdarQuery(s, d)),
     // Exact triangle counts via degree-ordered orientation (bounded
     // wedge fan-out on power-law graphs)
     "q_triangles" -> (Graph.trianglesQuery _),
@@ -3263,6 +3269,77 @@ object SparkEntry {
         |SELECT it3.doc_id, round(it3.pr * nn.nd, 8) AS pr_scaled
         |FROM it3 CROSS JOIN nn
         |ORDER BY it3.doc_id""".stripMargin,
+    // Multi-source BFS, 3 unrolled relaxation rounds over the
+    // symmetrized id-derived graph; seeds doc_id % 97 = 0, unreached
+    // within 3 hops -> -1.
+    "q_bfs_dist" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |ed0 AS (
+        |  SELECT doc_id AS src,
+        |    (doc_id * 7 + 3) % (SELECT n FROM nn) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    (doc_id * 13 + 5) % (SELECT n FROM nn) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    (doc_id * 31 + 11) % (SELECT n FROM nn) FROM documents),
+        |ed AS (SELECT src, dst FROM ed0 WHERE src <> dst),
+        |und AS (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM ed
+        |   UNION ALL SELECT dst AS src, src AS dst FROM ed)),
+        |d0 AS (SELECT doc_id, CAST(0 AS BIGINT) AS dist
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |d1 AS (SELECT doc_id, min(dist) AS dist FROM (
+        |  SELECT * FROM d0 UNION ALL
+        |  SELECT u.dst, d0.dist + 1 FROM und u
+        |    JOIN d0 ON u.src = d0.doc_id) GROUP BY doc_id),
+        |d2 AS (SELECT doc_id, min(dist) AS dist FROM (
+        |  SELECT * FROM d1 UNION ALL
+        |  SELECT u.dst, d1.dist + 1 FROM und u
+        |    JOIN d1 ON u.src = d1.doc_id) GROUP BY doc_id),
+        |d3 AS (SELECT doc_id, min(dist) AS dist FROM (
+        |  SELECT * FROM d2 UNION ALL
+        |  SELECT u.dst, d2.dist + 1 FROM und u
+        |    JOIN d2 ON u.src = d2.doc_id) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(d3.dist, -1) AS dist
+        |FROM documents d LEFT JOIN d3 ON d.doc_id = d3.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // Adamic-Adar over common neighbors: weight = round(1/ln(deg), 10)
+    // DECIMAL-summed per pair; existing edges anti-joined out; the
+    // deg <= 64 skew cap mirrored (nothing reaches it on this graph).
+    "q_adamic_adar" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |ed0 AS (
+        |  SELECT doc_id AS src,
+        |    (doc_id * 7 + 3) % (SELECT n FROM nn) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    (doc_id * 13 + 5) % (SELECT n FROM nn) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    (doc_id * 31 + 11) % (SELECT n FROM nn) FROM documents),
+        |ed AS (SELECT src, dst FROM ed0 WHERE src <> dst),
+        |und AS (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM ed
+        |   UNION ALL SELECT dst AS src, src AS dst FROM ed)),
+        |dg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+        |ctr AS (SELECT src AS z,
+        |    CAST(round(1.0 / ln(CAST(deg AS DOUBLE)), 10)
+        |      AS DECIMAL(28,10)) AS w
+        |  FROM dg WHERE deg >= 2 AND deg <= 64),
+        |adj AS (SELECT c.z, c.w, u.dst AS nb
+        |  FROM und u JOIN ctr c ON u.src = c.z),
+        |pr AS (SELECT x.nb AS a, y.nb AS b, x.w
+        |  FROM adj x JOIN adj y ON x.z = y.z AND x.nb < y.nb),
+        |sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS common,
+        |    sum(w) AS aa_score
+        |  FROM pr GROUP BY a, b)
+        |SELECT sc.a, sc.b, sc.common,
+        |  CAST(sc.aa_score AS DECIMAL(38,10)) AS aa_score
+        |FROM sc
+        |WHERE sc.common >= 2 AND NOT EXISTS (
+        |  SELECT 1 FROM und u WHERE u.src = sc.a AND u.dst = sc.b)
+        |ORDER BY sc.a, sc.b""".stripMargin,
     // Synchronous label propagation, 3 unrolled rounds: the oracle
     // rebuilds the symmetrized id-derived edges, replays each round's
     // neighbor-label vote (most frequent wins, ties to the smallest

@@ -290,6 +290,113 @@ object Graph {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * Multi-source BFS hop distance from a seed set — the TrustRank-style
+   * "distance from trusted pages" signal (Gyöngyi et al., VLDB 2004
+   * propagate trust along links; hop distance is its order-0 form) and
+   * the reachability screen for crawl-frontier triage. Seeds are every
+   * 97th doc; distances are computed over the symmetrized id-derived
+   * link graph for a fixed `iters` rounds, so unreached-within-k nodes
+   * report −1 and the oracle replays every relaxation round as
+   * unrolled CTEs (the [[pageRankQuery]] discipline).
+   *
+   * Shape at 100 TB: each round is one equi-join of the edge list onto
+   * the (node, dist) frame + one min-agg — shuffles carry (id, dist)
+   * pairs only. This gate relaxes the FULL settled set each round
+   * (replayable in SQL); the production refinement is delta-frontier
+   * expansion (join only nodes whose dist changed last round), which
+   * changes cost, not results — min() is idempotent over re-relaxed
+   * nodes.
+   */
+  def bfsDistQuery(spark: SparkSession, sfDir: String,
+      iters: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val e = edges(docs, n)
+    val und = e.select(col("src"), col("dst"))
+      .unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val seeds = docs.filter(pmod(col("doc_id"), lit(97L)) === 0)
+    bfsFrom(docs, und, seeds, iters)
+  }
+
+  /** The [[bfsDistQuery]] relaxation over explicit node/edge/seed
+    * frames (edges must already be symmetric) — spec entry point. */
+  private[graft] def bfsFrom(docs: DataFrame, und: DataFrame,
+      seeds: DataFrame, iters: Int): DataFrame = {
+    var dist = seeds.select(col("doc_id"), lit(0L).as("dist"))
+    (1 to iters).foreach { _ =>
+      val relaxed = und.join(dist, und("src") === dist("doc_id"))
+        .select(und("dst").as("doc_id"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("doc_id")).agg(min(col("dist")).as("dist"))
+    }
+    docs.join(dist, Seq("doc_id"), "left")
+      .select(docs("doc_id"),
+        coalesce(col("dist"), lit(-1L)).as("dist"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * Adamic–Adar link prediction (Adamic & Adar, Social Networks 2003):
+   * for each non-adjacent pair (a, b) sharing ≥ 2 common neighbors,
+   * score Σ_z 1/ln(deg(z)) over the common neighbors z — rare shared
+   * neighbors count more than hubs. The "which links are missing"
+   * complement to [[triangleCounts]]' "which links close triangles":
+   * entity-graph completion and related-page suggestion at corpus
+   * scale.
+   *
+   * Scale shape: wedges are enumerated at the CENTER node (one
+   * self-join of the adjacency on z), so the fan-out is Σ deg(z)² —
+   * the power-law hazard — and the degCap skew guard excludes
+   * hub centers (deg > cap) from enumeration BEFORE the join, exactly
+   * the hot-shingle df-cap discipline from the Jaccard dedup path
+   * (a 10M-degree hub would otherwise emit 10¹³ pairs while carrying
+   * ≈ 0 Adamic–Adar weight each). The cap is mirrored in the oracle;
+   * on the bounded-degree gate graph nothing reaches it. Weight
+   * terms follow the ln rounding rule: round(1/ln(deg), 10) →
+   * DECIMAL sum, order-free exact.
+   */
+  def adamicAdarQuery(spark: SparkSession, sfDir: String,
+      degCap: Int = 64): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val e = edges(docs, n)
+    val und = e.select(col("src"), col("dst"))
+      .unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    adamicAdar(und, degCap)
+  }
+
+  /** The [[adamicAdarQuery]] scoring over an explicit symmetric edge
+    * frame — spec entry point. */
+  private[graft] def adamicAdar(und: DataFrame, degCap: Int): DataFrame = {
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // centers: deg ≥ 2 (a 1-neighbor center spans no pair) and below
+    // the skew cap; weight fixed per center, so it rides the adjacency
+    val centers = deg
+      .filter(col("deg") >= 2 && col("deg") <= degCap)
+      .select(col("src").as("z"),
+        round(lit(1.0) / log(col("deg").cast("double")), 10)
+          .cast("decimal(28,10)").as("w"))
+    val adj = und.join(centers, und("src") === centers("z"))
+      .select(col("z"), col("w"), und("dst").as("nb"))
+    val pairs = adj.as("x").join(adj.as("y"),
+        col("x.z") === col("y.z") && col("x.nb") < col("y.nb"))
+      .select(col("x.nb").as("a"), col("y.nb").as("b"),
+        col("x.w").as("w"))
+    val scored = pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"), sum(col("w")).as("aa_score"))
+    // link PREDICTION: existing edges are excluded (und is symmetric,
+    // so the a<b orientation is present directly)
+    scored
+      .join(und.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti")
+      .filter(col("common") >= 2)
+      .select(col("a"), col("b"), col("common"), col("aa_score"))
+      .orderBy(col("a"), col("b"))
+  }
+
   def trianglesQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val i = col("doc_id")
     val e = Tables.load(spark, sfDir, "documents")

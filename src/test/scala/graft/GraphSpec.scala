@@ -100,4 +100,73 @@ class GraphSpec extends SparkSpec {
     assert(partial(3L) && !partial(1L) && !partial(2L),
       s"2-round peel should leave only the center: $partial")
   }
+
+  test("bfs distance: hand-computed hops on a path + unreached -1, " +
+      "and min over two seeds") {
+    import SparkSpec.spark.implicits._
+    def sym(edges: Seq[(Long, Long)]) =
+      (edges ++ edges.map(_.swap)).toDF("src", "dst")
+    // path 0-1-2-3-4-5 with isolated node 9; seed {0}: dist = hop
+    // index, 4-5 and 9 unreached within 3 rounds -> 4->-1? no: 4 is
+    // 4 hops -> -1 after 3 rounds; 9 disconnected -> -1
+    val docs = (Seq(0L, 1L, 2L, 3L, 4L, 5L, 9L)).toDF("doc_id")
+    val path = sym(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 5L)))
+    val seeds0 = Seq(0L).toDF("doc_id")
+    val got = Graph.bfsFrom(docs, path, seeds0, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L,
+      4L -> -1L, 5L -> -1L, 9L -> -1L), s"got $got")
+    // two seeds {0, 5}: every node takes the MIN distance over seeds
+    val seeds2 = Seq(0L, 5L).toDF("doc_id")
+    val got2 = Graph.bfsFrom(docs, path, seeds2, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got2 == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L,
+      4L -> 1L, 5L -> 0L, 9L -> -1L), s"got $got2")
+    // determinism across repartitioning
+    val again = Graph.bfsFrom(docs.repartition(4), path.repartition(3),
+      seeds2, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again == got2)
+  }
+
+  test("adamic-adar: hand-computed wedge weights, edge exclusion, " +
+      "and the degree skew cap") {
+    import SparkSpec.spark.implicits._
+    def sym(edges: Seq[(Long, Long)]) =
+      (edges ++ edges.map(_.swap)).toDF("src", "dst")
+    // graph: star center 0 over {1,2,3}, edge 1-2, and centers 7, 8
+    // each adjacent to {1,3}. Degrees: 0:3, 1:4, 2:2, 3:3, 7:2, 8:2.
+    // Pairs with >= 2 common neighbors and no existing edge:
+    //   (1,3): commons {0,7,8} -> 1/ln3 + 2/ln2
+    //   (0,7), (0,8): commons {1,3} -> 1/ln4 + 1/ln3
+    //   (7,8): commons {1,3}       -> 1/ln4 + 1/ln3
+    // (1,2) has common {0} but is an existing edge AND below the
+    // floor; (2,3), (0,1) etc. have only 1 common neighbor.
+    val und = sym(Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L),
+      (7L, 1L), (7L, 3L), (8L, 1L), (8L, 3L)))
+    val got = Graph.adamicAdar(und, degCap = 64).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDecimal(3).doubleValue))).toMap
+    val w13 = 1.0 / math.log(3.0) + 2.0 / math.log(2.0)
+    val wHub = 1.0 / math.log(4.0) + 1.0 / math.log(3.0)
+    assert(got.keySet ==
+      Set((1L, 3L), (0L, 7L), (0L, 8L), (7L, 8L)),
+      s"pairs: ${got.keySet}")
+    assert(got((1L, 3L))._1 == 3L)
+    assert(math.abs(got((1L, 3L))._2 - w13) < 1e-9,
+      s"score ${got((1L, 3L))._2} != $w13")
+    Seq((0L, 7L), (0L, 8L), (7L, 8L)).foreach { p =>
+      assert(got(p)._1 == 2L)
+      assert(math.abs(got(p)._2 - wHub) < 1e-9, s"$p: ${got(p)._2}")
+    }
+    // skew cap: capping at deg <= 2 removes center 0 (deg 3) from
+    // wedge enumeration; (1,3) keeps commons {7,8} only
+    val capped = Graph.adamicAdar(und, degCap = 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDecimal(3).doubleValue))).toMap
+    assert(capped.keySet == Set((1L, 3L)))
+    assert(capped((1L, 3L))._1 == 2L)
+    assert(math.abs(capped((1L, 3L))._2 - 2.0 / math.log(2.0)) < 1e-9)
+  }
 }
