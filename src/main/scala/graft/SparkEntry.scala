@@ -41,6 +41,15 @@ object SparkEntry {
     "q_rolling_anomaly" -> (Scale.rollingAnomalyQuery _),
     // Hour-of-day seasonal-profile anomalies (broadcast profile)
     "q_seasonal_anomaly" -> (Scale.seasonalAnomalyQuery _),
+    // First-order Markov transition matrix of per-user event-type
+    // sequences + per-row Shannon entropy (bot-traffic screen)
+    "q_markov" -> (Behavior.markovQuery _),
+    // Half-life time-decay weighted count/value per event type as of
+    // the stream's last timestamp (trending/freshness scores)
+    "q_decay_agg" -> ((s, d) => Behavior.decayAggQuery(s, d)),
+    // Two-proportion z-test on purchase conversion, cohorts by user
+    // id parity (the experiment decision-gate readout)
+    "q_ab_test" -> (Behavior.abTestQuery _),
     // Rank-based p05/p95 quantile clipping (robust to heavy tails)
     "q_winsorize" -> (Relational.winsorizeQuery _),
     "q_funnel" -> (Relational.funnelQuery _),
@@ -1795,6 +1804,83 @@ object SparkEntry {
         |  END AS is_anomaly
         |FROM w WHERE win_n = 24
         |ORDER BY event_type, hour_start""".stripMargin,
+    // Markov transitions: lag() bigrams per user (ts, event_id order),
+    // exact BIGINT counts, ONE double division for p, entropy terms
+    // round(-p*ln p, 10) DECIMAL-summed.
+    "q_markov" ->
+      """WITH bi AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM bi WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, event_type),
+        |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total
+        |  FROM c GROUP BY prev_type),
+        |p AS (SELECT c.prev_type, c.event_type, c.n,
+        |    round(CAST(c.n AS DOUBLE) / CAST(t.row_total AS DOUBLE), 10)
+        |      AS p
+        |  FROM c JOIN t ON c.prev_type = t.prev_type),
+        |h AS (SELECT prev_type,
+        |    CAST(sum(CAST(round(-p * ln(p), 10) AS DECIMAL(20,10)))
+        |      AS DECIMAL(38,10)) AS row_entropy_nats
+        |  FROM p GROUP BY prev_type)
+        |SELECT p.prev_type, p.event_type, p.n, p.p, h.row_entropy_nats
+        |FROM p JOIN h ON p.prev_type = h.prev_type
+        |ORDER BY p.prev_type, p.event_type""".stripMargin,
+    // Time-decay aggregates: exact BIGINT millisecond ages, each
+    // 2^(-age/hl) weight and weight*value product rounded (10/6 dp)
+    // then DECIMAL-summed order-free.
+    "q_decay_agg" ->
+      """WITH ref AS (SELECT max(epoch_ms(ts)) AS ref_ms FROM events),
+        |w AS (SELECT event_type,
+        |    CAST(round(power(2.0, -(CAST(ref.ref_ms - epoch_ms(ts)
+        |        AS DOUBLE) / 3.6e6) / 168.0), 10)
+        |      AS DECIMAL(20,10)) AS wt,
+        |    CAST(round(power(2.0, -(CAST(ref.ref_ms - epoch_ms(ts)
+        |        AS DOUBLE) / 3.6e6) / 168.0) * value, 6)
+        |      AS DECIMAL(24,6)) AS wv
+        |  FROM events, ref)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(wt) AS DECIMAL(38,10)) AS decayed_n,
+        |  CAST(sum(wv) AS DECIMAL(38,6)) AS decayed_value
+        |FROM w GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // A/B z-test: 4 exact BIGINTs -> one fixed double expression tree
+    // (pooled se), outputs rounded to 10 dp.
+    "q_ab_test" ->
+      """WITH u0 AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS np
+        |  FROM events GROUP BY user_id),
+        |u AS (SELECT user_id,
+        |    CASE WHEN np >= 14 THEN 1 ELSE 0 END AS conv FROM u0),
+        |g AS (SELECT user_id % 2 AS grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(conv) AS BIGINT) AS x
+        |  FROM u GROUP BY user_id % 2),
+        |f AS (SELECT
+        |    (SELECT n FROM g WHERE grp = 0) AS n_a,
+        |    (SELECT x FROM g WHERE grp = 0) AS x_a,
+        |    (SELECT n FROM g WHERE grp = 1) AS n_b,
+        |    (SELECT x FROM g WHERE grp = 1) AS x_b),
+        |d AS (SELECT n_a, x_a, n_b, x_b,
+        |    CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        |    CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+        |    CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+        |  FROM f),
+        |s AS (SELECT *,
+        |    sqrt(pp * (1.0 - pp) * (1.0 / CAST(n_a AS DOUBLE)
+        |      + 1.0 / CAST(n_b AS DOUBLE))) AS sev
+        |  FROM d)
+        |SELECT n_a, x_a, n_b, x_b,
+        |  round(pa, 10) AS rate_a, round(pb, 10) AS rate_b,
+        |  round(pb - pa, 10) AS uplift,
+        |  round(sev, 10) AS se,
+        |  round((pb - pa) / sev, 10) AS z,
+        |  abs(round((pb - pa) / sev, 10)) >= 1.96 AS significant
+        |FROM s""".stripMargin,
     // Seasonal profile: per (event_type, hour-of-day) mean/sd over all
     // days, z against one's own clock hour; the oracle replays the
     // exact double nesting (sd = sqrt(num)/m inside the z division).

@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Behavioral analytics over the event stream — the sequence-model,
+ * recency-weighting, and experiment-inference passes an event
+ * warehouse runs beside the windowed aggregates in [[Scale]]. Each
+ * query reduces the raw stream to a model-sized frame (k² transition
+ * cells, one row per event type, one inference row), so nothing here
+ * ever shuffles event text or wide rows — counts and weights only.
+ */
+object Behavior {
+
+  /**
+   * First-order Markov transition matrix of the per-user event-type
+   * sequence, plus the per-row Shannon entropy (nats) — the
+   * "predictability of the stream" diagnostic that screens bot traffic
+   * (near-zero entropy rows) from organic sessions, and the
+   * transition model session-simulators sample from.
+   *
+   * Shape at 100 TB: the lag() window partitions BY USER — thousands
+   * of small per-user sorts co-located with the groupBy shuffle, never
+   * a corpus-wide sort; bigram counts reduce map-side to ≤ k² cells,
+   * and the row totals / entropies are k-row broadcasts. Exactness:
+   * counts are exact BIGINT; p = n/row_total is ONE double division
+   * rounded to 10 dp; entropy terms −p·ln p round to 10 dp and sum as
+   * DECIMAL (order-free), the q_lm_ppl ln rule.
+   */
+  def markovQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val bigrams = ev
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val counts = bigrams.groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("row_total"))
+    val withP = counts.join(broadcast(totals), Seq("prev_type"))
+      .withColumn("p",
+        round(col("n").cast("double") / col("row_total").cast("double"),
+          10) + lit(0.0))
+    val entropy = withP
+      .select(col("prev_type"),
+        round(-col("p") * log(col("p")), 10).cast("decimal(20,10)")
+          .as("term"))
+      .groupBy(col("prev_type"))
+      .agg(sum(col("term")).cast("decimal(38,10)")
+        .as("row_entropy_nats"))
+    withP.join(broadcast(entropy), Seq("prev_type"))
+      .select(col("prev_type"), col("event_type"), col("n"), col("p"),
+        col("row_entropy_nats"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  /**
+   * Exponential time-decay aggregates: per event type, the
+   * half-life-weighted event count and value sum as of the stream's
+   * last timestamp — the recency-weighted engagement score
+   * (w = 2^(−age/half-life)) that powers trending rankings and
+   * freshness-weighted sampling, where a plain windowed sum either
+   * forgets everything outside the window or weights a year-old event
+   * like yesterday's.
+   *
+   * Shape at 100 TB: the reference time is a one-row broadcast
+   * (max ts); weights are a codegen'd projection on the scan; the
+   * aggregation is an ordinary map-side-partial groupBy on event_type
+   * — one narrow shuffle of k·(2 decimals + 1 long). Exactness: ages
+   * are exact BIGINT millisecond differences; each 2^(−x) weight and
+   * each weight·value product rounds to 10/6 dp then sums as DECIMAL
+   * (order-free), so the result is partitioning-independent and
+   * engine-exact.
+   */
+  def decayAggQuery(spark: SparkSession, sfDir: String,
+      halfLifeHours: Double = 168.0): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val ref = ev.agg(max(unix_millis(col("ts"))).as("ref_ms"))
+    val ageH = (col("ref_ms") - unix_millis(col("ts"))).cast("double") /
+      lit(3.6e6)
+    val wRaw = pow(lit(2.0), -ageH / lit(halfLifeHours))
+    ev.crossJoin(broadcast(ref))
+      .select(col("event_type"),
+        round(wRaw, 10).cast("decimal(20,10)").as("wt"),
+        round(wRaw * col("value"), 6).cast("decimal(24,6)").as("wv"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("wt")).cast("decimal(38,10)").as("decayed_n"),
+        sum(col("wv")).cast("decimal(38,6)").as("decayed_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /**
+   * Two-proportion experiment readout (the A/B test z-test): users
+   * split into cohorts by id parity, conversion = repeat purchaser
+   * (≥ 14 purchase events — the stream's per-user median, so both
+   * cohorts stay non-degenerate at every scale factor; "did anyone
+   * purchase" saturates to 100% and zeroes the pooled variance);
+   * reports per-cohort rates, the uplift, the pooled
+   * standard error, the z statistic, and the |z| ≥ 1.96 significance
+   * call — the decision-gate summary every event warehouse serves.
+   *
+   * Shape at 100 TB: one groupBy(user) max() pass folds the stream to
+   * (user, converted) — map-side partial, shuffle carries one bit per
+   * user — then a 2-row aggregate; the inference arithmetic runs on
+   * four BIGINTs in the driver plan, no data motion. Exactness: all
+   * counts exact; the z pipeline is a fixed double expression tree on
+   * those integers, rounded to 10 dp at the outputs.
+   */
+  def abTestQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val users = ev.groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).as("np"))
+      .select(col("user_id"),
+        when(col("np") >= 14L, 1L).otherwise(0L).as("conv"))
+      .withColumn("grp", pmod(col("user_id"), lit(2L)))
+    val cohorts = users.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
+    val a = cohorts.filter(col("grp") === 0L)
+      .select(col("n").as("n_a"), col("x").as("x_a"))
+    val b = cohorts.filter(col("grp") === 1L)
+      .select(col("n").as("n_b"), col("x").as("x_b"))
+    val pA = col("x_a").cast("double") / col("n_a").cast("double")
+    val pB = col("x_b").cast("double") / col("n_b").cast("double")
+    val pPool = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n_a").cast("double") +
+        lit(1.0) / col("n_b").cast("double")))
+    val z = (pB - pA) / se
+    a.crossJoin(b)
+      .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        (round(pA, 10) + lit(0.0)).as("rate_a"),
+        (round(pB, 10) + lit(0.0)).as("rate_b"),
+        (round(pB - pA, 10) + lit(0.0)).as("uplift"),
+        (round(se, 10) + lit(0.0)).as("se"),
+        (round(z, 10) + lit(0.0)).as("z"),
+        (abs(round(z, 10) + lit(0.0)) >= 1.96).as("significant"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.Behavior
+import org.apache.spark.sql.functions._
+
+/** Behavioral-analytics invariants: Markov rows are probability
+  * distributions with correctly-bounded entropy, decay weights respect
+  * the half-life envelope, and the A/B readout replays from its own
+  * counts. */
+class BehaviorSpec extends SparkSpec {
+
+  test("markov: rows are probability distributions, bigram mass " +
+      "matches, entropy bounded by ln(k)") {
+    val rows = Behavior.markovQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // per prev_type: Σ p ≈ 1 (each p rounded to 10 dp, ≤ k terms)
+    rows.groupBy(_.getString(0)).foreach { case (prev, rs) =>
+      val mass = rs.map(_.getDouble(3)).sum
+      assert(math.abs(mass - 1.0) < 1e-8,
+        s"$prev: transition mass $mass != 1")
+      // entropy: 0 ≤ H ≤ ln(#successors), one value per row group
+      val hs = rs.map(_.getDecimal(4).doubleValue).distinct
+      assert(hs.length == 1)
+      assert(hs.head >= 0.0 && hs.head <= math.log(rs.length) + 1e-9,
+        s"$prev: entropy ${hs.head} outside [0, ln(${rs.length})]")
+    }
+    // total bigram count = total events − distinct users (each user's
+    // first event opens no transition)
+    val ev = Tables.load(spark, sfDir, "events")
+    val expected = ev.count() -
+      ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum == expected)
+  }
+
+  test("decay agg: weights live in the half-life envelope and the " +
+      "count/weight ordering holds") {
+    val rows = Behavior.decayAggQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.load(spark, sfDir, "events")
+    val Array(minMs, maxMs) = ev
+      .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val wMin = math.pow(2.0, -((maxMs - minMs) / 3.6e6) / 168.0)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val dn = r.getDecimal(2).doubleValue
+      // every weight ∈ [2^(−maxAge/hl), 1] ⇒ n·wMin ≤ decayed_n ≤ n
+      assert(dn <= n + 1e-6, s"${r.getString(0)}: decayed_n $dn > n $n")
+      assert(dn >= n * wMin - 1e-6,
+        s"${r.getString(0)}: decayed_n $dn below envelope ${n * wMin}")
+    }
+    // determinism across repartition-insensitive DECIMAL summation
+    val again = Behavior.decayAggQuery(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("ab test: readout replays from its own counts and the " +
+      "significance call matches |z|") {
+    val r = Behavior.abTestQuery(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val (na, xa, nb, xb) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3))
+    assert(na > 0 && nb > 0)
+    // the conversion split must be non-degenerate (the reason the
+    // metric is "repeat purchaser", not "any purchase")
+    assert(xa > 0 && xa < na, s"cohort A degenerate: $xa/$na")
+    assert(xb > 0 && xb < nb, s"cohort B degenerate: $xb/$nb")
+    val pa = xa.toDouble / na
+    val pb = xb.toDouble / nb
+    val pp = (xa + xb).toDouble / (na + nb)
+    val se = math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    def r10(x: Double) = BigDecimal(x)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getDouble(4) - r10(pa)) < 1e-12)
+    assert(math.abs(row.getDouble(5) - r10(pb)) < 1e-12)
+    assert(math.abs(row.getDouble(7) - r10(se)) < 1e-12)
+    val z = row.getDouble(8)
+    assert(math.abs(z - r10((pb - pa) / se)) < 1e-9)
+    assert(row.getBoolean(9) == (math.abs(z) >= 1.96))
+  }
+}
