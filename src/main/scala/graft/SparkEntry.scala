@@ -266,6 +266,10 @@ object SparkEntry {
     "q_rank_ensemble" -> (Curation.rankEnsembleQuery _),
     // L-diversity: same ladder, sensitive-attribute diversity gate
     "q_l_diversity" -> (Curation.lDiversityQuery _),
+    // Laplace-noised count release (event-level epsilon-DP); the
+    // noise draw is a deterministic md5-uniform CDF inversion so the
+    // oracle replays it
+    "q_dp_counts" -> ((s, d) => Curation.dpCountsQuery(s, d)),
     // Domain deny-list: longest label-boundary suffix match
     "q_domain_filter" -> (Curation.domainFilterQuery _),
     "q_text_normalize" -> (Curation.normalizeQuery _),
@@ -3830,6 +3834,24 @@ object SparkEntry {
         |    AS acct_band
         |FROM j ORDER BY c_custkey""".stripMargin,
     // q_l_diversity: the oracle re-derives BOTH per-level class stats
+    // DP counts: the oracle replays the md5-uniform Laplace inversion
+    // (u = (h24+0.5)/2^24, noise = -sign(u-.5)*ln(1-2|u-.5|)) per
+    // released cell, rounded to 6 dp.
+    "q_dp_counts" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type, hour(ts)),
+        |w AS (SELECT *,
+        |    (CAST(('0x' || substring(md5(event_type || ':' ||
+        |        CAST(hod AS VARCHAR)), 1, 6)) AS BIGINT)
+        |      + 0.5) / 16777216.0 AS u
+        |  FROM c)
+        |SELECT event_type, hod, n,
+        |  round(CAST(n AS DOUBLE) + (-1.0) * sign(u - 0.5) *
+        |    ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_n
+        |FROM w
+        |ORDER BY event_type, hod""".stripMargin,
     // (size and distinct-sensitive-values), replays the first level
     // clearing k AND l, and re-emits the released class's certificate
     // (null when suppressed). QIs are nation + band only; segment is

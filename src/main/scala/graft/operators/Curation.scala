@@ -800,6 +800,45 @@ object Curation {
   }
 
   /**
+   * Differentially-private count release (Dwork et al., TCC 2006):
+   * event counts per (event_type, hour-of-day) with Laplace(1/ε)
+   * noise — the third rung of the privacy ladder next to
+   * [[kAnonQuery]]/[[lDiversityQuery]]: k-anonymity hides rows,
+   * l-diversity hides attributes, DP bounds what ANY release reveals
+   * about one record. Event-level ε-DP (adding/removing one event
+   * changes each cell by ≤ 1, so sensitivity = 1 and b = 1/ε);
+   * user-level DP would first clamp per-user contributions — a
+   * groupBy cap — before this same mechanism.
+   *
+   * Determinism (the gate's requirement, NOT a production property):
+   * the Laplace draw inverts the CDF at a deterministic md5 uniform
+   * u = (h24 + 0.5)/2²⁴ ∈ (0,1) derived from the CELL KEY —
+   * noise = −b·sign(u−½)·ln(1−2|u−½|) — so both engines replay the
+   * identical noise. Production swaps u for a secure RNG; nothing
+   * else changes. The exact `n` column is gate-only audit material; a
+   * real release publishes `noisy_n` alone.
+   *
+   * Shape at 100 TB: one map-side-partial groupBy to k·24 cells, then
+   * the noise is a scalar projection on the tiny released frame.
+   */
+  def dpCountsQuery(spark: SparkSession, sfDir: String,
+      epsilon: Double = 1.0): DataFrame = {
+    val counts = Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"))
+    val u = (Sampling.hashBucket24(concat(col("event_type"), lit(":"),
+      col("hod").cast("string"))).cast("double") + lit(0.5)) /
+      lit(16777216.0)
+    val b = 1.0 / epsilon
+    val noise = -lit(b) * signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    counts
+      .select(col("event_type"), col("hod"), col("n"),
+        round(col("n").cast("double") + noise, 6).as("noisy_n"))
+      .orderBy(col("event_type"), col("hod"))
+  }
+
+  /**
    * Borda-count quality ensemble: fuse three heterogeneous per-doc
    * quality signals (length, lexical diversity, mean word length) by
    * RANK rather than value — the rank-aggregation answer to

@@ -564,4 +564,32 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_.getLong(7)).distinct.length > 1,
       "borda collapsed to a constant")
   }
+
+  test("dp counts: noise replays from scratch via MessageDigest, " +
+      "is bounded by the 24-bit tail, and actually perturbs") {
+    val rows = operators.Curation.dpCountsQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // replay every cell's Laplace draw from first principles
+    rows.foreach { r =>
+      val key = s"${r.getString(0)}:${r.getLong(1)}"
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h24 = java.lang.Long.parseLong(md5.take(6), 16)
+      val u = (h24.toDouble + 0.5) / 16777216.0
+      val noise = -1.0 * math.signum(u - 0.5) *
+        math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      val expected = BigDecimal(r.getLong(2).toDouble + noise)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - expected) < 1e-9,
+        s"$key: noisy ${r.getDouble(3)} != replayed $expected")
+      // |noise| ≤ ln(2^24 / 1) — the deepest CDF tail a 24-bit
+      // uniform can reach (u within 2^-25 of the edges)
+      assert(math.abs(r.getDouble(3) - r.getLong(2)) <=
+        math.log(2.0) * 25 + 1e-6)
+    }
+    // the mechanism must actually perturb (not the identity release)
+    assert(rows.count(r =>
+      math.abs(r.getDouble(3) - r.getLong(2)) > 1e-3) > rows.length / 2)
+  }
 }
