@@ -219,6 +219,9 @@ object SparkEntry {
     // names, transitive closure → entity ids across three sources
     "q_entity_resolve" -> (Linkage.entityResolveQuery _),
     "q_jaro_winkler" -> (Linkage.jaroWinklerQuery _),
+    // Full Damerau-Levenshtein (Lowrance-Wagner), cross-engine gated
+    // against DuckDB's native damerau_levenshtein
+    "q_damerau" -> (Linkage.damerauQuery _),
     // Graph centrality: 3-iteration PageRank over an id-derived link
     // graph (web-corpus importance weighting)
     "q_pagerank" -> ((s, d) => Graph.pageRankQuery(s, d)),
@@ -2946,6 +2949,20 @@ object SparkEntry {
         |    AS jw_next,
         |  round(jaro_winkler_similarity(c.c_name, c.c_mktsegment), 6)
         |    AS jw_seg
+        |FROM customer c JOIN nxt ON c.c_custkey = nxt.c_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
+    // Damerau-Levenshtein: cross-ENGINE gate — DuckDB's native
+    // damerau_levenshtein (full/unrestricted variant) vs our
+    // Lowrance-Wagner codegen kernel; the reversed-name column is
+    // transposition-dense, where full DL, OSA, and Levenshtein differ.
+    "q_damerau" ->
+      """WITH nxt AS (
+        |  SELECT c_custkey - 1 AS c_custkey, c_name AS next_name
+        |  FROM customer)
+        |SELECT c.c_custkey,
+        |  damerau_levenshtein(c.c_name, nxt.next_name) AS dl_next,
+        |  damerau_levenshtein(c.c_name, c.c_mktsegment) AS dl_seg,
+        |  damerau_levenshtein(c.c_name, reverse(c.c_name)) AS dl_rev
         |FROM customer c JOIN nxt ON c.c_custkey = nxt.c_custkey
         |ORDER BY c.c_custkey""".stripMargin,
     // Interpolated Kneser–Ney bigram scoring: the oracle replays the

@@ -1796,6 +1796,83 @@ object VectorKernels {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Full (unrestricted) Damerau–Levenshtein distance — the
+    * Lowrance–Wagner 1975 algorithm: edits are insert/delete/
+    * substitute plus transposition of two ADJACENT characters, and
+    * unlike the restricted OSA variant a substring may be edited
+    * after a transposition (DL("CA","ABC") = 2 where OSA says 3).
+    * The `da` map tracks, per alphabet character, the last row of
+    * `a` where it occurred; `db` the last matching column in the
+    * current row — the (d[k-1][l-1] + (i-k-1) + 1 + (j-l-1)) arm
+    * charges a transposition plus the characters skipped over. This
+    * is the variant DuckDB's `damerau_levenshtein` implements, which
+    * is what the cross-engine gate compares against. */
+  def damerauLevenshteinJava(left: org.apache.spark.unsafe.types.UTF8String,
+      right: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val a = left.toString; val b = right.toString
+    val la = a.length; val lb = b.length
+    if (la == 0) return lb.toLong
+    if (lb == 0) return la.toLong
+    val inf = la + lb
+    // matrix indexed from -1 via a +1 shift: d(0)(*) is the inf rail
+    val d = Array.ofDim[Int](la + 2, lb + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= la) { d(i + 1)(1) = i; d(i + 1)(0) = inf; i += 1 }
+    var j = 0
+    while (j <= lb) { d(1)(j + 1) = j; d(0)(j + 1) = inf; j += 1 }
+    val da = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= la) {
+      var db = 0
+      j = 1
+      while (j <= lb) {
+        val k: Int = {
+          val v = da.get(b.charAt(j - 1)); if (v == null) 0 else v
+        }
+        val l = db
+        var cost = 1
+        if (a.charAt(i - 1) == b.charAt(j - 1)) { cost = 0; db = j }
+        var best = d(i)(j) + cost                       // substitute/keep
+        val ins = d(i + 1)(j) + 1                       // insert
+        if (ins < best) best = ins
+        val del = d(i)(j + 1) + 1                       // delete
+        if (del < best) best = del
+        val tr = d(k)(l) + (i - k - 1) + 1 + (j - l - 1) // transpose
+        if (tr < best) best = tr
+        d(i + 1)(j + 1) = best
+        j += 1
+      }
+      da.put(a.charAt(i - 1), i)
+      i += 1
+    }
+    d(la + 1)(lb + 1).toLong
+  }
+
+  /** See [[damerauLevenshteinJava]]. */
+  case class DamerauLevenshtein(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (Seq(left, right).forall(
+          _.dataType == org.apache.spark.sql.types.StringType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string inputs, got " +
+          Seq(left, right).map(_.dataType.simpleString).mkString(", "))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_damerau"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      damerauLevenshteinJava(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.VectorKernels.damerauLevenshteinJava($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Token emitted by [[wordpieceTokensJava]] when a word contains a
     * character outside the vocabulary (the BERT convention: the whole
     * word collapses to one unknown token rather than a partial
@@ -2060,6 +2137,7 @@ object VectorKernels {
     fn("graft_wordpiece", es => WordpieceTokens(es(0),
       toStringSeq(es(1).eval()))),
     fn("graft_jaro_winkler", es => JaroWinkler(es(0), es(1))),
+    fn("graft_damerau", es => DamerauLevenshtein(es(0), es(1))),
   )
 
   /** SparkSessionExtensions hook: `.withExtensions(VectorKernels.register)`. */

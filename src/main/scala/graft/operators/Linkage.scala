@@ -150,4 +150,36 @@ object Linkage {
           col("c_name"), col("c_mktsegment")), 6).as("jw_seg"))
       .orderBy(col("c_custkey"))
   }
+
+  /**
+   * Full Damerau–Levenshtein scoring over the [[jaroWinklerQuery]]
+   * pair corpus — the edit-DISTANCE complement to Jaro–Winkler's
+   * similarity: consecutive near-identical customer names (small
+   * distances dominated by digit substitutions), name-vs-segment
+   * (unrelated strings — distances near max(|a|,|b|)), and
+   * name-vs-reversed-name, which is transposition-dense and
+   * separates full DL from both plain Levenshtein and the restricted
+   * OSA variant. Cross-engine gated value-for-value against DuckDB's
+   * native `damerau_levenshtein` — an independent implementation,
+   * not a replay of our own arithmetic.
+   *
+   * The kernel ([[graft.functions.VectorKernels.damerauLevenshteinJava]])
+   * is a codegen'd BinaryExpression: scoring stays inside
+   * whole-stage codegen, one narrow projection, no shuffle.
+   */
+  def damerauQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val nxt = c.select((col("c_custkey") - 1).as("c_custkey"),
+      col("c_name").as("next_name"))
+    c.join(nxt, Seq("c_custkey"))
+      .select(col("c_custkey"),
+        call_function("graft_damerau",
+          col("c_name"), col("next_name")).as("dl_next"),
+        call_function("graft_damerau",
+          col("c_name"), col("c_mktsegment")).as("dl_seg"),
+        call_function("graft_damerau",
+          col("c_name"), reverse(col("c_name"))).as("dl_rev"))
+      .orderBy(col("c_custkey"))
+  }
 }

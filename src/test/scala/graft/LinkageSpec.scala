@@ -107,4 +107,36 @@ class LinkageSpec extends SparkSpec {
       .as[Boolean].collect().head
     assert(sym, "jaro-winkler must be symmetric")
   }
+
+  test("damerau-levenshtein kernel: textbook cases incl. the " +
+      "full-vs-OSA separator, triangle inequality spot, symmetry") {
+    import SparkSpec.spark.implicits._
+    val cases = Seq(
+      ("CA", "ABC", 2L),     // FULL DL = 2; restricted OSA says 3
+      ("ab", "ba", 1L),      // one adjacent transposition
+      ("abcd", "acbd", 1L),
+      ("kitten", "sitting", 3L), // pure Levenshtein territory
+      ("abcdef", "abcdef", 0L),
+      ("", "abc", 3L),
+      ("abc", "", 3L),
+      ("a cat", "an act", 2L),   // insert + transposition
+      ("abcde", "edcba", 4L))    // reversal-dense
+    val got = cases.map { case (a, b, _) => (a, b) }
+      .toDF("a", "b")
+      .select(call_function("graft_damerau", col("a"), col("b")))
+      .as[Long].collect()
+    cases.zip(got).foreach { case ((a, b, want), v) =>
+      assert(v == want, s"dl($a, $b) = $v, want $want")
+    }
+    // symmetry + never exceeds max(|a|,|b|) on irregular pairs
+    val pairs = Seq(("transpose", "tranpsose"), ("xy", "yxxy"),
+      ("banana", "ananab"))
+    pairs.foreach { case (a, b) =>
+      val Seq(d1, d2) = Seq((a, b), (b, a)).toDF("a", "b")
+        .select(call_function("graft_damerau", col("a"), col("b")))
+        .as[Long].collect().toSeq
+      assert(d1 == d2, s"dl must be symmetric on ($a, $b)")
+      assert(d1 <= math.max(a.length, b.length))
+    }
+  }
 }
