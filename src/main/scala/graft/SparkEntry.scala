@@ -28,6 +28,10 @@ object SparkEntry {
     "q_distinct_agg" -> (Relational.distinctAgg _),
     "q_rollup" -> (Relational.rollupAgg _),
     "q_grouping_sets" -> (Relational.groupingSetsQuery _),
+    // Skyline / Pareto frontier on (price, recency) via month-bucket
+    // grid prune + survivor sweep; oracle is the independent
+    // quadratic NOT EXISTS dominance formulation
+    "q_skyline" -> (Relational.skylineQuery _),
     "q_events_hourly" -> (Relational.eventsHourly _),
     // Time-series regularization: dense hourly spine + forward fill
     "q_gap_fill" -> (Scale.gapFillQuery _),
@@ -788,6 +792,20 @@ object SparkEntry {
         |  CASE WHEN NOT ok THEN md5(raw) END AS quarantine_md5
         |FROM u
         |ORDER BY doc_id""".stripMargin,
+    // Skyline: the oracle is the INDEPENDENT quadratic dominance
+    // definition (NOT EXISTS a better-or-equal point with one strict
+    // edge) — it never sees the engine's grid prune, so the gate
+    // proves prune + sweep = textbook semantics.
+    "q_skyline" ->
+      """SELECT p.o_orderkey, p.o_totalprice, p.o_orderdate
+        |FROM orders p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders q
+        |  WHERE q.o_totalprice >= p.o_totalprice
+        |    AND q.o_orderdate >= p.o_orderdate
+        |    AND (q.o_totalprice > p.o_totalprice
+        |      OR q.o_orderdate > p.o_orderdate))
+        |ORDER BY p.o_orderkey""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |  round(sum(l_quantity), 2) AS sum_qty

@@ -445,6 +445,62 @@ object Relational {
   /** Arbitrary GROUPING SETS (beyond rollup's prefix lattice):
     * (flag, status), (status), () — exercised through Spark SQL since
     * the DataFrame API only exposes cube/rollup shorthands. */
+  /**
+   * Skyline (Pareto-frontier / maximal-vectors) query (Börzsönyi,
+   * Kossmann & Stocker, ICDE 2001): the orders no other order beats
+   * on BOTH price and recency — "biggest AND freshest", the
+   * multi-objective answer a single ORDER BY can't express. Dominance:
+   * q ≥ p on both dims with at least one strict; identical pairs tie
+   * and both stay.
+   *
+   * Scale shape (the reason this isn't the oracle's quadratic
+   * NOT EXISTS): a two-phase grid prune. Phase 1 buckets the date
+   * axis by month and broadcasts the bucket-count-sized
+   * "max price in any STRICTLY LATER bucket" table; a row whose
+   * price ≤ that suffix-max is dominated (later bucket ⇒ strictly
+   * later date) and dies at the scan — at 100 TB this is a narrow
+   * broadcast-join + filter that kills ≈ all of the corpus, and
+   * every true skyline point provably survives it. Phase 2 runs the
+   * classic 2D sweep on the SURVIVORS only (per-date max price +
+   * suffix max over strictly later dates — survivor-sized windows):
+   * p is skyline iff its price equals its date's max AND beats every
+   * strictly-later date's max. Dominators can WLOG be taken from the
+   * skyline itself (dominance composes), so survivor-vs-survivor
+   * checking is exact, not approximate.
+   */
+  def skylineQuery(s: SparkSession, dir: String): DataFrame =
+    skylineOf(Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate")))
+
+  /** The [[skylineQuery]] prune + sweep over an explicit
+    * (o_orderkey, o_totalprice, o_orderdate) frame — spec entry point
+    * for brute-force comparison on adversarial tie/duplicate
+    * corpora. */
+  private[graft] def skylineOf(o: DataFrame): DataFrame = {
+    val bucketed = o.withColumn("bucket",
+      date_trunc("month", col("o_orderdate")))
+    val bmax = bucketed.groupBy(col("bucket"))
+      .agg(max(col("o_totalprice")).as("bm"))
+    val laterBucketMax = bmax.withColumn("m_later",
+      max(col("bm")).over(Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bucket"), col("m_later"))
+    val survivors = bucketed
+      .join(broadcast(laterBucketMax), Seq("bucket"))
+      .filter(col("m_later").isNull ||
+        col("o_totalprice") > col("m_later"))
+    val dateMax = survivors.groupBy(col("o_orderdate"))
+      .agg(max(col("o_totalprice")).as("dm"))
+    val laterDateMax = dateMax.withColumn("a_later",
+      max(col("dm")).over(Window.orderBy(col("o_orderdate").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    survivors.join(broadcast(laterDateMax), Seq("o_orderdate"))
+      .filter(col("o_totalprice") === col("dm") &&
+        (col("a_later").isNull || col("o_totalprice") > col("a_later")))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      .orderBy(col("o_orderkey"))
+  }
+
   def groupingSetsQuery(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
     s.sql(

@@ -371,4 +371,45 @@ class ScaleSpec extends SparkSpec {
       if (vs.size > 1) assert(vs.map(_._3).head <= 100L + 40L)
     }
   }
+
+  test("skyline: prune+sweep equals brute-force dominance on an " +
+      "adversarial tie/duplicate corpus, across bucket boundaries") {
+    import SparkSpec.spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    // Hand corpus crossing three month buckets with every edge family:
+    //  - identical twins (1, 2): tie on both dims -> BOTH skyline
+    //    unless a third point dominates them (none does: 900 is the
+    //    global max price, in the earliest month)
+    //  - same-date ties (3, 4): equal price+date -> both live; (5)
+    //    same date lower price -> dominated
+    //  - cross-bucket kill: (6) high price early month dominated by
+    //    NOTHING later (late months all cheaper), survives; (7) early
+    //    cheap -> dominated by (8) later-and-pricier
+    //  - (9): latest date, lowest price -> skyline (nothing later,
+    //    equal-date nothing higher)
+    val rows = Seq(
+      (1L, 900.0, ts("2024-01-05")), (2L, 900.0, ts("2024-01-05")),
+      (3L, 500.0, ts("2024-02-10")), (4L, 500.0, ts("2024-02-10")),
+      (5L, 400.0, ts("2024-02-10")),
+      (6L, 880.0, ts("2024-01-20")),
+      (7L, 300.0, ts("2024-01-25")), (8L, 450.0, ts("2024-03-01")),
+      (9L, 100.0, ts("2024-03-15")))
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+    val got = operators.Relational.skylineOf(rows).collect()
+      .map(_.getLong(0)).toSet
+    // brute force the dominance definition
+    val pts = rows.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getTimestamp(2).getTime))
+    val brute = pts.filter { case (_, p, d) =>
+      !pts.exists { case (_, qp, qd) =>
+        qp >= p && qd >= d && (qp > p || qd > d) }
+    }.map(_._1).toSet
+    assert(got == brute, s"engine $got != brute $brute")
+    // the named expectations, so the trace itself is pinned:
+    // dead are exactly 5 (same-date lower price, killed by 3/4) and
+    // 7 (killed cross-bucket by 8: later AND pricier); 6 survives —
+    // 1/2 are pricier but STRICTLY EARLIER, which is not dominance
+    assert(got == Set(1L, 2L, 3L, 4L, 6L, 8L, 9L), s"got $got")
+  }
 }
