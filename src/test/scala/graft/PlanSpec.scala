@@ -320,4 +320,55 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"),
       s"seasonal scoring must not use a series window:\n$p")
   }
+
+  test("bfs / adamic-adar: iteration exchanges carry ids, never text") {
+    Seq(
+      graft.operators.Graph.bfsDistQuery(spark, sfDir),
+      graft.operators.Graph.adamicAdarQuery(spark, sfDir)).foreach { q =>
+      val p = q.queryExecution.executedPlan.toString
+      val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(exchanges.nonEmpty)
+      assert(!exchanges.exists(_.contains("text#")),
+        s"document text entered a graph exchange:\n$exchanges")
+    }
+  }
+
+  test("skyline: both prune tables broadcast; no cartesian or " +
+      "sort-merge join anywhere") {
+    val p = graft.operators.Relational.skylineQuery(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"skyline prune tables must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin"),
+      s"skyline must never go quadratic or shuffle-join the corpus:\n$p")
+  }
+
+  test("decay agg / ab test: the event stream folds map-side — " +
+      "exchanges carry only group keys and partial aggregates") {
+    Seq(
+      graft.operators.Behavior.decayAggQuery(spark, sfDir),
+      graft.operators.Behavior.abTestQuery(spark, sfDir)).foreach { q =>
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("HashAggregate"),
+        s"behavior queries must partial-aggregate:\n$p")
+      val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(!exchanges.exists(_.contains("props#")),
+        s"event props entered a behavior exchange:\n$exchanges")
+    }
+  }
+
+  test("markov: the only window partitions by user — no " +
+      "corpus-global window sort") {
+    val p = graft.operators.Behavior.markovQuery(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty, s"markov needs the lag window:\n$p")
+    // a global window would appear as Window with an empty partition
+    // spec — every window line here must mention the user_id key
+    assert(windows.filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("user_id#")),
+      s"markov window is not user-partitioned:\n$windows")
+  }
 }
