@@ -45,6 +45,9 @@ object SparkEntry {
     "q_rolling_anomaly" -> (Scale.rollingAnomalyQuery _),
     // Hour-of-day seasonal-profile anomalies (broadcast profile)
     "q_seasonal_anomaly" -> (Scale.seasonalAnomalyQuery _),
+    // CUSUM drift localization over daily counts (closed-form prefix
+    // windows per type; the persistent-shift detector)
+    "q_cusum" -> (Scale.cusumQuery _),
     // First-order Markov transition matrix of per-user event-type
     // sequences + per-row Shannon entropy (bot-traffic screen)
     "q_markov" -> (Behavior.markovQuery _),
@@ -1829,6 +1832,40 @@ object SparkEntry {
         |  END AS is_anomaly
         |FROM w WHERE win_n = 24
         |ORDER BY event_type, hour_start""".stripMargin,
+    // CUSUM: the oracle replays the seasonal z double tree at daily
+    // grain, then the closed form S+ = C - min(0, runmin C) with all
+    // prefix arithmetic in DECIMAL.
+    "q_cusum" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+        |pr AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(n) AS BIGINT) AS s1,
+        |    CAST(sum(n * n) AS BIGINT) AS s2
+        |  FROM d GROUP BY event_type),
+        |z AS (SELECT d.event_type, d.day, d.n,
+        |    CAST(round(CAST(pr.m * d.n - pr.s1 AS DOUBLE) /
+        |      (CAST(pr.m AS DOUBLE) *
+        |        (sqrt(CAST(pr.m * pr.s2 - pr.s1 * pr.s1 AS DOUBLE))
+        |          / CAST(pr.m AS DOUBLE))), 10)
+        |      AS DECIMAL(20,10)) AS zr
+        |  FROM d JOIN pr ON d.event_type = pr.event_type),
+        |c AS (SELECT *, CAST(sum(zr - CAST(0.5 AS DECIMAL(2,1)))
+        |    OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS DECIMAL(20,10)) AS cc
+        |  FROM z),
+        |m2 AS (SELECT *, CAST(min(cc)
+        |    OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS DECIMAL(20,10)) AS cmin
+        |  FROM c),
+        |f AS (SELECT *, CAST(cc - CASE WHEN cmin < 0 THEN cmin
+        |      ELSE CAST(0 AS DECIMAL(20,10)) END
+        |    AS DECIMAL(20,10)) AS s_plus
+        |  FROM m2)
+        |SELECT event_type, day, n, zr, s_plus, s_plus > 4 AS alarm
+        |FROM f
+        |ORDER BY event_type, day""".stripMargin,
     // Markov transitions: lag() bigrams per user (ts, event_id order),
     // exact BIGINT counts, ONE double division for p, entropy terms
     // round(-p*ln p, 10) DECIMAL-summed.

@@ -640,6 +640,67 @@ object Scale {
   }
 
   /**
+   * CUSUM change-point detection (Page, Biometrika 1954) over daily
+   * event-type counts — the DRIFT-LOCALIZATION complement to the
+   * anomaly pair: [[rollingAnomalyQuery]] flags spikes against a
+   * trailing window, [[seasonalAnomalyQuery]] against the clock-hour
+   * profile, CUSUM accumulates small persistent shifts until the
+   * one-sided statistic S⁺ crosses the decision interval — the
+   * "ingest volume quietly drifted 1σ for a week" detector neither
+   * spike rule can see.
+   *
+   * The recursion S⁺_t = max(0, S⁺_{t−1} + z_t − k) is not a window
+   * aggregate, but its closed form is: with C_t = Σ_{j≤t}(z_j − k)
+   * and C_0 = 0, S⁺_t = C_t − min(0, min_{j≤t} C_j) — a running sum
+   * and a running min, both plain prefix windows. Shape at 100 TB:
+   * the stream folds map-side to (type, day) cells; every window is
+   * PER TYPE over day-count-sized frames (the [[Behavior.markovQuery]]
+   * partitioned-window discipline — never a corpus sort). Exactness:
+   * z replays the [[seasonalAnomalyQuery]] integer-power-sum double
+   * tree, rounds to 10 dp, and all prefix arithmetic runs in DECIMAL
+   * — order-free, engine-exact.
+   */
+  def cusumQuery(spark: SparkSession, sfDir: String): DataFrame =
+    cusumOver(Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The [[cusumQuery]] statistic over an explicit
+    * (event_type, day, n) frame — spec entry point for injected-shift
+    * series. */
+  private[graft] def cusumOver(daily: DataFrame): DataFrame = {
+    val prof = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("m"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+    val sd = sqrt((col("m") * col("s2") - col("s1") * col("s1"))
+      .cast("double")) / col("m").cast("double")
+    val z = (col("m") * col("n") - col("s1")).cast("double") /
+      (col("m").cast("double") * sd)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // precision discipline: |z| ≤ √m and the horizon is m days, so
+    // every prefix sum fits comfortably in DECIMAL(20,10) — keeping
+    // operands at (20,10) keeps every subtraction inside Spark's
+    // 38-digit cap (a (38,10)−(38,10) would silently round to scale
+    // 9 on the overflow path, which the sf0.01 gate caught)
+    val scored = daily.join(broadcast(prof), Seq("event_type"))
+      .withColumn("zr", round(z, 10).cast("decimal(20,10)"))
+      .withColumn("cc",
+        sum(col("zr") - lit(0.5).cast("decimal(2,1)")).over(w)
+          .cast("decimal(20,10)"))
+      .withColumn("cmin",
+        min(col("cc")).over(w).cast("decimal(20,10)"))
+    scored
+      .withColumn("s_plus",
+        (col("cc") - when(col("cmin") < 0, col("cmin"))
+          .otherwise(lit(0).cast("decimal(20,10)")))
+          .cast("decimal(20,10)"))
+      .select(col("event_type"), col("day"), col("n"), col("zr"),
+        col("s_plus"), (col("s_plus") > 4).as("alarm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /**
    * Runtime bloom-filter join (semijoin reduction): the dimension
    * side's join-key set folds into one 8 KB
    * [[graft.functions.BloomAgg]] sketch (OR-merged partials,

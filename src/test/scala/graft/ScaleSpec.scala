@@ -412,4 +412,34 @@ class ScaleSpec extends SparkSpec {
     // 1/2 are pricier but STRICTLY EARLIER, which is not dominance
     assert(got == Set(1L, 2L, 3L, 4L, 6L, 8L, 9L), s"got $got")
   }
+
+  test("cusum: closed form equals the textbook recursion on an " +
+      "injected mean-shift series, and only the shift alarms") {
+    import SparkSpec.spark.implicits._
+    import java.sql.Timestamp
+    def day(i: Int) = Timestamp.valueOf(f"2024-01-${i}%02d 00:00:00")
+    // 20 quiet days around 100 then a persistent +1.5σ-ish shift:
+    // no single day is a spike, but the accumulated drift must alarm
+    val quiet = (1 to 20).map(i => ("a", day(i), 100L + (i % 3) - 1L))
+    val shifted = (21 to 28).map(i => ("a", day(i), 104L))
+    val series = (quiet ++ shifted).toDF("event_type", "day", "n")
+    val rows = operators.Scale.cusumOver(series).collect()
+      .sortBy(_.getTimestamp(1).getTime)
+    // replay the textbook recursion S+_t = max(0, S+_{t-1} + z_t - k)
+    // from the SAME rounded z values the engine emits
+    var s = BigDecimal(0)
+    rows.foreach { r =>
+      val z = BigDecimal(r.getDecimal(3))
+      s = (s + z - BigDecimal("0.5")).max(BigDecimal(0))
+      assert(BigDecimal(r.getDecimal(4)) == s,
+        s"day ${r.getTimestamp(1)}: closed form ${r.getDecimal(4)} " +
+          s"!= recursion $s")
+      assert(r.getBoolean(5) == (s > 4))
+    }
+    // the alarm fires somewhere in the shifted tail, never in quiet
+    val alarms = rows.filter(_.getBoolean(5))
+      .map(_.getTimestamp(1).toLocalDateTime.getDayOfMonth)
+    assert(alarms.nonEmpty && alarms.min >= 21,
+      s"alarm days: ${alarms.toSeq}")
+  }
 }
