@@ -276,6 +276,9 @@ object SparkEntry {
     "q_rank_ensemble" -> (Curation.rankEnsembleQuery _),
     // L-diversity: same ladder, sensitive-attribute diversity gate
     "q_l_diversity" -> (Curation.lDiversityQuery _),
+    // Greedy max-coverage doc selection (diverse eval-set pick);
+    // 3 unrolled rounds, broadcast covered-set anti join
+    "q_set_cover" -> ((s, d) => Curation.setCoverQuery(s, d)),
     // Laplace-noised count release (event-level epsilon-DP); the
     // noise draw is a deterministic md5-uniform CDF inversion so the
     // oracle replays it
@@ -3906,6 +3909,48 @@ object SparkEntry {
         |    AS acct_band
         |FROM j ORDER BY c_custkey""".stripMargin,
     // q_l_diversity: the oracle re-derives BOTH per-level class stats
+    // Greedy max-coverage, 3 unrolled rounds: each round's argmax
+    // (gain DESC, doc_id ASC LIMIT 1) and covered-set union replayed
+    // as CTEs; covered_total = |c_r|.
+    "q_set_cover" ->
+      """WITH dw AS (SELECT DISTINCT doc_id, wrd FROM (
+        |    SELECT doc_id, unnest(t[1:len(t)-1]) || ' ' ||
+        |      unnest(t[2:len(t)]) AS wrd
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |      FROM documents
+        |      WHERE len(string_split(text, ' ')) >= 2))),
+        |g1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+        |  FROM dw GROUP BY doc_id),
+        |w1 AS (SELECT doc_id, gain FROM g1
+        |  ORDER BY gain DESC, doc_id LIMIT 1),
+        |c1 AS (SELECT DISTINCT dw.wrd FROM dw
+        |  JOIN w1 ON dw.doc_id = w1.doc_id),
+        |r2 AS (SELECT dw.doc_id, dw.wrd FROM dw
+        |  LEFT JOIN c1 ON dw.wrd = c1.wrd WHERE c1.wrd IS NULL),
+        |g2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+        |  FROM r2 GROUP BY doc_id),
+        |w2 AS (SELECT doc_id, gain FROM g2
+        |  ORDER BY gain DESC, doc_id LIMIT 1),
+        |c2 AS (SELECT wrd FROM c1 UNION
+        |  SELECT r2.wrd FROM r2 JOIN w2 ON r2.doc_id = w2.doc_id),
+        |r3 AS (SELECT dw.doc_id, dw.wrd FROM dw
+        |  LEFT JOIN c2 ON dw.wrd = c2.wrd WHERE c2.wrd IS NULL),
+        |g3 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+        |  FROM r3 GROUP BY doc_id),
+        |w3 AS (SELECT doc_id, gain FROM g3
+        |  ORDER BY gain DESC, doc_id LIMIT 1),
+        |c3 AS (SELECT wrd FROM c2 UNION
+        |  SELECT r3.wrd FROM r3 JOIN w3 ON r3.doc_id = w3.doc_id)
+        |SELECT CAST(1 AS INTEGER) AS round, doc_id, gain,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c1) AS covered_total
+        |FROM w1
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), doc_id, gain,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c2) FROM w2
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), doc_id, gain,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c3) FROM w3
+        |ORDER BY round""".stripMargin,
     // DP counts: the oracle replays the md5-uniform Laplace inversion
     // (u = (h24+0.5)/2^24, noise = -sign(u-.5)*ln(1-2|u-.5|)) per
     // released cell, rounded to 6 dp.

@@ -839,6 +839,78 @@ object Curation {
   }
 
   /**
+   * Greedy maximum-coverage subset selection (the (1−1/e)-approximate
+   * greedy for submodular coverage, Nemhauser–Wolsey–Fisher 1978):
+   * pick `k` documents that together cover the most distinct
+   * vocabulary — the facility-location/diversity pass that builds
+   * small eval sets and dedup-cluster exemplar pools ("which 100 docs
+   * best represent the corpus"), where top-k by any per-doc score
+   * picks k near-duplicates.
+   *
+   * Iteration shape (the k-means/BPE driver-coordination pattern):
+   * each round is one ANTI-JOIN of the (doc, word) pairs against the
+   * covered-word set — which is bounded by k · |doc vocabulary|, so
+   * it BROADCASTS — one map-side-partial gain count, and a 1-row
+   * bounded-heap argmax to the driver (ties → smallest doc_id). Only
+   * per-round scalars reach the driver; corpus text never shuffles.
+   * Greedy's marginal gains are non-increasing (submodularity), which
+   * the spec asserts.
+   */
+  def setCoverQuery(spark: SparkSession, sfDir: String,
+      k: Int = 3): DataFrame = {
+    // universe = word BIGRAMS: the unigram vocabulary of the synthetic
+    // corpus is 31 words (one doc covers it — greedy saturates in one
+    // round); bigrams give a 900+-element universe with real overlap
+    // structure, which is also the honest production choice (coverage
+    // of CONTEXTS, not bare tokens)
+    val toks = split(col("text"), " ")
+    val docWords = Tables.load(spark, sfDir, "documents")
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "),
+            element_at(toks, i + 1))))).as("wrd"))
+    greedyCover(spark, docWords, k)
+  }
+
+  /** The [[setCoverQuery]] greedy over an explicit (doc_id, wrd)
+    * element frame — spec entry point. */
+  private[graft] def greedyCover(spark: SparkSession, docWords: DataFrame,
+      k: Int): DataFrame = {
+    var chosen = List.empty[Long]
+    var saturated = false
+    val out = scala.collection.mutable.ListBuffer
+      .empty[(Int, Long, Long, Long)]
+    (1 to k).foreach { r =>
+      if (!saturated) {
+        // the covered set derives from docWords itself — alias its
+        // column so the anti join is a real equi-join, not a
+        // self-join on one shared attribute
+        val cov = docWords.filter(col("doc_id").isInCollection(chosen))
+          .select(col("wrd").as("cov_wrd")).distinct()
+        val win = docWords
+          .join(broadcast(cov), col("wrd") === col("cov_wrd"),
+            "left_anti")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("doc_id")).limit(1)
+          .collect()
+        // an empty gains frame means the universe is fully covered —
+        // greedy stops (fewer than k rows is the saturation witness)
+        if (win.isEmpty) saturated = true
+        else {
+          chosen = chosen :+ win(0).getLong(0)
+          val cum = docWords.filter(col("doc_id").isInCollection(chosen))
+            .select(col("wrd")).distinct().count()
+          out += ((r, win(0).getLong(0), win(0).getLong(1), cum))
+        }
+      }
+    }
+    spark.createDataFrame(out.toSeq)
+      .toDF("round", "doc_id", "gain", "covered_total")
+  }
+
+  /**
    * Borda-count quality ensemble: fuse three heterogeneous per-doc
    * quality signals (length, lexical diversity, mean word length) by
    * RANK rather than value — the rank-aggregation answer to

@@ -592,4 +592,38 @@ class CurationSpec extends SparkSpec {
     assert(rows.count(r =>
       math.abs(r.getDouble(3) - r.getLong(2)) > 1e-3) > rows.length / 2)
   }
+
+  test("greedy max-coverage: beats naive top-k-by-size on the " +
+      "textbook overlap trap; gains non-increasing; ties to min id") {
+    // doc 1 = the biggest single set {a..f}; docs 2 and 3 overlap it
+    // heavily but together with 4 cover the complement. Naive top-2
+    // by size picks {1, 2} covering 8; greedy picks 1 then 4 (gain 3
+    // beats 2's marginal 2) covering 9.
+    val dw = Seq(
+      1L -> Seq("a", "b", "c", "d", "e", "f"),
+      2L -> Seq("a", "b", "c", "d", "g", "h"),
+      3L -> Seq("c", "d", "e", "f", "g"),
+      4L -> Seq("g", "h", "i"))
+      .flatMap { case (d, ws) => ws.map(w => (d, w)) }
+      .toDF("doc_id", "wrd")
+    val rows = operators.Curation.greedyCover(spark, dw, 3).collect()
+      .sortBy(_.getInt(0))
+    val picks = rows.map(_.getLong(1)).toSeq
+    val gains = rows.map(_.getLong(2)).toSeq
+    val cums = rows.map(_.getLong(3)).toSeq
+    assert(picks.head == 1L, s"round 1 must take the largest set: $picks")
+    assert(picks(1) == 4L,
+      s"round 2 must take the best MARGINAL set (4, gain 3), " +
+        s"not the second-largest (2): $picks")
+    assert(gains == Seq(6L, 3L), s"gains: $gains")
+    // submodularity: marginal gains never increase
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b })
+    // cumulative coverage consistent with gains
+    assert(cums == gains.scanLeft(0L)(_ + _).tail, s"cums: $cums")
+    // after {1, 4} the 9-element universe is fully covered — greedy
+    // SATURATES and stops: 2 rows out of the requested 3 is the
+    // saturation witness, never a zero-gain filler pick
+    assert(rows.length == 2, s"saturated greedy must stop: " +
+      rows.map(_.toString).mkString(", "))
+  }
 }
