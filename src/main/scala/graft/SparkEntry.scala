@@ -129,6 +129,11 @@ object SparkEntry {
     "q_pmi" -> ((s, d) => TextAnalysis.pmiQuery(s, d)),
     "q_gini" -> (TextAnalysis.giniQuery _),
     "q_zipf" -> (TextAnalysis.zipfQuery _),
+    // KL(P_lang || P_en) over add-1 smoothed unigram dists on the
+    // union vocabulary (domain-shift triage per cohort)
+    "q_kl_div" -> (TextAnalysis.klDivQuery _),
+    // Fano-factor burstiness per term (content vs glue separation)
+    "q_burstiness" -> ((s, d) => TextAnalysis.burstinessQuery(s, d)),
     "q_benford" -> (DataQuality.benfordQuery _),
     "q_bootstrap" -> ((s, d) => Sampling.bootstrapQuery(s, d)),
     // Sparse retrieval: BM25 scoring + RAG chunking with overlap
@@ -2859,6 +2864,58 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
     // Token-frequency Gini + head share: vocabulary-sized rank window,
     // exact BIGINT sum(i*c), one double formula at the end.
+    // KL divergence: the oracle rebuilds the (langs x union-vocab)
+    // grid with add-1 smoothing (unseen terms carry the floor), each
+    // p*ln(p/q) term rounded to 10 dp and DECIMAL-summed.
+    "q_kl_div" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |c AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY lang, term),
+        |t AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n
+        |  FROM c GROUP BY lang),
+        |v AS (SELECT DISTINCT term FROM c),
+        |vs AS (SELECT CAST(count(*) AS BIGINT) AS vn FROM v),
+        |en AS (SELECT term, c AS c_en FROM c WHERE lang = 'en'),
+        |ent AS (SELECT n AS n_en FROM t WHERE lang = 'en'),
+        |grid AS (SELECT t.lang, t.n, v.term,
+        |    coalesce(c.c, 0) AS cl, coalesce(en.c_en, 0) AS ce
+        |  FROM t CROSS JOIN v
+        |  LEFT JOIN c ON c.lang = t.lang AND c.term = v.term
+        |  LEFT JOIN en ON en.term = v.term),
+        |terms AS (SELECT lang, n,
+        |    CAST(round(
+        |      (CAST(cl + 1 AS DOUBLE) /
+        |        CAST(n + (SELECT vn FROM vs) AS DOUBLE)) *
+        |      ln((CAST(cl + 1 AS DOUBLE) /
+        |        CAST(n + (SELECT vn FROM vs) AS DOUBLE)) /
+        |      (CAST(ce + 1 AS DOUBLE) /
+        |        CAST((SELECT n_en FROM ent) + (SELECT vn FROM vs)
+        |          AS DOUBLE))), 10) AS DECIMAL(24,10)) AS tv
+        |  FROM grid)
+        |SELECT lang, max(n) AS n_tokens,
+        |  CAST(sum(tv) AS DECIMAL(38,10)) AS kl_nats
+        |FROM terms GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    // Burstiness: Fano = (N*S2 - S1^2)/(N*S1) on exact BIGINT power
+    // sums (zeros contribute nothing), one double division.
+    "q_burstiness" ->
+      """WITH pd AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, term),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |ag AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(c) AS BIGINT) AS s1,
+        |    CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM pd GROUP BY term)
+        |SELECT term, df, s1 AS total,
+        |  round(CAST((SELECT n FROM nn) * s2 - s1 * s1 AS DOUBLE) /
+        |    CAST((SELECT n FROM nn) * s1 AS DOUBLE), 10) AS fano
+        |FROM ag WHERE df >= 5
+        |ORDER BY term""".stripMargin,
     "q_gini" ->
       """WITH counts AS (
         |  SELECT term, CAST(count(*) AS BIGINT) AS c

@@ -628,4 +628,92 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 6).as("oov_rate"))
       .orderBy(col("doc_id"))
   }
+
+  /**
+   * Per-cohort distribution shift: KL(P_lang ‖ P_en) between add-1
+   * smoothed unigram distributions over the shared vocabulary — the
+   * quantified version of [[graft.operators.Sampling]]'s DSIR
+   * importance idea: which language cohorts' token distributions sit
+   * farthest from the reference corpus (domain-shift triage before
+   * mixing, tokenizer-fit checks per cohort). KL(en ‖ en) = 0 rides
+   * along as the built-in sanity row.
+   *
+   * Formulation: Σ over the UNION vocabulary (unseen terms carry the
+   * smoothing floor 1/(n_L + V) — dropping them underestimates
+   * divergence), realized as a (langs × vocab) frame: VOCABULARY-
+   * sized, never corpus-sized, the [[giniQuery]] reduction discipline.
+   * Exactness: p and q are single double divisions of exact BIGINTs;
+   * each p·ln(p/q) term rounds to 10 dp and DECIMAL-sums order-free.
+   */
+  def klDivQuery(spark: SparkSession, sfDir: String): DataFrame =
+    klDivOver(Tables.load(spark, sfDir, "documents"))
+
+  /** [[klDivQuery]] over an explicit documents frame (spec entry). */
+  def klDivOver(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("lang"),
+      explode(tokens(col("text"))).as("term"))
+    val counts = tok.groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+    val vocab = counts.select(col("term")).distinct()
+    val vSize = vocab.count()
+    val en = counts.filter(col("lang") === "en")
+      .select(col("term").as("en_term"), col("c").as("c_en"))
+    val enTotal = totals.filter(col("lang") === "en")
+      .select(col("n").as("n_en"))
+    val grid = totals.select(col("lang"), col("n")).crossJoin(vocab)
+      .join(counts, Seq("lang", "term"), "left")
+      .join(broadcast(en), col("term") === col("en_term"), "left")
+      .crossJoin(broadcast(enTotal))
+    val p = (coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+      (col("n") + lit(vSize)).cast("double")
+    val q = (coalesce(col("c_en"), lit(0L)) + lit(1L)).cast("double") /
+      (col("n_en") + lit(vSize)).cast("double")
+    grid
+      .select(col("lang"), col("n"),
+        round(p * log(p / q), 10).cast("decimal(24,10)").as("t"))
+      .groupBy(col("lang"))
+      .agg(max(col("n")).as("n_tokens"),
+        sum(col("t")).cast("decimal(38,10)").as("kl_nats"))
+      .orderBy(col("lang"))
+  }
+
+  /**
+   * Term burstiness: the Fano factor (variance-to-mean ratio of the
+   * per-document count, zeros included) per vocabulary term with
+   * df ≥ minDf — Church & Gale's (1995) dispersion diagnostic:
+   * content words BURST (Fano ≫ 1: absent almost everywhere, heavy
+   * where present) while function words and template boilerplate
+   * spread near-Poisson (Fano ≈ 1). The lexical complement to
+   * [[giniQuery]]'s corpus-level concentration: WHICH terms carry
+   * topical signal vs glue.
+   *
+   * Exactness: Fano = (N·Σc² − (Σc)²) / (N·Σc) over exact BIGINTs —
+   * zeros contribute nothing to either power sum, so the per-term
+   * (df, Σc, Σc²) triple from docs CONTAINING the term plus the
+   * corpus doc count N is sufficient: ONE double division at the
+   * end. One (doc, term) count pass + one vocabulary-sized
+   * map-side-partial agg; corpus text never shuffles.
+   */
+  def burstinessQuery(spark: SparkSession, sfDir: String,
+      minDf: Int = 5): DataFrame =
+    burstinessOver(Tables.load(spark, sfDir, "documents"), minDf)
+
+  /** [[burstinessQuery]] over an explicit documents frame. */
+  def burstinessOver(docs: DataFrame, minDf: Int): DataFrame = {
+    val nDocs = docs.count()
+    val perDoc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    perDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+      .filter(col("df") >= minDf)
+      .select(col("term"), col("df"), col("s1").as("total"),
+        round((lit(nDocs) * col("s2") - col("s1") * col("s1"))
+          .cast("double") /
+          (lit(nDocs) * col("s1")).cast("double"), 10).as("fano"))
+      .orderBy(col("term"))
+  }
 }

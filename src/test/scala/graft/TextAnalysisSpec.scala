@@ -353,4 +353,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.fitVocab(docs, "text", 2) == Seq("b", "a"))
     assert(TextAnalysis.fitVocab(docs, "text", 3) == Seq("b", "a", "c"))
   }
+
+  test("kl divergence: self-KL is zero, all KLs non-negative " +
+      "(Gibbs), and a hand distribution replays") {
+    import SparkSpec.spark.implicits._
+    // en: a a a b   (counts a=3, b=1, n=4)
+    // xx: a b b b   (counts a=1, b=3, n=4)     V = 2
+    // p_xx = (2/6, 4/6); q_en = (4/6, 2/6)
+    // KL = 1/3·ln(1/2) + 2/3·ln(2)  (with terms rounded to 10 dp)
+    val docs = Seq(("en", "a a a b"), ("xx", "a b b b"))
+      .toDF("lang", "text").withColumn("doc_id", lit(0L))
+    val rows = TextAnalysis.klDivOver(docs).collect()
+      .map(r => (r.getString(0), r.getDecimal(2).doubleValue)).toMap
+    assert(rows("en") == 0.0, s"self-KL: ${rows("en")}")
+    def r10(x: Double) = BigDecimal(x)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = r10(1.0 / 3 * math.log((1.0 / 3) / (2.0 / 3))) +
+      r10(2.0 / 3 * math.log((2.0 / 3) / (1.0 / 3)))
+    assert(math.abs(rows("xx") - expected) < 1e-9,
+      s"KL(xx||en) = ${rows("xx")}, want $expected")
+    // Gibbs: every cohort's KL vs en is >= 0 on the real corpus
+    val real = TextAnalysis.klDivQuery(spark, sfDir).collect()
+    assert(real.length == 5)
+    real.foreach(r => assert(r.getDecimal(2).doubleValue >= -1e-12,
+      s"${r.getString(0)}: negative KL"))
+  }
+
+  test("burstiness: constant term Fano 0, one-doc burst Fano N-c̄ " +
+      "shape, uniform-spread < bursty") {
+    import SparkSpec.spark.implicits._
+    // 10 docs; "g" once in every doc (Fano 0 — zero variance);
+    // "z" ten times in ONE doc (s1=10, s2=100: Fano = (10·100−100)/
+    // (10·10) = 9); "m" twice in five docs (s1=10, s2=20:
+    // (200−100)/100 = 1 — Poisson-like)
+    val docs = (0 until 10).map { i =>
+      val z = if (i == 0) " z z z z z z z z z z" else ""
+      val m = if (i < 5) " m m" else ""
+      (i.toLong, "g" + z + m)
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.burstinessOver(docs, minDf = 1).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got("g") == ((10L, 10L, 0.0)), s"g: ${got("g")}")
+    assert(got("z") == ((1L, 10L, 9.0)), s"z: ${got("z")}")
+    assert(got("m") == ((5L, 10L, 1.0)), s"m: ${got("m")}")
+  }
 }
