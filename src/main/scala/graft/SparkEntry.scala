@@ -332,6 +332,9 @@ object SparkEntry {
     // Streaming windowed count-min sketch (bounded 8KB state/window);
     // per-window estimates oracle-replayed exactly
     "q_stream_cms" -> (graft.streaming.StreamingIngest.replayWindowedCms _),
+    // Sliding-window per-user rate limiting (burst flags on closed
+    // windows; watermark-bounded state)
+    "q_stream_rate" -> (graft.streaming.StreamingIngest.replayRateLimit _),
     // Streaming ordered funnel: per-user staged minima with a
     // watermark-horizon buffer; emitted once per quiet user
     "q_stream_funnel" -> ((s, d) =>
@@ -926,6 +929,28 @@ object SparkEntry {
     // window-close rule (watermark = max ts − 10 min, emit windows
     // whose end ≤ watermark) with the q_heavy_hitters estimate replay
     // (min over md5-byte rows of colliding-key count sums), per window.
+    // Sliding-window rate limit: each event lands in exactly two
+    // 6h/3h-slide windows (starts: its 3h bucket and that minus 3h —
+    // DuckDB's time_bucket 2000-01-01 origin sits on the same 3h grid
+    // as Spark's 1970 epoch alignment: 946684800 % 10800 = 0); closed
+    // windows only (end <= max ts - 10 min), threshold n > 3.
+    "q_stream_rate" ->
+      """WITH wm AS (
+        |  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS w
+        |  FROM events),
+        |ev AS (SELECT user_id,
+        |    time_bucket(INTERVAL '3 hours', CAST(ts AS TIMESTAMP)) AS b
+        |  FROM events),
+        |cand AS (
+        |  SELECT user_id, b AS win_start FROM ev
+        |  UNION ALL
+        |  SELECT user_id, b - INTERVAL 3 HOUR FROM ev),
+        |g AS (SELECT win_start, user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM cand GROUP BY win_start, user_id)
+        |SELECT g.win_start, g.user_id, g.n
+        |FROM g, wm
+        |WHERE g.n > 3 AND g.win_start + INTERVAL 6 HOUR <= wm.w
+        |ORDER BY g.win_start, g.user_id""".stripMargin,
     "q_stream_cms" ->
       """WITH wm AS (
         |  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS w

@@ -517,6 +517,37 @@ object StreamingIngest {
   }
 
   /**
+   * Sliding-window rate limiter: flag (user, window) pairs whose
+   * event count crosses the burst threshold inside a 6-hour window
+   * sliding every 3 hours — the streaming abuse/bot-throttle pass
+   * (the per-key complement of [[windowedCms]]'s per-window sketch).
+   * Sliding windows mean every event lands in exactly
+   * windowDuration/slide = 2 open windows, so a burst is caught at
+   * most one slide late regardless of phase. Watermark-bounded state:
+   * a window's count is dropped the moment the 10-minute watermark
+   * passes its end — state is O(users × 2 windows), never history.
+   */
+  def rateLimit(events: DataFrame, threshold: Int = 3): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > threshold)
+      .select(col("w.start").as("win_start"), col("user_id"), col("n"))
+
+  /** Drained-replay gate for [[rateLimit]]: stream the static events
+    * table and emit the flagged (window, user) pairs of every CLOSED
+    * window (the q_stream_ingest window-close rule over both slide
+    * phases). */
+  def replayRateLimit(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = runToParquet(rateLimit(eventStream(spark, sfDir)),
+      "stream_rate")
+    spark.read.parquet(out)
+      .orderBy(col("win_start"), col("user_id"))
+  }
+
+  /**
    * Batch-replay harness: runs the streaming pipeline over the static
    * events table via a file stream with AvailableNow, writes ORC, and
    * returns the re-read result. Exercises the full W8 path (stream

@@ -312,4 +312,31 @@ class StreamingSpec extends SparkSpec {
     val nTypes = events.select(col("event_type")).distinct().count()
     assert(res.length == nWindows * nTypes)
   }
+
+  test("replayRateLimit matches a batch sliding-window recount on " +
+      "closed windows; every event spans exactly two slide phases") {
+    val res = StreamingIngest.replayRateLimit(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(res.nonEmpty, "no burst flags emitted")
+    // batch reference: explode each event into its two 6h/3h-slide
+    // windows, recount, apply the same close rule and threshold
+    val events = Tables.load(spark, sfDir, "events")
+    val maxTs = events.agg(max(col("ts"))).collect().head.getTimestamp(0)
+    val wmMs = maxTs.getTime - 10 * 60 * 1000L
+    val slideMs = 3 * 3600 * 1000L
+    val ref = events.select(col("user_id"), col("ts")).collect()
+      .flatMap { r =>
+        val ts = r.getTimestamp(1).getTime
+        val b = math.floorDiv(ts, slideMs) * slideMs
+        Seq((b, r.getLong(0)), (b - slideMs, r.getLong(0)))
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .filter { case ((ws, _), n) =>
+        n > 3 && ws + 2 * slideMs <= wmMs }
+      .map { case ((ws, u), n) =>
+        (new java.sql.Timestamp(ws), u) -> n }
+    assert(res == ref,
+      s"stream flags != batch recount: stream=${res.size} ref=${ref.size}")
+  }
 }
