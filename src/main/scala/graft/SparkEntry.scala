@@ -57,6 +57,18 @@ object SparkEntry {
     // Two-proportion z-test on purchase conversion, cohorts by user
     // id parity (the experiment decision-gate readout)
     "q_ab_test" -> (Behavior.abTestQuery _),
+    // Chi-square independence of event_type x hour-of-day with
+    // Cramér's V and mutual information (association readout)
+    "q_contingency" -> (Inference.contingencyQuery _),
+    // Exact two-sample KS + Mann-Whitney AUC on purchase values,
+    // cohorts by id parity — integer-fraction exact statistics
+    "q_ks_test" -> (Inference.ksTestQuery _),
+    // Kaplan-Meier user-lifetime curve, right-censored at the
+    // observation window edge (the unbiased retention curve)
+    "q_survival" -> ((s, d) => Inference.survivalQuery(s, d)),
+    // Autocorrelation of the dense hourly count series, lags 1..24,
+    // exact DECIMAL fractions (seasonality/independence diagnostic)
+    "q_acf" -> ((s, d) => Inference.acfQuery(s, d)),
     // Rank-based p05/p95 quantile clipping (robust to heavy tails)
     "q_winsorize" -> (Relational.winsorizeQuery _),
     "q_funnel" -> (Relational.funnelQuery _),
@@ -1976,6 +1988,161 @@ object SparkEntry {
         |  round((pb - pa) / sev, 10) AS z,
         |  abs(round((pb - pa) / sev, 10)) >= 1.96 AS significant
         |FROM s""".stripMargin,
+    // Chi-square / Cramér's V / MI contingency: exact BIGINT margins,
+    // each double term one expression on integers rounded (10/12 dp),
+    // DECIMAL-summed; V rounds at 6 dp after one sqrt on the exact
+    // chi-square total.
+    "q_contingency" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT)
+        |      AS hod,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS r
+        |  FROM cells GROUP BY 1),
+        |ct AS (SELECT hod, CAST(sum(n) AS BIGINT) AS c
+        |  FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+        |    CAST(count(DISTINCT hod) AS BIGINT) AS nc FROM cells),
+        |terms AS (SELECT cells.event_type, cells.hod, cells.n, r, c,
+        |    n_total, nr, nc,
+        |    round(CAST(r*c AS DOUBLE) / CAST(n_total AS DOUBLE), 10)
+        |      AS expected
+        |  FROM cells JOIN rt USING (event_type) JOIN ct USING (hod),
+        |    tot),
+        |t2 AS (SELECT *,
+        |    CAST(round(power(CAST(n AS DOUBLE) - expected, 2)
+        |        / expected, 10) AS DECIMAL(28,10)) AS chi2_term,
+        |    CAST(round((CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |        * ln(CAST(n*n_total AS DOUBLE) / CAST(r*c AS DOUBLE)),
+        |        12) AS DECIMAL(26,12)) AS mi_term
+        |  FROM terms),
+        |summ AS (SELECT
+        |    CAST(sum(chi2_term) AS DECIMAL(38,10)) AS chi2,
+        |    CAST(sum(mi_term) AS DECIMAL(38,12)) AS mi_nats,
+        |    max(n_total) AS nt, max(nr) AS nrr, max(nc) AS ncc
+        |  FROM t2)
+        |SELECT t2.event_type, t2.hod, t2.n, t2.expected, t2.chi2_term,
+        |  t2.mi_term, summ.chi2, summ.mi_nats,
+        |  (nrr - 1) * (ncc - 1) AS dof,
+        |  round(sqrt(CAST(chi2 AS DOUBLE)
+        |    / CAST(nt * least(nrr - 1, ncc - 1) AS DOUBLE)), 6)
+        |    AS cramers_v
+        |FROM t2, summ
+        |ORDER BY t2.event_type, t2.hod""".stripMargin,
+    // Exact KS + Mann-Whitney AUC: the gate rides pure BIGINT
+    // fractions (gap = |cumA·nB − cumB·nA|, 2×midrank integers); the
+    // double ratios are cosmetic round-10 views of those integers.
+    "q_ks_test" ->
+      """WITH e AS (SELECT value, user_id % 2 AS grp FROM events
+        |  WHERE event_type = 'purchase'),
+        |s AS (SELECT value,
+        |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM e GROUP BY value),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM s),
+        |wk AS (SELECT value, ca, cb,
+        |    CAST(sum(ca) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+        |    CAST(sum(cb) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
+        |  FROM s),
+        |g AS (SELECT na, nb, ca,
+        |    abs(cuma*nb - cumb*na) AS gap,
+        |    2*(cuma + cumb - ca - cb) + (ca + cb) + 1 AS mr2
+        |  FROM wk, t),
+        |agg AS (SELECT na, nb, CAST(max(gap) AS BIGINT) AS ks_num,
+        |    CAST(sum(ca*mr2) AS BIGINT) AS rs2a
+        |  FROM g GROUP BY na, nb)
+        |SELECT na, nb, ks_num, na*nb AS ks_den,
+        |  round(CAST(ks_num AS DOUBLE) / CAST(na*nb AS DOUBLE), 10)
+        |    AS ks_d,
+        |  rs2a - na*(na+1) AS auc_num, 2*na*nb AS auc_den,
+        |  round(CAST(rs2a - na*(na+1) AS DOUBLE)
+        |    / CAST(2*na*nb AS DOUBLE), 10) AS auc,
+        |  round(CAST(ks_num AS DOUBLE) / CAST(na*nb AS DOUBLE), 10) >
+        |    round(1.358 * sqrt(CAST(na+nb AS DOUBLE)
+        |      / CAST(na*nb AS DOUBLE)), 10) AS ks_sig
+        |FROM agg""".stripMargin,
+    // Kaplan-Meier: exact BIGINT at-risk/death/censor grid; each
+    // ln(1−d/n) is one double on two integers rounded 12 dp,
+    // DECIMAL-cumsum over the ordered grid, exp rounds 10 dp; a d=n
+    // step zeroes survival via a windowed flag, not ln(0).
+    "q_survival" ->
+      """WITH endref AS (SELECT max(epoch_ms(ts)) AS end_ms
+        |  FROM events),
+        |u AS (SELECT user_id, min(epoch_ms(ts)) AS first_ms,
+        |    max(epoch_ms(ts)) AS last_ms
+        |  FROM events GROUP BY 1),
+        |dd AS (SELECT (last_ms - first_ms) // 3600000 AS t_h,
+        |    CASE WHEN end_ms - last_ms > 43200000 THEN 1 ELSE 0 END
+        |      AS death
+        |  FROM u, endref),
+        |g AS (SELECT t_h, CAST(sum(death) AS BIGINT) AS d,
+        |    CAST(sum(1 - death) AS BIGINT) AS c
+        |  FROM dd GROUP BY t_h),
+        |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_users FROM g),
+        |wk AS (SELECT t_h, d, c, n_users,
+        |    CAST(sum(d + c) OVER (ORDER BY t_h ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS left_thru
+        |  FROM g, tot),
+        |f AS (SELECT t_h, d, c,
+        |    n_users - left_thru + d + c AS n_risk,
+        |    CASE WHEN d = 0 THEN 0.0
+        |      WHEN d < n_users - left_thru + d + c THEN
+        |        round(ln(1.0 - CAST(d AS DOUBLE)
+        |          / CAST(n_users - left_thru + d + c AS DOUBLE)), 12)
+        |      ELSE 0.0 END AS ln_factor,
+        |    CASE WHEN d = n_users - left_thru + d + c THEN 1 ELSE 0
+        |      END AS z
+        |  FROM wk),
+        |w2 AS (SELECT t_h, n_risk, d, c,
+        |    CAST(max(z) OVER (ORDER BY t_h ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS hit_zero,
+        |    CAST(sum(CAST(ln_factor AS DECIMAL(24,12)))
+        |      OVER (ORDER BY t_h ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |        CURRENT ROW) AS DECIMAL(38,12)) AS cum_ln
+        |  FROM f)
+        |SELECT t_h, n_risk, d, c,
+        |  CASE WHEN hit_zero = 1 THEN 0.0
+        |    ELSE round(exp(CAST(cum_ln AS DOUBLE)), 10) END
+        |    AS survival
+        |FROM w2 ORDER BY t_h""".stripMargin,
+    // ACF over the dense hourly spine: H²-scaled mean-centered cross
+    // products kept exact (DECIMAL cast BEFORE the square so petabyte
+    // hourly counts cannot overflow); r is a cosmetic round-10 ratio.
+    "q_acf" ->
+      """WITH hrs AS (SELECT epoch_ms(ts) // 3600000 AS h,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hrs),
+        |spine AS (SELECT gs.h, coalesce(hrs.n, 0) AS x
+        |  FROM (SELECT unnest(generate_series(h0, h1)) AS h FROM b) gs
+        |  LEFT JOIN hrs ON gs.h = hrs.h),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS bigh,
+        |    CAST(sum(x) AS BIGINT) AS s FROM spine),
+        |cent AS (SELECT h, bigh * x - s AS cx FROM spine, st),
+        |den AS (SELECT CAST(sum(CAST(cx AS DECIMAL(19,0))
+        |    * CAST(cx AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS den
+        |  FROM cent),
+        |lags AS (SELECT unnest(generate_series(1, 24)) AS lag),
+        |pairs AS (SELECT l.lag, a.cx AS cx, b2.cx AS cx_lead
+        |  FROM cent a CROSS JOIN lags l
+        |  JOIN cent b2 ON b2.h = a.h + l.lag),
+        |agg AS (SELECT lag,
+        |    CAST(sum(CAST(cx AS DECIMAL(19,0))
+        |      * CAST(cx_lead AS DECIMAL(19,0))) AS DECIMAL(38,0))
+        |      AS num,
+        |    CAST(count(*) AS BIGINT) AS pairs
+        |  FROM pairs GROUP BY lag)
+        |SELECT lag, pairs, num, den.den,
+        |  round(CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE), 10)
+        |    AS r
+        |FROM agg, den ORDER BY lag""".stripMargin,
     // Seasonal profile: per (event_type, hour-of-day) mean/sd over all
     // days, z against one's own clock hour; the oracle replays the
     // exact double nesting (sd = sqrt(num)/m inside the z division).

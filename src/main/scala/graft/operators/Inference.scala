@@ -1,0 +1,284 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Statistical-inference passes over the event stream — the hypothesis
+ * tests and nonparametric estimators an analytics warehouse serves
+ * beside the descriptive aggregates in [[Stats]] and the experiment
+ * readout in [[Behavior]]: association between categorical columns
+ * (chi-square / Cramér's V / mutual information), distributional
+ * comparison between cohorts (Kolmogorov–Smirnov + Mann–Whitney AUC),
+ * censored time-to-event estimation (Kaplan–Meier), and serial
+ * dependence of the aggregated series (autocorrelation function).
+ *
+ * Every query here reduces the raw stream to a model-sized frame
+ * first (contingency cells, distinct-value ECDF steps, distinct
+ * durations, the hourly spine) so the statistics run on frames whose
+ * size is set by the DOMAIN (event types × hours, value grid, study
+ * length), not the corpus — the shape that survives 100 TB. Exactness
+ * follows the repo-wide rule: counts and cross-products stay exact
+ * BIGINT / DECIMAL as far as possible; each transcendental
+ * (ln/exp/sqrt) is a single double evaluation on exact integer inputs,
+ * rounded at a fixed dp so DuckDB replays it bit-for-bit.
+ */
+object Inference {
+
+  /**
+   * Chi-square test of independence between event type and hour of
+   * day, with per-cell diagnostics plus the three summary statistics
+   * every association readout wants: the chi-square total, Cramér's V
+   * (effect size), and the mutual information in nats — the "is
+   * traffic mix time-of-day dependent" question asked of any event
+   * warehouse before hourly models are trusted.
+   *
+   * Per cell (i,j): observed n, expected r_i·c_j/N, chi-square term
+   * (n−e)²/e, and the MI term p·ln(N·n/(r·c)). Summary columns repeat
+   * on every row so one hashed frame witnesses cells AND totals.
+   *
+   * Shape at 100 TB: one map-side-partial groupBy folds the stream to
+   * ≤ k·24 cells; margins and totals are broadcast one-row/`k`-row
+   * frames; everything after the first pass is arithmetic on a
+   * ~120-row frame. Exactness: n, r, c, N exact BIGINT; r·c and n·N
+   * (≤ N² ≈ 1e14 at sf10) stay in BIGINT; each double term is one
+   * expression on those integers rounded (10/12 dp) and summed as
+   * DECIMAL order-free; Cramér's V rounds at 6 dp after a single
+   * sqrt on the DECIMAL-exact chi-square total.
+   */
+  def contingencyQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val cells = ev
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"))
+    val rowT = cells.groupBy(col("event_type")).agg(sum(col("n")).as("r"))
+    val colT = cells.groupBy(col("hod")).agg(sum(col("n")).as("c"))
+    val tot = cells.agg(sum(col("n")).as("n_total"),
+      countDistinct(col("event_type")).as("nr"),
+      countDistinct(col("hod")).as("nc"))
+    val terms = cells
+      .join(broadcast(rowT), Seq("event_type"))
+      .join(broadcast(colT), Seq("hod"))
+      .crossJoin(broadcast(tot))
+      .withColumn("expected",
+        round((col("r") * col("c")).cast("double") /
+          col("n_total").cast("double"), 10))
+      .withColumn("chi2_term",
+        round(pow(col("n").cast("double") - col("expected"), 2) /
+          col("expected"), 10).cast("decimal(28,10)"))
+      .withColumn("mi_term",
+        round((col("n").cast("double") / col("n_total").cast("double")) *
+          log((col("n") * col("n_total")).cast("double") /
+            (col("r") * col("c")).cast("double")), 12)
+          .cast("decimal(26,12)"))
+    val summary = terms.groupBy(lit(1).as("one"))
+      .agg(sum(col("chi2_term")).cast("decimal(38,10)").as("chi2"),
+        sum(col("mi_term")).cast("decimal(38,12)").as("mi_nats"),
+        first(col("n_total")).as("nt"),
+        first(col("nr")).as("nrr"), first(col("nc")).as("ncc"))
+      .withColumn("dof", (col("nrr") - 1) * (col("ncc") - 1))
+      .withColumn("cramers_v",
+        round(sqrt(col("chi2").cast("double") /
+          (col("nt") * least(col("nrr") - 1, col("ncc") - 1))
+            .cast("double")), 6))
+      .select(col("one"), col("chi2"), col("mi_nats"), col("dof"),
+        col("cramers_v"))
+    terms.withColumn("one", lit(1))
+      .join(broadcast(summary), Seq("one"))
+      .select(col("event_type"), col("hod"), col("n"), col("expected"),
+        col("chi2_term"), col("mi_term"), col("chi2"), col("mi_nats"),
+        col("dof"), col("cramers_v"))
+      .orderBy(col("event_type"), col("hod"))
+  }
+
+  /**
+   * Two-sample distribution comparison of purchase values between the
+   * id-parity cohorts: the exact Kolmogorov–Smirnov statistic (max
+   * ECDF gap) and the exact Mann–Whitney AUC (midrank-corrected) —
+   * the nonparametric twins of [[Behavior.abTestQuery]]'s z-test,
+   * answering "did the WHOLE value distribution shift", not just the
+   * mean.
+   *
+   * Both statistics are emitted as EXACT integer fractions
+   * (`ks_num`/`ks_den`, `auc_num`/`auc_den`) with the rounded double
+   * ratio beside them, so the hash gate rides pure BIGINT arithmetic
+   * and no float comparison ever decides the result: the ECDF gap at
+   * a step is |cumA·nB − cumB·nA| over nA·nB, and the midrank sum
+   * uses 2×midrank = 2·cum_before + cnt + 1 (always integer).
+   *
+   * Shape at 100 TB: groupBy(value) folds the stream map-side to the
+   * distinct value grid (bounded by the price domain, not row count);
+   * the ordered window runs over that grid only; totals are a one-row
+   * broadcast. The final frame is one row.
+   */
+  def ksTestQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("value"), (col("user_id") % 2).as("grp"))
+    val steps = ev.groupBy(col("value"))
+      .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = steps.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val walked = steps
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("gap",
+        abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+      // 2×midrank of this tied value block (integer): ranks are over
+      // the POOLED sample, cum columns already walk both cohorts
+      .withColumn("mr2",
+        lit(2) * (col("cuma") + col("cumb") - col("ca") - col("cb")) +
+          (col("ca") + col("cb")) + 1)
+    walked.groupBy(col("na"), col("nb"))
+      .agg(max(col("gap")).as("ks_num"),
+        sum(col("ca") * col("mr2")).as("rs2a"))
+      .withColumn("ks_den", col("na") * col("nb"))
+      .withColumn("ks_d",
+        round(col("ks_num").cast("double") / col("ks_den").cast("double"),
+          10))
+      // 2U = 2·RankSumA − nA(nA+1); AUC = 2U / (2·nA·nB)
+      .withColumn("auc_num", col("rs2a") - col("na") * (col("na") + 1))
+      .withColumn("auc_den", lit(2) * col("na") * col("nb"))
+      .withColumn("auc",
+        round(col("auc_num").cast("double") /
+          col("auc_den").cast("double"), 10))
+      // α=0.05 large-sample KS critical value c(α)·sqrt((nA+nB)/nA·nB)
+      .withColumn("ks_sig",
+        col("ks_d") > round(lit(1.358) *
+          sqrt((col("na") + col("nb")).cast("double") /
+            col("ks_den").cast("double")), 10))
+      .select(col("na"), col("nb"), col("ks_num"), col("ks_den"),
+        col("ks_d"), col("auc_num"), col("auc_den"), col("auc"),
+        col("ks_sig"))
+  }
+
+  /**
+   * Kaplan–Meier survival estimate of user lifetime (hours from first
+   * to last event), right-censored at the observation window edge: a
+   * user whose last event falls within `censorHours` of the global max
+   * timestamp is still-active (censored), otherwise their silence is
+   * the churn event — the retention curve every engagement warehouse
+   * publishes, done properly (censoring-aware) instead of the biased
+   * "average lifetime of churned users".
+   *
+   * Output rows are the distinct duration grid with the exact at-risk
+   * count, death count, censor count, and the product-limit estimate
+   * Ŝ(t) = Π(1 − d/n): each factor's ln(1−d/n) is one double on two
+   * exact BIGINTs rounded to 12 dp, the cumulative sum runs as
+   * DECIMAL over the duration-ordered window (deterministic order),
+   * and Ŝ = exp(cum) rounds at 10 dp — the q_lm_ppl ln/exp rule, so
+   * DuckDB replays the curve bit-for-bit. A step where d = n drives
+   * Ŝ to exact 0 via a windowed min flag, not ln(0).
+   *
+   * Shape at 100 TB: one groupBy(user) min/max pass (map-side
+   * partial, shuffle carries two timestamps per user), then the
+   * entire estimator runs on the distinct-duration grid — bounded by
+   * the study length in hours, not the user count.
+   */
+  def survivalQuery(spark: SparkSession, sfDir: String,
+      censorHours: Long = 12L): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val endRef = ev.agg(max(unix_millis(col("ts"))).as("end_ms"))
+    val users = ev.groupBy(col("user_id"))
+      .agg(min(unix_millis(col("ts"))).as("first_ms"),
+        max(unix_millis(col("ts"))).as("last_ms"))
+      .crossJoin(broadcast(endRef))
+      .select(
+        expr("(last_ms - first_ms) div 3600000").as("t_h"),
+        when(col("end_ms") - col("last_ms") > censorHours * 3600000L, 1L)
+          .otherwise(0L).as("death"))
+    val grid = users.groupBy(col("t_h"))
+      .agg(sum(col("death")).as("d"),
+        sum(lit(1L) - col("death")).as("c"))
+    val total = grid.agg(sum(col("d") + col("c")).as("n_users"))
+    val wOrd = Window.orderBy(col("t_h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walked = grid.crossJoin(broadcast(total))
+      .withColumn("left_thru",
+        sum(col("d") + col("c")).over(wOrd))
+      // at risk AT t = everyone not yet exited strictly before t
+      .withColumn("n_risk",
+        col("n_users") - col("left_thru") + col("d") + col("c"))
+      .withColumn("ln_factor",
+        when(col("d") === 0, lit(0.0))
+          .when(col("d") < col("n_risk"),
+            round(log(lit(1.0) -
+              col("d").cast("double") / col("n_risk").cast("double")),
+              12))
+          .otherwise(lit(0.0)))
+      .withColumn("hit_zero",
+        max(when(col("d") === col("n_risk"), 1L).otherwise(0L))
+          .over(wOrd))
+      .withColumn("cum_ln",
+        sum(col("ln_factor").cast("decimal(24,12)")).over(wOrd)
+          .cast("decimal(38,12)"))
+      .withColumn("survival",
+        when(col("hit_zero") === 1, lit(0.0))
+          .otherwise(round(exp(col("cum_ln").cast("double")), 10)))
+    walked.select(col("t_h"), col("n_risk"), col("d"), col("c"),
+        col("survival"))
+      .orderBy(col("t_h"))
+  }
+
+  /**
+   * Autocorrelation function of the hourly event-count series at lags
+   * 1..`maxLag` — the serial-dependence diagnostic that decides
+   * whether the daily seasonality in [[q_seasonal_anomaly]] is real
+   * (a ≈24 h peak) and how far apart bootstrap blocks must be before
+   * samples are independent.
+   *
+   * The series is the DENSE hourly spine (missing hours are real
+   * zeros — [[Scale]]'s gap-fill rule), so lags mean wall-clock
+   * hours. Each r_k is emitted as an exact DECIMAL(38,0) fraction:
+   * num_k = Σ (H·x_t − S)(H·x_{t+k} − S) and den = Σ (H·x_t − S)² —
+   * the mean-centered cross products scaled by H² so everything stays
+   * integer — plus the rounded double ratio. The hash gate rides
+   * exact integers; the one double division is cosmetic.
+   *
+   * Shape at 100 TB: the stream folds to the hourly grid in one
+   * map-side-partial groupBy; the spine, the lag self-join, and the
+   * per-lag aggregation all run on that grid (study hours × maxLag
+   * rows), independent of corpus size.
+   */
+  def acfQuery(spark: SparkSession, sfDir: String,
+      maxLag: Int = 24): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val hours = ev
+      .select(expr("unix_millis(ts) div 3600000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+    val bounds = hours.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val spine = bounds
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+      .join(hours, Seq("h"), "left")
+      .select(col("h"), coalesce(col("n"), lit(0L)).as("x"))
+    val stats = spine.agg(count(lit(1)).as("bigH"), sum(col("x")).as("s"))
+    val centered = spine.crossJoin(broadcast(stats))
+      .select(col("h"), (col("bigH") * col("x") - col("s")).as("cx"))
+    // cast each factor BEFORE multiplying: H·x can pass 3e9 at
+    // petabyte hourly volumes, where a BIGINT square would overflow
+    val den = centered
+      .agg(sum(col("cx").cast("decimal(19,0)") *
+          col("cx").cast("decimal(19,0)"))
+        .cast("decimal(38,0)").as("den"))
+    val lags = spark.range(1, maxLag + 1).select(col("id").as("lag"))
+    // lag pairs: (t, t+k) via an equi-join on shifted hour index
+    val pairs = centered.crossJoin(broadcast(lags))
+      .select(col("lag"), (col("h") + col("lag")).as("h_lead"), col("cx"))
+      .join(centered.select(col("h").as("h_lead"),
+        col("cx").as("cx_lead")), Seq("h_lead"))
+    pairs.groupBy(col("lag"))
+      .agg(sum(col("cx").cast("decimal(19,0)") *
+          col("cx_lead").cast("decimal(19,0)"))
+        .cast("decimal(38,0)").as("num"), count(lit(1)).as("pairs"))
+      .crossJoin(broadcast(den))
+      .withColumn("r",
+        round(col("num").cast("double") / col("den").cast("double"), 10))
+      .select(col("lag"), col("pairs"), col("num"), col("den"), col("r"))
+      .orderBy(col("lag"))
+  }
+}

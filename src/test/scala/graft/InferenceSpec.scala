@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.Inference
+import org.apache.spark.sql.functions._
+
+/** Statistical-inference invariants: the contingency frame carries a
+  * true contingency table (margins replay, MI ≥ 0, V ∈ [0,1]), the
+  * KS/AUC integer fractions obey their exact identities, the KM curve
+  * is a monotone step function honoring the at-risk recursion, and the
+  * ACF is a correlation (|r| ≤ 1 with an exact lag-0 normalizer). */
+class InferenceSpec extends SparkSpec {
+
+  test("contingency: margins replay, chi2 terms reconstruct the " +
+      "total, MI nonneg, V in [0,1]") {
+    val rows = Inference.contingencyQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getLong(2)).sum
+    val ev = Tables.load(spark, sfDir, "events")
+    assert(n == ev.count(), "cell mass != event count")
+    // summary columns are constant across the frame and the per-cell
+    // terms re-sum to them (DECIMAL exactness)
+    val chi2 = rows.map(_.getDecimal(6)).distinct
+    assert(chi2.length == 1)
+    val termSum = rows.map(_.getDecimal(4).doubleValue).sum
+    assert(math.abs(termSum - chi2.head.doubleValue) < 1e-6)
+    val mi = rows.head.getDecimal(7).doubleValue
+    assert(mi >= -1e-9, s"MI $mi negative")
+    val v = rows.head.getDouble(9)
+    assert(v >= 0.0 && v <= 1.0, s"Cramér's V $v outside [0,1]")
+    assert(rows.head.getLong(8) == (5 - 1) * (24 - 1))
+  }
+
+  test("ks/auc: integer fractions obey exact identities and bounds") {
+    val r = Inference.ksTestQuery(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val (na, nb) = (row.getLong(0), row.getLong(1))
+    assert(na > 0 && nb > 0)
+    assert(row.getLong(3) == na * nb)            // ks_den identity
+    assert(row.getLong(6) == 2 * na * nb)        // auc_den identity
+    val ksNum = row.getLong(2)
+    assert(ksNum >= 0 && ksNum <= na * nb)
+    val aucNum = row.getLong(5)
+    assert(aucNum >= 0 && aucNum <= 2 * na * nb) // AUC ∈ [0,1]
+    def r10(x: Double) = BigDecimal(x)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getDouble(4) == r10(ksNum.toDouble / (na * nb)))
+    assert(row.getDouble(7) == r10(aucNum.toDouble / (2.0 * na * nb)))
+    // id-parity cohorts of the same stream: no real shift, AUC ≈ ½
+    assert(math.abs(row.getDouble(7) - 0.5) < 0.1)
+  }
+
+  test("survival: counts conserve users, at-risk recursion holds, " +
+      "curve is a monotone step in [0,1]") {
+    val rows = Inference.survivalQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val users = Tables.load(spark, sfDir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(r => r.getLong(2) + r.getLong(3)).sum == users)
+    // n_risk starts at the full cohort and shrinks by the previous
+    // row's exits (the KM at-risk recursion)
+    assert(rows.head.getLong(1) == users)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(1) ==
+          a.getLong(1) - a.getLong(2) - a.getLong(3),
+          s"at-risk recursion broken at t=${b.getLong(0)}")
+      case _ =>
+    }
+    val surv = rows.map(_.getDouble(4))
+    assert(surv.forall(s => s >= 0.0 && s <= 1.0))
+    assert(surv.sliding(2).forall {
+      case Array(a, b) => b <= a + 1e-12
+      case _ => true
+    }, "survival not monotone nonincreasing")
+    // censoring must be non-degenerate at every sf (12 h threshold)
+    assert(rows.map(_.getLong(2)).sum > 0, "no deaths observed")
+    assert(rows.map(_.getLong(3)).sum > 0, "no censored users")
+  }
+
+  test("acf: |r| <= 1, pair counts match the spine, and lag-0 " +
+      "normalizer is the exact centered sum of squares") {
+    val rows = Inference.acfQuery(spark, sfDir).collect()
+    assert(rows.length == 24)
+    val ev = Tables.load(spark, sfDir, "events")
+    val hb = ev.agg(
+      min(expr("unix_millis(ts) div 3600000")),
+      max(expr("unix_millis(ts) div 3600000"))).collect()(0)
+    val hours = hb.getLong(1) - hb.getLong(0) + 1
+    rows.foreach { r =>
+      assert(r.getLong(1) == hours - r.getLong(0),
+        s"lag ${r.getLong(0)}: pair count ${r.getLong(1)}")
+      val rk = r.getDouble(4)
+      assert(rk >= -1.0 - 1e-9 && rk <= 1.0 + 1e-9,
+        s"lag ${r.getLong(0)}: r $rk outside [-1,1]")
+      // the exact fraction and the cosmetic double agree
+      val ratio = r.getDecimal(2).doubleValue / r.getDecimal(3)
+        .doubleValue
+      assert(math.abs(rk - ratio) < 1e-9)
+    }
+    // all lags share one normalizer
+    assert(rows.map(_.getDecimal(3)).distinct.length == 1)
+  }
+}
