@@ -146,6 +146,12 @@ object SparkEntry {
     "q_kl_div" -> (TextAnalysis.klDivQuery _),
     // Fano-factor burstiness per term (content vs glue separation)
     "q_burstiness" -> ((s, d) => TextAnalysis.burstinessQuery(s, d)),
+    // Flesch-Kincaid grade/ease from exact word/sentence/syllable
+    // counts (readability-band quality filter)
+    "q_readability" -> (TextAnalysis.readabilityQuery _),
+    // RAKE keyphrases: stopword-delimited runs, deg/freq word scores,
+    // corpus top-30 (unsupervised topic profiling)
+    "q_rake" -> ((s, d) => TextAnalysis.rakeQuery(s, d)),
     "q_benford" -> (DataQuality.benfordQuery _),
     "q_bootstrap" -> ((s, d) => Sampling.bootstrapQuery(s, d)),
     // Sparse retrieval: BM25 scoring + RAG chunking with overlap
@@ -283,6 +289,15 @@ object SparkEntry {
     "q_ann_ivf" -> (Similarity.ivfRecallGateQuery _),
     "q_ann_pq" -> (Similarity.pqRecallGateQuery _),
     "q_ann_ivfpq" -> (Similarity.ivfPqRecallGateQuery _),
+    // Metadata-filtered exact ANN (vector search with a WHERE clause):
+    // predicate pushed under the scoring scan, ranked list SQL-replayed
+    "q_ann_filtered" -> (Similarity.annFilteredQuery _),
+    // Filtered IVF serving path: label-agnostic index + post-filter,
+    // recall/self gated vs the exact filtered twin
+    "q_ann_filtered_ivf" -> (Similarity.annFilteredIvfQuery _),
+    // MMR diversified top-k (λ=0.7, k=5 over top-20 candidates);
+    // 5 greedy steps replayed as unrolled CTEs
+    "q_mmr" -> ((s, d) => Retrieval.mmrQuery(s, d)),
     "q_embed_stats" -> (Similarity.embeddingStatsQuery _),
     // Corpus curation (north star: decontamination, privacy, quality
     // gates, sequence packing)
@@ -1480,6 +1495,98 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rank, cos_sim
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // Filtered exact ANN: the q_ann_topk replay plus the label
+    // predicate on the corpus side only.
+    "q_ann_filtered" ->
+      """WITH sims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4)
+        |      AS cos_sim
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 5 AND c.label % 3 = 0),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM sims)
+        |SELECT query_id, neighbor_id, rank, cos_sim
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // Filtered IVF gate: invariants only (index engine-internal);
+    // self restricted to filter-passing queries inside the engine.
+    "q_ann_filtered_ivf" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  TRUE AS self_ok, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    // MMR: 5 unrolled greedy steps (q_set_cover pattern); rel and
+    // pair sims round 4 dp BEFORE decisions, each step's score rounds
+    // 4 dp, ties by vec_id — both engines pick identically.
+    "q_mmr" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |rel AS (SELECT c.vec_id,
+        |    round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4)
+        |      AS rel
+        |  FROM embeddings c, q WHERE c.vec_id <> 0),
+        |cand AS (SELECT vec_id, rel FROM rel
+        |  ORDER BY rel DESC, vec_id LIMIT 20),
+        |cv AS (SELECT cand.vec_id, e.embedding
+        |  FROM cand JOIN embeddings e USING (vec_id)),
+        |p AS (SELECT a.vec_id AS ca, b.vec_id AS cb,
+        |    round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+        |      AS sim
+        |  FROM cv a JOIN cv b ON a.vec_id <> b.vec_id),
+        |s1 AS (SELECT vec_id, rel, round(0.7*rel, 4) AS score
+        |  FROM cand ORDER BY score DESC, vec_id LIMIT 1),
+        |r2 AS (SELECT c.vec_id, c.rel,
+        |    round(0.7*c.rel - 0.3*max(p.sim), 4) AS score
+        |  FROM cand c JOIN p ON p.ca = c.vec_id
+        |    AND p.cb IN (SELECT vec_id FROM s1)
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+        |  GROUP BY c.vec_id, c.rel),
+        |s2 AS (SELECT vec_id, rel, score FROM r2
+        |  ORDER BY score DESC, vec_id LIMIT 1),
+        |sel2 AS (SELECT vec_id FROM s1
+        |  UNION ALL SELECT vec_id FROM s2),
+        |r3 AS (SELECT c.vec_id, c.rel,
+        |    round(0.7*c.rel - 0.3*max(p.sim), 4) AS score
+        |  FROM cand c JOIN p ON p.ca = c.vec_id
+        |    AND p.cb IN (SELECT vec_id FROM sel2)
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+        |  GROUP BY c.vec_id, c.rel),
+        |s3 AS (SELECT vec_id, rel, score FROM r3
+        |  ORDER BY score DESC, vec_id LIMIT 1),
+        |sel3 AS (SELECT vec_id FROM sel2
+        |  UNION ALL SELECT vec_id FROM s3),
+        |r4 AS (SELECT c.vec_id, c.rel,
+        |    round(0.7*c.rel - 0.3*max(p.sim), 4) AS score
+        |  FROM cand c JOIN p ON p.ca = c.vec_id
+        |    AND p.cb IN (SELECT vec_id FROM sel3)
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+        |  GROUP BY c.vec_id, c.rel),
+        |s4 AS (SELECT vec_id, rel, score FROM r4
+        |  ORDER BY score DESC, vec_id LIMIT 1),
+        |sel4 AS (SELECT vec_id FROM sel3
+        |  UNION ALL SELECT vec_id FROM s4),
+        |r5 AS (SELECT c.vec_id, c.rel,
+        |    round(0.7*c.rel - 0.3*max(p.sim), 4) AS score
+        |  FROM cand c JOIN p ON p.ca = c.vec_id
+        |    AND p.cb IN (SELECT vec_id FROM sel4)
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
+        |  GROUP BY c.vec_id, c.rel),
+        |s5 AS (SELECT vec_id, rel, score FROM r5
+        |  ORDER BY score DESC, vec_id LIMIT 1)
+        |SELECT CAST(1 AS INTEGER) AS rank, vec_id, rel, score FROM s1
+        |UNION ALL SELECT CAST(2 AS INTEGER), vec_id, rel, score FROM s2
+        |UNION ALL SELECT CAST(3 AS INTEGER), vec_id, rel, score FROM s3
+        |UNION ALL SELECT CAST(4 AS INTEGER), vec_id, rel, score FROM s4
+        |UNION ALL SELECT CAST(5 AS INTEGER), vec_id, rel, score FROM s5
+        |ORDER BY rank""".stripMargin,
     // ANN recall gates: the oracle cannot replay the index (murmur3 /
     // fitted centroids / PQ codes), but it CAN predict the invariants
     // the gate emits — 5 queries, self always retrieved, mean recall
@@ -3090,6 +3197,71 @@ object SparkEntry {
         |  CAST(sum(tv) AS DECIMAL(38,10)) AS kl_nats
         |FROM terms GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    // Flesch-Kincaid: exact BIGINT word/sentence/syllable counts
+    // (identical regex rules), one double expression rounded 4 dp.
+    "q_readability" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS ws,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |      AS ns0
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    greatest(CAST(1 AS BIGINT), CAST(len(ws) AS BIGINT))
+        |      AS n_words,
+        |    CAST(ns0 AS BIGINT) AS n_sentences,
+        |    CAST(coalesce(list_sum(list_transform(ws, x ->
+        |      greatest(1, len(regexp_extract_all(x, '[aeiouy]+')) -
+        |        (CASE WHEN x LIKE '%e'
+        |              AND len(regexp_extract_all(x, '[aeiouy]+')) > 1
+        |              THEN 1 ELSE 0 END)))), 0) AS BIGINT)
+        |      AS n_syllables
+        |  FROM w)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round(0.39 * (CAST(n_words AS DOUBLE)
+        |      / CAST(n_sentences AS DOUBLE))
+        |    + 11.8 * (CAST(n_syllables AS DOUBLE)
+        |      / CAST(n_words AS DOUBLE)) - 15.59, 4) AS fk_grade,
+        |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE)
+        |      / CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE)
+        |      / CAST(n_words AS DOUBLE)), 4) AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // RAKE: identical two-stage regex phrase split (punctuation to
+    // space, \b-stopword to '|'), exact BIGINT deg/freq, word score
+    // one division rounded 6 dp, DECIMAL phrase sums, total-ordered
+    // top-30.
+    "q_rake" ->
+      """WITH seg AS (SELECT unnest(string_split(
+        |    regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z]+', ' ', 'g'),
+        |      '\b(the|a|an|and|or|of|to|in|is|are|was|were|be|for|on|with|as|by|at|it|this|that|from|but|not|i)\b',
+        |      '|', 'g'), '|')) AS seg
+        |  FROM documents),
+        |ph AS (SELECT regexp_extract_all(seg, '[a-z]+') AS ws
+        |  FROM seg),
+        |ph2 AS (SELECT list_aggregate(ws, 'string_agg', ' ')
+        |      AS phrase, ws,
+        |    CAST(len(ws) AS BIGINT) AS plen
+        |  FROM ph WHERE len(ws) > 0),
+        |pw AS (SELECT unnest(ws) AS word, plen FROM ph2),
+        |wstat AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(plen) AS BIGINT) AS deg
+        |  FROM pw GROUP BY word),
+        |wsc AS (SELECT word,
+        |    CAST(round(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS wscore
+        |  FROM wstat),
+        |dp AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occur
+        |  FROM ph2 GROUP BY phrase),
+        |dpw AS (SELECT phrase, n_occur,
+        |    unnest(string_split(phrase, ' ')) AS word
+        |  FROM dp),
+        |sc AS (SELECT phrase, n_occur,
+        |    CAST(sum(wscore) AS DECIMAL(38,6)) AS score
+        |  FROM dpw JOIN wsc USING (word)
+        |  GROUP BY phrase, n_occur)
+        |SELECT phrase, n_occur, score FROM sc
+        |ORDER BY score DESC, phrase LIMIT 30""".stripMargin,
     // Burstiness: Fano = (N*S2 - S1^2)/(N*S1) on exact BIGINT power
     // sums (zeros contribute nothing), one double division.
     "q_burstiness" ->

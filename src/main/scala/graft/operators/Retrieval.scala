@@ -222,4 +222,78 @@ object Retrieval {
       .orderBy(col("cos_sim").desc, col("doc_a"), col("doc_b"))
       .limit(k)
   }
+
+  /**
+   * Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998):
+   * diversified top-k retrieval — greedily pick the candidate
+   * maximizing λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s), so the result
+   * set trades raw relevance for coverage (the dedup-at-serving-time
+   * every RAG stack bolts onto its retriever; without it the context
+   * window fills with near-copies of the best hit).
+   *
+   * λ = 0.7, k = 5 over the top-20 cosine candidates for query
+   * vector 0 (self excluded). Determinism: rel and pair sims round to
+   * 4 dp BEFORE any greedy decision, each step's score rounds to 4 dp,
+   * ties break by vec_id — both engines make identical picks.
+   *
+   * Shape at 100 TB: the RELEVANCE pass is the scan-shaped part — one
+   * narrow scoring sweep over the corpus with a bounded top-20
+   * (TakeOrdered, no global sort). The greedy then runs on the
+   * 20-candidate working set (20 rel values + 190 pair sims), which is
+   * driver-side MODEL material: its size is set by the candidate
+   * budget, not the corpus — identical at every scale. The oracle
+   * replays all 5 steps as unrolled CTEs (the q_set_cover pattern).
+   */
+  def mmrQuery(spark: SparkSession, sfDir: String,
+      lambda: Double = 0.7, k: Int = 5, pool: Int = 20): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val cands = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(VectorOps.cosine(col("q_emb"), col("embedding")), 4)
+          .as("rel"),
+        col("embedding"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(pool)
+      .collect()
+    def r4(x: Double): Double =
+      BigDecimal.valueOf(x)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // driver-side pair sims over the fixed-size pool: the same
+    // sequential double fold as list_dot_product / VectorOps.cosine
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val vecs = cands.map(r => (r.getLong(0), r.getDouble(1),
+      r.getSeq[Float](2).toArray.map(_.toDouble)))
+    val sim = vecs.map { case (ia, _, va) =>
+      ia -> vecs.map { case (ib, _, vb) =>
+        ib -> r4(dot(va, vb) /
+          (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))))
+      }.toMap
+    }.toMap
+    var selected = Vector.empty[(Int, Long, Double, Double)]
+    var remaining = vecs.map { case (id, rel, _) => (id, rel) }.toVector
+    for (rank <- 1 to k) {
+      val scored = remaining.map { case (id, rel) =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.map { case (_, sid, _, _) => sim(id)(sid) }.max
+        (id, rel, r4(lambda * rel - (1 - lambda) * maxSim))
+      }
+      val (bid, brel, bscore) =
+        scored.minBy { case (id, _, s) => (-s, id) }
+      selected :+= ((rank, bid, brel, bscore))
+      remaining = remaining.filterNot(_._1 == bid)
+    }
+    import spark.implicits._
+    selected.toDF("rank", "vec_id", "rel", "score")
+      .select(col("rank").cast("int").as("rank"), col("vec_id"),
+        col("rel"), col("score"))
+      .orderBy(col("rank"))
+  }
 }

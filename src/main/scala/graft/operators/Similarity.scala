@@ -679,6 +679,87 @@ object Similarity {
       (acc, x) => acc + x)
 
   /**
+   * Metadata-filtered exact ANN: top-10 by cosine among corpus vectors
+   * whose label satisfies the predicate (`label % 3 = 0`) — the
+   * "vector search with a WHERE clause" every retrieval stack needs
+   * (tenant scoping, language filters, freshness windows). Exact
+   * variant: the predicate composes with the scoring scan, so
+   * Catalyst pushes it into the parquet read and the ranked list is
+   * fully SQL-replayable (the q_ann_topk precedent plus a filter).
+   *
+   * Shape at 100 TB: pre-filtering beats post-filtering — the
+   * predicate prunes the corpus BEFORE any distance math (row-group
+   * stats skip whole files when the filter column is clustered), and
+   * top-k per query is a bounded window over the probe set, never a
+   * global sort.
+   */
+  def annFilteredQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    bruteForceTopK(emb.filter(col("vec_id") < 5),
+        emb.filter(col("label") % 3 === 0), 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /**
+   * Filtered IVF serving path: probe `nprobe` nearest cells, apply the
+   * label predicate AFTER cell pruning (the index is label-agnostic),
+   * rank survivors. Gated through [[recallGate]] against the exact
+   * filtered twin — a floor well under the measured deterministic
+   * recall. This is the standard trade: a shared label-agnostic index
+   * with post-filtering scans a slightly larger candidate set; when a
+   * filter is hot AND selective enough to starve probes, production
+   * builds per-partition indexes instead (the IVF cell layout already
+   * partitions by directory, so that is a partitionBy(label) away).
+   */
+  def annFilteredIvfQuery(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val m = buildIndex(spark, sfDir)
+    val assigned = emb.filter(col("label") % 3 === 0).select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      cellOf(m, col("embedding")).as("cell"))
+    val probes = emb.filter(col("vec_id") < 5).select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      explode(call_function("graft_nearest_cells", col("embedding"),
+        centsLit(m), lit(6))).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val approx = assigned.join(broadcast(probes), Seq("cell"))
+      .withColumn("cos_sim",
+        round(VectorOps.cosine(col("q_emb"), col("c_emb")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("cos_sim"))
+    // self-retrieval only holds when the query ITSELF satisfies the
+    // filter (otherwise self is not in the corpus at all), so the
+    // self check is restricted to filter-passing queries
+    val exact = annFilteredQuery(spark, sfDir)
+    val hit = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    val selfExpected = emb
+      .filter(col("vec_id") < 5 && col("label") % 3 === 0)
+      .select(col("vec_id").as("query_id"))
+    val selfMissing = selfExpected
+      .join(approx.filter(col("query_id") === col("neighbor_id"))
+        .select(col("query_id")).distinct(),
+        Seq("query_id"), "left_anti")
+      .agg(count(lit(1)).as("n_self_missing"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hit, Seq("query_id"), "left")
+      .select((coalesce(col("n_hit"), lit(0L)).cast("double") /
+        col("n_exact").cast("double")).as("recall"))
+      .agg(count(lit(1)).as("n_queries"),
+        (round(avg(col("recall")), 4) >= lit(0.3)).as("recall_ok"))
+      .crossJoin(broadcast(selfMissing))
+      .select(col("n_queries"),
+        (col("n_self_missing") === 0).as("self_ok"),
+        col("recall_ok"))
+  }
+
+  /**
    * Top principal component of the embedding cloud by FIXED-iteration
    * power method (Mises–Pollaczek-Geiringer iteration), fully
    * distributed and collect-free — the dimensionality-reduction /

@@ -716,4 +716,117 @@ object TextAnalysis {
           (lit(nDocs) * col("s1")).cast("double"), 10).as("fano"))
       .orderBy(col("term"))
   }
+
+  /**
+   * Flesch–Kincaid readability (Kincaid et al. 1975): per-document
+   * grade level and reading-ease score from exact word, sentence, and
+   * heuristic syllable counts — the classic quality-filter feature
+   * (pretraining mixes routinely clamp on readability bands; C4-style
+   * cleaners drop the unreadable tail).
+   *
+   * Counting rules, identical in both engines: words are `[a-z]+`
+   * runs of the lowercased text; sentences are `[.!?]+` runs
+   * (min 1); syllables per word are `[aeiouy]+` vowel groups minus a
+   * silent trailing `e` (when more than one group), min 1. FK grade
+   * = 0.39·(W/S) + 11.8·(Syl/W) − 15.59; ease = 206.835 − 1.015·(W/S)
+   * − 84.6·(Syl/W) — both one double expression on three exact
+   * BIGINTs, rounded 4 dp.
+   *
+   * Shape at 100 TB: pure codegen'd projection over the scan — the
+   * per-word loop is a lambda over the in-row token array, no
+   * explode, no shuffle, output row count = input row count.
+   */
+  def readabilityQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    val syll = expr(
+      """aggregate(
+        |  transform(regexp_extract_all(lower(text), '[a-z]+', 0), w ->
+        |    greatest(1L, size(regexp_extract_all(w, '[aeiouy]+', 0)) -
+        |      (CASE WHEN w LIKE '%e'
+        |            AND size(regexp_extract_all(w, '[aeiouy]+', 0)) > 1
+        |            THEN 1 ELSE 0 END))),
+        |  0L, (acc, x) -> acc + x)""".stripMargin)
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        greatest(lit(1L), size(words).cast("long")).as("n_words"),
+        greatest(lit(1L),
+          size(expr("regexp_extract_all(text, '[.!?]+', 0)"))
+            .cast("long")).as("n_sentences"),
+        syll.as("n_syllables"))
+      .withColumn("fk_grade",
+        round(lit(0.39) *
+          (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) +
+          lit(11.8) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")) - lit(15.59), 4))
+      .withColumn("flesch",
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) -
+          lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  // RAKE stopword list (fixed, mirrored verbatim in the SQL oracle):
+  // phrase delimiters alongside punctuation.
+  private[graft] val rakeStops = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+    "was", "were", "be", "for", "on", "with", "as", "by", "at", "it",
+    "this", "that", "from", "but", "not", "i")
+
+  /**
+   * RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+   * are maximal stopword/punctuation-free word runs; each word scores
+   * deg(w)/freq(w) where freq counts occurrences and deg sums the
+   * lengths of the phrases it appears in (co-occurrence degree); a
+   * phrase scores the sum of its word scores. Corpus-level top-30 —
+   * the cheap unsupervised keyword miner used for corpus topic
+   * profiling and search-facet seeding.
+   *
+   * Determinism: deg and freq are exact BIGINTs; each word score is
+   * ONE double division rounded 6 dp, summed per phrase as DECIMAL
+   * (order-free); top-30 is totally ordered by (score desc, phrase).
+   *
+   * Shape at 100 TB: phrase extraction is a codegen'd regex
+   * projection; word stats reduce map-side to the vocabulary; the
+   * phrase-score join moves (word, score) pairs keyed by word — the
+   * corpus text never shuffles, and the final top-k is a bounded
+   * TakeOrdered.
+   */
+  def rakeQuery(spark: SparkSession, sfDir: String,
+      k: Int = 30): DataFrame = {
+    val stopPat = rakeStops.mkString("\\b(", "|", ")\\b")
+    val phrases = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(
+        regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z]+", " "),
+          stopPat, "|"),
+        "\\|")).as("seg"))
+      .select(expr("regexp_extract_all(seg, '[a-z]+', 0)").as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(array_join(col("ws"), " ").as("phrase"),
+        col("ws"), size(col("ws")).cast("long").as("plen"))
+    val wordStats = phrases
+      .select(explode(col("ws")).as("word"), col("plen"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("wscore",
+        round(col("deg").cast("double") / col("freq").cast("double"), 6)
+          .cast("decimal(18,6)"))
+    // score one representative instance per DISTINCT phrase (equal
+    // word multisets ⇒ equal scores; occurrences carried as a count)
+    val distinctPhrase = phrases
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occur"),
+        first(col("ws")).as("ws"))
+    distinctPhrase
+      .select(col("phrase"), col("n_occur"),
+        explode(col("ws")).as("word"))
+      .join(wordStats.select(col("word"), col("wscore")), Seq("word"))
+      .groupBy(col("phrase"), col("n_occur"))
+      .agg(sum(col("wscore")).cast("decimal(38,6)").as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(k)
+  }
 }

@@ -186,4 +186,27 @@ class RetrievalSpec extends SparkSpec {
     assert(!exchanges.exists(e => e.contains("text#") || e.contains("embedding#")),
       s"corpus text/embeddings flow through an exchange:\n$exchanges")
   }
+
+  test("mmr: 5 distinct picks, first is the top-rel candidate, " +
+      "greedy scores non-increasing") {
+    val rows = Retrieval.mmrQuery(spark, sfDir).collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 5))
+    assert(rows.map(_.getLong(1)).distinct.length == 5)
+    // step 1 has no diversity penalty: pick = argmax rel, and its
+    // score is exactly round4(0.7 * rel)
+    val first = rows.head
+    def r4(x: Double) = BigDecimal.valueOf(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(first.getDouble(3) == r4(0.7 * first.getDouble(2)))
+    assert(rows.forall(_.getDouble(2) <= first.getDouble(2) + 1e-12),
+      "step-1 pick is not the max-relevance candidate")
+    // the classic MMR invariant: the selected sequence's scores are
+    // non-increasing (the penalty set only grows)
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.sliding(2).forall {
+      case Array(a, b) => b <= a + 1e-12
+      case _ => true
+    }, s"greedy scores increased: ${scores.mkString(",")}")
+  }
 }

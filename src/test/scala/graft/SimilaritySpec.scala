@@ -345,4 +345,30 @@ class SimilaritySpec extends SparkSpec {
     assert(at32 < at8,
       s"k=32 examined $at32 pairs, not fewer than k=8's $at8")
   }
+
+  test("filtered ann: every neighbor satisfies the predicate, ranks " +
+      "dense, self retrieved iff query passes the filter") {
+    val rows = Similarity.annFilteredQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val okLabels = emb
+      .filter(org.apache.spark.sql.functions.col("label") % 3 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      assert(okLabels.contains(r.getLong(1)),
+        s"neighbor ${r.getLong(1)} fails the label filter")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length),
+        s"query $q: ranks not dense")
+      val hasSelf = rs.exists(r => r.getLong(1) == q)
+      assert(hasSelf == okLabels.contains(q),
+        s"query $q: self-retrieval ${hasSelf} vs filter " +
+          s"${okLabels.contains(q)}")
+    }
+    // the gate itself must hold at spec scale too
+    val gate = Similarity.annFilteredIvfQuery(spark, sfDir).collect()(0)
+    assert(gate.getBoolean(1) && gate.getBoolean(2),
+      s"filtered IVF gate red: $gate")
+  }
 }

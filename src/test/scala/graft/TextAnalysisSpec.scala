@@ -398,4 +398,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("z") == ((1L, 10L, 9.0)), s"z: ${got("z")}")
     assert(got("m") == ((5L, 10L, 1.0)), s"m: ${got("m")}")
   }
+
+  test("readability: count invariants and formula replay") {
+    val rows = TextAnalysis.readabilityQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, s, syl) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(w >= 1 && s >= 1)
+      // every word carries >= 1 heuristic syllable
+      assert(syl >= w, s"doc ${r.getLong(0)}: syl $syl < words $w")
+      def r4(x: Double) = BigDecimal(x)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) ==
+        r4(0.39 * w.toDouble / s + 11.8 * syl.toDouble / w - 15.59))
+      assert(r.getDouble(5) ==
+        r4(206.835 - 1.015 * w.toDouble / s - 84.6 * syl.toDouble / w))
+    }
+  }
+
+  test("rake: no stopword survives inside a phrase, scores positive, " +
+      "total order") {
+    val rows = TextAnalysis.rakeQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    val stops = TextAnalysis.rakeStops.toSet
+    rows.foreach { r =>
+      val phrase = r.getString(0)
+      assert(phrase.split(" ").forall(w => !stops.contains(w)),
+        s"stopword inside phrase '$phrase'")
+      assert(r.getLong(1) >= 1)
+      assert(r.getDecimal(2).doubleValue > 0.0)
+    }
+    // ordering: (score desc, phrase asc) is a total order
+    val keys = rows.map(r => (-r.getDecimal(2).doubleValue,
+      r.getString(0))).toSeq
+    assert(keys == keys.sorted, "top-30 not totally ordered")
+  }
 }
