@@ -37,6 +37,9 @@ object SparkEntry {
     "q_gap_fill" -> (Scale.gapFillQuery _),
     // OPTIMIZE planning: sorted-fill file bins toward a target size
     "q_compact_plan" -> (Scale.compactionPlanQuery _),
+    // Join-size estimate by correlated key-hash sampling (p=1/16),
+    // exact join count as gate-scale audit twin
+    "q_join_cardest" -> (Scale.joinCardEstQuery _),
     // Declarative DQ constraint suite: rows/uniqueness/FK in one report
     "q_dq_rules" -> (DataQuality.dqRulesQuery _),
     // Linear interpolation across the same spine (continuous signals)
@@ -57,6 +60,12 @@ object SparkEntry {
     // Two-proportion z-test on purchase conversion, cohorts by user
     // id parity (the experiment decision-gate readout)
     "q_ab_test" -> (Behavior.abTestQuery _),
+    // Apriori 2-itemset layer: per-user engaged-type baskets, exact
+    // pair supports + confidence/lift (cross-feature affinity)
+    "q_itemsets" -> ((s, d) => Behavior.itemsetsQuery(s, d)),
+    // Item-item CF cosine over the user-engagement count matrix
+    // (memory-based recommender primitive)
+    "q_item_cf" -> (Behavior.itemCfQuery _),
     // Chi-square independence of event_type x hour-of-day with
     // Cramér's V and mutual information (association readout)
     "q_contingency" -> (Inference.contingencyQuery _),
@@ -184,6 +193,9 @@ object SparkEntry {
     // Dataset publication: sharded write + order-free integrity
     // manifest of the files that actually landed
     "q_publish_manifest" -> (Versioning.publishManifestQuery _),
+    // Merkle integrity tree: doc-id-chunked digest hierarchy, per-
+    // source roots + corpus root (tamper-evident publish complement)
+    "q_merkle" -> (Versioning.merkleQuery _),
     // Deterministic sampling (north star: reproducible subsets)
     "q_sample_hash" -> (Sampling.hashSampleQuery _),
     // Rendezvous-hash sharding: stable assignment, ~1/(S+1) movement
@@ -2095,6 +2107,103 @@ object SparkEntry {
         |  round((pb - pa) / sev, 10) AS z,
         |  abs(round((pb - pa) / sev, 10)) >= 1.96 AS significant
         |FROM s""".stripMargin,
+    // Apriori pair layer: exact BIGINT supports from the >=14-event
+    // baskets; confidence/lift single double divisions rounded 10 dp.
+    "q_itemsets" ->
+      """WITH c AS (SELECT user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, event_type FROM c WHERE n >= 14),
+        |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+        |    AS n_users FROM b),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS sup
+        |  FROM b GROUP BY 1),
+        |p AS (SELECT a.event_type AS item_a, b2.event_type AS item_b,
+        |    CAST(count(*) AS BIGINT) AS sup_ab
+        |  FROM b a JOIN b b2 ON a.user_id = b2.user_id
+        |    AND a.event_type < b2.event_type
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, sa.sup AS sup_a, sb.sup AS sup_b,
+        |  sup_ab, nu.n_users,
+        |  round(CAST(sup_ab AS DOUBLE) / CAST(n_users AS DOUBLE), 10)
+        |    AS support,
+        |  round(CAST(sup_ab AS DOUBLE) / CAST(sa.sup AS DOUBLE), 10)
+        |    AS conf_a_b,
+        |  round(CAST(sup_ab AS DOUBLE) / CAST(sb.sup AS DOUBLE), 10)
+        |    AS conf_b_a,
+        |  round(CAST(sup_ab * n_users AS DOUBLE)
+        |    / CAST(sa.sup * sb.sup AS DOUBLE), 10) AS lift
+        |FROM p JOIN s sa ON p.item_a = sa.event_type
+        |  JOIN s sb ON p.item_b = sb.event_type, nu
+        |ORDER BY item_a, item_b""".stripMargin,
+    // Item-item CF: exact DECIMAL co-engagement inner products and
+    // norms (cast before multiply), one double cosine rounded 10 dp.
+    "q_item_cf" ->
+      """WITH m AS (SELECT user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |nrm AS (SELECT event_type,
+        |    CAST(sum(CAST(n AS DECIMAL(19,0))
+        |      * CAST(n AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS ss
+        |  FROM m GROUP BY 1),
+        |d AS (SELECT a.event_type AS item_a, b.event_type AS item_b,
+        |    CAST(sum(CAST(a.n AS DECIMAL(19,0))
+        |      * CAST(b.n AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS dot,
+        |    CAST(count(*) AS BIGINT) AS co_users
+        |  FROM m a JOIN m b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, co_users, dot,
+        |  round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.ss AS DOUBLE))
+        |    * sqrt(CAST(nb.ss AS DOUBLE))), 10) AS cos_sim
+        |FROM d JOIN nrm na ON d.item_a = na.event_type
+        |  JOIN nrm nb ON d.item_b = nb.event_type
+        |ORDER BY item_a, item_b""".stripMargin,
+    // Correlated key-hash sampling join estimate: the md5 24-bit
+    // sample is replayed exactly, so the estimate AND its error are
+    // hash-gated, not bound-checked.
+    "q_join_cardest" ->
+      """WITH li AS (SELECT CAST(l_orderkey AS VARCHAR) AS key
+        |  FROM lineitem),
+        |o AS (SELECT CAST(o_orderkey AS VARCHAR) AS key FROM orders),
+        |sli AS (SELECT key FROM li
+        |  WHERE ('0x' || substring(md5(key), 1, 6))::BIGINT
+        |    < 1048576),
+        |so AS (SELECT key FROM o
+        |  WHERE ('0x' || substring(md5(key), 1, 6))::BIGINT
+        |    < 1048576),
+        |f AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM li) AS n_a,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_b,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sli) AS sample_a,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM so) AS sample_b,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sli JOIN so
+        |    ON sli.key = so.key) AS j_sample,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM li JOIN o
+        |    ON li.key = o.key) AS j_exact)
+        |SELECT n_a, n_b, sample_a, sample_b, j_sample,
+        |  j_sample * 16 AS j_est, j_exact,
+        |  round(abs(CAST(j_sample * 16 - j_exact AS DOUBLE))
+        |    / CAST(j_exact AS DOUBLE), 6) AS rel_err
+        |FROM f""".stripMargin,
+    // Merkle tree: leaf/chunk/root/corpus digests in doc-id order —
+    // string_agg ORDER BY replays the ordered concatenation.
+    "q_merkle" ->
+      """WITH l AS (SELECT source, doc_id, doc_id // 64 AS chunk,
+        |    md5(text) AS leaf
+        |  FROM documents),
+        |ch AS (SELECT source, chunk,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    md5(string_agg(leaf, '' ORDER BY doc_id)) AS node
+        |  FROM l GROUP BY source, chunk),
+        |r AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_chunks,
+        |    md5(string_agg(node, '' ORDER BY chunk)) AS root
+        |  FROM ch GROUP BY source),
+        |cr AS (SELECT md5(string_agg(root, '' ORDER BY source))
+        |    AS corpus_root FROM r)
+        |SELECT source, n_docs, n_chunks, root, corpus_root
+        |FROM r, cr ORDER BY source""".stripMargin,
     // Chi-square / Cramér's V / MI contingency: exact BIGINT margins,
     // each double term one expression on integers rounded (10/12 dp),
     // DECIMAL-summed; V rounds at 6 dp after one sqrt on the exact

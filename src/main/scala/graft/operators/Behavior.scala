@@ -144,4 +144,104 @@ object Behavior {
         (round(z, 10) + lit(0.0)).as("z"),
         (abs(round(z, 10) + lit(0.0)) >= 1.96).as("significant"))
   }
+
+  /**
+   * Frequent-itemset pairs with association metrics (Agrawal &
+   * Srikant, VLDB 1994 — the Apriori 2-itemset layer): each user's
+   * "basket" is the set of event types they engaged with (≥ 14
+   * events, the per-user-type median, so baskets are non-degenerate
+   * mixes instead of "everyone has everything"); every type pair gets
+   * exact support counts, confidence both directions, and lift — the
+   * cross-feature affinity readout behind "users who do A also do B".
+   *
+   * Shape at 100 TB: the basket build is one map-side-partial
+   * groupBy(user, type); the pair expansion self-joins BASKETS (≤ k
+   * items per user — the shuffle carries (user, type) pairs, never
+   * events); pair metrics reduce to ≤ k² cells. Exactness: all
+   * supports exact BIGINT; confidence/lift are single double
+   * divisions on those integers rounded 10 dp.
+   */
+  def itemsetsQuery(spark: SparkSession, sfDir: String,
+      minEvents: Int = 14): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val basket = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minEvents)
+      .select(col("user_id"), col("event_type"))
+    val nUsers = basket.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val itemSup = basket.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("sup"))
+    val pairs = basket.as("a")
+      .join(basket.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("item_a"),
+        col("b.event_type").as("item_b"))
+      .agg(count(lit(1)).as("sup_ab"))
+    pairs
+      .join(broadcast(itemSup.select(col("event_type").as("item_a"),
+        col("sup").as("sup_a"))), Seq("item_a"))
+      .join(broadcast(itemSup.select(col("event_type").as("item_b"),
+        col("sup").as("sup_b"))), Seq("item_b"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("item_a"), col("item_b"), col("sup_a"), col("sup_b"),
+        col("sup_ab"), col("n_users"),
+        round(col("sup_ab").cast("double") /
+          col("n_users").cast("double"), 10).as("support"),
+        round(col("sup_ab").cast("double") /
+          col("sup_a").cast("double"), 10).as("conf_a_b"),
+        round(col("sup_ab").cast("double") /
+          col("sup_b").cast("double"), 10).as("conf_b_a"),
+        round((col("sup_ab") * col("n_users")).cast("double") /
+          (col("sup_a") * col("sup_b")).cast("double"), 10).as("lift"))
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
+  /**
+   * Item-item collaborative-filtering similarity (Sarwar et al., WWW
+   * 2001): cosine between event types over the user-engagement count
+   * matrix — "items rated similarly by the same users are similar",
+   * the memory-based recommender primitive, computed here over the
+   * event stream's implicit feedback (per-user type counts).
+   *
+   * Exactness: the co-engagement inner products Σ_u n_ui·n_uj and the
+   * squared norms are exact (DECIMAL cast BEFORE the product — user
+   * lifetime counts can pass 3e9·3e9 at extreme scale); cosine is ONE
+   * double expression on those exact sums, rounded 10 dp.
+   *
+   * Shape at 100 TB: the count matrix build is one map-side-partial
+   * groupBy; the pair pass self-joins per-user vectors (≤ k entries
+   * per user — the shuffle carries (user, type, count) triples) and
+   * reduces to ≤ k² cells.
+   */
+  def itemCfQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val m = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val norms = m.groupBy(col("event_type"))
+      .agg(sum(col("n").cast("decimal(19,0)") *
+        col("n").cast("decimal(19,0)")).cast("decimal(38,0)").as("ss"),
+        count(lit(1)).as("n_users"))
+    val dots = m.as("a")
+      .join(m.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("item_a"),
+        col("b.event_type").as("item_b"))
+      .agg(sum(col("a.n").cast("decimal(19,0)") *
+        col("b.n").cast("decimal(19,0)")).cast("decimal(38,0)")
+        .as("dot"), count(lit(1)).as("co_users"))
+    dots
+      .join(broadcast(norms.select(col("event_type").as("item_a"),
+        col("ss").as("ss_a"), col("n_users").as("users_a"))),
+        Seq("item_a"))
+      .join(broadcast(norms.select(col("event_type").as("item_b"),
+        col("ss").as("ss_b"), col("n_users").as("users_b"))),
+        Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("co_users"),
+        col("dot"),
+        round(col("dot").cast("double") /
+          (sqrt(col("ss_a").cast("double")) *
+           sqrt(col("ss_b").cast("double"))), 10).as("cos_sim"))
+      .orderBy(col("item_a"), col("item_b"))
+  }
 }

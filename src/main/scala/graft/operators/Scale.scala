@@ -795,4 +795,49 @@ object Scale {
         col("bin_parts"), col("bin_bytes"))
       .orderBy(col("event_type"), col("day"))
   }
+
+  /**
+   * Join-size estimation by correlated (key-hash) sampling (Vengerov
+   * et al., VLDB 2015): sample the JOIN KEY domain — keep a row iff
+   * md5(key) lands under p·2²⁴ — so both sides keep exactly the same
+   * keys, every sampled key contributes its FULL f_A(k)·f_B(k) pair
+   * mass, and scaled sample-join count / p is an unbiased estimate of
+   * |A ⋈ B|. This is the planner statistic uniform row sampling
+   * cannot give (independent row samples hit the same key on both
+   * sides with probability p², not p) — the input to broadcast-vs-
+   * shuffle and skew-mitigation decisions before a 100 TB join runs.
+   *
+   * Here: lineitem ⋈ orders on orderkey at p = 1/16, with the exact
+   * join count as the audit twin (gate-scale only; production keeps
+   * the p-cost sample pass and drops the twin). Determinism: the md5
+   * sample is replayed by the oracle, so estimate AND error hash-gate
+   * exactly.
+   */
+  def joinCardEstQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val inv = 16L  // 1/p
+    val cut = (1L << 24) / inv
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").cast("string").as("key"))
+    val ord = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey").cast("string").as("key"))
+    val sampLi = li.filter(Sampling.hashBucket24(col("key")) < cut)
+    val sampOrd = ord.filter(Sampling.hashBucket24(col("key")) < cut)
+    val nA = li.agg(count(lit(1)).as("n_a"))
+    val nB = ord.agg(count(lit(1)).as("n_b"))
+    val sA = sampLi.agg(count(lit(1)).as("sample_a"))
+    val sB = sampOrd.agg(count(lit(1)).as("sample_b"))
+    val jS = sampLi.join(sampOrd, Seq("key"))
+      .agg(count(lit(1)).as("j_sample"))
+    val jX = li.join(ord, Seq("key"))
+      .agg(count(lit(1)).as("j_exact"))
+    nA.crossJoin(broadcast(nB)).crossJoin(broadcast(sA))
+      .crossJoin(broadcast(sB)).crossJoin(broadcast(jS))
+      .crossJoin(broadcast(jX))
+      .select(col("n_a"), col("n_b"), col("sample_a"), col("sample_b"),
+        col("j_sample"), (col("j_sample") * inv).as("j_est"),
+        col("j_exact"),
+        round(abs((col("j_sample") * inv - col("j_exact"))
+            .cast("double")) / col("j_exact").cast("double"), 6)
+          .as("rel_err"))
+  }
 }

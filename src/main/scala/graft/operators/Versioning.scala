@@ -428,4 +428,50 @@ object Versioning {
         (round(col("kl"), 6) + lit(0.0)).as("kl"))
       .orderBy(col("source"))
   }
+
+  /**
+   * Merkle integrity manifest of the corpus (Merkle, CRYPTO '87 — the
+   * content-addressed tree behind git/IPFS/Dat): leaf = md5(text) per
+   * document, interior node = md5 of its children's hashes
+   * concatenated in doc-id order (chunks of 64 ids), per-source root
+   * = md5 of the chunk hashes in chunk order, corpus root = md5 of
+   * the source roots in source order. A reader verifies any single
+   * document against the published corpus root with log-fanout
+   * hashes, and two corpus versions diff down to the changed chunk
+   * without comparing text — the tamper-evident complement to
+   * [[publishManifest]]'s size/count digests.
+   *
+   * Shape at 100 TB: only 32-char digests ever shuffle (text is
+   * hashed in the scan projection); the chunk aggregation is
+   * map-side-partial on (source, chunk) with ≤ 64·32 B per group,
+   * then per-source and corpus folds run on frames sized by the
+   * chunk/source counts. Chunking keys on doc_id div 64 — not on
+   * rank — so a single inserted document perturbs ONE chunk, not
+   * every chunk after it (the property that makes incremental
+   * re-verification churn-proportional).
+   */
+  def merkleQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val leaves = Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"),
+        expr("doc_id div 64").as("chunk"),
+        md5(col("text")).as("leaf"))
+    def orderedConcat(idCol: String, hashCol: String) =
+      array_join(transform(
+        array_sort(collect_list(struct(col(idCol), col(hashCol)))),
+        x => x.getField(hashCol)), "")
+    val chunks = leaves.groupBy(col("source"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"),
+        md5(orderedConcat("doc_id", "leaf")).as("node"))
+    val roots = chunks.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        md5(orderedConcat("chunk", "node")).as("root"))
+    val corpus = roots.groupBy(lit(1).as("one"))
+      .agg(md5(orderedConcat("source", "root")).as("corpus_root"))
+    roots.withColumn("one", lit(1))
+      .join(broadcast(corpus), Seq("one"))
+      .select(col("source"), col("n_docs"), col("n_chunks"),
+        col("root"), col("corpus_root"))
+      .orderBy(col("source"))
+  }
 }

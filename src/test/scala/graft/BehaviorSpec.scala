@@ -79,4 +79,39 @@ class BehaviorSpec extends SparkSpec {
     assert(math.abs(z - r10((pb - pa) / se)) < 1e-9)
     assert(row.getBoolean(9) == (math.abs(z) >= 1.96))
   }
+
+  test("itemsets: supports obey containment bounds, lift replays, " +
+      "baskets non-degenerate") {
+    val rows = Behavior.itemsetsQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (supA, supB, supAB, n) = (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      // pair support can't exceed either item's, items can't exceed N
+      assert(supAB <= math.min(supA, supB))
+      assert(supA <= n && supB <= n)
+      assert(supAB >= 1)
+      def r10(x: Double) = BigDecimal(x)
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(9) ==
+        r10(supAB.toDouble * n / (supA.toDouble * supB)))
+      // the threshold must bite: some basket lacks some item
+      assert(supA < n || supB < n,
+        "every item in every basket — threshold degenerate")
+    }
+  }
+
+  test("item cf: cosine in (0,1], symmetric pair count, dot bounded " +
+      "by Cauchy-Schwarz") {
+    val rows = Behavior.itemCfQuery(spark, sfDir).collect()
+    // 5 event types -> C(5,2) pairs
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val cos = r.getDouble(4)
+      assert(cos > 0.0 && cos <= 1.0 + 1e-12,
+        s"${r.getString(0)}/${r.getString(1)}: cos $cos")
+      assert(r.getLong(2) >= 1)
+      assert(r.getDecimal(3).doubleValue > 0)
+    }
+  }
 }

