@@ -78,6 +78,9 @@ object SparkEntry {
     // Autocorrelation of the dense hourly count series, lags 1..24,
     // exact DECIMAL fractions (seasonality/independence diagnostic)
     "q_acf" -> ((s, d) => Inference.acfQuery(s, d)),
+    // Holt linear-trend smoothing of daily counts: per-step-rounded
+    // level/trend recursion, one-step-ahead fitted forecast
+    "q_holt" -> ((s, d) => Inference.holtQuery(s, d)),
     // Rank-based p05/p95 quantile clipping (robust to heavy tails)
     "q_winsorize" -> (Relational.winsorizeQuery _),
     "q_funnel" -> (Relational.funnelQuery _),
@@ -374,6 +377,10 @@ object SparkEntry {
     // Sliding-window per-user rate limiting (burst flags on closed
     // windows; watermark-bounded state)
     "q_stream_rate" -> (graft.streaming.StreamingIngest.replayRateLimit _),
+    // Exact streaming windowed distinct users per (hour, type) via
+    // chained window-on-window aggregation (multiple stateful ops)
+    "q_stream_distinct" ->
+      (graft.streaming.StreamingIngest.replayWindowedDistinct _),
     // Streaming ordered funnel: per-user staged minima with a
     // watermark-horizon buffer; emitted once per quiet user
     "q_stream_funnel" -> ((s, d) =>
@@ -1548,15 +1555,17 @@ object SparkEntry {
         |cv AS (SELECT cand.vec_id, e.embedding
         |  FROM cand JOIN embeddings e USING (vec_id)),
         |p AS (SELECT a.vec_id AS ca, b.vec_id AS cb,
-        |    round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    floor((list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
         |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-        |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
-        |      AS sim
+        |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))))
+        |      * 1e4 + 0.5) / 1e4 AS sim
         |  FROM cv a JOIN cv b ON a.vec_id <> b.vec_id),
-        |s1 AS (SELECT vec_id, rel, round(0.7*rel, 4) AS score
+        |s1 AS (SELECT vec_id, rel,
+        |    floor((0.7*rel) * 1e4 + 0.5) / 1e4 AS score
         |  FROM cand ORDER BY score DESC, vec_id LIMIT 1),
         |r2 AS (SELECT c.vec_id, c.rel,
-        |    round(0.7*c.rel - 0.3*max(p.sim), 4) AS score
+        |    floor((0.7*c.rel - (1 - 0.7)*max(p.sim)) * 1e4 + 0.5)
+        |      / 1e4 AS score
         |  FROM cand c JOIN p ON p.ca = c.vec_id
         |    AND p.cb IN (SELECT vec_id FROM s1)
         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
@@ -1566,7 +1575,8 @@ object SparkEntry {
         |sel2 AS (SELECT vec_id FROM s1
         |  UNION ALL SELECT vec_id FROM s2),
         |r3 AS (SELECT c.vec_id, c.rel,
-        |    round(0.7*c.rel - 0.3*max(p.sim), 4) AS score
+        |    floor((0.7*c.rel - (1 - 0.7)*max(p.sim)) * 1e4 + 0.5)
+        |      / 1e4 AS score
         |  FROM cand c JOIN p ON p.ca = c.vec_id
         |    AND p.cb IN (SELECT vec_id FROM sel2)
         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
@@ -1576,7 +1586,8 @@ object SparkEntry {
         |sel3 AS (SELECT vec_id FROM sel2
         |  UNION ALL SELECT vec_id FROM s3),
         |r4 AS (SELECT c.vec_id, c.rel,
-        |    round(0.7*c.rel - 0.3*max(p.sim), 4) AS score
+        |    floor((0.7*c.rel - (1 - 0.7)*max(p.sim)) * 1e4 + 0.5)
+        |      / 1e4 AS score
         |  FROM cand c JOIN p ON p.ca = c.vec_id
         |    AND p.cb IN (SELECT vec_id FROM sel3)
         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
@@ -1586,7 +1597,8 @@ object SparkEntry {
         |sel4 AS (SELECT vec_id FROM sel3
         |  UNION ALL SELECT vec_id FROM s4),
         |r5 AS (SELECT c.vec_id, c.rel,
-        |    round(0.7*c.rel - 0.3*max(p.sim), 4) AS score
+        |    floor((0.7*c.rel - (1 - 0.7)*max(p.sim)) * 1e4 + 0.5)
+        |      / 1e4 AS score
         |  FROM cand c JOIN p ON p.ca = c.vec_id
         |    AND p.cb IN (SELECT vec_id FROM sel4)
         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
@@ -2328,6 +2340,54 @@ object SparkEntry {
         |    ELSE round(exp(CAST(cum_ln AS DOUBLE)), 10) END
         |    AS survival
         |FROM w2 ORDER BY t_h""".stripMargin,
+    // Holt smoothing: the recursion replays in a recursive CTE with
+    // per-step round-10 (the fold is sequential by definition);
+    // smoothing constants appear as the IDENTICAL literal forms
+    // (0.5, 1 - 0.5, 0.3, 1 - 0.3) in both engines.
+    "q_holt" ->
+      """WITH RECURSIVE days AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+        |      AS TIMESTAMP) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |idx AS (SELECT day, x,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+        |  FROM days),
+        |h AS (
+        |  SELECT i, day, x, CAST(x AS DOUBLE) AS level,
+        |      CAST((SELECT x FROM idx WHERE i = 2) - x AS DOUBLE)
+        |        AS trend,
+        |      CAST(x AS DOUBLE) AS fitted
+        |    FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT nx.i, nx.day, nx.x,
+        |    floor((0.5 * nx.x + (1 - 0.5) * (h.level + h.trend))
+        |      * 1e10 + 0.5) / 1e10,
+        |    floor((0.3 * (floor((0.5 * nx.x + (1 - 0.5) *
+        |          (h.level + h.trend)) * 1e10 + 0.5) / 1e10 - h.level)
+        |        + (1 - 0.3) * h.trend) * 1e10 + 0.5) / 1e10,
+        |    floor((h.level + h.trend) * 1e10 + 0.5) / 1e10
+        |  FROM h JOIN idx nx ON nx.i = h.i + 1)
+        |SELECT day, x, level, trend, fitted FROM h
+        |ORDER BY day""".stripMargin,
+    // Streaming exact windowed distinct: closed windows' per-type
+    // DISTINCT user counts (the q_stream_cms window-close rule).
+    "q_stream_distinct" ->
+      """WITH wm AS (
+        |  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS w
+        |  FROM events),
+        |d AS (
+        |  SELECT DISTINCT
+        |    time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+        |      AS hour_start,
+        |    event_type, user_id
+        |  FROM events)
+        |SELECT hour_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM d, wm
+        |GROUP BY hour_start, event_type, wm.w
+        |HAVING hour_start + INTERVAL 1 HOUR <= wm.w
+        |ORDER BY hour_start, event_type""".stripMargin,
     // ACF over the dense hourly spine: H²-scaled mean-centered cross
     // products kept exact (DECIMAL cast BEFORE the square so petabyte
     // hourly counts cannot overflow); r is a cosmetic round-10 ratio.

@@ -21,6 +21,18 @@ object VectorOps {
     * bit-identical to the HOF formulation it replaced. */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
+  /** Driver-side fold rounding: floor(x·10^s + 0.5)/10^s — every step
+    * is an IEEE double op, so ANY engine that mirrors the same three
+    * ops literally (multiply, add, floor, divide) reproduces it
+    * bit-for-bit. Library round() calls must NOT be mixed into a
+    * hash-gated fold: Spark rounds the shortest decimal repr while
+    * DuckDB rounds the binary value, and they disagree on
+    * …4999-vs-…5 tie inputs (q_holt found one on day 9). */
+  def foldRound(x: Double, scale: Int): Double = {
+    val p = math.pow(10.0, scale)
+    math.floor(x * p + 0.5) / p
+  }
+
   /** ‖a‖₂ */
   def norm(a: Column): Column = call_function("graft_norm", a)
 

@@ -281,4 +281,51 @@ object Inference {
       .select(col("lag"), col("pairs"), col("num"), col("den"), col("r"))
       .orderBy(col("lag"))
   }
+
+  /**
+   * Holt's linear-trend exponential smoothing (Holt 1957) over the
+   * daily event-count series: level and trend states plus the
+   * one-step-ahead fitted forecast per day — the capacity-planning
+   * forecast a warehouse publishes beside [[q_cusum]]'s drift alarm
+   * (CUSUM says "the mean SHIFTED"; Holt says "here is tomorrow").
+   *
+   * Recursion (α = 0.5, β = 0.3; l₁ = x₁, b₁ = x₂ − x₁):
+   * l_t = α·x_t + (1−α)(l + b), b_t = β(l_t − l) + (1−β)·b — each
+   * state pins to 10 dp per step via floor(x·1e10 + 0.5)/1e10 (pure
+   * IEEE ops the oracle mirrors literally — library round() is
+   * engine-dependent on tie inputs, see [[graft.functions.VectorOps.foldRound]]),
+   * so the DuckDB recursive CTE replays the chain without drift.
+   *
+   * Shape at 100 TB: the stream folds to the daily grid in one
+   * map-side-partial groupBy; the recursion runs on that
+   * study-length-sized series — driver-side MODEL material (like
+   * k-means centroids), its size set by the calendar, not the corpus.
+   */
+  def holtQuery(spark: SparkSession, sfDir: String,
+      alpha: Double = 0.5, beta: Double = 0.3): DataFrame = {
+    val days = Tables.load(spark, sfDir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .orderBy(col("day"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)))
+    require(days.length >= 2, "Holt needs at least two periods")
+    def r10(x: Double): Double =
+      graft.functions.VectorOps.foldRound(x, 10)
+    var level = days(0)._2.toDouble
+    var trend = (days(1)._2 - days(0)._2).toDouble
+    val out = days.zipWithIndex.map { case ((day, x), i) =>
+      if (i == 0) (day, x, level, trend, level)
+      else {
+        val fitted = r10(level + trend)
+        val lNew = r10(alpha * x + (1 - alpha) * (level + trend))
+        val tNew = r10(beta * (lNew - level) + (1 - beta) * trend)
+        level = lNew; trend = tNew
+        (day, x, lNew, tNew, fitted)
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("day", "x", "level", "trend", "fitted")
+      .orderBy(col("day"))
+  }
 }

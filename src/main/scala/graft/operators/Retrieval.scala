@@ -259,8 +259,7 @@ object Retrieval {
       .limit(pool)
       .collect()
     def r4(x: Double): Double =
-      BigDecimal.valueOf(x)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      graft.functions.VectorOps.foldRound(x, 4)
     // driver-side pair sims over the fixed-size pool: the same
     // sequential double fold as list_dot_product / VectorOps.cosine
     def dot(a: Array[Double], b: Array[Double]): Double = {

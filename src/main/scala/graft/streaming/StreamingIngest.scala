@@ -548,6 +548,47 @@ object StreamingIngest {
   }
 
   /**
+   * Streaming EXACT windowed distinct: unique users per (1-hour
+   * window, event type) — the audience/reach counter. Exactness in a
+   * stream needs two watermark-bounded stages: a keyed windowed
+   * aggregation whose state holds each (window, type, user) key only
+   * until the watermark passes its window, then a chained
+   * window-on-window count of the emitted distinct keys — the
+   * streaming twin of the batch two-level distinct in
+   * [[graft.operators.Scale.approxDistinctQuery]].
+   * State is O(active windows × types × users-seen-this-hour), never
+   * history; at 100 TB/day you swap stage 1 for the HLL sketch and
+   * keep the identical plan shape.
+   */
+  def windowedDistinct(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      // stage 1: collapse to (window, type, user) — watermark-bounded
+      // keyed state, emitted when the window closes
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"),
+        col("user_id"))
+      .agg(count(lit(1)).as("_n"))
+      // stage 2: window-on-window chained aggregation (the multiple-
+      // stateful-operator pipeline) counts the surviving distinct keys
+      .groupBy(window(col("window"), "1 hour").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_users"))
+
+  /** Drained-replay gate for [[windowedDistinct]]: emitted rows are
+    * exactly the CLOSED windows' per-type distinct user counts (the
+    * q_stream_ingest window-close rule), which the oracle recomputes
+    * as a batch DISTINCT. */
+  def replayWindowedDistinct(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val out = runToParquet(windowedDistinct(eventStream(spark, sfDir)),
+      "stream_distinct")
+    spark.read.parquet(out)
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  /**
    * Batch-replay harness: runs the streaming pipeline over the static
    * events table via a file stream with AvailableNow, writes ORC, and
    * returns the re-read result. Exercises the full W8 path (stream

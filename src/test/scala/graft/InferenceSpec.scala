@@ -101,4 +101,30 @@ class InferenceSpec extends SparkSpec {
     // all lags share one normalizer
     assert(rows.map(_.getDecimal(3)).distinct.length == 1)
   }
+
+  test("holt: recursion replays from its own outputs and fitted is " +
+      "the one-step-ahead forecast") {
+    val rows = Inference.holtQuery(spark, sfDir).collect()
+    assert(rows.length >= 2)
+    def r10(x: Double) = graft.functions.VectorOps.foldRound(x, 10)
+    // day 1 init: level = x1, trend = x2 - x1, fitted = x1
+    val h = rows.head
+    assert(h.getDouble(2) == h.getLong(1).toDouble)
+    assert(h.getDouble(3) ==
+      (rows(1).getLong(1) - h.getLong(1)).toDouble)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val fitted = r10(a.getDouble(2) + a.getDouble(3))
+        assert(b.getDouble(4) == fitted,
+          s"day ${b.getTimestamp(0)}: fitted ${b.getDouble(4)} != " +
+            s"level+trend $fitted")
+        val lNew = r10(0.5 * b.getLong(1) +
+          (1 - 0.5) * (a.getDouble(2) + a.getDouble(3)))
+        assert(b.getDouble(2) == lNew)
+        val tNew = r10(0.3 * (lNew - a.getDouble(2)) +
+          (1 - 0.3) * a.getDouble(3))
+        assert(b.getDouble(3) == tNew)
+      case _ =>
+    }
+  }
 }

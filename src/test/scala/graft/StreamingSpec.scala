@@ -339,4 +339,31 @@ class StreamingSpec extends SparkSpec {
     assert(res == ref,
       s"stream flags != batch recount: stream=${res.size} ref=${ref.size}")
   }
+
+  test("replayWindowedDistinct: chained window-on-window counts " +
+      "equal a batch DISTINCT on every closed window") {
+    import org.apache.spark.sql.functions._
+    val res = graft.streaming.StreamingIngest
+      .replayWindowedDistinct(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val ev = Tables.load(spark, sfDir, "events")
+    val wmMs = ev.agg(max(unix_millis(col("ts")))).collect()(0)
+      .getLong(0) - 10 * 60 * 1000L
+    val ref = ev
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .filter { case ((h, _), _) =>
+        h.getTime + 3600 * 1000L <= wmMs }
+      .toMap
+    assert(res == ref,
+      s"stream=${res.size} windows, batch=${ref.size}; " +
+        s"diff=${(res.toSet diff ref.toSet).take(3)}")
+    assert(res.nonEmpty)
+  }
 }
