@@ -81,6 +81,12 @@ object SparkEntry {
     // Holt linear-trend smoothing of daily counts: per-step-rounded
     // level/trend recursion, one-step-ahead fitted forecast
     "q_holt" -> ((s, d) => Inference.holtQuery(s, d)),
+    // Mann-Kendall monotone-trend test + Sen's slope over daily
+    // counts (exact S and 18-scaled tie-corrected variance)
+    "q_trend_test" -> (Inference.trendTestQuery _),
+    // Exact audience overlap via mergeable bitmap set algebra
+    // (reach, intersections, Jaccard, bitmap-rollup total)
+    "q_bitmap_audience" -> (Scale.bitmapAudienceQuery _),
     // Rank-based p05/p95 quantile clipping (robust to heavy tails)
     "q_winsorize" -> (Relational.winsorizeQuery _),
     "q_funnel" -> (Relational.funnelQuery _),
@@ -2370,6 +2376,75 @@ object SparkEntry {
         |  FROM h JOIN idx nx ON nx.i = h.i + 1)
         |SELECT day, x, level, trend, fitted FROM h
         |ORDER BY day""".stripMargin,
+    // Mann-Kendall: exact BIGINT S and 18-scaled tie variance; z and
+    // Sen's slope are one-shot doubles on exact integers; the median
+    // avg is IEEE-commutative over at most two rows.
+    "q_trend_test" ->
+      """WITH days AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+        |      AS TIMESTAMP) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |idx AS (SELECT day, x,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+        |  FROM days),
+        |p AS (SELECT b.x - a.x AS dx, b.i - a.i AS di
+        |  FROM idx a JOIN idx b ON b.i > a.i),
+        |sv AS (SELECT CAST(sum(CASE WHEN dx > 0 THEN 1
+        |    WHEN dx < 0 THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM p),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM idx),
+        |tt AS (SELECT CAST(coalesce(sum(t*(t-1)*(2*t+5)), 0)
+        |      AS BIGINT) AS tie18
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM idx
+        |    GROUP BY x)),
+        |sl AS (SELECT CAST(dx AS DOUBLE) / CAST(di AS DOUBLE)
+        |    AS slope FROM p),
+        |rk AS (SELECT slope,
+        |    CAST(row_number() OVER (ORDER BY slope) AS BIGINT) AS rn,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM sl) AS m
+        |  FROM sl),
+        |sen AS (SELECT avg(slope) AS sen_slope FROM rk
+        |  WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2),
+        |f AS (SELECT s_stat, n_days, tie18, sen_slope,
+        |    n_days*(n_days-1)*(2*n_days+5) - tie18 AS var18
+        |  FROM sv, nn, tt, sen),
+        |zz AS (SELECT n_days, s_stat, var18, sen_slope,
+        |    CASE WHEN s_stat > 0 THEN
+        |        round(CAST(s_stat - 1 AS DOUBLE)
+        |          / sqrt(CAST(var18 AS DOUBLE) / 18.0), 10)
+        |      WHEN s_stat < 0 THEN
+        |        round(CAST(s_stat + 1 AS DOUBLE)
+        |          / sqrt(CAST(var18 AS DOUBLE) / 18.0), 10)
+        |      ELSE 0.0 END AS z
+        |  FROM f)
+        |SELECT n_days, s_stat, var18, z,
+        |  round(sen_slope, 10) AS sen_slope,
+        |  CASE WHEN abs(z) < 1.96 THEN 'no trend'
+        |    WHEN z > 0 THEN 'increasing'
+        |    ELSE 'decreasing' END AS trend
+        |FROM zz""".stripMargin,
+    // Bitmap audience algebra: every output exact, recomputed from
+    // raw DISTINCT sets (popcount/AND/OR are engine-internal).
+    "q_bitmap_audience" ->
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+        |tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+        |    AS total_users FROM events),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS u
+        |  FROM d GROUP BY 1),
+        |px AS (SELECT a.event_type AS item_a, b.event_type AS item_b,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM d a JOIN d b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, sa.u AS users_a, sb.u AS users_b,
+        |  inter, sa.u + sb.u - inter AS uni,
+        |  round(CAST(inter AS DOUBLE)
+        |    / CAST(sa.u + sb.u - inter AS DOUBLE), 10) AS jaccard,
+        |  total_users
+        |FROM px JOIN s sa ON px.item_a = sa.event_type
+        |  JOIN s sb ON px.item_b = sb.event_type, tot
+        |ORDER BY item_a, item_b""".stripMargin,
     // Streaming exact windowed distinct: closed windows' per-type
     // DISTINCT user counts (the q_stream_cms window-close rule).
     "q_stream_distinct" ->

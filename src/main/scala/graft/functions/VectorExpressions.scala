@@ -2120,6 +2120,8 @@ object VectorKernels {
     // KMV distinct sketch: k must be a foldable int literal
     fn("graft_kmv", es => KmvAgg(es(0),
       es(1).eval().asInstanceOf[Int])),
+    // exact bitmap distinct-set aggregate (dictionary-encoded ids)
+    fn("graft_bitmap", es => BitmapAgg(es(0))),
     // Bloom membership sketch: 64Ki-bit OR-merged filter + probe
     fn("graft_bloom", es => BloomAgg(es(0))),
     fn("graft_bloom_might", es => BloomMight(es(0), es(1))),

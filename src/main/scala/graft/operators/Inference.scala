@@ -328,4 +328,74 @@ object Inference {
     out.toSeq.toDF("day", "x", "level", "trend", "fitted")
       .orderBy(col("day"))
   }
+
+  /**
+   * Mann–Kendall monotone-trend test with Sen's slope (Mann 1945,
+   * Kendall 1975, Sen 1968): the distribution-free "is the series
+   * drifting" decision over daily event counts — the robust companion
+   * to [[holtQuery]] (Holt forecasts assuming structure; MK decides
+   * whether a monotone structure exists at all, immune to outliers
+   * and non-normality that break OLS slopes).
+   *
+   * S = Σ_{i<j} sign(x_j − x_i) (exact BIGINT over all pairs);
+   * tie-corrected variance scaled EXACT by 18:
+   * var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5); z = (S ∓ 1)/√(var18/18).
+   * Sen's slope is the median of the pairwise slopes
+   * (x_j − x_i)/(j − i) — each slope ONE double division on integers,
+   * the median an avg over the one or two middle ranks (IEEE-
+   * commutative, engine-independent).
+   *
+   * Shape at 100 TB: the stream folds to the daily grid first; the
+   * O(n²) pair pass runs on study-length days (30 days → 435 pairs),
+   * a domain-sized frame at any corpus scale.
+   */
+  def trendTestQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = Tables.load(spark, sfDir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val idx = days
+      .withColumn("i", row_number().over(Window.orderBy(col("day")))
+        .cast("long"))
+    val pairs = idx.as("a")
+      .join(idx.as("b"), col("b.i") > col("a.i"))
+      .select((col("b.x") - col("a.x")).as("dx"),
+        (col("b.i") - col("a.i")).as("di"))
+    val sVar = pairs
+      .select(signum(col("dx").cast("double")).cast("long").as("sgn"))
+      .agg(sum(col("sgn")).as("s_stat"))
+    val n = idx.agg(count(lit(1)).as("n_days"))
+    val ties = idx.groupBy(col("x"))
+      .agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1) *
+        (col("t") * 2 + 5)), lit(0L)).as("tie18"))
+    val slopes = pairs
+      .select((col("dx").cast("double") / col("di").cast("double"))
+        .as("slope"))
+    val ranked = slopes
+      .withColumn("rn", row_number().over(Window.orderBy(col("slope")))
+        .cast("long"))
+      .crossJoin(broadcast(slopes.agg(count(lit(1)).as("m"))))
+    val sen = ranked
+      .filter(col("rn") === (col("m") + 1) / 2 ||
+        col("rn") === (col("m") + 2) / 2)
+      .agg(avg(col("slope")).as("sen_slope"))
+    sVar.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+      .crossJoin(broadcast(sen))
+      .withColumn("var18",
+        col("n_days") * (col("n_days") - 1) * (col("n_days") * 2 + 5)
+          - col("tie18"))
+      .withColumn("z",
+        when(col("s_stat") > 0,
+          round((col("s_stat") - 1).cast("double") /
+            sqrt(col("var18").cast("double") / lit(18.0)), 10))
+          .when(col("s_stat") < 0,
+            round((col("s_stat") + 1).cast("double") /
+              sqrt(col("var18").cast("double") / lit(18.0)), 10))
+          .otherwise(lit(0.0)))
+      .select(col("n_days"), col("s_stat"), col("var18"),
+        col("z"), round(col("sen_slope"), 10).as("sen_slope"),
+        when(abs(col("z")) < 1.96, lit("no trend"))
+          .when(col("z") > 0, lit("increasing"))
+          .otherwise(lit("decreasing")).as("trend"))
+  }
 }

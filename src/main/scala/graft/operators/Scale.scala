@@ -840,4 +840,57 @@ object Scale {
             .cast("double")) / col("j_exact").cast("double"), 6)
           .as("rel_err"))
   }
+
+  /**
+   * Audience overlap by EXACT bitmap set algebra
+   * ([[graft.functions.BitmapAgg]]): per event-type user bitmaps, then
+   * pairwise reach, intersection, union, and Jaccard — plus the total
+   * corpus reach ROLLED UP from the per-type bitmaps themselves (an
+   * exploded-word `bit_or`, no rescan of the stream), which is the
+   * capability `count_distinct` fundamentally lacks: its per-group
+   * results don't compose, so every rollup level costs another full
+   * pass.
+   *
+   * Shape at 100 TB: one map-side-partial groupBy builds k bitmaps
+   * (buffer ∝ id-domain/8 bytes, not rows); every set operation after
+   * that runs on k·words longs. Counts are popcounts —
+   * `bit_count` over the words, summed — and all outputs are exact
+   * integers the oracle recomputes from raw DISTINCT sets.
+   */
+  def bitmapAudienceQuery(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val bms = ev.groupBy(col("event_type"))
+      .agg(call_function("graft_bitmap", col("user_id")).as("bm"))
+    def popcount(c: org.apache.spark.sql.Column) =
+      aggregate(transform(c, w => bit_count(w).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    // total reach rolled up FROM THE BITMAPS: word-position bit_or
+    val total = bms
+      .select(posexplode(col("bm")).as(Seq("pos", "word")))
+      .groupBy(col("pos"))
+      .agg(bit_or(col("word")).as("word"))
+      .agg(sum(bit_count(col("word")).cast("long")).as("total_users"))
+    val a = bms.select(col("event_type").as("item_a"),
+      col("bm").as("bm_a"))
+    val b = bms.select(col("event_type").as("item_b"),
+      col("bm").as("bm_b"))
+    a.join(b, col("item_a") < col("item_b"))
+      .select(col("item_a"), col("item_b"),
+        popcount(col("bm_a")).as("users_a"),
+        popcount(col("bm_b")).as("users_b"),
+        popcount(zip_with(col("bm_a"), col("bm_b"), (x, y) =>
+          coalesce(x, lit(0L)).bitwiseAND(coalesce(y, lit(0L)))))
+          .as("inter"))
+      .withColumn("uni",
+        col("users_a") + col("users_b") - col("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / col("uni").cast("double"),
+          10))
+      .crossJoin(broadcast(total))
+      .select(col("item_a"), col("item_b"), col("users_a"),
+        col("users_b"), col("inter"), col("uni"), col("jaccard"),
+        col("total_users"))
+      .orderBy(col("item_a"), col("item_b"))
+  }
 }

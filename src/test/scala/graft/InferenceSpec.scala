@@ -127,4 +127,26 @@ class InferenceSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("mann-kendall: S bounded by pair count, variance formula " +
+      "replays, slope sign agrees with strong trends") {
+    val r = Inference.trendTestQuery(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val n = row.getLong(0)
+    val s = row.getLong(1)
+    val pairs = n * (n - 1) / 2
+    assert(math.abs(s) <= pairs, s"|S|=$s > pairs=$pairs")
+    // no ties in daily counts ⇒ var18 = n(n−1)(2n+5); with ties it
+    // only shrinks
+    assert(row.getLong(2) <= n * (n - 1) * (2 * n + 5))
+    assert(row.getLong(2) > 0)
+    val z = row.getDouble(3)
+    val trend = row.getString(5)
+    assert(trend == (if (math.abs(z) < 1.96) "no trend"
+      else if (z > 0) "increasing" else "decreasing"))
+    // Sen's slope and S must agree in sign when the call is firm
+    if (trend != "no trend")
+      assert(row.getDouble(4).sign == z.sign)
+  }
 }

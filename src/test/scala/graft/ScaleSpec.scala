@@ -462,4 +462,28 @@ class ScaleSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(r.getDouble(7) == r6(rel))
   }
+
+  test("bitmap audience: popcounts equal exact distincts, set " +
+      "algebra identities hold, rollup total matches") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Scale.bitmapAudienceQuery(spark, sfDir)
+      .collect()
+    assert(rows.length == 10) // C(5,2) type pairs
+    val ev = Tables.load(spark, sfDir, "events")
+    val exact = ev.select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalUsers = ev.select(col("user_id")).distinct().count()
+    rows.foreach { r =>
+      assert(r.getLong(2) == exact(r.getString(0)))
+      assert(r.getLong(3) == exact(r.getString(1)))
+      val (ua, ub, inter, uni) = (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      assert(inter <= math.min(ua, ub))
+      assert(uni == ua + ub - inter)
+      assert(uni <= totalUsers)
+      assert(r.getLong(7) == totalUsers,
+        s"bitmap rollup ${r.getLong(7)} != exact $totalUsers")
+    }
+  }
 }
