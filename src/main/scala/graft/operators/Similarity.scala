@@ -683,15 +683,18 @@ object Similarity {
    * whose label satisfies the predicate (`label % 3 = 0`) — the
    * "vector search with a WHERE clause" every retrieval stack needs
    * (tenant scoping, language filters, freshness windows). Exact
-   * variant: the predicate composes with the scoring scan, so
-   * Catalyst pushes it into the parquet read and the ranked list is
-   * fully SQL-replayable (the q_ann_topk precedent plus a filter).
+   * variant: the predicate composes with the scoring scan and the
+   * ranked list is fully SQL-replayable (the q_ann_topk precedent
+   * plus a filter).
    *
    * Shape at 100 TB: pre-filtering beats post-filtering — the
-   * predicate prunes the corpus BEFORE any distance math (row-group
-   * stats skip whole files when the filter column is clustered), and
-   * top-k per query is a bounded window over the probe set, never a
-   * global sort.
+   * predicate prunes the corpus BEFORE any distance math. Note the
+   * plan honestly: an ARITHMETIC predicate (`label % 3 = 0`) filters
+   * at the scan stage but does NOT reach parquet row-group pruning
+   * (only `IsNotNull` pushes); a production layout stores the filter
+   * term as a plain column (or partitions by it) so min/max stats
+   * skip whole files. Top-k per query is a bounded window over the
+   * probe set, never a global sort.
    */
   def annFilteredQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")

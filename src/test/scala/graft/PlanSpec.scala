@@ -371,4 +371,65 @@ class PlanSpec extends SparkSpec {
       .forall(_.contains("user_id#")),
       s"markov window is not user-partitioned:\n$windows")
   }
+
+  test("readability: pure projection — no exchange, no explode") {
+    val p = graft.operators.TextAnalysis.readabilityQuery(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the per-word syllable loop is a lambda over the in-row array;
+    // the only wide operator is the output sort
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size <= 1,
+      s"readability should only shuffle for the output sort:\n$p")
+    assert(!p.contains("Generate"),
+      s"readability must not explode the token array:\n$p")
+  }
+
+  test("filtered ann: the label predicate sits under the distance " +
+      "math, and corpus embeddings never shuffle") {
+    val p = graft.operators.Similarity.annFilteredQuery(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("(label"),
+      s"label filter missing from the plan:\n$p")
+    // embeddings may enter the broadcast of the 5 probe rows, but
+    // no repartition exchange may carry the corpus embedding column
+    val shuffles = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning")).toSeq
+    assert(!shuffles.exists(_.contains("c_emb#")),
+      s"corpus embeddings flow through a shuffle:\n$shuffles")
+  }
+
+  test("contingency / ks / survival / acf: event rows fold before " +
+      "any wide operator — exchanges carry grid rows only") {
+    for ((name, df) <- Seq(
+      "contingency" ->
+        graft.operators.Inference.contingencyQuery(spark, sfDir),
+      "ks" -> graft.operators.Inference.ksTestQuery(spark, sfDir),
+      "survival" -> graft.operators.Inference.survivalQuery(spark, sfDir),
+      "acf" -> graft.operators.Inference.acfQuery(spark, sfDir))) {
+      val p = df.queryExecution.executedPlan.toString
+      val bad = p.linesIterator.filter(l =>
+        l.contains("Exchange") && (l.contains("event_id#") ||
+          l.contains("props#"))).toSeq
+      assert(bad.isEmpty,
+        s"$name: raw event rows cross an exchange:\n$bad")
+      assert(p.contains("HashAggregate"),
+        s"$name: expected a map-side partial aggregate:\n$p")
+    }
+  }
+
+  test("bitmap audience: the only stream-sized operation is the " +
+      "bitmap build — pair algebra runs on k bitmap rows") {
+    val p = graft.operators.Scale.bitmapAudienceQuery(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the pair join must not be a shuffle join over user rows: both
+    // sides are 5-row bitmap frames
+    assert(!p.contains("SortMergeJoin"),
+      s"bitmap pair algebra must not sort-merge join:\n$p")
+    val shuffles = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!shuffles.exists(_.contains("user_id#")),
+      s"user ids shuffle beyond the bitmap build:\n$shuffles")
+  }
 }
