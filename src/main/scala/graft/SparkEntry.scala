@@ -40,6 +40,15 @@ object SparkEntry {
     // Join-size estimate by correlated key-hash sampling (p=1/16),
     // exact join count as gate-scale audit twin
     "q_join_cardest" -> (Scale.joinCardEstQuery _),
+    // Layout advisor: per-candidate-sort file min/max, overlap pairs,
+    // span fractions (the ORDER BY decision for time-range skipping)
+    "q_layout_advisor" -> ((s, d) => Scale.layoutAdvisorQuery(s, d)),
+    // Quantity-weighted price percentiles per flag: exact integer
+    // threshold walk over the price grid
+    "q_weighted_percentiles" -> (Relational.weightedPercentilesQuery _),
+    // Isotonic calibration of the quality score (closed-form PAV
+    // minimax over 16 buckets)
+    "q_calibration" -> (Curation.calibrationQuery _),
     // Declarative DQ constraint suite: rows/uniqueness/FK in one report
     "q_dq_rules" -> (DataQuality.dqRulesQuery _),
     // Linear interpolation across the same spine (continuous signals)
@@ -2376,6 +2385,110 @@ object SparkEntry {
         |  FROM h JOIN idx nx ON nx.i = h.i + 1)
         |SELECT day, x, level, trend, fitted FROM h
         |ORDER BY day""".stripMargin,
+    // Isotonic calibration: the minimax PAV closed form replayed as a
+    // triple join over the bucket grid; every mean is one double
+    // division of exact integer differences.
+    "q_calibration" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |  CAST(len(list_filter(string_split(text, ' '), x ->
+        |    x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |    AS n_stop,
+        |  CAST(len(list_filter(string_split(text, ' '), x ->
+        |    len(x) <= 2)) AS DOUBLE) AS n_short,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    AS n_distinct
+        |FROM documents),
+        |g AS (SELECT least(CAST(15 AS BIGINT),
+        |    CAST(floor(((n_stop / n_tok) * 0.25
+        |      + (n_distinct / n_tok) * 0.5
+        |      + (1.0 - n_short / n_tok) * 0.25) * 16) AS BIGINT))
+        |      AS bucket,
+        |    d.lang = 'en' AS y
+        |  FROM s JOIN documents d ON s.doc_id = d.doc_id),
+        |grid AS (SELECT bucket, CAST(count(*) AS BIGINT) AS w,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM g GROUP BY bucket),
+        |c AS (SELECT bucket, w, pos,
+        |    CAST(sum(w) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+        |    CAST(sum(pos) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+        |  FROM grid),
+        |t AS (SELECT i.bucket AS bi, i.w, i.pos, j.bucket AS bj,
+        |    CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+        |      / CAST(k.cw - (j.cw - j.w) AS DOUBLE) AS avgjk
+        |  FROM c i JOIN c j ON j.bucket <= i.bucket
+        |    JOIN c k ON k.bucket >= i.bucket),
+        |m AS (SELECT bi, w, pos, bj, min(avgjk) AS mn FROM t
+        |  GROUP BY bi, w, pos, bj),
+        |f AS (SELECT bi, w, pos, max(mn) AS iso0 FROM m
+        |  GROUP BY bi, w, pos)
+        |SELECT bi AS bucket, w, pos,
+        |  round(CAST(pos AS DOUBLE) / CAST(w AS DOUBLE), 10)
+        |    AS raw_rate,
+        |  round(iso0, 10) AS iso_rate
+        |FROM f ORDER BY bucket""".stripMargin,
+    // Weighted percentiles: exact integer threshold (100·cum >=
+    // q·total) over the per-flag price grid.
+    "q_weighted_percentiles" ->
+      """WITH li AS (SELECT l_returnflag AS flag,
+        |    l_extendedprice AS price,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |grid AS (SELECT flag, price, CAST(sum(qty) AS BIGINT) AS w
+        |  FROM li GROUP BY 1, 2),
+        |tot AS (SELECT flag, CAST(sum(w) AS BIGINT) AS wtot
+        |  FROM grid GROUP BY 1),
+        |wk AS (SELECT g.flag, g.price, t.wtot,
+        |    CAST(sum(g.w) OVER (PARTITION BY g.flag ORDER BY g.price
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM grid g JOIN tot t ON g.flag = t.flag)
+        |SELECT flag, max(wtot) AS units,
+        |  min(CASE WHEN cum * 100 >= wtot * 25 THEN price END) AS p25,
+        |  min(CASE WHEN cum * 100 >= wtot * 50 THEN price END) AS p50,
+        |  min(CASE WHEN cum * 100 >= wtot * 75 THEN price END) AS p75,
+        |  min(CASE WHEN cum * 100 >= wtot * 90 THEN price END) AS p90,
+        |  min(CASE WHEN cum * 100 >= wtot * 99 THEN price END) AS p99
+        |FROM wk GROUP BY flag ORDER BY flag""".stripMargin,
+    // Layout advisor: ntile file slicing replayed per candidate sort;
+    // overlap pairs exact; span mean one exact-integer division.
+    "q_layout_advisor" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
+        |  FROM events),
+        |u AS (
+        |  SELECT 'by_hash' AS layout,
+        |    CAST(ntile(16) OVER (ORDER BY
+        |      md5(CAST(event_id AS VARCHAR)), event_id) AS BIGINT)
+        |      AS file, ms FROM ev
+        |  UNION ALL
+        |  SELECT 'by_user',
+        |    CAST(ntile(16) OVER (ORDER BY user_id, event_id)
+        |      AS BIGINT), ms FROM ev
+        |  UNION ALL
+        |  SELECT 'by_ts',
+        |    CAST(ntile(16) OVER (ORDER BY ms, event_id) AS BIGINT),
+        |    ms FROM ev),
+        |files AS (SELECT layout, file, CAST(min(ms) AS BIGINT) AS lo,
+        |    CAST(max(ms) AS BIGINT) AS hi
+        |  FROM u GROUP BY 1, 2),
+        |sp AS (SELECT CAST(min(ms) AS BIGINT) AS g0,
+        |    CAST(max(ms) AS BIGINT) AS g1 FROM ev),
+        |ov AS (SELECT a.layout, CAST(count(*) AS BIGINT)
+        |    AS overlap_pairs
+        |  FROM files a JOIN files b ON a.layout = b.layout
+        |    AND a.file < b.file AND a.lo <= b.hi AND b.lo <= a.hi
+        |  GROUP BY a.layout),
+        |agg AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+        |    round(CAST(sum(hi - lo) AS DOUBLE)
+        |      / CAST(count(*) * (max(g1) - max(g0)) AS DOUBLE), 10)
+        |      AS avg_span_frac
+        |  FROM files, sp GROUP BY layout)
+        |SELECT agg.layout, n_files,
+        |  coalesce(overlap_pairs, 0) AS overlap_pairs, avg_span_frac
+        |FROM agg LEFT JOIN ov ON agg.layout = ov.layout
+        |ORDER BY agg.layout""".stripMargin,
     // Mann-Kendall: exact BIGINT S and 18-scaled tie variance; z and
     // Sen's slope are one-shot doubles on exact integers; the median
     // avg is IEEE-commutative over at most two rows.

@@ -800,6 +800,67 @@ object Curation {
   }
 
   /**
+   * Isotonic probability calibration of the heuristic quality score
+   * against the `lang = 'en'` label, via the CLOSED-FORM pool-
+   * adjacent-violators solution (Ayer et al. 1955): over score
+   * buckets b, iso(i) = max_{j≤i} min_{k≥i} weightedMean(y, j..k) —
+   * the minimax formula equals the PAV fit without PAV's sequential
+   * pool merging, so the whole estimator is three relational passes
+   * on the bucket grid and the oracle replays it verbatim. This is
+   * the reliability-calibration step (Zadrozny & Elkan 2002) every
+   * quality-classifier release needs before its scores are used as
+   * probabilities in sampling weights.
+   *
+   * Exactness: bucket weights and positives are exact BIGINTs;
+   * cumulative sums make every windowed mean ONE double division of
+   * integer differences; min/max over those doubles is IEEE-
+   * deterministic. The triple (j ≤ i ≤ k) expansion is O(B³) on the
+   * 16-bucket grid — domain-sized at any corpus scale.
+   */
+  def calibrationQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val scored = TextAnalysis.qualityOver(docs)
+      .join(docs.select(col("doc_id"), (col("lang") === "en").as("y")),
+        Seq("doc_id"))
+      .select(least(lit(15L),
+        floor(col("quality_score") * 16).cast("long")).as("bucket"),
+        col("y"))
+    val grid = scored.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("w"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = grid
+      .withColumn("cw", sum(col("w")).over(wOrd))
+      .withColumn("cp", sum(col("pos")).over(wOrd))
+    val iFrame = cum.select(col("bucket").as("bi"), col("w"),
+      col("pos"))
+    val jFrame = cum.select(col("bucket").as("bj"),
+      (col("cp") - col("pos")).as("cpj0"),
+      (col("cw") - col("w")).as("cwj0"))
+    val kFrame = cum.select(col("bucket").as("bk"), col("cp").as("cpk"),
+      col("cw").as("cwk"))
+    iFrame
+      .join(jFrame, col("bj") <= col("bi"))
+      .join(kFrame, col("bk") >= col("bi"))
+      .select(col("bi"), col("w"), col("pos"), col("bj"),
+        ((col("cpk") - col("cpj0")).cast("double") /
+          (col("cwk") - col("cwj0")).cast("double")).as("avgjk"))
+      .groupBy(col("bi"), col("w"), col("pos"), col("bj"))
+      .agg(min(col("avgjk")).as("mn"))
+      .groupBy(col("bi"), col("w"), col("pos"))
+      .agg(max(col("mn")).as("iso0"))
+      .select(col("bi").as("bucket"), col("w"), col("pos"),
+        round(col("pos").cast("double") / col("w").cast("double"), 10)
+          .as("raw_rate"),
+        round(col("iso0"), 10).as("iso_rate"))
+      .orderBy(col("bucket"))
+  }
+
+  /**
    * Differentially-private count release (Dwork et al., TCC 2006):
    * event counts per (event_type, hour-of-day) with Laplace(1/ε)
    * noise — the third rung of the privacy ladder next to

@@ -512,4 +512,45 @@ object Relational {
         |ORDER BY l_returnflag ASC NULLS FIRST,
         |  l_linestatus ASC NULLS FIRST""".stripMargin)
   }
+
+  /**
+   * WEIGHTED percentiles: quantity-weighted price quantiles per
+   * return flag — "what price level covers q% of the shipped UNITS"
+   * (the unit-weighted complement to [[percentileQuery]]'s
+   * row-weighted quantiles; revenue/inventory analyses are almost
+   * always weighted, and a row-quantile silently over-weights
+   * small orders).
+   *
+   * Definition: p_q = min{v : cumWeight(v) ≥ q · totalWeight} — the
+   * comparison is EXACT integer arithmetic (100·cum ≥ qPct·total over
+   * BIGINT unit counts), so no float threshold ever decides a
+   * quantile. Shape at 100 TB: groupBy(flag, price) folds to the
+   * price grid map-side; the ordered walk runs per flag over that
+   * grid; like the exact-percentile family this pays a per-group
+   * grid sort by construction — the GK sketch remains the documented
+   * approximate path.
+   */
+  def weightedPercentilesQuery(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").as("price"),
+        col("l_quantity").cast("long").as("qty"))
+    val grid = li.groupBy(col("flag"), col("price"))
+      .agg(sum(col("qty")).as("w"))
+    val wOrd = Window.partitionBy(col("flag")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = grid.groupBy(col("flag"))
+      .agg(sum(col("w")).as("wtot"))
+    val walked = grid
+      .withColumn("cum", sum(col("w")).over(wOrd))
+      .join(broadcast(tot), Seq("flag"))
+    def pick(qPct: Int) =
+      min(when(col("cum") * 100 >= col("wtot") * qPct, col("price")))
+        .as(s"p$qPct")
+    walked.groupBy(col("flag"))
+      .agg(first(col("wtot")).as("units"),
+        pick(25), pick(50), pick(75), pick(90), pick(99))
+      .orderBy(col("flag"))
+  }
 }

@@ -893,4 +893,67 @@ object Scale {
         col("total_users"))
       .orderBy(col("item_a"), col("item_b"))
   }
+
+  /**
+   * Data-layout advisor: simulate three physical sort orders for the
+   * event table — hash-scattered (the shuffle-write default),
+   * user-clustered, time-clustered —
+   * slice each into 16 equal files, and measure how well each layout
+   * SKIPS for time-range queries: per-file ts min/max, the count of
+   * overlapping file-range pairs, and the mean file-span fraction of
+   * the global time span. This is the input to the "ORDER BY what?"
+   * layout decision (Z-order's 1-D little sibling — [[q_zorder]]
+   * handles the 2-D case): a time-clustered layout's spans tile the
+   * axis (overlap ≈ 0, span ≈ 1/16) so a range probe touches ~1 file,
+   * while hash/user order gives every file ≈ the full span and
+   * every probe reads everything. (The table's natural insertion
+   * order is ALREADY time-clustered — an append-only log — which is
+   * itself the advisor's other lesson: don't re-sort what arrives
+   * sorted.)
+   *
+   * Shape at 100 TB: the gate-scale simulation sorts the table per
+   * candidate (exact-twin discipline); production computes the same
+   * metrics from FILE-LEVEL min/max statistics already in the
+   * catalog — a metadata-sized frame — or from a key-hash sample
+   * (the q_join_cardest device).
+   */
+  def layoutAdvisorQuery(spark: SparkSession, sfDir: String,
+      nFiles: Int = 16): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ms"))
+    def layout(name: String, ord: Seq[org.apache.spark.sql.Column]) =
+      ev.withColumn("file",
+        ntile(nFiles).over(Window.orderBy(ord: _*)).cast("long"))
+        .groupBy(col("file"))
+        .agg(min(col("ms")).as("lo"), max(col("ms")).as("hi"))
+        .withColumn("layout", lit(name))
+    val files =
+      layout("by_hash",
+        Seq(md5(col("event_id").cast("string")), col("event_id")))
+        .unionAll(layout("by_user", Seq(col("user_id"), col("event_id"))))
+        .unionAll(layout("by_ts", Seq(col("ms"), col("event_id"))))
+    val span = ev.agg(min(col("ms")).as("g0"), max(col("ms")).as("g1"))
+    val overlaps = files.as("a")
+      .join(files.as("b"),
+        col("a.layout") === col("b.layout") &&
+          col("a.file") < col("b.file") &&
+          col("a.lo") <= col("b.hi") && col("b.lo") <= col("a.hi"))
+      .groupBy(col("a.layout").as("layout"))
+      .agg(count(lit(1)).as("overlap_pairs"))
+    files.crossJoin(broadcast(span))
+      .groupBy(col("layout"))
+      // mean span fraction as ONE exact-integer division: Σ(hi−lo)
+      // is BIGINT, so no float summation order can flap the hash
+      .agg(count(lit(1)).as("n_files"),
+        round(sum(col("hi") - col("lo")).cast("double") /
+          (count(lit(1)) * (first(col("g1")) - first(col("g0"))))
+            .cast("double"), 10)
+          .as("avg_span_frac"))
+      .join(overlaps, Seq("layout"), "left")
+      .select(col("layout"), col("n_files"),
+        coalesce(col("overlap_pairs"), lit(0L)).as("overlap_pairs"),
+        col("avg_span_frac"))
+      .orderBy(col("layout"))
+  }
 }

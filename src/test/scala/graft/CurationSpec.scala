@@ -626,4 +626,31 @@ class CurationSpec extends SparkSpec {
     assert(rows.length == 2, s"saturated greedy must stop: " +
       rows.map(_.toString).mkString(", "))
   }
+
+  test("isotonic calibration: fit is monotone, mean-preserving, and " +
+      "pools violators") {
+    val rows = Curation.calibrationQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val iso = rows.map(_.getDouble(4))
+    assert(iso.forall(v => v >= -1e-12 && v <= 1.0 + 1e-12))
+    // PAV's defining property: non-decreasing in bucket order
+    assert(iso.sliding(2).forall {
+      case Array(a, b) => b >= a - 1e-9
+      case _ => true
+    }, s"isotonic fit not monotone: ${iso.mkString(",")}")
+    // the L2 projection preserves the weighted mean: Σ w·iso = Σ pos
+    val wIso = rows.map(r => r.getLong(1) * r.getDouble(4)).sum
+    val posTot = rows.map(_.getLong(2)).sum
+    assert(math.abs(wIso - posTot) < 1e-4,
+      s"mean not preserved: Σw·iso=$wIso Σpos=$posTot")
+    // and it differs from raw wherever raw violates monotonicity
+    val raw = rows.map(_.getDouble(3))
+    val rawMono = raw.sliding(2).forall {
+      case Array(a, b) => b >= a
+      case _ => true
+    }
+    if (!rawMono)
+      assert(!raw.sameElements(iso),
+        "raw rates violate monotonicity but iso equals raw")
+  }
 }

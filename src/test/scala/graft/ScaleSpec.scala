@@ -486,4 +486,57 @@ class ScaleSpec extends SparkSpec {
         s"bitmap rollup ${r.getLong(7)} != exact $totalUsers")
     }
   }
+
+  test("layout advisor: time-clustering wins for time-range skipping") {
+    val rows = graft.operators.Scale.layoutAdvisorQuery(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(rows.keySet == Set("by_hash", "by_user", "by_ts"))
+    rows.values.foreach { case (nf, _, frac) =>
+      assert(nf == 16)
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    val (_, tsOverlap, tsFrac) = rows("by_ts")
+    // a time-sorted layout tiles the axis: zero overlapping file
+    // ranges, each file ≈ 1/16 of the span
+    assert(tsOverlap == 0, s"by_ts overlap $tsOverlap")
+    assert(tsFrac < 0.10, s"by_ts span fraction $tsFrac")
+    // the unclustered layouts are near-worst-case on both metrics
+    for (l <- Seq("by_hash", "by_user")) {
+      val (_, ov, frac) = rows(l)
+      assert(ov > 100, s"$l overlap $ov suspiciously low")
+      assert(frac > 0.9, s"$l span fraction $frac")
+    }
+  }
+
+  test("weighted percentiles: quantiles are attained grid values, " +
+      "ordered, and cover the exact weight thresholds") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Relational
+      .weightedPercentilesQuery(spark, sfDir).collect()
+    assert(rows.length == 3)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val qs = (2 to 6).map(r.getDouble)
+      assert(qs.sliding(2).forall {
+        case Seq(a, b) => a <= b
+        case _ => true
+      }, s"$flag: quantiles not ordered: $qs")
+      // threshold check for the median: weight at or below p50
+      // covers >= half the units, and strictly below covers < half
+      val units = r.getLong(1)
+      val p50 = r.getDouble(3)
+      val below = li.filter(col("l_returnflag") === flag &&
+          col("l_extendedprice") <= p50)
+        .agg(sum(col("l_quantity").cast("long"))).collect()(0).getLong(0)
+      val strictly = li.filter(col("l_returnflag") === flag &&
+          col("l_extendedprice") < p50)
+        .agg(coalesce(sum(col("l_quantity").cast("long")), lit(0L)))
+        .collect()(0).getLong(0)
+      assert(below * 100 >= units * 50, s"$flag: p50 under-covers")
+      assert(strictly * 100 < units * 50, s"$flag: p50 not minimal")
+    }
+  }
 }
