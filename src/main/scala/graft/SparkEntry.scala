@@ -72,6 +72,18 @@ object SparkEntry {
     // Apriori 2-itemset layer: per-user engaged-type baskets, exact
     // pair supports + confidence/lift (cross-feature affinity)
     "q_itemsets" -> ((s, d) => Behavior.itemsetsQuery(s, d)),
+    // Top three-step event-type paths per user stream (sequence
+    // mining one order above the Markov transitions)
+    "q_event_paths" -> ((s, d) => Behavior.eventPathsQuery(s, d)),
+    // First-seen acquisition curve: daily new users + cumulative
+    // audience (no quadratic cumulative-distinct state)
+    "q_user_growth" -> (Behavior.userGrowthQuery _),
+    // Weighted SSSP by fixed-round Bellman-Ford over integer edge
+    // weights — exact BIGINT distances, unrolled-CTE oracle
+    "q_sssp" -> ((s, d) => Graph.ssspQuery(s, d)),
+    // ORC dictionary-encoding decision as an offline stats query
+    // (WriterImpl checkDictionaryEncoding ratio + byte payoff)
+    "q_encoding_advisor" -> (Stats.encodingAdvisorQuery _),
     // Item-item CF cosine over the user-engagement count matrix
     // (memory-based recommender primitive)
     "q_item_cf" -> (Behavior.itemCfQuery _),
@@ -2134,6 +2146,111 @@ object SparkEntry {
         |  round((pb - pa) / sev, 10) AS z,
         |  abs(round((pb - pa) / sev, 10)) >= 1.96 AS significant
         |FROM s""".stripMargin,
+    // Weighted Bellman-Ford: integer weights keep every tentative
+    // distance exact BIGINT; four relaxation rounds unrolled.
+    "q_sssp" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |ed0 AS (
+        |  SELECT doc_id AS src,
+        |    (doc_id * 7 + 3) % (SELECT n FROM nn) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    (doc_id * 13 + 5) % (SELECT n FROM nn) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    (doc_id * 31 + 11) % (SELECT n FROM nn) FROM documents),
+        |ed AS (SELECT src, dst FROM ed0 WHERE src <> dst),
+        |und AS (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM ed
+        |   UNION ALL SELECT dst AS src, src AS dst FROM ed)),
+        |uw AS (SELECT src, dst,
+        |    (src * 7 + dst * 13) % 5 + 1 AS w FROM und),
+        |d0 AS (SELECT doc_id, CAST(0 AS BIGINT) AS dist
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |d1 AS (SELECT doc_id, min(dist) AS dist FROM (
+        |  SELECT * FROM d0 UNION ALL
+        |  SELECT u.dst, d0.dist + u.w FROM uw u
+        |    JOIN d0 ON u.src = d0.doc_id) GROUP BY doc_id),
+        |d2 AS (SELECT doc_id, min(dist) AS dist FROM (
+        |  SELECT * FROM d1 UNION ALL
+        |  SELECT u.dst, d1.dist + u.w FROM uw u
+        |    JOIN d1 ON u.src = d1.doc_id) GROUP BY doc_id),
+        |d3 AS (SELECT doc_id, min(dist) AS dist FROM (
+        |  SELECT * FROM d2 UNION ALL
+        |  SELECT u.dst, d2.dist + u.w FROM uw u
+        |    JOIN d2 ON u.src = d2.doc_id) GROUP BY doc_id),
+        |d4 AS (SELECT doc_id, min(dist) AS dist FROM (
+        |  SELECT * FROM d3 UNION ALL
+        |  SELECT u.dst, d3.dist + u.w FROM uw u
+        |    JOIN d3 ON u.src = d3.doc_id) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(d4.dist, -1) AS dist
+        |FROM documents d LEFT JOIN d4 ON d.doc_id = d4.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // Trigram paths: lag windows per user, exact counts, share one
+    // division; top-20 totally ordered by (n desc, path).
+    "q_event_paths" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS p2,
+        |    lag(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS p1
+        |  FROM events),
+        |tri AS (SELECT p1 || '>' || p2 || '>' || event_type AS path
+        |  FROM seq WHERE p1 IS NOT NULL),
+        |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM tri
+        |  GROUP BY path),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c)
+        |SELECT path, n,
+        |  round(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 10)
+        |    AS share
+        |FROM c, t ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    // First-seen growth: one groupBy(user) min + calendar window.
+    "q_user_growth" ->
+      """WITH fs AS (SELECT user_id,
+        |    CAST(date_trunc('day', min(CAST(ts AS TIMESTAMP)))
+        |      AS TIMESTAMP) AS day
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+        |  FROM fs GROUP BY day)
+        |SELECT day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
+    // Encoding advisor: the WriterImpl.java:1227-1233 dictionary
+    // ratio over exact stacked column stats; byte estimates exact.
+    "q_encoding_advisor" ->
+      """WITH stacked AS (
+        |  SELECT 'l_returnflag' AS col_name, l_returnflag AS v
+        |    FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linestatus', l_linestatus FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_orderkey', CAST(l_orderkey AS VARCHAR)
+        |    FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', CAST(l_extendedprice AS VARCHAR)
+        |    FROM lineitem),
+        |s AS (SELECT col_name, v FROM stacked WHERE v IS NOT NULL),
+        |direct AS (SELECT col_name, CAST(count(*) AS BIGINT)
+        |      AS n_rows,
+        |    CAST(sum(len(v)) AS BIGINT) AS direct_bytes
+        |  FROM s GROUP BY col_name),
+        |dict AS (SELECT col_name, CAST(count(*) AS BIGINT) AS ndv,
+        |    CAST(sum(len(v)) AS BIGINT) AS dict_entry_bytes
+        |  FROM (SELECT DISTINCT col_name, v FROM s)
+        |  GROUP BY col_name)
+        |SELECT d.col_name, d.n_rows, k.ndv,
+        |  round(CAST(k.ndv AS DOUBLE) / CAST(d.n_rows AS DOUBLE), 6)
+        |    AS ratio,
+        |  CAST(k.ndv AS DOUBLE) / CAST(d.n_rows AS DOUBLE) <= 0.8
+        |    AS dict_recommended,
+        |  d.direct_bytes,
+        |  k.dict_entry_bytes + (d.n_rows *
+        |    len(bin(greatest(k.ndv - 1, 1))) + 7) // 8
+        |    AS dict_bytes_est
+        |FROM direct d JOIN dict k ON d.col_name = k.col_name
+        |ORDER BY d.col_name""".stripMargin,
     // Apriori pair layer: exact BIGINT supports from the >=14-event
     // baskets; confidence/lift single double divisions rounded 10 dp.
     "q_itemsets" ->

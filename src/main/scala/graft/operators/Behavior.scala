@@ -244,4 +244,59 @@ object Behavior {
            sqrt(col("ss_b").cast("double"))), 10).as("cos_sim"))
       .orderBy(col("item_a"), col("item_b"))
   }
+
+  /**
+   * Sequential path mining: the top-20 three-step event-type paths
+   * (trigrams of each user's time-ordered stream) with exact counts
+   * and the share of all trigrams — the "what do users actually DO"
+   * readout one order above [[markovQuery]]'s first-order transitions
+   * (a Markov chain cannot distinguish a→b→a ping-pong from a→b→c
+   * progression; the trigram table can).
+   *
+   * Shape at 100 TB: the lag windows partition BY USER (co-located
+   * per-user sorts, never a corpus sort); path counts reduce
+   * map-side to ≤ k³ cells; top-20 is a bounded TakeOrdered.
+   */
+  def eventPathsQuery(spark: SparkSession, sfDir: String,
+      k: Int = 20): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tri = ev
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("p1", lag(col("event_type"), 2).over(w))
+      .withColumn("p2", lag(col("event_type"), 1).over(w))
+      .filter(col("p1").isNotNull)
+      .select(concat_ws(">", col("p1"), col("p2"), col("event_type"))
+        .as("path"))
+    val counts = tri.groupBy(col("path")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("n_total"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("path"), col("n"),
+        round(col("n").cast("double") / col("n_total").cast("double"),
+          10).as("share"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
+  /**
+   * User growth curve: first-seen day per user → daily new-user
+   * counts and the cumulative audience — the acquisition curve every
+   * product warehouse serves, computed the scalable way (a cumulative
+   * windowed COUNT DISTINCT is quadratic state; first-seen-then-
+   * cumsum is one groupBy + a calendar-sized window).
+   */
+  def userGrowthQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(min(date_trunc("day", col("ts"))).as("day"))
+    val daily = firstSeen.groupBy(col("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val wOrd = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_users", sum(col("new_users")).over(wOrd))
+      .orderBy(col("day"))
+  }
 }

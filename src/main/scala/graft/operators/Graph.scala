@@ -406,4 +406,45 @@ object Graph {
         i + lit(3) + pmod(i, lit(7L)))).as("v"))
     triangleCounts(e).orderBy(col("node"))
   }
+
+  /**
+   * Weighted single-source shortest paths by fixed-round synchronous
+   * Bellman–Ford relaxation — the weighted upgrade of [[bfsDistQuery]]
+   * (hop counts say "3 links away"; edge weights say "7 ms / $7 / 7
+   * transformations away", the form routing and lineage-cost queries
+   * need). Edge weights are deterministic small INTEGERS
+   * (1 + (src·7 + dst·13) mod 5), so every tentative distance stays
+   * an exact BIGINT — no float accumulation anywhere in the
+   * iteration, and the oracle replays all rounds as unrolled CTEs.
+   *
+   * Each round is one edge⋈distance join + a min-groupBy: shuffles
+   * carry (node, BIGINT) pairs only. Fixed `iters` bounds the
+   * frontier exactly like the BFS/PageRank family: distances reported
+   * are correct for paths of ≤ `iters` edges (-1 = unreached within
+   * the horizon), the standard bounded-relaxation contract at scale.
+   */
+  def ssspQuery(spark: SparkSession, sfDir: String,
+      iters: Int = 4): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val e = edges(docs, n)
+    val und = e.select(col("src"), col("dst"))
+      .unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .withColumn("w",
+        pmod(col("src") * 7 + col("dst") * 13, lit(5L)) + 1L)
+    val seeds = docs.filter(pmod(col("doc_id"), lit(97L)) === 0)
+    var dist = seeds.select(col("doc_id"), lit(0L).as("dist"))
+    (1 to iters).foreach { _ =>
+      val relaxed = und.join(dist, und("src") === dist("doc_id"))
+        .select(und("dst").as("doc_id"),
+          (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("doc_id")).agg(min(col("dist")).as("dist"))
+    }
+    docs.join(dist, Seq("doc_id"), "left")
+      .select(docs("doc_id"),
+        coalesce(col("dist"), lit(-1L)).as("dist"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -371,4 +371,57 @@ object Stats {
   def skewReportQuery(spark: SparkSession, sfDir: String): DataFrame =
     skewReport(graft.Tables.load(spark, sfDir, "events"), "user_id")
       .orderBy(col("n_rows").desc, col("user_id"))
+
+  /**
+   * Dictionary-encoding advisor: the reference writer's per-column
+   * dictionary decision, re-expressed as a statistics query over the
+   * table. ORC's `StringTreeWriter` keeps a dictionary while writing
+   * and falls back to direct encoding when
+   * ratio = distinct/nonNull > 0.8
+   * (`WriterImpl.java:1227-1233` `checkDictionaryEncoding`, threshold
+   * from `OrcConf.java:93-95` `orc.dictionary.key.threshold` = 0.8);
+   * this query computes the same ratio — plus the byte-level payoff
+   * estimate the heuristic approximates: direct = Σ len(value);
+   * dict = Σ len(distinct) + the bit-packed index
+   * (rows · ⌈log₂ ndv⌉ bits, the RLE-v2 floor; the bit width comes
+   * from `length(bin(ndv−1))` so no float log can flap a
+   * power-of-two boundary) — for candidate columns BEFORE a 100 TB
+   * rewrite, which is how a warehouse decides encodings offline
+   * rather than per-writer. The two signals can disagree (the ratio
+   * rule also prices dictionary CPU/heap, not just bytes); the
+   * advisor reports both.
+   *
+   * One narrow stack pass over the scan + a two-level distinct per
+   * column; all outputs exact integers except the one ratio division.
+   */
+  def encodingAdvisorQuery(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+    val stacked = li.selectExpr(
+      """stack(4,
+        |  'l_returnflag', l_returnflag,
+        |  'l_linestatus', l_linestatus,
+        |  'l_orderkey', CAST(l_orderkey AS STRING),
+        |  'l_extendedprice', CAST(l_extendedprice AS STRING)
+        |) AS (col_name, v)""".stripMargin)
+      .filter(col("v").isNotNull)
+    val direct = stacked.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(length(col("v")).cast("long")).as("direct_bytes"))
+    val dict = stacked.select(col("col_name"), col("v")).distinct()
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("ndv"),
+        sum(length(col("v")).cast("long")).as("dict_entry_bytes"))
+    direct.join(dict, Seq("col_name"))
+      .select(col("col_name"), col("n_rows"), col("ndv"),
+        round(col("ndv").cast("double") / col("n_rows").cast("double"),
+          6).as("ratio"),
+        (col("ndv").cast("double") / col("n_rows").cast("double")
+          <= lit(0.8)).as("dict_recommended"),
+        col("direct_bytes"),
+        (col("dict_entry_bytes") +
+          expr("(n_rows * length(bin(greatest(ndv - 1, 1))) + 7) div 8"))
+          .as("dict_bytes_est"))
+      .orderBy(col("col_name"))
+  }
 }

@@ -114,4 +114,41 @@ class BehaviorSpec extends SparkSpec {
       assert(r.getDecimal(3).doubleValue > 0)
     }
   }
+
+  test("event paths: trigram mass bounded by stream length, shares " +
+      "replay, total order on (n desc, path)") {
+    val rows = Behavior.eventPathsQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val ev = Tables.load(spark, sfDir, "events")
+    val users = ev.select(col("user_id")).distinct().count()
+    val total = ev.count() - 2 * users // each user loses 2 trigrams
+    rows.foreach { r =>
+      assert(r.getString(0).split(">").length == 3)
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= total)
+    }
+    val keys = rows.map(r => (-r.getLong(1), r.getString(0))).toSeq
+    assert(keys == keys.sorted)
+    // top-20 shares re-derive from counts / full trigram mass
+    def r10(x: Double) = BigDecimal(x)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      assert(r.getDouble(2) == r10(r.getLong(1).toDouble / total),
+        s"${r.getString(0)}: share mismatch")
+    }
+  }
+
+  test("user growth: new users sum to the audience and the " +
+      "cumulative curve is the running total") {
+    val rows = Behavior.userGrowthQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val users = Tables.load(spark, sfDir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == users)
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getLong(1)
+      assert(r.getLong(2) == cum, s"${r.getTimestamp(0)}: cum broken")
+    }
+    assert(rows.last.getLong(2) == users)
+  }
 }

@@ -169,4 +169,25 @@ class GraphSpec extends SparkSpec {
     assert(capped((1L, 3L))._1 == 2L)
     assert(math.abs(capped((1L, 3L))._2 - 2.0 / math.log(2.0)) < 1e-9)
   }
+
+  test("sssp: seeds at zero, weighted distances dominate hop counts " +
+      "within the shared horizon, weights within round bounds") {
+    val sssp = Graph.ssspQuery(spark, sfDir, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bfs = Graph.bfsDistQuery(spark, sfDir, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sssp.keySet == bfs.keySet)
+    sssp.foreach { case (id, d) =>
+      if (id % 97 == 0) assert(d == 0L, s"seed $id dist $d")
+      val h = bfs(id)
+      if (d >= 0 && h >= 0) {
+        // same relaxation horizon: every edge weighs 1..5, so
+        // hops <= weighted dist <= 5*hops
+        assert(d >= h, s"node $id: weighted $d < hops $h")
+        assert(d <= 5 * h || h == 0, s"node $id: weighted $d > 5*$h")
+      }
+      // reachability agrees at the same iteration horizon
+      assert((d >= 0) == (h >= 0), s"node $id: $d vs $h")
+    }
+  }
 }

@@ -174,4 +174,33 @@ class StatsSpec extends SparkSpec {
           "a majority-outlier result means the fence math is wrong")
     }
   }
+
+  test("encoding advisor: flag columns dictionary-encode, key " +
+      "columns direct-encode, and the ratio rule replays") {
+    val rows = graft.operators.Stats.encodingAdvisorQuery(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("l_returnflag", "l_linestatus",
+      "l_orderkey", "l_extendedprice"))
+    rows.values.foreach { r =>
+      val (n, ndv) = (r.getLong(1), r.getLong(2))
+      assert(ndv <= n && ndv >= 1)
+      // the WriterImpl rule: recommend iff ndv/rows <= 0.8
+      assert(r.getBoolean(4) == (ndv.toDouble / n <= 0.8))
+      assert(r.getLong(5) > 0 && r.getLong(6) > 0)
+    }
+    // 2-3 distinct flags over thousands of rows: dictionary, and the
+    // bit-packed byte estimate must agree it is a large win
+    for (c <- Seq("l_returnflag", "l_linestatus")) {
+      assert(rows(c).getBoolean(4), s"$c should dictionary-encode")
+      assert(rows(c).getLong(6) < rows(c).getLong(5) / 2,
+        s"$c: dict bytes not a clear win")
+    }
+    // near-unique prices: the ratio rule says direct (> 0.8)
+    assert(!rows("l_extendedprice").getBoolean(4),
+      "l_extendedprice should direct-encode")
+    // repeated FK: dictionary under the ratio rule (≈4 rows/order)
+    assert(rows("l_orderkey").getBoolean(4),
+      "l_orderkey should dictionary-encode")
+  }
 }
