@@ -110,6 +110,17 @@ object SparkEntry {
     "q_bitmap_audience" -> (Scale.bitmapAudienceQuery _),
     // Rank-based p05/p95 quantile clipping (robust to heavy tails)
     "q_winsorize" -> (Relational.winsorizeQuery _),
+    // TPC-H Q7 shape: nation-pair bilateral revenue by ship year
+    // (all dims broadcast, one final small groupBy shuffle)
+    "q7_volume" -> (Relational.q7Volume _),
+    // TPC-H Q10 shape: quarterly returned-revenue top-20 customers
+    // (facts filtered at the scans, bounded TakeOrdered)
+    "q10_returns" -> (Relational.q10Returns _),
+    // K-fold leakage-safe target encoding (m-smoothed LOFO means on
+    // exact cent sums)
+    "q_target_encode" -> ((s, d) => Curation.targetEncodeQuery(s, d)),
+    // RFM + trailing activity features per user in one grouped pass
+    "q_rfm_features" -> (Behavior.rfmFeaturesQuery _),
     "q_funnel" -> (Relational.funnelQuery _),
     "q_cohort" -> (Relational.cohortQuery _),
     "q_cube" -> (Relational.cubeAgg _),
@@ -2146,6 +2157,92 @@ object SparkEntry {
         |  round((pb - pa) / sev, 10) AS z,
         |  abs(round((pb - pa) / sev, 10)) >= 1.96 AS significant
         |FROM s""".stripMargin,
+    // Q7 shape: same DECIMAL revenue rule as q5_join; the pair
+    // predicate mirrors both directions.
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_nationkey = 1 AND n2.n_nationkey = 2)
+        |   OR (n1.n_nationkey = 2 AND n2.n_nationkey = 1)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    // Q10 shape: quarter window + returnflag filter, DECIMAL revenue,
+    // total-ordered top-20.
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name, c_acctbal, c_mktsegment,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // Target encoding: exact cent sums per (category, fold);
+    // leave-one-fold-out by subtraction; one rounded division each.
+    "q_target_encode" ->
+      """WITH o AS (SELECT o_orderpriority AS category,
+        |    ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))
+        |      ::BIGINT % 4 AS fold,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |cells AS (SELECT category, fold,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS s
+        |  FROM o GROUP BY 1, 2),
+        |cats AS (SELECT category, CAST(sum(n) AS BIGINT) AS cat_n,
+        |    CAST(sum(s) AS BIGINT) AS cat_s
+        |  FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot_n,
+        |    CAST(sum(s) AS BIGINT) AS tot_s FROM cells)
+        |SELECT c.category, c.fold, c.n,
+        |  ct.cat_n - c.n AS n_loo,
+        |  round(CAST(tot_s AS DOUBLE) / 100.0
+        |    / CAST(tot_n AS DOUBLE), 6) AS prior,
+        |  round((CAST(ct.cat_s - c.s AS DOUBLE) / 100.0
+        |      + 10.0 * (CAST(tot_s AS DOUBLE) / 100.0
+        |        / CAST(tot_n AS DOUBLE)))
+        |    / CAST(ct.cat_n - c.n + 10 AS DOUBLE), 6) AS encoding
+        |FROM cells c JOIN cats ct ON c.category = ct.category, tot
+        |ORDER BY c.category, c.fold""".stripMargin,
+    // RFM features: conditional aggregates vs the broadcast stream
+    // end; quartiles via ntile over the user domain.
+    "q_rfm_features" ->
+      """WITH ref AS (SELECT max(epoch_ms(ts)) AS ref_ms FROM events),
+        |f AS (SELECT user_id,
+        |    (max(ref_ms) - max(epoch_ms(ts))) // 3600000 AS recency_h,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS frequency,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS monetary_cents,
+        |    CAST(sum(CASE WHEN epoch_ms(ts) > ref_ms
+        |      - 86400000 THEN 1 ELSE 0 END) AS BIGINT) AS n_1d,
+        |    CAST(sum(CASE WHEN epoch_ms(ts) > ref_ms
+        |      - 604800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_7d,
+        |    CAST(sum(CASE WHEN epoch_ms(ts) > ref_ms
+        |      - 2592000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_30d
+        |  FROM events, ref GROUP BY user_id)
+        |SELECT user_id, recency_h, frequency, monetary_cents,
+        |  n_1d, n_7d, n_30d,
+        |  CAST(ntile(4) OVER (ORDER BY recency_h, user_id) AS BIGINT)
+        |    AS r_score,
+        |  CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id)
+        |    AS BIGINT) AS f_score,
+        |  CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id)
+        |    AS BIGINT) AS m_score
+        |FROM f ORDER BY user_id""".stripMargin,
     // Weighted Bellman-Ford: integer weights keep every tentative
     // distance exact BIGINT; four relaxation rounds unrolled.
     "q_sssp" ->
@@ -3622,18 +3719,29 @@ object SparkEntry {
     // threshold (10|∩| >= 9|∪|) — pruned-equals-exhaustive IS the gate.
     "q_setsim_join" ->
       """WITH s AS (
-        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS st
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+        |      i -> concat_ws(' ', string_split(text,' ')[i],
+        |        string_split(text,' ')[i+1], string_split(text,' ')[i+2])))
+        |      AS st
         |  FROM documents),
-        |p AS (
+        |ex AS (SELECT doc_id, unnest(st) AS g FROM s),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+        |  FROM ex GROUP BY doc_id),
+        |pr AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(len(list_intersect(a.st, b.st)) AS BIGINT) AS inter,
-        |    CAST(len(a.st) + len(b.st) -
-        |      len(list_intersect(a.st, b.st)) AS BIGINT) AS uni
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, inter, uni,
-        |  round(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6)
-        |    AS jaccard
-        |FROM p WHERE inter * 10 >= uni * 9
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter,
+        |  na.n_sh + nb.n_sh - inter AS uni,
+        |  round(CAST(inter AS DOUBLE)
+        |    / CAST(na.n_sh + nb.n_sh - inter AS DOUBLE), 6) AS jaccard
+        |FROM pr
+        |JOIN n na ON pr.doc_a = na.doc_id
+        |JOIN n nb ON pr.doc_b = nb.doc_id
+        |WHERE inter * 2 >= na.n_sh + nb.n_sh - inter
         |ORDER BY doc_a, doc_b""".stripMargin,
     // Token-frequency Gini + head share: vocabulary-sized rank window,
     // exact BIGINT sum(i*c), one double formula at the end.

@@ -299,4 +299,51 @@ object Behavior {
       .withColumn("cum_users", sum(col("new_users")).over(wOrd))
       .orderBy(col("day"))
   }
+
+  /**
+   * RFM feature frame (Hughes 1994, the classic CRM triad) plus
+   * rolling activity windows: per user — recency in hours from the
+   * stream's last timestamp, purchase frequency, monetary total
+   * (exact integer cents), and 1/7/30-day trailing event counts —
+   * the per-entity feature extraction pass a training pipeline runs
+   * before any model sees the stream. Quartile scores come from
+   * ntile(4) over the user domain (deterministic tie-break by id).
+   *
+   * Shape at 100 TB: ONE map-side-partial groupBy(user) computes
+   * every feature as conditional aggregates against a broadcast
+   * reference time — no per-window self-joins, no event-time
+   * windows; the ntile runs over the USER frame (domain-sized), not
+   * events.
+   */
+  def rfmFeaturesQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val ref = ev.agg(max(unix_millis(col("ts"))).as("ref_ms"))
+    val dayMs = 86400000L
+    val feats = ev.crossJoin(broadcast(ref))
+      .groupBy(col("user_id"))
+      .agg(
+        expr("(max(ref_ms) - max(unix_millis(ts))) div 3600000")
+          .as("recency_h"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("frequency"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100, 0).cast("long")).otherwise(0L))
+          .as("monetary_cents"),
+        sum(when(unix_millis(col("ts")) > col("ref_ms") - dayMs, 1L)
+          .otherwise(0L)).as("n_1d"),
+        sum(when(unix_millis(col("ts")) > col("ref_ms") - 7 * dayMs, 1L)
+          .otherwise(0L)).as("n_7d"),
+        sum(when(unix_millis(col("ts")) > col("ref_ms") - 30 * dayMs, 1L)
+          .otherwise(0L)).as("n_30d"))
+    feats
+      .withColumn("r_score", ntile(4).over(
+        Window.orderBy(col("recency_h"), col("user_id"))).cast("long"))
+      .withColumn("f_score", ntile(4).over(
+        Window.orderBy(col("frequency").desc, col("user_id")))
+        .cast("long"))
+      .withColumn("m_score", ntile(4).over(
+        Window.orderBy(col("monetary_cents").desc, col("user_id")))
+        .cast("long"))
+      .orderBy(col("user_id"))
+  }
 }

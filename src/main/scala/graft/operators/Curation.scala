@@ -861,6 +861,50 @@ object Curation {
   }
 
   /**
+   * Leakage-safe target encoding (the K-fold "mean of the target per
+   * category" feature, Micci-Barreca SIGKDD Expl. 2001): for each
+   * (category, fold), the m-smoothed target mean computed from the
+   * OTHER folds only — encode(c, f) = (sum_loo + m·prior)/(n_loo + m)
+   * — so no row's own target value leaks into its feature, the
+   * mistake that silently inflates offline metrics. Category =
+   * order priority, target = order value in exact integer cents,
+   * folds = md5(orderkey) mod 4 (reproducible, partitioning-free).
+   *
+   * Exactness: per-(category, fold) cent sums and counts are exact
+   * BIGINTs; leave-one-fold-out sums are SUBTRACTIONS of those (no
+   * second pass over the data); prior and each encoding are one
+   * double expression rounded 6 dp. One map-side-partial groupBy to
+   * k·K cells — nothing wider ever shuffles.
+   */
+  def targetEncodeQuery(spark: SparkSession, sfDir: String,
+      folds: Int = 4, m: Int = 10): DataFrame = {
+    val ord = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderpriority").as("category"),
+        (Sampling.hashBucket24(col("o_orderkey").cast("string"))
+          % folds).as("fold"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val cells = ord.groupBy(col("category"), col("fold"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val cats = cells.groupBy(col("category"))
+      .agg(sum(col("n")).as("cat_n"), sum(col("s")).as("cat_s"))
+    val tot = cells.agg(sum(col("n")).as("tot_n"),
+      sum(col("s")).as("tot_s"))
+    cells.join(broadcast(cats), Seq("category"))
+      .crossJoin(broadcast(tot))
+      .withColumn("prior",
+        col("tot_s").cast("double") / lit(100.0) /
+          col("tot_n").cast("double"))
+      .select(col("category"), col("fold"), col("n"),
+        (col("cat_n") - col("n")).as("n_loo"),
+        round(col("prior"), 6).as("prior"),
+        round(((col("cat_s") - col("s")).cast("double") / lit(100.0) +
+          lit(m.toDouble) * col("prior")) /
+          (col("cat_n") - col("n") + m).cast("double"), 6)
+          .as("encoding"))
+      .orderBy(col("category"), col("fold"))
+  }
+
+  /**
    * Differentially-private count release (Dwork et al., TCC 2006):
    * event counts per (event_type, hour-of-day) with Laplace(1/ε)
    * noise — the third rung of the privacy ladder next to

@@ -797,34 +797,46 @@ object Dedup {
   /**
    * Exact set-similarity join with PREFIX FILTERING (Chaudhuri et al.
    * 2006 / Xiao et al. PPJoin, WWW 2008): all document pairs with
-   * token-set Jaccard ≥ t, WITHOUT the all-pairs scan. Tokens get a
-   * global rarity order (df asc, token asc); each document indexes
-   * only its first |d| − ⌈t·|d|⌉ + 1 rarest tokens — the classical
-   * prefix bound guarantees any pair with J ≥ t shares at least one
-   * prefix token, so candidate generation is an inverted-index join
-   * on PREFIXES only (rare tokens → short posting lists, the exact
-   * opposite of the stopword skew the df-cap guards against
-   * elsewhere). Candidates then verify with exact integer arithmetic:
-   * J ≥ 0.9 ⟺ 10·|∩| ≥ 9·|∪| — no float threshold anywhere, so the
-   * engine's PRUNED search provably equals the oracle's EXHAUSTIVE
-   * O(n²) scan, which is exactly what the gate checks.
+   * SHINGLE-set Jaccard ≥ t, WITHOUT the all-pairs scan. Elements are
+   * word 3-gram shingles, not unigram tokens, and that choice is
+   * load-bearing: prefix filtering only prunes when rarity EXISTS —
+   * over a degenerate ~40-word vocabulary every token is hot, every
+   * prefix posting list is corpus-sized, and candidate generation
+   * collapses to the all-pairs join it was built to avoid (measured:
+   * 229 s at sf0.1 on unigrams vs seconds on shingles). Shingling
+   * manufactures a heavy-tailed element space from any text — the
+   * standard PPJoin-for-text deployment.
    *
-   * Scale: the prefix shrinks as t grows (at t = 0.9 only ~10% of
-   * each set indexes); posting lists are rarity-bounded; the verify
-   * join ships token sets only for surviving candidate pairs.
+   * Shingles get a global rarity order (df asc, shingle asc); each
+   * document indexes only its first |d| − ⌈t·|d|⌉ + 1 rarest — the
+   * classical prefix bound guarantees any pair with J ≥ t shares a
+   * prefix element, so candidates come from an inverted-index join
+   * on PREFIXES only. Candidates verify with exact integer
+   * arithmetic: J ≥ 1/2 ⟺ 2·|∩| ≥ |∪| — no float threshold anywhere,
+   * so the engine's PRUNED search provably equals the oracle's
+   * EXHAUSTIVE scan, which is exactly what the gate checks.
    */
   def setSimJoinQuery(spark: SparkSession, sfDir: String): DataFrame =
     setSimJoinOver(Tables.load(spark, sfDir, "documents"))
 
-  /** [[setSimJoinQuery]] over an explicit documents frame. */
+  /** [[setSimJoinQuery]] over an explicit documents frame.
+    *
+    * Two further PPJoin devices keep the candidate stage sub-
+    * quadratic on hot corpora: (1) shingle sets travel as xxhash64
+    * LONGS (the q_dedup_segments string↔hash equivalence, p ≈ n²/2⁶⁵)
+    * so posting rows are 8 bytes and verify intersections compare
+    * longs; (2) the SIZE filter — J ≥ 1/2 forces min(|a|,|b|) ≥
+    * ½·max(|a|,|b|) — prunes candidates at the index join, before
+    * any set ships. */
   def setSimJoinOver(docs: DataFrame): DataFrame = {
-    // t = 9/10 carried as the integer pair (9, 10) — see verify step
+    // t = 1/2 carried as the integer pair (2, 1) — see verify step
     val sets = docs.select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("set"))
+      hashedShingles(col("text")).as("set"))
     val df_ = sets.select(col("doc_id"), explode(col("set")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // rarity-sorted token array per doc: sort_array over (df, term)
-    // structs — deterministic global order, the q_importance pattern
+    // rarity-sorted element array per doc: sort_array over (df, term)
+    // structs — ANY deterministic global total order preserves the
+    // prefix-bound completeness guarantee
     val sorted = sets
       .select(col("doc_id"), explode(col("set")).as("term"))
       .join(df_, Seq("term"))
@@ -833,13 +845,18 @@ object Dedup {
         .as("ord"))
       .select(col("doc_id"),
         expr("transform(ord, s -> s.term)").as("toks"))
+    // ⌈t·|d|⌉ at t = 1/2 computed in integers: (|d| + 1) div 2
     val prefixLen = (size(col("toks")) -
-      ceil(lit(0.9) * size(col("toks")).cast("double")).cast("int") + 1)
+      ((size(col("toks")) + 1) / 2).cast("int") + 1)
     val prefixes = sorted.select(col("doc_id"),
+      size(col("toks")).cast("long").as("sz"),
       explode(slice(col("toks"), lit(1), prefixLen)).as("term"))
     val cands = prefixes.as("a")
       .join(prefixes.as("b"), col("a.term") === col("b.term") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") &&
+        // size filter: 2·min >= max, exact integers
+        col("a.sz") <= col("b.sz") * 2 &&
+        col("b.sz") <= col("a.sz") * 2)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val setsA = sets.select(col("doc_id").as("doc_a"),
@@ -851,7 +868,7 @@ object Dedup {
         size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("uni", (size(col("set_a")) + size(col("set_b")))
         .cast("long") - col("inter"))
-      .filter(col("inter") * 10 >= col("uni") * 9)
+      .filter(col("inter") * 2 >= col("uni"))
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
         round(col("inter").cast("double") / col("uni").cast("double"),
           6).as("jaccard"))

@@ -125,6 +125,64 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /**
+   * TPC-H Q7 shape (volume shipping): bilateral revenue between a
+   * nation pair, by supplier nation × customer nation × ship year —
+   * the five-table star join whose PLAN is the point: every dimension
+   * broadcasts, the single shuffle is the final small groupBy, and
+   * the nation-pair predicate prunes before the fact-fact join fans
+   * out. Money sums follow the q5_join DECIMAL rule.
+   */
+  def q7Volume(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val sup = t(s, dir, "supplier")
+    val n1 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nkey"),
+        col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nkey"),
+        col("n_name").as("cust_nation"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n1), sup("s_nationkey") === col("s_nkey"))
+      .join(broadcast(n2), cust("c_nationkey") === col("c_nkey"))
+      .filter((col("s_nkey") === 1 && col("c_nkey") === 2) ||
+        (col("s_nkey") === 2 && col("c_nkey") === 1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(28,8)")), 2).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /**
+   * TPC-H Q10 shape (returned items): revenue lost to returns per
+   * customer in one quarter, top 20 — fact filtered FIRST
+   * (returnflag + date window both reach the scans), dimensions
+   * broadcast, final ranking a bounded TakeOrdered.
+   */
+  def q10Returns(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-04-01"))
+    val cust = t(s, dir, "customer")
+    val nation = t(s, dir, "nation")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation),
+        cust("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(28,8)")), 2).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** Global top-N: sort+limit → TakeOrderedAndProject, no full sort. */
   def topN(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")

@@ -250,13 +250,16 @@ class DedupSpec extends SparkSpec {
       .collect()
       .map(r => ((r.getLong(0), r.getLong(1)),
         (r.getLong(2), r.getLong(3)))).toMap
-    // brute force over all pairs
-    val sets = all.map { case (id, t) => id -> t.split(" ").distinct.toSet }
+    // brute force over all pairs — same 3-gram shingle sets the
+    // operator builds (sliding windows of the raw token sequence)
+    val sets = all.map { case (id, t) =>
+      id -> t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    }
     val want = (for {
       (a, sa) <- sets; (b, sb) <- sets if a < b
       inter = (sa & sb).size.toLong
       uni = (sa | sb).size.toLong
-      if inter * 10 >= uni * 9
+      if inter * 2 >= uni
     } yield ((a, b), (inter, uni))).toMap
     assert(got == want,
       s"pruned != exhaustive: missing ${want.keySet -- got.keySet}, " +
@@ -264,6 +267,6 @@ class DedupSpec extends SparkSpec {
     assert(want.nonEmpty, "trace premise: twins must qualify")
     // the twins appear with Jaccard exactly 1
     assert(got.contains((3L, 20L)) && got.contains((7L, 21L)))
-    got.foreach { case ((_, _), (i, u)) => assert(i * 10 >= u * 9) }
+    got.foreach { case ((_, _), (i, u)) => assert(i * 2 >= u) }
   }
 }
