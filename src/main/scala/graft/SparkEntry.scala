@@ -105,6 +105,15 @@ object SparkEntry {
     // Mann-Kendall monotone-trend test + Sen's slope over daily
     // counts (exact S and 18-scaled tie-corrected variance)
     "q_trend_test" -> (Inference.trendTestQuery _),
+    // EWMA control chart over daily counts: recursive state AND
+    // width factor per-step pinned (no cross-engine pow)
+    "q_ewma_chart" -> ((s, d) => Inference.ewmaChartQuery(s, d)),
+    // Max concurrent sessions per hour via the +1/-1 interval sweep
+    "q_concurrency" -> (Scale.concurrencyQuery _),
+    // Sorted-neighborhood ER blocking: rank-band equi-join window,
+    // Jaro-Winkler scored candidates (exactly n*w pairs)
+    "q_sorted_neighborhood" ->
+      ((s, d) => Linkage.sortedNeighborhoodQuery(s, d)),
     // Exact audience overlap via mergeable bitmap set algebra
     // (reach, intersections, Jaccard, bitmap-rollup total)
     "q_bitmap_audience" -> (Scale.bitmapAudienceQuery _),
@@ -2751,6 +2760,98 @@ object SparkEntry {
         |    WHEN z > 0 THEN 'increasing'
         |    ELSE 'decreasing' END AS trend
         |FROM zz""".stripMargin,
+    // EWMA chart: recursive z and width factor both floor-pinned per
+    // step; mu/sigma one double each from exact power sums.
+    "q_ewma_chart" ->
+      """WITH RECURSIVE days AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+        |      AS TIMESTAMP) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |idx AS (SELECT day, x,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+        |  FROM days),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s1,
+        |    CAST(sum(x*x) AS BIGINT) AS s2 FROM idx
+        |  WHERE i <= 20),
+        |ms AS (SELECT CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sigma
+        |  FROM st),
+        |h AS (
+        |  SELECT i.i, i.day, i.x,
+        |    floor((0.2 * i.x + (1 - 0.2) * ms.mu) * 1e10 + 0.5) / 1e10
+        |      AS z,
+        |    floor(((1 - 0.2) * (1 - 0.2) * 1.0) * 1e12 + 0.5) / 1e12
+        |      AS f
+        |  FROM idx i, ms WHERE i.i = 1
+        |  UNION ALL
+        |  SELECT nx.i, nx.day, nx.x,
+        |    floor((0.2 * nx.x + (1 - 0.2) * h.z) * 1e10 + 0.5) / 1e10,
+        |    floor(((1 - 0.2) * (1 - 0.2) * h.f) * 1e12 + 0.5) / 1e12
+        |  FROM h JOIN idx nx ON nx.i = h.i + 1)
+        |SELECT day, x, z,
+        |  floor((mu + 3.0 * sigma * sqrt(0.2 / (2 - 0.2) * (1 - f)))
+        |    * 1e10 + 0.5) / 1e10 AS ucl,
+        |  floor((mu - 3.0 * sigma * sqrt(0.2 / (2 - 0.2) * (1 - f)))
+        |    * 1e10 + 0.5) / 1e10 AS lcl,
+        |  (z > floor((mu + 3.0 * sigma * sqrt(0.2 / (2 - 0.2)
+        |      * (1 - f))) * 1e10 + 0.5) / 1e10
+        |   OR z < floor((mu - 3.0 * sigma * sqrt(0.2 / (2 - 0.2)
+        |      * (1 - f))) * 1e10 + 0.5) / 1e10) AS alarm
+        |FROM h, ms ORDER BY day""".stripMargin,
+    // Interval sweep: session reconstruction (q_session_window CTE),
+    // +1/-1 ordered running sum, exact integer concurrency.
+    "q_concurrency" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+        |    THEN 1 ELSE 0 END AS new_session FROM g),
+        |n AS (
+        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS session_no
+        |  FROM s),
+        |sess AS (SELECT user_id, session_no, min(ts) AS s_start,
+        |    max(ts) AS s_end
+        |  FROM n GROUP BY 1, 2),
+        |sweep AS (
+        |  SELECT s_start AS ts, CAST(1 AS BIGINT) AS delta, user_id,
+        |    session_no FROM sess
+        |  UNION ALL
+        |  SELECT s_end, CAST(-1 AS BIGINT), user_id, session_no
+        |  FROM sess),
+        |run AS (SELECT ts, delta,
+        |    CAST(sum(delta) OVER (ORDER BY ts, delta DESC, user_id,
+        |      session_no ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+        |  FROM sweep)
+        |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+        |    AS hour_start,
+        |  CAST(max(conc) AS BIGINT) AS max_concurrent,
+        |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS sessions_started
+        |FROM run GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Sorted neighborhood: rank bands replayed; scores through
+    // DuckDB's native jaro_winkler_similarity (cross-engine, the
+    // q_jaro_winkler precedent).
+    "q_sorted_neighborhood" ->
+      """WITH r AS (SELECT c_custkey, c_name,
+        |    CAST(row_number() OVER (ORDER BY c_name, c_custkey)
+        |      AS BIGINT) AS rank
+        |  FROM customer),
+        |o AS (SELECT unnest(generate_series(1, 3)) AS off)
+        |SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+        |  b.rank - a.rank AS rank_dist,
+        |  round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw
+        |FROM r a CROSS JOIN o JOIN r b ON b.rank = a.rank + o.off
+        |ORDER BY key_a, key_b""".stripMargin,
     // Bitmap audience algebra: every output exact, recomputed from
     // raw DISTINCT sets (popcount/AND/OR are engine-internal).
     "q_bitmap_audience" ->

@@ -330,6 +330,74 @@ object Inference {
   }
 
   /**
+   * EWMA control chart (Roberts 1959, the SPC classic) over daily
+   * event counts: z_t = λ·x_t + (1−λ)·z_{t−1} with λ = 0.2 against
+   * ±3σ̂·√(λ/(2−λ)·(1−(1−λ)^{2t})) limits — the small-persistent-
+   * shift monitor between [[q_cusum]]'s change localization and
+   * [[holtQuery]]'s forecast: CUSUM says where the level moved, the
+   * EWMA chart ALARMS while it is moving.
+   *
+   * Engine-exactness discipline: the EWMA state AND the (1−λ)^{2t}
+   * width factor are both carried recursively with per-step
+   * floor(x·10^s + 0.5)/10^s pinning (the [[holtQuery]] rule) — the
+   * width factor recursion f_t = 0.64·f_{t−1} exists precisely
+   * because a cross-engine `pow(0.8, 2t)` is a libm call with no
+   * correctly-rounded guarantee. μ and σ come from exact BIGINT
+   * power sums over the PHASE-I BASELINE window (the first
+   * `baseline` days) — the SPC discipline: estimating control limits
+   * from the whole series lets the very shift being monitored
+   * inflate σ and mute its own alarm. The daily grid is driver-side
+   * model material.
+   */
+  def ewmaChartQuery(spark: SparkSession, sfDir: String,
+      lambda: Double = 0.2, l: Double = 3.0,
+      baseline: Int = 20): DataFrame = {
+    val days = Tables.load(spark, sfDir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .orderBy(col("day"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)))
+    import spark.implicits._
+    ewmaChart(days, lambda, l, baseline).toSeq
+      .toDF("day", "x", "z", "ucl", "lcl", "alarm")
+      .orderBy(col("day"))
+  }
+
+  /** The [[ewmaChartQuery]] recursion over an explicit daily series —
+    * spec entry point (alarm behavior is asserted on a planted-shift
+    * series, since whether REAL data alarms is a property of the
+    * data, not the chart). */
+  private[graft] def ewmaChart(days: Array[(java.sql.Timestamp, Long)],
+      lambda: Double = 0.2, l: Double = 3.0, baseline: Int = 20)
+      : Array[(java.sql.Timestamp, Long, Double, Double, Double,
+        Boolean)] = {
+    require(days.length >= 2, "EWMA chart needs at least two periods")
+    val base = days.take(baseline)
+    val n = base.length
+    val s1 = base.map(_._2).sum
+    val s2 = base.map(d => d._2 * d._2).sum
+    val mu = s1.toDouble / n
+    // population sd from exact integer power sums: σ² = (n·s2−s1²)/n²
+    val sigma = math.sqrt((n.toDouble * s2 - s1.toDouble * s1) /
+      (n.toDouble * n))
+    def r10(x: Double) = graft.functions.VectorOps.foldRound(x, 10)
+    def r12(x: Double) = graft.functions.VectorOps.foldRound(x, 12)
+    val decay2 = (1 - lambda) * (1 - lambda)
+    var z = mu
+    var f = 1.0
+    days.map { case (day, x) =>
+      z = r10(lambda * x + (1 - lambda) * z)
+      f = r12(decay2 * f)
+      val width = l * sigma *
+        math.sqrt(lambda / (2 - lambda) * (1 - f))
+      val ucl = r10(mu + width)
+      val lcl = r10(mu - width)
+      (day, x, z, ucl, lcl, z > ucl || z < lcl)
+    }
+  }
+
+  /**
    * Mann–Kendall monotone-trend test with Sen's slope (Mann 1945,
    * Kendall 1975, Sen 1968): the distribution-free "is the series
    * drifting" decision over daily event counts — the robust companion

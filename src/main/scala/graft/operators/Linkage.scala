@@ -182,4 +182,43 @@ object Linkage {
           col("c_name"), reverse(col("c_name"))).as("dl_rev"))
       .orderBy(col("c_custkey"))
   }
+
+  /**
+   * Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995):
+   * the third blocking strategy next to token blocking
+   * ([[entityResolveQuery]]) and phonetic/LSH buckets — sort the
+   * corpus by a fuzzy key, compare only records within a sliding
+   * window of w positions, so candidate volume is EXACTLY n·w
+   * regardless of value skew (the property token blocking loses on
+   * hot blocks). The window is realized as an EQUI-join on rank
+   * offsets 1..w (rank_b = rank_a + off) — no range join, no
+   * quadratic anything; each candidate pair scores with the codegen'd
+   * Jaro–Winkler kernel.
+   *
+   * On the synthetic corpus names are near-sequential, so scores
+   * cluster high — the gate's subject is the blocking MECHANISM
+   * (exact rank bands, candidate counts, score arithmetic), which is
+   * data-independent.
+   */
+  def sortedNeighborhoodQuery(spark: SparkSession, sfDir: String,
+      w: Int = 3): DataFrame = {
+    val ranked = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c_name"), col("c_custkey"))).cast("long"))
+    val offsets = spark.range(1, w + 1).select(col("id").as("off"))
+    val probes = ranked.crossJoin(broadcast(offsets))
+      .select((col("rank") + col("off")).as("rank_b"),
+        col("c_custkey").as("key_a"), col("c_name").as("name_a"),
+        col("rank").as("rank_a"))
+    probes.join(ranked.select(col("rank").as("rank_b"),
+        col("c_custkey").as("key_b"), col("c_name").as("name_b")),
+        Seq("rank_b"))
+      .select(col("key_a"), col("key_b"),
+        (col("rank_b") - col("rank_a")).as("rank_dist"),
+        round(call_function("graft_jaro_winkler",
+          col("name_a"), col("name_b")), 6).as("jw"))
+      .orderBy(col("key_a"), col("key_b"))
+  }
 }

@@ -895,6 +895,57 @@ object Scale {
   }
 
   /**
+   * Concurrency curve by interval sweep: reconstruct 30-minute-gap
+   * user sessions, convert each to a +1 (start) / −1 (end) sweep
+   * event, and running-sum the ordered sweep — the classic
+   * O(n log n) "how many sessions are open at once" operator behind
+   * capacity planning and license-seat accounting; the naive
+   * point-in-interval join is quadratic and the one shape this sweep
+   * exists to avoid. Reported per hour: the maximum concurrency
+   * observed at any sweep point in that hour.
+   *
+   * Determinism: at equal timestamps starts process BEFORE ends
+   * (delta DESC in the sweep order), then (user, session) breaks
+   * remaining ties — a one-event session still registers concurrency
+   * 1. Everything is exact integer arithmetic. Shuffles carry
+   * (ts, ±1) pairs; the ordered running sum is the one inherently
+   * sequential pass (a distributed deployment runs it as per-
+   * partition sums + a partition-boundary prefix exchange).
+   */
+  def concurrencyQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sessions = ev
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 1800000L,
+          1L).otherwise(0L))
+      .withColumn("session_no",
+        sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+    val sweep = sessions
+      .select(col("s_start").as("ts"), lit(1L).as("delta"),
+        col("user_id"), col("session_no"))
+      .unionAll(sessions.select(col("s_end").as("ts"),
+        lit(-1L).as("delta"), col("user_id"), col("session_no")))
+    val ord = Window.orderBy(col("ts"), col("delta").desc,
+      col("user_id"), col("session_no"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sweep
+      .withColumn("conc", sum(col("delta")).over(ord))
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(max(col("conc")).as("max_concurrent"),
+        sum(when(col("delta") === 1, 1L).otherwise(0L))
+          .as("sessions_started"))
+      .orderBy(col("hour_start"))
+  }
+
+  /**
    * Data-layout advisor: simulate three physical sort orders for the
    * event table — hash-scattered (the shuffle-write default),
    * user-clustered, time-clustered —

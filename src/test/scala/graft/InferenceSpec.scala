@@ -149,4 +149,43 @@ class InferenceSpec extends SparkSpec {
     if (trend != "no trend")
       assert(row.getDouble(4).sign == z.sign)
   }
+
+  test("ewma chart: state replays, limits widen monotonically to " +
+      "the asymptote, and the shifted tail alarms") {
+    val rows = Inference.ewmaChartQuery(spark, sfDir).collect()
+    assert(rows.length >= 2)
+    def r10(x: Double) = graft.functions.VectorOps.foldRound(x, 10)
+    // recursion replay from day 2 on
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getDouble(2) ==
+          r10(0.2 * b.getLong(1) + (1 - 0.2) * a.getDouble(2)))
+      case _ =>
+    }
+    // band widths are non-decreasing (the (1-(1-λ)^2t) ramp)
+    val widths = rows.map(r => r.getDouble(3) - r.getDouble(4))
+    assert(widths.sliding(2).forall {
+      case Array(a, b) => b >= a - 1e-9
+      case _ => true
+    }, "EWMA band did not widen monotonically")
+    // alarms replay from the emitted columns
+    rows.foreach { r =>
+      assert(r.getBoolean(5) ==
+        (r.getDouble(2) > r.getDouble(3) ||
+          r.getDouble(2) < r.getDouble(4)))
+    }
+    // planted persistent shift: baseline 20 days around 100, then a
+    // +3σ-grade level move — the chart MUST alarm in the tail and
+    // MUST stay quiet in the baseline
+    val ts = (i: Int) => new java.sql.Timestamp(86400000L * i)
+    val baseVals = Array[Long](98, 103, 101, 96, 100, 104, 99, 102,
+      97, 101, 100, 95, 105, 99, 103, 98, 100, 102, 96, 101)
+    val shifted = baseVals ++ Array.fill(10)(112L)
+    val planted = graft.operators.Inference.ewmaChart(
+      shifted.zipWithIndex.map { case (v, i) => (ts(i), v) })
+    assert(!planted.take(20).exists(_._6),
+      "baseline alarmed — limits mis-estimated")
+    assert(planted.drop(20).exists(_._6),
+      "planted +4σ shift did not alarm")
+  }
 }

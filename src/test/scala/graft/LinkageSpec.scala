@@ -139,4 +139,24 @@ class LinkageSpec extends SparkSpec {
       assert(d1 <= math.max(a.length, b.length))
     }
   }
+
+  test("sorted neighborhood: candidate volume is exactly n*w minus " +
+      "the tail truncation, bands bounded, scores in range") {
+    val w = 3
+    val rows = Linkage.sortedNeighborhoodQuery(spark, sfDir, w)
+      .collect()
+    val n = Tables.load(spark, sfDir, "customer").count()
+    // ranks n-w+1..n lose 1..w partners: total = n*w - w(w+1)/2
+    assert(rows.length == n * w - w * (w + 1) / 2,
+      s"candidate count ${rows.length} for n=$n w=$w")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= w)
+      val jw = r.getDouble(3)
+      assert(jw >= 0.0 && jw <= 1.0)
+    }
+    // skew-independence: every key appears at most 2w times
+    val occur = rows.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+      .groupBy(identity).map(_._2.length)
+    assert(occur.max <= 2 * w, "a key exceeded its band degree")
+  }
 }

@@ -510,6 +510,57 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("concurrency sweep: equals a brute-force interval stab at " +
+      "every sweep point and conserves session counts") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Scale.concurrencyQuery(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // rebuild sessions independently (driver-side, spec scale)
+    val evs = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = evs.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var start = sorted.head._2; var last = sorted.head._2
+      for (e <- sorted.tail) {
+        if (e._2 - last > 1800000L) { out += ((start, last)); start = e._2 }
+        last = e._2
+      }
+      out += ((start, last))
+      out
+    }.toSeq
+    assert(rows.map(_.getLong(2)).sum == sessions.size,
+      "sessions_started does not conserve")
+    // replay the sweep independently: global (ts asc, +1 before −1)
+    // order, running sum, per-hour max of the post-event value; and
+    // cross-check the +1 instants against an interval stab (the
+    // value after the starts at instant t IS |{s ≤ t ≤ e}|)
+    val sweep = sessions.flatMap { case (s, e) => Seq((s, 1L), (e, -1L)) }
+      .sortBy { case (t, d) => (t, -d) }
+    var c = 0L
+    val maxByHour = scala.collection.mutable.Map.empty[Long, Long]
+    val stabOk = sessions
+    for ((t, d) <- sweep) {
+      c += d
+      val h = t / 3600000L
+      maxByHour(h) = math.max(maxByHour.getOrElse(h, Long.MinValue), c)
+      if (d == 1L) {
+        val stab = stabOk.count { case (s, e) => s <= t && t <= e }
+        assert(c <= stab, s"post-start value $c exceeds stab $stab")
+      }
+    }
+    rows.foreach { r =>
+      val h = r.getTimestamp(0).getTime / 3600000L
+      assert(maxByHour.contains(h), s"unexpected hour $h")
+      assert(r.getLong(1) == maxByHour(h),
+        s"hour $h: engine ${r.getLong(1)} != replay ${maxByHour(h)}")
+    }
+    assert(rows.length == maxByHour.size)
+  }
+
   test("weighted percentiles: quantiles are attained grid values, " +
       "ordered, and cover the exact weight thresholds") {
     import org.apache.spark.sql.functions._
