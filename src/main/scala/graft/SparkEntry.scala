@@ -78,6 +78,14 @@ object SparkEntry {
     // First-seen acquisition curve: daily new users + cumulative
     // audience (no quadratic cumulative-distinct state)
     "q_user_growth" -> (Behavior.userGrowthQuery _),
+    // Signup-to-first-purchase latency per user (funnel lag readout)
+    "q_conversion_lag" -> (Behavior.conversionLagQuery _),
+    // DAU/MAU stickiness via window-day explosion (no trailing
+    // re-scan, no range join)
+    "q_stickiness" -> (Behavior.stickinessQuery _),
+    // Classical additive decomposition: 2x24 centered MA trend,
+    // hour-of-day seasonal, residual — 48-scaled exact integers
+    "q_seasonal_decompose" -> (Inference.seasonalDecomposeQuery _),
     // Weighted SSSP by fixed-round Bellman-Ford over integer edge
     // weights — exact BIGINT distances, unrolled-CTE oracle
     "q_sssp" -> ((s, d) => Graph.ssspQuery(s, d)),
@@ -2760,6 +2768,77 @@ object SparkEntry {
         |    WHEN z > 0 THEN 'increasing'
         |    ELSE 'decreasing' END AS trend
         |FROM zz""".stripMargin,
+    // Conversion lag: two conditional min-aggs, exact integer hours;
+    // null lag keeps non-converters in frame.
+    "q_conversion_lag" ->
+      """WITH su AS (SELECT user_id, min(epoch_ms(ts)) AS signup_ms
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT user_id, epoch_ms(ts) AS p_ms FROM events
+        |  WHERE event_type = 'purchase'),
+        |j AS (SELECT su.user_id, su.signup_ms,
+        |    min(CASE WHEN p.p_ms >= su.signup_ms THEN p.p_ms END)
+        |      AS first_purchase_ms
+        |  FROM su LEFT JOIN p ON su.user_id = p.user_id
+        |  GROUP BY 1, 2)
+        |SELECT user_id,
+        |  make_timestamp(signup_ms * 1000) AS signup_ts,
+        |  (first_purchase_ms - signup_ms) // 3600000 AS lag_h,
+        |  first_purchase_ms IS NOT NULL AS converted
+        |FROM j ORDER BY user_id""".stripMargin,
+    // Stickiness: 30x window-day explosion of the (user, day) frame,
+    // second distinct, exact counts, one division.
+    "q_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 86400000 AS d
+        |  FROM events),
+        |spine AS (SELECT DISTINCT d FROM ud),
+        |dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau
+        |  FROM ud GROUP BY 1),
+        |mx AS (SELECT DISTINCT user_id, d + off AS wd
+        |  FROM ud CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 29)) AS off)),
+        |mau AS (SELECT wd AS d, CAST(count(*) AS BIGINT) AS mau
+        |  FROM mx WHERE wd IN (SELECT d FROM spine) GROUP BY 1)
+        |SELECT make_timestamp(d * 86400000 * 1000) AS day,
+        |  dau.dau, mau.mau,
+        |  round(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE), 10)
+        |    AS stickiness
+        |FROM dau JOIN mau USING (d) ORDER BY day""".stripMargin,
+    // Seasonal decomposition: 48-scaled integer centered MA, exact
+    // per-hod sums, one rounded division per output column.
+    "q_seasonal_decompose" ->
+      """WITH hrs AS (SELECT epoch_ms(ts) // 3600000 AS h,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hrs),
+        |spine AS (SELECT gs.h, coalesce(hrs.n, 0) AS x
+        |  FROM (SELECT unnest(generate_series(h0, h1)) AS h FROM b) gs
+        |  LEFT JOIN hrs ON gs.h = hrs.h),
+        |ma AS (SELECT h, x,
+        |    CAST(sum(x) OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING
+        |      AND 11 FOLLOWING) AS BIGINT) AS s1,
+        |    CAST(count(*) OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING
+        |      AND 11 FOLLOWING) AS BIGINT) AS c1,
+        |    CAST(sum(x) OVER (ORDER BY h ROWS BETWEEN 11 PRECEDING
+        |      AND 12 FOLLOWING) AS BIGINT) AS s2,
+        |    CAST(count(*) OVER (ORDER BY h ROWS BETWEEN 11 PRECEDING
+        |      AND 12 FOLLOWING) AS BIGINT) AS c2,
+        |    h % 24 AS hod
+        |  FROM spine),
+        |m2 AS (SELECT *, CASE WHEN c1 = 24 AND c2 = 24
+        |    THEN x*48 - s1 - s2 END AS det48 FROM ma),
+        |se AS (SELECT hod,
+        |    round(CAST(sum(det48) AS DOUBLE)
+        |      / CAST(count(det48) * 48 AS DOUBLE), 10) AS seasonal
+        |  FROM m2 WHERE det48 IS NOT NULL GROUP BY hod)
+        |SELECT make_timestamp(h * 3600000 * 1000) AS hour_start, x,
+        |  CASE WHEN det48 IS NOT NULL THEN
+        |    round(CAST(s1 + s2 AS DOUBLE) / 48.0, 10) END AS trend,
+        |  se.seasonal,
+        |  CASE WHEN det48 IS NOT NULL THEN
+        |    round(round(CAST(det48 AS DOUBLE) / 48.0, 10)
+        |      - se.seasonal, 10) END AS residual
+        |FROM m2 JOIN se USING (hod) ORDER BY hour_start""".stripMargin,
     // EWMA chart: recursive z and width factor both floor-pinned per
     // step; mu/sigma one double each from exact power sums.
     "q_ewma_chart" ->

@@ -346,4 +346,72 @@ object Behavior {
         .cast("long"))
       .orderBy(col("user_id"))
   }
+
+  /**
+   * Conversion-lag distribution: hours from each user's FIRST signup
+   * to their first purchase AT OR AFTER it — the funnel's latency
+   * readout ([[Relational.funnelQuery]] counts who converts; this
+   * says how long conversion takes, the input to attribution-window
+   * and nurture-cadence choices). Non-converters are reported with a
+   * null lag so the conversion rate rides the same frame.
+   *
+   * Shape at 100 TB: two conditional min-aggregates in ONE
+   * groupBy(user) pass (min signup ts, min purchase-after-signup via
+   * a staged self-threshold), never an event self-join. Lags are
+   * exact integer hours.
+   */
+  def conversionLagQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(unix_millis(col("ts"))).as("signup_ms"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("p_ms"))
+    signup.join(purch, Seq("user_id"), "left")
+      .groupBy(col("user_id"))
+      .agg(min(col("signup_ms")).as("signup_ms"),
+        min(when(col("p_ms") >= col("signup_ms"), col("p_ms")))
+          .as("first_purchase_ms"))
+      .select(col("user_id"),
+        timestamp_millis(col("signup_ms")).as("signup_ts"),
+        expr("(first_purchase_ms - signup_ms) div 3600000")
+          .as("lag_h"),
+        col("first_purchase_ms").isNotNull.as("converted"))
+      .orderBy(col("user_id"))
+  }
+
+  /**
+   * DAU/MAU stickiness: per day, the distinct daily actives, the
+   * distinct 30-day trailing actives, and their ratio — THE
+   * engagement health metric. Computed the scalable way: the (user,
+   * day) distinct frame explodes each activity day into the ≤ 30
+   * future window-days it supports, and a second distinct collapses
+   * to (window-day, user) — domain-sized work (30 × active-days),
+   * never a per-day trailing DISTINCT re-scan (quadratic state) and
+   * never a range join. The exact twin of what the bitmap/HLL rollup
+   * would serve at extreme scale.
+   */
+  def stickinessQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val userDays = ev
+      .select(col("user_id"),
+        expr("unix_millis(ts) div 86400000").as("d"))
+      .distinct()
+    val spine = userDays.select(col("d")).distinct()
+    val dau = userDays.groupBy(col("d"))
+      .agg(count(lit(1)).as("dau"))
+    val mau = userDays
+      .select(col("user_id"),
+        explode(sequence(col("d"), col("d") + 29)).as("wd"))
+      .distinct()
+      .join(spine.select(col("d").as("wd")), Seq("wd"), "left_semi")
+      .groupBy(col("wd").as("d"))
+      .agg(count(lit(1)).as("mau"))
+    dau.join(mau, Seq("d"))
+      .select(timestamp_millis(col("d") * 86400000L).as("day"),
+        col("dau"), col("mau"),
+        round(col("dau").cast("double") / col("mau").cast("double"),
+          10).as("stickiness"))
+      .orderBy(col("day"))
+  }
 }

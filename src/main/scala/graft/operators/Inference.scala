@@ -398,6 +398,71 @@ object Inference {
   }
 
   /**
+   * Classical additive seasonal decomposition of the hourly series
+   * (the moving-average method of Macaulay 1931 — the pre-STL
+   * standard): x_t = trend + seasonal + residual, with trend the
+   * centered 2×24 moving average, seasonal the per-hour-of-day mean
+   * of the detrended series, residual the remainder — the
+   * "is this spike seasonality or signal" splitter feeding
+   * [[q_seasonal_anomaly]]'s z-scores and [[q_acf]]'s lag readout.
+   *
+   * Exactness: the centered MA over integer counts is carried as the
+   * exact 48-scaled integer 48·x − S₁ − S₂ (S = the two 24-hour
+   * window sums), so trend, detrended, and each seasonal mean are
+   * ONE double division of exact BIGINTs rounded 10 dp; residual
+   * subtracts two already-rounded doubles. Edge hours without a full
+   * ±12 window emit null trend (and are excluded from seasonal
+   * fitting), the classical convention. Seasonal is reported
+   * UNCENTERED (its level offset lands in the residual mean instead
+   * of redistributing through a second rounding pass — documented
+   * rather than hidden).
+   *
+   * Shape at 100 TB: the stream folds to the dense hourly spine
+   * first; windows and the 24-cell seasonal fit run on the spine.
+   */
+  def seasonalDecomposeQuery(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val hours = ev
+      .select(expr("unix_millis(ts) div 3600000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+    val bounds = hours.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val spine = bounds
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+      .join(hours, Seq("h"), "left")
+      .select(col("h"), coalesce(col("n"), lit(0L)).as("x"))
+    val wOrd = Window.orderBy(col("h"))
+    val f1 = wOrd.rowsBetween(-12, 11)
+    val f2 = wOrd.rowsBetween(-11, 12)
+    val withMa = spine
+      .withColumn("s1", sum(col("x")).over(f1))
+      .withColumn("c1", count(lit(1)).over(f1))
+      .withColumn("s2", sum(col("x")).over(f2))
+      .withColumn("c2", count(lit(1)).over(f2))
+      .withColumn("det48",
+        when(col("c1") === 24 && col("c2") === 24,
+          col("x") * 48 - col("s1") - col("s2")))
+      .withColumn("hod", pmod(col("h"), lit(24L)))
+    val seasonal = withMa.filter(col("det48").isNotNull)
+      .groupBy(col("hod"))
+      .agg(sum(col("det48")).as("ds"), count(lit(1)).as("dc"))
+      .select(col("hod"),
+        round(col("ds").cast("double") /
+          (col("dc") * 48).cast("double"), 10).as("seasonal"))
+    withMa.join(broadcast(seasonal), Seq("hod"))
+      .select(timestamp_millis(col("h") * 3600000L).as("hour_start"),
+        col("x"),
+        when(col("det48").isNotNull,
+          round((col("s1") + col("s2")).cast("double") / lit(48.0), 10))
+          .as("trend"),
+        col("seasonal"),
+        when(col("det48").isNotNull,
+          round(round(col("det48").cast("double") / lit(48.0), 10) -
+            col("seasonal"), 10)).as("residual"))
+      .orderBy(col("hour_start"))
+  }
+
+  /**
    * Mann–Kendall monotone-trend test with Sen's slope (Mann 1945,
    * Kendall 1975, Sen 1968): the distribution-free "is the series
    * drifting" decision over daily event counts — the robust companion

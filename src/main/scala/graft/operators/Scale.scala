@@ -860,8 +860,20 @@ object Scale {
   def bitmapAudienceQuery(spark: SparkSession, sfDir: String)
       : DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
-    val bms = ev.groupBy(col("event_type"))
-      .agg(call_function("graft_bitmap", col("user_id")).as("bm"))
+    // dictionary-encode ids first — the aggregate's contract, not an
+    // optimization: raw ids can live anywhere in the 64-bit space
+    // (the sf1 ScaleUp corpus shifts them past 9e9), while bitmap
+    // positions must be dense. The dictionary build is a one-time
+    // domain-sized pass (production assigns dense ids at ingest or
+    // from a stable id service; a single sorted window over the
+    // distinct-user frame is the gate-scale equivalent).
+    val dict = ev.select(col("user_id")).distinct()
+      .withColumn("uid",
+        row_number().over(Window.orderBy(col("user_id")))
+          .cast("long") - 1)
+    val bms = ev.join(dict, Seq("user_id"))
+      .groupBy(col("event_type"))
+      .agg(call_function("graft_bitmap", col("uid")).as("bm"))
     def popcount(c: org.apache.spark.sql.Column) =
       aggregate(transform(c, w => bit_count(w).cast("long")),
         lit(0L), (acc, x) => acc + x)

@@ -151,4 +151,53 @@ class BehaviorSpec extends SparkSpec {
     }
     assert(rows.last.getLong(2) == users)
   }
+
+  test("conversion lag: every signup user present, lags nonneg, " +
+      "converted iff lag defined, and a hand-checked user replays") {
+    val rows = Behavior.conversionLagQuery(spark, sfDir).collect()
+    val ev = Tables.load(spark, sfDir, "events")
+    val signupUsers = ev.filter(col("event_type") === "signup")
+      .select(col("user_id")).distinct().count()
+    assert(rows.length == signupUsers)
+    rows.foreach { r =>
+      val lag = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(r.getBoolean(3) == lag.isDefined)
+      lag.foreach(l => assert(l >= 0, s"user ${r.getLong(0)}: lag $l"))
+    }
+    // independent replay for the first converting user
+    rows.find(_.getBoolean(3)).foreach { r =>
+      val uid = r.getLong(0)
+      val es = ev.filter(col("user_id") === uid)
+        .select(col("event_type"), unix_millis(col("ts")).as("ms"))
+        .collect().map(x => (x.getString(0), x.getLong(1)))
+      val s0 = es.filter(_._1 == "signup").map(_._2).min
+      val p0 = es.filter(e => e._1 == "purchase" && e._2 >= s0)
+        .map(_._2).min
+      assert(r.getLong(2) == (p0 - s0) / 3600000L)
+    }
+  }
+
+  test("stickiness: DAU <= MAU <= audience, ratio in (0,1], and a " +
+      "hand-recomputed window matches") {
+    val rows = Behavior.stickinessQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.load(spark, sfDir, "events")
+    val userDays = ev.select(col("user_id"),
+        expr("unix_millis(ts) div 86400000").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val audience = userDays.map(_._1).distinct.length
+    rows.foreach { r =>
+      val (dau, mau, st) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(dau >= 1 && dau <= mau, s"${r.getTimestamp(0)}: $dau/$mau")
+      assert(mau <= audience)
+      assert(st > 0.0 && st <= 1.0)
+    }
+    // brute-force the last day's MAU (trailing 30 incl. today)
+    val lastDay = rows.last.getTimestamp(0).getTime / 86400000L
+    val wantMau = userDays
+      .filter { case (_, d) => d > lastDay - 30 && d <= lastDay }
+      .map(_._1).distinct.length
+    assert(rows.last.getLong(2) == wantMau,
+      s"last-day MAU ${rows.last.getLong(2)} != brute $wantMau")
+  }
 }

@@ -188,4 +188,30 @@ class InferenceSpec extends SparkSpec {
     assert(planted.drop(20).exists(_._6),
       "planted +4σ shift did not alarm")
   }
+
+  test("seasonal decompose: identity x = trend + seasonal + residual " +
+      "holds on interior hours and edges carry null trend") {
+    val rows = Inference.seasonalDecomposeQuery(spark, sfDir).collect()
+    assert(rows.length >= 48)
+    // first/last hours lack a full ±12 window
+    assert(rows.head.isNullAt(2) && rows.last.isNullAt(2))
+    var interior = 0
+    rows.foreach { r =>
+      if (!r.isNullAt(2)) {
+        interior += 1
+        val x = r.getLong(1).toDouble
+        val recon = r.getDouble(2) + r.getDouble(3) + r.getDouble(4)
+        // each component is individually rounded at 1e-10; the
+        // identity re-assembles to x within that rounding budget
+        assert(math.abs(recon - x) < 1e-6,
+          s"${r.getTimestamp(0)}: $recon != $x")
+      } else {
+        assert(r.isNullAt(4), "residual must be null where trend is")
+      }
+    }
+    assert(interior > 0)
+    // 24 distinct seasonal values, one per clock hour
+    assert(rows.filterNot(_.isNullAt(3)).map(_.getDouble(3)).distinct
+      .length <= 24)
+  }
 }
