@@ -92,6 +92,11 @@ object SparkEntry {
     // ORC dictionary-encoding decision as an offline stats query
     // (WriterImpl checkDictionaryEncoding ratio + byte payoff)
     "q_encoding_advisor" -> (Stats.encodingAdvisorQuery _),
+    // Spearman rank correlation via midrank value grids — rank
+    // correlation served scan-shaped, no row sort
+    "q_spearman" -> (Stats.spearmanQuery _),
+    // Pareto 50/80 concentration cut on exact cent sums
+    "q_pareto" -> (Stats.paretoQuery _),
     // Item-item CF cosine over the user-engagement count matrix
     // (memory-based recommender primitive)
     "q_item_cf" -> (Behavior.itemCfQuery _),
@@ -2331,6 +2336,71 @@ object SparkEntry {
         |    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_users
         |FROM d ORDER BY day""".stripMargin,
+    // Spearman: 2x-scaled integer midranks from value grids; six
+    // exact DECIMAL sums; one double rho.
+    "q_spearman" ->
+      """WITH li AS (SELECT l_returnflag AS flag, l_quantity AS x,
+        |    l_extendedprice AS y FROM lineitem),
+        |gx AS (SELECT flag, x, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM li GROUP BY 1, 2),
+        |rx AS (SELECT flag, x,
+        |    2 * (CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY x
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - cnt) + cnt + 1
+        |      AS r2_x
+        |  FROM gx),
+        |gy AS (SELECT flag, y, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM li GROUP BY 1, 2),
+        |ry AS (SELECT flag, y,
+        |    2 * (CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY y
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - cnt) + cnt + 1
+        |      AS r2_y
+        |  FROM gy),
+        |rk AS (SELECT li.flag, r2_x, r2_y
+        |  FROM li JOIN rx ON li.flag = rx.flag AND li.x = rx.x
+        |  JOIN ry ON li.flag = ry.flag AND li.y = ry.y),
+        |s AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(r2_x AS DECIMAL(19,0))) AS DECIMAL(38,0))
+        |      AS sx,
+        |    CAST(sum(CAST(r2_y AS DECIMAL(19,0))) AS DECIMAL(38,0))
+        |      AS sy,
+        |    CAST(sum(CAST(r2_x AS DECIMAL(19,0))
+        |      * CAST(r2_x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxx,
+        |    CAST(sum(CAST(r2_y AS DECIMAL(19,0))
+        |      * CAST(r2_y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS syy,
+        |    CAST(sum(CAST(r2_x AS DECIMAL(19,0))
+        |      * CAST(r2_y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxy
+        |  FROM rk GROUP BY flag)
+        |SELECT flag, n, sxy,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 10)
+        |    AS rho
+        |FROM s ORDER BY flag""".stripMargin,
+    // Pareto cut: exact integer comparisons on cent sums.
+    "q_pareto" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |wk AS (SELECT user_id, cents,
+        |    CAST(row_number() OVER (ORDER BY cents DESC, user_id)
+        |      AS BIGINT) AS k,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, user_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM u),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(cents) AS BIGINT) AS total_cents FROM u)
+        |SELECT t.n_users, t.total_cents,
+        |  min(CASE WHEN cum * 2 >= total_cents THEN k END) AS k50,
+        |  min(CASE WHEN cum * 5 >= total_cents * 4 THEN k END)
+        |    AS k80,
+        |  max(CASE WHEN k = 10 THEN cum END) AS top10_cents,
+        |  round(CAST(max(CASE WHEN k = 10 THEN cum END) AS DOUBLE)
+        |    / CAST(t.total_cents AS DOUBLE), 10) AS top10_share
+        |FROM wk, t GROUP BY t.n_users, t.total_cents""".stripMargin,
     // Encoding advisor: the WriterImpl.java:1227-1233 dictionary
     // ratio over exact stacked column stats; byte estimates exact.
     "q_encoding_advisor" ->

@@ -373,6 +373,107 @@ object Stats {
       .orderBy(col("n_rows").desc, col("user_id"))
 
   /**
+   * Spearman rank correlation between quantity and price per return
+   * flag — the monotone-association complement to [[corrMatrixQuery]]'s
+   * Pearson (outlier-immune, nonlinearity-tolerant; the screen that
+   * catches "correlated but not linearly" before anyone fits a line).
+   *
+   * Computed WITHOUT ranking rows: tie-averaged midranks come from
+   * the VALUE GRID (2·midrank = 2·cumBefore + cnt + 1, an integer),
+   * each row joins its two grid ranks, and ρ is Pearson over the
+   * 2×-scaled integer ranks — the scale cancels. Every sum is exact
+   * DECIMAL (cast before multiply: 2r can reach 2·10⁹ at extreme
+   * row counts and the product would overflow BIGINT); ρ is ONE
+   * double expression on six exact sums, rounded 10 dp.
+   *
+   * Shape at 100 TB: two map-side-partial grid builds (bounded by
+   * the value domains), two equi-joins of rows to grid ranks, one
+   * grouped sum pass — no row-level sort anywhere, which is the
+   * whole point: rank correlation served scan-shaped.
+   */
+  def spearmanQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    def rankGrid(c: String) = {
+      val g = li.groupBy(col("flag"), col(c))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("flag")).orderBy(col(c))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      g.withColumn("cum", sum(col("cnt")).over(w))
+        .select(col("flag"), col(c),
+          (lit(2) * (col("cum") - col("cnt")) + col("cnt") + 1)
+            .as(s"r2_$c"))
+    }
+    val ranked = li
+      .join(rankGrid("x"), Seq("flag", "x"))
+      .join(rankGrid("y"), Seq("flag", "y"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val sums = ranked.groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("r2_x"))).cast("decimal(38,0)").as("sx"),
+        sum(dec(col("r2_y"))).cast("decimal(38,0)").as("sy"),
+        sum(dec(col("r2_x")) * dec(col("r2_x")))
+          .cast("decimal(38,0)").as("sxx"),
+        sum(dec(col("r2_y")) * dec(col("r2_y")))
+          .cast("decimal(38,0)").as("syy"),
+        sum(dec(col("r2_x")) * dec(col("r2_y")))
+          .cast("decimal(38,0)").as("sxy"))
+    sums.select(col("flag"), col("n"), col("sxy"),
+      round((col("n").cast("double") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) *
+         sqrt(col("n").cast("double") * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double"))), 10)
+        .as("rho"))
+      .orderBy(col("flag"))
+  }
+
+  /**
+   * Pareto concentration cut: how many top customers carry 80% (and
+   * 50%) of purchase revenue — the 80/20 readout behind account
+   * prioritization and the skew screen for revenue-weighted
+   * sampling. All decisions are exact integer comparisons on cent
+   * sums (5·cum ≥ 4·total for the 80% cut), never float shares.
+   *
+   * Shape at 100 TB: one groupBy(user) cent-sum pass; the ordered
+   * walk runs over the USER frame. Output is one row.
+   */
+  def paretoQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+    val users = ev.groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cents").desc, col("user_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val walked = users
+      .withColumn("k", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cents").desc, col("user_id"))).cast("long"))
+      .withColumn("cum", sum(col("cents")).over(w))
+    val tot = users.agg(count(lit(1)).as("n_users"),
+      sum(col("cents")).as("total_cents"))
+    walked.crossJoin(broadcast(tot))
+      .agg(first(col("n_users")).as("n_users"),
+        first(col("total_cents")).as("total_cents"),
+        min(when(col("cum") * 2 >= col("total_cents"), col("k")))
+          .as("k50"),
+        min(when(col("cum") * 5 >= col("total_cents") * 4, col("k")))
+          .as("k80"),
+        max(when(col("k") === 10, col("cum"))).as("top10_cents"))
+      .withColumn("top10_share",
+        round(col("top10_cents").cast("double") /
+          col("total_cents").cast("double"), 10))
+  }
+
+  /**
    * Dictionary-encoding advisor: the reference writer's per-column
    * dictionary decision, re-expressed as a statistics query over the
    * table. ORC's `StringTreeWriter` keeps a dictionary while writing

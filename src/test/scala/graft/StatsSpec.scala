@@ -203,4 +203,54 @@ class StatsSpec extends SparkSpec {
     assert(rows("l_orderkey").getBoolean(4),
       "l_orderkey should dictionary-encode")
   }
+
+  test("spearman: rho within [-1,1], scale-invariance vs a direct " +
+      "rank computation on one flag") {
+    import SparkSpec.spark.implicits._
+    val rows = graft.operators.Stats.spearmanQuery(spark, sfDir)
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val rho = r.getDouble(3)
+      assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9,
+        s"${r.getString(0)}: rho $rho")
+    }
+    // independent check: brute midranks for flag 'A'
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .filter(org.apache.spark.sql.functions.col("l_returnflag") === "A")
+      .select("l_quantity", "l_extendedprice")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    def midranks(vs: Array[Double]): Map[Double, Double] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val lo = sorted.indexWhere(_ == v)
+        val hi = sorted.lastIndexWhere(_ == v)
+        v -> (lo + hi + 2) / 2.0
+      }.toMap
+    }
+    val rx = midranks(li.map(_._1))
+    val ry = midranks(li.map(_._2))
+    val n = li.length.toDouble
+    val xs = li.map(p => rx(p._1)); val ys = li.map(p => ry(p._2))
+    val rho = (n * xs.zip(ys).map { case (a, b) => a * b }.sum -
+      xs.sum * ys.sum) /
+      (math.sqrt(n * xs.map(a => a * a).sum - xs.sum * xs.sum) *
+       math.sqrt(n * ys.map(a => a * a).sum - ys.sum * ys.sum))
+    val got = rows.find(_.getString(0) == "A").get.getDouble(3)
+    assert(math.abs(got - rho) < 1e-6, s"grid rho $got != brute $rho")
+  }
+
+  test("pareto: cuts are minimal and ordered, top-10 share replays") {
+    val r = graft.operators.Stats.paretoQuery(spark, sfDir).collect()(0)
+    val (n, total) = (r.getLong(0), r.getLong(1))
+    val (k50, k80) = (r.getLong(2), r.getLong(3))
+    assert(n > 0 && total > 0)
+    assert(k50 >= 1 && k50 <= k80 && k80 <= n)
+    // revenue concentration exists but is not absurd on this corpus
+    assert(k80 < n, "80% cut should not need every user")
+    assert(r.getLong(4) <= total)
+    def r10(x: Double) = BigDecimal(x)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) == r10(r.getLong(4).toDouble / total))
+  }
 }
