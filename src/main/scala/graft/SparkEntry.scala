@@ -123,6 +123,9 @@ object SparkEntry {
     "q_ewma_chart" -> ((s, d) => Inference.ewmaChartQuery(s, d)),
     // Max concurrent sessions per hour via the +1/-1 interval sweep
     "q_concurrency" -> (Scale.concurrencyQuery _),
+    // SLO burn rate: fast (1h) + sustained (1d) windows vs a 5%
+    // budget, integer-exact multiwindow alert
+    "q_slo_burn" -> (Scale.sloBurnQuery _),
     // Sorted-neighborhood ER blocking: rank-band equi-join window,
     // Jaro-Winkler scored candidates (exactly n*w pairs)
     "q_sorted_neighborhood" ->
@@ -2951,6 +2954,30 @@ object SparkEntry {
         |   OR z < floor((mu - 3.0 * sigma * sqrt(0.2 / (2 - 0.2)
         |      * (1 - f))) * 1e10 + 0.5) / 1e10) AS alarm
         |FROM h, ms ORDER BY day""".stripMargin,
+    // SLO burn: hour grid + 24-offset trailing-day rollup; alert via
+    // integer cross-multiplication.
+    "q_slo_burn" ->
+      """WITH hrs AS (SELECT epoch_ms(ts) // 3600000 AS h,
+        |    CAST(count(*) AS BIGINT) AS tot_h,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS err_h
+        |  FROM events GROUP BY 1),
+        |ex AS (SELECT h + off AS wh, tot_h, err_h
+        |  FROM hrs CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 23)) AS off)),
+        |d AS (SELECT wh AS h, CAST(sum(tot_h) AS BIGINT) AS tot_d,
+        |    CAST(sum(err_h) AS BIGINT) AS err_d
+        |  FROM ex GROUP BY 1)
+        |SELECT make_timestamp(hrs.h * 3600000 * 1000) AS hour_start,
+        |  hrs.tot_h, hrs.err_h,
+        |  round(CAST(hrs.err_h AS DOUBLE) * 20
+        |    / CAST(hrs.tot_h AS DOUBLE), 10) AS burn_1h,
+        |  round(CAST(d.err_d AS DOUBLE) * 20
+        |    / CAST(d.tot_d AS DOUBLE), 10) AS burn_1d,
+        |  (hrs.err_h * 20 > hrs.tot_h * 2
+        |    AND d.err_d * 20 > d.tot_d) AS alert
+        |FROM hrs JOIN d ON hrs.h = d.h
+        |ORDER BY hour_start""".stripMargin,
     // Interval sweep: session reconstruction (q_session_window CTE),
     // +1/-1 ordered running sum, exact integer concurrency.
     "q_concurrency" ->

@@ -907,6 +907,43 @@ object Scale {
   }
 
   /**
+   * SLO error-budget burn rate (the Google SRE workbook multiwindow
+   * alert): per hour, the error rate against a 5% budget at two
+   * horizons — the hour itself (fast burn) and its trailing day
+   * (sustained burn) — alerting only when BOTH burn, which is what
+   * kills the flappy single-window page. All alert decisions are
+   * exact integer cross-multiplications (20·err_h > 2·tot_h ⟺
+   * burn_1h > 2); the burn columns are one rounded division each.
+   *
+   * Shape at 100 TB: one map-side-partial groupBy to the hour grid;
+   * the trailing-day totals come from a 24-offset explosion of the
+   * HOUR GRID (q_stickiness device) — domain-sized, no re-scan.
+   */
+  def sloBurnQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val hours = ev
+      .select(expr("unix_millis(ts) div 3600000").as("h"),
+        (col("event_type") === "error").cast("long").as("is_err"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("tot_h"), sum(col("is_err")).as("err_h"))
+    val daily = hours
+      .select(explode(sequence(col("h"), col("h") + 23)).as("wh"),
+        col("tot_h"), col("err_h"))
+      .groupBy(col("wh").as("h"))
+      .agg(sum(col("tot_h")).as("tot_d"), sum(col("err_h")).as("err_d"))
+    hours.join(daily, Seq("h"))
+      .select(timestamp_millis(col("h") * 3600000L).as("hour_start"),
+        col("tot_h"), col("err_h"),
+        round(col("err_h").cast("double") * 20 /
+          col("tot_h").cast("double"), 10).as("burn_1h"),
+        round(col("err_d").cast("double") * 20 /
+          col("tot_d").cast("double"), 10).as("burn_1d"),
+        (col("err_h") * 20 > col("tot_h") * 2 &&
+          col("err_d") * 20 > col("tot_d")).as("alert"))
+      .orderBy(col("hour_start"))
+  }
+
+  /**
    * Concurrency curve by interval sweep: reconstruct 30-minute-gap
    * user sessions, convert each to a +1 (start) / −1 (end) sweep
    * event, and running-sum the ordered sweep — the classic

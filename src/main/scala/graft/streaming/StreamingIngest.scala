@@ -588,6 +588,31 @@ object StreamingIngest {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** W8 restart contract probe: run the hourly rollup to ONE fixed
+    * sink/checkpoint twice over the unchanged staged source and
+    * return (rows after run 1, rows after run 2). Exactly-once file
+    * sinks + the commit log mean the second AvailableNow drain must
+    * find nothing new — the restart-idempotence every production
+    * stream depends on after a crash or redeploy. */
+  def restartDelta(spark: SparkSession, sfDir: String): (Long, Long) = {
+    val dir = graft.sources.OrcIo.scratchDir("stream_restart")
+    def runOnce(): Unit = {
+      val q = hourlyRollup(eventStream(spark, sfDir)).writeStream
+        .format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .outputMode(OutputMode.Append())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val n1 = spark.read.parquet(s"$dir/out").count()
+    runOnce()
+    val n2 = spark.read.parquet(s"$dir/out").count()
+    (n1, n2)
+  }
+
   /**
    * Batch-replay harness: runs the streaming pipeline over the static
    * events table via a file stream with AvailableNow, writes ORC, and

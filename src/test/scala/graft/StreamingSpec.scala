@@ -366,4 +366,13 @@ class StreamingSpec extends SparkSpec {
         s"diff=${(res.toSet diff ref.toSet).take(3)}")
     assert(res.nonEmpty)
   }
+
+  test("restart idempotence: re-opening the same checkpoint over an " +
+      "unchanged source adds zero rows (exactly-once sink)") {
+    val (n1, n2) = graft.streaming.StreamingIngest
+      .restartDelta(spark, sfDir)
+    assert(n1 > 0, "first drain produced nothing")
+    assert(n2 == n1,
+      s"restart re-emitted rows: $n1 -> $n2 (exactly-once broken)")
+  }
 }
