@@ -419,17 +419,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("bitmap audience: the only stream-sized operation is the " +
-      "bitmap build — pair algebra runs on k bitmap rows") {
+  test("bitmap audience: pair algebra runs on bitmap rows — the " +
+      "bitmap words never cross a repartition exchange") {
     val p = graft.operators.Scale.bitmapAudienceQuery(spark, sfDir)
       .queryExecution.executedPlan.toString
-    // the pair join must not be a shuffle join over user rows: both
-    // sides are 5-row bitmap frames
-    assert(!p.contains("SortMergeJoin"),
-      s"bitmap pair algebra must not sort-merge join:\n$p")
+    // user_id exchanges are expected (the dictionary-encode join and
+    // the bitmap build are stream-sized by design); what must NOT
+    // happen is the pair/rollup algebra shuffling the bitmap arrays
+    // themselves — those stay on k-row broadcast-joined frames
     val shuffles = p.linesIterator
       .filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(!shuffles.exists(_.contains("user_id#")),
-      s"user ids shuffle beyond the bitmap build:\n$shuffles")
+    assert(!shuffles.exists(_.contains("bm#")),
+      s"bitmap arrays flow through a shuffle:\n$shuffles")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"pair algebra should broadcast the k-row bitmap frame:\n$p")
   }
 }
