@@ -141,6 +141,15 @@ object SparkEntry {
     // TPC-H Q10 shape: quarterly returned-revenue top-20 customers
     // (facts filtered at the scans, bounded TakeOrdered)
     "q10_returns" -> (Relational.q10Returns _),
+    // TPC-H Q18 shape: grouped-fact IN-subquery as a semi-join,
+    // integer quantity threshold, top-100
+    "q18_large_orders" -> (Relational.q18LargeOrders _),
+    // TPC-H Q13 shape: order-count distribution over a LEFT join
+    // (zero-count customers retained)
+    "q13_custdist" -> (Relational.q13CustDist _),
+    // Three-valued-logic parity: COUNT(*)/COUNT(col), NULL SUM/AVG
+    // over empty groups, bool_and over all-NULL, NULL comparisons
+    "q_null_semantics" -> (Relational.nullSemanticsQuery _),
     // K-fold leakage-safe target encoding (m-smoothed LOFO means on
     // exact cent sums)
     "q_target_encode" -> ((s, d) => Curation.targetEncodeQuery(s, d)),
@@ -2214,6 +2223,52 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1996-04-01'
         |GROUP BY 1, 2, 3, 4, 5
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // Q18: grouped-fact semi-join + integer threshold; total-ordered
+    // top-100.
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |      AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 150)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  o_totalprice, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
+    // Q13: LEFT join keeps zero-count customers; two-level aggregate.
+    "q13_custdist" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT)
+        |      AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM pc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // NULL semantics: engines must agree cell-for-cell on every NULL
+    // (COUNT(*) vs COUNT(col), NULL SUM/AVG, bool_and, NULL compares).
+    "q_null_semantics" ->
+      """WITH o AS (SELECT * FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01')
+        |SELECT c_custkey,
+        |  CAST(count(*) AS BIGINT) AS cnt_star,
+        |  CAST(count(o_orderkey) AS BIGINT) AS cnt_col,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  round(avg(o_totalprice), 4) AS avg_price,
+        |  max(o_orderdate) AS last_order,
+        |  CAST(sum(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_big,
+        |  min(o_orderkey IS NULL) AS no_orders
+        |FROM customer LEFT OUTER JOIN o ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
     // Target encoding: exact cent sums per (category, fold);
     // leave-one-fold-out by subtraction; one rounded division each.
     "q_target_encode" ->

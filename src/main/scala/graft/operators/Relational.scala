@@ -183,6 +183,85 @@ object Relational {
       .limit(20)
   }
 
+  /**
+   * TPC-H Q18 shape (large-volume orders): orders whose line
+   * quantities sum past a threshold, with customer context, top-100
+   * by value. The interesting plan element is the IN-subquery on a
+   * GROUPED fact: Catalyst rewrites it to a semi-join against the
+   * aggregated frame, so the big fact is scanned twice but never
+   * joined to itself row-to-row. Quantities sum as exact BIGINTs so
+   * the HAVING threshold is an integer comparison.
+   */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > 150)
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    ord.join(big, ord("o_orderkey") === big("l_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+        col("o_orderkey"))
+      .limit(100)
+  }
+
+  /**
+   * TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+   * join customers to their non-urgent orders, count per customer
+   * (zero for the orderless — the rows an inner join would silently
+   * drop), then the distribution of those counts. The two-level
+   * "aggregate of an outer-join aggregate" is the shape that
+   * separates engines with correct outer-join cardinality from ones
+   * that conflate missing with zero.
+   */
+  def q13CustDist(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+    val perCust = cust.join(ord,
+        cust("c_custkey") === ord("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /**
+   * NULL-semantics parity gate: per customer, aggregates over a LEFT
+   * join to their 1995 orders, exercising exactly the three-valued-
+   * logic rules engines most often get subtly wrong — COUNT(*) vs
+   * COUNT(col) (rows vs non-null values), SUM/AVG over an empty group
+   * (NULL, never 0), bool aggregates over all-NULL input, and a
+   * NULL-propagating comparison inside a conditional count. Both
+   * engines must agree cell-for-cell on every NULL.
+   */
+  def nullSemanticsQuery(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1996-01-01"))
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(lit(1)).as("cnt_star"),
+        count(col("o_orderkey")).as("cnt_col"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("sum_cents"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"),
+        max(col("o_orderdate")).as("last_order"),
+        // TRUE > comparison inside a count: NULL rows must not count
+        sum(when(col("o_totalprice") > 150000.0, 1L).otherwise(0L))
+          .as("n_big"),
+        // min over booleans = bool_and: TRUE iff every joined row is
+        // the outer-join NULL row, i.e. the customer had no orders
+        min(col("o_orderkey").isNull).as("no_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Global top-N: sort+limit → TakeOrderedAndProject, no full sort. */
   def topN(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")

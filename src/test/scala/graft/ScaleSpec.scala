@@ -510,6 +510,34 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("q13/null-semantics: outer joins conserve customers and NULL " +
+      "aggregate rules hold") {
+    val nCust = Tables.load(spark, sfDir, "customer").count()
+    val dist = graft.operators.Relational.q13CustDist(spark, sfDir)
+      .collect()
+    assert(dist.map(_.getLong(1)).sum == nCust,
+      "custdist does not conserve customers")
+    val ns = graft.operators.Relational.nullSemanticsQuery(spark, sfDir)
+      .collect()
+    assert(ns.length == nCust)
+    var sawEmpty = false
+    ns.foreach { r =>
+      val (star, cnt) = (r.getLong(1), r.getLong(2))
+      assert(cnt <= star)
+      val noOrders = r.getBoolean(7)
+      assert(noOrders == (cnt == 0))
+      if (noOrders) {
+        sawEmpty = true
+        // empty group: COUNT(*) still 1 (the NULL row), SUM/AVG/MAX
+        // are NULL — never zero
+        assert(star == 1)
+        assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+        assert(r.getLong(6) == 0, "NULL comparison leaked into n_big")
+      }
+    }
+    assert(sawEmpty, "premise: some customer must lack 1995 orders")
+  }
+
   test("concurrency sweep: equals a brute-force interval stab at " +
       "every sweep point and conserves session counts") {
     import org.apache.spark.sql.functions._
