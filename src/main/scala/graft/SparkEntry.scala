@@ -150,6 +150,8 @@ object SparkEntry {
     // Three-valued-logic parity: COUNT(*)/COUNT(col), NULL SUM/AVG
     // over empty groups, bool_and over all-NULL, NULL comparisons
     "q_null_semantics" -> (Relational.nullSemanticsQuery _),
+    // FD/IND dependency profiling with exact violation counts
+    "q_dependency_profile" -> (DataQuality.dependencyProfileQuery _),
     // K-fold leakage-safe target encoding (m-smoothed LOFO means on
     // exact cent sums)
     "q_target_encode" -> ((s, d) => Curation.targetEncodeQuery(s, d)),
@@ -2223,6 +2225,86 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1996-04-01'
         |GROUP BY 1, 2, 3, 4, 5
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // Dependency profiling: exact distinct-count arithmetic per
+    // candidate; IND misses via key-distinct anti joins.
+    "q_dependency_profile" ->
+      """WITH rows_(kind, lhs, rhs, lhs_distinct, violations) AS (
+        |  SELECT 'fd', 'orders.o_orderkey', 'orders.o_custkey',
+        |    (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
+        |      FROM orders),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM
+        |      (SELECT DISTINCT o_orderkey, o_custkey FROM orders))
+        |    - (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
+        |      FROM orders)
+        |  UNION ALL
+        |  SELECT 'fd', 'orders.o_custkey', 'orders.o_orderpriority',
+        |    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+        |      FROM orders),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM
+        |      (SELECT DISTINCT o_custkey, o_orderpriority
+        |       FROM orders))
+        |    - (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+        |      FROM orders)
+        |  UNION ALL
+        |  SELECT 'fd', 'lineitem.l_orderkey', 'lineitem.l_suppkey',
+        |    (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+        |      FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM
+        |      (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem))
+        |    - (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+        |      FROM lineitem)
+        |  UNION ALL
+        |  SELECT 'fd', 'events.event_id', 'events.user_id',
+        |    (SELECT CAST(count(DISTINCT event_id) AS BIGINT)
+        |      FROM events),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM
+        |      (SELECT DISTINCT event_id, user_id FROM events))
+        |    - (SELECT CAST(count(DISTINCT event_id) AS BIGINT)
+        |      FROM events)
+        |  UNION ALL
+        |  SELECT 'ind', 'lineitem.l_orderkey', 'orders.o_orderkey',
+        |    (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+        |      FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM
+        |      (SELECT DISTINCT l_orderkey FROM lineitem) l
+        |      WHERE l.l_orderkey NOT IN
+        |        (SELECT o_orderkey FROM orders))
+        |  UNION ALL
+        |  SELECT 'ind', 'orders.o_custkey', 'customer.c_custkey',
+        |    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+        |      FROM orders),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM
+        |      (SELECT DISTINCT o_custkey FROM orders) o
+        |      WHERE o.o_custkey NOT IN
+        |        (SELECT c_custkey FROM customer))
+        |  UNION ALL
+        |  SELECT 'ind', 'lineitem.l_suppkey', 'supplier.s_suppkey',
+        |    (SELECT CAST(count(DISTINCT l_suppkey) AS BIGINT)
+        |      FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM
+        |      (SELECT DISTINCT l_suppkey FROM lineitem) l
+        |      WHERE l.l_suppkey NOT IN
+        |        (SELECT s_suppkey FROM supplier))
+        |  UNION ALL
+        |  SELECT 'ind', 'lineitem.l_partkey', 'part.p_partkey',
+        |    (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT)
+        |      FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM
+        |      (SELECT DISTINCT l_partkey FROM lineitem) l
+        |      WHERE l.l_partkey NOT IN
+        |        (SELECT p_partkey FROM part))
+        |  UNION ALL
+        |  SELECT 'ind', 'orders.o_orderkey', 'customer.c_custkey',
+        |    (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
+        |      FROM orders),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM
+        |      (SELECT DISTINCT o_orderkey FROM orders) o
+        |      WHERE o.o_orderkey NOT IN
+        |        (SELECT c_custkey FROM customer)))
+        |SELECT kind, lhs, rhs, lhs_distinct, violations,
+        |  violations = 0 AS holds
+        |FROM rows_
+        |ORDER BY kind, lhs, rhs""".stripMargin,
     // Q18: grouped-fact semi-join + integer threshold; total-ordered
     // top-100.
     "q18_large_orders" ->

@@ -132,4 +132,58 @@ object DataQuality {
           log(lit(10.0)), 6).as("exp_freq"))
       .orderBy(col("digit"))
   }
+
+  /**
+   * Dependency profiling (the Metanome/HoloClean discovery layer):
+   * functional dependencies — does lhs determine rhs? — and inclusion
+   * dependencies — is every fact key present in its dimension? — over
+   * a fixed candidate set, with EXACT violation counts rather than a
+   * boolean verdict (a profiler that says "fails" without "by how
+   * much" can't rank repair work). FDs measure violations as
+   * distinct(lhs, rhs) − distinct(lhs): zero iff each lhs value maps
+   * to one rhs value. INDs measure the distinct lhs values absent
+   * from the rhs side (a left-anti on the key-distinct frames).
+   *
+   * Shape at 100 TB: every candidate is one or two map-side-partial
+   * distinct aggregations on its key columns — no candidate ever
+   * touches more than its two columns, and the anti joins run on
+   * key-distinct frames. Candidates here span held PK-style FDs,
+   * genuinely violated FDs (multi-supplier orders), all four
+   * fact→dimension INDs (held), and one deliberately false IND.
+   */
+  def dependencyProfileQuery(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    def fd(table: String, lhs: String, rhs: String): DataFrame = {
+      val t = Tables.load(spark, sfDir, table)
+      val d1 = t.select(col(lhs)).distinct().count()
+      val d2 = t.select(col(lhs), col(rhs)).distinct().count()
+      Seq(("fd", s"$table.$lhs", s"$table.$rhs", d1, d2 - d1))
+        .toDF("kind", "lhs", "rhs", "lhs_distinct", "violations")
+    }
+    def ind(lt: String, lc: String, rt: String, rc: String)
+        : DataFrame = {
+      val l = Tables.load(spark, sfDir, lt).select(col(lc).as("k"))
+        .distinct()
+      val r = Tables.load(spark, sfDir, rt).select(col(rc).as("k"))
+        .distinct()
+      val n = l.count()
+      val missing = l.join(r, Seq("k"), "left_anti").count()
+      Seq(("ind", s"$lt.$lc", s"$rt.$rc", n, missing))
+        .toDF("kind", "lhs", "rhs", "lhs_distinct", "violations")
+    }
+    Seq(
+      fd("orders", "o_orderkey", "o_custkey"),      // PK: holds
+      fd("orders", "o_custkey", "o_orderpriority"), // violated
+      fd("lineitem", "l_orderkey", "l_suppkey"),    // violated
+      fd("events", "event_id", "user_id"),          // PK: holds
+      ind("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ind("orders", "o_custkey", "customer", "c_custkey"),
+      ind("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ind("lineitem", "l_partkey", "part", "p_partkey"),
+      ind("orders", "o_orderkey", "customer", "c_custkey")) // false
+      .reduce(_ unionAll _)
+      .withColumn("holds", col("violations") === 0)
+      .orderBy(col("kind"), col("lhs"), col("rhs"))
+  }
 }
