@@ -985,9 +985,13 @@ object Curation {
       k: Int): DataFrame = {
     var chosen = List.empty[Long]
     var saturated = false
+    var covered = 0L
     val out = scala.collection.mutable.ListBuffer
       .empty[(Int, Long, Long, Long)]
-    (1 to k).foreach { r =>
+    // one materialization serves every greedy round (the explode is
+    // re-evaluated per action otherwise — k rounds × full scans)
+    docWords.cache()
+    try (1 to k).foreach { r =>
       if (!saturated) {
         // the covered set derives from docWords itself — alias its
         // column so the anti join is a real equi-join, not a
@@ -1005,12 +1009,14 @@ object Curation {
         if (win.isEmpty) saturated = true
         else {
           chosen = chosen :+ win(0).getLong(0)
-          val cum = docWords.filter(col("doc_id").isInCollection(chosen))
-            .select(col("wrd")).distinct().count()
-          out += ((r, win(0).getLong(0), win(0).getLong(1), cum))
+          // the winner's gain counts exactly its not-yet-covered
+          // elements, so cumulative coverage is the running gain sum
+          // — no extra distinct-count action per round
+          covered += win(0).getLong(1)
+          out += ((r, win(0).getLong(0), win(0).getLong(1), covered))
         }
       }
-    }
+    } finally docWords.unpersist()
     spark.createDataFrame(out.toSeq)
       .toDF("round", "doc_id", "gain", "covered_total")
   }
