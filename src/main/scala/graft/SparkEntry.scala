@@ -89,6 +89,9 @@ object SparkEntry {
     // Weighted SSSP by fixed-round Bellman-Ford over integer edge
     // weights — exact BIGINT distances, unrolled-CTE oracle
     "q_sssp" -> ((s, d) => Graph.ssspQuery(s, d)),
+    // Hierarchy subtree rollup via closed-form heap ranges over one
+    // prefix sum — zero edge joins, zero per-level iteration
+    "q_hierarchy_rollup" -> (Graph.hierarchyRollupQuery _),
     // ORC dictionary-encoding decision as an offline stats query
     // (WriterImpl checkDictionaryEncoding ratio + byte payoff)
     "q_encoding_advisor" -> (Stats.encodingAdvisorQuery _),
@@ -2445,6 +2448,39 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(d4.dist, -1) AS dist
         |FROM documents d LEFT JOIN d4 ON d.doc_id = d4.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // Hierarchy rollup: heap subtrees are contiguous id ranges per
+    // level; exact prefix-sum differences, integer shift for 2^k.
+    "q_hierarchy_rollup" ->
+      """WITH docs AS (SELECT doc_id + 1 AS node,
+        |    CAST(n_chars AS BIGINT) AS v
+        |  FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+        |pfx AS (SELECT node AS idx,
+        |    CAST(sum(v) OVER (ORDER BY node ROWS UNBOUNDED
+        |      PRECEDING) AS BIGINT) AS p
+        |  FROM docs),
+        |ks AS (SELECT unnest(generate_series(0,
+        |    CAST(len(bin((SELECT n FROM nn))) AS BIGINT))) AS k),
+        |rg AS (SELECT d.node, d.v,
+        |    d.node * (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+        |      AS lo0,
+        |    least((d.node + 1) *
+        |      (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) - 1,
+        |      (SELECT n FROM nn)) AS hi
+        |  FROM docs d CROSS JOIN ks
+        |  WHERE d.node * (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+        |    <= (SELECT n FROM nn)),
+        |wb AS (SELECT rg.node, rg.v, rg.hi - rg.lo0 + 1 AS cnt,
+        |    ph.p - coalesce(pl.p, 0) AS s
+        |  FROM rg
+        |  JOIN pfx ph ON ph.idx = rg.hi
+        |  LEFT JOIN pfx pl ON pl.idx = rg.lo0 - 1)
+        |SELECT node, v,
+        |  CAST(len(bin(node)) - 1 AS BIGINT) AS depth,
+        |  CAST(sum(cnt) AS BIGINT) AS subtree_n,
+        |  CAST(sum(s) AS BIGINT) AS subtree_sum
+        |FROM wb GROUP BY node, v
+        |ORDER BY node""".stripMargin,
     // Trigram paths: lag windows per user, exact counts, share one
     // division; top-20 totally ordered by (n desc, path).
     "q_event_paths" ->

@@ -423,6 +423,71 @@ object Graph {
    * are correct for paths of ≤ `iters` edges (-1 = unreached within
    * the horizon), the standard bounded-relaxation contract at scale.
    */
+  /**
+   * Hierarchical subtree rollup (the BOM-explosion / org-rollup OLAP
+   * shape): every node's descendant count and descendant value sum
+   * over the implicit binary-heap hierarchy (node v's children are
+   * 2v and 2v+1; node = doc_id + 1). The scalable trick is that heap
+   * subtrees are CONTIGUOUS ID RANGES per level — subtree(v) =
+   * ∪_k [v·2^k, (v+1)·2^k) — so the rollup needs NO edge joins and
+   * no per-level iteration: one global prefix sum over node order,
+   * then each node reads 2·⌈log₂ n⌉ prefix probes via equi-joins.
+   * A 20-level hierarchy rolls up in O(n log n) flat work where the
+   * naive bottom-up pass is 20 sequential self-joins.
+   *
+   * Exactness: prefix sums and every range difference are exact
+   * BIGINTs; depth = len(bin(node)) − 1 (integer, no float log).
+   * The prefix sum is the one ordered pass — the distributed
+   * prefix-sum layout (per-partition sums + boundary exchange), the
+   * q_token_budget device.
+   */
+  def hierarchyRollupQuery(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select((col("doc_id") + 1).as("node"), col("n_chars").as("v"))
+    val n = docs.count()
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("node"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val prefix = docs
+      .withColumn("p", sum(col("v")).over(wOrd))
+      .select(col("node").as("idx"), col("p"))
+    val maxK = (63 - java.lang.Long.numberOfLeadingZeros(n)).toInt + 1
+    val ranges = docs
+      .crossJoin(broadcast(spark.range(0, maxK + 1)
+        .select(col("id").as("k"))))
+      .select(col("node"), col("v"),
+        // 2^k via an integer shift — not pow(): libm exponentials
+        // carry no exactness guarantee, shifts do
+        (col("node") *
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))"))
+          .as("lo0"),
+        ((col("node") + 1) *
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))") - 1)
+          .as("hi0"))
+      .filter(col("lo0") <= n)
+      .select(col("node"), col("v"), col("lo0"),
+        least(col("hi0"), lit(n)).as("hi"))
+    val withBounds = ranges
+      .join(prefix.select(col("idx").as("hi"), col("p").as("p_hi")),
+        Seq("hi"))
+      .join(prefix.select((col("idx") + 1).as("lo0"),
+        col("p").as("p_lo")), Seq("lo0"), "left")
+      .select(col("node"), col("v"),
+        (col("hi") - col("lo0") + 1).as("cnt"),
+        (col("p_hi") - coalesce(col("p_lo"), lit(0L))).as("s"))
+    withBounds.groupBy(col("node"), col("v"))
+      .agg(sum(col("cnt")).as("subtree_n"),
+        sum(col("s")).as("subtree_sum"))
+      .withColumn("depth",
+        (length(expr("bin(node)")) - 1).cast("long"))
+      .select(col("node"), col("v"), col("depth"), col("subtree_n"),
+        col("subtree_sum"))
+      .orderBy(col("node"))
+  }
+
   def ssspQuery(spark: SparkSession, sfDir: String,
       iters: Int = 4): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))

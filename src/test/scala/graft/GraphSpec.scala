@@ -170,6 +170,35 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(capped((1L, 3L))._2 - 2.0 / math.log(2.0)) < 1e-9)
   }
 
+  test("hierarchy rollup: range arithmetic equals an explicit " +
+      "recursive descent on the real corpus tree") {
+    val rows = Graph.hierarchyRollupQuery(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_chars"))
+      .collect().map(r => (r.getLong(0) + 1) -> r.getLong(1)).toMap
+    val n = docs.size.toLong
+    assert(rows.size == docs.size)
+    // brute force: walk every node's explicit descendant set
+    def subtree(v: Long): Seq[Long] =
+      if (v > n) Seq.empty
+      else v +: (subtree(2 * v) ++ subtree(2 * v + 1))
+    for (v <- Seq(1L, 2L, 3L, 7L, n / 2, n - 1, n)) {
+      val want = subtree(v)
+      val (_, depth, stN, stSum) = rows(v)
+      assert(stN == want.length,
+        s"node $v: subtree size $stN != ${want.length}")
+      assert(stSum == want.map(docs).sum,
+        s"node $v: subtree sum mismatch")
+      assert(depth == 63 - java.lang.Long.numberOfLeadingZeros(v))
+    }
+    // leaves roll up to themselves; the root covers everything
+    assert(rows(n)._3 == 1 && rows(n)._4 == docs(n))
+    assert(rows(1L)._3 == n && rows(1L)._4 == docs.values.sum)
+  }
+
   test("sssp: seeds at zero, weighted distances dominate hop counts " +
       "within the shared horizon, weights within round bounds") {
     val sssp = Graph.ssspQuery(spark, sfDir, iters = 3).collect()
