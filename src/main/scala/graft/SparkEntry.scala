@@ -2346,7 +2346,9 @@ object SparkEntry {
         |  CAST(count(o_orderkey) AS BIGINT) AS cnt_col,
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
         |    AS BIGINT) AS sum_cents,
-        |  round(avg(o_totalprice), 4) AS avg_price,
+        |  round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS DOUBLE) / 100.0
+        |    / CAST(count(o_orderkey) AS DOUBLE), 4) AS avg_price,
         |  max(o_orderdate) AS last_order,
         |  CAST(sum(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0
         |    END) AS BIGINT) AS n_big,

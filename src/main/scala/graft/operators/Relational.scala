@@ -251,7 +251,6 @@ object Relational {
         count(col("o_orderkey")).as("cnt_col"),
         sum(round(col("o_totalprice") * 100, 0).cast("long"))
           .as("sum_cents"),
-        round(avg(col("o_totalprice")), 4).as("avg_price"),
         max(col("o_orderdate")).as("last_order"),
         // TRUE > comparison inside a count: NULL rows must not count
         sum(when(col("o_totalprice") > 150000.0, 1L).otherwise(0L))
@@ -259,6 +258,16 @@ object Relational {
         // min over booleans = bool_and: TRUE iff every joined row is
         // the outer-join NULL row, i.e. the customer had no orders
         min(col("o_orderkey").isNull).as("no_orders"))
+      // mean from the EXACT cent sum, not avg(double): a float AVG is
+      // summation-order-dependent and the sf1 probe caught the two
+      // engines a half-ulp apart on an 80-order customer; NULL-over-
+      // empty still propagates (NULL sum ⇒ NULL mean)
+      .withColumn("avg_price",
+        round(col("sum_cents").cast("double") / lit(100.0) /
+          col("cnt_col").cast("double"), 4))
+      .select(col("c_custkey"), col("cnt_star"), col("cnt_col"),
+        col("sum_cents"), col("avg_price"), col("last_order"),
+        col("n_big"), col("no_orders"))
       .orderBy(col("c_custkey"))
   }
 
