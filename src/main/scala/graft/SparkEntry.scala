@@ -458,6 +458,10 @@ object SparkEntry {
     // chained window-on-window aggregation (multiple stateful ops)
     "q_stream_distinct" ->
       (graft.streaming.StreamingIngest.replayWindowedDistinct _),
+    // Watermark-delay tuning audit: arrival-order lateness vs four
+    // candidate delays (the data-loss budget behind withWatermark)
+    "q_lateness_audit" ->
+      (graft.streaming.StreamingIngest.latenessAuditQuery _),
     // Streaming ordered funnel: per-user staged minima with a
     // watermark-horizon buffer; emitted once per quiet user
     "q_stream_funnel" -> ((s, d) =>
@@ -3224,6 +3228,35 @@ object SparkEntry {
         |FROM px JOIN s sa ON px.item_a = sa.event_type
         |  JOIN s sb ON px.item_b = sb.event_type, tot
         |ORDER BY item_a, item_b""".stripMargin,
+    // Lateness audit: running event-time max over arrival order,
+    // conditional sums per candidate delay, one division per rate.
+    "q_lateness_audit" ->
+      """WITH l AS (SELECT
+        |    CAST(max(epoch_ms(ts)) OVER (ORDER BY event_id
+        |      ROWS UNBOUNDED PRECEDING) - epoch_ms(ts) AS BIGINT)
+        |      AS late_ms
+        |  FROM events),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS total,
+        |    CAST(max(late_ms) AS BIGINT) AS max_late_ms,
+        |    CAST(sum(CASE WHEN late_ms > 60000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN late_ms > 300000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d5,
+        |    CAST(sum(CASE WHEN late_ms > 600000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d10,
+        |    CAST(sum(CASE WHEN late_ms > 1800000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d30
+        |  FROM l),
+        |u AS (
+        |  SELECT CAST(1 AS BIGINT) AS delay_min, d1 AS dropped,
+        |    total, max_late_ms FROM a
+        |  UNION ALL SELECT 5, d5, total, max_late_ms FROM a
+        |  UNION ALL SELECT 10, d10, total, max_late_ms FROM a
+        |  UNION ALL SELECT 30, d30, total, max_late_ms FROM a)
+        |SELECT delay_min, dropped, total, max_late_ms,
+        |  round(CAST(dropped AS DOUBLE) / CAST(total AS DOUBLE), 10)
+        |    AS drop_rate
+        |FROM u ORDER BY delay_min""".stripMargin,
     // Streaming exact windowed distinct: closed windows' per-type
     // DISTINCT user counts (the q_stream_cms window-close rule).
     "q_stream_distinct" ->

@@ -588,6 +588,51 @@ object StreamingIngest {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /**
+   * Watermark-lateness audit: for candidate watermark delays, how
+   * many events WOULD be dropped — the tuning readout behind every
+   * `withWatermark` choice in this file (a delay is a data-loss
+   * budget; choosing one without measuring arrival lateness is a
+   * guess). Lateness of an event = running max of event time over
+   * ARRIVAL order (event_id) minus its own event time — exactly the
+   * quantity Spark's watermark compares against.
+   *
+   * Shape at 100 TB: the running max is the one ordered pass (the
+   * distributed prefix-max layout); the four delay candidates fold
+   * into ONE conditional-sum aggregate over the lateness column.
+   * All counts exact; rates are one division each.
+   */
+  def latenessAuditQuery(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val wArr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val late = ev
+      .select(col("event_id"), unix_millis(col("ts")).as("ms"))
+      .withColumn("run_max", max(col("ms")).over(wArr))
+      .select((col("run_max") - col("ms")).as("late_ms"))
+    val delays = Seq(1L, 5L, 10L, 30L)
+    val aggCols = Seq(max(col("late_ms")).as("max_late_ms")) ++
+      delays.map(d =>
+        sum(when(col("late_ms") > d * 60000L, 1L).otherwise(0L))
+          .as(s"drop_$d"))
+    late.agg(count(lit(1)).as("total"), aggCols: _*)
+      // un-pivot the one-row wide aggregate relationally (stack) —
+      // no collect, the 4-candidate readout stays a projection
+      .selectExpr(
+        "stack(4, CAST(1 AS BIGINT), drop_1, CAST(5 AS BIGINT), " +
+          "drop_5, CAST(10 AS BIGINT), drop_10, CAST(30 AS BIGINT), " +
+          "drop_30) AS (delay_min, dropped)",
+        "total", "max_late_ms")
+      .withColumn("drop_rate",
+        round(col("dropped").cast("double") /
+          col("total").cast("double"), 10))
+      .orderBy(col("delay_min"))
+  }
+
   /** W8 restart contract probe: run the hourly rollup to ONE fixed
     * sink/checkpoint twice over the unchanged staged source and
     * return (rows after run 1, rows after run 2). Exactly-once file
