@@ -158,6 +158,9 @@ object SparkEntry {
     // K-fold leakage-safe target encoding (m-smoothed LOFO means on
     // exact cent sums)
     "q_target_encode" -> ((s, d) => Curation.targetEncodeQuery(s, d)),
+    // Dataset card: release summary from exact integer sums (sizes,
+    // breadth, digest dup rate, corpus-level quality ratios)
+    "q_dataset_card" -> (Curation.datasetCardQuery _),
     // RFM + trailing activity features per user in one grouped pass
     "q_rfm_features" -> (Behavior.rfmFeaturesQuery _),
     "q_funnel" -> (Relational.funnelQuery _),
@@ -2232,6 +2235,30 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1996-04-01'
         |GROUP BY 1, 2, 3, 4, 5
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // Dataset card: every ratio from summed integers, one division.
+    "q_dataset_card" ->
+      """WITH s AS (SELECT doc_id, lang, source, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(string_split(text, ' '), t ->
+        |      t IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+        |      AS n_stop,
+        |    md5(text) AS digest,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  round(1.0 - CAST(count(DISTINCT digest) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+        |  round(CAST(sum(is_en) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS pct_en,
+        |  round(CAST(sum(n_tok) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 4) AS mean_tokens,
+        |  round(CAST(sum(n_stop) AS DOUBLE)
+        |    / CAST(sum(n_tok) AS DOUBLE), 6) AS stopword_ratio
+        |FROM s""".stripMargin,
     // Dependency profiling: exact distinct-count arithmetic per
     // candidate; IND misses via key-distinct anti joins.
     "q_dependency_profile" ->

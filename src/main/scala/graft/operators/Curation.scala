@@ -861,6 +861,53 @@ object Curation {
   }
 
   /**
+   * Dataset card: the one-row corpus summary a training-data release
+   * publishes (Gebru et al., "Datasheets for Datasets", CACM 2021) —
+   * sizes, language/source breadth, exact-duplicate rate, and
+   * corpus-level text-quality ratios. Every field derives from EXACT
+   * integer sums with at most one final division (corpus ratios from
+   * summed counts — never a mean of per-doc doubles, whose summation
+   * order is engine-dependent). Duplicate rate counts md5 digest
+   * groups, the same identity the exact-dedup family keys on.
+   *
+   * Shape at 100 TB: ONE narrow aggregation pass (plus the digest
+   * distinct) — the card is a broadcastable artifact recomputed per
+   * release.
+   */
+  def datasetCardQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = split(col("text"), " ")
+    val stats = docs.select(
+      col("doc_id"), col("lang"), col("source"),
+      col("n_chars"),
+      size(toks).cast("long").as("n_tok"),
+      size(filter(toks, t =>
+        t.isin("the", "a", "of", "and", "to", "in", "is")))
+        .cast("long").as("n_stop"),
+      md5(col("text")).as("digest"),
+      (col("lang") === "en").cast("long").as("is_en"))
+    stats.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("n_chars_total"),
+      sum(col("n_tok")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("digest")).as("n_distinct_texts"),
+      sum(col("is_en")).as("n_en"),
+      sum(col("n_stop")).as("n_stop"))
+      .select(col("n_docs"), col("n_chars_total"), col("n_tokens"),
+        col("n_langs"), col("n_sources"),
+        round(lit(1.0) - col("n_distinct_texts").cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate"),
+        round(col("n_en").cast("double") /
+          col("n_docs").cast("double"), 6).as("pct_en"),
+        round(col("n_tokens").cast("double") /
+          col("n_docs").cast("double"), 4).as("mean_tokens"),
+        round(col("n_stop").cast("double") /
+          col("n_tokens").cast("double"), 6).as("stopword_ratio"))
+  }
+
+  /**
    * Leakage-safe target encoding (the K-fold "mean of the target per
    * category" feature, Micci-Barreca SIGKDD Expl. 2001): for each
    * (category, fold), the m-smoothed target mean computed from the
