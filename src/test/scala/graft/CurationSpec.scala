@@ -627,6 +627,26 @@ class CurationSpec extends SparkSpec {
       rows.map(_.toString).mkString(", "))
   }
 
+  test("dataset card: every field replays from independent counts") {
+    import org.apache.spark.sql.functions._
+    val r = Curation.datasetCardQuery(spark, sfDir).collect()(0)
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(r.getLong(0) == docs.count())
+    assert(r.getLong(1) ==
+      docs.agg(sum(col("n_chars"))).collect()(0).getLong(0))
+    assert(r.getLong(3) ==
+      docs.select(col("lang")).distinct().count())
+    assert(r.getLong(4) ==
+      docs.select(col("source")).distinct().count())
+    val distinctTexts = docs.select(col("text")).distinct().count()
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) ==
+      r6(1.0 - distinctTexts.toDouble / r.getLong(0)))
+    assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    assert(r.getDouble(8) > 0.0 && r.getDouble(8) < 1.0)
+  }
+
   test("isotonic calibration: fit is monotone, mean-preserving, and " +
       "pools violators") {
     val rows = Curation.calibrationQuery(spark, sfDir).collect()

@@ -7,6 +7,38 @@ import org.apache.spark.sql.functions._
   * three-valued logic, uniqueness counting, FK orphan counting, and
   * the one-pass plan shape for row rules. */
 class DataQualitySpec extends SparkSpec {
+
+  test("dependency profile: PK FDs and FK INDs hold, planted " +
+      "violations are nonzero, and one FD magnitude replays") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.DataQuality
+      .dependencyProfileQuery(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getString(0), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(rows.size == 9)
+    // PK-style FDs hold exactly
+    assert(rows(("orders.o_orderkey", "orders.o_custkey"))._4)
+    assert(rows(("events.event_id", "events.user_id"))._4)
+    // planted violations are real and measured
+    val (_, _, vio, holds) =
+      rows(("lineitem.l_orderkey", "lineitem.l_suppkey"))
+    assert(!holds && vio > 0)
+    // all four FK INDs hold; the deliberately false one does not
+    for ((l, r) <- Seq(
+      ("lineitem.l_orderkey", "orders.o_orderkey"),
+      ("orders.o_custkey", "customer.c_custkey"),
+      ("lineitem.l_suppkey", "supplier.s_suppkey"),
+      ("lineitem.l_partkey", "part.p_partkey")))
+      assert(rows((l, r))._4, s"IND $l ⊆ $r should hold")
+    assert(!rows(("orders.o_orderkey", "customer.c_custkey"))._4)
+    // magnitude replay for the violated FD
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val d1 = li.select(col("l_orderkey")).distinct().count()
+    val d2 = li.select(col("l_orderkey"), col("l_suppkey"))
+      .distinct().count()
+    assert(vio == d2 - d1)
+  }
   import SparkSpec.spark.implicits._
 
   test("checkRows: null predicate counts as violation") {

@@ -510,6 +510,52 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("slo burn: rates replay from counts, alert is the multiwindow " +
+      "conjunction, trailing day covers at most 24 hours") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Scale.sloBurnQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def r10(x: Double) = BigDecimal(x)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byHour = rows.map(r =>
+      r.getTimestamp(0).getTime / 3600000L ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getBoolean(5)))).toMap
+    byHour.foreach { case (h, (tot, err, b1, bd, alert)) =>
+      assert(err <= tot)
+      assert(b1 == r10(err.toDouble * 20 / tot))
+      // trailing-day totals re-derive from the hour map
+      val (td, ed) = (0 to 23).flatMap(k => byHour.get(h - k))
+        .map(v => (v._1, v._2)).reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      assert(bd == r10(ed.toDouble * 20 / td),
+        s"hour $h: burn_1d $bd != recomputed")
+      assert(alert == (err * 20 > tot * 2 && ed * 20 > td))
+    }
+  }
+
+  test("lateness audit: monotone in delay, rates replay, and the " +
+      "append-ordered event log is almost never late") {
+    val rows = graft.streaming.StreamingIngest
+      .latenessAuditQuery(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 5L, 10L, 30L))
+    val drops = rows.map(_.getLong(1))
+    // larger delay can only drop fewer
+    assert(drops.sliding(2).forall {
+      case Array(a, b) => b <= a
+      case _ => true
+    })
+    val total = rows.head.getLong(2)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= total)
+      def r10(x: Double) = BigDecimal(x)
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == r10(r.getLong(1).toDouble / total))
+    }
+    // the generator emits in timestamp order: max lateness is 0
+    assert(rows.head.getLong(3) == 0L,
+      "append-ordered log should have zero lateness")
+  }
+
   test("q13/null-semantics: outer joins conserve customers and NULL " +
       "aggregate rules hold") {
     val nCust = Tables.load(spark, sfDir, "customer").count()
