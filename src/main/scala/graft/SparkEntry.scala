@@ -465,6 +465,10 @@ object SparkEntry {
     // candidate delays (the data-loss budget behind withWatermark)
     "q_lateness_audit" ->
       (graft.streaming.StreamingIngest.latenessAuditQuery _),
+    // Streaming windowed top-3 types: exact in-stream counts +
+    // rank-at-read serving (ranks are not append-emittable)
+    "q_stream_topk" ->
+      (graft.streaming.StreamingIngest.replayWindowedTopK _),
     // Streaming ordered funnel: per-user staged minima with a
     // watermark-horizon buffer; emitted once per quiet user
     "q_stream_funnel" -> ((s, d) =>
@@ -3284,6 +3288,26 @@ object SparkEntry {
         |  round(CAST(dropped AS DOUBLE) / CAST(total AS DOUBLE), 10)
         |    AS drop_rate
         |FROM u ORDER BY delay_min""".stripMargin,
+    // Streaming top-k: closed windows' per-type counts ranked top-3
+    // (the q_stream_cms window-close rule + a rank view).
+    "q_stream_topk" ->
+      """WITH wm AS (
+        |  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS w
+        |  FROM events),
+        |win AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+        |      AS hour_start,
+        |    event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events, wm
+        |  GROUP BY 1, 2, wm.w
+        |  HAVING hour_start + INTERVAL 1 HOUR <= wm.w),
+        |rk AS (SELECT hour_start, event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY hour_start
+        |      ORDER BY n DESC, event_type) AS INTEGER) AS rank
+        |  FROM win)
+        |SELECT hour_start, rank, event_type, n
+        |FROM rk WHERE rank <= 3
+        |ORDER BY hour_start, rank""".stripMargin,
     // Streaming exact windowed distinct: closed windows' per-type
     // DISTINCT user counts (the q_stream_cms window-close rule).
     "q_stream_distinct" ->

@@ -633,6 +633,40 @@ object StreamingIngest {
       .orderBy(col("delay_min"))
   }
 
+  /**
+   * Streaming windowed top-k: per closed hour window, the 3 busiest
+   * event types. The STREAM maintains exact per-(window, type) counts
+   * (watermark-bounded state, the one shape that is append-streamable);
+   * the RANKING is a view over the drained counts — rank-at-read is
+   * the honest production layout, because a rank changes with every
+   * arrival and therefore cannot be emitted append-only before its
+   * window closes. Ties break by event type.
+   */
+  def windowedTopK(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n"))
+
+  /** Drained-replay gate for [[windowedTopK]]: rank the closed
+    * windows' counts and keep the top 3 per window. */
+  def replayWindowedTopK(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val out = runToParquet(windowedTopK(eventStream(spark, sfDir)),
+      "stream_topk")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour_start"))
+      .orderBy(col("n").desc, col("event_type"))
+    spark.read.parquet(out)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 3)
+      .select(col("hour_start"), col("rank"), col("event_type"),
+        col("n"))
+      .orderBy(col("hour_start"), col("rank"))
+  }
+
   /** W8 restart contract probe: run the hourly rollup to ONE fixed
     * sink/checkpoint twice over the unchanged staged source and
     * return (rows after run 1, rows after run 2). Exactly-once file
