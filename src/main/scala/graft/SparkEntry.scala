@@ -2109,10 +2109,10 @@ object SparkEntry {
         |    CAST(sum(n * n) AS BIGINT) AS s2
         |  FROM d GROUP BY event_type),
         |z AS (SELECT d.event_type, d.day, d.n,
-        |    CAST(round(CAST(pr.m * d.n - pr.s1 AS DOUBLE) /
+        |    CAST(floor((CAST(pr.m * d.n - pr.s1 AS DOUBLE) /
         |      (CAST(pr.m AS DOUBLE) *
         |        (sqrt(CAST(pr.m * pr.s2 - pr.s1 * pr.s1 AS DOUBLE))
-        |          / CAST(pr.m AS DOUBLE))), 10)
+        |          / CAST(pr.m AS DOUBLE)))) * 1e10 + 0.5) / 1e10
         |      AS DECIMAL(20,10)) AS zr
         |  FROM d JOIN pr ON d.event_type = pr.event_type),
         |c AS (SELECT *, CAST(sum(zr - CAST(0.5 AS DECIMAL(2,1)))
@@ -2146,11 +2146,12 @@ object SparkEntry {
         |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total
         |  FROM c GROUP BY prev_type),
         |p AS (SELECT c.prev_type, c.event_type, c.n,
-        |    round(CAST(c.n AS DOUBLE) / CAST(t.row_total AS DOUBLE), 10)
-        |      AS p
+        |    floor((CAST(c.n AS DOUBLE) / CAST(t.row_total AS DOUBLE))
+        |      * 1e10 + 0.5) / 1e10 AS p
         |  FROM c JOIN t ON c.prev_type = t.prev_type),
         |h AS (SELECT prev_type,
-        |    CAST(sum(CAST(round(-p * ln(p), 10) AS DECIMAL(20,10)))
+        |    CAST(sum(CAST(floor((-p * ln(p)) * 1e10 + 0.5) / 1e10
+        |      AS DECIMAL(20,10)))
         |      AS DECIMAL(38,10)) AS row_entropy_nats
         |  FROM p GROUP BY prev_type)
         |SELECT p.prev_type, p.event_type, p.n, p.p, h.row_entropy_nats
@@ -2162,11 +2163,11 @@ object SparkEntry {
     "q_decay_agg" ->
       """WITH ref AS (SELECT max(epoch_ms(ts)) AS ref_ms FROM events),
         |w AS (SELECT event_type,
-        |    CAST(round(power(2.0, -(CAST(ref.ref_ms - epoch_ms(ts)
-        |        AS DOUBLE) / 3.6e6) / 168.0), 10)
+        |    CAST(floor(power(2.0, -(CAST(ref.ref_ms - epoch_ms(ts)
+        |        AS DOUBLE) / 3.6e6) / 168.0) * 1e10 + 0.5) / 1e10
         |      AS DECIMAL(20,10)) AS wt,
-        |    CAST(round(power(2.0, -(CAST(ref.ref_ms - epoch_ms(ts)
-        |        AS DOUBLE) / 3.6e6) / 168.0) * value, 6)
+        |    CAST(floor((power(2.0, -(CAST(ref.ref_ms - epoch_ms(ts)
+        |        AS DOUBLE) / 3.6e6) / 168.0) * value) * 1e6 + 0.5) / 1e6
         |      AS DECIMAL(24,6)) AS wv
         |  FROM events, ref)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -2584,13 +2585,13 @@ object SparkEntry {
         |      * CAST(r2_y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxy
         |  FROM rk GROUP BY flag)
         |SELECT flag, n, sxy,
-        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |  floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 10)
-        |    AS rho
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+        |    * 1e10 + 0.5) / 1e10 AS rho
         |FROM s ORDER BY flag""".stripMargin,
     // Pareto cut: exact integer comparisons on cent sums.
     "q_pareto" ->
@@ -2611,8 +2612,9 @@ object SparkEntry {
         |  min(CASE WHEN cum * 5 >= total_cents * 4 THEN k END)
         |    AS k80,
         |  max(CASE WHEN k = 10 THEN cum END) AS top10_cents,
-        |  round(CAST(max(CASE WHEN k = 10 THEN cum END) AS DOUBLE)
-        |    / CAST(t.total_cents AS DOUBLE), 10) AS top10_share
+        |  floor((CAST(max(CASE WHEN k = 10 THEN cum END) AS DOUBLE)
+        |    / CAST(t.total_cents AS DOUBLE)) * 1e10 + 0.5) / 1e10
+        |    AS top10_share
         |FROM wk, t GROUP BY t.n_users, t.total_cents""".stripMargin,
     // Encoding advisor: the WriterImpl.java:1227-1233 dictionary
     // ratio over exact stacked column stats; byte estimates exact.
@@ -2695,8 +2697,9 @@ object SparkEntry {
         |    AND a.event_type < b.event_type
         |  GROUP BY 1, 2)
         |SELECT item_a, item_b, co_users, dot,
-        |  round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.ss AS DOUBLE))
-        |    * sqrt(CAST(nb.ss AS DOUBLE))), 10) AS cos_sim
+        |  floor((CAST(dot AS DOUBLE) / (sqrt(CAST(na.ss AS DOUBLE))
+        |    * sqrt(CAST(nb.ss AS DOUBLE)))) * 1e10 + 0.5) / 1e10
+        |    AS cos_sim
         |FROM d JOIN nrm na ON d.item_a = na.event_type
         |  JOIN nrm nb ON d.item_b = nb.event_type
         |ORDER BY item_a, item_b""".stripMargin,
@@ -2764,16 +2767,17 @@ object SparkEntry {
         |    CAST(count(DISTINCT hod) AS BIGINT) AS nc FROM cells),
         |terms AS (SELECT cells.event_type, cells.hod, cells.n, r, c,
         |    n_total, nr, nc,
-        |    round(CAST(r*c AS DOUBLE) / CAST(n_total AS DOUBLE), 10)
-        |      AS expected
+        |    floor((CAST(r*c AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |      * 1e10 + 0.5) / 1e10 AS expected
         |  FROM cells JOIN rt USING (event_type) JOIN ct USING (hod),
         |    tot),
         |t2 AS (SELECT *,
-        |    CAST(round(power(CAST(n AS DOUBLE) - expected, 2)
-        |        / expected, 10) AS DECIMAL(28,10)) AS chi2_term,
-        |    CAST(round((CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE))
-        |        * ln(CAST(n*n_total AS DOUBLE) / CAST(r*c AS DOUBLE)),
-        |        12) AS DECIMAL(26,12)) AS mi_term
+        |    CAST(floor((power(CAST(n AS DOUBLE) - expected, 2)
+        |        / expected) * 1e10 + 0.5) / 1e10
+        |      AS DECIMAL(28,10)) AS chi2_term,
+        |    CAST(floor(((CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |        * ln(CAST(n*n_total AS DOUBLE) / CAST(r*c AS DOUBLE)))
+        |        * 1e12 + 0.5) / 1e12 AS DECIMAL(26,12)) AS mi_term
         |  FROM terms),
         |summ AS (SELECT
         |    CAST(sum(chi2_term) AS DECIMAL(38,10)) AS chi2,
@@ -2783,9 +2787,9 @@ object SparkEntry {
         |SELECT t2.event_type, t2.hod, t2.n, t2.expected, t2.chi2_term,
         |  t2.mi_term, summ.chi2, summ.mi_nats,
         |  (nrr - 1) * (ncc - 1) AS dof,
-        |  round(sqrt(CAST(chi2 AS DOUBLE)
-        |    / CAST(nt * least(nrr - 1, ncc - 1) AS DOUBLE)), 6)
-        |    AS cramers_v
+        |  floor(sqrt(CAST(chi2 AS DOUBLE)
+        |    / CAST(nt * least(nrr - 1, ncc - 1) AS DOUBLE))
+        |    * 1e6 + 0.5) / 1e6 AS cramers_v
         |FROM t2, summ
         |ORDER BY t2.event_type, t2.hod""".stripMargin,
     // Exact KS + Mann-Whitney AUC: the gate rides pure BIGINT
@@ -3285,8 +3289,8 @@ object SparkEntry {
         |  UNION ALL SELECT 10, d10, total, max_late_ms FROM a
         |  UNION ALL SELECT 30, d30, total, max_late_ms FROM a)
         |SELECT delay_min, dropped, total, max_late_ms,
-        |  round(CAST(dropped AS DOUBLE) / CAST(total AS DOUBLE), 10)
-        |    AS drop_rate
+        |  floor((CAST(dropped AS DOUBLE) / CAST(total AS DOUBLE))
+        |    * 1e10 + 0.5) / 1e10 AS drop_rate
         |FROM u ORDER BY delay_min""".stripMargin,
     // Streaming top-k: closed windows' per-type counts ranked top-3
     // (the q_stream_cms window-close rule + a rank view).
@@ -3354,8 +3358,8 @@ object SparkEntry {
         |    CAST(count(*) AS BIGINT) AS pairs
         |  FROM pairs GROUP BY lag)
         |SELECT lag, pairs, num, den.den,
-        |  round(CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE), 10)
-        |    AS r
+        |  floor((CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE))
+        |    * 1e10 + 0.5) / 1e10 AS r
         |FROM agg, den ORDER BY lag""".stripMargin,
     // Seasonal profile: per (event_type, hour-of-day) mean/sd over all
     // days, z against one's own clock hour; the oracle replays the
@@ -4302,14 +4306,15 @@ object SparkEntry {
         |  LEFT JOIN c ON c.lang = t.lang AND c.term = v.term
         |  LEFT JOIN en ON en.term = v.term),
         |terms AS (SELECT lang, n,
-        |    CAST(round(
+        |    CAST(floor((
         |      (CAST(cl + 1 AS DOUBLE) /
         |        CAST(n + (SELECT vn FROM vs) AS DOUBLE)) *
         |      ln((CAST(cl + 1 AS DOUBLE) /
         |        CAST(n + (SELECT vn FROM vs) AS DOUBLE)) /
         |      (CAST(ce + 1 AS DOUBLE) /
         |        CAST((SELECT n_en FROM ent) + (SELECT vn FROM vs)
-        |          AS DOUBLE))), 10) AS DECIMAL(24,10)) AS tv
+        |          AS DOUBLE)))) * 1e10 + 0.5) / 1e10
+        |      AS DECIMAL(24,10)) AS tv
         |  FROM grid)
         |SELECT lang, max(n) AS n_tokens,
         |  CAST(sum(tv) AS DECIMAL(38,10)) AS kl_nats
@@ -4366,8 +4371,8 @@ object SparkEntry {
         |    CAST(sum(plen) AS BIGINT) AS deg
         |  FROM pw GROUP BY word),
         |wsc AS (SELECT word,
-        |    CAST(round(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE), 6)
-        |      AS DECIMAL(18,6)) AS wscore
+        |    CAST(floor((CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE))
+        |      * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)) AS wscore
         |  FROM wstat),
         |dp AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occur
         |  FROM ph2 GROUP BY phrase),
@@ -5028,8 +5033,8 @@ object SparkEntry {
         |   UNION ALL SELECT dst AS src, src AS dst FROM ed)),
         |dg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
         |ctr AS (SELECT src AS z,
-        |    CAST(round(1.0 / ln(CAST(deg AS DOUBLE)), 10)
-        |      AS DECIMAL(28,10)) AS w
+        |    CAST(floor((1.0 / ln(CAST(deg AS DOUBLE))) * 1e10 + 0.5)
+        |      / 1e10 AS DECIMAL(28,10)) AS w
         |  FROM dg WHERE deg >= 2 AND deg <= 64),
         |adj AS (SELECT c.z, c.w, u.dst AS nb
         |  FROM und u JOIN ctr c ON u.src = c.z),

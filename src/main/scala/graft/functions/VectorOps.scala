@@ -33,6 +33,18 @@ object VectorOps {
     math.floor(x * p + 0.5) / p
   }
 
+  /** Column twin of [[foldRound]] for engine-side hash-gated rounding:
+    * `floor(x·10^s + 0.5)/10^s` as a Catalyst expression. Library
+    * `round(DOUBLE, n)` is engine-dependent on tie inputs (Spark rounds
+    * the shortest decimal repr, DuckDB the binary value — and DuckDB's
+    * behavior has shifted across its own versions), so every hashed
+    * double that needs rounding goes through this form, mirrored
+    * literally as `floor(x * 1eN + 0.5) / 1eN` in the oracle SQL. */
+  def foldRound(c: Column, scale: Int): Column = {
+    val p = math.pow(10.0, scale)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
   /** ‖a‖₂ */
   def norm(a: Column): Column = call_function("graft_norm", a)
 

@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.VectorOps.{foldRound => fr}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,11 +46,11 @@ object Behavior {
       .agg(sum(col("n")).as("row_total"))
     val withP = counts.join(broadcast(totals), Seq("prev_type"))
       .withColumn("p",
-        round(col("n").cast("double") / col("row_total").cast("double"),
+        fr(col("n").cast("double") / col("row_total").cast("double"),
           10) + lit(0.0))
     val entropy = withP
       .select(col("prev_type"),
-        round(-col("p") * log(col("p")), 10).cast("decimal(20,10)")
+        fr(-col("p") * log(col("p")), 10).cast("decimal(20,10)")
           .as("term"))
       .groupBy(col("prev_type"))
       .agg(sum(col("term")).cast("decimal(38,10)")
@@ -87,8 +88,8 @@ object Behavior {
     val wRaw = pow(lit(2.0), -ageH / lit(halfLifeHours))
     ev.crossJoin(broadcast(ref))
       .select(col("event_type"),
-        round(wRaw, 10).cast("decimal(20,10)").as("wt"),
-        round(wRaw * col("value"), 6).cast("decimal(24,6)").as("wv"))
+        fr(wRaw, 10).cast("decimal(20,10)").as("wt"),
+        fr(wRaw * col("value"), 6).cast("decimal(24,6)").as("wv"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("wt")).cast("decimal(38,10)").as("decayed_n"),
@@ -239,7 +240,7 @@ object Behavior {
         Seq("item_b"))
       .select(col("item_a"), col("item_b"), col("co_users"),
         col("dot"),
-        round(col("dot").cast("double") /
+        fr(col("dot").cast("double") /
           (sqrt(col("ss_a").cast("double")) *
            sqrt(col("ss_b").cast("double"))), 10).as("cos_sim"))
       .orderBy(col("item_a"), col("item_b"))
@@ -312,8 +313,14 @@ object Behavior {
    * Shape at 100 TB: ONE map-side-partial groupBy(user) computes
    * every feature as conditional aggregates against a broadcast
    * reference time — no per-window self-joins, no event-time
-   * windows; the ntile runs over the USER frame (domain-sized), not
-   * events.
+   * windows. The quartile scores do NOT use `ntile` windows (three
+   * unpartitioned `Window.orderBy`s = three single-task sorts of the
+   * whole user frame): each score is the ntile closed form
+   * bucket(rn, n) evaluated on a [[Prefix.running]] distributed rank
+   * — with n = 4·q + rem, the first rem buckets hold q+1 rows, so
+   * bucket = ⌈rn/(q+1)⌉ while rn ≤ rem·(q+1), else
+   * rem + ⌈(rn − rem·(q+1))/q⌉ — pure integer arithmetic, identical
+   * to the SQL-standard NTILE both engines implement.
    */
   def rfmFeaturesQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
@@ -335,15 +342,32 @@ object Behavior {
           .otherwise(0L)).as("n_7d"),
         sum(when(unix_millis(col("ts")) > col("ref_ms") - 30 * dayMs, 1L)
           .otherwise(0L)).as("n_30d"))
-    feats
-      .withColumn("r_score", ntile(4).over(
-        Window.orderBy(col("recency_h"), col("user_id"))).cast("long"))
-      .withColumn("f_score", ntile(4).over(
-        Window.orderBy(col("frequency").desc, col("user_id")))
-        .cast("long"))
-      .withColumn("m_score", ntile(4).over(
-        Window.orderBy(col("monetary_cents").desc, col("user_id")))
-        .cast("long"))
+    // ntile(4) closed form over a distributed rank: ceilDiv stays
+    // exact (operands are user-frame counts, far under 2^53) so no
+    // float ever places a quartile boundary
+    def ceilDiv(a: Column, b: Column): Column =
+      floor((a + b - lit(1L)) / b).cast("long")
+    def bucket(rn: Column, n: Column): Column = {
+      val q = floor(n / 4).cast("long")
+      val rem = n % 4
+      val fat = rem * (q + 1)
+      when(rn <= fat, ceilDiv(rn, q + 1))
+        .otherwise(rem + ceilDiv(rn - fat, q))
+    }
+    val nUsers = feats.agg(count(lit(1)).as("n_users"))
+    val ranked = Seq(
+      ("rn_r", Seq(col("recency_h"), col("user_id"))),
+      ("rn_f", Seq(col("frequency").desc, col("user_id"))),
+      ("rn_m", Seq(col("monetary_cents").desc, col("user_id"))))
+      .foldLeft(feats) { case (acc, (out, ord)) =>
+        Prefix.running(acc, Seq(), ord,
+          Seq(Prefix.Running(lit(1L), "cnt", out)))
+      }
+    ranked.crossJoin(broadcast(nUsers))
+      .withColumn("r_score", bucket(col("rn_r"), col("n_users")))
+      .withColumn("f_score", bucket(col("rn_f"), col("n_users")))
+      .withColumn("m_score", bucket(col("rn_m"), col("n_users")))
+      .drop("rn_r", "rn_f", "rn_m", "n_users")
       .orderBy(col("user_id"))
   }
 

@@ -283,19 +283,16 @@ object Curation {
    * everything ranked below it are out).
    *
    * Scale shape (100 TB): one narrow scoring pass (native token
-   * kernel), then a DISTRIBUTED PREFIX SUM — a global
-   * `Window.orderBy` with no partition key would drag every row into
-   * one task (Spark warns exactly this), so the running total is
-   * computed as: range-partition on the sort key, O(1)-per-row local
-   * running sums inside each partition, plus a broadcast join against
-   * the nParts-row partition-offset table (the classic two-phase scan
-   * primitive). Only (doc_id, score, n_tok) rows ever move, never
-   * text; the result is partition-layout-independent because prefix
-   * sums are associative. True greedy FILL (skip the over-budget doc
-   * but keep scanning for smaller ones) is a sequential recurrence
-   * that cannot ride a bounded-memory window — prefix-cut is the
-   * distributable standard, and the budget shortfall is at most one
-   * document's tokens.
+   * kernel), then a DISTRIBUTED PREFIX SUM via [[Prefix.running]] —
+   * a global `Window.orderBy` with no partition key would drag every
+   * row into one task (Spark warns exactly this). Only
+   * (doc_id, score, n_tok) rows ever move, never text; the result is
+   * partition-layout-independent because prefix sums are associative.
+   * True greedy FILL (skip the over-budget doc but keep scanning for
+   * smaller ones) is a sequential recurrence that cannot ride a
+   * bounded-memory window — prefix-cut is the distributable
+   * standard, and the budget shortfall is at most one document's
+   * tokens.
    */
   def tokenBudgetSelect(docs: DataFrame, budget: Long,
       nParts: Int = 32): DataFrame = {
@@ -305,25 +302,8 @@ object Curation {
       .join(docs.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok")),
         Seq("doc_id"))
-    // range partitioner boundaries are sampled, but correctness never
-    // depends on where they fall: local cum + partition offset is the
-    // same global prefix sum for ANY split of the sorted stream
-    val parted = scored
-      .repartitionByRange(nParts, col("q").desc, col("doc_id"))
-      .withColumn("_pid", spark_partition_id())
-    val wLocal = Window.partitionBy(col("_pid"))
-      .orderBy(col("q").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wOff = Window.orderBy(col("_pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = parted.groupBy(col("_pid"))
-      .agg(sum(col("n_tok")).as("_ptot"))
-      .withColumn("_off", coalesce(sum(col("_ptot")).over(wOff), lit(0L)))
-      .select(col("_pid"), col("_off"))
-    parted
-      .withColumn("_lcum", sum(col("n_tok")).over(wLocal))
-      .join(broadcast(offsets), Seq("_pid"))
-      .withColumn("cum_tokens", col("_lcum") + col("_off"))
+    Prefix.running(scored, Seq(), Seq(col("q").desc, col("doc_id")),
+        Seq(Prefix.Running(col("n_tok"), "sum", "cum_tokens")), nParts)
       .filter(col("cum_tokens") <= budget)
       .select(col("doc_id"), col("q"), col("n_tok"), col("cum_tokens"))
   }

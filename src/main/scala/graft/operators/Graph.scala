@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.VectorOps.{foldRound => fr}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -377,7 +378,7 @@ object Graph {
     val centers = deg
       .filter(col("deg") >= 2 && col("deg") <= degCap)
       .select(col("src").as("z"),
-        round(lit(1.0) / log(col("deg").cast("double")), 10)
+        fr(lit(1.0) / log(col("deg").cast("double")), 10)
           .cast("decimal(28,10)").as("w"))
     val adj = und.join(centers, und("src") === centers("z"))
       .select(col("z"), col("w"), und("dst").as("nb"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.VectorOps.{foldRound => fr}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -63,13 +64,13 @@ object Inference {
       .join(broadcast(colT), Seq("hod"))
       .crossJoin(broadcast(tot))
       .withColumn("expected",
-        round((col("r") * col("c")).cast("double") /
+        fr((col("r") * col("c")).cast("double") /
           col("n_total").cast("double"), 10))
       .withColumn("chi2_term",
-        round(pow(col("n").cast("double") - col("expected"), 2) /
+        fr(pow(col("n").cast("double") - col("expected"), 2) /
           col("expected"), 10).cast("decimal(28,10)"))
       .withColumn("mi_term",
-        round((col("n").cast("double") / col("n_total").cast("double")) *
+        fr((col("n").cast("double") / col("n_total").cast("double")) *
           log((col("n") * col("n_total")).cast("double") /
             (col("r") * col("c")).cast("double")), 12)
           .cast("decimal(26,12)"))
@@ -80,7 +81,7 @@ object Inference {
         first(col("nr")).as("nrr"), first(col("nc")).as("ncc"))
       .withColumn("dof", (col("nrr") - 1) * (col("ncc") - 1))
       .withColumn("cramers_v",
-        round(sqrt(col("chi2").cast("double") /
+        fr(sqrt(col("chi2").cast("double") /
           (col("nt") * least(col("nrr") - 1, col("ncc") - 1))
             .cast("double")), 6))
       .select(col("one"), col("chi2"), col("mi_nats"), col("dof"),
@@ -277,7 +278,7 @@ object Inference {
         .cast("decimal(38,0)").as("num"), count(lit(1)).as("pairs"))
       .crossJoin(broadcast(den))
       .withColumn("r",
-        round(col("num").cast("double") / col("den").cast("double"), 10))
+        fr(col("num").cast("double") / col("den").cast("double"), 10))
       .select(col("lag"), col("pairs"), col("num"), col("den"), col("r"))
       .orderBy(col("lag"))
   }

@@ -671,10 +671,11 @@ object Relational {
    * comparison is EXACT integer arithmetic (100·cum ≥ qPct·total over
    * BIGINT unit counts), so no float threshold ever decides a
    * quantile. Shape at 100 TB: groupBy(flag, price) folds to the
-   * price grid map-side; the ordered walk runs per flag over that
-   * grid; like the exact-percentile family this pays a per-group
-   * grid sort by construction — the GK sketch remains the documented
-   * approximate path.
+   * price grid map-side — but that grid is NEAR-UNIQUE (583k distinct
+   * prices in 600k rows at sf0.1), so the cumulative weight rides
+   * [[Prefix.running]]'s two-phase distributed prefix sum, not a
+   * per-flag window (which would sort each flag's whole grid in one
+   * task); the GK sketch remains the documented approximate path.
    */
   def weightedPercentilesQuery(spark: SparkSession, sfDir: String)
       : DataFrame = {
@@ -684,12 +685,10 @@ object Relational {
         col("l_quantity").cast("long").as("qty"))
     val grid = li.groupBy(col("flag"), col("price"))
       .agg(sum(col("qty")).as("w"))
-    val wOrd = Window.partitionBy(col("flag")).orderBy(col("price"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = grid.groupBy(col("flag"))
       .agg(sum(col("w")).as("wtot"))
-    val walked = grid
-      .withColumn("cum", sum(col("w")).over(wOrd))
+    val walked = Prefix.running(grid, Seq("flag"), Seq(col("price")),
+        Seq(Prefix.Running(col("w"), "sum", "cum")))
       .join(broadcast(tot), Seq("flag"))
     def pick(qPct: Int) =
       min(when(col("cum") * 100 >= col("wtot") * qPct, col("price")))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.VectorOps.{foldRound => fr}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -684,7 +685,7 @@ object Scale {
     // 38-digit cap (a (38,10)−(38,10) would silently round to scale
     // 9 on the overflow path, which the sf0.01 gate caught)
     val scored = daily.join(broadcast(prof), Seq("event_type"))
-      .withColumn("zr", round(z, 10).cast("decimal(20,10)"))
+      .withColumn("zr", fr(z, 10).cast("decimal(20,10)"))
       .withColumn("cc",
         sum(col("zr") - lit(0.5).cast("decimal(2,1)")).over(w)
           .cast("decimal(20,10)"))
@@ -957,9 +958,10 @@ object Scale {
    * (delta DESC in the sweep order), then (user, session) breaks
    * remaining ties — a one-event session still registers concurrency
    * 1. Everything is exact integer arithmetic. Shuffles carry
-   * (ts, ±1) pairs; the ordered running sum is the one inherently
-   * sequential pass (a distributed deployment runs it as per-
-   * partition sums + a partition-boundary prefix exchange).
+   * (ts, ±1) pairs; the ordered running sum IS implemented as
+   * per-partition sums + a partition-offset merge
+   * ([[Prefix.running]]) — a plain global window would pull every
+   * sweep event of the corpus into one task.
    */
   def concurrencyQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
@@ -982,11 +984,10 @@ object Scale {
         col("user_id"), col("session_no"))
       .unionAll(sessions.select(col("s_end").as("ts"),
         lit(-1L).as("delta"), col("user_id"), col("session_no")))
-    val ord = Window.orderBy(col("ts"), col("delta").desc,
-      col("user_id"), col("session_no"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sweep
-      .withColumn("conc", sum(col("delta")).over(ord))
+    Prefix.running(sweep, Seq(),
+        Seq(col("ts"), col("delta").desc, col("user_id"),
+          col("session_no")),
+        Seq(Prefix.Running(col("delta"), "sum", "conc")))
       .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
       .agg(max(col("conc")).as("max_concurrent"),
         sum(when(col("delta") === 1, 1L).otherwise(0L))

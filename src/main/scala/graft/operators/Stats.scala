@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.VectorOps.{foldRound => fr}
 import graft.sources.{OrcIo, OrcMeta}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -386,10 +387,15 @@ object Stats {
    * row counts and the product would overflow BIGINT); ρ is ONE
    * double expression on six exact sums, rounded 10 dp.
    *
-   * Shape at 100 TB: two map-side-partial grid builds (bounded by
-   * the value domains), two equi-joins of rows to grid ranks, one
-   * grouped sum pass — no row-level sort anywhere, which is the
-   * whole point: rank correlation served scan-shaped.
+   * Shape at 100 TB: two map-side-partial grid builds, two
+   * equi-joins of rows to grid ranks, one grouped sum pass — no
+   * row-level sort anywhere, which is the whole point: rank
+   * correlation served scan-shaped. The grid prefix sums ride
+   * [[Prefix.running]]'s two-phase distributed scan, NOT a per-flag
+   * window: the quantity grid is 50 rows, but the PRICE grid is
+   * near-unique (583k distinct in 600k rows at sf0.1) — a
+   * `Window.partitionBy(flag)` there is three corpus-sized
+   * single-task sorts wearing a partition key as a disguise.
    */
   def spearmanQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val li = graft.Tables.load(spark, sfDir, "lineitem")
@@ -398,12 +404,8 @@ object Stats {
     def rankGrid(c: String) = {
       val g = li.groupBy(col("flag"), col(c))
         .agg(count(lit(1)).as("cnt"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("flag")).orderBy(col(c))
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      g.withColumn("cum", sum(col("cnt")).over(w))
+      Prefix.running(g, Seq("flag"), Seq(col(c)),
+          Seq(Prefix.Running(col("cnt"), "sum", "cum")))
         .select(col("flag"), col(c),
           (lit(2) * (col("cum") - col("cnt")) + col("cnt") + 1)
             .as(s"r2_$c"))
@@ -423,7 +425,7 @@ object Stats {
         sum(dec(col("r2_x")) * dec(col("r2_y")))
           .cast("decimal(38,0)").as("sxy"))
     sums.select(col("flag"), col("n"), col("sxy"),
-      round((col("n").cast("double") * col("sxy").cast("double") -
+      fr((col("n").cast("double") * col("sxy").cast("double") -
         col("sx").cast("double") * col("sy").cast("double")) /
         (sqrt(col("n").cast("double") * col("sxx").cast("double") -
           col("sx").cast("double") * col("sx").cast("double")) *
@@ -441,23 +443,20 @@ object Stats {
    * sums (5·cum ≥ 4·total for the 80% cut), never float shares.
    *
    * Shape at 100 TB: one groupBy(user) cent-sum pass; the ordered
-   * walk runs over the USER frame. Output is one row.
+   * walk is a [[Prefix.running]] two-phase distributed prefix
+   * sum + prefix count over (cents desc, user_id) — a plain
+   * `Window.orderBy` here has NO partition key at all, i.e. one task
+   * sorts every user. Output is one row.
    */
   def paretoQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = graft.Tables.load(spark, sfDir, "events")
       .filter(col("event_type") === "purchase")
     val users = ev.groupBy(col("user_id"))
       .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cents").desc, col("user_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val walked = users
-      .withColumn("k", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("cents").desc, col("user_id"))).cast("long"))
-      .withColumn("cum", sum(col("cents")).over(w))
+    val walked = Prefix.running(users, Seq(),
+      Seq(col("cents").desc, col("user_id")),
+      Seq(Prefix.Running(col("cents"), "sum", "cum"),
+        Prefix.Running(lit(1L), "cnt", "k")))
     val tot = users.agg(count(lit(1)).as("n_users"),
       sum(col("cents")).as("total_cents"))
     walked.crossJoin(broadcast(tot))
@@ -469,7 +468,7 @@ object Stats {
           .as("k80"),
         max(when(col("k") === 10, col("cum"))).as("top10_cents"))
       .withColumn("top10_share",
-        round(col("top10_cents").cast("double") /
+        fr(col("top10_cents").cast("double") /
           col("total_cents").cast("double"), 10))
   }
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.VectorOps.{foldRound => fr}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -671,7 +672,7 @@ object TextAnalysis {
       (col("n_en") + lit(vSize)).cast("double")
     grid
       .select(col("lang"), col("n"),
-        round(p * log(p / q), 10).cast("decimal(24,10)").as("t"))
+        fr(p * log(p / q), 10).cast("decimal(24,10)").as("t"))
       .groupBy(col("lang"))
       .agg(max(col("n")).as("n_tokens"),
         sum(col("t")).cast("decimal(38,10)").as("kl_nats"))
@@ -812,7 +813,7 @@ object TextAnalysis {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
       .withColumn("wscore",
-        round(col("deg").cast("double") / col("freq").cast("double"), 6)
+        fr(col("deg").cast("double") / col("freq").cast("double"), 6)
           .cast("decimal(18,6)"))
     // score one representative instance per DISTINCT phrase (equal
     // word multisets ⇒ equal scores; occurrences carried as a count)

@@ -597,22 +597,21 @@ object StreamingIngest {
    * ARRIVAL order (event_id) minus its own event time — exactly the
    * quantity Spark's watermark compares against.
    *
-   * Shape at 100 TB: the running max is the one ordered pass (the
-   * distributed prefix-max layout); the four delay candidates fold
-   * into ONE conditional-sum aggregate over the lateness column.
-   * All counts exact; rates are one division each.
+   * Shape at 100 TB: the running max is a
+   * [[graft.operators.Prefix.running]] two-phase distributed
+   * prefix-max over arrival order (per-partition local maxima + an
+   * earlier-partitions offset merge — an unpartitioned window here
+   * would drag the whole stream into one task); the four delay
+   * candidates fold into ONE conditional-sum aggregate over the
+   * lateness column. All counts exact; rates are one division each.
    */
   def latenessAuditQuery(spark: SparkSession, sfDir: String)
       : DataFrame = {
     val ev = graft.Tables.load(spark, sfDir, "events")
-    val wArr = org.apache.spark.sql.expressions.Window
-      .orderBy(col("event_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val late = ev
-      .select(col("event_id"), unix_millis(col("ts")).as("ms"))
-      .withColumn("run_max", max(col("ms")).over(wArr))
+    val late = graft.operators.Prefix.running(
+        ev.select(col("event_id"), unix_millis(col("ts")).as("ms")),
+        Seq(), Seq(col("event_id")),
+        Seq(graft.operators.Prefix.Running(col("ms"), "max", "run_max")))
       .select((col("run_max") - col("ms")).as("late_ms"))
     val delays = Seq(1L, 5L, 10L, 30L)
     val aggCols = Seq(max(col("late_ms")).as("max_late_ms")) ++
@@ -628,8 +627,9 @@ object StreamingIngest {
           "drop_30) AS (delay_min, dropped)",
         "total", "max_late_ms")
       .withColumn("drop_rate",
-        round(col("dropped").cast("double") /
-          col("total").cast("double"), 10))
+        graft.functions.VectorOps.foldRound(
+          col("dropped").cast("double") / col("total").cast("double"),
+          10))
       .orderBy(col("delay_min"))
   }
 
