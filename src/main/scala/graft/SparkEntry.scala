@@ -428,7 +428,7 @@ object SparkEntry {
     "q_stream_sessions" -> ((s, d) =>
       graft.streaming.StreamingIngest.replaySessions(s, d)
         .select(col("user_id"), col("session_no"), col("n_events"),
-          org.apache.spark.sql.functions.round(col("sum_value"), 2)
+          graft.functions.VectorOps.foldRound(col("sum_value"), 2)
             .as("sum_value"),
           col("session_start"))
         .orderBy(col("user_id"), col("session_no"))),
@@ -649,8 +649,8 @@ object SparkEntry {
         |    AS DOUBLE) AS sum_base_price,
         |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
         |    AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  floor(avg(l_quantity) * 1e4 + 0.5) / 1e4 AS avg_qty,
+        |  floor(avg(l_discount) * 1e4 + 0.5) / 1e4 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -665,7 +665,8 @@ object SparkEntry {
       "SELECT count(*) AS cnt FROM lineitem",
     "q3_join" ->
       """SELECT l_orderkey, o_orderdate,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -702,10 +703,10 @@ object SparkEntry {
         |ORDER BY o_custkey, rk""".stripMargin,
     "q_running_sum" ->
       """SELECT user_id, event_id,
-        |  round(sum(value) OVER (PARTITION BY user_id
+        |  floor(sum(value) OVER (PARTITION BY user_id
         |    ORDER BY CAST(ts AS TIMESTAMP), event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-        |    AS running_value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    * 1e2 + 0.5) / 1e2 AS running_value
         |FROM events
         |ORDER BY user_id, event_id""".stripMargin,
     "q_anti_join" ->
@@ -740,7 +741,7 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
         |    AS hour_start,
         |  event_type, count(*) AS n_events,
-        |  round(sum(value), 2) AS sum_value
+        |  floor(sum(value) * 1e2 + 0.5) / 1e2 AS sum_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_start, event_type""".stripMargin,
@@ -956,13 +957,13 @@ object SparkEntry {
         |ORDER BY p.o_orderkey""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-        |  round(sum(l_quantity), 2) AS sum_qty
+        |  floor(sum(l_quantity) * 1e2 + 0.5) / 1e2 AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-        |  round(sum(l_quantity), 2) AS sum_qty
+        |  floor(sum(l_quantity) * 1e2 + 0.5) / 1e2 AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |  (l_linestatus), ())
@@ -1015,7 +1016,8 @@ object SparkEntry {
         |    AS session_no
         |  FROM s)
         |SELECT user_id, session_no, count(*) AS n_events,
-        |  round(sum(value), 2) AS sum_value, min(ts) AS session_start
+        |  floor(sum(value) * 1e2 + 0.5) / 1e2 AS sum_value,
+        |  min(ts) AS session_start
         |FROM n GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
     "q_asof_join" ->
@@ -1039,7 +1041,7 @@ object SparkEntry {
         |  FROM events
         |  WHERE event_type = 'error' AND event_id % 20 = 0)
         |SELECT w.incident_id, count(*) AS n_events,
-        |  round(sum(e.value), 2) AS sum_value
+        |  floor(sum(e.value) * 1e2 + 0.5) / 1e2 AS sum_value
         |FROM w JOIN events e
         |  ON CAST(e.ts AS TIMESTAMP) >= w.lo
         |  AND CAST(e.ts AS TIMESTAMP) <= w.hi
@@ -1054,7 +1056,7 @@ object SparkEntry {
         |SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
         |    AS hour_start,
         |  event_type, count(*) AS n_events,
-        |  round(sum(value), 2) AS sum_value
+        |  floor(sum(value) * 1e2 + 0.5) / 1e2 AS sum_value
         |FROM events, wm
         |GROUP BY 1, 2, wm.w
         |HAVING hour_start + INTERVAL 1 HOUR <= wm.w
@@ -1633,10 +1635,10 @@ object SparkEntry {
     "q_mmr" ->
       """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
         |rel AS (SELECT c.vec_id,
-        |    round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |    floor((list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
         |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
-        |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4)
-        |      AS rel
+        |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))))
+        |      * 1e4 + 0.5) / 1e4 AS rel
         |  FROM embeddings c, q WHERE c.vec_id <> 0),
         |cand AS (SELECT vec_id, rel FROM rel
         |  ORDER BY rel DESC, vec_id LIMIT 20),
@@ -1884,16 +1886,16 @@ object SparkEntry {
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
-        |  coalesce(round(sum(CASE WHEN event_type = 'click'
-        |    THEN value END), 2), 0.0) AS click_value,
-        |  coalesce(round(sum(CASE WHEN event_type = 'error'
-        |    THEN value END), 2), 0.0) AS error_value,
-        |  coalesce(round(sum(CASE WHEN event_type = 'purchase'
-        |    THEN value END), 2), 0.0) AS purchase_value,
-        |  coalesce(round(sum(CASE WHEN event_type = 'signup'
-        |    THEN value END), 2), 0.0) AS signup_value,
-        |  coalesce(round(sum(CASE WHEN event_type = 'view'
-        |    THEN value END), 2), 0.0) AS view_value
+        |  coalesce(floor(sum(CASE WHEN event_type = 'click'
+        |    THEN value END) * 1e2 + 0.5) / 1e2, 0.0) AS click_value,
+        |  coalesce(floor(sum(CASE WHEN event_type = 'error'
+        |    THEN value END) * 1e2 + 0.5) / 1e2, 0.0) AS error_value,
+        |  coalesce(floor(sum(CASE WHEN event_type = 'purchase'
+        |    THEN value END) * 1e2 + 0.5) / 1e2, 0.0) AS purchase_value,
+        |  coalesce(floor(sum(CASE WHEN event_type = 'signup'
+        |    THEN value END) * 1e2 + 0.5) / 1e2, 0.0) AS signup_value,
+        |  coalesce(floor(sum(CASE WHEN event_type = 'view'
+        |    THEN value END) * 1e2 + 0.5) / 1e2, 0.0) AS view_value
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
@@ -1906,10 +1908,11 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total,
         |  CAST(count(*) AS BIGINT) AS n_keys FROM c)
         |SELECT user_id, n_rows,
-        |  round(CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
-        |    + 0.0 AS share,
-        |  round(CAST(n_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
-        |    / CAST(n_total AS DOUBLE), 4) + 0.0 AS skew_factor,
+        |  floor((CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |    * 1e6 + 0.5) / 1e6 + 0.0 AS share,
+        |  floor((CAST(n_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |    / CAST(n_total AS DOUBLE)) * 1e4 + 0.5) / 1e4 + 0.0
+        |    AS skew_factor,
         |  CAST(ceil(CAST(n_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
         |    / CAST(n_total AS DOUBLE)) AS INTEGER) AS salt_rec
         |FROM c CROSS JOIN t
@@ -2057,11 +2060,12 @@ object SparkEntry {
         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |SELECT event_type, hour_start,
         |  COALESCE(n_events, 0) AS n_events, v_obs,
-        |  CASE WHEN v_obs IS NOT NULL THEN round(v_obs, 4) + 0.0
-        |    ELSE round(pv + (nv - pv) *
+        |  CASE WHEN v_obs IS NOT NULL
+        |    THEN floor(v_obs * 1e4 + 0.5) / 1e4 + 0.0
+        |    ELSE floor((pv + (nv - pv) *
         |      (CAST(epoch_ms(hour_start) - epoch_ms(pt) AS DOUBLE)
-        |       / CAST(epoch_ms(nt) - epoch_ms(pt) AS DOUBLE)), 4)
-        |      + 0.0
+        |       / CAST(epoch_ms(nt) - epoch_ms(pt) AS DOUBLE)))
+        |      * 1e4 + 0.5) / 1e4 + 0.0
         |  END AS v_obs_interp,
         |  n_events IS NULL AS is_gap
         |FROM w ORDER BY event_type, hour_start""".stripMargin,
@@ -2083,16 +2087,17 @@ object SparkEntry {
         |  WINDOW win AS (PARTITION BY event_type ORDER BY hour_start
         |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
         |SELECT event_type, hour_start, n,
-        |  round(CAST(s1 AS DOUBLE) / 24.0, 4) + 0.0 AS mean_24h,
+        |  floor((CAST(s1 AS DOUBLE) / 24.0) * 1e4 + 0.5) / 1e4 + 0.0
+        |    AS mean_24h,
         |  CASE WHEN 24*s2 - s1*s1 > 0 THEN
-        |    round(CAST(24*n - s1 AS DOUBLE)
-        |      / (24.0 * sqrt(CAST(24*s2 - s1*s1 AS DOUBLE) / 576.0)),
-        |      4) + 0.0
+        |    floor((CAST(24*n - s1 AS DOUBLE)
+        |      / (24.0 * sqrt(CAST(24*s2 - s1*s1 AS DOUBLE) / 576.0)))
+        |      * 1e4 + 0.5) / 1e4 + 0.0
         |  END AS z,
         |  CASE WHEN 24*s2 - s1*s1 > 0 THEN
-        |    abs(round(CAST(24*n - s1 AS DOUBLE)
-        |      / (24.0 * sqrt(CAST(24*s2 - s1*s1 AS DOUBLE) / 576.0)),
-        |      4) + 0.0) >= 3.0
+        |    abs(floor((CAST(24*n - s1 AS DOUBLE)
+        |      / (24.0 * sqrt(CAST(24*s2 - s1*s1 AS DOUBLE) / 576.0)))
+        |      * 1e4 + 0.5) / 1e4 + 0.0) >= 3.0
         |  END AS is_anomaly
         |FROM w WHERE win_n = 24
         |ORDER BY event_type, hour_start""".stripMargin,
@@ -2380,11 +2385,12 @@ object SparkEntry {
         |SELECT c_custkey,
         |  CAST(count(*) AS BIGINT) AS cnt_star,
         |  CAST(count(o_orderkey) AS BIGINT) AS cnt_col,
-        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
         |    AS BIGINT) AS sum_cents,
-        |  round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
-        |      AS DOUBLE) / 100.0
-        |    / CAST(count(o_orderkey) AS DOUBLE), 4) AS avg_price,
+        |  floor((CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+        |        AS BIGINT)) AS DOUBLE) / 100.0
+        |    / CAST(count(o_orderkey) AS DOUBLE)) * 1e4 + 0.5) / 1e4
+        |    AS avg_price,
         |  max(o_orderdate) AS last_order,
         |  CAST(sum(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0
         |    END) AS BIGINT) AS n_big,
@@ -2398,7 +2404,7 @@ object SparkEntry {
       """WITH o AS (SELECT o_orderpriority AS category,
         |    ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))
         |      ::BIGINT % 4 AS fold,
-        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
         |  FROM orders),
         |cells AS (SELECT category, fold,
         |    CAST(count(*) AS BIGINT) AS n,
@@ -2411,12 +2417,13 @@ object SparkEntry {
         |    CAST(sum(s) AS BIGINT) AS tot_s FROM cells)
         |SELECT c.category, c.fold, c.n,
         |  ct.cat_n - c.n AS n_loo,
-        |  round(CAST(tot_s AS DOUBLE) / 100.0
-        |    / CAST(tot_n AS DOUBLE), 6) AS prior,
-        |  round((CAST(ct.cat_s - c.s AS DOUBLE) / 100.0
+        |  floor((CAST(tot_s AS DOUBLE) / 100.0
+        |    / CAST(tot_n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS prior,
+        |  floor(((CAST(ct.cat_s - c.s AS DOUBLE) / 100.0
         |      + 10.0 * (CAST(tot_s AS DOUBLE) / 100.0
         |        / CAST(tot_n AS DOUBLE)))
-        |    / CAST(ct.cat_n - c.n + 10 AS DOUBLE), 6) AS encoding
+        |    / CAST(ct.cat_n - c.n + 10 AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |    AS encoding
         |FROM cells c JOIN cats ct ON c.category = ct.category, tot
         |ORDER BY c.category, c.fold""".stripMargin,
     // RFM features: conditional aggregates vs the broadcast stream
@@ -3115,16 +3122,19 @@ object SparkEntry {
         |m2 AS (SELECT *, CASE WHEN c1 = 24 AND c2 = 24
         |    THEN x*48 - s1 - s2 END AS det48 FROM ma),
         |se AS (SELECT hod,
-        |    round(CAST(sum(det48) AS DOUBLE)
-        |      / CAST(count(det48) * 48 AS DOUBLE), 10) AS seasonal
+        |    floor((CAST(sum(det48) AS DOUBLE)
+        |      / CAST(count(det48) * 48 AS DOUBLE)) * 1e10 + 0.5) / 1e10
+        |      AS seasonal
         |  FROM m2 WHERE det48 IS NOT NULL GROUP BY hod)
         |SELECT make_timestamp(h * 3600000 * 1000) AS hour_start, x,
         |  CASE WHEN det48 IS NOT NULL THEN
-        |    round(CAST(s1 + s2 AS DOUBLE) / 48.0, 10) END AS trend,
+        |    floor((CAST(s1 + s2 AS DOUBLE) / 48.0) * 1e10 + 0.5) / 1e10
+        |    END AS trend,
         |  se.seasonal,
         |  CASE WHEN det48 IS NOT NULL THEN
-        |    round(round(CAST(det48 AS DOUBLE) / 48.0, 10)
-        |      - se.seasonal, 10) END AS residual
+        |    floor((floor((CAST(det48 AS DOUBLE) / 48.0) * 1e10 + 0.5)
+        |      / 1e10 - se.seasonal) * 1e10 + 0.5) / 1e10
+        |    END AS residual
         |FROM m2 JOIN se USING (hod) ORDER BY hour_start""".stripMargin,
     // EWMA chart: recursive z and width factor both floor-pinned per
     // step; mu/sigma one double each from exact power sums.
@@ -3378,17 +3388,17 @@ object SparkEntry {
         |    CAST(sum(n*n) AS BIGINT) AS s2
         |  FROM hh GROUP BY event_type, hod)
         |SELECT hh.event_type, hh.hour_start, hh.hod, hh.n,
-        |  round(CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE), 4) + 0.0
-        |    AS mean_hod,
+        |  floor((CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))
+        |    * 1e4 + 0.5) / 1e4 + 0.0 AS mean_hod,
         |  CASE WHEN m*s2 - s1*s1 > 0 THEN
-        |    round(CAST(m*hh.n - s1 AS DOUBLE) / (CAST(m AS DOUBLE) *
-        |      (sqrt(CAST(m*s2 - s1*s1 AS DOUBLE)) / CAST(m AS DOUBLE))),
-        |      4) + 0.0
+        |    floor((CAST(m*hh.n - s1 AS DOUBLE) / (CAST(m AS DOUBLE) *
+        |      (sqrt(CAST(m*s2 - s1*s1 AS DOUBLE)) / CAST(m AS DOUBLE))))
+        |      * 1e4 + 0.5) / 1e4 + 0.0
         |  END AS z,
         |  CASE WHEN m*s2 - s1*s1 > 0 THEN
-        |    abs(round(CAST(m*hh.n - s1 AS DOUBLE) / (CAST(m AS DOUBLE) *
-        |      (sqrt(CAST(m*s2 - s1*s1 AS DOUBLE)) / CAST(m AS DOUBLE))),
-        |      4) + 0.0) >= 3.0
+        |    abs(floor((CAST(m*hh.n - s1 AS DOUBLE) / (CAST(m AS DOUBLE) *
+        |      (sqrt(CAST(m*s2 - s1*s1 AS DOUBLE)) / CAST(m AS DOUBLE))))
+        |      * 1e4 + 0.5) / 1e4 + 0.0) >= 3.0
         |  END AS is_anomaly
         |FROM hh JOIN p ON hh.event_type = p.event_type
         |  AND hh.hod = p.hod
@@ -3539,7 +3549,8 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY l_returnflag
         |      ORDER BY l_extendedprice DESC, l_orderkey) AS INTEGER)
         |      AS rank,
-        |    round(l_extendedprice, 2) AS price, l_orderkey
+        |    floor(l_extendedprice * 1e2 + 0.5) / 1e2 AS price,
+        |    l_orderkey
         |  FROM lineitem) t
         |WHERE rank <= 5
         |ORDER BY l_returnflag, rank""".stripMargin,
@@ -3642,8 +3653,10 @@ object SparkEntry {
         |SELECT CAST(least(floor((l_extendedprice - lo) /
         |    ((hi - lo) / 10.0)), 9) AS INTEGER) AS bucket,
         |  count(*) AS n_rows,
-        |  round(min(l_extendedprice), 2) AS bucket_min,
-        |  round(max(l_extendedprice), 2) AS bucket_max,
+        |  floor(min(l_extendedprice) * 1e2 + 0.5) / 1e2
+        |    AS bucket_min,
+        |  floor(max(l_extendedprice) * 1e2 + 0.5) / 1e2
+        |    AS bucket_max,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,8))), 2)
         |    AS DOUBLE) AS bucket_sum
         |FROM lineitem CROSS JOIN mm
@@ -3656,11 +3669,13 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT l_returnflag AS flag, l_extendedprice AS x
         |  FROM lineitem),
-        |med AS (SELECT flag, round(quantile_cont(x, 0.5), 2) AS med
+        |med AS (SELECT flag,
+        |    floor(quantile_cont(x, 0.5) * 1e2 + 0.5) / 1e2 AS med
         |  FROM d GROUP BY flag),
         |dev AS (SELECT d.flag, d.x, med.med, abs(d.x - med.med) AS adev
         |  FROM d JOIN med USING (flag)),
-        |mad AS (SELECT flag, round(quantile_cont(adev, 0.5), 2) AS mad
+        |mad AS (SELECT flag,
+        |    floor(quantile_cont(adev, 0.5) * 1e2 + 0.5) / 1e2 AS mad
         |  FROM dev GROUP BY flag),
         |o AS (SELECT dev.flag, CAST(count(*) AS BIGINT) AS n_rows,
         |    CAST(sum(CASE WHEN adev > 3.0 * 1.4826 * mad.mad
@@ -3668,16 +3683,16 @@ object SparkEntry {
         |  FROM dev JOIN mad USING (flag) GROUP BY dev.flag)
         |SELECT o.flag AS l_returnflag, o.n_rows, med.med, mad.mad,
         |  o.n_outliers,
-        |  round(CAST(o.n_outliers AS DOUBLE) /
-        |    CAST(o.n_rows AS DOUBLE), 6) AS outlier_frac
+        |  floor((CAST(o.n_outliers AS DOUBLE) /
+        |    CAST(o.n_rows AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS outlier_frac
         |FROM o JOIN med USING (flag) JOIN mad USING (flag)
         |ORDER BY l_returnflag""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
-        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+        |  floor(quantile_cont(l_extendedprice, 0.25) * 1e2 + 0.5) / 1e2 AS p25,
+        |  floor(quantile_cont(l_extendedprice, 0.5) * 1e2 + 0.5) / 1e2 AS p50,
+        |  floor(quantile_cont(l_extendedprice, 0.75) * 1e2 + 0.5) / 1e2 AS p75,
+        |  floor(quantile_cont(l_extendedprice, 0.95) * 1e2 + 0.5) / 1e2 AS p95,
         |  count(*) AS n_rows
         |FROM lineitem
         |GROUP BY l_returnflag
@@ -3781,10 +3796,10 @@ object SparkEntry {
         |FROM ex, ka, kn, ku""".stripMargin,
     "q_approx_percentiles" ->
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
-        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+        |  floor(quantile_cont(l_extendedprice, 0.25) * 1e2 + 0.5) / 1e2 AS p25,
+        |  floor(quantile_cont(l_extendedprice, 0.5) * 1e2 + 0.5) / 1e2 AS p50,
+        |  floor(quantile_cont(l_extendedprice, 0.75) * 1e2 + 0.5) / 1e2 AS p75,
+        |  floor(quantile_cont(l_extendedprice, 0.95) * 1e2 + 0.5) / 1e2 AS p95,
         |  count(*) AS n_rows,
         |  TRUE AS within_rank_eps
         |FROM lineitem
@@ -5837,7 +5852,8 @@ object SparkEntry {
         |  FROM s),
         |g2 AS (
         |  SELECT user_id, session_no, count(*) AS n_events,
-        |    round(sum(value), 2) AS sum_value, min(ts) AS session_start,
+        |    floor(sum(value) * 1e2 + 0.5) / 1e2 AS sum_value,
+        |    min(ts) AS session_start,
         |    max(ts) AS session_end
         |  FROM n GROUP BY user_id, session_no),
         |wm AS (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.VectorOps.{foldRound => fr}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -909,7 +910,7 @@ object Curation {
       .select(col("o_orderpriority").as("category"),
         (Sampling.hashBucket24(col("o_orderkey").cast("string"))
           % folds).as("fold"),
-        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        fr(col("o_totalprice") * 100, 0).cast("long").as("cents"))
     val cells = ord.groupBy(col("category"), col("fold"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
     val cats = cells.groupBy(col("category"))
@@ -923,8 +924,8 @@ object Curation {
           col("tot_n").cast("double"))
       .select(col("category"), col("fold"), col("n"),
         (col("cat_n") - col("n")).as("n_loo"),
-        round(col("prior"), 6).as("prior"),
-        round(((col("cat_s") - col("s")).cast("double") / lit(100.0) +
+        fr(col("prior"), 6).as("prior"),
+        fr(((col("cat_s") - col("s")).cast("double") / lit(100.0) +
           lit(m.toDouble) * col("prior")) /
           (col("cat_n") - col("n") + m).cast("double"), 6)
           .as("encoding"))

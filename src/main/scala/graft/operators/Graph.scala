@@ -409,22 +409,6 @@ object Graph {
   }
 
   /**
-   * Weighted single-source shortest paths by fixed-round synchronous
-   * Bellman–Ford relaxation — the weighted upgrade of [[bfsDistQuery]]
-   * (hop counts say "3 links away"; edge weights say "7 ms / $7 / 7
-   * transformations away", the form routing and lineage-cost queries
-   * need). Edge weights are deterministic small INTEGERS
-   * (1 + (src·7 + dst·13) mod 5), so every tentative distance stays
-   * an exact BIGINT — no float accumulation anywhere in the
-   * iteration, and the oracle replays all rounds as unrolled CTEs.
-   *
-   * Each round is one edge⋈distance join + a min-groupBy: shuffles
-   * carry (node, BIGINT) pairs only. Fixed `iters` bounds the
-   * frontier exactly like the BFS/PageRank family: distances reported
-   * are correct for paths of ≤ `iters` edges (-1 = unreached within
-   * the horizon), the standard bounded-relaxation contract at scale.
-   */
-  /**
    * Hierarchical subtree rollup (the BOM-explosion / org-rollup OLAP
    * shape): every node's descendant count and descendant value sum
    * over the implicit binary-heap hierarchy (node v's children are
@@ -438,22 +422,26 @@ object Graph {
    *
    * Exactness: prefix sums and every range difference are exact
    * BIGINTs; depth = len(bin(node)) − 1 (integer, no float log).
-   * The prefix sum is the one ordered pass — the distributed
-   * prefix-sum layout (per-partition sums + boundary exchange), the
-   * q_token_budget device.
+   * The prefix sum rides [[Prefix.running]]'s two-phase distributed
+   * scan (per-partition sums + earlier-partition offsets), the
+   * q_token_budget device. The heap-range algebra REQUIRES the node
+   * ids to be dense 1..n (a doc_id gap would silently drop whole
+   * subtree ranges, and the oracle makes the identical assumption,
+   * so the hash gate could not see it) — density is asserted up
+   * front and the query fails loudly on gapped input.
    */
   def hierarchyRollupQuery(spark: SparkSession, sfDir: String)
       : DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
       .select((col("doc_id") + 1).as("node"), col("n_chars").as("v"))
-    val n = docs.count()
-    val wOrd = org.apache.spark.sql.expressions.Window
-      .orderBy(col("node"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val prefix = docs
-      .withColumn("p", sum(col("v")).over(wOrd))
+    val bounds = docs.agg(count(lit(1)), max(col("node"))).head()
+    val (n, maxNode) = (bounds.getLong(0), bounds.getLong(1))
+    require(n == maxNode,
+      s"hierarchyRollup requires dense doc_ids 0..n-1: count=$n but " +
+        s"max node=$maxNode — derive a dense node id (row_number over " +
+        "doc_id) before calling, as bitmapAudienceQuery does for users")
+    val prefix = Prefix.running(docs, Seq(), Seq(col("node")),
+        Seq(Prefix.Running(col("v"), "sum", "p")))
       .select(col("node").as("idx"), col("p"))
     val maxK = (63 - java.lang.Long.numberOfLeadingZeros(n)).toInt + 1
     val ranges = docs
@@ -489,6 +477,22 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /**
+   * Weighted single-source shortest paths by fixed-round synchronous
+   * Bellman–Ford relaxation — the weighted upgrade of [[bfsDistQuery]]
+   * (hop counts say "3 links away"; edge weights say "7 ms / $7 / 7
+   * transformations away", the form routing and lineage-cost queries
+   * need). Edge weights are deterministic small INTEGERS
+   * (1 + (src·7 + dst·13) mod 5), so every tentative distance stays
+   * an exact BIGINT — no float accumulation anywhere in the
+   * iteration, and the oracle replays all rounds as unrolled CTEs.
+   *
+   * Each round is one edge⋈distance join + a min-groupBy: shuffles
+   * carry (node, BIGINT) pairs only. Fixed `iters` bounds the
+   * frontier exactly like the BFS/PageRank family: distances reported
+   * are correct for paths of ≤ `iters` edges (-1 = unreached within
+   * the horizon), the standard bounded-relaxation contract at scale.
+   */
   def ssspQuery(spark: SparkSession, sfDir: String,
       iters: Int = 4): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))

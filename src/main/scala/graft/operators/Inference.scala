@@ -448,17 +448,17 @@ object Inference {
       .groupBy(col("hod"))
       .agg(sum(col("det48")).as("ds"), count(lit(1)).as("dc"))
       .select(col("hod"),
-        round(col("ds").cast("double") /
+        fr(col("ds").cast("double") /
           (col("dc") * 48).cast("double"), 10).as("seasonal"))
     withMa.join(broadcast(seasonal), Seq("hod"))
       .select(timestamp_millis(col("h") * 3600000L).as("hour_start"),
         col("x"),
         when(col("det48").isNotNull,
-          round((col("s1") + col("s2")).cast("double") / lit(48.0), 10))
+          fr((col("s1") + col("s2")).cast("double") / lit(48.0), 10))
           .as("trend"),
         col("seasonal"),
         when(col("det48").isNotNull,
-          round(round(col("det48").cast("double") / lit(48.0), 10) -
+          fr(fr(col("det48").cast("double") / lit(48.0), 10) -
             col("seasonal"), 10)).as("residual"))
       .orderBy(col("hour_start"))
   }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.VectorOps.{foldRound => fr}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -51,8 +52,8 @@ object Relational {
           .cast("double").as("sum_base_price"),
         round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast("decimal(28,8)")), 2).cast("double").as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        fr(avg(col("l_quantity")), 4).as("avg_qty"),
+        fr(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -90,8 +91,9 @@ object Relational {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
+      // sum in DECIMAL (the q1/q5 rule): order-free and the round exact
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(28,8)")), 2).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -249,7 +251,7 @@ object Relational {
       .agg(
         count(lit(1)).as("cnt_star"),
         count(col("o_orderkey")).as("cnt_col"),
-        sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        sum(fr(col("o_totalprice") * 100, 0).cast("long"))
           .as("sum_cents"),
         max(col("o_orderdate")).as("last_order"),
         // TRUE > comparison inside a count: NULL rows must not count
@@ -263,7 +265,7 @@ object Relational {
       // engines a half-ulp apart on an 80-order customer; NULL-over-
       // empty still propagates (NULL sum ⇒ NULL mean)
       .withColumn("avg_price",
-        round(col("sum_cents").cast("double") / lit(100.0) /
+        fr(col("sum_cents").cast("double") / lit(100.0) /
           col("cnt_col").cast("double"), 4))
       .select(col("c_custkey"), col("cnt_star"), col("cnt_col"),
         col("sum_cents"), col("avg_price"), col("last_order"),
@@ -297,7 +299,7 @@ object Relational {
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "events")
-      .withColumn("running_value", round(sum(col("value")).over(w), 2))
+      .withColumn("running_value", fr(sum(col("value")).over(w), 2))
       .select(col("user_id"), col("event_id"), col("running_value"))
       .orderBy(col("user_id"), col("event_id"))
   }
@@ -348,7 +350,7 @@ object Relational {
     t(s, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n_rows"),
-        round(sum(col("l_quantity")), 2).as("sum_qty"))
+        fr(sum(col("l_quantity")), 2).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
@@ -360,7 +362,7 @@ object Relational {
       .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        fr(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour_start"), col("event_type"))
 
   /**
@@ -470,7 +472,7 @@ object Relational {
     t(s, dir, "events")
       .groupBy(col("user_id"))
       .pivot("event_type", types)
-      .agg(round(sum(col("value")), 2))
+      .agg(fr(sum(col("value")), 2))
       .select(col("user_id") +: types.map(tp =>
         coalesce(col(tp), lit(0.0)).as(s"${tp}_value")): _*)
       .orderBy(col("user_id"))
@@ -492,10 +494,10 @@ object Relational {
           .as("_ps"),
         count(lit(1)).as("n_rows"))
       .select(col("l_returnflag"),
-        round(element_at(col("_ps"), 1), 2).as("p25"),
-        round(element_at(col("_ps"), 2), 2).as("p50"),
-        round(element_at(col("_ps"), 3), 2).as("p75"),
-        round(element_at(col("_ps"), 4), 2).as("p95"),
+        fr(element_at(col("_ps"), 1), 2).as("p25"),
+        fr(element_at(col("_ps"), 2), 2).as("p50"),
+        fr(element_at(col("_ps"), 3), 2).as("p75"),
+        fr(element_at(col("_ps"), 4), 2).as("p95"),
         col("n_rows"))
       .orderBy(col("l_returnflag"))
 
@@ -519,11 +521,11 @@ object Relational {
       .select(col("l_returnflag").as("flag"),
         col("l_extendedprice").as("x"))
     val med = d.groupBy(col("flag"))
-      .agg(round(expr("percentile(x, 0.5D)"), 2).as("med"))
+      .agg(fr(expr("percentile(x, 0.5D)"), 2).as("med"))
     val dev = d.join(broadcast(med), Seq("flag"))
       .withColumn("adev", abs(col("x") - col("med")))
     val mad = dev.groupBy(col("flag"))
-      .agg(round(expr("percentile(adev, 0.5D)"), 2).as("mad"))
+      .agg(fr(expr("percentile(adev, 0.5D)"), 2).as("mad"))
     val o = dev.join(broadcast(mad), Seq("flag"))
       .groupBy(col("flag"))
       .agg(count(lit(1)).as("n_rows"),
@@ -532,7 +534,7 @@ object Relational {
     o.join(med, Seq("flag")).join(mad, Seq("flag"))
       .select(col("flag").as("l_returnflag"), col("n_rows"),
         col("med"), col("mad"), col("n_outliers"),
-        round(col("n_outliers").cast("double") /
+        fr(col("n_outliers").cast("double") /
           col("n_rows").cast("double"), 6).as("outlier_frac"))
       .orderBy(col("l_returnflag"))
   }
@@ -651,7 +653,7 @@ object Relational {
     t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
     s.sql(
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-        |  round(sum(l_quantity), 2) AS sum_qty
+        |  floor(sum(l_quantity) * 1e2 + 0.5) / 1e2 AS sum_qty
         |FROM lineitem_gs
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |  (l_linestatus), ())

@@ -252,8 +252,10 @@ object Retrieval {
     val cands = emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(VectorOps.cosine(col("q_emb"), col("embedding")), 4)
-          .as("rel"),
+        // floor-form, not library round: rel feeds the greedy picks
+        // and the oracle's round() could diverge on a tie input
+        VectorOps.foldRound(
+          VectorOps.cosine(col("q_emb"), col("embedding")), 4).as("rel"),
         col("embedding"))
       .orderBy(col("rel").desc, col("vec_id"))
       .limit(pool)

@@ -88,7 +88,7 @@ object Scale {
         posexplode(col("_tk")).as(Seq("pos", "e")))
       .select(col("l_returnflag"),
         (col("pos") + 1).cast("int").as("rank"),
-        round(col("e.ord"), 2).as("price"),
+        fr(col("e.ord"), 2).as("price"),
         col("e.id").as("l_orderkey"))
       .orderBy(col("l_returnflag"), col("rank"))
 
@@ -120,10 +120,10 @@ object Scale {
           "0.948D, 0.952D))").as("_e"),
         count(lit(1)).as("n_rows"))
       .select(col("l_returnflag"),
-        round(element_at(col("_e"), 1), 2).as("p25"),
-        round(element_at(col("_e"), 2), 2).as("p50"),
-        round(element_at(col("_e"), 3), 2).as("p75"),
-        round(element_at(col("_e"), 4), 2).as("p95"),
+        fr(element_at(col("_e"), 1), 2).as("p25"),
+        fr(element_at(col("_e"), 2), 2).as("p50"),
+        fr(element_at(col("_e"), 3), 2).as("p75"),
+        fr(element_at(col("_e"), 4), 2).as("p95"),
         col("n_rows"),
         (1 to 4).map(i =>
           element_at(col("_aps"), i) >= element_at(col("_e"), 3 + 2 * i) &&
@@ -244,7 +244,7 @@ object Scale {
       .filter(col("ts") >= col("lo") && col("ts") <= col("hi"))
       .groupBy(col("incident_id"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        fr(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("incident_id"))
   }
 
@@ -423,7 +423,7 @@ object Scale {
         sum(col("new_session")).over(byUser))
       .groupBy(col("user_id"), col("session_no"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"),
+        fr(sum(col("value")), 2).as("sum_value"),
         min(col("ts")).as("session_start"))
       .select(col("user_id"), col("session_no"), col("n_events"),
         col("sum_value"), col("session_start"))
@@ -498,9 +498,11 @@ object Scale {
       (unix_millis(col("_nt")) - unix_millis(col("_pt"))).cast("double")
     withNbr
       .withColumn(s"${valueCol}_interp",
-        when(v.isNotNull, round(v, 4) + lit(0.0))
+        when(v.isNotNull,
+          graft.functions.VectorOps.foldRound(v, 4) + lit(0.0))
           .otherwise(
-            round(col("_pv") + (col("_nv") - col("_pv")) * frac, 4) +
+            graft.functions.VectorOps.foldRound(
+              col("_pv") + (col("_nv") - col("_pv")) * frac, 4) +
               lit(0.0)))
       .drop("_pv", "_pt", "_nv", "_nt")
   }
@@ -588,11 +590,11 @@ object Scale {
       (lit(24.0) * sd)
     stats
       .withColumn("mean_24h",
-        round(col("s1").cast("double") / lit(24.0), 4) + lit(0.0))
+        fr(col("s1").cast("double") / lit(24.0), 4) + lit(0.0))
       .withColumn("z",
-        when(num > 0L, round(z, 4) + lit(0.0)))
+        when(num > 0L, fr(z, 4) + lit(0.0)))
       .withColumn("is_anomaly",
-        when(num > 0L, abs(round(z, 4) + lit(0.0)) >= 3.0))
+        when(num > 0L, abs(fr(z, 4) + lit(0.0)) >= 3.0))
       .select(col("event_type"), col("hour_start"), col("n"),
         col("mean_24h"), col("z"), col("is_anomaly"))
       .orderBy(col("event_type"), col("hour_start"))
@@ -630,11 +632,11 @@ object Scale {
       (col("m").cast("double") * sd)
     hourly.join(broadcast(profile), Seq("event_type", "hod"))
       .withColumn("mean_hod",
-        round(col("s1").cast("double") / col("m").cast("double"), 4) +
+        fr(col("s1").cast("double") / col("m").cast("double"), 4) +
           lit(0.0))
-      .withColumn("z", when(num > 0L, round(z, 4) + lit(0.0)))
+      .withColumn("z", when(num > 0L, fr(z, 4) + lit(0.0)))
       .withColumn("is_anomaly",
-        when(num > 0L, abs(round(z, 4) + lit(0.0)) >= 3.0))
+        when(num > 0L, abs(fr(z, 4) + lit(0.0)) >= 3.0))
       .select(col("event_type"), col("hour_start"), col("hod"), col("n"),
         col("mean_hod"), col("z"), col("is_anomaly"))
       .orderBy(col("event_type"), col("hour_start"))

@@ -327,8 +327,8 @@ object Stats {
         lit(buckets - 1L)).cast("int"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
-        round(min(col("x")), 2).as("bucket_min"),
-        round(max(col("x")), 2).as("bucket_max"),
+        fr(min(col("x")), 2).as("bucket_min"),
+        fr(max(col("x")), 2).as("bucket_max"),
         // round while still DECIMAL (exact), cast once for display —
         // the q1 ordering, mirrored verbatim in the oracle
         round(sum(col("x").cast("decimal(28,8)")), 2).cast("double")
@@ -357,9 +357,9 @@ object Stats {
       count(lit(1)).as("n_keys"))
     counts.crossJoin(broadcast(tot))
       .select(col(key), col("n_rows"),
-        (round(col("n_rows").cast("double") /
+        (fr(col("n_rows").cast("double") /
           col("n_total").cast("double"), 6) + lit(0.0)).as("share"),
-        (round(col("n_rows").cast("double") * col("n_keys").cast("double")
+        (fr(col("n_rows").cast("double") * col("n_keys").cast("double")
           / col("n_total").cast("double"), 4) + lit(0.0))
           .as("skew_factor"),
         ceil(col("n_rows").cast("double") * col("n_keys").cast("double")

@@ -43,7 +43,8 @@ object StreamingIngest {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        graft.functions.VectorOps.foldRound(sum(col("value")), 2)
+          .as("sum_value"))
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 

@@ -434,4 +434,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       s"pair algebra should broadcast the k-row bitmap frame:\n$p")
   }
+
+  /** Reusable scale gate: NO window operator anywhere in the plan may
+    * have an empty partition spec. An unpartitioned window is a
+    * single-task sort of its entire input frame — the plan shape that
+    * silently works at sf0.1 and walls at 100 TB. Queries that need a
+    * global running aggregate use [[graft.operators.Prefix.running]]
+    * (range partition + per-partition windows + join-based offsets),
+    * which leaves every remaining Window partitioned. */
+  private def noGlobalWindow(name: String, df: DataFrame): Unit = {
+    val global = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty,
+      s"$name has ${global.size} unpartitioned Window operator(s): " +
+        global.map(_.windowExpressions.mkString(", ")).mkString("; "))
+  }
+
+  test("no unpartitioned window in any query that ships one — the " +
+      "prefix-scan family and the per-entity window family") {
+    for ((name, df) <- Seq(
+      "q_spearman" -> Stats.spearmanQuery(spark, sfDir),
+      "q_weighted_percentiles" ->
+        Relational.weightedPercentilesQuery(spark, sfDir),
+      "q_pareto" -> Stats.paretoQuery(spark, sfDir),
+      "q_rfm_features" -> Behavior.rfmFeaturesQuery(spark, sfDir),
+      "q_concurrency" -> Scale.concurrencyQuery(spark, sfDir),
+      "q_lateness_audit" ->
+        graft.streaming.StreamingIngest.latenessAuditQuery(spark, sfDir),
+      "q_token_budget" -> Curation.tokenBudgetQuery(spark, sfDir),
+      "q_markov" -> Behavior.markovQuery(spark, sfDir),
+      "q_event_paths" -> Behavior.eventPathsQuery(spark, sfDir),
+      "q_cusum" -> Scale.cusumQuery(spark, sfDir)))
+      noGlobalWindow(name, df)
+  }
 }
