@@ -547,7 +547,7 @@ object SparkEntry {
       |wt AS (SELECT list_transform(range(0, 64),
       |    b -> CAST((b * 37 + 11) % 13 - 6 AS DOUBLE) / 10.0) AS w),
       |s AS (SELECT doc_id,
-      |    round(1.0 / (1.0 + exp(-(list_dot_product(arr, w) + 0.1))), 6)
+      |    floor((1.0 / (1.0 + exp(-(list_dot_product(arr, w) + 0.1)))) * 1e6 + 0.5) / 1e6
       |      AS quality_score
       |  FROM a, wt)""".stripMargin
 
@@ -585,9 +585,9 @@ object SparkEntry {
       |  ORDER BY vec_id LIMIT 8),
       |d0 AS (
       |  SELECT e.vec_id, e.v, s.cent_id,
-      |    round(list_dot_product(e.v, e.v)
+      |    floor((list_dot_product(e.v, e.v)
       |      - 2.0 * list_dot_product(e.v, s.c)
-      |      + list_dot_product(s.c, s.c), 6) + 0.0 AS d
+      |      + list_dot_product(s.c, s.c)) * 1e6 + 0.5) / 1e6 + 0.0 AS d
       |  FROM e CROSS JOIN seeds s),
       |a0 AS (
       |  SELECT vec_id, v, cent_id AS cell, d FROM (
@@ -597,7 +597,7 @@ object SparkEntry {
       |  SELECT cell AS cent_id, unnest(range(len(v))) AS dim,
       |    unnest(v) AS x FROM a0),
       |m0 AS (
-      |  SELECT cent_id, dim, CAST(sum(CAST(round(x * 1000000.0, 0)
+      |  SELECT cent_id, dim, CAST(sum(CAST(floor((x * 1000000.0) + 0.5)
       |      AS BIGINT)) AS BIGINT) AS s,
       |    CAST(count(*) AS BIGINT) AS cnt
       |  FROM u0 GROUP BY cent_id, dim),
@@ -607,9 +607,9 @@ object SparkEntry {
       |  FROM m0 GROUP BY cent_id),
       |d1 AS (
       |  SELECT e.vec_id, e.v, s.cent_id,
-      |    round(list_dot_product(e.v, e.v)
+      |    floor((list_dot_product(e.v, e.v)
       |      - 2.0 * list_dot_product(e.v, s.c)
-      |      + list_dot_product(s.c, s.c), 6) + 0.0 AS d
+      |      + list_dot_product(s.c, s.c)) * 1e6 + 0.5) / 1e6 + 0.0 AS d
       |  FROM e CROSS JOIN c1 s),
       |a1 AS (
       |  SELECT vec_id, v, cent_id AS cell, d FROM (
@@ -619,7 +619,7 @@ object SparkEntry {
       |  SELECT cell AS cent_id, unnest(range(len(v))) AS dim,
       |    unnest(v) AS x FROM a1),
       |m1 AS (
-      |  SELECT cent_id, dim, CAST(sum(CAST(round(x * 1000000.0, 0)
+      |  SELECT cent_id, dim, CAST(sum(CAST(floor((x * 1000000.0) + 0.5)
       |      AS BIGINT)) AS BIGINT) AS s,
       |    CAST(count(*) AS BIGINT) AS cnt
       |  FROM u1 GROUP BY cent_id, dim),
@@ -629,9 +629,9 @@ object SparkEntry {
       |  FROM m1 GROUP BY cent_id),
       |d2 AS (
       |  SELECT e.vec_id, e.v, s.cent_id,
-      |    round(list_dot_product(e.v, e.v)
+      |    floor((list_dot_product(e.v, e.v)
       |      - 2.0 * list_dot_product(e.v, s.c)
-      |      + list_dot_product(s.c, s.c), 6) + 0.0 AS d
+      |      + list_dot_product(s.c, s.c)) * 1e6 + 0.5) / 1e6 + 0.0 AS d
       |  FROM e CROSS JOIN c2 s),
       |a2 AS (
       |  SELECT vec_id, v, cent_id AS cell, d FROM (
@@ -799,8 +799,8 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n_rows,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,8))), 2)
         |    AS DOUBLE) AS sum_price,
-        |  round(min(l_quantity), 2) AS min_qty,
-        |  round(max(l_quantity), 2) AS max_qty
+        |  floor((min(l_quantity)) * 1e2 + 0.5) / 1e2 AS min_qty,
+        |  floor((max(l_quantity)) * 1e2 + 0.5) / 1e2 AS max_qty
         |FROM lineitem
         |WHERE l_quantity >= 25.0
         |GROUP BY l_returnflag
@@ -816,20 +816,20 @@ object SparkEntry {
     "q_stats_footer" ->
       """SELECT col_name, n_values, min_val, max_val, sum_val FROM (
         |  -- integral sums: cast once, no double round — DuckDB's
-        |  -- round(x,2) is nearbyint(x*100)/100, lossy beyond 2^53
+        |  -- floor((x) * 1e2 + 0.5) / 1e2 is nearbyint(x*100)/100, lossy beyond 2^53
         |  SELECT 'l_orderkey' AS col_name, count(l_orderkey) AS n_values,
-        |    round(CAST(min(l_orderkey) AS DOUBLE), 2) AS min_val,
-        |    round(CAST(max(l_orderkey) AS DOUBLE), 2) AS max_val,
+        |    floor((CAST(min(l_orderkey) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS min_val,
+        |    floor((CAST(max(l_orderkey) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS max_val,
         |    CAST(sum(l_orderkey) AS DOUBLE) AS sum_val
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'l_quantity', count(l_quantity),
-        |    round(min(l_quantity), 2), round(max(l_quantity), 2),
-        |    round(sum(l_quantity), 2) FROM lineitem
+        |    floor((min(l_quantity)) * 1e2 + 0.5) / 1e2, floor((max(l_quantity)) * 1e2 + 0.5) / 1e2,
+        |    floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 FROM lineitem
         |  UNION ALL
         |  SELECT 'l_extendedprice', count(l_extendedprice),
-        |    round(min(l_extendedprice), 2), round(max(l_extendedprice), 2),
-        |    round(sum(l_extendedprice), 2) FROM lineitem) t
+        |    floor((min(l_extendedprice)) * 1e2 + 0.5) / 1e2, floor((max(l_extendedprice)) * 1e2 + 0.5) / 1e2,
+        |    floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 FROM lineitem) t
         |ORDER BY col_name""".stripMargin,
     "q_col_profile" ->
       """SELECT col_name, n_values, n_nulls, min_val, max_val, sum_val
@@ -837,39 +837,39 @@ object SparkEntry {
         |  SELECT 'l_quantity' AS col_name, count(l_quantity) AS n_values,
         |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
         |      AS BIGINT) AS n_nulls,
-        |    round(CAST(min(l_quantity) AS DOUBLE), 2) AS min_val,
-        |    round(CAST(max(l_quantity) AS DOUBLE), 2) AS max_val,
-        |    round(CAST(sum(CAST(l_quantity AS DECIMAL(28,8)))
-        |      AS DOUBLE), 2) AS sum_val
+        |    floor((CAST(min(l_quantity) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS min_val,
+        |    floor((CAST(max(l_quantity) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS max_val,
+        |    floor(CAST(sum(CAST(l_quantity AS DECIMAL(28,8)))
+        |      AS DOUBLE) * 1e2 + 0.5) / 1e2 AS sum_val
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'l_extendedprice', count(l_extendedprice),
         |    CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
         |      AS BIGINT),
-        |    round(min(l_extendedprice), 2), round(max(l_extendedprice), 2),
-        |    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8)))
-        |      AS DOUBLE), 2) FROM lineitem
+        |    floor((min(l_extendedprice)) * 1e2 + 0.5) / 1e2, floor((max(l_extendedprice)) * 1e2 + 0.5) / 1e2,
+        |    floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8)))
+        |      AS DOUBLE) * 1e2 + 0.5) / 1e2 FROM lineitem
         |  UNION ALL
         |  SELECT 'l_discount', count(l_discount),
         |    CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
         |      AS BIGINT),
-        |    round(min(l_discount), 2), round(max(l_discount), 2),
-        |    round(CAST(sum(CAST(l_discount AS DECIMAL(28,8)))
-        |      AS DOUBLE), 2) FROM lineitem
+        |    floor((min(l_discount)) * 1e2 + 0.5) / 1e2, floor((max(l_discount)) * 1e2 + 0.5) / 1e2,
+        |    floor(CAST(sum(CAST(l_discount AS DECIMAL(28,8)))
+        |      AS DOUBLE) * 1e2 + 0.5) / 1e2 FROM lineitem
         |  UNION ALL
         |  SELECT 'l_tax', count(l_tax),
         |    CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)
         |      AS BIGINT),
-        |    round(min(l_tax), 2), round(max(l_tax), 2),
-        |    round(CAST(sum(CAST(l_tax AS DECIMAL(28,8)))
-        |      AS DOUBLE), 2) FROM lineitem) t
+        |    floor((min(l_tax)) * 1e2 + 0.5) / 1e2, floor((max(l_tax)) * 1e2 + 0.5) / 1e2,
+        |    floor(CAST(sum(CAST(l_tax AS DECIMAL(28,8)))
+        |      AS DOUBLE) * 1e2 + 0.5) / 1e2 FROM lineitem) t
         |ORDER BY col_name""".stripMargin,
     "q_cast_matrix" ->
       """SELECT l_orderkey,
         |  CAST(l_orderkey AS VARCHAR) AS okey_str,
         |  TRY_CAST(l_orderkey * 1000000 AS INTEGER) AS okey_int_overflow,
         |  CAST(floor(l_quantity) AS BIGINT) AS qty_long,
-        |  CAST(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS DOUBLE)
+        |  CAST(CAST(floor((l_extendedprice) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2)) AS DOUBLE)
         |    AS price_dec,
         |  CAST(l_shipdate AS DATE) AS ship_date,
         |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_str,
@@ -883,7 +883,7 @@ object SparkEntry {
         |ORDER BY l_orderkey""".stripMargin,
     "q_reader_schema" ->
       """SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
-        |  round(o_totalprice, 2) AS o_totalprice,
+        |  floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS o_totalprice,
         |  CAST(NULL AS INTEGER) AS o_missing
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
@@ -1141,8 +1141,8 @@ object SparkEntry {
         |  GROUP BY tk.doc_id)
         |SELECT d.doc_id, d.n_tokens,
         |  d.n_tokens - COALESCE(iv.n_in, 0) AS n_oov,
-        |  round(CAST(d.n_tokens - COALESCE(iv.n_in, 0) AS DOUBLE)
-        |    / CAST(d.n_tokens AS DOUBLE), 6) AS oov_rate
+        |  floor((CAST(d.n_tokens - COALESCE(iv.n_in, 0) AS DOUBLE)
+        |    / CAST(d.n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS oov_rate
         |FROM d LEFT JOIN iv ON d.doc_id = iv.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "q_text_tokens" ->
@@ -1389,10 +1389,10 @@ object SparkEntry {
       (s"WITH $jaccardBaseCte," +
         """
         |t AS (SELECT doc_id, substr(text, 1, 400) AS p FROM documents)
-        |SELECT j.doc_a, j.doc_b, round(j.jaccard, 4) AS jaccard,
+        |SELECT j.doc_a, j.doc_b, floor((j.jaccard) * 1e4 + 0.5) / 1e4 AS jaccard,
         |  CAST(levenshtein(ta.p, tb.p) AS INTEGER) AS lev,
-        |  round(1.0 - CAST(levenshtein(ta.p, tb.p) AS DOUBLE) /
-        |    CAST(greatest(length(ta.p), length(tb.p)) AS DOUBLE), 4)
+        |  floor((1.0 - CAST(levenshtein(ta.p, tb.p) AS DOUBLE) /
+        |    CAST(greatest(length(ta.p), length(tb.p)) AS DOUBLE)) * 1e4 + 0.5) / 1e4
         |    AS edit_sim
         |FROM jpv j
         |JOIN t ta ON j.doc_a = ta.doc_id
@@ -1544,15 +1544,15 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |  floor((list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) * 1e4 + 0.5) / 1e4
         |    AS cos_sim
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |WHERE floor((list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) * 1e4 + 0.5) / 1e4
         |    >= 0.95
         |ORDER BY vec_a, vec_b""".stripMargin,
     // Bitext mining: the oracle replays the cosine (list_dot_product,
@@ -1569,9 +1569,9 @@ object SparkEntry {
         |  FROM j WHERE lang = 'en'),
         |sims AS (
         |  SELECT src_id, tgt_id,
-        |    round(list_dot_product(s_emb::DOUBLE[], t_emb::DOUBLE[]) /
+        |    floor((list_dot_product(s_emb::DOUBLE[], t_emb::DOUBLE[]) /
         |      (sqrt(list_dot_product(s_emb::DOUBLE[], s_emb::DOUBLE[])) *
-        |       sqrt(list_dot_product(t_emb::DOUBLE[], t_emb::DOUBLE[]))), 4)
+        |       sqrt(list_dot_product(t_emb::DOUBLE[], t_emb::DOUBLE[])))) * 1e4 + 0.5) / 1e4
         |      AS cos_sim
         |  FROM src CROSS JOIN tgt),
         |ranked AS (
@@ -1582,17 +1582,17 @@ object SparkEntry {
         |SELECT src_id,
         |  max(CASE WHEN rnk = 1 THEN tgt_id END) AS tgt_id,
         |  max(CASE WHEN rnk = 1 THEN cos_sim END) AS cos_sim,
-        |  round(max(CASE WHEN rnk = 1 THEN cos_sim END) -
-        |    max(CASE WHEN rnk = 2 THEN cos_sim END), 4) AS margin
+        |  floor((max(CASE WHEN rnk = 1 THEN cos_sim END) -
+        |    max(CASE WHEN rnk = 2 THEN cos_sim END)) * 1e4 + 0.5) / 1e4 AS margin
         |FROM ranked WHERE rnk <= 2
         |GROUP BY src_id
         |ORDER BY src_id""".stripMargin,
     "q_ann_topk" ->
       """WITH sims AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |    floor((list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
         |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
-        |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4)
+        |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))) * 1e4 + 0.5) / 1e4
         |      AS cos_sim
         |  FROM embeddings q CROSS JOIN embeddings c
         |  WHERE q.vec_id < 5),
@@ -1609,9 +1609,9 @@ object SparkEntry {
     "q_ann_filtered" ->
       """WITH sims AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |    floor((list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
         |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
-        |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4)
+        |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))) * 1e4 + 0.5) / 1e4
         |      AS cos_sim
         |  FROM embeddings q CROSS JOIN embeddings c
         |  WHERE q.vec_id < 5 AND c.label % 3 = 0),
@@ -1761,7 +1761,7 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
         |mx AS (
-        |  SELECT dim, sum(CAST(round(xv * 1000000.0, 0) AS BIGINT)) AS s,
+        |  SELECT dim, sum(CAST(floor((xv * 1000000.0) + 0.5) AS BIGINT)) AS s,
         |    CAST(count(*) AS BIGINT) AS cnt
         |  FROM (SELECT unnest(range(len(x))) AS dim, unnest(x) AS xv FROM e)
         |  GROUP BY dim),
@@ -1777,38 +1777,38 @@ object SparkEntry {
         |s1 AS (SELECT c.vec_id, c.c, list_dot_product(c.c, v0.v) AS s
         |  FROM c CROSS JOIN v0),
         |u1x AS (
-        |  SELECT dim, sum(CAST(round(s * cj * 1000000.0, 0) AS BIGINT)) AS uq
+        |  SELECT dim, sum(CAST(floor((s * cj * 1000000.0) + 0.5) AS BIGINT)) AS uq
         |  FROM (SELECT s, unnest(range(len(c))) AS dim, unnest(c) AS cj FROM s1)
         |  GROUP BY dim),
         |u1 AS (SELECT list(CAST(uq AS DOUBLE) / 1000000.0 ORDER BY dim) AS u
         |  FROM u1x),
         |v1 AS (SELECT list_transform(u, x ->
-        |    round(x / sqrt(list_dot_product(u, u)), 6) + 0.0) AS v,
+        |    floor((x / sqrt(list_dot_product(u, u))) * 1e6 + 0.5) / 1e6 + 0.0) AS v,
         |  sqrt(list_dot_product(u, u)) AS norm FROM u1),
         |s2 AS (SELECT c.vec_id, c.c, list_dot_product(c.c, v1.v) AS s
         |  FROM c CROSS JOIN v1),
         |u2x AS (
-        |  SELECT dim, sum(CAST(round(s * cj * 1000000.0, 0) AS BIGINT)) AS uq
+        |  SELECT dim, sum(CAST(floor((s * cj * 1000000.0) + 0.5) AS BIGINT)) AS uq
         |  FROM (SELECT s, unnest(range(len(c))) AS dim, unnest(c) AS cj FROM s2)
         |  GROUP BY dim),
         |u2 AS (SELECT list(CAST(uq AS DOUBLE) / 1000000.0 ORDER BY dim) AS u
         |  FROM u2x),
         |v2 AS (SELECT list_transform(u, x ->
-        |    round(x / sqrt(list_dot_product(u, u)), 6) + 0.0) AS v,
+        |    floor((x / sqrt(list_dot_product(u, u))) * 1e6 + 0.5) / 1e6 + 0.0) AS v,
         |  sqrt(list_dot_product(u, u)) AS norm FROM u2),
         |s3 AS (SELECT c.vec_id, c.c, list_dot_product(c.c, v2.v) AS s
         |  FROM c CROSS JOIN v2),
         |u3x AS (
-        |  SELECT dim, sum(CAST(round(s * cj * 1000000.0, 0) AS BIGINT)) AS uq
+        |  SELECT dim, sum(CAST(floor((s * cj * 1000000.0) + 0.5) AS BIGINT)) AS uq
         |  FROM (SELECT s, unnest(range(len(c))) AS dim, unnest(c) AS cj FROM s3)
         |  GROUP BY dim),
         |u3 AS (SELECT list(CAST(uq AS DOUBLE) / 1000000.0 ORDER BY dim) AS u
         |  FROM u3x),
         |v3 AS (SELECT list_transform(u, x ->
-        |    round(x / sqrt(list_dot_product(u, u)), 6) + 0.0) AS v,
+        |    floor((x / sqrt(list_dot_product(u, u))) * 1e6 + 0.5) / 1e6 + 0.0) AS v,
         |  sqrt(list_dot_product(u, u)) AS norm FROM u3)
         |SELECT CAST(dim AS INTEGER) AS dim, loading,
-        |  round(norm / n, 6) + 0.0 AS eigval
+        |  floor((norm / n) * 1e6 + 0.5) / 1e6 + 0.0 AS eigval
         |FROM (SELECT unnest(range(len(v))) AS dim, unnest(v) AS loading, norm
         |  FROM v3) CROSS JOIN n
         |ORDER BY dim""".stripMargin,
@@ -1822,7 +1822,7 @@ object SparkEntry {
         |    sqrt(list_dot_product(v, v)) AS nrm FROM a2),
         |p AS (
         |  SELECT x.cell, x.vec_id AS a, y.vec_id AS b,
-        |    round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4)
+        |    floor((list_dot_product(x.v, y.v) / (x.nrm * y.nrm)) * 1e4 + 0.5) / 1e4
         |      AS cos
         |  FROM nrm x JOIN nrm y
         |    ON x.cell = y.cell AND x.vec_id < y.vec_id),
@@ -1986,7 +1986,7 @@ object SparkEntry {
         |  UNION ALL SELECT 'o_orderkey_unique', n, v FROM u2
         |  UNION ALL SELECT 'li_orderkey_fk', n, v FROM fk)
         |SELECT rule, n AS n_rows, v AS n_violations,
-        |  round(CAST(v AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |  floor((CAST(v AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6
         |    AS violation_rate,
         |  v = 0 AS passed
         |FROM allr ORDER BY rule""".stripMargin,
@@ -2207,11 +2207,11 @@ object SparkEntry {
         |      + 1.0 / CAST(n_b AS DOUBLE))) AS sev
         |  FROM d)
         |SELECT n_a, x_a, n_b, x_b,
-        |  round(pa, 10) AS rate_a, round(pb, 10) AS rate_b,
-        |  round(pb - pa, 10) AS uplift,
-        |  round(sev, 10) AS se,
-        |  round((pb - pa) / sev, 10) AS z,
-        |  abs(round((pb - pa) / sev, 10)) >= 1.96 AS significant
+        |  floor((pa) * 1e10 + 0.5) / 1e10 AS rate_a, floor((pb) * 1e10 + 0.5) / 1e10 AS rate_b,
+        |  floor((pb - pa) * 1e10 + 0.5) / 1e10 AS uplift,
+        |  floor((sev) * 1e10 + 0.5) / 1e10 AS se,
+        |  floor(((pb - pa) / sev) * 1e10 + 0.5) / 1e10 AS z,
+        |  abs(floor(((pb - pa) / sev) * 1e10 + 0.5) / 1e10) >= 1.96 AS significant
         |FROM s""".stripMargin,
     // Q7 shape: same DECIMAL revenue rule as q5_join; the pair
     // predicate mirrors both directions.
@@ -2260,14 +2260,14 @@ object SparkEntry {
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-        |  round(1.0 - CAST(count(DISTINCT digest) AS DOUBLE)
-        |    / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
-        |  round(CAST(sum(is_en) AS DOUBLE)
-        |    / CAST(count(*) AS DOUBLE), 6) AS pct_en,
-        |  round(CAST(sum(n_tok) AS DOUBLE)
-        |    / CAST(count(*) AS DOUBLE), 4) AS mean_tokens,
-        |  round(CAST(sum(n_stop) AS DOUBLE)
-        |    / CAST(sum(n_tok) AS DOUBLE), 6) AS stopword_ratio
+        |  floor((1.0 - CAST(count(DISTINCT digest) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS dup_rate,
+        |  floor((CAST(sum(is_en) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS pct_en,
+        |  floor((CAST(sum(n_tok) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS mean_tokens,
+        |  floor((CAST(sum(n_stop) AS DOUBLE)
+        |    / CAST(sum(n_tok) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS stopword_ratio
         |FROM s""".stripMargin,
     // Dependency profiling: exact distinct-count arithmetic per
     // candidate; IND misses via key-distinct anti joins.
@@ -2435,7 +2435,7 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
         |      END) AS BIGINT) AS frequency,
         |    CAST(sum(CASE WHEN event_type = 'purchase'
-        |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+        |      THEN CAST(floor((value * 100) + 0.5) AS BIGINT) ELSE 0 END)
         |      AS BIGINT) AS monetary_cents,
         |    CAST(sum(CASE WHEN epoch_ms(ts) > ref_ms
         |      - 86400000 THEN 1 ELSE 0 END) AS BIGINT) AS n_1d,
@@ -2541,7 +2541,7 @@ object SparkEntry {
         |  GROUP BY path),
         |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c)
         |SELECT path, n,
-        |  round(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 10)
+        |  floor((CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1e10 + 0.5) / 1e10
         |    AS share
         |FROM c, t ORDER BY n DESC, path LIMIT 20""".stripMargin,
     // First-seen growth: one groupBy(user) min + calendar window.
@@ -2603,7 +2603,7 @@ object SparkEntry {
     // Pareto cut: exact integer comparisons on cent sums.
     "q_pareto" ->
       """WITH u AS (SELECT user_id,
-        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+        |    CAST(sum(CAST(floor((value * 100) + 0.5) AS BIGINT))
         |      AS BIGINT) AS cents
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
         |wk AS (SELECT user_id, cents,
@@ -2647,7 +2647,7 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT col_name, v FROM s)
         |  GROUP BY col_name)
         |SELECT d.col_name, d.n_rows, k.ndv,
-        |  round(CAST(k.ndv AS DOUBLE) / CAST(d.n_rows AS DOUBLE), 6)
+        |  floor((CAST(k.ndv AS DOUBLE) / CAST(d.n_rows AS DOUBLE)) * 1e6 + 0.5) / 1e6
         |    AS ratio,
         |  CAST(k.ndv AS DOUBLE) / CAST(d.n_rows AS DOUBLE) <= 0.8
         |    AS dict_recommended,
@@ -2675,14 +2675,14 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT item_a, item_b, sa.sup AS sup_a, sb.sup AS sup_b,
         |  sup_ab, nu.n_users,
-        |  round(CAST(sup_ab AS DOUBLE) / CAST(n_users AS DOUBLE), 10)
+        |  floor((CAST(sup_ab AS DOUBLE) / CAST(n_users AS DOUBLE)) * 1e10 + 0.5) / 1e10
         |    AS support,
-        |  round(CAST(sup_ab AS DOUBLE) / CAST(sa.sup AS DOUBLE), 10)
+        |  floor((CAST(sup_ab AS DOUBLE) / CAST(sa.sup AS DOUBLE)) * 1e10 + 0.5) / 1e10
         |    AS conf_a_b,
-        |  round(CAST(sup_ab AS DOUBLE) / CAST(sb.sup AS DOUBLE), 10)
+        |  floor((CAST(sup_ab AS DOUBLE) / CAST(sb.sup AS DOUBLE)) * 1e10 + 0.5) / 1e10
         |    AS conf_b_a,
-        |  round(CAST(sup_ab * n_users AS DOUBLE)
-        |    / CAST(sa.sup * sb.sup AS DOUBLE), 10) AS lift
+        |  floor((CAST(sup_ab * n_users AS DOUBLE)
+        |    / CAST(sa.sup * sb.sup AS DOUBLE)) * 1e10 + 0.5) / 1e10 AS lift
         |FROM p JOIN s sa ON p.item_a = sa.event_type
         |  JOIN s sb ON p.item_b = sb.event_type, nu
         |ORDER BY item_a, item_b""".stripMargin,
@@ -2734,8 +2734,8 @@ object SparkEntry {
         |    ON li.key = o.key) AS j_exact)
         |SELECT n_a, n_b, sample_a, sample_b, j_sample,
         |  j_sample * 16 AS j_est, j_exact,
-        |  round(abs(CAST(j_sample * 16 - j_exact AS DOUBLE))
-        |    / CAST(j_exact AS DOUBLE), 6) AS rel_err
+        |  floor((abs(CAST(j_sample * 16 - j_exact AS DOUBLE))
+        |    / CAST(j_exact AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS rel_err
         |FROM f""".stripMargin,
     // Merkle tree: leaf/chunk/root/corpus digests in doc-id order —
     // string_agg ORDER BY replays the ordered concatenation.
@@ -2827,14 +2827,14 @@ object SparkEntry {
         |    CAST(sum(ca*mr2) AS BIGINT) AS rs2a
         |  FROM g GROUP BY na, nb)
         |SELECT na, nb, ks_num, na*nb AS ks_den,
-        |  round(CAST(ks_num AS DOUBLE) / CAST(na*nb AS DOUBLE), 10)
+        |  floor((CAST(ks_num AS DOUBLE) / CAST(na*nb AS DOUBLE)) * 1e10 + 0.5) / 1e10
         |    AS ks_d,
         |  rs2a - na*(na+1) AS auc_num, 2*na*nb AS auc_den,
-        |  round(CAST(rs2a - na*(na+1) AS DOUBLE)
-        |    / CAST(2*na*nb AS DOUBLE), 10) AS auc,
-        |  round(CAST(ks_num AS DOUBLE) / CAST(na*nb AS DOUBLE), 10) >
-        |    round(1.358 * sqrt(CAST(na+nb AS DOUBLE)
-        |      / CAST(na*nb AS DOUBLE)), 10) AS ks_sig
+        |  floor((CAST(rs2a - na*(na+1) AS DOUBLE)
+        |    / CAST(2*na*nb AS DOUBLE)) * 1e10 + 0.5) / 1e10 AS auc,
+        |  floor((CAST(ks_num AS DOUBLE) / CAST(na*nb AS DOUBLE)) * 1e10 + 0.5) / 1e10 >
+        |    floor((1.358 * sqrt(CAST(na+nb AS DOUBLE)
+        |      / CAST(na*nb AS DOUBLE))) * 1e10 + 0.5) / 1e10 AS ks_sig
         |FROM agg""".stripMargin,
     // Kaplan-Meier: exact BIGINT at-risk/death/censor grid; each
     // ln(1−d/n) is one double on two integers rounded 12 dp,
@@ -2862,8 +2862,8 @@ object SparkEntry {
         |    n_users - left_thru + d + c AS n_risk,
         |    CASE WHEN d = 0 THEN 0.0
         |      WHEN d < n_users - left_thru + d + c THEN
-        |        round(ln(1.0 - CAST(d AS DOUBLE)
-        |          / CAST(n_users - left_thru + d + c AS DOUBLE)), 12)
+        |        floor((ln(1.0 - CAST(d AS DOUBLE)
+        |          / CAST(n_users - left_thru + d + c AS DOUBLE))) * 1e12 + 0.5) / 1e12
         |      ELSE 0.0 END AS ln_factor,
         |    CASE WHEN d = n_users - left_thru + d + c THEN 1 ELSE 0
         |      END AS z
@@ -2877,7 +2877,7 @@ object SparkEntry {
         |  FROM f)
         |SELECT t_h, n_risk, d, c,
         |  CASE WHEN hit_zero = 1 THEN 0.0
-        |    ELSE round(exp(CAST(cum_ln AS DOUBLE)), 10) END
+        |    ELSE floor((exp(CAST(cum_ln AS DOUBLE))) * 1e10 + 0.5) / 1e10 END
         |    AS survival
         |FROM w2 ORDER BY t_h""".stripMargin,
     // Holt smoothing: the recursion replays in a recursive CTE with
@@ -2950,9 +2950,9 @@ object SparkEntry {
         |f AS (SELECT bi, w, pos, max(mn) AS iso0 FROM m
         |  GROUP BY bi, w, pos)
         |SELECT bi AS bucket, w, pos,
-        |  round(CAST(pos AS DOUBLE) / CAST(w AS DOUBLE), 10)
+        |  floor((CAST(pos AS DOUBLE) / CAST(w AS DOUBLE)) * 1e10 + 0.5) / 1e10
         |    AS raw_rate,
-        |  round(iso0, 10) AS iso_rate
+        |  floor((iso0) * 1e10 + 0.5) / 1e10 AS iso_rate
         |FROM f ORDER BY bucket""".stripMargin,
     // Weighted percentiles: exact integer threshold (100·cum >=
     // q·total) over the per-flag price grid.
@@ -3006,8 +3006,8 @@ object SparkEntry {
         |    AND a.file < b.file AND a.lo <= b.hi AND b.lo <= a.hi
         |  GROUP BY a.layout),
         |agg AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
-        |    round(CAST(sum(hi - lo) AS DOUBLE)
-        |      / CAST(count(*) * (max(g1) - max(g0)) AS DOUBLE), 10)
+        |    floor((CAST(sum(hi - lo) AS DOUBLE)
+        |      / CAST(count(*) * (max(g1) - max(g0)) AS DOUBLE)) * 1e10 + 0.5) / 1e10
         |      AS avg_span_frac
         |  FROM files, sp GROUP BY layout)
         |SELECT agg.layout, n_files,
@@ -3049,15 +3049,15 @@ object SparkEntry {
         |  FROM sv, nn, tt, sen),
         |zz AS (SELECT n_days, s_stat, var18, sen_slope,
         |    CASE WHEN s_stat > 0 THEN
-        |        round(CAST(s_stat - 1 AS DOUBLE)
-        |          / sqrt(CAST(var18 AS DOUBLE) / 18.0), 10)
+        |        floor((CAST(s_stat - 1 AS DOUBLE)
+        |          / sqrt(CAST(var18 AS DOUBLE) / 18.0)) * 1e10 + 0.5) / 1e10
         |      WHEN s_stat < 0 THEN
-        |        round(CAST(s_stat + 1 AS DOUBLE)
-        |          / sqrt(CAST(var18 AS DOUBLE) / 18.0), 10)
+        |        floor((CAST(s_stat + 1 AS DOUBLE)
+        |          / sqrt(CAST(var18 AS DOUBLE) / 18.0)) * 1e10 + 0.5) / 1e10
         |      ELSE 0.0 END AS z
         |  FROM f)
         |SELECT n_days, s_stat, var18, z,
-        |  round(sen_slope, 10) AS sen_slope,
+        |  floor((sen_slope) * 1e10 + 0.5) / 1e10 AS sen_slope,
         |  CASE WHEN abs(z) < 1.96 THEN 'no trend'
         |    WHEN z > 0 THEN 'increasing'
         |    ELSE 'decreasing' END AS trend
@@ -3095,7 +3095,7 @@ object SparkEntry {
         |  FROM mx WHERE wd IN (SELECT d FROM spine) GROUP BY 1)
         |SELECT make_timestamp(d * 86400000 * 1000) AS day,
         |  dau.dau, mau.mau,
-        |  round(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE), 10)
+        |  floor((CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE)) * 1e10 + 0.5) / 1e10
         |    AS stickiness
         |FROM dau JOIN mau USING (d) ORDER BY day""".stripMargin,
     // Seasonal decomposition: 48-scaled integer centered MA, exact
@@ -3194,10 +3194,10 @@ object SparkEntry {
         |  FROM ex GROUP BY 1)
         |SELECT make_timestamp(hrs.h * 3600000 * 1000) AS hour_start,
         |  hrs.tot_h, hrs.err_h,
-        |  round(CAST(hrs.err_h AS DOUBLE) * 20
-        |    / CAST(hrs.tot_h AS DOUBLE), 10) AS burn_1h,
-        |  round(CAST(d.err_d AS DOUBLE) * 20
-        |    / CAST(d.tot_d AS DOUBLE), 10) AS burn_1d,
+        |  floor((CAST(hrs.err_h AS DOUBLE) * 20
+        |    / CAST(hrs.tot_h AS DOUBLE)) * 1e10 + 0.5) / 1e10 AS burn_1h,
+        |  floor((CAST(d.err_d AS DOUBLE) * 20
+        |    / CAST(d.tot_d AS DOUBLE)) * 1e10 + 0.5) / 1e10 AS burn_1d,
         |  (hrs.err_h * 20 > hrs.tot_h * 2
         |    AND d.err_d * 20 > d.tot_d) AS alert
         |FROM hrs JOIN d ON hrs.h = d.h
@@ -3249,7 +3249,7 @@ object SparkEntry {
         |o AS (SELECT unnest(generate_series(1, 3)) AS off)
         |SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
         |  b.rank - a.rank AS rank_dist,
-        |  round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw
+        |  floor((jaro_winkler_similarity(a.c_name, b.c_name)) * 1e6 + 0.5) / 1e6 AS jw
         |FROM r a CROSS JOIN o JOIN r b ON b.rank = a.rank + o.off
         |ORDER BY key_a, key_b""".stripMargin,
     // Bitmap audience algebra: every output exact, recomputed from
@@ -3267,8 +3267,8 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT item_a, item_b, sa.u AS users_a, sb.u AS users_b,
         |  inter, sa.u + sb.u - inter AS uni,
-        |  round(CAST(inter AS DOUBLE)
-        |    / CAST(sa.u + sb.u - inter AS DOUBLE), 10) AS jaccard,
+        |  floor((CAST(inter AS DOUBLE)
+        |    / CAST(sa.u + sb.u - inter AS DOUBLE)) * 1e10 + 0.5) / 1e10 AS jaccard,
         |  total_users
         |FROM px JOIN s sa ON px.item_a = sa.event_type
         |  JOIN s sb ON px.item_b = sb.event_type, tot
@@ -3445,8 +3445,8 @@ object SparkEntry {
         |  CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE 'I' END AS op,
         |  CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus
         |    END AS o_orderstatus,
-        |  round(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
-        |    ELSE o_totalprice END, 2) + 0.0 AS o_totalprice
+        |  floor((CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+        |    ELSE o_totalprice END) * 1e2 + 0.5) / 1e2 + 0.0 AS o_totalprice
         |FROM orders WHERE o_orderkey % 10 <> 0
         |ORDER BY o_orderkey""".stripMargin,
     // q_join_bloom: the bloom pre-filter may only prune work — the
@@ -3486,7 +3486,7 @@ object SparkEntry {
     "q_temperature_mix" ->
       """WITH c AS (
         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_lang,
-        |    CAST(round(sqrt(CAST(count(*) AS DOUBLE)), 6)
+        |    CAST(floor((sqrt(CAST(count(*) AS DOUBLE))) * 1e6 + 0.5) / 1e6
         |      AS DECIMAL(38,6)) AS w
         |  FROM documents GROUP BY lang),
         |t AS (SELECT CAST(sum(w) AS DECIMAL(38,6)) AS w_tot,
@@ -3504,8 +3504,8 @@ object SparkEntry {
         |  WHERE ('0x' || substring(md5(d.text), 1, 6))::BIGINT <
         |    CAST(floor(rate * 16777216.0) AS BIGINT)
         |  GROUP BY d.lang)
-        |SELECT r.lang, n_lang, round(share, 6) + 0.0 AS share,
-        |  round(rate, 6) + 0.0 AS rate, n_kept
+        |SELECT r.lang, n_lang, floor((share) * 1e6 + 0.5) / 1e6 + 0.0 AS share,
+        |  floor((rate) * 1e6 + 0.5) / 1e6 + 0.0 AS rate, n_kept
         |FROM r JOIN k ON r.lang = k.lang
         |ORDER BY r.lang""".stripMargin,
     // q_triangles: canonical u<v edge set; each triangle a<b<c is
@@ -3571,25 +3571,25 @@ object SparkEntry {
         |      AS DECIMAL(28,8))) AS syy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n_rows,
-        |  round(CAST(sx AS DOUBLE) / CAST(n_rows AS DOUBLE), 4)
+        |  floor((CAST(sx AS DOUBLE) / CAST(n_rows AS DOUBLE)) * 1e4 + 0.5) / 1e4
         |    AS mean_x,
-        |  round(CAST(sy AS DOUBLE) / CAST(n_rows AS DOUBLE), 4)
+        |  floor((CAST(sy AS DOUBLE) / CAST(n_rows AS DOUBLE)) * 1e4 + 0.5) / 1e4
         |    AS mean_y,
-        |  round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |  floor((sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
         |    CAST(sx AS DOUBLE) / CAST(n_rows AS DOUBLE)) /
-        |    CAST(n_rows AS DOUBLE)), 4) AS stddev_x,
-        |  round(sqrt((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) *
+        |    CAST(n_rows AS DOUBLE))) * 1e4 + 0.5) / 1e4 AS stddev_x,
+        |  floor((sqrt((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) *
         |    CAST(sy AS DOUBLE) / CAST(n_rows AS DOUBLE)) /
-        |    CAST(n_rows AS DOUBLE)), 4) AS stddev_y,
-        |  round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |    CAST(n_rows AS DOUBLE))) * 1e4 + 0.5) / 1e4 AS stddev_y,
+        |  floor(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) *
         |    CAST(sy AS DOUBLE) / CAST(n_rows AS DOUBLE)) /
-        |    CAST(n_rows AS DOUBLE), 4) AS covar,
-        |  round((CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |    CAST(n_rows AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS covar,
+        |  floor(((CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE) -
         |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
         |    (sqrt(CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE) -
         |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
         |     sqrt(CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE) -
-        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS corr
         |FROM a
         |ORDER BY l_returnflag""".stripMargin,
     // Correlation matrix: same exact-DECIMAL-power-sum rule as
@@ -3632,15 +3632,15 @@ object SparkEntry {
         |  UNION ALL SELECT l_returnflag, n_rows, 'discount',
         |    'tax', s_d, s_t, s_dd, s_tt, s_dt FROM a)
         |SELECT l_returnflag, n_rows, col_x, col_y,
-        |  round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |  floor(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) *
         |    CAST(sy AS DOUBLE) / CAST(n_rows AS DOUBLE)) /
-        |    CAST(n_rows AS DOUBLE), 6) + 0.0 AS covar,
-        |  round((CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |    CAST(n_rows AS DOUBLE)) * 1e6 + 0.5) / 1e6 + 0.0 AS covar,
+        |  floor(((CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE) -
         |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
         |    (sqrt(CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE) -
         |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
         |     sqrt(CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE) -
-        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0 AS corr
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1e6 + 0.5) / 1e6 + 0.0 AS corr
         |FROM p
         |ORDER BY l_returnflag, col_x, col_y""".stripMargin,
     // Equi-width histogram: bucket = least(floor((x-min)/width),
@@ -3775,24 +3775,24 @@ object SparkEntry {
         |  (SELECT count(*) FROM u) AS ex_union,
         |  (SELECT count(*) FROM a JOIN n ON a.key = n.key) AS ex_inter)
         |SELECT ex.ex_a,
-        |  round(CASE WHEN len(ka.sk) < 256 THEN CAST(len(ka.sk) AS DOUBLE)
+        |  floor((CASE WHEN len(ka.sk) < 256 THEN CAST(len(ka.sk) AS DOUBLE)
         |    ELSE 255.0 * 1152921504606846976.0 / CAST(ka.sk[256] AS DOUBLE)
-        |    END, 4) + 0.0 AS est_a,
+        |    END) * 1e4 + 0.5) / 1e4 + 0.0 AS est_a,
         |  ex.ex_n,
-        |  round(CASE WHEN len(kn.sk) < 256 THEN CAST(len(kn.sk) AS DOUBLE)
+        |  floor((CASE WHEN len(kn.sk) < 256 THEN CAST(len(kn.sk) AS DOUBLE)
         |    ELSE 255.0 * 1152921504606846976.0 / CAST(kn.sk[256] AS DOUBLE)
-        |    END, 4) + 0.0 AS est_n,
+        |    END) * 1e4 + 0.5) / 1e4 + 0.0 AS est_n,
         |  ex.ex_union,
-        |  round(CASE WHEN len(ku.sk) < 256 THEN CAST(len(ku.sk) AS DOUBLE)
+        |  floor((CASE WHEN len(ku.sk) < 256 THEN CAST(len(ku.sk) AS DOUBLE)
         |    ELSE 255.0 * 1152921504606846976.0 / CAST(ku.sk[256] AS DOUBLE)
-        |    END, 4) + 0.0 AS est_union,
+        |    END) * 1e4 + 0.5) / 1e4 + 0.0 AS est_union,
         |  ex.ex_inter,
-        |  round(CAST(len(list_filter(ku.sk, x ->
+        |  floor((CAST(len(list_filter(ku.sk, x ->
         |      list_contains(ka.sk, x) AND list_contains(kn.sk, x)))
         |      AS DOUBLE) / 256.0 *
         |    (CASE WHEN len(ku.sk) < 256 THEN CAST(len(ku.sk) AS DOUBLE)
         |      ELSE 255.0 * 1152921504606846976.0 /
-        |        CAST(ku.sk[256] AS DOUBLE) END), 4) + 0.0 AS est_inter
+        |        CAST(ku.sk[256] AS DOUBLE) END)) * 1e4 + 0.5) / 1e4 + 0.0 AS est_inter
         |FROM ex, ka, kn, ku""".stripMargin,
     "q_approx_percentiles" ->
       """SELECT l_returnflag,
@@ -3809,7 +3809,7 @@ object SparkEntry {
     // the rectangle filter on the unclustered source.
     "q_zorder" ->
       """SELECT l_returnflag, count(*) AS n_rows,
-        |  round(sum(l_extendedprice), 2) AS sum_price
+        |  floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_price
         |FROM lineitem
         |WHERE l_orderkey < 1000 AND l_partkey < 200
         |GROUP BY l_returnflag
@@ -3841,7 +3841,7 @@ object SparkEntry {
         |    ORDER BY tfidf DESC, term) AS INTEGER) AS rnk
         |  FROM scored)
         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
-        |  CAST(df AS BIGINT) AS df, round(tfidf, 4) AS tfidf, rnk
+        |  CAST(df AS BIGINT) AS df, floor((tfidf) * 1e4 + 0.5) / 1e4 AS tfidf, rnk
         |FROM r WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
     // BM25: the oracle replays tokenization (list_filter per query
@@ -3868,7 +3868,7 @@ object SparkEntry {
         |  FROM d),
         |sc AS (
         |  SELECT doc_id, dl, tf_0, tf_1, tf_2,
-        |    round(
+        |    floor((
         |      ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5)) *
         |        (CAST(tf_0 AS DOUBLE) * 2.2) /
         |        (CAST(tf_0 AS DOUBLE) +
@@ -3880,7 +3880,7 @@ object SparkEntry {
         |      ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5)) *
         |        (CAST(tf_2 AS DOUBLE) * 2.2) /
         |        (CAST(tf_2 AS DOUBLE) +
-        |          1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))), 4)
+        |          1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))) * 1e4 + 0.5) / 1e4
         |      AS score
         |  FROM d CROSS JOIN s)
         |SELECT doc_id, CAST(dl AS BIGINT) AS dl, tf_0, tf_1, tf_2, score
@@ -3911,7 +3911,7 @@ object SparkEntry {
         |  FROM d),
         |sc AS (
         |  SELECT doc_id,
-        |    round(
+        |    floor((
         |      ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5)) *
         |        (CAST(tf_0 AS DOUBLE) * 2.2) /
         |        (CAST(tf_0 AS DOUBLE) +
@@ -3923,7 +3923,7 @@ object SparkEntry {
         |      ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5)) *
         |        (CAST(tf_2 AS DOUBLE) * 2.2) /
         |        (CAST(tf_2 AS DOUBLE) +
-        |          1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))), 4)
+        |          1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))) * 1e4 + 0.5) / 1e4
         |      AS score
         |  FROM d CROSS JOIN s),
         |sparse AS (
@@ -3934,9 +3934,9 @@ object SparkEntry {
         |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
         |dn AS (
         |  SELECT vec_id AS doc_id,
-        |    round(list_dot_product(q_emb::DOUBLE[], embedding::DOUBLE[]) /
+        |    floor((list_dot_product(q_emb::DOUBLE[], embedding::DOUBLE[]) /
         |      (sqrt(list_dot_product(q_emb::DOUBLE[], q_emb::DOUBLE[])) *
-        |       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+        |       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))) * 1e4 + 0.5) / 1e4
         |      AS cos_sim
         |  FROM embeddings CROSS JOIN q),
         |dense AS (
@@ -3946,8 +3946,8 @@ object SparkEntry {
         |        ORDER BY cos_sim DESC, doc_id LIMIT 50))
         |SELECT COALESCE(sp.doc_id, de.doc_id) AS doc_id,
         |  sp.sparse_rank, de.dense_rank,
-        |  round(COALESCE(1.0::DOUBLE / (60 + sp.sparse_rank), 0.0) +
-        |        COALESCE(1.0::DOUBLE / (60 + de.dense_rank), 0.0), 6)
+        |  floor((COALESCE(1.0::DOUBLE / (60 + sp.sparse_rank), 0.0) +
+        |        COALESCE(1.0::DOUBLE / (60 + de.dense_rank), 0.0)) * 1e6 + 0.5) / 1e6
         |    AS rrf_score
         |FROM sparse sp FULL OUTER JOIN dense de ON sp.doc_id = de.doc_id
         |ORDER BY rrf_score DESC, doc_id
@@ -3971,21 +3971,21 @@ object SparkEntry {
         |    CAST(tf.tf AS DOUBLE) * ln(n.n / CAST(df.df AS DOUBLE)) AS w
         |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
         |nm AS (SELECT doc_id,
-        |    sqrt(CAST(sum(CAST(round(w * w, 8) AS DECIMAL(30,8)))
+        |    sqrt(CAST(sum(CAST(floor((w * w) * 1e8 + 0.5) / 1e8 AS DECIMAL(30,8)))
         |      AS DOUBLE)) AS norm
         |  FROM w GROUP BY doc_id),
         |wn AS (SELECT w.doc_id, w.term, w.w / nm.norm AS wn
         |  FROM w JOIN nm ON w.doc_id = nm.doc_id),
         |p AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(round(a.wn * b.wn, 10) AS DECIMAL(20,10)) AS p
+        |    CAST(floor((a.wn * b.wn) * 1e10 + 0.5) / 1e10 AS DECIMAL(20,10)) AS p
         |  FROM wn a JOIN wn b ON a.term = b.term
         |    AND a.doc_id < b.doc_id),
         |s AS (SELECT doc_a, doc_b, sum(p) AS s,
         |    CAST(count(*) AS BIGINT) AS shared_terms
         |  FROM p GROUP BY doc_a, doc_b)
         |SELECT doc_a, doc_b, shared_terms,
-        |  round(CAST(s AS DOUBLE), 4) AS cos_sim
+        |  floor((CAST(s AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS cos_sim
         |FROM s
         |ORDER BY cos_sim DESC, doc_a, doc_b
         |LIMIT 20""".stripMargin,
@@ -4033,8 +4033,8 @@ object SparkEntry {
         |  CAST(len(list_filter(arr, x -> x <> 0)) AS INTEGER) AS nnz,
         |  CAST(list_position(arr, list_max(arr)) - 1 AS INTEGER)
         |    AS top_bucket,
-        |  round(list_max(arr), 6) AS top_weight,
-        |  round(arr[1], 6) AS c0
+        |  floor((list_max(arr)) * 1e6 + 0.5) / 1e6 AS top_weight,
+        |  floor((arr[1]) * 1e6 + 0.5) / 1e6 AS c0
         |FROM a
         |ORDER BY doc_id""".stripMargin,
     // Model-based quality gate: the oracle replays the md5-bucket
@@ -4075,16 +4075,16 @@ object SparkEntry {
         |r AS (
         |  SELECT thr, tp, fp, fn, tn,
         |    CASE WHEN tp + fp > 0 THEN
-        |      round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+        |      floor((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) * 1e6 + 0.5) / 1e6
         |    END AS prec,
         |    CASE WHEN tp + fn > 0 THEN
-        |      round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+        |      floor((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)) * 1e6 + 0.5) / 1e6
         |    END AS rec
         |  FROM c)
         |SELECT thr, tp, fp, fn, tn, prec, rec,
         |  CASE WHEN prec IS NOT NULL AND rec IS NOT NULL
         |      AND prec + rec > 0.0 THEN
-        |    round(2.0 * prec * rec / (prec + rec), 6)
+        |    floor((2.0 * prec * rec / (prec + rec)) * 1e6 + 0.5) / 1e6
         |  END AS f1
         |FROM r ORDER BY thr""".stripMargin),
     // Winnowing (MOSS): word 3-gram hashes = first 32 md5 bits (the
@@ -4199,10 +4199,10 @@ object SparkEntry {
         |  WHERE doc_id % 5 = 0),
         |terms AS (
         |  SELECT bg.doc_id,
-        |    CAST(round(ln(
+        |    CAST(floor((ln(
         |      (CAST(coalesce(c2.c2, 0) AS DOUBLE) + 0.1) /
         |      (CAST(coalesce(c1.c1, 0) AS DOUBLE) +
-        |        0.1 * CAST(v.v AS DOUBLE))), 10)
+        |        0.1 * CAST(v.v AS DOUBLE)))) * 1e10 + 0.5) / 1e10
         |      AS DECIMAL(20,10)) AS term
         |  FROM bg
         |  LEFT JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
@@ -4212,10 +4212,10 @@ object SparkEntry {
         |    CAST(count(*) AS BIGINT) AS n_bigrams
         |  FROM terms GROUP BY doc_id)
         |SELECT doc_id, n_bigrams,
-        |  round(CAST(sum_lp AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+        |  floor((CAST(sum_lp AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) * 1e6 + 0.5) / 1e6
         |    AS avg_logp,
-        |  round(exp(-round(CAST(sum_lp AS DOUBLE) /
-        |    CAST(n_bigrams AS DOUBLE), 6)), 4) AS ppl
+        |  floor((exp(-floor((CAST(sum_lp AS DOUBLE) /
+        |    CAST(n_bigrams AS DOUBLE)) * 1e6 + 0.5) / 1e6)) * 1e4 + 0.5) / 1e4 AS ppl
         |FROM agg
         |ORDER BY doc_id""".stripMargin,
     // PMI collocations: the oracle replays the bigram stream, the
@@ -4236,8 +4236,8 @@ object SparkEntry {
         |  GROUP BY w2),
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg)
         |SELECT c2.w1, c2.w2, c2.c2,
-        |  round(ln(CAST(c2.c2 * n.n AS DOUBLE) /
-        |    CAST(cl.cl * cr.cr AS DOUBLE)), 6) AS pmi
+        |  floor((ln(CAST(c2.c2 * n.n AS DOUBLE) /
+        |    CAST(cl.cl * cr.cr AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS pmi
         |FROM c2 JOIN cl ON c2.w1 = cl.w1 JOIN cr ON c2.w2 = cr.w2
         |CROSS JOIN n
         |ORDER BY pmi DESC, c2.w1, c2.w2
@@ -4253,7 +4253,7 @@ object SparkEntry {
         |      CAST(length(text) AS DOUBLE) AS key
         |  FROM documents)
         |SELECT doc_id, CAST(w AS BIGINT) AS w,
-        |  round(key * 1000000.0, 4) AS key_e6
+        |  floor((key * 1000000.0) * 1e4 + 0.5) / 1e4 AS key_e6
         |FROM s
         |ORDER BY key DESC, doc_id
         |LIMIT 100""".stripMargin,
@@ -4265,7 +4265,7 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_good,
         |  CAST(2 AS BIGINT) AS n_bad,
         |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
-        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2)
+        |  CAST(floor((sum(CAST(c_acctbal AS DECIMAL(18,2)))) * 1e2 + 0.5) / 1e2
         |    AS DOUBLE) AS sum_acctbal,
         |  CAST(sum(length(c_name) + 9) AS BIGINT) AS tricky_chars
         |FROM customer""".stripMargin,
@@ -4291,8 +4291,8 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, inter,
         |  na.n_sh + nb.n_sh - inter AS uni,
-        |  round(CAST(inter AS DOUBLE)
-        |    / CAST(na.n_sh + nb.n_sh - inter AS DOUBLE), 6) AS jaccard
+        |  floor((CAST(inter AS DOUBLE)
+        |    / CAST(na.n_sh + nb.n_sh - inter AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS jaccard
         |FROM pr
         |JOIN n na ON pr.doc_a = na.doc_id
         |JOIN n nb ON pr.doc_b = nb.doc_id
@@ -4355,14 +4355,14 @@ object SparkEntry {
         |      AS n_syllables
         |  FROM w)
         |SELECT doc_id, n_words, n_sentences, n_syllables,
-        |  round(0.39 * (CAST(n_words AS DOUBLE)
+        |  floor((0.39 * (CAST(n_words AS DOUBLE)
         |      / CAST(n_sentences AS DOUBLE))
         |    + 11.8 * (CAST(n_syllables AS DOUBLE)
-        |      / CAST(n_words AS DOUBLE)) - 15.59, 4) AS fk_grade,
-        |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE)
+        |      / CAST(n_words AS DOUBLE)) - 15.59) * 1e4 + 0.5) / 1e4 AS fk_grade,
+        |  floor((206.835 - 1.015 * (CAST(n_words AS DOUBLE)
         |      / CAST(n_sentences AS DOUBLE))
         |    - 84.6 * (CAST(n_syllables AS DOUBLE)
-        |      / CAST(n_words AS DOUBLE)), 4) AS flesch
+        |      / CAST(n_words AS DOUBLE))) * 1e4 + 0.5) / 1e4 AS flesch
         |FROM c ORDER BY doc_id""".stripMargin,
     // RAKE: identical two-stage regex phrase split (punctuation to
     // space, \b-stopword to '|'), exact BIGINT deg/freq, word score
@@ -4414,8 +4414,8 @@ object SparkEntry {
         |    CAST(sum(c * c) AS BIGINT) AS s2
         |  FROM pd GROUP BY term)
         |SELECT term, df, s1 AS total,
-        |  round(CAST((SELECT n FROM nn) * s2 - s1 * s1 AS DOUBLE) /
-        |    CAST((SELECT n FROM nn) * s1 AS DOUBLE), 10) AS fano
+        |  floor((CAST((SELECT n FROM nn) * s2 - s1 * s1 AS DOUBLE) /
+        |    CAST((SELECT n FROM nn) * s1 AS DOUBLE)) * 1e10 + 0.5) / 1e10 AS fano
         |FROM ag WHERE df >= 5
         |ORDER BY term""".stripMargin,
     "q_gini" ->
@@ -4435,12 +4435,11 @@ object SparkEntry {
         |  FROM ranked CROSS JOIN n
         |  WHERE CAST(i AS DOUBLE) > CAST(n_types AS DOUBLE) * 0.99)
         |SELECT n_types, n_tokens,
-        |  round(2.0 * CAST(sum_ix AS DOUBLE) /
+        |  floor((2.0 * CAST(sum_ix AS DOUBLE) /
         |    (CAST(n_types AS DOUBLE) * CAST(n_tokens AS DOUBLE)) -
-        |    CAST(n_types + 1 AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+        |    CAST(n_types + 1 AS DOUBLE) / CAST(n_types AS DOUBLE)) * 1e6 + 0.5) / 1e6
         |    AS gini,
-        |  round(CAST(head_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE),
-        |    6) AS head_share
+        |  floor((CAST(head_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS head_share
         |FROM n CROSS JOIN head""".stripMargin,
     // Zipf OLS fit: per-type log terms round to 10 dp and DECIMAL-sum;
     // the closed form runs on identical sums in both engines.
@@ -4455,37 +4454,35 @@ object SparkEntry {
         |      AS r
         |  FROM counts),
         |t AS (SELECT
-        |    CAST(round(ln(CAST(r AS DOUBLE)), 10) AS DECIMAL(24,10))
+        |    CAST(floor((ln(CAST(r AS DOUBLE))) * 1e10 + 0.5) / 1e10 AS DECIMAL(24,10))
         |      AS x,
-        |    CAST(round(ln(CAST(c AS DOUBLE)), 10) AS DECIMAL(24,10))
+        |    CAST(floor((ln(CAST(c AS DOUBLE))) * 1e10 + 0.5) / 1e10 AS DECIMAL(24,10))
         |      AS y,
-        |    CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE)),
-        |      10) AS DECIMAL(24,10)) AS xy,
-        |    CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)),
-        |      10) AS DECIMAL(24,10)) AS xx
+        |    CAST(floor((ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))) * 1e10 + 0.5) / 1e10 AS DECIMAL(24,10)) AS xy,
+        |    CAST(floor((ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) * 1e10 + 0.5) / 1e10 AS DECIMAL(24,10)) AS xx
         |  FROM ranked),
         |s AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
         |    sum(x) AS sx, sum(y) AS sy, sum(xy) AS sxy, sum(xx) AS sxx
         |  FROM t)
         |SELECT n_types,
-        |  round((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |  floor(((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
         |    (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 1e4 + 0.5) / 1e4
         |    AS zipf_slope,
-        |  round((CAST(sy AS DOUBLE) -
+        |  floor(((CAST(sy AS DOUBLE) -
         |    ((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
         |    (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
-        |    CAST(sx AS DOUBLE)) / CAST(n_types AS DOUBLE), 4)
+        |    CAST(sx AS DOUBLE)) / CAST(n_types AS DOUBLE)) * 1e4 + 0.5) / 1e4
         |    AS zipf_intercept
         |FROM s""".stripMargin,
     // Benford first-digit audit: digit via exact integer cents ->
     // decimal string head (no float log/formatting ambiguity).
     "q_benford" ->
       """WITH cents AS (
-        |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  SELECT CAST(floor((o_totalprice * 100) + 0.5) AS BIGINT) AS cents
         |  FROM orders WHERE o_totalprice > 0),
         |d AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1)
         |    AS INTEGER) AS digit FROM cents),
@@ -4493,8 +4490,8 @@ object SparkEntry {
         |  GROUP BY digit),
         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g)
         |SELECT digit, n,
-        |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS obs_freq,
-        |  round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)
+        |  floor((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS obs_freq,
+        |  floor((ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)) * 1e6 + 0.5) / 1e6
         |    AS exp_freq
         |FROM g CROSS JOIN t
         |ORDER BY digit""".stripMargin,
@@ -4523,8 +4520,7 @@ object SparkEntry {
         |  FROM v)
         |SELECT rep, CAST(sum(w) AS BIGINT) AS n_eff,
         |  CAST(sum(w * len) AS BIGINT) AS sum_wlen,
-        |  round(CAST(sum(w * len) AS DOUBLE) / CAST(sum(w) AS DOUBLE),
-        |    6) AS mean_len
+        |  floor((CAST(sum(w * len) AS DOUBLE) / CAST(sum(w) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mean_len
         |FROM w GROUP BY rep
         |ORDER BY rep""".stripMargin,
     // Borda rank ensemble: rank_m = docs strictly better on metric m
@@ -4534,11 +4530,11 @@ object SparkEntry {
       """WITH sc AS (
         |  SELECT doc_id,
         |    CAST(length(text) AS BIGINT) AS s_len,
-        |    round(CAST(len(list_distinct(string_split(text, ' ')))
+        |    floor((CAST(len(list_distinct(string_split(text, ' ')))
         |        AS DOUBLE) /
-        |      CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS s_div,
-        |    round(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
-        |      CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS s_wlen
+        |      CAST(len(string_split(text, ' ')) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS s_div,
+        |    floor((CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+        |      CAST(len(string_split(text, ' ')) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS s_wlen
         |  FROM documents),
         |r AS (
         |  SELECT doc_id, s_len, s_div, s_wlen,
@@ -4562,9 +4558,9 @@ object SparkEntry {
         |  SELECT c_custkey - 1 AS c_custkey, c_name AS next_name
         |  FROM customer)
         |SELECT c.c_custkey,
-        |  round(jaro_winkler_similarity(c.c_name, nxt.next_name), 6)
+        |  floor((jaro_winkler_similarity(c.c_name, nxt.next_name)) * 1e6 + 0.5) / 1e6
         |    AS jw_next,
-        |  round(jaro_winkler_similarity(c.c_name, c.c_mktsegment), 6)
+        |  floor((jaro_winkler_similarity(c.c_name, c.c_mktsegment)) * 1e6 + 0.5) / 1e6
         |    AS jw_seg
         |FROM customer c JOIN nxt ON c.c_custkey = nxt.c_custkey
         |ORDER BY c.c_custkey""".stripMargin,
@@ -4611,7 +4607,7 @@ object SparkEntry {
         |      WHERE doc_id % 5 = 0) AS v),
         |terms AS (
         |  SELECT bg.doc_id,
-        |    CAST(round(ln(
+        |    CAST(floor((ln(
         |      CASE WHEN ctx.c1 IS NOT NULL THEN
         |        (greatest(CAST(coalesce(c2.c2, 0) AS DOUBLE) - 0.75,
         |            0.0) +
@@ -4623,7 +4619,7 @@ object SparkEntry {
         |      ELSE
         |        (CAST(coalesce(cont.n1back, 0) AS DOUBLE) + 0.1) /
         |        (CAST(sc.n1tot AS DOUBLE) + 0.1 * CAST(sc.v AS DOUBLE))
-        |      END), 10) AS DECIMAL(20,10)) AS term
+        |      END)) * 1e10 + 0.5) / 1e10 AS DECIMAL(20,10)) AS term
         |  FROM bg
         |  LEFT JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
         |  LEFT JOIN ctx ON bg.w1 = ctx.w1
@@ -4633,10 +4629,10 @@ object SparkEntry {
         |    CAST(count(*) AS BIGINT) AS n_bigrams
         |  FROM terms GROUP BY doc_id)
         |SELECT doc_id, n_bigrams,
-        |  round(CAST(sum_lp AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+        |  floor((CAST(sum_lp AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) * 1e6 + 0.5) / 1e6
         |    AS avg_logp,
-        |  round(exp(-round(CAST(sum_lp AS DOUBLE) /
-        |    CAST(n_bigrams AS DOUBLE), 6)), 4) AS ppl
+        |  floor((exp(-floor((CAST(sum_lp AS DOUBLE) /
+        |    CAST(n_bigrams AS DOUBLE)) * 1e6 + 0.5) / 1e6)) * 1e4 + 0.5) / 1e4 AS ppl
         |FROM agg
         |ORDER BY doc_id""".stripMargin,
     // Snapshot diff: the oracle rebuilds the same deterministic v2
@@ -4693,8 +4689,8 @@ object SparkEntry {
         |  FROM documents),
         |q AS (
         |  SELECT doc_id, n_tok,
-        |    round((n_stop / nt) * 0.25 + (n_distinct / nt) * 0.5 +
-        |      (1.0 - n_short / nt) * 0.25, 10) + 0.0 AS q
+        |    floor(((n_stop / nt) * 0.25 + (n_distinct / nt) * 0.5 +
+        |      (1.0 - n_short / nt) * 0.25) * 1e10 + 0.5) / 1e10 + 0.0 AS q
         |  FROM s),
         |b AS (SELECT sum(n_tok) // 2 AS budget FROM s),
         |c AS (
@@ -4765,8 +4761,8 @@ object SparkEntry {
         |kl AS (SELECT source, list(term ORDER BY bucket) AS tl
         |  FROM terms GROUP BY source)
         |SELECT k.source, nd.n_docs, CAST(st.st AS BIGINT) AS n_tok,
-        |  round(list_dot_product(k.tl,
-        |    list_transform(range(0, 64), i -> 1.0)), 6) + 0.0 AS kl
+        |  floor((list_dot_product(k.tl,
+        |    list_transform(range(0, 64), i -> 1.0))) * 1e6 + 0.5) / 1e6 + 0.0 AS kl
         |FROM kl k JOIN st ON k.source = st.source
         |JOIN nd ON k.source = nd.source
         |ORDER BY k.source""".stripMargin,
@@ -4850,10 +4846,10 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT doc_id, lang,
         |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
-        |    round(ln(
+        |    floor((ln(
         |      (CAST(('0x' || substring(md5(text), 1, 6))::BIGINT
         |        AS DOUBLE) + 1.0) / 16777216.0) /
-        |      CAST(len(string_split(text, ' ')) AS DOUBLE), 10)
+        |      CAST(len(string_split(text, ' ')) AS DOUBLE)) * 1e10 + 0.5) / 1e10
         |      AS lnkey
         |  FROM documents),
         |r AS (SELECT *, CAST(row_number() OVER (
@@ -4906,7 +4902,7 @@ object SparkEntry {
         |    CAST(floor(r.rate * 16777216.0) AS BIGINT)
         |  GROUP BY d.lang)
         |SELECT r.lang, r.n_lang, r.target_pct,
-        |  round(r.rate, 6) AS rate, k.n_kept
+        |  floor((r.rate) * 1e6 + 0.5) / 1e6 AS rate, k.n_kept
         |FROM r JOIN k ON r.lang = k.lang
         |ORDER BY r.lang""".stripMargin,
     // DSIR importance weighting: the oracle refits both hashed-unigram
@@ -4941,8 +4937,8 @@ object SparkEntry {
         |    ((raw + 1.0) / (rtot + 64.0))) ORDER BY bucket) AS w
         |  FROM g, tot),
         |s AS (SELECT doc_id, n_tok,
-        |    round(list_dot_product(cnts, w.w) /
-        |      CAST(n_tok AS DOUBLE), 6) + 0.0 AS imp_score
+        |    floor((list_dot_product(cnts, w.w) /
+        |      CAST(n_tok AS DOUBLE)) * 1e6 + 0.5) / 1e6 + 0.0 AS imp_score
         |  FROM v, w)
         |SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok, imp_score,
         |  imp_score > 0 AS keep
@@ -4972,25 +4968,25 @@ object SparkEntry {
         |s1 AS (SELECT e.dst, sum(it0.pr / e.deg) AS s FROM e
         |  JOIN it0 ON e.src = it0.doc_id GROUP BY e.dst),
         |it1 AS (SELECT d.doc_id,
-        |    round(CAST(0.15 AS DOUBLE) / nn.nd +
-        |      CAST(0.85 AS DOUBLE) * coalesce(s1.s, 0.0), 10) AS pr
+        |    floor((CAST(0.15 AS DOUBLE) / nn.nd +
+        |      CAST(0.85 AS DOUBLE) * coalesce(s1.s, 0.0)) * 1e10 + 0.5) / 1e10 AS pr
         |  FROM documents d CROSS JOIN nn
         |  LEFT JOIN s1 ON d.doc_id = s1.dst),
         |s2 AS (SELECT e.dst, sum(it1.pr / e.deg) AS s FROM e
         |  JOIN it1 ON e.src = it1.doc_id GROUP BY e.dst),
         |it2 AS (SELECT d.doc_id,
-        |    round(CAST(0.15 AS DOUBLE) / nn.nd +
-        |      CAST(0.85 AS DOUBLE) * coalesce(s2.s, 0.0), 10) AS pr
+        |    floor((CAST(0.15 AS DOUBLE) / nn.nd +
+        |      CAST(0.85 AS DOUBLE) * coalesce(s2.s, 0.0)) * 1e10 + 0.5) / 1e10 AS pr
         |  FROM documents d CROSS JOIN nn
         |  LEFT JOIN s2 ON d.doc_id = s2.dst),
         |s3 AS (SELECT e.dst, sum(it2.pr / e.deg) AS s FROM e
         |  JOIN it2 ON e.src = it2.doc_id GROUP BY e.dst),
         |it3 AS (SELECT d.doc_id,
-        |    round(CAST(0.15 AS DOUBLE) / nn.nd +
-        |      CAST(0.85 AS DOUBLE) * coalesce(s3.s, 0.0), 10) AS pr
+        |    floor((CAST(0.15 AS DOUBLE) / nn.nd +
+        |      CAST(0.85 AS DOUBLE) * coalesce(s3.s, 0.0)) * 1e10 + 0.5) / 1e10 AS pr
         |  FROM documents d CROSS JOIN nn
         |  LEFT JOIN s3 ON d.doc_id = s3.dst)
-        |SELECT it3.doc_id, round(it3.pr * nn.nd, 8) AS pr_scaled
+        |SELECT it3.doc_id, floor((it3.pr * nn.nd) * 1e8 + 0.5) / 1e8 AS pr_scaled
         |FROM it3 CROSS JOIN nn
         |ORDER BY it3.doc_id""".stripMargin,
     // Multi-source BFS, 3 unrolled relaxation rounds over the
@@ -5129,40 +5125,40 @@ object SparkEntry {
         |ed AS (SELECT src, dst FROM ed0 WHERE src <> dst),
         |h0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) / nn.nd AS h
         |  FROM documents, nn),
-        |ra1 AS (SELECT ed.dst, round(sum(h0.h), 10) AS ra FROM ed
+        |ra1 AS (SELECT ed.dst, floor((sum(h0.h)) * 1e10 + 0.5) / 1e10 AS ra FROM ed
         |  JOIN h0 ON ed.src = h0.doc_id GROUP BY ed.dst),
         |sa1 AS (SELECT CAST(sum(CAST(ra AS DECIMAL(24,10))) AS DOUBLE)
         |  AS sa FROM ra1),
         |a1 AS (SELECT d.doc_id,
-        |    round(coalesce(ra1.ra, 0.0) / sa1.sa, 10) AS a
+        |    floor((coalesce(ra1.ra, 0.0) / sa1.sa) * 1e10 + 0.5) / 1e10 AS a
         |  FROM documents d CROSS JOIN sa1
         |  LEFT JOIN ra1 ON d.doc_id = ra1.dst),
-        |rh1 AS (SELECT ed.src, round(sum(a1.a), 10) AS rh FROM ed
+        |rh1 AS (SELECT ed.src, floor((sum(a1.a)) * 1e10 + 0.5) / 1e10 AS rh FROM ed
         |  JOIN a1 ON ed.dst = a1.doc_id GROUP BY ed.src),
         |sh1 AS (SELECT CAST(sum(CAST(rh AS DECIMAL(24,10))) AS DOUBLE)
         |  AS sh FROM rh1),
         |h1 AS (SELECT d.doc_id,
-        |    round(coalesce(rh1.rh, 0.0) / sh1.sh, 10) AS h
+        |    floor((coalesce(rh1.rh, 0.0) / sh1.sh) * 1e10 + 0.5) / 1e10 AS h
         |  FROM documents d CROSS JOIN sh1
         |  LEFT JOIN rh1 ON d.doc_id = rh1.src),
-        |ra2 AS (SELECT ed.dst, round(sum(h1.h), 10) AS ra FROM ed
+        |ra2 AS (SELECT ed.dst, floor((sum(h1.h)) * 1e10 + 0.5) / 1e10 AS ra FROM ed
         |  JOIN h1 ON ed.src = h1.doc_id GROUP BY ed.dst),
         |sa2 AS (SELECT CAST(sum(CAST(ra AS DECIMAL(24,10))) AS DOUBLE)
         |  AS sa FROM ra2),
         |a2 AS (SELECT d.doc_id,
-        |    round(coalesce(ra2.ra, 0.0) / sa2.sa, 10) AS a
+        |    floor((coalesce(ra2.ra, 0.0) / sa2.sa) * 1e10 + 0.5) / 1e10 AS a
         |  FROM documents d CROSS JOIN sa2
         |  LEFT JOIN ra2 ON d.doc_id = ra2.dst),
-        |rh2 AS (SELECT ed.src, round(sum(a2.a), 10) AS rh FROM ed
+        |rh2 AS (SELECT ed.src, floor((sum(a2.a)) * 1e10 + 0.5) / 1e10 AS rh FROM ed
         |  JOIN a2 ON ed.dst = a2.doc_id GROUP BY ed.src),
         |sh2 AS (SELECT CAST(sum(CAST(rh AS DECIMAL(24,10))) AS DOUBLE)
         |  AS sh FROM rh2),
         |h2 AS (SELECT d.doc_id,
-        |    round(coalesce(rh2.rh, 0.0) / sh2.sh, 10) AS h
+        |    floor((coalesce(rh2.rh, 0.0) / sh2.sh) * 1e10 + 0.5) / 1e10 AS h
         |  FROM documents d CROSS JOIN sh2
         |  LEFT JOIN rh2 ON d.doc_id = rh2.src)
-        |SELECT a2.doc_id, round(a2.a * nn.nd, 8) AS authority,
-        |  round(h2.h * nn.nd, 8) AS hub
+        |SELECT a2.doc_id, floor((a2.a * nn.nd) * 1e8 + 0.5) / 1e8 AS authority,
+        |  floor((h2.h * nn.nd) * 1e8 + 0.5) / 1e8 AS hub
         |FROM a2 JOIN h2 ON a2.doc_id = h2.doc_id CROSS JOIN nn
         |ORDER BY a2.doc_id""".stripMargin,
     // K-core peeling, 3 unrolled synchronous rounds at k=5: each round
@@ -5290,10 +5286,10 @@ object SparkEntry {
         |SELECT label, count(*) AS n_vecs,
         |  CAST(min(dims) AS INTEGER) AS min_dims,
         |  CAST(max(dims) AS INTEGER) AS max_dims,
-        |  round(min(nrm), 4) AS min_norm,
-        |  round(max(nrm), 4) AS max_norm,
-        |  round(avg(nrm), 4) AS avg_norm,
-        |  round(avg(c0), 4) AS avg_c0
+        |  floor((min(nrm)) * 1e4 + 0.5) / 1e4 AS min_norm,
+        |  floor((max(nrm)) * 1e4 + 0.5) / 1e4 AS max_norm,
+        |  floor((avg(nrm)) * 1e4 + 0.5) / 1e4 AS avg_norm,
+        |  floor((avg(c0)) * 1e4 + 0.5) / 1e4 AS avg_c0
         |FROM s GROUP BY label
         |ORDER BY label""".stripMargin,
     // Connected components over the near-dup pair graph (same pair
@@ -5428,7 +5424,7 @@ object SparkEntry {
       """WITH c AS (
         |  SELECT c_custkey, CAST(c_nationkey AS VARCHAR) AS nation,
         |    c_mktsegment AS segment,
-        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+        |    CAST(floor((c_acctbal * 100) + 0.5) AS BIGINT) AS cents
         |  FROM customer),
         |b AS (
         |  SELECT c_custkey, nation, segment,
@@ -5524,8 +5520,8 @@ object SparkEntry {
         |      + 0.5) / 16777216.0 AS u
         |  FROM c)
         |SELECT event_type, hod, n,
-        |  round(CAST(n AS DOUBLE) + (-1.0) * sign(u - 0.5) *
-        |    ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_n
+        |  floor((CAST(n AS DOUBLE) + (-1.0) * sign(u - 0.5) *
+        |    ln(1.0 - 2.0 * abs(u - 0.5))) * 1e6 + 0.5) / 1e6 AS noisy_n
         |FROM w
         |ORDER BY event_type, hod""".stripMargin,
     // (size and distinct-sensitive-values), replays the first level
@@ -5536,7 +5532,7 @@ object SparkEntry {
       """WITH c AS (
         |  SELECT c_custkey, CAST(c_nationkey AS VARCHAR) AS nation,
         |    c_mktsegment AS seg,
-        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+        |    CAST(floor((c_acctbal * 100) + 0.5) AS BIGINT) AS cents
         |  FROM customer),
         |b AS (
         |  SELECT c_custkey, nation, seg,
@@ -5777,15 +5773,15 @@ object SparkEntry {
         |  FROM q),
         |c AS (
         |  SELECT label, dims, scale,
-        |    round(CASE WHEN scale = 0 THEN NULL ELSE
+        |    floor((CASE WHEN scale = 0 THEN NULL ELSE
         |      list_dot_product(v, dq) /
         |        (sqrt(list_dot_product(v, v)) *
-        |         sqrt(list_dot_product(dq, dq))) END, 6) AS cos_q
+        |         sqrt(list_dot_product(dq, dq))) END) * 1e6 + 0.5) / 1e6 AS cos_q
         |  FROM d)
         |SELECT label, count(*) AS n_vecs,
-        |  round(avg(scale), 6) AS avg_scale,
-        |  round(avg(cos_q), 6) AS avg_cos,
-        |  round(min(cos_q), 6) AS min_cos,
+        |  floor((avg(scale)) * 1e6 + 0.5) / 1e6 AS avg_scale,
+        |  floor((avg(cos_q)) * 1e6 + 0.5) / 1e6 AS avg_cos,
+        |  floor((min(cos_q)) * 1e6 + 0.5) / 1e6 AS min_cos,
         |  CAST(sum(dims * 4) AS BIGINT) AS bytes_fp32,
         |  CAST(sum(dims + 8) AS BIGINT) AS bytes_int8
         |FROM c GROUP BY label

@@ -138,12 +138,12 @@ object Behavior {
     val z = (pB - pA) / se
     a.crossJoin(b)
       .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
-        (round(pA, 10) + lit(0.0)).as("rate_a"),
-        (round(pB, 10) + lit(0.0)).as("rate_b"),
-        (round(pB - pA, 10) + lit(0.0)).as("uplift"),
-        (round(se, 10) + lit(0.0)).as("se"),
-        (round(z, 10) + lit(0.0)).as("z"),
-        (abs(round(z, 10) + lit(0.0)) >= 1.96).as("significant"))
+        (fr(pA, 10) + lit(0.0)).as("rate_a"),
+        (fr(pB, 10) + lit(0.0)).as("rate_b"),
+        (fr(pB - pA, 10) + lit(0.0)).as("uplift"),
+        (fr(se, 10) + lit(0.0)).as("se"),
+        (fr(z, 10) + lit(0.0)).as("z"),
+        (abs(fr(z, 10) + lit(0.0)) >= 1.96).as("significant"))
   }
 
   /**
@@ -187,13 +187,13 @@ object Behavior {
       .crossJoin(broadcast(nUsers))
       .select(col("item_a"), col("item_b"), col("sup_a"), col("sup_b"),
         col("sup_ab"), col("n_users"),
-        round(col("sup_ab").cast("double") /
+        fr(col("sup_ab").cast("double") /
           col("n_users").cast("double"), 10).as("support"),
-        round(col("sup_ab").cast("double") /
+        fr(col("sup_ab").cast("double") /
           col("sup_a").cast("double"), 10).as("conf_a_b"),
-        round(col("sup_ab").cast("double") /
+        fr(col("sup_ab").cast("double") /
           col("sup_b").cast("double"), 10).as("conf_b_a"),
-        round((col("sup_ab") * col("n_users")).cast("double") /
+        fr((col("sup_ab") * col("n_users")).cast("double") /
           (col("sup_a") * col("sup_b")).cast("double"), 10).as("lift"))
       .orderBy(col("item_a"), col("item_b"))
   }
@@ -275,7 +275,7 @@ object Behavior {
     val tot = counts.agg(sum(col("n")).as("n_total"))
     counts.crossJoin(broadcast(tot))
       .select(col("path"), col("n"),
-        round(col("n").cast("double") / col("n_total").cast("double"),
+        fr(col("n").cast("double") / col("n_total").cast("double"),
           10).as("share"))
       .orderBy(col("n").desc, col("path"))
       .limit(k)
@@ -334,7 +334,7 @@ object Behavior {
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("frequency"),
         sum(when(col("event_type") === "purchase",
-          round(col("value") * 100, 0).cast("long")).otherwise(0L))
+          fr(col("value") * 100, 0).cast("long")).otherwise(0L))
           .as("monetary_cents"),
         sum(when(unix_millis(col("ts")) > col("ref_ms") - dayMs, 1L)
           .otherwise(0L)).as("n_1d"),
@@ -434,7 +434,7 @@ object Behavior {
     dau.join(mau, Seq("d"))
       .select(timestamp_millis(col("d") * 86400000L).as("day"),
         col("dau"), col("mau"),
-        round(col("dau").cast("double") / col("mau").cast("double"),
+        fr(col("dau").cast("double") / col("mau").cast("double"),
           10).as("stickiness"))
       .orderBy(col("day"))
   }

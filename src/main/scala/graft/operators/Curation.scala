@@ -299,7 +299,7 @@ object Curation {
       nParts: Int = 32): DataFrame = {
     val scored = TextAnalysis.qualityOver(docs)
       .select(col("doc_id"),
-        (round(col("quality_score"), 10) + lit(0.0)).as("q"))
+        (fr(col("quality_score"), 10) + lit(0.0)).as("q"))
       .join(docs.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok")),
         Seq("doc_id"))
@@ -393,7 +393,7 @@ object Curation {
   def qualityScoreQuery(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "documents")
       .withColumn("quality_score",
-        round(qualityScore(col("text"), pretrainedWeights(), 0.1), 6))
+        fr(qualityScore(col("text"), pretrainedWeights(), 0.1), 6))
       .select(col("doc_id"), col("quality_score"),
         (col("quality_score") >= 0.5).as("is_quality"))
       .orderBy(col("doc_id"))
@@ -423,14 +423,14 @@ object Curation {
       cnt(col("_s") < col("thr") && col("_y")).as("fn"),
       cnt(col("_s") < col("thr") && !col("_y")).as("tn"))
     def ratio(num: Column, den: Column) =
-      when(den > 0L, round(num.cast("double") / den.cast("double"), 6))
+      when(den > 0L, fr(num.cast("double") / den.cast("double"), 6))
     counts
       .withColumn("prec", ratio(col("tp"), col("tp") + col("fp")))
       .withColumn("rec", ratio(col("tp"), col("tp") + col("fn")))
       .withColumn("f1",
         when(col("prec").isNotNull && col("rec").isNotNull &&
           col("prec") + col("rec") > 0.0,
-          round(lit(2.0) * col("prec") * col("rec") /
+          fr(lit(2.0) * col("prec") * col("rec") /
             (col("prec") + col("rec")), 6)))
       .orderBy(col("thr"))
   }
@@ -443,7 +443,7 @@ object Curation {
   def prCurveQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val scored = docs.select(
-      round(qualityScore(col("text"), pretrainedWeights(), 0.1), 6)
+      fr(qualityScore(col("text"), pretrainedWeights(), 0.1), 6)
         .as("score"),
       (col("lang") === "en").as("y"))
     prCurve(scored, "score", "y",
@@ -727,7 +727,7 @@ object Curation {
     * oracles, which replay the same arithmetic) cannot drift apart.
     * Banding rides integer cents: exact at any magnitude. */
   private def acctCents: Column =
-    round(col("c_acctbal") * 100, 0).cast("bigint")
+    fr(col("c_acctbal") * 100, 0).cast("bigint")
   private def acctBand(width: Long): Column =
     floor(acctCents.cast("double") / lit(width * 100.0)).cast("bigint")
   private def acctBandLabel(width: Long): Column = {
@@ -835,9 +835,9 @@ object Curation {
       .groupBy(col("bi"), col("w"), col("pos"))
       .agg(max(col("mn")).as("iso0"))
       .select(col("bi").as("bucket"), col("w"), col("pos"),
-        round(col("pos").cast("double") / col("w").cast("double"), 10)
+        fr(col("pos").cast("double") / col("w").cast("double"), 10)
           .as("raw_rate"),
-        round(col("iso0"), 10).as("iso_rate"))
+        fr(col("iso0"), 10).as("iso_rate"))
       .orderBy(col("bucket"))
   }
 
@@ -878,13 +878,13 @@ object Curation {
       sum(col("n_stop")).as("n_stop"))
       .select(col("n_docs"), col("n_chars_total"), col("n_tokens"),
         col("n_langs"), col("n_sources"),
-        round(lit(1.0) - col("n_distinct_texts").cast("double") /
+        fr(lit(1.0) - col("n_distinct_texts").cast("double") /
           col("n_docs").cast("double"), 6).as("dup_rate"),
-        round(col("n_en").cast("double") /
+        fr(col("n_en").cast("double") /
           col("n_docs").cast("double"), 6).as("pct_en"),
-        round(col("n_tokens").cast("double") /
+        fr(col("n_tokens").cast("double") /
           col("n_docs").cast("double"), 4).as("mean_tokens"),
-        round(col("n_stop").cast("double") /
+        fr(col("n_stop").cast("double") /
           col("n_tokens").cast("double"), 6).as("stopword_ratio"))
   }
 
@@ -967,7 +967,7 @@ object Curation {
       log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
     counts
       .select(col("event_type"), col("hod"), col("n"),
-        round(col("n").cast("double") + noise, 6).as("noisy_n"))
+        fr(col("n").cast("double") + noise, 6).as("noisy_n"))
       .orderBy(col("event_type"), col("hod"))
   }
 
@@ -1072,9 +1072,9 @@ object Curation {
     val scored = docs.select(
       col("doc_id"),
       length(col("text")).cast("long").as("s_len"),
-      round(size(array_distinct(toks)).cast("double") /
+      fr(size(array_distinct(toks)).cast("double") /
         size(toks).cast("double"), 4).as("s_div"),
-      round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+      fr(length(regexp_replace(col("text"), " ", "")).cast("double") /
         size(toks).cast("double"), 4).as("s_wlen"))
     def cdf(metric: String): DataFrame =
       scored.groupBy(col(metric)).agg(count(lit(1)).as("c"))

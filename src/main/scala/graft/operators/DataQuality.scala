@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.VectorOps.{foldRound => fr}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -71,7 +72,7 @@ object DataQuality {
   def report(rules: DataFrame): DataFrame =
     rules
       .select(col("rule"), col("n_rows"), col("n_violations"),
-        round(col("n_violations").cast("double") /
+        fr(col("n_violations").cast("double") /
           col("n_rows").cast("double"), 6).as("violation_rate"),
         (col("n_violations") === 0L).as("passed"))
       .orderBy(col("rule"))
@@ -118,7 +119,7 @@ object DataQuality {
    */
   def benfordQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.load(spark, sfDir, "orders")
-    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val cents = fr(col("o_totalprice") * 100, 0).cast("long")
     val digit = substring(cents.cast("string"), 1, 1).cast("int")
     val digits = o.filter(col("o_totalprice") > 0)
       .select(digit.as("digit"))
@@ -126,9 +127,9 @@ object DataQuality {
     val tot = digits.agg(sum(col("n")).as("tot"))
     digits.crossJoin(broadcast(tot))
       .select(col("digit"), col("n"),
-        round(col("n").cast("double") / col("tot").cast("double"), 6)
+        fr(col("n").cast("double") / col("tot").cast("double"), 6)
           .as("obs_freq"),
-        round(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+        fr(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
           log(lit(10.0)), 6).as("exp_freq"))
       .orderBy(col("digit"))
   }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.VectorOps.{foldRound => fr}
 import graft.functions.VectorOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -187,8 +188,8 @@ object Dedup {
       .withColumn("lev", levenshtein(col("pa"), col("pb")))
       .withColumn("edit_sim", lit(1.0) - col("lev").cast("double") /
         greatest(length(col("pa")), length(col("pb"))).cast("double"))
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4)
-        .as("jaccard"), col("lev"), round(col("edit_sim"), 4).as("edit_sim"))
+      .select(col("doc_a"), col("doc_b"), fr(col("jaccard"), 4)
+        .as("jaccard"), col("lev"), fr(col("edit_sim"), 4).as("edit_sim"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -356,7 +357,7 @@ object Dedup {
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos_sim",
-        round(VectorOps.cosine(col("emb_a"), col("emb_b")), 4))
+        fr(VectorOps.cosine(col("emb_a"), col("emb_b")), 4))
       .filter(col("cos_sim") >= 0.95)
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
       .orderBy(col("vec_a"), col("vec_b"))
@@ -870,7 +871,7 @@ object Dedup {
         .cast("long") - col("inter"))
       .filter(col("inter") * 2 >= col("uni"))
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
-        round(col("inter").cast("double") / col("uni").cast("double"),
+        fr(col("inter").cast("double") / col("uni").cast("double"),
           6).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }

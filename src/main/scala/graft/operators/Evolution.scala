@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.VectorOps.{foldRound => fr}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -48,7 +49,7 @@ object Evolution {
         // Double→Decimal matrix entry stays in the plan; the emitted
         // column is DOUBLE so the gate compares one physical type
         // (DuckDB DECIMAL and Spark decimal hash differently upstream).
-        round(col("l_extendedprice"), 2).cast("decimal(18,2)")
+        fr(col("l_extendedprice"), 2).cast("decimal(18,2)")
           .cast("double").as("price_dec"),
         col("l_shipdate").cast("date").as("ship_date"),
         date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("ship_str"),
@@ -89,7 +90,7 @@ object Evolution {
       // double→string rendering differs between engines; normalize to a
       // rounded numeric for the oracle compare.
       .withColumn("o_totalprice",
-        round(col("o_totalprice").cast("double"), 2))
+        fr(col("o_totalprice").cast("double"), 2))
       .orderBy(col("o_orderkey"))
   }
 

@@ -71,10 +71,10 @@ object Graph {
       ranks = docs
         .join(contrib, docs("doc_id") === contrib("dst"), "left")
         .select(docs("doc_id"),
-          round(lit(Teleport / n.toDouble) +
+          fr(lit(Teleport / n.toDouble) +
             lit(D) * coalesce(col("in_sum"), lit(0.0)), 10).as("pr"))
     }
-    ranks.select(col("doc_id"), round(col("pr") * n.toDouble, 8)
+    ranks.select(col("doc_id"), fr(col("pr") * n.toDouble, 8)
       .as("pr_scaled"))
       .orderBy(col("doc_id"))
   }
@@ -213,27 +213,27 @@ object Graph {
     var auth = docs.select(col("doc_id"), lit(0.0).as("a"))
     (1 to iters).foreach { _ =>
       val rawA = e.join(hub, e("src") === hub("doc_id"))
-        .groupBy(col("dst")).agg(round(sum(col("h")), 10).as("ra"))
+        .groupBy(col("dst")).agg(fr(sum(col("h")), 10).as("ra"))
       val sumA = rawA.agg(
         sum(col("ra").cast("decimal(24,10)")).cast("double").as("sa"))
       auth = docs.join(rawA, docs("doc_id") === rawA("dst"), "left")
         .crossJoin(broadcast(sumA))
         .select(docs("doc_id"),
-          round(coalesce(col("ra"), lit(0.0)) / col("sa"), 10).as("a"))
+          fr(coalesce(col("ra"), lit(0.0)) / col("sa"), 10).as("a"))
       val rawH = e.join(auth, e("dst") === auth("doc_id"))
-        .groupBy(col("src")).agg(round(sum(col("a")), 10).as("rh"))
+        .groupBy(col("src")).agg(fr(sum(col("a")), 10).as("rh"))
       val sumH = rawH.agg(
         sum(col("rh").cast("decimal(24,10)")).cast("double").as("sh"))
       hub = docs.join(rawH, docs("doc_id") === rawH("src"), "left")
         .crossJoin(broadcast(sumH))
         .select(docs("doc_id"),
-          round(coalesce(col("rh"), lit(0.0)) / col("sh"), 10).as("h"))
+          fr(coalesce(col("rh"), lit(0.0)) / col("sh"), 10).as("h"))
     }
     auth.join(hub.withColumnRenamed("doc_id", "d2"),
         auth("doc_id") === col("d2"))
       .select(col("doc_id"),
-        round(col("a") * n.toDouble, 8).as("authority"),
-        round(col("h") * n.toDouble, 8).as("hub"))
+        fr(col("a") * n.toDouble, 8).as("authority"),
+        fr(col("h") * n.toDouble, 8).as("hub"))
       .orderBy(col("doc_id"))
   }
 

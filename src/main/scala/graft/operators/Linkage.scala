@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.VectorOps.{foldRound => fr}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -144,9 +145,9 @@ object Linkage {
       col("c_name").as("next_name"))
     c.join(nxt, Seq("c_custkey"))
       .select(col("c_custkey"),
-        round(call_function("graft_jaro_winkler",
+        fr(call_function("graft_jaro_winkler",
           col("c_name"), col("next_name")), 6).as("jw_next"),
-        round(call_function("graft_jaro_winkler",
+        fr(call_function("graft_jaro_winkler",
           col("c_name"), col("c_mktsegment")), 6).as("jw_seg"))
       .orderBy(col("c_custkey"))
   }
@@ -217,7 +218,7 @@ object Linkage {
         Seq("rank_b"))
       .select(col("key_a"), col("key_b"),
         (col("rank_b") - col("rank_a")).as("rank_dist"),
-        round(call_function("graft_jaro_winkler",
+        fr(call_function("graft_jaro_winkler",
           col("name_a"), col("name_b")), 6).as("jw"))
       .orderBy(col("key_a"), col("key_b"))
   }

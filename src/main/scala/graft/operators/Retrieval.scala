@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.VectorOps.{foldRound => fr}
 import graft.functions.VectorOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -69,7 +70,7 @@ object Retrieval {
         (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
     }.reduce(_ + _)
     perDoc.crossJoin(broadcast(stats))
-      .withColumn("score", round(score, 4))
+      .withColumn("score", fr(score, 4))
       .filter(col("score") > 0)
       .select(col("doc_id") +: col("dl").cast("long").as("dl") +:
         terms.indices.map(i =>
@@ -144,7 +145,7 @@ object Retrieval {
       .select(col("embedding").as("q_emb"))
     val dense = emb.crossJoin(broadcast(qv))
       .withColumn("cos_sim",
-        round(VectorOps.cosine(col("q_emb"), col("embedding")), 4))
+        fr(VectorOps.cosine(col("q_emb"), col("embedding")), 4))
       .select(col("vec_id"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(armK)
@@ -152,7 +153,7 @@ object Retrieval {
         SqlWindow.orderBy(col("cos_sim").desc, col("vec_id"))))
       .select(col("vec_id").as("doc_id"), col("dense_rank"))
     sparse.join(dense, Seq("doc_id"), "full_outer")
-      .withColumn("rrf_score", round(
+      .withColumn("rrf_score", fr(
         coalesce(lit(1.0) / (lit(rrfK) + col("sparse_rank")), lit(0.0)) +
         coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0)), 6))
       .orderBy(col("rrf_score").desc, col("doc_id"))
@@ -204,7 +205,7 @@ object Retrieval {
       .withColumn("w", col("tf").cast("double") *
         log(lit(nDocs.toDouble) / col("df").cast("double")))
     val norms = w.groupBy(col("doc_id"))
-      .agg(sqrt(sum(round(col("w") * col("w"), 8)
+      .agg(sqrt(sum(fr(col("w") * col("w"), 8)
         .cast("decimal(30,8)")).cast("double")).as("norm"))
     val wn = w.join(norms, Seq("doc_id"))
       .select(col("doc_id"), col("term"),
@@ -213,12 +214,12 @@ object Retrieval {
       .join(wn.as("b"), col("a.term") === col("b.term") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(col("a.wn") * col("b.wn"), 10)
+        fr(col("a.wn") * col("b.wn"), 10)
           .cast("decimal(20,10)").as("p"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("p")).as("s"), count(lit(1)).as("shared_terms"))
       .select(col("doc_a"), col("doc_b"), col("shared_terms"),
-        round(col("s").cast("double"), 4).as("cos_sim"))
+        fr(col("s").cast("double"), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("doc_a"), col("doc_b"))
       .limit(k)
   }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.VectorOps.{foldRound => fr}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -104,7 +105,7 @@ object Sampling {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"))
       .join(broadcast(rates.select(col("lang"), col("n_lang"),
-        col("target_pct"), round(col("rate"), 6).as("rate"))), Seq("lang"))
+        col("target_pct"), fr(col("rate"), 6).as("rate"))), Seq("lang"))
       .select(col("lang"), col("n_lang"), col("target_pct"),
         col("rate"), col("n_kept"))
       .orderBy(col("lang"))
@@ -135,7 +136,7 @@ object Sampling {
     val weights = docs.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_lang"))
       .withColumn("w",
-        round(sqrt(col("n_lang").cast("double")), 6)
+        fr(sqrt(col("n_lang").cast("double")), 6)
           .cast("decimal(38,6)"))
     val tot = weights.agg(sum(col("w")).as("w_tot"),
       sum(col("n_lang")).as("n_total"))
@@ -153,8 +154,8 @@ object Sampling {
       .agg(count(lit(1)).as("n_kept"))
       .join(broadcast(rates), Seq("lang"))
       .select(col("lang"), col("n_lang"),
-        (round(col("share"), 6) + lit(0.0)).as("share"),
-        (round(col("rate"), 6) + lit(0.0)).as("rate"),
+        (fr(col("share"), 6) + lit(0.0)).as("share"),
+        (fr(col("rate"), 6) + lit(0.0)).as("rate"),
         col("n_kept"))
       .orderBy(col("lang"))
   }
@@ -240,7 +241,7 @@ object Sampling {
       // rounds to (-0.0 + 0.0 = +0.0 in IEEE; engines differ on
       // whether round preserves the sign of zero)
       .withColumn("imp_score",
-        round(col("dot") / col("n_tok").cast("double"), 6) + lit(0.0))
+        fr(col("dot") / col("n_tok").cast("double"), 6) + lit(0.0))
       // keep gates on the ROUNDED score: the raw dot's last-ulp can
       // differ across engines near zero; the rounded value cannot
       .select(col("doc_id"), col("n_tok"), col("imp_score"),
@@ -289,7 +290,7 @@ object Sampling {
       lit(16777216.0)
     val top = docs.select(col("doc_id"), col("lang"),
         nTok.as("n_tok"),
-        round(log(u) / nTok.cast("double"), 10).as("lnkey"))
+        fr(log(u) / nTok.cast("double"), 10).as("lnkey"))
       .orderBy(col("lnkey").desc, col("doc_id")).limit(k)
     top.withColumn("pick", row_number().over(
         Window.orderBy(col("lnkey").desc, col("doc_id"))))
@@ -379,7 +380,7 @@ object Sampling {
       .orderBy(col("key").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("w").cast("long").as("w"),
-        round(col("key") * 1e6, 4).as("key_e6"))
+        fr(col("key") * 1e6, 4).as("key_e6"))
   }
 
   /** Cumulative Poisson(1) CDF as 24-bit integer thresholds
@@ -420,7 +421,7 @@ object Sampling {
       .groupBy(col("rep"))
       .agg(sum(col("w")).as("n_eff"),
         sum(col("w") * col("len")).as("sum_wlen"))
-      .withColumn("mean_len", round(
+      .withColumn("mean_len", fr(
         col("sum_wlen").cast("double") / col("n_eff").cast("double"), 6))
       .orderBy(col("rep"))
   }

@@ -200,13 +200,13 @@ object Scale {
       .crossJoin(broadcast(exU)).crossJoin(broadcast(exI))
       .select(
         col("ex_a"),
-        (round(est(col("sk_a")), 4) + lit(0.0)).as("est_a"),
+        (fr(est(col("sk_a")), 4) + lit(0.0)).as("est_a"),
         col("ex_n"),
-        (round(est(col("sk_n")), 4) + lit(0.0)).as("est_n"),
+        (fr(est(col("sk_n")), 4) + lit(0.0)).as("est_n"),
         col("ex_union"),
-        (round(est(col("sk_u")), 4) + lit(0.0)).as("est_union"),
+        (fr(est(col("sk_u")), 4) + lit(0.0)).as("est_union"),
         col("ex_inter"),
-        (round(rho.cast("double") / lit(k.toDouble) * est(col("sk_u")), 4)
+        (fr(rho.cast("double") / lit(k.toDouble) * est(col("sk_u")), 4)
           + lit(0.0)).as("est_inter"))
   }
 
@@ -397,7 +397,7 @@ object Scale {
       .filter(col("l_orderkey") < 1000 && col("l_partkey") < 200)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
-        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        fr(sum(col("l_extendedprice")), 2).as("sum_price"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -839,7 +839,7 @@ object Scale {
       .select(col("n_a"), col("n_b"), col("sample_a"), col("sample_b"),
         col("j_sample"), (col("j_sample") * inv).as("j_est"),
         col("j_exact"),
-        round(abs((col("j_sample") * inv - col("j_exact"))
+        fr(abs((col("j_sample") * inv - col("j_exact"))
             .cast("double")) / col("j_exact").cast("double"), 6)
           .as("rel_err"))
   }
@@ -900,7 +900,7 @@ object Scale {
       .withColumn("uni",
         col("users_a") + col("users_b") - col("inter"))
       .withColumn("jaccard",
-        round(col("inter").cast("double") / col("uni").cast("double"),
+        fr(col("inter").cast("double") / col("uni").cast("double"),
           10))
       .crossJoin(broadcast(total))
       .select(col("item_a"), col("item_b"), col("users_a"),
@@ -937,9 +937,9 @@ object Scale {
     hours.join(daily, Seq("h"))
       .select(timestamp_millis(col("h") * 3600000L).as("hour_start"),
         col("tot_h"), col("err_h"),
-        round(col("err_h").cast("double") * 20 /
+        fr(col("err_h").cast("double") * 20 /
           col("tot_h").cast("double"), 10).as("burn_1h"),
-        round(col("err_d").cast("double") * 20 /
+        fr(col("err_d").cast("double") * 20 /
           col("tot_d").cast("double"), 10).as("burn_1d"),
         (col("err_h") * 20 > col("tot_h") * 2 &&
           col("err_d") * 20 > col("tot_d")).as("alert"))
@@ -1049,7 +1049,7 @@ object Scale {
       // mean span fraction as ONE exact-integer division: Σ(hi−lo)
       // is BIGINT, so no float summation order can flap the hash
       .agg(count(lit(1)).as("n_files"),
-        round(sum(col("hi") - col("lo")).cast("double") /
+        fr(sum(col("hi") - col("lo")).cast("double") /
           (count(lit(1)) * (first(col("g1")) - first(col("g0"))))
             .cast("double"), 10)
           .as("avg_span_frac"))

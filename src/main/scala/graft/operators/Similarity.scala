@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.VectorOps.{foldRound => fr}
 import graft.functions.VectorOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -36,7 +37,7 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     c.join(broadcast(q))
       .withColumn("cos_sim",
-        round(VectorOps.cosine(col("q_emb"), col("c_emb")), 4))
+        fr(VectorOps.cosine(col("q_emb"), col("c_emb")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -77,7 +78,7 @@ object Similarity {
       .select(col("doc_id").as("tgt_id"), col("embedding").as("t_emb"))
     val top2 = tgt.join(broadcast(src))
       .withColumn("cos_sim",
-        round(VectorOps.cosine(col("s_emb"), col("t_emb")), 4))
+        fr(VectorOps.cosine(col("s_emb"), col("t_emb")), 4))
       .groupBy(col("src_id"))
       .agg(call_function("graft_topk",
         col("cos_sim"), col("tgt_id"), lit(2)).as("tk"))
@@ -85,7 +86,7 @@ object Similarity {
       col("src_id"),
       element_at(col("tk"), 1).getField("id").as("tgt_id"),
       element_at(col("tk"), 1).getField("ord").as("cos_sim"),
-      round(element_at(col("tk"), 1).getField("ord") -
+      fr(element_at(col("tk"), 1).getField("ord") -
         element_at(col("tk"), 2).getField("ord"), 4).as("margin"))
       .orderBy(col("src_id"))
   }
@@ -110,7 +111,7 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     corpus.join(broadcast(queries), Seq("bucket"))
       .withColumn("cos_sim",
-        round(VectorOps.cosine(col("q_emb"), col("c_emb")), 4))
+        fr(VectorOps.cosine(col("q_emb"), col("c_emb")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -242,10 +243,10 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"),
         min(col("dims")).as("min_dims"),
         max(col("dims")).as("max_dims"),
-        round(min(col("nrm")), 4).as("min_norm"),
-        round(max(col("nrm")), 4).as("max_norm"),
-        round(avg(col("nrm")), 4).as("avg_norm"),
-        round(avg(col("c0")), 4).as("avg_c0"))
+        fr(min(col("nrm")), 4).as("min_norm"),
+        fr(max(col("nrm")), 4).as("max_norm"),
+        fr(avg(col("nrm")), 4).as("avg_norm"),
+        fr(avg(col("c0")), 4).as("avg_c0"))
       .orderBy(col("label"))
 
   /**
@@ -263,12 +264,12 @@ object Similarity {
       .select(col("label"), size(col("embedding")).as("dims"),
         call_function("graft_int8_quant", col("embedding")).as("_q"))
       .select(col("label"), col("dims"), col("_q.scale").as("scale"),
-        round(col("_q.cos"), 6).as("cos_q"))
+        fr(col("_q.cos"), 6).as("cos_q"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
-        round(avg(col("scale")), 6).as("avg_scale"),
-        round(avg(col("cos_q")), 6).as("avg_cos"),
-        round(min(col("cos_q")), 6).as("min_cos"),
+        fr(avg(col("scale")), 6).as("avg_scale"),
+        fr(avg(col("cos_q")), 6).as("avg_cos"),
+        fr(min(col("cos_q")), 6).as("min_cos"),
         sum(col("dims").cast("long") * 4).as("bytes_fp32"),
         sum(col("dims").cast("long") + 8).as("bytes_int8"))
       .orderBy(col("label"))
@@ -384,7 +385,7 @@ object Similarity {
     val recNormSq = aggregate(
       zip_with(col("codes"), sqLit, (c, sq) => element_at(sq, c + 1)),
       lit(0.0), (acc, x) => acc + x)
-    round(approxDot / (col("q_norm") * sqrt(recNormSq)), 4)
+    fr(approxDot / (col("q_norm") * sqrt(recNormSq)), 4)
   }
 
   private def adcRank(scored: DataFrame, k: Int): DataFrame = {
@@ -522,7 +523,7 @@ object Similarity {
     adcRank(
       codes.filter(col("cell").isin(probedCells: _*))
         .join(broadcast(probes), Seq("cell"))
-        .withColumn("approx_cos", round(
+        .withColumn("approx_cos", fr(
           (col("q_dot_c") + lutDot) / (col("q_norm") * sqrt(recNormSq)),
           4)), k)
   }
@@ -559,7 +560,7 @@ object Similarity {
         centsLit(m), lit(nprobe))).as("cell"))
     val top2 = tgt.join(broadcast(src), Seq("cell"))
       .withColumn("cos_sim",
-        round(VectorOps.cosine(col("s_emb"), col("t_emb")), 4))
+        fr(VectorOps.cosine(col("s_emb"), col("t_emb")), 4))
       .groupBy(col("src_id"))
       .agg(call_function("graft_topk",
         col("cos_sim"), col("tgt_id"), lit(2)).as("tk"))
@@ -567,7 +568,7 @@ object Similarity {
       col("src_id"),
       element_at(col("tk"), 1).getField("id").as("tgt_id"),
       element_at(col("tk"), 1).getField("ord").as("cos_sim"),
-      round(element_at(col("tk"), 1).getField("ord") -
+      fr(element_at(col("tk"), 1).getField("ord") -
         element_at(col("tk"), 2).getField("ord"), 4).as("margin"))
       .orderBy(col("src_id"))
   }
@@ -590,7 +591,7 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     assigned.join(broadcast(probes), Seq("cell"))
       .withColumn("cos_sim",
-        round(VectorOps.cosine(col("q_emb"), col("c_emb")), 4))
+        fr(VectorOps.cosine(col("q_emb"), col("c_emb")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -628,7 +629,7 @@ object Similarity {
         coalesce(col("self_found"), lit(false)).as("self_found"))
       .agg(count(lit(1)).as("n_queries"),
         min(col("self_found")).as("self_ok"),
-        (round(avg(col("recall")), 4) >= lit(floor)).as("recall_ok"))
+        (fr(avg(col("recall")), 4) >= lit(floor)).as("recall_ok"))
   }
 
   /** [[recallGate]] wired to each ANN serving path (floors from
@@ -660,7 +661,7 @@ object Similarity {
       .select(col("src_id"),
         (col("ann_tgt") === col("exact_tgt")).as("agree"))
       .agg(count(lit(1)).as("n_src"),
-        (round(sum(when(col("agree"), 1L).otherwise(0L))
+        (fr(sum(when(col("agree"), 1L).otherwise(0L))
           .cast("double") / count(lit(1)).cast("double"), 4) >= 0.3)
           .as("top1_ok"))
     val extra = ann.join(exact, Seq("src_id"), "left_anti")
@@ -716,6 +717,32 @@ object Similarity {
    */
   def annFilteredIvfQuery(spark: SparkSession, sfDir: String)
       : DataFrame = {
+    val perQuery = filteredIvfRecall(spark, sfDir)
+    // Floors calibrated against the MEASURED deterministic recall
+    // (md5 index + fixed probes, so identical on every run at a given
+    // SF). Measured 2026-08-14: mean 0.62 / min 0.3 at sf0.001,
+    // mean 0.54 / min 0.4 at sf0.01, mean 0.72 / min 0.6 at sf0.1 —
+    // post-filtering a label-agnostic index legitimately starves some
+    // probes, which is the documented trade. Floors sit one margin
+    // under the worst measured values (mean ≥ 0.45 vs worst 0.54;
+    // per-query ≥ 0.25 vs worst 0.3): tight enough that an index
+    // regression trips them, and the per-query min gate catches a
+    // single starved query that a healthy mean would hide.
+    perQuery
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("n_self_missing")).as("miss"),
+        (fr(avg(col("recall")), 4) >= lit(0.45) &&
+          fr(min(col("recall")), 4) >= lit(0.25)).as("recall_ok"))
+      .select(col("n_queries"), (col("miss") === 0L).as("self_ok"),
+        col("recall_ok"))
+  }
+
+  /** Per-query recall of the filtered-IVF serving path against the
+    * exact filtered twin, plus the per-query self-retrieval check —
+    * the measured material [[annFilteredIvfQuery]]'s floors are
+    * calibrated from. */
+  private[graft] def filteredIvfRecall(spark: SparkSession,
+      sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val m = buildIndex(spark, sfDir)
     val assigned = emb.filter(col("label") % 3 === 0).select(
@@ -729,7 +756,7 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     val approx = assigned.join(broadcast(probes), Seq("cell"))
       .withColumn("cos_sim",
-        round(VectorOps.cosine(col("q_emb"), col("c_emb")), 4))
+        fr(VectorOps.cosine(col("q_emb"), col("c_emb")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -742,24 +769,22 @@ object Similarity {
       .join(approx.select(col("query_id"), col("neighbor_id")),
         Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
-    val selfExpected = emb
+    val selfPasses = emb
       .filter(col("vec_id") < 5 && col("label") % 3 === 0)
-      .select(col("vec_id").as("query_id"))
-    val selfMissing = selfExpected
-      .join(approx.filter(col("query_id") === col("neighbor_id"))
-        .select(col("query_id")).distinct(),
-        Seq("query_id"), "left_anti")
-      .agg(count(lit(1)).as("n_self_missing"))
+      .select(col("vec_id").as("query_id"), lit(1L).as("self_expected"))
+    val selfSeen = approx
+      .filter(col("query_id") === col("neighbor_id"))
+      .select(col("query_id")).distinct()
+      .withColumn("self_seen", lit(1L))
     exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
       .join(hit, Seq("query_id"), "left")
-      .select((coalesce(col("n_hit"), lit(0L)).cast("double") /
-        col("n_exact").cast("double")).as("recall"))
-      .agg(count(lit(1)).as("n_queries"),
-        (round(avg(col("recall")), 4) >= lit(0.3)).as("recall_ok"))
-      .crossJoin(broadcast(selfMissing))
-      .select(col("n_queries"),
-        (col("n_self_missing") === 0).as("self_ok"),
-        col("recall_ok"))
+      .join(selfPasses, Seq("query_id"), "left")
+      .join(selfSeen, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall"),
+        (coalesce(col("self_expected"), lit(0L)) -
+          coalesce(col("self_seen"), lit(0L))).as("n_self_missing"))
   }
 
   /**
@@ -799,7 +824,7 @@ object Similarity {
     val nRow = e.agg(count(lit(1)).cast("double").as("n"))
     val meanRow = e
       .select(posexplode(col("x")).as(Seq("dim", "xv")))
-      .withColumn("q", round(col("xv") * lit(1000000.0), 0).cast("long"))
+      .withColumn("q", fr(col("xv") * lit(1000000.0), 0).cast("long"))
       .groupBy(col("dim"))
       .agg(sum(col("q")).as("s"), count(lit(1)).as("cnt"))
       .withColumn("m", col("s").cast("double") /
@@ -823,7 +848,7 @@ object Similarity {
       val uRow = s
         .select(col("s"), posexplode(col("c")).as(Seq("dim", "cj")))
         .withColumn("q",
-          round(col("s") * col("cj") * lit(1000000.0), 0).cast("long"))
+          fr(col("s") * col("cj") * lit(1000000.0), 0).cast("long"))
         .groupBy(col("dim")).agg(sum(col("q")).as("uq"))
         .withColumn("u", col("uq").cast("double") / lit(1000000.0))
         .groupBy()
@@ -833,12 +858,12 @@ object Similarity {
       vRow = uRow
         .withColumn("norm", sqrt(dotD(col("u"), col("u"))))
         .select(transform(col("u"),
-          x => round(x / col("norm"), 6) + lit(0.0)).as("v"),
+          x => fr(x / col("norm"), 6) + lit(0.0)).as("v"),
           col("norm"))
     }
     vRow.crossJoin(broadcast(nRow))
       .select(posexplode(col("v")).as(Seq("dim", "loading")),
-        (round(col("norm") / col("n"), 6) + lit(0.0)).as("eigval"))
+        (fr(col("norm") / col("n"), 6) + lit(0.0)).as("eigval"))
       .select(col("dim"), col("loading"), col("eigval"))
   }
 
@@ -905,7 +930,7 @@ object Similarity {
       .select(col("cent_id"), col("v").as("c"))
     def assign(cents: DataFrame): DataFrame = emb
       .crossJoin(broadcast(cents))
-      .withColumn("d", round(
+      .withColumn("d", fr(
         dotD(col("v"), col("v")) - lit(2.0) * dotD(col("v"), col("c")) +
           dotD(col("c"), col("c")), 6) + lit(0.0))
       .groupBy(col("vec_id"))
@@ -916,7 +941,7 @@ object Similarity {
     def update(assigned: DataFrame): DataFrame = assigned
       .select(col("cell").as("cent_id"),
         posexplode(col("v")).as(Seq("dim", "x")))
-      .withColumn("q", round(col("x") * lit(1000000.0), 0).cast("long"))
+      .withColumn("q", fr(col("x") * lit(1000000.0), 0).cast("long"))
       .groupBy(col("cent_id"), col("dim"))
       .agg(sum(col("q")).as("s"), count(lit(1)).as("cnt"))
       .withColumn("m", col("s").cast("double") /
@@ -968,7 +993,7 @@ object Similarity {
         col("embedding").as("vb")), Seq("cell"))
       .filter(col("a") < col("b"))
       .withColumn("cos",
-        round(VectorOps.cosine(col("va"), col("vb")), 4))
+        fr(VectorOps.cosine(col("va"), col("vb")), 4))
     val sizes = a.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"))
     val close = pairs.groupBy(col("cell"))

@@ -138,9 +138,9 @@ object Stats {
     per.groupBy(col("column").as("col_name"))
       .agg(
         sum(col("count")).as("n_values"),
-        round(min(col("min_d")), 2).as("min_val"),
-        round(max(col("max_d")), 2).as("max_val"),
-        round(sum(col("sum_dec")).cast("double"), 2).as("sum_val"))
+        fr(min(col("min_d")), 2).as("min_val"),
+        fr(max(col("max_d")), 2).as("max_val"),
+        fr(sum(col("sum_dec")).cast("double"), 2).as("sum_val"))
       .orderBy(col("col_name"))
   }
 
@@ -162,11 +162,11 @@ object Stats {
         lit(c).as("col_name"),
         count(col(c)).as("n_values"),
         sum(when(col(c).isNull, 1).otherwise(0)).as("n_nulls"),
-        round(min(col(c)).cast("double"), 2).as("min_val"),
-        round(max(col(c)).cast("double"), 2).as("max_val"),
+        fr(min(col(c)).cast("double"), 2).as("min_val"),
+        fr(max(col(c)).cast("double"), 2).as("max_val"),
         // sum in DECIMAL (the q1/q5 rule): order-free and exact at any
         // scale, then one final double cast before the display round
-        round(sum(col(c).cast("decimal(28,8)")).cast("double"), 2)
+        fr(sum(col(c).cast("decimal(28,8)")).cast("double"), 2)
           .as("sum_val"))
         .select(col("col_name"), col("n_values"), col("n_nulls"),
           col("min_val"), col("max_val"), col("sum_val"))
@@ -228,14 +228,14 @@ object Stats {
     val n = col("n_rows").cast("double")
     def d(c: String) = col(c).cast("double")
     agg.select(col("l_returnflag"), col("n_rows"),
-        round(d("sx") / n, 4).as("mean_x"),
-        round(d("sy") / n, 4).as("mean_y"),
-        round(sqrt((d("sxx") - d("sx") * d("sx") / n) / n), 4)
+        fr(d("sx") / n, 4).as("mean_x"),
+        fr(d("sy") / n, 4).as("mean_y"),
+        fr(sqrt((d("sxx") - d("sx") * d("sx") / n) / n), 4)
           .as("stddev_x"),
-        round(sqrt((d("syy") - d("sy") * d("sy") / n) / n), 4)
+        fr(sqrt((d("syy") - d("sy") * d("sy") / n) / n), 4)
           .as("stddev_y"),
-        round((d("sxy") - d("sx") * d("sy") / n) / n, 4).as("covar"),
-        round((n * d("sxy") - d("sx") * d("sy")) /
+        fr((d("sxy") - d("sx") * d("sy") / n) / n, 4).as("covar"),
+        fr((n * d("sxy") - d("sx") * d("sy")) /
           (sqrt(n * d("sxx") - d("sx") * d("sx")) *
             sqrt(n * d("syy") - d("sy") * d("sy"))), 6).as("corr"))
       .orderBy(col("l_returnflag"))
@@ -287,9 +287,9 @@ object Stats {
     val rows = pairs.map { case (a, b) =>
       struct(lit(a).as("col_x"), lit(b).as("col_y"),
         // + 0.0 normalizes −0.0 (both engines, the skewReport rule)
-        (round((d(s"s_${a}_$b") - d(s"s_$a") * d(s"s_$b") / n) / n, 6) +
+        (fr((d(s"s_${a}_$b") - d(s"s_$a") * d(s"s_$b") / n) / n, 6) +
           lit(0.0)).as("covar"),
-        (round((n * d(s"s_${a}_$b") - d(s"s_$a") * d(s"s_$b")) /
+        (fr((n * d(s"s_${a}_$b") - d(s"s_$a") * d(s"s_$b")) /
           (sqrt(n * d(s"s_${a}_$a") - d(s"s_$a") * d(s"s_$a")) *
            sqrt(n * d(s"s_${b}_$b") - d(s"s_$b") * d(s"s_$b"))), 6) +
           lit(0.0)).as("corr"))
@@ -452,7 +452,7 @@ object Stats {
     val ev = graft.Tables.load(spark, sfDir, "events")
       .filter(col("event_type") === "purchase")
     val users = ev.groupBy(col("user_id"))
-      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      .agg(sum(fr(col("value") * 100, 0).cast("long")).as("cents"))
     val walked = Prefix.running(users, Seq(),
       Seq(col("cents").desc, col("user_id")),
       Seq(Prefix.Running(col("cents"), "sum", "cum"),
@@ -514,7 +514,7 @@ object Stats {
         sum(length(col("v")).cast("long")).as("dict_entry_bytes"))
     direct.join(dict, Seq("col_name"))
       .select(col("col_name"), col("n_rows"), col("ndv"),
-        round(col("ndv").cast("double") / col("n_rows").cast("double"),
+        fr(col("ndv").cast("double") / col("n_rows").cast("double"),
           6).as("ratio"),
         (col("ndv").cast("double") / col("n_rows").cast("double")
           <= lit(0.8)).as("dict_recommended"),

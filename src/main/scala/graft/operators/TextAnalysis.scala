@@ -175,7 +175,7 @@ object TextAnalysis {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
-        round(col("tfidf"), 4).as("tfidf"), col("rnk"))
+        fr(col("tfidf"), 4).as("tfidf"), col("rnk"))
       .orderBy(col("doc_id"), col("rnk"))
   }
 
@@ -201,8 +201,8 @@ object TextAnalysis {
         size(filter(col("_v"), x => x =!= 0.0)).as("nnz"),
         (array_position(col("_v"), array_max(col("_v"))) - 1)
           .cast("int").as("top_bucket"),
-        round(array_max(col("_v")), 6).as("top_weight"),
-        round(element_at(col("_v"), 1), 6).as("c0"))
+        fr(array_max(col("_v")), 6).as("top_weight"),
+        fr(element_at(col("_v"), 1), 6).as("c0"))
       .orderBy(col("doc_id"))
 
   /** Winnowing fingerprints (the MOSS algorithm) of the text — the
@@ -329,18 +329,18 @@ object TextAnalysis {
     bg.join(broadcast(c2), Seq("w1", "w2"), "left")
       .join(broadcast(c1), Seq("w1"), "left")
       .crossJoin(broadcast(v))
-      .withColumn("term", round(log(
+      .withColumn("term", fr(log(
         (coalesce(col("c2"), lit(0L)).cast("double") + lit(alpha)) /
           (coalesce(col("c1"), lit(0L)).cast("double") +
             lit(alpha) * col("v").cast("double"))), 10)
         .cast("decimal(20,10)"))
       .groupBy(col("doc_id"))
       .agg(sum(col("term")).as("sum_lp"), count(lit(1)).as("n_bigrams"))
-      .withColumn("avg_logp", round(
+      .withColumn("avg_logp", fr(
         col("sum_lp").cast("double") / col("n_bigrams").cast("double"),
         6))
       .select(col("doc_id"), col("n_bigrams"), col("avg_logp"),
-        round(exp(-col("avg_logp")), 4).as("ppl"))
+        fr(exp(-col("avg_logp")), 4).as("ppl"))
       .orderBy(col("doc_id"))
   }
 
@@ -415,14 +415,14 @@ object TextAnalysis {
       .join(broadcast(ctx), Seq("w1"), "left")
       .join(broadcast(cont), Seq("w2"), "left")
       .crossJoin(broadcast(scalars))
-      .withColumn("term", round(log(p), 10).cast("decimal(20,10)"))
+      .withColumn("term", fr(log(p), 10).cast("decimal(20,10)"))
       .groupBy(col("doc_id"))
       .agg(sum(col("term")).as("sum_lp"), count(lit(1)).as("n_bigrams"))
-      .withColumn("avg_logp", round(
+      .withColumn("avg_logp", fr(
         col("sum_lp").cast("double") / col("n_bigrams").cast("double"),
         6))
       .select(col("doc_id"), col("n_bigrams"), col("avg_logp"),
-        round(exp(-col("avg_logp")), 4).as("ppl"))
+        fr(exp(-col("avg_logp")), 4).as("ppl"))
       .orderBy(col("doc_id"))
   }
 
@@ -499,26 +499,26 @@ object TextAnalysis {
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("c").desc, col("term"))).cast("long"))
     val terms = ranked.select(
-      round(log(col("r").cast("double")), 10)
+      fr(log(col("r").cast("double")), 10)
         .cast("decimal(24,10)").as("x"),
-      round(log(col("c").cast("double")), 10)
+      fr(log(col("c").cast("double")), 10)
         .cast("decimal(24,10)").as("y"),
-      round(log(col("r").cast("double")) *
+      fr(log(col("r").cast("double")) *
         log(col("c").cast("double")), 10)
         .cast("decimal(24,10)").as("xy"),
-      round(log(col("r").cast("double")) *
+      fr(log(col("r").cast("double")) *
         log(col("r").cast("double")), 10)
         .cast("decimal(24,10)").as("xx"))
     terms.agg(count(lit(1)).as("n_types"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("xy")).as("sxy"), sum(col("xx")).as("sxx"))
       .select(col("n_types"),
-        round((col("n_types").cast("double") * col("sxy").cast("double")
+        fr((col("n_types").cast("double") * col("sxy").cast("double")
             - col("sx").cast("double") * col("sy").cast("double")) /
           (col("n_types").cast("double") * col("sxx").cast("double")
             - col("sx").cast("double") * col("sx").cast("double")), 4)
           .as("zipf_slope"),
-        round((col("sy").cast("double") -
+        fr((col("sy").cast("double") -
           ((col("n_types").cast("double") * col("sxy").cast("double")
             - col("sx").cast("double") * col("sy").cast("double")) /
           (col("n_types").cast("double") * col("sxx").cast("double")
@@ -544,11 +544,11 @@ object TextAnalysis {
       .agg(sum(col("c")).as("head_tokens"))
     n.crossJoin(broadcast(head))
       .select(col("n_types"), col("n_tokens"),
-        round(lit(2.0) * col("sum_ix").cast("double") /
+        fr(lit(2.0) * col("sum_ix").cast("double") /
           (col("n_types").cast("double") * col("n_tokens").cast("double"))
           - (col("n_types") + 1).cast("double") /
             col("n_types").cast("double"), 6).as("gini"),
-        round(col("head_tokens").cast("double") /
+        fr(col("head_tokens").cast("double") /
           col("n_tokens").cast("double"), 6).as("head_share"))
   }
 
@@ -571,7 +571,7 @@ object TextAnalysis {
       .join(broadcast(cr), Seq("w2"))
       .crossJoin(broadcast(n))
       .select(col("w1"), col("w2"), col("c2"),
-        round(log((col("c2") * col("n")).cast("double") /
+        fr(log((col("c2") * col("n")).cast("double") /
           (col("cl") * col("cr")).cast("double")), 6).as("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(k)
@@ -625,7 +625,7 @@ object TextAnalysis {
       .withColumn("n_tokens", col("_ts.n_tok").cast("bigint"))
       .withColumn("n_oov", col("n_tokens") - nIn)
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
-        round(col("n_oov").cast("double") /
+        fr(col("n_oov").cast("double") /
           col("n_tokens").cast("double"), 6).as("oov_rate"))
       .orderBy(col("doc_id"))
   }
@@ -712,7 +712,7 @@ object TextAnalysis {
         sum(col("c") * col("c")).as("s2"))
       .filter(col("df") >= minDf)
       .select(col("term"), col("df"), col("s1").as("total"),
-        round((lit(nDocs) * col("s2") - col("s1") * col("s1"))
+        fr((lit(nDocs) * col("s2") - col("s1") * col("s1"))
           .cast("double") /
           (lit(nDocs) * col("s1")).cast("double"), 10).as("fano"))
       .orderBy(col("term"))
@@ -755,13 +755,13 @@ object TextAnalysis {
             .cast("long")).as("n_sentences"),
         syll.as("n_syllables"))
       .withColumn("fk_grade",
-        round(lit(0.39) *
+        fr(lit(0.39) *
           (col("n_words").cast("double") /
             col("n_sentences").cast("double")) +
           lit(11.8) * (col("n_syllables").cast("double") /
             col("n_words").cast("double")) - lit(15.59), 4))
       .withColumn("flesch",
-        round(lit(206.835) -
+        fr(lit(206.835) -
           lit(1.015) * (col("n_words").cast("double") /
             col("n_sentences").cast("double")) -
           lit(84.6) * (col("n_syllables").cast("double") /

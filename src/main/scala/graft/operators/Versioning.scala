@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.VectorOps.{foldRound => fr}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -369,7 +370,7 @@ object Versioning {
     cdcCompact(ins.unionByName(upd).unionByName(del),
       "o_orderkey", "seq", "op")
       .select(col("o_orderkey"), col("op"), col("o_orderstatus"),
-        (round(col("o_totalprice"), 2) + lit(0.0)).as("o_totalprice"))
+        (fr(col("o_totalprice"), 2) + lit(0.0)).as("o_totalprice"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -425,7 +426,7 @@ object Versioning {
         lit(0.0), (acc, x) => acc + x))
       .select(col("source"), col("n_docs"),
         col("st").cast("long").as("n_tok"),
-        (round(col("kl"), 6) + lit(0.0)).as("kl"))
+        (fr(col("kl"), 6) + lit(0.0)).as("kl"))
       .orderBy(col("source"))
   }
 

@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.Tables
+import graft.functions.VectorOps.{foldRound => fr}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -78,7 +79,7 @@ object CsvTools {
       sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_bad"),
       sum(when(col("_corrupt").isNull, col("c_custkey"))).as("sum_key"),
       // decimal-sum then one double cast — the q1 exactness rule
-      round(sum(when(col("_corrupt").isNull,
+      fr(sum(when(col("_corrupt").isNull,
         col("c_acctbal").cast("decimal(18,2)"))), 2)
         .cast("double").as("sum_acctbal"),
       sum(when(col("_corrupt").isNull, length(col("tricky"))

@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.functions.VectorOps.{foldRound => fr}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
@@ -117,8 +118,8 @@ object OrcIo {
       .agg(count(lit(1)).as("n_rows"),
         round(sum(col("l_extendedprice").cast("decimal(28,8)")), 2)
           .cast("double").as("sum_price"),
-        round(min(col("l_quantity")), 2).as("min_qty"),
-        round(max(col("l_quantity")), 2).as("max_qty"))
+        fr(min(col("l_quantity")), 2).as("min_qty"),
+        fr(max(col("l_quantity")), 2).as("max_qty"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -1,4 +1,5 @@
 package graft.tools
+import graft.functions.VectorOps.{foldRound => fr}
 import graft._
 import graft.operators._
 import org.apache.spark.sql.functions._
@@ -52,7 +53,7 @@ object Probe {
       col("embedding").as("emb_b"))
     val brute = af.join(bf, Seq("kind"))
       .filter(col("media_a") < col("media_b"))
-      .withColumn("cos_sim", round(
+      .withColumn("cos_sim", fr(
         graft.functions.VectorOps.cosine(col("emb_a"), col("emb_b")), 4))
       .filter(col("cos_sim") >= 0.999)
       .select(col("media_a"), col("media_b"))

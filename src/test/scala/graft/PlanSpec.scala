@@ -466,7 +466,9 @@ class PlanSpec extends SparkSpec {
       "q_token_budget" -> Curation.tokenBudgetQuery(spark, sfDir),
       "q_markov" -> Behavior.markovQuery(spark, sfDir),
       "q_event_paths" -> Behavior.eventPathsQuery(spark, sfDir),
-      "q_cusum" -> Scale.cusumQuery(spark, sfDir)))
+      "q_cusum" -> Scale.cusumQuery(spark, sfDir),
+      "q_ks_test" -> Inference.ksTestQuery(spark, sfDir),
+      "q_hierarchy_rollup" -> Graph.hierarchyRollupQuery(spark, sfDir)))
       noGlobalWindow(name, df)
   }
 }

@@ -15,11 +15,11 @@ import org.apache.spark.sql.functions._
 class PrefixSpec extends SparkSpec {
 
   private def randomFrame(seed: Long, n: Int) = {
-    import spark.implicits._
     val rnd = new scala.util.Random(seed)
-    (0 until n).map { i =>
+    val rows = (0 until n).map { i =>
       (rnd.nextInt(3).toString, i.toLong, rnd.nextInt(1000).toLong - 500L)
-    }.toDF("grp", "id", "v")
+    }
+    spark.createDataFrame(rows).toDF("grp", "id", "v")
   }
 
   test("running sum / cnt / max / min match the plain global window " +
