@@ -361,7 +361,7 @@ object Behavior {
       ("rn_m", Seq(col("monetary_cents").desc, col("user_id"))))
       .foldLeft(feats) { case (acc, (out, ord)) =>
         Prefix.running(acc, Seq(), ord,
-          Seq(Prefix.Running(lit(1L), "cnt", out)))
+          Seq(Prefix.Running(lit(1L), "cnt", out)), cacheInput = true)
       }
     ranked.crossJoin(broadcast(nUsers))
       .withColumn("r_score", bucket(col("rn_r"), col("n_users")))

@@ -130,7 +130,8 @@ object Inference {
     val tot = steps.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
     val walked = Prefix.running(steps, Seq(), Seq(col("value")),
         Seq(Prefix.Running(col("ca"), "sum", "cuma"),
-          Prefix.Running(col("cb"), "sum", "cumb")))
+          Prefix.Running(col("cb"), "sum", "cumb")),
+        cacheInput = true)
       .crossJoin(broadcast(tot))
       .withColumn("gap",
         abs(col("cuma") * col("nb") - col("cumb") * col("na")))

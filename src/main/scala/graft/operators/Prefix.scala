@@ -43,14 +43,39 @@ object Prefix {
   /** Append running-aggregate columns over the global order
     * (`partBy` group columns first, then `order` within each group)
     * without any unpartitioned window. Output row set and all input
-    * columns are preserved; one `out` column is added per spec. */
+    * columns are preserved; one `out` column is added per spec.
+    *
+    * `cacheInput` trades memory for passes: the range partitioner
+    * SAMPLES its child to pick boundaries, so the input lineage is
+    * evaluated twice (once to sample, once to shuffle). When the
+    * input is an already-reduced frame (a value grid, a per-user
+    * aggregate) whose recompute drags the full corpus scan behind it,
+    * caching removes the second scan; when the input IS the
+    * corpus-sized stream, leave it off — a duplicate pass beats
+    * materializing the corpus.
+    *
+    * What gets cached is the RANGE-PARTITIONED frame with `_pid`
+    * attached, not the raw input: `_pid` must be the SAME value in
+    * the local-prefix branch and the partition-totals branch, and
+    * range boundaries are sampled per exchange instance — normally
+    * the two branches share one exchange via Spark's reuse rule, but
+    * a cached child can defeat plan canonicalization and split them
+    * (observed: grouped prefixes went wrong when only the input was
+    * cached), so the cached variant pins consistency by materializing
+    * `_pid` once. */
   def running(df: DataFrame, partBy: Seq[String], order: Seq[Column],
-      specs: Seq[Running], nParts: Int = 32): DataFrame = {
+      specs: Seq[Running], nParts: Int = 32,
+      cacheInput: Boolean = false): DataFrame = {
     require(specs.nonEmpty, "at least one running spec")
     val keyCols = partBy.map(col)
-    val parted = df
+    val parted0 = df
       .repartitionByRange(nParts, (keyCols ++ order): _*)
       .withColumn("_pid", spark_partition_id())
+    val parted =
+      if (cacheInput)
+        parted0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else parted0
     val wLocal = Window
       .partitionBy((keyCols :+ col("_pid")): _*)
       .orderBy(order: _*)

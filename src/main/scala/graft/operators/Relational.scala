@@ -690,7 +690,7 @@ object Relational {
     val tot = grid.groupBy(col("flag"))
       .agg(sum(col("w")).as("wtot"))
     val walked = Prefix.running(grid, Seq("flag"), Seq(col("price")),
-        Seq(Prefix.Running(col("w"), "sum", "cum")))
+        Seq(Prefix.Running(col("w"), "sum", "cum")), cacheInput = true)
       .join(broadcast(tot), Seq("flag"))
     def pick(qPct: Int) =
       min(when(col("cum") * 100 >= col("wtot") * qPct, col("price")))

@@ -405,7 +405,8 @@ object Stats {
       val g = li.groupBy(col("flag"), col(c))
         .agg(count(lit(1)).as("cnt"))
       Prefix.running(g, Seq("flag"), Seq(col(c)),
-          Seq(Prefix.Running(col("cnt"), "sum", "cum")))
+          Seq(Prefix.Running(col("cnt"), "sum", "cum")),
+          cacheInput = true)
         .select(col("flag"), col(c),
           (lit(2) * (col("cum") - col("cnt")) + col("cnt") + 1)
             .as(s"r2_$c"))
@@ -456,7 +457,7 @@ object Stats {
     val walked = Prefix.running(users, Seq(),
       Seq(col("cents").desc, col("user_id")),
       Seq(Prefix.Running(col("cents"), "sum", "cum"),
-        Prefix.Running(lit(1L), "cnt", "k")))
+        Prefix.Running(lit(1L), "cnt", "k")), cacheInput = true)
     val tot = users.agg(count(lit(1)).as("n_users"),
       sum(col("cents")).as("total_cents"))
     walked.crossJoin(broadcast(tot))

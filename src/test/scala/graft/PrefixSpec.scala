@@ -26,12 +26,18 @@ class PrefixSpec extends SparkSpec {
       "on randomized frames, grouped and ungrouped") {
     for (seed <- Seq(1L, 2L, 3L); nParts <- Seq(1, 4, 17)) {
       val df = randomFrame(seed, 257)
-      // grouped: partition by grp, order by id
+      // grouped: partition by grp, order by id — BOTH cache modes:
+      // cacheInput materializes _pid once; the uncached path relies on
+      // exchange reuse between the prefix and totals branches, and a
+      // divergence there corrupts grouped offsets (caught 2026-08-14
+      // when an input-level cache defeated plan canonicalization)
+      val cached = seed % 2 == 0
       val got = Prefix.running(df, Seq("grp"), Seq(col("id")),
           Seq(Prefix.Running(col("v"), "sum", "s"),
             Prefix.Running(lit(1L), "cnt", "k"),
             Prefix.Running(col("v"), "max", "mx"),
-            Prefix.Running(col("v"), "min", "mn")), nParts)
+            Prefix.Running(col("v"), "min", "mn")), nParts,
+          cacheInput = cached)
         .orderBy(col("grp"), col("id"))
         .select(col("grp"), col("id"), col("s"), col("k"), col("mx"),
           col("mn"))
