@@ -2495,8 +2495,11 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
     // Hierarchy rollup: heap subtrees are contiguous id ranges per
     // level; exact prefix-sum differences, integer shift for 2^k.
+    // node is the dense 1-based rank of doc_id (doc_ids themselves
+    // need not be dense — the sf1 ScaleUp corpus shifts them).
     "q_hierarchy_rollup" ->
-      """WITH docs AS (SELECT doc_id + 1 AS node,
+      """WITH docs AS (SELECT
+        |    row_number() OVER (ORDER BY doc_id) AS node,
         |    CAST(n_chars AS BIGINT) AS v
         |  FROM documents),
         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),

@@ -422,27 +422,29 @@ object Graph {
    *
    * Exactness: prefix sums and every range difference are exact
    * BIGINTs; depth = len(bin(node)) − 1 (integer, no float log).
-   * The prefix sum rides [[Prefix.running]]'s two-phase distributed
-   * scan (per-partition sums + earlier-partition offsets), the
-   * q_token_budget device. The heap-range algebra REQUIRES the node
-   * ids to be dense 1..n (a doc_id gap would silently drop whole
-   * subtree ranges, and the oracle makes the identical assumption,
-   * so the hash gate could not see it) — density is asserted up
-   * front and the query fails loudly on gapped input.
+   * The heap-range algebra requires DENSE node ids 1..n, but doc_ids
+   * need not be dense (the sf1 ScaleUp corpus shifts them into a
+   * 9e9+ range): the dense id is DERIVED as the running row count
+   * over doc_id order, computed in the same [[Prefix.running]]
+   * two-phase distributed scan (per-partition aggregates +
+   * earlier-partition offsets, the q_token_budget device) that
+   * yields the value prefix sum — one pass, no global window, no
+   * row_number over the corpus. The numbered frame is persisted: it
+   * is one (node, v, p) triple per document and feeds the range
+   * expansion plus two prefix probes.
    */
   def hierarchyRollupQuery(spark: SparkSession, sfDir: String)
       : DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
-      .select((col("doc_id") + 1).as("node"), col("n_chars").as("v"))
-    val bounds = docs.agg(count(lit(1)), max(col("node"))).head()
-    val (n, maxNode) = (bounds.getLong(0), bounds.getLong(1))
-    require(n == maxNode,
-      s"hierarchyRollup requires dense doc_ids 0..n-1: count=$n but " +
-        s"max node=$maxNode — derive a dense node id (row_number over " +
-        "doc_id) before calling, as bitmapAudienceQuery does for users")
-    val prefix = Prefix.running(docs, Seq(), Seq(col("node")),
-        Seq(Prefix.Running(col("v"), "sum", "p")))
-      .select(col("node").as("idx"), col("p"))
+    val numbered = Prefix.running(
+        Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"), col("n_chars").as("v")),
+        Seq(), Seq(col("doc_id")),
+        Seq(Prefix.Running(lit(1L), "cnt", "node"),
+          Prefix.Running(col("v"), "sum", "p")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = numbered.count()
+    val docs = numbered.select(col("node"), col("v"))
+    val prefix = numbered.select(col("node").as("idx"), col("p"))
     val maxK = (63 - java.lang.Long.numberOfLeadingZeros(n)).toInt + 1
     val ranges = docs
       .crossJoin(broadcast(spark.range(0, maxK + 1)
