@@ -102,6 +102,21 @@ object Acid {
   /** Major compaction: resolve then rewrite as a plain base dataset,
     * recording the event tallies under `hive.acid.stats` like the
     * reference's writer (a compacted base carries only inserts). */
+  /** Output file count for a compaction rewrite: track the INPUT byte
+    * volume against a target file size ([[graft.sources.OrcIo.merge]]'s
+    * rule), never the shuffle-partition count — compaction exists to
+    * produce fewer, larger files, and a compactor that fans a few MB
+    * of deltas into 32 shards re-creates the small-file problem it is
+    * meant to fix. At gate scale this is one file; at 100 TB it is
+    * thousands, each near the target size. */
+  private def sizedFileCount(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: String, dirs: Seq[String],
+      targetFileBytes: Long = 256L * 1024 * 1024): Int = {
+    val bytes = dirs.map(d => fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$tableDir/$d")).getLength).sum
+    math.max(1L, bytes / targetFileBytes).toInt
+  }
+
   def compact(events: DataFrame, outPath: String): Unit = {
     val resolved = resolve(events)
     graft.sources.OrcIo.write(resolved, outPath)
@@ -145,7 +160,8 @@ object Acid {
       .filter(col("_version_rank") === 1)
       .drop("_version_rank")
     val out = s"$tableDir/delta_${txns.min}_${txns.max}"
-    graft.sources.OrcIo.write(merged, out)
+    graft.sources.OrcIo.write(
+      merged.repartition(sizedFileCount(fs, tableDir, dirs)), out)
     // tally from the written output: one cheap scan instead of
     // re-running the window, and the counts describe exactly the files
     // the stats ride with
@@ -265,7 +281,8 @@ object Acid {
     val maxTxn = dirs.flatMap(_.split("_").tail.map(_.toLong)).max
     val resolved = readTable(spark, tableDir, rowIdCol, buckets)
     val out = s"$tableDir/base_$maxTxn.tmp"
-    graft.sources.OrcIo.write(resolved, out)
+    graft.sources.OrcIo.write(
+      resolved.repartition(sizedFileCount(fs, tableDir, dirs)), out)
     // count the WRITTEN base, not `resolved`: counting the resolve plan
     // would column-prune the delta scans, and the ORC jars AIOOBE on
     // pruned reads of ACID-schema files (checkAcidSchema detection)
