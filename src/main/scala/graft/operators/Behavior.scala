@@ -354,7 +354,6 @@ object Behavior {
       when(rn <= fat, ceilDiv(rn, q + 1))
         .otherwise(rem + ceilDiv(rn - fat, q))
     }
-    val nUsers = feats.agg(count(lit(1)).as("n_users"))
     val ranked = Seq(
       ("rn_r", Seq(col("recency_h"), col("user_id"))),
       ("rn_f", Seq(col("frequency").desc, col("user_id"))),
@@ -363,6 +362,9 @@ object Behavior {
         Prefix.running(acc, Seq(), ord,
           Seq(Prefix.Running(lit(1L), "cnt", out)), cacheInput = true)
       }
+    // the user count is the LAST running rank — read it off the cached
+    // prefix frame instead of re-running the corpus-sized groupBy(user)
+    val nUsers = ranked.agg(max(col("rn_r")).as("n_users"))
     ranked.crossJoin(broadcast(nUsers))
       .withColumn("r_score", bucket(col("rn_r"), col("n_users")))
       .withColumn("f_score", bucket(col("rn_f"), col("n_users")))

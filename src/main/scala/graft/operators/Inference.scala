@@ -127,11 +127,16 @@ object Inference {
     val steps = ev.groupBy(col("value"))
       .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("ca"),
         sum(when(col("grp") === 1, 1L).otherwise(0L)).as("cb"))
-    val tot = steps.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-    val walked = Prefix.running(steps, Seq(), Seq(col("value")),
-        Seq(Prefix.Running(col("ca"), "sum", "cuma"),
-          Prefix.Running(col("cb"), "sum", "cumb")),
-        cacheInput = true)
+    val walked0 = Prefix.running(steps, Seq(), Seq(col("value")),
+      Seq(Prefix.Running(col("ca"), "sum", "cuma"),
+        Prefix.Running(col("cb"), "sum", "cumb")),
+      cacheInput = true)
+    // cohort sizes are the LAST running values (increments ≥ 0 so the
+    // max is the final cum) — read off the cached prefix frame instead
+    // of re-running the corpus-sized steps groupBy
+    val tot = walked0.agg(max(col("cuma")).as("na"),
+      max(col("cumb")).as("nb"))
+    val walked = walked0
       .crossJoin(broadcast(tot))
       .withColumn("gap",
         abs(col("cuma") * col("nb") - col("cumb") * col("na")))

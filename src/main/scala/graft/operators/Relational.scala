@@ -687,11 +687,14 @@ object Relational {
         col("l_quantity").cast("long").as("qty"))
     val grid = li.groupBy(col("flag"), col("price"))
       .agg(sum(col("qty")).as("w"))
-    val tot = grid.groupBy(col("flag"))
-      .agg(sum(col("w")).as("wtot"))
-    val walked = Prefix.running(grid, Seq("flag"), Seq(col("price")),
-        Seq(Prefix.Running(col("w"), "sum", "cum")), cacheInput = true)
-      .join(broadcast(tot), Seq("flag"))
+    val walked0 = Prefix.running(grid, Seq("flag"), Seq(col("price")),
+      Seq(Prefix.Running(col("w"), "sum", "cum")), cacheInput = true)
+    // per-flag totals are the LAST running value — read them off the
+    // cached prefix frame (max(cum): w ≥ 1 so cum is increasing)
+    // instead of re-running the corpus-sized grid groupBy
+    val tot = walked0.groupBy(col("flag"))
+      .agg(max(col("cum")).as("wtot"))
+    val walked = walked0.join(broadcast(tot), Seq("flag"))
     def pick(qPct: Int) =
       min(when(col("cum") * 100 >= col("wtot") * qPct, col("price")))
         .as(s"p$qPct")

@@ -458,8 +458,14 @@ object Stats {
       Seq(col("cents").desc, col("user_id")),
       Seq(Prefix.Running(col("cents"), "sum", "cum"),
         Prefix.Running(lit(1L), "cnt", "k")), cacheInput = true)
-    val tot = users.agg(count(lit(1)).as("n_users"),
-      sum(col("cents")).as("total_cents"))
+    // the global totals are the LAST running values — read them off
+    // the cached prefix frame (struct-max keyed on the running count,
+    // so no monotonicity assumption on cum) instead of re-running the
+    // corpus-sized per-user groupBy
+    val tot = walked
+      .agg(max(struct(col("k"), col("cum"))).as("_last"))
+      .select(col("_last.k").as("n_users"),
+        col("_last.cum").as("total_cents"))
     walked.crossJoin(broadcast(tot))
       .agg(first(col("n_users")).as("n_users"),
         first(col("total_cents")).as("total_cents"),
