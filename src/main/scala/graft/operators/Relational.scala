@@ -517,9 +517,11 @@ object Relational {
    * trees — every comparison then runs on identical doubles.
    */
   def outlierQuery(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "lineitem")
+    // exact-percentile partials buffer every value — fan the map side
+    // out when the scan is under-split (no-op on multi-file corpora)
+    val d = Scale.fanOut(t(s, dir, "lineitem")
       .select(col("l_returnflag").as("flag"),
-        col("l_extendedprice").as("x"))
+        col("l_extendedprice").as("x")))
     val med = d.groupBy(col("flag"))
       .agg(fr(expr("percentile(x, 0.5D)"), 2).as("med"))
     val dev = d.join(broadcast(med), Seq("flag"))

@@ -20,6 +20,24 @@ import org.apache.spark.sql.expressions.Window
 object Scale {
 
   /**
+   * Map-side parallelization guard for heavy per-row kernels: when the
+   * scan yields FEWER partitions than the cluster has cores (a single
+   * small file / one parquet row group — the testbed shape; Spark
+   * cannot split inside a row group), fan the rows out so the kernel
+   * runs wide; when the input is already wide (any real multi-file
+   * corpus — at 100 TB, thousands of row groups), this is a NO-OP, so
+   * the guard never adds a corpus-scale shuffle in production. Use
+   * only where per-row work dominates scan cost (decimal power sums,
+   * edit distances, tokenization) — for plain column aggregates the
+   * extra exchange costs more than the map ever did.
+   */
+  def fanOut(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df
+    else df.repartition(cores)
+  }
+
+  /**
    * Write both sides bucketed by the join key, then join the bucketed
    * tables: Spark aligns bucket layouts and elides the shuffle — the
    * co-located-join layout a 100 TB fact/fact join is stored for.
@@ -106,7 +124,10 @@ object Scale {
    * gate.
    */
   def approxPercentileQuery(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.load(spark, sfDir, "lineitem")
+    // GK updates + exact-percentile partials are per-row work — fan
+    // the map side out when the scan is under-split
+    fanOut(Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice")))
       .groupBy(col("l_returnflag"))
       .agg(
         expr("approx_percentile(l_extendedprice, " +

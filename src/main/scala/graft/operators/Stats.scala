@@ -214,9 +214,11 @@ object Stats {
    * count per group.
    */
   def momentsQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.load(spark, sfDir, "lineitem")
+    // 5 exact decimal accumulators per row dominate the narrow scan —
+    // fan the map side out when the scan is under-split
+    val li = Scale.fanOut(Tables.load(spark, sfDir, "lineitem")
       .select(col("l_returnflag"), col("l_quantity").as("x"),
-        col("l_extendedprice").as("y"))
+        col("l_extendedprice").as("y")))
     def dsum(c: org.apache.spark.sql.Column) =
       sum(c.cast("decimal(28,8)"))
     val agg = li.groupBy(col("l_returnflag"))
@@ -269,9 +271,12 @@ object Stats {
     val cols = Seq("quantity" -> "l_quantity",
       "extendedprice" -> "l_extendedprice",
       "discount" -> "l_discount", "tax" -> "l_tax")
-    val li = Tables.load(spark, sfDir, "lineitem")
+    // 14 exact decimal accumulators per row dominate the narrow scan —
+    // fan the map side out when the scan is under-split (no-op on any
+    // real multi-file corpus)
+    val li = Scale.fanOut(Tables.load(spark, sfDir, "lineitem")
       .select(col("l_returnflag") +:
-        cols.map { case (nm, c) => col(c).as(nm) }: _*)
+        cols.map { case (nm, c) => col(c).as(nm) }: _*))
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield (cols(i)._1, cols(j)._1)
@@ -398,9 +403,9 @@ object Stats {
    * single-task sorts wearing a partition key as a disguise.
    */
   def spearmanQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = graft.Tables.load(spark, sfDir, "lineitem")
+    val li = Scale.fanOut(graft.Tables.load(spark, sfDir, "lineitem")
       .select(col("l_returnflag").as("flag"),
-        col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+        col("l_quantity").as("x"), col("l_extendedprice").as("y")))
     def rankGrid(c: String) = {
       val g = li.groupBy(col("flag"), col(c))
         .agg(count(lit(1)).as("cnt"))
