@@ -185,8 +185,8 @@ object Multimodal {
 
   def syntheticImages(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id")).as[Long]
+    Scale.fanOut(Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"))).as[Long]
       .mapPartitions(_.map(id => MediaRecord(id, "image", encodePng(id))))
       .toDF()
   }
@@ -248,8 +248,8 @@ object Multimodal {
 
   def syntheticAudio(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id")).as[Long]
+    Scale.fanOut(Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"))).as[Long]
       .mapPartitions(_.map(id => MediaRecord(id, "audio", encodeWav(id))))
       .toDF()
   }
@@ -584,8 +584,8 @@ object Multimodal {
     videoStore.getOrElseUpdate(sfDir, {
       val store = graft.sources.OrcIo.scratchDir("media_video")
       import spark.implicits._
-      Tables.load(spark, sfDir, "documents")
-        .select(col("doc_id")).as[Long]
+      Scale.fanOut(Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"))).as[Long]
         .mapPartitions(_.map(id => MediaRecord(id, "video", encodeAvi(id))))
         .toDF()
         .write.mode("overwrite").parquet(s"$store/video")
@@ -982,8 +982,8 @@ object Multimodal {
     * compute md5/hex over the same payload bytes.) */
   def syntheticMediaReal(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id")).as[Long]
+    Scale.fanOut(Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { id =>
         (id % 3) match {
           case 0 => MediaRecord(id, "image", encodePng(id))
