@@ -508,7 +508,9 @@ object Stats {
    */
   def encodingAdvisorQuery(spark: SparkSession, sfDir: String)
       : DataFrame = {
-    val li = graft.Tables.load(spark, sfDir, "lineitem")
+    val li = Scale.fanOut(graft.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_orderkey"), col("l_extendedprice")))
     val stacked = li.selectExpr(
       """stack(4,
         |  'l_returnflag', l_returnflag,
@@ -517,14 +519,19 @@ object Stats {
         |  'l_extendedprice', CAST(l_extendedprice AS STRING)
         |) AS (col_name, v)""".stripMargin)
       .filter(col("v").isNotNull)
-    val direct = stacked.groupBy(col("col_name"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(length(col("v")).cast("long")).as("direct_bytes"))
-    val dict = stacked.select(col("col_name"), col("v")).distinct()
+    // one pass over the 4x-stacked rows: group to per-value counts
+    // first, then BOTH the direct-encoding and dictionary statistics
+    // fall out of the same value-grid — the previous direct/distinct
+    // branch pair evaluated the stack kernel twice
+    val stats = stacked.groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
       .groupBy(col("col_name"))
-      .agg(count(lit(1)).as("ndv"),
+      .agg(sum(col("cnt")).as("n_rows"),
+        sum(col("cnt") * length(col("v")).cast("long"))
+          .as("direct_bytes"),
+        count(lit(1)).as("ndv"),
         sum(length(col("v")).cast("long")).as("dict_entry_bytes"))
-    direct.join(dict, Seq("col_name"))
+    stats
       .select(col("col_name"), col("n_rows"), col("ndv"),
         fr(col("ndv").cast("double") / col("n_rows").cast("double"),
           6).as("ratio"),
