@@ -522,12 +522,17 @@ object Relational {
     val d = Scale.fanOut(t(s, dir, "lineitem")
       .select(col("l_returnflag").as("flag"),
         col("l_extendedprice").as("x")))
+    // med/mad are 3-row frames referenced from multiple joins — pin
+    // them so the exact-percentile pass runs once per statistic, not
+    // once per plan instance
     val med = d.groupBy(col("flag"))
       .agg(fr(expr("percentile(x, 0.5D)"), 2).as("med"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dev = d.join(broadcast(med), Seq("flag"))
       .withColumn("adev", abs(col("x") - col("med")))
     val mad = dev.groupBy(col("flag"))
       .agg(fr(expr("percentile(adev, 0.5D)"), 2).as("mad"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val o = dev.join(broadcast(mad), Seq("flag"))
       .groupBy(col("flag"))
       .agg(count(lit(1)).as("n_rows"),
