@@ -135,12 +135,24 @@ object Stats {
       // oracle's exact sum by 1 ulp at sf1) — decimal keeps the merge
       // exact, the single final double cast matches CAST(sum AS DOUBLE)
       .withColumn("sum_dec", col("sum").cast("decimal(38,6)"))
+      // integral ORC stats render sums without a decimal point; their
+      // merged total is an exact integer and must be cast to double
+      // ONCE, never round-tripped through ×100 (the floor-form at
+      // scale 2 loses ulps beyond 2^53·1e-2 — the l_orderkey sum hit
+      // 2.7e16 at sf1 and diverged from the oracle's exact cast by
+      // one ulp). Fractional stats keep the 2 dp floor-form.
+      .withColumn("is_frac", col("sum").contains(".").cast("int"))
     per.groupBy(col("column").as("col_name"))
       .agg(
         sum(col("count")).as("n_values"),
         fr(min(col("min_d")), 2).as("min_val"),
         fr(max(col("max_d")), 2).as("max_val"),
-        fr(sum(col("sum_dec")).cast("double"), 2).as("sum_val"))
+        max(col("is_frac")).as("_frac"),
+        sum(col("sum_dec")).cast("double").as("_sum_d"))
+      .select(col("col_name"), col("n_values"), col("min_val"),
+        col("max_val"),
+        when(col("_frac") === 1, fr(col("_sum_d"), 2))
+          .otherwise(col("_sum_d")).as("sum_val"))
       .orderBy(col("col_name"))
   }
 
