@@ -342,25 +342,18 @@ object Behavior {
           .otherwise(0L)).as("n_7d"),
         sum(when(unix_millis(col("ts")) > col("ref_ms") - 30 * dayMs, 1L)
           .otherwise(0L)).as("n_30d"))
-    // ntile(4) closed form over a distributed rank: ceilDiv stays
-    // exact (operands are user-frame counts, far under 2^53) so no
-    // float ever places a quartile boundary
-    def ceilDiv(a: Column, b: Column): Column =
-      floor((a + b - lit(1L)) / b).cast("long")
-    def bucket(rn: Column, n: Column): Column = {
-      val q = floor(n / 4).cast("long")
-      val rem = n % 4
-      val fat = rem * (q + 1)
-      when(rn <= fat, ceilDiv(rn, q + 1))
-        .otherwise(rem + ceilDiv(rn - fat, q))
-    }
+    // ntile(4) closed form over a distributed rank — the shared
+    // [[Prefix.ntileFromRank]] device (exact integer arithmetic, no
+    // float ever places a quartile boundary)
+    def bucket(rn: Column, n: Column): Column =
+      Prefix.ntileFromRank(rn, n, 4)
     val ranked = Seq(
       ("rn_r", Seq(col("recency_h"), col("user_id"))),
       ("rn_f", Seq(col("frequency").desc, col("user_id"))),
       ("rn_m", Seq(col("monetary_cents").desc, col("user_id"))))
       .foldLeft(feats) { case (acc, (out, ord)) =>
         Prefix.running(acc, Seq(), ord,
-          Seq(Prefix.Running(lit(1L), "cnt", out)), cacheInput = true)
+          Seq(Prefix.Running(lit(1L), "cnt", out)))
       }
     // the user count is the LAST running rank — read it off the cached
     // prefix frame instead of re-running the corpus-sized groupBy(user)

@@ -129,8 +129,7 @@ object Inference {
         sum(when(col("grp") === 1, 1L).otherwise(0L)).as("cb"))
     val walked0 = Prefix.running(steps, Seq(), Seq(col("value")),
       Seq(Prefix.Running(col("ca"), "sum", "cuma"),
-        Prefix.Running(col("cb"), "sum", "cumb")),
-      cacheInput = true)
+        Prefix.Running(col("cb"), "sum", "cumb")))
     // cohort sizes are the LAST running values (increments ≥ 0 so the
     // max is the final cum) — read off the cached prefix frame instead
     // of re-running the corpus-sized steps groupBy

@@ -203,11 +203,16 @@ object Linkage {
    */
   def sortedNeighborhoodQuery(spark: SparkSession, sfDir: String,
       w: Int = 3): DataFrame = {
-    val ranked = Tables.load(spark, sfDir, "customer")
-      .select(col("c_custkey"), col("c_name"))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("c_name"), col("c_custkey"))).cast("long"))
+    // the SNM rank orders the WHOLE record frame — a global
+    // row_number window would sort every record in one task, so the
+    // rank rides Prefix.running's two-phase distributed scan instead
+    // (the neighbor probes are rank-equi-joins and don't care how the
+    // rank was produced)
+    val ranked = Prefix.running(
+        Tables.load(spark, sfDir, "customer")
+          .select(col("c_custkey"), col("c_name")),
+        Seq(), Seq(col("c_name"), col("c_custkey")),
+        Seq(Prefix.Running(lit(1L), "cnt", "rank")))
     val offsets = spark.range(1, w + 1).select(col("id").as("off"))
     val probes = ranked.crossJoin(broadcast(offsets))
       .select((col("rank") + col("off")).as("rank_b"),

@@ -40,42 +40,52 @@ object Prefix {
     * when the order is total). */
   final case class Running(value: Column, agg: String, out: String)
 
+  /** ntile(t) evaluated from a 1-based DISTRIBUTED rank (a `cnt`
+    * running aggregate) over n rows — the closed form of SQL ntile:
+    * the first n mod t buckets take ⌈n/t⌉ rows, the rest ⌊n/t⌋.
+    * All operands are row counts (far under 2^53), so the integer
+    * arithmetic is exact and no single-task global window is ever
+    * needed to place a quantile boundary. */
+  def ntileFromRank(rn: Column, n: Column, t: Int): Column = {
+    def ceilDiv(a: Column, b: Column): Column =
+      floor((a + b - lit(1L)) / b).cast("long")
+    val q = floor(n / t).cast("long")
+    val rem = n % t
+    val fat = rem * (q + 1)
+    when(rn <= fat, ceilDiv(rn, q + 1))
+      .otherwise(rem + ceilDiv(rn - fat, q))
+  }
+
   /** Append running-aggregate columns over the global order
     * (`partBy` group columns first, then `order` within each group)
     * without any unpartitioned window. Output row set and all input
     * columns are preserved; one `out` column is added per spec.
     *
-    * `cacheInput` trades memory for passes: the range partitioner
-    * SAMPLES its child to pick boundaries, so the input lineage is
-    * evaluated twice (once to sample, once to shuffle). When the
-    * input is an already-reduced frame (a value grid, a per-user
-    * aggregate) whose recompute drags the full corpus scan behind it,
-    * caching removes the second scan; when the input IS the
-    * corpus-sized stream, leave it off — a duplicate pass beats
-    * materializing the corpus.
-    *
-    * What gets cached is the RANGE-PARTITIONED frame with `_pid`
-    * attached, not the raw input: `_pid` must be the SAME value in
-    * the local-prefix branch and the partition-totals branch, and
-    * range boundaries are sampled per exchange instance — normally
-    * the two branches share one exchange via Spark's reuse rule, but
-    * a cached child can defeat plan canonicalization and split them
-    * (observed: grouped prefixes went wrong when only the input was
-    * cached), so the cached variant pins consistency by materializing
-    * `_pid` once. */
+    * The range-partitioned frame (with `_pid` attached) is ALWAYS
+    * materialized, never recomputed per branch: the local-prefix
+    * branch and the partition-totals branch both read it, and every
+    * row's `_pid` must be the SAME value in both. Exchange reuse
+    * usually guarantees that for two identical range exchanges — but
+    * reuse is an optimization, not a contract: range boundaries are
+    * SAMPLED per exchange instance (seeded from the instance's RDD
+    * id), and under AQE the two branches can end up on separate
+    * exchanges whose boundaries and coalesced partition counts
+    * disagree, silently corrupting every offset (observed 2026-08-14
+    * as ntile ranks EXCEEDING the row count in q_layout_advisor; the
+    * inverse — a cached child defeating reuse canonicalization — was
+    * caught earlier the same round on grouped prefixes). Persisting
+    * makes `_pid` a fact rather than a coincidence. Callers should
+    * project to the minimal columns first; the materialized frame is
+    * then narrow, and on a 1000-executor cluster MEMORY_AND_DISK
+    * spills rather than fails. */
   def running(df: DataFrame, partBy: Seq[String], order: Seq[Column],
-      specs: Seq[Running], nParts: Int = 32,
-      cacheInput: Boolean = false): DataFrame = {
+      specs: Seq[Running], nParts: Int = 32): DataFrame = {
     require(specs.nonEmpty, "at least one running spec")
     val keyCols = partBy.map(col)
-    val parted0 = df
+    val parted = df
       .repartitionByRange(nParts, (keyCols ++ order): _*)
       .withColumn("_pid", spark_partition_id())
-    val parted =
-      if (cacheInput)
-        parted0.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else parted0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wLocal = Window
       .partitionBy((keyCols :+ col("_pid")): _*)
       .orderBy(order: _*)

@@ -695,7 +695,7 @@ object Relational {
     val grid = li.groupBy(col("flag"), col("price"))
       .agg(sum(col("qty")).as("w"))
     val walked0 = Prefix.running(grid, Seq("flag"), Seq(col("price")),
-      Seq(Prefix.Running(col("w"), "sum", "cum")), cacheInput = true)
+      Seq(Prefix.Running(col("w"), "sum", "cum")))
     // per-flag totals are the LAST running value — read them off the
     // cached prefix frame (max(cum): w ≥ 1 so cum is increasing)
     // instead of re-running the corpus-sized grid groupBy

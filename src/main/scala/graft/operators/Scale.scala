@@ -889,12 +889,15 @@ object Scale {
     // (the sf1 ScaleUp corpus shifts them past 9e9), while bitmap
     // positions must be dense. The dictionary build is a one-time
     // domain-sized pass (production assigns dense ids at ingest or
-    // from a stable id service; a single sorted window over the
-    // distinct-user frame is the gate-scale equivalent).
-    val dict = ev.select(col("user_id")).distinct()
-      .withColumn("uid",
-        row_number().over(Window.orderBy(col("user_id")))
-          .cast("long") - 1)
+    // from a stable id service); the rank rides the Prefix.running
+    // two-phase distributed scan — the user frame grows with the
+    // corpus, so a global row_number window would sort every distinct
+    // user in ONE task.
+    val dict = graft.operators.Prefix.running(
+        ev.select(col("user_id")).distinct(),
+        Seq(), Seq(col("user_id")),
+        Seq(graft.operators.Prefix.Running(lit(1L), "cnt", "_rn")))
+      .select(col("user_id"), (col("_rn") - 1).as("uid"))
     val bms = ev.join(dict, Seq("user_id"))
       .groupBy(col("event_type"))
       .agg(call_function("graft_bitmap", col("uid")).as("bm"))
@@ -1046,9 +1049,17 @@ object Scale {
     val ev = Tables.load(spark, sfDir, "events")
       .select(col("event_id"), col("user_id"),
         unix_millis(col("ts")).as("ms"))
+    // the file id is ntile over the simulated sort order, but the
+    // frame is the whole event stream — so the rank rides the
+    // Prefix.running two-phase distributed scan and ntile is its
+    // closed-form bucket function, never a global window (which would
+    // sort the corpus in ONE task, three times over)
+    val nRows = ev.count()
     def layout(name: String, ord: Seq[org.apache.spark.sql.Column]) =
-      ev.withColumn("file",
-        ntile(nFiles).over(Window.orderBy(ord: _*)).cast("long"))
+      Prefix.running(ev, Seq(), ord,
+          Seq(Prefix.Running(lit(1L), "cnt", "_rn")))
+        .withColumn("file",
+          Prefix.ntileFromRank(col("_rn"), lit(nRows), nFiles))
         .groupBy(col("file"))
         .agg(min(col("ms")).as("lo"), max(col("ms")).as("hi"))
         .withColumn("layout", lit(name))

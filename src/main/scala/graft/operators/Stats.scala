@@ -422,8 +422,7 @@ object Stats {
       val g = li.groupBy(col("flag"), col(c))
         .agg(count(lit(1)).as("cnt"))
       Prefix.running(g, Seq("flag"), Seq(col(c)),
-          Seq(Prefix.Running(col("cnt"), "sum", "cum")),
-          cacheInput = true)
+          Seq(Prefix.Running(col("cnt"), "sum", "cum")))
         .select(col("flag"), col(c),
           (lit(2) * (col("cum") - col("cnt")) + col("cnt") + 1)
             .as(s"r2_$c"))
@@ -474,7 +473,7 @@ object Stats {
     val walked = Prefix.running(users, Seq(),
       Seq(col("cents").desc, col("user_id")),
       Seq(Prefix.Running(col("cents"), "sum", "cum"),
-        Prefix.Running(lit(1L), "cnt", "k")), cacheInput = true)
+        Prefix.Running(lit(1L), "cnt", "k")))
     // the global totals are the LAST running values — read them off
     // the cached prefix frame (struct-max keyed on the running count,
     // so no monotonicity assumption on cum) instead of re-running the

@@ -495,9 +495,11 @@ object TextAnalysis {
       .select(explode(tokens(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
-    val ranked = counts.withColumn("r",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("c").desc, col("term"))).cast("long"))
+    // vocabulary-sized but corpus-derived frame: distributed rank,
+    // same device as [[giniOver]]
+    val ranked = graft.operators.Prefix.running(counts, Seq(),
+      Seq(col("c").desc, col("term")),
+      Seq(graft.operators.Prefix.Running(lit(1L), "cnt", "r")))
     val terms = ranked.select(
       fr(log(col("r").cast("double")), 10)
         .cast("decimal(24,10)").as("x"),
@@ -532,9 +534,12 @@ object TextAnalysis {
     val counts = docs
       .select(explode(tokens(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
-    val ranked = counts.withColumn("i",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("c"), col("term"))).cast("long"))
+    // the rank frame is the vocabulary — corpus-derived and unbounded
+    // (Heaps' law: ~1e8 types at web scale), so the rank rides the
+    // Prefix.running two-phase distributed scan, never a global window
+    val ranked = graft.operators.Prefix.running(counts, Seq(),
+      Seq(col("c"), col("term")),
+      Seq(graft.operators.Prefix.Running(lit(1L), "cnt", "i")))
     val n = ranked.agg(
       count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
       sum(col("i") * col("c")).as("sum_ix"))

@@ -468,7 +468,23 @@ class PlanSpec extends SparkSpec {
       "q_event_paths" -> Behavior.eventPathsQuery(spark, sfDir),
       "q_cusum" -> Scale.cusumQuery(spark, sfDir),
       "q_ks_test" -> Inference.ksTestQuery(spark, sfDir),
-      "q_hierarchy_rollup" -> Graph.hierarchyRollupQuery(spark, sfDir)))
+      "q_hierarchy_rollup" -> Graph.hierarchyRollupQuery(spark, sfDir),
+      // the round-10 suite-wide WindowAudit catches: dictionary rank,
+      // layout ntiles, SNM rank, vocab ranks — all corpus-derived
+      // frames now on Prefix.running
+      "q_bitmap_audience" -> Scale.bitmapAudienceQuery(spark, sfDir),
+      "q_layout_advisor" -> Scale.layoutAdvisorQuery(spark, sfDir),
+      "q_sorted_neighborhood" ->
+        Linkage.sortedNeighborhoodQuery(spark, sfDir),
+      "q_gini" -> TextAnalysis.giniQuery(spark, sfDir),
+      "q_zipf" -> TextAnalysis.zipfQuery(spark, sfDir)))
       noGlobalWindow(name, df)
+    // Queries NOT gated here ship windows over frames that do not grow
+    // with the corpus, re-audited via graft.tools.WindowAudit r10:
+    // k-row picks (q_kmeans seeds, q_sample_weighted top-k,
+    // q_rrf_fusion armK lists), fixed grids (q_calibration 16 buckets,
+    // q_seasonal_decompose hours, q_trend_test / q_user_growth days,
+    // q_survival event-hour grid, q_skyline bucket/date grids), and
+    // q_rank_ensemble's rounded value domains.
   }
 }

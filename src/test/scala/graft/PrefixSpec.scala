@@ -26,18 +26,17 @@ class PrefixSpec extends SparkSpec {
       "on randomized frames, grouped and ungrouped") {
     for (seed <- Seq(1L, 2L, 3L); nParts <- Seq(1, 4, 17)) {
       val df = randomFrame(seed, 257)
-      // grouped: partition by grp, order by id — BOTH cache modes:
-      // cacheInput materializes _pid once; the uncached path relies on
-      // exchange reuse between the prefix and totals branches, and a
-      // divergence there corrupts grouped offsets (caught 2026-08-14
-      // when an input-level cache defeated plan canonicalization)
-      val cached = seed % 2 == 0
+      // grouped: partition by grp, order by id. The range-partitioned
+      // frame is ALWAYS materialized inside running(): both observed
+      // failure modes of branch-divergent _pid (a cached child
+      // defeating reuse canonicalization; AQE planning the branches on
+      // independently sampled exchanges) corrupt offsets silently, so
+      // there is deliberately no uncached mode left to test.
       val got = Prefix.running(df, Seq("grp"), Seq(col("id")),
           Seq(Prefix.Running(col("v"), "sum", "s"),
             Prefix.Running(lit(1L), "cnt", "k"),
             Prefix.Running(col("v"), "max", "mx"),
-            Prefix.Running(col("v"), "min", "mn")), nParts,
-          cacheInput = cached)
+            Prefix.Running(col("v"), "min", "mn")), nParts)
         .orderBy(col("grp"), col("id"))
         .select(col("grp"), col("id"), col("s"), col("k"), col("mx"),
           col("mn"))
