@@ -1063,11 +1063,16 @@ object Scale {
         .groupBy(col("file"))
         .agg(min(col("ms")).as("lo"), max(col("ms")).as("hi"))
         .withColumn("layout", lit(name))
+    // 3 layouts × nFiles rows — pinned because the frame feeds both
+    // sides of the overlap self-join plus the final rollup, and each
+    // evaluation would otherwise re-run a full distributed-rank
+    // pipeline over the events frame
     val files =
       layout("by_hash",
         Seq(md5(col("event_id").cast("string")), col("event_id")))
         .unionAll(layout("by_user", Seq(col("user_id"), col("event_id"))))
         .unionAll(layout("by_ts", Seq(col("ms"), col("event_id"))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val span = ev.agg(min(col("ms")).as("g0"), max(col("ms")).as("g1"))
     val overlaps = files.as("a")
       .join(files.as("b"),
