@@ -54,6 +54,21 @@ object ScaleUp {
   def scaleUp(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {
     def shift(c: String, i: Int) = col(c) + lit(i.toLong * CopyStride)
+    // Guard against DOUBLE application: a base corpus whose ids were
+    // already stride-shifted (an sf1 built by this tool) would collide
+    // copy i of one run with copy i+k of the other, silently
+    // duplicating keys — observed 2026-08-14 as exploding joins and
+    // dedup-halved ACID row counts in a ×10-of-sf1 corpus. Always
+    // scale from the ORIGINAL driver corpus.
+    for ((t, c) <- Seq("lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
+        "documents" -> "doc_id", "embeddings" -> "vec_id",
+        "events" -> "event_id", "events" -> "user_id")) {
+      val mx = spark.read.parquet(Tables.path(baseDir, t))
+        .agg(max(col(c))).head().getLong(0)
+      require(mx < CopyStride,
+        s"$t.$c max id $mx >= stride $CopyStride: base corpus looks " +
+          "already scaled — scale from the original sf directory")
+    }
 
     val lineitem = replicate(
       spark.read.parquet(Tables.path(baseDir, "lineitem")), factor) {
