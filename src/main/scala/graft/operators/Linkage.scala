@@ -64,7 +64,10 @@ object Linkage {
     // block purge: junk/hot blocks never enter the pair join
     val blockSz = n.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= maxBlock).select(col("blk"))
+    // both sides of the pair self-join read this frame — pin it so
+    // the normalize+block+purge lineage runs once
     val inBlock = n.join(broadcast(blockSz), Seq("blk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = inBlock.as("a").join(inBlock.as("b"),
         col("a.blk") === col("b.blk") &&
           col("a.rec_id") < col("b.rec_id"))
