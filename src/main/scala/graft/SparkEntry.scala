@@ -200,6 +200,9 @@ object SparkEntry {
     // ACID merge-on-read (SURVEY.md §2.10)
     "q_acid_mor" -> (Acid.morQuery _),
     "q_acid_timetravel" -> (Acid.timeTravelQuery _),
+    // Delta-driven CDC between two snapshots: change class + old/new
+    // payloads, read from the pruned delta window only
+    "q_acid_cdc" -> (Acid.cdcQuery _),
     "q_acid_minor_compact" -> (Acid.minorCompactQuery _),
     "q_acid_major_compact" -> (Acid.majorCompactQuery _),
     // Side-file salvage (W8 _flush_length) + user metadata surface
@@ -913,6 +916,25 @@ object SparkEntry {
         |       ELSE o_totalprice END AS o_totalprice,
         |  o_orderstatus
         |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    // CDC over (1, 3]: deletes win over earlier updates (%70 keys),
+    // %10-not-%7 keys are updates, %13 keys re-insert at key + 1e12
+    // with price + 1000; each class witnesses its old/new payload.
+    "q_acid_cdc" ->
+      """SELECT o_orderkey, change_type, change_txn, old_price,
+        |  new_price FROM (
+        |  SELECT o_orderkey, 'delete' AS change_type,
+        |    CAST(3 AS BIGINT) AS change_txn,
+        |    o_totalprice AS old_price, CAST(NULL AS DOUBLE) AS new_price
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'update', CAST(2 AS BIGINT),
+        |    o_totalprice, o_totalprice * 1.10
+        |  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000000, 'insert', CAST(2 AS BIGINT),
+        |    CAST(NULL AS DOUBLE), o_totalprice + 1000.0
+        |  FROM orders WHERE o_orderkey % 13 = 0)
         |ORDER BY o_orderkey""".stripMargin,
     "q_json_convert" ->
       """SELECT event_id,

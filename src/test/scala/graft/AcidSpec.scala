@@ -91,6 +91,49 @@ class AcidSpec extends SparkSpec {
       "snapshot must filter stragglers inside a kept compacted range")
   }
 
+  test("changesBetween classifies update/insert/delete, deletes win " +
+      "over earlier updates, and rows born-and-deleted inside the " +
+      "window collapse to nothing") {
+    val dir = graft.sources.OrcIo.scratchDir("acid_cdc")
+    // base_1: {1 -> 10.0, 2 -> 30.0, 4 -> 40.0}
+    Seq((1L, 10.0), (2L, 30.0), (4L, 40.0)).toDF("id", "v")
+      .write.orc(s"$dir/t/base_1")
+    // delta_2: update 1, insert 3, insert 5 (5 dies in delta_3)
+    eventsDf(Seq(
+      event(Acid.OpUpdate, 1, 1L, 2L, 11.0),
+      event(Acid.OpInsert, 3, 3L, 2L, 50.0),
+      event(Acid.OpInsert, 1, 5L, 2L, 70.0)))
+      .write.orc(s"$dir/t/delta_2")
+    // delta_3: delete 2 (existed at fromTxn), update-then... delete 5
+    // (born inside the window), update 4 then delete 4 across deltas
+    eventsDf(Seq(
+      event(Acid.OpDelete, 2, 2L, 3L, 0.0),
+      event(Acid.OpDelete, 1, 5L, 3L, 0.0),
+      event(Acid.OpDelete, 0, 4L, 3L, 0.0)))
+      .write.orc(s"$dir/t/delta_3")
+    val got = Acid.changesBetween(spark, s"$dir/t", fromTxn = 1L,
+        toTxn = 3L).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), Option(r.get(4)))))
+      .toMap
+    // 5 was born at txn 2 and deleted at txn 3 — invisible at both
+    // snapshots, so NOT a change
+    assert(!got.contains(5L), got)
+    assert(got(1L)._1 == "update" && got(1L)._2 == 2L &&
+      got(1L)._3.exists(_.asInstanceOf[org.apache.spark.sql.Row]
+        .getDouble(1) == 11.0))
+    assert(got(2L)._1 == "delete" && got(2L)._3.isEmpty)
+    assert(got(3L)._1 == "insert")
+    assert(got(4L)._1 == "delete", "delete wins for a base row")
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    // a narrower window (1, 2]: only the txn-2 events, delete of 2
+    // not yet visible; 5 appears as an insert (it IS visible at 2)
+    val got2 = Acid.changesBetween(spark, s"$dir/t", 1L, 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2 == Map(1L -> "update", 3L -> "insert", 5L -> "insert"),
+      got2)
+  }
+
   test("compact rewrites resolved state readable as a plain base") {
     val dir = graft.sources.OrcIo.scratchDir("acid")
     val df = eventsDf(Seq(
