@@ -219,6 +219,10 @@ object SparkEntry {
     "q_stream_ingest" -> ((s, d) =>
       graft.streaming.StreamingIngest.replayIngest(s, d)
         .orderBy(col("hour_start"), col("event_type"))),
+    // Streaming delta tail: file stream over a MOR table's delta_*
+    // directories — every landed delta's events arrive exactly once
+    "q_stream_deltas" -> ((s, d) =>
+      graft.streaming.StreamingIngest.replayStreamDeltas(s, d)),
     // Text analysis (north star: training-data pipeline)
     "q_text_tokens" -> (TextAnalysis.tokenStatsQuery _),
     // Tokenizer coverage: OOV rate against a fitted top-256 vocab
@@ -1069,6 +1073,23 @@ object SparkEntry {
         |  AND CAST(e.ts AS TIMESTAMP) <= w.hi
         |GROUP BY w.incident_id
         |ORDER BY w.incident_id""".stripMargin,
+    // Streaming delta tail over the CDC fixture: the full event set
+    // of delta_2 (updates %10 at txn 2, inserts %13 at key + 1e12)
+    // and delta_3 (deletes %7 at txn 3), each exactly once.
+    "q_stream_deltas" ->
+      """SELECT row_id, operation, change_txn, price FROM (
+        |  SELECT o_orderkey AS row_id, 1 AS operation,
+        |    CAST(2 AS BIGINT) AS change_txn,
+        |    o_totalprice * 1.10 AS price
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000000, 0, CAST(2 AS BIGINT),
+        |    o_totalprice + 1000.0
+        |  FROM orders WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, CAST(3 AS BIGINT), o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |ORDER BY row_id, change_txn""".stripMargin,
     // Append-mode watermarking emits exactly the windows whose end is
     // at or before (max event time - 10 min) when the stream drains.
     "q_stream_ingest" ->

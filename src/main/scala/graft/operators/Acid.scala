@@ -484,7 +484,12 @@ object Acid {
    * old/new prices witness the actual payloads. The oracle replays
    * the classification as CASE logic over `orders`.
    */
-  def cdcQuery(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The deterministic CDC fixture layout (base_1 + delta_2 updates
+    * %10 / inserts %13 at key + 1e12 / delta_3 deletes %7), shared by
+    * [[cdcQuery]] and the streaming delta tail gate. Returns the
+    * table directory. */
+  private[graft] def cdcFixture(spark: SparkSession, sfDir: String)
+      : String = {
     val orders = Tables.load(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderstatus"))
@@ -513,8 +518,12 @@ object Acid {
     writeDelta(updates.unionByName(inserts), s"$dir/t/delta_2")
     writeDelta(asEvents(orders.filter(col("o_orderkey") % 7 === 0),
       OpDelete, 3L), s"$dir/t/delta_3")
-    changesBetween(spark, s"$dir/t", fromTxn = 1L, toTxn = 3L,
-      rowIdCol = "o_orderkey")
+    s"$dir/t"
+  }
+
+  def cdcQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    changesBetween(spark, cdcFixture(spark, sfDir), fromTxn = 1L,
+      toTxn = 3L, rowIdCol = "o_orderkey")
       .select(col("rowId").as("o_orderkey"), col("change_type"),
         col("change_txn"),
         col("old_row.o_totalprice").as("old_price"),

@@ -711,4 +711,53 @@ object StreamingIngest {
     q.awaitTermination()
     spark.read.orc(s"$stage/out")
   }
+
+  /**
+   * Streaming tail of a MOR table's delta directories — the PUSH
+   * counterpart of [[graft.operators.Acid.changesBetween]]: a file
+   * stream over `tableDir/delta_*` surfaces each newly landed delta's
+   * events as a micro-batch, so incremental consumers SUBSCRIBE to
+   * changes instead of polling batch CDC windows. The stream is
+   * append-only raw events (consumers fold/resolve downstream — the
+   * same contract as the reference's delta files themselves); the
+   * ACID stats sidecars are skipped automatically (underscore-prefixed
+   * paths, the file-source convention). Delta discovery is the file
+   * source's listing — the same directory-name metadata batch CDC
+   * prunes on, so a landed `delta_N` becomes one micro-batch without
+   * any table-sized rescan.
+   */
+  def streamDeltas(spark: SparkSession, tableDir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val first = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("delta_")).sorted.headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no delta_* directory under $tableDir to derive the event " +
+          "schema from"))
+    val schema = spark.read.orc(s"$tableDir/$first").schema
+    val streamSession = spark.newSession()
+    streamSession.conf.set("spark.sql.shuffle.partitions", "4")
+    streamSession.readStream
+      .schema(schema)
+      .orc(s"$tableDir/delta_*")
+  }
+
+  /** Drained-replay gate for [[streamDeltas]] over the deterministic
+    * CDC fixture: every event of every delta must arrive exactly once
+    * — the oracle predicts the full event set (op, key, txn, payload
+    * price) from orders math. */
+  def replayStreamDeltas(spark: SparkSession, sfDir: String): DataFrame = {
+    val tableDir = graft.operators.Acid.cdcFixture(spark, sfDir)
+    // sink the FULL event frame: a projected stream would column-prune
+    // the ORC delta scan, and ACID-schema files remap column ids under
+    // pruning (the checkAcidSchema AIOOBE — see Acid.acidStatsOf);
+    // the gate projection happens on the parquet read-back instead
+    val out = runToParquet(streamDeltas(spark, tableDir), "stream_deltas")
+    spark.read.parquet(out)
+      .select(col("rowId").as("row_id"), col("operation"),
+        col("currentTransaction").as("change_txn"),
+        col("row.o_totalprice").as("price"))
+      .orderBy(col("row_id"), col("change_txn"))
+  }
 }
