@@ -375,4 +375,44 @@ class StreamingSpec extends SparkSpec {
     assert(n2 == n1,
       s"restart re-emitted rows: $n1 -> $n2 (exactly-once broken)")
   }
+
+  test("streamDeltas tail: a delta landed AFTER the first drain " +
+      "arrives exactly once on the next drain, nothing re-emits") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dir = graft.sources.OrcIo.scratchDir("stream_tail")
+    // a tiny MOR table: base + one delta before the stream starts
+    Seq((1L, 10.0), (2L, 30.0)).toDF("id", "v").write.orc(s"$dir/t/base_1")
+    def ev(op: Int, rowId: Long, txn: Long, v: Double) =
+      (op, 1L, (rowId % 4).toInt, rowId, txn, v)
+    def writeDelta(name: String, rows: Seq[(Int, Long, Int, Long, Long, Double)]): Unit =
+      rows.toDF("operation", "originalTransaction", "bucket", "rowId",
+          "currentTransaction", "v")
+        .withColumn("row", struct(col("rowId").as("id"), col("v")))
+        .drop("v")
+        .write.orc(s"$dir/t/$name")
+    writeDelta("delta_2", Seq(ev(1, 1L, 2L, 11.0)))
+    def drain(): Unit = {
+      val q = StreamingIngest.streamDeltas(spark, s"$dir/t")
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .outputMode(OutputMode.Append())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    val first = spark.read.parquet(s"$dir/out")
+      .select("rowId", "currentTransaction").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(first == Seq((1L, 2L)), s"first drain: $first")
+    // a new delta lands; the SAME checkpoint must deliver exactly it
+    writeDelta("delta_3", Seq(ev(2, 2L, 3L, 0.0), ev(0, 3L, 3L, 50.0)))
+    drain()
+    val second = spark.read.parquet(s"$dir/out")
+      .select("rowId", "currentTransaction").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(second == Set((1L, 2L), (2L, 3L), (3L, 3L)),
+      s"after the tail drain: $second")
+  }
 }
