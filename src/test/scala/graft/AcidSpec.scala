@@ -132,6 +132,15 @@ class AcidSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got2 == Map(1L -> "update", 3L -> "insert", 5L -> "insert"),
       got2)
+    // minor compaction folds delta_2 + delta_3 into delta_2_3; the
+    // full-window classification must be unchanged (the compacted
+    // range intersects the window and keeps the LAST event per key,
+    // which is exactly what CDC classifies on)
+    Acid.minorCompact(spark, s"$dir/t")
+    val got3 = Acid.changesBetween(spark, s"$dir/t", 1L, 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got3 == got.map { case (k, v) => k -> v._1 },
+      s"compaction changed the CDC classification: $got3")
   }
 
   test("compact rewrites resolved state readable as a plain base") {
