@@ -203,6 +203,8 @@ object SparkEntry {
     // Delta-driven CDC between two snapshots: change class + old/new
     // payloads, read from the pruned delta window only
     "q_acid_cdc" -> (Acid.cdcQuery _),
+    // RESTORE to a snapshot: rewrite the asOf state as the only base
+    "q_acid_restore" -> (Acid.restoreQuery _),
     "q_acid_minor_compact" -> (Acid.minorCompactQuery _),
     "q_acid_major_compact" -> (Acid.majorCompactQuery _),
     // Side-file salvage (W8 _flush_length) + user metadata surface
@@ -920,6 +922,19 @@ object SparkEntry {
         |       ELSE o_totalprice END AS o_totalprice,
         |  o_orderstatus
         |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    // Restore to txn 2 over the CDC fixture: updates and inserts of
+    // txn 2 present, txn-3 deletes rolled back.
+    "q_acid_restore" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.10
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 1000000000000, o_custkey,
+        |  o_totalprice + 1000.0, 'I'
+        |FROM orders WHERE o_orderkey % 13 = 0
         |ORDER BY o_orderkey""".stripMargin,
     // CDC over (1, 3]: deletes win over earlier updates (%70 keys),
     // %10-not-%7 keys are updates, %13 keys re-insert at key + 1e12

@@ -484,6 +484,38 @@ object Acid {
    * old/new prices witness the actual payloads. The oracle replays
    * the classification as CASE logic over `orders`.
    */
+  /**
+   * Roll a MOR table back to snapshot `txn` — the recovery path after
+   * a bad write lands: the `txn` state ([[readTableAsOf]], future
+   * deltas pruned at the metadata level) is rewritten as a fresh
+   * `base_txn` (size-targeted files, the compaction rule), and ALL
+   * prior directories are dropped — the rolled-back future because it
+   * is exactly what restore erases, and the pre-snapshot past because
+   * a delta without its base is unreadable anyway (this is
+   * [[majorCompact]] pinned at a snapshot rather than at the head).
+   * Time travel restarts from the restore point, the usual lake
+   * RESTORE contract. Returns the new base path.
+   */
+  def restoreTo(spark: SparkSession, tableDir: String, txn: Long,
+      rowIdCol: String = "id", buckets: Int = 4): String = {
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(d => d.startsWith("base_") || d.startsWith("delta_"))
+    val restored = readTableAsOf(spark, tableDir, txn, rowIdCol, buckets)
+    val out = s"$tableDir/base_$txn.tmp"
+    graft.sources.OrcIo.write(
+      restored.repartition(sizedFileCount(fs, tableDir, dirs)), out)
+    writeStatsSidecar(out,
+      AcidStats(spark.read.orc(out).count(), 0L, 0L))
+    dirs.foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$d"), true))
+    val dst = new org.apache.hadoop.fs.Path(s"$tableDir/base_$txn")
+    fs.rename(new org.apache.hadoop.fs.Path(out), dst)
+    dst.toString
+  }
+
   /** The deterministic CDC fixture layout (base_1 + delta_2 updates
     * %10 / inserts %13 at key + 1e12 / delta_3 deletes %7), shared by
     * [[cdcQuery]] and the streaming delta tail gate. Returns the
@@ -519,6 +551,22 @@ object Acid {
     writeDelta(asEvents(orders.filter(col("o_orderkey") % 7 === 0),
       OpDelete, 3L), s"$dir/t/delta_3")
     s"$dir/t"
+  }
+
+  /** Correctness-gate query for [[restoreTo]]: build the CDC fixture
+    * (updates + inserts at txn 2, deletes at txn 3), roll back to
+    * txn 2, and read the restored table — the txn-3 deletes must be
+    * gone, the txn-2 updates and inserts present, the layout a single
+    * stats-carrying base. The oracle is the txn-2 state from orders
+    * math. */
+  def restoreQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val tableDir = cdcFixture(spark, sfDir)
+    val newBase = restoreTo(spark, tableDir, txn = 2L,
+      rowIdCol = "o_orderkey")
+    require(readAcidStats(spark, newBase).exists(_.inserts > 0),
+      s"restored base must carry $AcidStatsKey")
+    readTable(spark, tableDir, rowIdCol = "o_orderkey")
+      .orderBy(col("o_orderkey"))
   }
 
   def cdcQuery(spark: SparkSession, sfDir: String): DataFrame = {

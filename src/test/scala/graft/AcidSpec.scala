@@ -143,6 +143,39 @@ class AcidSpec extends SparkSpec {
       s"compaction changed the CDC classification: $got3")
   }
 
+  test("restoreTo rolls the table back to the snapshot, collapses " +
+      "the layout to one base, and writes continue after it") {
+    val dir = graft.sources.OrcIo.scratchDir("acid_restore")
+    Seq((1L, 10.0), (2L, 30.0)).toDF("id", "v").write.orc(s"$dir/t/base_1")
+    eventsDf(Seq(event(Acid.OpUpdate, 1, 1L, 2L, 11.0)))
+      .write.orc(s"$dir/t/delta_2")
+    eventsDf(Seq(
+      event(Acid.OpDelete, 2, 2L, 3L, 0.0),
+      event(Acid.OpInsert, 3, 3L, 3L, 50.0)))
+      .write.orc(s"$dir/t/delta_3")
+    val want = Acid.readTableAsOf(spark, s"$dir/t", 2L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Acid.restoreTo(spark, s"$dir/t", txn = 2L)
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/t")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/t"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(dirs == Set("base_2"), dirs)
+    val got = Acid.readTable(spark, s"$dir/t").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want && got == Map(1L -> 11.0, 2L -> 30.0), got)
+    // life goes on: a post-restore delta applies on the restored
+    // base. Row identity is the (originalTransaction, bucket, rowId)
+    // triple and the restored rows carry originalTransaction = 2 (the
+    // new base txn), so post-restore events must target origTxn 2 —
+    // the same lock-step the pre-restore deltas kept with base_1.
+    eventsDf(Seq((Acid.OpUpdate, 2L, 2, 2L, 4L, 33.0)))
+      .write.orc(s"$dir/t/delta_4")
+    val after = Acid.readTable(spark, s"$dir/t").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(after == Map(1L -> 11.0, 2L -> 33.0), after)
+  }
+
   test("compact rewrites resolved state readable as a plain base") {
     val dir = graft.sources.OrcIo.scratchDir("acid")
     val df = eventsDf(Seq(
