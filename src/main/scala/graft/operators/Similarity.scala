@@ -987,6 +987,9 @@ object Similarity {
     val a = kmeansAssignments(spark, sfDir, k, iters)
       .select(col("cell"), col("vec_id"), col("embedding"))
       .localCheckpoint()
+    // the scored pair frame feeds BOTH the near-dup tally and the
+    // closest-pair pick: pin the slim (cell, a, b, cos) projection so
+    // the in-cell cosine pass runs once, not once per consumer
     val pairs = a.select(col("cell"), col("vec_id").as("a"),
         col("embedding").as("va"))
       .join(a.select(col("cell"), col("vec_id").as("b"),
@@ -994,6 +997,8 @@ object Similarity {
       .filter(col("a") < col("b"))
       .withColumn("cos",
         fr(VectorOps.cosine(col("va"), col("vb")), 4))
+      .select(col("cell"), col("a"), col("b"), col("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = a.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"))
     val close = pairs.groupBy(col("cell"))
