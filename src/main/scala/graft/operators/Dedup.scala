@@ -830,9 +830,15 @@ object Dedup {
     * ½·max(|a|,|b|) — prunes candidates at the index join, before
     * any set ships. */
   def setSimJoinOver(docs: DataFrame): DataFrame = {
-    // t = 1/2 carried as the integer pair (2, 1) — see verify step
+    // t = 1/2 carried as the integer pair (2, 1) — see verify step.
+    // The hashed-shingle frame is the algorithm's base working set —
+    // posting build, rarity sort, and BOTH verify sides read it — so
+    // it is pinned once (the materialized shingle store a production
+    // PPJoin keeps anyway) instead of re-running the shingle kernel
+    // per consumer.
     val sets = docs.select(col("doc_id"),
-      hashedShingles(col("text")).as("set"))
+        hashedShingles(col("text")).as("set"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df_ = sets.select(col("doc_id"), explode(col("set")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     // rarity-sorted element array per doc: sort_array over (df, term)
@@ -849,9 +855,12 @@ object Dedup {
     // ⌈t·|d|⌉ at t = 1/2 computed in integers: (|d| + 1) div 2
     val prefixLen = (size(col("toks")) -
       ((size(col("toks")) + 1) / 2).cast("int") + 1)
+    // both sides of the candidate self-join read the prefix index —
+    // pin it so the rarity-sort lineage runs once
     val prefixes = sorted.select(col("doc_id"),
-      size(col("toks")).cast("long").as("sz"),
-      explode(slice(col("toks"), lit(1), prefixLen)).as("term"))
+        size(col("toks")).cast("long").as("sz"),
+        explode(slice(col("toks"), lit(1), prefixLen)).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = prefixes.as("a")
       .join(prefixes.as("b"), col("a.term") === col("b.term") &&
         col("a.doc_id") < col("b.doc_id") &&
