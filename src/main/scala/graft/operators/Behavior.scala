@@ -28,8 +28,9 @@ object Behavior {
    * a corpus-wide sort; bigram counts reduce map-side to ≤ k² cells,
    * and the row totals / entropies are k-row broadcasts. Exactness:
    * counts are exact BIGINT; p = n/row_total is ONE double division
-   * rounded to 10 dp; entropy terms −p·ln p round to 10 dp and sum as
-   * DECIMAL (order-free), the q_lm_ppl ln rule.
+   * rounded to 6 dp; entropy terms −p·ln p round to 6 dp and sum as
+   * DECIMAL (order-free) — ln's last ulp is libm-dependent, so
+   * nothing hashed sits closer than 6 dp to it.
    */
   def markovQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
@@ -47,13 +48,13 @@ object Behavior {
     val withP = counts.join(broadcast(totals), Seq("prev_type"))
       .withColumn("p",
         fr(col("n").cast("double") / col("row_total").cast("double"),
-          10) + lit(0.0))
+          6) + lit(0.0))
     val entropy = withP
       .select(col("prev_type"),
-        fr(-col("p") * log(col("p")), 10).cast("decimal(20,10)")
+        fr(-col("p") * log(col("p")), 6).cast("decimal(20,6)")
           .as("term"))
       .groupBy(col("prev_type"))
-      .agg(sum(col("term")).cast("decimal(38,10)")
+      .agg(sum(col("term")).cast("decimal(38,6)")
         .as("row_entropy_nats"))
     withP.join(broadcast(entropy), Seq("prev_type"))
       .select(col("prev_type"), col("event_type"), col("n"), col("p"),
@@ -75,9 +76,9 @@ object Behavior {
    * aggregation is an ordinary map-side-partial groupBy on event_type
    * — one narrow shuffle of k·(2 decimals + 1 long). Exactness: ages
    * are exact BIGINT millisecond differences; each 2^(−x) weight and
-   * each weight·value product rounds to 10/6 dp then sums as DECIMAL
-   * (order-free), so the result is partitioning-independent and
-   * engine-exact.
+   * each weight·value product rounds to 6 dp then sums as DECIMAL
+   * (order-free) — pow() is a transcendental whose last ulp is
+   * libm-dependent, so hashed state keeps 6 dp of headroom.
    */
   def decayAggQuery(spark: SparkSession, sfDir: String,
       halfLifeHours: Double = 168.0): DataFrame = {
@@ -88,11 +89,11 @@ object Behavior {
     val wRaw = pow(lit(2.0), -ageH / lit(halfLifeHours))
     ev.crossJoin(broadcast(ref))
       .select(col("event_type"),
-        fr(wRaw, 10).cast("decimal(20,10)").as("wt"),
+        fr(wRaw, 6).cast("decimal(20,6)").as("wt"),
         fr(wRaw * col("value"), 6).cast("decimal(24,6)").as("wv"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("wt")).cast("decimal(38,10)").as("decayed_n"),
+        sum(col("wt")).cast("decimal(38,6)").as("decayed_n"),
         sum(col("wv")).cast("decimal(38,6)").as("decayed_value"))
       .orderBy(col("event_type"))
   }
@@ -208,7 +209,8 @@ object Behavior {
    * Exactness: the co-engagement inner products Σ_u n_ui·n_uj and the
    * squared norms are exact (DECIMAL cast BEFORE the product — user
    * lifetime counts can pass 3e9·3e9 at extreme scale); cosine is ONE
-   * double expression on those exact sums, rounded 10 dp.
+   * double expression on those exact sums, rounded 6 dp (the
+   * representation-minimal gate rule).
    *
    * Shape at 100 TB: the count matrix build is one map-side-partial
    * groupBy; the pair pass self-joins per-user vectors (≤ k entries
@@ -242,7 +244,7 @@ object Behavior {
         col("dot"),
         fr(col("dot").cast("double") /
           (sqrt(col("ss_a").cast("double")) *
-           sqrt(col("ss_b").cast("double"))), 10).as("cos_sim"))
+           sqrt(col("ss_b").cast("double"))), 6).as("cos_sim"))
       .orderBy(col("item_a"), col("item_b"))
   }
 

@@ -355,8 +355,9 @@ object Graph {
    * (a 10M-degree hub would otherwise emit 10¹³ pairs while carrying
    * ≈ 0 Adamic–Adar weight each). The cap is mirrored in the oracle;
    * on the bounded-degree gate graph nothing reaches it. Weight
-   * terms follow the ln rounding rule: round(1/ln(deg), 10) →
-   * DECIMAL sum, order-free exact.
+   * terms follow the ln rounding rule: floor-form 1/ln(deg) at 6 dp
+   * → DECIMAL sum, order-free exact (ln's last ulp is
+   * libm-dependent — the 6 dp headroom rule).
    */
   def adamicAdarQuery(spark: SparkSession, sfDir: String,
       degCap: Int = 64): DataFrame = {
@@ -378,8 +379,8 @@ object Graph {
     val centers = deg
       .filter(col("deg") >= 2 && col("deg") <= degCap)
       .select(col("src").as("z"),
-        fr(lit(1.0) / log(col("deg").cast("double")), 10)
-          .cast("decimal(28,10)").as("w"))
+        fr(lit(1.0) / log(col("deg").cast("double")), 6)
+          .cast("decimal(24,6)").as("w"))
     val adj = und.join(centers, und("src") === centers("z"))
       .select(col("z"), col("w"), und("dst").as("nb"))
     val pairs = adj.as("x").join(adj.as("y"),
@@ -387,7 +388,8 @@ object Graph {
       .select(col("x.nb").as("a"), col("y.nb").as("b"),
         col("x.w").as("w"))
     val scored = pairs.groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("common"), sum(col("w")).as("aa_score"))
+      .agg(count(lit(1)).as("common"),
+        sum(col("w")).cast("decimal(38,6)").as("aa_score"))
     // link PREDICTION: existing edges are excluded (und is symmetric,
     // so the a<b orientation is present directly)
     scored

@@ -38,14 +38,17 @@ object Inference {
    *
    * Per cell (i,j): observed n, expected r_i·c_j/N, chi-square term
    * (n−e)²/e, and the MI term p·ln(N·n/(r·c)). Summary columns repeat
-   * on every row so one hashed frame witnesses cells AND totals.
+   * on every row so one hashed frame witnesses cells AND totals. All
+   * hashed doubles quantize at ≤ 6 dp (the representation-minimal
+   * rule: the MI term carries a transcendental ln whose last ulp is
+   * libm-dependent, so nothing hashed may sit closer than 6 dp to it).
    *
    * Shape at 100 TB: one map-side-partial groupBy folds the stream to
    * ≤ k·24 cells; margins and totals are broadcast one-row/`k`-row
    * frames; everything after the first pass is arithmetic on a
    * ~120-row frame. Exactness: n, r, c, N exact BIGINT; r·c and n·N
    * (≤ N² ≈ 1e14 at sf10) stay in BIGINT; each double term is one
-   * expression on those integers rounded (10/12 dp) and summed as
+   * expression on those integers rounded 6 dp and summed as
    * DECIMAL order-free; Cramér's V rounds at 6 dp after a single
    * sqrt on the DECIMAL-exact chi-square total.
    */
@@ -65,18 +68,22 @@ object Inference {
       .crossJoin(broadcast(tot))
       .withColumn("expected",
         fr((col("r") * col("c")).cast("double") /
-          col("n_total").cast("double"), 10))
+          col("n_total").cast("double"), 6))
+      // (n−e)² as an explicit product, NOT pow(x, 2): IEEE multiply is
+      // correctly rounded in every engine; pow's 2.0 path is only
+      // 1-ulp-accurate in some libms
       .withColumn("chi2_term",
-        fr(pow(col("n").cast("double") - col("expected"), 2) /
-          col("expected"), 10).cast("decimal(28,10)"))
+        fr((col("n").cast("double") - col("expected")) *
+          (col("n").cast("double") - col("expected")) /
+          col("expected"), 6).cast("decimal(24,6)"))
       .withColumn("mi_term",
         fr((col("n").cast("double") / col("n_total").cast("double")) *
           log((col("n") * col("n_total")).cast("double") /
-            (col("r") * col("c")).cast("double")), 12)
-          .cast("decimal(26,12)"))
+            (col("r") * col("c")).cast("double")), 6)
+          .cast("decimal(20,6)"))
     val summary = terms.groupBy(lit(1).as("one"))
-      .agg(sum(col("chi2_term")).cast("decimal(38,10)").as("chi2"),
-        sum(col("mi_term")).cast("decimal(38,12)").as("mi_nats"),
+      .agg(sum(col("chi2_term")).cast("decimal(38,6)").as("chi2"),
+        sum(col("mi_term")).cast("decimal(38,6)").as("mi_nats"),
         first(col("n_total")).as("nt"),
         first(col("nr")).as("nrr"), first(col("nc")).as("ncc"))
       .withColumn("dof", (col("nrr") - 1) * (col("ncc") - 1))
@@ -247,8 +254,9 @@ object Inference {
    * hours. Each r_k is emitted as an exact DECIMAL(38,0) fraction:
    * num_k = Σ (H·x_t − S)(H·x_{t+k} − S) and den = Σ (H·x_t − S)² —
    * the mean-centered cross products scaled by H² so everything stays
-   * integer — plus the rounded double ratio. The hash gate rides
-   * exact integers; the one double division is cosmetic.
+   * integer — plus the rounded double ratio (6 dp, the
+   * representation-minimal rule). The hash gate rides exact
+   * integers; the one double division is cosmetic.
    *
    * Shape at 100 TB: the stream folds to the hourly grid in one
    * map-side-partial groupBy; the spine, the lag self-join, and the
@@ -287,7 +295,7 @@ object Inference {
         .cast("decimal(38,0)").as("num"), count(lit(1)).as("pairs"))
       .crossJoin(broadcast(den))
       .withColumn("r",
-        fr(col("num").cast("double") / col("den").cast("double"), 10))
+        fr(col("num").cast("double") / col("den").cast("double"), 6))
       .select(col("lag"), col("pairs"), col("num"), col("den"), col("r"))
       .orderBy(col("lag"))
   }

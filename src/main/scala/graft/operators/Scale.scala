@@ -681,7 +681,7 @@ object Scale {
    * PER TYPE over day-count-sized frames (the [[Behavior.markovQuery]]
    * partitioned-window discipline — never a corpus sort). Exactness:
    * z replays the [[seasonalAnomalyQuery]] integer-power-sum double
-   * tree, rounds to 10 dp, and all prefix arithmetic runs in DECIMAL
+   * tree, rounds to 6 dp, and all prefix arithmetic runs in DECIMAL
    * — order-free, engine-exact.
    */
   def cusumQuery(spark: SparkSession, sfDir: String): DataFrame =
@@ -703,22 +703,23 @@ object Scale {
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // precision discipline: |z| ≤ √m and the horizon is m days, so
-    // every prefix sum fits comfortably in DECIMAL(20,10) — keeping
-    // operands at (20,10) keeps every subtraction inside Spark's
-    // 38-digit cap (a (38,10)−(38,10) would silently round to scale
-    // 9 on the overflow path, which the sf0.01 gate caught)
+    // every prefix sum fits comfortably in DECIMAL(20,6) — keeping
+    // operands at (20,6) keeps every subtraction inside Spark's
+    // 38-digit cap (a (38,s)−(38,s) would silently round on the
+    // overflow path, which the sf0.01 gate caught at scale 10);
+    // z quantizes at 6 dp (representation-minimal gate rule)
     val scored = daily.join(broadcast(prof), Seq("event_type"))
-      .withColumn("zr", fr(z, 10).cast("decimal(20,10)"))
+      .withColumn("zr", fr(z, 6).cast("decimal(20,6)"))
       .withColumn("cc",
         sum(col("zr") - lit(0.5).cast("decimal(2,1)")).over(w)
-          .cast("decimal(20,10)"))
+          .cast("decimal(20,6)"))
       .withColumn("cmin",
-        min(col("cc")).over(w).cast("decimal(20,10)"))
+        min(col("cc")).over(w).cast("decimal(20,6)"))
     scored
       .withColumn("s_plus",
         (col("cc") - when(col("cmin") < 0, col("cmin"))
-          .otherwise(lit(0).cast("decimal(20,10)")))
-          .cast("decimal(20,10)"))
+          .otherwise(lit(0).cast("decimal(20,6)")))
+          .cast("decimal(20,6)"))
       .select(col("event_type"), col("day"), col("n"), col("zr"),
         col("s_plus"), (col("s_plus") > 4).as("alarm"))
       .orderBy(col("event_type"), col("day"))

@@ -402,7 +402,10 @@ object Stats {
    * 2×-scaled integer ranks — the scale cancels. Every sum is exact
    * DECIMAL (cast before multiply: 2r can reach 2·10⁹ at extreme
    * row counts and the product would overflow BIGINT); ρ is ONE
-   * double expression on six exact sums, rounded 10 dp.
+   * double expression on six exact sums, rounded 6 dp (the
+   * representation-minimal gate discipline: every hashed double in
+   * the stats family is exact-integer DECIMAL or ≤ 6 dp, so no
+   * conceivable cross-engine ulp can flip a hashed digit).
    *
    * Shape at 100 TB: two map-side-partial grid builds, two
    * equi-joins of rows to grid ranks, one grouped sum pass — no
@@ -447,7 +450,7 @@ object Stats {
         (sqrt(col("n").cast("double") * col("sxx").cast("double") -
           col("sx").cast("double") * col("sx").cast("double")) *
          sqrt(col("n").cast("double") * col("syy").cast("double") -
-          col("sy").cast("double") * col("sy").cast("double"))), 10)
+          col("sy").cast("double") * col("sy").cast("double"))), 6)
         .as("rho"))
       .orderBy(col("flag"))
   }

@@ -649,7 +649,8 @@ object TextAnalysis {
    * divergence), realized as a (langs × vocab) frame: VOCABULARY-
    * sized, never corpus-sized, the [[giniQuery]] reduction discipline.
    * Exactness: p and q are single double divisions of exact BIGINTs;
-   * each p·ln(p/q) term rounds to 10 dp and DECIMAL-sums order-free.
+   * each p·ln(p/q) term rounds to 6 dp and DECIMAL-sums order-free
+   * (ln's last ulp is libm-dependent — the 6 dp headroom rule).
    */
   def klDivQuery(spark: SparkSession, sfDir: String): DataFrame =
     klDivOver(Tables.load(spark, sfDir, "documents"))
@@ -677,10 +678,10 @@ object TextAnalysis {
       (col("n_en") + lit(vSize)).cast("double")
     grid
       .select(col("lang"), col("n"),
-        fr(p * log(p / q), 10).cast("decimal(24,10)").as("t"))
+        fr(p * log(p / q), 6).cast("decimal(20,6)").as("t"))
       .groupBy(col("lang"))
       .agg(max(col("n")).as("n_tokens"),
-        sum(col("t")).cast("decimal(38,10)").as("kl_nats"))
+        sum(col("t")).cast("decimal(38,6)").as("kl_nats"))
       .orderBy(col("lang"))
   }
 

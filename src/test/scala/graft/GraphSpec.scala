@@ -148,8 +148,12 @@ class GraphSpec extends SparkSpec {
     val got = Graph.adamicAdar(und, degCap = 64).collect()
       .map(r => ((r.getLong(0), r.getLong(1)),
         (r.getLong(2), r.getDecimal(3).doubleValue))).toMap
-    val w13 = 1.0 / math.log(3.0) + 2.0 / math.log(2.0)
-    val wHub = 1.0 / math.log(4.0) + 1.0 / math.log(3.0)
+    // per-center weights quantize at 6 dp (the representation-minimal
+    // gate rule) before the DECIMAL sum — mirror that here
+    def w6(deg: Double) =
+      graft.functions.VectorOps.foldRound(1.0 / math.log(deg), 6)
+    val w13 = w6(3.0) + 2 * w6(2.0)
+    val wHub = w6(4.0) + w6(3.0)
     assert(got.keySet ==
       Set((1L, 3L), (0L, 7L), (0L, 8L), (7L, 8L)),
       s"pairs: ${got.keySet}")
@@ -167,7 +171,7 @@ class GraphSpec extends SparkSpec {
         (r.getLong(2), r.getDecimal(3).doubleValue))).toMap
     assert(capped.keySet == Set((1L, 3L)))
     assert(capped((1L, 3L))._1 == 2L)
-    assert(math.abs(capped((1L, 3L))._2 - 2.0 / math.log(2.0)) < 1e-9)
+    assert(math.abs(capped((1L, 3L))._2 - 2 * w6(2.0)) < 1e-9)
   }
 
   test("hierarchy rollup: range arithmetic equals an explicit " +

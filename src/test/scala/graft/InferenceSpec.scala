@@ -23,8 +23,9 @@ class InferenceSpec extends SparkSpec {
     assert(chi2.length == 1)
     val termSum = rows.map(_.getDecimal(4).doubleValue).sum
     assert(math.abs(termSum - chi2.head.doubleValue) < 1e-6)
+    // MI ≥ 0 up to the per-cell 6 dp term quantization (≤5e-7 each)
     val mi = rows.head.getDecimal(7).doubleValue
-    assert(mi >= -1e-9, s"MI $mi negative")
+    assert(mi >= -rows.length * 5e-7, s"MI $mi negative")
     val v = rows.head.getDouble(9)
     assert(v >= 0.0 && v <= 1.0, s"Cramér's V $v outside [0,1]")
     assert(rows.head.getLong(8) == (5 - 1) * (24 - 1))
@@ -93,10 +94,11 @@ class InferenceSpec extends SparkSpec {
       val rk = r.getDouble(4)
       assert(rk >= -1.0 - 1e-9 && rk <= 1.0 + 1e-9,
         s"lag ${r.getLong(0)}: r $rk outside [-1,1]")
-      // the exact fraction and the cosmetic double agree
+      // the exact fraction and the cosmetic double agree (r
+      // quantizes at 6 dp)
       val ratio = r.getDecimal(2).doubleValue / r.getDecimal(3)
         .doubleValue
-      assert(math.abs(rk - ratio) < 1e-9)
+      assert(math.abs(rk - ratio) < 1e-6)
     }
     // all lags share one normalizer
     assert(rows.map(_.getDecimal(3)).distinct.length == 1)

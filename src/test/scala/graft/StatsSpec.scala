@@ -237,7 +237,9 @@ class StatsSpec extends SparkSpec {
       (math.sqrt(n * xs.map(a => a * a).sum - xs.sum * xs.sum) *
        math.sqrt(n * ys.map(a => a * a).sum - ys.sum * ys.sum))
     val got = rows.find(_.getString(0) == "A").get.getDouble(3)
-    assert(math.abs(got - rho) < 1e-6, s"grid rho $got != brute $rho")
+    // engine rho quantizes at 6 dp; the brute double chain adds fp
+    // noise of its own — 2e-6 covers both
+    assert(math.abs(got - rho) < 2e-6, s"grid rho $got != brute $rho")
   }
 
   test("pareto: cuts are minimal and ordered, top-10 share replays") {

@@ -360,16 +360,15 @@ class TextAnalysisSpec extends SparkSpec {
     // en: a a a b   (counts a=3, b=1, n=4)
     // xx: a b b b   (counts a=1, b=3, n=4)     V = 2
     // p_xx = (2/6, 4/6); q_en = (4/6, 2/6)
-    // KL = 1/3·ln(1/2) + 2/3·ln(2)  (with terms rounded to 10 dp)
+    // KL = 1/3·ln(1/2) + 2/3·ln(2)  (terms floor-rounded to 6 dp)
     val docs = Seq(("en", "a a a b"), ("xx", "a b b b"))
       .toDF("lang", "text").withColumn("doc_id", lit(0L))
     val rows = TextAnalysis.klDivOver(docs).collect()
       .map(r => (r.getString(0), r.getDecimal(2).doubleValue)).toMap
     assert(rows("en") == 0.0, s"self-KL: ${rows("en")}")
-    def r10(x: Double) = BigDecimal(x)
-      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val expected = r10(1.0 / 3 * math.log((1.0 / 3) / (2.0 / 3))) +
-      r10(2.0 / 3 * math.log((2.0 / 3) / (1.0 / 3)))
+    def r6(x: Double) = graft.functions.VectorOps.foldRound(x, 6)
+    val expected = r6(1.0 / 3 * math.log((1.0 / 3) / (2.0 / 3))) +
+      r6(2.0 / 3 * math.log((2.0 / 3) / (1.0 / 3)))
     assert(math.abs(rows("xx") - expected) < 1e-9,
       s"KL(xx||en) = ${rows("xx")}, want $expected")
     // Gibbs: every cohort's KL vs en is >= 0 on the real corpus
