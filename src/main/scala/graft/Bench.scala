@@ -63,6 +63,12 @@ object Bench {
           val root = Option(t.getCause).getOrElse(t)
           System.err.println(s"[bench] $name FAILED: $root")
           Left(s"${root.getClass.getSimpleName}: ${Option(root.getMessage).getOrElse("").take(120)}")
+      } finally {
+        // drain return-path caches AFTER the timed action: each query
+        // call builds its pins fresh, so nothing is reused across
+        // passes, and without the drain the 2×237-query sweep
+        // accumulates hundreds of corpus-sized cached/spilled frames
+        graft.operators.CacheBin.releaseAll()
       }
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)

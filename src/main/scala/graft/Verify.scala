@@ -49,6 +49,11 @@ object Verify {
       scala.concurrent.Future.sequence(futures),
       scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
+    // queries run 4-at-a-time above, so the cache drain waits for the
+    // whole sweep (an early drain would pull blocks out from under an
+    // in-flight sibling — safe but wasteful); one release here still
+    // frees every spilled block before the DuckDB compare runs
+    graft.operators.CacheBin.releaseAll()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

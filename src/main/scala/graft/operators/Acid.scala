@@ -199,10 +199,19 @@ object Acid {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
       .filter(_.isDirectory).map(_.getPath.getName)
-    val baseDirs = dirs.filter(_.startsWith("base_")).sorted
+    // NUMERIC max, not string sort: "base_10" < "base_2" lexically, and
+    // a compaction crash can legitimately leave two bases behind
+    val baseDirs = dirs.filter(_.startsWith("base_"))
     require(baseDirs.nonEmpty, s"no base_N directory under $tableDir")
-    val base = baseDirs.last
+    val base = baseDirs.maxBy(_.stripPrefix("base_").toLong)
     val baseTxn = base.stripPrefix("base_").toLong
+    // a snapshot OLDER than the newest base is unanswerable: the base
+    // folded every event ≤ baseTxn, so lifting it and filtering to the
+    // snapshot would fabricate an empty/partial before-state (every
+    // update would classify as an insert downstream) — fail loudly
+    asOf.foreach(t => require(t >= baseTxn,
+      s"history before base_$baseTxn has been compacted away " +
+        s"(requested snapshot txn=$t under $tableDir)"))
     // `delta_M` single-txn dirs and `delta_A_B` minor-compacted ranges
     val deltas = dirs.filter(_.startsWith("delta_"))
       .filter(_.stripPrefix("delta_").split("_").last.toLong > baseTxn)
@@ -280,7 +289,14 @@ object Acid {
       .filter(d => d.startsWith("base_") || d.startsWith("delta_"))
     val maxTxn = dirs.flatMap(_.split("_").tail.map(_.toLong)).max
     val resolved = readTable(spark, tableDir, rowIdCol, buckets)
-    val out = s"$tableDir/base_$maxTxn.tmp"
+    // crash-safe swap: stage under a name [[readTable]] IGNORES (no
+    // base_/delta_ prefix), rename into place FIRST, delete old
+    // directories LAST — a crash at any point leaves the table
+    // readable (old layout before the rename; new base after it, old
+    // deltas all ≤ maxTxn so the reader skips them). The one edge is
+    // an already-compacted table (base_maxTxn is the input), where the
+    // colliding base must be dropped just before the rename.
+    val out = s"$tableDir/_tmp_base_$maxTxn"
     graft.sources.OrcIo.write(
       resolved.repartition(sizedFileCount(fs, tableDir, dirs)), out)
     // count the WRITTEN base, not `resolved`: counting the resolve plan
@@ -288,10 +304,13 @@ object Acid {
     // pruned reads of ACID-schema files (checkAcidSchema detection)
     writeStatsSidecar(out,
       AcidStats(spark.read.orc(out).count(), 0L, 0L))
-    dirs.foreach(d =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$d"), true))
-    val dst = new org.apache.hadoop.fs.Path(s"$tableDir/base_$maxTxn")
+    val newBase = s"base_$maxTxn"
+    if (dirs.contains(newBase))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$newBase"), true)
+    val dst = new org.apache.hadoop.fs.Path(s"$tableDir/$newBase")
     fs.rename(new org.apache.hadoop.fs.Path(out), dst)
+    dirs.filter(_ != newBase).foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$d"), true))
     dst.toString
   }
 
@@ -419,6 +438,13 @@ object Acid {
    * (rows never present at `fromTxn` and deleted inside the window
    * collapse to nothing and are dropped); otherwise an old row exists
    * → `update`, else `insert`.
+   *
+   * `fromTxn` must be at or after the newest base's txn: a compaction
+   * folded all earlier history into the base, so an older before-
+   * snapshot cannot be reconstructed — [[readTableAsOf]] raises
+   * "history before base_N has been compacted away" rather than
+   * silently classifying every update as an insert and dropping
+   * deletes against an empty before-state.
    */
   def changesBetween(spark: SparkSession, tableDir: String,
       fromTxn: Long, toTxn: Long, rowIdCol: String = "id",
@@ -504,15 +530,31 @@ object Acid {
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(d => d.startsWith("base_") || d.startsWith("delta_"))
     val restored = readTableAsOf(spark, tableDir, txn, rowIdCol, buckets)
-    val out = s"$tableDir/base_$txn.tmp"
+    // crash-safe swap, ordered so every intermediate state is readable
+    // and at-or-between the two snapshots:
+    //   1. stage the restored state under a name [[readTable]] ignores
+    //      (crash → table untouched, stray _tmp_ dir inert);
+    //   2. erase the rolled-back FUTURE (deltas reaching past txn, and
+    //      a colliding base_txn) — crash mid-way reads as a partial
+    //      rollback, re-runnable;
+    //   3. rename the staged base into place (readTable's numeric max
+    //      now picks it);
+    //   4. drop the subsumed past (old bases, deltas ≤ txn) last —
+    //      they are invisible behind the new base already.
+    val tmp = s"$tableDir/_tmp_base_$txn"
     graft.sources.OrcIo.write(
-      restored.repartition(sizedFileCount(fs, tableDir, dirs)), out)
-    writeStatsSidecar(out,
-      AcidStats(spark.read.orc(out).count(), 0L, 0L))
-    dirs.foreach(d =>
+      restored.repartition(sizedFileCount(fs, tableDir, dirs)), tmp)
+    writeStatsSidecar(tmp,
+      AcidStats(spark.read.orc(tmp).count(), 0L, 0L))
+    val newBase = s"base_$txn"
+    dirs.filter(d => d == newBase || (d.startsWith("delta_") &&
+        d.stripPrefix("delta_").split("_").last.toLong > txn))
+      .foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$d"), true))
+    val dst = new org.apache.hadoop.fs.Path(s"$tableDir/$newBase")
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    dirs.filter(_ != newBase).foreach(d =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$d"), true))
-    val dst = new org.apache.hadoop.fs.Path(s"$tableDir/base_$txn")
-    fs.rename(new org.apache.hadoop.fs.Path(out), dst)
     dst.toString
   }
 

@@ -6,6 +6,7 @@ import graft.functions.VectorOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.operators.CacheBin.TrackOps
 
 /**
  * Deduplication operator family for training-data pipelines (north
@@ -838,7 +839,7 @@ object Dedup {
     // per consumer.
     val sets = docs.select(col("doc_id"),
         hashedShingles(col("text")).as("set"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .tracked()
     val df_ = sets.select(col("doc_id"), explode(col("set")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     // rarity-sorted element array per doc: sort_array over (df, term)
@@ -860,7 +861,7 @@ object Dedup {
     val prefixes = sorted.select(col("doc_id"),
         size(col("toks")).cast("long").as("sz"),
         explode(slice(col("toks"), lit(1), prefixLen)).as("term"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .tracked()
     val cands = prefixes.as("a")
       .join(prefixes.as("b"), col("a.term") === col("b.term") &&
         col("a.doc_id") < col("b.doc_id") &&

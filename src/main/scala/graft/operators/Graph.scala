@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.VectorOps.{foldRound => fr}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.CacheBin.TrackOps
 
 /**
  * Graph centrality over document link graphs — the page-importance
@@ -443,7 +444,7 @@ object Graph {
         Seq(), Seq(col("doc_id")),
         Seq(Prefix.Running(lit(1L), "cnt", "node"),
           Prefix.Running(col("v"), "sum", "p")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .tracked()
     val n = numbered.count()
     val docs = numbered.select(col("node"), col("v"))
     val prefix = numbered.select(col("node").as("idx"), col("p"))

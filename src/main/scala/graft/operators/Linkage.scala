@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.VectorOps.{foldRound => fr}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.CacheBin.TrackOps
 
 /**
  * Entity resolution (record linkage): collapse records that describe
@@ -67,7 +68,7 @@ object Linkage {
     // both sides of the pair self-join read this frame — pin it so
     // the normalize+block+purge lineage runs once
     val inBlock = n.join(broadcast(blockSz), Seq("blk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .tracked()
     val pairs = inBlock.as("a").join(inBlock.as("b"),
         col("a.blk") === col("b.blk") &&
           col("a.rec_id") < col("b.rec_id"))

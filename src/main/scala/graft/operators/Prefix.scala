@@ -77,15 +77,27 @@ object Prefix {
     * makes `_pid` a fact rather than a coincidence. Callers should
     * project to the minimal columns first; the materialized frame is
     * then narrow, and on a 1000-executor cluster MEMORY_AND_DISK
-    * spills rather than fails. */
+    * spills rather than fails. The cache is registered with
+    * [[CacheBin]] — drain it after the consuming action.
+    *
+    * `nParts` ≤ 0 (the default) derives the scan width from
+    * `spark.sql.shuffle.partitions`, so the prefix family's
+    * parallelism follows the session's scale knob (32 locally, tens
+    * of thousands on a 100 TB cluster) instead of a hardcoded width;
+    * pass an explicit positive width to override. The triangular
+    * offset join stays tiny either way: nParts² pairs of one-row
+    * totals is ~10⁸ COUNTERS at 10k partitions — broadcast-sized —
+    * while each data partition holds corpus/nParts rows. */
   def running(df: DataFrame, partBy: Seq[String], order: Seq[Column],
-      specs: Seq[Running], nParts: Int = 32): DataFrame = {
+      specs: Seq[Running], nParts: Int = 0): DataFrame = {
     require(specs.nonEmpty, "at least one running spec")
+    val width =
+      if (nParts > 0) nParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
     val keyCols = partBy.map(col)
-    val parted = df
-      .repartitionByRange(nParts, (keyCols ++ order): _*)
-      .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parted = CacheBin.track(df
+      .repartitionByRange(width, (keyCols ++ order): _*)
+      .withColumn("_pid", spark_partition_id()))
     val wLocal = Window
       .partitionBy((keyCols :+ col("_pid")): _*)
       .orderBy(order: _*)

@@ -5,6 +5,7 @@ import graft.functions.VectorOps.{foldRound => fr}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.operators.CacheBin.TrackOps
 
 /**
  * Relational query surface over the engine's columnar scans.
@@ -527,12 +528,12 @@ object Relational {
     // once per plan instance
     val med = d.groupBy(col("flag"))
       .agg(fr(expr("percentile(x, 0.5D)"), 2).as("med"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .tracked()
     val dev = d.join(broadcast(med), Seq("flag"))
       .withColumn("adev", abs(col("x") - col("med")))
     val mad = dev.groupBy(col("flag"))
       .agg(fr(expr("percentile(adev, 0.5D)"), 2).as("mad"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .tracked()
     val o = dev.join(broadcast(mad), Seq("flag"))
       .groupBy(col("flag"))
       .agg(count(lit(1)).as("n_rows"),

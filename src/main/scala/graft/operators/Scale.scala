@@ -5,6 +5,7 @@ import graft.functions.VectorOps.{foldRound => fr}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.operators.CacheBin.TrackOps
 
 /**
  * Scale techniques the 100 TB deployment leans on, expressed as
@@ -1073,7 +1074,7 @@ object Scale {
         Seq(md5(col("event_id").cast("string")), col("event_id")))
         .unionAll(layout("by_user", Seq(col("user_id"), col("event_id"))))
         .unionAll(layout("by_ts", Seq(col("ms"), col("event_id"))))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .tracked()
     val span = ev.agg(min(col("ms")).as("g0"), max(col("ms")).as("g1"))
     val overlaps = files.as("a")
       .join(files.as("b"),

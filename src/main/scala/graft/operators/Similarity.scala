@@ -6,6 +6,7 @@ import graft.functions.VectorOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.operators.CacheBin.TrackOps
 
 /**
  * Approximate-nearest-neighbor search over `array<float>` embeddings
@@ -998,7 +999,7 @@ object Similarity {
       .withColumn("cos",
         fr(VectorOps.cosine(col("va"), col("vb")), 4))
       .select(col("cell"), col("a"), col("b"), col("cos"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .tracked()
     val sizes = a.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"))
     val close = pairs.groupBy(col("cell"))

@@ -143,6 +143,25 @@ class AcidSpec extends SparkSpec {
       s"compaction changed the CDC classification: $got3")
   }
 
+  test("changesBetween refuses a window predating the newest base — " +
+      "compacted-away history fails loudly instead of misclassifying") {
+    val dir = graft.sources.OrcIo.scratchDir("acid_cdc_guard")
+    Seq((1L, 10.0)).toDF("id", "v").write.orc(s"$dir/t/base_2")
+    eventsDf(Seq(event(Acid.OpUpdate, 1, 1L, 3L, 11.0)))
+      .write.orc(s"$dir/t/delta_3")
+    // fromTxn = 1 < base txn 2: the before-snapshot no longer exists
+    // (the base folded it), so every update would read as an insert
+    // and every delete would vanish — must throw, not fabricate
+    val e = intercept[IllegalArgumentException] {
+      Acid.changesBetween(spark, s"$dir/t", fromTxn = 1L, toTxn = 3L)
+    }
+    assert(e.getMessage.contains("compacted away"), e.getMessage)
+    // the boundary is inclusive: fromTxn == base txn is answerable
+    val ok = Acid.changesBetween(spark, s"$dir/t", 2L, 3L).collect()
+    assert(ok.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "update")), ok.toSeq)
+  }
+
   test("restoreTo rolls the table back to the snapshot, collapses " +
       "the layout to one base, and writes continue after it") {
     val dir = graft.sources.OrcIo.scratchDir("acid_restore")

@@ -73,4 +73,30 @@ class PrefixSpec extends SparkSpec {
         s"ungrouped mismatch at seed=$seed nParts=$nParts")
     }
   }
+
+  test("default width derives from spark.sql.shuffle.partitions and " +
+      "still equals the plain window") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    try {
+      // a deliberately odd width the hardcoded-32 era never ran at
+      spark.conf.set(key, "7")
+      val df = randomFrame(11L, 257)
+      val got = Prefix.running(df, Seq("grp"), Seq(col("id")),
+          Seq(Prefix.Running(col("v"), "sum", "s"),
+            Prefix.Running(lit(1L), "cnt", "k")))
+        .orderBy(col("grp"), col("id"))
+        .select(col("grp"), col("id"), col("s"), col("k"))
+        .collect().toSeq
+      val w = Window.partitionBy(col("grp")).orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = df
+        .withColumn("s", sum(col("v")).over(w))
+        .withColumn("k", count(lit(1)).over(w))
+        .orderBy(col("grp"), col("id"))
+        .select(col("grp"), col("id"), col("s"), col("k"))
+        .collect().toSeq
+      assert(got == want, "session-width mismatch")
+    } finally spark.conf.set(key, before)
+  }
 }
