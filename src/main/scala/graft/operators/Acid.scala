@@ -230,8 +230,17 @@ object Acid {
       col(rowIdCol).as("rowId"),
       lit(baseTxn).as("currentTransaction"),
       struct(baseRows.columns.map(col): _*).as("row"))
+    // drop delta events already folded into the base: a straddling
+    // minor-compacted range (delta_A_B with A ≤ baseTxn < B) is kept
+    // as a directory, but its events ≤ baseTxn are the base's own
+    // history — replaying them would tie with the base row at
+    // currentTransaction == baseTxn (nondeterministic resolve order)
+    // or resurrect pre-base states. This also makes [[restoreTo]]'s
+    // crash window safe: straddling deltas survive until after the
+    // base rename, and the new base shadows their folded prefix here.
     val all = deltas.foldLeft(baseEvents) { (acc, d) =>
-      acc.unionByName(spark.read.orc(s"$tableDir/$d"))
+      acc.unionByName(spark.read.orc(s"$tableDir/$d")
+        .filter(col("currentTransaction") > baseTxn))
     }
     // stragglers above the snapshot inside kept ranges filter out here
     resolve(asOf.map(t =>
@@ -308,7 +317,11 @@ object Acid {
     if (dirs.contains(newBase))
       fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$newBase"), true)
     val dst = new org.apache.hadoop.fs.Path(s"$tableDir/$newBase")
-    fs.rename(new org.apache.hadoop.fs.Path(out), dst)
+    // Hadoop rename reports failure by RETURNING FALSE, not throwing;
+    // proceeding to the deletes below would strand the only current
+    // state in the ignored _tmp_ dir — fail loudly before any delete
+    require(fs.rename(new org.apache.hadoop.fs.Path(out), dst),
+      s"rename $out -> $dst failed; aborting compaction before deletes")
     dirs.filter(_ != newBase).foreach(d =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$d"), true))
     dst.toString
@@ -534,12 +547,19 @@ object Acid {
     // and at-or-between the two snapshots:
     //   1. stage the restored state under a name [[readTable]] ignores
     //      (crash → table untouched, stray _tmp_ dir inert);
-    //   2. erase the rolled-back FUTURE (deltas reaching past txn, and
-    //      a colliding base_txn) — crash mid-way reads as a partial
-    //      rollback, re-runnable;
+    //   2. erase only the FULLY-future (low txn > txn) deltas and a
+    //      colliding base_txn — crash mid-way reads as a partial
+    //      rollback, re-runnable. A STRADDLING minor-compacted range
+    //      (delta_A_B with A ≤ txn < B) must survive until after the
+    //      rename: its (A, txn] events are part of the snapshot, and
+    //      deleting it pre-rename would lose them forever if the
+    //      rename never happens;
     //   3. rename the staged base into place (readTable's numeric max
-    //      now picks it);
-    //   4. drop the subsumed past (old bases, deltas ≤ txn) last —
+    //      now picks it; straddling deltas' folded prefix ≤ txn is
+    //      shadowed by readTable's currentTransaction > baseTxn
+    //      filter, and a re-run of restoreTo(txn) after a crash here
+    //      reconstructs the identical snapshot);
+    //   4. drop the subsumed past (old bases, remaining deltas) last —
     //      they are invisible behind the new base already.
     val tmp = s"$tableDir/_tmp_base_$txn"
     graft.sources.OrcIo.write(
@@ -548,11 +568,14 @@ object Acid {
       AcidStats(spark.read.orc(tmp).count(), 0L, 0L))
     val newBase = s"base_$txn"
     dirs.filter(d => d == newBase || (d.startsWith("delta_") &&
-        d.stripPrefix("delta_").split("_").last.toLong > txn))
+        d.stripPrefix("delta_").split("_").head.toLong > txn))
       .foreach(d =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$d"), true))
     val dst = new org.apache.hadoop.fs.Path(s"$tableDir/$newBase")
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // rename failure returns false (no throw); deleting history below
+    // without a readable base_txn in place would corrupt the table
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"rename $tmp -> $dst failed; aborting restore before deletes")
     dirs.filter(_ != newBase).foreach(d =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$d"), true))
     dst.toString

@@ -20,11 +20,16 @@ import org.apache.spark.storage.StorageLevel
  *
  * Call [[releaseAll]] AFTER the consuming action (collect/write) of
  * the frame that embeds the cache, never between plan construction
- * and the action: unpersisting early just recomputes (correctness is
- * unaffected — the exchange-reuse hazard is only about UNPERSISTED
- * branch-divergent range sampling, and a released cache re-persists
- * nothing), but it forfeits the reuse the persist existed for.
- * `graft.Verify` and `graft.Bench` drain the bin after each query.
+ * and the action. For most frames an early release is merely a
+ * performance loss (the plan recomputes), but for frames whose plan
+ * embeds NONDETERMINISTIC partitioning — [[Prefix.running]]'s
+ * range-sampled `_pid` — it is a correctness hazard: once released,
+ * each downstream branch of a self-join re-samples `_pid`
+ * independently, which is exactly the branch-divergent-sampling bug
+ * the persist exists to pin (see Prefix.running's scaladoc). Drain
+ * only at quiescent points where no returned plan is still pending
+ * an action. `graft.Verify` and `graft.Bench` drain the bin after
+ * each query's consuming action.
  */
 object CacheBin {
 

@@ -81,19 +81,23 @@ object Prefix {
     * [[CacheBin]] — drain it after the consuming action.
     *
     * `nParts` ≤ 0 (the default) derives the scan width from
-    * `spark.sql.shuffle.partitions`, so the prefix family's
-    * parallelism follows the session's scale knob (32 locally, tens
-    * of thousands on a 100 TB cluster) instead of a hardcoded width;
-    * pass an explicit positive width to override. The triangular
-    * offset join stays tiny either way: nParts² pairs of one-row
-    * totals is ~10⁸ COUNTERS at 10k partitions — broadcast-sized —
-    * while each data partition holds corpus/nParts rows. */
+    * `spark.sql.shuffle.partitions`, CAPPED at 4096, so the prefix
+    * family's parallelism follows the session's scale knob (32
+    * locally, thousands on a 100 TB cluster) instead of a hardcoded
+    * width; pass an explicit positive width to override. The cap
+    * bounds the triangular offset join, which is QUADRATIC in the
+    * width: 4096² ≈ 1.7·10⁷ pairs of one-row totals is genuinely
+    * broadcast-sized, while an uncapped 10⁵-partition session would
+    * put 10¹⁰ pairs (hundreds of GB) through a "broadcast" and fall
+    * over. 4096 prefix partitions keep ≥ 25 GB of scan per partition
+    * even at 100 TB, so the cap costs nothing real. */
   def running(df: DataFrame, partBy: Seq[String], order: Seq[Column],
       specs: Seq[Running], nParts: Int = 0): DataFrame = {
     require(specs.nonEmpty, "at least one running spec")
     val width =
       if (nParts > 0) nParts
-      else df.sparkSession.sessionState.conf.numShufflePartitions
+      else math.min(
+        df.sparkSession.sessionState.conf.numShufflePartitions, 4096)
     val keyCols = partBy.map(col)
     val parted = CacheBin.track(df
       .repartitionByRange(width, (keyCols ++ order): _*)

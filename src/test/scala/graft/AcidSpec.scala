@@ -195,6 +195,62 @@ class AcidSpec extends SparkSpec {
     assert(after == Map(1L -> 11.0, 2L -> 33.0), after)
   }
 
+  test("readTable shadows straddling-delta events already folded into " +
+      "the base (currentTransaction <= baseTxn dropped)") {
+    // the restoreTo crash-window layout: base_3 renamed into place,
+    // straddling delta_2_4 not yet deleted. Events ≤ 3 in the range
+    // are the base's own folded history — replaying the txn-3 update
+    // would tie with the base row at currentTransaction == 3 and
+    // resolve nondeterministically; the filter must drop them.
+    val dir = graft.sources.OrcIo.scratchDir("acid_straddle")
+    Seq((1L, 10.0), (2L, 30.0)).toDF("id", "v").write.orc(s"$dir/t/base_3")
+    // delta events carry originalTransaction = 3 (lock-step with the
+    // restored base, as post-restore writers do)
+    Seq(
+      (Acid.OpUpdate, 3L, 1, 1L, 3L, 99.0),  // folded: must be shadowed
+      (Acid.OpUpdate, 3L, 2, 2L, 3L, 77.0),  // folded: must be shadowed
+      (Acid.OpUpdate, 3L, 1, 1L, 4L, 44.0))  // future: must apply
+      .toDF("operation", "originalTransaction", "bucket", "rowId",
+        "currentTransaction", "v")
+      .withColumn("row", struct(col("rowId").as("id"), col("v")))
+      .drop("v")
+      .write.orc(s"$dir/t/delta_2_4")
+    val got = Acid.readTable(spark, s"$dir/t").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 44.0, 2L -> 30.0), got)
+    // and a crashed restoreTo(3) re-runs to the exact snapshot: the
+    // straddling delta contributes nothing (≤ 3 shadowed, > 3 rolled
+    // back), leaving only base_3
+    Acid.restoreTo(spark, s"$dir/t", txn = 3L)
+    val rerun = Acid.readTable(spark, s"$dir/t").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rerun == Map(1L -> 10.0, 2L -> 30.0), rerun)
+  }
+
+  test("restoreTo keeps a straddling minor-compacted range until after " +
+      "the base rename (no pre-rename window can lose (A, txn] events)") {
+    val dir = graft.sources.OrcIo.scratchDir("acid_straddle_restore")
+    Seq((1L, 10.0), (2L, 30.0)).toDF("id", "v").write.orc(s"$dir/t/base_1")
+    // one minor-compacted range delta_2_4 holding txns 2, 3, 4
+    eventsDf(Seq(
+      event(Acid.OpUpdate, 1, 1L, 2L, 11.0),
+      event(Acid.OpUpdate, 1, 2L, 3L, 31.0),
+      event(Acid.OpUpdate, 1, 1L, 4L, 12.0)))
+      .write.orc(s"$dir/t/delta_2_4")
+    // restore to txn 3: the (1, 3] slice of the range is part of the
+    // snapshot and must survive any crash point; the final state folds
+    // txns 2-3 and rolls back txn 4
+    Acid.restoreTo(spark, s"$dir/t", txn = 3L)
+    val got = Acid.readTable(spark, s"$dir/t").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 11.0, 2L -> 31.0), got)
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/t")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/t"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(dirs == Set("base_3"), dirs)
+  }
+
   test("compact rewrites resolved state readable as a plain base") {
     val dir = graft.sources.OrcIo.scratchDir("acid")
     val df = eventsDf(Seq(
