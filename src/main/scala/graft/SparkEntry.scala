@@ -515,6 +515,33 @@ object SparkEntry {
     "q_video_decode" -> (Multimodal.videoDecodeQuery _),
     "q_video_frames" -> (Multimodal.videoFramesQuery _),
     "q_media_neardup" -> (Multimodal.mediaNearDupGateQuery _),
+    // Driver-divergence probe battery (round 12, see PROBES.md and
+    // Probes.scala scaladoc): near-zero-cost queries isolating one
+    // construct each, to localize why 8 gates are driver-red while
+    // value-identical to local DuckDB. ctl_* are pure literals
+    // (hasher/transport sensitivity); the rest compute one suspect
+    // expression shape or replay a failing pipeline on a tiny slice.
+    "q_probe_ctl_int" -> (Probes.ctlInt _),
+    "q_probe_ctl_str" -> (Probes.ctlStr _),
+    "q_probe_ctl_double" -> (Probes.ctlDouble _),
+    "q_probe_ctl_dec" -> (Probes.ctlDec _),
+    "q_probe_ctl_dec38" -> (Probes.ctlDec38 _),
+    "q_probe_ctl_ts" -> (Probes.ctlTs _),
+    "q_probe_ctl_bool" -> (Probes.ctlBool _),
+    "q_probe_div" -> (Probes.probeDiv _),
+    "q_probe_sqrt" -> (Probes.probeSqrt _),
+    "q_probe_cosform" -> (Probes.probeCosform _),
+    "q_probe_ln" -> (Probes.probeLn _),
+    "q_probe_decsum" -> (Probes.probeDecsum _),
+    "q_probe_windec" -> (Probes.probeWindec _),
+    "q_probe_exists" -> (Probes.probeExists _),
+    "q_probe_genseries" -> (Probes.probeGenseries _),
+    "q_probe_regex" -> (Probes.probeRegex _),
+    "q_probe_unnest" -> (Probes.probeUnnest _),
+    "q_probe_datetrunc" -> (Probes.probeDatetrunc _),
+    "q_probe_epochms" -> (Probes.probeEpochms _),
+    "q_probe_aa_mini" -> (Probes.aaMini _),
+    "q_probe_cf_mini" -> (Probes.cfMini _),
   )
 
   /** Shared oracle fragment: the near-dup pair definition (DF-capped
@@ -6135,5 +6162,261 @@ object SparkEntry {
         |  lower(hex(substring(text, 9, 8)::BLOB)) AS frame_sample
         |FROM documents
         |ORDER BY media_id""".stripMargin,
+    // ---- driver-divergence probe battery (round 12, PROBES.md) ----
+    "q_probe_ctl_int" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(42 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(-7 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), CAST(NULL AS BIGINT)),
+        |  (CAST(4 AS BIGINT), CAST(9007199254740992 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), CAST(0 AS BIGINT))) t(k, v)
+        |ORDER BY k""".stripMargin,
+    "q_probe_ctl_str" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'a'), (CAST(2 AS BIGINT), ''),
+        |  (CAST(3 AS BIGINT), ' leading'),
+        |  (CAST(4 AS BIGINT), 'trailing '),
+        |  (CAST(5 AS BIGINT), 'UPPER lower'),
+        |  (CAST(6 AS BIGINT), 'naïve café'),
+        |  (CAST(7 AS BIGINT), CAST(NULL AS VARCHAR)),
+        |  (CAST(8 AS BIGINT), 'a b  c')) t(k, s)
+        |ORDER BY k""".stripMargin,
+    "q_probe_ctl_double" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(0.123456 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(-2.25 AS DOUBLE)),
+        |  (CAST(3 AS BIGINT), CAST(0.000001 AS DOUBLE)),
+        |  (CAST(4 AS BIGINT), CAST(123456.789 AS DOUBLE)),
+        |  (CAST(5 AS BIGINT), CAST(0.0 AS DOUBLE)),
+        |  (CAST(6 AS BIGINT), CAST(1e15 AS DOUBLE)),
+        |  (CAST(7 AS BIGINT), CAST(0.1 AS DOUBLE)),
+        |  (CAST(8 AS BIGINT), CAST(-0.000001 AS DOUBLE))) t(k, x)
+        |ORDER BY k""".stripMargin,
+    "q_probe_ctl_dec" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST('1.500000' AS DECIMAL(20,6))),
+        |  (CAST(2 AS BIGINT), CAST('-0.000001' AS DECIMAL(20,6))),
+        |  (CAST(3 AS BIGINT),
+        |    CAST('123456789012.345678' AS DECIMAL(20,6))),
+        |  (CAST(4 AS BIGINT), CAST('0.000000' AS DECIMAL(20,6))))
+        |  t(k, d)
+        |ORDER BY k""".stripMargin,
+    "q_probe_ctl_dec38" ->
+      """WITH t AS (SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT),
+        |    CAST('9007199254740993' AS DECIMAL(38,0))),
+        |  (CAST(2 AS BIGINT),
+        |    CAST('123456789012345678901234567' AS DECIMAL(38,0))),
+        |  (CAST(3 AS BIGINT),
+        |    CAST('-98765432109876543210' AS DECIMAL(38,0))),
+        |  (CAST(4 AS BIGINT), CAST('1' AS DECIMAL(38,0)))) v(k, d))
+        |SELECT k, d, CAST(d AS VARCHAR) AS s FROM t ORDER BY k""".stripMargin,
+    "q_probe_ctl_ts" ->
+      """WITH t AS (SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), TIMESTAMP '2024-03-05 17:45:30'),
+        |  (CAST(2 AS BIGINT), TIMESTAMP '1999-12-31 23:59:59'),
+        |  (CAST(3 AS BIGINT), TIMESTAMP '2026-01-01 00:00:00')) v(k, t))
+        |SELECT k, t, CAST(date_trunc('day', t) AS TIMESTAMP) AS d,
+        |  CAST(extract(hour FROM t) AS BIGINT) AS h
+        |FROM t ORDER BY k""".stripMargin,
+    "q_probe_ctl_bool" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(TRUE AS BOOLEAN)),
+        |  (CAST(2 AS BIGINT), CAST(FALSE AS BOOLEAN)),
+        |  (CAST(3 AS BIGINT), CAST(NULL AS BOOLEAN))) t(k, b)
+        |ORDER BY k""".stripMargin,
+    "q_probe_div" ->
+      """SELECT k, a, b,
+        |  floor((CAST(a AS DOUBLE) / CAST(b AS DOUBLE)) * 1e6 + 0.5)
+        |    / 1e6 AS r,
+        |  CAST(floor((CAST(a AS DOUBLE) / CAST(b AS DOUBLE)) * 1e6
+        |    + 0.5) / 1e6 AS DECIMAL(20,6)) AS rd
+        |FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), CAST(10 AS BIGINT), CAST(7 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), CAST(355 AS BIGINT),
+        |    CAST(113 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), CAST(123456 AS BIGINT),
+        |    CAST(654321 AS BIGINT)),
+        |  (CAST(6 AS BIGINT), CAST(1 AS BIGINT),
+        |    CAST(999983 AS BIGINT)),
+        |  (CAST(7 AS BIGINT), CAST(22 AS BIGINT), CAST(7 AS BIGINT)),
+        |  (CAST(8 AS BIGINT), CAST(999999 AS BIGINT),
+        |    CAST(1000000 AS BIGINT))) t(k, a, b)
+        |ORDER BY k""".stripMargin,
+    "q_probe_sqrt" ->
+      """SELECT k, floor(sqrt(CAST(k AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |    AS s
+        |FROM (SELECT unnest([CAST(2 AS BIGINT), 3, 5, 7, 10, 1025,
+        |  12345, 999983]) AS k)
+        |ORDER BY k""".stripMargin,
+    "q_probe_cosform" ->
+      """SELECT k, d, a, b,
+        |  floor((CAST(d AS DOUBLE) / (sqrt(CAST(a AS DOUBLE))
+        |    * sqrt(CAST(b AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS r
+        |FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(123456789 AS BIGINT),
+        |    CAST(23456789012 AS BIGINT), CAST(34567890123 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(999 AS BIGINT),
+        |    CAST(1000 AS BIGINT), CAST(1001 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), CAST(88888888 AS BIGINT),
+        |    CAST(99999999 AS BIGINT), CAST(77777777 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), CAST(5 AS BIGINT), CAST(25 AS BIGINT),
+        |    CAST(36 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), CAST(1234567890123 AS BIGINT),
+        |    CAST(2345678901234 AS BIGINT),
+        |    CAST(3456789012345 AS BIGINT))) t(k, d, a, b)
+        |ORDER BY k""".stripMargin,
+    "q_probe_ln" ->
+      """SELECT k, floor(ln(CAST(k AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS l
+        |FROM (SELECT unnest([CAST(2 AS BIGINT), 3, 10, 64, 12345,
+        |  999983]) AS k)
+        |ORDER BY k""".stripMargin,
+    "q_probe_decsum" ->
+      """SELECT g, CAST(sum(t) AS DECIMAL(38,6)) AS s
+        |FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST('0.000001' AS DECIMAL(20,6))),
+        |  (CAST(1 AS BIGINT), CAST('-2.500000' AS DECIMAL(20,6))),
+        |  (CAST(1 AS BIGINT), CAST('3.141592' AS DECIMAL(20,6))),
+        |  (CAST(1 AS BIGINT), CAST('123456.654321' AS DECIMAL(20,6))),
+        |  (CAST(2 AS BIGINT), CAST('-0.999999' AS DECIMAL(20,6))),
+        |  (CAST(2 AS BIGINT),
+        |    CAST('1000000.000001' AS DECIMAL(20,6)))) t(g, t)
+        |GROUP BY g ORDER BY g""".stripMargin,
+    "q_probe_windec" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(CAST(o_orderkey AS DECIMAL(14,0))
+        |      * CAST('0.000001' AS DECIMAL(8,6)) AS DECIMAL(20,6))
+        |      AS t
+        |  FROM orders WHERE o_orderkey < 400),
+        |c AS (SELECT k, t,
+        |    CAST(sum(t - CAST('0.000100' AS DECIMAL(20,6)))
+        |      OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+        |      AS DECIMAL(38,6)) AS cum
+        |  FROM o)
+        |SELECT k, t, cum,
+        |  CAST(min(cum) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+        |    AS DECIMAL(38,6)) AS runmin
+        |FROM c ORDER BY k""".stripMargin,
+    "q_probe_exists" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer c
+        |    WHERE EXISTS (SELECT 1 FROM orders o
+        |      WHERE o.o_custkey = c.c_custkey)) AS with_orders,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer c
+        |    WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |      WHERE o.o_custkey = c.c_custkey)) AS without_orders""".stripMargin,
+    "q_probe_genseries" ->
+      """WITH spine AS (SELECT unnest(generate_series(
+        |    CAST(1 AS BIGINT), CAST(24 AS BIGINT))) AS h),
+        |v AS (SELECT * FROM (VALUES
+        |  (CAST(3 AS BIGINT), CAST(7 AS BIGINT)),
+        |  (CAST(9 AS BIGINT), CAST(2 AS BIGINT)),
+        |  (CAST(24 AS BIGINT), CAST(5 AS BIGINT))) t(h, n))
+        |SELECT spine.h, coalesce(v.n, CAST(0 AS BIGINT)) AS x
+        |FROM spine LEFT JOIN v ON spine.h = v.h
+        |ORDER BY spine.h""".stripMargin,
+    "q_probe_regex" ->
+      """WITH s AS (SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'The cat and the hat'),
+        |  (CAST(2 AS BIGINT), 'a quick brown fox of doom'),
+        |  (CAST(3 AS BIGINT), 'It is not this that'),
+        |  (CAST(4 AS BIGINT), 'punctuation, splits; here! and the rest'),
+        |  (CAST(5 AS BIGINT), 'aa the aab band banana')) t(k, txt)),
+        |seg AS (SELECT k, unnest(string_split(
+        |    regexp_replace(regexp_replace(lower(txt),
+        |      '[^a-z]+', ' ', 'g'),
+        |      '\b(the|a|an|and|or|of|to|in|is|are|was|were|be|for|on|with|as|by|at|it|this|that|from|but|not|i)\b',
+        |      '|', 'g'), '|')) AS seg
+        |  FROM s),
+        |ph AS (SELECT k, regexp_extract_all(seg, '[a-z]+') AS ws
+        |  FROM seg),
+        |p2 AS (SELECT k, list_aggregate(ws, 'string_agg', ' ')
+        |    AS phrase
+        |  FROM ph WHERE len(ws) > 0)
+        |SELECT k, phrase, CAST(count(*) AS BIGINT) AS n
+        |FROM p2 GROUP BY k, phrase
+        |ORDER BY k, phrase""".stripMargin,
+    "q_probe_unnest" ->
+      """WITH c AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY term)
+        |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(c * c) AS BIGINT) AS s2,
+        |  min(term) AS t_min, max(term) AS t_max
+        |FROM c""".stripMargin,
+    "q_probe_datetrunc" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_probe_epochms" ->
+      """WITH h AS (SELECT epoch_ms(ts) // 3600000 AS h,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_hours,
+        |  CAST(min(h) AS BIGINT) AS h_min,
+        |  CAST(max(h) AS BIGINT) AS h_max,
+        |  CAST(sum(h % 1000) AS BIGINT) AS hmod_sum,
+        |  CAST(sum(n) AS BIGINT) AS n_events
+        |FROM h""".stripMargin,
+    "q_probe_aa_mini" ->
+      """WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+        |nn AS (SELECT count(*) AS n FROM docs),
+        |ed0 AS (
+        |  SELECT doc_id AS src,
+        |    (doc_id * 7 + 3) % (SELECT n FROM nn) AS dst FROM docs
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    (doc_id * 13 + 5) % (SELECT n FROM nn) FROM docs
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    (doc_id * 31 + 11) % (SELECT n FROM nn) FROM docs),
+        |ed AS (SELECT src, dst FROM ed0 WHERE src <> dst),
+        |und AS (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM ed
+        |   UNION ALL SELECT dst AS src, src AS dst FROM ed)),
+        |dg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+        |ctr AS (SELECT src AS z,
+        |    CAST(floor((1.0 / ln(CAST(deg AS DOUBLE))) * 1e6 + 0.5)
+        |      / 1e6 AS DECIMAL(24,6)) AS w
+        |  FROM dg WHERE deg >= 2 AND deg <= 64),
+        |adj AS (SELECT c.z, c.w, u.dst AS nb
+        |  FROM und u JOIN ctr c ON u.src = c.z),
+        |pr AS (SELECT x.nb AS a, y.nb AS b, x.w
+        |  FROM adj x JOIN adj y ON x.z = y.z AND x.nb < y.nb),
+        |sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS common,
+        |    sum(w) AS aa_score
+        |  FROM pr GROUP BY a, b)
+        |SELECT sc.a, sc.b, sc.common,
+        |  CAST(sc.aa_score AS DECIMAL(38,6)) AS aa_score
+        |FROM sc
+        |WHERE sc.common >= 2 AND NOT EXISTS (
+        |  SELECT 1 FROM und u WHERE u.src = sc.a AND u.dst = sc.b)
+        |ORDER BY sc.a, sc.b""".stripMargin,
+    "q_probe_cf_mini" ->
+      """WITH m AS (SELECT user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id < 50 GROUP BY 1, 2),
+        |nrm AS (SELECT event_type,
+        |    CAST(sum(CAST(n AS DECIMAL(19,0))
+        |      * CAST(n AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS ss
+        |  FROM m GROUP BY 1),
+        |d AS (SELECT a.event_type AS item_a, b.event_type AS item_b,
+        |    CAST(sum(CAST(a.n AS DECIMAL(19,0))
+        |      * CAST(b.n AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS dot,
+        |    CAST(count(*) AS BIGINT) AS co_users
+        |  FROM m a JOIN m b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, co_users, dot,
+        |  floor((CAST(dot AS DOUBLE) / (sqrt(CAST(na.ss AS DOUBLE))
+        |    * sqrt(CAST(nb.ss AS DOUBLE)))) * 1e6 + 0.5) / 1e6
+        |    AS cos_sim
+        |FROM d JOIN nrm na ON d.item_a = na.event_type
+        |  JOIN nrm nb ON d.item_b = nb.event_type
+        |ORDER BY item_a, item_b""".stripMargin,
   )
 }

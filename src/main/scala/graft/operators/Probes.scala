@@ -1,0 +1,360 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorOps.{foldRound => fr}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver-divergence probe battery (round 12).
+ *
+ * Context: 8 gates (q_acf2, q_adamic_adar2, q_contingency2, q_cusum2,
+ * q_item_cf2, q_kl_div2, q_rake2, q_spearman2) are driver-red with
+ * rows/schema matching and err null, while the identical outputs are
+ * cell-for-cell equal to local DuckDB 1.0.0 — and boundary-distance
+ * measurement excludes ulp-level arithmetic (VERDICT r11). The
+ * driver's oracle evaluation therefore diverges STRUCTURALLY from
+ * local DuckDB on specific SQL constructs, or its hasher is sensitive
+ * to a representation detail the local compare is not. We cannot see
+ * the driver's oracle; these probes make it tell us.
+ *
+ * Design: each probe isolates ONE construct at near-zero cost.
+ * Two families:
+ *
+ *  - `ctl_*` probes are PURE LITERALS (no arithmetic): any red here
+ *    indicts the driver's transport/hashing of that TYPE (double,
+ *    decimal > 2^53, timestamp, unicode string, null), not engine
+ *    math — the values are version-independent.
+ *  - construct probes compute one suspect expression shape on fixed
+ *    literal inputs (sqrt, ln, division, the item_cf cosine form,
+ *    windowed DECIMAL prefix sums, EXISTS, generate_series spine,
+ *    the RAKE \b regex) or one bounded table aggregate (unnest
+ *    tokenization moments, date_trunc day buckets, epoch_ms hour
+ *    bucketing), plus full mini replicas of the two most-entangled
+ *    failing pipelines on tiny slices (aa_mini, cf_mini).
+ *
+ * Reading the truth table (CORRECTNESS_r12): see PROBES.md for the
+ * probe -> failing-gate construct mapping. A red `ctl_*` localizes a
+ * hasher sensitivity; a red construct probe with green controls
+ * localizes an engine-version divergence; all-green probes with the
+ * gates still red would falsify the construct theory entirely and
+ * point at data-dependent magnitude effects (the mini replicas
+ * discriminate: they share constructs but not magnitudes).
+ */
+object Probes {
+
+  // ---------------------------------------------------------------
+  // ctl_* literal probes — hasher/transport sensitivities
+  // ---------------------------------------------------------------
+
+  def ctlInt(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Seq[(Long, Option[Long])](
+      (1L, Some(42L)), (2L, Some(-7L)), (3L, None),
+      (4L, Some(9007199254740992L)), (5L, Some(0L)))
+      .toDF("k", "v").orderBy("k")
+  }
+
+  def ctlStr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Seq[(Long, Option[String])](
+      (1L, Some("a")), (2L, Some("")), (3L, Some(" leading")),
+      (4L, Some("trailing ")), (5L, Some("UPPER lower")),
+      (6L, Some("naïve café")), (7L, None),
+      (8L, Some("a b  c")))
+      .toDF("k", "s").orderBy("k")
+  }
+
+  def ctlDouble(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Seq((1L, 0.123456), (2L, -2.25), (3L, 0.000001),
+      (4L, 123456.789), (5L, 0.0), (6L, 1.0e15), (7L, 0.1),
+      (8L, -0.000001))
+      .toDF("k", "x").orderBy("k")
+  }
+
+  def ctlDec(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Seq((1L, "1.500000"), (2L, "-0.000001"),
+      (3L, "123456789012.345678"), (4L, "0.000000"))
+      .toDF("k", "raw")
+      .select(col("k"), col("raw").cast("decimal(20,6)").as("d"))
+      .orderBy("k")
+  }
+
+  def ctlDec38(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // 2^53+1 and beyond: values a float64 transport would corrupt
+    Seq((1L, "9007199254740993"),
+      (2L, "123456789012345678901234567"),
+      (3L, "-98765432109876543210"), (4L, "1"))
+      .toDF("k", "raw")
+      .select(col("k"), col("raw").cast("decimal(38,0)").as("d"),
+        col("raw").cast("decimal(38,0)").cast("string").as("s"))
+      .orderBy("k")
+  }
+
+  def ctlTs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Seq((1L, "2024-03-05 17:45:30"), (2L, "1999-12-31 23:59:59"),
+      (3L, "2026-01-01 00:00:00"))
+      .toDF("k", "raw")
+      .select(col("k"), to_timestamp(col("raw")).as("t"),
+        date_trunc("day", to_timestamp(col("raw"))).as("d"),
+        hour(to_timestamp(col("raw"))).cast("long").as("h"))
+      .orderBy("k")
+  }
+
+  def ctlBool(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Seq[(Long, Option[Boolean])](
+      (1L, Some(true)), (2L, Some(false)), (3L, None))
+      .toDF("k", "b").orderBy("k")
+  }
+
+  // ---------------------------------------------------------------
+  // construct probes — engine arithmetic on literal inputs
+  // ---------------------------------------------------------------
+
+  private val divPairs = Seq(
+    (1L, 1L, 3L), (2L, 2L, 3L), (3L, 10L, 7L), (4L, 355L, 113L),
+    (5L, 123456L, 654321L), (6L, 1L, 999983L), (7L, 22L, 7L),
+    (8L, 999999L, 1000000L))
+
+  /** Control: one double division in floor-form at 6 dp, plus its
+    * DECIMAL(20,6) cast (the q_cusum2 zr transport shape). */
+  def probeDiv(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    divPairs.toDF("k", "a", "b")
+      .select(col("k"), col("a"), col("b"),
+        fr(col("a").cast("double") / col("b").cast("double"), 6)
+          .as("r"),
+        fr(col("a").cast("double") / col("b").cast("double"), 6)
+          .cast("decimal(20,6)").as("rd"))
+      .orderBy("k")
+  }
+
+  def probeSqrt(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Seq(2L, 3L, 5L, 7L, 10L, 1025L, 12345L, 999983L).map(Tuple1(_))
+      .toDF("k")
+      .select(col("k"), fr(sqrt(col("k").cast("double")), 6).as("s"))
+      .orderBy("k")
+  }
+
+  /** The exact q_item_cf2 cosine expression shape on literal integer
+    * triples spanning real-gate magnitudes. */
+  def probeCosform(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Seq((1L, 123456789L, 23456789012L, 34567890123L),
+      (2L, 999L, 1000L, 1001L),
+      (3L, 88888888L, 99999999L, 77777777L),
+      (4L, 5L, 25L, 36L),
+      (5L, 1234567890123L, 2345678901234L, 3456789012345L))
+      .toDF("k", "d", "a", "b")
+      .select(col("k"), col("d"), col("a"), col("b"),
+        fr(col("d").cast("double") /
+          (sqrt(col("a").cast("double")) *
+            sqrt(col("b").cast("double"))), 6).as("r"))
+      .orderBy("k")
+  }
+
+  def probeLn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Seq(2L, 3L, 10L, 64L, 12345L, 999983L).map(Tuple1(_)).toDF("k")
+      .select(col("k"), fr(log(col("k").cast("double")), 6).as("l"))
+      .orderBy("k")
+  }
+
+  /** Grouped DECIMAL(20,6) sums with negatives (the failing gates'
+    * DECIMAL-summed-terms shape, literal inputs). */
+  def probeDecsum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Seq((1L, "0.000001"), (1L, "-2.500000"), (1L, "3.141592"),
+      (1L, "123456.654321"), (2L, "-0.999999"),
+      (2L, "1000000.000001"))
+      .toDF("g", "raw")
+      .select(col("g"), col("raw").cast("decimal(20,6)").as("t"))
+      .groupBy(col("g"))
+      .agg(sum(col("t")).cast("decimal(38,6)").as("s"))
+      .orderBy("g")
+  }
+
+  /** Windowed DECIMAL prefix sum + running min on exact synthetic
+    * decimals (q_cusum2's window machinery, no doubles anywhere). */
+  def probeWindec(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderkey") < 400)
+      .select(col("o_orderkey").as("k"),
+        (col("o_orderkey").cast("decimal(14,0)") *
+          lit("0.000001").cast("decimal(8,6)"))
+          .cast("decimal(20,6)").as("t"))
+    val w = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(col("k"), col("t"),
+        sum(col("t") - lit("0.000100").cast("decimal(20,6)")).over(w)
+          .cast("decimal(38,6)").as("cum"))
+      .withColumn("runmin",
+        min(col("cum")).over(w).cast("decimal(38,6)"))
+      .orderBy("k")
+  }
+
+  /** EXISTS / NOT EXISTS counts (q_adamic_adar2's anti-join shape). */
+  def probeExists(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.load(spark, sfDir, "customer")
+    val o = Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey")).distinct()
+    val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("with_orders"))
+    val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("without_orders"))
+    withO.crossJoin(withoutO)
+  }
+
+  /** generate_series spine + coalesce left join (q_acf2's hour spine). */
+  def probeGenseries(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val spine = spark.range(1, 25).toDF("h")
+    val v = Seq((3L, 7L), (9L, 2L), (24L, 5L)).toDF("h", "n")
+    spine.join(v, Seq("h"), "left")
+      .select(col("h"), coalesce(col("n"), lit(0L)).as("x"))
+      .orderBy("h")
+  }
+
+  /** The RAKE two-stage regex (punctuation collapse + \b-stopword to
+    * '|') on fixed literal sentences — isolates regex-engine
+    * behavior from corpus content. */
+  def probeRegex(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stopPat =
+      "\\b(the|a|an|and|or|of|to|in|is|are|was|were|be|for|on|with|as|by|at|it|this|that|from|but|not|i)\\b"
+    Seq((1L, "The cat and the hat"),
+      (2L, "a quick brown fox of doom"),
+      (3L, "It is not this that"),
+      (4L, "punctuation, splits; here! and the rest"),
+      (5L, "aa the aab band banana"))
+      .toDF("k", "txt")
+      .select(col("k"), explode(split(
+        regexp_replace(
+          regexp_replace(lower(col("txt")), "[^a-z]+", " "),
+          stopPat, "|"),
+        "\\|")).as("seg"))
+      .select(col("k"),
+        expr("regexp_extract_all(seg, '[a-z]+', 0)").as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("k"), array_join(col("ws"), " ").as("phrase"))
+      .groupBy(col("k"), col("phrase"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k", "phrase")
+  }
+
+  // ---------------------------------------------------------------
+  // construct probes over real tables (bounded outputs)
+  // ---------------------------------------------------------------
+
+  /** Whitespace tokenization moments via explode/unnest: one row of
+    * exact integers over the full documents table — red here means
+    * the driver's string_split/unnest disagrees on token identity. */
+  def probeUnnest(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    counts.agg(
+      count(lit(1)).as("n_terms"),
+      sum(col("c")).as("n_tokens"),
+      sum(col("c") * col("c")).as("s2"),
+      min(col("term")).as("t_min"),
+      max(col("term")).as("t_max"))
+  }
+
+  /** date_trunc('day') bucketing over events (q_cusum2's grain). */
+  def probeDatetrunc(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("day")
+
+  /** epoch_ms // 3600000 hour bucketing over events (q_acf2's
+    * grain), folded to one row of exact integers. */
+  def probeEpochms(spark: SparkSession, sfDir: String): DataFrame = {
+    val hrs = Tables.load(spark, sfDir, "events")
+      .select(expr("unix_millis(ts) div 3600000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+    hrs.agg(count(lit(1)).as("n_hours"),
+      min(col("h")).as("h_min"), max(col("h")).as("h_max"),
+      sum(col("h") % lit(1000L)).as("hmod_sum"),
+      sum(col("n")).as("n_events"))
+  }
+
+  // ---------------------------------------------------------------
+  // mini replicas — full failing pipelines on tiny slices
+  // ---------------------------------------------------------------
+
+  /** q_adamic_adar2's exact pipeline (ln weights, EXISTS anti-join)
+    * on the 40-node doc_id < 40 slice. Shares every construct with
+    * the failing gate but none of its magnitudes. */
+  def aaMini(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") < 40).select(col("doc_id"))
+    val n = docs.count()
+    val ed0 = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 3) % n).as("dst"))
+      .unionAll(docs.select(col("doc_id"),
+        (col("doc_id") * 13 + 5) % n))
+      .unionAll(docs.select(col("doc_id"),
+        (col("doc_id") * 31 + 11) % n))
+    val ed = ed0.filter(col("src") =!= col("dst"))
+    val und = ed.unionAll(ed.select(col("dst").as("src"),
+      col("src").as("dst"))).distinct()
+    val dg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ctr = dg.filter(col("deg") >= 2 && col("deg") <= 64)
+      .select(col("src").as("z"),
+        fr(lit(1.0) / log(col("deg").cast("double")), 6)
+          .cast("decimal(24,6)").as("w"))
+    val adj = und.join(ctr, und("src") === ctr("z"))
+      .select(col("z"), col("w"), col("dst").as("nb"))
+    val pr = adj.as("x").join(adj.as("y"),
+        col("x.z") === col("y.z") && col("x.nb") < col("y.nb"))
+      .select(col("x.nb").as("a"), col("y.nb").as("b"), col("x.w"))
+    val sc = pr.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"), sum(col("w")).as("aa_score"))
+      .filter(col("common") >= 2)
+    sc.join(und, sc("a") === und("src") && sc("b") === und("dst"),
+        "left_anti")
+      .select(col("a"), col("b"), col("common"),
+        col("aa_score").cast("decimal(38,6)").as("aa_score"))
+      .orderBy("a", "b")
+  }
+
+  /** q_item_cf2's exact pipeline (DECIMAL dots, sqrt·sqrt cosine at
+    * 6 dp) on the user_id < 50 slice of events. */
+  def cfMini(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = Tables.load(spark, sfDir, "events")
+      .filter(col("user_id") < 50)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val norms = m.groupBy(col("event_type"))
+      .agg(sum(col("n").cast("decimal(19,0)") *
+        col("n").cast("decimal(19,0)")).cast("decimal(38,0)").as("ss"))
+    val dots = m.as("a")
+      .join(m.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("item_a"),
+        col("b.event_type").as("item_b"))
+      .agg(sum(col("a.n").cast("decimal(19,0)") *
+        col("b.n").cast("decimal(19,0)")).cast("decimal(38,0)")
+        .as("dot"), count(lit(1)).as("co_users"))
+    dots
+      .join(broadcast(norms.select(col("event_type").as("item_a"),
+        col("ss").as("ss_a"))), Seq("item_a"))
+      .join(broadcast(norms.select(col("event_type").as("item_b"),
+        col("ss").as("ss_b"))), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("co_users"),
+        col("dot"),
+        fr(col("dot").cast("double") /
+          (sqrt(col("ss_a").cast("double")) *
+            sqrt(col("ss_b").cast("double"))), 6).as("cos_sim"))
+      .orderBy("item_a", "item_b")
+  }
+}
