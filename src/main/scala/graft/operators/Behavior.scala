@@ -208,9 +208,15 @@ object Behavior {
    *
    * Exactness: the co-engagement inner products Σ_u n_ui·n_uj and the
    * squared norms are exact (DECIMAL cast BEFORE the product — user
-   * lifetime counts can pass 3e9·3e9 at extreme scale); cosine is ONE
-   * double expression on those exact sums, rounded 6 dp (the
-   * representation-minimal gate rule).
+   * lifetime counts can pass 3e9·3e9 at extreme scale).
+   *
+   * Hashed-column discipline (round 12): no doubles, no sqrt. The
+   * gate emits cos² in micro-units as ONE exact integer division:
+   * cos2_micro = ⌊10⁶·dot²/(ss_a·ss_b)⌋ (dot > 0 here — counts are
+   * positive — so cos = √(cos2_micro/10⁶) loses nothing). The dot
+   * witness travels as a digit string. Overflow headroom:
+   * 10⁶·dot² needs dot < 10¹⁶, which holds through sf100 on this
+   * schema (dot ≈ users·n̄² ≈ 2·10¹¹ at sf10).
    *
    * Shape at 100 TB: the count matrix build is one map-side-partial
    * groupBy; the pair pass self-joins per-user vectors (≤ k entries
@@ -241,10 +247,9 @@ object Behavior {
         col("ss").as("ss_b"), col("n_users").as("users_b"))),
         Seq("item_b"))
       .select(col("item_a"), col("item_b"), col("co_users"),
-        col("dot"),
-        fr(col("dot").cast("double") /
-          (sqrt(col("ss_a").cast("double")) *
-           sqrt(col("ss_b").cast("double"))), 6).as("cos_sim"))
+        col("dot").cast("string").as("dot_str"),
+        expr("CAST((dot * dot * 1000000) div (ss_a * ss_b) AS BIGINT)")
+          .as("cos2_micro"))
       .orderBy(col("item_a"), col("item_b"))
   }
 

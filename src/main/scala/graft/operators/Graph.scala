@@ -355,10 +355,17 @@ object Graph {
    * the hot-shingle df-cap discipline from the Jaccard dedup path
    * (a 10M-degree hub would otherwise emit 10¹³ pairs while carrying
    * ≈ 0 Adamic–Adar weight each). The cap is mirrored in the oracle;
-   * on the bounded-degree gate graph nothing reaches it. Weight
-   * terms follow the ln rounding rule: floor-form 1/ln(deg) at 6 dp
-   * → DECIMAL sum, order-free exact (ln's last ulp is
-   * libm-dependent — the 6 dp headroom rule).
+   * on the bounded-degree gate graph nothing reaches it.
+   *
+   * Hashed-column discipline (round 12): NO engine evaluates ln.
+   * Because the degCap bounds deg to [2, 64], the 63 possible
+   * 1/ln(deg) weights are a FIXED LITERAL TABLE in micro-units
+   * (⌊10⁶/ln(d) + ½⌋, precomputed once; the identical 63 constants
+   * appear verbatim in the oracle SQL), and the pair score is a
+   * plain BIGINT sum of table entries. The same precedent as the PQ
+   * literal norm table: when a transcendental's domain is finite and
+   * small, bake its values — both engines then do pure integer
+   * arithmetic.
    */
   def adamicAdarQuery(spark: SparkSession, sfDir: String,
       degCap: Int = 64): DataFrame = {
@@ -373,31 +380,57 @@ object Graph {
 
   /** The [[adamicAdarQuery]] scoring over an explicit symmetric edge
     * frame — spec entry point. */
+  /** ⌊10⁶/ln(d) + ½⌋ for d in [2, 64] — the Adamic–Adar weight
+    * domain under the degCap. MUST stay textually identical to the
+    * VALUES table in the q_adamic_adar3 oracle SQL. */
+  private[graft] val aaWeightMicro: Seq[(Int, Long)] = Seq(
+    (2, 1442695L), (3, 910239L), (4, 721348L), (5, 621335L),
+    (6, 558111L), (7, 513898L), (8, 480898L), (9, 455120L),
+    (10, 434294L), (11, 417032L), (12, 402430L), (13, 389871L),
+    (14, 378923L), (15, 369269L), (16, 360674L), (17, 352956L),
+    (18, 345976L), (19, 339623L), (20, 333808L), (21, 328459L),
+    (22, 323515L), (23, 318929L), (24, 314658L), (25, 310667L),
+    (26, 306928L), (27, 303413L), (28, 300102L), (29, 296974L),
+    (30, 294014L), (31, 291207L), (32, 288539L), (33, 286000L),
+    (34, 283578L), (35, 281266L), (36, 279055L), (37, 276938L),
+    (38, 274908L), (39, 272958L), (40, 271085L), (41, 269283L),
+    (42, 267546L), (43, 265873L), (44, 264257L), (45, 262697L),
+    (46, 261189L), (47, 259730L), (48, 258318L), (49, 256949L),
+    (50, 255622L), (51, 254335L), (52, 253085L), (53, 251871L),
+    (54, 250690L), (55, 249543L), (56, 248425L), (57, 247338L),
+    (58, 246279L), (59, 245246L), (60, 244239L), (61, 243257L),
+    (62, 242299L), (63, 241363L), (64, 240449L))
+
   private[graft] def adamicAdar(und: DataFrame, degCap: Int): DataFrame = {
+    require(degCap <= 64, s"degCap $degCap exceeds the literal " +
+      "1/ln(deg) weight table domain [2, 64]")
+    val spark = und.sparkSession
+    import spark.implicits._
+    val wtab = aaWeightMicro.toDF("deg", "w_micro")
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // centers: deg ≥ 2 (a 1-neighbor center spans no pair) and below
-    // the skew cap; weight fixed per center, so it rides the adjacency
+    // the skew cap; weight fixed per center via the literal micro
+    // table, so it rides the adjacency
     val centers = deg
       .filter(col("deg") >= 2 && col("deg") <= degCap)
-      .select(col("src").as("z"),
-        fr(lit(1.0) / log(col("deg").cast("double")), 6)
-          .cast("decimal(24,6)").as("w"))
+      .join(broadcast(wtab), Seq("deg"))
+      .select(col("src").as("z"), col("w_micro"))
     val adj = und.join(centers, und("src") === centers("z"))
-      .select(col("z"), col("w"), und("dst").as("nb"))
+      .select(col("z"), col("w_micro"), und("dst").as("nb"))
     val pairs = adj.as("x").join(adj.as("y"),
         col("x.z") === col("y.z") && col("x.nb") < col("y.nb"))
       .select(col("x.nb").as("a"), col("y.nb").as("b"),
-        col("x.w").as("w"))
+        col("x.w_micro").as("w_micro"))
     val scored = pairs.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"),
-        sum(col("w")).cast("decimal(38,6)").as("aa_score"))
+        sum(col("w_micro")).as("aa_micro"))
     // link PREDICTION: existing edges are excluded (und is symmetric,
     // so the a<b orientation is present directly)
     scored
       .join(und.select(col("src").as("a"), col("dst").as("b")),
         Seq("a", "b"), "left_anti")
       .filter(col("common") >= 2)
-      .select(col("a"), col("b"), col("common"), col("aa_score"))
+      .select(col("a"), col("b"), col("common"), col("aa_micro"))
       .orderBy(col("a"), col("b"))
   }
 

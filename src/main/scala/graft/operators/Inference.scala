@@ -30,27 +30,31 @@ object Inference {
 
   /**
    * Chi-square test of independence between event type and hour of
-   * day, with per-cell diagnostics plus the three summary statistics
-   * every association readout wants: the chi-square total, Cramér's V
-   * (effect size), and the mutual information in nats — the "is
-   * traffic mix time-of-day dependent" question asked of any event
-   * warehouse before hourly models are trusted.
+   * day, with per-cell diagnostics plus the summary statistics every
+   * association readout wants: the chi-square total and Cramér's V
+   * (effect size, reported SQUARED) — the "is traffic mix
+   * time-of-day dependent" question asked of any event warehouse
+   * before hourly models are trusted. (Pointwise mutual information
+   * stays covered by the dedicated PMI gate; its per-cell ln made
+   * this frame structurally un-hashable cross-engine — see below.)
    *
-   * Per cell (i,j): observed n, expected r_i·c_j/N, chi-square term
-   * (n−e)²/e, and the MI term p·ln(N·n/(r·c)). Summary columns repeat
-   * on every row so one hashed frame witnesses cells AND totals. All
-   * hashed doubles quantize at ≤ 6 dp (the representation-minimal
-   * rule: the MI term carries a transcendental ln whose last ulp is
-   * libm-dependent, so nothing hashed may sit closer than 6 dp to it).
+   * Hashed-column discipline (round 12): every hashed value is an
+   * EXACT INTEGER — no doubles, no sqrt, no ln. Per cell (i,j) with
+   * observed n, margins r_i/c_j, total N:
+   *   expected_micro  = ⌊10⁶·r·c/N⌋          (integer division)
+   *   chi2_term_micro = ⌊10⁶·(N·n − r·c)²/(N·r·c)⌋
+   * (the latter is (n−e)²/e with e = r·c/N cleared of fractions).
+   * chi2_micro sums the term micros; v2_micro = ⌊chi2_micro /
+   * (N·min(nr−1, nc−1))⌋ is Cramér's V SQUARED in micro-units
+   * (squaring removes the sqrt; V = √(v2_micro/10⁶) for human eyes).
+   * All dividends are non-negative, so truncating and flooring
+   * division agree in every engine.
    *
    * Shape at 100 TB: one map-side-partial groupBy folds the stream to
    * ≤ k·24 cells; margins and totals are broadcast one-row/`k`-row
    * frames; everything after the first pass is arithmetic on a
-   * ~120-row frame. Exactness: n, r, c, N exact BIGINT; r·c and n·N
-   * (≤ N² ≈ 1e14 at sf10) stay in BIGINT; each double term is one
-   * expression on those integers rounded 6 dp and summed as
-   * DECIMAL order-free; Cramér's V rounds at 6 dp after a single
-   * sqrt on the DECIMAL-exact chi-square total.
+   * ~120-row frame. Overflow: (N·n − r·c)² ≤ N⁴ rides DECIMAL(38,0)
+   * (safe through N ≈ 3·10⁹, i.e. petabyte event streams).
    */
   def contingencyQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
@@ -66,38 +70,29 @@ object Inference {
       .join(broadcast(rowT), Seq("event_type"))
       .join(broadcast(colT), Seq("hod"))
       .crossJoin(broadcast(tot))
-      .withColumn("expected",
-        fr((col("r") * col("c")).cast("double") /
-          col("n_total").cast("double"), 6))
-      // (n−e)² as an explicit product, NOT pow(x, 2): IEEE multiply is
-      // correctly rounded in every engine; pow's 2.0 path is only
-      // 1-ulp-accurate in some libms
-      .withColumn("chi2_term",
-        fr((col("n").cast("double") - col("expected")) *
-          (col("n").cast("double") - col("expected")) /
-          col("expected"), 6).cast("decimal(24,6)"))
-      .withColumn("mi_term",
-        fr((col("n").cast("double") / col("n_total").cast("double")) *
-          log((col("n") * col("n_total")).cast("double") /
-            (col("r") * col("c")).cast("double")), 6)
-          .cast("decimal(20,6)"))
+      .withColumn("rc",
+        col("r").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+      .withColumn("expected_micro",
+        expr("CAST((rc * 1000000) div n_total AS BIGINT)"))
+      .withColumn("dnum",
+        col("n").cast("decimal(19,0)") * col("n_total").cast("decimal(19,0)")
+          - col("rc"))
+      .withColumn("chi2_term_micro",
+        expr("CAST((dnum * dnum * 1000000) div (n_total * rc) AS BIGINT)"))
     val summary = terms.groupBy(lit(1).as("one"))
-      .agg(sum(col("chi2_term")).cast("decimal(38,6)").as("chi2"),
-        sum(col("mi_term")).cast("decimal(38,6)").as("mi_nats"),
+      .agg(sum(col("chi2_term_micro")).as("chi2_micro"),
         first(col("n_total")).as("nt"),
         first(col("nr")).as("nrr"), first(col("nc")).as("ncc"))
       .withColumn("dof", (col("nrr") - 1) * (col("ncc") - 1))
-      .withColumn("cramers_v",
-        fr(sqrt(col("chi2").cast("double") /
-          (col("nt") * least(col("nrr") - 1, col("ncc") - 1))
-            .cast("double")), 6))
-      .select(col("one"), col("chi2"), col("mi_nats"), col("dof"),
-        col("cramers_v"))
+      .withColumn("v2_micro",
+        expr("CAST(chi2_micro div (nt * least(nrr - 1, ncc - 1)) " +
+          "AS BIGINT)"))
+      .select(col("one"), col("chi2_micro"), col("dof"), col("v2_micro"))
     terms.withColumn("one", lit(1))
       .join(broadcast(summary), Seq("one"))
-      .select(col("event_type"), col("hod"), col("n"), col("expected"),
-        col("chi2_term"), col("mi_term"), col("chi2"), col("mi_nats"),
-        col("dof"), col("cramers_v"))
+      .select(col("event_type"), col("hod"), col("n"), col("r"), col("c"),
+        col("expected_micro"), col("chi2_term_micro"), col("chi2_micro"),
+        col("dof"), col("v2_micro"))
       .orderBy(col("event_type"), col("hod"))
   }
 
@@ -251,12 +246,19 @@ object Inference {
    *
    * The series is the DENSE hourly spine (missing hours are real
    * zeros — [[Scale]]'s gap-fill rule), so lags mean wall-clock
-   * hours. Each r_k is emitted as an exact DECIMAL(38,0) fraction:
+   * hours. Each r_k is an exact DECIMAL(38,0) fraction:
    * num_k = Σ (H·x_t − S)(H·x_{t+k} − S) and den = Σ (H·x_t − S)² —
    * the mean-centered cross products scaled by H² so everything stays
-   * integer — plus the rounded double ratio (6 dp, the
-   * representation-minimal rule). The hash gate rides exact
-   * integers; the one double division is cosmetic.
+   * integer.
+   *
+   * Hashed-column discipline (round 12): NO doubles anywhere. The
+   * big fractions travel as digit STRINGS (immune to any float64
+   * transport in the compare harness), and the ratio is quantized as
+   * an exact integer: r_micro = floor(10⁶·num/den) computed with
+   * integer division only — the dividend is offset by 2·10⁶·den
+   * (|num| ≤ den by Cauchy–Schwarz, so it stays positive, making
+   * truncating and flooring division identical in every engine) and
+   * the offset subtracted back after the divide.
    *
    * Shape at 100 TB: the stream folds to the hourly grid in one
    * map-side-partial groupBy; the spine, the lag self-join, and the
@@ -294,9 +296,12 @@ object Inference {
           col("cx_lead").cast("decimal(19,0)"))
         .cast("decimal(38,0)").as("num"), count(lit(1)).as("pairs"))
       .crossJoin(broadcast(den))
-      .withColumn("r",
-        fr(col("num").cast("double") / col("den").cast("double"), 6))
-      .select(col("lag"), col("pairs"), col("num"), col("den"), col("r"))
+      .withColumn("r_micro",
+        expr("CAST((num * 1000000 + 2000000 * den) div den AS BIGINT)" +
+          " - 2000000"))
+      .select(col("lag"), col("pairs"),
+        col("num").cast("string").as("num_str"),
+        col("den").cast("string").as("den_str"), col("r_micro"))
       .orderBy(col("lag"))
   }
 

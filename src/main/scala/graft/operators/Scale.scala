@@ -680,10 +680,18 @@ object Scale {
    * and a running min, both plain prefix windows. Shape at 100 TB:
    * the stream folds map-side to (type, day) cells; every window is
    * PER TYPE over day-count-sized frames (the [[Behavior.markovQuery]]
-   * partitioned-window discipline — never a corpus sort). Exactness:
-   * z replays the [[seasonalAnomalyQuery]] integer-power-sum double
-   * tree, rounds to 6 dp, and all prefix arithmetic runs in DECIMAL
-   * — order-free, engine-exact.
+   * partitioned-window discipline — never a corpus sort).
+   *
+   * Hashed-column discipline (round 12): every hashed value is an
+   * EXACT INTEGER. The z-score quantizes via integer square root:
+   * with num = m·n − s1 and den = m·s2 − s1² (exact BIGINTs),
+   * zr_micro = sign(num)·isqrt(⌊10¹²·num²/den⌋) = sign·⌊10⁶·|z|⌋.
+   * isqrt computes k₀ = ⌊√(double v)⌋ — hardware-IEEE sqrt, exact
+   * for v < 2⁵³ — then corrects ±2 steps with exact integer square
+   * comparisons, so the result is the true integer square root in
+   * any engine regardless of the float path. All prefix arithmetic
+   * (C_t, running min, S⁺) then runs on BIGINT micro-units; the
+   * alarm threshold 4 becomes 4·10⁶.
    */
   def cusumQuery(spark: SparkSession, sfDir: String): DataFrame =
     cusumOver(Tables.load(spark, sfDir, "events")
@@ -697,32 +705,36 @@ object Scale {
     val prof = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("m"), sum(col("n")).as("s1"),
         sum(col("n") * col("n")).as("s2"))
-    val sd = sqrt((col("m") * col("s2") - col("s1") * col("s1"))
-      .cast("double")) / col("m").cast("double")
-    val z = (col("m") * col("n") - col("s1")).cast("double") /
-      (col("m").cast("double") * sd)
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // precision discipline: |z| ≤ √m and the horizon is m days, so
-    // every prefix sum fits comfortably in DECIMAL(20,6) — keeping
-    // operands at (20,6) keeps every subtraction inside Spark's
-    // 38-digit cap (a (38,s)−(38,s) would silently round on the
-    // overflow path, which the sf0.01 gate caught at scale 10);
-    // z quantizes at 6 dp (representation-minimal gate rule)
+    // |z| ≤ √m so zr_micro ≤ 10⁶·√m and every BIGINT prefix sum over
+    // an m-day horizon stays far inside 2⁶³; v = ⌊10¹²·num²/den⌋ is
+    // the only quantity needing DECIMAL(38,0) headroom
     val scored = daily.join(broadcast(prof), Seq("event_type"))
-      .withColumn("zr", fr(z, 6).cast("decimal(20,6)"))
-      .withColumn("cc",
-        sum(col("zr") - lit(0.5).cast("decimal(2,1)")).over(w)
-          .cast("decimal(20,6)"))
-      .withColumn("cmin",
-        min(col("cc")).over(w).cast("decimal(20,6)"))
+      .withColumn("zden",
+        col("m") * col("s2") - col("s1") * col("s1"))
+      .withColumn("znum", col("m") * col("n") - col("s1"))
+      .withColumn("v",
+        expr("CAST((CAST(znum AS DECIMAL(19,0)) * znum * 1000000000000)" +
+          " div zden AS BIGINT)"))
+      // integer sqrt: hardware-IEEE k0, then exact ±2-step correction
+      .withColumn("k0",
+        greatest(floor(sqrt(col("v").cast("double"))).cast("long") - 2,
+          lit(0L)))
+      .withColumn("zmag", col("k0") +
+        when((col("k0") + 1) * (col("k0") + 1) <= col("v"), 1L).otherwise(0L) +
+        when((col("k0") + 2) * (col("k0") + 2) <= col("v"), 1L).otherwise(0L) +
+        when((col("k0") + 3) * (col("k0") + 3) <= col("v"), 1L).otherwise(0L) +
+        when((col("k0") + 4) * (col("k0") + 4) <= col("v"), 1L).otherwise(0L))
+      .withColumn("zr_micro",
+        when(col("zden") > 0,
+          when(col("znum") >= 0, col("zmag")).otherwise(-col("zmag"))))
+      .withColumn("cc", sum(col("zr_micro") - lit(500000L)).over(w))
+      .withColumn("cmin", min(col("cc")).over(w))
     scored
-      .withColumn("s_plus",
-        (col("cc") - when(col("cmin") < 0, col("cmin"))
-          .otherwise(lit(0).cast("decimal(20,6)")))
-          .cast("decimal(20,6)"))
-      .select(col("event_type"), col("day"), col("n"), col("zr"),
-        col("s_plus"), (col("s_plus") > 4).as("alarm"))
+      .withColumn("s_plus", col("cc") - least(col("cmin"), lit(0L)))
+      .select(col("event_type"), col("day"), col("n"), col("zr_micro"),
+        col("s_plus"), (col("s_plus") > 4000000L).as("alarm"))
       .orderBy(col("event_type"), col("day"))
   }
 

@@ -401,11 +401,17 @@ object Stats {
    * each row joins its two grid ranks, and ρ is Pearson over the
    * 2×-scaled integer ranks — the scale cancels. Every sum is exact
    * DECIMAL (cast before multiply: 2r can reach 2·10⁹ at extreme
-   * row counts and the product would overflow BIGINT); ρ is ONE
-   * double expression on six exact sums, rounded 6 dp (the
-   * representation-minimal gate discipline: every hashed double in
-   * the stats family is exact-integer DECIMAL or ≤ 6 dp, so no
-   * conceivable cross-engine ulp can flip a hashed digit).
+   * row counts and the product would overflow BIGINT).
+   *
+   * Hashed-column discipline (round 12): no doubles, no sqrt. With
+   * nm = n·sxy − sx·sy, dx = n·sxx − sx², dy = n·syy − sy² (exact
+   * DECIMAL(38,0)), the gate emits sign(nm) and ρ² in micro-units
+   * via STAGED integer division: t1 = ⌊10⁶·|nm|/dx⌋, rho2_micro =
+   * ⌊t1·|nm|/dy⌋ ≈ ⌊10⁶·nm²/(dx·dy)⌋ — staging keeps every
+   * intermediate under the 38-digit cap (nm² alone would overflow),
+   * and since both stages are exact integer ops on non-negative
+   * dividends, every engine computes the identical value. The big
+   * rank-sum witness sxy travels as a digit string.
    *
    * Shape at 100 TB: two map-side-partial grid builds, two
    * equi-joins of rows to grid ranks, one grouped sum pass — no
@@ -444,14 +450,22 @@ object Stats {
           .cast("decimal(38,0)").as("syy"),
         sum(dec(col("r2_x")) * dec(col("r2_y")))
           .cast("decimal(38,0)").as("sxy"))
-    sums.select(col("flag"), col("n"), col("sxy"),
-      fr((col("n").cast("double") * col("sxy").cast("double") -
-        col("sx").cast("double") * col("sy").cast("double")) /
-        (sqrt(col("n").cast("double") * col("sxx").cast("double") -
-          col("sx").cast("double") * col("sx").cast("double")) *
-         sqrt(col("n").cast("double") * col("syy").cast("double") -
-          col("sy").cast("double") * col("sy").cast("double"))), 6)
-        .as("rho"))
+    sums
+      .withColumn("nm",
+        expr("CAST(n AS DECIMAL(19,0)) * sxy - sx * sy"))
+      .withColumn("dx",
+        expr("CAST(n AS DECIMAL(19,0)) * sxx - sx * sx"))
+      .withColumn("dy",
+        expr("CAST(n AS DECIMAL(19,0)) * syy - sy * sy"))
+      .withColumn("rho_sign",
+        when(col("nm") > 0, 1L).when(col("nm") < 0, -1L).otherwise(0L))
+      .withColumn("rho2_micro",
+        when(col("dx") > 0 && col("dy") > 0,
+          expr("CAST(((abs(nm) * 1000000) div dx) * abs(nm) div dy " +
+            "AS BIGINT)")))
+      .select(col("flag"), col("n"),
+        col("sxy").cast("string").as("sxy_str"),
+        col("rho_sign"), col("rho2_micro"))
       .orderBy(col("flag"))
   }
 

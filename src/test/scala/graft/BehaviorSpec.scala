@@ -106,17 +106,18 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
-  test("item cf: cosine in (0,1], symmetric pair count, dot bounded " +
-      "by Cauchy-Schwarz") {
+  test("item cf: cos² micro in (0, 1e6], symmetric pair count, dot " +
+      "positive (Cauchy-Schwarz)") {
+    // columns: item_a, item_b, co_users, dot_str, cos2_micro
     val rows = Behavior.itemCfQuery(spark, sfDir).collect()
     // 5 event types -> C(5,2) pairs
     assert(rows.length == 10)
     rows.foreach { r =>
-      val cos = r.getDouble(4)
-      assert(cos > 0.0 && cos <= 1.0 + 1e-12,
-        s"${r.getString(0)}/${r.getString(1)}: cos $cos")
+      val cos2 = r.getLong(4)
+      assert(cos2 > 0L && cos2 <= 1000000L,
+        s"${r.getString(0)}/${r.getString(1)}: cos2_micro $cos2")
       assert(r.getLong(2) >= 1)
-      assert(r.getDecimal(3).doubleValue > 0)
+      assert(BigInt(r.getString(3)) > 0)
     }
   }
 

@@ -147,31 +147,35 @@ class GraphSpec extends SparkSpec {
       (7L, 1L), (7L, 3L), (8L, 1L), (8L, 3L)))
     val got = Graph.adamicAdar(und, degCap = 64).collect()
       .map(r => ((r.getLong(0), r.getLong(1)),
-        (r.getLong(2), r.getDecimal(3).doubleValue))).toMap
-    // per-center weights quantize at 6 dp (the representation-minimal
-    // gate rule) before the DECIMAL sum — mirror that here
-    def w6(deg: Double) =
-      graft.functions.VectorOps.foldRound(1.0 / math.log(deg), 6)
-    val w13 = w6(3.0) + 2 * w6(2.0)
-    val wHub = w6(4.0) + w6(3.0)
+        (r.getLong(2), r.getLong(3)))).toMap
+    // per-center weights come from the literal ⌊10⁶/ln(deg)+½⌋
+    // table — mirror it here from the same constant seq
+    val wtab = Graph.aaWeightMicro.toMap
+    val w13 = wtab(3) + 2 * wtab(2)
+    val wHub = wtab(4) + wtab(3)
     assert(got.keySet ==
       Set((1L, 3L), (0L, 7L), (0L, 8L), (7L, 8L)),
       s"pairs: ${got.keySet}")
     assert(got((1L, 3L))._1 == 3L)
-    assert(math.abs(got((1L, 3L))._2 - w13) < 1e-9,
+    assert(got((1L, 3L))._2 == w13,
       s"score ${got((1L, 3L))._2} != $w13")
     Seq((0L, 7L), (0L, 8L), (7L, 8L)).foreach { p =>
       assert(got(p)._1 == 2L)
-      assert(math.abs(got(p)._2 - wHub) < 1e-9, s"$p: ${got(p)._2}")
+      assert(got(p)._2 == wHub, s"$p: ${got(p)._2}")
+    }
+    // the table itself is what it claims: ⌊10⁶/ln(deg)+½⌋ over [2,64]
+    Graph.aaWeightMicro.foreach { case (d, w) =>
+      assert(w == math.floor(1e6 / math.log(d.toDouble) + 0.5).toLong,
+        s"weight table wrong at deg $d")
     }
     // skew cap: capping at deg <= 2 removes center 0 (deg 3) from
     // wedge enumeration; (1,3) keeps commons {7,8} only
     val capped = Graph.adamicAdar(und, degCap = 2).collect()
       .map(r => ((r.getLong(0), r.getLong(1)),
-        (r.getLong(2), r.getDecimal(3).doubleValue))).toMap
+        (r.getLong(2), r.getLong(3)))).toMap
     assert(capped.keySet == Set((1L, 3L)))
     assert(capped((1L, 3L))._1 == 2L)
-    assert(math.abs(capped((1L, 3L))._2 - 2 * w6(2.0)) < 1e-9)
+    assert(capped((1L, 3L))._2 == 2 * wtab(2))
   }
 
   test("hierarchy rollup: range arithmetic equals an explicit " +

@@ -11,23 +11,30 @@ import org.apache.spark.sql.functions._
 class InferenceSpec extends SparkSpec {
 
   test("contingency: margins replay, chi2 terms reconstruct the " +
-      "total, MI nonneg, V in [0,1]") {
+      "total, expected replays, V² in [0,1]") {
+    // columns: event_type, hod, n, r, c, expected_micro,
+    //          chi2_term_micro, chi2_micro, dof, v2_micro
     val rows = Inference.contingencyQuery(spark, sfDir).collect()
     assert(rows.nonEmpty)
     val n = rows.map(_.getLong(2)).sum
     val ev = Tables.load(spark, sfDir, "events")
     assert(n == ev.count(), "cell mass != event count")
     // summary columns are constant across the frame and the per-cell
-    // terms re-sum to them (DECIMAL exactness)
-    val chi2 = rows.map(_.getDecimal(6)).distinct
+    // micro terms re-sum to the total EXACTLY (pure BIGINT)
+    val chi2 = rows.map(_.getLong(7)).distinct
     assert(chi2.length == 1)
-    val termSum = rows.map(_.getDecimal(4).doubleValue).sum
-    assert(math.abs(termSum - chi2.head.doubleValue) < 1e-6)
-    // MI ≥ 0 up to the per-cell 6 dp term quantization (≤5e-7 each)
-    val mi = rows.head.getDecimal(7).doubleValue
-    assert(mi >= -rows.length * 5e-7, s"MI $mi negative")
-    val v = rows.head.getDouble(9)
-    assert(v >= 0.0 && v <= 1.0, s"Cramér's V $v outside [0,1]")
+    assert(rows.map(_.getLong(6)).sum == chi2.head)
+    // expected_micro replays from the margins: ⌊10⁶·r·c/n⌋
+    rows.foreach { r =>
+      val want = (BigInt(r.getLong(3)) * BigInt(r.getLong(4)) *
+        1000000L) / BigInt(n)
+      assert(BigInt(r.getLong(5)) == want,
+        s"expected_micro mismatch at ${r.getString(0)}/${r.getLong(1)}")
+    }
+    val v2 = rows.head.getLong(9)
+    assert(v2 >= 0L && v2 <= 1000000L, s"V² micro $v2 outside [0,1e6]")
+    // v2_micro = ⌊chi2_micro/(n·min(nr−1, nc−1))⌋ with nr=5, nc=24
+    assert(v2 == chi2.head / (n * 4L))
     assert(rows.head.getLong(8) == (5 - 1) * (24 - 1))
   }
 
@@ -91,17 +98,19 @@ class InferenceSpec extends SparkSpec {
     rows.foreach { r =>
       assert(r.getLong(1) == hours - r.getLong(0),
         s"lag ${r.getLong(0)}: pair count ${r.getLong(1)}")
-      val rk = r.getDouble(4)
-      assert(rk >= -1.0 - 1e-9 && rk <= 1.0 + 1e-9,
-        s"lag ${r.getLong(0)}: r $rk outside [-1,1]")
-      // the exact fraction and the cosmetic double agree (r
-      // quantizes at 6 dp)
-      val ratio = r.getDecimal(2).doubleValue / r.getDecimal(3)
-        .doubleValue
-      assert(math.abs(rk - ratio) < 1e-6)
+      // columns: lag, pairs, num_str, den_str, r_micro
+      val rMicro = r.getLong(4)
+      assert(rMicro >= -1000000L && rMicro <= 1000000L,
+        s"lag ${r.getLong(0)}: r_micro $rMicro outside [-1e6,1e6]")
+      // r_micro is the exact floor of 10⁶·num/den (BigInt replay)
+      val num = BigInt(r.getString(2))
+      val den = BigInt(r.getString(3))
+      val want = (num * 1000000L + 2000000L * den) / den - 2000000L
+      assert(BigInt(rMicro) == want,
+        s"lag ${r.getLong(0)}: r_micro $rMicro != $want")
     }
     // all lags share one normalizer
-    assert(rows.map(_.getDecimal(3)).distinct.length == 1)
+    assert(rows.map(_.getString(3)).distinct.length == 1)
   }
 
   test("holt: recursion replays from its own outputs and fitted is " +

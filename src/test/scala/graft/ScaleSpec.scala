@@ -426,15 +426,16 @@ class ScaleSpec extends SparkSpec {
     val rows = operators.Scale.cusumOver(series).collect()
       .sortBy(_.getTimestamp(1).getTime)
     // replay the textbook recursion S+_t = max(0, S+_{t-1} + z_t - k)
-    // from the SAME rounded z values the engine emits
-    var s = BigDecimal(0)
+    // from the SAME integer micro z values the engine emits
+    // (columns: event_type, day, n, zr_micro, s_plus, alarm)
+    var s = 0L
     rows.foreach { r =>
-      val z = BigDecimal(r.getDecimal(3))
-      s = (s + z - BigDecimal("0.5")).max(BigDecimal(0))
-      assert(BigDecimal(r.getDecimal(4)) == s,
-        s"day ${r.getTimestamp(1)}: closed form ${r.getDecimal(4)} " +
+      val z = r.getLong(3)
+      s = math.max(0L, s + z - 500000L)
+      assert(r.getLong(4) == s,
+        s"day ${r.getTimestamp(1)}: closed form ${r.getLong(4)} " +
           s"!= recursion $s")
-      assert(r.getBoolean(5) == (s > 4))
+      assert(r.getBoolean(5) == (s > 4000000L))
     }
     // the alarm fires somewhere in the shifted tail, never in quiet
     val alarms = rows.filter(_.getBoolean(5))

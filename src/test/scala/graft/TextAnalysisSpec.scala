@@ -425,11 +425,10 @@ class TextAnalysisSpec extends SparkSpec {
       assert(phrase.split(" ").forall(w => !stops.contains(w)),
         s"stopword inside phrase '$phrase'")
       assert(r.getLong(1) >= 1)
-      assert(r.getDecimal(2).doubleValue > 0.0)
+      assert(r.getLong(2) > 0L)
     }
-    // ordering: (score desc, phrase asc) is a total order
-    val keys = rows.map(r => (-r.getDecimal(2).doubleValue,
-      r.getString(0))).toSeq
+    // ordering: (score_micro desc, phrase asc) is a total order
+    val keys = rows.map(r => (-r.getLong(2), r.getString(0))).toSeq
     assert(keys == keys.sorted, "top-30 not totally ordered")
   }
 }
