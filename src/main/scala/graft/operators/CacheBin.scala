@@ -53,6 +53,11 @@ object CacheBin {
       track(df, level)
   }
 
+  /** True if any frame is currently tracked — i.e. the last query
+    * built return-path pins. Bench uses this to decide whether a
+    * warm re-run is meaningful (see Bench.timeOnce). */
+  def nonEmpty: Boolean = !bin.isEmpty
+
   /** Unpersist (non-blocking) every tracked frame and empty the bin.
     * Safe to call at any quiescent point; idempotent. */
   def releaseAll(): Unit = {

