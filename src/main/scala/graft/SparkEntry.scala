@@ -223,6 +223,9 @@ object SparkEntry {
     "q_acid_restore" -> (Acid.restoreQuery _),
     "q_acid_minor_compact" -> (Acid.minorCompactQuery _),
     "q_acid_major_compact" -> (Acid.majorCompactQuery _),
+    // Minor-compaction trigger: quota-binned consecutive-delta merge
+    // plan from a live MOR delta layout (metadata-scale planning)
+    "q_acid_compact_trigger" -> (Acid.compactionTriggerQuery _),
     // Side-file salvage (W8 _flush_length) + user metadata surface
     "q_salvage" -> (graft.sources.OrcIo.salvageQuery _),
     "q_user_metadata" -> (graft.sources.OrcMeta.userMetadataQuery _),
@@ -442,6 +445,9 @@ object SparkEntry {
     "q_url_normalize" -> (Curation.urlNormalizeQuery _),
     "q_text_repetition" -> ((s, d) => Curation.repetitionQuery(s, d)),
     "q_seq_pack" -> (Curation.seqPackQuery _),
+    // Length-bucketed batch assembly: power-of-two buckets, in-bucket
+    // rank via distributed prefix, per-batch padding-fill report
+    "q_seq_bucket" -> (Curation.seqBucketQuery _),
     "q_quality_score" -> (Curation.qualityScoreQuery _),
     // Threshold-sweep classifier eval: confusion counts + P/R/F1
     "q_pr_curve" -> (Curation.prCurveQuery _),
@@ -6210,6 +6216,67 @@ object SparkEntry {
         |  lower(hex(substring(text, 9, 8)::BLOB)) AS frame_sample
         |FROM documents
         |ORDER BY media_id""".stripMargin,
+    // Length-bucketed batch assembly: power-of-two buckets from
+    // integer bit-length (no float log), row_number rank replayed as
+    // a window, quota fill, exact integer fill ratio.
+    "q_seq_bucket" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tok,
+        |    CAST(CAST(1 AS BIGINT) << length(bin(n_tok - 1))
+        |      AS BIGINT) AS bucket
+        |  FROM t),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY bucket
+        |    ORDER BY n_tok DESC, doc_id) AS BIGINT) AS rk FROM b),
+        |c AS (SELECT *, greatest(CAST(1 AS BIGINT), 2048 // bucket)
+        |    AS cap FROM r),
+        |a AS (SELECT bucket, (rk - 1) // cap AS batch_no, n_tok
+        |  FROM c)
+        |SELECT bucket, CAST(batch_no AS BIGINT) AS batch_no,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+        |  CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+        |  CAST((CAST(sum(n_tok) AS HUGEINT) * 1000000)
+        |    // (count(*) * bucket) AS BIGINT) AS fill_micro
+        |FROM a GROUP BY bucket, batch_no
+        |ORDER BY bucket, batch_no""".stripMargin,
+    // Minor-compaction trigger: the four modular delta masses replay
+    // from orders, quota binning as a prefix window over txn order.
+    "q_acid_compact_trigger" ->
+      """WITH q AS (SELECT greatest(CAST(1 AS BIGINT),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders) // 12)
+        |    AS quota),
+        |d AS (SELECT * FROM (VALUES
+        |  (CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey % 11 = 0)),
+        |  (CAST(3 AS BIGINT), CAST(3 AS BIGINT),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey % 13 = 0)),
+        |  (CAST(4 AS BIGINT), CAST(4 AS BIGINT),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey % 17 = 0)),
+        |  (CAST(5 AS BIGINT), CAST(5 AS BIGINT),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey % 19 = 0))) t(low_txn, high_txn,
+        |       n_events)),
+        |w AS (SELECT low_txn, high_txn, n_events,
+        |    (CAST(sum(n_events) OVER (ORDER BY low_txn
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_events)
+        |      // (SELECT quota FROM q) AS grp
+        |  FROM d)
+        |SELECT low_txn, high_txn, n_events, CAST(grp AS BIGINT) AS grp,
+        |  CAST(min(low_txn) OVER (PARTITION BY grp) AS BIGINT)
+        |    AS grp_low,
+        |  CAST(max(high_txn) OVER (PARTITION BY grp) AS BIGINT)
+        |    AS grp_high,
+        |  CAST(count(*) OVER (PARTITION BY grp) AS BIGINT)
+        |    AS grp_deltas,
+        |  CAST(sum(n_events) OVER (PARTITION BY grp) AS BIGINT)
+        |    AS grp_events,
+        |  count(*) OVER (PARTITION BY grp) >= 2 AS do_merge
+        |FROM w ORDER BY low_txn""".stripMargin,
     // ---- driver-divergence probe battery (round 12, PROBES.md) ----
     "q_probe_ctl_int" ->
       """SELECT * FROM (VALUES

@@ -334,6 +334,108 @@ object Acid {
    * base passthrough). Oracle identical to q_acid_mor — compaction must
    * not change state, and the new base must carry `hive.acid.stats`.
    */
+  /**
+   * Delta-compaction TRIGGER — the push-side twin of
+   * [[graft.operators.Scale.compactionPlan]]: q_compact_plan bins a
+   * file inventory toward a target size; this walks a live MOR
+   * table's DELTA LAYOUT and proposes the minor compactions that
+   * keep read amplification bounded. Policy: deltas in TRANSACTION
+   * order are binned by an event quota — group g holds the deltas
+   * whose preceding cumulative event count lands in
+   * [g·quota, (g+1)·quota) — and every group with ≥ 2 deltas becomes
+   * one proposed `delta_low_high` minor compaction. Quota binning
+   * rides txn order, NOT size order (the [[graft.operators.Scale]]
+   * sorted-fill), because a merged delta must span a CONSECUTIVE txn
+   * range to remain a valid delta_A_B directory.
+   *
+   * Scale shape: the planning path is METADATA-scale — one directory
+   * listing plus one count per delta (thousands of deltas at 100 TB,
+   * never corpus rows); the plan frame is delta-count-sized and the
+   * grouping walk runs driver-side like every other model-sized
+   * artifact (Holt series, k-means centroids).
+   */
+  def compactionTrigger(spark: SparkSession, tableDir: String,
+      quota: Long): DataFrame = {
+    require(quota > 0, s"quota must be positive, got $quota")
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+      .filter(_.isDirectory).map(_.getPath.getName)
+    val baseTxn = dirs.filter(_.startsWith("base_"))
+      .map(_.stripPrefix("base_").toLong)
+      .reduceOption(_ max _).getOrElse(Long.MinValue)
+    val deltas = dirs.filter(_.startsWith("delta_"))
+      .filter(_.stripPrefix("delta_").split("_").last.toLong > baseTxn)
+      .map { d =>
+        val ts = d.stripPrefix("delta_").split("_").map(_.toLong)
+        // full-width .rdd count: a pruned COUNT(*) scan of
+        // ACID-schema ORC trips the vectorized reader's
+        // checkAcidSchema column-id remap (the acidStatsOf gotcha)
+        val df = spark.read.orc(s"$tableDir/$d")
+        val ctIdx = df.schema.fieldIndex("currentTransaction")
+        (ts.head, ts.last,
+          df.rdd.filter(_.getLong(ctIdx) > baseTxn).count())
+      }
+      .sortBy(_._1)
+    var cum = 0L
+    val planned = deltas.map { case (lo, hi, ne) =>
+      val grp = cum / quota
+      cum += ne
+      (lo, hi, ne, grp)
+    }
+    val byGrp = planned.groupBy(_._4)
+    val out = planned.map { case (lo, hi, ne, grp) =>
+      val g = byGrp(grp)
+      (lo, hi, ne, grp, g.map(_._1).min, g.map(_._2).max,
+        g.length.toLong, g.map(_._3).sum, g.length >= 2)
+    }
+    import spark.implicits._
+    out.toSeq.toDF("low_txn", "high_txn", "n_events", "grp",
+      "grp_low", "grp_high", "grp_deltas", "grp_events", "do_merge")
+      .orderBy(col("low_txn"))
+  }
+
+  /** Correctness gate for [[compactionTrigger]]: four deterministic
+    * single-txn deltas over an orders base (update %11 at txn 2,
+    * update %13 at txn 3, delete %17 at txn 4, insert key+2e12 %19
+    * at txn 5), quota = |orders|/12 so the modular masses form
+    * non-trivial groups at every sf. The oracle replays the counts
+    * from the same modular rules and the quota binning as a prefix
+    * window. */
+  def compactionTriggerQuery(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+    val dir = graft.sources.OrcIo.scratchDir("acid_trigger_q")
+    graft.sources.OrcIo.write(orders, s"$dir/t/base_1")
+    def asEvents(src: DataFrame, op: Int, txn: Long): DataFrame =
+      src.select(
+        lit(op).as("operation"),
+        lit(1L).as("originalTransaction"),
+        (col("o_orderkey") % 4).cast("int").as("bucket"),
+        col("o_orderkey").as("rowId"),
+        lit(txn).as("currentTransaction"),
+        struct(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus")).as("row"))
+    writeDelta(asEvents(
+      orders.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.05),
+      OpUpdate, 2L), s"$dir/t/delta_2")
+    writeDelta(asEvents(
+      orders.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.07),
+      OpUpdate, 3L), s"$dir/t/delta_3")
+    writeDelta(asEvents(orders.filter(col("o_orderkey") % 17 === 0),
+      OpDelete, 4L), s"$dir/t/delta_4")
+    writeDelta(asEvents(
+      orders.filter(col("o_orderkey") % 19 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 2000000000000L),
+      OpInsert, 5L), s"$dir/t/delta_5")
+    val quota = math.max(1L, orders.count() / 12)
+    compactionTrigger(spark, s"$dir/t", quota)
+  }
+
   def majorCompactQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = Tables.load(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),

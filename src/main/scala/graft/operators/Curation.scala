@@ -274,6 +274,59 @@ object Curation {
       .orderBy(col("doc_id"))
 
   /**
+   * Length-bucketed batch assembly (dynamic batching): the padding-
+   * waste minimizer between [[sequencePack]]'s concat-and-chunk and
+   * naive fixed-size batching. Documents bucket by next-power-of-two
+   * token length (bucket = 2^len(bin(n_tok − 1)), an exact
+   * integer-string computation — no float log), order within bucket
+   * by (n_tok desc, doc_id), and fill ⌊budget/bucket⌋ documents per
+   * batch (each padded to the bucket length). The report is one row
+   * per batch: real vs padded token mass and the exact fill ratio in
+   * micro-units — the "how much compute does padding burn" readout
+   * that decides bucketing granularity for a training run.
+   *
+   * Hashed-column discipline: every column is an exact integer
+   * (fill_micro = ⌊10⁶·real/padded⌋, one integer division).
+   *
+   * Shape at 100 TB: one narrow token-count projection (text never
+   * moves again); the in-bucket rank is [[Prefix.running]]'s
+   * two-phase distributed scan partitioned by bucket — a handful of
+   * buckets over billions of rows is exactly the skewed-partition
+   * case a plain per-bucket window would serialize; the batch
+   * rollup is one map-side-combinable groupBy on (bucket, batch_no).
+   */
+  def lengthBucketBatches(docs: DataFrame, budget: Long): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val bucketed = toks.withColumn("bucket",
+      expr("shiftleft(CAST(1 AS BIGINT), " +
+        "CAST(length(bin(n_tok - 1)) AS INT))"))
+    val ranked = Prefix.running(bucketed, Seq("bucket"),
+        Seq(col("n_tok").desc, col("doc_id")),
+        Seq(Prefix.Running(lit(1L), "cnt", "rk")))
+      .withColumn("cap",
+        greatest(lit(1L), expr(s"$budget div bucket")))
+      .withColumn("batch_no", expr("(rk - 1) div cap"))
+    ranked.groupBy(col("bucket"), col("batch_no"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("real_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("bucket"))
+      .withColumn("fill_micro",
+        expr("CAST((real_tokens * 1000000) div padded_tokens AS BIGINT)"))
+      .select(col("bucket"), col("batch_no"), col("n_docs"),
+        col("real_tokens"), col("padded_tokens"), col("fill_micro"))
+      .orderBy(col("bucket"), col("batch_no"))
+  }
+
+  /** Correctness gate: bucket-batch the documents table under a
+    * 2048-token batch budget. */
+  def seqBucketQuery(spark: SparkSession, sfDir: String): DataFrame =
+    lengthBucketBatches(
+      Tables.load(spark, sfDir, "documents").select(
+        col("doc_id"), col("text")),
+      budget = 2048L)
+
+  /**
    * Token-budget corpus selection: assemble the training mix by
    * reading documents in quality order and cutting at a token
    * budget — the "best N tokens" selection every data recipe runs

@@ -251,6 +251,36 @@ class AcidSpec extends SparkSpec {
     assert(dirs == Set("base_3"), dirs)
   }
 
+  test("compactionTrigger bins consecutive deltas by event quota and " +
+      "proposes merges only for multi-delta groups") {
+    val dir = graft.sources.OrcIo.scratchDir("acid_trigger")
+    Seq((1L, 10.0)).toDF("id", "v").write.orc(s"$dir/t/base_1")
+    def delta(txn: Long, nEvents: Int): Unit =
+      eventsDf((0 until nEvents).map(i =>
+        event(Acid.OpUpdate, i % 4, 100L + i, txn, txn * 1.0)))
+        .write.orc(s"$dir/t/delta_$txn")
+    delta(2L, 3); delta(3L, 2); delta(4L, 4); delta(5L, 1)
+    // quota 4: cumBefore 0,3,5,9 -> groups {2,3}, {4}, {5}
+    val got = Acid.compactionTrigger(spark, s"$dir/t", quota = 4L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(8)))
+    assert(got.toSeq == Seq(
+      (2L, 0L, 2L, 3L, 2L, 5L, true),
+      (3L, 0L, 2L, 3L, 2L, 5L, true),
+      (4L, 1L, 4L, 4L, 1L, 4L, false),
+      (5L, 2L, 5L, 5L, 1L, 1L, false)), got.toSeq)
+    // deltas at or below the newest base are invisible to the planner
+    Seq((1L, 9.0)).toDF("id", "v").write.orc(s"$dir/t2/base_3")
+    eventsDf(Seq(event(Acid.OpUpdate, 0, 1L, 2L, 1.0)))
+      .write.orc(s"$dir/t2/delta_2")
+    eventsDf(Seq(event(Acid.OpUpdate, 0, 1L, 4L, 1.0)))
+      .write.orc(s"$dir/t2/delta_4")
+    val visible = Acid.compactionTrigger(spark, s"$dir/t2", quota = 10L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(visible == Seq(4L), visible)
+  }
+
   test("compact rewrites resolved state readable as a plain base") {
     val dir = graft.sources.OrcIo.scratchDir("acid")
     val df = eventsDf(Seq(

@@ -170,6 +170,42 @@ class CurationSpec extends SparkSpec {
     assert(res.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("length-bucket batching: buckets are tight powers of two, " +
+      "batches respect the cap, token mass conserved, fill exact") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val rows = Curation.lengthBucketBatches(docs, budget = 2048L)
+      .collect()
+    assert(rows.nonEmpty)
+    val totalTok = docs
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), " "))
+          .cast("long"))).head().getLong(0)
+    assert(rows.map(_.getLong(3)).sum == totalTok,
+      "real token mass must be conserved across batches")
+    rows.foreach { r =>
+      val (bucket, nDocs, real, padded, fill) = (r.getLong(0),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // power of two
+      assert((bucket & (bucket - 1)) == 0L, s"bucket $bucket not 2^k")
+      val cap = math.max(1L, 2048L / bucket)
+      assert(nDocs >= 1 && nDocs <= cap,
+        s"bucket $bucket batch holds $nDocs > cap $cap")
+      assert(real <= padded && padded == nDocs * bucket)
+      assert(fill == real * 1000000L / padded && fill <= 1000000L)
+    }
+    // every doc's bucket is TIGHT: bucket/2 < n_tok <= bucket means
+    // per-bucket real mass > padded/2 is not guaranteed for partial
+    // last batches, but a full batch is at least half-filled
+    rows.filter(r => r.getLong(2) == math.max(1L, 2048L / r.getLong(0)))
+      .foreach { r =>
+        assert(r.getLong(5) > 500000L - 1000000L / r.getLong(0),
+          s"full batch in bucket ${r.getLong(0)} under half fill: " +
+            s"${r.getLong(5)}")
+      }
+  }
+
   test("sequence packing shuffles exactly once (the shard partitioning)") {
     val docs = Tables.load(spark, sfDir, "documents")
     val plan = Curation.sequencePack(docs, budget = 2048, shards = 8)
