@@ -455,7 +455,8 @@ class PlanSpec extends SparkSpec {
   test("no unpartitioned window in any query that ships one — the " +
       "prefix-scan family and the per-entity window family") {
     for ((name, df) <- Seq(
-      "q_spearman2" -> Stats.spearmanQuery(spark, sfDir),
+      "q_spearman3" -> Stats.spearmanQuery(spark, sfDir),
+      "q_seq_bucket" -> Curation.seqBucketQuery(spark, sfDir),
       "q_weighted_percentiles" ->
         Relational.weightedPercentilesQuery(spark, sfDir),
       "q_pareto" -> Stats.paretoQuery(spark, sfDir),
@@ -466,7 +467,7 @@ class PlanSpec extends SparkSpec {
       "q_token_budget" -> Curation.tokenBudgetQuery(spark, sfDir),
       "q_markov2" -> Behavior.markovQuery(spark, sfDir),
       "q_event_paths" -> Behavior.eventPathsQuery(spark, sfDir),
-      "q_cusum2" -> Scale.cusumQuery(spark, sfDir),
+      "q_cusum3" -> Scale.cusumQuery(spark, sfDir),
       "q_ks_test" -> Inference.ksTestQuery(spark, sfDir),
       "q_hierarchy_rollup" -> Graph.hierarchyRollupQuery(spark, sfDir),
       // the round-10 suite-wide WindowAudit catches: dictionary rank,
