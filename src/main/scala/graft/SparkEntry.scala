@@ -307,6 +307,10 @@ object SparkEntry {
     // Merkle integrity tree: doc-id-chunked digest hierarchy, per-
     // source roots + corpus root (tamper-evident publish complement)
     "q_merkle" -> (Versioning.merkleQuery _),
+    // Cross-run dataset diff: two corpus versions reduce to Merkle
+    // chunk grids, full-outer joined — doc/token deltas + changed-
+    // chunk counts per source (the experiment-tracking ledger)
+    "q_run_diff" -> (Versioning.runDiffQuery _),
     // Deterministic sampling (north star: reproducible subsets)
     "q_sample_hash" -> (Sampling.hashSampleQuery _),
     // Rendezvous-hash sharding: stable assignment, ~1/(S+1) movement
@@ -324,6 +328,9 @@ object SparkEntry {
     "q_importance" -> ((s, d) => Sampling.importanceQuery(s, d)),
     // Deterministic per-epoch training-data ordering
     "q_epoch_shuffle" -> ((s, d) => Sampling.epochShuffleQuery(s, d)),
+    // Competence-based curriculum: difficulty tiers by token-length
+    // rank, per-epoch pool order via the md5 epoch key
+    "q_curriculum" -> (Sampling.curriculumQuery _),
     // End-to-end corpus cleaning (north-star composition)
     "q_pipeline_clean" -> (Pipeline.cleanCorpusQuery _),
     // Token-budget selection: best-quality docs until the budget is
@@ -6216,6 +6223,76 @@ object SparkEntry {
         |  lower(hex(substring(text, 9, 8)::BLOB)) AS frame_sample
         |FROM documents
         |ORDER BY media_id""".stripMargin,
+    // Competence-based curriculum: tier = rank-quantile of token
+    // length, epoch e draws tiers 0..e, in-pool order by the md5
+    // epoch key — the oracle replays rank, tiers, and permutation.
+    "q_curriculum" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+        |r AS (SELECT doc_id, n_tok,
+        |    CAST(row_number() OVER (ORDER BY n_tok, doc_id) AS BIGINT)
+        |      AS rk
+        |  FROM t),
+        |ti AS (SELECT doc_id,
+        |    ((rk - 1) * 3) // (SELECT n FROM n) AS tier
+        |  FROM r),
+        |e AS (SELECT unnest(generate_series(CAST(0 AS BIGINT),
+        |    CAST(2 AS BIGINT))) AS epoch),
+        |pool AS (SELECT ti.doc_id, ti.tier, e.epoch,
+        |    md5(CAST(e.epoch AS VARCHAR) || ':' ||
+        |      CAST(ti.doc_id AS VARCHAR)) AS skey
+        |  FROM ti CROSS JOIN e WHERE ti.tier <= e.epoch)
+        |SELECT doc_id, epoch, CAST(tier AS BIGINT) AS tier,
+        |  CAST(row_number() OVER (PARTITION BY epoch
+        |    ORDER BY skey, doc_id) AS BIGINT) AS pos
+        |FROM pool ORDER BY epoch, pos""".stripMargin,
+    // Cross-run dataset diff: both versions' Merkle chunk grids
+    // (doc_id div 64, string_agg ORDER BY replays the ordered
+    // concatenation), full-outer joined; deltas + changed chunks +
+    // both roots per source.
+    "q_run_diff" ->
+      """WITH v1 AS (SELECT source, doc_id, text FROM documents),
+        |v2 AS (SELECT source, doc_id, text FROM documents
+        |  WHERE doc_id % 13 <> 0),
+        |g1 AS (SELECT source, doc_id // 64 AS chunk,
+        |    CAST(count(*) AS BIGINT) AS d1,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t1,
+        |    md5(string_agg(md5(text), '' ORDER BY doc_id)) AS node1
+        |  FROM v1 GROUP BY source, doc_id // 64),
+        |g2 AS (SELECT source, doc_id // 64 AS chunk,
+        |    CAST(count(*) AS BIGINT) AS d2,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t2,
+        |    md5(string_agg(md5(text), '' ORDER BY doc_id)) AS node2
+        |  FROM v2 GROUP BY source, doc_id // 64),
+        |r1 AS (SELECT source, md5(string_agg(node1, ''
+        |    ORDER BY chunk)) AS root_v1 FROM g1 GROUP BY source),
+        |r2 AS (SELECT source, md5(string_agg(node2, ''
+        |    ORDER BY chunk)) AS root_v2 FROM g2 GROUP BY source),
+        |j AS (SELECT coalesce(g1.source, g2.source) AS source,
+        |    coalesce(g1.chunk, g2.chunk) AS chunk,
+        |    d1, t1, node1, d2, t2, node2
+        |  FROM g1 FULL OUTER JOIN g2
+        |    ON g1.source = g2.source AND g1.chunk = g2.chunk),
+        |p AS (SELECT source,
+        |    CAST(sum(coalesce(d1, 0)) AS BIGINT) AS n_docs_v1,
+        |    CAST(sum(coalesce(d2, 0)) AS BIGINT) AS n_docs_v2,
+        |    CAST(sum(coalesce(t1, 0)) AS BIGINT) AS n_tokens_v1,
+        |    CAST(sum(coalesce(t2, 0)) AS BIGINT) AS n_tokens_v2,
+        |    CAST(count(*) AS BIGINT) AS n_chunks,
+        |    CAST(sum(CASE WHEN node1 IS NULL OR node2 IS NULL
+        |      OR node1 <> node2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS chunks_changed
+        |  FROM j GROUP BY source)
+        |SELECT p.source, n_docs_v1, n_docs_v2, n_tokens_v1,
+        |  n_tokens_v2, n_chunks, chunks_changed, r1.root_v1,
+        |  r2.root_v2,
+        |  (r1.root_v1 IS NULL OR r2.root_v2 IS NULL
+        |    OR r1.root_v1 <> r2.root_v2) AS changed
+        |FROM p LEFT JOIN r1 ON p.source = r1.source
+        |  LEFT JOIN r2 ON p.source = r2.source
+        |ORDER BY p.source""".stripMargin,
     // Length-bucketed batch assembly: power-of-two buckets from
     // integer bit-length (no float log), row_number rank replayed as
     // a window, quota fill, exact integer fill ratio.

@@ -188,6 +188,58 @@ object Sampling {
       .orderBy(col("epoch"), col("shard"), col("pos"))
   }
 
+  /**
+   * Competence-based curriculum schedule (the Platanios et al.,
+   * NAACL 2019 shape): rank every document by a difficulty proxy
+   * (token length — the standard first curriculum), cut the ranking
+   * into `tiers` equal rank-quantile difficulty tiers, and emit each
+   * epoch's training order over the COMPETENCE POOL — epoch e draws
+   * from tiers 0..e (easy-only first, the full corpus by the last
+   * epoch), ordered inside the pool by the md5 epoch key (the
+   * [[epochShuffleQuery]] idiom) so every epoch's order is
+   * deterministic, distinct from its siblings, and reconstructible
+   * without a coordinator. This is the data-ORDER counterpart to
+   * [[graft.operators.Curation.lengthBucketBatches]]'s batch-SHAPE
+   * decision: together they answer "what does step t of epoch e
+   * train on".
+   *
+   * Exactness: tier = ((rank−1)·tiers) div n — pure integers; the
+   * in-pool position is a rank over (md5 key, doc_id), a total
+   * order. Shape at 100 TB: the difficulty rank and every per-epoch
+   * position ride [[Prefix.running]]'s two-phase distributed scan
+   * (never a global window); only (doc_id, n_tok, 32-char key) rows
+   * move — text never shuffles.
+   */
+  def curriculumSchedule(docs: DataFrame, tiers: Int,
+      epochs: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val n = toks.agg(count(lit(1)).as("n"))
+    val ranked = Prefix.running(toks, Seq(),
+        Seq(col("n_tok"), col("doc_id")),
+        Seq(Prefix.Running(lit(1L), "cnt", "rk")))
+      .crossJoin(broadcast(n))
+      .withColumn("tier", expr(s"((rk - 1) * $tiers) div n"))
+    val pool = ranked
+      .select(col("doc_id"), col("tier"),
+        explode(sequence(lit(0L), lit(epochs - 1L))).as("epoch"))
+      .filter(col("tier") <= col("epoch"))
+      .withColumn("skey", md5(concat(col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string"))))
+    Prefix.running(pool, Seq("epoch"),
+        Seq(col("skey"), col("doc_id")),
+        Seq(Prefix.Running(lit(1L), "cnt", "pos")))
+      .select(col("doc_id"), col("epoch"), col("tier"), col("pos"))
+      .orderBy(col("epoch"), col("pos"))
+  }
+
+  /** Correctness gate: 3 tiers × 3 epochs over documents. */
+  def curriculumQuery(spark: SparkSession, sfDir: String): DataFrame =
+    curriculumSchedule(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")),
+      tiers = 3, epochs = 3)
+
   // ------------------------------- importance weighting (data selection)
 
   /**

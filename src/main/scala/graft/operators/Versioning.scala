@@ -475,4 +475,78 @@ object Versioning {
         col("root"), col("corpus_root"))
       .orderBy(col("source"))
   }
+
+  /**
+   * Cross-run dataset diff — the experiment-tracking ledger between
+   * two pipeline runs: "did run B train on what run A trained on,
+   * and where exactly did it change?" Both versions reduce to the
+   * [[merkleQuery]] chunk grid (doc_id div 64 chunking, so a change
+   * perturbs its own chunk only), the grids full-outer join on
+   * (source, chunk), and the per-source ledger row reports document
+   * and token deltas, both Merkle roots, and HOW MANY chunks differ
+   * — the churn-proportional locator an incremental re-verification
+   * or a reproducibility audit starts from.
+   *
+   * The gate's version-2 run is a simulated curation pass (drop
+   * doc_id ≡ 0 mod 13 — a takedown/filter sweep); production diffs
+   * two real manifests the same way. Exactness: counts and token
+   * sums are BIGINTs, roots are md5 chains over sorted digest
+   * concatenations — no floats anywhere.
+   *
+   * Shape at 100 TB: identical to [[merkleQuery]] twice — only
+   * 32-char digests and counts shuffle, the join frames are
+   * chunk-count-sized, and the ledger is one row per source.
+   */
+  def runDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    def grid(docs: DataFrame) = {
+      val leaves = docs.select(col("source"), col("doc_id"),
+        expr("doc_id div 64").as("chunk"),
+        md5(col("text")).as("leaf"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      leaves.groupBy(col("source"), col("chunk"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("leaf")))),
+            x => x.getField("leaf")), "")).as("node"))
+    }
+    def roots(chunks: DataFrame) = chunks.groupBy(col("source"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("chunk"), col("node")))),
+        x => x.getField("node")), "")).as("root"))
+    val g1 = grid(v1)
+    val g2 = grid(v2)
+    val joined = g1.select(col("source"), col("chunk"),
+        col("n_docs").as("d1"), col("n_tokens").as("t1"),
+        col("node").as("node1"))
+      .join(g2.select(col("source"), col("chunk"),
+        col("n_docs").as("d2"), col("n_tokens").as("t2"),
+        col("node").as("node2")), Seq("source", "chunk"), "full_outer")
+    val perSource = joined.groupBy(col("source"))
+      .agg(sum(coalesce(col("d1"), lit(0L))).as("n_docs_v1"),
+        sum(coalesce(col("d2"), lit(0L))).as("n_docs_v2"),
+        sum(coalesce(col("t1"), lit(0L))).as("n_tokens_v1"),
+        sum(coalesce(col("t2"), lit(0L))).as("n_tokens_v2"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("node1").isNull || col("node2").isNull ||
+          col("node1") =!= col("node2"), 1L).otherwise(0L))
+          .as("chunks_changed"))
+    perSource
+      .join(roots(g1).select(col("source"), col("root").as("root_v1")),
+        Seq("source"), "left")
+      .join(roots(g2).select(col("source"), col("root").as("root_v2")),
+        Seq("source"), "left")
+      .withColumn("changed",
+        col("root_v1").isNull || col("root_v2").isNull ||
+          col("root_v1") =!= col("root_v2"))
+      .orderBy(col("source"))
+  }
+
+  /** Correctness gate: diff the corpus against a simulated curation
+    * run that removed doc_id ≡ 0 (mod 13). */
+  def runDiffQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"), col("text"))
+    runDiff(docs, docs.filter(col("doc_id") % 13 =!= 0))
+  }
 }

@@ -144,6 +144,40 @@ class SamplingSpec extends SparkSpec {
     assert(!order0.sameElements(order1), "epochs produced the same order")
   }
 
+  test("curriculum: tiers are rank-exact thirds, pools grow " +
+      "easy-first, positions dense per epoch, epochs reordered") {
+    // columns: doc_id, epoch, tier, pos
+    val rows = Sampling.curriculumQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = docs.count()
+    // tier assignment is a rank-quantile cut into thirds
+    val tiers = rows.filter(_._2 == 2).groupBy(_._3)
+      .view.mapValues(_.length.toLong).toMap
+    assert(tiers.keySet == Set(0L, 1L, 2L))
+    tiers.values.foreach(sz =>
+      assert(math.abs(sz - n / 3) <= 2, s"tier sizes $tiers"))
+    // epoch e holds exactly tiers 0..e (competence pool growth)
+    (0L to 2L).foreach { e =>
+      val pool = rows.filter(_._2 == e)
+      assert(pool.map(_._3).toSet == (0L to e).toSet,
+        s"epoch $e pool tiers")
+      assert(pool.map(_._4).sorted.toSeq == (1L to pool.length).toSeq,
+        s"epoch $e positions not dense")
+      assert(pool.map(_._1).distinct.length == pool.length)
+    }
+    // the final epoch covers the corpus; earlier epochs are subsets
+    assert(rows.count(_._2 == 2) == n)
+    val e0 = rows.filter(_._2 == 0).map(_._1).toSet
+    val e2docs = rows.filter(_._2 == 2).map(_._1).toSet
+    assert(e0.subsetOf(e2docs) && e0.size < e2docs.size)
+    // distinct epoch keys genuinely reorder the shared pool
+    val o1 = rows.filter(r => r._2 == 1 && e0.contains(r._1))
+      .sortBy(_._4).map(_._1)
+    val o2 = rows.filter(r => r._2 == 2 && e0.contains(r._1))
+      .sortBy(_._4).map(_._1)
+    assert(!o1.sameElements(o2), "epochs produced the same order")
+  }
+
   test("importance: English docs score above non-English on average " +
       "(the target distribution is the en subset)") {
     val scored = Sampling.importanceQuery(spark, sfDir)

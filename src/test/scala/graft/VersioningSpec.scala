@@ -213,4 +213,37 @@ class VersioningSpec extends SparkSpec {
     val again = operators.Versioning.merkleQuery(spark, sfDir).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("runDiff: deltas match the simulated curation mask, changed " +
+      "chunks localize, and a self-diff reports zero change") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"), col("text"))
+    // columns: source, n_docs_v1, n_docs_v2, n_tokens_v1,
+    //          n_tokens_v2, n_chunks, chunks_changed, root_v1,
+    //          root_v2, changed
+    val rows = operators.Versioning.runDiffQuery(spark, sfDir).collect()
+    val removedBySource = docs.filter(col("doc_id") % 13 === 0)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val removed = removedBySource.getOrElse(src, 0L)
+      assert(r.getLong(1) - r.getLong(2) == removed,
+        s"$src doc delta != mask count")
+      assert(r.getLong(4) <= r.getLong(3))
+      assert(r.getLong(6) <= r.getLong(5))
+      assert(r.getBoolean(9) == (removed > 0),
+        s"$src changed flag vs removed=$removed")
+      if (removed == 0) {
+        assert(r.getLong(6) == 0L)
+        assert(r.getString(7) == r.getString(8))
+      } else assert(r.getLong(6) >= 1L)
+    }
+    // self-diff: every source unchanged, roots equal, zero deltas
+    val self = operators.Versioning.runDiff(docs, docs).collect()
+    self.foreach { r =>
+      assert(!r.getBoolean(9) && r.getLong(6) == 0L &&
+        r.getLong(1) == r.getLong(2) && r.getString(7) == r.getString(8))
+    }
+  }
 }
