@@ -85,6 +85,9 @@ object SparkEntry {
     // Two-proportion z-test on purchase conversion, cohorts by user
     // id parity (the experiment decision-gate readout)
     "q_ab_test" -> (Behavior.abTestQuery _),
+    // Cohen's kappa: chance-corrected heuristic-vs-gold agreement as
+    // one exact rational (offset floor-division, no doubles)
+    "q_cohen_kappa" -> (Inference.cohenKappaQuery _),
     // Apriori 2-itemset layer: per-user engaged-type baskets, exact
     // pair supports + confidence/lift (cross-feature affinity)
     "q_itemsets" -> ((s, d) => Behavior.itemsetsQuery(s, d)),
@@ -397,6 +400,9 @@ object SparkEntry {
     // Exact triangle counts via degree-ordered orientation (bounded
     // wedge fan-out on power-law graphs)
     "q_triangles" -> (Graph.trianglesQuery _),
+    // Local clustering coefficient + global transitivity as exact
+    // rational micro-units over the triangle machinery
+    "q_clustering_coef" -> (Graph.clusteringCoefQuery _),
     "q_cluster_canonical" -> (Dedup.clusterCanonicalQuery _),
     // Similarity search (north star)
     "q_ann_topk" -> (Similarity.annBruteForceQuery _),
@@ -6223,6 +6229,80 @@ object SparkEntry {
         |  lower(hex(substring(text, 9, 8)::BLOB)) AS frame_sample
         |FROM documents
         |ORDER BY media_id""".stripMargin,
+    // Clustering coefficient: the q_triangles edge set; per-node
+    // cc = 2T/(deg(deg-1)) and global transitivity 3T/W, both as
+    // exact integer divisions in micro-units.
+    "q_clustering_coef" ->
+      """WITH raw AS (
+        |  SELECT doc_id AS u, doc_id + 1 + doc_id % 3 AS v
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 2 + doc_id % 5 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 3 + doc_id % 7 FROM documents),
+        |e AS (
+        |  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+        |  FROM raw WHERE u <> v),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY node),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |nodes AS (
+        |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri),
+        |nt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        |  FROM nodes GROUP BY node),
+        |j AS (SELECT deg.node, deg.deg, coalesce(nt.n_tri, 0)
+        |    AS n_tri
+        |  FROM deg LEFT JOIN nt ON deg.node = nt.node),
+        |g AS (SELECT CAST(sum(n_tri) AS BIGINT) AS sum_tri,
+        |    CAST(sum(deg * (deg - 1)) // 2 AS BIGINT) AS w FROM j)
+        |SELECT j.node, j.deg, j.n_tri,
+        |  CASE WHEN j.deg >= 2 THEN
+        |    CAST((CAST(j.n_tri AS HUGEINT) * 2000000)
+        |      // (CAST(j.deg AS HUGEINT) * (j.deg - 1)) AS BIGINT)
+        |  END AS cc_micro,
+        |  CAST((CAST(g.sum_tri AS HUGEINT) * 1000000)
+        |    // CAST(g.w AS HUGEINT) AS BIGINT) AS transitivity_micro
+        |FROM j, g ORDER BY j.node""".stripMargin,
+    // Cohen's kappa: 2x2 confusion of the function-word screen vs
+    // the lang label; kappa cleared to one exact rational with the
+    // offset floor-division for the negative branch.
+    "q_cohen_kappa" ->
+      """WITH p AS (SELECT
+        |    (contains(text, ' the ') OR contains(text, ' is '))
+        |      AS pred,
+        |    lang = 'en' AS gold
+        |  FROM documents),
+        |c AS (SELECT
+        |    CAST(sum(CASE WHEN pred AND gold THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN pred AND NOT gold THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN NOT pred AND gold THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN NOT pred AND NOT gold THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n00
+        |  FROM p),
+        |k AS (SELECT *, n11 + n10 + n01 + n00 AS n,
+        |    n11 + n00 AS po_num,
+        |    CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+        |      + CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS pe_num
+        |  FROM c),
+        |k2 AS (SELECT *,
+        |    CAST(po_num AS HUGEINT) * n - pe_num AS knum,
+        |    CAST(n AS HUGEINT) * n - pe_num AS kden
+        |  FROM k)
+        |SELECT n11, n10, n01, n00, n, po_num,
+        |  CAST(pe_num AS VARCHAR) AS pe_num_str,
+        |  CASE WHEN kden > 0 THEN
+        |    CAST((knum * 1000000 + 2000000 * kden) // kden AS BIGINT)
+        |      - 2000000
+        |  END AS kappa_micro
+        |FROM k2""".stripMargin,
     // Competence-based curriculum: tier = rank-quantile of token
     // length, epoch e draws tiers 0..e, in-pool order by the md5
     // epoch key — the oracle replays rank, tiers, and permutation.

@@ -445,6 +445,60 @@ object Graph {
   }
 
   /**
+   * Local clustering coefficient + global transitivity — the
+   * community-density readout on top of [[triangleCounts]]: per node
+   * cc = 2·T(v)/(deg(v)·(deg(v)−1)) (what fraction of a node's
+   * neighbor pairs are themselves connected — the spam-farm/cohesion
+   * signal), and the corpus-level transitivity 3·T/W = ΣT(v)/W with
+   * W = Σ C(deg, 2) open wedges.
+   *
+   * Hashed-column discipline: both ratios are EXACT RATIONALS in
+   * micro-units — cc_micro = ⌊2·10⁶·T(v)/(deg·(deg−1))⌋ and
+   * transitivity_micro = ⌊10⁶·ΣT(v)/W⌋, pure integer divisions on
+   * exact BIGINT counts (no doubles anywhere, the round-12 rule).
+   *
+   * Shape at 100 TB: everything is [[triangleCounts]]' degree-ordered
+   * wedge enumeration plus one id-keyed groupBy for degrees; the
+   * global row is a broadcast one-row fold.
+   */
+  def clusteringCoef(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = canon.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val joined = deg
+      .join(triangleCounts(canon), Seq("node"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+    val global = joined.agg(
+      sum(col("n_tri")).as("sum_tri"),
+      // integer div, not `/`: long/2 routes through DOUBLE in Spark,
+      // which loses exactness past 2^53 wedges
+      expr("sum(deg * (deg - 1)) div 2").as("w"))
+    joined.crossJoin(broadcast(global))
+      .select(col("node"), col("deg"), col("n_tri"),
+        when(col("deg") >= 2,
+          expr("CAST((n_tri * 2000000) div (deg * (deg - 1)) " +
+            "AS BIGINT)")).as("cc_micro"),
+        expr("CAST((CAST(sum_tri AS DECIMAL(19,0)) * 1000000) div w " +
+          "AS BIGINT)").as("transitivity_micro"))
+  }
+
+  /** Correctness gate: [[clusteringCoef]] over the q_triangles
+    * id-derived local-window graph. */
+  def clusteringCoefQuery(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val i = col("doc_id")
+    val e = Tables.load(spark, sfDir, "documents")
+      .select(i.as("u"), explode(array(
+        i + lit(1) + pmod(i, lit(3L)),
+        i + lit(2) + pmod(i, lit(5L)),
+        i + lit(3) + pmod(i, lit(7L)))).as("v"))
+    clusteringCoef(e).orderBy(col("node"))
+  }
+
+  /**
    * Hierarchical subtree rollup (the BOM-explosion / org-rollup OLAP
    * shape): every node's descendant count and descendant value sum
    * over the implicit binary-heap hierarchy (node v's children are

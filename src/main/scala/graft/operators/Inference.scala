@@ -238,6 +238,67 @@ object Inference {
   }
 
   /**
+   * Cohen's kappa (Cohen 1960): chance-corrected agreement between a
+   * cheap heuristic screen and a gold label — the calibration
+   * statistic every labeling/filter pipeline reports before trusting
+   * a heuristic at corpus scale (raw accuracy flatters screens on
+   * imbalanced labels; kappa does not). Here: rater A is an
+   * English-function-word screen (text contains " the " or " is "),
+   * rater B the `lang = 'en'` metadata label.
+   *
+   * Exact-rational form (no doubles): with the 2×2 confusion counts
+   * and N, kappa = (po − pe)/(1 − pe) clears to
+   * (po_num·N − pe_num)/(N² − pe_num) where po_num = n11 + n00 and
+   * pe_num = r1·c1 + r0·c0; kappa_micro = ⌊10⁶·kappa⌋ via the offset
+   * floor-division (dividend shifted by 2·10⁶·den so the negative-
+   * kappa branch floors identically in every engine). DECIMAL
+   * products keep N² exact past the BIGINT ceiling (N ≈ 6·10⁶ at
+   * sf10 already pushes N²·10⁶ past 2⁶³).
+   *
+   * Shape at 100 TB: one codegen'd boolean projection folding
+   * map-side to four counters; the kappa row is driver-free
+   * arithmetic on a 1-row frame.
+   */
+  def cohenKappaQuery(spark: SparkSession, sfDir: String): DataFrame =
+    cohenKappaOver(Tables.load(spark, sfDir, "documents").select(
+      (col("text").contains(" the ") || col("text").contains(" is "))
+        .as("pred"),
+      (col("lang") === "en").as("gold")))
+
+  /** [[cohenKappaQuery]]'s statistic over an explicit (pred, gold)
+    * boolean frame — spec entry point. */
+  private[graft] def cohenKappaOver(d: DataFrame): DataFrame = {
+    d.agg(
+        sum(when(col("pred") && col("gold"), 1L).otherwise(0L))
+          .as("n11"),
+        sum(when(col("pred") && !col("gold"), 1L).otherwise(0L))
+          .as("n10"),
+        sum(when(!col("pred") && col("gold"), 1L).otherwise(0L))
+          .as("n01"),
+        sum(when(!col("pred") && !col("gold"), 1L).otherwise(0L))
+          .as("n00"))
+      .withColumn("n",
+        col("n11") + col("n10") + col("n01") + col("n00"))
+      .withColumn("po_num", col("n11") + col("n00"))
+      .withColumn("pe_num",
+        (col("n11") + col("n10")).cast("decimal(19,0)") *
+          (col("n11") + col("n01")).cast("decimal(19,0)") +
+        (col("n01") + col("n00")).cast("decimal(19,0)") *
+          (col("n10") + col("n00")).cast("decimal(19,0)"))
+      .withColumn("knum",
+        col("po_num").cast("decimal(19,0)") *
+          col("n").cast("decimal(19,0)") - col("pe_num"))
+      .withColumn("kden",
+        col("n").cast("decimal(19,0)") *
+          col("n").cast("decimal(19,0)") - col("pe_num"))
+      .select(col("n11"), col("n10"), col("n01"), col("n00"), col("n"),
+        col("po_num"), col("pe_num").cast("string").as("pe_num_str"),
+        when(col("kden") > 0,
+          expr("CAST((knum * 1000000 + 2000000 * kden) div kden " +
+            "AS BIGINT) - 2000000")).as("kappa_micro"))
+  }
+
+  /**
    * Autocorrelation function of the hourly event-count series at lags
    * 1..`maxLag` — the serial-dependence diagnostic that decides
    * whether the daily seasonality in [[q_seasonal_anomaly]] is real

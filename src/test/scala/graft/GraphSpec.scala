@@ -178,6 +178,30 @@ class GraphSpec extends SparkSpec {
     assert(capped((1L, 3L))._2 == 2 * wtab(2))
   }
 
+  test("clustering coefficient: hand-computed K4 + pendant, exact " +
+      "micro ratios, transitivity replays from the sums") {
+    import SparkSpec.spark.implicits._
+    // K4 over {1,2,3,4} plus pendant 5 attached to node 4
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val got = Graph.clusteringCoef(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4))))
+      .toMap
+    // K4 interior nodes: deg 3, 3 triangles -> cc = 1.0
+    Seq(1L, 2L, 3L).foreach { v =>
+      assert(got(v) == ((3L, 3L, 1000000L, got(v)._4)), got(v))
+    }
+    // node 4: deg 4, still 3 triangles -> cc = 6/12 = 0.5
+    assert(got(4L)._1 == 4L && got(4L)._2 == 3L &&
+      got(4L)._3 == 500000L)
+    // pendant: deg 1 -> undefined cc (null)
+    assert(got(5L) == ((1L, 0L, -1L, got(5L)._4)))
+    // transitivity = sum_tri/W: sum_tri = 12, W = 3·C(2)... compute:
+    // degs 3,3,3,4,1 -> Σdeg(deg−1)/2 = (6+6+6+12+0)/2 = 15
+    assert(got.values.map(_._4).toSet == Set(12L * 1000000L / 15L))
+  }
+
   test("hierarchy rollup: range arithmetic equals an explicit " +
       "recursive descent on the real corpus tree") {
     val rows = Graph.hierarchyRollupQuery(spark, sfDir).collect()

@@ -38,6 +38,46 @@ class InferenceSpec extends SparkSpec {
     assert(rows.head.getLong(8) == (5 - 1) * (24 - 1))
   }
 
+  test("cohen kappa: counts conserve the corpus, kappa replays from " +
+      "the confusion cells as an exact rational, bounds hold") {
+    // columns: n11, n10, n01, n00, n, po_num, pe_num_str, kappa_micro
+    val r = Inference.cohenKappaQuery(spark, sfDir).collect()(0)
+    val (n11, n10, n01, n00) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))
+    val n = r.getLong(4)
+    assert(n == n11 + n10 + n01 + n00)
+    assert(n == Tables.load(spark, sfDir, "documents").count())
+    assert(r.getLong(5) == n11 + n00)
+    val peNum = BigInt(n11 + n10) * BigInt(n11 + n01) +
+      BigInt(n01 + n00) * BigInt(n10 + n00)
+    assert(BigInt(r.getString(6)) == peNum)
+    val kden = BigInt(n) * BigInt(n) - peNum
+    val knum = BigInt(n11 + n00) * BigInt(n) - peNum
+    val want = (knum * 1000000 + 2000000 * kden) / kden - 2000000
+    val kappa = r.getLong(7)
+    assert(BigInt(kappa) == want, s"kappa $kappa != $want")
+    assert(kappa >= -1000000L && kappa <= 1000000L)
+    // the synthetic corpus draws one vocabulary for every lang, so
+    // the function-word screen carries ~no signal and kappa sits
+    // near zero — which is exactly what a chance-corrected statistic
+    // must report where raw accuracy would flatter the screen
+    assert(math.abs(kappa) < 200000L,
+      s"kappa $kappa suspiciously far from chance on a no-signal corpus")
+    // kappa math on constructed frames: perfect agreement -> 1,
+    // perfect disagreement on balanced cells -> -1
+    import SparkSpec.spark.implicits._
+    def k(rows: Seq[(Boolean, Boolean)]): Long =
+      Inference.cohenKappaOver(rows.toDF("pred", "gold"))
+        .collect()(0).getLong(7)
+    assert(k(Seq((true, true), (false, false), (true, true),
+      (false, false))) == 1000000L)
+    assert(k(Seq((true, false), (false, true), (true, false),
+      (false, true))) == -1000000L)
+    // half right on balanced marginals -> kappa 0
+    assert(k(Seq((true, true), (true, false), (false, true),
+      (false, false))) == 0L)
+  }
+
   test("ks/auc: integer fractions obey exact identities and bounds") {
     val r = Inference.ksTestQuery(spark, sfDir).collect()
     assert(r.length == 1)
