@@ -88,6 +88,9 @@ object SparkEntry {
     // Cohen's kappa: chance-corrected heuristic-vs-gold agreement as
     // one exact rational (offset floor-division, no doubles)
     "q_cohen_kappa" -> (Inference.cohenKappaQuery _),
+    // Fleiss' kappa: three length-tercile raters over documents,
+    // multi-rater chance-corrected agreement as one exact rational
+    "q_fleiss_kappa" -> (Inference.fleissKappaQuery _),
     // Apriori 2-itemset layer: per-user engaged-type baskets, exact
     // pair supports + confidence/lift (cross-feature affinity)
     "q_itemsets" -> ((s, d) => Behavior.itemsetsQuery(s, d)),
@@ -140,6 +143,9 @@ object SparkEntry {
     // Mann-Kendall monotone-trend test + Sen's slope over daily
     // counts (exact S and 18-scaled tie-corrected variance)
     "q_trend_test" -> (Inference.trendTestQuery _),
+    // Kendall tau-a + gamma between daily volume and daily reach:
+    // exact pair counts over the calendar-sized daily grid
+    "q_kendall" -> (Inference.kendallQuery _),
     // EWMA control chart over daily counts: recursive state AND
     // width factor per-step pinned (no cross-engine pow)
     "q_ewma_chart" -> ((s, d) => Inference.ewmaChartQuery(s, d)),
@@ -444,6 +450,9 @@ object SparkEntry {
     "q_rank_ensemble" -> (Curation.rankEnsembleQuery _),
     // L-diversity: same ladder, sensitive-attribute diversity gate
     "q_l_diversity" -> (Curation.lDiversityQuery _),
+    // T-closeness: per-class ordered-EMD distance of the sensitive
+    // acct-band distribution from the global one, exact integers
+    "q_t_closeness" -> (Curation.tClosenessQuery _),
     // Greedy max-coverage doc selection (diverse eval-set pick);
     // 3 unrolled rounds, broadcast covered-set anti join
     "q_set_cover" -> ((s, d) => Curation.setCoverQuery(s, d)),
@@ -3207,6 +3216,38 @@ object SparkEntry {
         |    WHEN z > 0 THEN 'increasing'
         |    ELSE 'decreasing' END AS trend
         |FROM zz""".stripMargin,
+    // Kendall tau-a + gamma between daily count and daily distinct
+    // users: integer day buckets, exact pair classification, offset
+    // floor-divisions in micro-units.
+    "q_kendall" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT b.x - a.x AS dx, b.y - a.y AS dy
+        |  FROM daily a JOIN daily b ON b.day > a.day),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS conc,
+        |    CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS disc,
+        |    CAST(sum(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tie_x,
+        |    CAST(sum(CASE WHEN dx <> 0 AND dy = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tie_y,
+        |    CAST(sum(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tie_xy
+        |  FROM p),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+        |SELECT n_days, n_pairs, conc, disc, tie_x, tie_y, tie_xy,
+        |  CAST(((conc - disc) * 1000000 + 2000000 * n_pairs)
+        |    // n_pairs AS BIGINT) - 2000000 AS tau_a_micro,
+        |  CASE WHEN conc + disc > 0 THEN
+        |    CAST(((conc - disc) * 1000000 + 2000000 * (conc + disc))
+        |      // (conc + disc) AS BIGINT) - 2000000
+        |  END AS gamma_micro
+        |FROM g, n""".stripMargin,
     // Conversion lag: two conditional min-aggs, exact integer hours;
     // null lag keeps non-converters in frame.
     "q_conversion_lag" ->
@@ -5749,6 +5790,54 @@ object SparkEntry {
         |  CASE lvl WHEN 0 THEN lab0 WHEN 1 THEN lab1 ELSE '*' END
         |    AS acct_band
         |FROM j ORDER BY c_custkey""".stripMargin,
+    // T-closeness: class = (nation, segment), sensitive = $1000
+    // acct band; ordered EMD as exact prefix sums over the common
+    // denominator n_c*N, emd_micro one non-negative integer division.
+    "q_t_closeness" ->
+      """WITH r AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    c_mktsegment AS segment,
+        |    CAST(floor(CAST(CAST(floor((c_acctbal * 100) + 0.5)
+        |      AS BIGINT) AS DOUBLE) / 100000.0) AS BIGINT) AS bucket
+        |  FROM customer),
+        |cc AS (SELECT nation, segment, bucket,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM r GROUP BY 1, 2, 3),
+        |gc AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS g
+        |  FROM cc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(g) AS BIGINT) AS n_total,
+        |    CAST(count(*) AS BIGINT) AS m FROM gc),
+        |cs AS (SELECT nation, segment, CAST(sum(c) AS BIGINT)
+        |    AS class_size
+        |  FROM cc GROUP BY 1, 2),
+        |spine AS (SELECT cs.nation, cs.segment, gc.bucket, gc.g,
+        |    cs.class_size
+        |  FROM cs CROSS JOIN gc),
+        |cells AS (SELECT s.nation, s.segment, s.bucket,
+        |    coalesce(cc.c, 0) AS c, s.g, s.class_size
+        |  FROM spine s LEFT JOIN cc
+        |    ON cc.nation = s.nation AND cc.segment = s.segment
+        |      AND cc.bucket = s.bucket),
+        |walked AS (SELECT nation, segment, class_size, bucket,
+        |    CAST(sum(c * (SELECT n_total FROM tot)
+        |        - g * class_size) OVER (
+        |      PARTITION BY nation, segment ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS d_i
+        |  FROM cells)
+        |SELECT w.nation, w.segment,
+        |  max(w.class_size) AS class_size, max(tot.m) AS m,
+        |  CAST(sum(abs(w.d_i)) AS BIGINT) AS sum_absd,
+        |  CAST(CAST(sum(abs(w.d_i)) AS HUGEINT) * 1000000
+        |    // (CAST(max(tot.m) - 1 AS HUGEINT)
+        |      * max(w.class_size) * max(tot.n_total))
+        |    AS BIGINT) AS emd_micro,
+        |  CAST(CAST(sum(abs(w.d_i)) AS HUGEINT) * 1000000
+        |    // (CAST(max(tot.m) - 1 AS HUGEINT)
+        |      * max(w.class_size) * max(tot.n_total))
+        |    AS BIGINT) <= 200000 AS t_ok
+        |FROM walked w, tot
+        |GROUP BY w.nation, w.segment
+        |ORDER BY w.nation, w.segment""".stripMargin,
     // Same scrub pipeline: email → url → phone → name-dict redaction,
     // whitespace collapse, trim; scrubbed text witnessed by md5.
     "q_pii_scrub" ->
@@ -6303,6 +6392,59 @@ object SparkEntry {
         |      - 2000000
         |  END AS kappa_micro
         |FROM k2""".stripMargin,
+    // Fleiss' kappa: three tercile raters (chars / tokens / 'e'
+    // count), per-item category counts, all sums exact; kappa /
+    // pbar / pe cleared to offset floor-divisions in micro-units.
+    "q_fleiss_kappa" ->
+      """WITH v AS (SELECT
+        |    CASE WHEN n_chars < 216 THEN 0 WHEN n_chars < 380 THEN 1
+        |      ELSE 2 END AS r1,
+        |    CASE WHEN len(string_split(text, ' ')) < 40 THEN 0
+        |      WHEN len(string_split(text, ' ')) < 70 THEN 1
+        |      ELSE 2 END AS r2,
+        |    CASE WHEN len(text) - len(replace(text, 'e', '')) < 18
+        |        THEN 0
+        |      WHEN len(text) - len(replace(text, 'e', '')) < 30
+        |        THEN 1 ELSE 2 END AS r3
+        |  FROM documents),
+        |i AS (SELECT
+        |    CAST((r1=0)::INT + (r2=0)::INT + (r3=0)::INT AS BIGINT)
+        |      AS n_0,
+        |    CAST((r1=1)::INT + (r2=1)::INT + (r3=1)::INT AS BIGINT)
+        |      AS n_1,
+        |    CAST((r1=2)::INT + (r2=2)::INT + (r3=2)::INT AS BIGINT)
+        |      AS n_2
+        |  FROM v),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(n_0*n_0 + n_1*n_1 + n_2*n_2) AS BIGINT) AS s2,
+        |    CAST(sum(n_0) AS BIGINT) AS c_0,
+        |    CAST(sum(n_1) AS BIGINT) AS c_1,
+        |    CAST(sum(n_2) AS BIGINT) AS c_2
+        |  FROM i),
+        |t AS (SELECT *, CAST(3 AS BIGINT) AS n_raters,
+        |    CAST(3 AS BIGINT) AS n_cats,
+        |    CAST(n AS HUGEINT) * 3 AS nr,
+        |    CAST(n AS HUGEINT) * 6 AS t_den
+        |  FROM g),
+        |t2 AS (SELECT *, nr * nr AS m_den,
+        |    CAST(c_0 AS HUGEINT)*c_0 + CAST(c_1 AS HUGEINT)*c_1
+        |      + CAST(c_2 AS HUGEINT)*c_2 AS sum_c2,
+        |    CAST(s2 AS HUGEINT) - nr AS pbar_num
+        |  FROM t),
+        |t3 AS (SELECT *,
+        |    pbar_num * m_den - t_den * sum_c2 AS knum,
+        |    t_den * (m_den - sum_c2) AS kden
+        |  FROM t2)
+        |SELECT n, n_raters, n_cats, c_0, c_1, c_2, s2,
+        |  CAST((pbar_num * 1000000 + 2000000 * t_den) // t_den
+        |    AS BIGINT) - 2000000 AS pbar_micro,
+        |  CAST((sum_c2 * 1000000 + 2000000 * m_den) // m_den
+        |    AS BIGINT) - 2000000 AS pe_micro,
+        |  CASE WHEN kden > 0 THEN
+        |    CAST((knum * 1000000 + 2000000 * kden) // kden AS BIGINT)
+        |      - 2000000
+        |  END AS kappa_micro
+        |FROM t3""".stripMargin,
     // Competence-based curriculum: tier = rank-quantile of token
     // length, epoch e draws tiers 0..e, in-pool order by the md5
     // epoch key — the oracle replays rank, tiers, and permutation.

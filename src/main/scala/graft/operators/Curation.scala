@@ -1145,4 +1145,77 @@ object Curation {
         (col("r_s_len") + col("r_s_div") + col("r_s_wlen")).as("borda"))
       .orderBy(col("doc_id"))
   }
+
+  /**
+   * T-closeness (Li, Li & Venkatasubramanian, ICDE 2007): the third
+   * rung of the release-privacy ladder after [[kAnonymize]] (identity)
+   * and [[lDiversify]] (attribute count) — a class can hold ≥ k rows
+   * and ≥ l distinct sensitive values yet still leak, if its sensitive
+   * DISTRIBUTION sits far from the table-wide one (e.g. one nation's
+   * released class concentrating in the top account-balance band).
+   * For an ORDERED sensitive attribute the distance is the ordered
+   * Earth-Mover's Distance: with buckets j = 1..m in value order,
+   * class proportions r_j = c_j/n_c and global q_j = g_j/N,
+   * EMD = Σ_i |Σ_{j≤i} (r_j − q_j)| / (m − 1).
+   *
+   * Exact-rational form (no doubles): the inner prefix sums clear to
+   * the common denominator n_c·N — D_i = Σ_{j≤i} (c_j·N − g_j·n_c)
+   * is an exact BIGINT, Σ|D_i| likewise, and
+   * emd_micro = ⌊10⁶·Σ|D_i| / ((m−1)·n_c·N)⌋ is one DECIMAL(38,0)
+   * integer division (non-negative, so floor = truncate in every
+   * engine). D_m = n_c·N − N·n_c = 0 is a built-in self-check.
+   *
+   * Shape at 100 TB: one scan folds map-side to (class × bucket)
+   * counts — classes × m rows, metadata-sized by the anonymization
+   * argument — and every later step (global marginals, the dense
+   * class × bucket spine, the per-class prefix window) runs on that
+   * tiny frame. The corpus never shuffles; the windows partition by
+   * class.
+   */
+  def tClosenessQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = Tables.load(spark, sfDir, "customer").select(
+      col("c_nationkey").cast("long").as("nation"),
+      col("c_mktsegment").as("segment"),
+      acctBand(1000).as("bucket"))
+    val classCounts = rows
+      .groupBy(col("nation"), col("segment"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val globalCounts = classCounts.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("g"))
+    val totals = globalCounts.agg(sum(col("g")).as("n_total"),
+      count(lit(1)).as("m"))
+    val classSizes = classCounts.groupBy(col("nation"), col("segment"))
+      .agg(sum(col("c")).as("class_size"))
+    // dense class × bucket spine so absent buckets are real zeros in
+    // the prefix walk (both sides are post-aggregation frames)
+    val spine = classSizes.select(col("nation"), col("segment"))
+      .crossJoin(globalCounts.select(col("bucket")))
+    val cells = spine
+      .join(classCounts, Seq("nation", "segment", "bucket"), "left")
+      .select(col("nation"), col("segment"), col("bucket"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .join(broadcast(globalCounts), Seq("bucket"))
+      .join(broadcast(classSizes), Seq("nation", "segment"))
+      .crossJoin(broadcast(totals))
+    val wPrefix = Window.partitionBy(col("nation"), col("segment"))
+      .orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walked = cells.withColumn("d_i",
+      sum(col("c") * col("n_total") - col("g") * col("class_size"))
+        .over(wPrefix))
+    walked
+      .groupBy(col("nation"), col("segment"))
+      .agg(max(col("class_size")).as("class_size"),
+        max(col("n_total")).as("n_total"),
+        max(col("m")).as("m"),
+        sum(abs(col("d_i"))).as("sum_absd"))
+      .withColumn("emd_micro", expr(
+        "CAST(CAST(sum_absd AS DECIMAL(38,0)) * 1000000 div " +
+        "(CAST(m - 1 AS DECIMAL(38,0)) * class_size * n_total) " +
+        "AS BIGINT)"))
+      .select(col("nation"), col("segment"), col("class_size"),
+        col("m"), col("sum_absd"), col("emd_micro"),
+        (col("emd_micro") <= 200000L).as("t_ok"))
+      .orderBy(col("nation"), col("segment"))
+  }
 }

@@ -615,4 +615,158 @@ object Inference {
           .when(col("z") > 0, lit("increasing"))
           .otherwise(lit("decreasing")).as("trend"))
   }
+
+  /**
+   * Fleiss' kappa (Fleiss 1971): chance-corrected agreement among
+   * MORE than two raters over more than two categories — the
+   * companion to [[cohenKappaQuery]] a labeling pipeline needs once
+   * three cheap heuristics (or three annotators) vote on every
+   * document. Here three length "raters" tercile each document into
+   * {short=0, medium=1, long=2} by different proxies: raw character
+   * count, whitespace token count, and 'e'-occurrence count —
+   * correlated enough to agree often, noisy enough that the
+   * chance-corrected statistic is doing real work.
+   *
+   * Exact-rational form (no doubles): with n items, R raters, k
+   * categories, n_ij raters placing item i in category j, and
+   * C_j = Σ_i n_ij: let S2 = Σ_ij n_ij², T = nR(R−1), M = (nR)².
+   * P̄ = (S2 − nR)/T, P̄_e = ΣC_j²/M, and kappa clears to
+   * ((S2 − nR)·M − T·ΣC_j²) / (T·(M − ΣC_j²)). DECIMAL(38,0)
+   * products (n³R⁴ ≈ 10²² at sf10 — far past BIGINT, far under
+   * 10³⁸); kappa_micro/pbar_micro/pe_micro are offset floor-divisions
+   * so the negative branch floors identically in every engine.
+   *
+   * Shape at 100 TB: the per-document vote row is one codegen'd
+   * projection (no shuffle); everything folds map-side to k+2
+   * counters, and the kappa row is arithmetic on a 1-row frame.
+   */
+  def fleissKappaQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val tok = size(split(col("text"), " ", -1)).cast("long")
+    val ne = (length(col("text")) -
+      length(regexp_replace(col("text"), "e", ""))).cast("long")
+    def tercile(v: Column, lo: Long, hi: Long): Column =
+      when(v < lo, 0L).when(v < hi, 1L).otherwise(2L)
+    val votes = d.select(
+      tercile(col("n_chars"), 216L, 380L).as("r1"),
+      tercile(tok, 40L, 70L).as("r2"),
+      tercile(ne, 18L, 30L).as("r3"))
+    fleissKappaOver(votes, nCats = 3)
+  }
+
+  /** [[fleissKappaQuery]]'s statistic over an explicit (r1, r2, r3)
+    * category-vote frame — spec entry point. `nCats` fixes the
+    * category universe so empty categories still enter P̄_e. */
+  private[graft] def fleissKappaOver(votes: DataFrame, nCats: Int)
+      : DataFrame = {
+    val spark = votes.sparkSession
+    val raters = votes.columns.length // R
+    // Per-item category counts n_ij as k columns, then the two item
+    // sums the statistic needs: Σ_j n_ij² (exact) and the per-category
+    // contributions to C_j — all in ONE map-side-foldable aggregate.
+    val catCols = (0 until nCats).map { j =>
+      votes.columns.map(c =>
+          when(col(c) === j.toLong, 1L).otherwise(0L))
+        .reduce(_ + _).as(s"n_$j")
+    }
+    val perItem = votes.select(catCols: _*)
+    val s2 = (0 until nCats).map(j => col(s"n_$j") * col(s"n_$j"))
+      .reduce(_ + _)
+    val aggCols =
+      Seq(count(lit(1)).cast("long").as("n"),
+        sum(s2).cast("long").as("s2")) ++
+      (0 until nCats).map(j =>
+        sum(col(s"n_$j")).cast("long").as(s"c_$j"))
+    val g = perItem.agg(aggCols.head, aggCols.tail: _*)
+    val dec = "decimal(38,0)"
+    val sumC2 = (0 until nCats).map(j =>
+        col(s"c_$j").cast(dec) * col(s"c_$j").cast(dec))
+      .reduce(_ + _)
+    val withT = g
+      .withColumn("n_raters", lit(raters.toLong))
+      .withColumn("n_cats", lit(nCats.toLong))
+      .withColumn("nr", (col("n") * raters).cast(dec))
+      .withColumn("t_den",
+        (col("n") * raters * (raters - 1)).cast(dec))
+      .withColumn("m_den", col("nr") * col("nr"))
+      .withColumn("sum_c2", sumC2)
+      .withColumn("pbar_num", col("s2").cast(dec) - col("nr"))
+      .withColumn("knum",
+        col("pbar_num") * col("m_den") - col("t_den") * col("sum_c2"))
+      .withColumn("kden",
+        col("t_den") * (col("m_den") - col("sum_c2")))
+    def microFloor(num: String, den: String): Column =
+      expr(s"CAST(($num * 1000000 + 2000000 * $den) div $den " +
+        "AS BIGINT) - 2000000")
+    withT.select(
+      Seq(col("n"), col("n_raters"), col("n_cats")) ++
+      (0 until nCats).map(j => col(s"c_$j")) ++
+      Seq(
+        col("s2"),
+        microFloor("pbar_num", "t_den").as("pbar_micro"),
+        microFloor("sum_c2", "m_den").as("pe_micro"),
+        when(col("kden") > 0,
+          microFloor("knum", "kden")).as("kappa_micro")): _*)
+  }
+
+  /**
+   * Kendall rank association between two daily series — event VOLUME
+   * (count) and event REACH (distinct users) — the ordinal answer to
+   * "do busy days mean broad days, or a few heavy users?" that
+   * Pearson correlation gets wrong under heavy tails. Over all day
+   * pairs i < j, pairs are concordant when volume and reach move the
+   * same way, discordant when opposite; ties are split the standard
+   * three ways (x-only, y-only, both). Reported: Kendall's tau-a
+   * = (C − D)/n₀ with n₀ = n(n−1)/2, and Goodman–Kruskal's gamma
+   * = (C − D)/(C + D) — BOTH exact rationals (tau-b's √ correction
+   * is deliberately out of the hashed frame; C, D and the tie counts
+   * let any consumer derive it).
+   *
+   * Exactness: day = epoch-ms div 86 400 000 (pure integer, no
+   * date_trunc), counts and pair classifications are BIGINT, and the
+   * two statistics are offset floor-divisions in micro-units (the
+   * negative branch floors identically in every engine).
+   *
+   * Shape at 100 TB: the corpus folds map-side to the daily grid
+   * (count + partial-agg exact distinct); the pair join and the
+   * final fold run on that grid — days², set by the CALENDAR window,
+   * not the corpus. The grid frame is broadcast to its own self-join.
+   */
+  def kendallQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.load(spark, sfDir, "events")
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        col("user_id"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("x"),
+        count_distinct(col("user_id")).as("y"))
+    val a = daily.select(col("day").as("di"), col("x").as("xi"),
+      col("y").as("yi"))
+    val b = daily.select(col("day").as("dj"), col("x").as("xj"),
+      col("y").as("yj"))
+    val pairs = a.join(broadcast(b), col("dj") > col("di"))
+      .select((col("xj") - col("xi")).as("dx"),
+        (col("yj") - col("yi")).as("dy"))
+    val g = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L))
+        .as("conc"),
+      sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L))
+        .as("disc"),
+      sum(when(col("dx") === 0 && col("dy") =!= 0, 1L).otherwise(0L))
+        .as("tie_x"),
+      sum(when(col("dx") =!= 0 && col("dy") === 0, 1L).otherwise(0L))
+        .as("tie_y"),
+      sum(when(col("dx") === 0 && col("dy") === 0, 1L).otherwise(0L))
+        .as("tie_xy"))
+    g.crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
+      .withColumn("s_num", col("conc") - col("disc"))
+      .select(col("n_days"), col("n_pairs"), col("conc"), col("disc"),
+        col("tie_x"), col("tie_y"), col("tie_xy"),
+        expr("CAST((s_num * 1000000 + 2000000 * n_pairs) div " +
+          "n_pairs AS BIGINT) - 2000000").as("tau_a_micro"),
+        when(col("conc") + col("disc") > 0,
+          expr("CAST((s_num * 1000000 + 2000000 * (conc + disc)) " +
+            "div (conc + disc) AS BIGINT) - 2000000"))
+          .as("gamma_micro"))
+  }
 }

