@@ -91,6 +91,9 @@ object SparkEntry {
     // Fleiss' kappa: three length-tercile raters over documents,
     // multi-rater chance-corrected agreement as one exact rational
     "q_fleiss_kappa" -> (Inference.fleissKappaQuery _),
+    // Krippendorff's alpha: same raters WITH abstention bands —
+    // agreement under missing ratings, one exact rational
+    "q_krippendorff" -> (Inference.krippendorffQuery _),
     // Apriori 2-itemset layer: per-user engaged-type baskets, exact
     // pair supports + confidence/lift (cross-feature affinity)
     "q_itemsets" -> ((s, d) => Behavior.itemsetsQuery(s, d)),
@@ -6445,6 +6448,59 @@ object SparkEntry {
         |      - 2000000
         |  END AS kappa_micro
         |FROM t3""".stripMargin,
+    // Krippendorff's alpha: nullable votes (abstention bands on the
+    // token and 'e' raters), units with >= 2 votes; the per-unit
+    // disagreeing-pair closed form keeps everything integer.
+    "q_krippendorff" ->
+      """WITH base AS (SELECT n_chars,
+        |    len(string_split(text, ' ')) AS tok,
+        |    len(text) - len(replace(text, 'e', '')) AS ne
+        |  FROM documents),
+        |v AS (SELECT
+        |    CASE WHEN n_chars < 216 THEN 0 WHEN n_chars < 380 THEN 1
+        |      ELSE 2 END AS r1,
+        |    CASE WHEN (tok BETWEEN 37 AND 43)
+        |        OR (tok BETWEEN 67 AND 73) THEN NULL
+        |      WHEN tok < 40 THEN 0 WHEN tok < 70 THEN 1 ELSE 2 END
+        |      AS r2,
+        |    CASE WHEN (ne BETWEEN 16 AND 20)
+        |        OR (ne BETWEEN 28 AND 32) THEN NULL
+        |      WHEN ne < 18 THEN 0 WHEN ne < 30 THEN 1 ELSE 2 END
+        |      AS r3
+        |  FROM base),
+        |u AS (SELECT
+        |    CAST(coalesce((r1=0)::INT,0) + coalesce((r2=0)::INT,0)
+        |      + coalesce((r3=0)::INT,0) AS BIGINT) AS c0,
+        |    CAST(coalesce((r1=1)::INT,0) + coalesce((r2=1)::INT,0)
+        |      + coalesce((r3=1)::INT,0) AS BIGINT) AS c1,
+        |    CAST(coalesce((r1=2)::INT,0) + coalesce((r2=2)::INT,0)
+        |      + coalesce((r3=2)::INT,0) AS BIGINT) AS c2
+        |  FROM v),
+        |u2 AS (SELECT *, c0 + c1 + c2 AS m,
+        |    (c0 + c1 + c2) * (c0 + c1 + c2 - 1)
+        |      - (c0*(c0-1) + c1*(c1-1) + c2*(c2-1)) AS disp
+        |  FROM u WHERE c0 + c1 + c2 >= 2),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+        |    CAST(sum(m) AS BIGINT) AS n_ratings,
+        |    CAST(sum(c0) AS BIGINT) AS n_0,
+        |    CAST(sum(c1) AS BIGINT) AS n_1,
+        |    CAST(sum(c2) AS BIGINT) AS n_2,
+        |    CAST(sum(CASE WHEN m = 2 THEN disp * 2 ELSE disp END)
+        |      AS BIGINT) AS a_scaled
+        |  FROM u2),
+        |t AS (SELECT *,
+        |    CAST(n_ratings AS HUGEINT) * n_ratings
+        |      - (CAST(n_0 AS HUGEINT)*n_0 + CAST(n_1 AS HUGEINT)*n_1
+        |        + CAST(n_2 AS HUGEINT)*n_2) AS b_pairs,
+        |    CAST(n_ratings - 1 AS HUGEINT) * a_scaled AS num
+        |  FROM g),
+        |t2 AS (SELECT *, b_pairs * 2 AS den FROM t)
+        |SELECT n_units, n_ratings, n_0, n_1, n_2, a_scaled,
+        |  CASE WHEN den > 0 THEN
+        |    CAST(((den - num) * 1000000 + 2000000 * den) // den
+        |      AS BIGINT) - 2000000
+        |  END AS alpha_micro
+        |FROM t2""".stripMargin,
     // Competence-based curriculum: tier = rank-quantile of token
     // length, epoch e draws tiers 0..e, in-pool order by the md5
     // epoch key — the oracle replays rank, tiers, and permutation.

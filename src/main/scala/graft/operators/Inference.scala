@@ -769,4 +769,90 @@ object Inference {
             "div (conc + disc) AS BIGINT) - 2000000"))
           .as("gamma_micro"))
   }
+
+  /**
+   * Krippendorff's alpha (nominal data) — the agreement statistic the
+   * kappa family cannot give you once raters ABSTAIN: Cohen needs
+   * exactly two complete raters, Fleiss a constant rater count per
+   * item; alpha is defined over whatever ratings exist, weighting
+   * each unit by how much pairing information it carries. Here the
+   * three tercile raters of [[fleissKappaQuery]] gain abstention
+   * bands: the token rater withholds within ±3 of its cut points,
+   * the 'e'-count rater within ±2 — the "annotator skipped the hard
+   * ones" shape every labeling pipeline meets. Units with < 2
+   * remaining votes drop out (they carry no pairs).
+   *
+   * Exact-rational form: with per-unit category counts c_{i,v},
+   * m_i = Σ_v c_{i,v} ≥ 2, the disagreeing ordered pairs are
+   * disp_i = m_i(m_i−1) − Σ_v c_{i,v}(c_{i,v}−1) — always EVEN, so
+   * A = Σ_i 2·disp_i/(m_i−1) is an exact integer for R ≤ 3 (m_i−1 ∈
+   * {1,2}). Global marginals n_v = Σ_i c_{i,v}, n = Σ_v n_v, and
+   * B = n² − Σ_v n_v² gives alpha = 1 − (n−1)·A/(2B); alpha_micro is
+   * one offset floor-division on DECIMAL(38,0) products (alpha < 0 —
+   * worse than chance — floors identically in every engine).
+   *
+   * Shape at 100 TB: votes are a codegen projection; the whole
+   * statistic folds map-side to 6 counters (A, n, n_v, units); the
+   * alpha row is arithmetic on a 1-row frame. No shuffle wider than
+   * one partial-agg exchange.
+   */
+  def krippendorffQuery(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val tok = size(split(col("text"), " ", -1)).cast("long")
+    val ne = (length(col("text")) -
+      length(regexp_replace(col("text"), "e", ""))).cast("long")
+    def tercile(v: Column, lo: Long, hi: Long): Column =
+      when(v < lo, 0L).when(v < hi, 1L).otherwise(2L)
+    def band(v: Column, cut: Long, w: Long): Column =
+      v >= cut - w && v <= cut + w
+    val votes = d.select(
+      tercile(col("n_chars"), 216L, 380L).as("r1"),
+      when(!band(tok, 40L, 3L) && !band(tok, 70L, 3L),
+        tercile(tok, 40L, 70L)).as("r2"),
+      when(!band(ne, 18L, 2L) && !band(ne, 30L, 2L),
+        tercile(ne, 18L, 30L)).as("r3"))
+    krippendorffOver(votes)
+  }
+
+  /** [[krippendorffQuery]]'s statistic over an explicit nullable
+    * category-vote frame (one column per rater, null = abstained) —
+    * spec entry point. Categories are whatever values appear. */
+  private[graft] def krippendorffOver(votes: DataFrame): DataFrame = {
+    val rCols = votes.columns.toSeq
+    // per-unit counts per category value v in {0,1,2}
+    def cnt(v: Int): Column = rCols
+      .map(c => when(col(c) === v.toLong, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val perUnit = votes.select(
+        cnt(0).as("c0"), cnt(1).as("c1"), cnt(2).as("c2"))
+      .withColumn("m", col("c0") + col("c1") + col("c2"))
+      .filter(col("m") >= 2)
+    val disp = col("m") * (col("m") - 1) -
+      (col("c0") * (col("c0") - 1) + col("c1") * (col("c1") - 1) +
+        col("c2") * (col("c2") - 1))
+    val g = perUnit.agg(
+      count(lit(1)).as("n_units"),
+      sum(col("m")).as("n_ratings"),
+      sum(col("c0")).as("n_0"),
+      sum(col("c1")).as("n_1"),
+      sum(col("c2")).as("n_2"),
+      // 2·disp/(m−1): m=2 → 2·disp, m=3 → disp — exact integers
+      sum(when(col("m") === 2, disp * 2)
+        .otherwise(disp)).as("a_scaled"))
+    val dec = "decimal(38,0)"
+    g.withColumn("b_pairs",
+        col("n_ratings").cast(dec) * col("n_ratings").cast(dec) -
+          (col("n_0").cast(dec) * col("n_0").cast(dec) +
+           col("n_1").cast(dec) * col("n_1").cast(dec) +
+           col("n_2").cast(dec) * col("n_2").cast(dec)))
+      .withColumn("num",
+        (col("n_ratings") - 1).cast(dec) * col("a_scaled").cast(dec))
+      .withColumn("den", col("b_pairs") * 2)
+      .select(col("n_units"), col("n_ratings"),
+        col("n_0"), col("n_1"), col("n_2"), col("a_scaled"),
+        when(col("den") > 0,
+          expr("CAST(((den - num) * 1000000 + 2000000 * den) div " +
+            "den AS BIGINT) - 2000000")).as("alpha_micro"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Inference
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 /** Statistical-inference invariants: the contingency frame carries a
@@ -332,5 +333,47 @@ class InferenceSpec extends SparkSpec {
     // volume and reach of the same stream co-move: association must
     // be decisively positive
     assert(r.getLong(7) > 0L, s"tau-a ${r.getLong(7)} not positive")
+  }
+
+  test("krippendorff: marginals conserve ratings, alpha replays as " +
+      "an exact rational, abstention really drops units, extremes") {
+    // columns: n_units, n_ratings, n_0, n_1, n_2, a_scaled,
+    //          alpha_micro
+    val r = Inference.krippendorffQuery(spark, sfDir).collect()(0)
+    val nUnits = r.getLong(0)
+    val nRatings = r.getLong(1)
+    val docs = Tables.load(spark, sfDir, "documents").count()
+    // abstention bands must actually bite: fewer ratings than 3n,
+    // and possibly fewer units than documents
+    assert(nUnits <= docs && nRatings < 3 * docs)
+    assert(nRatings >= 2 * nUnits && nRatings <= 3 * nUnits)
+    assert(r.getLong(2) + r.getLong(3) + r.getLong(4) == nRatings)
+    val a = r.getLong(5)
+    val b = BigInt(nRatings) * nRatings -
+      Seq(2, 3, 4).map(i => BigInt(r.getLong(i)) * r.getLong(i)).sum
+    val num = BigInt(nRatings - 1) * a
+    val den = b * 2
+    val want = ((den - num) * 1000000 + 2000000 * den) / den - 2000000
+    assert(BigInt(r.getLong(6)) == want)
+    // correlated raters agree beyond chance
+    assert(r.getLong(6) > 200000L,
+      s"alpha ${r.getLong(6)} not clearly positive")
+    // constructed frames through the explicit-votes entry point;
+    // java.lang.Long so the DF columns are nullable
+    import SparkSpec.spark.implicits._
+    def jl(x: Int): java.lang.Long = java.lang.Long.valueOf(x.toLong)
+    val nl: java.lang.Long = null
+    def alpha(rows: Seq[(java.lang.Long, java.lang.Long,
+        java.lang.Long)]): Row =
+      Inference.krippendorffOver(rows.toDF("r1", "r2", "r3"))
+        .collect()(0)
+    // unanimous everywhere (with one abstention) -> alpha 1
+    val perfect = alpha(Seq((jl(0), jl(0), jl(0)),
+      (jl(1), jl(1), nl), (jl(2), jl(2), jl(2))))
+    assert(perfect.getLong(6) == 1000000L)
+    assert(perfect.getLong(1) == 8L) // the null really dropped out
+    // a unit with a single vote carries no pairs and must vanish
+    val dropped = alpha(Seq((jl(0), nl, nl), (jl(1), jl(1), jl(1))))
+    assert(dropped.getLong(0) == 1L && dropped.getLong(1) == 3L)
   }
 }
