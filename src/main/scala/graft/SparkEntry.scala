@@ -374,6 +374,9 @@ object SparkEntry {
     // Exact duplicated-substring spans (Lee et al. 2022): maximal
     // merged intervals of cross-doc-duplicated 5-word grams
     "q_dedup_spans" -> (Dedup.dupSpansQuery _),
+    // Content-defined chunking: rolling-hash boundaries, md5 chunk
+    // identity, corpus-wide shared-chunk accounting per doc
+    "q_cdc_chunks" -> (Dedup.cdcChunkQuery _),
     // The cut half of the Lee et al. pipeline: strip span words,
     // re-emit surviving prose (byte-exact md5 reconstruction gate)
     "q_dedup_spans_strip" -> (Dedup.dupSpanStripQuery _),
@@ -476,6 +479,9 @@ object SparkEntry {
     "q_quality_score" -> (Curation.qualityScoreQuery _),
     // Threshold-sweep classifier eval: confusion counts + P/R/F1
     "q_pr_curve" -> (Curation.prCurveQuery _),
+    // Decision-stump split finder: per feature, the threshold
+    // minimizing exact-rational weighted Gini vs the lang label
+    "q_gini_split" -> (Curation.giniSplitQuery _),
     "q_embed_quant" -> (Similarity.quantizationQuery _),
     // Streaming sessionization with custom event-time state
     // (flatMapGroupsWithState): drained replay of the static events
@@ -1590,6 +1596,63 @@ object SparkEntry {
         |FROM marked
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    // Content-defined chunking: the oracle replays the per-position
+    // polynomial window hash, the mod-64 cut rule, the shifted-list
+    // chunking, md5 chunk identity, and the corpus-wide shared-chunk
+    // join.
+    "q_cdc_chunks" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(text) >= 8 THEN
+        |      list_filter(list_transform(range(0, len(text) - 7),
+        |        i -> CASE WHEN (
+        |            CAST(ascii(substr(text, i + 1, 1)) AS BIGINT)
+        |          + CAST(ascii(substr(text, i + 2, 1)) AS BIGINT)*31
+        |          + CAST(ascii(substr(text, i + 3, 1)) AS BIGINT)*961
+        |          + CAST(ascii(substr(text, i + 4, 1)) AS BIGINT)
+        |            *29791
+        |          + CAST(ascii(substr(text, i + 5, 1)) AS BIGINT)
+        |            *923521
+        |          + CAST(ascii(substr(text, i + 6, 1)) AS BIGINT)
+        |            *28629151
+        |          + CAST(ascii(substr(text, i + 7, 1)) AS BIGINT)
+        |            *887503681
+        |          + CAST(ascii(substr(text, i + 8, 1)) AS BIGINT)
+        |            *27512614111) % 64 = 0
+        |          THEN CAST(i + 8 AS BIGINT)
+        |          ELSE CAST(-1 AS BIGINT) END),
+        |        x -> x >= 0)
+        |    ELSE [] END AS cuts
+        |  FROM documents),
+        |s AS (SELECT doc_id, text,
+        |    list_prepend(CAST(0 AS BIGINT), cuts) AS starts,
+        |    list_append(cuts, CAST(len(text) AS BIGINT)) AS ends
+        |  FROM c),
+        |sp AS (SELECT doc_id, text,
+        |    unnest(list_filter(list_transform(
+        |      range(1, len(starts) + 1),
+        |      k -> struct_pack(s := starts[k], e := ends[k])),
+        |      x -> x.e > x.s)) AS span
+        |  FROM s),
+        |ch AS (SELECT doc_id,
+        |    span.e - span.s AS clen,
+        |    md5(substr(text, CAST(span.s + 1 AS INT),
+        |      CAST(span.e - span.s AS INT))) AS fp
+        |  FROM sp),
+        |fc AS (SELECT fp, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ch GROUP BY fp)
+        |SELECT ch.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(ch.clen) AS BIGINT) AS n_chars,
+        |  CAST(min(ch.clen) AS BIGINT) AS min_len,
+        |  CAST(max(ch.clen) AS BIGINT) AS max_len,
+        |  CAST(sum(CASE WHEN fc.cnt >= 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS shared_chunks,
+        |  CAST(sum(CASE WHEN fc.cnt >= 2 THEN ch.clen ELSE 0 END)
+        |    AS BIGINT) AS shared_chars
+        |FROM ch JOIN fc ON ch.fp = fc.fp
+        |GROUP BY ch.doc_id
+        |ORDER BY ch.doc_id""".stripMargin,
     // q_dedup_spans replays gram extraction (overlapping 5-word
     // windows), the 60-bit md5-prefix gram key, the >1-distinct-doc
     // filter, and the gaps-and-islands interval merge window-for-
@@ -6448,6 +6511,68 @@ object SparkEntry {
         |      - 2000000
         |  END AS kappa_micro
         |FROM t3""".stripMargin,
+    // Gini stump: per-feature value grid, prefix-sum split counts,
+    // weighted Gini cleared to one rational per threshold; argmin at
+    // exact nano resolution with the threshold as tie-break.
+    "q_gini_split" ->
+      """WITH base AS (SELECT
+        |    CAST(n_chars AS BIGINT) AS f_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS f_tokens,
+        |    CAST(len(text) - len(replace(text, 'e', '')) AS BIGINT)
+        |      AS f_e,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |grids AS (
+        |  SELECT 'f_chars' AS feature, f_chars AS v,
+        |      CAST(count(*) AS BIGINT) AS cnt,
+        |      CAST(sum(pos) AS BIGINT) AS p
+        |    FROM base GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'f_tokens', f_tokens, CAST(count(*) AS BIGINT),
+        |      CAST(sum(pos) AS BIGINT)
+        |    FROM base GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'f_e', f_e, CAST(count(*) AS BIGINT),
+        |      CAST(sum(pos) AS BIGINT)
+        |    FROM base GROUP BY 2),
+        |walked AS (SELECT feature, v,
+        |    CAST(sum(cnt) OVER (PARTITION BY feature ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_l,
+        |    CAST(sum(p) OVER (PARTITION BY feature ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p_l,
+        |    CAST(sum(cnt) OVER (PARTITION BY feature) AS BIGINT)
+        |      AS n,
+        |    CAST(sum(p) OVER (PARTITION BY feature) AS BIGINT)
+        |      AS p_tot
+        |  FROM grids),
+        |proper AS (SELECT *, n - n_l AS n_r, p_tot - p_l AS p_r,
+        |    n_l - p_l AS q_l, (n - n_l) - (p_tot - p_l) AS q_r
+        |  FROM walked WHERE n_l < n),
+        |scored AS (SELECT *,
+        |    (CAST(n_l AS HUGEINT)*n_l - CAST(p_l AS HUGEINT)*p_l
+        |      - CAST(q_l AS HUGEINT)*q_l) * n_r
+        |    + (CAST(n_r AS HUGEINT)*n_r - CAST(p_r AS HUGEINT)*p_r
+        |      - CAST(q_r AS HUGEINT)*q_r) * n_l AS g_num,
+        |    CAST(n AS HUGEINT) * n_l * n_r AS g_den
+        |  FROM proper),
+        |ranked AS (SELECT *,
+        |    CAST(g_num * 1000000000 // g_den AS BIGINT) AS g_nano,
+        |    row_number() OVER (PARTITION BY feature
+        |      ORDER BY CAST(g_num * 1000000000 // g_den AS BIGINT),
+        |        v) AS rn
+        |  FROM scored)
+        |SELECT feature, v AS threshold, n_l, p_l, n_r, p_r,
+        |  CAST(g_num * 1000000 // g_den AS BIGINT) AS gini_micro,
+        |  CAST((CAST(n AS HUGEINT)*n - CAST(p_tot AS HUGEINT)*p_tot
+        |    - CAST(n - p_tot AS HUGEINT)*(n - p_tot)) * 1000000
+        |    // (CAST(n AS HUGEINT)*n) AS BIGINT) AS parent_micro,
+        |  CAST((CAST(n AS HUGEINT)*n - CAST(p_tot AS HUGEINT)*p_tot
+        |    - CAST(n - p_tot AS HUGEINT)*(n - p_tot)) * 1000000
+        |    // (CAST(n AS HUGEINT)*n) AS BIGINT)
+        |    - CAST(g_num * 1000000 // g_den AS BIGINT)
+        |    AS decrease_micro
+        |FROM ranked WHERE rn = 1
+        |ORDER BY feature""".stripMargin,
     // Krippendorff's alpha: nullable votes (abstention bands on the
     // token and 'e' raters), units with >= 2 votes; the per-unit
     // disagreeing-pair closed form keeps everything integer.

@@ -1172,6 +1172,91 @@ object Curation {
    * tiny frame. The corpus never shuffles; the windows partition by
    * class.
    */
+  /**
+   * Decision-stump split finder: for each candidate feature, the
+   * threshold minimizing weighted Gini impurity against the
+   * `lang = 'en'` label — the classic first move of quality-filter
+   * training (CART, Breiman 1984), and the exact feature-ranking
+   * primitive a labeling pipeline runs before spending on a real
+   * classifier. Features: character count, whitespace token count,
+   * 'e'-occurrence count.
+   *
+   * Exact-rational form: over the per-feature VALUE GRID (value,
+   * count, positives), prefix sums give each threshold's
+   * (n_L, p_L, n_R, p_R); weighted Gini clears to
+   * G = [(n_L²−p_L²−q_L²)·n_R + (n_R²−p_R²−q_R²)·n_L] / (n·n_L·n_R)
+   * with q = n − p — all DECIMAL(38,0) integer products (n³ ≈ 10²⁰
+   * at sf10 overflows BIGINT). The argmin compares G at exact NANO
+   * resolution (one integer division per row) with the threshold as
+   * deterministic tie-break; the winner's G, the parent impurity,
+   * and the decrease are re-emitted in micro-units.
+   *
+   * Shape at 100 TB: one scan folds map-side to three value grids
+   * (value-domain-sized, not corpus-sized); prefix windows partition
+   * by feature; everything after the first fold is grid arithmetic.
+   */
+  def giniSplitQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val tok = size(split(col("text"), " ", -1)).cast("long")
+    val ne = (length(col("text")) -
+      length(regexp_replace(col("text"), "e", ""))).cast("long")
+    val base = d.select(
+      col("n_chars").as("f_chars"), tok.as("f_tokens"), ne.as("f_e"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    def grid(f: String): DataFrame = base
+      .groupBy(col(f).as("v"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("p"))
+      .withColumn("feature", lit(f))
+    val grids = grid("f_chars")
+      .unionByName(grid("f_tokens"))
+      .unionByName(grid("f_e"))
+    val wPre = Window.partitionBy(col("feature")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("feature"))
+    val dec = "decimal(38,0)"
+    val walked = grids
+      .withColumn("n_l", sum(col("cnt")).over(wPre))
+      .withColumn("p_l", sum(col("p")).over(wPre))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("p_tot", sum(col("p")).over(wAll))
+      // the last grid row has n_R = 0: not a proper split
+      .filter(col("n_l") < col("n"))
+      .withColumn("n_r", col("n") - col("n_l"))
+      .withColumn("p_r", col("p_tot") - col("p_l"))
+      .withColumn("q_l", col("n_l") - col("p_l"))
+      .withColumn("q_r", col("n_r") - col("p_r"))
+      .withColumn("g_num",
+        (col("n_l").cast(dec) * col("n_l") -
+          col("p_l").cast(dec) * col("p_l") -
+          col("q_l").cast(dec) * col("q_l")) * col("n_r") +
+        (col("n_r").cast(dec) * col("n_r") -
+          col("p_r").cast(dec) * col("p_r") -
+          col("q_r").cast(dec) * col("q_r")) * col("n_l"))
+      .withColumn("g_den",
+        col("n").cast(dec) * col("n_l") * col("n_r"))
+      .withColumn("g_nano",
+        expr("CAST(g_num * 1000000000 div g_den AS BIGINT)"))
+    val wPick = Window.partitionBy(col("feature"))
+      .orderBy(col("g_nano"), col("v"))
+    walked
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .withColumn("gini_micro",
+        expr("CAST(g_num * 1000000 div g_den AS BIGINT)"))
+      // parent impurity on the same denominator family:
+      // g_parent = (n² − p² − q²)/n²
+      .withColumn("parent_micro", expr(
+        "CAST((CAST(n AS DECIMAL(38,0)) * n - CAST(p_tot AS " +
+        "DECIMAL(38,0)) * p_tot - CAST(n - p_tot AS DECIMAL(38,0)) " +
+        "* (n - p_tot)) * 1000000 div (CAST(n AS DECIMAL(38,0)) " +
+        "* n) AS BIGINT)"))
+      .select(col("feature"), col("v").as("threshold"),
+        col("n_l"), col("p_l"), col("n_r"), col("p_r"),
+        col("gini_micro"), col("parent_micro"),
+        (col("parent_micro") - col("gini_micro")).as("decrease_micro"))
+      .orderBy(col("feature"))
+  }
+
   def tClosenessQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val rows = Tables.load(spark, sfDir, "customer").select(
       col("c_nationkey").cast("long").as("nation"),

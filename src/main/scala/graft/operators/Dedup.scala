@@ -885,4 +885,82 @@ object Dedup {
           6).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /**
+   * Content-defined chunking (the rsync/LBFS primitive — Muthitacharoen
+   * et al., SOSP 2001): split each document at ROLLING-HASH boundaries
+   * so chunk identity survives insertions and deletions — the
+   * storage-dedup complement to the span/segment detectors above,
+   * which find shared content but do not define stable storage units.
+   * A position ends a chunk when the polynomial hash of the 8-char
+   * window before it satisfies H ≡ 0 (mod 64), giving ~64-char
+   * expected chunks whose boundaries move only locally under edits.
+   *
+   * Engine-exactness: the boundary rule is position-INDEPENDENT (no
+   * min/max-chunk state), so both engines evaluate it as a pure
+   * per-position map — no recursion, no sequential fold:
+   * H_i = Σ_{j=0..7} code(s[i+j])·31^j as exact BIGINTs (max ≈ 7·10¹²,
+   * far under 2⁶³), cut points via one array filter, chunks via
+   * zip_with over the shifted cut list. Fingerprint = md5 of the
+   * chunk text, identical in both engines.
+   *
+   * Shape at 100 TB: chunking is a document-local projection (the
+   * narrow per-partition decode pattern); only (doc_id, fingerprint,
+   * length) triples ever enter an exchange — the digest-only
+   * discipline — for one count-by-fingerprint and one join back.
+   * The output conserves each document: Σ chunk lengths = len(text),
+   * asserted by the spec and hashed by the gate.
+   */
+  def cdcChunkQuery(spark: SparkSession, sfDir: String): DataFrame =
+    cdcChunksOver(Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")))
+
+  /** [[cdcChunkQuery]] over an explicit (doc_id, text) frame — spec
+    * entry point. */
+  private[graft] def cdcChunksOver(docs: DataFrame): DataFrame = {
+    val pow = Array.iterate(1L, 8)(_ * 31L)
+    val hash = (0 until 8).map(j =>
+      s"CAST(ascii(substr(text, i + ${j + 1}, 1)) AS BIGINT) * " +
+        s"${pow(j)}").mkString(" + ")
+    val cuts =
+      s"""IF(length(text) >= 8,
+         |  filter(transform(
+         |    sequence(CAST(0 AS BIGINT), CAST(length(text) - 8
+         |      AS BIGINT)),
+         |    i -> CASE WHEN ($hash) % 64 = 0 THEN i + 8
+         |         ELSE CAST(-1 AS BIGINT) END),
+         |    x -> x >= 0),
+         |  CAST(array() AS ARRAY<BIGINT>))""".stripMargin
+    val chunkRows = docs
+      .withColumn("cuts", expr(cuts))
+      .withColumn("starts",
+        expr("concat(array(CAST(0 AS BIGINT)), cuts)"))
+      .withColumn("ends",
+        expr("concat(cuts, array(CAST(length(text) AS BIGINT)))"))
+      .withColumn("chunk", explode(expr(
+        """transform(
+          |  filter(zip_with(starts, ends,
+          |    (s, e) -> named_struct('s', s, 'e', e)),
+          |    c -> c.e > c.s),
+          |  c -> named_struct(
+          |    'start', c.s,
+          |    'clen', c.e - c.s,
+          |    'fp', md5(substr(text, CAST(c.s + 1 AS INT),
+          |      CAST(c.e - c.s AS INT)))))""".stripMargin)))
+      .select(col("doc_id"), col("chunk.start").as("start"),
+        col("chunk.clen").as("clen"), col("chunk.fp").as("fp"))
+    val fpCounts = chunkRows.groupBy(col("fp"))
+      .agg(count(lit(1)).as("cnt"))
+    chunkRows.join(fpCounts, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("clen")).as("n_chars"),
+        min(col("clen")).as("min_len"),
+        max(col("clen")).as("max_len"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L))
+          .as("shared_chunks"),
+        sum(when(col("cnt") >= 2, col("clen")).otherwise(0L))
+          .as("shared_chars"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -769,4 +769,51 @@ class CurationSpec extends SparkSpec {
     }
     assert(s1 == 0, "a proportional class must have EMD exactly 0")
   }
+
+  test("giniSplit: conservation per feature, argmin matches a " +
+      "BigInt brute force, split never worsens the parent") {
+    // columns: feature, threshold, n_l, p_l, n_r, p_r, gini_micro,
+    //          parent_micro, decrease_micro
+    val rows = Curation.giniSplitQuery(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("f_chars", "f_e", "f_tokens"))
+    val docs = Tables.load(spark, sfDir, "documents")
+    val n = docs.count()
+    val pos = docs.filter(col("lang") === "en").count()
+    for (r <- rows) {
+      assert(r.getLong(2) + r.getLong(4) == n, "n_l + n_r != n")
+      assert(r.getLong(3) + r.getLong(5) == pos, "p_l + p_r != pos")
+      assert(r.getLong(2) > 0 && r.getLong(4) > 0, "improper split")
+      assert(r.getLong(8) == r.getLong(7) - r.getLong(6))
+      assert(r.getLong(8) >= 0, "a best split cannot worsen Gini")
+      assert(r.getLong(6) >= 0 && r.getLong(6) <= 500000)
+    }
+    // all features share one parent impurity
+    assert(rows.map(_.getLong(7)).distinct.length == 1)
+    // brute-force the f_chars argmin with BigInt rationals
+    val vals = docs.select(col("n_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val grid = vals.groupBy(_._1).toSeq.map { case (v, g) =>
+      (v, BigInt(g.length), BigInt(g.map(_._2).sum))
+    }.sortBy(_._1)
+    val nTot = BigInt(n); val pTot = BigInt(pos)
+    var (nl, pl) = (BigInt(0), BigInt(0))
+    var best: Option[(BigInt, Long)] = None // (g_nano, threshold)
+    for ((v, c, p) <- grid.dropRight(1)) {
+      nl += c; pl += p
+      val (nr, pr) = (nTot - nl, pTot - pl)
+      val (ql, qr) = (nl - pl, nr - pr)
+      val gNum = (nl * nl - pl * pl - ql * ql) * nr +
+        (nr * nr - pr * pr - qr * qr) * nl
+      val gDen = nTot * nl * nr
+      val gNano = gNum * 1000000000L / gDen
+      if (best.isEmpty || gNano < best.get._1 ||
+          (gNano == best.get._1 && v < best.get._2))
+        best = Some((gNano, v))
+    }
+    val charRow = rows.find(_.getString(0) == "f_chars").get
+    assert(charRow.getLong(1) == best.get._2,
+      s"threshold ${charRow.getLong(1)} != brute ${best.get._2}")
+  }
 }

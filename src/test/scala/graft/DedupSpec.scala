@@ -269,4 +269,65 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((3L, 20L)) && got.contains((7L, 21L)))
     got.foreach { case ((_, _), (i, u)) => assert(i * 2 >= u) }
   }
+
+  test("cdc chunks: every document is partitioned exactly, a JVM " +
+      "replay of the rolling hash agrees, and identical docs share " +
+      "all chunks") {
+    // columns: doc_id, n_chunks, n_chars, min_len, max_len,
+    //          shared_chunks, shared_chars
+    val rows = Dedup.cdcChunkQuery(spark, sfDir).collect()
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(rows.length == docs.size, "one row per document")
+    for (r <- rows) {
+      assert(r.getLong(2) == docs(r.getLong(0)),
+        s"doc ${r.getLong(0)}: chunks don't conserve the text")
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= r.getLong(4))
+      assert(r.getLong(5) <= r.getLong(1) &&
+        r.getLong(6) <= r.getLong(2))
+    }
+    // JVM replay of the boundary rule on a constructed frame
+    def cuts(s: String): Seq[Int] = {
+      val pow = Array.iterate(1L, 8)(_ * 31L)
+      (0 to s.length - 8).filter { i =>
+        (0 until 8).map(j => s(i + j).toLong * pow(j)).sum % 64 == 0
+      }.map(_ + 8)
+    }
+    def chunksOf(s: String): Seq[String] = {
+      val c = cuts(s)
+      val bounds = (0 +: c) :+ s.length
+      bounds.zip(bounds.tail).filter(p => p._2 > p._1)
+        .map(p => s.substring(p._1, p._2)).filter(_.nonEmpty)
+    }
+    // a long synthetic string with guaranteed boundaries plus its
+    // exact twin and an unrelated doc; the whole statistic —
+    // including intra-document repeats, which legitimately count as
+    // shared for storage dedup — is replayed in the JVM
+    val base = (1 to 40).map(k => s"word$k block text unit").mkString(" ")
+    val other = (1 to 40).map(k => s"zeta$k other payload").mkString("-")
+    val corpus = Seq((1L, base), (2L, base), (3L, other))
+    val df = corpus.toDF("doc_id", "text")
+    val out = Dedup.cdcChunksOver(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val allChunks = corpus.flatMap { case (id, t) =>
+      chunksOf(t).map(c => (id, c))
+    }
+    val fpCount = allChunks.groupBy(_._2).view.mapValues(_.size).toMap
+    for ((id, t) <- corpus) {
+      val mine = allChunks.filter(_._1 == id).map(_._2)
+      assert(out(id).getLong(1) == mine.length,
+        s"doc $id: chunk count ${out(id).getLong(1)} != ${mine.length}")
+      assert(out(id).getLong(2) == t.length)
+      val shared = mine.filter(c => fpCount(c) >= 2)
+      assert(out(id).getLong(5) == shared.length,
+        s"doc $id: shared ${out(id).getLong(5)} != ${shared.length}")
+      assert(out(id).getLong(6) == shared.map(_.length).sum)
+    }
+    // the twins really share every chunk
+    assert(out(1L).getLong(5) == out(1L).getLong(1))
+    assert(out(1L).getLong(6) == base.length)
+    // premise check: the synthetic strings produced real boundaries
+    assert(out(1L).getLong(1) >= 3 && out(3L).getLong(1) >= 3)
+  }
 }
