@@ -85,6 +85,9 @@ object SparkEntry {
     // Two-proportion z-test on purchase conversion, cohorts by user
     // id parity (the experiment decision-gate readout)
     "q_ab_test" -> (Behavior.abTestQuery _),
+    // McNemar's paired test: same users across the two window
+    // halves; chi2 from the discordant cells as one exact rational
+    "q_mcnemar" -> (Behavior.mcnemarQuery _),
     // Cohen's kappa: chance-corrected heuristic-vs-gold agreement as
     // one exact rational (offset floor-division, no doubles)
     "q_cohen_kappa" -> (Inference.cohenKappaQuery _),
@@ -330,6 +333,9 @@ object SparkEntry {
     "q_shard_assign" -> (Sampling.shardAssignQuery _),
     "q_sample_stratified" -> ((s, d) => Sampling.stratifiedSampleQuery(s, d)),
     "q_split_leakfree" -> (Sampling.leakFreeSplitQuery _),
+    // Stratified k-fold splitter: md5-permuted round-robin deal per
+    // stratum, fold sizes within 1 by construction (cert hashed)
+    "q_kfold" -> ((s, d) => Sampling.kfoldQuery(s, d)),
     "q_sample_weighted" -> ((s, d) => Sampling.weightedSampleQuery(s, d)),
     "q_sample_wor" -> ((s, d) => Sampling.weightedWorQuery(s, d)),
     // Data selection: mixture resampling + DSIR importance weighting
@@ -2420,6 +2426,72 @@ object SparkEntry {
         |  floor(((pb - pa) / sev) * 1e10 + 0.5) / 1e10 AS z,
         |  abs(floor(((pb - pa) / sev) * 1e10 + 0.5) / 1e10) >= 1.96 AS significant
         |FROM s""".stripMargin,
+    // McNemar: integer epoch-ms midpoint, two conditional max bits
+    // per user, chi2 from the discordant cells as one non-negative
+    // integer division in micro-units.
+    "q_mcnemar" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events),
+        |mid AS (SELECT (min(ms) + max(ms) + 1) // 2 AS mid_ms
+        |  FROM e),
+        |k AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      AND ms < (SELECT mid_ms FROM mid) THEN 1 ELSE 0 END)
+        |      AS k1,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      AND ms >= (SELECT mid_ms FROM mid) THEN 1 ELSE 0 END)
+        |      AS k2
+        |  FROM e GROUP BY user_id),
+        |u AS (SELECT user_id,
+        |    CASE WHEN k1 >= 7 THEN 1 ELSE 0 END AS p1,
+        |    CASE WHEN k2 >= 7 THEN 1 ELSE 0 END AS p2
+        |  FROM k),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a_both,
+        |    CAST(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b_lost,
+        |    CAST(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c_gained,
+        |    CAST(sum(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d_neither
+        |  FROM u)
+        |SELECT n_users, a_both, b_lost, c_gained, d_neither,
+        |  CASE WHEN b_lost + c_gained > 0 THEN
+        |    CAST(CAST(b_lost - c_gained AS HUGEINT)
+        |      * (b_lost - c_gained) * 1000000
+        |      // (b_lost + c_gained) AS BIGINT)
+        |  END AS chi2_micro,
+        |  CASE WHEN b_lost = c_gained THEN 'none'
+        |    WHEN c_gained > b_lost THEN 'up'
+        |    ELSE 'down' END AS direction
+        |FROM g""".stripMargin,
+    // Stratified k-fold: md5-permuted in-stratum rank, round-robin
+    // fold deal, per-(stratum, fold) sizes and the balance cert
+    // joined back.
+    "q_kfold" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    md5('fold:' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents),
+        |rk AS (SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY skey, doc_id) AS BIGINT) AS rnk
+        |  FROM r),
+        |a AS (SELECT doc_id, lang, rnk, (rnk - 1) % 5 AS fold
+        |  FROM rk),
+        |fs AS (SELECT lang, fold, CAST(count(*) AS BIGINT)
+        |    AS fold_size
+        |  FROM a GROUP BY 1, 2),
+        |st AS (SELECT lang,
+        |    CAST(sum(fold_size) AS BIGINT) AS stratum_size,
+        |    max(fold_size) - min(fold_size) AS spread
+        |  FROM fs GROUP BY 1)
+        |SELECT a.doc_id, a.lang, a.rnk, a.fold, fs.fold_size,
+        |  st.stratum_size, st.spread <= 1 AS balanced
+        |FROM a
+        |JOIN fs ON fs.lang = a.lang AND fs.fold = a.fold
+        |JOIN st ON st.lang = a.lang
+        |ORDER BY a.doc_id""".stripMargin,
     // Q7 shape: same DECIMAL revenue rule as q5_join; the pair
     // predicate mirrors both directions.
     "q7_volume" ->

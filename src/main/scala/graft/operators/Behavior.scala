@@ -440,4 +440,64 @@ object Behavior {
           10).as("stickiness"))
       .orderBy(col("day"))
   }
+
+  /**
+   * McNemar's test (1947) — the PAIRED companion to [[abTestQuery]]:
+   * the A/B z-test compares two independent cohorts, but "did the
+   * same users change behavior between period 1 and period 2" is a
+   * paired design, and only the DISCORDANT pairs carry information.
+   * Each user is paired with themselves across the two halves of the
+   * observation window (split at the integer epoch-ms midpoint);
+   * outcome = REPEAT purchaser in that half (≥ 7 purchases — half of
+   * [[abTestQuery]]'s full-window median threshold, so the bit flips
+   * for a real fraction of users; "purchased at all" saturates to
+   * 100% concordance and zeroes the statistic). With b =
+   * converted-then-not
+   * and c = not-then-converted, the statistic is
+   * chi² = (b − c)²/(b + c) — an EXACT rational in the two counts,
+   * emitted in micro-units with one non-negative integer division
+   * (the concordant cells a and d are reported but, correctly, never
+   * enter the statistic).
+   *
+   * Shape at 100 TB: the window midpoint is a 1-row broadcast; the
+   * stream folds map-side to two bits per user; the 2×2 table is one
+   * 4-counter aggregate and the statistic is driver-free arithmetic
+   * on a 1-row frame.
+   */
+  def mcnemarQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_millis(ts)").as("ms"))
+    val mid = ev.agg(min(col("ms")).as("lo"), max(col("ms")).as("hi"))
+      .select(expr("(lo + hi + 1) div 2").as("mid_ms"))
+    val users = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase" &&
+          col("ms") < col("mid_ms"), 1L).otherwise(0L)).as("k1"),
+        sum(when(col("event_type") === "purchase" &&
+          col("ms") >= col("mid_ms"), 1L).otherwise(0L)).as("k2"))
+      .select(col("user_id"),
+        when(col("k1") >= 7L, 1L).otherwise(0L).as("p1"),
+        when(col("k2") >= 7L, 1L).otherwise(0L).as("p2"))
+    users.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("p1") === 1L && col("p2") === 1L, 1L)
+          .otherwise(0L)).as("a_both"),
+        sum(when(col("p1") === 1L && col("p2") === 0L, 1L)
+          .otherwise(0L)).as("b_lost"),
+        sum(when(col("p1") === 0L && col("p2") === 1L, 1L)
+          .otherwise(0L)).as("c_gained"),
+        sum(when(col("p1") === 0L && col("p2") === 0L, 1L)
+          .otherwise(0L)).as("d_neither"))
+      .select(col("n_users"), col("a_both"), col("b_lost"),
+        col("c_gained"), col("d_neither"),
+        when(col("b_lost") + col("c_gained") > 0, expr(
+          "CAST(CAST(b_lost - c_gained AS DECIMAL(38,0)) * " +
+          "(b_lost - c_gained) * 1000000 div (b_lost + c_gained) " +
+          "AS BIGINT)")).as("chi2_micro"),
+        when(col("b_lost") === col("c_gained"), lit("none"))
+          .when(col("c_gained") > col("b_lost"), lit("up"))
+          .otherwise(lit("down")).as("direction"))
+  }
 }

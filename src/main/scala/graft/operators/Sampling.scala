@@ -477,4 +477,53 @@ object Sampling {
         col("sum_wlen").cast("double") / col("n_eff").cast("double"), 6))
       .orderBy(col("rep"))
   }
+
+  /**
+   * Stratified k-fold assignment for cross-validation — the third
+   * split shape after hash-Bernoulli ([[sampleHash]]) and the
+   * group-leak-free holdout ([[q_split_leakfree]]'s operator): every
+   * stratum (here: `lang`) is divided into k folds whose sizes
+   * differ by AT MOST ONE, the balance guarantee naive per-row
+   * hashing (fold = hash % k) cannot give — binomial fluctuation
+   * unbalances small strata by far more than 1.
+   *
+   * Mechanism: a deterministic md5 key permutes each stratum, the
+   * in-stratum rank comes from [[Prefix.running]] (a per-stratum
+   * global `Window.orderBy` would drag whole strata — a 100 TB
+   * corpus has FEW languages, so strata are corpus-sized — into
+   * single tasks), and fold = (rank − 1) mod k deals ranks
+   * round-robin, which is what makes the ±1 balance exact rather
+   * than probabilistic. Per-(stratum, fold) sizes and the stratum's
+   * max−min spread are joined back (metadata-sized broadcast) so the
+   * gate hashes the balance certificate, not just the assignment.
+   *
+   * Shape at 100 TB: only (doc_id, lang, 32-hex key) rows move; one
+   * range exchange + in-partition sorts from Prefix.running, one
+   * metadata groupBy, two broadcast joins back.
+   */
+  def kfoldQuery(spark: SparkSession, sfDir: String,
+      k: Int = 5): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("skey",
+        md5(concat(lit("fold:"), col("doc_id").cast("string"))))
+    val ranked = Prefix.running(docs, Seq("lang"),
+      Seq(col("skey"), col("doc_id")),
+      Seq(Prefix.Running(lit(1L), "cnt", "rnk")))
+    val assigned = ranked
+      .withColumn("fold", (col("rnk") - 1) % k)
+      .select(col("doc_id"), col("lang"), col("rnk"), col("fold"))
+    val foldSizes = assigned.groupBy(col("lang"), col("fold"))
+      .agg(count(lit(1)).as("fold_size"))
+    val strata = foldSizes.groupBy(col("lang"))
+      .agg(sum(col("fold_size")).as("stratum_size"),
+        (max(col("fold_size")) - min(col("fold_size"))).as("spread"))
+    assigned
+      .join(broadcast(foldSizes), Seq("lang", "fold"))
+      .join(broadcast(strata), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("rnk"), col("fold"),
+        col("fold_size"), col("stratum_size"),
+        (col("spread") <= 1L).as("balanced"))
+      .orderBy(col("doc_id"))
+  }
 }

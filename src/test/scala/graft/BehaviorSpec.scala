@@ -206,4 +206,34 @@ class BehaviorSpec extends SparkSpec {
     assert(rows.last.getLong(2) == wantMau,
       s"last-day MAU ${rows.last.getLong(2)} != brute $wantMau")
   }
+
+  test("mcnemar: cells partition the users, chi2 replays from the " +
+      "discordant counts, direction consistent, brute-force agrees") {
+    // columns: n_users, a_both, b_lost, c_gained, d_neither,
+    //          chi2_micro, direction
+    val r = Behavior.mcnemarQuery(spark, sfDir).collect()(0)
+    val n = r.getLong(0)
+    val (a, b, c, d) = (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4))
+    assert(a + b + c + d == n, "cells must partition the users")
+    assert(b + c > 0, "premise: some discordant users at every sf")
+    val want = BigInt(b - c) * (b - c) * 1000000 / (b + c)
+    assert(BigInt(r.getLong(5)) == want)
+    assert(r.getString(6) ==
+      (if (b == c) "none" else if (c > b) "up" else "down"))
+    // brute-force the 2x2 from raw events with the same midpoint rule
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_millis(ts)").as("ms"))
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val mid = (ev.map(_._3).min + ev.map(_._3).max + 1) / 2
+    val byUser = ev.groupBy(_._1).view.mapValues { es =>
+      (es.count(e => e._2 == "purchase" && e._3 < mid) >= 7,
+        es.count(e => e._2 == "purchase" && e._3 >= mid) >= 7)
+    }.toMap
+    assert(n == byUser.size)
+    assert(b == byUser.values.count(p => p._1 && !p._2))
+    assert(c == byUser.values.count(p => !p._1 && p._2))
+  }
 }

@@ -306,4 +306,48 @@ class SamplingSpec extends SparkSpec {
       .map(_.toString).toSeq
     assert(again == rows.map(_.toString).toSeq)
   }
+
+  test("kfold: exhaustive JVM replay of the md5 deal, fold sizes " +
+      "within one per stratum, certificate columns honest") {
+    // columns: doc_id, lang, rnk, fold, fold_size, stratum_size,
+    //          balanced
+    val rows = Sampling.kfoldQuery(spark, sfDir).collect()
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == docs.length, "one row per document")
+    // JVM replay: md5 permute, rank, round-robin deal
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String): String = {
+      md.reset()
+      md.digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    }
+    val want = docs.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      ds.toSeq.map { case (id, _) => (id, hex(s"fold:$id")) }
+        .sortBy { case (id, h) => (h, id) }
+        .zipWithIndex.map { case ((id, _), i) =>
+          id -> (lang, i + 1L, i.toLong % 5)
+        }
+    }.toMap
+    for (r <- rows) {
+      val (lang, rnk, fold) = want(r.getLong(0))
+      assert(r.getString(1) == lang)
+      assert(r.getLong(2) == rnk,
+        s"doc ${r.getLong(0)}: rank ${r.getLong(2)} != $rnk")
+      assert(r.getLong(3) == fold)
+    }
+    // balance: per stratum, non-empty fold sizes within 1, and the
+    // hashed certificate columns match a recount
+    for ((lang, rs) <- rows.groupBy(_.getString(1))) {
+      val sizes = rs.groupBy(_.getLong(3)).view.mapValues(_.length)
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"stratum $lang unbalanced: $sizes")
+      for (r <- rs) {
+        assert(r.getLong(4) == sizes(r.getLong(3)))
+        assert(r.getLong(5) == rs.length)
+        assert(r.getBoolean(6))
+      }
+    }
+  }
 }
