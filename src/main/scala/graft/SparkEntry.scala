@@ -493,6 +493,10 @@ object SparkEntry {
     // (flatMapGroupsWithState): drained replay of the static events
     // table; emitted set = sessions whose end + gap the final
     // watermark strictly passed (see the oracle's WHERE clause)
+    // Streaming CUSUM drift monitor: watermark-finalized epoch-days,
+    // burn-in reference, exact scaled S+ recursion per event type
+    "q_stream_cusum" -> ((s, d) =>
+      graft.streaming.StreamingIngest.replayCusum(s, d)),
     "q_stream_sessions" -> ((s, d) =>
       graft.streaming.StreamingIngest.replaySessions(s, d)
         .select(col("user_id"), col("session_no"), col("n_events"),
@@ -6233,6 +6237,43 @@ object SparkEntry {
         |LEFT JOIN c ON u.user_id = c.user_id
         |LEFT JOIN p ON u.user_id = p.user_id
         |ORDER BY u.user_id""".stripMargin,
+    // Streaming CUSUM: finalized days = those whose end the final
+    // watermark (max ts - 10 min) passed; first 7 per type are
+    // burn-in (reference total M); S+ = C - min(0, runmin C) on
+    // W-scaled integers; alarm line M*W/2.
+    "q_stream_cusum" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) AS ms
+        |  FROM events),
+        |wm AS (SELECT max(ms) - 600000 AS wm FROM e),
+        |d AS (SELECT event_type, ms // 86400000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM e GROUP BY 1, 2),
+        |fin AS (SELECT * FROM d
+        |  WHERE (day + 1) * 86400000 <= (SELECT wm FROM wm)),
+        |rk AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY event_type ORDER BY day) AS BIGINT) AS rn
+        |  FROM fin),
+        |burn AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS m
+        |  FROM rk WHERE rn <= 7 GROUP BY 1),
+        |post AS (SELECT rk.event_type, rk.day, rk.x, burn.m,
+        |    CAST(sum(rk.x * 7 - burn.m) OVER (
+        |      PARTITION BY rk.event_type ORDER BY rk.day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        |  FROM rk JOIN burn ON burn.event_type = rk.event_type
+        |  WHERE rk.rn > 7),
+        |s AS (SELECT *, CAST(least(0, min(c) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS cmin
+        |  FROM post)
+        |SELECT event_type, day, x, 'burnin' AS phase,
+        |  CAST(NULL AS BIGINT) AS s_plus,
+        |  CAST(NULL AS BOOLEAN) AS alarmed
+        |FROM rk WHERE rn <= 7
+        |UNION ALL
+        |SELECT event_type, day, x, 'monitor', c - cmin,
+        |  (c - cmin) > (m * 7) // 2
+        |FROM s
+        |ORDER BY event_type, day""".stripMargin,
     "q_stream_sessions" ->
       """WITH g AS (
         |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,

@@ -760,4 +760,110 @@ object StreamingIngest {
         col("row.o_totalprice").as("price"))
       .orderBy(col("row_id"), col("change_txn"))
   }
+
+  case class CusumEv(event_type: String, ts: java.sql.Timestamp)
+  /** Per-type monitor state: burn-in progress (`burnSeen`, total `m`),
+    * the scaled-CUSUM recursion (`c`, `cMin` = min(0, running min of
+    * c)), and the day-count buffer for days the watermark has not yet
+    * finalized (bounded by the watermark horizon, not stream length). */
+  case class CusumSt(burnSeen: Int, m: Long, c: Long, cMin: Long,
+      open: Map[Long, Long])
+  case class CusumRow(event_type: String, day: Long, x: Long,
+      phase: String, s_plus: Option[Long], alarmed: Option[Boolean])
+
+  /**
+   * Streaming CUSUM drift monitor per event type — the real-time face
+   * of the batch detector ([[graft.operators.Scale.cusumQuery]]): the
+   * batch pass centers on the WHOLE series' mean, which no stream can
+   * know, so the streaming contract is the standard one (Page 1954,
+   * production form): the first `burnDays` FINALIZED days fix the
+   * reference total M, and every later finalized day feeds the
+   * scaled recursion S⁺_d = max(0, S⁺_{d−1} + (x_d·W − M)) — exact
+   * integers throughout (counts scaled by W clear the mean's
+   * denominator), via the same C − min(0, runmin C) closed form the
+   * batch gate uses. Alarm when S⁺ > M·W/2 — a sustained excess of
+   * half the burn-in daily mean over a full burn-in width.
+   *
+   * Day boundaries are event-time epoch-days; a day finalizes ONLY
+   * when the watermark passes its end — the sessionizer's discipline:
+   * late events within the horizon still land in their day's buffered
+   * count, days finalize strictly in order (the recursion demands
+   * it), and the emitted set on a drained replay is exactly the
+   * per-type day prefix the final watermark passed — the boundary the
+   * oracle encodes.
+   *
+   * Shape at 100 TB: state per type is one open-day map bounded by
+   * the watermark horizon plus four counters; the stream folds to
+   * per-(type, day) increments inside the shuffle — nothing grows
+   * with history.
+   */
+  def cusumStream(events: Dataset[CusumEv], burnDays: Int = 7,
+      watermarkDelay: String = "10 minutes"): Dataset[CusumRow] = {
+    import events.sparkSession.implicits._
+    val dayMs = 86400000L
+    val w = burnDays.toLong
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumSt, CusumRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (etype: String, rows: Iterator[CusumEv],
+            state: GroupState[CusumSt]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(
+            CusumSt(0, 0L, 0L, 0L, Map.empty))
+          // fold the batch into per-day buffered counts (events older
+          // than the watermark are dropped deterministically)
+          val open = rows.foldLeft(prev.open) { (acc, e) =>
+            val ms = e.ts.getTime
+            if (ms < wm) acc
+            else {
+              val d = ms / dayMs
+              acc.updated(d, acc.getOrElse(d, 0L) + 1L)
+            }
+          }
+          // finalize, in day order, every buffered day whose end the
+          // watermark has passed — the recursion consumes a prefix
+          val (done, still) = open.partition {
+            case (d, _) => (d + 1) * dayMs <= wm
+          }
+          var (burnSeen, m, c, cMin) =
+            (prev.burnSeen, prev.m, prev.c, prev.cMin)
+          val out = done.toSeq.sortBy(_._1).map { case (d, x) =>
+            if (burnSeen < burnDays) {
+              burnSeen += 1; m += x
+              CusumRow(etype, d, x, "burnin", None, None)
+            } else {
+              c += x * w - m
+              cMin = math.min(cMin, c)
+              val s = c - cMin
+              CusumRow(etype, d, x, "monitor", Some(s),
+                Some(s > m * w / 2))
+            }
+          }
+          if (still.nonEmpty) {
+            state.update(CusumSt(burnSeen, m, c, cMin, still))
+            // fire when the earliest open day becomes finalizable
+            state.setTimeoutTimestamp(
+              math.max((still.keys.min + 1) * dayMs, wm + 1))
+          } else if (state.exists) {
+            state.remove()
+          }
+          out.iterator
+      }
+  }
+
+  /** Drained-replay gate for [[cusumStream]]: the emitted set is the
+    * per-type prefix of days whose end the final watermark
+    * (max event time − 10 min) passed; the first 7 finalized days per
+    * type are the burn-in, the rest carry the exact scaled S⁺ and the
+    * M·W/2 alarm line. */
+  def replayCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stream = eventStream(spark, sfDir)
+      .select(col("event_type"), col("ts")).as[CusumEv]
+    spark.read.parquet(
+      runToParquet(cusumStream(stream).toDF(), "stream_cusum"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }

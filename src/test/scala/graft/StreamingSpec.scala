@@ -415,4 +415,64 @@ class StreamingSpec extends SparkSpec {
     assert(second == Set((1L, 2L), (2L, 3L), (3L, 3L)),
       s"after the tail drain: $second")
   }
+
+  test("cusumStream: incremental arrival finalizes days in order, " +
+      "the scaled recursion replays by hand, a spike alarms, and " +
+      "beyond-watermark stragglers are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val events = mem.toDF().toDF("event_type", "ts")
+      .as[StreamingIngest.CusumEv]
+    // burn-in 2 days, watermark 10 min; scaled units: W = 2
+    val out = StreamingIngest.cusumStream(events, burnDays = 2)
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("cusum_test").outputMode("append").start()
+    def rows(): Seq[(String, Long, Long, String, Option[Long],
+        Option[Boolean])] =
+      spark.table("cusum_test")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getString(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getBoolean(5))))
+        .toSeq.sortBy(x => (x._1, x._2))
+    def day(d: Int, hm: String) =
+      Timestamp.valueOf(f"2026-01-${d + 1}%02d $hm:00")
+    val epochDay0 = day(0, "00:00").getTime / 86400000L
+    try {
+      // day 0: x=3, day 1: x=5 (the burn-in pair, M = 8)
+      mem.addData(Seq.fill(3)(("a", day(0, "10:00"))) ++
+        Seq.fill(5)(("a", day(1, "11:00"))): _*)
+      q.processAllAvailable()
+      // the watermark (day-1 11:00 − 10 min) already passed day 0's
+      // end, so day 0 finalizes; day 1 is still open
+      assert(rows() == Seq(("a", epochDay0, 3L, "burnin", None, None)),
+        "only day 0 may finalize before day 1 ends")
+      // day 3 traffic pushes the watermark past days 1-2; day 1
+      // finalizes as the second burn-in day
+      mem.addData(Seq.fill(4)(("a", day(3, "12:00"))): _*)
+      q.processAllAvailable()
+      assert(rows() == Seq(
+        ("a", epochDay0, 3L, "burnin", None, None),
+        ("a", epochDay0 + 1, 5L, "burnin", None, None)))
+      // day 4 closes day 3: first monitored day, x=4,
+      // c = 4*2 - 8 = 0 -> s = 0, alarm line M*W/2 = 8 -> quiet
+      mem.addData(("a", day(4, "09:00")))
+      q.processAllAvailable()
+      assert(rows().last == ("a", epochDay0 + 3, 4L, "monitor",
+        Some(0L), Some(false)))
+      // a 50-event spike on day 4, then day 6 closes it:
+      // c = 0 + (51*2 - 8) = 94 -> s = 94 > 8 -> ALARM
+      mem.addData(Seq.fill(50)(("a", day(4, "18:00"))): _*)
+      mem.addData(("a", day(6, "08:00")))
+      q.processAllAvailable()
+      assert(rows().last == ("a", epochDay0 + 4, 51L, "monitor",
+        Some(94L), Some(true)))
+      val before = rows()
+      // a straggler for long-finalized day 0 is beyond the watermark:
+      // dropped, nothing re-emits, no count changes
+      mem.addData(("a", day(0, "23:00")))
+      q.processAllAvailable()
+      assert(rows() == before, "beyond-watermark event must drop")
+    } finally q.stop()
+  }
 }
