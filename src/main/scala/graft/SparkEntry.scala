@@ -383,6 +383,9 @@ object SparkEntry {
     // Content-defined chunking: rolling-hash boundaries, md5 chunk
     // identity, corpus-wide shared-chunk accounting per doc
     "q_cdc_chunks" -> (Dedup.cdcChunkQuery _),
+    // Incremental-crawl novelty curve: per arrival batch, the
+    // fraction of content whose digest first occurs there
+    "q_novelty_curve" -> ((s, d) => Dedup.noveltyCurveQuery(s, d)),
     // The cut half of the Lee et al. pipeline: strip span words,
     // re-emit surviving prose (byte-exact md5 reconstruction gate)
     "q_dedup_spans_strip" -> (Dedup.dupSpanStripQuery _),
@@ -1606,6 +1609,22 @@ object SparkEntry {
         |FROM marked
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    // Novelty curve: md5 first-occurrence keeper rule, doc_id-div
+    // batches, one exact integer division per batch.
+    "q_novelty_curve" ->
+      """WITH d AS (SELECT doc_id, doc_id // 50 AS batch,
+        |    md5(text) AS fp
+        |  FROM documents),
+        |f AS (SELECT fp, CAST(min(doc_id) AS BIGINT) AS first_doc
+        |  FROM d GROUP BY fp)
+        |SELECT d.batch, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN d.doc_id = f.first_doc THEN 1 ELSE 0
+        |    END) AS BIGINT) AS novel_docs,
+        |  CAST(sum(CASE WHEN d.doc_id = f.first_doc THEN 1 ELSE 0
+        |    END) * 1000000 // count(*) AS BIGINT) AS novel_micro
+        |FROM d JOIN f ON d.fp = f.fp
+        |GROUP BY d.batch
+        |ORDER BY d.batch""".stripMargin,
     // Content-defined chunking: the oracle replays the per-position
     // polynomial window hash, the mod-64 cut rule, the shifted-list
     // chunking, md5 chunk identity, and the corpus-wide shared-chunk

@@ -887,6 +887,42 @@ object Dedup {
   }
 
   /**
+   * Incremental-crawl novelty curve: as batches of documents arrive,
+   * what fraction of each batch is content never seen before? The
+   * operational readout of [[dedupIncremental]]'s premise — crawl
+   * yield DECAYS as the frontier re-visits, and the curve is what
+   * decides when a source is exhausted. Arrival order rides doc_id
+   * (the corpus has no ingest timestamp); batch = doc_id div
+   * `batchSize`. A document is novel iff its content digest's FIRST
+   * occurrence (min doc_id corpus-wide — [[exactQuery]]'s keeper
+   * rule) falls on it; everything else in the batch is re-crawled
+   * mass.
+   *
+   * Shape at 100 TB: text reduces to md5 at the scan; one
+   * digest-keyed min-agg (map-side partial) + one digest join back —
+   * digest-only exchanges — then a batch-count fold. The curve is
+   * batches-sized, and novel_micro is one exact integer division.
+   */
+  def noveltyCurveQuery(spark: SparkSession, sfDir: String,
+      batchSize: Long = 50L): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(s"doc_id div $batchSize")
+        .as("batch"), md5(col("text")).as("fp"))
+    val firstSeen = docs.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    docs.join(firstSeen, Seq("fp"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("first_doc"), 1L)
+          .otherwise(0L)).as("novel_docs"))
+      .withColumn("novel_micro",
+        expr("CAST(novel_docs * 1000000 div n_docs AS BIGINT)"))
+      .select(col("batch"), col("n_docs"), col("novel_docs"),
+        col("novel_micro"))
+      .orderBy(col("batch"))
+  }
+
+  /**
    * Content-defined chunking (the rsync/LBFS primitive — Muthitacharoen
    * et al., SOSP 2001): split each document at ROLLING-HASH boundaries
    * so chunk identity survives insertions and deletions — the

@@ -330,4 +330,27 @@ class DedupSpec extends SparkSpec {
     // premise check: the synthetic strings produced real boundaries
     assert(out(1L).getLong(1) >= 3 && out(3L).getLong(1) >= 3)
   }
+
+  test("novelty curve: batches conserve the corpus, novel totals " +
+      "equal the distinct-digest count, first batch maximally novel") {
+    // columns: batch, n_docs, novel_docs, novel_micro
+    val rows = Dedup.noveltyCurveQuery(spark, sfDir).collect()
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.map(_.getLong(1)).sum == docs.length)
+    // Σ novel across batches = one per distinct digest, corpus-wide
+    assert(rows.map(_.getLong(2)).sum == docs.map(_._2).distinct.length)
+    // replay one batch by hand: batch 0's novel = its distinct
+    // digests (nothing arrived earlier)
+    val b0 = docs.filter(_._1 / 50 == 0)
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(r0.getLong(1) == b0.length)
+    assert(r0.getLong(2) == b0.map(_._2).distinct.length)
+    for (r <- rows) {
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(BigInt(r.getLong(3)) ==
+        BigInt(r.getLong(2)) * 1000000 / r.getLong(1))
+    }
+  }
 }
