@@ -181,6 +181,15 @@ object SparkEntry {
     // TPC-H Q13 shape: order-count distribution over a LEFT join
     // (zero-count customers retained)
     "q13_custdist" -> (Relational.q13CustDist _),
+    // TPC-H Q6 shape: pure filter-aggregate, every predicate pushed
+    "q6_forecast" -> (Relational.q6Forecast _),
+    // TPC-H Q4 shape: per-priority orders with a returned line item
+    // (distinct-projected semi join)
+    "q4_priority" -> (Relational.q4Priority _),
+    // TPC-H Q14 shape: promo revenue share as an exact micro-ratio
+    "q14_promo" -> (Relational.q14Promo _),
+    // TPC-H Q19 shape: three-branch (brand, size, qty) disjunction
+    "q19_disjunct" -> (Relational.q19Disjunct _),
     // Three-valued-logic parity: COUNT(*)/COUNT(col), NULL SUM/AVG
     // over empty groups, bool_and over all-NULL, NULL comparisons
     "q_null_semantics" -> (Relational.nullSemanticsQuery _),
@@ -2678,6 +2687,78 @@ object SparkEntry {
         |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
         |FROM pc GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // Q6 shape: one exact DECIMAL revenue sum under pushed filters.
+    "q6_forecast" ->
+      """SELECT
+        |  CAST(round(sum(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01'
+        |  AND l_shipdate < '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    // Q4 shape: distinct returned order keys joined back (the
+    // EXISTS-free formulation), counts per priority.
+    "q4_priority" ->
+      """WITH r AS (SELECT DISTINCT l_orderkey FROM lineitem
+        |  WHERE l_returnflag = 'R')
+        |SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders JOIN r ON o_orderkey = r.l_orderkey
+        |WHERE o_orderdate >= '1996-01-01'
+        |  AND o_orderdate < '1996-04-01'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // Q14 shape: DECIMAL revenue split, share as a truncating
+    // integer division on positives.
+    "q14_promo" ->
+      """WITH j AS (
+        |  SELECT CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(28,8)) AS rev, p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= '1996-03-01'
+        |    AND l_shipdate < '1996-04-01'),
+        |g AS (SELECT
+        |    sum(CASE WHEN p_type = 'PROMO' THEN rev
+        |      ELSE CAST(0 AS DECIMAL(28,8)) END) AS promo_rev_d,
+        |    sum(rev) AS total_rev_d,
+        |    CAST(count(*) AS BIGINT) AS n_items
+        |  FROM j),
+        |c AS (SELECT *,
+        |    CAST(CAST(round(promo_rev_d, 2) AS DECIMAL(20,2)) * 100
+        |      AS BIGINT) AS promo_cents,
+        |    CAST(CAST(round(total_rev_d, 2) AS DECIMAL(20,2)) * 100
+        |      AS BIGINT) AS total_cents
+        |  FROM g)
+        |SELECT
+        |  CAST(round(promo_rev_d, 2) AS DOUBLE) AS promo_rev,
+        |  CAST(round(total_rev_d, 2) AS DOUBLE) AS total_rev,
+        |  n_items,
+        |  CAST(CAST(promo_cents AS HUGEINT) * 1000000
+        |    // total_cents AS BIGINT) AS promo_micro
+        |FROM c""".stripMargin,
+    // Q19 shape: disjoint branded bands partition the matches.
+    "q19_disjunct" ->
+      """WITH j AS (
+        |  SELECT l_quantity, l_extendedprice, l_discount, p_brand,
+        |    p_size,
+        |    CASE
+        |      WHEN p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 11 THEN 1
+        |      WHEN p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+        |        AND l_quantity BETWEEN 10 AND 20 THEN 2
+        |      WHEN p_brand = 'Brand#22' AND p_size BETWEEN 20 AND 50
+        |        AND l_quantity BETWEEN 20 AND 30 THEN 3
+        |    END AS branch
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT CAST(branch AS INTEGER) AS branch,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
+        |FROM j WHERE branch IS NOT NULL
+        |GROUP BY branch
+        |ORDER BY branch""".stripMargin,
     // NULL semantics: engines must agree cell-for-cell on every NULL
     // (COUNT(*) vs COUNT(col), NULL SUM/AVG, bool_and, NULL compares).
     "q_null_semantics" ->

@@ -234,6 +234,116 @@ object Relational {
   }
 
   /**
+   * TPC-H Q6 shape (forecasting revenue change): the pure
+   * filter-aggregate — every predicate (date range, discount band,
+   * quantity cap) must reach the parquet scan as a pushed filter, and
+   * the answer is one exact DECIMAL sum. The canonical "how much
+   * revenue would a discount policy change move" one-pass audit.
+   */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24.0)
+      .agg(
+        round(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(28,8)")), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /**
+   * TPC-H Q4 shape (order-priority checking): orders in one quarter
+   * that had at least one RETURNED line item, counted per priority
+   * class — the decorrelated-EXISTS pattern. (The reduced test schema
+   * carries no commit/receipt dates, so the Q4 "late delivery"
+   * predicate becomes `l_returnflag = 'R'`; the plan shape — a
+   * distinct-projected semi join that never duplicates orders — is
+   * the thing under test.) The semi side reduces to DISTINCT order
+   * keys before the join, so a returned-many-times order still counts
+   * once.
+   */
+  def q4Priority(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val returned = t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey")).distinct()
+    ord.join(returned, ord("o_orderkey") === returned("l_orderkey"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /**
+   * TPC-H Q14 shape (promotion effect): one month's lineitem revenue
+   * joined to `part`, split into promo vs total, with the share as an
+   * exact integer micro-ratio — DECIMAL sums per the q5 rule, then
+   * the share defined on the CENT-ROUNDED revenues as pure BIGINT
+   * cents before one integer division. (A direct `div` on the
+   * scale-8 DECIMAL sums is NOT cross-engine safe: Spark's decimal
+   * IntegralDivide takes the precision-loss multiply path and lands
+   * one off at floor boundaries — caught by this gate at sf0.001.)
+   */
+  def q14Promo(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(28,8)")
+    li.join(broadcast(t(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast("decimal(28,8)"))).as("promo_rev_d"),
+        sum(rev).as("total_rev_d"),
+        count(lit(1)).as("n_items"))
+      .withColumn("promo_cents", expr(
+        "CAST(CAST(round(promo_rev_d, 2) AS DECIMAL(20,2)) * 100 " +
+        "AS BIGINT)"))
+      .withColumn("total_cents", expr(
+        "CAST(CAST(round(total_rev_d, 2) AS DECIMAL(20,2)) * 100 " +
+        "AS BIGINT)"))
+      .select(
+        round(col("promo_rev_d"), 2).cast("double").as("promo_rev"),
+        round(col("total_rev_d"), 2).cast("double").as("total_rev"),
+        col("n_items"),
+        expr("CAST(CAST(promo_cents AS DECIMAL(38,0)) * 1000000 " +
+          "div total_cents AS BIGINT)").as("promo_micro"))
+  }
+
+  /**
+   * TPC-H Q19 shape (discounted revenue by branded quantity bands):
+   * a three-branch disjunction over (brand, size band, quantity
+   * band) — the predicate-pushdown stress case where the OR must
+   * still prune at the scan — reported PER BRANCH (brands are
+   * disjoint, so the branches partition the matches).
+   */
+  def q19Disjunct(s: SparkSession, dir: String): DataFrame = {
+    val branch =
+      when(col("p_brand") === "Brand#1" &&
+        col("p_size").between(1, 15) &&
+        col("l_quantity").between(1.0, 11.0), 1)
+      .when(col("p_brand") === "Brand#13" &&
+        col("p_size").between(10, 30) &&
+        col("l_quantity").between(10.0, 20.0), 2)
+      .when(col("p_brand") === "Brand#22" &&
+        col("p_size").between(20, 50) &&
+        col("l_quantity").between(20.0, 30.0), 3)
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("branch", branch)
+      .filter(col("branch").isNotNull)
+      .groupBy(col("branch"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,8)")), 2).cast("double").as("revenue"))
+      .orderBy(col("branch"))
+  }
+
+  /**
    * NULL-semantics parity gate: per customer, aggregates over a LEFT
    * join to their 1995 orders, exercising exactly the three-valued-
    * logic rules engines most often get subtly wrong — COUNT(*) vs
