@@ -465,6 +465,9 @@ object SparkEntry {
     // 5 greedy steps replayed as unrolled CTEs
     "q_mmr" -> ((s, d) => Retrieval.mmrQuery(s, d)),
     "q_embed_stats" -> (Similarity.embeddingStatsQuery _),
+    // Embedding centroid drift: squared L2 between parity-cohort
+    // label centroids as one exact rational per label
+    "q_embed_drift" -> (Similarity.embedDriftQuery _),
     // Corpus curation (north star: decontamination, privacy, quality
     // gates, sequence packing)
     "q_contamination" -> (Curation.contaminationQuery _),
@@ -5733,6 +5736,46 @@ object SparkEntry {
         |    ORDER BY doc_id) AS rn FROM fresh)
         |SELECT doc_id, lang, source, bloom_hit FROM k WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    // Embedding centroid drift: per-component micro quantization,
+    // grid sums, squared distance cleared to the (n0*n1)^2*1e12
+    // denominator; top-shift dim deterministic on (sq desc, dim).
+    "q_embed_drift" ->
+      """WITH r AS (
+        |  SELECT CAST(label AS BIGINT) AS label, vec_id % 2 AS half,
+        |    unnest(generate_series(1, len(embedding))) AS dim1,
+        |    embedding
+        |  FROM embeddings),
+        |v AS (SELECT label, half, dim1 - 1 AS dim,
+        |    CAST(floor(CAST(embedding[dim1] AS DOUBLE) * 1000000
+        |      + 0.5) AS BIGINT) AS vi
+        |  FROM r),
+        |g AS (SELECT label, half, dim,
+        |    CAST(sum(vi) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM v GROUP BY 1, 2, 3),
+        |h0 AS (SELECT label, dim, s AS s0, n AS n0 FROM g
+        |  WHERE half = 0),
+        |h1 AS (SELECT label, dim, s AS s1, n AS n1 FROM g
+        |  WHERE half = 1),
+        |d AS (SELECT h0.label, h0.dim, h0.n0, h1.n1,
+        |    (CAST(h0.s0 AS HUGEINT) * h1.n1
+        |      - CAST(h1.s1 AS HUGEINT) * h0.n0) AS diff
+        |  FROM h0 JOIN h1 ON h0.label = h1.label
+        |    AND h0.dim = h1.dim),
+        |sq AS (SELECT *, diff * diff AS sq,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY diff * diff DESC, dim) AS rk
+        |  FROM d)
+        |SELECT label, max(n0) AS n0, max(n1) AS n1,
+        |  CAST(sum(sq) * 1000000
+        |    // (CAST(max(n0) AS HUGEINT) * max(n1)
+        |      * (CAST(max(n0) AS HUGEINT) * max(n1))
+        |      * 1000000000000) AS BIGINT) AS dist_sq_micro,
+        |  max(CASE WHEN rk = 1 THEN dim END) AS top_dim,
+        |  CAST(max(CASE WHEN rk = 1 THEN sq ELSE 0 END) AS VARCHAR)
+        |    AS top_sq_str
+        |FROM sq GROUP BY label
+        |ORDER BY label""".stripMargin,
     "q_embed_stats" ->
       """WITH s AS (
         |  SELECT label,

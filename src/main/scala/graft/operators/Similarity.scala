@@ -1015,4 +1015,66 @@ object Similarity {
         col("a"), col("b"), col("cos"))
       .orderBy(col("cell"))
   }
+
+  /**
+   * Embedding centroid drift per label: squared L2 distance between
+   * the mean embeddings of two cohorts (vec_id parity — interleaved
+   * halves of the same ingestion, so the expected drift is ≈ 0 and
+   * anything large flags a real shift). The embedding-space twin of
+   * [[graft.operators.TextAnalysis]]'s lexical drift gates: retrain
+   * triggers and encoder-version audits both start from "did the
+   * centroids move".
+   *
+   * Exact-rational form: each float component quantizes ONCE to
+   * integer micro-units (the floor-form on a pure double expression —
+   * engine-identical), per-(label, half, dim) sums are exact BIGINTs,
+   * and the squared centroid distance clears to
+   * Σ_dim (s₀n₁ − s₁n₀)² / ((n₀n₁)²·10¹²) — DECIMAL(38,0) products
+   * (≈10²⁹ at sf10), one final non-negative integer division. The
+   * largest-shift dimension (deterministic tie to the lowest dim)
+   * rides along for the "which feature moved" question.
+   *
+   * Shape at 100 TB: the posexplode fans out to vecs × dims rows but
+   * folds map-side to the (labels × 2 × dims) grid before any
+   * exchange; everything after is grid arithmetic. Embeddings never
+   * shuffle.
+   */
+  def embedDriftQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = Tables.load(spark, sfDir, "embeddings")
+      .select(col("label").cast("long").as("label"),
+        pmod(col("vec_id"), lit(2L)).as("half"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("vi", expr(
+        "CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"))
+    val grid = rows.groupBy(col("label"), col("half"), col("dim"))
+      .agg(sum(col("vi")).as("s"), count(lit(1)).as("n"))
+    val h0 = grid.filter(col("half") === 0L)
+      .select(col("label"), col("dim"), col("s").as("s0"),
+        col("n").as("n0"))
+    val h1 = grid.filter(col("half") === 1L)
+      .select(col("label"), col("dim"), col("s").as("s1"),
+        col("n").as("n1"))
+    val dec = "decimal(38,0)"
+    val dims = h0.join(h1, Seq("label", "dim"))
+      .withColumn("diff",
+        col("s0").cast(dec) * col("n1") - col("s1").cast(dec) * col("n0"))
+      .withColumn("sq", col("diff") * col("diff"))
+    val wTop = Window.partitionBy(col("label"))
+      .orderBy(col("sq").desc, col("dim"))
+    dims
+      .withColumn("rk", row_number().over(wTop))
+      .groupBy(col("label"))
+      .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+        sum(col("sq")).as("num"),
+        max(when(col("rk") === 1, col("dim"))).as("top_dim"),
+        max(when(col("rk") === 1, col("sq")).otherwise(lit(0)
+          .cast(dec))).cast("string").as("top_sq_str"))
+      .withColumn("dist_sq_micro", expr(
+        "CAST(num * 1000000 div (CAST(n0 AS DECIMAL(38,0)) * n1 * " +
+        "(CAST(n0 AS DECIMAL(38,0)) * n1) * 1000000000000) AS BIGINT)"))
+      .select(col("label"), col("n0"), col("n1"),
+        col("dist_sq_micro"), col("top_dim").cast("long").as("top_dim"),
+        col("top_sq_str"))
+      .orderBy(col("label"))
+  }
 }

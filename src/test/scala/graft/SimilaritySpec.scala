@@ -371,4 +371,48 @@ class SimilaritySpec extends SparkSpec {
     assert(gate.getBoolean(1) && gate.getBoolean(2),
       s"filtered IVF gate red: $gate")
   }
+
+  test("embedDrift: BigInt replay from raw embeddings, cohorts " +
+      "conserve each label, parity halves sit near zero drift") {
+    // columns: label, n0, n1, dist_sq_micro, top_dim, top_sq_str
+    val rows = Similarity.embedDriftQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val raw = Tables.load(spark, sfDir, "embeddings").collect().map {
+      r =>
+        (r.getAs[Number]("label").longValue, r.getLong(
+          r.fieldIndex("vec_id")) % 2,
+          r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+    }
+    val byLabel = raw.groupBy(_._1)
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum ==
+      raw.length, "cohorts must conserve the table")
+    for (r <- rows) {
+      val mine = byLabel(r.getLong(0))
+      val (h0, h1) = mine.partition(_._2 == 0L)
+      assert(r.getLong(1) == h0.length && r.getLong(2) == h1.length)
+      val dims = h0.head._3.length
+      def micro(v: Float): BigInt =
+        BigInt(math.floor(v.toDouble * 1000000 + 0.5).toLong)
+      val (n0, n1) = (BigInt(h0.length), BigInt(h1.length))
+      var num = BigInt(0); var topSq = BigInt(-1); var topDim = -1
+      for (d <- 0 until dims) {
+        val s0 = h0.map(x => micro(x._3(d))).sum
+        val s1 = h1.map(x => micro(x._3(d))).sum
+        val diff = s0 * n1 - s1 * n0
+        val sq = diff * diff
+        num += sq
+        if (sq > topSq) { topSq = sq; topDim = d }
+      }
+      val den = (n0 * n1) * (n0 * n1) * BigInt("1000000000000")
+      assert(BigInt(r.getLong(3)) == num * 1000000 / den,
+        s"label ${r.getLong(0)}: drift mismatch")
+      assert(r.getLong(4) == topDim.toLong)
+      assert(BigInt(r.getString(5)) == topSq)
+      // interleaved halves of one distribution: the drift is pure
+      // sampling noise — Σ_dim var·(1/n0 + 1/n1) ≈ 0.3 at the spec's
+      // tiny n — far from the ≥ 1 a real centroid move would show
+      assert(r.getLong(3) < 1000000L,
+        s"parity halves drifted: ${r.getLong(3)}")
+    }
+  }
 }
