@@ -488,4 +488,17 @@ class PlanSpec extends SparkSpec {
     // q_survival event-hour grid, q_skyline bucket/date grids), and
     // q_rank_ensemble's rounded value domains.
   }
+
+  test("every oracleSql key names a registered query (a typo here " +
+      "silently downgrades a hash gate to rows-only)") {
+    val qs = graft.SparkEntry.queries.keySet
+    val orphans = graft.SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+    // the reverse direction is informational: a handful of gates are
+    // deliberately invariant-typed, but silent growth of the
+    // oracle-less set is a coverage leak — pin the exact set
+    val noOracle = qs -- graft.SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty,
+      s"queries without an oracle entry: $noOracle")
+  }
 }
