@@ -954,21 +954,15 @@ object Dedup {
   /** [[cdcChunkQuery]] over an explicit (doc_id, text) frame — spec
     * entry point. */
   private[graft] def cdcChunksOver(docs: DataFrame): DataFrame = {
-    val pow = Array.iterate(1L, 8)(_ * 31L)
-    val hash = (0 until 8).map(j =>
-      s"CAST(ascii(substr(text, i + ${j + 1}, 1)) AS BIGINT) * " +
-        s"${pow(j)}").mkString(" + ")
-    val cuts =
-      s"""IF(length(text) >= 8,
-         |  filter(transform(
-         |    sequence(CAST(0 AS BIGINT), CAST(length(text) - 8
-         |      AS BIGINT)),
-         |    i -> CASE WHEN ($hash) % 64 = 0 THEN i + 8
-         |         ELSE CAST(-1 AS BIGINT) END),
-         |    x -> x >= 0),
-         |  CAST(array() AS ARRAY<BIGINT>))""".stripMargin
+    // boundary scan = ONE native pass (graft_cdc_cuts). The pure-HOF
+    // formulation (filter∘transform∘sequence with an 8-term
+    // ascii(substr) hash) is semantically identical — the oracle
+    // still states it that way — but the optimizer inlines the O(L)
+    // cut array into every downstream reference and the interpreted
+    // lambdas re-substr per position: O(L²) per document, measured
+    // 15 s for this gate at sf0.1 vs sub-second with the kernel.
     val chunkRows = docs
-      .withColumn("cuts", expr(cuts))
+      .withColumn("cuts", expr("graft_cdc_cuts(text)"))
       .withColumn("starts",
         expr("concat(array(CAST(0 AS BIGINT)), cuts)"))
       .withColumn("ends",
