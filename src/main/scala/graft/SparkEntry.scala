@@ -395,6 +395,9 @@ object SparkEntry {
     // Incremental-crawl novelty curve: per arrival batch, the
     // fraction of content whose digest first occurs there
     "q_novelty_curve" -> ((s, d) => Dedup.noveltyCurveQuery(s, d)),
+    // Vocabulary growth curve (Heaps'-law empirics): new and
+    // cumulative token types per arrival batch, exact counts
+    "q_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowthQuery(s, d)),
     // The cut half of the Lee et al. pipeline: strip span words,
     // re-emit surviving prose (byte-exact md5 reconstruction gate)
     "q_dedup_spans_strip" -> (Dedup.dupSpanStripQuery _),
@@ -1621,6 +1624,26 @@ object SparkEntry {
         |FROM marked
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    // Vocabulary growth: min-batch type ownership, integer counts,
+    // prefix windows over the batches grid.
+    "q_vocab_growth" ->
+      """WITH tok AS (SELECT doc_id // 50 AS batch,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |pb AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM tok GROUP BY 1),
+        |ft AS (SELECT term, min(batch) AS batch FROM tok GROUP BY 1),
+        |nt AS (SELECT batch, CAST(count(*) AS BIGINT) AS new_types
+        |  FROM ft GROUP BY 1),
+        |g AS (SELECT pb.batch, pb.n_tokens,
+        |    CAST(coalesce(nt.new_types, 0) AS BIGINT) AS new_types
+        |  FROM pb LEFT JOIN nt ON nt.batch = pb.batch)
+        |SELECT batch, n_tokens, new_types,
+        |  CAST(sum(new_types) OVER (ORDER BY batch
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types,
+        |  CAST(sum(n_tokens) OVER (ORDER BY batch
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |FROM g ORDER BY batch""".stripMargin,
     // Novelty curve: md5 first-occurrence keeper rule, doc_id-div
     // batches, one exact integer division per batch.
     "q_novelty_curve" ->

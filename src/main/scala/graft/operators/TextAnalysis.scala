@@ -486,6 +486,48 @@ object TextAnalysis {
    * rule), so the OLS closed form runs on identical sums in both
    * engines.
    */
+  /**
+   * Vocabulary growth curve (the empirical side of Heaps' law): as
+   * arrival batches land, how many token TYPES are new, and how does
+   * the cumulative vocabulary grow against cumulative tokens? The
+   * token-level twin of [[graft.operators.Dedup.noveltyCurveQuery]]
+   * (document-level): a corpus whose type curve flattens early is
+   * repetitive however novel its documents look, and the curve sets
+   * honest expectations for tokenizer vocab sizing on the next 10×
+   * of data. The Heaps exponent FIT stays out of the hashed frame
+   * (it needs logs); the exact curve lets any consumer fit it.
+   *
+   * Exactness: all counts integer; a type's owner batch is
+   * min(batch) over its occurrences (the novelty-curve keeper rule).
+   * Shape at 100 TB: the explode folds map-side to (term, min-batch)
+   * and (batch, token-count) partials — only terms and batch ids
+   * shuffle; the cumulative walk rides [[Prefix.running]] over the
+   * batches-sized grid, never a global window.
+   */
+  def vocabGrowthQuery(spark: SparkSession, sfDir: String,
+      batchSize: Long = 50L): DataFrame = {
+    val tok = Tables.load(spark, sfDir, "documents")
+      .select(expr(s"doc_id div $batchSize").as("batch"),
+        explode(tokens(col("text"))).as("term"))
+    val perBatch = tok.groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTypes = tok.groupBy(col("term"))
+      .agg(min(col("batch")).as("batch"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("new_types"))
+    val grid = perBatch.join(newTypes, Seq("batch"), "left")
+      .select(col("batch"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+    graft.operators.Prefix.running(grid, Seq(), Seq(col("batch")),
+        Seq(graft.operators.Prefix.Running(col("new_types"), "sum",
+          "cum_types"),
+          graft.operators.Prefix.Running(col("n_tokens"), "sum",
+            "cum_tokens")))
+      .select(col("batch"), col("n_tokens"), col("new_types"),
+        col("cum_types"), col("cum_tokens"))
+      .orderBy(col("batch"))
+  }
+
   def zipfQuery(spark: SparkSession, sfDir: String): DataFrame =
     zipfOver(Tables.load(spark, sfDir, "documents"))
 

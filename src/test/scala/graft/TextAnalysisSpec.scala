@@ -431,4 +431,27 @@ class TextAnalysisSpec extends SparkSpec {
     val keys = rows.map(r => (-r.getLong(2), r.getString(0))).toSeq
     assert(keys == keys.sorted, "top-30 not totally ordered")
   }
+
+  test("vocab growth: token and type totals conserve the corpus, " +
+      "cumulative columns are exact prefix sums, curve flattens") {
+    // columns: batch, n_tokens, new_types, cum_types, cum_tokens
+    val rows = TextAnalysis.vocabGrowthQuery(spark, sfDir).collect()
+    assert(rows.length >= 2)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t")).collect()
+    val allTokens = docs.flatMap(_.getSeq[String](1))
+    assert(rows.map(_.getLong(1)).sum == allTokens.length)
+    assert(rows.map(_.getLong(2)).sum == allTokens.distinct.length)
+    var (ct, ck) = (0L, 0L)
+    for (r <- rows) {
+      ct += r.getLong(2); ck += r.getLong(1)
+      assert(r.getLong(3) == ct && r.getLong(4) == ck,
+        s"batch ${r.getLong(0)}: prefix sums drift")
+    }
+    assert(rows.last.getLong(3) == allTokens.distinct.length)
+    // Heaps-law sanity on a shared-vocabulary corpus: the FIRST batch
+    // must mint more types than the LAST (the curve flattens)
+    assert(rows.head.getLong(2) > rows.last.getLong(2),
+      "vocabulary curve failed to flatten")
+  }
 }
