@@ -239,6 +239,9 @@ object SparkEntry {
     "q_evolution_positional" -> (Evolution.positionalQuery _),
     // ACID merge-on-read (SURVEY.md §2.10)
     "q_acid_mor" -> (Acid.morQuery _),
+    // Metadata-path COUNT on a MOR layout: base + inserts - deletes,
+    // no resolve; hashed against the resolve-path count
+    "q_acid_count" -> (Acid.fastCountQuery _),
     "q_acid_timetravel" -> (Acid.timeTravelQuery _),
     // Delta-driven CDC between two snapshots: change class + old/new
     // payloads, read from the pruned delta window only
@@ -1014,6 +1017,24 @@ object SparkEntry {
         |       ELSE NULL END AS field1
         |FROM events
         |ORDER BY event_id""".stripMargin,
+    // Metadata-path COUNT: the oracle replays the modular event
+    // construction — updates never change the count, inserts and
+    // deletes are disjoint key spaces by construction.
+    "q_acid_count" ->
+      """WITH g AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS n_base,
+        |    CAST(sum(CASE WHEN o_orderkey % 19 = 0 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_ins,
+        |    CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_upd,
+        |    CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_del
+        |  FROM orders)
+        |SELECT n_base, n_ins, n_upd, n_del,
+        |  n_base + n_ins - n_del AS meta_count,
+        |  n_base + n_ins - n_del AS scan_count,
+        |  TRUE AS consistent
+        |FROM g""".stripMargin,
     "q_acid_mor" ->
       """SELECT o_orderkey, o_custkey,
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.10

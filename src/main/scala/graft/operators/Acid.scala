@@ -745,4 +745,125 @@ object Acid {
         col("new_row.o_totalprice").as("new_price"))
       .orderBy(col("o_orderkey"))
   }
+
+  /**
+   * Metadata-path COUNT(*) on a MOR table — the lakehouse fast path
+   * (Delta/Iceberg answer COUNT from manifests; Hive ACID from ORC
+   * footers): under the writer discipline this layout enforces
+   * (every delete names a live rowId exactly once, every insert a
+   * fresh one, updates replace in place), the live-row count is
+   * base_rows + inserts − deletes — NO resolve window, no payload
+   * comparison, no per-row merge. Straddling minor-compacted deltas
+   * follow [[readTable]]'s rule: events ≤ baseTxn are the base's own
+   * folded history and are excluded from the tallies.
+   *
+   * CONTRACT BOUNDARY: the ledger is exact as long as no
+   * delta-inserted row is later deleted AND the pair minor-compacted
+   * away — [[minorCompact]] folds an insert→delete chain to the lone
+   * delete (latest event per key), which drops the insert from the
+   * tally while the delete still subtracts. That is why the gate
+   * carries the resolve-path count and a `consistent` witness rather
+   * than trusting the fast path blind; the spec pins the annihilation
+   * case flipping the witness false. (Major compaction resets the
+   * ledger entirely — a fresh base — and is always safe.)
+   *
+   * Cost shape: the base contributes a count-only scan (ORC answers
+   * it from stripe footers); each delta contributes a 3-counter
+   * map-side partial over its `operation` column. (The reader reads
+   * delta files full-width — the ACID-schema column-pruning quirk —
+   * but nothing beyond `operation`/`currentTransaction` is
+   * aggregated and nothing resolves.) The gate ALSO runs the full
+   * resolve-path count and hashes the equality — the invariant the
+   * fast path rests on.
+   */
+  def fastCount(spark: SparkSession, tableDir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+      .filter(_.isDirectory).map(_.getPath.getName)
+    val base = dirs.filter(_.startsWith("base_"))
+      .maxBy(_.stripPrefix("base_").toLong)
+    val baseTxn = base.stripPrefix("base_").toLong
+    val deltas = dirs.filter(_.startsWith("delta_"))
+      .filter(_.stripPrefix("delta_").split("_").last.toLong > baseTxn)
+    val baseCnt = spark.read.orc(s"$tableDir/$base")
+      .agg(count(lit(1)).as("n_base"))
+    val tallies =
+      if (deltas.isEmpty)
+        spark.range(1).select(lit(0L).as("n_ins"),
+          lit(0L).as("n_upd"), lit(0L).as("n_del"))
+      else {
+        // full-width .rdd tallies, one delta dir at a time: a pruned
+        // scan of ACID-schema ORC trips the vectorized reader's
+        // checkAcidSchema column-id remap (the compactionTrigger
+        // gotcha), and the per-dir read is the incantation that
+        // trigger already proves out
+        val (ins, upd, del) = deltas.map { d =>
+          val df = spark.read.orc(s"$tableDir/$d")
+          val opIdx = df.schema.fieldIndex("operation")
+          val ctIdx = df.schema.fieldIndex("currentTransaction")
+          df.rdd
+            .filter(_.getLong(ctIdx) > baseTxn)
+            .map { r =>
+              r.getInt(opIdx) match {
+                case OpInsert => (1L, 0L, 0L)
+                case OpUpdate => (0L, 1L, 0L)
+                case _ => (0L, 0L, 1L)
+              }
+            }
+            .fold((0L, 0L, 0L)) { (a, b) =>
+              (a._1 + b._1, a._2 + b._2, a._3 + b._3)
+            }
+        }.fold((0L, 0L, 0L)) { (a, b) =>
+          (a._1 + b._1, a._2 + b._2, a._3 + b._3)
+        }
+        spark.range(1).select(lit(ins).as("n_ins"),
+          lit(upd).as("n_upd"), lit(del).as("n_del"))
+      }
+    baseCnt.crossJoin(broadcast(tallies))
+      .withColumn("meta_count",
+        col("n_base") + col("n_ins") - col("n_del"))
+  }
+
+  /** Correctness gate: the [[morQuery]]-style layout plus a fresh
+    * insert delta (keys + 2·10¹² at txn 4, o_orderkey % 19), so all
+    * three operations shape the count; the fast-path count must equal
+    * the resolve-path count, and the oracle replays both from the
+    * modular rules. */
+  def fastCountQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+    val dir = graft.sources.OrcIo.scratchDir("acid_fastcount_q")
+    graft.sources.OrcIo.write(orders, s"$dir/t/base_1")
+    def asEvents(src: DataFrame, op: Int, txn: Long): DataFrame =
+      src.select(
+        lit(op).as("operation"),
+        lit(1L).as("originalTransaction"),
+        (col("o_orderkey") % 4).cast("int").as("bucket"),
+        col("o_orderkey").as("rowId"),
+        lit(txn).as("currentTransaction"),
+        struct(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus")).as("row"))
+    writeDelta(asEvents(
+      orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.10),
+      OpUpdate, 2L), s"$dir/t/delta_2")
+    writeDelta(asEvents(orders.filter(col("o_orderkey") % 7 === 0),
+      OpDelete, 3L), s"$dir/t/delta_3")
+    writeDelta(asEvents(
+      orders.filter(col("o_orderkey") % 19 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 2000000000000L),
+      OpInsert, 4L), s"$dir/t/delta_4")
+    // .rdd.count(), NOT .agg(count): a count() over the resolve plan
+    // prunes the delta read schema (even `row` drops out) and the
+    // pruned ACID-schema scan AIOOBEs in the vectorized reader — the
+    // same quirk the tally path above works around
+    val scanCount = readTable(spark, s"$dir/t",
+      rowIdCol = "o_orderkey").rdd.count()
+    fastCount(spark, s"$dir/t")
+      .select(col("n_base"), col("n_ins"), col("n_upd"), col("n_del"),
+        col("meta_count"), lit(scanCount).as("scan_count"),
+        (col("meta_count") === lit(scanCount)).as("consistent"))
+  }
 }

@@ -344,4 +344,57 @@ class AcidSpec extends SparkSpec {
     assert(Acid.readAcidStats(spark, merged)
       .contains(Acid.AcidStats(0, 2, 1)))
   }
+
+  test("fastCount: base + inserts - deletes equals the resolve-path " +
+      "count, before and after minor compaction, updates neutral") {
+    val dir = graft.sources.OrcIo.scratchDir("acid_fastcount")
+    Seq((1L, 10.0), (2L, 30.0), (3L, 70.0), (4L, 90.0))
+      .toDF("id", "v").write.orc(s"$dir/t/base_1")
+    eventsDf(Seq(event(Acid.OpUpdate, 1, 1L, 2L, 11.0),
+      event(Acid.OpDelete, 2, 2L, 2L, 0.0)))
+      .write.orc(s"$dir/t/delta_2")
+    eventsDf(Seq(event(Acid.OpInsert, 5, 5L, 3L, 50.0),
+      event(Acid.OpInsert, 6, 6L, 3L, 60.0),
+      event(Acid.OpDelete, 3, 3L, 3L, 0.0)))
+      .write.orc(s"$dir/t/delta_3")
+    def check(): Unit = {
+      val r = Acid.fastCount(spark, s"$dir/t").collect()(0)
+      // 4 base + 2 inserts - 2 deletes = 4 live rows
+      assert(r.getLong(r.fieldIndex("n_base")) == 4L)
+      assert(r.getLong(r.fieldIndex("n_ins")) == 2L)
+      assert(r.getLong(r.fieldIndex("n_del")) == 2L)
+      assert(r.getLong(r.fieldIndex("meta_count")) == 4L)
+      assert(Acid.readTable(spark, s"$dir/t").rdd.count() == 4L)
+    }
+    check()
+    // minor compaction folds per-key event chains; with no
+    // insert→delete annihilation present, the ledger is conserved
+    Acid.minorCompact(spark, s"$dir/t")
+    check()
+  }
+
+  test("fastCount contract boundary: a minor-compacted insert→delete " +
+      "chain breaks the ledger and the consistency witness says so") {
+    val dir = graft.sources.OrcIo.scratchDir("acid_fastcount_annihil")
+    Seq((1L, 10.0), (2L, 30.0)).toDF("id", "v")
+      .write.orc(s"$dir/t/base_1")
+    // key 9 is born in delta_2 and dies in delta_3
+    eventsDf(Seq(event(Acid.OpInsert, 9, 9L, 2L, 90.0)))
+      .write.orc(s"$dir/t/delta_2")
+    eventsDf(Seq(event(Acid.OpDelete, 9, 9L, 3L, 0.0)))
+      .write.orc(s"$dir/t/delta_3")
+    // pre-compaction: both events visible, ledger exact (2 + 1 - 1)
+    val before = Acid.fastCount(spark, s"$dir/t").collect()(0)
+    assert(before.getLong(before.fieldIndex("meta_count")) == 2L)
+    assert(Acid.readTable(spark, s"$dir/t").rdd.count() == 2L)
+    // post-compaction the chain folds to the lone delete: the fast
+    // path under-counts by one, and the witness must expose it
+    Acid.minorCompact(spark, s"$dir/t")
+    val after = Acid.fastCount(spark, s"$dir/t").collect()(0)
+    assert(after.getLong(after.fieldIndex("n_ins")) == 0L)
+    assert(after.getLong(after.fieldIndex("n_del")) == 1L)
+    assert(after.getLong(after.fieldIndex("meta_count")) == 1L)
+    assert(Acid.readTable(spark, s"$dir/t").rdd.count() == 2L,
+      "resolve path must stay correct")
+  }
 }
