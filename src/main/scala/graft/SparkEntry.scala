@@ -506,6 +506,9 @@ object SparkEntry {
     "q_quality_score" -> (Curation.qualityScoreQuery _),
     // Threshold-sweep classifier eval: confusion counts + P/R/F1
     "q_pr_curve" -> (Curation.prCurveQuery _),
+    // ECE/MCE calibration summary: midpoint-confidence gaps as
+    // exact rationals over the 16-bucket reliability grid
+    "q_ece" -> (Curation.eceQuery _),
     // Decision-stump split finder: per feature, the threshold
     // minimizing exact-rational weighted Gini vs the lang label
     "q_gini_split" -> (Curation.giniSplitQuery _),
@@ -3397,6 +3400,43 @@ object SparkEntry {
         |    AS raw_rate,
         |  floor((iso0) * 1e10 + 0.5) / 1e10 AS iso_rate
         |FROM f ORDER BY bucket""".stripMargin,
+    // ECE/MCE: the calibration grid with midpoint confidences; every
+    // gap an exact rational, worst bucket deterministic.
+    "q_ece" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |  CAST(len(list_filter(string_split(text, ' '), x ->
+        |    x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |    AS n_stop,
+        |  CAST(len(list_filter(string_split(text, ' '), x ->
+        |    len(x) <= 2)) AS DOUBLE) AS n_short,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    AS n_distinct
+        |FROM documents),
+        |g AS (SELECT least(CAST(15 AS BIGINT),
+        |    CAST(floor(((n_stop / n_tok) * 0.25
+        |      + (n_distinct / n_tok) * 0.5
+        |      + (1.0 - n_short / n_tok) * 0.25) * 16) AS BIGINT))
+        |      AS bucket,
+        |    d.lang = 'en' AS y
+        |  FROM s JOIN documents d ON s.doc_id = d.doc_id),
+        |grid AS (SELECT bucket, CAST(count(*) AS BIGINT) AS w,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM g GROUP BY bucket),
+        |gap AS (SELECT *,
+        |    abs(pos * 32 - (bucket * 2 + 1) * w) AS gap_num,
+        |    CAST(abs(pos * 32 - (bucket * 2 + 1) * w) * 1000000
+        |      // (32 * w) AS BIGINT) AS gap_micro
+        |  FROM grid),
+        |rk AS (SELECT *, row_number() OVER (
+        |    ORDER BY gap_micro DESC, bucket) AS rn FROM gap)
+        |SELECT CAST(sum(w) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(gap_num) * 1000000 // (32 * sum(w)) AS BIGINT)
+        |    AS ece_micro,
+        |  CAST(max(gap_micro) AS BIGINT) AS mce_micro,
+        |  max(CASE WHEN rn = 1 THEN bucket END) AS worst_bucket
+        |FROM rk""".stripMargin,
     // Weighted percentiles: exact integer threshold (100·cum >=
     // q·total) over the per-flag price grid.
     "q_weighted_percentiles" ->

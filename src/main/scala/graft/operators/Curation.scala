@@ -895,6 +895,49 @@ object Curation {
   }
 
   /**
+   * Expected / maximum calibration error — the one-number summary of
+   * [[calibrationQuery]]'s reliability diagram (Naeini et al., AAAI
+   * 2015): ECE = Σ_b (w_b/n)·|acc_b − conf_b|, MCE = max_b of the
+   * same gap. Confidence per bucket is the bucket MIDPOINT
+   * (2b+1)/32 — the fixed-grid convention that keeps every gap an
+   * exact rational: |acc_b − mid_b| = |32·pos_b − (2b+1)·w_b| /
+   * (32·w_b), so ECE clears to Σ_b |32·pos_b − (2b+1)·w_b| / (32·n)
+   * — pure BIGINT, one division. The worst bucket rides along
+   * (deterministic tie to the lowest bucket).
+   *
+   * Shape at 100 TB: the same one-scan 16-bucket fold as the
+   * reliability diagram; everything after is arithmetic on ≤ 16 rows.
+   */
+  def eceQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val grid = TextAnalysis.qualityOver(docs)
+      .join(docs.select(col("doc_id"), (col("lang") === "en").as("y")),
+        Seq("doc_id"))
+      .select(least(lit(15L),
+        floor(col("quality_score") * 16).cast("long")).as("bucket"),
+        col("y"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("w"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
+      .withColumn("gap_num",
+        abs(col("pos") * 32 - (col("bucket") * 2 + 1) * col("w")))
+      .withColumn("gap_micro",
+        expr("CAST(gap_num * 1000000 div (32 * w) AS BIGINT)"))
+    val wPick = Window.orderBy(col("gap_micro").desc, col("bucket"))
+    grid
+      .withColumn("rk", row_number().over(wPick))
+      .agg(sum(col("w")).as("n"),
+        count(lit(1)).as("n_buckets"),
+        sum(col("gap_num")).as("ece_num"),
+        max(col("gap_micro")).as("mce_micro"),
+        max(when(col("rk") === 1, col("bucket"))).as("worst_bucket"))
+      .select(col("n"), col("n_buckets"),
+        expr("CAST(ece_num * 1000000 div (32 * n) AS BIGINT)")
+          .as("ece_micro"),
+        col("mce_micro"), col("worst_bucket"))
+  }
+
+  /**
    * Dataset card: the one-row corpus summary a training-data release
    * publishes (Gebru et al., "Datasheets for Datasets", CACM 2021) —
    * sizes, language/source breadth, exact-duplicate rate, and

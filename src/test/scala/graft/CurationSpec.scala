@@ -770,6 +770,30 @@ class CurationSpec extends SparkSpec {
     assert(s1 == 0, "a proportional class must have EMD exactly 0")
   }
 
+  test("ece: replays in BigInt from the reliability grid, MCE " +
+      "dominates ECE, both bounded by one") {
+    // columns: n, n_buckets, ece_micro, mce_micro, worst_bucket
+    val r = Curation.eceQuery(spark, sfDir).collect()(0)
+    val grid = Curation.calibrationQuery(spark, sfDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.getLong(0) == grid.map(_._2).sum)
+    assert(r.getLong(1) == grid.length)
+    val gaps = grid.map { case (b, w, pos) =>
+      (b, w, (BigInt(pos) * 32 - BigInt(2 * b + 1) * w).abs)
+    }
+    val ece = gaps.map(_._3).sum * 1000000 / (32 * BigInt(r.getLong(0)))
+    assert(BigInt(r.getLong(2)) == ece)
+    val micro = gaps.map { case (b, w, g) =>
+      (b, g * 1000000 / (32 * BigInt(w)))
+    }
+    assert(BigInt(r.getLong(3)) == micro.map(_._2).max)
+    assert(r.getLong(4) ==
+      micro.minBy { case (b, m) => (-m, b) }._1)
+    // ECE is a weighted mean of the per-bucket gaps: MCE dominates
+    assert(r.getLong(3) >= r.getLong(2))
+    assert(r.getLong(2) >= 0 && r.getLong(3) <= 1000000)
+  }
+
   test("giniSplit: conservation per feature, argmin matches a " +
       "BigInt brute force, split never worsens the parent") {
     // columns: feature, threshold, n_l, p_l, n_r, p_r, gini_micro,

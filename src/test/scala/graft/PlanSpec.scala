@@ -483,7 +483,8 @@ class PlanSpec extends SparkSpec {
     // Queries NOT gated here ship windows over frames that do not grow
     // with the corpus, re-audited via graft.tools.WindowAudit r10:
     // k-row picks (q_kmeans seeds, q_sample_weighted top-k,
-    // q_rrf_fusion armK lists), fixed grids (q_calibration 16 buckets,
+    // q_rrf_fusion armK lists), fixed grids (q_calibration / q_ece
+    // 16 buckets,
     // q_seasonal_decompose hours, q_trend_test / q_user_growth days,
     // q_survival event-hour grid, q_skyline bucket/date grids), and
     // q_rank_ensemble's rounded value domains.
