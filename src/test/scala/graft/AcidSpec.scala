@@ -396,5 +396,13 @@ class AcidSpec extends SparkSpec {
     assert(after.getLong(after.fieldIndex("meta_count")) == 1L)
     assert(Acid.readTable(spark, s"$dir/t").rdd.count() == 2L,
       "resolve path must stay correct")
+    // major compaction resets the ledger (fresh base, no deltas):
+    // the fast path is exact again — the scaladoc's "always safe"
+    Acid.majorCompact(spark, s"$dir/t")
+    val fresh = Acid.fastCount(spark, s"$dir/t").collect()(0)
+    assert(fresh.getLong(fresh.fieldIndex("n_base")) == 2L)
+    assert(fresh.getLong(fresh.fieldIndex("n_ins")) == 0L)
+    assert(fresh.getLong(fresh.fieldIndex("n_del")) == 0L)
+    assert(fresh.getLong(fresh.fieldIndex("meta_count")) == 2L)
   }
 }
