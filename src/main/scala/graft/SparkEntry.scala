@@ -53,6 +53,10 @@ object SparkEntry {
     "q_gap_fill" -> (Scale.gapFillQuery _),
     // OPTIMIZE planning: sorted-fill file bins toward a target size
     "q_compact_plan" -> (Scale.compactionPlanQuery _),
+    // OPTIMIZE execution: real ORC parts -> planned bins via raw
+    // stripe-append (uniform layout) or distributed rewrite (mixed),
+    // conservation + file-count-matches-plan gated (r13)
+    "q_compact_exec" -> (Scale.compactionExecQuery _),
     // Join-size estimate by correlated key-hash sampling (p=1/16),
     // exact join count as gate-scale audit twin
     "q_join_cardest" -> (Scale.joinCardEstQuery _),
@@ -613,6 +617,18 @@ object SparkEntry {
     "q_probe_epochms" -> (Probes.probeEpochms _),
     "q_probe_aa_mini" -> (Probes.aaMini _),
     "q_probe_cf_mini" -> (Probes.cfMini _),
+    // Round-13 factorial DECIMAL probes: the r12 truth table has
+    // perfect separation under the float-repr rule (a query is
+    // driver-red iff a hashed DECIMAL value's shortest float64 repr
+    // differs from its decimal rendering — see PROBES.md). Each probe
+    // below exposes ONE axis of that rule beside a digit-string twin;
+    // predictions are committed in PROBES.md before the driver run.
+    "q_probe_dec_safe18" -> (Probes.decSafe18 _),
+    "q_probe_dec_safe38" -> (Probes.decSafe38 _),
+    "q_probe_dec_trail18" -> (Probes.decTrail18 _),
+    "q_probe_dec_tiny18" -> (Probes.decTiny18 _),
+    "q_probe_dec_int0" -> (Probes.decInt0 _),
+    "q_probe_dec_sumtrail" -> (Probes.decSumTrail _),
   )
 
   /** Shared oracle fragment: the near-dup pair definition (DF-capped
@@ -2224,6 +2240,42 @@ object SparkEntry {
         |  CAST(sum(bytes) OVER (PARTITION BY event_type, bin)
         |    AS BIGINT) AS bin_bytes
         |FROM w ORDER BY event_type, day""".stripMargin,
+    // q_compact_exec: the oracle replays the deterministic plan
+    // (synthetic distinct sizes 1000+bucket, target 3030 -> bins
+    // {11,10,9}{8,7,6,5}{4,3,2}{1,0}), the mode rule (uniform codec
+    // class per bin -> append, else rewrite), and the conservation
+    // witnesses (rows + integer key checksums per bin) from orders;
+    // out_files = 1 asserts the executor's file count matches the
+    // plan. The Spark side computes the same from the ACTUAL
+    // rewritten ORC bytes.
+    "q_compact_exec" ->
+      """WITH inv AS (
+        |  SELECT CAST(b AS BIGINT) AS pkey,
+        |    CAST(1000 + b AS BIGINT) AS psize,
+        |    CASE WHEN b >= 8 THEN 'zlib' ELSE 'snappy' END AS codec
+        |  FROM (SELECT unnest(generate_series(0, 11)) AS b)),
+        |srt AS (
+        |  SELECT pkey, codec,
+        |    (CAST(sum(psize) OVER (ORDER BY psize DESC, pkey
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - psize) // 3030
+        |      AS bin
+        |  FROM inv),
+        |bk AS (SELECT o_orderkey % 12 AS pkey,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS sk,
+        |    CAST(sum(o_custkey) AS BIGINT) AS sc
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(srt.bin AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_parts,
+        |  CASE WHEN count(DISTINCT srt.codec) = 1 THEN 'append'
+        |       ELSE 'rewrite' END AS mode,
+        |  CAST(1 AS BIGINT) AS out_files,
+        |  CAST(sum(bk.n) AS BIGINT) AS out_rows,
+        |  CAST(sum(bk.sk) AS BIGINT) AS out_sum_key,
+        |  CAST(sum(bk.sc) AS BIGINT) AS out_sum_cust
+        |FROM srt JOIN bk ON srt.pkey = bk.pkey
+        |GROUP BY srt.bin
+        |ORDER BY bin""".stripMargin,
     // q_dq_rules: the oracle recomputes every rule count with the
     // same three-valued-logic semantics (NULL predicate = violation);
     // uniqueness sums over-represented groups, FK counts orphans.
@@ -2450,9 +2502,9 @@ object SparkEntry {
         |      * 1e6 + 0.5) / 1e6 AS p
         |  FROM c JOIN t ON c.prev_type = t.prev_type),
         |h AS (SELECT prev_type,
-        |    CAST(sum(CAST(floor((-p * ln(p)) * 1e6 + 0.5) / 1e6
+        |    CAST(CAST(sum(CAST(floor((-p * ln(p)) * 1e6 + 0.5) / 1e6
         |      AS DECIMAL(20,6)))
-        |      AS DECIMAL(38,6)) AS row_entropy_nats
+        |      AS DECIMAL(38,6)) AS VARCHAR) AS row_entropy_nats
         |  FROM p GROUP BY prev_type)
         |SELECT p.prev_type, p.event_type, p.n, p.p, h.row_entropy_nats
         |FROM p JOIN h ON p.prev_type = h.prev_type
@@ -2471,8 +2523,9 @@ object SparkEntry {
         |      AS DECIMAL(24,6)) AS wv
         |  FROM events, ref)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(wt) AS DECIMAL(38,6)) AS decayed_n,
-        |  CAST(sum(wv) AS DECIMAL(38,6)) AS decayed_value
+        |  CAST(CAST(sum(wt) AS DECIMAL(38,6)) AS VARCHAR) AS decayed_n,
+        |  CAST(CAST(sum(wv) AS DECIMAL(38,6)) AS VARCHAR)
+        |    AS decayed_value
         |FROM w GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     // A/B z-test: 4 exact BIGINTs -> one fixed double expression tree
@@ -7128,7 +7181,7 @@ object SparkEntry {
         |  (CAST(8 AS BIGINT), CAST(-0.000001 AS DOUBLE))) t(k, x)
         |ORDER BY k""".stripMargin,
     "q_probe_ctl_dec" ->
-      """SELECT * FROM (VALUES
+      """SELECT k, CAST(d AS VARCHAR) AS d FROM (VALUES
         |  (CAST(1 AS BIGINT), CAST('1.500000' AS DECIMAL(20,6))),
         |  (CAST(2 AS BIGINT), CAST('-0.000001' AS DECIMAL(20,6))),
         |  (CAST(3 AS BIGINT),
@@ -7145,7 +7198,51 @@ object SparkEntry {
         |  (CAST(3 AS BIGINT),
         |    CAST('-98765432109876543210' AS DECIMAL(38,0))),
         |  (CAST(4 AS BIGINT), CAST('1' AS DECIMAL(38,0)))) v(k, d))
-        |SELECT k, d, CAST(d AS VARCHAR) AS s FROM t ORDER BY k""".stripMargin,
+        |SELECT k, CAST(d AS VARCHAR) AS s FROM t ORDER BY k""".stripMargin,
+    "q_probe_dec_safe18" ->
+      """SELECT k, d, CAST(d AS VARCHAR) AS s FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST('2.718281' AS DECIMAL(18,6))),
+        |  (CAST(2 AS BIGINT), CAST('-3.141592' AS DECIMAL(18,6))),
+        |  (CAST(3 AS BIGINT),
+        |    CAST('123457.295914' AS DECIMAL(18,6)))) t(k, d)
+        |ORDER BY k""".stripMargin,
+    "q_probe_dec_safe38" ->
+      """SELECT k, d, CAST(d AS VARCHAR) AS s FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST('2.718281' AS DECIMAL(38,6))),
+        |  (CAST(2 AS BIGINT), CAST('-3.141592' AS DECIMAL(38,6))),
+        |  (CAST(3 AS BIGINT),
+        |    CAST('123457.295914' AS DECIMAL(38,6)))) t(k, d)
+        |ORDER BY k""".stripMargin,
+    "q_probe_dec_trail18" ->
+      """SELECT k, d, CAST(d AS VARCHAR) AS s FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST('1.500000' AS DECIMAL(18,6))),
+        |  (CAST(2 AS BIGINT), CAST('2.000000' AS DECIMAL(18,6))),
+        |  (CAST(3 AS BIGINT),
+        |    CAST('123456.700000' AS DECIMAL(18,6)))) t(k, d)
+        |ORDER BY k""".stripMargin,
+    "q_probe_dec_tiny18" ->
+      """SELECT k, d, CAST(d AS VARCHAR) AS s FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST('0.000001' AS DECIMAL(18,6))),
+        |  (CAST(2 AS BIGINT), CAST('-0.000009' AS DECIMAL(18,6))),
+        |  (CAST(3 AS BIGINT),
+        |    CAST('0.000099' AS DECIMAL(18,6)))) t(k, d)
+        |ORDER BY k""".stripMargin,
+    "q_probe_dec_int0" ->
+      """SELECT k, d, CAST(d AS VARCHAR) AS s FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST('1' AS DECIMAL(18,0))),
+        |  (CAST(2 AS BIGINT), CAST('42' AS DECIMAL(18,0))),
+        |  (CAST(3 AS BIGINT), CAST('-7' AS DECIMAL(18,0)))) t(k, d)
+        |ORDER BY k""".stripMargin,
+    "q_probe_dec_sumtrail" ->
+      """WITH a AS (SELECT g, CAST(sum(t) AS DECIMAL(38,6)) AS d
+        |FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST('0.700000' AS DECIMAL(18,6))),
+        |  (CAST(1 AS BIGINT), CAST('0.800000' AS DECIMAL(18,6))),
+        |  (CAST(2 AS BIGINT), CAST('1.200000' AS DECIMAL(18,6))),
+        |  (CAST(2 AS BIGINT),
+        |    CAST('0.800000' AS DECIMAL(18,6)))) t(g, t)
+        |GROUP BY g)
+        |SELECT g, d, CAST(d AS VARCHAR) AS s FROM a ORDER BY g""".stripMargin,
     "q_probe_ctl_ts" ->
       """WITH t AS (SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), TIMESTAMP '2024-03-05 17:45:30'),
@@ -7164,8 +7261,8 @@ object SparkEntry {
       """SELECT k, a, b,
         |  floor((CAST(a AS DOUBLE) / CAST(b AS DOUBLE)) * 1e6 + 0.5)
         |    / 1e6 AS r,
-        |  CAST(floor((CAST(a AS DOUBLE) / CAST(b AS DOUBLE)) * 1e6
-        |    + 0.5) / 1e6 AS DECIMAL(20,6)) AS rd
+        |  CAST(CAST(floor((CAST(a AS DOUBLE) / CAST(b AS DOUBLE))
+        |    * 1e6 + 0.5) / 1e6 AS DECIMAL(20,6)) AS VARCHAR) AS rd
         |FROM (VALUES
         |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
         |  (CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
@@ -7230,9 +7327,9 @@ object SparkEntry {
         |      OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
         |      AS DECIMAL(38,6)) AS cum
         |  FROM o)
-        |SELECT k, t, cum,
-        |  CAST(min(cum) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
-        |    AS DECIMAL(38,6)) AS runmin
+        |SELECT k, CAST(t AS VARCHAR) AS t, CAST(cum AS VARCHAR) AS cum,
+        |  CAST(CAST(min(cum) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+        |    AS DECIMAL(38,6)) AS VARCHAR) AS runmin
         |FROM c ORDER BY k""".stripMargin,
     "q_probe_exists" ->
       """SELECT
@@ -7326,7 +7423,8 @@ object SparkEntry {
         |    sum(w) AS aa_score
         |  FROM pr GROUP BY a, b)
         |SELECT sc.a, sc.b, sc.common,
-        |  CAST(sc.aa_score AS DECIMAL(38,6)) AS aa_score
+        |  CAST(CAST(sc.aa_score AS DECIMAL(38,6)) AS VARCHAR)
+        |    AS aa_score
         |FROM sc
         |WHERE sc.common >= 2 AND NOT EXISTS (
         |  SELECT 1 FROM und u WHERE u.src = sc.a AND u.dst = sc.b)
@@ -7346,7 +7444,8 @@ object SparkEntry {
         |  FROM m a JOIN m b ON a.user_id = b.user_id
         |    AND a.event_type < b.event_type
         |  GROUP BY 1, 2)
-        |SELECT item_a, item_b, co_users, dot,
+        |SELECT item_a, item_b, co_users,
+        |  CAST(dot AS VARCHAR) AS dot,
         |  floor((CAST(dot AS DOUBLE) / (sqrt(CAST(na.ss AS DOUBLE))
         |    * sqrt(CAST(nb.ss AS DOUBLE)))) * 1e6 + 0.5) / 1e6
         |    AS cos_sim

@@ -49,12 +49,17 @@ object Behavior {
       .withColumn("p",
         fr(col("n").cast("double") / col("row_total").cast("double"),
           6) + lit(0.0))
+    // r13 transport discipline (PROBES.md): the DECIMAL witness
+    // hashes as a digit string — entropy values are data-dependent
+    // and could land on a trailing-zero / sub-1e-4 value, the classes
+    // the driver's decimal-to-float transport mangles. The sum stays
+    // DECIMAL (order-free exactness); only the transport is textual.
     val entropy = withP
       .select(col("prev_type"),
         fr(-col("p") * log(col("p")), 6).cast("decimal(20,6)")
           .as("term"))
       .groupBy(col("prev_type"))
-      .agg(sum(col("term")).cast("decimal(38,6)")
+      .agg(sum(col("term")).cast("decimal(38,6)").cast("string")
         .as("row_entropy_nats"))
     withP.join(broadcast(entropy), Seq("prev_type"))
       .select(col("prev_type"), col("event_type"), col("n"), col("p"),
@@ -92,9 +97,13 @@ object Behavior {
         fr(wRaw, 6).cast("decimal(20,6)").as("wt"),
         fr(wRaw * col("value"), 6).cast("decimal(24,6)").as("wv"))
       .groupBy(col("event_type"))
+      // r13 transport discipline (PROBES.md): DECIMAL witnesses hash
+      // as digit strings; sums stay DECIMAL internally (order-free).
       .agg(count(lit(1)).as("n"),
-        sum(col("wt")).cast("decimal(38,6)").as("decayed_n"),
-        sum(col("wv")).cast("decimal(38,6)").as("decayed_value"))
+        sum(col("wt")).cast("decimal(38,6)").cast("string")
+          .as("decayed_n"),
+        sum(col("wv")).cast("decimal(38,6)").cast("string")
+          .as("decayed_value"))
       .orderBy(col("event_type"))
   }
 

@@ -41,6 +41,28 @@ import org.apache.spark.sql.functions._
  * gates still red would falsify the construct theory entirely and
  * point at data-dependent magnitude effects (the mini replicas
  * discriminate: they share constructs but not magnitudes).
+ *
+ * ROUND-13 RESOLUTION. The r12 truth table (6 reds, `decsum` green)
+ * plus a local sweep of ALL 282 r12 outputs has perfect separation
+ * under ONE rule: a query is driver-red iff some hashed DECIMAL value
+ * v has `str(v) != repr(float(v))` in Python terms — i.e. the
+ * driver's transport converts DECIMAL columns to float64 on one side
+ * and hashes the shortest-roundtrip float repr. The red value classes:
+ *   (a) trailing zeros at scale      ("1.500000" -> "1.5")
+ *   (b) |v| < 1e-4                   ("0.000001" -> "1e-06")
+ *   (c) scale-0 decimals             ("12"       -> "12.0")
+ *   (d) > ~17 significant digits     (float64 rounds the tail)
+ * Every one of the 6 reds carries a class-(a|b|c|d) value; every
+ * green decimal gate (decsum, decay_agg2, markov2) carried only
+ * safe-repr values. The fix discipline: hashed DECIMAL witnesses are
+ * cast to digit STRINGS on both engines (strings transport verbatim —
+ * ctl_str has always been green). The six former reds below now do
+ * exactly that; the `dec*` second-generation probes keep one
+ * deliberately-exposed DECIMAL column per axis so the driver's next
+ * run confirms (or refutes) the float-repr rule factorially. See
+ * PROBES.md for the per-probe prediction table committed BEFORE the
+ * driver run. tools/dec_audit.py is the mechanical sweep that keeps
+ * every future gate out of the hazard classes.
  */
 object Probes {
 
@@ -74,15 +96,23 @@ object Probes {
       .toDF("k", "x").orderBy("k")
   }
 
+  /** r13: the former red fingerprint, re-registered with the hazard
+    * coerced out — the DECIMAL(20,6) values (trailing zeros, |v|<1e-4,
+    * 18 significant digits: all three float-repr hazard classes) now
+    * transport as digit strings. Expected green; proves the migration
+    * recipe on the exact values that were red for three rounds. */
   def ctlDec(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Seq((1L, "1.500000"), (2L, "-0.000001"),
       (3L, "123456789012.345678"), (4L, "0.000000"))
       .toDF("k", "raw")
-      .select(col("k"), col("raw").cast("decimal(20,6)").as("d"))
+      .select(col("k"),
+        col("raw").cast("decimal(20,6)").cast("string").as("d"))
       .orderBy("k")
   }
 
+  /** r13: ditto for the >2^53 DECIMAL(38,0) class — the decimal
+    * column is dropped; only the digit-string witness hashes. */
   def ctlDec38(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // 2^53+1 and beyond: values a float64 transport would corrupt
@@ -90,9 +120,75 @@ object Probes {
       (2L, "123456789012345678901234567"),
       (3L, "-98765432109876543210"), (4L, "1"))
       .toDF("k", "raw")
-      .select(col("k"), col("raw").cast("decimal(38,0)").as("d"),
+      .select(col("k"),
         col("raw").cast("decimal(38,0)").cast("string").as("s"))
       .orderBy("k")
+  }
+
+  // ---------------------------------------------------------------
+  // Second-generation factorial probes (round 13): ONE axis each of
+  // the float-repr rule, each beside a digit-string twin column so a
+  // red pins the DECIMAL column alone. Predictions (committed in
+  // PROBES.md before the driver run): safe18 GREEN, safe38 GREEN,
+  // trail18 RED, tiny18 RED, int0 RED, sumtrail RED. Any deviation
+  // falsifies the float-repr rule along that axis (e.g. safe38 RED
+  // would revive the int128-physical-width theory; sumtrail GREEN
+  // would revive literal-vs-computed provenance).
+  // ---------------------------------------------------------------
+
+  private def decProbe(spark: SparkSession, vals: Seq[String],
+      typ: String): DataFrame = {
+    import spark.implicits._
+    vals.zipWithIndex.map { case (v, i) => (i + 1L, v) }
+      .toDF("k", "raw")
+      .select(col("k"), col("raw").cast(typ).as("d"),
+        col("raw").cast(typ).cast("string").as("s"))
+      .orderBy("k")
+  }
+
+  /** Axis: none (control). Safe-repr values at int64-physical
+    * DECIMAL(18,6): no trailing zeros, |v| >= 1e-4, <16 sig digits. */
+  def decSafe18(spark: SparkSession, sfDir: String): DataFrame =
+    decProbe(spark,
+      Seq("2.718281", "-3.141592", "123457.295914"), "decimal(18,6)")
+
+  /** Axis: physical width. Same safe-repr values at int128-physical
+    * DECIMAL(38,6). RED here (with safe18 green) = width, not repr. */
+  def decSafe38(spark: SparkSession, sfDir: String): DataFrame =
+    decProbe(spark,
+      Seq("2.718281", "-3.141592", "123457.295914"), "decimal(38,6)")
+
+  /** Axis: trailing zeros at scale (float repr "1.5" vs "1.500000"),
+    * width and magnitude held safe. */
+  def decTrail18(spark: SparkSession, sfDir: String): DataFrame =
+    decProbe(spark,
+      Seq("1.500000", "2.000000", "123456.700000"), "decimal(18,6)")
+
+  /** Axis: |v| < 1e-4 (float repr goes scientific: "1e-06"), no
+    * trailing zeros, width safe. */
+  def decTiny18(spark: SparkSession, sfDir: String): DataFrame =
+    decProbe(spark,
+      Seq("0.000001", "-0.000009", "0.000099"), "decimal(18,6)")
+
+  /** Axis: scale 0 (float repr appends ".0"), values float64-safe
+    * magnitudes, width safe. */
+  def decInt0(spark: SparkSession, sfDir: String): DataFrame =
+    decProbe(spark, Seq("1", "42", "-7"), "decimal(18,0)")
+
+  /** Axis: provenance. sum()-computed DECIMAL(38,6) results landing
+    * exactly on trailing-zero values (1.500000, 2.000000) — decsum
+    * was green with computed SAFE values, so RED here proves the
+    * value class (not literal-vs-computed provenance) is what bites. */
+  def decSumTrail(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Seq((1L, "0.700000"), (1L, "0.800000"),
+      (2L, "1.200000"), (2L, "0.800000"))
+      .toDF("g", "raw")
+      .select(col("g"), col("raw").cast("decimal(18,6)").as("t"))
+      .groupBy(col("g"))
+      .agg(sum(col("t")).cast("decimal(38,6)").as("d"))
+      .select(col("g"), col("d"), col("d").cast("string").as("s"))
+      .orderBy("g")
   }
 
   def ctlTs(spark: SparkSession, sfDir: String): DataFrame = {
@@ -123,7 +219,9 @@ object Probes {
     (8L, 999999L, 1000000L))
 
   /** Control: one double division in floor-form at 6 dp, plus its
-    * DECIMAL(20,6) cast (the q_cusum2 zr transport shape). */
+    * DECIMAL(20,6) cast (the q_cusum2 zr transport shape). r13: the
+    * decimal cast now hashes as a digit string — its one red value
+    * was 1/999983 = 0.000001, float repr "1e-06" (hazard class b). */
   def probeDiv(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     divPairs.toDF("k", "a", "b")
@@ -131,7 +229,7 @@ object Probes {
         fr(col("a").cast("double") / col("b").cast("double"), 6)
           .as("r"),
         fr(col("a").cast("double") / col("b").cast("double"), 6)
-          .cast("decimal(20,6)").as("rd"))
+          .cast("decimal(20,6)").cast("string").as("rd"))
       .orderBy("k")
   }
 
@@ -182,7 +280,11 @@ object Probes {
   }
 
   /** Windowed DECIMAL prefix sum + running min on exact synthetic
-    * decimals (q_cusum2's window machinery, no doubles anywhere). */
+    * decimals (q_cusum2's window machinery, no doubles anywhere).
+    * r13: every t value is k·1e-6 < 4e-4 — the entire column sat in
+    * float-repr hazard class b (plus class-a landings in cum) — so
+    * all three decimal witnesses now hash as digit strings; the
+    * window arithmetic itself stays DECIMAL end to end. */
   def probeWindec(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.load(spark, sfDir, "orders")
       .filter(col("o_orderkey") < 400)
@@ -197,6 +299,9 @@ object Probes {
           .cast("decimal(38,6)").as("cum"))
       .withColumn("runmin",
         min(col("cum")).over(w).cast("decimal(38,6)"))
+      .select(col("k"), col("t").cast("string").as("t"),
+        col("cum").cast("string").as("cum"),
+        col("runmin").cast("string").as("runmin"))
       .orderBy("k")
   }
 
@@ -323,7 +428,10 @@ object Probes {
     sc.join(und, sc("a") === und("src") && sc("b") === und("dst"),
         "left_anti")
       .select(col("a"), col("b"), col("common"),
-        col("aa_score").cast("decimal(38,6)").as("aa_score"))
+        // r13: scores land on trailing-zero values (2 equal weights
+        // summed, e.g. 1.242670) — hazard class a; hash the digits
+        col("aa_score").cast("decimal(38,6)").cast("string")
+          .as("aa_score"))
       .orderBy("a", "b")
   }
 
@@ -351,7 +459,9 @@ object Probes {
       .join(broadcast(norms.select(col("event_type").as("item_b"),
         col("ss").as("ss_b"))), Seq("item_b"))
       .select(col("item_a"), col("item_b"), col("co_users"),
-        col("dot"),
+        // r13: DECIMAL(38,0) is hazard class c (float repr "9506.0"
+        // vs "9506") — hash the digit string
+        col("dot").cast("string").as("dot"),
         fr(col("dot").cast("double") /
           (sqrt(col("ss_a").cast("double")) *
             sqrt(col("ss_b").cast("double"))), 6).as("cos_sim"))

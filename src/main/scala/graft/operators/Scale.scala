@@ -835,6 +835,122 @@ object Scale {
   }
 
   /**
+   * Compaction plan EXECUTOR — the missing half of OPTIMIZE
+   * ([[compactionPlan]] plans, this rewrites). Per planned bin:
+   *
+   *  - if every input file shares (schema, compression), take the
+   *    raw stripe-append path ([[graft.sources.OrcIo.concat]] —
+   *    reference parity `WriterImpl.java:2889` appendStripe): bytes
+   *    are copied stripe-wise without decode, footer statistics and
+   *    user metadata carried over;
+   *  - otherwise a distributed rewrite ([[graft.sources.OrcIo.write]]
+   *    of the unioned scan) — the codec-converting path.
+   *
+   * Outputs land under `outDir/bin=<n>/` (hive layout, so the
+   * compacted table reads back with partition discovery). Returns the
+   * driver-side manifest (bin, mode, n_in, out_files) — metadata-
+   * sized by the same argument as the planner (a 100 TB table at 1 GB
+   * parts is ~10⁵ inventory rows). The layout probe per file reads
+   * ONLY the ORC tail. At cluster scale the rewrite bins are each a
+   * distributed job already; append bins are driver-bound by concat's
+   * single-writer contract (documented there) and would parallelize
+   * across bins via a task pool — bin count, not bin size, bounds
+   * that loop.
+   */
+  def compactionExec(spark: SparkSession, planned: DataFrame,
+      fileCol: String, binCol: String, outDir: String)
+      : Seq[(Long, String, Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val groups = planned.select(col(binCol).cast("long"), col(fileCol))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(1)).toSeq.sorted).toMap
+    def layout(f: String): (String, String) = {
+      val r = org.apache.orc.OrcFile.createReader(
+        new org.apache.hadoop.fs.Path(f),
+        org.apache.orc.OrcFile.readerOptions(conf))
+      try (r.getSchema.toString, r.getCompressionKind.name())
+      finally r.close()
+    }
+    groups.toSeq.sortBy(_._1).map { case (bin, files) =>
+      val binDir = s"$outDir/bin=$bin"
+      val uniform = files.map(layout).distinct.size == 1
+      val mode =
+        if (uniform) {
+          val fs = new org.apache.hadoop.fs.Path(binDir)
+            .getFileSystem(conf)
+          fs.mkdirs(new org.apache.hadoop.fs.Path(binDir))
+          graft.sources.OrcIo.concat(spark, files,
+            s"$binDir/part-00000.orc")
+          "append"
+        } else {
+          graft.sources.OrcIo.write(
+            spark.read.orc(files: _*).coalesce(1), binDir)
+          "rewrite"
+        }
+      val fs = new org.apache.hadoop.fs.Path(binDir).getFileSystem(conf)
+      val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(binDir))
+        .count(s => s.isFile && s.getPath.getName.endsWith(".orc")
+          && !s.getPath.getName.startsWith("_"))
+      (bin, mode, files.size.toLong, outFiles.toLong)
+    }
+  }
+
+  /**
+   * Correctness gate for [[compactionExec]]: 12 real ORC input parts
+   * (orders bucketed by `o_orderkey % 12`; buckets ≥ 8 written zlib,
+   * the rest snappy), planned by [[compactionPlan]] over DETERMINISTIC
+   * size proxies (1000 + bucket — distinct at every SF, so the
+   * sorted-fill lands the same bins everywhere: {11,10,9} zlib-uniform
+   * → stripe-append, {8,7,6,5} mixed-codec → rewrite, {4,3,2} and
+   * {1,0} snappy-uniform → stripe-append; both executor paths are
+   * exercised at every scale). The gate hashes, per bin: the planned
+   * part count, the mode, the output file count (= 1, file count
+   * matches the plan), and the read-back row count + exact integer
+   * key checksums from the ACTUAL rewritten bytes — conservation
+   * through the executor, replayed by the oracle from the source
+   * table. Real byte sizes stay out of the hash (they are
+   * writer-version-dependent); content does not.
+   */
+  def compactionExecQuery(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val dir = graft.sources.OrcIo.scratchDir("compact_exec")
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(12L)))
+    (0L until 12L).foreach { b =>
+      graft.sources.OrcIo.write(
+        orders.filter(col("bucket") === b).drop("bucket").coalesce(1),
+        s"$dir/in/p$b",
+        compression = if (b >= 8L) "zlib" else "snappy")
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    def partFile(b: Long): String = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/in/p$b")
+      p.getFileSystem(conf).listStatus(p)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".orc"))
+        .map(_.getPath.toString).head
+    }
+    val inv = (0L until 12L)
+      .map(b => (b, partFile(b), 1000L + b)).toDF("pkey", "file", "psize")
+    val plan = compactionPlan(inv, Seq(), "pkey", "psize",
+      targetBytes = 3030L)
+    val manifest = compactionExec(spark, plan, "file", "bin",
+        s"$dir/out")
+      .toDF("bin", "mode", "n_parts", "out_files")
+    val back = spark.read.orc(s"$dir/out")
+      .groupBy(col("bin").cast("long").as("bin"))
+      .agg(count(lit(1)).as("out_rows"),
+        sum(col("o_orderkey")).as("out_sum_key"),
+        sum(col("o_custkey")).as("out_sum_cust"))
+    manifest.join(back, Seq("bin"))
+      .select(col("bin"), col("n_parts"), col("mode"), col("out_files"),
+        col("out_rows"), col("out_sum_key"), col("out_sum_cust"))
+      .orderBy(col("bin"))
+  }
+
+  /**
    * Join-size estimation by correlated (key-hash) sampling (Vengerov
    * et al., VLDB 2015): sample the JOIN KEY domain — keep a row iff
    * md5(key) lands under p·2²⁴ — so both sides keep exactly the same

@@ -21,7 +21,10 @@ class BehaviorSpec extends SparkSpec {
       // entropy: 0 ≤ H ≤ ln(#successors), one value per row group
       // (each −p·ln p term quantizes at 6 dp, so the bound carries
       // a per-term 5e-7 slack)
-      val hs = rs.map(_.getDecimal(4).doubleValue).distinct
+      // entropy transports as a digit string (r13 DECIMAL-in-hash
+      // discipline, PROBES.md); parse back for the bound check
+      val hs = rs.map(r => BigDecimal(r.getString(4)).doubleValue)
+        .distinct
       assert(hs.length == 1)
       assert(hs.head >= -rs.length * 1e-6 &&
         hs.head <= math.log(rs.length) + rs.length * 1e-6,
@@ -46,7 +49,9 @@ class BehaviorSpec extends SparkSpec {
     val wMin = math.pow(2.0, -((maxMs - minMs) / 3.6e6) / 168.0)
     rows.foreach { r =>
       val n = r.getLong(1)
-      val dn = r.getDecimal(2).doubleValue
+      // decayed_n transports as a digit string (r13 DECIMAL-in-hash
+      // discipline, PROBES.md); parse it back for the envelope check
+      val dn = BigDecimal(r.getString(2)).doubleValue
       // every weight ∈ [2^(−maxAge/hl), 1] ⇒ n·wMin ≤ decayed_n ≤ n,
       // with n·5e-7 slack for the per-weight 6 dp quantization
       assert(dn <= n + n * 1e-6,

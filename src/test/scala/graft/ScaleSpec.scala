@@ -372,6 +372,27 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("compactionExec: both paths fire, one file per bin, content " +
+      "conserved byte-for-byte through the rewrite") {
+    val out = Scale.compactionExecQuery(spark, sfDir).collect()
+    // deterministic plan: 4 bins at every SF (synthetic sizes)
+    assert(out.length == 4, s"expected 4 bins, got ${out.length}")
+    val modes = out.map(r => r.getLong(0) -> r.getString(2)).toMap
+    // bins {11,10,9} zlib / {4,3,2} {1,0} snappy -> stripe-append;
+    // {8,7,6,5} mixed-codec -> rewrite
+    assert(modes == Map(0L -> "append", 1L -> "rewrite",
+      2L -> "append", 3L -> "append"))
+    // the executor's file count matches the plan: one output per bin
+    assert(out.forall(_.getLong(3) == 1L))
+    // conservation: per-bin read-back rows sum to the whole table
+    val orders = Tables.load(spark, sfDir, "orders")
+    assert(out.map(_.getLong(4)).sum == orders.count())
+    val wholeSum = orders
+      .agg(sum(col("o_orderkey")), sum(col("o_custkey"))).collect()(0)
+    assert(out.map(_.getLong(5)).sum == wholeSum.getLong(0))
+    assert(out.map(_.getLong(6)).sum == wholeSum.getLong(1))
+  }
+
   test("skyline: prune+sweep equals brute-force dominance on an " +
       "adversarial tie/duplicate corpus, across bucket boundaries") {
     import SparkSpec.spark.implicits._
