@@ -478,6 +478,9 @@ object SparkEntry {
     // Embedding centroid drift: squared L2 between parity-cohort
     // label centroids as one exact rational per label
     "q_embed_drift" -> (Similarity.embedDriftQuery _),
+    // IVF maintenance on drift: incremental one-round re-estimate,
+    // delta-only vector moves, post-rebalance recall floor (r13)
+    "q_ann_rebalance" -> (Similarity.annRebalanceQuery _),
     // Corpus curation (north star: decontamination, privacy, quality
     // gates, sequence packing)
     "q_contamination" -> (Curation.contaminationQuery _),
@@ -5873,6 +5876,20 @@ object SparkEntry {
         |    ORDER BY doc_id) AS rn FROM fresh)
         |SELECT doc_id, lang, source, bloom_hit FROM k WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    // q_ann_rebalance: the quantizer matrices are engine-internal
+    // model state, so the oracle predicts the INVARIANTS (the
+    // recallGate pattern): exact corpus/perturbed counts, the
+    // delta-driven move booleans, and the serving floors. A broken
+    // rebalance (full re-shuffle, movement not tracking the drift,
+    // recall collapse, lost self-retrieval) flips a hashed boolean.
+    "q_ann_rebalance" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_perturbed,
+        |  TRUE AS moved_partial, TRUE AS moved_aligned,
+        |  CAST(5 AS BIGINT) AS n_queries,
+        |  TRUE AS self_ok, TRUE AS recall_ok
+        |FROM embeddings""".stripMargin,
     // Embedding centroid drift: per-component micro quantization,
     // grid sums, squared distance cleared to the (n0*n1)^2*1e12
     // denominator; top-shift dim deterministic on (sq desc, dim).

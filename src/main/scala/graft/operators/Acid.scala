@@ -793,11 +793,20 @@ object Acid {
         spark.range(1).select(lit(0L).as("n_ins"),
           lit(0L).as("n_upd"), lit(0L).as("n_del"))
       else {
-        // full-width .rdd tallies, one delta dir at a time: a pruned
-        // scan of ACID-schema ORC trips the vectorized reader's
-        // checkAcidSchema column-id remap (the compactionTrigger
-        // gotcha), and the per-dir read is the incantation that
-        // trigger already proves out
+        // full-width .rdd tallies, one delta dir at a time. NEGATIVE
+        // RESULT (r13, VERDICT r12 #6 experiment, graft.tools
+        // .AcidReadProbe): NO vectorized formulation reads these
+        // files — not schema-forced full width, not count(struct(*))
+        // pinned against ColumnPruning, not even a fully-pruned
+        // count(). The AIOOBE index tracks the REQUESTED width
+        // (0/0, 1/1, 2/2), proving Spark's OrcColumnarBatchReader
+        // detects the Hive-ACID pattern in the FILE schema
+        // (OrcUtils checkAcidSchema) and remaps requested top-level
+        // ids into the inner `row` struct's children regardless of
+        // what was asked; the ACID metadata columns this tally needs
+        // (operation, currentTransaction) are exactly what the remap
+        // hides, so the row-oriented reader is the only path to
+        // them. Cost stays delta-bound, not base-bound.
         val (ins, upd, del) = deltas.map { d =>
           val df = spark.read.orc(s"$tableDir/$d")
           val opIdx = df.schema.fieldIndex("operation")

@@ -147,6 +147,36 @@ object Similarity {
    * partial-aggregated groupBy whose shuffle is O(k·dims·partitions).
    * Each round materializes k·dims means (≈1k rows) on the driver.
    */
+  /** One Lloyd re-estimation round from an existing centroid matrix:
+    * assign + per-cell mean. Factored out so the index-maintenance
+    * path ([[annRebalanceQuery]]) can re-estimate incrementally from
+    * the CURRENT quantizer instead of re-fitting from scratch. */
+  private[graft] def lloydRound(emb: DataFrame,
+      matrix: Array[Array[Float]], l2: Boolean = false)
+      : Array[Array[Float]] = {
+    // materialize the cell assignment BEFORE the posexplode: inlined
+    // into the Generate, the O(k·dims) nearest-cell expression
+    // re-evaluates once per exploded ELEMENT (dims× amplification —
+    // measured 35 s vs 2 s for k=256, dims=64)
+    val assign =
+      if (l2) cellOfL2(matrix, col("embedding"))
+      else cellOf(matrix, col("embedding"))
+    val assigned = emb
+      .select(assign.as("cell"), col("embedding"))
+      .localCheckpoint()
+    val means = assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(avg(col("v")).as("m"))
+      .collect()
+    // cells that captured no vectors keep their previous centroid
+    val next = matrix.map(_.clone)
+    means.foreach { r =>
+      next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+    }
+    next
+  }
+
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int,
       l2: Boolean = false): DataFrame = {
     val spark = emb.sparkSession
@@ -158,27 +188,7 @@ object Similarity {
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
     (1 to iters).foreach { _ =>
-      // materialize the cell assignment BEFORE the posexplode: inlined
-      // into the Generate, the O(k·dims) nearest-cell expression
-      // re-evaluates once per exploded ELEMENT (dims× amplification —
-      // measured 35 s vs 2 s for k=256, dims=64)
-      val assign =
-        if (l2) cellOfL2(matrix, col("embedding"))
-        else cellOf(matrix, col("embedding"))
-      val assigned = emb
-        .select(assign.as("cell"), col("embedding"))
-        .localCheckpoint()
-      val means = assigned
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy(col("cell"), col("dim"))
-        .agg(avg(col("v")).as("m"))
-        .collect()
-      // cells that captured no vectors keep their previous centroid
-      val next = matrix.map(_.clone)
-      means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
-      }
-      matrix = next
+      matrix = lloydRound(emb, matrix, l2)
     }
     import spark.implicits._
     matrix.zipWithIndex
@@ -577,14 +587,22 @@ object Similarity {
   def ivfTopK(spark: SparkSession, sfDir: String, nprobe: Int = 4)
       : DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
-    val m = buildIndex(spark, sfDir)
-    // assignment and probing are narrow projections over the corpus —
-    // the only shuffle in the whole query is the broadcast-join's none:
-    // the corpus stays where it is, probes are broadcast
-    val assigned = emb.select(
+    ivfServe(emb, emb.filter(col("vec_id") < 5),
+      buildIndex(spark, sfDir), nprobe)
+  }
+
+  /** IVF serving against an arbitrary (corpus, quantizer) pair — the
+    * reusable core of [[ivfTopK]], also what the post-rebalance gate
+    * serves with the incrementally re-estimated matrix. Assignment
+    * and probing are narrow projections over the corpus — the only
+    * shuffle in the whole query is the broadcast-join's none: the
+    * corpus stays where it is, probes are broadcast. */
+  private[graft] def ivfServe(corpus: DataFrame, queries: DataFrame,
+      m: Array[Array[Float]], nprobe: Int = 4): DataFrame = {
+    val assigned = corpus.select(
       col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
       cellOf(m, col("embedding")).as("cell"))
-    val probes = emb.filter(col("vec_id") < 5).select(
+    val probes = queries.select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       explode(call_function("graft_nearest_cells", col("embedding"),
         centsLit(m), lit(nprobe))).as("cell"))
@@ -1076,5 +1094,67 @@ object Similarity {
         col("dist_sq_micro"), col("top_dim").cast("long").as("top_dim"),
         col("top_sq_str"))
       .orderBy(col("label"))
+  }
+
+  /**
+   * IVF index maintenance on embedding drift — the execution half of
+   * [[embedDriftQuery]]'s detector (which flags centroid drift but
+   * repairs nothing). When the corpus distribution shifts, the coarse
+   * quantizer is re-estimated INCREMENTALLY (one [[lloydRound]] from
+   * the CURRENT matrix — never a from-scratch re-fit), and only the
+   * vectors whose cell assignment changed move — the delta set a
+   * cell-partitioned 100 TB vector store would rewrite (old-vs-new
+   * assignment is a narrow two-expression projection; the moved rows
+   * are the only ones that shuffle to new partitions; everything else
+   * stays put).
+   *
+   * Gate (the recallGate pattern — model state is engine-internal,
+   * invariants are oracle-predictable): drift is simulated by
+   * shifting every 5th vector by +0.3 per dimension; the gate hashes
+   * the corpus/perturbed counts (exact), `moved_partial` (some but
+   * fewer than half the vectors moved — the delta-driven claim),
+   * `moved_aligned` (the moved fraction among perturbed vectors is at
+   * least the moved fraction among unperturbed ones — movement tracks
+   * the drift, exact integer cross-multiply), and the post-rebalance
+   * serving invariants (self-retrieval, recall ≥ the fresh-build
+   * floor used by the standing IVF gate).
+   */
+  def annRebalanceQuery(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val perturbed = pmod(col("vec_id"), lit(5L)) === 0L
+    val drifted = emb.select(col("vec_id"),
+      when(perturbed,
+        transform(col("embedding"),
+          x => (x + lit(0.3f)).cast("float")))
+        .otherwise(col("embedding")).as("embedding"))
+    val m1 = buildIndex(spark, sfDir)
+    val m2 = lloydRound(drifted, m1)
+    val moves = drifted.select(
+        perturbed.as("pert"),
+        (cellOf(m1, col("embedding")) =!=
+          cellOf(m2, col("embedding"))).as("moved"))
+      .groupBy(col("pert"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
+      .agg(
+        sum(col("n")).as("n_vecs"),
+        sum(when(col("pert"), col("n"))).as("n_perturbed"),
+        sum(col("n_moved")).as("n_moved_all"),
+        sum(when(col("pert"), col("n_moved"))).as("mv_p"),
+        sum(when(!col("pert"), col("n_moved"))).as("mv_u"),
+        sum(when(col("pert"), col("n"))).as("n_p"),
+        sum(when(!col("pert"), col("n"))).as("n_u"))
+    val serving = recallGate(
+      ivfServe(drifted, drifted.filter(col("vec_id") < 5), m2),
+      bruteForceTopK(drifted.filter(col("vec_id") < 5), drifted, 10),
+      0.3)
+    moves.crossJoin(serving)
+      .select(col("n_vecs"), col("n_perturbed"),
+        (col("n_moved_all") > 0L &&
+          col("n_moved_all") * 2L < col("n_vecs")).as("moved_partial"),
+        (col("mv_p") * col("n_u") >= col("mv_u") * col("n_p"))
+          .as("moved_aligned"),
+        col("n_queries"), col("self_ok"), col("recall_ok"))
   }
 }

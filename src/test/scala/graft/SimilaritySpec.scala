@@ -415,4 +415,32 @@ class SimilaritySpec extends SparkSpec {
         s"parity halves drifted: ${r.getLong(3)}")
     }
   }
+
+  test("annRebalance: no-drift re-estimate is a near-fixpoint; " +
+      "drifted rebalance moves a partial, drift-tracking delta") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val m1 = Similarity.buildIndex(spark, sfDir)
+    // control: one Lloyd round on the UNCHANGED corpus must barely
+    // move assignments (the quantizer was fitted on this corpus — a
+    // large move count would mean the "incremental re-estimate" is
+    // really a re-fit and the delta-driven claim is vacuous)
+    val m1b = Similarity.lloydRound(emb, m1)
+    def moves(df: org.apache.spark.sql.DataFrame,
+        a: Array[Array[Float]], b: Array[Array[Float]]): Long =
+      df.select((Similarity.cellOf(a, col("embedding")) =!=
+          Similarity.cellOf(b, col("embedding"))).as("mv"))
+        .filter(col("mv")).count()
+    val n = emb.count()
+    val stable = moves(emb, m1, m1b)
+    assert(stable * 10 < n, s"no-drift round moved $stable of $n")
+    // the gate row: every boolean invariant holds and the counts are
+    // the table's
+    val r = Similarity.annRebalanceQuery(spark, sfDir).collect()(0)
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == emb.filter(pmod(col("vec_id"), lit(5L))
+      === 0L).count())
+    assert(r.getBoolean(2) && r.getBoolean(3))
+    assert(r.getBoolean(5) && r.getBoolean(6))
+  }
 }
