@@ -122,6 +122,51 @@ object Bench {
     }
     val errObj = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = d3(results.collect { case (_, Right(v)) => v }.sum)
+    // Host fingerprint (r13, VERDICT r12 #3): the committed artifact
+    // must be attributable to a host state, so a future sweep can
+    // distinguish "the host shifted" (uniform drift, e.g. the r12
+    // mid-round reboot that inflated every query ~1.36x) from "a
+    // query regressed". uptime/loadavg give the state; calib_sec is
+    // a fixed-work single-thread spin (pure CPU, no allocation) and
+    // spark_calib_sec a fixed codegen'd 2e9-row range-sum through the
+    // whole stack (parallel, so co-tenant contention shows up here
+    // first). tools/bench_diff.py compares fingerprints before
+    // judging per-query deltas.
+    def readFirst(path: String): String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8").trim
+      catch { case _: Throwable => "" }
+    val uptimeSec = readFirst("/proc/uptime").split(" ")
+      .headOption.flatMap(_.toDoubleOption).getOrElse(-1.0)
+    val load1 = readFirst("/proc/loadavg").split(" ")
+      .headOption.flatMap(_.toDoubleOption).getOrElse(-1.0)
+    val calibSec = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L; var i = 0L
+      while (i < 800000000L) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      if (x == 42L) System.err.println("") // keep the loop live
+      (System.nanoTime() - t0) / 1e9
+    }
+    // try-wrapped: a calibration failure must never cost the
+    // artifact (r13 first run: sum(id*id) overflowed BIGINT under
+    // ANSI after the full 13-min sweep had finished — id % 97 keeps
+    // the sum ~1e11, far from the edge)
+    val sparkCalibSec =
+      try {
+        val t0 = System.nanoTime()
+        spark.range(2000000000L).selectExpr("sum(id % 97) AS s")
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] spark calib failed: $t"); -1.0
+      }
+    val hostObj =
+      s""""host":{"uptime_sec":${d3(uptimeSec)},"load1":${d3(load1)},""" +
+        s""""calib_sec":${d3(calibSec)},""" +
+        s""""spark_calib_sec":${d3(sparkCalibSec)}}"""
     // audit trail: which queries were billed at warm (pin-reusing)
     // timings vs cold — everything NOT listed here is billed cold
     System.err.println(
@@ -129,7 +174,7 @@ object Bench {
         warmBilled.mkString(", "))
     System.err.flush()
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errObj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errObj,$hostObj,"sf":"$sfDir"}"""
     // The full per-query object (~2.5KB at 90 queries) has repeatedly been
     // clipped by the driver's bounded tail capture (rounds 1-7 all show
     // parsed:null; round 7 additionally lost the head of the object, making

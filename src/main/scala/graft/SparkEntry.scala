@@ -356,6 +356,9 @@ object SparkEntry {
     "q_sample_wor" -> ((s, d) => Sampling.weightedWorQuery(s, d)),
     // Data selection: mixture resampling + DSIR importance weighting
     "q_domain_mix" -> ((s, d) => Sampling.domainMixQuery(s, d)),
+    // Leave-one-source-out mixture ledger from sufficient statistics:
+    // one corpus scan, k^2 metadata grid, exact ppm shares (r13)
+    "q_mix_ablation" -> (Sampling.mixAblationQuery _),
     // Temperature (α=0.5) mixing: data-derived √n targets, same
     // deterministic hash coin
     "q_temperature_mix" -> (Sampling.temperatureMixQuery _),
@@ -502,6 +505,10 @@ object SparkEntry {
     "q_dp_counts" -> ((s, d) => Curation.dpCountsQuery(s, d)),
     // Domain deny-list: longest label-boundary suffix match
     "q_domain_filter" -> (Curation.domainFilterQuery _),
+    // Robots/license/meta compliance pass: longest-match robots rules
+    // (allow wins ties), noai opt-out, license allowlist, with the
+    // crawl-practice precedence robots > meta > license (r13)
+    "q_compliance" -> (Curation.complianceFilterQuery _),
     "q_text_normalize" -> (Curation.normalizeQuery _),
     "q_html_strip" -> (Curation.htmlStripQuery _),
     "q_url_normalize" -> (Curation.urlNormalizeQuery _),
@@ -6072,6 +6079,78 @@ object SparkEntry {
         |  m.matched_suffix IS NOT NULL AS blocked
         |FROM d LEFT JOIN m ON d.doc_id = m.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // q_compliance: the oracle rebuilds the id-derived host/path/
+    // license/noai frame, replays longest-match robots resolution
+    // (length DESC, allow DESC, prefix DESC — the exact Spark
+    // struct-max order) and the precedence verdict.
+    "q_compliance" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'site' || CAST(doc_id % 5 AS VARCHAR) ||
+        |      CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END
+        |      AS host,
+        |    '/' || CASE WHEN doc_id % 3 = 0 THEN 'private'
+        |      WHEN doc_id % 3 = 1 THEN 'public' ELSE 'blog' END ||
+        |      '/p' || CAST(doc_id % 9 AS VARCHAR) AS path,
+        |    (['cc-by','cc0','all-rights-reserved','mit','cc-by-nc',
+        |      'public-domain','unknown'])[CAST(doc_id % 7 AS INTEGER)
+        |      + 1] AS license,
+        |    doc_id % 17 = 0 AS noai
+        |  FROM documents),
+        |r(host, prefix, allow) AS (VALUES
+        |  ('site1.com', '/private/', FALSE),
+        |  ('site1.com', '/private/blog', TRUE),
+        |  ('site2.org', '/priva', FALSE),
+        |  ('site2.org', '/publi', TRUE),
+        |  ('site3.com', '/', FALSE),
+        |  ('site2.org', '/blog/', FALSE),
+        |  ('site2.org', '/blog/', TRUE)),
+        |m AS (
+        |  SELECT doc_id, prefix AS robots_rule,
+        |    allow AS robots_allow
+        |  FROM (
+        |    SELECT d.doc_id, r.prefix, r.allow,
+        |      row_number() OVER (PARTITION BY d.doc_id
+        |        ORDER BY length(r.prefix) DESC, r.allow DESC,
+        |          r.prefix DESC) AS rn
+        |    FROM d JOIN r ON d.host = r.host
+        |      AND starts_with(d.path, r.prefix))
+        |  WHERE rn = 1)
+        |SELECT d.doc_id, d.host, d.path, d.license, m.robots_rule,
+        |  coalesce(m.robots_allow, TRUE) AS robots_ok,
+        |  NOT d.noai AS meta_ok,
+        |  d.license IN ('cc-by','cc0','mit','public-domain')
+        |    AS license_ok,
+        |  coalesce(m.robots_allow, TRUE) AND NOT d.noai AND
+        |    d.license IN ('cc-by','cc0','mit','public-domain')
+        |    AS compliant,
+        |  CASE WHEN NOT coalesce(m.robots_allow, TRUE) THEN 'robots'
+        |    WHEN d.noai THEN 'meta_noai'
+        |    WHEN d.license NOT IN ('cc-by','cc0','mit',
+        |      'public-domain') THEN 'license' END AS exclude_reason
+        |FROM d LEFT JOIN m ON d.doc_id = m.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // q_mix_ablation: full replay — per-source doc/token tallies,
+    // the k^2 leave-one-out grid, integer-ppm shares.
+    "q_mix_ablation" ->
+      """WITH s AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM s)
+        |SELECT a.source AS ablated, s.source, s.n_docs, s.n_tokens,
+        |  CAST(s.n_tokens * 1000000 // t.t_tokens AS BIGINT)
+        |    AS share_ppm_full,
+        |  CAST(s.n_tokens * 1000000 // (t.t_tokens - a.n_tokens)
+        |    AS BIGINT) AS share_ppm_variant,
+        |  CAST(t.t_docs - a.n_docs AS BIGINT) AS variant_docs,
+        |  CAST(t.t_tokens - a.n_tokens AS BIGINT) AS variant_tokens,
+        |  CAST(a.n_tokens * 1000000 // t.t_tokens AS BIGINT)
+        |    AS ablated_share_ppm
+        |FROM s a JOIN s ON s.source <> a.source CROSS JOIN t
+        |ORDER BY ablated, s.source""".stripMargin,
     // q_k_anon: the oracle recounts all three equivalence-class sizes
     // and replays the first-level-that-clears-k choice; bands ride
     // integer cents so the labels are exact at any magnitude.

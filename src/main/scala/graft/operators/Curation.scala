@@ -664,6 +664,103 @@ object Curation {
   }
 
   /**
+   * Robots/license compliance filter — the legal-exclusion pass a
+   * crawl-derived training corpus runs after the domain deny-list
+   * ([[domainFilter]] removes bad ACTORS; this removes disallowed
+   * CONTENT from otherwise-fine hosts). Three signals, with the
+   * crawl-practice precedence robots > meta directive > license:
+   *
+   *  - robots rules: per-host (prefix, allow) entries; a doc's path
+   *    matches under the longest-match rule, ties broken toward
+   *    allow (the published robots.txt evaluation rule). No rule for
+   *    the host ⇒ allowed.
+   *  - meta directive: a per-doc `noai`-style opt-out always excludes.
+   *  - license: only tags on the permissive allowlist may train;
+   *    unknown or restrictive tags exclude.
+   *
+   * Output: every doc with its matched robots rule (most specific),
+   * the decision, and the FIRST exclusion reason by precedence —
+   * the audit columns a compliance review asks for.
+   *
+   * Scale shape (100 TB): the ruleset and license allowlist are
+   * broadcast (rule corpora are thousands of rows); the robots match
+   * is a broadcast equi-join on host + a startswith filter + one
+   * per-doc max_by over its few matching rules — the corpus never
+   * shuffles, only the small (doc, rule) match set aggregates, and
+   * the verdict is a codegen'd projection.
+   */
+  def complianceFilter(docs: DataFrame, robots: DataFrame,
+      allowedLicenses: Seq[String]): DataFrame = {
+    val rules = robots.select(col("host").as("_rh"),
+      col("prefix").as("_rp"), col("allow").as("_ra"))
+    val matched = docs
+      .select(col("doc_id"), col("host"), col("path"))
+      .join(broadcast(rules), col("host") === col("_rh") &&
+        col("path").startsWith(col("_rp")))
+      .groupBy(col("doc_id"))
+      // longest match wins; tie -> allow (struct max orders by
+      // length first, then allow=true > false)
+      .agg(max(struct(length(col("_rp")).as("l"), col("_ra").as("a"),
+        col("_rp").as("p"))).as("m"))
+      .select(col("doc_id"), col("m.p").as("robots_rule"),
+        col("m.a").as("robots_allow"))
+    val lic = allowedLicenses.map(lit(_))
+    docs.join(matched, Seq("doc_id"), "left")
+      .withColumn("robots_ok",
+        coalesce(col("robots_allow"), lit(true)))
+      .withColumn("license_ok", col("license").isin(lic: _*))
+      .withColumn("meta_ok", !col("noai"))
+      .withColumn("compliant",
+        col("robots_ok") && col("meta_ok") && col("license_ok"))
+      .withColumn("exclude_reason",
+        when(!col("robots_ok"), lit("robots"))
+          .when(!col("meta_ok"), lit("meta_noai"))
+          .when(!col("license_ok"), lit("license")))
+  }
+
+  /** Correctness gate for [[complianceFilter]]: id-derived hosts
+    * (`site{id%5}.{com|org}`), paths (`/{public|private|blog}/p{id%9}`),
+    * licenses (7-cycle over permissive and restrictive tags) and a
+    * 17-cycle noai bit, against a fixed rule set exercising longest
+    * match (`/private/` disallowed but `/private/blog` re-allowed on
+    * site1.com), the allow-on-tie rule (equal-length allow+disallow
+    * entries on site2.org), a host with no rules, and each reason of
+    * the precedence chain. */
+  def complianceFilterQuery(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val id = col("doc_id")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(id,
+        concat(lit("site"), (id % 5).cast("string"),
+          when(id % 2 === 0, lit(".com")).otherwise(lit(".org")))
+          .as("host"),
+        concat(lit("/"),
+          when(id % 3 === 0, lit("private"))
+            .when(id % 3 === 1, lit("public")).otherwise(lit("blog")),
+          lit("/p"), (id % 9).cast("string")).as("path"),
+        element_at(typedLit(Seq("cc-by", "cc0", "all-rights-reserved",
+          "mit", "cc-by-nc", "public-domain", "unknown")),
+          (id % 7).cast("int") + 1).as("license"),
+        (id % 17 === 0).as("noai"))
+    val robots = Seq(
+      ("site1.com", "/private/", false),
+      ("site1.com", "/private/blog", true),  // longest match re-allows
+      ("site2.org", "/priva", false),
+      ("site2.org", "/publi", true),
+      ("site3.com", "/", false),             // whole host disallowed
+      ("site2.org", "/blog/", false),
+      ("site2.org", "/blog/", true))         // exact tie -> allow wins
+      .toDF("host", "prefix", "allow")
+    complianceFilter(docs, robots,
+      Seq("cc-by", "cc0", "mit", "public-domain"))
+      .select(col("doc_id"), col("host"), col("path"), col("license"),
+        col("robots_rule"), col("robots_ok"), col("meta_ok"),
+        col("license_ok"), col("compliant"), col("exclude_reason"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * K-anonymity via a fixed generalization ladder (global recoding):
    * each row's quasi-identifier tuple is released at the FINEST level
    * whose equivalence class (count of rows sharing the level's

@@ -526,4 +526,58 @@ object Sampling {
         (col("spread") <= 1L).as("balanced"))
       .orderBy(col("doc_id"))
   }
+
+  /**
+   * Dataset-mixture ablation bookkeeping: for every leave-one-source-
+   * out variant of the corpus, the per-remaining-source document and
+   * token tallies plus the re-normalized mixture shares — the ledger
+   * an ablation study reads to know what mixture each variant
+   * actually trains on ("how much does every domain's share inflate
+   * when source X drops out, and what fraction of the budget did X
+   * carry"). Complements [[graft.operators.Versioning.runDiff]],
+   * which diffs two REALIZED corpus versions; this enumerates the
+   * hypothetical variants from sufficient statistics without ever
+   * materializing one.
+   *
+   * Shape at 100 TB: ONE corpus scan (source-level count/token
+   * aggregate, map-side partial — the shuffle carries one row per
+   * source); the ablation grid is a k×k broadcast self-join over that
+   * k-row table, so adding variants costs metadata, never another
+   * corpus pass. Exactness: shares are ppm via integer floor
+   * division — no doubles anywhere.
+   */
+  def mixAblation(docs: DataFrame): DataFrame = {
+    // the k-row sufficient statistic is checkpointed EAGERLY: it
+    // feeds three plan branches (variants, remaining grid, totals),
+    // and without the materialization each branch would re-scan the
+    // corpus — the one-scan claim is the operator's whole value
+    val stats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long"))
+          .as("n_tokens"))
+      .localCheckpoint()
+    val tot = stats.agg(sum(col("n_docs")).as("t_docs"),
+      sum(col("n_tokens")).as("t_tokens"))
+    val removed = stats.select(col("source").as("ablated"),
+      col("n_docs").as("rm_docs"), col("n_tokens").as("rm_tokens"))
+    removed.crossJoin(broadcast(stats))
+      .filter(col("source") =!= col("ablated"))
+      .crossJoin(broadcast(tot))
+      .select(col("ablated"), col("source"),
+        col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000000L div t_tokens").as("share_ppm_full"),
+        expr("n_tokens * 1000000L div (t_tokens - rm_tokens)")
+          .as("share_ppm_variant"),
+        (col("t_docs") - col("rm_docs")).as("variant_docs"),
+        (col("t_tokens") - col("rm_tokens")).as("variant_tokens"),
+        expr("rm_tokens * 1000000L div t_tokens")
+          .as("ablated_share_ppm"))
+      .orderBy(col("ablated"), col("source"))
+  }
+
+  /** Correctness gate for [[mixAblation]] over the documents table's
+    * natural sources. */
+  def mixAblationQuery(spark: SparkSession, sfDir: String): DataFrame =
+    mixAblation(Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("text")))
 }

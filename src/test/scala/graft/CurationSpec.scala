@@ -840,4 +840,54 @@ class CurationSpec extends SparkSpec {
     assert(charRow.getLong(1) == best.get._2,
       s"threshold ${charRow.getLong(1)} != brute ${best.get._2}")
   }
+
+  test("complianceFilter: longest robots match wins, exact ties go " +
+      "to allow, precedence is robots > meta > license") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq(
+      // host with rules: /private/blog re-allowed by the longer rule
+      (1L, "h1", "/private/blog/x", "cc-by", false),
+      (2L, "h1", "/private/other", "cc-by", false),  // robots-blocked
+      // exact-tie prefix (both allow values registered) -> allow
+      (3L, "h2", "/t/page", "cc0", false),
+      // no rules for the host: allowed unless meta/license say no
+      (4L, "h3", "/x", "mit", false),
+      (5L, "h3", "/x", "all-rights-reserved", false), // license
+      (6L, "h3", "/x", "cc-by", true),                // meta noai
+      // robots block outranks a meta+license double offence
+      (7L, "h1", "/private/other", "unknown", true))
+      .toDF("doc_id", "host", "path", "license", "noai")
+    val robots = Seq(
+      ("h1", "/private/", false), ("h1", "/private/blog", true),
+      ("h2", "/t/", false), ("h2", "/t/", true))
+      .toDF("host", "prefix", "allow")
+    val out = Curation.complianceFilter(docs, robots,
+        Seq("cc-by", "cc0", "mit", "public-domain"))
+      .select(col("doc_id"), col("compliant"), col("exclude_reason"),
+        col("robots_rule"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.getString(2)), Option(r.getString(3))))
+      .toMap
+    assert(out(1L) == ((true, None, Some("/private/blog"))))
+    assert(out(2L) == ((false, Some("robots"), Some("/private/"))))
+    assert(out(3L) == ((true, None, Some("/t/"))))
+    assert(out(4L) == ((true, None, None)))
+    assert(out(5L) == ((false, Some("license"), None)))
+    assert(out(6L) == ((false, Some("meta_noai"), None)))
+    assert(out(7L) == ((false, Some("robots"), Some("/private/"))))
+  }
+
+  test("complianceFilter plan: rules broadcast, corpus never shuffles") {
+    import SparkSpec.spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), lit("h").as("host"),
+        lit("/p").as("path"), lit("cc-by").as("license"),
+        lit(false).as("noai"))
+    val robots = Seq(("h", "/", true)).toDF("host", "prefix", "allow")
+    val p = Curation.complianceFilter(docs, robots, Seq("cc-by"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), s"rules not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled:\n$p")
+  }
 }

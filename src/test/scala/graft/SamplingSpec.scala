@@ -350,4 +350,42 @@ class SamplingSpec extends SparkSpec {
       }
     }
   }
+
+  test("mixAblation: k^2 grid, conserved variant totals, ppm shares " +
+      "replay from hand counts, variant shares exceed full shares") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq(
+      ("a", "one two three"), ("a", "four five"),
+      ("b", "six seven eight nine"),
+      ("c", "ten"), ("c", "eleven twelve"))
+      .toDF("source", "text")
+    val rows = Sampling.mixAblation(docs).collect()
+    val k = 3
+    assert(rows.length == k * (k - 1))
+    // hand counts: a = 2 docs / 5 tok, b = 1 / 4, c = 2 / 3; total 12
+    val tok = Map("a" -> 5L, "b" -> 4L, "c" -> 3L)
+    val dcs = Map("a" -> 2L, "b" -> 1L, "c" -> 2L)
+    rows.foreach { r =>
+      val (abl, src) = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == dcs(src) && r.getLong(3) == tok(src))
+      assert(r.getLong(4) == tok(src) * 1000000L / 12L)
+      assert(r.getLong(5) == tok(src) * 1000000L / (12L - tok(abl)))
+      assert(r.getLong(6) == 5L - dcs(abl))
+      assert(r.getLong(7) == 12L - tok(abl))
+      assert(r.getLong(8) == tok(abl) * 1000000L / 12L)
+      // removing mass can only inflate every remaining share
+      assert(r.getLong(5) >= r.getLong(4))
+    }
+  }
+
+  test("mixAblation plan: the grid reuses the checkpointed k-row " +
+      "aggregate (zero corpus re-scans) and never shuffles") {
+    val p = Sampling.mixAblationQuery(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the corpus was scanned once, eagerly, at stats-build time: the
+    // grid plan itself must contain NO file scan of documents
+    assert(!p.contains("documents.parquet"),
+      s"grid re-scans the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"grid shuffled:\n$p")
+  }
 }

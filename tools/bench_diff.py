@@ -62,12 +62,39 @@ def main():
         print(f"  new queries (not compared): {', '.join(added)}")
     if removed:
         print(f"  removed queries: {', '.join(removed)}")
+    # Host-fingerprint comparison (r13): a host-state shift inflates
+    # every query uniformly (the r12 mid-round reboot measured 1.36x
+    # median with disjoint "regressed" sets across sweeps). If the
+    # calibration micro-benches moved >15%, per-query deltas are NOT
+    # attributable to code — report them as suspect and exit 2 so the
+    # caller re-baselines on a healthy host instead of chasing
+    # phantom regressions (or absorbing real ones into a bad base).
+    fh, bh = fresh.get("host"), base.get("host")
+    host_shifted = False
+    if fh and bh:
+        for key in ("calib_sec", "spark_calib_sec"):
+            fv, bv = fh.get(key), bh.get(key)
+            if fv and bv and not (1 / 1.15 <= fv / bv <= 1.15):
+                print(f"HOST SHIFTED: {key} {bv:.2f}s -> {fv:.2f}s "
+                      f"({fv / bv:.2f}x)")
+                host_shifted = True
+        print(f"host: uptime {bh.get('uptime_sec', -1):.0f}s -> "
+              f"{fh.get('uptime_sec', -1):.0f}s, load1 "
+              f"{bh.get('load1', -1):.2f} -> {fh.get('load1', -1):.2f}")
+    elif fh or bh:
+        print("note: only one artifact carries a host fingerprint — "
+              "first fingerprinted sweep, comparison starts next time")
     if tripped:
+        tag = "SUSPECT (host shifted)" if host_shifted else "REGRESS"
         print(f"REGRESSIONS (>25% and >0.5s): {len(tripped)}")
         for name, b, f in tripped:
-            print(f"  REGRESS {name}: {b:.2f}s -> {f:.2f}s "
+            print(f"  {tag} {name}: {b:.2f}s -> {f:.2f}s "
                   f"({(f - b) / b * 100.0:+.0f}%)")
-        sys.exit(1)
+        sys.exit(2 if host_shifted else 1)
+    if host_shifted:
+        print("no regressions tripped, but the host shifted — "
+              "comparisons against this sweep are unreliable")
+        sys.exit(2)
     print("no regressions tripped")
 
 
