@@ -1110,7 +1110,13 @@ object Similarity {
    *
    * Gate (the recallGate pattern — model state is engine-internal,
    * invariants are oracle-predictable): drift is simulated by
-   * shifting every 5th vector by +0.3 per dimension; the gate hashes
+   * REVERSING every 5th vector's dimensions — the "one shard was
+   * re-embedded by a different model version" event, which reliably
+   * lands the affected vectors in different cells at every corpus
+   * size (a small additive shift does not: at 20k vectors the
+   * re-estimated centroids move the UNPERTURBED population more than
+   * the shift moves the perturbed one, and the alignment invariant
+   * flips — measured at sf1); the gate hashes
    * the corpus/perturbed counts (exact), `moved_partial` (some but
    * fewer than half the vectors moved — the delta-driven claim),
    * `moved_aligned` (the moved fraction among perturbed vectors is at
@@ -1124,16 +1130,21 @@ object Similarity {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val perturbed = pmod(col("vec_id"), lit(5L)) === 0L
     val drifted = emb.select(col("vec_id"),
-      when(perturbed,
-        transform(col("embedding"),
-          x => (x + lit(0.3f)).cast("float")))
+      when(perturbed, reverse(col("embedding")))
         .otherwise(col("embedding")).as("embedding"))
     val m1 = buildIndex(spark, sfDir)
     val m2 = lloydRound(drifted, m1)
-    val moves = drifted.select(
-        perturbed.as("pert"),
-        (cellOf(m1, col("embedding")) =!=
-          cellOf(m2, col("embedding"))).as("moved"))
+    // moved = the store's CURRENT location (old embedding under the
+    // old quantizer — what was written at ingest) differs from the
+    // post-rebalance one (new embedding under the re-estimated
+    // quantizer). Comparing m1 vs m2 on the drifted embedding alone
+    // would measure only quantizer motion and miss that a re-embedded
+    // vector itself relocated — the bulk of the physical delta.
+    val newEmb = when(perturbed, reverse(col("embedding")))
+      .otherwise(col("embedding"))
+    val moves = emb.select(perturbed.as("pert"),
+        (cellOf(m1, col("embedding")) =!= cellOf(m2, newEmb))
+          .as("moved"))
       .groupBy(col("pert"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
