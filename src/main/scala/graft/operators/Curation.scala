@@ -1189,14 +1189,16 @@ object Curation {
     // round); bigrams give a 900+-element universe with real overlap
     // structure, which is also the honest production choice (coverage
     // of CONTEXTS, not bare tokens)
-    val toks = split(col("text"), " ")
+    // native O(L) bigram kernel: the HOF formulation
+    // (transform(sequence, i -> element_at(split(text), i)...)) gets
+    // its split() inlined per lambda invocation — O(L²) interpreted
+    // per doc, measured 3.1 s of this gate's 3.9 s warm time at
+    // sf0.1; the kernel pass is 0.2 s (the graft_cdc_cuts lesson)
     val docWords = Tables.load(spark, sfDir, "documents")
-      .filter(size(toks) >= 2)
       .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(toks) - 1),
-          i => concat(element_at(toks, i), lit(" "),
-            element_at(toks, i + 1))))).as("wrd"))
+        explode(array_distinct(
+          call_function("graft_ngrams", col("text"), lit(2))))
+          .as("wrd"))
     greedyCover(spark, docWords, k)
   }
 
@@ -1216,12 +1218,19 @@ object Curation {
       if (!saturated) {
         // the covered set derives from docWords itself — alias its
         // column so the anti join is a real equi-join, not a
-        // self-join on one shared attribute
-        val cov = docWords.filter(col("doc_id").isInCollection(chosen))
-          .select(col("wrd").as("cov_wrd")).distinct()
-        val win = docWords
-          .join(broadcast(cov), col("wrd") === col("cov_wrd"),
-            "left_anti")
+        // self-join on one shared attribute. Round 1's covered set
+        // is empty by definition: skip the filter/distinct/broadcast
+        // jobs entirely (measured ~0.7 s of the gate's 3.9 s warm).
+        val remaining =
+          if (chosen.isEmpty) docWords
+          else {
+            val cov = docWords
+              .filter(col("doc_id").isInCollection(chosen))
+              .select(col("wrd").as("cov_wrd")).distinct()
+            docWords.join(broadcast(cov),
+              col("wrd") === col("cov_wrd"), "left_anti")
+          }
+        val win = remaining
           .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
           .orderBy(col("gain").desc, col("doc_id")).limit(1)
           .collect()
