@@ -83,6 +83,9 @@ object SparkEntry {
     // First-order Markov transition matrix of per-user event-type
     // sequences + per-row Shannon entropy (bot-traffic screen)
     "q_markov2" -> (Behavior.markovQuery _),
+    // Per-user recent-history sequence materialization: bounded
+    // window, order-restoring digest, one user-hash shuffle (r13)
+    "q_user_history" -> ((s, d) => Behavior.userHistoryQuery(s, d)),
     // Half-life time-decay weighted count/value per event type as of
     // the stream's last timestamp (trending/freshness scores)
     "q_decay_agg2" -> ((s, d) => Behavior.decayAggQuery(s, d)),
@@ -307,6 +310,9 @@ object SparkEntry {
     "q_bootstrap" -> ((s, d) => Sampling.bootstrapQuery(s, d)),
     // Sparse retrieval: BM25 scoring + RAG chunking with overlap
     "q_bm25" -> ((s, d) => Retrieval.bm25Query(s, d)),
+    // BM25 hard-negative mining via query-vocabulary inverted-index
+    // join; DECIMAL-summed 6dp contributions, string witnesses (r13)
+    "q_hard_negatives" -> ((s, d) => Retrieval.hardNegativesQuery(s, d)),
     "q_rrf_fusion" -> ((s, d) => Retrieval.rrfFusionQuery(s, d)),
     "q_sparse_cosine" -> ((s, d) => Retrieval.sparseCosineQuery(s, d)),
     "q_chunk" -> (Retrieval.chunkQuery _),
@@ -2519,6 +2525,26 @@ object SparkEntry {
         |SELECT p.prev_type, p.event_type, p.n, p.p, h.row_entropy_nats
         |FROM p JOIN h ON p.prev_type = h.prev_type
         |ORDER BY p.prev_type, p.event_type""".stripMargin,
+    // q_user_history: the oracle replays the recency cut (row_number
+    // per user over ts desc, event_id desc), the forward-order
+    // sequence digest via ordered string_agg, and the window bounds.
+    "q_user_history" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_total
+        |  FROM events)
+        |SELECT user_id, CAST(max(n_total) AS BIGINT)
+        |    AS n_events_total,
+        |  CAST(count(*) AS BIGINT) AS n_window,
+        |  md5(string_agg(event_type, ',' ORDER BY ts, event_id))
+        |    AS seq_digest,
+        |  min(ts) AS window_start, max(ts) AS window_end
+        |FROM r WHERE rn <= 32
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Time-decay aggregates: exact BIGINT millisecond ages, each
     // 2^(-age/hl) weight and weight*value product rounded 6 dp
     // then DECIMAL-summed order-free (pow ulp headroom).
@@ -4426,6 +4452,60 @@ object SparkEntry {
         |ORDER BY doc_id, rnk""".stripMargin,
     // BM25: the oracle replays tokenization (list_filter per query
     // term), the one-row corpus stats (N, Σdl, df per term), and the
+    // q_hard_negatives: full replay — first-occurrence-ordered lead
+    // terms per query doc, vocabulary-restricted tf/df, the bm25
+    // literal expression tree per term 6dp-floor-rounded and
+    // DECIMAL-summed (order-free), ranks tie-broken on doc_id,
+    // scores transported as digit strings.
+    "q_hard_negatives" ->
+      """WITH lens AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |qv AS (
+        |  SELECT query_id, term FROM (
+        |    SELECT query_id, term,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY min(ord)) AS rn
+        |    FROM (
+        |      SELECT doc_id AS query_id,
+        |        unnest(string_split(text, ' ')) AS term,
+        |        unnest(range(1, len(string_split(text, ' ')) + 1))
+        |          AS ord
+        |      FROM documents WHERE doc_id < 5)
+        |    GROUP BY query_id, term)
+        |  WHERE rn <= 6),
+        |tok AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM tok WHERE term IN (SELECT DISTINCT term FROM qv)
+        |  GROUP BY doc_id, term),
+        |dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |  FROM tf GROUP BY term),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    sum(dl) AS sum_dl FROM lens),
+        |contrib AS (
+        |  SELECT qv.query_id, tf.doc_id,
+        |    CAST(floor((ln(1.0 + (st.n_docs - dfx.df + 0.5)
+        |      / (dfx.df + 0.5)) * (tf.tf * 2.2) / (tf.tf + 1.2
+        |      * (0.25 + 0.75 * lens.dl / (st.sum_dl / st.n_docs))))
+        |      * 1e6 + 0.5) / 1e6 AS DECIMAL(20,6)) AS c
+        |  FROM qv JOIN tf USING (term) JOIN dfx USING (term)
+        |    JOIN lens ON lens.doc_id = tf.doc_id CROSS JOIN st),
+        |scored AS (SELECT query_id, doc_id,
+        |    CAST(sum(c) AS DECIMAL(38,6)) AS score
+        |  FROM contrib GROUP BY 1, 2),
+        |pos AS (SELECT query_id, CAST(score AS VARCHAR) AS pos_score
+        |  FROM scored WHERE query_id = doc_id),
+        |neg AS (SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored WHERE query_id <> doc_id)
+        |SELECT neg.query_id, CAST(neg.rank AS BIGINT) AS rank,
+        |  neg.doc_id AS neg_doc_id, CAST(neg.score AS VARCHAR)
+        |    AS neg_score, pos.pos_score
+        |FROM neg JOIN pos USING (query_id)
+        |WHERE neg.rank <= 5
+        |ORDER BY neg.query_id, neg.rank""".stripMargin,
     // scoring formula with the SAME double literals and expression
     // tree (ln is the one transcendental; round(.,4) absorbs its
     // ≤1-ulp cross-engine drift — the q_quality_score exp precedent).

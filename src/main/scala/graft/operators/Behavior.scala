@@ -509,4 +509,44 @@ object Behavior {
           .when(col("c_gained") > col("b_lost"), lit("up"))
           .otherwise(lit("down")).as("direction"))
   }
+
+  /**
+   * Per-user history materialization — the "event stream → training
+   * example" constructor for sequence models: each user's most recent
+   * `window` events in (ts, event_id) order, emitted as a sequence
+   * digest plus the window's bounds and counts. This is the exact
+   * shape a behavior-model training pipeline writes out (bounded
+   * recent-history context per user), and the digest makes the FULL
+   * ordered sequence hash-gated without shipping the sequence.
+   *
+   * Shape at 100 TB: ONE user-hash shuffle; the recency cut is a
+   * row_number window co-partitioned with the final groupBy (same
+   * key, no second exchange); after the cut every user carries at
+   * most `window` rows, so the collect_list buffers are fixed-size —
+   * never a whole unbounded history. No global sort; the output is
+   * one row per user.
+   */
+  def userHistoryQuery(spark: SparkSession, sfDir: String,
+      window: Int = 32): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val byUser = Window.partitionBy(col("user_id"))
+    val recent = byUser.orderBy(col("ts").desc, col("event_id").desc)
+    ev.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("rn", row_number().over(recent))
+      .withColumn("n_total", count(lit(1)).over(byUser))
+      .filter(col("rn") <= window)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_total")).as("n_events_total"),
+        count(lit(1)).as("n_window"),
+        // array_sort on (ts, event_id, type) structs restores forward
+        // order deterministically; the digest gates the sequence
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), ",")).as("seq_digest"),
+        min(col("ts")).as("window_start"),
+        max(col("ts")).as("window_end"))
+      .orderBy(col("user_id"))
+  }
 }

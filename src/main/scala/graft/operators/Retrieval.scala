@@ -298,4 +298,78 @@ object Retrieval {
         col("rel"), col("score"))
       .orderBy(col("rank"))
   }
+
+  /**
+   * BM25 hard-negative mining — the contrastive-training data pass:
+   * each query is a document's own lead terms (the standard
+   * query-from-doc weak supervision), its positive is the document
+   * itself, and the negatives are the top-scoring OTHER documents —
+   * lexically close non-matches, exactly what embedding training
+   * needs beyond random negatives.
+   *
+   * Unlike [[bm25Query]]'s fixed-literal term probe, the query
+   * vocabulary here is data-dependent, so scoring runs as an
+   * inverted-index join: corpus tokens semi-join the (small,
+   * broadcast) query vocabulary — every non-query token dies AT THE
+   * SCAN — then tf/df reduce map-side. Per-term score contributions
+   * round to 6 dp and sum as DECIMAL (order-free; the double-sum
+   * order hazard), and ranks break ties on doc_id.
+   *
+   * Shape at 100 TB: the corpus never shuffles text — only (doc_id,
+   * term-hashable token) rows that survive the broadcast semi-join;
+   * the per-query ranking window is partitioned by query over the
+   * scored candidates only. Score transports as a digit string
+   * (DECIMAL-in-hash discipline, PROBES.md).
+   */
+  def hardNegativesQuery(spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, qTerms: Int = 6, k: Int = 5): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val lens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("double").as("dl"))
+    val queries = docs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(array_distinct(split(col("text"), " ")), 1,
+          qTerms)).as("term"))
+    val vocab = queries.select(col("term")).distinct()
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " "))
+        .as("term"))
+      .join(broadcast(vocab), Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    // per-(query, doc, term) contribution in the exact bm25Query
+    // literal shape, 6dp-rounded then DECIMAL-summed per (query, doc)
+    val contrib = queries
+      .join(tf, Seq("term"))
+      .join(broadcast(df), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+      .withColumn("c", fr(
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
+          (col("df") + 0.5)) *
+        (col("tf") * 2.2) / (col("tf") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
+        .cast("decimal(20,6)"))
+    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).cast("decimal(38,6)").as("score"))
+    val pos = scored.filter(col("query_id") === col("doc_id"))
+      .select(col("query_id"),
+        col("score").cast("string").as("pos_score"))
+    val w = SqlWindow.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.filter(col("query_id") =!= col("doc_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(broadcast(pos), Seq("query_id"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id").as("neg_doc_id"),
+        col("score").cast("string").as("neg_score"), col("pos_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

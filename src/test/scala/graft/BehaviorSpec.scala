@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Behavior
+import graft.operators.{Behavior, Retrieval}
 import org.apache.spark.sql.functions._
 
 /** Behavioral-analytics invariants: Markov rows are probability
@@ -62,6 +62,53 @@ class BehaviorSpec extends SparkSpec {
     // determinism across repartition-insensitive DECIMAL summation
     val again = Behavior.decayAggQuery(spark, sfDir).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("user history: window bound holds, digest replays by hand " +
+      "for a full-history user") {
+    val rows = Behavior.userHistoryQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= 32L)
+      assert(r.getLong(2) <= r.getLong(1))
+      // a user with history shorter than the window keeps all of it
+      if (r.getLong(1) <= 32L) assert(r.getLong(2) == r.getLong(1))
+    }
+    // hand-replay one user's digest from the raw events
+    val u = rows.head.getLong(0)
+    val ev = Tables.load(spark, sfDir, "events")
+      .filter(col("user_id") === u)
+      .select(col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1),
+        r.getString(2)))
+      .sortBy(t => (-t._1, -t._2)).take(32)
+      .sortBy(t => (t._1, t._2)).map(_._3).mkString(",")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(u.toString.getBytes).map("%02x".format(_)) // warm-up
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest(ev.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.head.getString(3) == expect,
+      s"digest mismatch for user $u")
+  }
+
+  test("hard negatives: self excluded, ranks contiguous, scores " +
+      "non-increasing, every query present") {
+    val rows = Retrieval.hardNegativesQuery(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq ==
+        (1L to sorted.length).toSeq)
+      assert(sorted.forall(_.getLong(2) != q), s"query $q in its own negatives")
+      val scores = sorted.map(r => BigDecimal(r.getString(3)))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q: scores not non-increasing")
+      // one pos_score per query, parseable
+      assert(rs.map(_.getString(4)).distinct.length == 1)
+      BigDecimal(rs.head.getString(4))
+    }
   }
 
   test("ab test: readout replays from its own counts and the " +
