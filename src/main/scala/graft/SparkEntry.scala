@@ -336,6 +336,10 @@ object SparkEntry {
     // SCD Type 2 dimension merge: close changed versions, pass
     // no-ops through, insert arrivals — the nightly warehouse merge
     "q_scd2" -> (Versioning.scdMergeQuery _),
+    // Point-in-time SCD2 lookup: facts join the version valid at
+    // event time (the leakage-free feature join); dim broadcasts,
+    // facts never shuffle (r13)
+    "q_scd2_lookup" -> (Versioning.scd2LookupQuery _),
     // CDC change-log compaction: latest-wins upsert with deletes
     "q_cdc_upsert" -> (Versioning.cdcUpsertQuery _),
     // Dataset publication: sharded write + order-free integrity
@@ -4065,6 +4069,34 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_scd2_lookup: interval-join replay — 100 keys x 3 versions,
+    // valid_from <= ts < valid_to (null = open), per-(version,
+    // segment) counts/keys/bounds.
+    "q_scd2_lookup" ->
+      """WITH v(version_no, from_s, to_s) AS (VALUES
+        |  (CAST(1 AS BIGINT), TIMESTAMP '2023-12-01 00:00:00',
+        |    TIMESTAMP '2024-01-10 00:00:00'),
+        |  (CAST(2 AS BIGINT), TIMESTAMP '2024-01-10 00:00:00',
+        |    TIMESTAMP '2024-01-20 00:00:00'),
+        |  (CAST(3 AS BIGINT), TIMESTAMP '2024-01-20 00:00:00',
+        |    CAST(NULL AS TIMESTAMP))),
+        |dim AS (
+        |  SELECT k.cust_id, v.version_no, v.from_s, v.to_s,
+        |    'seg' || CAST((k.cust_id + v.version_no) % 5 AS VARCHAR)
+        |      AS segment
+        |  FROM (SELECT unnest(generate_series(CAST(0 AS BIGINT),
+        |    CAST(99 AS BIGINT))) AS cust_id) k CROSS JOIN v),
+        |f AS (SELECT user_id % 100 AS cust_id,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT d.version_no, d.segment,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT d.cust_id) AS BIGINT) AS n_keys,
+        |  min(f.ts) AS first_ts, max(f.ts) AS last_ts
+        |FROM f JOIN dim d ON f.cust_id = d.cust_id
+        |  AND d.from_s <= f.ts
+        |  AND (d.to_s IS NULL OR f.ts < d.to_s)
+        |GROUP BY d.version_no, d.segment
+        |ORDER BY d.version_no, d.segment""".stripMargin,
     // q_scd2: CASE/UNION ALL replay of the Type-2 merge — closed +
     // fresh versions for ÷7 changes, pass-through for no-ops and
     // untouched keys, arrivals at key + 1000000.

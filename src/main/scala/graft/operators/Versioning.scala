@@ -320,6 +320,68 @@ object Versioning {
   }
 
   /**
+   * SCD2 point-in-time LOOKUP — the consumption half of [[scdMerge]]
+   * (the merge maintains the versioned dimension; this joins a fact
+   * stream to the attribute version that was valid WHEN EACH EVENT
+   * HAPPENED — the join every leakage-free feature pipeline needs,
+   * where joining `is_current` would leak future attributes into
+   * past training examples).
+   *
+   * Match rule: key equality AND `valid_from <= ts < valid_to`
+   * (null `valid_to` = open version). A correctly maintained SCD2
+   * dimension makes the intervals per key disjoint and covering, so
+   * every fact matches exactly once — the gate counts per version
+   * and the totals must conserve.
+   *
+   * Scale shape (100 TB facts): the dimension broadcasts (dims are
+   * versions × keys — small by definition); the range predicate
+   * rides the broadcast hash join on the key, so facts NEVER shuffle
+   * and the plan is scan → broadcast-join → partial agg. No window,
+   * no sort.
+   */
+  def scd2Lookup(facts: DataFrame, dim: DataFrame, key: String,
+      dimKey: String, ts: String): DataFrame =
+    facts.join(broadcast(dim),
+      facts(key) === dim(dimKey) &&
+        dim("valid_from") <= facts(ts) &&
+        (dim("valid_to").isNull || facts(ts) < dim("valid_to")))
+
+  /** Correctness gate for [[scd2Lookup]]: a synthetic 100-key
+    * dimension with three versions straddling the event stream's
+    * January span (boundaries at Jan 10 / Jan 20), segment a
+    * deterministic function of (key, version). Hashes per-version
+    * per-segment event counts, distinct keys, and window bounds; the
+    * per-version totals must sum to the full stream (exactly-one
+    * match), which the oracle enforces by replaying the same
+    * interval join. */
+  def scd2LookupQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val versions = Seq(
+      (1L, "2023-12-01 00:00:00", "2024-01-10 00:00:00"),
+      (2L, "2024-01-10 00:00:00", "2024-01-20 00:00:00"),
+      (3L, "2024-01-20 00:00:00", null))
+      .toDF("version_no", "from_s", "to_s")
+    val dim = spark.range(100).select(col("id").as("cust_id"))
+      .crossJoin(versions)
+      .select(col("cust_id"), col("version_no"),
+        to_timestamp(col("from_s")).as("valid_from"),
+        to_timestamp(col("to_s")).as("valid_to"),
+        concat(lit("seg"),
+          pmod(col("cust_id") + col("version_no"), lit(5L)))
+          .as("segment"))
+    val facts = Tables.load(spark, sfDir, "events")
+      .select(pmod(col("user_id"), lit(100L)).as("cust_id"),
+        col("ts"), col("event_id"))
+    scd2Lookup(facts, dim.withColumnRenamed("cust_id", "dim_key"),
+        "cust_id", "dim_key", "ts")
+      .groupBy(col("version_no"), col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("dim_key")).as("n_keys"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .orderBy(col("version_no"), col("segment"))
+  }
+
+  /**
    * CDC change-log compaction (latest-wins upsert): reduce an
    * insert/update/delete event log to the live table it describes —
    * per key, the highest-sequence record wins; a winning delete

@@ -246,4 +246,21 @@ class VersioningSpec extends SparkSpec {
         r.getLong(1) == r.getLong(2) && r.getString(7) == r.getString(8))
     }
   }
+
+  test("scd2 lookup: every fact matches exactly one version " +
+      "(conservation), dim broadcasts, facts never shuffle for " +
+      "the join") {
+    val out = Versioning.scd2LookupQuery(spark, sfDir)
+    val rows = out.collect()
+    val total = Tables.load(spark, sfDir, "events").count()
+    assert(rows.map(_.getLong(2)).sum == total,
+      "per-version counts must sum to the stream (exactly-one match)")
+    // all three versions matched something (the stream straddles
+    // both boundaries)
+    assert(rows.map(_.getLong(0)).distinct.sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"dim not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"facts shuffled to join:\n$p")
+  }
 }
