@@ -249,6 +249,9 @@ object SparkEntry {
     // Metadata-path COUNT on a MOR layout: base + inserts - deletes,
     // no resolve; hashed against the resolve-path count
     "q_acid_count" -> (Acid.fastCountQuery _),
+    // GDPR purge across history: base + every delta physically
+    // rewritten; no snapshot can resurrect a purged key (r13)
+    "q_acid_purge" -> (Acid.purgeQuery _),
     "q_acid_timetravel" -> (Acid.timeTravelQuery _),
     // Delta-driven CDC between two snapshots: change class + old/new
     // payloads, read from the pruned delta window only
@@ -1059,6 +1062,42 @@ object SparkEntry {
     // Metadata-path COUNT: the oracle replays the modular event
     // construction — updates never change the count, inserts and
     // deletes are disjoint key spaces by construction.
+    // q_acid_purge: modular replay of the three as-of states after
+    // history-wide erasure of the mod-23 subjects — purged keys count
+    // zero at EVERY snapshot, control classes replay exactly.
+    "q_acid_purge" ->
+      """SELECT * FROM (
+        |  SELECT CAST(2 AS BIGINT) AS asof_txn,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |      WHERE o_orderkey % 23 <> 0) AS n_rows,
+        |    CAST(0 AS BIGINT) AS n_purged_visible,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |      WHERE o_orderkey % 23 <> 0 AND o_orderkey % 5 = 0)
+        |      AS n_mod5
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |      WHERE o_orderkey % 23 <> 0 AND o_orderkey % 7 <> 0),
+        |    CAST(0 AS BIGINT),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |      WHERE o_orderkey % 23 <> 0 AND o_orderkey % 7 <> 0
+        |        AND o_orderkey % 5 = 0)
+        |  UNION ALL
+        |  SELECT CAST(4 AS BIGINT),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |      WHERE o_orderkey % 23 <> 0 AND o_orderkey % 7 <> 0)
+        |    + (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |      WHERE o_orderkey % 19 = 0
+        |        AND (o_orderkey + 2000000000000) % 23 <> 0),
+        |    CAST(0 AS BIGINT),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |      WHERE o_orderkey % 23 <> 0 AND o_orderkey % 7 <> 0
+        |        AND o_orderkey % 5 = 0)
+        |    + (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |      WHERE o_orderkey % 19 = 0
+        |        AND (o_orderkey + 2000000000000) % 23 <> 0
+        |        AND (o_orderkey + 2000000000000) % 5 = 0))
+        |ORDER BY asof_txn""".stripMargin,
     "q_acid_count" ->
       """WITH g AS (SELECT
         |    CAST(count(*) AS BIGINT) AS n_base,

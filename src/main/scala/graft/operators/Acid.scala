@@ -875,4 +875,122 @@ object Acid {
         col("meta_count"), lit(scanCount).as("scan_count"),
         (col("meta_count") === lit(scanCount)).as("consistent"))
   }
+
+  /**
+   * GDPR right-to-be-forgotten purge across HISTORY: physically
+   * rewrite every file of the MOR layout — the base and every delta —
+   * dropping all events whose rowId is in the subject key set, while
+   * PRESERVING the directory/txn structure so time travel keeps
+   * working for everything else. This is the compliance operation a
+   * versioned lake must support that a takedown DELETE delta cannot
+   * provide: a delete only hides keys from the PRESENT, while every
+   * historical snapshot (and RESTORE) would resurrect them. Erasure
+   * wins over time travel, by construction.
+   *
+   * Mechanics: the base is plain ORC — a vectorized filtered rewrite
+   * through a temp dir + atomic-ish swap. Deltas are ACID-schema ORC,
+   * which the vectorized reader cannot read at all (see [[fastCount]]
+   * / AcidReadProbe) — each rewrites through the row reader
+   * (`.rdd.filter` + createDataFrame on the original schema), and its
+   * ACID-stats sidecar is recomputed. Cost ∝ table + history size —
+   * inherent to physical erasure — parallel per file split like any
+   * scan; the subject key set broadcasts (erasure requests are small).
+   */
+  def purgeKeys(spark: SparkSession, tableDir: String,
+      keys: Set[Long], rowIdCol: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = root.getFileSystem(conf)
+    val dirs = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName)
+    val bcast = spark.sparkContext.broadcast(keys)
+    def swapIn(tmp: String, dst: String): Unit = {
+      val tmpP = new org.apache.hadoop.fs.Path(tmp)
+      val dstP = new org.apache.hadoop.fs.Path(dst)
+      fs.delete(dstP, true)
+      require(fs.rename(tmpP, dstP), s"purge swap failed for $dst")
+    }
+    dirs.foreach { d =>
+      val path = s"$tableDir/$d"
+      val tmp = s"$tableDir/.purge_tmp_$d"
+      if (d.startsWith("base_")) {
+        val kept = spark.read.orc(path)
+          .filter(!col(rowIdCol).isInCollection(keys))
+        graft.sources.OrcIo.write(kept, tmp)
+        swapIn(tmp, path)
+      } else if (d.startsWith("delta_")) {
+        val df = spark.read.orc(path)
+        val schema = df.schema
+        val idIdx = schema.fieldIndex("rowId")
+        val keptRdd = df.rdd
+          .filter(r => !bcast.value.contains(r.getLong(idIdx)))
+        // the RDD-backed frame reads the ORIGINAL files lazily while
+        // writing to the temp dir — no read-while-overwrite hazard;
+        // writeDelta recomputes the ACID-stats sidecar from the
+        // surviving events (no ORC vectorized path involved)
+        val kept = spark.createDataFrame(keptRdd, schema)
+        writeDelta(kept, tmp)
+        swapIn(tmp, path)
+      }
+    }
+  }
+
+  /** Correctness gate for [[purgeKeys]]: the fastCount layout
+    * (base_1 + update delta_2 + delete delta_3 + insert delta_4 at
+    * +2·10¹²), then purge of every rowId ≡ 0 (mod 23) across history.
+    * The gate reads the table AS OF txn 2, 3, and 4 and hashes, per
+    * snapshot: the row count, the count of purged keys still visible
+    * (MUST be 0 — the erasure-beats-time-travel witness), and a
+    * control class count (mod 5) proving untargeted history is
+    * untouched. All counts replay from modular arithmetic on orders. */
+  def purgeQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+    val dir = graft.sources.OrcIo.scratchDir("acid_purge_q")
+    graft.sources.OrcIo.write(orders, s"$dir/t/base_1")
+    def asEvents(src: DataFrame, op: Int, txn: Long): DataFrame =
+      src.select(
+        lit(op).as("operation"),
+        lit(1L).as("originalTransaction"),
+        (col("o_orderkey") % 4).cast("int").as("bucket"),
+        col("o_orderkey").as("rowId"),
+        lit(txn).as("currentTransaction"),
+        struct(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus")).as("row"))
+    writeDelta(asEvents(
+      orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.10),
+      OpUpdate, 2L), s"$dir/t/delta_2")
+    writeDelta(asEvents(orders.filter(col("o_orderkey") % 7 === 0),
+      OpDelete, 3L), s"$dir/t/delta_3")
+    writeDelta(asEvents(
+      orders.filter(col("o_orderkey") % 19 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 2000000000000L),
+      OpInsert, 4L), s"$dir/t/delta_4")
+    val subjects = orders
+      .select(col("o_orderkey"))
+      .unionByName(orders.filter(col("o_orderkey") % 19 === 0)
+        .select((col("o_orderkey") + 2000000000000L)
+          .as("o_orderkey")))
+      .filter(col("o_orderkey") % 23 === 0)
+      .collect().map(_.getLong(0)).toSet
+    purgeKeys(spark, s"$dir/t", subjects, rowIdCol = "o_orderkey")
+    val out = Seq(2L, 3L, 4L).map { asOf =>
+      val counts = readTableAsOf(spark, s"$dir/t", asOf,
+          rowIdCol = "o_orderkey")
+        .rdd.map { r =>
+          val k = r.getLong(0)
+          (1L, if (k % 23 == 0) 1L else 0L,
+            if (k % 5 == 0) 1L else 0L)
+        }
+        .fold((0L, 0L, 0L)) { (a, b) =>
+          (a._1 + b._1, a._2 + b._2, a._3 + b._3)
+        }
+      (asOf, counts._1, counts._2, counts._3)
+    }
+    out.toDF("asof_txn", "n_rows", "n_purged_visible", "n_mod5")
+      .orderBy("asof_txn")
+  }
 }

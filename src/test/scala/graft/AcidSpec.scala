@@ -405,4 +405,45 @@ class AcidSpec extends SparkSpec {
     assert(fresh.getLong(fresh.fieldIndex("n_del")) == 0L)
     assert(fresh.getLong(fresh.fieldIndex("meta_count")) == 2L)
   }
+
+  test("purgeKeys: erasure beats time travel at every snapshot, " +
+      "sidecars recompute, second purge is a no-op") {
+    val rows = Acid.purgeQuery(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+    // the gate's own witness, re-asserted here for the spec reader:
+    // no snapshot resurrects a subject
+    assert(rows.forall(_.getLong(2) == 0L))
+    // counts strictly shrink from asof 2 to 3 (delete delta), grow
+    // at 4 (insert delta) — history around the purge stays alive
+    assert(rows(1).getLong(1) < rows(0).getLong(1))
+    assert(rows(2).getLong(1) > rows(1).getLong(1))
+    // build a tiny layout directly to pin sidecar recomputation and
+    // idempotence
+    import SparkSpec.spark.implicits._
+    val dir = graft.sources.OrcIo.scratchDir("purge_spec")
+    graft.sources.OrcIo.write(
+      Seq((1L, "a"), (2L, "b"), (23L, "x"), (46L, "y"))
+        .toDF("id", "v"), s"$dir/t/base_1")
+    Acid.writeDelta(
+      Seq((Acid.OpInsert, 1L, 0, 69L, 2L, 69L, "z"))
+        .toDF("operation", "originalTransaction", "bucket", "rowId",
+          "currentTransaction", "rid", "v")
+        .select(col("operation"), col("originalTransaction"),
+          col("bucket"), col("rowId"), col("currentTransaction"),
+          struct(col("rid").as("id"), col("v")).as("row")),
+      s"$dir/t/delta_2")
+    val subjects = Set(23L, 46L, 69L)
+    Acid.purgeKeys(spark, s"$dir/t", subjects, rowIdCol = "id")
+    val live = Acid.readTable(spark, s"$dir/t", rowIdCol = "id")
+      .rdd.map(_.getLong(0)).collect().toSet
+    assert(live == Set(1L, 2L))
+    // sidecar recomputed: the purged insert is gone from the stats
+    val st = Acid.readAcidStats(spark, s"$dir/t/delta_2")
+    assert(st.exists(s => s.inserts == 0L && s.deletes == 0L), s"$st")
+    // idempotent: purging again changes nothing
+    Acid.purgeKeys(spark, s"$dir/t", subjects, rowIdCol = "id")
+    val again = Acid.readTable(spark, s"$dir/t", rowIdCol = "id")
+      .rdd.map(_.getLong(0)).collect().toSet
+    assert(again == live)
+  }
 }
