@@ -1066,34 +1066,36 @@ object SparkEntry {
     // history-wide erasure of the mod-23 subjects — purged keys count
     // zero at EVERY snapshot, control classes replay exactly.
     "q_acid_purge" ->
-      """SELECT * FROM (
+      """WITH o AS (SELECT o_orderkey FROM orders
+        |  WHERE o_orderkey % 3 = 0)
+        |SELECT * FROM (
         |  SELECT CAST(2 AS BIGINT) AS asof_txn,
-        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |    (SELECT CAST(count(*) AS BIGINT) FROM o
         |      WHERE o_orderkey % 23 <> 0) AS n_rows,
         |    CAST(0 AS BIGINT) AS n_purged_visible,
-        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |    (SELECT CAST(count(*) AS BIGINT) FROM o
         |      WHERE o_orderkey % 23 <> 0 AND o_orderkey % 5 = 0)
         |      AS n_mod5
         |  UNION ALL
         |  SELECT CAST(3 AS BIGINT),
-        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |    (SELECT CAST(count(*) AS BIGINT) FROM o
         |      WHERE o_orderkey % 23 <> 0 AND o_orderkey % 7 <> 0),
         |    CAST(0 AS BIGINT),
-        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |    (SELECT CAST(count(*) AS BIGINT) FROM o
         |      WHERE o_orderkey % 23 <> 0 AND o_orderkey % 7 <> 0
         |        AND o_orderkey % 5 = 0)
         |  UNION ALL
         |  SELECT CAST(4 AS BIGINT),
-        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |    (SELECT CAST(count(*) AS BIGINT) FROM o
         |      WHERE o_orderkey % 23 <> 0 AND o_orderkey % 7 <> 0)
-        |    + (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |    + (SELECT CAST(count(*) AS BIGINT) FROM o
         |      WHERE o_orderkey % 19 = 0
         |        AND (o_orderkey + 2000000000000) % 23 <> 0),
         |    CAST(0 AS BIGINT),
-        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |    (SELECT CAST(count(*) AS BIGINT) FROM o
         |      WHERE o_orderkey % 23 <> 0 AND o_orderkey % 7 <> 0
         |        AND o_orderkey % 5 = 0)
-        |    + (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |    + (SELECT CAST(count(*) AS BIGINT) FROM o
         |      WHERE o_orderkey % 19 = 0
         |        AND (o_orderkey + 2000000000000) % 23 <> 0
         |        AND (o_orderkey + 2000000000000) % 5 = 0))
