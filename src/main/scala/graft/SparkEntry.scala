@@ -570,6 +570,11 @@ object SparkEntry {
     "q_stream_enrich" -> ((s, d) =>
       graft.streaming.StreamingIngest.replayEnrich(s, d)
         .orderBy(col("event_id"))),
+    // Streaming point-in-time SCD2 enrichment: each event joins the
+    // version valid at its own event time; stateless, late events
+    // decorate correctly by construction (r13)
+    "q_stream_scd2" -> ((s, d) =>
+      graft.streaming.StreamingIngest.replayScd2(s, d)),
     // Streaming exact dedup (bounded state within the watermark)
     "q_stream_dedup" -> ((s, d) =>
       graft.streaming.StreamingIngest.replayDedup(s, d)
@@ -4110,9 +4115,36 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // q_scd2_lookup: interval-join replay — 100 keys x 3 versions,
-    // valid_from <= ts < valid_to (null = open), per-(version,
-    // segment) counts/keys/bounds.
+    // q_scd2_lookup / q_stream_scd2: interval-join replay — 100 keys
+    // x 3 versions, valid_from <= ts < valid_to (null = open),
+    // per-(version, segment) counts/keys/bounds. The STREAMING gate
+    // shares the oracle verbatim: the stream-static interval join is
+    // stateless, so the drained replay must equal the batch join.
+    "q_stream_scd2" ->
+      """WITH v(version_no, from_s, to_s) AS (VALUES
+        |  (CAST(1 AS BIGINT), TIMESTAMP '2023-12-01 00:00:00',
+        |    TIMESTAMP '2024-01-10 00:00:00'),
+        |  (CAST(2 AS BIGINT), TIMESTAMP '2024-01-10 00:00:00',
+        |    TIMESTAMP '2024-01-20 00:00:00'),
+        |  (CAST(3 AS BIGINT), TIMESTAMP '2024-01-20 00:00:00',
+        |    CAST(NULL AS TIMESTAMP))),
+        |dim AS (
+        |  SELECT k.cust_id, v.version_no, v.from_s, v.to_s,
+        |    'seg' || CAST((k.cust_id + v.version_no) % 5 AS VARCHAR)
+        |      AS segment
+        |  FROM (SELECT unnest(generate_series(CAST(0 AS BIGINT),
+        |    CAST(99 AS BIGINT))) AS cust_id) k CROSS JOIN v),
+        |f AS (SELECT user_id % 100 AS cust_id,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT d.version_no, d.segment,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT d.cust_id) AS BIGINT) AS n_keys,
+        |  min(f.ts) AS first_ts, max(f.ts) AS last_ts
+        |FROM f JOIN dim d ON f.cust_id = d.cust_id
+        |  AND d.from_s <= f.ts
+        |  AND (d.to_s IS NULL OR f.ts < d.to_s)
+        |GROUP BY d.version_no, d.segment
+        |ORDER BY d.version_no, d.segment""".stripMargin,
     "q_scd2_lookup" ->
       """WITH v(version_no, from_s, to_s) AS (VALUES
         |  (CAST(1 AS BIGINT), TIMESTAMP '2023-12-01 00:00:00',

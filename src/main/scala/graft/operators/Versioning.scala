@@ -354,14 +354,17 @@ object Versioning {
     * per-version totals must sum to the full stream (exactly-one
     * match), which the oracle enforces by replaying the same
     * interval join. */
-  def scd2LookupQuery(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The synthetic 100-key × 3-version dimension shared by the batch
+    * and streaming SCD2 lookup gates (boundaries straddle the event
+    * stream's January span). */
+  private[graft] def syntheticScdDim(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val versions = Seq(
       (1L, "2023-12-01 00:00:00", "2024-01-10 00:00:00"),
       (2L, "2024-01-10 00:00:00", "2024-01-20 00:00:00"),
       (3L, "2024-01-20 00:00:00", null))
       .toDF("version_no", "from_s", "to_s")
-    val dim = spark.range(100).select(col("id").as("cust_id"))
+    spark.range(100).select(col("id").as("cust_id"))
       .crossJoin(versions)
       .select(col("cust_id"), col("version_no"),
         to_timestamp(col("from_s")).as("valid_from"),
@@ -369,6 +372,10 @@ object Versioning {
         concat(lit("seg"),
           pmod(col("cust_id") + col("version_no"), lit(5L)))
           .as("segment"))
+  }
+
+  def scd2LookupQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = syntheticScdDim(spark)
     val facts = Tables.load(spark, sfDir, "events")
       .select(pmod(col("user_id"), lit(100L)).as("cust_id"),
         col("ts"), col("event_id"))

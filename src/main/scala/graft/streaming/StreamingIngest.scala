@@ -400,6 +400,45 @@ object StreamingIngest {
   }
 
   /**
+   * Streaming SCD2 enrichment — [[streamEnrich]] upgraded to the
+   * point-in-time rule: each event joins the dimension version valid
+   * AT ITS OWN EVENT TIME (`valid_from <= ts < valid_to`, null-open),
+   * the leakage-free decoration a feature stream needs (joining
+   * `is_current` would stamp yesterday's events with today's
+   * attributes). Still stateless: the static side broadcasts per
+   * micro-batch, the interval predicate rides the broadcast hash
+   * join, no watermark or state store involved — so late events are
+   * decorated CORRECTLY anyway (their own ts picks their version),
+   * which no current-state lookup can do.
+   */
+  def streamScd2(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim),
+      col("cust_id") === dim("dim_key") &&
+        dim("valid_from") <= col("ts") &&
+        (dim("valid_to").isNull || col("ts") < dim("valid_to")))
+
+  /** Drained-replay gate for [[streamScd2]]: stateless ⇒ the drained
+    * replay aggregates to exactly the batch interval join
+    * (q_scd2_lookup's oracle, shared verbatim). */
+  def replayScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val stream = eventStream(spark, sfDir)
+      .select(pmod(col("user_id"), lit(100L)).as("cust_id"),
+        col("ts"), col("event_id"))
+    val dim = graft.operators.Versioning
+      .syntheticScdDim(stream.sparkSession)
+      .withColumnRenamed("cust_id", "dim_key")
+    val out = runToParquet(streamScd2(stream, dim)
+      .select(col("version_no"), col("segment"), col("dim_key"),
+        col("ts")), "stream_scd2")
+    spark.read.parquet(out)
+      .groupBy(col("version_no"), col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("dim_key")).as("n_keys"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .orderBy(col("version_no"), col("segment"))
+  }
+
+  /**
    * Stream-stream interval join (click→purchase attribution): for
    * every click, the same user's purchases within the following hour.
    * Both sides carry watermarks, so Spark bounds the join state — a

@@ -475,4 +475,16 @@ class StreamingSpec extends SparkSpec {
       assert(rows() == before, "beyond-watermark event must drop")
     } finally q.stop()
   }
+
+  test("replayScd2: drained stream equals the batch interval join, " +
+      "and every event matched exactly one version") {
+    val out = graft.streaming.StreamingIngest
+      .replayScd2(spark, sfDir).collect()
+    val batch = graft.operators.Versioning
+      .scd2LookupQuery(spark, sfDir).collect()
+    assert(out.map(_.toString).toSeq == batch.map(_.toString).toSeq,
+      "streaming point-in-time enrichment diverged from batch")
+    val total = Tables.load(spark, sfDir, "events").count()
+    assert(out.map(_.getLong(2)).sum == total)
+  }
 }
