@@ -263,6 +263,10 @@ object SparkEntry {
     // Minor-compaction trigger: quota-binned consecutive-delta merge
     // plan from a live MOR delta layout (metadata-scale planning)
     "q_acid_compact_trigger" -> (Acid.compactionTriggerQuery _),
+    // Trigger-plan EXECUTION: each do_merge group minor-compacted
+    // into its delta_lo_hi range; layout = plan, resolution
+    // conserved (r13)
+    "q_acid_trigger_exec" -> (Acid.triggerExecQuery _),
     // Side-file salvage (W8 _flush_length) + user metadata surface
     "q_salvage" -> (graft.sources.OrcIo.salvageQuery _),
     "q_user_metadata" -> (graft.sources.OrcMeta.userMetadataQuery _),
@@ -7397,6 +7401,51 @@ object SparkEntry {
         |ORDER BY bucket, batch_no""".stripMargin,
     // Minor-compaction trigger: the four modular delta masses replay
     // from orders, quota binning as a prefix window over txn order.
+    // q_acid_trigger_exec: the trigger oracle's prefix-quota binning
+    // rolled up to group level; post_dirs = 1 for merged groups
+    // (layout matches the plan), original delta count otherwise;
+    // resolved_rows = base - deletes + inserts (execution must not
+    // change resolution).
+    "q_acid_trigger_exec" ->
+      """WITH q AS (SELECT greatest(CAST(1 AS BIGINT),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders) // 12)
+        |    AS quota),
+        |d AS (SELECT * FROM (VALUES
+        |  (CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey % 11 = 0)),
+        |  (CAST(3 AS BIGINT), CAST(3 AS BIGINT),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey % 13 = 0)),
+        |  (CAST(4 AS BIGINT), CAST(4 AS BIGINT),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey % 17 = 0)),
+        |  (CAST(5 AS BIGINT), CAST(5 AS BIGINT),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey % 19 = 0))) t(low_txn, high_txn,
+        |       n_events)),
+        |w AS (SELECT low_txn, high_txn, n_events,
+        |    (CAST(sum(n_events) OVER (ORDER BY low_txn
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_events)
+        |      // (SELECT quota FROM q) AS grp
+        |  FROM d),
+        |g AS (SELECT CAST(grp AS BIGINT) AS grp,
+        |    CAST(min(low_txn) AS BIGINT) AS grp_low,
+        |    CAST(max(high_txn) AS BIGINT) AS grp_high,
+        |    CAST(count(*) AS BIGINT) AS grp_deltas,
+        |    CAST(sum(n_events) AS BIGINT) AS grp_events,
+        |    count(*) >= 2 AS merged
+        |  FROM w GROUP BY grp)
+        |SELECT grp, grp_low, grp_high, grp_deltas, grp_events,
+        |  merged,
+        |  CASE WHEN merged THEN CAST(1 AS BIGINT)
+        |       ELSE grp_deltas END AS post_dirs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders)
+        |  - (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey % 17 = 0)
+        |  + (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey % 19 = 0) AS resolved_rows
+        |FROM g ORDER BY grp""".stripMargin,
     "q_acid_compact_trigger" ->
       """WITH q AS (SELECT greatest(CAST(1 AS BIGINT),
         |    (SELECT CAST(count(*) AS BIGINT) FROM orders) // 12)

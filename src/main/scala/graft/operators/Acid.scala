@@ -141,12 +141,14 @@ object Acid {
    * `delta_<minTxn>_<maxTxn>` like the reference's compactor.
    * Returns the merged directory path.
    */
-  def minorCompact(spark: SparkSession, tableDir: String): String = {
+  def minorCompact(spark: SparkSession, tableDir: String,
+      subset: Option[Seq[String]] = None): String = {
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("delta_"))
+    val dirs = subset.map(_.toArray).getOrElse(
+      fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("delta_")))
     require(dirs.nonEmpty, s"no delta_* directories under $tableDir")
     val txns = dirs.flatMap(_.stripPrefix("delta_").split("_")
       .map(_.toLong))
@@ -434,6 +436,105 @@ object Acid {
       OpInsert, 5L), s"$dir/t/delta_5")
     val quota = math.max(1L, orders.count() / 12)
     compactionTrigger(spark, s"$dir/t", quota)
+  }
+
+  /**
+   * Execute a [[compactionTrigger]] plan — the other half of the
+   * trigger's planner/executor pair (the trigger decides WHICH delta
+   * groups have accumulated enough events to merge; this runs each
+   * `do_merge` group as ONE subset minor compaction into its
+   * `delta_<grpLow>_<grpHigh>` range). Groups below the quota are
+   * left untouched — merging singletons would churn files for no
+   * read-amplification win. Returns (grp, mergedDir) for the
+   * executed groups.
+   *
+   * Scale shape: group count is metadata-sized (one row per delta
+   * dir); each group's merge is the standard one-shuffle event-form
+   * window, cost ∝ the group's events — exactly the work the trigger
+   * quota bounded.
+   */
+  def executeTriggerPlan(spark: SparkSession, tableDir: String,
+      plan: DataFrame): Seq[(Long, String)] = {
+    def dirName(lo: Long, hi: Long) =
+      if (lo == hi) s"delta_$lo" else s"delta_${lo}_$hi"
+    val rows = plan
+      .select(col("grp").cast("long"), col("low_txn").cast("long"),
+        col("high_txn").cast("long"), col("do_merge"))
+      .collect()
+    rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .filter(_._2.head.getBoolean(3))
+      .map { case (grp, members) =>
+        val dirs = members
+          .map(r => dirName(r.getLong(1), r.getLong(2))).toSeq
+        grp -> minorCompact(spark, tableDir, Some(dirs))
+      }
+  }
+
+  /** Correctness gate for [[executeTriggerPlan]]: the trigger fixture
+    * (four modular deltas, quota = |orders|/12), planned then
+    * EXECUTED. Hashes one row per planned group — the group's shape
+    * (replayed by the oracle's prefix-quota binning), whether it
+    * merged, the number of delta directories now covering its range
+    * (1 if merged, its original count otherwise — layout = plan), and
+    * the post-execution resolved row count (modular replay —
+    * execution must not change resolution). */
+  def triggerExecQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+    val dir = graft.sources.OrcIo.scratchDir("acid_trigexec_q")
+    graft.sources.OrcIo.write(orders, s"$dir/t/base_1")
+    def asEvents(src: DataFrame, op: Int, txn: Long): DataFrame =
+      src.select(
+        lit(op).as("operation"),
+        lit(1L).as("originalTransaction"),
+        (col("o_orderkey") % 4).cast("int").as("bucket"),
+        col("o_orderkey").as("rowId"),
+        lit(txn).as("currentTransaction"),
+        struct(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus")).as("row"))
+    writeDelta(asEvents(
+      orders.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.05),
+      OpUpdate, 2L), s"$dir/t/delta_2")
+    writeDelta(asEvents(
+      orders.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.07),
+      OpUpdate, 3L), s"$dir/t/delta_3")
+    writeDelta(asEvents(orders.filter(col("o_orderkey") % 17 === 0),
+      OpDelete, 4L), s"$dir/t/delta_4")
+    writeDelta(asEvents(
+      orders.filter(col("o_orderkey") % 19 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 2000000000000L),
+      OpInsert, 5L), s"$dir/t/delta_5")
+    val quota = math.max(1L, orders.count() / 12)
+    val planDf = compactionTrigger(spark, s"$dir/t", quota)
+    val plan = planDf.select(col("grp"), col("grp_low"),
+        col("grp_high"), col("grp_deltas"), col("grp_events"),
+        col("do_merge")).collect()
+    executeTriggerPlan(spark, s"$dir/t", planDf)
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/t")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val post = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/t"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("delta_"))
+      .map { d =>
+        val ts = d.stripPrefix("delta_").split("_").map(_.toLong)
+        (ts.head, ts.last)
+      }
+    val resolvedRows = readTable(spark, s"$dir/t",
+      rowIdCol = "o_orderkey").rdd.count()
+    val groups = plan.map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .distinct.sortBy(_._1)
+    groups.map { case (grp, lo, hi, nd, ne, merged) =>
+      val covering = post
+        .count(p => p._1 >= lo && p._2 <= hi).toLong
+      (grp, lo, hi, nd, ne, merged, covering, resolvedRows)
+    }.toSeq.toDF("grp", "grp_low", "grp_high", "grp_deltas",
+      "grp_events", "merged", "post_dirs", "resolved_rows")
+      .orderBy(col("grp"))
   }
 
   def majorCompactQuery(spark: SparkSession, sfDir: String): DataFrame = {

@@ -406,6 +406,24 @@ class AcidSpec extends SparkSpec {
     assert(fresh.getLong(fresh.fieldIndex("meta_count")) == 2L)
   }
 
+  test("executeTriggerPlan: do_merge groups collapse to one range " +
+      "dir, sub-quota groups stay untouched, resolution conserved") {
+    val rows = Acid.triggerExecQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // layout = plan, for every group
+    rows.foreach { r =>
+      val expect = if (r.getBoolean(5)) 1L else r.getLong(3)
+      assert(r.getLong(6) == expect,
+        s"group ${r.getLong(0)}: post_dirs ${r.getLong(6)} != $expect")
+    }
+    // at least one group actually merged at this SF (quota n/12 vs
+    // the modular masses guarantees a 2+ group)
+    assert(rows.exists(_.getBoolean(5)), "no group merged — fixture " +
+      "no longer exercises the executor")
+    // resolution witness is one consistent value
+    assert(rows.map(_.getLong(7)).distinct.length == 1)
+  }
+
   test("purgeKeys: erasure beats time travel at every snapshot, " +
       "sidecars recompute, second purge is a no-op") {
     val rows = Acid.purgeQuery(spark, sfDir).collect()
