@@ -535,6 +535,9 @@ object SparkEntry {
     // rank via distributed prefix, per-batch padding-fill report
     "q_seq_bucket" -> (Curation.seqBucketQuery _),
     "q_quality_score" -> (Curation.qualityScoreQuery _),
+    // DPO-style preference pairs: per-stratum best-vs-worst by the
+    // replayable quality score, bounded-heap extremes (r13)
+    "q_pref_pairs" -> ((s, d) => Curation.prefPairsQuery(s, d)),
     // Threshold-sweep classifier eval: confusion counts + P/R/F1
     "q_pr_curve" -> (Curation.prCurveQuery _),
     // ECE/MCE calibration summary: midpoint-confidence gaps as
@@ -4818,6 +4821,34 @@ object SparkEntry {
         |  quality_score >= 0.5 AS is_quality
         |FROM s
         |ORDER BY doc_id""".stripMargin),
+    // q_pref_pairs: scores from the SHARED quality CTE; ranks replay
+    // the bounded-heap order (score desc/asc, ties to lower doc_id);
+    // pair count capped at floor(stratum/2) so the sets never overlap.
+    "q_pref_pairs" ->
+      (s"WITH $qualityScoreCte," +
+        """
+        |r AS (
+        |  SELECT d.lang, s.doc_id, s.quality_score AS score,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY s.quality_score DESC, s.doc_id) AS rt,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY s.quality_score ASC, s.doc_id) AS rb,
+        |    count(*) OVER (PARTITION BY d.lang) AS n
+        |  FROM s JOIN documents d ON s.doc_id = d.doc_id),
+        |ptop AS (SELECT lang, rt AS i, doc_id AS chosen_id,
+        |    score AS chosen_score, CAST(n AS BIGINT) AS n_docs
+        |  FROM r WHERE rt <= least(5, n // 2)),
+        |pbot AS (SELECT lang, rb AS i, doc_id AS rejected_id,
+        |    score AS rejected_score
+        |  FROM r WHERE rb <= least(5, n // 2))
+        |SELECT ptop.lang, CAST(ptop.i AS BIGINT) AS pair_rank,
+        |  ptop.chosen_id, pbot.rejected_id, ptop.chosen_score,
+        |  pbot.rejected_score, ptop.n_docs,
+        |  floor((ptop.chosen_score - pbot.rejected_score) * 1e6 + 0.5)
+        |    / 1e6 AS margin
+        |FROM ptop JOIN pbot ON ptop.lang = pbot.lang
+        |  AND ptop.i = pbot.i
+        |ORDER BY ptop.lang, pair_rank""".stripMargin),
     // q_pr_curve: scores from the SHARED quality CTE (no oracle
     // drift), labels from lang='en'; integer confusion counts, ratios
     // rounded from the counts, F1 from the rounded ratios.

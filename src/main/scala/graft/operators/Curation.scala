@@ -452,6 +452,55 @@ object Curation {
       .orderBy(col("doc_id"))
 
   /**
+   * Preference-pair mining (the DPO/RLHF-style contrastive data
+   * constructor): per language stratum, pair the k highest-quality
+   * documents with the k lowest rank-for-rank (best vs worst, 2nd
+   * best vs 2nd worst, …) and report each pair's score margin — the
+   * chosen/rejected construction a preference-tuning pipeline builds
+   * from any scalar quality signal. Pair count is capped at
+   * ⌊stratum/2⌋ so chosen and rejected sets can never overlap in a
+   * small stratum.
+   *
+   * Shape at 100 TB: scoring is the [[qualityScore]] zero-shuffle
+   * codegen projection; per-stratum extremes ride TWO bounded-heap
+   * `graft_topk` aggregates (score and −score) — map-side partial,
+   * k·16 bytes per (partition, stratum), never a stratum sort; the
+   * pairing is a per-stratum array zip on the k-row aggregate frame.
+   */
+  def prefPairsQuery(spark: SparkSession, sfDir: String,
+      k: Int = 5): DataFrame = {
+    val scored = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        fr(qualityScore(col("text"), pretrainedWeights(), 0.1), 6)
+          .as("score"))
+    val extremes = scored.groupBy(col("lang"))
+      .agg(
+        call_function("graft_topk", col("score"), col("doc_id"),
+          lit(k)).as("top"),
+        call_function("graft_topk", -col("score"), col("doc_id"),
+          lit(k)).as("bot"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("pair_cnt",
+        least(lit(k.toLong), expr("n_docs div 2")))
+    extremes
+      .select(col("lang"), col("n_docs"), col("top"), col("bot"),
+        explode(sequence(lit(1L), col("pair_cnt"))).as("pair_rank"))
+      .select(col("lang"), col("pair_rank"),
+        element_at(col("top"), col("pair_rank").cast("int"))
+          .getField("id").as("chosen_id"),
+        element_at(col("bot"), col("pair_rank").cast("int"))
+          .getField("id").as("rejected_id"),
+        element_at(col("top"), col("pair_rank").cast("int"))
+          .getField("ord").as("chosen_score"),
+        (-element_at(col("bot"), col("pair_rank").cast("int"))
+          .getField("ord")).as("rejected_score"),
+        col("n_docs"))
+      .withColumn("margin",
+        fr(col("chosen_score") - col("rejected_score"), 6))
+      .orderBy(col("lang"), col("pair_rank"))
+  }
+
+  /**
    * Classifier evaluation: threshold-sweep confusion counts +
    * precision/recall/F1 over a scored corpus — the eval harness run
    * against every quality/langid/filter model before its threshold is

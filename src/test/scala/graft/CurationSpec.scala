@@ -841,6 +841,27 @@ class CurationSpec extends SparkSpec {
       s"threshold ${charRow.getLong(1)} != brute ${best.get._2}")
   }
 
+  test("prefPairs: chosen beats rejected in every pair, sets are " +
+      "disjoint within a stratum, pair count respects the cap") {
+    val rows = Curation.prefPairsQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val chosen = rs.map(_.getLong(2)).toSet
+      val rejected = rs.map(_.getLong(3)).toSet
+      assert((chosen & rejected).isEmpty, s"$lang: overlapping sets")
+      assert(rs.length <= 5 &&
+        rs.length <= (rs.head.getLong(6) / 2).toInt)
+      rs.foreach { r =>
+        assert(r.getDouble(4) >= r.getDouble(5),
+          s"$lang pair ${r.getLong(1)}: chosen below rejected")
+      }
+      // rank 1 margin is the stratum's widest (best-vs-worst)
+      val byRank = rs.sortBy(_.getLong(1))
+      val margins = byRank.map(_.getDouble(7))
+      assert(margins.zip(margins.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("complianceFilter: longest robots match wins, exact ties go " +
       "to allow, precedence is robots > meta > license") {
     import SparkSpec.spark.implicits._
