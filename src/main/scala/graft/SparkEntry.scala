@@ -538,6 +538,9 @@ object SparkEntry {
     // DPO-style preference pairs: per-stratum best-vs-worst by the
     // replayable quality score, bounded-heap extremes (r13)
     "q_pref_pairs" -> ((s, d) => Curation.prefPairsQuery(s, d)),
+    // T5-style span-corruption plan: md5-deterministic block-local
+    // spans, exact 15% on full blocks, partition-independent (r13)
+    "q_span_corrupt" -> (Curation.spanCorruptQuery _),
     // Threshold-sweep classifier eval: confusion counts + P/R/F1
     "q_pr_curve" -> (Curation.prCurveQuery _),
     // ECE/MCE calibration summary: midpoint-confidence gaps as
@@ -4821,6 +4824,32 @@ object SparkEntry {
         |  quality_score >= 0.5 AS is_quality
         |FROM s
         |ORDER BY doc_id""".stripMargin),
+    // q_span_corrupt: full replay — block grid, md5 offsets
+    // (('0x'||substring(md5,1,6))::BIGINT % 18, the hashBucket24
+    // convention), rollup digests via ordered string_agg.
+    "q_span_corrupt" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |bl AS (SELECT doc_id, n_tokens, n_tokens // 20 AS n_blocks
+        |  FROM d WHERE n_tokens // 20 > 0),
+        |sp AS (SELECT doc_id, n_tokens, n_blocks, blk,
+        |    blk * 20 + (('0x' || substring(md5(doc_id || ':' || blk),
+        |      1, 6))::BIGINT % 18) AS start
+        |  FROM (SELECT doc_id, n_tokens, n_blocks,
+        |      unnest(generate_series(CAST(0 AS BIGINT),
+        |        n_blocks - 1)) AS blk
+        |    FROM bl))
+        |SELECT doc_id, n_tokens, CAST(n_blocks AS BIGINT) AS n_blocks,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(count(*) * 3 AS BIGINT) AS n_masked,
+        |  CAST(count(*) * 3 * 1000000 // n_tokens AS BIGINT)
+        |    AS masked_ppm,
+        |  CAST(min(start) AS BIGINT) AS first_span_start,
+        |  md5(string_agg(CAST(start AS VARCHAR), ',' ORDER BY start))
+        |    AS spans_digest
+        |FROM sp GROUP BY doc_id, n_tokens, n_blocks
+        |ORDER BY doc_id""".stripMargin,
     // q_pref_pairs: scores from the SHARED quality CTE; ranks replay
     // the bounded-heap order (score desc/asc, ties to lower doc_id);
     // pair count capped at floor(stratum/2) so the sets never overlap.

@@ -452,6 +452,45 @@ object Curation {
       .orderBy(col("doc_id"))
 
   /**
+   * Span-corruption planning (the T5/UL2 denoising-objective data
+   * prep): deterministically select the mask spans for each document —
+   * one 3-token span per 20-token block at an md5-derived offset, so
+   * the masked fraction is exactly 15% on full blocks, spans never
+   * overlap (block-local by construction), and the SAME spans
+   * reproduce on any cluster, any partitioning, any rerun — the
+   * reproducibility property a training-data pipeline needs from its
+   * corruption pass (a seeded RNG per task gives partition-dependent
+   * masks). The plan is positions only; the actual sentinel rewrite
+   * is a downstream projection over (doc, starts).
+   *
+   * Shape at 100 TB: one narrow projection + a per-doc block explode
+   * (bounded by doc length / 20); the per-doc rollup re-aggregates on
+   * the same doc key — rows are (doc_id, 3 longs), text never moves.
+   */
+  def spanCorruptQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("n_blocks", expr("n_tokens div 20"))
+      .filter(col("n_blocks") > 0)
+    val spans = docs
+      .select(col("doc_id"), col("n_tokens"), col("n_blocks"),
+        explode(sequence(lit(0L), col("n_blocks") - 1)).as("blk"))
+      .withColumn("start", col("blk") * 20 +
+        pmod(Sampling.hashBucket24(concat(col("doc_id").cast("string"),
+          lit(":"), col("blk").cast("string"))), lit(18L)))
+    spans.groupBy(col("doc_id"), col("n_tokens"), col("n_blocks"))
+      .agg(count(lit(1)).as("n_spans"),
+        (count(lit(1)) * 3).as("n_masked"),
+        expr("CAST(count(1) * 3 * 1000000 div n_tokens AS BIGINT)")
+          .as("masked_ppm"),
+        min(col("start")).as("first_span_start"),
+        md5(array_join(transform(array_sort(collect_list(col("start"))),
+          x => x.cast("string")), ",")).as("spans_digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * Preference-pair mining (the DPO/RLHF-style contrastive data
    * constructor): per language stratum, pair the k highest-quality
    * documents with the k lowest rank-for-rank (best vs worst, 2nd

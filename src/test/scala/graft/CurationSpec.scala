@@ -841,6 +841,27 @@ class CurationSpec extends SparkSpec {
       s"threshold ${charRow.getLong(1)} != brute ${best.get._2}")
   }
 
+  test("spanCorrupt: block-local spans never overlap, 15% exact on " +
+      "full blocks, plan is repartition-stable") {
+    val out = Curation.spanCorruptQuery(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, nBlk, nSpans, nMask) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      assert(nSpans == nBlk && nMask == 3 * nBlk)
+      // exact masked fraction on the block-covered prefix: 3/20
+      assert(r.getLong(5) == nMask * 1000000L / nTok)
+      assert(r.getLong(6) < 18L + 0L || r.getLong(6) < 20L,
+        "first span must start inside block 0")
+    }
+    // deterministic under a different partitioning (the seeded-RNG
+    // failure mode this operator exists to avoid)
+    val again = Curation.spanCorruptQuery(spark, sfDir)
+      .repartition(7).orderBy(col("doc_id")).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("prefPairs: chosen beats rejected in every pair, sets are " +
       "disjoint within a stratum, pair count respects the cap") {
     val rows = Curation.prefPairsQuery(spark, sfDir).collect()
