@@ -132,6 +132,23 @@ object Acid {
     writeStatsSidecar(outPath, acidStatsOf(events))
   }
 
+  /** Orders rows lifted to ACID event form — the ONE fixture shape
+    * every MOR gate writes (bucket = key % 4, the writer-assigned
+    * layout; origTxn 1). Payload prices stay unrounded: updated
+    * prices are a double multiply, bit-identical in any IEEE-754
+    * engine, so oracles compare raw. Was previously copied per gate —
+    * nine drift-prone definitions. */
+  private[graft] def ordersAsEvents(src: DataFrame, op: Int,
+      txn: Long): DataFrame =
+    src.select(
+      lit(op).as("operation"),
+      lit(1L).as("originalTransaction"),
+      (col("o_orderkey") % 4).cast("int").as("bucket"),
+      col("o_orderkey").as("rowId"),
+      lit(txn).as("currentTransaction"),
+      struct(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderstatus")).as("row"))
+
   /**
    * Minor compaction (`site/_docs/acid.md:26-60`): merge several delta
    * directories into one without touching the base. Unlike major
@@ -263,20 +280,11 @@ object Acid {
         col("o_orderstatus"))
     val dir = graft.sources.OrcIo.scratchDir("acid_minor_q")
     graft.sources.OrcIo.write(orders, s"$dir/t/base_1")
-    def asEvents(src: DataFrame, op: Int, txn: Long): DataFrame =
-      src.select(
-        lit(op).as("operation"),
-        lit(1L).as("originalTransaction"),
-        (col("o_orderkey") % 4).cast("int").as("bucket"),
-        col("o_orderkey").as("rowId"),
-        lit(txn).as("currentTransaction"),
-        struct(col("o_orderkey"), col("o_custkey"),
-          col("o_totalprice"), col("o_orderstatus")).as("row"))
-    writeDelta(asEvents(
+    writeDelta(ordersAsEvents(
       orders.filter(col("o_orderkey") % 10 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 1.10),
       OpUpdate, 2L), s"$dir/t/delta_2")
-    writeDelta(asEvents(orders.filter(col("o_orderkey") % 7 === 0),
+    writeDelta(ordersAsEvents(orders.filter(col("o_orderkey") % 7 === 0),
       OpDelete, 3L), s"$dir/t/delta_3")
     minorCompact(spark, s"$dir/t")
     readTable(spark, s"$dir/t", rowIdCol = "o_orderkey")
@@ -411,26 +419,17 @@ object Acid {
         col("o_orderstatus"))
     val dir = graft.sources.OrcIo.scratchDir("acid_trigger_q")
     graft.sources.OrcIo.write(orders, s"$dir/t/base_1")
-    def asEvents(src: DataFrame, op: Int, txn: Long): DataFrame =
-      src.select(
-        lit(op).as("operation"),
-        lit(1L).as("originalTransaction"),
-        (col("o_orderkey") % 4).cast("int").as("bucket"),
-        col("o_orderkey").as("rowId"),
-        lit(txn).as("currentTransaction"),
-        struct(col("o_orderkey"), col("o_custkey"),
-          col("o_totalprice"), col("o_orderstatus")).as("row"))
-    writeDelta(asEvents(
+    writeDelta(ordersAsEvents(
       orders.filter(col("o_orderkey") % 11 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 1.05),
       OpUpdate, 2L), s"$dir/t/delta_2")
-    writeDelta(asEvents(
+    writeDelta(ordersAsEvents(
       orders.filter(col("o_orderkey") % 13 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 1.07),
       OpUpdate, 3L), s"$dir/t/delta_3")
-    writeDelta(asEvents(orders.filter(col("o_orderkey") % 17 === 0),
+    writeDelta(ordersAsEvents(orders.filter(col("o_orderkey") % 17 === 0),
       OpDelete, 4L), s"$dir/t/delta_4")
-    writeDelta(asEvents(
+    writeDelta(ordersAsEvents(
       orders.filter(col("o_orderkey") % 19 === 0)
         .withColumn("o_orderkey", col("o_orderkey") + 2000000000000L),
       OpInsert, 5L), s"$dir/t/delta_5")
@@ -454,18 +453,26 @@ object Acid {
    * quota bounded.
    */
   def executeTriggerPlan(spark: SparkSession, tableDir: String,
-      plan: DataFrame): Seq[(Long, String)] = {
+      plan: DataFrame): Seq[(Long, String)] =
+    executeTriggerPlanRows(spark, tableDir,
+      plan.select(col("grp").cast("long"), col("low_txn").cast("long"),
+          col("high_txn").cast("long"), col("do_merge"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))))
+
+  /** Core of [[executeTriggerPlan]] on already-collected plan rows
+    * (grp, low_txn, high_txn, do_merge) — callers that hold the plan
+    * driver-side pass it once instead of re-collecting. */
+  private[graft] def executeTriggerPlanRows(spark: SparkSession,
+      tableDir: String, rows: Seq[(Long, Long, Long, Boolean)])
+      : Seq[(Long, String)] = {
     def dirName(lo: Long, hi: Long) =
       if (lo == hi) s"delta_$lo" else s"delta_${lo}_$hi"
-    val rows = plan
-      .select(col("grp").cast("long"), col("low_txn").cast("long"),
-        col("high_txn").cast("long"), col("do_merge"))
-      .collect()
-    rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
-      .filter(_._2.head.getBoolean(3))
+    rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .filter(_._2.head._4)
       .map { case (grp, members) =>
-        val dirs = members
-          .map(r => dirName(r.getLong(1), r.getLong(2))).toSeq
+        val dirs = members.map(m => dirName(m._2, m._3))
         grp -> minorCompact(spark, tableDir, Some(dirs))
       }
   }
@@ -485,35 +492,35 @@ object Acid {
         col("o_orderstatus"))
     val dir = graft.sources.OrcIo.scratchDir("acid_trigexec_q")
     graft.sources.OrcIo.write(orders, s"$dir/t/base_1")
-    def asEvents(src: DataFrame, op: Int, txn: Long): DataFrame =
-      src.select(
-        lit(op).as("operation"),
-        lit(1L).as("originalTransaction"),
-        (col("o_orderkey") % 4).cast("int").as("bucket"),
-        col("o_orderkey").as("rowId"),
-        lit(txn).as("currentTransaction"),
-        struct(col("o_orderkey"), col("o_custkey"),
-          col("o_totalprice"), col("o_orderstatus")).as("row"))
-    writeDelta(asEvents(
+    writeDelta(ordersAsEvents(
       orders.filter(col("o_orderkey") % 11 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 1.05),
       OpUpdate, 2L), s"$dir/t/delta_2")
-    writeDelta(asEvents(
+    writeDelta(ordersAsEvents(
       orders.filter(col("o_orderkey") % 13 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 1.07),
       OpUpdate, 3L), s"$dir/t/delta_3")
-    writeDelta(asEvents(orders.filter(col("o_orderkey") % 17 === 0),
+    writeDelta(ordersAsEvents(orders.filter(col("o_orderkey") % 17 === 0),
       OpDelete, 4L), s"$dir/t/delta_4")
-    writeDelta(asEvents(
+    writeDelta(ordersAsEvents(
       orders.filter(col("o_orderkey") % 19 === 0)
         .withColumn("o_orderkey", col("o_orderkey") + 2000000000000L),
       OpInsert, 5L), s"$dir/t/delta_5")
     val quota = math.max(1L, orders.count() / 12)
+    // ONE collect serves both the executor and the gate columns
+    // (compactionTrigger's frame is driver-local, but a second
+    // collect after execution would be a latent re-evaluation hazard
+    // if it ever became lazy)
     val planDf = compactionTrigger(spark, s"$dir/t", quota)
-    val plan = planDf.select(col("grp"), col("grp_low"),
-        col("grp_high"), col("grp_deltas"), col("grp_events"),
-        col("do_merge")).collect()
-    executeTriggerPlan(spark, s"$dir/t", planDf)
+      .select(col("grp"), col("low_txn"), col("high_txn"),
+        col("grp_low"), col("grp_high"), col("grp_deltas"),
+        col("grp_events"), col("do_merge"))
+    val planRows = planDf.collect()
+    val plan = planRows.map(r => (r.getLong(0), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    executeTriggerPlanRows(spark, s"$dir/t",
+      planRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(7))))
     val fs = new org.apache.hadoop.fs.Path(s"$dir/t")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val post = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/t"))
@@ -525,9 +532,7 @@ object Acid {
       }
     val resolvedRows = readTable(spark, s"$dir/t",
       rowIdCol = "o_orderkey").rdd.count()
-    val groups = plan.map(r => (r.getLong(0), r.getLong(1),
-        r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
-      .distinct.sortBy(_._1)
+    val groups = plan.distinct.sortBy(_._1)
     groups.map { case (grp, lo, hi, nd, ne, merged) =>
       val covering = post
         .count(p => p._1 >= lo && p._2 <= hi).toLong
@@ -543,20 +548,11 @@ object Acid {
         col("o_orderstatus"))
     val dir = graft.sources.OrcIo.scratchDir("acid_major_q")
     graft.sources.OrcIo.write(orders, s"$dir/t/base_1")
-    def asEvents(src: DataFrame, op: Int, txn: Long): DataFrame =
-      src.select(
-        lit(op).as("operation"),
-        lit(1L).as("originalTransaction"),
-        (col("o_orderkey") % 4).cast("int").as("bucket"),
-        col("o_orderkey").as("rowId"),
-        lit(txn).as("currentTransaction"),
-        struct(col("o_orderkey"), col("o_custkey"),
-          col("o_totalprice"), col("o_orderstatus")).as("row"))
-    writeDelta(asEvents(
+    writeDelta(ordersAsEvents(
       orders.filter(col("o_orderkey") % 10 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 1.10),
       OpUpdate, 2L), s"$dir/t/delta_2")
-    writeDelta(asEvents(orders.filter(col("o_orderkey") % 7 === 0),
+    writeDelta(ordersAsEvents(orders.filter(col("o_orderkey") % 7 === 0),
       OpDelete, 3L), s"$dir/t/delta_3")
     val newBase = majorCompact(spark, s"$dir/t", rowIdCol = "o_orderkey")
     require(readAcidStats(spark, newBase).exists(_.inserts > 0),
@@ -577,24 +573,13 @@ object Acid {
    */
   def morQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = Tables.load(spark, sfDir, "orders")
-    def asEvents(src: DataFrame, op: Int, txn: Long): DataFrame =
-      src.select(
-        lit(op).as("operation"),
-        lit(1L).as("originalTransaction"),
-        (col("o_orderkey") % 4).cast("int").as("bucket"),
-        col("o_orderkey").as("rowId"),
-        lit(txn).as("currentTransaction"),
-        // no rounding: updated prices are a double multiply, identical
-        // bit-for-bit in any IEEE-754 engine, so the oracle compares raw
-        struct(col("o_orderkey"), col("o_custkey"),
-          col("o_totalprice"), col("o_orderstatus")).as("row"))
-    val base = asEvents(orders, OpInsert, 1L)
-    val updates = asEvents(
+    val base = ordersAsEvents(orders, OpInsert, 1L)
+    val updates = ordersAsEvents(
       orders.filter(col("o_orderkey") % 10 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 1.10),
       OpUpdate, 2L)
-    val deletes = asEvents(orders.filter(col("o_orderkey") % 7 === 0),
-      OpDelete, 3L)
+    val deletes = ordersAsEvents(
+      orders.filter(col("o_orderkey") % 7 === 0), OpDelete, 3L)
     resolve(base.unionAll(updates).unionAll(deletes))
       .orderBy(col("o_orderkey"))
   }
@@ -613,20 +598,11 @@ object Acid {
         col("o_orderstatus"))
     val dir = graft.sources.OrcIo.scratchDir("acid_asof_q")
     graft.sources.OrcIo.write(orders, s"$dir/t/base_1")
-    def asEvents(src: DataFrame, op: Int, txn: Long): DataFrame =
-      src.select(
-        lit(op).as("operation"),
-        lit(1L).as("originalTransaction"),
-        (col("o_orderkey") % 4).cast("int").as("bucket"),
-        col("o_orderkey").as("rowId"),
-        lit(txn).as("currentTransaction"),
-        struct(col("o_orderkey"), col("o_custkey"),
-          col("o_totalprice"), col("o_orderstatus")).as("row"))
-    writeDelta(asEvents(
+    writeDelta(ordersAsEvents(
       orders.filter(col("o_orderkey") % 10 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 1.10),
       OpUpdate, 2L), s"$dir/t/delta_2")
-    writeDelta(asEvents(orders.filter(col("o_orderkey") % 7 === 0),
+    writeDelta(ordersAsEvents(orders.filter(col("o_orderkey") % 7 === 0),
       OpDelete, 3L), s"$dir/t/delta_3")
     readTableAsOf(spark, s"$dir/t", asOfTxn = 2L,
       rowIdCol = "o_orderkey")
@@ -795,20 +771,11 @@ object Acid {
         col("o_orderstatus"))
     val dir = graft.sources.OrcIo.scratchDir("acid_cdc_q")
     graft.sources.OrcIo.write(orders, s"$dir/t/base_1")
-    def asEvents(src: DataFrame, op: Int, txn: Long): DataFrame =
-      src.select(
-        lit(op).as("operation"),
-        lit(1L).as("originalTransaction"),
-        (col("o_orderkey") % 4).cast("int").as("bucket"),
-        col("o_orderkey").as("rowId"),
-        lit(txn).as("currentTransaction"),
-        struct(col("o_orderkey"), col("o_custkey"),
-          col("o_totalprice"), col("o_orderstatus")).as("row"))
-    val updates = asEvents(
+    val updates = ordersAsEvents(
       orders.filter(col("o_orderkey") % 10 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 1.10),
       OpUpdate, 2L)
-    val inserts = asEvents(
+    val inserts = ordersAsEvents(
       orders.filter(col("o_orderkey") % 13 === 0)
         .withColumn("o_orderkey",
           col("o_orderkey") + lit(1000000000000L))
@@ -816,7 +783,7 @@ object Acid {
         .withColumn("o_orderstatus", lit("I")),
       OpInsert, 2L)
     writeDelta(updates.unionByName(inserts), s"$dir/t/delta_2")
-    writeDelta(asEvents(orders.filter(col("o_orderkey") % 7 === 0),
+    writeDelta(ordersAsEvents(orders.filter(col("o_orderkey") % 7 === 0),
       OpDelete, 3L), s"$dir/t/delta_3")
     s"$dir/t"
   }
@@ -946,22 +913,13 @@ object Acid {
         col("o_orderstatus"))
     val dir = graft.sources.OrcIo.scratchDir("acid_fastcount_q")
     graft.sources.OrcIo.write(orders, s"$dir/t/base_1")
-    def asEvents(src: DataFrame, op: Int, txn: Long): DataFrame =
-      src.select(
-        lit(op).as("operation"),
-        lit(1L).as("originalTransaction"),
-        (col("o_orderkey") % 4).cast("int").as("bucket"),
-        col("o_orderkey").as("rowId"),
-        lit(txn).as("currentTransaction"),
-        struct(col("o_orderkey"), col("o_custkey"),
-          col("o_totalprice"), col("o_orderstatus")).as("row"))
-    writeDelta(asEvents(
+    writeDelta(ordersAsEvents(
       orders.filter(col("o_orderkey") % 10 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 1.10),
       OpUpdate, 2L), s"$dir/t/delta_2")
-    writeDelta(asEvents(orders.filter(col("o_orderkey") % 7 === 0),
+    writeDelta(ordersAsEvents(orders.filter(col("o_orderkey") % 7 === 0),
       OpDelete, 3L), s"$dir/t/delta_3")
-    writeDelta(asEvents(
+    writeDelta(ordersAsEvents(
       orders.filter(col("o_orderkey") % 19 === 0)
         .withColumn("o_orderkey", col("o_orderkey") + 2000000000000L),
       OpInsert, 4L), s"$dir/t/delta_4")
@@ -1005,11 +963,22 @@ object Acid {
     val dirs = fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath.getName)
     val bcast = spark.sparkContext.broadcast(keys)
+    // rename-aside swap: every intermediate state keeps one complete
+    // copy of the directory (a delete-before-rename window would lose
+    // the whole base/delta — data loss far beyond the erasure
+    // request — if the rename failed or the process died between the
+    // two calls)
     def swapIn(tmp: String, dst: String): Unit = {
       val tmpP = new org.apache.hadoop.fs.Path(tmp)
       val dstP = new org.apache.hadoop.fs.Path(dst)
-      fs.delete(dstP, true)
+      // dot-prefixed so a crash leftover never matches readTable's
+      // base_/delta_ directory listing (base_1.purged_old would)
+      val oldP = new org.apache.hadoop.fs.Path(
+        dstP.getParent, s".purged_old_${dstP.getName}")
+      fs.delete(oldP, true) // clear any debris from a prior crash
+      require(fs.rename(dstP, oldP), s"purge aside-rename failed for $dst")
       require(fs.rename(tmpP, dstP), s"purge swap failed for $dst")
+      fs.delete(oldP, true)
     }
     dirs.foreach { d =>
       val path = s"$tableDir/$d"
@@ -1056,22 +1025,13 @@ object Acid {
         col("o_orderstatus"))
     val dir = graft.sources.OrcIo.scratchDir("acid_purge_q")
     graft.sources.OrcIo.write(orders, s"$dir/t/base_1")
-    def asEvents(src: DataFrame, op: Int, txn: Long): DataFrame =
-      src.select(
-        lit(op).as("operation"),
-        lit(1L).as("originalTransaction"),
-        (col("o_orderkey") % 4).cast("int").as("bucket"),
-        col("o_orderkey").as("rowId"),
-        lit(txn).as("currentTransaction"),
-        struct(col("o_orderkey"), col("o_custkey"),
-          col("o_totalprice"), col("o_orderstatus")).as("row"))
-    writeDelta(asEvents(
+    writeDelta(ordersAsEvents(
       orders.filter(col("o_orderkey") % 10 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 1.10),
       OpUpdate, 2L), s"$dir/t/delta_2")
-    writeDelta(asEvents(orders.filter(col("o_orderkey") % 7 === 0),
+    writeDelta(ordersAsEvents(orders.filter(col("o_orderkey") % 7 === 0),
       OpDelete, 3L), s"$dir/t/delta_3")
-    writeDelta(asEvents(
+    writeDelta(ordersAsEvents(
       orders.filter(col("o_orderkey") % 19 === 0)
         .withColumn("o_orderkey", col("o_orderkey") + 2000000000000L),
       OpInsert, 4L), s"$dir/t/delta_4")

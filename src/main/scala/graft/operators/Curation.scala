@@ -522,6 +522,10 @@ object Curation {
       .withColumn("pair_cnt",
         least(lit(k.toLong), expr("n_docs div 2")))
     extremes
+      // a 1-doc stratum has pair_cnt = 0, and Spark's
+      // sequence(1, 0) DESCENDS to [1, 0] (element_at(..., 0) then
+      // throws) — such strata simply emit no pairs
+      .filter(col("pair_cnt") >= 1L)
       .select(col("lang"), col("n_docs"), col("top"), col("bot"),
         explode(sequence(lit(1L), col("pair_cnt"))).as("pair_rank"))
       .select(col("lang"), col("pair_rank"),

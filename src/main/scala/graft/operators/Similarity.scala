@@ -1154,7 +1154,6 @@ object Similarity {
         sum(col("n_moved")).as("n_moved_all"),
         sum(when(col("pert"), col("n_moved"))).as("mv_p"),
         sum(when(!col("pert"), col("n_moved"))).as("mv_u"),
-        sum(when(col("pert"), col("n"))).as("n_p"),
         sum(when(!col("pert"), col("n"))).as("n_u"))
     val serving = recallGate(
       ivfServe(drifted, drifted.filter(col("vec_id") < 5), m2),
@@ -1164,7 +1163,7 @@ object Similarity {
       .select(col("n_vecs"), col("n_perturbed"),
         (col("n_moved_all") > 0L &&
           col("n_moved_all") * 2L < col("n_vecs")).as("moved_partial"),
-        (col("mv_p") * col("n_u") >= col("mv_u") * col("n_p"))
+        (col("mv_p") * col("n_u") >= col("mv_u") * col("n_perturbed"))
           .as("moved_aligned"),
         col("n_queries"), col("self_ok"), col("recall_ok"))
   }

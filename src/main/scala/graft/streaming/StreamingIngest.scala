@@ -412,10 +412,11 @@ object StreamingIngest {
    * which no current-state lookup can do.
    */
   def streamScd2(events: DataFrame, dim: DataFrame): DataFrame =
-    events.join(broadcast(dim),
-      col("cust_id") === dim("dim_key") &&
-        dim("valid_from") <= col("ts") &&
-        (dim("valid_to").isNull || col("ts") < dim("valid_to")))
+    // ONE definition of the interval predicate: the batch lookup's —
+    // a boundary-semantics change there must reach this path too
+    // (the gate asserts the two agree row-for-row)
+    graft.operators.Versioning.scd2Lookup(events, dim,
+      "cust_id", "dim_key", "ts")
 
   /** Drained-replay gate for [[streamScd2]]: stateless ⇒ the drained
     * replay aggregates to exactly the batch interval join

@@ -15,16 +15,7 @@ object AcidReadProbe {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderstatus"))
     val dir = graft.sources.OrcIo.scratchDir("acid_probe")
-    def asEvents(src: org.apache.spark.sql.DataFrame, op: Int,
-        txn: Long) =
-      src.select(lit(op).as("operation"),
-        lit(1L).as("originalTransaction"),
-        (col("o_orderkey") % 4).cast("int").as("bucket"),
-        col("o_orderkey").as("rowId"),
-        lit(txn).as("currentTransaction"),
-        struct(col("o_orderkey"), col("o_custkey"),
-          col("o_totalprice"), col("o_orderstatus")).as("row"))
-    Acid.writeDelta(asEvents(
+    Acid.writeDelta(Acid.ordersAsEvents(
       orders.filter(col("o_orderkey") % 10 === 0), 1, 2L),
       s"$dir/delta_2")
     val p = s"$dir/delta_2"

@@ -84,8 +84,6 @@ class BehaviorSpec extends SparkSpec {
         r.getString(2)))
       .sortBy(t => (-t._1, -t._2)).take(32)
       .sortBy(t => (t._1, t._2)).map(_._3).mkString(",")
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(u.toString.getBytes).map("%02x".format(_)) // warm-up
     val expect = java.security.MessageDigest.getInstance("MD5")
       .digest(ev.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(rows.head.getString(3) == expect,

@@ -852,8 +852,8 @@ class CurationSpec extends SparkSpec {
       assert(nSpans == nBlk && nMask == 3 * nBlk)
       // exact masked fraction on the block-covered prefix: 3/20
       assert(r.getLong(5) == nMask * 1000000L / nTok)
-      assert(r.getLong(6) < 18L + 0L || r.getLong(6) < 20L,
-        "first span must start inside block 0")
+      assert(r.getLong(6) < 18L,
+        "first span must start inside block 0's md5-offset range")
     }
     // deterministic under a different partitioning (the seeded-RNG
     // failure mode this operator exists to avoid)

@@ -74,7 +74,10 @@ def main():
     if fh and bh:
         for key in ("calib_sec", "spark_calib_sec"):
             fv, bv = fh.get(key), bh.get(key)
-            if fv and bv and not (1 / 1.15 <= fv / bv <= 1.15):
+            # Bench writes -1.0 when a calibration failed — a sentinel,
+            # not a measurement; comparing it would fake a host shift
+            if fv and bv and fv > 0 and bv > 0 \
+                    and not (1 / 1.15 <= fv / bv <= 1.15):
                 print(f"HOST SHIFTED: {key} {bv:.2f}s -> {fv:.2f}s "
                       f"({fv / bv:.2f}x)")
                 host_shifted = True
