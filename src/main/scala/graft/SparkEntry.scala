@@ -376,6 +376,10 @@ object SparkEntry {
     // Leave-one-source-out mixture ledger from sufficient statistics:
     // one corpus scan, k^2 metadata grid, exact ppm shares (r13)
     "q_mix_ablation" -> (Sampling.mixAblationQuery _),
+    // Temperature-exponent design sweep over the sqrt-composable
+    // alpha grid {0.25, 0.5, 1}: per-alpha shares + TV from natural,
+    // one stratum scan, metadata grid (r13)
+    "q_temp_sweep" -> (Sampling.tempSweepQuery _),
     // Temperature (α=0.5) mixing: data-derived √n targets, same
     // deterministic hash coin
     "q_temperature_mix" -> (Sampling.temperatureMixQuery _),
@@ -4824,6 +4828,47 @@ object SparkEntry {
         |  quality_score >= 0.5 AS is_quality
         |FROM s
         |ORDER BY doc_id""".stripMargin),
+    // q_temp_sweep: full replay — the sqrt-composable alpha grid,
+    // pure-BIGINT micro-unit weights and floor divisions (DuckDB's
+    // `//` ROUNDS on DECIMAL left operands but floors on BIGINTs),
+    // TV and extremes from the ppm integers.
+    "q_temp_sweep" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+        |  FROM documents GROUP BY lang),
+        |a(alpha_pct, sqrts) AS (VALUES
+        |  (CAST(25 AS BIGINT), 2), (CAST(50 AS BIGINT), 1),
+        |  (CAST(100 AS BIGINT), 0)),
+        |w AS (SELECT c.lang, c.n_lang, a.alpha_pct,
+        |    CASE
+        |      WHEN a.sqrts = 2 THEN CAST(floor(
+        |        sqrt(sqrt(CAST(n_lang AS DOUBLE))) * 1e6 + 0.5)
+        |        AS BIGINT)
+        |      WHEN a.sqrts = 1 THEN CAST(floor(
+        |        sqrt(CAST(n_lang AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |      ELSE n_lang END AS w_micro
+        |  FROM c CROSS JOIN a),
+        |t AS (SELECT alpha_pct,
+        |    CAST(sum(w_micro) AS BIGINT) AS w_tot_micro,
+        |    CAST(sum(n_lang) AS BIGINT) AS n_tot
+        |  FROM w GROUP BY alpha_pct),
+        |s AS (SELECT w.alpha_pct, w.lang, w.n_lang,
+        |    CAST(w.w_micro * 1000000 // t.w_tot_micro AS BIGINT)
+        |      AS share_ppm,
+        |    CAST(w.n_lang * 1000000 // t.n_tot AS BIGINT)
+        |      AS natural_ppm
+        |  FROM w JOIN t USING (alpha_pct)),
+        |g AS (SELECT alpha_pct,
+        |    CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(sum(abs(share_ppm - natural_ppm)) AS BIGINT)
+        |      AS tv2_ppm,
+        |    CAST(max(share_ppm) AS BIGINT) AS max_share_ppm,
+        |    CAST(min(share_ppm) AS BIGINT) AS min_share_ppm
+        |  FROM s GROUP BY alpha_pct)
+        |SELECT s.alpha_pct, s.lang, s.n_lang, s.share_ppm,
+        |  s.natural_ppm, g.n_strata, g.tv2_ppm, g.max_share_ppm,
+        |  g.min_share_ppm
+        |FROM s JOIN g USING (alpha_pct)
+        |ORDER BY s.alpha_pct, s.lang""".stripMargin,
     // q_span_corrupt: full replay — block grid, md5 offsets
     // (('0x'||substring(md5,1,6))::BIGINT % 18, the hashBucket24
     // convention), rollup digests via ordered string_agg.

@@ -161,6 +161,69 @@ object Sampling {
   }
 
   /**
+   * Temperature-exponent sweep — the mixture DESIGN STUDY in front of
+   * [[temperatureMixQuery]]'s single-α realization: for every α in a
+   * portable grid, each stratum's re-normalized share, its
+   * sampling-rate implication, and how far the mixture moves from
+   * natural (total variation to the α=1 shares) — the table a data
+   * recipe reads to pick its temperature before committing a corpus
+   * pass. One stratum-count scan; the sweep itself is a |α|·k
+   * metadata grid.
+   *
+   * Cross-engine exactness: the α grid is {0.25, 0.5, 1} because
+   * n^0.25 = sqrt(sqrt(n)) and n^0.5 = sqrt(n) — sqrt is the ONLY
+   * IEEE-correctly-rounded power both engines share (pow() is
+   * libm-dependent); weights round to 6 dp and sum as DECIMAL, shares
+   * and TV ride integer ppm of exact rationals.
+   */
+  def tempSweepQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.load(spark, sfDir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      .localCheckpoint() // three sweep branches reuse the k-row stat
+    import spark.implicits._
+    val alphas = Seq((25L, 2), (50L, 1), (100L, 0)).toDF(
+      "alpha_pct", "sqrts") // α = 0.25 / 0.5 / 1.0 as sqrt counts
+    val weighted = counts.crossJoin(broadcast(alphas))
+      // exact BIGINT micro-units straight off the double. Three
+      // hazards dodged here: Spark's DECIMAL precision-loss multiply
+      // rounds at floor boundaries (the q14 trap), DuckDB's `//` on a
+      // DECIMAL left operand ROUNDS instead of flooring (BIGINT `//`
+      // floors in both engines), and BIGINT ×1e6 headroom — weights
+      // only need to be proportional WITHIN an alpha, so α=1 uses the
+      // raw count (exact to 9.2e12-doc strata) while the sqrt alphas
+      // keep 6dp micro-units (exact to ~7e23).
+      .withColumn("w_micro",
+        when(col("sqrts") === 2,
+          floor(sqrt(sqrt(col("n_lang").cast("double"))) * 1e6 + 0.5)
+            .cast("long"))
+          .when(col("sqrts") === 1,
+            floor(sqrt(col("n_lang").cast("double")) * 1e6 + 0.5)
+              .cast("long"))
+          .otherwise(col("n_lang")))
+    val tots = weighted.groupBy(col("alpha_pct"))
+      .agg(sum(col("w_micro")).as("w_tot_micro"),
+        sum(col("n_lang")).as("n_tot"))
+    val shares = weighted.join(broadcast(tots), Seq("alpha_pct"))
+      .withColumn("share_ppm",
+        expr("w_micro * 1000000L div w_tot_micro"))
+      .withColumn("natural_ppm",
+        expr("n_lang * 1000000 div n_tot"))
+    shares
+      .groupBy(col("alpha_pct"))
+      .agg(count(lit(1)).as("n_strata"),
+        sum(abs(col("share_ppm") - col("natural_ppm"))).as("tv2_ppm"),
+        max(col("share_ppm")).as("max_share_ppm"),
+        min(col("share_ppm")).as("min_share_ppm"))
+      .join(shares.select(col("alpha_pct"), col("lang"),
+        col("n_lang"), col("share_ppm"), col("natural_ppm")),
+        Seq("alpha_pct"))
+      .select(col("alpha_pct"), col("lang"), col("n_lang"),
+        col("share_ppm"), col("natural_ppm"), col("n_strata"),
+        col("tv2_ppm"), col("max_share_ppm"), col("min_share_ppm"))
+      .orderBy(col("alpha_pct"), col("lang"))
+  }
+
+  /**
    * Deterministic epoch shuffling: the data-ORDER half of training
    * reproducibility. Each epoch gets an independent pseudorandom
    * permutation keyed by md5(epoch ":" doc_id) — shard assignment and

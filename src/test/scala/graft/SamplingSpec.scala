@@ -378,6 +378,25 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("tempSweep: shares sum to ~1e6 per alpha, higher temperature " +
+      "flattens (tv monotone in alpha), alpha=1 equals natural") {
+    val rows = Sampling.tempSweepQuery(spark, sfDir).collect()
+    val byA = rows.groupBy(_.getLong(0))
+    assert(byA.keySet == Set(25L, 50L, 100L))
+    byA.foreach { case (a, rs) =>
+      val tot = rs.map(_.getLong(3)).sum
+      // floor-division shortfall bounded by strata count
+      assert(tot <= 1000000L && tot > 1000000L - rs.length,
+        s"alpha $a: shares sum to $tot")
+      if (a == 100L)
+        rs.foreach(r => assert(r.getLong(3) == r.getLong(4),
+          "alpha=1 share must equal the natural share"))
+    }
+    // lower alpha = flatter mixture = larger distance from natural
+    val tv = byA.map { case (a, rs) => a -> rs.head.getLong(6) }
+    assert(tv(25L) >= tv(50L) && tv(50L) >= tv(100L) && tv(100L) == 0L)
+  }
+
   test("mixAblation plan: the grid reuses the checkpointed k-row " +
       "aggregate (zero corpus re-scans) and never shuffles") {
     val p = Sampling.mixAblationQuery(spark, sfDir)
