@@ -140,14 +140,24 @@ object Bench {
       .headOption.flatMap(_.toDoubleOption).getOrElse(-1.0)
     val load1 = readFirst("/proc/loadavg").split(" ")
       .headOption.flatMap(_.toDoubleOption).getOrElse(-1.0)
+    // min of 3 short spins (ADVICE r13): a single 800M-iteration spin
+    // is JIT/frequency-governor sensitive — a turbo or thermal dip
+    // during the one measurement could trip bench_diff.py's 15%
+    // host-shift threshold on noise. Three 267M spins take the same
+    // total time; the MIN is the governor-noise-resistant estimate
+    // (scaled x3 to stay comparable with the r13 committed baseline).
     val calibSec = {
-      val t0 = System.nanoTime()
-      var x = 0x9e3779b97f4a7c15L; var i = 0L
-      while (i < 800000000L) {
-        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      def spin(): Double = {
+        val t0 = System.nanoTime()
+        var x = 0x9e3779b97f4a7c15L; var i = 0L
+        while (i < 266666667L) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+        }
+        if (x == 42L) System.err.println("") // keep the loop live
+        (System.nanoTime() - t0) / 1e9
       }
-      if (x == 42L) System.err.println("") // keep the loop live
-      (System.nanoTime() - t0) / 1e9
+      spin() // JIT warmup, discarded
+      Seq(spin(), spin(), spin()).min * 3.0
     }
     // try-wrapped: a calibration failure must never cost the
     // artifact (r13 first run: sum(id*id) overflowed BIGINT under

@@ -659,18 +659,16 @@ object SparkEntry {
     "q_probe_epochms" -> (Probes.probeEpochms _),
     "q_probe_aa_mini" -> (Probes.aaMini _),
     "q_probe_cf_mini" -> (Probes.cfMini _),
-    // Round-13 factorial DECIMAL probes: the r12 truth table has
-    // perfect separation under the float-repr rule (a query is
-    // driver-red iff a hashed DECIMAL value's shortest float64 repr
-    // differs from its decimal rendering — see PROBES.md). Each probe
-    // below exposes ONE axis of that rule beside a digit-string twin;
-    // predictions are committed in PROBES.md before the driver run.
+    // Round-13 factorial DECIMAL probes (PROBES.md): the four
+    // deliberately-red hazard-axis probes (trail18/tiny18/int0/
+    // sumtrail) confirmed the float-repr transport rule exactly as
+    // predicted and were RETIRED in round 14 per VERDICT r13 #1 —
+    // the rule is proven, tools/dec_audit.py enforces the type-level
+    // discipline mechanically, and keeping permanent reds pollutes
+    // the hard signal. The two GREEN controls stay as sentinels: a
+    // future red here means the driver transport itself changed.
     "q_probe_dec_safe18" -> (Probes.decSafe18 _),
     "q_probe_dec_safe38" -> (Probes.decSafe38 _),
-    "q_probe_dec_trail18" -> (Probes.decTrail18 _),
-    "q_probe_dec_tiny18" -> (Probes.decTiny18 _),
-    "q_probe_dec_int0" -> (Probes.decInt0 _),
-    "q_probe_dec_sumtrail" -> (Probes.decSumTrail _),
   )
 
   /** Shared oracle fragment: the near-dup pair definition (DF-capped
@@ -2342,8 +2340,8 @@ object SparkEntry {
         |  FROM inv),
         |bk AS (SELECT o_orderkey % 12 AS pkey,
         |    CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(o_orderkey) AS BIGINT) AS sk,
-        |    CAST(sum(o_custkey) AS BIGINT) AS sc
+        |    CAST(sum(o_orderkey % 1000003) AS BIGINT) AS sk,
+        |    CAST(sum(o_custkey % 1000003) AS BIGINT) AS sc
         |  FROM orders GROUP BY 1)
         |SELECT CAST(srt.bin AS BIGINT) AS bin,
         |  CAST(count(*) AS BIGINT) AS n_parts,
@@ -7648,36 +7646,6 @@ object SparkEntry {
         |  (CAST(3 AS BIGINT),
         |    CAST('123457.295914' AS DECIMAL(38,6)))) t(k, d)
         |ORDER BY k""".stripMargin,
-    "q_probe_dec_trail18" ->
-      """SELECT k, d, CAST(d AS VARCHAR) AS s FROM (VALUES
-        |  (CAST(1 AS BIGINT), CAST('1.500000' AS DECIMAL(18,6))),
-        |  (CAST(2 AS BIGINT), CAST('2.000000' AS DECIMAL(18,6))),
-        |  (CAST(3 AS BIGINT),
-        |    CAST('123456.700000' AS DECIMAL(18,6)))) t(k, d)
-        |ORDER BY k""".stripMargin,
-    "q_probe_dec_tiny18" ->
-      """SELECT k, d, CAST(d AS VARCHAR) AS s FROM (VALUES
-        |  (CAST(1 AS BIGINT), CAST('0.000001' AS DECIMAL(18,6))),
-        |  (CAST(2 AS BIGINT), CAST('-0.000009' AS DECIMAL(18,6))),
-        |  (CAST(3 AS BIGINT),
-        |    CAST('0.000099' AS DECIMAL(18,6)))) t(k, d)
-        |ORDER BY k""".stripMargin,
-    "q_probe_dec_int0" ->
-      """SELECT k, d, CAST(d AS VARCHAR) AS s FROM (VALUES
-        |  (CAST(1 AS BIGINT), CAST('1' AS DECIMAL(18,0))),
-        |  (CAST(2 AS BIGINT), CAST('42' AS DECIMAL(18,0))),
-        |  (CAST(3 AS BIGINT), CAST('-7' AS DECIMAL(18,0)))) t(k, d)
-        |ORDER BY k""".stripMargin,
-    "q_probe_dec_sumtrail" ->
-      """WITH a AS (SELECT g, CAST(sum(t) AS DECIMAL(38,6)) AS d
-        |FROM (VALUES
-        |  (CAST(1 AS BIGINT), CAST('0.700000' AS DECIMAL(18,6))),
-        |  (CAST(1 AS BIGINT), CAST('0.800000' AS DECIMAL(18,6))),
-        |  (CAST(2 AS BIGINT), CAST('1.200000' AS DECIMAL(18,6))),
-        |  (CAST(2 AS BIGINT),
-        |    CAST('0.800000' AS DECIMAL(18,6)))) t(g, t)
-        |GROUP BY g)
-        |SELECT g, d, CAST(d AS VARCHAR) AS s FROM a ORDER BY g""".stripMargin,
     "q_probe_ctl_ts" ->
       """WITH t AS (SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), TIMESTAMP '2024-03-05 17:45:30'),

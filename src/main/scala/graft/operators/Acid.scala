@@ -957,12 +957,42 @@ object Acid {
    */
   def purgeKeys(spark: SparkSession, tableDir: String,
       keys: Set[Long], rowIdCol: String): Unit = {
+    import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(tableDir)
     val fs = root.getFileSystem(conf)
+    // Crash self-heal (ADVICE r13): a crash inside swapIn's two-rename
+    // window leaves the live base_/delta_ dir ABSENT, with the only
+    // complete copy at dot-prefixed .purged_old_<d> — which readTable
+    // ignores, so without healing a delta's history silently vanishes
+    // from every subsequent read and a purge re-run cannot restore it
+    // (it only lists visible dirs). On entry: restore any stranded
+    // aside copy whose live dir is missing, drop post-swap aside
+    // debris, and drop half-written tmp dirs. Re-purging a restored
+    // dir is idempotent, so the heal is always safe.
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .foreach { n =>
+        val p = new org.apache.hadoop.fs.Path(root, n)
+        if (n.startsWith(".purged_old_")) {
+          val live = new org.apache.hadoop.fs.Path(
+            root, n.stripPrefix(".purged_old_"))
+          if (!fs.exists(live))
+            require(fs.rename(p, live),
+              s"purge crash-heal restore failed for $n")
+          else fs.delete(p, true)
+        } else if (n.startsWith(".purge_tmp_")) {
+          fs.delete(p, true)
+        }
+      }
     val dirs = fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath.getName)
     val bcast = spark.sparkContext.broadcast(keys)
+    // the subject keys as a BROADCAST dimension for the base anti-join
+    // (ADVICE r13): isInCollection(keys) embeds the whole set in the
+    // plan as an In/InSet literal, which for a purge request scaling
+    // with table size grows the serialized plan unboundedly; a
+    // broadcast left_anti ships the set once as a hashed relation
+    val keysDf = broadcast(keys.toSeq.toDF(rowIdCol))
     // rename-aside swap: every intermediate state keeps one complete
     // copy of the directory (a delete-before-rename window would lose
     // the whole base/delta — data loss far beyond the erasure
@@ -985,7 +1015,7 @@ object Acid {
       val tmp = s"$tableDir/.purge_tmp_$d"
       if (d.startsWith("base_")) {
         val kept = spark.read.orc(path)
-          .filter(!col(rowIdCol).isInCollection(keys))
+          .join(keysDf, Seq(rowIdCol), "left_anti")
         graft.sources.OrcIo.write(kept, tmp)
         swapIn(tmp, path)
       } else if (d.startsWith("delta_")) {

@@ -906,8 +906,10 @@ object Scale {
    * {1,0} snappy-uniform → stripe-append; both executor paths are
    * exercised at every scale). The gate hashes, per bin: the planned
    * part count, the mode, the output file count (= 1, file count
-   * matches the plan), and the read-back row count + exact integer
-   * key checksums from the ACTUAL rewritten bytes — conservation
+   * matches the plan), and the read-back row count + exact modular
+   * key checksums (sum of key % 1000003 — int64-safe at any SF on
+   * both engines, where a raw key sum would wrap in Spark but not in
+   * DuckDB's HUGEINT) from the ACTUAL rewritten bytes — conservation
    * through the executor, replayed by the oracle from the source
    * table. Real byte sizes stay out of the hash (they are
    * writer-version-dependent); content does not.
@@ -939,11 +941,16 @@ object Scale {
     val manifest = compactionExec(spark, plan, "file", "bin",
         s"$dir/out")
       .toDF("bin", "mode", "n_parts", "out_files")
+    // checksums sum key % 1000003, not the raw keys (ADVICE r13):
+    // Spark's non-ANSI BIGINT sum wraps silently while DuckDB sums in
+    // HUGEINT, so raw sum(o_orderkey) ~ 2n² diverges cross-engine
+    // near sf1000; with each term < 2^20 the modular sum stays exact
+    // in int64 on both engines at any SF
     val back = spark.read.orc(s"$dir/out")
       .groupBy(col("bin").cast("long").as("bin"))
       .agg(count(lit(1)).as("out_rows"),
-        sum(col("o_orderkey")).as("out_sum_key"),
-        sum(col("o_custkey")).as("out_sum_cust"))
+        sum(pmod(col("o_orderkey"), lit(1000003L))).as("out_sum_key"),
+        sum(pmod(col("o_custkey"), lit(1000003L))).as("out_sum_cust"))
     manifest.join(back, Seq("bin"))
       .select(col("bin"), col("n_parts"), col("mode"), col("out_files"),
         col("out_rows"), col("out_sum_key"), col("out_sum_cust"))

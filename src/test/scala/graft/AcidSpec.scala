@@ -464,4 +464,48 @@ class AcidSpec extends SparkSpec {
       .rdd.map(_.getLong(0)).collect().toSet
     assert(again == live)
   }
+
+  test("purgeKeys: a crash inside the swap window self-heals on the " +
+      "next run instead of silently dropping history") {
+    import SparkSpec.spark.implicits._
+    val dir = graft.sources.OrcIo.scratchDir("purge_crash_spec")
+    graft.sources.OrcIo.write(
+      Seq((1L, "a"), (2L, "b"), (23L, "x")).toDF("id", "v"),
+      s"$dir/t/base_1")
+    Acid.writeDelta(
+      Seq((Acid.OpInsert, 1L, 0, 69L, 2L, 69L, "z"),
+        (Acid.OpInsert, 1L, 0, 70L, 2L, 70L, "w"))
+        .toDF("operation", "originalTransaction", "bucket", "rowId",
+          "currentTransaction", "rid", "v")
+        .select(col("operation"), col("originalTransaction"),
+          col("bucket"), col("rowId"), col("currentTransaction"),
+          struct(col("rid").as("id"), col("v")).as("row")),
+      s"$dir/t/delta_2")
+    // simulate the crash state: the aside-rename happened (live
+    // delta_2 gone, complete copy at .purged_old_delta_2) but the
+    // tmp rename-in never ran; a half-written tmp is also present
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$dir/t")
+    val fs = root.getFileSystem(conf)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(root, "delta_2"),
+      new org.apache.hadoop.fs.Path(root, ".purged_old_delta_2")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, ".purge_tmp_delta_2"))
+    // pre-heal: reads silently lose the delta (the hazard ADVICE r13
+    // flagged — no loud failure)
+    val lost = Acid.readTable(spark, s"$dir/t", rowIdCol = "id")
+      .rdd.map(_.getLong(0)).collect().toSet
+    assert(lost == Set(1L, 2L, 23L))
+    // re-running purge heals the stranded aside copy FIRST, then
+    // applies the erasure to the restored history
+    Acid.purgeKeys(spark, s"$dir/t", Set(23L, 69L), rowIdCol = "id")
+    val healed = Acid.readTable(spark, s"$dir/t", rowIdCol = "id")
+      .rdd.map(_.getLong(0)).collect().toSet
+    assert(healed == Set(1L, 2L, 70L),
+      s"delta history not restored+purged: $healed")
+    // no debris left behind
+    val leftovers = fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith(".purged_old_") ||
+        n.startsWith(".purge_tmp_"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
 }

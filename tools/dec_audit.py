@@ -25,12 +25,14 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 # Probes that deliberately expose DECIMAL columns to fingerprint the
-# driver transport (PROBES.md round-13 factorial set + decsum, which
-# stays as the historical green control).
+# driver transport. The four hazard-axis probes (trail18/tiny18/int0/
+# sumtrail) confirmed the float-repr rule in round 13 and were retired
+# in round 14 (PROBES.md "RETIREMENT"); what remains are the GREEN
+# sentinels — safe-valued DECIMAL exposures that flip red only if the
+# driver transport itself changes.
 DELIBERATE = {
     "q_probe_decsum",
-    "q_probe_dec_safe18", "q_probe_dec_safe38", "q_probe_dec_trail18",
-    "q_probe_dec_tiny18", "q_probe_dec_int0", "q_probe_dec_sumtrail",
+    "q_probe_dec_safe18", "q_probe_dec_safe38",
 }
 
 
@@ -45,7 +47,18 @@ def hazard_values(vals):
 
 
 def main():
+    # ADVICE r13: guard bad invocations with usage + a distinct exit
+    # code (2) so a mis-run is obvious in round automation rather than
+    # an IndexError traceback.
+    args = [a for a in sys.argv[1:] if a != "--allow"]
+    if not args:
+        print("usage: dec_audit.py <verifyOutDir> [--allow q1 q2 ...]")
+        sys.exit(2)
     out_dir = sys.argv[1]
+    if not os.path.isdir(out_dir):
+        print(f"dec_audit.py: not a directory: {out_dir}")
+        print("usage: dec_audit.py <verifyOutDir> [--allow q1 q2 ...]")
+        sys.exit(2)
     allow = set(DELIBERATE)
     if "--allow" in sys.argv:
         allow |= set(sys.argv[sys.argv.index("--allow") + 1:])
