@@ -6493,13 +6493,21 @@ object SparkEntry {
     // Greedy max-coverage, 3 unrolled rounds: each round's argmax
     // (gain DESC, doc_id ASC LIMIT 1) and covered-set union replayed
     // as CTEs; covered_total = |c_r|.
+    // dw dedups bigrams PER DOCUMENT (list_distinct before unnest)
+    // instead of a global DISTINCT over every bigram instance: the
+    // old slice-unnest + DISTINCT materialized all corpus bigram
+    // occurrences inside the CTE and blew past single-node DuckDB's
+    // spill disk at the sf10 re-gate (VERDICT r13 #3); per-row dedup
+    // emits only distinct (doc_id, wrd) pairs — verified
+    // value-identical at sf0.1 and 45 s / 2.2 GB RSS at sf10.
     "q_set_cover" ->
-      """WITH dw AS (SELECT DISTINCT doc_id, wrd FROM (
-        |    SELECT doc_id, unnest(t[1:len(t)-1]) || ' ' ||
-        |      unnest(t[2:len(t)]) AS wrd
+      """WITH dw AS (
+        |    SELECT doc_id, unnest(list_distinct(
+        |      list_transform(generate_series(1, len(t)-1),
+        |        i -> t[i] || ' ' || t[i+1]))) AS wrd
         |    FROM (SELECT doc_id, string_split(text, ' ') AS t
         |      FROM documents
-        |      WHERE len(string_split(text, ' ')) >= 2))),
+        |      WHERE len(string_split(text, ' ')) >= 2)),
         |g1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
         |  FROM dw GROUP BY doc_id),
         |w1 AS (SELECT doc_id, gain FROM g1
