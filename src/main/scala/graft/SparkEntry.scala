@@ -321,6 +321,10 @@ object SparkEntry {
     // join; DECIMAL-summed 6dp contributions, string witnesses (r13)
     "q_hard_negatives" -> ((s, d) => Retrieval.hardNegativesQuery(s, d)),
     "q_rrf_fusion" -> ((s, d) => Retrieval.rrfFusionQuery(s, d)),
+    // nDCG@10 / MRR@10 / recall@10 over the shared sparse/dense/rrf
+    // arms with id-derived graded qrels; literal DCG weight table,
+    // DECIMAL-summed contributions, digit-string score witnesses
+    "q_retrieval_eval" -> ((s, d) => Retrieval.retrievalEvalQuery(s, d)),
     "q_sparse_cosine" -> ((s, d) => Retrieval.sparseCosineQuery(s, d)),
     "q_chunk" -> (Retrieval.chunkQuery _),
     // Real BPE tokenizer (fit + apply); merge table is data-dependent
@@ -4729,6 +4733,146 @@ object SparkEntry {
         |FROM sparse sp FULL OUTER JOIN dense de ON sp.doc_id = de.doc_id
         |ORDER BY rrf_score DESC, doc_id
         |LIMIT 20""".stripMargin,
+    // q_retrieval_eval: replays the q_rrf_fusion arm CTEs verbatim,
+    // cuts each list at k=10, grades with the id-derived qrels
+    // (97/41/13 precedence), discounts through the LITERAL
+    // 1/log2(1+r) table, DECIMAL-sums the 6dp contributions, and
+    // unrolls IDCG@10 from the corpus grade counts through the same
+    // table. Scores transport as digit strings.
+    "q_retrieval_eval" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t = 'spark')) AS INTEGER) AS tf_0,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t = 'query')) AS INTEGER) AS tf_1,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t = 'table')) AS INTEGER) AS tf_2
+        |  FROM documents),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS sum_dl,
+        |    CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+        |    CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+        |    CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+        |  FROM d),
+        |sc AS (
+        |  SELECT doc_id,
+        |    floor((
+        |      ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5)) *
+        |        (CAST(tf_0 AS DOUBLE) * 2.2) /
+        |        (CAST(tf_0 AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))) +
+        |      ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5)) *
+        |        (CAST(tf_1 AS DOUBLE) * 2.2) /
+        |        (CAST(tf_1 AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))) +
+        |      ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5)) *
+        |        (CAST(tf_2 AS DOUBLE) * 2.2) /
+        |        (CAST(tf_2 AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))) * 1e4 + 0.5) / 1e4
+        |      AS score
+        |  FROM d CROSS JOIN s),
+        |sparse AS (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |      ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        |  FROM (SELECT doc_id, score FROM sc WHERE score > 0
+        |        ORDER BY score DESC, doc_id LIMIT 50)),
+        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |dn AS (
+        |  SELECT vec_id AS doc_id,
+        |    floor((list_dot_product(q_emb::DOUBLE[], embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q_emb::DOUBLE[], q_emb::DOUBLE[])) *
+        |       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))) * 1e4 + 0.5) / 1e4
+        |      AS cos_sim
+        |  FROM embeddings CROSS JOIN q),
+        |dense AS (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |      ORDER BY cos_sim DESC, doc_id) AS INTEGER) AS rank
+        |  FROM (SELECT doc_id, cos_sim FROM dn
+        |        ORDER BY cos_sim DESC, doc_id LIMIT 50)),
+        |fused AS (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |      ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank
+        |  FROM (
+        |    SELECT COALESCE(sp.doc_id, de.doc_id) AS doc_id,
+        |      floor((COALESCE(1.0::DOUBLE / (60 + sp.rank), 0.0) +
+        |            COALESCE(1.0::DOUBLE / (60 + de.rank), 0.0)) * 1e6 + 0.5) / 1e6
+        |        AS rrf_score
+        |    FROM sparse sp FULL OUTER JOIN dense de ON sp.doc_id = de.doc_id
+        |    ORDER BY rrf_score DESC, doc_id
+        |    LIMIT 10)),
+        |lists AS (
+        |  SELECT 'sparse' AS arm, doc_id, rank FROM sparse WHERE rank <= 10
+        |  UNION ALL
+        |  SELECT 'dense', doc_id, rank FROM dense WHERE rank <= 10
+        |  UNION ALL
+        |  SELECT 'rrf', doc_id, rank FROM fused),
+        |wt AS (SELECT * FROM (VALUES
+        |  (1, 1.0), (2, 0.6309297535714575), (3, 0.5),
+        |  (4, 0.43067655807339306), (5, 0.38685280723454163),
+        |  (6, 0.3562071871080222), (7, 0.3333333333333333),
+        |  (8, 0.31546487678572877), (9, 0.3010299956639812),
+        |  (10, 0.2890648263178879)) v(r, w)),
+        |rl AS (
+        |  SELECT arm, rank,
+        |    CASE WHEN doc_id % 97 = 0 THEN 3
+        |         WHEN doc_id % 41 = 0 THEN 2
+        |         WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS rel
+        |  FROM lists),
+        |pa AS (
+        |  SELECT arm,
+        |    sum(CAST(floor((CASE rel WHEN 3 THEN 7.0 WHEN 2 THEN 3.0
+        |        WHEN 1 THEN 1.0 ELSE 0.0 END * wt.w) * 1e6 + 0.5) / 1e6
+        |      AS DECIMAL(20,6))) AS dcg_dec,
+        |    min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+        |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hits
+        |  FROM rl JOIN wt ON rl.rank = wt.r
+        |  GROUP BY arm),
+        |cc AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c3,
+        |    CAST(sum(CASE WHEN doc_id % 97 <> 0 AND doc_id % 41 = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(sum(CASE WHEN doc_id % 97 <> 0 AND doc_id % 41 <> 0
+        |      AND doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM documents),
+        |ideal AS (
+        |  SELECT CAST(
+        |    CAST(floor((CASE WHEN 1 <= c3 THEN 7.0 WHEN 1 <= c3+c2 THEN 3.0
+        |      WHEN 1 <= c3+c2+c1 THEN 1.0 ELSE 0.0 END * 1.0) * 1e6 + 0.5) / 1e6 AS DECIMAL(20,6)) +
+        |    CAST(floor((CASE WHEN 2 <= c3 THEN 7.0 WHEN 2 <= c3+c2 THEN 3.0
+        |      WHEN 2 <= c3+c2+c1 THEN 1.0 ELSE 0.0 END * 0.6309297535714575) * 1e6 + 0.5) / 1e6 AS DECIMAL(20,6)) +
+        |    CAST(floor((CASE WHEN 3 <= c3 THEN 7.0 WHEN 3 <= c3+c2 THEN 3.0
+        |      WHEN 3 <= c3+c2+c1 THEN 1.0 ELSE 0.0 END * 0.5) * 1e6 + 0.5) / 1e6 AS DECIMAL(20,6)) +
+        |    CAST(floor((CASE WHEN 4 <= c3 THEN 7.0 WHEN 4 <= c3+c2 THEN 3.0
+        |      WHEN 4 <= c3+c2+c1 THEN 1.0 ELSE 0.0 END * 0.43067655807339306) * 1e6 + 0.5) / 1e6 AS DECIMAL(20,6)) +
+        |    CAST(floor((CASE WHEN 5 <= c3 THEN 7.0 WHEN 5 <= c3+c2 THEN 3.0
+        |      WHEN 5 <= c3+c2+c1 THEN 1.0 ELSE 0.0 END * 0.38685280723454163) * 1e6 + 0.5) / 1e6 AS DECIMAL(20,6)) +
+        |    CAST(floor((CASE WHEN 6 <= c3 THEN 7.0 WHEN 6 <= c3+c2 THEN 3.0
+        |      WHEN 6 <= c3+c2+c1 THEN 1.0 ELSE 0.0 END * 0.3562071871080222) * 1e6 + 0.5) / 1e6 AS DECIMAL(20,6)) +
+        |    CAST(floor((CASE WHEN 7 <= c3 THEN 7.0 WHEN 7 <= c3+c2 THEN 3.0
+        |      WHEN 7 <= c3+c2+c1 THEN 1.0 ELSE 0.0 END * 0.3333333333333333) * 1e6 + 0.5) / 1e6 AS DECIMAL(20,6)) +
+        |    CAST(floor((CASE WHEN 8 <= c3 THEN 7.0 WHEN 8 <= c3+c2 THEN 3.0
+        |      WHEN 8 <= c3+c2+c1 THEN 1.0 ELSE 0.0 END * 0.31546487678572877) * 1e6 + 0.5) / 1e6 AS DECIMAL(20,6)) +
+        |    CAST(floor((CASE WHEN 9 <= c3 THEN 7.0 WHEN 9 <= c3+c2 THEN 3.0
+        |      WHEN 9 <= c3+c2+c1 THEN 1.0 ELSE 0.0 END * 0.3010299956639812) * 1e6 + 0.5) / 1e6 AS DECIMAL(20,6)) +
+        |    CAST(floor((CASE WHEN 10 <= c3 THEN 7.0 WHEN 10 <= c3+c2 THEN 3.0
+        |      WHEN 10 <= c3+c2+c1 THEN 1.0 ELSE 0.0 END * 0.2890648263178879) * 1e6 + 0.5) / 1e6 AS DECIMAL(20,6))
+        |    AS DECIMAL(20,6)) AS idcg_dec,
+        |    c3 + c2 + c1 AS total_rel
+        |  FROM cc)
+        |SELECT pa.arm,
+        |  CAST(dcg_dec AS VARCHAR) AS dcg,
+        |  CAST(idcg_dec AS VARCHAR) AS idcg,
+        |  floor((CAST(dcg_dec AS DOUBLE) / CAST(idcg_dec AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ndcg,
+        |  COALESCE(floor((1.0::DOUBLE / first_rel) * 1e6 + 0.5) / 1e6, 0.0) AS mrr,
+        |  n_hits, total_rel,
+        |  floor((CAST(n_hits AS DOUBLE) / CAST(total_rel AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS recall
+        |FROM pa CROSS JOIN ideal
+        |ORDER BY arm""".stripMargin,
     // Sparse TF-IDF pair cosine: the oracle refits the df-capped
     // vocabulary, the L2 norms (squared weights rounded to 8 dp,
     // DECIMAL-summed), and the inverted-index pair products (rounded

@@ -132,18 +132,26 @@ object Retrieval {
    * is integer-rank reciprocal sums (IEEE-exact both engines), rounded
    * for the gate.
    */
-  def rrfFusionQuery(spark: SparkSession, sfDir: String,
-      terms: Seq[String] = Seq("spark", "query", "table"),
-      armK: Int = 50, k: Int = 20, rrfK: Int = 60): DataFrame = {
-    val sparse = bm25Query(spark, sfDir, terms, armK)
+  /** The BM25 arm as a ranked list `(doc_id, sparse_rank)` — shared
+    * by [[rrfFusionQuery]] and [[retrievalEvalQuery]] so the fusion
+    * and its evaluation can never rank differently. */
+  private[graft] def sparseArm(spark: SparkSession, sfDir: String,
+      terms: Seq[String], armK: Int): DataFrame =
+    bm25Query(spark, sfDir, terms, armK)
       .select(col("doc_id"), col("score"))
       .withColumn("sparse_rank", row_number().over(
         SqlWindow.orderBy(col("score").desc, col("doc_id"))))
       .select(col("doc_id"), col("sparse_rank"))
+
+  /** The dense-cosine arm as a ranked list `(doc_id, dense_rank)`
+    * (vec-0 query, the q_ann convention) — shared like
+    * [[sparseArm]]. */
+  private[graft] def denseArm(spark: SparkSession, sfDir: String,
+      armK: Int): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val qv = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb"))
-    val dense = emb.crossJoin(broadcast(qv))
+    emb.crossJoin(broadcast(qv))
       .withColumn("cos_sim",
         fr(VectorOps.cosine(col("q_emb"), col("embedding")), 4))
       .select(col("vec_id"), col("cos_sim"))
@@ -152,6 +160,13 @@ object Retrieval {
       .withColumn("dense_rank", row_number().over(
         SqlWindow.orderBy(col("cos_sim").desc, col("vec_id"))))
       .select(col("vec_id").as("doc_id"), col("dense_rank"))
+  }
+
+  def rrfFusionQuery(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("spark", "query", "table"),
+      armK: Int = 50, k: Int = 20, rrfK: Int = 60): DataFrame = {
+    val sparse = sparseArm(spark, sfDir, terms, armK)
+    val dense = denseArm(spark, sfDir, armK)
     sparse.join(dense, Seq("doc_id"), "full_outer")
       .withColumn("rrf_score", fr(
         coalesce(lit(1.0) / (lit(rrfK) + col("sparse_rank")), lit(0.0)) +
@@ -160,6 +175,108 @@ object Retrieval {
       .limit(k)
       .select(col("doc_id"), col("sparse_rank"), col("dense_rank"),
         col("rrf_score"))
+  }
+
+  /** DCG rank-discount table: 1/log2(1+r) for r = 1..10 as LITERAL
+    * doubles, inlined identically in the oracle SQL (the
+    * q_adamic_adar3 precedent) — a computed log2 could round
+    * differently across engines; a shared literal table cannot. */
+  private[graft] val DcgWeights: Seq[Double] = Seq(
+    1.0, 0.6309297535714575, 0.5, 0.43067655807339306,
+    0.38685280723454163, 0.3562071871080222, 0.3333333333333333,
+    0.31546487678572877, 0.3010299956639812, 0.2890648263178879)
+
+  /**
+   * Retrieval-evaluation harness — nDCG@k, MRR@k, recall@k for the
+   * three retrieval arms the engine serves (BM25 sparse, dense
+   * cosine, RRF fusion), the eval twin of `q_pr_curve` for the
+   * ranking family: PR curves grade CLASSIFIERS, this grades RANKED
+   * LISTS against graded relevance judgments.
+   *
+   * Qrels are id-derived (the gate's determinism requirement, not a
+   * production property — production joins a labeled qrels table in
+   * exactly this shape): grade 3 iff doc_id ≡ 0 (mod 97), else 2 iff
+   * ≡ 0 (mod 41), else 1 iff ≡ 0 (mod 13), else 0; the recall
+   * denominator counts rel>0 over the DOCUMENT corpus (the searched
+   * universe — the dense arm is structurally penalized where
+   * embedding coverage lags the corpus, as a real eval would show).
+   *
+   * Exactness: gains are the integers 2^rel − 1 ∈ {0,1,3,7}; each
+   * rank's gain·weight contribution rounds to 6 dp and sums as
+   * DECIMAL (order-free), transported as a digit string; IDCG@k
+   * unrolls the ideal ranking from the corpus grade counts through
+   * the same literal table; nDCG/MRR/recall are single DOUBLE
+   * divisions of identical expression trees.
+   *
+   * Shape at 100 TB: the arms are the scan-shaped part (bounded-heap
+   * top-armK, corpus text never shuffles — [[bm25Query]]'s
+   * properties); everything downstream of the arms touches ≤ 3k
+   * rows + one grade-count row, metadata-sized at any corpus scale.
+   */
+  def retrievalEvalQuery(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("spark", "query", "table"),
+      armK: Int = 50, k: Int = 10, rrfK: Int = 60): DataFrame = {
+    require(k <= DcgWeights.length, s"k=$k exceeds the literal table")
+    val sparse = sparseArm(spark, sfDir, terms, armK)
+      .select(lit("sparse").as("arm"), col("doc_id"),
+        col("sparse_rank").as("rank"))
+    val dense = denseArm(spark, sfDir, armK)
+      .select(lit("dense").as("arm"), col("doc_id"),
+        col("dense_rank").as("rank"))
+    val fused = rrfFusionQuery(spark, sfDir, terms, armK, k, rrfK)
+      .withColumn("rank", row_number().over(
+        SqlWindow.orderBy(col("rrf_score").desc, col("doc_id"))))
+      .select(lit("rrf").as("arm"), col("doc_id"), col("rank"))
+    val lists = sparse.unionByName(dense).unionByName(fused)
+      .filter(col("rank") <= k)
+    def grade(id: Column): Column =
+      when(id % 97 === 0, 3L).when(id % 41 === 0, 2L)
+        .when(id % 13 === 0, 1L).otherwise(0L)
+    def gain(g: Column): Column =
+      when(g === 3, 7.0).when(g === 2, 3.0).when(g === 1, 1.0)
+        .otherwise(0.0)
+    val w = element_at(typedLit(DcgWeights), col("rank"))
+    val perArm = lists
+      .withColumn("rel", grade(col("doc_id")))
+      .groupBy(col("arm"))
+      .agg(
+        sum(fr(gain(col("rel")) * w, 6).cast("decimal(20,6)"))
+          .as("dcg_dec"),
+        min(when(col("rel") > 0, col("rank"))).as("first_rel"),
+        sum((col("rel") > 0).cast("long")).as("n_hits"))
+    // corpus grade counts -> ideal DCG@k via the same literal table
+    // (one row; the k-term chain is a fixed left-assoc double sum of
+    // 6dp-rounded terms, IEEE-identical in the oracle)
+    val counts = Tables.load(spark, sfDir, "documents")
+      .select(grade(col("doc_id")).as("rel"))
+      .agg(sum((col("rel") === 3).cast("long")).as("c3"),
+        sum((col("rel") === 2).cast("long")).as("c2"),
+        sum((col("rel") === 1).cast("long")).as("c1"))
+    // each ideal term rounds to 6dp and CASTS TO DECIMAL before the
+    // sum (exact decimal addition — the q_lm_ppl rule; summing the
+    // doubles first would put a float total under a scale-6 cast)
+    val idealTerm: Int => Column = r => fr(
+      when(lit(r) <= col("c3"), 7.0)
+        .when(lit(r) <= col("c3") + col("c2"), 3.0)
+        .when(lit(r) <= col("c3") + col("c2") + col("c1"), 1.0)
+        .otherwise(0.0) * lit(DcgWeights(r - 1)), 6)
+      .cast("decimal(20,6)")
+    val ideal = counts.select(
+      (1 to k).map(idealTerm).reduce(_ + _)
+        .cast("decimal(20,6)").as("idcg_dec"),
+      (col("c3") + col("c2") + col("c1")).as("total_rel"))
+    perArm.crossJoin(broadcast(ideal))
+      .select(col("arm"),
+        col("dcg_dec").cast("string").as("dcg"),
+        col("idcg_dec").cast("string").as("idcg"),
+        fr(col("dcg_dec").cast("double") /
+          col("idcg_dec").cast("double"), 6).as("ndcg"),
+        coalesce(fr(lit(1.0) / col("first_rel"), 6), lit(0.0))
+          .as("mrr"),
+        col("n_hits"), col("total_rel"),
+        fr(col("n_hits").cast("double") /
+          col("total_rel").cast("double"), 6).as("recall"))
+      .orderBy(col("arm"))
   }
 
   /**

@@ -209,4 +209,49 @@ class RetrievalSpec extends SparkSpec {
       case _ => true
     }, s"greedy scores increased: ${scores.mkString(",")}")
   }
+
+  test("retrieval eval: three arms, metric invariants hold, DCG " +
+      "recomputes from the ranked lists through the literal table") {
+    val rows = Retrieval.retrievalEvalQuery(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("dense", "rrf", "sparse"))
+    val idcg = BigDecimal(rows.head.getString(2))
+    assert(rows.map(r => r.getString(2)).distinct.length == 1,
+      "IDCG is corpus-level, identical across arms")
+    rows.foreach { r =>
+      val dcg = BigDecimal(r.getString(1))
+      assert(dcg >= 0 && dcg <= idcg,
+        s"${r.getString(0)}: DCG $dcg outside [0, IDCG $idcg]")
+      val ndcg = r.getDouble(3)
+      assert(ndcg >= 0.0 && ndcg <= 1.0)
+      val mrr = r.getDouble(4)
+      assert(mrr == 0.0 || (mrr >= 1.0 / 10 - 1e-9 && mrr <= 1.0))
+      val hits = r.getLong(5); val tot = r.getLong(6)
+      assert(hits >= 0 && hits <= 10 && tot > 0 && hits <= tot)
+      assert(math.abs(r.getDouble(7) - BigDecimal(hits.toDouble / tot)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      // mrr = 0 iff no relevant doc in the top-10 iff dcg = 0
+      assert((mrr == 0.0) == (dcg == BigDecimal(0)),
+        s"${r.getString(0)}: mrr/dcg zero-state disagrees")
+    }
+    // recompute the sparse arm's DCG independently from the arm list
+    val sparse = Retrieval.sparseArm(spark, sfDir,
+        Seq("spark", "query", "table"), 50)
+      .collect().filter(_.getInt(1) <= 10)
+    def grade(id: Long): Int =
+      if (id % 97 == 0) 3 else if (id % 41 == 0) 2
+      else if (id % 13 == 0) 1 else 0
+    val expDcg = sparse.map { r =>
+      val g = grade(r.getLong(0)) match {
+        case 3 => 7.0; case 2 => 3.0; case 1 => 1.0; case _ => 0.0
+      }
+      // the same floor-form rounding the operator applies (fr)
+      BigDecimal(math.floor(
+        g * Retrieval.DcgWeights(r.getInt(1) - 1) * 1e6 + 0.5) / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    val gotDcg = BigDecimal(
+      rows.find(_.getString(0) == "sparse").get.getString(1))
+    assert(gotDcg == expDcg, s"sparse DCG $gotDcg != recomputed $expDcg")
+  }
 }
