@@ -539,6 +539,10 @@ object SparkEntry {
     "q_url_normalize" -> (Curation.urlNormalizeQuery _),
     "q_text_repetition" -> ((s, d) => Curation.repetitionQuery(s, d)),
     "q_seq_pack" -> (Curation.seqPackQuery _),
+    // FFD whole-document packing: distributed-prefix rank, fixed
+    // rank-segments, exact first-fit-decreasing per segment via the
+    // graft_ffd_pack kernel; boundary maps + padding waste (r14)
+    "q_ffd_pack" -> ((s, d) => Curation.ffdPackQuery(s, d)),
     // Length-bucketed batch assembly: power-of-two buckets, in-bucket
     // rank via distributed prefix, per-batch padding-fill report
     "q_seq_bucket" -> (Curation.seqBucketQuery _),
@@ -6962,6 +6966,69 @@ object SparkEntry {
         |  (dup_frac > 0.1 OR top_frac > 0.1) AS flagged
         |FROM f
         |ORDER BY doc_id""".stripMargin,
+    // FFD whole-document packing: the oracle replays the global
+    // length-desc rank (row_number — the single-node twin of the
+    // distributed prefix rank), the 256-doc rank segments, and the
+    // exact first-fit-decreasing fold per segment as a RECURSIVE CTE
+    // whose state is each segment's open-pack load list (one step per
+    // in-segment rank; list_position(...) = 0 means "no open pack
+    // fits" — DuckDB returns 0, not NULL, on no-match). Non-recursive
+    // CTEs are MATERIALIZED so the per-iteration join does not
+    // recompute the corpus window (3.7x at sf0.01).
+    "q_ffd_pack" ->
+      """WITH RECURSIVE t AS MATERIALIZED (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |r AS MATERIALIZED (
+        |  SELECT doc_id, n, CAST(row_number() OVER (ORDER BY n DESC, doc_id)
+        |    AS BIGINT) AS rk
+        |  FROM t),
+        |d AS MATERIALIZED (
+        |  SELECT doc_id, n, (rk - 1) // 256 AS g,
+        |    rk - 256 * ((rk - 1) // 256) AS i
+        |  FROM r),
+        |st AS (
+        |  SELECT g, CAST(0 AS BIGINT) AS step,
+        |    CAST([] AS BIGINT[]) AS loads,
+        |    CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS pack,
+        |    CAST(NULL AS BIGINT) AS off, CAST(NULL AS BIGINT) AS n
+        |  FROM (SELECT DISTINCT g FROM d)
+        |  UNION ALL
+        |  SELECT st.g, st.step + 1,
+        |    CASE WHEN d.n > 256 THEN list_append(st.loads, CAST(256 AS BIGINT))
+        |         WHEN list_position(list_transform(st.loads,
+        |             x -> x + d.n <= 256), true) = 0
+        |           THEN list_append(st.loads, d.n)
+        |         ELSE st.loads[1:list_position(list_transform(st.loads,
+        |               x -> x + d.n <= 256), true) - 1]
+        |           || [st.loads[list_position(list_transform(st.loads,
+        |               x -> x + d.n <= 256), true)] + d.n]
+        |           || st.loads[list_position(list_transform(st.loads,
+        |               x -> x + d.n <= 256), true) + 1 : len(st.loads)]
+        |    END,
+        |    d.doc_id,
+        |    CASE WHEN d.n > 256 OR list_position(list_transform(st.loads,
+        |           x -> x + d.n <= 256), true) = 0
+        |         THEN CAST(len(st.loads) AS BIGINT)
+        |         ELSE CAST(list_position(list_transform(st.loads,
+        |           x -> x + d.n <= 256), true) - 1 AS BIGINT) END,
+        |    CASE WHEN d.n > 256 OR list_position(list_transform(st.loads,
+        |           x -> x + d.n <= 256), true) = 0
+        |         THEN CAST(0 AS BIGINT)
+        |         ELSE st.loads[list_position(list_transform(st.loads,
+        |           x -> x + d.n <= 256), true)] END,
+        |    d.n
+        |  FROM st JOIN d ON d.g = st.g AND d.i = st.step + 1),
+        |p AS (SELECT g, doc_id, pack, off, n FROM st WHERE step >= 1)
+        |SELECT g * 256 + pack AS pack_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS fill_tokens,
+        |  CAST(((256 - sum(n)) * 1000000) // 256 AS BIGINT) AS waste_micro,
+        |  string_agg(CAST(off AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)
+        |    || ':' || CAST(n AS VARCHAR), ',' ORDER BY off) AS boundaries
+        |FROM p
+        |GROUP BY g, pack
+        |ORDER BY pack_id""".stripMargin,
     // Deterministic concat-and-chunk packing: shard = doc_id mod 8,
     // running token sum per shard, bin = floor(cum_before / 2048).
     "q_seq_pack" ->

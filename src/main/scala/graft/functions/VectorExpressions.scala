@@ -807,6 +807,84 @@ object VectorKernels {
       copy(child = newChild)
   }
 
+  /**
+   * First-fit-decreasing bin packing over ONE rank-ordered segment of
+   * documents — the per-group kernel of the FFD packing operator
+   * ([[graft.operators.Curation.ffdPackQuery]]). Input: the segment's
+   * docs as array<struct<rk, doc_id, n_tok>> already sorted by rank
+   * (global length-desc order, ties doc_id). Classic FFD: each doc
+   * goes to the FIRST open pack whose load + n_tok fits the budget,
+   * else opens a new pack; its intra-pack offset is the pack's load
+   * before insertion. A doc longer than the budget takes a dedicated
+   * pack sealed at `budget` (truncation is the caller's concern).
+   * Output, in input order: array<struct<doc_id, pack, offset,
+   * n_tok>> with 0-based segment-local pack ids. Sequential by
+   * construction (FFD's state is the open-pack loads), which is
+   * exactly why it runs per bounded segment as a kernel instead of
+   * pretending to be a prefix aggregate.
+   */
+  def ffdPackJava(docs: ArrayData, budget: Long): ArrayData = {
+    val n = docs.numElements()
+    val loads = new scala.collection.mutable.ArrayBuffer[Long](16)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val row = docs.getStruct(i, 3)
+      val docId = row.getLong(1)
+      val nt = row.getLong(2)
+      var pack = -1
+      var off = 0L
+      if (nt > budget) {
+        pack = loads.length
+        loads += budget
+      } else {
+        var j = 0
+        while (j < loads.length && pack < 0) {
+          if (loads(j) + nt <= budget) {
+            pack = j; off = loads(j); loads(j) += nt
+          }
+          j += 1
+        }
+        if (pack < 0) { pack = loads.length; loads += nt }
+      }
+      out(i) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](docId, pack.toLong, off, nt))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** See [[ffdPackJava]]: array<struct<rk,doc_id,n_tok>> →
+    * array<struct<doc_id,pack,offset,n_tok>>. `budget` rides the
+    * expression as a foldable literal (the [[ShingleHashes]] rule). */
+  case class FfdPack(child: Expression, budget: Long)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(s: org.apache.spark.sql.types.StructType, _)
+            if s.length == 3 &&
+              s.forall(_.dataType == LongType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<struct<bigint,bigint,bigint>>, " +
+            "got " + other.simpleString)
+      }
+    override def dataType: DataType = ArrayType(
+      org.apache.spark.sql.types.StructType(
+        Seq("doc_id", "pack", "offset", "n_tok").map(
+          org.apache.spark.sql.types.StructField(_, LongType,
+            nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "graft_ffd_pack"
+    override protected def nullSafeEval(a: Any): Any =
+      ffdPackJava(a.asInstanceOf[ArrayData], budget)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.ffdPackJava($a, ${budget}L)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   private def longArrayCheck(e: Expression, name: String): TypeCheckResult =
     e.dataType match {
       case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -2148,6 +2226,9 @@ object VectorKernels {
     fn("graft_winnow", es => Winnow(es(0),
       es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
     fn("graft_cdc_cuts", es => CdcCuts(es.head)),
+    // budget must be a foldable bigint literal
+    fn("graft_ffd_pack", es => FfdPack(es(0),
+      es(1).eval().asInstanceOf[Long])),
     // centroid matrix must be a foldable array<array<float>> literal
     // (typedLit), n a foldable int
     fn("graft_nearest_cells", es => NearestCells(es(0),

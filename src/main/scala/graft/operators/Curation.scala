@@ -327,6 +327,73 @@ object Curation {
       budget = 2048L)
 
   /**
+   * First-fit-decreasing sequence packing — whole-document assembly
+   * into fixed-budget training rows, completing the packing triad:
+   * [[sequencePack]] concatenates-and-chunks (docs may straddle row
+   * boundaries — GPT pretraining), [[lengthBucketBatches]] pads
+   * same-bucket docs (dynamic batching), and THIS packs WHOLE
+   * documents of mixed lengths into one row with boundary
+   * bookkeeping — the SFT/instruction-tuning layout where a document
+   * must never straddle rows and padding waste is what FFD exists to
+   * minimize. Each output row is a pack: doc offsets are the
+   * attention-mask boundaries.
+   *
+   * Determinism + distribution: docs rank globally by n_tok DESC
+   * (ties doc_id) via the DISTRIBUTED prefix rank ([[Prefix.running]]
+   * — no global window), then split into fixed rank-SEGMENTS of
+   * `groupSize` docs — a partition-layout-independent grouping,
+   * unlike per-Spark-partition packing which would change with the
+   * shuffle width. Exact FFD runs inside each segment as one native
+   * kernel call ([[graft.functions.VectorKernels.ffdPackJava]] —
+   * FFD's open-pack state is inherently sequential, so the honest
+   * distribution is bounded-segment parallelism, not a fake prefix
+   * form); global pack_id = segment · groupSize + local pack. Since
+   * ranks are globally length-sorted, each segment sees a narrow
+   * length band and segment-local FFD tracks corpus-global FFD
+   * closely; the waste column is the measurable witness.
+   *
+   * Shape at 100 TB: only (doc_id, n_tok, rk) triples ever shuffle —
+   * text stays at the scan; each segment is a bounded array (≤
+   * groupSize structs) and the kernel is one eval per segment.
+   */
+  def ffdPackQuery(spark: SparkSession, sfDir: String,
+      budget: Long = 256L, groupSize: Long = 256L): DataFrame = {
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val ranked = Prefix.running(toks, Seq(),
+      Seq(col("n_tok").desc, col("doc_id")),
+      Seq(Prefix.Running(lit(1L), "cnt", "rk")))
+    val placed = ranked
+      .withColumn("g", expr(s"(rk - 1) div $groupSize"))
+      .groupBy(col("g"))
+      .agg(sort_array(collect_list(struct(col("rk"), col("doc_id"),
+        col("n_tok")))).as("docs"))
+      .select(col("g"),
+        explode(call_function("graft_ffd_pack", col("docs"),
+          lit(budget))).as("p"))
+      .select((col("g") * groupSize + col("p.pack")).as("pack_id"),
+        col("p.doc_id"), col("p.offset"), col("p.n_tok").as("n_tok"))
+    placed.groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("fill_tokens"),
+        // boundary map: "offset:doc_id:n_tok" per doc, offset order
+        // (offsets are unique within a pack — each insertion lands at
+        // the pack's running load)
+        array_join(transform(sort_array(collect_list(struct(
+          col("offset"), col("doc_id"), col("n_tok")))),
+          x => concat_ws(":", x.getField("offset").cast("string"),
+            x.getField("doc_id").cast("string"),
+            x.getField("n_tok").cast("string"))), ",")
+          .as("boundaries"))
+      .withColumn("waste_micro",
+        expr(s"(($budget - fill_tokens) * 1000000) div $budget"))
+      .select(col("pack_id"), col("n_docs"), col("fill_tokens"),
+        col("waste_micro"), col("boundaries"))
+      .orderBy(col("pack_id"))
+  }
+
+  /**
    * Token-budget corpus selection: assemble the training mix by
    * reading documents in quality order and cutting at a token
    * budget — the "best N tokens" selection every data recipe runs

@@ -206,6 +206,54 @@ class CurationSpec extends SparkSpec {
       }
   }
 
+  test("ffd packing: whole docs, fills within budget, boundaries " +
+      "contiguous, mass conserved, and the kernel IS first-fit") {
+    // kernel unit check on a hand multiset: budget 10, lengths
+    // 6,5,4,3,2 (decreasing) -> FFD: 6+4, 5+3+2 — next-fit would
+    // have wasted (6),(5,4)... first-fit reuses the earliest bin
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val docs = new GenericArrayData(
+      Seq(6L, 5L, 4L, 3L, 2L).zipWithIndex.map { case (n, i) =>
+        new GenericInternalRow(Array[Any](i + 1L, 100L + i, n))
+      }.toArray[Any])
+    val packed = graft.functions.VectorKernels
+      .ffdPackJava(docs, 10L).asInstanceOf[ArrayData]
+    val got = (0 until packed.numElements()).map { i =>
+      val r = packed.getStruct(i, 4)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    assert(got == Seq((100L, 0L, 0L), (101L, 1L, 0L), (102L, 0L, 6L),
+      (103L, 1L, 5L), (104L, 1L, 8L)),
+      s"FFD placement wrong: $got")
+    // gate invariants at sfDir
+    val rows = Curation.ffdPackQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalTok = Tables.load(spark, sfDir, "documents")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), " "))
+          .cast("long"))).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum == totalTok,
+      "token mass must be conserved across packs")
+    rows.foreach { r =>
+      val (nDocs, fill, waste, bounds) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      assert(fill <= 256L, s"pack overfilled: $fill")
+      assert(waste == (256L - fill) * 1000000L / 256L)
+      val segs = bounds.split(",").map(_.split(":").map(_.toLong))
+      assert(segs.length == nDocs.toInt)
+      // boundary map is contiguous: each doc starts where the
+      // previous one ended (FFD offsets are the running load)
+      var pos = 0L
+      segs.foreach { case Array(off, _, n) =>
+        assert(off == pos, s"gap in pack: $bounds")
+        pos += n
+      }
+      assert(pos == fill)
+    }
+  }
+
   test("sequence packing shuffles exactly once (the shard partitioning)") {
     val docs = Tables.load(spark, sfDir, "documents")
     val plan = Curation.sequencePack(docs, budget = 2048, shards = 8)
