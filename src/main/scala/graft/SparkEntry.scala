@@ -509,6 +509,9 @@ object SparkEntry {
     // IVF maintenance on drift: incremental one-round re-estimate,
     // delta-only vector moves, post-rebalance recall floor (r13)
     "q_ann_rebalance" -> (Similarity.annRebalanceQuery _),
+    // Incremental ANN shard append: frozen quantizer, batch-only
+    // assignment projection, refit counterfactual + serving gate (r14)
+    "q_ann_append" -> (Similarity.annAppendQuery _),
     // Corpus curation (north star: decontamination, privacy, quality
     // gates, sequence packing)
     "q_contamination" -> (Curation.contaminationQuery _),
@@ -6335,6 +6338,21 @@ object SparkEntry {
         |    AS BIGINT) AS n_perturbed,
         |  TRUE AS moved_partial, TRUE AS moved_aligned,
         |  CAST(5 AS BIGINT) AS n_queries,
+        |  TRUE AS self_ok, TRUE AS recall_ok
+        |FROM embeddings""".stripMargin,
+    // q_ann_append: same invariant-prediction pattern — exact
+    // base/batch counts from the mod-4 split, the bounded-cells and
+    // refit-counterfactual booleans, and the post-append serving
+    // floors under the frozen quantizer.
+    "q_ann_append" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN vec_id % 4 <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_base,
+        |  CAST(sum(CASE WHEN vec_id % 4 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new,
+        |  TRUE AS cells_bounded, TRUE AS refit_would_move,
+        |  CAST(sum(CASE WHEN vec_id % 4 = 0 AND vec_id < 80
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_queries,
         |  TRUE AS self_ok, TRUE AS recall_ok
         |FROM embeddings""".stripMargin,
     // Embedding centroid drift: per-component micro quantization,

@@ -1167,4 +1167,54 @@ object Similarity {
           .as("moved_aligned"),
         col("n_queries"), col("self_ok"), col("recall_ok"))
   }
+
+  /**
+   * Incremental ANN shard APPEND — the ingest-side twin of
+   * [[annRebalanceQuery]]'s maintenance: a batch of NEW vectors joins
+   * the IVF store WITHOUT a quantizer refit. Appending is a pure
+   * `cellOf(quantizer, embedding)` projection on the batch alone —
+   * the quantizer is frozen, so no existing vector's cell can change
+   * and the ingest cost is ∝ batch size, never ∝ store size. That is
+   * the property that makes a 100 TB cell-partitioned vector store
+   * continuously ingestable; rebalance ([[annRebalanceQuery]]) is the
+   * separate, deliberate maintenance event.
+   *
+   * Gate (recallGate pattern — quantizer state is engine-internal,
+   * invariants oracle-predictable): base = vec_id ≢ 0 (mod 4),
+   * append batch = the mod-4 quarter. Hashes: exact base/batch
+   * counts; `cells_bounded` (the batch landed in ≥ 1 and ≤ k cells —
+   * assignment really ran); `refit_would_move` (the counterfactual:
+   * ONE Lloyd round on the merged corpus relocates at least one BASE
+   * vector — demonstrating append's no-movement property is a design
+   * choice, not vacuous); and post-append serving over the merged
+   * store under the FROZEN quantizer (every new vector retrieves
+   * itself — proof the batch actually entered the store — and recall
+   * holds the standing IVF floor).
+   */
+  def annAppendQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val isNew = pmod(col("vec_id"), lit(4L)) === 0L
+    val base = emb.filter(!isNew)
+    val m1 = fitCentroidMatrix(base, 20)
+    val newCells = emb.filter(isNew)
+      .select(cellOf(m1, col("embedding")).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("n_new"),
+        count(lit(1)).as("cells_touched"))
+    val m2 = lloydRound(emb, m1)
+    val refitMoves = base.select(
+        (cellOf(m1, col("embedding")) =!= cellOf(m2, col("embedding")))
+          .as("mv"))
+      .agg(count(lit(1)).as("n_base"),
+        sum(when(col("mv"), 1L).otherwise(0L)).as("n_refit_moved"))
+    val queries = emb.filter(isNew && col("vec_id") < 80L)
+    val serving = recallGate(ivfServe(emb, queries, m1),
+      bruteForceTopK(queries, emb, 10), 0.3)
+    refitMoves.crossJoin(newCells).crossJoin(serving)
+      .select(col("n_base"), col("n_new"),
+        (col("cells_touched") >= 1L && col("cells_touched") <= 20L)
+          .as("cells_bounded"),
+        (col("n_refit_moved") > 0L).as("refit_would_move"),
+        col("n_queries"), col("self_ok"), col("recall_ok"))
+  }
 }

@@ -443,4 +443,21 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getBoolean(2) && r.getBoolean(3))
     assert(r.getBoolean(5) && r.getBoolean(6))
   }
+
+  test("annAppend: frozen-quantizer ingest — batch assigns without " +
+      "moving the base, the refit counterfactual would") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val r = Similarity.annAppendQuery(spark, sfDir).collect()(0)
+    val nNew = emb.filter(pmod(col("vec_id"), lit(4L)) === 0L).count()
+    assert(r.getLong(0) == emb.count() - nNew, "base count")
+    assert(r.getLong(1) == nNew, "batch count")
+    assert(r.getBoolean(2), "batch must land in [1, k] cells")
+    assert(r.getBoolean(3),
+      "a merged-corpus refit must move some base vector — otherwise " +
+        "the frozen-quantizer contrast is vacuous")
+    assert(r.getLong(4) == 20L && r.getBoolean(5) && r.getBoolean(6),
+      "post-append serving must self-retrieve the batch and hold " +
+        "the recall floor")
+  }
 }
