@@ -600,6 +600,13 @@ object SparkEntry {
     // decorate correctly by construction (r13)
     "q_stream_scd2" -> ((s, d) =>
       graft.streaming.StreamingIngest.replayScd2(s, d)),
+    // Streaming compliance classification under VERSIONED robots
+    // rules: each fetch classifies under the rules valid at its own
+    // event time (the stream_scd2 pattern over q_compliance);
+    // stateless literal-ruleset projection, late events correct by
+    // construction (r14)
+    "q_stream_compliance" -> ((s, d) =>
+      graft.streaming.StreamingIngest.replayCompliance(s, d)),
     // Streaming exact dedup (bounded state within the watermark)
     "q_stream_dedup" -> ((s, d) =>
       graft.streaming.StreamingIngest.replayDedup(s, d)
@@ -4138,6 +4145,54 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_stream_compliance: stateless ⇒ the drained replay equals the
+    // batch classification. The oracle rebuilds the id-derived
+    // host/path, buckets each event into its rule ERA (the versioned
+    // ruleset's validity windows), replays longest-match with the
+    // allow-on-tie ordering (length DESC, allow DESC, prefix DESC —
+    // the q_compliance rule), and counts per (era, host, rule,
+    // verdict). '-' stands for "no rule matched" so no sort key is
+    // ever NULL.
+    "q_stream_compliance" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    'site' || CAST(user_id % 5 AS VARCHAR) ||
+        |      CASE WHEN user_id % 2 = 0 THEN '.com' ELSE '.org' END
+        |      AS host,
+        |    CASE event_id % 4 WHEN 0 THEN '/private/blog/p'
+        |      WHEN 1 THEN '/private/p'
+        |      WHEN 2 THEN '/public/p'
+        |      ELSE '/blog/p' END || CAST(event_id % 9 AS VARCHAR)
+        |      AS path,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-11 00:00:00' THEN 1
+        |      WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 2
+        |      ELSE 3 END AS era
+        |  FROM events),
+        |r(host, prefix, allow, ef, et) AS (VALUES
+        |  ('site1.com', '/private/', FALSE, 1, 3),
+        |  ('site1.com', '/private/blog', TRUE, 3, 3),
+        |  ('site3.com', '/', FALSE, 1, 1),
+        |  ('site2.org', '/blog/', FALSE, 2, 2),
+        |  ('site4.com', '/p', FALSE, 1, 3),
+        |  ('site4.com', '/p', TRUE, 1, 3)),
+        |m AS (
+        |  SELECT event_id, prefix AS robots_rule, allow FROM (
+        |    SELECT e.event_id, r.prefix, r.allow,
+        |      row_number() OVER (PARTITION BY e.event_id
+        |        ORDER BY length(r.prefix) DESC, r.allow DESC,
+        |          r.prefix DESC) AS rn
+        |    FROM e JOIN r ON e.host = r.host
+        |      AND starts_with(e.path, r.prefix)
+        |      AND e.era >= r.ef AND e.era <= r.et)
+        |  WHERE rn = 1)
+        |SELECT e.era, e.host,
+        |  coalesce(m.robots_rule, '-') AS robots_rule,
+        |  coalesce(m.allow, TRUE) AS robots_ok,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM e LEFT JOIN m ON e.event_id = m.event_id
+        |GROUP BY e.era, e.host, coalesce(m.robots_rule, '-'),
+        |  coalesce(m.allow, TRUE)
+        |ORDER BY era, host, robots_rule, robots_ok""".stripMargin,
     // q_scd2_lookup / q_stream_scd2: interval-join replay — 100 keys
     // x 3 versions, valid_from <= ts < valid_to (null = open),
     // per-(version, segment) counts/keys/bounds. The STREAMING gate

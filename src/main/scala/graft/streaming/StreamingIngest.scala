@@ -439,6 +439,94 @@ object StreamingIngest {
       .orderBy(col("version_no"), col("segment"))
   }
 
+  /** Versioned robots ruleset for [[streamCompliance]]: (host,
+    * prefix, allow, era_from, era_to) — rule VALIDITY WINDOWS are the
+    * SCD2 dimension of the compliance filter. The fixture's three
+    * eras cut the events month at Jan 11 / Jan 21 and exercise: a
+    * host-wide disallow LIFTED at era 2 (the late "robots.txt was
+    * misparsed" correction), a longest-match re-allow ADDED in era 3,
+    * a temporary era-2-only disallow, and a standing exact tie
+    * (→ allow). */
+  private val complianceRules: Seq[(String, String, Boolean, Int, Int)] =
+    Seq(
+      ("site1.com", "/private/", false, 1, 3),
+      ("site1.com", "/private/blog", true, 3, 3),
+      ("site3.com", "/", false, 1, 1),
+      ("site2.org", "/blog/", false, 2, 2),
+      ("site4.com", "/p", false, 1, 3),
+      ("site4.com", "/p", true, 1, 3))
+
+  /**
+   * Streaming compliance classification — the [[streamScd2]] pattern
+   * applied to [[graft.operators.Curation.complianceFilter]]: each
+   * fetched document classifies under the robots rules VALID AT ITS
+   * OWN EVENT TIME, not the current ruleset. Joining "the rules as
+   * of now" would rewrite history in both directions: an early-era
+   * fetch of a host whose disallow was later lifted must stay
+   * blocked (it was crawled against that robots.txt), and a fetch
+   * after a re-allow must not inherit the old block — the same
+   * leakage argument as the SCD2 feature join, applied to legal
+   * state. Late-arriving events classify correctly by construction:
+   * their own timestamp picks their rule era.
+   *
+   * Stateless: the versioned ruleset is MODEL material (rule corpora
+   * are thousands of rows — the centroid-literal convention), so the
+   * longest-match verdict is a pure projection — filter the literal
+   * rule array on (host, prefix, validity), take the max
+   * (length, allow, prefix) struct — and needs no stream state, no
+   * watermark, and no per-event shuffle; at 100 TB/day of fetch
+   * events the classification rides the ingest scan. The
+   * aggregation-free projection is what makes append-mode streaming
+   * legal here (an in-stream longest-match groupBy would demand
+   * watermarked state for no benefit).
+   */
+  def streamCompliance(events: DataFrame): DataFrame = {
+    val id = col("event_id")
+    val host = concat(lit("site"), (col("user_id") % 5).cast("string"),
+      when(col("user_id") % 2 === 0, lit(".com")).otherwise(lit(".org")))
+    val path = concat(
+      when(id % 4 === 0, lit("/private/blog/p"))
+        .when(id % 4 === 1, lit("/private/p"))
+        .when(id % 4 === 2, lit("/public/p"))
+        .otherwise(lit("/blog/p")),
+      (id % 9).cast("string"))
+    val era = when(col("ts") <
+        lit("2024-01-11 00:00:00").cast("timestamp"), 1)
+      .when(col("ts") <
+        lit("2024-01-21 00:00:00").cast("timestamp"), 2)
+      .otherwise(3)
+    val decorated = events.select(id.as("event_id"), host.as("host"),
+      path.as("path"), era.as("era"))
+    val rules = typedLit(complianceRules)
+    val matches = filter(rules, r =>
+      r.getField("_1") === col("host") &&
+        col("path").startsWith(r.getField("_2")) &&
+        col("era") >= r.getField("_4") && col("era") <= r.getField("_5"))
+    val best = array_max(transform(matches, r =>
+      struct(length(r.getField("_2")).as("l"), r.getField("_3").as("a"),
+        r.getField("_2").as("p"))))
+    decorated
+      .withColumn("_best", best)
+      .select(col("event_id"), col("host"), col("path"), col("era"),
+        coalesce(col("_best.p"), lit("-")).as("robots_rule"),
+        coalesce(col("_best.a"), lit(true)).as("robots_ok"))
+  }
+
+  /** Drained-replay gate for [[streamCompliance]]: stateless ⇒ the
+    * replay aggregates to exactly the batch classification; the gate
+    * groups by (era, host, winning rule, verdict) so any era
+    * boundary, longest-match, or tie regression shifts a count. */
+  def replayCompliance(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = runToParquet(streamCompliance(eventStream(spark, sfDir)),
+      "stream_compliance")
+    spark.read.parquet(out)
+      .groupBy(col("era"), col("host"), col("robots_rule"),
+        col("robots_ok"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("era"), col("host"), col("robots_rule"),
+        col("robots_ok"))
+  }
+
   /**
    * Stream-stream interval join (click→purchase attribution): for
    * every click, the same user's purchases within the following hour.

@@ -487,4 +487,43 @@ class StreamingSpec extends SparkSpec {
     val total = Tables.load(spark, sfDir, "events").count()
     assert(out.map(_.getLong(2)).sum == total)
   }
+
+  test("replayCompliance: event-time rule versioning — the lifted " +
+      "host ban blocks only era 1, the re-allow lands only in era 3, " +
+      "ties go to allow, mass conserved") {
+    val rows = graft.streaming.StreamingIngest
+      .replayCompliance(spark, sfDir).collect()
+    val total = Tables.load(spark, sfDir, "events").count()
+    assert(rows.map(_.getLong(4)).sum == total,
+      "every event must classify exactly once")
+    def slice(era: Int, host: String) =
+      rows.filter(r => r.getInt(0) == era && r.getString(1) == host)
+    // site3.com: the "/" ban is valid in era 1 ONLY — a late
+    // correction must not rewrite what era-1 fetches saw
+    assert(slice(1, "site3.com").forall(r =>
+      r.getString(2) == "/" && !r.getBoolean(3)),
+      "era-1 site3.com fetches must stay blocked")
+    (2 to 3).foreach { e =>
+      assert(slice(e, "site3.com").forall(r =>
+        r.getString(2) == "-" && r.getBoolean(3)),
+        s"era-$e site3.com must be rule-free and allowed")
+    }
+    // site1.com /private/blog: blocked by /private/ until the era-3
+    // longest-match re-allow
+    def pb(era: Int) = slice(era, "site1.com")
+      .filter(_.getString(2) == "/private/blog")
+    assert(pb(1).isEmpty && pb(2).isEmpty && pb(3).nonEmpty &&
+      pb(3).forall(_.getBoolean(3)),
+      "the /private/blog re-allow must win only in era 3")
+    // site4.com: the standing exact tie resolves to allow in every
+    // era (paths under /blog/ match no rule and default-allow; the
+    // /private|/public paths hit the tie pair and must carry '/p')
+    (1 to 3).foreach { e =>
+      val s4 = slice(e, "site4.com")
+      assert(s4.nonEmpty && s4.forall(_.getBoolean(3)),
+        s"era-$e site4.com must be fully allowed")
+      assert(s4.exists(_.getString(2) == "/p"),
+        s"era-$e site4.com tie rule never matched")
+    }
+  }
 }
