@@ -546,6 +546,9 @@ object SparkEntry {
     // rank-segments, exact first-fit-decreasing per segment via the
     // graft_ffd_pack kernel; boundary maps + padding waste (r14)
     "q_ffd_pack" -> ((s, d) => Curation.ffdPackQuery(s, d)),
+    // FFD packing executor: placements join the corpus once, packs
+    // concatenate in offset order; alignment + md5 witnesses (r14)
+    "q_ffd_pack_exec" -> ((s, d) => Curation.ffdPackExecQuery(s, d)),
     // Length-bucketed batch assembly: power-of-two buckets, in-bucket
     // rank via distributed prefix, per-batch padding-fill report
     "q_seq_bucket" -> (Curation.seqBucketQuery _),
@@ -7101,6 +7104,69 @@ object SparkEntry {
         |    || ':' || CAST(n AS VARCHAR), ',' ORDER BY off) AS boundaries
         |FROM p
         |GROUP BY g, pack
+        |ORDER BY pack_id""".stripMargin,
+    // q_ffd_pack_exec: the same recursive FFD replay joined back to
+    // the corpus — each pack's documents string_agg in offset order,
+    // alignment re-proved from the packed text, md5 pins content and
+    // order.
+    "q_ffd_pack_exec" ->
+      """WITH RECURSIVE t AS MATERIALIZED (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |r AS MATERIALIZED (
+        |  SELECT doc_id, n, CAST(row_number() OVER (ORDER BY n DESC, doc_id)
+        |    AS BIGINT) AS rk
+        |  FROM t),
+        |d AS MATERIALIZED (
+        |  SELECT doc_id, n, (rk - 1) // 256 AS g,
+        |    rk - 256 * ((rk - 1) // 256) AS i
+        |  FROM r),
+        |st AS (
+        |  SELECT g, CAST(0 AS BIGINT) AS step,
+        |    CAST([] AS BIGINT[]) AS loads,
+        |    CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS pack,
+        |    CAST(NULL AS BIGINT) AS off, CAST(NULL AS BIGINT) AS n
+        |  FROM (SELECT DISTINCT g FROM d)
+        |  UNION ALL
+        |  SELECT st.g, st.step + 1,
+        |    CASE WHEN d.n > 256 THEN list_append(st.loads, CAST(256 AS BIGINT))
+        |         WHEN list_position(list_transform(st.loads,
+        |             x -> x + d.n <= 256), true) = 0
+        |           THEN list_append(st.loads, d.n)
+        |         ELSE st.loads[1:list_position(list_transform(st.loads,
+        |               x -> x + d.n <= 256), true) - 1]
+        |           || [st.loads[list_position(list_transform(st.loads,
+        |               x -> x + d.n <= 256), true)] + d.n]
+        |           || st.loads[list_position(list_transform(st.loads,
+        |               x -> x + d.n <= 256), true) + 1 : len(st.loads)]
+        |    END,
+        |    d.doc_id,
+        |    CASE WHEN d.n > 256 OR list_position(list_transform(st.loads,
+        |           x -> x + d.n <= 256), true) = 0
+        |         THEN CAST(len(st.loads) AS BIGINT)
+        |         ELSE CAST(list_position(list_transform(st.loads,
+        |           x -> x + d.n <= 256), true) - 1 AS BIGINT) END,
+        |    CASE WHEN d.n > 256 OR list_position(list_transform(st.loads,
+        |           x -> x + d.n <= 256), true) = 0
+        |         THEN CAST(0 AS BIGINT)
+        |         ELSE st.loads[list_position(list_transform(st.loads,
+        |           x -> x + d.n <= 256), true)] END,
+        |    d.n
+        |  FROM st JOIN d ON d.g = st.g AND d.i = st.step + 1),
+        |p AS (SELECT g, doc_id, pack, off, n FROM st WHERE step >= 1),
+        |packs AS (
+        |  SELECT p.g * 256 + p.pack AS pack_id,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(p.n) AS BIGINT) AS fill_tokens,
+        |    string_agg(doc.text, ' ' ORDER BY p.off) AS packed
+        |  FROM p JOIN documents doc ON p.doc_id = doc.doc_id
+        |  GROUP BY p.g, p.pack)
+        |SELECT pack_id, n_docs, fill_tokens,
+        |  CAST(256 - fill_tokens AS BIGINT) AS pad_tokens,
+        |  CAST(len(string_split(packed, ' ')) AS BIGINT) = fill_tokens
+        |    AS aligned,
+        |  md5(packed) AS packed_md5
+        |FROM packs
         |ORDER BY pack_id""".stripMargin,
     // Deterministic concat-and-chunk packing: shard = doc_id mod 8,
     // running token sum per shard, bin = floor(cum_before / 2048).

@@ -356,15 +356,16 @@ object Curation {
    * text stays at the scan; each segment is a bounded array (≤
    * groupSize structs) and the kernel is one eval per segment.
    */
-  def ffdPackQuery(spark: SparkSession, sfDir: String,
-      budget: Long = 256L, groupSize: Long = 256L): DataFrame = {
-    val toks = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
-    val ranked = Prefix.running(toks, Seq(),
+  /** The FFD packing PLAN as per-doc placements — `(pack_id, doc_id,
+    * offset, n_tok)` — shared by the plan gate ([[ffdPackQuery]]) and
+    * the executor ([[ffdPackExecQuery]]) so they can never place
+    * differently. `docs` = (doc_id, n_tok) metadata only. */
+  private[graft] def ffdPlacements(docs: DataFrame,
+      budget: Long, groupSize: Long): DataFrame = {
+    val ranked = Prefix.running(docs, Seq(),
       Seq(col("n_tok").desc, col("doc_id")),
       Seq(Prefix.Running(lit(1L), "cnt", "rk")))
-    val placed = ranked
+    ranked
       .withColumn("g", expr(s"(rk - 1) div $groupSize"))
       .groupBy(col("g"))
       .agg(sort_array(collect_list(struct(col("rk"), col("doc_id"),
@@ -374,6 +375,14 @@ object Curation {
           lit(budget))).as("p"))
       .select((col("g") * groupSize + col("p.pack")).as("pack_id"),
         col("p.doc_id"), col("p.offset"), col("p.n_tok").as("n_tok"))
+  }
+
+  def ffdPackQuery(spark: SparkSession, sfDir: String,
+      budget: Long = 256L, groupSize: Long = 256L): DataFrame = {
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val placed = ffdPlacements(toks, budget, groupSize)
     placed.groupBy(col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("fill_tokens"),
@@ -390,6 +399,51 @@ object Curation {
         expr(s"(($budget - fill_tokens) * 1000000) div $budget"))
       .select(col("pack_id"), col("n_docs"), col("fill_tokens"),
         col("waste_micro"), col("boundaries"))
+      .orderBy(col("pack_id"))
+  }
+
+  /**
+   * FFD packing EXECUTOR — materializes the training rows the
+   * [[ffdPlacements]] plan describes (the plan→exec doctrine: the
+   * compaction planner has `q_compact_exec`, the drift detector has
+   * `q_ann_rebalance`, the packer gets this). Placements join back
+   * to the corpus and each pack's documents concatenate in offset
+   * order into one packed text row; `pad_tokens` is the row's tail
+   * padding. Because each document's token count is exactly its
+   * contribution to the pack's running load, offset order IS token
+   * order — the packed row's token `offset` is where each document
+   * starts, so the plan's boundary map doubles as the attention-mask
+   * spec of the materialized row (the gate's alignment columns prove
+   * it from the actual packed text).
+   *
+   * Shape at 100 TB: text moves exactly ONCE — the placement join is
+   * co-partitioned on doc_id, then one shuffle by pack_id groups
+   * each pack's ≤ budget tokens; packs are bounded rows by
+   * construction, so the collect_list per pack is bounded by the
+   * token budget, never by corpus size.
+   */
+  def ffdPackExecQuery(spark: SparkSession, sfDir: String,
+      budget: Long = 256L, groupSize: Long = 256L): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val placed = ffdPlacements(toks, budget, groupSize)
+    placed.join(docs, Seq("doc_id"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("fill_tokens"),
+        concat_ws(" ", transform(sort_array(collect_list(struct(
+          col("offset"), col("text")))),
+          x => x.getField("text"))).as("_packed"))
+      .select(col("pack_id"), col("n_docs"), col("fill_tokens"),
+        (lit(budget) - col("fill_tokens")).as("pad_tokens"),
+        // the row materialized correctly iff its token count equals
+        // the planned fill — a lost/duplicated/misordered doc breaks
+        // equality (md5 below pins order)
+        (size(split(col("_packed"), " ")).cast("long") ===
+          col("fill_tokens")).as("aligned"),
+        md5(col("_packed")).as("packed_md5"))
       .orderBy(col("pack_id"))
   }
 

@@ -254,6 +254,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("ffd pack executor: materialized rows realize the plan — " +
+      "same packs, aligned token counts, padding complements fill") {
+    val plan = Curation.ffdPackQuery(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rows = Curation.ffdPackExecQuery(spark, sfDir).collect()
+    assert(rows.length == plan.size, "executor must emit every pack")
+    rows.foreach { r =>
+      val (nDocs, fill, pad) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(plan(r.getLong(0)) == ((nDocs, fill)),
+        s"pack ${r.getLong(0)} diverged from the plan")
+      assert(pad == 256L - fill)
+      assert(r.getBoolean(4),
+        s"pack ${r.getLong(0)} packed text misaligned with the plan")
+      assert(r.getString(5).length == 32)
+    }
+  }
+
   test("sequence packing shuffles exactly once (the shard partitioning)") {
     val docs = Tables.load(spark, sfDir, "documents")
     val plan = Curation.sequencePack(docs, budget = 2048, shards = 8)
