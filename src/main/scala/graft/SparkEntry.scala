@@ -407,6 +407,11 @@ object SparkEntry {
     "q_dedup_exact" -> (Dedup.exactQuery _),
     "q_dedup_priority" -> (Dedup.priorityDedupQuery _),
     "q_dedup_jaccard" -> ((s, d) => Dedup.ngramJaccardQuery(s, d)),
+    // Asymmetric containment (quote/subset) mining: |A∩B|/|A| over
+    // the DF-capped shingle universe, no length blocking, direction
+    // = smaller set; in-engine quote docs exercise the
+    // containment-without-near-dup case (r14)
+    "q_containment" -> ((s, d) => Dedup.containmentQuery(s, d)),
     "q_setsim_join" -> (Dedup.setSimJoinQuery _),
     // MinHash/SimHash gates (q_approx_distinct pattern): candidate
     // lists ride engine-internal signatures, but estimate-error vs
@@ -1687,6 +1692,57 @@ object SparkEntry {
         |SELECT doc_a, doc_b, jaccard FROM jpv
         |WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // q_containment: the same DF-capped shingle universe over the
+    // quote-augmented corpus, language blocking only (length blocking
+    // would delete exactly the unequal-length pairs containment
+    // exists to find), direction = smaller shingle set (tie → lower
+    // id).
+    "q_containment" ->
+      """WITH aug AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, lang,
+        |    array_to_string(string_split(text, ' ')[1:26], ' ')
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+        |      i -> concat_ws(' ', string_split(text,' ')[i],
+        |        string_split(text,' ')[i+1], string_split(text,' ')[i+2])))
+        |      AS s
+        |  FROM aug),
+        |ex AS (SELECT doc_id, lang, unnest(s) AS g FROM sh),
+        |kept AS (
+        |  SELECT * FROM ex WHERE g NOT IN (
+        |    SELECT g FROM ex GROUP BY g HAVING count(*) > 1000)),
+        |n AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM kept a JOIN kept b
+        |    ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT doc_a, doc_b, inter, na.n_sh AS n_a, nb.n_sh AS n_b,
+        |    floor((CAST(inter AS DOUBLE) /
+        |      CAST(least(na.n_sh, nb.n_sh) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |      AS containment
+        |  FROM pr
+        |  JOIN n na ON pr.doc_a = na.doc_id
+        |  JOIN n nb ON pr.doc_b = nb.doc_id)
+        |SELECT CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END
+        |    AS contained_doc,
+        |  CASE WHEN n_a <= n_b THEN doc_b ELSE doc_a END
+        |    AS container_doc,
+        |  CAST(inter AS BIGINT) AS inter,
+        |  CAST(least(n_a, n_b) AS BIGINT) AS n_contained,
+        |  CAST(greatest(n_a, n_b) AS BIGINT) AS n_container,
+        |  containment,
+        |  floor((CAST(inter AS DOUBLE) /
+        |    CAST(n_a + n_b - inter AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |    AS jaccard
+        |FROM c WHERE containment >= 0.8
+        |ORDER BY contained_doc, container_doc""".stripMargin,
     // Edit-distance verification of the loose-threshold (≥ 0.3)
     // Jaccard candidate pairs: DuckDB's levenshtein matches Spark's
     // on ASCII text, so the verify stage replays exactly.

@@ -159,6 +159,87 @@ object Dedup {
   }
 
   /**
+   * Containment detection — ASYMMETRIC set similarity over the same
+   * DF-capped shingle universe as [[ngramJaccard]]: a document A is
+   * contained in B when |A∩B| / |A| clears the threshold, regardless
+   * of how much MORE B holds. This is the quote/subset miner
+   * symmetric Jaccard is structurally blind to (a 20-word quote
+   * inside a 500-word article has J ≈ 0.04 but containment 1.0), and
+   * the reason production dedup (The Stack, RefinedWeb) runs a
+   * containment pass beside the near-dup pass.
+   *
+   * Two deliberate deviations from the near-dup definition, both
+   * part of the operator's contract: NO length-bucket blocking
+   * (containment pairs have UNEQUAL lengths by nature — the length
+   * block would delete exactly the signal), and the direction column
+   * (the SMALLER shingle set is the contained side; equal sizes fall
+   * back to the lower doc_id). Language blocking and the hot-shingle
+   * DF cap stay — the cap is still what bounds the inverted-index
+   * self-join at scale, and with it the pair explosion is ≤ df²/2
+   * per shingle exactly as in the Jaccard miner.
+   */
+  def containmentQuery(spark: SparkSession, sfDir: String,
+      maxShingleDf: Int = 1000, minContainment: Double = 0.8)
+      : DataFrame = {
+    // the gate corpus augments documents with in-engine QUOTE docs —
+    // the 26-word prefix of every mod-50 doc at id + 10^9 — so the
+    // containment-without-near-dup case (quote ⊂ article, J << 0.5)
+    // is exercised at every SF; the construction is pure string
+    // expressions, replayed verbatim by the oracle
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val quotes = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("lang"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 26)).as("text"))
+    containmentOver(docs.unionByName(quotes), maxShingleDf,
+      minContainment)
+  }
+
+  /** Core of [[containmentQuery]] over any (doc_id, lang, text)
+    * frame. */
+  private[graft] def containmentOver(documents: DataFrame,
+      maxShingleDf: Int, minContainment: Double): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), col("lang"),
+        hashedShingles(col("text")).as("sh"))
+    val ex = docs.select(col("doc_id"), col("lang"),
+      explode(col("sh")).as("s"))
+    val hot = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select(col("s"))
+    val kept = ex.join(hot, Seq("s"), "left_anti")
+    val n = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = kept.select(col("s"), col("lang"), col("doc_id").as("doc_a"))
+    val b = kept.select(col("s"), col("lang"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("s", "lang"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(n.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        Seq("doc_a"))
+      .join(n.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        Seq("doc_b"))
+      .withColumn("containment",
+        graft.functions.VectorOps.foldRound(
+          col("inter").cast("double") /
+            least(col("n_a"), col("n_b")).cast("double"), 6))
+      .filter(col("containment") >= minContainment)
+      .select(
+        when(col("n_a") <= col("n_b"), col("doc_a"))
+          .otherwise(col("doc_b")).as("contained_doc"),
+        when(col("n_a") <= col("n_b"), col("doc_b"))
+          .otherwise(col("doc_a")).as("container_doc"),
+        col("inter"),
+        least(col("n_a"), col("n_b")).as("n_contained"),
+        greatest(col("n_a"), col("n_b")).as("n_container"),
+        col("containment"),
+        graft.functions.VectorOps.foldRound(
+          col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("contained_doc"), col("container_doc"))
+  }
+
+  /**
    * Edit-distance verification of near-dup candidates — the
    * candidates-then-verify pattern every production dedup pipeline
    * uses: candidate pairs come from the CHEAP set-similarity stage

@@ -353,4 +353,32 @@ class DedupSpec extends SparkSpec {
         BigInt(r.getLong(2)) * 1000000 / r.getLong(1))
     }
   }
+
+  test("containment: every synthetic quote is fully contained in its " +
+      "source, direction points small→large, and containment finds " +
+      "pairs Jaccard cannot") {
+    val rows = Dedup.containmentQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (inter, nc, ncont) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nc <= ncont, "direction must point small→large")
+      assert(inter <= nc, "intersection cannot exceed the small set")
+      assert(r.getDouble(5) >= 0.8 && r.getDouble(5) <= 1.0)
+      assert(r.getDouble(6) <= r.getDouble(5) + 1e-9,
+        "jaccard can never exceed containment")
+    }
+    // each synthetic quote doc (id = source + 10^9) pairs with its
+    // source at containment exactly 1.0: its DF-capped shingles are a
+    // subset of the source's by construction
+    val quotePairs = rows.filter(r =>
+      r.getLong(0) >= 1000000000L &&
+        r.getLong(1) == r.getLong(0) - 1000000000L)
+    assert(quotePairs.nonEmpty, "no quote-source pair surfaced")
+    quotePairs.foreach(r => assert(r.getDouble(5) == 1.0,
+      s"quote ${r.getLong(0)} not fully contained"))
+    // at least one quote pair is containment-only (J < 0.5): the
+    // near-dup operator is structurally blind to it
+    assert(quotePairs.exists(_.getDouble(6) < 0.5),
+      "fixture no longer exercises containment-without-near-dup")
+  }
 }

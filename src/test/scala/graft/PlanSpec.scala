@@ -481,10 +481,12 @@ class PlanSpec extends SparkSpec {
       "q_zipf" -> TextAnalysis.zipfQuery(spark, sfDir)))
       noGlobalWindow(name, df)
     // Queries NOT gated here ship windows over frames that do not grow
-    // with the corpus, re-audited via graft.tools.WindowAudit r10:
+    // with the corpus, re-audited via graft.tools.WindowAudit r10
+    // (r14: q_retrieval_eval's 5 ranks ride the same armK-bounded
+    // lists as q_rrf_fusion):
     // k-row picks (q_kmeans seeds, q_sample_weighted top-k,
-    // q_rrf_fusion armK lists), fixed grids (q_calibration / q_ece
-    // 16 buckets,
+    // q_rrf_fusion / q_retrieval_eval armK lists), fixed grids
+    // (q_calibration / q_ece 16 buckets,
     // q_seasonal_decompose hours, q_trend_test / q_user_growth days,
     // q_survival event-hour grid, q_skyline bucket/date grids), and
     // q_rank_ensemble's rounded value domains.
