@@ -542,6 +542,9 @@ object SparkEntry {
     // (allow wins ties), noai opt-out, license allowlist, with the
     // crawl-practice precedence robots > meta > license (r13)
     "q_compliance" -> (Curation.complianceFilterQuery _),
+    // robots.txt parser: raw blobs → (host, prefix, allow) rule rows
+    // for the compliance filter; RFC 9309 group semantics (r14)
+    "q_robots_parse" -> (Curation.robotsParseQuery _),
     "q_text_normalize" -> (Curation.normalizeQuery _),
     "q_html_strip" -> (Curation.htmlStripQuery _),
     "q_url_normalize" -> (Curation.urlNormalizeQuery _),
@@ -6651,6 +6654,68 @@ object SparkEntry {
         |  m.matched_suffix IS NOT NULL AS blocked
         |FROM d LEFT JOIN m ON d.doc_id = m.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // q_robots_parse: the oracle carries the five fixture blobs
+    // verbatim (chr(10)-joined) and replays the parser — line split
+    // with ordinals, the three extraction regexes, lag-based group
+    // starts, running block ids, group agent sets, and the
+    // applicability join.
+    "q_robots_parse" ->
+      """WITH rb(host, robots_txt) AS (VALUES
+        |  ('a.example', '# robots for a.example' || chr(10) ||
+        |    'User-agent: *' || chr(10) ||
+        |    'Disallow: /private/' || chr(10) ||
+        |    'Allow: /private/blog' || chr(10) ||
+        |    '' || chr(10) ||
+        |    'User-agent: badbot' || chr(10) ||
+        |    'Disallow: /'),
+        |  ('b.example', 'User-agent: GraftBot' || chr(10) ||
+        |    'User-Agent: otherbot' || chr(10) ||
+        |    'Disallow: /tmp/' || chr(10) ||
+        |    'Allow: /tmp/pub'),
+        |  ('c.example', 'Disallow: /orphan' || chr(10) ||
+        |    'User-agent: *' || chr(10) ||
+        |    'Disallow:' || chr(10) ||
+        |    'Disallow: /x # temporary' || chr(10) ||
+        |    '  User-Agent :  *' || chr(10) ||
+        |    'DISALLOW: /z'),
+        |  ('d.example', 'User-agent: badbot' || chr(10) ||
+        |    'Disallow: /everything'),
+        |  ('e.example', 'User-agent: *' || chr(10) ||
+        |    'Allow: /a' || chr(10) ||
+        |    'Disallow: /a/b')),
+        |l AS (SELECT host, string_split(robots_txt, chr(10)) AS ls
+        |  FROM rb),
+        |ln AS (SELECT host, unnest(generate_series(1, len(ls))) AS i,
+        |  ls FROM l),
+        |lines AS (SELECT host, CAST(i - 1 AS INTEGER) AS line_no,
+        |  ls[CAST(i AS INTEGER)] AS line FROM ln),
+        |typed AS (SELECT host, line_no,
+        |    lower(regexp_extract(line,
+        |      '(?i)^\s*user-agent\s*:\s*([^#\s]+)', 1)) AS ua,
+        |    lower(regexp_extract(line,
+        |      '(?i)^\s*(allow|disallow)\s*:', 1)) AS dir,
+        |    regexp_extract(line,
+        |      '(?i)^\s*(?:allow|disallow)\s*:\s*([^#\s]*)', 1) AS path
+        |  FROM lines),
+        |blk AS (SELECT *, ua <> '' AS is_ua,
+        |    (ua <> '' AND NOT coalesce(lag(ua <> '')
+        |      OVER (PARTITION BY host ORDER BY line_no), FALSE))
+        |      AS new_block
+        |  FROM typed),
+        |blk2 AS (SELECT *,
+        |    CAST(sum(CASE WHEN new_block THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY host ORDER BY line_no) AS BIGINT)
+        |      AS block
+        |  FROM blk),
+        |ga AS (SELECT host, block,
+        |    max(ua IN ('*', 'graftbot')) AS applies
+        |  FROM blk2 WHERE is_ua GROUP BY host, block)
+        |SELECT b.host, CAST(b.line_no AS BIGINT) AS line_no,
+        |  b.path AS prefix, b.dir = 'allow' AS allow
+        |FROM blk2 b JOIN ga ON b.host = ga.host AND b.block = ga.block
+        |WHERE NOT b.is_ua AND b.dir IN ('allow', 'disallow')
+        |  AND b.path <> '' AND ga.applies
+        |ORDER BY b.host, b.line_no""".stripMargin,
     // q_compliance: the oracle rebuilds the id-derived host/path/
     // license/noai frame, replays longest-match robots resolution
     // (length DESC, allow DESC, prefix DESC — the exact Spark

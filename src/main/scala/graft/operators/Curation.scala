@@ -931,6 +931,96 @@ object Curation {
           .when(!col("license_ok"), lit("license")))
   }
 
+  /**
+   * robots.txt parsing — the upstream half of the compliance family:
+   * [[complianceFilter]] consumes (host, prefix, allow) rule rows;
+   * this operator PRODUCES them from raw robots.txt blobs, so the
+   * chain parse → filter → streaming re-classification is end-to-end.
+   * Grammar (RFC 9309, the subset crawl pipelines implement):
+   * User-agent lines open a group — CONSECUTIVE User-agent lines
+   * share the group — and Allow/Disallow lines bind to the nearest
+   * preceding group; matching is case-insensitive with arbitrary
+   * whitespace; `#` comments, blank lines, empty-path rules (an
+   * empty Disallow means "allow everything" and emits no rule), and
+   * rules before any group (invalid per RFC) are all dropped. A rule
+   * applies to us iff its group names `*` or our agent token.
+   *
+   * Shape at 100 TB: robots documents are per-host and small; every
+   * window is PARTITIONED by host (thousands of lines each, never
+   * corpus-wide), so parsing scales with host count like any
+   * per-entity pass.
+   */
+  def robotsParse(robots: DataFrame, agent: String = "graftbot")
+      : DataFrame = {
+    val lines = robots.select(col("host"),
+      posexplode(split(col("robots_txt"), "\n"))
+        .as(Seq("line_no", "line")))
+    val typed = lines.select(col("host"), col("line_no"),
+      lower(regexp_extract(col("line"),
+        "(?i)^\\s*user-agent\\s*:\\s*([^#\\s]+)", 1)).as("ua"),
+      lower(regexp_extract(col("line"),
+        "(?i)^\\s*(allow|disallow)\\s*:", 1)).as("dir"),
+      regexp_extract(col("line"),
+        "(?i)^\\s*(?:allow|disallow)\\s*:\\s*([^#\\s]*)", 1).as("path"))
+    val w = Window.partitionBy(col("host")).orderBy(col("line_no"))
+    val blocked = typed
+      .withColumn("is_ua", col("ua") =!= "")
+      .withColumn("new_block", col("is_ua") &&
+        !coalesce(lag(col("ua") =!= "", 1).over(w), lit(false)))
+      .withColumn("block",
+        sum(when(col("new_block"), 1L).otherwise(0L)).over(w))
+    val blockAgents = blocked.filter(col("is_ua"))
+      .groupBy(col("host"), col("block"))
+      .agg(max(col("ua").isin("*", agent)).as("applies"))
+    blocked
+      .filter(!col("is_ua") && col("dir").isin("allow", "disallow") &&
+        col("path") =!= "")
+      .join(blockAgents, Seq("host", "block"))
+      .filter(col("applies"))
+      .select(col("host"), col("line_no").cast("long").as("line_no"),
+        col("path").as("prefix"), (col("dir") === "allow").as("allow"))
+      .orderBy(col("host"), col("line_no"))
+  }
+
+  /** Correctness gate for [[robotsParse]]: five literal robots.txt
+    * blobs (mirrored verbatim in the oracle) covering comments,
+    * blank lines, case/whitespace variants, trailing comments on
+    * rule lines, a consecutive-UA shared group that includes our
+    * agent, a foreign-only group (no output), an empty Disallow
+    * (dropped), and an orphan rule before any group (dropped). */
+  def robotsParseQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = Seq(
+      ("a.example", Seq(
+        "# robots for a.example",
+        "User-agent: *",
+        "Disallow: /private/",
+        "Allow: /private/blog",
+        "",
+        "User-agent: badbot",
+        "Disallow: /").mkString("\n")),
+      ("b.example", Seq(
+        "User-agent: GraftBot",
+        "User-Agent: otherbot",
+        "Disallow: /tmp/",
+        "Allow: /tmp/pub").mkString("\n")),
+      ("c.example", Seq(
+        "Disallow: /orphan",
+        "User-agent: *",
+        "Disallow:",
+        "Disallow: /x # temporary",
+        "  User-Agent :  *",
+        "DISALLOW: /z").mkString("\n")),
+      ("d.example", Seq(
+        "User-agent: badbot",
+        "Disallow: /everything").mkString("\n")),
+      ("e.example", Seq(
+        "User-agent: *",
+        "Allow: /a",
+        "Disallow: /a/b").mkString("\n")))
+    robotsParse(fixtures.toDF("host", "robots_txt"))
+  }
+
   /** Correctness gate for [[complianceFilter]]: id-derived hosts
     * (`site{id%5}.{com|org}`), paths (`/{public|private|blog}/p{id%9}`),
     * licenses (7-cycle over permissive and restrictive tags) and a

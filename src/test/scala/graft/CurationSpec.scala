@@ -272,6 +272,28 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("robots parser: groups, consecutive-UA sharing, case and " +
+      "whitespace variants, comments, orphan and empty rules") {
+    val rows = Curation.robotsParseQuery(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getBoolean(3)))
+    assert(rows.toSeq == Seq(
+      ("a.example", 2L, "/private/", false),
+      ("a.example", 3L, "/private/blog", true),
+      // consecutive UA lines (GraftBot + otherbot) share one group
+      ("b.example", 2L, "/tmp/", false),
+      ("b.example", 3L, "/tmp/pub", true),
+      // orphan rule (line 0) and empty Disallow (line 2) dropped;
+      // trailing comment stripped; "  User-Agent :  *" reopens a
+      // group for the uppercase DISALLOW
+      ("c.example", 3L, "/x", false),
+      ("c.example", 5L, "/z", false),
+      // d.example: foreign-agent-only group -> nothing
+      ("e.example", 1L, "/a", true),
+      ("e.example", 2L, "/a/b", false)),
+      s"parsed rules diverged: ${rows.mkString(",")}")
+  }
+
   test("sequence packing shuffles exactly once (the shard partitioning)") {
     val docs = Tables.load(spark, sfDir, "documents")
     val plan = Curation.sequencePack(docs, budget = 2048, shards = 8)
