@@ -561,6 +561,9 @@ object SparkEntry {
     // rank via distributed prefix, per-batch padding-fill report
     "q_seq_bucket" -> (Curation.seqBucketQuery _),
     "q_quality_score" -> (Curation.qualityScoreQuery _),
+    // Per-domain quota: top-`quota` docs per host by the replayable
+    // quality score, bounded-heap graft_topk per host (r14)
+    "q_domain_quota" -> ((s, d) => Curation.domainQuotaQuery(s, d)),
     // DPO-style preference pairs: per-stratum best-vs-worst by the
     // replayable quality score, bounded-heap extremes (r13)
     "q_pref_pairs" -> ((s, d) => Curation.prefPairsQuery(s, d)),
@@ -5094,6 +5097,28 @@ object SparkEntry {
         |  quality_score >= 0.5 AS is_quality
         |FROM s
         |ORDER BY doc_id""".stripMargin),
+    // q_domain_quota: shared scorer CTE + id-derived hosts; the
+    // bounded-heap pick replays as a per-host rank window (the
+    // single-node twin) with the same (score DESC, doc_id ASC) order.
+    "q_domain_quota" ->
+      (s"WITH $qualityScoreCte," +
+        """
+        |d AS (
+        |  SELECT doc_id, 'site' || CAST(doc_id % 17 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END
+        |    AS host
+        |  FROM documents),
+        |r AS (
+        |  SELECT d.host, s.doc_id, s.quality_score,
+        |    CAST(row_number() OVER (PARTITION BY d.host
+        |      ORDER BY s.quality_score DESC, s.doc_id ASC)
+        |      AS INTEGER) AS rank,
+        |    CAST(count(*) OVER (PARTITION BY d.host) AS BIGINT)
+        |      AS n_docs
+        |  FROM d JOIN s ON d.doc_id = s.doc_id)
+        |SELECT host, n_docs, rank, doc_id, quality_score
+        |FROM r WHERE rank <= 5
+        |ORDER BY host, rank""".stripMargin),
     // q_temp_sweep: full replay — the sqrt-composable alpha grid,
     // pure-BIGINT micro-unit weights and floor divisions (DuckDB's
     // `//` ROUNDS on DECIMAL left operands but floors on BIGINTs),

@@ -573,6 +573,43 @@ object Curation {
       .orderBy(col("doc_id"))
 
   /**
+   * Per-domain quota capping — keep at most `quota` highest-quality
+   * documents per host, the anti-SEO-spam mix guard (C4-style): no
+   * single domain may dominate the corpus however many pages it
+   * serves, and the pages it does contribute should be its best.
+   * Ranking is the replayable pretrained quality score
+   * ([[qualityScoreQuery]]'s scorer, 6 dp) descending, ties to the
+   * lower doc_id.
+   *
+   * Shape at 100 TB: one scoring projection, then a BOUNDED-HEAP
+   * aggregate per host (`graft_topk` — quota entries of state per
+   * host, merge-combinable map-side) — never a per-host sort or a
+   * rank window over the corpus; a 10⁸-page spam domain costs the
+   * same heap as a 10-page blog.
+   */
+  def domainQuotaQuery(spark: SparkSession, sfDir: String,
+      quota: Int = 5): DataFrame = {
+    val id = col("doc_id")
+    val scored = Tables.load(spark, sfDir, "documents")
+      .select(id,
+        concat(lit("site"), (id % 17).cast("string"),
+          when(id % 2 === 0, lit(".com")).otherwise(lit(".org")))
+          .as("host"),
+        fr(qualityScore(col("text"), pretrainedWeights(), 0.1), 6)
+          .as("q"))
+    scored.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        call_function("graft_topk", col("q"), col("doc_id"),
+          lit(quota)).as("_tk"))
+      .select(col("host"), col("n_docs"),
+        posexplode(col("_tk")).as(Seq("pos", "e")))
+      .select(col("host"), col("n_docs"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as("doc_id"), col("e.ord").as("quality_score"))
+      .orderBy(col("host"), col("rank"))
+  }
+
+  /**
    * Span-corruption planning (the T5/UL2 denoising-objective data
    * prep): deterministically select the mask spans for each document —
    * one 3-token span per 20-token block at an md5-derived offset, so

@@ -272,6 +272,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("domain quota: at most 5 per host, heap picks equal the " +
+      "window-rank formulation, totals conserve the corpus") {
+    val rows = Curation.domainQuotaQuery(spark, sfDir).collect()
+    val byHost = rows.groupBy(_.getString(0))
+    byHost.foreach { case (h, rs) =>
+      assert(rs.length <= 5, s"$h over quota")
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length),
+        s"$h ranks not dense")
+      // quality non-increasing down the ranks, ties by doc_id
+      val ordered = rs.sortBy(_.getInt(2))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDouble(4) > b.getDouble(4) ||
+            (a.getDouble(4) == b.getDouble(4) &&
+              a.getLong(3) < b.getLong(3)),
+            s"$h heap order broken")
+        case _ =>
+      }
+    }
+    // every host's n_docs is the true host population
+    val docs = Tables.load(spark, sfDir, "documents").count()
+    assert(byHost.map(_._2.head.getLong(1)).sum == docs,
+      "per-host populations must conserve the corpus")
+  }
+
   test("robots parser: groups, consecutive-UA sharing, case and " +
       "whitespace variants, comments, orphan and empty rules") {
     val rows = Curation.robotsParseQuery(spark, sfDir).collect()
