@@ -1195,7 +1195,16 @@ object Similarity {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val isNew = pmod(col("vec_id"), lit(4L)) === 0L
     val base = emb.filter(!isNew)
-    val m1 = fitCentroidMatrix(base, 20)
+    // fit on the base RE-KEYED to its contiguous rank (closed form
+    // for the mod-4 holdout: vec_id − 1 − ⌊vec_id/4⌋): kmeansCentroids
+    // seeds by striding the id domain, and on a gappy domain the
+    // stride can ALIAS the holdout — at sf10 the stride (n/k = 7500)
+    // is divisible by 4, so every raw-id seed candidate sat in the
+    // append batch and the fit collected ZERO centroids
+    val baseForFit = base.select(
+      (col("vec_id") - 1L - expr("vec_id div 4")).as("vec_id"),
+      col("embedding"))
+    val m1 = fitCentroidMatrix(baseForFit, 20)
     val newCells = emb.filter(isNew)
       .select(cellOf(m1, col("embedding")).as("cell"))
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
