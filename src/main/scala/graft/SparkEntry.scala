@@ -564,6 +564,9 @@ object SparkEntry {
     // Per-domain quota: top-`quota` docs per host by the replayable
     // quality score, bounded-heap graft_topk per host (r14)
     "q_domain_quota" -> ((s, d) => Curation.domainQuotaQuery(s, d)),
+    // Filter-funnel attribution: first-drop accounting through the
+    // ordered stages length -> quality -> legal -> exact-dup (r14)
+    "q_filter_funnel" -> (Curation.filterFunnelQuery _),
     // DPO-style preference pairs: per-stratum best-vs-worst by the
     // replayable quality score, bounded-heap extremes (r13)
     "q_pref_pairs" -> ((s, d) => Curation.prefPairsQuery(s, d)),
@@ -5097,6 +5100,49 @@ object SparkEntry {
         |  quality_score >= 0.5 AS is_quality
         |FROM s
         |ORDER BY doc_id""".stripMargin),
+    // q_filter_funnel: the oracle recomputes all four stage
+    // predicates (token floor, shared scorer ≥ 0.5, noai/license
+    // legal pair, min-doc_id-per-md5 keeper) and the first-drop
+    // attribution chain, then unpivots the counts stage by stage.
+    "q_filter_funnel" ->
+      (s"WITH $qualityScoreCte," +
+        """
+        |d AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(text, ' ')) >= 20 AS p_len,
+        |    (doc_id % 17 <> 0) AND
+        |      (['cc-by','cc0','all-rights-reserved','mit','cc-by-nc',
+        |        'public-domain','unknown'][CAST(doc_id % 7 AS INTEGER) + 1]
+        |       IN ('cc-by','cc0','mit','public-domain')) AS p_legal,
+        |    doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+        |      AS p_uniq
+        |  FROM documents),
+        |j AS (
+        |  SELECT d.*, s.quality_score >= 0.5 AS p_quality
+        |  FROM d JOIN s ON d.doc_id = s.doc_id),
+        |c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN NOT p_len THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d1,
+        |    CAST(sum(CASE WHEN p_len AND NOT p_quality THEN 1 ELSE 0
+        |      END) AS BIGINT) AS d2,
+        |    CAST(sum(CASE WHEN p_len AND p_quality AND NOT p_legal
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+        |    CAST(sum(CASE WHEN p_len AND p_quality AND p_legal
+        |      AND NOT p_uniq THEN 1 ELSE 0 END) AS BIGINT) AS d4
+        |  FROM j)
+        |SELECT CAST(1 AS INTEGER) AS stage_no, 'min_length' AS stage,
+        |  n0 AS n_in, d1 AS n_dropped, n0 - d1 AS n_out FROM c
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), 'quality', n0 - d1, d2,
+        |  n0 - d1 - d2 FROM c
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), 'legal', n0 - d1 - d2, d3,
+        |  n0 - d1 - d2 - d3 FROM c
+        |UNION ALL
+        |SELECT CAST(4 AS INTEGER), 'exact_dedup', n0 - d1 - d2 - d3,
+        |  d4, n0 - d1 - d2 - d3 - d4 FROM c
+        |ORDER BY stage_no""".stripMargin),
     // q_domain_quota: shared scorer CTE + id-derived hosts; the
     // bounded-heap pick replays as a per-host rank window (the
     // single-node twin) with the same (score DESC, doc_id ASC) order.

@@ -573,6 +573,65 @@ object Curation {
       .orderBy(col("doc_id"))
 
   /**
+   * Filter-funnel attribution — the observability pass every curation
+   * pipeline needs: documents flow through the ORDERED filter stages
+   * (too-short → quality → legal → exact-dup) and each doc is charged
+   * to the FIRST stage that drops it, so per-stage survivor counts
+   * tell you which filter is doing the work and which is dead weight
+   * (the number a mix designer reads before touching thresholds —
+   * without first-drop attribution, overlapping filters double-count
+   * and the funnel lies).
+   *
+   * Stages here are the engine's own replayable predicates: token
+   * floor (≥ 20), the pretrained quality score (≥ 0.5, the shared
+   * scorer), the legal pair from the compliance family (noai opt-out
+   * + license allowlist, id-derived as in q_compliance), and exact
+   * text dedup (keeper = min doc_id per md5). One scan computes all
+   * four booleans; the funnel is a single map-side aggregate row
+   * unpivoted to one row per stage — no shuffle grows with stages.
+   */
+  def filterFunnelQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val id = col("doc_id")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(id, col("text"),
+        element_at(typedLit(Seq("cc-by", "cc0", "all-rights-reserved",
+          "mit", "cc-by-nc", "public-domain", "unknown")),
+          (id % 7).cast("int") + 1).as("license"),
+        (id % 17 === 0).as("noai"))
+    val keepers = docs.groupBy(md5(col("text")).as("_d"))
+      .agg(min(col("doc_id")).as("_keeper"))
+    val flagged = docs
+      .withColumn("p_len", size(split(col("text"), " ")) >= 20)
+      .withColumn("p_quality",
+        fr(qualityScore(col("text"), pretrainedWeights(), 0.1), 6)
+          >= 0.5)
+      .withColumn("p_legal", !col("noai") && col("license").isin(
+        "cc-by", "cc0", "mit", "public-domain"))
+      .join(keepers.select(col("_d"), col("_keeper")),
+        md5(col("text")) === col("_d"))
+      .withColumn("p_uniq", col("doc_id") === col("_keeper"))
+    val c = flagged.agg(
+      count(lit(1)).as("n0"),
+      sum(when(!col("p_len"), 1L).otherwise(0L)).as("d1"),
+      sum(when(col("p_len") && !col("p_quality"), 1L).otherwise(0L))
+        .as("d2"),
+      sum(when(col("p_len") && col("p_quality") && !col("p_legal"), 1L)
+        .otherwise(0L)).as("d3"),
+      sum(when(col("p_len") && col("p_quality") && col("p_legal") &&
+        !col("p_uniq"), 1L).otherwise(0L)).as("d4")).head()
+    val (n0, d1, d2, d3, d4) = (c.getLong(0), c.getLong(1),
+      c.getLong(2), c.getLong(3), c.getLong(4))
+    Seq(
+      (1, "min_length", n0, d1, n0 - d1),
+      (2, "quality", n0 - d1, d2, n0 - d1 - d2),
+      (3, "legal", n0 - d1 - d2, d3, n0 - d1 - d2 - d3),
+      (4, "exact_dedup", n0 - d1 - d2 - d3, d4, n0 - d1 - d2 - d3 - d4))
+      .toDF("stage_no", "stage", "n_in", "n_dropped", "n_out")
+      .orderBy(col("stage_no"))
+  }
+
+  /**
    * Per-domain quota capping — keep at most `quota` highest-quality
    * documents per host, the anti-SEO-spam mix guard (C4-style): no
    * single domain may dominate the corpus however many pages it

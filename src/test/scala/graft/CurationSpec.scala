@@ -272,6 +272,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("filter funnel: stages chain exactly — each n_in is the " +
+      "previous n_out, attribution conserves the corpus") {
+    val rows = Curation.filterFunnelQuery(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    val total = Tables.load(spark, sfDir, "documents").count()
+    assert(rows.head.getLong(2) == total)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b.getLong(2) == a.getLong(4),
+        s"stage ${b.getString(1)} n_in != previous n_out")
+      case _ =>
+    }
+    rows.foreach(r => assert(
+      r.getLong(4) == r.getLong(2) - r.getLong(3) && r.getLong(3) >= 0))
+    // first-drop attribution: total drops + survivors = corpus
+    assert(rows.map(_.getLong(3)).sum + rows.last.getLong(4) == total)
+  }
+
   test("domain quota: at most 5 per host, heap picks equal the " +
       "window-rank formulation, totals conserve the corpus") {
     val rows = Curation.domainQuotaQuery(spark, sfDir).collect()
