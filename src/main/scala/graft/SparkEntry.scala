@@ -567,6 +567,9 @@ object SparkEntry {
     // Filter-funnel attribution: first-drop accounting through the
     // ordered stages length -> quality -> legal -> exact-dup (r14)
     "q_filter_funnel" -> (Curation.filterFunnelQuery _),
+    // Bradley–Terry strength fit (2 MM iterations) over decile-bucket
+    // duels — the pair→strength analytics pass for preference data (r14)
+    "q_bradley_terry" -> (Curation.bradleyTerryQuery _),
     // DPO-style preference pairs: per-stratum best-vs-worst by the
     // replayable quality score, bounded-heap extremes (r13)
     "q_pref_pairs" -> ((s, d) => Curation.prefPairsQuery(s, d)),
@@ -5100,6 +5103,62 @@ object SparkEntry {
         |  quality_score >= 0.5 AS is_quality
         |FROM s
         |ORDER BY doc_id""".stripMargin),
+    // q_bradley_terry: full replay — decile buckets from the shared
+    // scorer, consecutive-id duels, the symmetrized win matrix, and
+    // both unrolled MM iterations (8dp DECIMAL-summed denominator
+    // terms, 6dp strengths).
+    "q_bradley_terry" ->
+      (s"WITH $qualityScoreCte," +
+        """
+        |sc AS (SELECT doc_id, quality_score AS q,
+        |    least(CAST(floor(quality_score * 10) AS INTEGER), 9) AS b
+        |  FROM s),
+        |du AS (
+        |  SELECT l.b AS ba, l.q AS qa, r.b AS bb, r.q AS qb
+        |  FROM sc l JOIN sc r ON r.doc_id = l.doc_id + 1
+        |  WHERE l.doc_id % 2 = 0 AND l.b <> r.b),
+        |w AS (
+        |  SELECT CASE WHEN qa > qb THEN ba ELSE bb END AS i,
+        |    CASE WHEN qa > qb THEN bb ELSE ba END AS j,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM du GROUP BY 1, 2),
+        |mx AS (
+        |  SELECT i, j, CAST(sum(w_ij) AS BIGINT) AS w_ij FROM (
+        |    SELECT i, j, w AS w_ij FROM w
+        |    UNION ALL SELECT j, i, CAST(0 AS BIGINT) FROM w) u
+        |  GROUP BY i, j),
+        |m2 AS (
+        |  SELECT mx.i, mx.j, mx.w_ij,
+        |    mx.w_ij + coalesce(wr.w, 0) AS n_ij
+        |  FROM mx LEFT JOIN w wr ON wr.i = mx.j AND wr.j = mx.i),
+        |tot AS (SELECT i, CAST(sum(w_ij) AS BIGINT) AS w_i,
+        |    CAST(sum(n_ij) AS BIGINT) AS n_i
+        |  FROM m2 GROUP BY i),
+        |it1 AS (
+        |  SELECT m2.i,
+        |    floor((CAST(t.w_i AS DOUBLE) / CAST(sum(
+        |      CAST(floor((CAST(m2.n_ij AS DOUBLE) / 2.0) * 1e8 + 0.5)
+        |        / 1e8 AS DECIMAL(24,8))) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |      AS s
+        |  FROM m2 JOIN tot t ON m2.i = t.i
+        |  GROUP BY m2.i, t.w_i),
+        |it2 AS (
+        |  SELECT m2.i,
+        |    floor((CAST(t.w_i AS DOUBLE) / CAST(sum(
+        |      CAST(floor((CAST(m2.n_ij AS DOUBLE) / (si.s + sj.s))
+        |        * 1e8 + 0.5) / 1e8 AS DECIMAL(24,8))) AS DOUBLE))
+        |      * 1e6 + 0.5) / 1e6 AS s
+        |  FROM m2
+        |  JOIN it1 si ON m2.i = si.i
+        |  JOIN it1 sj ON m2.j = sj.i
+        |  JOIN tot t ON m2.i = t.i
+        |  GROUP BY m2.i, t.w_i)
+        |SELECT CAST(t.i AS INTEGER) AS bucket, t.n_i AS n_matches,
+        |  t.w_i AS n_wins, s1.s AS s1, s2.s AS s2
+        |FROM tot t
+        |JOIN it1 s1 ON t.i = s1.i
+        |JOIN it2 s2 ON t.i = s2.i
+        |ORDER BY bucket""".stripMargin),
     // q_filter_funnel: the oracle recomputes all four stage
     // predicates (token floor, shared scorer ≥ 0.5, noai/license
     // legal pair, min-doc_id-per-md5 keeper) and the first-drop

@@ -573,6 +573,82 @@ object Curation {
       .orderBy(col("doc_id"))
 
   /**
+   * Bradley–Terry strength estimation (MM algorithm, Hunter 2004) —
+   * the analytics pass downstream of preference data: given pairwise
+   * comparisons, recover a per-item strength s_i such that
+   * P(i beats j) = s_i/(s_i+s_j) — what a reward-model team computes
+   * to sanity-check that preference wins are CONSISTENT (a strength
+   * ordering exists) before training on them. Two unrolled MM
+   * iterations from s⁰ = 1:
+   * s_i ← W_i / Σ_{j≠i} n_ij / (s_i + s_j), each rounded to 6 dp —
+   * enough to separate and order the strengths, replayable exactly.
+   *
+   * Comparisons here: consecutive-id document duels (doc 2k vs
+   * 2k+1), judged by the shared quality scorer; items are the ten
+   * score deciles, so the fit should recover a monotone strength
+   * ladder from ~5·10⁵ duels compressed into a ≤ 10×10 win matrix.
+   *
+   * Shape at 100 TB: duels reduce map-side to the k² matrix
+   * (metadata-sized for any item vocabulary worth fitting); both MM
+   * iterations are joins over that matrix. Per-item denominator terms
+   * round to 8 dp and sum as DECIMAL (order-free — the q_lm_ppl
+   * rule), so the distributed sums replay bit-exactly.
+   */
+  def bradleyTerryQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val id = col("doc_id")
+    val scored = Tables.load(spark, sfDir, "documents")
+      .select(id,
+        fr(qualityScore(col("text"), pretrainedWeights(), 0.1), 6)
+          .as("q"))
+      .withColumn("b", least(floor(col("q") * 10).cast("int"), lit(9)))
+    val left = scored.filter(id % 2 === 0)
+      .select(id.as("pair"), col("b").as("ba"), col("q").as("qa"))
+    val right = scored.filter(id % 2 === 1)
+      .select((id - 1).as("pair"), col("b").as("bb"), col("q").as("qb"))
+    val duels = left.join(right, Seq("pair"))
+      .filter(col("ba") =!= col("bb"))
+    // directed win counts -> the symmetric match matrix n_ij + W_i
+    val wins = duels.select(
+      when(col("qa") > col("qb"), col("ba")).otherwise(col("bb"))
+        .as("i"),
+      when(col("qa") > col("qb"), col("bb")).otherwise(col("ba"))
+        .as("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("w"))
+    val matrix = wins.select(col("i"), col("j"), col("w"))
+      .unionByName(wins.select(col("j").as("i"), col("i").as("j"),
+        lit(0L).as("w")))
+      .groupBy(col("i"), col("j")).agg(sum(col("w")).as("w_ij"))
+      .join(wins.select(col("j").as("i"), col("i").as("j"),
+          col("w").as("w_ji")),
+        Seq("i", "j"), "left")
+      .select(col("i"), col("j"), col("w_ij"),
+        (col("w_ij") + coalesce(col("w_ji"), lit(0L))).as("n_ij"))
+    val totals = matrix.groupBy(col("i"))
+      .agg(sum(col("w_ij")).as("w_i"), sum(col("n_ij")).as("n_i"))
+    def mmIter(s: DataFrame): DataFrame =
+      matrix
+        .join(s.select(col("i"), col("s").as("s_i")), Seq("i"))
+        .join(s.select(col("i").as("j"), col("s").as("s_j")), Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(fr(col("n_ij").cast("double") /
+            (col("s_i") + col("s_j")), 8).cast("decimal(24,8)"))
+          .as("denom"))
+        .join(totals, Seq("i"))
+        .select(col("i"),
+          fr(col("w_i").cast("double") /
+            col("denom").cast("double"), 6).as("s"))
+    val s0 = totals.select(col("i"), lit(1.0).as("s"))
+    val s1 = mmIter(s0)
+    val s2 = mmIter(s1)
+    totals
+      .join(s1.select(col("i"), col("s").as("s1")), Seq("i"))
+      .join(s2.select(col("i"), col("s").as("s2")), Seq("i"))
+      .select(col("i").as("bucket"), col("n_i").as("n_matches"),
+        col("w_i").as("n_wins"), col("s1"), col("s2"))
+      .orderBy(col("bucket"))
+  }
+
+  /**
    * Filter-funnel attribution — the observability pass every curation
    * pipeline needs: documents flow through the ORDERED filter stages
    * (too-short → quality → legal → exact-dup) and each doc is charged

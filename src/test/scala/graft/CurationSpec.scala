@@ -272,6 +272,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("bradley-terry: strengths are monotone in the quality decile " +
+      "and higher-strength buckets won their head-to-heads") {
+    val rows = Curation.bradleyTerryQuery(spark, sfDir).collect()
+    assert(rows.length >= 2)
+    val buckets = rows.map(_.getInt(0)).toSeq
+    assert(buckets == buckets.sorted)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "wins cannot exceed matches")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(4) >= 0.0)
+    }
+    // duels are judged BY the quality score, so the fitted strength
+    // must recover the decile order (the consistency check BT is for)
+    val s2 = rows.map(_.getDouble(4)).toSeq
+    assert(s2 == s2.sorted,
+      s"strengths not monotone in quality decile: $s2")
+  }
+
   test("filter funnel: stages chain exactly — each n_in is the " +
       "previous n_out, attribution conserves the corpus") {
     val rows = Curation.filterFunnelQuery(spark, sfDir).collect()
