@@ -407,6 +407,9 @@ object SparkEntry {
     "q_dedup_exact" -> (Dedup.exactQuery _),
     "q_dedup_priority" -> (Dedup.priorityDedupQuery _),
     "q_dedup_jaccard" -> ((s, d) => Dedup.ngramJaccardQuery(s, d)),
+    // LSH banding planner: S-curve decision table over the (b, r)
+    // factorizations of the signature budget (r14)
+    "q_lsh_plan" -> ((s, d) => Dedup.lshPlanQuery(s, d)),
     // Asymmetric containment (quote/subset) mining: |A∩B|/|A| over
     // the DF-capped shingle universe, no length blocking, direction
     // = smaller set; in-engine quote docs exercise the
@@ -1704,6 +1707,28 @@ object SparkEntry {
         |SELECT doc_a, doc_b, jaccard FROM jpv
         |WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // q_lsh_plan: the 7 factorizations of k = 64 as a VALUES table;
+    // the S-curve closed forms replay with the same literals and
+    // floor-form rounding.
+    "q_lsh_plan" ->
+      """WITH f(bands, rows_per_band) AS (VALUES
+        |  (64, 1), (32, 2), (16, 4), (8, 8), (4, 16), (2, 32),
+        |  (1, 64))
+        |SELECT bands, rows_per_band,
+        |  floor((power(1.0 / CAST(bands AS DOUBLE),
+        |    1.0 / CAST(rows_per_band AS DOUBLE))) * 1e6 + 0.5) / 1e6
+        |    AS s_inflection,
+        |  floor((1.0 - power(1.0 - power(0.5,
+        |    CAST(rows_per_band AS DOUBLE)), CAST(bands AS DOUBLE)))
+        |    * 1e6 + 0.5) / 1e6 AS p_at_threshold,
+        |  floor((power(1.0 - power(0.6,
+        |    CAST(rows_per_band AS DOUBLE)), CAST(bands AS DOUBLE)))
+        |    * 1e6 + 0.5) / 1e6 AS p_miss_above,
+        |  floor((1.0 - power(1.0 - power(0.3,
+        |    CAST(rows_per_band AS DOUBLE)), CAST(bands AS DOUBLE)))
+        |    * 1e6 + 0.5) / 1e6 AS p_false_below
+        |FROM f
+        |ORDER BY bands""".stripMargin,
     // q_containment: the same DF-capped shingle universe over the
     // quote-augmented corpus, language blocking only (length blocking
     // would delete exactly the unequal-length pairs containment

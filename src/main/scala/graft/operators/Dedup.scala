@@ -159,6 +159,58 @@ object Dedup {
   }
 
   /**
+   * LSH parameter planning — pick (bands b, rows r) for a MinHash
+   * banding scheme before running it at corpus scale: the candidate
+   * probability S-curve is P(cand | s) = 1 − (1 − s^r)^b, and the
+   * right (b, r) is the one whose curve is steep AT the dedup
+   * threshold — low false-candidate mass below it (pair-generation
+   * cost) and low miss mass above it (lost duplicates). The planner
+   * evaluates every (b, r) factorization of the signature budget
+   * k = b·r on a fixed similarity grid and scores: P at threshold,
+   * the curve's inflection s* = (1/b)^(1/r) (where half the bands
+   * fire), miss probability at s = threshold + 0.1, and
+   * false-candidate probability at s = threshold − 0.2. The committed
+   * production config (16×4 in [[minhashLshQuery]]) is one row of
+   * this table — the plan justifies it instead of folklore.
+   *
+   * Pure closed-form arithmetic over the enumerated factorizations
+   * (k = 64 → 7 rows) at the three decision points — metadata-sized
+   * at any corpus scale, the planner costs nothing. All
+   * probabilities are 6 dp floor-form; `pow` on these clean operands
+   * is IEEE-identical cross-engine (the q_adamic_adar3 literal-table
+   * spirit: factorizations are enumerated, the inflection is the
+   * closed form (1/b)^(1/r), nothing is root-found).
+   */
+  def lshPlanQuery(spark: SparkSession, sfDir: String,
+      k: Int = 64, threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val factorizations = (1 to k).filter(k % _ == 0)
+      .map(r => (k / r, r)).filter { case (b, r) => b >= 1 && r >= 1 }
+    val rows = factorizations.map { case (b, r) => (b, r) }
+    val grid = rows.toDF("bands", "rows_per_band")
+    def pCand(s: Column, b: Column, r: Column): Column =
+      lit(1.0) - pow(lit(1.0) - pow(s, r.cast("double")),
+        b.cast("double"))
+    val fr6 = (c: Column) =>
+      graft.functions.VectorOps.foldRound(c, 6)
+    grid.select(col("bands"), col("rows_per_band"),
+      fr6(pow(lit(1.0) / col("bands").cast("double"),
+        lit(1.0) / col("rows_per_band").cast("double")))
+        .as("s_inflection"),
+      fr6(pCand(lit(threshold), col("bands"), col("rows_per_band")))
+        .as("p_at_threshold"),
+      // miss = (1 - s^r)^b written DIRECTLY (not 1 - pCand): the
+      // algebraic twin differs in final ulps through the 1-(1-x)
+      // round-trip, and the oracle carries this form
+      fr6(pow(lit(1.0) - pow(lit(threshold + 0.1),
+        col("rows_per_band").cast("double")),
+        col("bands").cast("double"))).as("p_miss_above"),
+      fr6(pCand(lit(threshold - 0.2), col("bands"),
+        col("rows_per_band"))).as("p_false_below"))
+      .orderBy(col("bands"))
+  }
+
+  /**
    * Containment detection — ASYMMETRIC set similarity over the same
    * DF-capped shingle universe as [[ngramJaccard]]: a document A is
    * contained in B when |A∩B| / |A| clears the threshold, regardless

@@ -354,6 +354,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("lsh planner: S-curve invariants — inflection moves with r, " +
+      "the committed 16x4 config is the threshold-0.5 sweet spot") {
+    val rows = Dedup.lshPlanQuery(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == 7 && rows.forall { case (b, r, _, _, _, _) =>
+      b * r == 64 })
+    // inflection s* = (1/b)^(1/r) increases with rows-per-band
+    val infl = rows.sortBy(_._2).map(_._3).toSeq
+    assert(infl == infl.sorted,
+      s"inflection not monotone: ${infl.mkString(",")}")
+    rows.foreach { case (b, r, s, pt, miss, fp) =>
+      // b=1 degenerates to s* = 1 exactly (all rows must match)
+      assert(s > 0 && s <= 1 && pt >= 0 && pt <= 1 &&
+        miss >= 0 && miss <= 1 && fp >= 0 && fp <= 1)
+      // degenerate configs are visibly bad: b=64,r=1 catches
+      // everything (fp ~ 1); b=1,r=64 misses everything (miss ~ 1)
+      if (r == 1) assert(fp > 0.99, s"64x1 should flood: $fp")
+      if (b == 1) assert(miss > 0.99, s"1x64 should starve: $miss")
+    }
+    // the production 16x4: inflection near 0.5, both error masses
+    // bounded — the property the dedup pipeline relies on
+    val prod = rows.find(p => p._1 == 16 && p._2 == 4).get
+    assert(math.abs(prod._3 - 0.5) < 0.1 && prod._5 < 0.35 &&
+      prod._6 < 0.35, s"16x4 no longer the sweet spot: $prod")
+  }
+
   test("containment: every synthetic quote is fully contained in its " +
       "source, direction points small→large, and containment finds " +
       "pairs Jaccard cannot") {
