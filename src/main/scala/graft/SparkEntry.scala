@@ -573,6 +573,9 @@ object SparkEntry {
     // Bradley–Terry strength fit (2 MM iterations) over decile-bucket
     // duels — the pair→strength analytics pass for preference data (r14)
     "q_bradley_terry" -> (Curation.bradleyTerryQuery _),
+    // PSI distribution-drift report: reference week vs rest over
+    // three feature axes, add-one smoothing, industry bands (r14)
+    "q_psi_drift" -> (Curation.psiDriftQuery _),
     // DPO-style preference pairs: per-stratum best-vs-worst by the
     // replayable quality score, bounded-heap extremes (r13)
     "q_pref_pairs" -> ((s, d) => Curation.prefPairsQuery(s, d)),
@@ -5128,6 +5131,59 @@ object SparkEntry {
         |  quality_score >= 0.5 AS is_quality
         |FROM s
         |ORDER BY doc_id""".stripMargin),
+    // q_psi_drift: full replay — the week-1 split, the three binning
+    // axes, add-one smoothing, 8dp DECIMAL-summed terms, 6dp PSI,
+    // and the banding.
+    "q_psi_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, ts, value,
+        |    ts < TIMESTAMP '2024-01-08 00:00:00' AS is_ref
+        |  FROM events),
+        |b AS (
+        |  SELECT 'event_type' AS feature, event_type AS bin, is_ref
+        |  FROM e
+        |  UNION ALL
+        |  SELECT 'hour_of_day', CAST(CAST(extract(hour FROM ts)
+        |    AS BIGINT) AS VARCHAR), is_ref FROM e
+        |  UNION ALL
+        |  SELECT 'value_bucket', CAST(least(CAST(floor(value / 50.0)
+        |    AS BIGINT), 9) AS VARCHAR), is_ref FROM e),
+        |c AS (
+        |  SELECT feature, bin,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_ref,
+        |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c_cur
+        |  FROM b GROUP BY feature, bin),
+        |t AS (
+        |  SELECT feature, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+        |    CAST(sum(c_cur) AS BIGINT) AS n_cur,
+        |    CAST(count(*) AS BIGINT) AS n_bins
+        |  FROM c GROUP BY feature),
+        |terms AS (
+        |  SELECT c.feature, t.n_ref, t.n_cur, t.n_bins,
+        |    CAST(floor((
+        |      ((CAST(c.c_ref AS DOUBLE) + 1.0) /
+        |        CAST(t.n_ref + t.n_bins AS DOUBLE) -
+        |       (CAST(c.c_cur AS DOUBLE) + 1.0) /
+        |        CAST(t.n_cur + t.n_bins AS DOUBLE)) *
+        |      ln(((CAST(c.c_ref AS DOUBLE) + 1.0) /
+        |        CAST(t.n_ref + t.n_bins AS DOUBLE)) /
+        |        ((CAST(c.c_cur AS DOUBLE) + 1.0) /
+        |         CAST(t.n_cur + t.n_bins AS DOUBLE)))) * 1e8 + 0.5)
+        |      / 1e8 AS DECIMAL(24,8)) AS term
+        |  FROM c JOIN t ON c.feature = t.feature),
+        |psi AS (
+        |  SELECT feature, n_ref, n_cur, n_bins,
+        |    floor((CAST(sum(term) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |      AS psi
+        |  FROM terms GROUP BY feature, n_ref, n_cur, n_bins)
+        |SELECT feature, n_ref, n_cur, n_bins, psi,
+        |  CASE WHEN psi < 0.1 THEN 'stable'
+        |       WHEN psi < 0.25 THEN 'moderate'
+        |       ELSE 'action' END AS band
+        |FROM psi
+        |ORDER BY feature""".stripMargin,
     // q_bradley_terry: full replay — decile buckets from the shared
     // scorer, consecutive-id duels, the symmetrized win matrix, and
     // both unrolled MM iterations (8dp DECIMAL-summed denominator

@@ -573,6 +573,62 @@ object Curation {
       .orderBy(col("doc_id"))
 
   /**
+   * Population Stability Index drift report — the distribution-shift
+   * monitor a data pipeline runs between a REFERENCE snapshot and the
+   * CURRENT one before retraining or re-weighting:
+   * PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) with add-one smoothing
+   * (deterministic, and the standard guard against empty bins), read
+   * against the industry bands (< 0.1 stable, 0.1–0.25 moderate,
+   * > 0.25 action). Three feature axes over the events stream —
+   * event-type mix, hour-of-day profile, value deciles (fixed-width
+   * bins, never data-dependent edges) — reference = the first week,
+   * current = the rest of the month.
+   *
+   * Shape at 100 TB: one scan reduces map-side to (feature, bin,
+   * side) counts — ≤ 39 cells total — and everything after is
+   * metadata arithmetic. Per-bin terms round to 8 dp and DECIMAL-sum
+   * (order-free), PSI reports at 6 dp.
+   */
+  def psiDriftQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .withColumn("is_ref",
+        col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+    val feats = Seq(
+      ("event_type", col("event_type")),
+      ("hour_of_day", hour(col("ts")).cast("string")),
+      ("value_bucket",
+        least(floor(col("value") / 50.0).cast("long"), lit(9L))
+          .cast("string")))
+    val binned = feats.map { case (name, expr0) =>
+      ev.select(lit(name).as("feature"), expr0.as("bin"),
+        col("is_ref"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("feature"), col("bin"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+    val totals = binned.groupBy(col("feature"))
+      .agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"),
+        count(lit(1)).as("n_bins"))
+    val p = col("c_ref").cast("double") + 1.0
+    val q = col("c_cur").cast("double") + 1.0
+    val pr = p / (col("n_ref") + col("n_bins")).cast("double")
+    val qr = q / (col("n_cur") + col("n_bins")).cast("double")
+    binned.join(totals, Seq("feature"))
+      .select(col("feature"), col("n_ref"), col("n_cur"),
+        col("n_bins"),
+        fr((pr - qr) * log(pr / qr), 8).cast("decimal(24,8)")
+          .as("term"))
+      .groupBy(col("feature"), col("n_ref"), col("n_cur"),
+        col("n_bins"))
+      .agg(fr(sum(col("term")).cast("double"), 6).as("psi"))
+      .withColumn("band",
+        when(col("psi") < 0.1, "stable")
+          .when(col("psi") < 0.25, "moderate")
+          .otherwise("action"))
+      .orderBy(col("feature"))
+  }
+
+  /**
    * Bradley–Terry strength estimation (MM algorithm, Hunter 2004) —
    * the analytics pass downstream of preference data: given pairwise
    * comparisons, recover a per-item strength s_i such that

@@ -272,6 +272,30 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("psi drift: three feature axes, counts conserve the stream, " +
+      "the synthetic stream is stable (no drift was injected)") {
+    val rows = Curation.psiDriftQuery(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("event_type", "hour_of_day", "value_bucket"))
+    val total = Tables.load(spark, sfDir, "events").count()
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == total,
+        s"${r.getString(0)} ref+cur != stream")
+      assert(r.getDouble(4) >= 0.0, "PSI is non-negative")
+      // the generator draws both halves from one distribution — an
+      // "action"-band PSI would mean the binning leaks the split;
+      // 24-bin axes legitimately read "moderate" at the spec's tiny
+      // sf0.001 sample (PSI's known small-sample inflation)
+      assert(r.getString(5) != "action",
+        s"${r.getString(0)} drifted: psi=${r.getDouble(4)}")
+    }
+    // the 5-bin axis has enough mass per bin even at sf0.001
+    assert(rows.find(_.getString(0) == "event_type").get
+      .getString(5) == "stable")
+    assert(rows.find(_.getString(0) == "hour_of_day").get
+      .getLong(3) == 24L)
+  }
+
   test("bradley-terry: strengths are monotone in the quality decile " +
       "and higher-strength buckets won their head-to-heads") {
     val rows = Curation.bradleyTerryQuery(spark, sfDir).collect()
