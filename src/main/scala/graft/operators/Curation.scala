@@ -731,8 +731,10 @@ object Curation {
           "mit", "cc-by-nc", "public-domain", "unknown")),
           (id % 7).cast("int") + 1).as("license"),
         (id % 17 === 0).as("noai"))
-    val keepers = docs.groupBy(md5(col("text")).as("_d"))
-      .agg(min(col("doc_id")).as("_keeper"))
+    // keeper = min doc_id per digest as ONE md5-partitioned window
+    // (the oracle's own form) — a groupBy+equi-join twin would scan
+    // and shuffle the corpus twice for the same answer
+    val wDigest = Window.partitionBy(md5(col("text")))
     val flagged = docs
       .withColumn("p_len", size(split(col("text"), " ")) >= 20)
       .withColumn("p_quality",
@@ -740,9 +742,8 @@ object Curation {
           >= 0.5)
       .withColumn("p_legal", !col("noai") && col("license").isin(
         "cc-by", "cc0", "mit", "public-domain"))
-      .join(keepers.select(col("_d"), col("_keeper")),
-        md5(col("text")) === col("_d"))
-      .withColumn("p_uniq", col("doc_id") === col("_keeper"))
+      .withColumn("p_uniq",
+        col("doc_id") === min(col("doc_id")).over(wDigest))
     val c = flagged.agg(
       count(lit(1)).as("n0"),
       sum(when(!col("p_len"), 1L).otherwise(0L)).as("d1"),

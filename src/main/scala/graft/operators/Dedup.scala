@@ -185,9 +185,8 @@ object Dedup {
       k: Int = 64, threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
     val factorizations = (1 to k).filter(k % _ == 0)
-      .map(r => (k / r, r)).filter { case (b, r) => b >= 1 && r >= 1 }
-    val rows = factorizations.map { case (b, r) => (b, r) }
-    val grid = rows.toDF("bands", "rows_per_band")
+      .map(r => (k / r, r))
+    val grid = factorizations.toDF("bands", "rows_per_band")
     def pCand(s: Column, b: Column, r: Column): Column =
       lit(1.0) - pow(lit(1.0) - pow(s, r.cast("double")),
         b.cast("double"))

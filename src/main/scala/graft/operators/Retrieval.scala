@@ -162,11 +162,11 @@ object Retrieval {
       .select(col("vec_id").as("doc_id"), col("dense_rank"))
   }
 
-  def rrfFusionQuery(spark: SparkSession, sfDir: String,
-      terms: Seq[String] = Seq("spark", "query", "table"),
-      armK: Int = 50, k: Int = 20, rrfK: Int = 60): DataFrame = {
-    val sparse = sparseArm(spark, sfDir, terms, armK)
-    val dense = denseArm(spark, sfDir, armK)
+  /** RRF fusion over ALREADY-BUILT arm rankings — the shared core of
+    * [[rrfFusionQuery]] and [[retrievalEvalQuery]], so the eval never
+    * re-derives the arms it is grading. */
+  private[graft] def fuseArms(sparse: DataFrame, dense: DataFrame,
+      k: Int, rrfK: Int): DataFrame =
     sparse.join(dense, Seq("doc_id"), "full_outer")
       .withColumn("rrf_score", fr(
         coalesce(lit(1.0) / (lit(rrfK) + col("sparse_rank")), lit(0.0)) +
@@ -175,7 +175,12 @@ object Retrieval {
       .limit(k)
       .select(col("doc_id"), col("sparse_rank"), col("dense_rank"),
         col("rrf_score"))
-  }
+
+  def rrfFusionQuery(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("spark", "query", "table"),
+      armK: Int = 50, k: Int = 20, rrfK: Int = 60): DataFrame =
+    fuseArms(sparseArm(spark, sfDir, terms, armK),
+      denseArm(spark, sfDir, armK), k, rrfK)
 
   /** DCG rank-discount table: 1/log2(1+r) for r = 1..10 as LITERAL
     * doubles, inlined identically in the oracle SQL (the
@@ -217,13 +222,18 @@ object Retrieval {
       terms: Seq[String] = Seq("spark", "query", "table"),
       armK: Int = 50, k: Int = 10, rrfK: Int = 60): DataFrame = {
     require(k <= DcgWeights.length, s"k=$k exceeds the literal table")
-    val sparse = sparseArm(spark, sfDir, terms, armK)
+    // the arm frames are built ONCE and feed both their own eval list
+    // and the fusion (identical subtrees → one exchange each; calling
+    // rrfFusionQuery here would rebuild both corpus scans)
+    val sparseRanks = sparseArm(spark, sfDir, terms, armK)
+    val denseRanks = denseArm(spark, sfDir, armK)
+    val sparse = sparseRanks
       .select(lit("sparse").as("arm"), col("doc_id"),
         col("sparse_rank").as("rank"))
-    val dense = denseArm(spark, sfDir, armK)
+    val dense = denseRanks
       .select(lit("dense").as("arm"), col("doc_id"),
         col("dense_rank").as("rank"))
-    val fused = rrfFusionQuery(spark, sfDir, terms, armK, k, rrfK)
+    val fused = fuseArms(sparseRanks, denseRanks, k, rrfK)
       .withColumn("rank", row_number().over(
         SqlWindow.orderBy(col("rrf_score").desc, col("doc_id"))))
       .select(lit("rrf").as("arm"), col("doc_id"), col("rank"))
