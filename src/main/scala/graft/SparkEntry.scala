@@ -576,6 +576,9 @@ object SparkEntry {
     // PSI distribution-drift report: reference week vs rest over
     // three feature axes, add-one smoothing, industry bands (r14)
     "q_psi_drift" -> (Curation.psiDriftQuery _),
+    // Neyman sample-budget allocation across strata ∝ N_h·σ_h; exact
+    // DECIMAL cents moments, digit-string sums (r14)
+    "q_neyman_alloc" -> ((s, d) => Sampling.neymanAllocQuery(s, d)),
     // DPO-style preference pairs: per-stratum best-vs-worst by the
     // replayable quality score, bounded-heap extremes (r13)
     "q_pref_pairs" -> ((s, d) => Curation.prefPairsQuery(s, d)),
@@ -5131,6 +5134,40 @@ object SparkEntry {
         |  quality_score >= 0.5 AS is_quality
         |FROM s
         |ORDER BY doc_id""".stripMargin),
+    // q_neyman_alloc: exact DECIMAL(38,0) cents moments per stratum,
+    // population sd and weights as identical double expressions,
+    // 6dp floor-form, sum transported as a digit string.
+    "q_neyman_alloc" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority AS stratum,
+        |    CAST(count(*) AS BIGINT) AS n_h,
+        |    sum(CAST(CAST(floor((o_totalprice * 100) + 0.5) AS BIGINT)
+        |      AS DECIMAL(38,0))) AS s1,
+        |    sum(CAST(CAST(floor((o_totalprice * 100) + 0.5) AS BIGINT)
+        |      * CAST(floor((o_totalprice * 100) + 0.5) AS BIGINT)
+        |      AS DECIMAL(38,0))) AS s2
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT stratum, n_h, s1,
+        |    floor((sqrt((CAST(s2 AS DOUBLE) -
+        |      CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) /
+        |        CAST(n_h AS DOUBLE)) / CAST(n_h AS DOUBLE)) / 100.0)
+        |      * 1e6 + 0.5) / 1e6 AS sd_dollars
+        |  FROM s),
+        |w2 AS (
+        |  SELECT *, CAST(n_h AS DECIMAL(19,0)) *
+        |    CAST(CAST(floor(sd_dollars * 1e6 + 0.5) AS BIGINT)
+        |      AS DECIMAL(19,0)) AS w_dec
+        |  FROM w),
+        |t AS (SELECT sum(w_dec) AS w_tot FROM w2)
+        |SELECT stratum, n_h, CAST(s1 AS VARCHAR) AS sum_cents,
+        |  sd_dollars,
+        |  floor((CAST(w_dec AS DOUBLE) / CAST(w_tot AS DOUBLE))
+        |    * 1e6 + 0.5) / 1e6 AS share,
+        |  CAST(floor(10000.0 * (CAST(w_dec AS DOUBLE) /
+        |    CAST(w_tot AS DOUBLE)) + 0.5) AS BIGINT) AS alloc_n
+        |FROM w2 CROSS JOIN t
+        |ORDER BY stratum""".stripMargin,
     // q_psi_drift: full replay — the week-1 split, the three binning
     // axes, add-one smoothing, 8dp DECIMAL-summed terms, 6dp PSI,
     // and the banding.

@@ -68,6 +68,67 @@ object Sampling {
     conv(substring(md5(key), 1, 6), 16, 10).cast("long")
 
   /**
+   * Neyman allocation — split a fixed sample budget across strata
+   * ∝ N_h·σ_h (Neyman 1934), the variance-optimal design for
+   * stratified estimation: a stratum earns sample share for being
+   * BIG or for being VOLATILE, which is why it beats proportional
+   * allocation whenever spreads differ — exactly the planner a
+   * labeling or eval-set budget runs through before sampling. Strata
+   * = order priority, variable = order value in exact integer cents.
+   *
+   * Exactness: per-stratum Σx and Σx² accumulate as DECIMAL(38,0)
+   * over cents (order-free, overflow-free at any SF — cents² sums
+   * pass 2^63 near sf1); the population variance
+   * (Σx² − (Σx)²/N)/N and everything after is one double expression
+   * from those exact sums, 6 dp floor-form. Integer seats come from
+   * floor(budget·share + ½); the ±k rounding drift is reported, not
+   * hidden (largest-remainder repair is a presentation choice the
+   * caller makes).
+   *
+   * Shape at 100 TB: one map-side-partial groupBy to k stratum rows;
+   * the allocation is metadata arithmetic on the k-row frame.
+   */
+  def neymanAllocQuery(spark: SparkSession, sfDir: String,
+      budget: Long = 10000L): DataFrame = {
+    val cents = fr(col("o_totalprice") * 100, 0).cast("long")
+    val strata = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderpriority").as("stratum"), cents.as("x"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_h"),
+        sum(col("x").cast("decimal(38,0)")).as("s1"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("s2"))
+    val nD = col("n_h").cast("double")
+    val sd = sqrt((col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / nD) / nD)
+    // weights live in EXACT integer space: sd quantizes to
+    // micro-DOLLARS (≈1.4e11 at sf10 — inside floor's safe range),
+    // then w = n_h · sd_micro as an exact DECIMAL product. The first
+    // formulation rounded w = n·sd through foldRound and silently
+    // SATURATED at sf10: Spark's floor(DOUBLE) returns BIGINT and
+    // clamps at 2^63−1 where DuckDB's floor stays DOUBLE, so
+    // fr(x, s) is only cross-engine-safe while |x|·10^s < 2^63 —
+    // n·sd·1e6 ≈ 4.3e19 was past it and every stratum weight clamped
+    // to the same value (share 0.2 exactly, caught by the sf10 gate).
+    val weighted = strata
+      .withColumn("sd_dollars", fr(sd / 100.0, 6))
+      .withColumn("sd_micro",
+        floor(col("sd_dollars") * lit(1e6) + 0.5).cast("long"))
+      .withColumn("w_dec", col("n_h").cast("decimal(19,0)") *
+        col("sd_micro").cast("decimal(19,0)"))
+    val tot = weighted.agg(sum(col("w_dec")).as("w_tot"))
+    val share = col("w_dec").cast("double") /
+      col("w_tot").cast("double")
+    weighted.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_h"),
+        col("s1").cast("string").as("sum_cents"),
+        col("sd_dollars"),
+        fr(share, 6).as("share"),
+        floor(lit(budget.toDouble) * share + 0.5)
+          .cast("long").as("alloc_n"))
+      .orderBy(col("stratum"))
+  }
+
+  /**
    * Domain-mixture resampling: downsample each stratum so the kept
    * corpus approaches a target mixture (the data-mixing pass every
    * pretraining run does before training — over-represented domains

@@ -272,6 +272,25 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("neyman allocation: shares sum to ~1, seats to ~budget, and " +
+      "allocation tracks n_h times sd exactly") {
+    val rows = graft.operators.Sampling.neymanAllocQuery(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    val shares = rows.map(_.getDouble(4))
+    assert(math.abs(shares.sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getLong(5)).sum - 10000L) <= 5,
+      "seat rounding drift exceeds one per stratum")
+    // ordering of allocations must equal ordering of n_h * sd
+    val byW = rows.sortBy(r => r.getLong(1) * r.getDouble(3))
+      .map(_.getString(0)).toSeq
+    val byAlloc = rows.sortBy(r => (r.getLong(5), r.getString(0)))
+      .map(_.getString(0)).toSeq
+    assert(byW == byAlloc ||
+      rows.map(_.getLong(5)).distinct.length < 5,
+      s"allocation order diverges from weight order: $byW vs $byAlloc")
+  }
+
   test("psi drift: three feature axes, counts conserve the stream, " +
       "the synthetic stream is stable (no drift was injected)") {
     val rows = Curation.psiDriftQuery(spark, sfDir).collect()
