@@ -291,6 +291,9 @@ object SparkEntry {
     "q_oov_rate" -> (TextAnalysis.oovRateQuery _),
     "q_text_quality" -> (TextAnalysis.qualityQuery _),
     "q_lang_id" -> (TextAnalysis.langIdQuery _),
+    // Distinct-n diversity profile per source: exact gram counts,
+    // micro-unit ratios via pure-BIGINT div (r14)
+    "q_distinct_n" -> (TextAnalysis.distinctNQuery _),
     "q_fingerprint" -> (TextAnalysis.fingerprintQuery _),
     "q_ngram_freq" -> (TextAnalysis.ngramFrequencyQuery _),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidfQuery(s, d)),
@@ -1505,6 +1508,36 @@ object SparkEntry {
         |    (1.0 - n_short / n_tok) * 0.25 AS quality_score
         |FROM s
         |ORDER BY doc_id""".stripMargin,
+    // q_distinct_n: exact per-source totals and distincts over the
+    // sliding n-gram construction (count = max(len-n+1, 0), the
+    // graft_ngrams rule); ratios in micro-units via BIGINT //.
+    "q_distinct_n" ->
+      """WITH t AS (
+        |  SELECT source, string_split(text, ' ') AS w FROM documents),
+        |g1 AS (SELECT source, unnest(w) AS g FROM t),
+        |g2 AS (SELECT source, unnest(list_transform(
+        |    range(1, greatest(len(w) - 1, 0) + 1),
+        |    i -> concat_ws(' ', w[i], w[i+1]))) AS g FROM t),
+        |g3 AS (SELECT source, unnest(list_transform(
+        |    range(1, greatest(len(w) - 2, 0) + 1),
+        |    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS g FROM t),
+        |u AS (
+        |  SELECT source, CAST(1 AS INTEGER) AS n,
+        |    CAST(count(*) AS BIGINT) AS total,
+        |    CAST(count(DISTINCT g) AS BIGINT) AS uniq FROM g1
+        |  GROUP BY source
+        |  UNION ALL
+        |  SELECT source, CAST(2 AS INTEGER),
+        |    CAST(count(*) AS BIGINT), CAST(count(DISTINCT g) AS BIGINT)
+        |  FROM g2 GROUP BY source
+        |  UNION ALL
+        |  SELECT source, CAST(3 AS INTEGER),
+        |    CAST(count(*) AS BIGINT), CAST(count(DISTINCT g) AS BIGINT)
+        |  FROM g3 GROUP BY source)
+        |SELECT source, n, total, uniq,
+        |  CAST((uniq * 1000000) // total AS BIGINT) AS distinct_micro
+        |FROM u
+        |ORDER BY source, n""".stripMargin,
     "q_lang_id" ->
       """WITH s AS (SELECT doc_id, lang,
         |  len(list_filter(string_split(text,' '), x ->

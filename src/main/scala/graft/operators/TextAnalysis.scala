@@ -76,6 +76,39 @@ object TextAnalysis {
   }
 
   /**
+   * Distinct-n diversity profile — per-source distinct-unigram/
+   * bigram/trigram ratios (Li et al. 2016's distinct-n, corpus-level):
+   * the repetitiveness readout that separates template/boilerplate
+   * sources from natural prose BEFORE they enter the mix (a source
+   * whose distinct-2 ratio collapses is generating from a template),
+   * and the same metric later grades generation diversity. Exact
+   * integer counts; the ratio rides micro-units through BIGINT `div`
+   * (cross-engine-safe — pure integer operands).
+   *
+   * Shape at 100 TB: one scan per n explodes grams ALREADY keyed by
+   * source, and the distinct count is a map-side-partial
+   * (source, gram) reduce — no corpus-wide distinct, no text
+   * shuffle beyond the gram digests.
+   */
+  def distinctNQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("text"))
+    def grams(n: Int) =
+      if (n == 1) explode(split(col("text"), " "))
+      else explode(call_function("graft_ngrams", col("text"), lit(n)))
+    (1 to 3).map { n =>
+      docs.select(col("source"), grams(n).as("g"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("total"),
+          countDistinct(col("g")).as("uniq"))
+        .select(col("source"), lit(n).as("n"), col("total"),
+          col("uniq"),
+          expr("(uniq * 1000000) div total").as("distinct_micro"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("source"), col("n"))
+  }
+
+  /**
    * Language ID by stopword-set voting: count hits from per-language
    * indicator word sets, pick the max (ties broken by language code) —
    * the classic n-gram/stopword heuristic, expressible in pure SQL so

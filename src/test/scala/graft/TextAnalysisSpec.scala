@@ -454,4 +454,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.head.getLong(2) > rows.last.getLong(2),
       "vocabulary curve failed to flatten")
   }
+
+  test("distinct-n: ratios bounded and strictly more diverse at " +
+      "higher n, totals follow the sliding-window count") {
+    val rows = TextAnalysis.distinctNQuery(spark, sfDir).collect()
+    val bySrc = rows.groupBy(_.getString(0))
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3))
+      rs.foreach { r =>
+        assert(r.getLong(3) <= r.getLong(2), s"$src uniq > total")
+        assert(r.getLong(4) == r.getLong(3) * 1000000L / r.getLong(2))
+      }
+      // the synthetic corpus has a tiny unigram vocab, so bigrams
+      // and trigrams must be strictly more diverse per source
+      val d = rs.sortBy(_.getInt(1)).map(_.getLong(4))
+      assert(d(0) < d(1) && d(1) < d(2),
+        s"$src diversity not increasing in n: ${d.mkString(",")}")
+      // total grams shrink by ~n_docs per n step (len-n+1 window)
+      val t = rs.sortBy(_.getInt(1)).map(_.getLong(2))
+      assert(t(0) > t(1) && t(1) > t(2))
+    }
+  }
 }
