@@ -173,9 +173,69 @@ object Bench {
         case t: Throwable =>
           System.err.println(s"[bench] spark calib failed: $t"); -1.0
       }
+    // Memory-bandwidth probe (VERDICT r14 #1): the CPU-spin and
+    // codegen calibrations are both compute-bound and BLIND to a
+    // memory/IO-side host shift — the r14 boot-level ~20% uniform
+    // sweep drift held both of them, costing two full 278s sweeps to
+    // prove "host, not code". One sequential sum over a 1 GiB long
+    // array (far beyond LLC, so DRAM-bandwidth-bound); min of 3
+    // passes rejects transient co-tenant traffic.
+    val memCalibSec =
+      try {
+        val n = 134217728 // 128M longs = 1 GiB
+        val a = new Array[Long](n)
+        var i = 0
+        while (i < n) { a(i) = i.toLong * 0x9e3779b97f4a7c15L; i += 1 }
+        def pass(): Double = {
+          val t0 = System.nanoTime()
+          var s = 0L; var j = 0
+          while (j < n) { s += a(j); j += 1 }
+          if (s == 42L) System.err.println("") // keep the loop live
+          (System.nanoTime() - t0) / 1e9
+        }
+        pass() // warm (page-fault) pass, discarded
+        Seq(pass(), pass(), pass()).min
+      } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] mem calib failed: $t"); -1.0
+      }
+    // Disk/FS probe: a fixed 5M-row two-column parquet write+read to
+    // local disk — the storage axis neither spin sees. Page cache
+    // makes the read cheap; the write path (encode + fsync-ish flush)
+    // dominates and tracks the filesystem's health.
+    val ioCalibSec =
+      try {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_bench_io").toString
+        val t0 = System.nanoTime()
+        spark.range(5000000L)
+          .selectExpr("id", "cast(id % 9973 as string) AS s")
+          .repartition(4)
+          .write.mode("overwrite").parquet(dir + "/p")
+        val cnt = spark.read.parquet(dir + "/p")
+          .selectExpr("sum(length(s))").collect()(0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (cnt == null) System.err.println("")
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: Throwable => () }
+        sec
+      } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] io calib failed: $t"); -1.0
+      }
+    // calib_ver records the ESTIMATOR (ADVICE r14): v2 = min-of-3
+    // 267M spins x3 (r14+); v1 was one 800M spin (<= r13). Cross-
+    // round fingerprint comparisons are only estimator-consistent
+    // within a version.
     val hostObj =
       s""""host":{"uptime_sec":${d3(uptimeSec)},"load1":${d3(load1)},""" +
-        s""""calib_sec":${d3(calibSec)},""" +
+        s""""calib_sec":${d3(calibSec)},"calib_ver":2,""" +
+        s""""mem_calib_sec":${d3(memCalibSec)},""" +
+        s""""io_calib_sec":${d3(ioCalibSec)},""" +
         s""""spark_calib_sec":${d3(sparkCalibSec)}}"""
     // audit trail: which queries were billed at warm (pin-reusing)
     // timings vs cold — everything NOT listed here is billed cold

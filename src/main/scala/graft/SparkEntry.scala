@@ -6741,7 +6741,14 @@ object SparkEntry {
     // q_ann_append: same invariant-prediction pattern — exact
     // base/batch counts from the mod-4 split, the bounded-cells and
     // refit-counterfactual booleans, and the post-append serving
-    // floors under the frozen quantizer.
+    // floors under the frozen quantizer. FIXTURE ASSUMPTION (the
+    // recallGate pattern): the four TRUE literals are DATA-DEPENDENT
+    // invariants (one Lloyd round moves >=1 base vector; recall@10
+    // >= 0.3; every code lands in a fitted cell; the batch
+    // self-retrieves). A regenerated embeddings table or a new scale
+    // factor can flip them — a red here should be triaged as a
+    // fixture-assumption shift FIRST, not an engine regression
+    // (verified to hold at sf0.001/0.01/0.1/1/10 as of r14).
     "q_ann_append" ->
       """SELECT
         |  CAST(sum(CASE WHEN vec_id % 4 <> 0 THEN 1 ELSE 0 END)
@@ -6935,11 +6942,11 @@ object SparkEntry {
         |  m.matched_suffix IS NOT NULL AS blocked
         |FROM d LEFT JOIN m ON d.doc_id = m.doc_id
         |ORDER BY d.doc_id""".stripMargin,
-    // q_robots_parse: the oracle carries the five fixture blobs
+    // q_robots_parse: the oracle carries the six fixture blobs
     // verbatim (chr(10)-joined) and replays the parser — line split
     // with ordinals, the three extraction regexes, lag-based group
-    // starts, running block ids, group agent sets, and the
-    // applicability join.
+    // starts, running block ids, and RFC 9309 two-pass group
+    // selection (agent-named groups suppress '*' groups host-wide).
     "q_robots_parse" ->
       """WITH rb(host, robots_txt) AS (VALUES
         |  ('a.example', '# robots for a.example' || chr(10) ||
@@ -6963,7 +6970,12 @@ object SparkEntry {
         |    'Disallow: /everything'),
         |  ('e.example', 'User-agent: *' || chr(10) ||
         |    'Allow: /a' || chr(10) ||
-        |    'Disallow: /a/b')),
+        |    'Disallow: /a/b'),
+        |  ('f.example', 'User-agent: *' || chr(10) ||
+        |    'Allow: /private/' || chr(10) ||
+        |    'Disallow: /tmp/' || chr(10) ||
+        |    'User-agent: graftbot' || chr(10) ||
+        |    'Disallow: /private/')),
         |l AS (SELECT host, string_split(robots_txt, chr(10)) AS ls
         |  FROM rb),
         |ln AS (SELECT host, unnest(generate_series(1, len(ls))) AS i,
@@ -6988,9 +7000,16 @@ object SparkEntry {
         |      OVER (PARTITION BY host ORDER BY line_no) AS BIGINT)
         |      AS block
         |  FROM blk),
-        |ga AS (SELECT host, block,
-        |    max(ua IN ('*', 'graftbot')) AS applies
-        |  FROM blk2 WHERE is_ua GROUP BY host, block)
+        |gn AS (SELECT host, block,
+        |    max(ua = 'graftbot') AS names_agent,
+        |    max(ua = '*') AS names_star
+        |  FROM blk2 WHERE is_ua GROUP BY host, block),
+        |hm AS (SELECT host, max(names_agent) AS host_has_agent
+        |  FROM gn GROUP BY host),
+        |ga AS (SELECT gn.host, gn.block,
+        |    CASE WHEN hm.host_has_agent THEN gn.names_agent
+        |      ELSE gn.names_star END AS applies
+        |  FROM gn JOIN hm ON gn.host = hm.host)
         |SELECT b.host, CAST(b.line_no AS BIGINT) AS line_no,
         |  b.path AS prefix, b.dir = 'allow' AS allow
         |FROM blk2 b JOIN ga ON b.host = ga.host AND b.block = ga.block
@@ -7497,7 +7516,8 @@ object SparkEntry {
         |           x -> x + d.n <= 256), true)] END,
         |    d.n
         |  FROM st JOIN d ON d.g = st.g AND d.i = st.step + 1),
-        |p AS (SELECT g, doc_id, pack, off, n FROM st WHERE step >= 1)
+        |p AS (SELECT g, doc_id, pack, off,
+        |  least(n, CAST(256 AS BIGINT)) AS n FROM st WHERE step >= 1)
         |SELECT g * 256 + pack AS pack_id,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n) AS BIGINT) AS fill_tokens,
@@ -7555,12 +7575,16 @@ object SparkEntry {
         |           x -> x + d.n <= 256), true)] END,
         |    d.n
         |  FROM st JOIN d ON d.g = st.g AND d.i = st.step + 1),
-        |p AS (SELECT g, doc_id, pack, off, n FROM st WHERE step >= 1),
+        |p AS (SELECT g, doc_id, pack, off,
+        |  least(n, CAST(256 AS BIGINT)) AS n FROM st WHERE step >= 1),
         |packs AS (
         |  SELECT p.g * 256 + p.pack AS pack_id,
         |    CAST(count(*) AS BIGINT) AS n_docs,
         |    CAST(sum(p.n) AS BIGINT) AS fill_tokens,
-        |    string_agg(doc.text, ' ' ORDER BY p.off) AS packed
+        |    string_agg(CASE WHEN len(string_split(doc.text, ' ')) > p.n
+        |      THEN array_to_string(string_split(doc.text, ' ')
+        |        [1:CAST(p.n AS INTEGER)], ' ')
+        |      ELSE doc.text END, ' ' ORDER BY p.off) AS packed
         |  FROM p JOIN documents doc ON p.doc_id = doc.doc_id
         |  GROUP BY p.g, p.pack)
         |SELECT pack_id, n_docs, fill_tokens,

@@ -359,7 +359,13 @@ object Curation {
   /** The FFD packing PLAN as per-doc placements — `(pack_id, doc_id,
     * offset, n_tok)` — shared by the plan gate ([[ffdPackQuery]]) and
     * the executor ([[ffdPackExecQuery]]) so they can never place
-    * differently. `docs` = (doc_id, n_tok) metadata only. */
+    * differently. `docs` = (doc_id, n_tok) metadata only.
+    * TRUNCATION SEMANTICS for oversize documents (n_tok > budget):
+    * the kernel seals such a doc alone in a dedicated pack at load =
+    * budget, and the placement's `n_tok` is CLAMPED to the budget —
+    * the doc contributes exactly one full pack and its tail tokens
+    * are truncated (the executor cuts the text to match). Fill and
+    * padding therefore stay within [0, budget] for every pack. */
   private[graft] def ffdPlacements(docs: DataFrame,
       budget: Long, groupSize: Long): DataFrame = {
     val ranked = Prefix.running(docs, Seq(),
@@ -374,13 +380,20 @@ object Curation {
         explode(call_function("graft_ffd_pack", col("docs"),
           lit(budget))).as("p"))
       .select((col("g") * groupSize + col("p.pack")).as("pack_id"),
-        col("p.doc_id"), col("p.offset"), col("p.n_tok").as("n_tok"))
+        col("p.doc_id"), col("p.offset"),
+        least(col("p.n_tok"), lit(budget)).as("n_tok"))
   }
 
   def ffdPackQuery(spark: SparkSession, sfDir: String,
-      budget: Long = 256L, groupSize: Long = 256L): DataFrame = {
-    val toks = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"),
+      budget: Long = 256L, groupSize: Long = 256L): DataFrame =
+    ffdPack(Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")), budget, groupSize)
+
+  /** [[ffdPackQuery]] body over an explicit (doc_id, text) corpus —
+    * split out so specs can inject oversize-document fixtures. */
+  private[graft] def ffdPack(docs: DataFrame,
+      budget: Long, groupSize: Long): DataFrame = {
+    val toks = docs.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
     val placed = ffdPlacements(toks, budget, groupSize)
     placed.groupBy(col("pack_id"))
@@ -414,7 +427,10 @@ object Curation {
    * order — the packed row's token `offset` is where each document
    * starts, so the plan's boundary map doubles as the attention-mask
    * spec of the materialized row (the gate's alignment columns prove
-   * it from the actual packed text).
+   * it from the actual packed text). Oversize documents materialize
+   * TRUNCATED to the plan's clamped token count (= budget), so
+   * `fill_tokens`, `pad_tokens` and `aligned` stay meaningful on any
+   * corpus.
    *
    * Shape at 100 TB: text moves exactly ONCE — the placement join is
    * co-partitioned on doc_id, then one shuffle by pack_id groups
@@ -423,18 +439,32 @@ object Curation {
    * token budget, never by corpus size.
    */
   def ffdPackExecQuery(spark: SparkSession, sfDir: String,
-      budget: Long = 256L, groupSize: Long = 256L): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text"))
+      budget: Long = 256L, groupSize: Long = 256L): DataFrame =
+    ffdPackExec(Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")), budget, groupSize)
+
+  /** [[ffdPackExecQuery]] body over an explicit (doc_id, text)
+    * corpus — split out so specs can inject oversize fixtures. */
+  private[graft] def ffdPackExec(docs: DataFrame,
+      budget: Long, groupSize: Long): DataFrame = {
     val toks = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
     val placed = ffdPlacements(toks, budget, groupSize)
     placed.join(docs, Seq("doc_id"))
+      // oversize docs (raw length > placement n_tok, which is
+      // clamped at the budget) truncate to their placed token count
+      // — the materialized row realizes the plan's truncation
+      // semantics, keeping every pack within the budget
+      .withColumn("doc_text",
+        when(size(split(col("text"), " ")) > col("n_tok"),
+          concat_ws(" ", slice(split(col("text"), " "), lit(1),
+            col("n_tok").cast("int"))))
+          .otherwise(col("text")))
       .groupBy(col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("fill_tokens"),
         concat_ws(" ", transform(sort_array(collect_list(struct(
-          col("offset"), col("text")))),
+          col("offset"), col("doc_text").as("text")))),
           x => x.getField("text"))).as("_packed"))
       .select(col("pack_id"), col("n_docs"), col("fill_tokens"),
         (lit(budget) - col("fill_tokens")).as("pad_tokens"),
@@ -1171,8 +1201,13 @@ object Curation {
    * preceding group; matching is case-insensitive with arbitrary
    * whitespace; `#` comments, blank lines, empty-path rules (an
    * empty Disallow means "allow everything" and emits no rule), and
-   * rules before any group (invalid per RFC) are all dropped. A rule
-   * applies to us iff its group names `*` or our agent token.
+   * rules before any group (invalid per RFC) are all dropped. Group
+   * selection is RFC 9309 §2.2.1's most-specific rule: if ANY group
+   * on the host names our agent token, only agent-named groups apply
+   * and `*` groups are ignored; `*` groups apply only as the
+   * fallback when no agent-named group exists — merging both would
+   * let a `*` Allow of equal-or-longer prefix override an
+   * agent-specific Disallow downstream.
    *
    * Shape at 100 TB: robots documents are per-host and small; every
    * window is PARTITIONED by host (thousands of lines each, never
@@ -1198,9 +1233,19 @@ object Curation {
         !coalesce(lag(col("ua") =!= "", 1).over(w), lit(false)))
       .withColumn("block",
         sum(when(col("new_block"), 1L).otherwise(0L)).over(w))
-    val blockAgents = blocked.filter(col("is_ua"))
+    // two-pass group selection (RFC 9309): agent-named groups win
+    // over `*` groups host-wide; both aggregates are group-count
+    // sized (metadata, never corpus-shaped)
+    val groupNames = blocked.filter(col("is_ua"))
       .groupBy(col("host"), col("block"))
-      .agg(max(col("ua").isin("*", agent)).as("applies"))
+      .agg(max(col("ua") === agent).as("names_agent"),
+        max(col("ua") === "*").as("names_star"))
+    val hostMode = groupNames.groupBy(col("host"))
+      .agg(max(col("names_agent")).as("host_has_agent"))
+    val blockAgents = groupNames.join(hostMode, Seq("host"))
+      .select(col("host"), col("block"),
+        when(col("host_has_agent"), col("names_agent"))
+          .otherwise(col("names_star")).as("applies"))
     blocked
       .filter(!col("is_ua") && col("dir").isin("allow", "disallow") &&
         col("path") =!= "")
@@ -1211,12 +1256,16 @@ object Curation {
       .orderBy(col("host"), col("line_no"))
   }
 
-  /** Correctness gate for [[robotsParse]]: five literal robots.txt
+  /** Correctness gate for [[robotsParse]]: six literal robots.txt
     * blobs (mirrored verbatim in the oracle) covering comments,
     * blank lines, case/whitespace variants, trailing comments on
     * rule lines, a consecutive-UA shared group that includes our
     * agent, a foreign-only group (no output), an empty Disallow
-    * (dropped), and an orphan rule before any group (dropped). */
+    * (dropped), an orphan rule before any group (dropped), and a
+    * host carrying BOTH a `*` group and an agent-specific group —
+    * RFC 9309 group selection must emit only the agent group's
+    * rules (the `*` Allow would otherwise override the specific
+    * Disallow downstream). */
   def robotsParseQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val fixtures = Seq(
@@ -1246,7 +1295,13 @@ object Curation {
       ("e.example", Seq(
         "User-agent: *",
         "Allow: /a",
-        "Disallow: /a/b").mkString("\n")))
+        "Disallow: /a/b").mkString("\n")),
+      ("f.example", Seq(
+        "User-agent: *",
+        "Allow: /private/",
+        "Disallow: /tmp/",
+        "User-agent: graftbot",
+        "Disallow: /private/").mkString("\n")))
     robotsParse(fixtures.toDF("host", "robots_txt"))
   }
 

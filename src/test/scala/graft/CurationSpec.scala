@@ -272,6 +272,44 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("ffd packing: oversize documents truncate to the budget — " +
+      "dedicated sealed pack, clamped fill, non-negative pad, aligned") {
+    // budget 10: doc 1 has 14 tokens (oversize), docs 2/3 fit
+    val docs = Seq(
+      (1L, (1 to 14).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 6).map(i => s"a$i").mkString(" ")),
+      (3L, (1 to 4).map(i => s"b$i").mkString(" "))).toDF("doc_id", "text")
+    val plan = Curation.ffdPack(docs, budget = 10L, groupSize = 256L)
+      .collect()
+    // FFD order by length desc: 14 -> sealed pack 0 (clamped fill
+    // 10); 6 cannot join a sealed pack -> pack 1; 4 joins pack 1
+    assert(plan.length == 2, s"expected 2 packs: ${plan.mkString(",")}")
+    val sealedP = plan.find(_.getLong(0) == 0L).get
+    assert(sealedP.getLong(1) == 1L && sealedP.getLong(2) == 10L &&
+      sealedP.getLong(3) == 0L && sealedP.getString(4) == "0:1:10",
+      s"sealed pack wrong: $sealedP")
+    val open = plan.find(_.getLong(0) == 1L).get
+    assert(open.getLong(2) == 10L && open.getString(4) == "0:2:6,6:3:4")
+    plan.foreach { r =>
+      assert(r.getLong(2) <= 10L, "fill must clamp at the budget")
+      assert(r.getLong(3) >= 0L, "waste must be non-negative")
+    }
+    val exec = Curation.ffdPackExec(docs, budget = 10L, groupSize = 256L)
+      .collect()
+    exec.foreach { r =>
+      assert(r.getLong(2) <= 10L && r.getLong(3) >= 0L,
+        s"exec fill/pad out of range: $r")
+      assert(r.getBoolean(4), s"truncated pack misaligned: $r")
+    }
+    // the sealed pack's text is exactly the first 10 tokens
+    val packed = Curation.ffdPackExec(docs, 10L, 256L)
+      .filter(col("pack_id") === 0L).collect().head.getString(5)
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest((1 to 10).map(i => s"w$i").mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(packed == want, "sealed pack must carry the truncated prefix")
+  }
+
   test("neyman allocation: shares sum to ~1, seats to ~budget, and " +
       "allocation tracks n_h times sd exactly") {
     val rows = graft.operators.Sampling.neymanAllocQuery(spark, sfDir)
@@ -392,7 +430,11 @@ class CurationSpec extends SparkSpec {
       ("c.example", 5L, "/z", false),
       // d.example: foreign-agent-only group -> nothing
       ("e.example", 1L, "/a", true),
-      ("e.example", 2L, "/a/b", false)),
+      ("e.example", 2L, "/a/b", false),
+      // f.example: the agent-specific group SUPPRESSES the '*'
+      // group entirely (RFC 9309 group selection) — neither the
+      // '*' Allow /private/ nor its Disallow /tmp/ may emit
+      ("f.example", 4L, "/private/", false)),
       s"parsed rules diverged: ${rows.mkString(",")}")
   }
 

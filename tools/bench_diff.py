@@ -72,15 +72,32 @@ def main():
     fh, bh = fresh.get("host"), base.get("host")
     host_shifted = False
     if fh and bh:
-        for key in ("calib_sec", "spark_calib_sec"):
+        # calib_ver (r15): the CPU-spin estimator changed in r14
+        # (min-of-3 vs single spin); comparing across estimator
+        # versions reads a few percent of spurious shift, so skip the
+        # CPU key when versions differ (the other probes still apply)
+        ver_ok = fh.get("calib_ver") == bh.get("calib_ver")
+        # mem/io probes (r15, VERDICT r14 #1): both compute
+        # calibrations are blind to memory/IO-side host shifts — the
+        # r14 boot-level ~20% uniform drift held both. The bandwidth
+        # and parquet probes discriminate in seconds. io is the
+        # noisiest axis (page cache, co-tenant disk), so it gets a
+        # wider 1.35x band.
+        probes = ([("calib_sec", 1.15)] if ver_ok else []) + \
+            [("spark_calib_sec", 1.15), ("mem_calib_sec", 1.15),
+             ("io_calib_sec", 1.35)]
+        for key, band in probes:
             fv, bv = fh.get(key), bh.get(key)
             # Bench writes -1.0 when a calibration failed — a sentinel,
             # not a measurement; comparing it would fake a host shift
             if fv and bv and fv > 0 and bv > 0 \
-                    and not (1 / 1.15 <= fv / bv <= 1.15):
+                    and not (1 / band <= fv / bv <= band):
                 print(f"HOST SHIFTED: {key} {bv:.2f}s -> {fv:.2f}s "
                       f"({fv / bv:.2f}x)")
                 host_shifted = True
+        if not ver_ok:
+            print("note: calib_ver differs between artifacts — "
+                  "CPU-spin comparison skipped (estimator changed)")
         print(f"host: uptime {bh.get('uptime_sec', -1):.0f}s -> "
               f"{fh.get('uptime_sec', -1):.0f}s, load1 "
               f"{bh.get('load1', -1):.2f} -> {fh.get('load1', -1):.2f}")
