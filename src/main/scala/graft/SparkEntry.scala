@@ -291,6 +291,7 @@ object SparkEntry {
     "q_oov_rate" -> (TextAnalysis.oovRateQuery _),
     "q_text_quality" -> (TextAnalysis.qualityQuery _),
     "q_lang_id" -> (TextAnalysis.langIdQuery _),
+    "q_lang_id2" -> (TextAnalysis.langId2Query _),
     // Distinct-n diversity profile per source: exact gram counts,
     // micro-unit ratios via pure-BIGINT div (r14)
     "q_distinct_n" -> (TextAnalysis.distinctNQuery _),
@@ -1561,6 +1562,58 @@ object SparkEntry {
         |       ELSE 'und' END AS lang_predicted
         |FROM f4
         |ORDER BY doc_id""".stripMargin,
+    // q_lang_id2: the oracle REFITS the hashed char-trigram
+    // multinomial NB (the q_lm_ppl fit discipline) — same prefix cap,
+    // same md5-bucket hash (hashBucket24 % 64), same train slice
+    // (doc_id % 10 = 0), add-one smoothing with 10-dp floored log
+    // terms summed as DECIMAL, argmax by (score DESC, lang ASC).
+    "q_lang_id2" ->
+      """WITH pref AS (SELECT doc_id, lang, substr(text, 1, 96) AS pref
+        |  FROM documents),
+        |tri AS (SELECT doc_id, lang,
+        |    ('0x' || substr(md5(g), 1, 6))::BIGINT % 64 AS b
+        |  FROM (SELECT doc_id, lang,
+        |      unnest(list_transform(generate_series(1, len(pref) - 2),
+        |        i -> substr(pref, CAST(i AS INTEGER), 3))) AS g
+        |    FROM pref WHERE len(pref) >= 3)),
+        |train AS (SELECT * FROM tri WHERE doc_id % 10 = 0),
+        |cnt AS (SELECT lang, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM train GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS tot
+        |  FROM train GROUP BY 1),
+        |model AS (SELECT g.lang AS cand, g.b,
+        |    CAST(floor(ln((coalesce(c.c, 0) + 1.0) /
+        |      (g.tot + 64.0)) * 1e10 + 0.5) / 1e10
+        |      AS DECIMAL(20,10)) AS lp
+        |  FROM (SELECT t.lang, t.tot, gs.b FROM tot t,
+        |      (SELECT unnest(generate_series(0, 63)) AS b) gs) g
+        |    LEFT JOIN cnt c ON g.lang = c.lang AND g.b = c.b),
+        |td AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd
+        |  FROM documents WHERE doc_id % 10 = 0 GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |prior AS (SELECT lang AS cand,
+        |    CAST(floor(ln(CAST(nd AS DOUBLE) / nt.n) * 1e10 + 0.5)
+        |      / 1e10 AS DECIMAL(20,10)) AS prior_lp
+        |  FROM td, nt),
+        |sc AS (SELECT t.doc_id, m.cand, sum(m.lp) AS s,
+        |    CAST(count(*) AS BIGINT) AS n_tri
+        |  FROM tri t JOIN model m ON t.b = m.b GROUP BY 1, 2),
+        |sc2 AS (SELECT sc.doc_id, sc.cand,
+        |    CAST(sc.s + p.prior_lp AS DECIMAL(25,10)) AS score,
+        |    sc.n_tri
+        |  FROM sc JOIN prior p ON sc.cand = p.cand),
+        |best AS (SELECT doc_id, cand, score, n_tri,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cand) AS rk
+        |  FROM sc2)
+        |SELECT d.doc_id, d.lang AS lang_declared,
+        |  coalesce(b.cand, 'und') AS lang_pred,
+        |  CAST(b.score AS VARCHAR) AS score,
+        |  coalesce(b.n_tri, 0) AS n_tri
+        |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+        |  ON d.doc_id = b.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS md5_hex,
         |  list_reduce(

@@ -309,6 +309,92 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * Hashed char-n-gram language ID (fastText/CLD shape) — the
+   * model-based upgrade over the 4-language stopword vote in
+   * [[langIdOver]]: char TRIGRAMS of a fixed document prefix hash
+   * into `dims` md5 buckets (the [[featureHash]] trick), a
+   * multinomial naive-Bayes model fits per-language bucket
+   * log-probabilities (add-one smoothing) plus a doc-count log-prior
+   * on a DETERMINISTIC train slice (`doc_id % trainMod == 0`, the
+   * q_lm_ppl fit discipline — the oracle refits the identical model
+   * in SQL), and every document scores argmax_l [ log P(l) +
+   * Σ_g log P(bucket(g)|l) ], ties to the lexicographically smallest
+   * language. Documents whose prefix has no trigram predict 'und'.
+   *
+   * Exactness: each log term floors at 10 dp and sums as DECIMAL
+   * (order-free — the q_lm_ppl rule), the final score transports as
+   * a digit string, and the argmax orders by (DECIMAL score desc,
+   * lang asc) — bit-deterministic on both engines.
+   *
+   * Shape at 100 TB: the prefix cap bounds per-doc work (≤
+   * prefixLen−2 trigrams); the model is a (langs × dims) broadcast
+   * (~320 rows); scoring is one narrow explode + broadcast join +
+   * map-side partial DECIMAL sum; the per-doc argmax window is
+   * bounded by the language count. No corpus-side text ever
+   * shuffles.
+   */
+  def langId2Over(docs: DataFrame, dims: Int = 64, prefixLen: Int = 96,
+      trainMod: Long = 10L): DataFrame = {
+    val tri = docs
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, prefixLen).as("pref"))
+      .filter(length(col("pref")) >= 3)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, length(pref) - 2)," +
+          " i -> substring(pref, i, 3))")).as("g"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long")
+          % dims).as("b"))
+    val train = tri.filter(col("doc_id") % trainMod === 0)
+    val cnt = train.groupBy(col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val tot = train.groupBy(col("lang")).agg(count(lit(1)).as("tot"))
+    // full (lang × bucket) grid so unseen buckets score the smoothed
+    // floor instead of dropping out of the sum
+    val model = tot
+      .select(col("lang"), col("tot"),
+        explode(sequence(lit(0L), lit(dims - 1L))).as("b"))
+      .join(cnt, Seq("lang", "b"), "left")
+      .select(col("lang").as("cand"), col("b"),
+        fr(log((coalesce(col("c"), lit(0L)).cast("double") + 1.0) /
+          (col("tot").cast("double") + dims.toDouble)), 10)
+          .cast("decimal(20,10)").as("lp"))
+    val trainDocs = docs.filter(col("doc_id") % trainMod === 0)
+    val prior = trainDocs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(trainDocs.agg(count(lit(1)).as("n"))))
+      .select(col("lang").as("cand"),
+        fr(log(col("nd").cast("double") / col("n").cast("double")), 10)
+          .cast("decimal(20,10)").as("prior_lp"))
+    val scored = tri.select(col("doc_id"), col("b"))
+      .join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"), col("cand"))
+      .agg(sum(col("lp")).as("s"), count(lit(1)).as("n_tri"))
+      .join(broadcast(prior), Seq("cand"))
+      .select(col("doc_id"), col("cand"),
+        (col("s") + col("prior_lp")).cast("decimal(25,10)").as("score"),
+        col("n_tri"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cand"))
+    val best = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("cand"),
+        col("score").cast("string").as("score"), col("n_tri"))
+    docs.select(col("doc_id"), col("lang").as("lang_declared"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang_declared"),
+        coalesce(col("cand"), lit("und")).as("lang_pred"),
+        col("score"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[langId2Over]] wired to the documents table. */
+  def langId2Query(spark: SparkSession, sfDir: String): DataFrame =
+    langId2Over(Tables.load(spark, sfDir, "documents"))
+
   /** 64-bit polynomial rolling hash of a string's code points:
     * h = Σ cp_i·B^(n-1-i) mod M, sequential, overflow-free (M < 2^31 so
     * h·B + cp fits a long). Native codegen'd kernel
