@@ -574,6 +574,7 @@ object SparkEntry {
     // Filter-funnel attribution: first-drop accounting through the
     // ordered stages length -> quality -> legal -> exact-dup (r14)
     "q_filter_funnel" -> (Curation.filterFunnelQuery _),
+    "q_pipeline_ledger" -> ((s, d) => Curation.pipelineLedgerQuery(s, d)),
     // Bradley–Terry strength fit (2 MM iterations) over decile-bucket
     // duels — the pair→strength analytics pass for preference data (r14)
     "q_bradley_terry" -> (Curation.bradleyTerryQuery _),
@@ -5405,6 +5406,153 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(4 AS INTEGER), 'exact_dedup', n0 - d1 - d2 - d3,
         |  d4, n0 - d1 - d2 - d3 - d4 FROM c
+        |ORDER BY stage_no""".stripMargin),
+    // q_pipeline_ledger: the oracle replays the COMPOSED chain from
+    // scratch — compliance verdict (q_compliance's rules + longest
+    // match), dedup keeper among compliant survivors, shared scorer
+    // >= 0.5, per-host rank <= 3 (the graft_topk twin), the
+    // recursive-CTE FFD fold over the survivors — and recomputes
+    // every stage's order-free 60-bit-md5-sum digest (the
+    // q_publish_manifest pattern, lpad-26 string transport).
+    "q_pipeline_ledger" ->
+      (s"WITH RECURSIVE $qualityScoreCte," +
+        """
+        |d AS (
+        |  SELECT doc_id, text,
+        |    'site' || CAST(doc_id % 5 AS VARCHAR) ||
+        |      CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END
+        |      AS host,
+        |    '/' || CASE WHEN doc_id % 3 = 0 THEN 'private'
+        |      WHEN doc_id % 3 = 1 THEN 'public' ELSE 'blog' END ||
+        |      '/p' || CAST(doc_id % 9 AS VARCHAR) AS path,
+        |    (['cc-by','cc0','all-rights-reserved','mit','cc-by-nc',
+        |      'public-domain','unknown'])[CAST(doc_id % 7 AS INTEGER)
+        |      + 1] AS license,
+        |    doc_id % 17 = 0 AS noai
+        |  FROM documents),
+        |rr(host, prefix, allow) AS (VALUES
+        |  ('site1.com', '/private/', FALSE),
+        |  ('site1.com', '/private/blog', TRUE),
+        |  ('site2.org', '/priva', FALSE),
+        |  ('site2.org', '/publi', TRUE),
+        |  ('site3.com', '/', FALSE),
+        |  ('site2.org', '/blog/', FALSE),
+        |  ('site2.org', '/blog/', TRUE)),
+        |m AS (
+        |  SELECT doc_id, allow AS robots_allow FROM (
+        |    SELECT d.doc_id, rr.allow,
+        |      row_number() OVER (PARTITION BY d.doc_id
+        |        ORDER BY length(rr.prefix) DESC, rr.allow DESC,
+        |          rr.prefix DESC) AS rn
+        |    FROM d JOIN rr ON d.host = rr.host
+        |      AND starts_with(d.path, rr.prefix))
+        |  WHERE rn = 1),
+        |f1 AS (
+        |  SELECT d.*, s.quality_score,
+        |    coalesce(m.robots_allow, TRUE) AND NOT d.noai AND
+        |      d.license IN ('cc-by','cc0','mit','public-domain')
+        |      AS p1
+        |  FROM d LEFT JOIN m ON d.doc_id = m.doc_id
+        |    JOIN s ON d.doc_id = s.doc_id),
+        |f2 AS (
+        |  SELECT *, p1 AND doc_id = min(CASE WHEN p1 THEN doc_id END)
+        |      OVER (PARTITION BY md5(text)) AS p2
+        |  FROM f1),
+        |f3 AS (SELECT *, p2 AND quality_score >= 0.5 AS p3 FROM f2),
+        |k AS (SELECT doc_id, TRUE AS p4 FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY host
+        |      ORDER BY quality_score DESC, doc_id) AS rk
+        |    FROM f3 WHERE p3) WHERE rk <= 3),
+        |g AS (
+        |  SELECT f3.*, coalesce(k.p4, FALSE) AS p4,
+        |    CAST(('0x' || substring(md5(text), 1, 15))::BIGINT
+        |      AS DECIMAL(38,0)) AS dg
+        |  FROM f3 LEFT JOIN k ON f3.doc_id = k.doc_id),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        |    sum(CASE WHEN p1 THEN dg END) AS g1,
+        |    CAST(sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+        |    sum(CASE WHEN p2 THEN dg END) AS g2,
+        |    CAST(sum(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+        |    sum(CASE WHEN p3 THEN dg END) AS g3,
+        |    CAST(sum(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+        |    sum(CASE WHEN p4 THEN dg END) AS g4
+        |  FROM g),
+        |tt AS MATERIALIZED (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+        |    AS n
+        |  FROM g WHERE p4),
+        |rk2 AS MATERIALIZED (
+        |  SELECT doc_id, n, CAST(row_number() OVER
+        |    (ORDER BY n DESC, doc_id) AS BIGINT) AS rk
+        |  FROM tt),
+        |dd AS MATERIALIZED (
+        |  SELECT doc_id, n, (rk - 1) // 256 AS gseg,
+        |    rk - 256 * ((rk - 1) // 256) AS i
+        |  FROM rk2),
+        |st AS (
+        |  SELECT gseg, CAST(0 AS BIGINT) AS step,
+        |    CAST([] AS BIGINT[]) AS loads,
+        |    CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS pack,
+        |    CAST(NULL AS BIGINT) AS off, CAST(NULL AS BIGINT) AS n
+        |  FROM (SELECT DISTINCT gseg FROM dd)
+        |  UNION ALL
+        |  SELECT st.gseg, st.step + 1,
+        |    CASE WHEN dd.n > 256 THEN list_append(st.loads, CAST(256 AS BIGINT))
+        |         WHEN list_position(list_transform(st.loads,
+        |             x -> x + dd.n <= 256), true) = 0
+        |           THEN list_append(st.loads, dd.n)
+        |         ELSE st.loads[1:list_position(list_transform(st.loads,
+        |               x -> x + dd.n <= 256), true) - 1]
+        |           || [st.loads[list_position(list_transform(st.loads,
+        |               x -> x + dd.n <= 256), true)] + dd.n]
+        |           || st.loads[list_position(list_transform(st.loads,
+        |               x -> x + dd.n <= 256), true) + 1 : len(st.loads)]
+        |    END,
+        |    dd.doc_id,
+        |    CASE WHEN dd.n > 256 OR list_position(list_transform(st.loads,
+        |           x -> x + dd.n <= 256), true) = 0
+        |         THEN CAST(len(st.loads) AS BIGINT)
+        |         ELSE CAST(list_position(list_transform(st.loads,
+        |           x -> x + dd.n <= 256), true) - 1 AS BIGINT) END,
+        |    CASE WHEN dd.n > 256 OR list_position(list_transform(st.loads,
+        |           x -> x + dd.n <= 256), true) = 0
+        |         THEN CAST(0 AS BIGINT)
+        |         ELSE st.loads[list_position(list_transform(st.loads,
+        |           x -> x + dd.n <= 256), true)] END,
+        |    dd.n
+        |  FROM st JOIN dd ON dd.gseg = st.gseg AND dd.i = st.step + 1),
+        |pp AS (SELECT gseg, doc_id, pack, off,
+        |  least(n, CAST(256 AS BIGINT)) AS n FROM st WHERE step >= 1),
+        |pb AS (
+        |  SELECT gseg * 256 + pack AS pack_id,
+        |    string_agg(CAST(off AS VARCHAR) || ':' ||
+        |      CAST(doc_id AS VARCHAR) || ':' || CAST(n AS VARCHAR),
+        |      ',' ORDER BY off) AS boundaries
+        |  FROM pp GROUP BY gseg, pack),
+        |pk AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS np,
+        |    sum(CAST(('0x' || substring(md5(CAST(pack_id AS VARCHAR)
+        |      || ':' || boundaries), 1, 15))::BIGINT
+        |      AS DECIMAL(38,0))) AS gp
+        |  FROM pb)
+        |SELECT CAST(1 AS INTEGER) AS stage_no, 'compliance' AS stage,
+        |  n0 AS n_in, s1 AS n_out, n0 - s1 AS n_dropped,
+        |  lpad(CAST(g1 AS VARCHAR), 26, '0') AS digest FROM agg
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), 'exact_dedup', s1, s2, s1 - s2,
+        |  lpad(CAST(g2 AS VARCHAR), 26, '0') FROM agg
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), 'quality', s2, s3, s2 - s3,
+        |  lpad(CAST(g3 AS VARCHAR), 26, '0') FROM agg
+        |UNION ALL
+        |SELECT CAST(4 AS INTEGER), 'domain_quota', s3, s4, s3 - s4,
+        |  lpad(CAST(g4 AS VARCHAR), 26, '0') FROM agg
+        |UNION ALL
+        |SELECT CAST(5 AS INTEGER), 'ffd_pack', agg.s4, pk.np,
+        |  CAST(0 AS BIGINT), lpad(CAST(pk.gp AS VARCHAR), 26, '0')
+        |FROM agg, pk
         |ORDER BY stage_no""".stripMargin),
     // q_domain_quota: shared scorer CTE + id-derived hosts; the
     // bounded-heap pick replays as a per-host rank window (the

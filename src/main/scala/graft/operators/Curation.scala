@@ -832,6 +832,134 @@ object Curation {
   }
 
   /**
+   * Pipeline lineage ledger — the auditable per-stage manifest of the
+   * COMPOSED curation chain compliance → exact dedup → quality floor
+   * → domain quota → FFD pack (all existing operators; the chain a
+   * 100 TB pretraining run actually executes). One row per stage:
+   * (stage_no, stage, n_in, n_out, n_dropped, digest) where `digest`
+   * is the ORDER-FREE content digest of the stage's SURVIVOR set —
+   * the [[Versioning.manifest]] pattern: DECIMAL(38,0) sum of 60-bit
+   * md5 prefixes, zero-padded to a 26-char string so no numeric
+   * canonicalization can flip it. Counts conserve by construction
+   * (n_in(k) = n_out(k−1)) and the digests let an operator replay any
+   * stage from scratch and compare — the audit a multi-day 100 TB
+   * run needs when stage k's output looks wrong and re-running
+   * stages 1..k−1 costs a day.
+   *
+   * Stage semantics (each the gate-fixture form of its standalone
+   * operator, so the oracle replays them verbatim):
+   *   1 compliance   — [[complianceFilter]] verdict over the
+   *     id-derived host/path/license/noai frame + 7-rule robots set
+   *   2 exact_dedup  — min doc_id per md5(text) AMONG stage-1
+   *     survivors (a real chain dedups what compliance admitted)
+   *   3 quality      — shared pretrained scorer ≥ 0.5 (6 dp)
+   *   4 domain_quota — top-`quota` per host by (score desc, doc_id)
+   *     via the bounded `graft_topk` heap over stage-3 survivors
+   *   5 ffd_pack     — [[ffdPlacements]] over the survivors; n_out
+   *     is the PACK count (the unit changes), nothing drops, and the
+   *     digest covers "pack_id:boundaries" rows (content + order).
+   *
+   * Shape at 100 TB: flags 1–3 ride ONE scan (the compliance join is
+   * broadcast rules; the dedup keeper is the single md5-partitioned
+   * window); the quota stage is a bounded heap per host; the count+
+   * digest rollup is one aggregate row; packing adds the bounded-
+   * segment FFD pass. Text shuffles only for the dedup window and
+   * the pack grouping — exactly what the standalone operators pay.
+   */
+  def pipelineLedgerQuery(spark: SparkSession, sfDir: String,
+      quota: Int = 3, budget: Long = 256L): DataFrame = {
+    import spark.implicits._
+    val id = col("doc_id")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(id, col("text"),
+        concat(lit("site"), (id % 5).cast("string"),
+          when(id % 2 === 0, lit(".com")).otherwise(lit(".org")))
+          .as("host"),
+        concat(lit("/"),
+          when(id % 3 === 0, lit("private"))
+            .when(id % 3 === 1, lit("public")).otherwise(lit("blog")),
+          lit("/p"), (id % 9).cast("string")).as("path"),
+        element_at(typedLit(Seq("cc-by", "cc0", "all-rights-reserved",
+          "mit", "cc-by-nc", "public-domain", "unknown")),
+          (id % 7).cast("int") + 1).as("license"),
+        (id % 17 === 0).as("noai"))
+    val robots = Seq(
+      ("site1.com", "/private/", false),
+      ("site1.com", "/private/blog", true),
+      ("site2.org", "/priva", false),
+      ("site2.org", "/publi", true),
+      ("site3.com", "/", false),
+      ("site2.org", "/blog/", false),
+      ("site2.org", "/blog/", true)).toDF("host", "prefix", "allow")
+    val withC = complianceFilter(docs, robots,
+      Seq("cc-by", "cc0", "mit", "public-domain"))
+    val wDigest = Window.partitionBy(md5(col("text")))
+    val flagged = withC
+      .withColumn("p1", col("compliant"))
+      // keeper among stage-1 survivors: min ignores the nulls the
+      // `when` leaves on non-compliant rows
+      .withColumn("p2", col("p1") &&
+        id === min(when(col("p1"), id)).over(wDigest))
+      .withColumn("q",
+        fr(qualityScore(col("text"), pretrainedWeights(), 0.1), 6))
+      .withColumn("p3", col("p2") && col("q") >= 0.5)
+    val keepers = flagged.filter(col("p3"))
+      .groupBy(col("host"))
+      .agg(call_function("graft_topk", col("q"), col("doc_id"),
+        lit(quota)).as("_tk"))
+      .select(explode(col("_tk")).as("e"))
+      .select(col("e.id").as("doc_id"), lit(true).as("p4"))
+    val fl = flagged
+      .join(broadcast(keepers), Seq("doc_id"), "left")
+      .withColumn("p4", coalesce(col("p4"), lit(false)))
+      .withColumn("dg", conv(substring(md5(col("text")), 1, 15), 16, 10)
+        .cast("decimal(38,0)"))
+      .persist()
+    val c = fl.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("p1"), 1L).otherwise(0L)).as("s1"),
+      sum(when(col("p1"), col("dg"))).as("g1"),
+      sum(when(col("p2"), 1L).otherwise(0L)).as("s2"),
+      sum(when(col("p2"), col("dg"))).as("g2"),
+      sum(when(col("p3"), 1L).otherwise(0L)).as("s3"),
+      sum(when(col("p3"), col("dg"))).as("g3"),
+      sum(when(col("p4"), 1L).otherwise(0L)).as("s4"),
+      sum(when(col("p4"), col("dg"))).as("g4")).head()
+    val packs = ffdPack(
+      fl.filter(col("p4")).select(col("doc_id"), col("text")),
+      budget, 256L)
+    val pk = packs.agg(
+      count(lit(1)).as("np"),
+      sum(conv(substring(md5(concat_ws(":",
+        col("pack_id").cast("string"), col("boundaries"))), 1, 15),
+        16, 10).cast("decimal(38,0)")).as("gp")).head()
+    fl.unpersist()
+    def dig(v: Any): String = {
+      val s = v match {
+        case null => "0"
+        case d: java.math.BigDecimal => d.toBigInteger.toString
+        case d: org.apache.spark.sql.types.Decimal =>
+          d.toJavaBigDecimal.toBigInteger.toString
+        case other => other.toString
+      }
+      ("0" * 26 + s).takeRight(26)
+    }
+    // agg row layout: n0, s1, g1, s2, g2, s3, g3, s4, g4
+    val (n0, s1, s2, s3, s4) = (c.getLong(0), c.getLong(1),
+      c.getLong(3), c.getLong(5), c.getLong(7))
+    val np = pk.getLong(0)
+    Seq(
+      (1, "compliance", n0, s1, n0 - s1, dig(c.get(2))),
+      (2, "exact_dedup", s1, s2, s1 - s2, dig(c.get(4))),
+      (3, "quality", s2, s3, s2 - s3, dig(c.get(6))),
+      (4, "domain_quota", s3, s4, s3 - s4, dig(c.get(8))),
+      (5, "ffd_pack", s4, np, 0L, dig(pk.get(1))))
+      .toDF("stage_no", "stage", "n_in", "n_out", "n_dropped",
+        "digest")
+      .orderBy(col("stage_no"))
+  }
+
+  /**
    * Span-corruption planning (the T5/UL2 denoising-objective data
    * prep): deterministically select the mask spans for each document —
    * one 3-token span per 20-token block at an md5-derived offset, so

@@ -310,6 +310,88 @@ class CurationSpec extends SparkSpec {
     assert(packed == want, "sealed pack must carry the truncated prefix")
   }
 
+  test("pipeline ledger: counts conserve stage-to-stage and every " +
+      "digest equals a from-scratch recompute via the standalone ops") {
+    val rows = Curation.pipelineLedgerQuery(spark, sfDir).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.map(_.getString(1)).toSeq == Seq("compliance",
+      "exact_dedup", "quality", "domain_quota", "ffd_pack"))
+    // conservation: n_out = n_in - n_dropped (stages 1-4) and
+    // n_in(k) = n_out(k-1) for the whole chain
+    rows.take(4).foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(4),
+        s"stage ${r.getInt(0)} counts inconsistent: $r")
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) == a.getLong(3),
+        s"stage ${b.getInt(0)} n_in != stage ${a.getInt(0)} n_out")
+    }
+    // from-scratch recompute with INDEPENDENT formulations: groupBy+
+    // join dedup (vs the ledger's window), row_number quota (vs the
+    // bounded heap), sequential filters (vs fused flags)
+    val id = col("doc_id")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(id, col("text"),
+        concat(lit("site"), (id % 5).cast("string"),
+          when(id % 2 === 0, lit(".com")).otherwise(lit(".org")))
+          .as("host"),
+        concat(lit("/"),
+          when(id % 3 === 0, lit("private"))
+            .when(id % 3 === 1, lit("public")).otherwise(lit("blog")),
+          lit("/p"), (id % 9).cast("string")).as("path"),
+        element_at(typedLit(Seq("cc-by", "cc0", "all-rights-reserved",
+          "mit", "cc-by-nc", "public-domain", "unknown")),
+          (id % 7).cast("int") + 1).as("license"),
+        (id % 17 === 0).as("noai"))
+    val robots = Seq(
+      ("site1.com", "/private/", false),
+      ("site1.com", "/private/blog", true),
+      ("site2.org", "/priva", false),
+      ("site2.org", "/publi", true),
+      ("site3.com", "/", false),
+      ("site2.org", "/blog/", false),
+      ("site2.org", "/blog/", true)).toDF("host", "prefix", "allow")
+    val c1 = Curation.complianceFilter(docs, robots,
+      Seq("cc-by", "cc0", "mit", "public-domain"))
+      .filter(col("compliant"))
+      .select(col("doc_id"), col("text"), col("host"))
+    val keep = c1.groupBy(md5(col("text")).as("_d"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val c2 = c1.join(keep, Seq("doc_id"))
+    val c3 = c2.withColumn("q", graft.functions.VectorOps.foldRound(
+      Curation.qualityScore(col("text"),
+        Curation.pretrainedWeights(), 0.1), 6))
+      .filter(col("q") >= 0.5)
+    val c4 = c3.withColumn("_rk", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("host"))
+        .orderBy(col("q").desc, col("doc_id"))))
+      .filter(col("_rk") <= 3)
+    def digOf(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+      val r = df.agg(count(lit(1)),
+        sum(conv(substring(md5(col("text")), 1, 15), 16, 10)
+          .cast("decimal(38,0)"))).head()
+      val s = Option(r.get(1))
+        .map(_.asInstanceOf[java.math.BigDecimal].toBigInteger.toString)
+        .getOrElse("0")
+      (r.getLong(0), ("0" * 26 + s).takeRight(26))
+    }
+    val expect = Seq(digOf(c1), digOf(c2), digOf(c3), digOf(c4))
+    rows.take(4).zip(expect).foreach { case (r, (n, d)) =>
+      assert(r.getLong(3) == n,
+        s"stage ${r.getInt(0)} survivor count diverged from recompute")
+      assert(r.getString(5) == d,
+        s"stage ${r.getInt(0)} digest diverged from recompute")
+    }
+    // pack stage: count matches a standalone ffdPack over the
+    // recomputed survivors, nothing drops, digest is non-degenerate
+    val packs = Curation.ffdPack(
+      c4.select(col("doc_id"), col("text")), 256L, 256L).collect()
+    assert(rows(4).getLong(3) == packs.length.toLong)
+    assert(rows(4).getLong(4) == 0L)
+    assert(rows(4).getString(5) != "0" * 26)
+  }
+
   test("neyman allocation: shares sum to ~1, seats to ~budget, and " +
       "allocation tracks n_h times sd exactly") {
     val rows = graft.operators.Sampling.neymanAllocQuery(spark, sfDir)
