@@ -528,6 +528,7 @@ object SparkEntry {
     // gates, sequence packing)
     "q_contamination" -> (Curation.contaminationQuery _),
     "q_pii_scrub" -> (Curation.piiScrubQuery _),
+    "q_pii_redact" -> (Curation.piiRedactQuery _),
     // K-anonymity release gate: generalization ladder + suppression
     "q_k_anon" -> (Curation.kAnonQuery _),
     "q_rank_ensemble" -> (Curation.rankEnsembleQuery _),
@@ -7504,6 +7505,74 @@ object SparkEntry {
         |ORDER BY w.nation, w.segment""".stripMargin,
     // Same scrub pipeline: email → url → phone → name-dict redaction,
     // whitespace collapse, trim; scrubbed text witnessed by md5.
+    // q_pii_redact: the oracle rebuilds the id-derived dirty suffix,
+    // replays the fold-over-matches defanging rewrite (letters->x,
+    // digits->N, @->#; list_prepend as the fold init), the static
+    // name-dict chain, and both scans (original counts + residual
+    // re-scan of the masked text).
+    "q_pii_redact" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 120) || ' contact u' ||
+        |    CAST(doc_id % 97 AS VARCHAR) || '@ex' ||
+        |    CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.com visit https://ex' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.com/p' || CAST(doc_id % 9 AS VARCHAR) ||
+        |    ' call +1 (55' || CAST(doc_id % 10 AS VARCHAR) ||
+        |    ') 01' || CAST(doc_id % 10 AS VARCHAR) ||
+        |    '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS text
+        |  FROM documents),
+        |m1 AS (SELECT doc_id, text,
+        |    list_reduce(list_prepend(text, regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')),
+        |      (a, m) -> replace(a, m,
+        |        regexp_replace(regexp_replace(regexp_replace(m,
+        |          '[A-Za-z]', 'x', 'g'), '[0-9]', 'N', 'g'),
+        |          '@', '#', 'g'))) AS t1
+        |  FROM d),
+        |m2 AS (SELECT doc_id, text,
+        |    list_reduce(list_prepend(t1, regexp_extract_all(text,
+        |      'https?://[^ ]+')),
+        |      (a, m) -> replace(a, m,
+        |        regexp_replace(regexp_replace(regexp_replace(m,
+        |          '[A-Za-z]', 'x', 'g'), '[0-9]', 'N', 'g'),
+        |          '@', '#', 'g'))) AS t2
+        |  FROM m1),
+        |m3 AS (SELECT doc_id, text,
+        |    list_reduce(list_prepend(t2, regexp_extract_all(text,
+        |      '\+?[0-9][0-9()\- ]{6,}[0-9]')),
+        |      (a, m) -> replace(a, m,
+        |        regexp_replace(regexp_replace(regexp_replace(m,
+        |          '[A-Za-z]', 'x', 'g'), '[0-9]', 'N', 'g'),
+        |          '@', '#', 'g'))) AS t3
+        |  FROM m2),
+        |mm AS (SELECT doc_id, text,
+        |    regexp_replace(regexp_replace(regexp_replace(t3,
+        |      '\bcustomer\b', 'xxxxxxxx', 'g'),
+        |      '\buser\b', 'xxxx', 'g'),
+        |      '\bkey\b', 'xxx', 'g') AS masked
+        |  FROM m3)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+'))
+        |    AS BIGINT) AS n_url,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b(customer|user|key)\b')) AS BIGINT) AS n_name,
+        |  length(masked) = length(text) AS len_ok,
+        |  CAST(len(regexp_extract_all(masked,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+        |    len(regexp_extract_all(masked, 'https?://[^ ]+')) +
+        |    len(regexp_extract_all(masked,
+        |      '\+?[0-9][0-9()\- ]{6,}[0-9]')) +
+        |    len(regexp_extract_all(masked,
+        |      '\b(customer|user|key)\b')) AS BIGINT) AS n_residual,
+        |  md5(masked) AS masked_md5
+        |FROM mm
+        |ORDER BY doc_id""".stripMargin,
     "q_pii_scrub" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,

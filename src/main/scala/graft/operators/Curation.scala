@@ -117,6 +117,86 @@ object Curation {
       .orderBy(col("doc_id"))
 
   /**
+   * PII redaction EXECUTOR (plan→exec doctrine applied to
+   * [[piiScrub]]): instead of collapsing each match to a `<TYPE>`
+   * tag, rewrite matched spans with FORMAT-PRESERVING placeholders —
+   * the defanging convention: letters→`x`, digits→`N`, `@`→`#`
+   * inside each span, separators/punctuation kept — so length, token
+   * boundaries, and downstream statistics survive the redaction
+   * while every PII pattern is structurally broken (`xNN#xxN.xxx`
+   * matches no email regex; `+N (NNN) NNN-NNNN` has no digit left
+   * for the phone regex; masked URLs lose their scheme). Name-dict
+   * words mask to same-length `x` runs via a static regex chain.
+   *
+   * Gate invariants: the redacted text RE-SCANS to zero residual
+   * matches across all four pattern classes, masking preserves
+   * length exactly, and the per-type span counts replay in the
+   * oracle.
+   *
+   * Shape at 100 TB: text moves ONCE — the whole redaction is a
+   * per-row projection (three bounded fold-over-matches rewrites +
+   * a static regex chain), no shuffle at all; output ships counts
+   * and a 32-char digest, never the corpus.
+   */
+  def piiRedact(docs: DataFrame, nameDict: Seq[String]): DataFrame = {
+    val nameRe = nameRegex(nameDict)
+    def maskChars(c: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(c,
+        lit("[A-Za-z]"), lit("x")), lit("[0-9]"), lit("N")),
+        lit("@"), lit("#"))
+    // fold each extracted span: replace its occurrences with its
+    // per-char mask (bounded — spans per doc, not corpus-sized)
+    def maskType(acc: Column, text: Column, re: String): Column =
+      aggregate(regexp_extract_all(text, lit(re), lit(0)), acc,
+        (a, m) => replace(a, m, maskChars(m)))
+    val t = col("text")
+    val m1 = maskType(t, t, emailRe)
+    val m2 = maskType(m1, t, urlRe)
+    val m3 = maskType(m2, t, phoneRe)
+    val masked = nameDict.foldLeft(m3)((acc, w) =>
+      regexp_replace(acc, lit("\\b" + escapeRe(w) + "\\b"),
+        lit("x" * w.length)))
+    docs
+      .withColumn("_masked", masked)
+      .select(col("doc_id"),
+        regexp_count(t, lit(emailRe)).cast("long").as("n_email"),
+        regexp_count(t, lit(urlRe)).cast("long").as("n_url"),
+        regexp_count(t, lit(phoneRe)).cast("long").as("n_phone"),
+        regexp_count(t, lit(nameRe)).cast("long").as("n_name"),
+        (length(col("_masked")) === length(t)).as("len_ok"),
+        (regexp_count(col("_masked"), lit(emailRe)) +
+          regexp_count(col("_masked"), lit(urlRe)) +
+          regexp_count(col("_masked"), lit(phoneRe)) +
+          regexp_count(col("_masked"), lit(nameRe)))
+          .cast("long").as("n_residual"),
+        md5(col("_masked")).as("masked_md5"))
+  }
+
+  /** Correctness gate for [[piiRedact]]: the synthetic corpus has no
+    * machine PII, so every doc gets a deterministic id-derived dirty
+    * suffix — one email, one URL, one phone — appended to its
+    * 120-char prefix (the q_normalize injection pattern); dict names
+    * occur naturally in the prefix. All three injected spans must
+    * redact (counts ≥ 1 per type), re-scan to zero residuals, and
+    * preserve length. */
+  def piiRedactQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val id = col("doc_id")
+    val dirty = concat(substring(col("text"), 1, 120),
+      lit(" contact u"), (id % 97).cast("string"),
+      lit("@ex"), (id % 7).cast("string"),
+      lit(".com visit https://ex"), (id % 7).cast("string"),
+      lit(".com/p"), (id % 9).cast("string"),
+      lit(" call +1 (55"), (id % 10).cast("string"),
+      lit(") 01"), (id % 10).cast("string"),
+      lit("-"), (lit(1000L) + id % 9000).cast("string"))
+    piiRedact(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), dirty.as("text")),
+      Seq("customer", "user", "key"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * Unicode + whitespace normalization — the canonicalization pass that
    * must run before any hashing/dedup stage (decomposed e+U+0301 and
    * precomposed é are the "same" text but hash differently): NFC

@@ -55,6 +55,52 @@ class CurationSpec extends SparkSpec {
     assert(got(3) == "customers keyboard users untouched")
   }
 
+  test("piiRedact: format-preserving defanging — hand-traced masked " +
+      "text, zero residuals, length preserved, counts per type") {
+    val docs = Seq(
+      (1L, "contact bob12@example.com or visit https://ex.com/a1 ok"),
+      (2L, "call +1 (555) 123-4567 for the customer key"),
+      (3L, "nothing to redact here")).toDF("doc_id", "text")
+    val got = Curation.piiRedact(docs, Seq("customer", "user", "key"))
+      .orderBy(col("doc_id")).collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // hand-traced defanging: letters->x, digits->N, @->#
+    val want1 = "contact xxxNN#xxxxxxx.xxx or visit xxxxx://xx.xxx/xN ok"
+    val want2 = "call +N (NNN) NNN-NNNN for the xxxxxxxx xxx"
+    assert(got(0).getString(7) == md5hex(want1),
+      "doc 1 masked text diverged from the hand trace")
+    assert(got(1).getString(7) == md5hex(want2),
+      "doc 2 masked text diverged from the hand trace")
+    assert(got(2).getString(7) == md5hex("nothing to redact here"))
+    // counts per type
+    assert((got(0).getLong(1), got(0).getLong(2), got(0).getLong(3),
+      got(0).getLong(4)) == ((1L, 1L, 0L, 0L)))
+    assert((got(1).getLong(1), got(1).getLong(2), got(1).getLong(3),
+      got(1).getLong(4)) == ((0L, 0L, 1L, 2L)))
+    got.foreach { r =>
+      assert(r.getBoolean(5), s"length not preserved: $r")
+      assert(r.getLong(6) == 0L, s"residual PII survived: $r")
+    }
+    // the gate query injects one of each machine type per doc
+    val gate = Curation.piiRedactQuery(spark, sfDir).collect()
+    gate.foreach { r =>
+      assert(r.getLong(1) >= 1L && r.getLong(2) >= 1L &&
+        r.getLong(3) >= 1L, s"injected span not detected: $r")
+      assert(r.getBoolean(5) && r.getLong(6) == 0L,
+        s"gate invariants failed: $r")
+    }
+  }
+
+  test("piiRedact is a shuffle-free narrow plan") {
+    val docs = Seq((1L, "a@b.co x")).toDF("doc_id", "text")
+    val plan = Curation.piiRedact(docs, Seq("customer"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"piiRedact must not shuffle:\n$plan")
+  }
+
   test("piiScrub counts match what piiClean redacts") {
     val docs = Seq(
       (1L, "mail a@b.co and c@d.org plus https://e.fg"),
