@@ -524,6 +524,7 @@ object SparkEntry {
     // Incremental ANN shard append: frozen quantizer, batch-only
     // assignment projection, refit counterfactual + serving gate (r14)
     "q_ann_append" -> (Similarity.annAppendQuery _),
+    "q_pq_append" -> (Similarity.pqAppendQuery _),
     // Corpus curation (north star: decontamination, privacy, quality
     // gates, sequence packing)
     "q_contamination" -> (Curation.contaminationQuery _),
@@ -6951,6 +6952,25 @@ object SparkEntry {
     // factor can flip them — a red here should be triaged as a
     // fixture-assumption shift FIRST, not an engine regression
     // (verified to hold at sf0.001/0.01/0.1/1/10 as of r14).
+    // q_pq_append: the q_ann_append invariant-prediction pattern for
+    // the PQ code store — exact mod-4 counts; the six booleans are
+    // DATA-DEPENDENT fixture assumptions (complete in-range codes,
+    // bounded coverage, one merged Lloyd round re-coding >=1 base
+    // vector on sub-space 0, ADC self-retrieval + recall >= 0.15 for
+    // the 5 lowest batch ids) — verified at sf0.001/0.01/0.1/1/10; a
+    // red here triages as a fixture-assumption shift first.
+    "q_pq_append" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN vec_id % 4 <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_base,
+        |  CAST(sum(CASE WHEN vec_id % 4 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new,
+        |  TRUE AS codes_complete, TRUE AS codes_in_range,
+        |  TRUE AS pairs_bounded, TRUE AS refit_would_move,
+        |  CAST(sum(CASE WHEN vec_id % 4 = 0 AND vec_id < 20
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_queries,
+        |  TRUE AS self_ok, TRUE AS recall_ok
+        |FROM embeddings""".stripMargin,
     "q_ann_append" ->
       """SELECT
         |  CAST(sum(CASE WHEN vec_id % 4 <> 0 THEN 1 ELSE 0 END)

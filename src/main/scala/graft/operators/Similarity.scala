@@ -369,9 +369,16 @@ object Similarity {
   /** Per-query ADC lookup table: lut[s][c] = <query slice s, centroid
     * c of sub-space s> — m·ksub doubles per query, computed once on the
     * (broadcast) query side so candidate scoring is m array lookups. */
-  private def pqQueries(emb: DataFrame, model: PqModel): DataFrame = {
+  private def pqQueries(emb: DataFrame, model: PqModel): DataFrame =
+    pqQueriesOver(emb.filter(col("vec_id") < 5), model)
+
+  /** [[pqQueries]] over an explicit query frame (no vec_id filter) —
+    * shared with the PQ-append gate, whose queries come from the
+    * appended batch. */
+  private def pqQueriesOver(queries: DataFrame, model: PqModel)
+      : DataFrame = {
     val cbLit = typedLit(model.codebook.map(_.map(_.toSeq).toSeq).toSeq)
-    emb.filter(col("vec_id") < 5).select(
+    queries.select(
       col("vec_id").as("query_id"),
       col("embedding").as("q_emb"),
       VectorOps.norm(col("embedding")).as("q_norm"),
@@ -1223,6 +1230,87 @@ object Similarity {
       .select(col("n_base"), col("n_new"),
         (col("cells_touched") >= 1L && col("cells_touched") <= 20L)
           .as("cells_bounded"),
+        (col("n_refit_moved") > 0L).as("refit_would_move"),
+        col("n_queries"), col("self_ok"), col("recall_ok"))
+  }
+
+  /**
+   * Incremental PQ codebook APPEND — [[annAppendQuery]]'s frozen-
+   * quantizer property applied to the PRODUCT-QUANTIZED store: a
+   * batch of new vectors encodes under the codebook fitted on the
+   * base corpus alone — `m` nearest-sub-centroid projections per
+   * vector, cost ∝ batch — and no existing vector's codes change (the
+   * codebook is the only shared state, and it is frozen). That is
+   * what lets a 100 TB code store ingest continuously: re-fitting the
+   * codebook would re-encode EVERY stored vector (a full-corpus
+   * rewrite), so refits are deliberate maintenance events, never
+   * ingest side effects.
+   *
+   * Gate (recallGate pattern — codebook state is engine-internal,
+   * invariants oracle-predictable): base = vec_id ≢ 0 (mod 4), batch
+   * = the mod-4 quarter, fit re-keyed to the contiguous rank (the
+   * stride-seed aliasing lesson from q_ann_append at sf10). Hashes:
+   * exact base/batch counts; `codes_complete` (every batch vector
+   * produced exactly m sub-codes); `codes_in_range` (each code ∈
+   * [0, ksub)); `pairs_bounded` ((sub-space, code) coverage ≥ 1 and ≤
+   * m·ksub — the encode really ran); `refit_would_move` (the
+   * counterfactual: ONE L2 Lloyd round of sub-space 0's codebook over
+   * the merged corpus re-codes at least one BASE vector — append's
+   * no-movement property is a choice, not vacuous); and post-append
+   * ADC serving over the merged code store under the frozen codebook
+   * (batch self-retrieval + the standing PQ recall floor). Queries
+   * are the 5 lowest batch ids — ADC scores collide on identical
+   * codes, so the self-retrieval population matches the standing PQ
+   * gate's, proven through sf10.
+   */
+  def pqAppendQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val isNew = pmod(col("vec_id"), lit(4L)) === 0L
+    val base = emb.filter(!isNew)
+    val baseForFit = base.select(
+      (col("vec_id") - 1L - expr("vec_id div 4")).as("vec_id"),
+      col("embedding"))
+    val model = fitPq(baseForFit)
+    // frozen-codebook encode of the batch: a pure projection
+    val newCodes = emb.filter(isNew)
+      .select(col("vec_id"), pqCodes(model, col("embedding")).as("codes"))
+    val cov = newCodes
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "c")))
+      .agg(count(lit(1)).as("n_code_entries"),
+        countDistinct(col("s"), col("c")).as("pairs_touched"),
+        min(col("c")).as("min_code"), max(col("c")).as("max_code"),
+        countDistinct(col("vec_id")).as("n_new"))
+    // refit counterfactual on sub-space 0 over the MERGED corpus
+    val sub0 = slice(col("embedding"), 1, model.subDim)
+    val cb0 = lloydRound(
+      emb.select(col("vec_id"), sub0.as("embedding")),
+      model.codebook(0), l2 = true)
+    val refit = base.select(
+        (cellOfL2(model.codebook(0), sub0) =!= cellOfL2(cb0, sub0))
+          .as("mv"))
+      .agg(count(lit(1)).as("n_base"),
+        sum(when(col("mv"), 1L).otherwise(0L)).as("n_refit_moved"))
+    val merged = base
+      .select(col("vec_id").as("neighbor_id"),
+        pqCodes(model, col("embedding")).as("codes"))
+      .unionByName(newCodes
+        .select(col("vec_id").as("neighbor_id"), col("codes")))
+    val qFrame = emb.filter(isNew && col("vec_id") < 20L)
+    val served = adcRank(
+      merged.crossJoin(broadcast(
+        pqQueriesOver(qFrame, model).drop("q_emb")))
+        .withColumn("approx_cos", adcCosine(model)), 10)
+    val serving = recallGate(served,
+      bruteForceTopK(qFrame, emb, 10), 0.15)
+    refit.crossJoin(cov).crossJoin(serving)
+      .select(col("n_base"), col("n_new"),
+        (col("n_code_entries") === col("n_new") * model.m)
+          .as("codes_complete"),
+        (col("min_code") >= 0 && col("max_code") < model.ksub)
+          .as("codes_in_range"),
+        (col("pairs_touched") >= 1L &&
+          col("pairs_touched") <= model.m.toLong * model.ksub)
+          .as("pairs_bounded"),
         (col("n_refit_moved") > 0L).as("refit_would_move"),
         col("n_queries"), col("self_ok"), col("recall_ok"))
   }

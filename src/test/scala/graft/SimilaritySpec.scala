@@ -460,4 +460,23 @@ class SimilaritySpec extends SparkSpec {
       "post-append serving must self-retrieve the batch and hold " +
         "the recall floor")
   }
+
+  test("pqAppend: frozen-codebook encode — complete in-range codes, " +
+      "bounded coverage, refit counterfactual, ADC serving holds") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val r = Similarity.pqAppendQuery(spark, sfDir).collect()(0)
+    val nNew = emb.filter(pmod(col("vec_id"), lit(4L)) === 0L).count()
+    assert(r.getLong(0) == emb.count() - nNew, "base count")
+    assert(r.getLong(1) == nNew, "batch count")
+    assert(r.getBoolean(2), "every batch vector must emit m codes")
+    assert(r.getBoolean(3), "codes must lie in [0, ksub)")
+    assert(r.getBoolean(4), "coverage must be bounded by m*ksub")
+    assert(r.getBoolean(5),
+      "a merged-corpus codebook refit must re-code some base vector " +
+        "— otherwise the frozen-codebook contrast is vacuous")
+    assert(r.getLong(6) == 5L && r.getBoolean(7) && r.getBoolean(8),
+      "post-append ADC must self-retrieve the batch queries and " +
+        "hold the PQ recall floor")
+  }
 }
