@@ -573,6 +573,7 @@ object SparkEntry {
     // Per-domain quota: top-`quota` docs per host by the replayable
     // quality score, bounded-heap graft_topk per host (r14)
     "q_domain_quota" -> ((s, d) => Curation.domainQuotaQuery(s, d)),
+    "q_crawl_frontier" -> ((s, d) => Curation.crawlFrontierQuery(s, d)),
     // Filter-funnel attribution: first-drop accounting through the
     // ordered stages length -> quality -> legal -> exact-dup (r14)
     "q_filter_funnel" -> (Curation.filterFunnelQuery _),
@@ -5556,6 +5557,38 @@ object SparkEntry {
         |  CAST(0 AS BIGINT), lpad(CAST(pk.gp AS VARCHAR), 26, '0')
         |FROM agg, pk
         |ORDER BY stage_no""".stripMargin),
+    // q_crawl_frontier: shared scorer CTE + id-derived hosts; the
+    // per-delay-class bounded heaps replay as one per-host rank
+    // window with the slot arithmetic (rank-1)*delay < horizon;
+    // delay classes derive from the same md5 host hash.
+    "q_crawl_frontier" ->
+      (s"WITH $qualityScoreCte," +
+        """
+        |d AS (
+        |  SELECT s.doc_id,
+        |    'site' || CAST(s.doc_id % 17 AS VARCHAR) ||
+        |    CASE WHEN s.doc_id % 2 = 0 THEN '.com' ELSE '.org' END
+        |      AS host,
+        |    s.quality_score AS priority
+        |  FROM s),
+        |h AS (
+        |  SELECT *, (('0x' || substring(md5(host), 1, 6))::BIGINT % 4
+        |    + 1) * 250 AS delay_ms
+        |  FROM d),
+        |r AS (
+        |  SELECT host, delay_ms,
+        |    CAST(count(*) OVER (PARTITION BY host) AS BIGINT)
+        |      AS n_frontier,
+        |    CAST(row_number() OVER (PARTITION BY host
+        |      ORDER BY priority DESC, doc_id) AS INTEGER) AS rank,
+        |    doc_id, priority
+        |  FROM h)
+        |SELECT host, CAST(delay_ms AS BIGINT) AS delay_ms, n_frontier,
+        |  rank, doc_id, priority,
+        |  CAST((rank - 1) * delay_ms AS BIGINT) AS sched_ms
+        |FROM r
+        |WHERE (rank - 1) * delay_ms < 10000
+        |ORDER BY host, rank""".stripMargin),
     // q_domain_quota: shared scorer CTE + id-derived hosts; the
     // bounded-heap pick replays as a per-host rank window (the
     // single-node twin) with the same (score DESC, doc_id ASC) order.

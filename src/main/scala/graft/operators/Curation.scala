@@ -912,6 +912,57 @@ object Curation {
   }
 
   /**
+   * Crawl frontier scheduler — the FETCH-side twin of
+   * [[domainQuotaQuery]]: given a frontier of candidate URLs with
+   * priorities, emit the politeness-constrained fetch schedule for
+   * the next horizon. Each host has a crawl delay (md5-derived from
+   * the host name — the robots Crawl-delay stand-in, 250/500/750/
+   * 1000 ms classes); within a host, fetches order by (priority
+   * desc, doc_id) and slot k fires at (k−1)·delay — so consecutive
+   * same-host fetches are always exactly one delay apart (the
+   * politeness invariant), and only ⌈horizon/delay⌉ fetches per host
+   * fit the cycle.
+   *
+   * Shape at 100 TB: the schedule NEVER materializes the full
+   * frontier ordering — hosts group by delay class and each class
+   * takes its top-⌈horizon/delay⌉ per host via the bounded
+   * `graft_topk` heap (heap memory ∝ horizon window, map-side
+   * combinable), exactly the domain-quota discipline; a 10⁸-URL spam
+   * host costs the same heap as a 10-URL blog. Priority is the
+   * replayable pretrained quality score (6 dp).
+   */
+  def crawlFrontierQuery(spark: SparkSession, sfDir: String,
+      horizonMs: Long = 10000L): DataFrame = {
+    val id = col("doc_id")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(id,
+        concat(lit("site"), (id % 17).cast("string"),
+          when(id % 2 === 0, lit(".com")).otherwise(lit(".org")))
+          .as("host"),
+        fr(qualityScore(col("text"), pretrainedWeights(), 0.1), 6)
+          .as("priority"))
+      .withColumn("delay_ms",
+        (Sampling.hashBucket24(col("host")) % 4 + 1) * 250)
+    val classes = Seq(250L, 500L, 750L, 1000L)
+    classes.map { d =>
+      val k = ((horizonMs + d - 1) / d).toInt
+      docs.filter(col("delay_ms") === d)
+        .groupBy(col("host"), col("delay_ms"))
+        .agg(count(lit(1)).as("n_frontier"),
+          call_function("graft_topk", col("priority"), col("doc_id"),
+            lit(k)).as("_tk"))
+        .select(col("host"), col("delay_ms"), col("n_frontier"),
+          posexplode(col("_tk")).as(Seq("pos", "e")))
+    }.reduce(_ unionByName _)
+      .select(col("host"), col("delay_ms"), col("n_frontier"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as("doc_id"), col("e.ord").as("priority"),
+        (col("pos") * col("delay_ms")).as("sched_ms"))
+      .filter(col("sched_ms") < horizonMs)
+      .orderBy(col("host"), col("rank"))
+  }
+
+  /**
    * Pipeline lineage ledger — the auditable per-stage manifest of the
    * COMPOSED curation chain compliance → exact dedup → quality floor
    * → domain quota → FFD pack (all existing operators; the chain a

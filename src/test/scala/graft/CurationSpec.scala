@@ -356,6 +356,60 @@ class CurationSpec extends SparkSpec {
     assert(packed == want, "sealed pack must carry the truncated prefix")
   }
 
+  test("crawl frontier: per-host politeness gaps equal the delay, " +
+      "ranks are dense, the horizon bounds the window, and the " +
+      "scheduled set is the host's top-priority prefix") {
+    val horizon = 10000L
+    val rows = Curation.crawlFrontierQuery(spark, sfDir, horizon)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getLong(4), r.getDouble(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (host, hs) =>
+      val sorted = hs.sortBy(_._4)
+      val delay = sorted.head._2
+      assert(sorted.forall(_._2 == delay), s"$host delay inconsistent")
+      // dense ranks from 1 and exact slot arithmetic
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length),
+        s"$host ranks not dense")
+      sorted.foreach { r =>
+        assert(r._7 == (r._4 - 1) * delay, s"$host slot arithmetic")
+        assert(r._7 < horizon, s"$host fetch past the horizon")
+      }
+      // politeness: consecutive fetches exactly one delay apart
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._7 - a._7 == delay,
+          s"$host politeness gap violated")
+        case _ =>
+      }
+      assert(sorted.length <= ((horizon + delay - 1) / delay).toInt,
+        s"$host window exceeds the horizon capacity")
+      // the window is filled: either every frontier URL fit, or the
+      // window is at capacity
+      assert(sorted.length == math.min(hs.head._3,
+        (horizon + delay - 1) / delay).toInt,
+        s"$host window not filled")
+    }
+    // top-priority prefix: recompute host site1.org's full priority
+    // order and compare the scheduled prefix
+    val docs = Tables.load(spark, sfDir, "documents")
+    val id = col("doc_id")
+    val full = docs.select(id,
+        concat(lit("site"), (id % 17).cast("string"),
+          when(id % 2 === 0, lit(".com")).otherwise(lit(".org")))
+          .as("host"),
+        graft.functions.VectorOps.foldRound(Curation.qualityScore(
+          col("text"), Curation.pretrainedWeights(), 0.1), 6)
+          .as("q"))
+      .filter(col("host") === "site1.org")
+      .orderBy(col("q").desc, col("doc_id"))
+      .collect().map(_.getLong(0))
+    val sched1 = rows.filter(_._1 == "site1.org").sortBy(_._4)
+      .map(_._5).toSeq
+    assert(sched1 == full.take(sched1.length).toSeq,
+      "scheduled set must be the host's top-priority prefix")
+  }
+
   test("pipeline ledger: counts conserve stage-to-stage and every " +
       "digest equals a from-scratch recompute via the standalone ops") {
     val rows = Curation.pipelineLedgerQuery(spark, sfDir).collect()
