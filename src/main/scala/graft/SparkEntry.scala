@@ -419,6 +419,7 @@ object SparkEntry {
     // = smaller set; in-engine quote docs exercise the
     // containment-without-near-dup case (r14)
     "q_containment" -> ((s, d) => Dedup.containmentQuery(s, d)),
+    "q_containment_xling" -> ((s, d) => Dedup.containmentXlingQuery(s, d)),
     "q_setsim_join" -> (Dedup.setSimJoinQuery _),
     // MinHash/SimHash gates (q_approx_distinct pattern): candidate
     // lists ride engine-internal signatures, but estimate-error vs
@@ -1830,6 +1831,62 @@ object SparkEntry {
     // would delete exactly the unequal-length pairs containment
     // exists to find), direction = smaller shingle set (tie → lower
     // id).
+    // q_containment_xling: same replay as q_containment but the
+    // fixture adds pseudo-translations (mod-50 prefixes under lang
+    // 'xl' at id + 2e9), the pair join drops the language block and
+    // keeps only lang_a <> lang_b pairs, and the output carries both
+    // languages.
+    "q_containment_xling" ->
+      """WITH aug AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000, 'xl',
+        |    array_to_string(string_split(text, ' ')[1:26], ' ')
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+        |      i -> concat_ws(' ', string_split(text,' ')[i],
+        |        string_split(text,' ')[i+1], string_split(text,' ')[i+2])))
+        |      AS s
+        |  FROM aug),
+        |ex AS (SELECT doc_id, lang, unnest(s) AS g FROM sh),
+        |kept AS (
+        |  SELECT * FROM ex WHERE g NOT IN (
+        |    SELECT g FROM ex GROUP BY g HAVING count(*) > 1000)),
+        |n AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM kept a JOIN kept b
+        |    ON a.g = b.g AND a.lang <> b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT doc_a, doc_b, inter, na.n_sh AS n_a, nb.n_sh AS n_b,
+        |    floor((CAST(inter AS DOUBLE) /
+        |      CAST(least(na.n_sh, nb.n_sh) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |      AS containment
+        |  FROM pr
+        |  JOIN n na ON pr.doc_a = na.doc_id
+        |  JOIN n nb ON pr.doc_b = nb.doc_id),
+        |lg AS (SELECT doc_id, lang FROM aug),
+        |o AS (
+        |  SELECT CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END
+        |      AS contained_doc,
+        |    CASE WHEN n_a <= n_b THEN doc_b ELSE doc_a END
+        |      AS container_doc,
+        |    CAST(inter AS BIGINT) AS inter,
+        |    CAST(least(n_a, n_b) AS BIGINT) AS n_contained,
+        |    CAST(greatest(n_a, n_b) AS BIGINT) AS n_container,
+        |    containment
+        |  FROM c WHERE containment >= 0.8)
+        |SELECT o.contained_doc, o.container_doc,
+        |  l1.lang AS contained_lang, l2.lang AS container_lang,
+        |  o.inter, o.n_contained, o.n_container, o.containment
+        |FROM o
+        |JOIN lg l1 ON o.contained_doc = l1.doc_id
+        |JOIN lg l2 ON o.container_doc = l2.doc_id
+        |ORDER BY o.contained_doc, o.container_doc""".stripMargin,
     "q_containment" ->
       """WITH aug AS (
         |  SELECT doc_id, lang, text FROM documents

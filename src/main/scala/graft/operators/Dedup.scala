@@ -291,6 +291,84 @@ object Dedup {
   }
 
   /**
+   * CROSS-LINGUAL containment mining — [[containmentQuery]]'s
+   * asymmetric-overlap pattern applied ACROSS language boundaries:
+   * the same DF-capped shingle inverted index, but pairs are kept
+   * only when the two documents declare DIFFERENT languages — the
+   * translated-quote / copied-boilerplate miner a multilingual crawl
+   * runs beside the in-language pass (a quote translated with shared
+   * named entities, code blocks, or citations retains exactly the
+   * shingles a same-language block would discard). The operator's
+   * contract is asymmetric overlap over any SHARED token space: on
+   * this corpus the vocabulary is shared outright; a production
+   * multilingual pipeline substitutes a cross-lingual shingle space
+   * (lemmatized, transliterated, or semantically hashed n-grams) and
+   * the plan is unchanged.
+   *
+   * Scale: dropping the language block widens the inverted-index
+   * join, but the hot-shingle DF cap is still what bounds it (≤ df²/2
+   * pairs per shingle) — the cap, not the block, is the scale story,
+   * exactly as in the in-language miner.
+   */
+  def containmentXlingQuery(spark: SparkSession, sfDir: String,
+      maxShingleDf: Int = 1000, minContainment: Double = 0.8)
+      : DataFrame = {
+    // gate fixture: pseudo-TRANSLATIONS — the 26-word prefix of every
+    // mod-50 doc re-declared under lang 'xl' at id + 2·10⁹ — so the
+    // cross-language quote⊂article case exists at every SF
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val translated = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 2000000000L).as("doc_id"), lit("xl").as("lang"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 26)).as("text"))
+    val corpus = docs.unionByName(translated)
+    val sh = corpus.select(col("doc_id"), col("lang"),
+      hashedShingles(col("text")).as("sh"))
+    val ex = sh.select(col("doc_id"), col("lang"),
+      explode(col("sh")).as("s"))
+    val hot = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select(col("s"))
+    val kept = ex.join(hot, Seq("s"), "left_anti")
+    val n = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val langs = corpus.select(col("doc_id"), col("lang"))
+    val a = kept.select(col("s"), col("doc_id").as("doc_a"),
+      col("lang").as("lang_a"))
+    val b = kept.select(col("s"), col("doc_id").as("doc_b"),
+      col("lang").as("lang_b"))
+    a.join(b, Seq("s"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("lang_a") =!= col("lang_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(n.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        Seq("doc_a"))
+      .join(n.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        Seq("doc_b"))
+      .withColumn("containment",
+        graft.functions.VectorOps.foldRound(
+          col("inter").cast("double") /
+            least(col("n_a"), col("n_b")).cast("double"), 6))
+      .filter(col("containment") >= minContainment)
+      .select(
+        when(col("n_a") <= col("n_b"), col("doc_a"))
+          .otherwise(col("doc_b")).as("contained_doc"),
+        when(col("n_a") <= col("n_b"), col("doc_b"))
+          .otherwise(col("doc_a")).as("container_doc"),
+        col("inter"),
+        least(col("n_a"), col("n_b")).as("n_contained"),
+        greatest(col("n_a"), col("n_b")).as("n_container"),
+        col("containment"))
+      .join(langs.select(col("doc_id").as("contained_doc"),
+        col("lang").as("contained_lang")), Seq("contained_doc"))
+      .join(langs.select(col("doc_id").as("container_doc"),
+        col("lang").as("container_lang")), Seq("container_doc"))
+      .select(col("contained_doc"), col("container_doc"),
+        col("contained_lang"), col("container_lang"), col("inter"),
+        col("n_contained"), col("n_container"), col("containment"))
+      .orderBy(col("contained_doc"), col("container_doc"))
+  }
+
+  /**
    * Edit-distance verification of near-dup candidates — the
    * candidates-then-verify pattern every production dedup pipeline
    * uses: candidate pairs come from the CHEAP set-similarity stage

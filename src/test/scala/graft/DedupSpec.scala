@@ -408,4 +408,28 @@ class DedupSpec extends SparkSpec {
     assert(quotePairs.exists(_.getDouble(6) < 0.5),
       "fixture no longer exercises containment-without-near-dup")
   }
+
+  test("cross-lingual containment: only cross-language pairs emit, " +
+      "every pseudo-translation is contained in its source, " +
+      "direction and bounds hold") {
+    val rows = Dedup.containmentXlingQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(2) != r.getString(3),
+        s"same-language pair leaked through the cross-lingual join: $r")
+      val (inter, nc, ncont) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(nc <= ncont && inter <= nc)
+      assert(r.getDouble(7) >= 0.8 && r.getDouble(7) <= 1.0)
+    }
+    // each pseudo-translation (id = source + 2*10^9, lang 'xl') pairs
+    // with its source at containment 1.0 under a different language
+    val tr = rows.filter(r => r.getLong(0) >= 2000000000L &&
+      r.getLong(1) == r.getLong(0) - 2000000000L)
+    assert(tr.nonEmpty, "no translation-source pair surfaced")
+    tr.foreach { r =>
+      assert(r.getString(2) == "xl" && r.getString(3) != "xl")
+      assert(r.getDouble(7) == 1.0,
+        s"translation ${r.getLong(0)} not fully contained")
+    }
+  }
 }
