@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""check.py with a per-query wall-clock budget — for deep-scale (sf10)
+oracle replays where some oracles are known capacity hazards (O(n^2)
+q_skyline, recursive CTEs over millions of rows). Each oracle runs in
+its own process; one that exceeds the budget is killed and recorded as
+CAPACITY (an oracle limitation, NOT an engine failure — the engine
+side already produced its dump). Exit code 1 only on a real FAIL.
+
+Usage: python3 tools/check_budget.py <sfDir> <verifyOutDir> [budget_sec]
+"""
+import json
+import multiprocessing as mp
+import os
+import sys
+
+
+def run_one(sf_dir, out_dir, name, sql, q):
+    # child process: fresh connection, bounded temp spill
+    import duckdb
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from check import TABLES, canon, type_diffs
+    con = duckdb.connect()
+    con.execute("SET temp_directory='/tmp/duck_tmp'")
+    con.execute("SET memory_limit='24GB'")
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    try:
+        res = con.execute(sql)
+        onames = [d[0] for d in res.description]
+        orows = res.fetchall()
+        sres = con.execute(
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        snames = [d[0] for d in sres.description]
+        srows = sres.fetchall()
+    except Exception as e:
+        q.put(("FAIL", f"error: {e}"))
+        return
+    ocols, ocanon = canon(orows, onames)
+    scols, scanon = canon(srows, snames)
+    if ocols != scols:
+        q.put(("FAIL", f"columns oracle={ocols} spark={scols}"))
+        return
+    if len(ocanon) != len(scanon):
+        q.put(("FAIL", f"rows oracle={len(ocanon)} spark={len(scanon)}"))
+        return
+    if ocanon != scanon:
+        diffs = [(a, b) for a, b in zip(ocanon, scanon) if a != b]
+        q.put(("FAIL", f"{len(diffs)}/{len(ocanon)} rows differ; "
+                       f"first: oracle={diffs[0][0]} spark={diffs[0][1]}"))
+        return
+    tdiffs = type_diffs(con, sql, f"{out_dir}/{name}/*.parquet")
+    if tdiffs:
+        q.put(("FAIL", "values equal but physical types differ: "
+               + ", ".join(f"{c} o={o} s={s}" for c, o, s in tdiffs)))
+        return
+    q.put(("PASS", f"{len(ocanon)} rows"))
+
+
+def main(sf_dir, out_dir, budget):
+    os.makedirs("/tmp/duck_tmp", exist_ok=True)
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_cap = 0
+    for name, sql in sorted(oracle.items()):
+        q = mp.Queue()
+        p = mp.Process(target=run_one,
+                       args=(sf_dir, out_dir, name, sql, q))
+        p.start()
+        p.join(budget)
+        if p.is_alive():
+            p.terminate()
+            p.join()
+            print(f"CAPACITY {name}: oracle exceeded {budget}s budget",
+                  flush=True)
+            n_cap += 1
+            continue
+        if q.empty():
+            # child died (OOM-killed during spill, etc.) — also a
+            # capacity event, the oracle never produced a verdict
+            print(f"CAPACITY {name}: oracle process died "
+                  f"(exitcode {p.exitcode})", flush=True)
+            n_cap += 1
+            continue
+        status, msg = q.get()
+        print(f"{status} {name}: {msg}" if status == "FAIL"
+              else f"{status} {name} ({msg})", flush=True)
+        if status == "PASS":
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {n_cap} capacity")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  int(sys.argv[3]) if len(sys.argv) > 3 else 600))
