@@ -20,8 +20,11 @@ def run_one(sf_dir, out_dir, name, sql, q):
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from check import TABLES, canon, type_diffs
     con = duckdb.connect()
-    con.execute("SET temp_directory='/tmp/duck_tmp'")
-    con.execute("SET memory_limit='24GB'")
+    tmp = os.environ.get("GRAFT_DUCK_TMP", "/tmp/duck_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    mem = os.environ.get("GRAFT_DUCK_MEM", "24GB")
+    con.execute(f"SET memory_limit='{mem}'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
@@ -60,8 +63,17 @@ def run_one(sf_dir, out_dir, name, sql, q):
     q.put(("PASS", f"{len(ocanon)} rows"))
 
 
+def wipe_tmp():
+    # a budget-killed child leaves its spill files behind — tens of GB
+    # after a capacity oracle; reclaim before the next query
+    import shutil
+    tmp = os.environ.get("GRAFT_DUCK_TMP", "/tmp/duck_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+
 def main(sf_dir, out_dir, budget):
-    os.makedirs("/tmp/duck_tmp", exist_ok=True)
+    wipe_tmp()
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_cap = 0
     for name, sql in sorted(oracle.items()):
@@ -73,6 +85,7 @@ def main(sf_dir, out_dir, budget):
         if p.is_alive():
             p.terminate()
             p.join()
+            wipe_tmp()
             print(f"CAPACITY {name}: oracle exceeded {budget}s budget",
                   flush=True)
             n_cap += 1
