@@ -427,6 +427,10 @@ object SparkEntry {
     // exhaustive hamming scan (simhash) are oracle-predictable.
     "q_dedup_minhash" -> (Dedup.minhashGateQuery _),
     "q_dedup_simhash" -> (Dedup.simhashGateQuery _),
+    // Incremental MinHash-LSH index append: batch bands probe the
+    // frozen-banding store (new-vs-old + new-vs-new only, ingest
+    // ∝ batch); gate proves inc ≡ full-recompute on touched pairs (r15)
+    "q_minhash_append" -> (Dedup.minhashAppendQuery _),
     "q_dedup_embedding" -> (Dedup.embeddingNearDupQuery _),
     "q_dedup_incremental" -> (Dedup.incrementalQuery _),
     // Bloom-prefiltered incremental dedup: 8 KB OR-merged membership
@@ -575,6 +579,9 @@ object SparkEntry {
     // quality score, bounded-heap graft_topk per host (r14)
     "q_domain_quota" -> ((s, d) => Curation.domainQuotaQuery(s, d)),
     "q_crawl_frontier" -> ((s, d) => Curation.crawlFrontierQuery(s, d)),
+    // Freshness-aware recrawl scheduler: per-page change-rate from
+    // the fetch history, Laplace-smoothed revisit interval (r15)
+    "q_recrawl_sched" -> (Curation.recrawlSchedQuery _),
     // Filter-funnel attribution: first-drop accounting through the
     // ordered stages length -> quality -> legal -> exact-dup (r14)
     "q_filter_funnel" -> (Curation.filterFunnelQuery _),
@@ -2388,6 +2395,23 @@ object SparkEntry {
     // all-pairs hamming scan, both computed in-engine.
     "q_dedup_simhash" ->
       """SELECT TRUE AS complete_ok, TRUE AS precision_ok""".stripMargin,
+    // MinHash index append: counts are exact (mod-4 split); the
+    // booleans are theorems (no_old_old, inc_eq_full — frozen banding
+    // makes incremental ≡ full on batch-touching pairs) or the
+    // standing estimator bounds (est_ok/sim_ok, the q_dedup_minhash
+    // limits), all checked in-engine on the real candidate sets.
+    // found_any is a FIXTURE ASSUMPTION (near-dup clusters straddle
+    // the mod-4 cut; verified sf0.001–sf1): if it reds after a corpus
+    // regeneration, re-check the fixture before suspecting the engine.
+    "q_minhash_append" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN doc_id % 4 <> 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_index,
+        |  CAST(sum(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_batch,
+        |  TRUE AS found_any, TRUE AS no_old_old, TRUE AS inc_eq_full,
+        |  TRUE AS est_ok, TRUE AS sim_ok
+        |FROM documents""".stripMargin,
     // Distributed k-means (q_pagerank pattern): the oracle replays
     // stride seeding and BOTH Lloyd rounds CTE-for-CTE. Distances use
     // the list_dot_product 3-term form rounded to 6 dp (+0.0 kills
@@ -5646,6 +5670,35 @@ object SparkEntry {
         |FROM r
         |WHERE (rank - 1) * delay_ms < 10000
         |ORDER BY host, rank""".stripMargin),
+    // q_recrawl_sched: exact integer replay — per-page lag window on
+    // (ts, event_id), change = fingerprint differs from the previous
+    // fetch, Laplace-smoothed interval via integer div, next_due in
+    // epoch-ms space (the q_conversion_lag make_timestamp convention).
+    "q_recrawl_sched" ->
+      """WITH f AS (
+        |  SELECT user_id % 101 AS page_id, epoch_ms(ts) AS ms,
+        |    event_id, event_type AS fp
+        |  FROM events),
+        |c AS (
+        |  SELECT page_id, ms,
+        |    CASE WHEN lag(fp) OVER (PARTITION BY page_id
+        |        ORDER BY ms, event_id) IS NOT NULL
+        |      AND lag(fp) OVER (PARTITION BY page_id
+        |        ORDER BY ms, event_id) <> fp
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM f),
+        |a AS (
+        |  SELECT page_id, CAST(count(*) AS BIGINT) AS n_fetches,
+        |    CAST(sum(chg) AS BIGINT) AS n_changes,
+        |    min(ms) AS first_ms, max(ms) AS last_ms
+        |  FROM c GROUP BY page_id)
+        |SELECT page_id, n_fetches, n_changes,
+        |  (last_ms - first_ms) // (n_changes + 1) AS interval_ms,
+        |  make_timestamp(last_ms * 1000) AS last_ts,
+        |  make_timestamp((last_ms +
+        |    (last_ms - first_ms) // (n_changes + 1)) * 1000)
+        |    AS next_due_ts
+        |FROM a ORDER BY page_id""".stripMargin,
     // q_domain_quota: shared scorer CTE + id-derived hosts; the
     // bounded-heap pick replays as a per-host rank window (the
     // single-node twin) with the same (score DESC, doc_id ASC) order.

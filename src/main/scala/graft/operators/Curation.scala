@@ -963,6 +963,58 @@ object Curation {
   }
 
   /**
+   * Freshness-aware RECRAWL scheduler — [[crawlFrontierQuery]]'s twin
+   * on the already-crawled side: the frontier ranks what to fetch
+   * FIRST; this estimates, from each page's observed fetch history,
+   * how often it actually changes and therefore WHEN to fetch it
+   * again (the Cho–Garcia-Molina freshness policy every production
+   * crawler runs: change-rate estimation → proportional revisit
+   * interval).
+   *
+   * Estimator (exact integer arithmetic end-to-end): per page, fetch
+   * history = its events ordered by (ts, event_id); a fetch observes
+   * a CHANGE when its content fingerprint differs from the previous
+   * fetch's (fingerprint = event_type in the gate fixture — the
+   * deterministic stand-in for a page content hash). The smoothed
+   * mean inter-change gap `interval_ms = span_ms div (n_changes+1)`
+   * (Laplace +1: a never-changing page is revisited once per observed
+   * span, not never) and `next_due = last_fetch + interval` — so a
+   * single-fetch page (span 0) is due immediately: unknown pages get
+   * probed soon, which is the standard cold-start choice.
+   *
+   * Scale shape (100 TB of fetch logs): ONE shuffle on page_id — the
+   * per-page lag window and the per-page aggregate ride the same
+   * partitioning — output is page-count-sized, and the estimator is
+   * an append-friendly aggregate (n_changes, first/last ts roll
+   * forward incrementally as new fetch logs land). No global window;
+   * the final ORDER BY is gate-only.
+   */
+  def recrawlSchedQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(pmod(col("user_id"), lit(101L)).as("page_id"),
+        unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("event_type").as("fp"))
+    val w = Window.partitionBy(col("page_id"))
+      .orderBy(col("ms"), col("event_id"))
+    ev.withColumn("changed",
+        lag(col("fp"), 1).over(w).isNotNull &&
+          lag(col("fp"), 1).over(w) =!= col("fp"))
+      .groupBy(col("page_id"))
+      .agg(count(lit(1)).as("n_fetches"),
+        sum(when(col("changed"), 1L).otherwise(0L)).as("n_changes"),
+        min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"))
+      .select(col("page_id"), col("n_fetches"), col("n_changes"),
+        expr("(last_ms - first_ms) div (n_changes + 1)")
+          .as("interval_ms"),
+        timestamp_millis(col("last_ms")).as("last_ts"),
+        timestamp_millis(
+          col("last_ms") +
+            expr("(last_ms - first_ms) div (n_changes + 1)"))
+          .as("next_due_ts"))
+      .orderBy(col("page_id"))
+  }
+
+  /**
    * Pipeline lineage ledger — the auditable per-stage manifest of the
    * COMPOSED curation chain compliance → exact dedup → quality floor
    * → domain quota → FFD pack (all existing operators; the chain a

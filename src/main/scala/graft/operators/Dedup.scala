@@ -515,6 +515,107 @@ object Dedup {
   }
 
   /**
+   * Incremental MinHash-LSH index APPEND — the frozen-state append
+   * doctrine ([[Similarity.annAppendQuery]] / `q_pq_append`) applied
+   * to the NEAR-DUP index: a batch of NEW documents signs and bands
+   * under the SAME frozen banding as the standing index (16×4, the
+   * [[minhashLshQuery]] production config — MinHash seeds and band
+   * boundaries are fixed constants, so unlike the IVF/PQ stores there
+   * is no fitted state to refit and no existing signature can EVER
+   * change). Candidate pairs come from probing the batch's band
+   * hashes against the union store, so the work is new-vs-old plus
+   * new-vs-new — never old-vs-old — and ingest cost is ∝ batch, not
+   * ∝ index. That is what makes daily near-dup ingest on a 100 TB
+   * corpus a batch-sized job: the standing index persists only
+   * (band, band_hash, doc_id) postings plus one signature row per
+   * doc; the batch shuffles 20-byte postings, and document text never
+   * moves at all.
+   *
+   * Gate (one row; the [[minhashGateQuery]] bound-check pattern —
+   * band hashes are engine-internal murmur3, invariants are
+   * oracle-predictable): exact index/batch counts (doc_id mod 4 = 3
+   * plays the batch); `no_old_old` (every incremental candidate
+   * touches the batch — construction); `inc_eq_full` (the incremental
+   * candidate set EQUALS the full-recompute banding restricted to
+   * pairs touching the batch — the frozen-banding append theorem,
+   * checked by exact set comparison in-engine); `est_ok` / `sim_ok`
+   * (the standing 64-hash estimator bounds on the candidates);
+   * `found_any` (≥ 1 candidate crossed the split — a fixture
+   * assumption like q_ann_append's counterfactuals: the corpus's
+   * near-dup clusters span consecutive doc_ids, so some pair always
+   * straddles the mod-4 cut; verified at sf0.001/0.01/0.1/sf1).
+   */
+  def minhashAppendQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = 16
+    val rows = 4
+    val isNew = pmod(col("doc_id"), lit(4L)) === 3L
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        array_distinct(hashedShingles(col("text"))).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh")))
+      .tracked()
+    def banded(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          hash(slice(col("sig"), b * rows + 1, lit(rows)))
+            .as("band_hash")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.band_hash").as("band_hash"))
+    val batB = banded(docs.filter(isNew))
+    val store = banded(docs.filter(!isNew)).unionByName(batB)
+    val candInc = batB
+      .select(col("band"), col("band_hash"), col("doc_id").as("probe"))
+      .join(store.select(col("band"), col("band_hash"),
+        col("doc_id").as("hit")), Seq("band", "band_hash"))
+      .filter(col("probe") =!= col("hit"))
+      .select(least(col("probe"), col("hit")).as("doc_a"),
+        greatest(col("probe"), col("hit")).as("doc_b"))
+      .distinct()
+    val allB = banded(docs)
+    val candFull = allB
+      .select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+      .join(allB.select(col("band"), col("band_hash"),
+        col("doc_id").as("doc_b")), Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .filter(pmod(col("doc_a"), lit(4L)) === 3L ||
+        pmod(col("doc_b"), lit(4L)) === 3L)
+    val mismatch = candInc.withColumn("_i", lit(1))
+      .join(candFull.withColumn("_f", lit(1)),
+        Seq("doc_a", "doc_b"), "full_outer")
+      .filter(col("_i").isNull || col("_f").isNull)
+      .agg(count(lit(1)).as("n_mismatch"))
+    val verified = candInc
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("sig").as("sig_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("sig").as("sig_b")), Seq("doc_b"))
+      .withColumn("est",
+        call_function("graft_sig_agree", col("sig_a"), col("sig_b"))
+          .cast("double") / size(col("sig_a")))
+      .withColumn("exact",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .agg(count(lit(1)).as("n_cand"),
+        coalesce(min(abs(col("est") - col("exact")) <= 0.25), lit(true))
+          .as("est_ok"),
+        coalesce(min(!(col("est") >= 0.5) || col("exact") >= 0.4),
+          lit(true)).as("sim_ok"),
+        coalesce(min(pmod(col("doc_a"), lit(4L)) === 3L ||
+          pmod(col("doc_b"), lit(4L)) === 3L), lit(true))
+          .as("no_old_old"))
+    val counts = docs.agg(
+      sum(when(isNew, 0L).otherwise(1L)).as("n_index"),
+      sum(when(isNew, 1L).otherwise(0L)).as("n_batch"))
+    counts.crossJoin(broadcast(verified)).crossJoin(broadcast(mismatch))
+      .select(col("n_index"), col("n_batch"),
+        (col("n_cand") >= 1L).as("found_any"),
+        col("no_old_old"),
+        (col("n_mismatch") === 0L).as("inc_eq_full"),
+        col("est_ok"), col("sim_ok"))
+  }
+
+  /**
    * Oracle-predictable gate over [[simhashQuery]]: the pigeonhole
    * guarantee — any pair within hamming ≤ 3 of 64 bits differs in at
    * most 3 of the 4 16-bit chunks, so chunk banding finds it — makes

@@ -1346,4 +1346,40 @@ class CurationSpec extends SparkSpec {
       p.contains("BroadcastNestedLoopJoin"), s"rules not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled:\n$p")
   }
+
+  test("recrawl scheduler: estimator matches an independent replay " +
+      "and the schedule is sane") {
+    val out = Curation.recrawlSchedQuery(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // independent Scala replay of the change-rate estimator
+    val hist = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0) % 101, r.getLong(1), r.getLong(2),
+        r.getString(3)))
+      .groupBy(_._1)
+    assert(out.keySet == hist.keySet)
+    for ((page, evs) <- hist) {
+      val ordered = evs.sortBy(e => (e._2, e._3))
+      val changes = ordered.sliding(2)
+        .count(w => w.length == 2 && w(0)._4 != w(1)._4)
+      val first = ordered.head._2
+      val last = ordered.last._2
+      val interval = (last - first) / (changes + 1)
+      val r = out(page)
+      assert(r.getLong(1) == ordered.length, s"n_fetches page $page")
+      assert(r.getLong(2) == changes, s"n_changes page $page")
+      assert(r.getLong(3) == interval, s"interval page $page")
+      // next_due = last + interval, in the session timezone
+      assert(r.getTimestamp(5).getTime ==
+        r.getTimestamp(4).getTime + interval,
+        s"next_due != last + interval for page $page")
+    }
+    // the fixture exercises both regimes: some page that changes on
+    // (nearly) every fetch and some page with long stable runs
+    val rates = out.values.map(r =>
+      r.getLong(2).toDouble / math.max(1L, r.getLong(1) - 1)).toSeq
+    assert(rates.exists(_ >= 0.5) , "no fast-changing page in fixture")
+  }
 }

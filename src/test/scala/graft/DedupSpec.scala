@@ -432,4 +432,25 @@ class DedupSpec extends SparkSpec {
         s"translation ${r.getLong(0)} not fully contained")
     }
   }
+
+  test("minhash append: frozen-banding invariants hold and the " +
+      "incremental candidate set equals the full recompute") {
+    val rows = Dedup.minhashAppendQuery(spark, sfDir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    assert(r.getLong(0) + r.getLong(1) == nDocs,
+      "index + batch must partition the corpus")
+    assert(r.getLong(1) > 0, "mod-4 batch quarter is empty")
+    assert(r.getBoolean(2), "fixture: no candidate crossed the split")
+    assert(r.getBoolean(3), "an old-old pair leaked into the " +
+      "incremental candidates — the probe side is wrong")
+    assert(r.getBoolean(4), "incremental != full-recompute banding " +
+      "restricted to batch-touching pairs (frozen-banding theorem)")
+    assert(r.getBoolean(5) && r.getBoolean(6),
+      "estimator bounds failed on append candidates")
+    // determinism: the append gate is a pure function of the corpus
+    val again = Dedup.minhashAppendQuery(spark, sfDir).collect().head
+    assert(again == r)
+  }
 }
