@@ -491,6 +491,9 @@ object SparkEntry {
     "q_cluster_canonical" -> (Dedup.clusterCanonicalQuery _),
     // Similarity search (north star)
     "q_ann_topk" -> (Similarity.annBruteForceQuery _),
+    // Matryoshka-truncation retrieval eval: serve from the first half
+    // of the dimensions, measure full-top-10 survival per query (r15)
+    "q_ann_truncate" -> (Similarity.annTruncateQuery _),
     "q_kmeans" -> ((s, d) => Similarity.kmeansClusterQuery(s, d)),
     // Top principal component: fixed-iteration distributed power
     // method, oracle replays every iteration CTE-for-CTE
@@ -2255,6 +2258,49 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rank, cos_sim
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // Truncation eval: the q_ann_topk replay twice — full-dim and
+    // list_slice'd first half — with the membership join and the
+    // per-query overlap window, all deterministic.
+    "q_ann_truncate" ->
+      """WITH fsims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    floor((list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))) * 1e4 + 0.5) / 1e4
+        |      AS cos_sim
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 5),
+        |full10 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |    FROM fsims) WHERE rank <= 10),
+        |h AS (
+        |  SELECT vec_id,
+        |    list_slice(embedding, 1, length(embedding) // 2) AS emb
+        |  FROM embeddings),
+        |tsims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    floor((list_dot_product(q.emb::DOUBLE[], c.emb::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q.emb::DOUBLE[], q.emb::DOUBLE[])) *
+        |       sqrt(list_dot_product(c.emb::DOUBLE[], c.emb::DOUBLE[])))) * 1e4 + 0.5) / 1e4
+        |      AS cos_trunc
+        |  FROM h q CROSS JOIN h c
+        |  WHERE q.vec_id < 5),
+        |t10 AS (
+        |  SELECT query_id, neighbor_id, cos_trunc,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_trunc DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM tsims
+        |  QUALIFY rank <= 10)
+        |SELECT t.query_id, t.rank, t.neighbor_id, t.cos_trunc,
+        |  f.neighbor_id IS NOT NULL AS in_full,
+        |  CAST(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0
+        |    END) OVER (PARTITION BY t.query_id) AS BIGINT) AS overlap10
+        |FROM t10 t LEFT JOIN full10 f
+        |  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+        |ORDER BY t.query_id, t.rank""".stripMargin,
     // Filtered exact ANN: the q_ann_topk replay plus the label
     // predicate on the corpus side only.
     "q_ann_filtered" ->

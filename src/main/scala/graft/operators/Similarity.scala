@@ -54,6 +54,46 @@ object Similarity {
   }
 
   /**
+   * Embedding-TRUNCATION retrieval evaluation (the matryoshka /
+   * MRL-serving question): serve ANN from only the FIRST HALF of each
+   * embedding's dimensions and measure, per query, how much of the
+   * full-dimension top-k survives. Truncation halves a vector store's
+   * memory and scan bandwidth — at 100 TB of embeddings that is the
+   * difference between an in-memory and a spilling index — but it is
+   * only admissible if the truncated ranking still finds the
+   * full-precision neighbors; this gate produces exactly that
+   * admission evidence, per query, before a fleet commits to it.
+   *
+   * Output: the truncated-space top-10 ranking (4-dp floor-rounded
+   * cosine, id tiebreak — the [[bruteForceTopK]] discipline) with
+   * `in_full` marking whether each truncated hit is also a
+   * full-dimension top-10 neighbor, plus the per-query overlap count.
+   * Fully SQL-oracle-replayable: both rankings are deterministic
+   * brute-force scans (`list_slice` is the DuckDB twin of `slice`).
+   *
+   * Scale shape: queries broadcast; the corpus streams through one
+   * narrow scoring pass per ranking (production would score both
+   * prefixes in ONE pass; the gate keeps two for replay clarity); the
+   * rank window is query-partitioned; nothing global.
+   */
+  def annTruncateQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val half = emb.select(col("vec_id"),
+      expr("slice(embedding, 1, size(embedding) div 2)").as("embedding"))
+    val full10 = bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 10)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("in_full"))
+    val trunc10 = bruteForceTopK(half.filter(col("vec_id") < 5), half, 10)
+    val w = Window.partitionBy(col("query_id"))
+    trunc10.join(full10, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("in_full", coalesce(col("in_full"), lit(false)))
+      .withColumn("overlap10",
+        sum(when(col("in_full"), 1L).otherwise(0L)).over(w))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim").as("cos_trunc"), col("in_full"), col("overlap10"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /**
    * Bitext mining (parallel-corpus discovery à la LASER/CCMatrix): for
    * each document on the low-resource side (here `de`), the best
    * target-side (`en`) match by embedding cosine, with the margin to

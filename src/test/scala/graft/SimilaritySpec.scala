@@ -479,4 +479,29 @@ class SimilaritySpec extends SparkSpec {
       "post-append ADC must self-retrieve the batch queries and " +
         "hold the PQ recall floor")
   }
+
+  test("annTruncate: truncated ranking is well-formed, self-retrieves " +
+      "at cosine 1.0, and overlap10 tallies the in_full flags") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.annTruncateQuery(spark, sfDir).collect()
+    assert(rows.length == 50, "5 queries x top-10")
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    for ((q, rs) <- byQ) {
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 10),
+        s"ranks not 1..10 for query $q")
+      // the query itself scores 1.0 in the truncated space too
+      val self = rs.filter(_.getLong(2) == q)
+      assert(self.length == 1 && self.head.getDouble(3) == 1.0,
+        s"query $q does not self-retrieve at cos 1.0")
+      val tally = rs.count(_.getBoolean(4)).toLong
+      assert(rs.forall(_.getLong(5) == tally),
+        s"overlap10 disagrees with the in_full tally for query $q")
+      assert(tally >= 1, s"query $q: even self fell out of the " +
+        "full top-10 — the join keys are broken")
+      // truncated scores are non-increasing with rank
+      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
