@@ -25,6 +25,10 @@ def run_one(sf_dir, out_dir, name, sql, q):
     con.execute(f"SET temp_directory='{tmp}'")
     mem = os.environ.get("GRAFT_DUCK_MEM", "24GB")
     con.execute(f"SET memory_limit='{mem}'")
+    # bound the spill too: with several workers sharing one disk, an
+    # uncapped O(n^2) oracle fills the volume and fails its SIBLINGS
+    tmpmax = os.environ.get("GRAFT_DUCK_TMPMAX", "15GB")
+    con.execute(f"SET max_temp_directory_size='{tmpmax}'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
@@ -40,7 +44,14 @@ def run_one(sf_dir, out_dir, name, sql, q):
         snames = [d[0] for d in sres.description]
         srows = sres.fetchall()
     except Exception as e:
-        q.put(("FAIL", f"error: {e}"))
+        msg = str(e)
+        # resource exhaustion inside DuckDB is an oracle CAPACITY
+        # event (the engine dump is already on disk), never a FAIL
+        if ("No space left" in msg or "max_temp_directory_size" in msg
+                or "Out of Memory" in msg or "OutOfMemory" in msg):
+            q.put(("CAPACITY", f"oracle resources: {msg[:200]}"))
+        else:
+            q.put(("FAIL", f"error: {e}"))
         return
     ocols, ocanon = canon(orows, onames)
     scols, scanon = canon(srows, snames)
@@ -98,10 +109,13 @@ def main(sf_dir, out_dir, budget):
             n_cap += 1
             continue
         status, msg = q.get()
-        print(f"{status} {name}: {msg}" if status == "FAIL"
-              else f"{status} {name} ({msg})", flush=True)
+        print(f"{status} {name} ({msg})" if status == "PASS"
+              else f"{status} {name}: {msg}", flush=True)
         if status == "PASS":
             n_pass += 1
+        elif status == "CAPACITY":
+            wipe_tmp()
+            n_cap += 1
         else:
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_cap} capacity")
