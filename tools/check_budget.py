@@ -66,20 +66,31 @@ def run_one(sf_dir, out_dir, name, sql, q):
         q.put(("FAIL", f"{len(diffs)}/{len(ocanon)} rows differ; "
                        f"first: oracle={diffs[0][0]} spark={diffs[0][1]}"))
         return
+    n_rows = len(ocanon)
+    # free the big row buffers BEFORE the type audit and the queue
+    # put: at deep scale the DuckDB cap plus two materialized result
+    # sets can leave too little memory to even start the queue's
+    # feeder thread (observed: values equal, then "can't start new
+    # thread" reporting the PASS)
+    del orows, srows, ocanon, scanon
+    import gc
+    gc.collect()
     try:
         tdiffs = type_diffs(con, sql, f"{out_dir}/{name}/*.parquet")
     except BaseException as e:
         # the physical-type audit needs a fresh pyarrow import, which
         # can fail to mmap while DuckDB holds a deep-scale memory cap —
         # values already compared equal above, so report that, noted
-        q.put(("PASS", f"{len(ocanon)} rows; type audit skipped: "
+        con.close()
+        q.put(("PASS", f"{n_rows} rows; type audit skipped: "
                f"{type(e).__name__}"))
         return
     if tdiffs:
         q.put(("FAIL", "values equal but physical types differ: "
                + ", ".join(f"{c} o={o} s={s}" for c, o, s in tdiffs)))
         return
-    q.put(("PASS", f"{len(ocanon)} rows"))
+    con.close()
+    q.put(("PASS", f"{n_rows} rows"))
 
 
 def wipe_tmp():
