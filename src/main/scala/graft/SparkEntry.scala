@@ -334,6 +334,9 @@ object SparkEntry {
     // Real BPE tokenizer (fit + apply); merge table is data-dependent
     // model state → rows-only driver check, algorithm spec-gated
     "q_bpe" -> ((s, d) => Tokenize.bpeQuery(s, d)),
+    // BPE encode executor: integer ids under the deterministic
+    // alphabet+merges vocab, id->piece decode proven lossless (r15)
+    "q_bpe_encode" -> ((s, d) => Tokenize.bpeEncodeQuery(s, d)),
     // Unigram-LM tokenizer (Kudo/SentencePiece): Viterbi-EM fit over
     // distinct words; serving is a codegen'd projection
     "q_unigram_lm" -> ((s, d) => Tokenize.unigramQuery(s, d)),
@@ -695,6 +698,9 @@ object SparkEntry {
     "q_video_fprint" -> (Multimodal.videoFprintQuery _),
     "q_audio_decode" -> (Multimodal.audioDecodeQuery _),
     "q_audio_energy" -> (Multimodal.audioEnergyQuery _),
+    // Energy-gate VAD over the real PCM decode: 16-sample windows,
+    // exact integer threshold, gaps-and-islands segments (r15)
+    "q_audio_vad" -> (Multimodal.audioVadQuery _),
     "q_video_decode" -> (Multimodal.videoDecodeQuery _),
     "q_video_frames" -> (Multimodal.videoFramesQuery _),
     "q_media_neardup" -> (Multimodal.mediaNearDupGateQuery _),
@@ -5916,6 +5922,18 @@ object SparkEntry {
         |  TRUE AS compress_ok
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // BPE encode executor gate (same doctrine): ids are engine-internal
+    // model state, but a valid encode must be in-range, OOV-free (the
+    // vocab contains every emittable token by construction), decode
+    // losslessly, and stay one-id-per-token — checked in-engine on
+    // the real id streams.
+    "q_bpe_encode" ->
+      """SELECT doc_id,
+        |  CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_chars,
+        |  TRUE AS ids_ok, TRUE AS oov_zero,
+        |  TRUE AS decode_ok, TRUE AS len_ok
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     // Unigram-LM invariant gate (the q_bpe pattern): the oracle cannot
     // refit the EM'd piece probabilities, but every valid Viterbi
     // segmentation must re-join to the character stream, compress, and
@@ -8312,6 +8330,41 @@ object SparkEntry {
         |    // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms
         |FROM documents
         |ORDER BY media_id""".stripMargin,
+    // q_audio_vad replays waveform, 16-sample windowing, the integer
+    // energy threshold, and the gaps-and-islands merge — a hash match
+    // proves codec, framing, and segmentation together.
+    "q_audio_vad" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(64 + doc_id % 192 AS BIGINT) AS n
+        |  FROM documents),
+        |s AS (SELECT media_id, n, unnest(range(0, n)) AS i FROM f),
+        |v AS (
+        |  SELECT media_id, i,
+        |    (media_id * 7919 + i * 104729) % 65536 - 32768 AS smp
+        |  FROM s),
+        |w AS (
+        |  SELECT media_id, i // 16 AS win,
+        |    CAST(sum(smp * smp) AS BIGINT) AS e
+        |  FROM v GROUP BY media_id, i // 16),
+        |a AS (
+        |  SELECT media_id, win, e FROM w
+        |  WHERE e >= CAST(16 AS BIGINT) * 358000000),
+        |g AS (
+        |  SELECT media_id, win, e,
+        |    win - row_number() OVER (PARTITION BY media_id
+        |      ORDER BY win) AS isl
+        |  FROM a),
+        |seg AS (
+        |  SELECT media_id, isl, min(win) AS start_win,
+        |    max(win) AS end_win, CAST(count(*) AS BIGINT) AS n_win,
+        |    CAST(sum(e) AS BIGINT) AS energy
+        |  FROM g GROUP BY media_id, isl)
+        |SELECT media_id,
+        |  CAST(row_number() OVER (PARTITION BY media_id
+        |    ORDER BY start_win) AS INTEGER) AS seg_no,
+        |  start_win, end_win, n_win, energy
+        |FROM seg ORDER BY media_id, seg_no""".stripMargin,
     // q_audio_energy replays the deterministic PCM waveform per sample:
     // a hash match means the real WAVE decode recovered every 16-bit
     // sample bit-for-bit (integer sum-of-squares, floor-scaled RMS)

@@ -392,6 +392,75 @@ object Multimodal {
     audioEnergy(spark, spark.read.parquet(buildAudioStore(spark, sfDir)))
       .orderBy(col("media_id"))
 
+  case class AudioVad(media_id: Long, seg_no: Int, start_win: Long,
+      end_win: Long, n_win: Long, energy: Long)
+
+  /**
+   * Voice-activity detection over the REAL PCM decode — the
+   * energy-gate VAD every speech-data pipeline runs before ASR or
+   * speech-LM training (silence stripping; WebRTC-VAD's shape without
+   * the model): fixed 16-sample windows, a window is ACTIVE iff its
+   * EXACT integer sum-of-squares energy ≥ 16 × 358,000,000 (the
+   * uniform-PCM mean-square expectation (2¹⁵)²/3 — the threshold
+   * that actually splits this corpus's windows), and consecutive
+   * active windows merge into segments (gaps-and-islands, computed
+   * per file inside the decode pass — window counts are bounded, so
+   * the run-length scan is O(windows) local state, never a shuffle).
+   * One row per segment: ordinal, window span, exact energy.
+   *
+   * The engine computes segments from the `javax.sound` decode; the
+   * oracle replays the id-derived waveform, the windowing, the
+   * threshold, and the island arithmetic exactly — a hash match
+   * proves codec, framing, and segmentation together. Narrow
+   * per-partition pass; at 100 TB of audio this runs where the bytes
+   * live (the [[audioEnergy]] scale shape) and emits only
+   * segment-sized rows.
+   */
+  def audioVadOf(media_id: Long, samples: Array[Short]): Seq[AudioVad] = {
+    val winSize = 16
+    val thresh = 358000000L * winSize
+    val nWin = (samples.length + winSize - 1) / winSize
+    val e = new Array[Long](math.max(nWin, 1))
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i).toLong
+      e(i / winSize) += v * v
+      i += 1
+    }
+    val segs = scala.collection.mutable.ArrayBuffer.empty[AudioVad]
+    var w = 0
+    var segStart = -1
+    var segEnergy = 0L
+    while (w <= nWin) {
+      val active = w < nWin && e(w) >= thresh
+      if (active && segStart < 0) { segStart = w; segEnergy = 0L }
+      if (active) segEnergy += e(w)
+      if (!active && segStart >= 0) {
+        segs += AudioVad(media_id, segs.length + 1, segStart.toLong,
+          (w - 1).toLong, (w - segStart).toLong, segEnergy)
+        segStart = -1
+      }
+      w += 1
+    }
+    segs.toSeq
+  }
+
+  /** Correctness-gate query for [[audioVadOf]]: decode every stored
+    * WAVE for real, segment its activity, and let the oracle replay
+    * segments from doc_id arithmetic alone. */
+  def audioVadQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(buildAudioStore(spark, sfDir))
+      .select(col("media_id"), col("kind"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          audioVadOf(r.media_id, decodeAudioSamples(r.payload))
+        }
+      }.toDF()
+      .orderBy(col("media_id"), col("seg_no"))
+  }
+
   case class AudioFprint(media_id: Long, n_frames: Long, fprint: Int,
       fprint_pop: Int)
 

@@ -104,6 +104,64 @@ object Tokenize {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * BPE ENCODE executor — the plan→exec doctrine (`q_ffd_pack` →
+   * `q_ffd_pack_exec`) applied to the tokenizer family: [[bpeQuery]]
+   * proves the SEGMENTATION; this materializes what a training run
+   * actually consumes — integer token IDS under a deterministic
+   * vocabulary, with the id→piece decode proven lossless per doc.
+   *
+   * Vocabulary: the corpus's distinct non-space characters (the BPE
+   * base alphabet — every un-merged symbol is one of them) plus the
+   * merge outputs, deduped and sorted, ids = sorted rank. Every token
+   * [[bpeTokensJava]] can emit is a base char or a merge output, so
+   * the encode is OOV-free BY CONSTRUCTION and the gate proves it.
+   *
+   * Scale shape (100 TB): the vocab is alphabet+merges-sized model
+   * state (broadcast as a map literal, like the tokenizer serving
+   * pass it extends); encode and decode are narrow codegen'd
+   * projections over one corpus scan — no shuffle at all. The
+   * alphabet collect is bounded by the character inventory, the same
+   * class as the fit's merge-table collect.
+   *
+   * Gate (q_bpe pattern — the merge table is engine-internal, the
+   * invariants are checked in-engine on the real ids): per doc,
+   * `ids_ok` (every id ∈ [0, V)), `oov_zero` (no failed lookup),
+   * `decode_ok` (ids → pieces → concat == the squashed text),
+   * `len_ok` (one id per token).
+   */
+  def bpeEncodeQuery(spark: SparkSession, sfDir: String,
+      nMerges: Int = 24): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val merges = buildMerges(spark, sfDir, nMerges)
+    val alphabet = docs
+      .select(explode(split(regexp_replace(col("text"), " ", ""), ""))
+        .as("c"))
+      .filter(length(col("c")) > 0)
+      .distinct().collect().map(_.getString(0)).toSeq
+    val vocab = (alphabet ++ merges.map(_.split(' ').mkString))
+      .distinct.sorted
+    val vmap = map(vocab.zipWithIndex.flatMap { case (p, i) =>
+      Seq(lit(p), lit(i)) }: _*)
+    val vArr = typedLit(vocab)
+    val squashed = regexp_replace(col("text"), " ", "")
+    val toks = bpeTokens(col("text"), merges)
+    docs
+      .withColumn("ids", transform(toks, t => element_at(vmap, t)))
+      .withColumn("back",
+        transform(col("ids"), i => element_at(vArr, i + 1)))
+      .select(
+        col("doc_id"),
+        length(squashed).as("n_chars"),
+        coalesce(forall(col("ids"),
+          i => i.isNotNull && i >= 0 && i < vocab.size), lit(true))
+          .as("ids_ok"),
+        (size(filter(col("ids"), i => i.isNull)) === 0).as("oov_zero"),
+        (concat_ws("", col("back")) === squashed).as("decode_ok"),
+        (size(col("ids")) === size(toks)).as("len_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Fitted unigram-LM tokenizer: parallel piece/logprob arrays plus
     * the corpus marginal log-likelihood trace per EM round, grouped
     * by vocab stage (likelihood is monotone within a stage; the prune

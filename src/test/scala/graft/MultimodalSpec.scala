@@ -320,4 +320,39 @@ class MultimodalSpec extends SparkSpec {
     val unsigned = Array(frame(1), frame(0xFF))
     assert(Multimodal.videoFprintOf(unsigned) == 1)
   }
+
+  test("audio VAD: hand-traced segments, partial tail window, and " +
+      "corpus invariants") {
+    def win(v: Int) = Array.fill[Short](16)(v.toShort)
+    // loud window energy = 16*32000^2 = 1.6384e10 >= 5.728e9; silent 0
+    val samples = (win(32000) ++ win(32000) ++ win(0) ++ win(32000))
+    val segs = Multimodal.audioVadOf(7L, samples)
+    assert(segs.map(s => (s.seg_no, s.start_win, s.end_win, s.n_win)) ==
+      Seq((1, 0L, 1L, 2L), (2, 3L, 3L, 1L)))
+    assert(segs.head.energy == 2L * 16L * 32000L * 32000L)
+    // a partial tail window still gates on its exact energy: 8 loud
+    // samples = 8*32000^2 = 8.192e9 >= threshold -> active
+    val tail = win(0) ++ Array.fill[Short](8)(32000.toShort)
+    assert(Multimodal.audioVadOf(1L, tail)
+      .map(s => (s.start_win, s.end_win)) == Seq((1L, 1L)))
+    // all-silent emits nothing
+    assert(Multimodal.audioVadOf(2L, win(0)).isEmpty)
+    // corpus invariants: ordered, disjoint, dense ordinals
+    val rows = Multimodal.audioVadQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getInt(1))
+      assert(ordered.map(_.getInt(1)).toSeq == (1 to rs.length))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(3) + 1 < b.getLong(2),
+            "adjacent segments must be separated by a silent window")
+        case _ =>
+      }
+      ordered.foreach { s =>
+        assert(s.getLong(3) >= s.getLong(2))
+        assert(s.getLong(4) == s.getLong(3) - s.getLong(2) + 1)
+      }
+    }
+  }
 }

@@ -74,6 +74,34 @@ class TokenizeSpec extends SparkSpec {
     }
   }
 
+  test("encode executor: ids in range, OOV-free, decode lossless, " +
+      "and the id stream replays an independent piece->id mapping") {
+    val rows = Tokenize.bpeEncodeQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("ids_ok"), s"doc ${r.get(0)}: id range")
+      assert(r.getAs[Boolean]("oov_zero"), s"doc ${r.get(0)}: OOV id")
+      assert(r.getAs[Boolean]("decode_ok"),
+        s"doc ${r.get(0)}: id decode diverged from the char stream")
+      assert(r.getAs[Boolean]("len_ok"), s"doc ${r.get(0)}: id/token " +
+        "length mismatch")
+    }
+    // independent replay of the vocabulary recipe: every token the
+    // segmenter emits must be a base char or a merge output, so the
+    // sorted (alphabet ++ merge-outputs) vocab covers the token set
+    val docs = Tables.load(spark, sfDir, "documents")
+    val merges = Tokenize.buildMerges(spark, sfDir)
+    val toks = docs
+      .select(explode(Tokenize.bpeTokens(col("text"), merges)).as("t"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val alphabet = docs.select(col("text")).collect()
+      .flatMap(_.getString(0).replace(" ", "").toSeq.map(_.toString))
+      .toSet
+    val vocab = alphabet ++ merges.map(_.split(' ').mkString)
+    assert(toks.subsetOf(vocab),
+      s"tokens outside the derived vocab: ${toks.diff(vocab).take(5)}")
+  }
+
   private def viterbi(text: String, pieces: Seq[String],
       logps: Seq[Double]): Seq[String] =
     df(text).select(call_function("graft_unigram", col("text"),
