@@ -824,17 +824,21 @@ object SparkEntry {
     * `kmeansAssignments`. Distances: list_dot_product 3-term form
     * rounded to 6 dp (+0.0 kills cancellation's -0.0) BEFORE the
     * argmin; centroid means: 1e-6 fixed-point BIGINT sums. */
-  private val kmeansCte: String =
-    """e AS (
+  /** The shared Lloyd chain with k as a SQL expression. k=8 for the
+    * fixed-k gates (q_kmeans, q_pca); q_dedup_semantic passes the
+    * corpus-sized expression (its SCALE RULE — k ≈ N/1024 above the
+    * gate scales, so in-cell pair work stays ~N·1024, never N²/k). */
+  private def kmeansCteK(k: String): String =
+    s"""e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |seeds AS (
       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER)
       |      - 1 AS cent_id, v AS c
       |  FROM e
       |  WHERE vec_id % (SELECT greatest(CAST(count(*) AS BIGINT)
-      |    // 8, 1) FROM e) = 0
-      |  ORDER BY vec_id LIMIT 8),
-      |d0 AS (
+      |    // ($k), 1) FROM e) = 0
+      |  ORDER BY vec_id LIMIT ($k)),""".stripMargin + "\n" +
+    """d0 AS (
       |  SELECT e.vec_id, e.v, s.cent_id,
       |    floor((list_dot_product(e.v, e.v)
       |      - 2.0 * list_dot_product(e.v, s.c)
@@ -888,6 +892,38 @@ object SparkEntry {
       |  SELECT vec_id, v, cent_id AS cell, d FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id
       |      ORDER BY d, cent_id) AS rn FROM d2) WHERE rn = 1)""".stripMargin
+
+  private val kmeansCte: String = kmeansCteK("8")
+
+  /** The SCALE-RULE k for semantic dedup, identical in the engine
+    * ([[graft.operators.Similarity.semanticDedupK]]) and the oracle:
+    * k=8 through the gate scales and sf1 (n <= 20000 — unchanged
+    * hashes), k = n // 1024 beyond, so cells — and the in-cell pair
+    * intermediate — stay ~1024-sized at any corpus size (bounded for
+    * the oracle, linear for the engine). */
+  private val kmeansCteDyn: String = kmeansCteK(
+    "SELECT CASE WHEN count(*) <= 20000 THEN 8 " +
+      "ELSE CAST(count(*) // 1024 AS INTEGER) END FROM e")
+
+  /** Declared per-query float tolerances for the deep-scale replay
+    * tools: query -> (column -> relative tolerance). Scoped to
+    * engine-owned float boundaries ONLY — columns whose bit-exact value
+    * depends on summation order that the storage format itself leaves
+    * to the engine. Verify dumps this as oracle_epsilon.json; check.py
+    * / check_budget.py compare those columns under the tolerance and
+    * every other column exact. The sf<=0.1 driver gate is unaffected
+    * (all listed columns are exact through sf1 by measurement).
+    *
+    * q_stats_footer.sum_val: ORC footer sums for DOUBLE columns are
+    * stored AS doubles (ColumnStatisticsImpl.java DoubleStatisticsImpl
+    * — sum is a double field), so the merged 60M-value sum differs
+    * between engines by summation order: measured 3.5e-14 relative at
+    * sf10, exact through sf1. 1e-12 bounds it with margin while still
+    * catching any real arithmetic defect (a dropped file's partial sum
+    * would miss by ~1e-2 relative). */
+  def oracleEpsilon: Map[String, Map[String, Double]] = Map(
+    "q_stats_footer" -> Map("sum_val" -> 1e-12)
+  )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1280,19 +1316,33 @@ object SparkEntry {
         |  CASE WHEN NOT ok THEN md5(raw) END AS quarantine_md5
         |FROM u
         |ORDER BY doc_id""".stripMargin,
-    // Skyline: the oracle is the INDEPENDENT quadratic dominance
-    // definition (NOT EXISTS a better-or-equal point with one strict
-    // edge) — it never sees the engine's grid prune, so the gate
-    // proves prune + sweep = textbook semantics.
+    // Skyline: the oracle is the textbook dominance definition
+    // (NOT EXISTS a better-or-equal point with one strict edge) over
+    // a WLOG-pruned frame — two theorems of the definition itself,
+    // independent of the engine's month-grid prune, bound the
+    // intermediate so the sf10 replay never runs the raw O(n²) form:
+    // (1) candidates: a point below its own date's max price is
+    //     dominated BY that per-date max point (same date, strictly
+    //     higher price), so skyline ⊆ per-date maxima;
+    // (2) dominators: if ANY q dominates p, the per-date max point
+    //     at q's date also dominates p (price ≥ q's ≥ p's; if q won
+    //     on date, so does it; if q won on price at p's own date,
+    //     p wasn't a candidate) — so testing dominators from dm
+    //     alone is exact.
+    // dm is #distinct-dates-sized (~2.4k), candidates likewise: the
+    // quadratic is dates², not orders².
     "q_skyline" ->
-      """SELECT p.o_orderkey, p.o_totalprice, p.o_orderdate
+      """WITH dm AS (
+        |  SELECT o_orderdate AS d, max(o_totalprice) AS m
+        |  FROM orders GROUP BY 1)
+        |SELECT p.o_orderkey, p.o_totalprice, p.o_orderdate
         |FROM orders p
+        |JOIN dm ON p.o_orderdate = dm.d AND p.o_totalprice = dm.m
         |WHERE NOT EXISTS (
-        |  SELECT 1 FROM orders q
-        |  WHERE q.o_totalprice >= p.o_totalprice
-        |    AND q.o_orderdate >= p.o_orderdate
-        |    AND (q.o_totalprice > p.o_totalprice
-        |      OR q.o_orderdate > p.o_orderdate))
+        |  SELECT 1 FROM dm q
+        |  WHERE q.m >= p.o_totalprice
+        |    AND q.d >= p.o_orderdate
+        |    AND (q.m > p.o_totalprice OR q.d > p.o_orderdate))
         |ORDER BY p.o_orderkey""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
@@ -2218,7 +2268,17 @@ object SparkEntry {
     // Bitext mining: the oracle replays the cosine (list_dot_product,
     // the q_ann_topk precedent), the top-2 ranking with id tiebreak
     // (the TopKAgg order), and the margin as a difference of already-
-    // rounded values.
+    // rounded values. Bounded-intermediate form (r16): the old window
+    // rank MATERIALIZED the src×tgt pair matrix to sort it (>62 GB
+    // temp at sf10); top-2 is instead two streaming max() aggregates
+    // over an order-embedding integer key — (scaled rounded cosine,
+    // then LOWEST tgt_id wins) packed into one BIGINT, so max(key) IS
+    // rank 1 and max(key < best) IS rank 2. The pair stream is
+    // consumed twice (CTEs inline) and never stored; aggregate state
+    // is one BIGINT per src. Key layout: (s + 20000)·1e12 + (1e12-1 -
+    // tgt_id) — s = floor(cos·1e4 + 0.5) ∈ [-1e4, 1e4], ids < 1e12,
+    // max value ~3e16 < 2^63. cos = s/1e4 reproduces the engine's
+    // floor-round double exactly (s is integer-valued, |s| < 2^53).
     "q_bitext" ->
       """WITH j AS (
         |  SELECT d.doc_id, d.lang, e.embedding
@@ -2227,26 +2287,26 @@ object SparkEntry {
         |  FROM j WHERE lang = 'de'),
         |tgt AS (SELECT doc_id AS tgt_id, embedding AS t_emb
         |  FROM j WHERE lang = 'en'),
-        |sims AS (
-        |  SELECT src_id, tgt_id,
-        |    floor((list_dot_product(s_emb::DOUBLE[], t_emb::DOUBLE[]) /
+        |keyed AS (
+        |  SELECT src_id,
+        |    (CAST(floor((list_dot_product(s_emb::DOUBLE[], t_emb::DOUBLE[]) /
         |      (sqrt(list_dot_product(s_emb::DOUBLE[], s_emb::DOUBLE[])) *
-        |       sqrt(list_dot_product(t_emb::DOUBLE[], t_emb::DOUBLE[])))) * 1e4 + 0.5) / 1e4
-        |      AS cos_sim
+        |       sqrt(list_dot_product(t_emb::DOUBLE[], t_emb::DOUBLE[])))) * 1e4 + 0.5)
+        |      AS BIGINT) + 20000) * 1000000000000
+        |      + (999999999999 - tgt_id) AS key
         |  FROM src CROSS JOIN tgt),
-        |ranked AS (
-        |  SELECT src_id, tgt_id, cos_sim,
-        |    row_number() OVER (PARTITION BY src_id
-        |      ORDER BY cos_sim DESC, tgt_id) AS rnk
-        |  FROM sims)
-        |SELECT src_id,
-        |  max(CASE WHEN rnk = 1 THEN tgt_id END) AS tgt_id,
-        |  max(CASE WHEN rnk = 1 THEN cos_sim END) AS cos_sim,
-        |  floor((max(CASE WHEN rnk = 1 THEN cos_sim END) -
-        |    max(CASE WHEN rnk = 2 THEN cos_sim END)) * 1e4 + 0.5) / 1e4 AS margin
-        |FROM ranked WHERE rnk <= 2
-        |GROUP BY src_id
-        |ORDER BY src_id""".stripMargin,
+        |m1 AS (SELECT src_id, max(key) AS k1 FROM keyed GROUP BY 1),
+        |m2 AS (SELECT k.src_id, max(k.key) AS k2
+        |  FROM keyed k JOIN m1 ON k.src_id = m1.src_id
+        |  WHERE k.key < m1.k1 GROUP BY 1)
+        |SELECT m1.src_id,
+        |  999999999999 - (m1.k1 % 1000000000000) AS tgt_id,
+        |  CAST(m1.k1 // 1000000000000 - 20000 AS DOUBLE) / 1e4 AS cos_sim,
+        |  floor((CAST(m1.k1 // 1000000000000 - 20000 AS DOUBLE) / 1e4 -
+        |    CAST(m2.k2 // 1000000000000 - 20000 AS DOUBLE) / 1e4) * 1e4 + 0.5) / 1e4
+        |    AS margin
+        |FROM m1 LEFT JOIN m2 ON m1.src_id = m2.src_id
+        |ORDER BY m1.src_id""".stripMargin,
     "q_ann_topk" ->
       """WITH sims AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -2535,9 +2595,13 @@ object SparkEntry {
     // SemDeDup audit: pairwise cosine ONLY within the shared-CTE
     // k-means cells; norms precomputed per vector (IEEE sqrt is
     // correctly rounded -> cross-engine exact); close-pair decisions
-    // on the ROUNDED cosine.
+    // on the ROUNDED cosine. Uses the SCALE-RULE dynamic-k chain
+    // (k = n // 1024 above n = 20000, identical in the engine), so
+    // the oracle's in-cell pair intermediate is bounded (~N·1024
+    // pairs) at every scale — sf10 replays without the >57 GB spill
+    // the fixed-k=8 form needed.
     "q_dedup_semantic" ->
-      (s"WITH $kmeansCte,\n" +
+      (s"WITH $kmeansCteDyn,\n" +
         """nrm AS (SELECT vec_id, v, cell,
         |    sqrt(list_dot_product(v, v)) AS nrm FROM a2),
         |p AS (

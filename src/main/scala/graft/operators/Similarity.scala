@@ -972,6 +972,19 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("d"))
       .orderBy(col("vec_id"))
 
+  /** The SCALE-RULE cell count for [[semanticDedupQuery]]: 8 through
+    * n = 20000 (gate scales and sf1 — unchanged hashes), n/1024
+    * beyond, keeping mean cell size — and with it the in-cell pair
+    * work Σ|cell|² ≈ N·1024 — bounded at any corpus size. MUST stay
+    * arithmetically identical to the oracle's dynamic-k CTE
+    * (SparkEntry.kmeansCteDyn: CASE WHEN count(*) <= 20000 THEN 8
+    * ELSE count(*) // 1024 END). */
+  private[graft] def semanticDedupK(spark: SparkSession,
+      sfDir: String): Int = {
+    val n = Tables.load(spark, sfDir, "embeddings").count()
+    if (n <= 20000L) 8 else (n / 1024L).toInt
+  }
+
   /** The shared Lloyd refinement behind [[kmeansClusterQuery]] and
     * [[semanticDedupQuery]]: final (vec_id, v, cell, d) assignment
     * after `iters` assign/update rounds (the engine twin of the
@@ -1033,10 +1046,14 @@ object Similarity {
    * SCALE RULE — k grows with the corpus: blocking is only linear if
    * cell size stays bounded, so production sets k ≈ N/targetCellSize
    * (Σ|cell|² ≈ N·cellSize); a FIXED k makes cells — and pair work —
-   * grow quadratically with N (the sf10 probe measures exactly that,
-   * which is why this gate is probed at gate scales only). The gate
-   * pins k=8 to match the shared oracle chain; the spec proves the
-   * k-scaling law by measuring examined-pair counts at two k.
+   * grow quadratically with N. Since r16 the rule is APPLIED, not
+   * just documented: k defaults to [[semanticDedupK]] (8 through
+   * n = 20000 — gate scales and sf1 unchanged — then n/1024), and
+   * the oracle's dynamic-k CTE computes the identical k from
+   * count(*), so the full suite self-certifies at sf10 (~N·1024
+   * in-cell pairs) instead of grinding ~4e9 fixed-k cosines. The
+   * spec proves the k-scaling law by measuring examined-pair counts
+   * at two k.
    *
    * Pair cosines run on the ORIGINAL float embeddings through the
    * fused codegen'd `graft_cosine` kernel (one loop accumulates dot
@@ -1045,12 +1062,15 @@ object Similarity {
    * parity precedent); only the centroid math needs the double copies.
    */
   def semanticDedupQuery(spark: SparkSession, sfDir: String,
-      k: Int = 8, iters: Int = 2, closeBar: Double = 0.5): DataFrame = {
+      k: Int = 0, iters: Int = 2, closeBar: Double = 0.5): DataFrame = {
+    // k = 0 means the SCALE RULE decides (the oracle computes the
+    // identical value from count(*)); explicit k is the spec hook
+    val kk = if (k > 0) k else semanticDedupK(spark, sfDir)
     // the assignment feeds three consumers (both pair sides + sizes):
     // materialize it once instead of re-running the Lloyd chain per
     // consumer — at scale this is the cell-partitioned store the pair
     // pass would read anyway
-    val a = kmeansAssignments(spark, sfDir, k, iters)
+    val a = kmeansAssignments(spark, sfDir, kk, iters)
       .select(col("cell"), col("vec_id"), col("embedding"))
       .localCheckpoint()
     // the scored pair frame feeds BOTH the near-dup tally and the

@@ -34,6 +34,46 @@ def canon(rows, names):
     return [names[i] for i in order], out
 
 
+def load_epsilon(out_dir):
+    """Per-query declared tolerances (oracle_epsilon.json, written by
+    graft.Verify from SparkEntry.oracleEpsilon): {query: {column:
+    rel_tol}}. Scoped to engine-owned float boundaries only — e.g.
+    q_stats_footer's DOUBLE footer sum, where ORC stores the sum as a
+    double so summation ORDER is engine-owned (exact through sf1,
+    3.5e-14 relative divergence at sf10). Everything else stays exact."""
+    p = os.path.join(out_dir, "oracle_epsilon.json")
+    if os.path.exists(p):
+        return json.load(open(p))
+    return {}
+
+
+def eps_equal(ocanon, scanon, cols, eps):
+    """Tolerant re-compare after an exact mismatch: every column exact
+    EXCEPT those declared in eps, which compare as floats under a
+    relative tolerance. Requires the non-eps columns to determine row
+    order (true for keyed stat tables); returns the first diff or None."""
+    eidx = {i for i, c in enumerate(cols) if c in eps}
+    key = lambda r: tuple(v for i, v in enumerate(r) if i not in eidx)
+    orows = sorted(ocanon, key=key)
+    srows = sorted(scanon, key=key)
+    for a, b in zip(orows, srows):
+        for i, (x, y) in enumerate(zip(a, b)):
+            if i not in eidx:
+                if x != y:
+                    return (a, b)
+                continue
+            if x == y:
+                continue
+            try:
+                fx, fy = float(x), float(y)
+            except ValueError:
+                return (a, b)
+            tol = eps[cols[i]]
+            if not (abs(fx - fy) <= tol * max(abs(fx), abs(fy), 1.0)):
+                return (a, b)
+    return None
+
+
 def type_key(t):
     """Collapse an arrow type to the physical family the driver's hasher
     distinguishes (int64 vs int128/decimal vs float vs string...), ignoring
@@ -72,6 +112,7 @@ def main(sf_dir, out_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    epsilon = load_epsilon(out_dir)
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -107,6 +148,16 @@ def main(sf_dir, out_dir):
             else:
                 print(f"PASS {name} ({len(ocanon)} rows)")
                 n_pass += 1
+        elif name in epsilon:
+            d = eps_equal(ocanon, scanon, ocols, epsilon[name])
+            if d is None:
+                print(f"PASS {name} ({len(ocanon)} rows; within declared "
+                      f"epsilon on {sorted(epsilon[name])})")
+                n_pass += 1
+            else:
+                print(f"FAIL {name}: beyond declared epsilon; "
+                      f"first: oracle={d[0]} spark={d[1]}")
+                n_fail += 1
         else:
             diffs = [(a, b) for a, b in zip(ocanon, scanon) if a != b]
             print(f"FAIL {name}: {len(diffs)}/{len(ocanon)} rows differ; "

@@ -14,11 +14,11 @@ import os
 import sys
 
 
-def run_one(sf_dir, out_dir, name, sql, q):
+def run_one(sf_dir, out_dir, name, sql, q, eps=None):
     # child process: fresh connection, bounded temp spill
     import duckdb
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from check import TABLES, canon, type_diffs
+    from check import TABLES, canon, type_diffs, eps_equal
     con = duckdb.connect()
     tmp = os.environ.get("GRAFT_DUCK_TMP", "/tmp/duck_tmp")
     os.makedirs(tmp, exist_ok=True)
@@ -39,19 +39,25 @@ def run_one(sf_dir, out_dir, name, sql, q):
         res = con.execute(sql)
         onames = [d[0] for d in res.description]
         orows = res.fetchall()
+    except Exception as e:
+        msg = str(e)
+        # resource exhaustion while running the ORACLE query is a
+        # CAPACITY event (the engine dump is already on disk) — but
+        # only here: a resource error while reading the ENGINE dump
+        # below stays a FAIL (a malformed/oversized dump is a defect)
+        if ("No space left" in msg or "max_temp_directory_size" in msg
+                or "Out of Memory" in msg or "OutOfMemory" in msg):
+            q.put(("CAPACITY", f"oracle resources: {msg[:200]}"))
+        else:
+            q.put(("FAIL", f"oracle error: {e}"))
+        return
+    try:
         sres = con.execute(
             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
         snames = [d[0] for d in sres.description]
         srows = sres.fetchall()
     except Exception as e:
-        msg = str(e)
-        # resource exhaustion inside DuckDB is an oracle CAPACITY
-        # event (the engine dump is already on disk), never a FAIL
-        if ("No space left" in msg or "max_temp_directory_size" in msg
-                or "Out of Memory" in msg or "OutOfMemory" in msg):
-            q.put(("CAPACITY", f"oracle resources: {msg[:200]}"))
-        else:
-            q.put(("FAIL", f"error: {e}"))
+        q.put(("FAIL", f"engine dump read error: {e}"))
         return
     ocols, ocanon = canon(orows, onames)
     scols, scanon = canon(srows, snames)
@@ -62,6 +68,15 @@ def run_one(sf_dir, out_dir, name, sql, q):
         q.put(("FAIL", f"rows oracle={len(ocanon)} spark={len(scanon)}"))
         return
     if ocanon != scanon:
+        if eps:
+            d = eps_equal(ocanon, scanon, ocols, eps)
+            if d is not None:
+                q.put(("FAIL", f"beyond declared epsilon; "
+                               f"first: oracle={d[0]} spark={d[1]}"))
+                return
+            q.put(("PASS", f"{len(ocanon)} rows; within declared "
+                           f"epsilon on {sorted(eps)}"))
+            return
         diffs = [(a, b) for a, b in zip(ocanon, scanon) if a != b]
         q.put(("FAIL", f"{len(diffs)}/{len(ocanon)} rows differ; "
                        f"first: oracle={diffs[0][0]} spark={diffs[0][1]}"))
@@ -77,10 +92,14 @@ def run_one(sf_dir, out_dir, name, sql, q):
     gc.collect()
     try:
         tdiffs = type_diffs(con, sql, f"{out_dir}/{name}/*.parquet")
-    except BaseException as e:
+    except (KeyboardInterrupt, SystemExit):
+        raise
+    except Exception as e:
         # the physical-type audit needs a fresh pyarrow import, which
         # can fail to mmap while DuckDB holds a deep-scale memory cap —
-        # values already compared equal above, so report that, noted
+        # values already compared equal above, so report that, noted.
+        # Interrupts re-raise (a Ctrl-C must never record a PASS);
+        # MemoryError is an Exception and stays in the skip path.
         con.close()
         q.put(("PASS", f"{n_rows} rows; type audit skipped: "
                f"{type(e).__name__}"))
@@ -104,12 +123,16 @@ def wipe_tmp():
 
 def main(sf_dir, out_dir, budget):
     wipe_tmp()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from check import load_epsilon
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    epsilon = load_epsilon(out_dir)
     n_pass = n_fail = n_cap = 0
     for name, sql in sorted(oracle.items()):
         q = mp.Queue()
         p = mp.Process(target=run_one,
-                       args=(sf_dir, out_dir, name, sql, q))
+                       args=(sf_dir, out_dir, name, sql, q,
+                             epsilon.get(name)))
         p.start()
         p.join(budget)
         if p.is_alive():

@@ -8,6 +8,10 @@ GRAFT_DUCK_TMP / GRAFT_DUCK_MEM env contract added in r15). Merges the
 per-shard verdict lines and prints one combined tally.
 
 Usage: check_budget_par.py <sfDir> <verifyOutDir> [budget_sec] [workers]
+       [mem] [tmpmax_total]
+A user-set GRAFT_DUCK_MEM / GRAFT_DUCK_TMPMAX in the environment wins
+over the defaults; tmpmax_total (default 60GB) is divided across the
+workers so N spilling oracles can't jointly fill the disk.
 Exit 1 only on a real FAIL (capacity events are oracle limitations).
 """
 import json
@@ -16,10 +20,18 @@ import subprocess
 import sys
 
 
-def main(sf_dir, out_dir, budget=600, workers=6, mem="12GB"):
+def main(sf_dir, out_dir, budget=600, workers=6, mem="12GB",
+         tmpmax_total_gb=60):
     here = os.path.dirname(os.path.abspath(__file__))
+    # resolve BEFORE building symlink targets: a relative out_dir would
+    # make the links stored in {out_dir}_shard{w}/ resolve relative to
+    # the SHARD dir (vout_shard0/vout/q_x) and every dump read FAIL
+    out_dir = os.path.abspath(out_dir)
+    sf_dir = os.path.abspath(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(oracle)
+    eps_path = f"{out_dir}/oracle_epsilon.json"
+    eps_json = open(eps_path).read() if os.path.exists(eps_path) else None
     shard_dirs = []
     for w in range(workers):
         sd = f"{out_dir}_shard{w}"
@@ -28,16 +40,23 @@ def main(sf_dir, out_dir, budget=600, workers=6, mem="12GB"):
                if i % workers == w}
         with open(f"{sd}/oracle_sql.json", "w") as f:
             json.dump(sub, f)
+        if eps_json is not None:
+            with open(f"{sd}/oracle_epsilon.json", "w") as f:
+                f.write(eps_json)
         for n in sub:
             link = f"{sd}/{n}"
             if not os.path.islink(link):
                 os.symlink(f"{out_dir}/{n}", link)
         shard_dirs.append(sd)
+    # env contract: an existing GRAFT_DUCK_MEM/TMPMAX wins over the
+    # defaults (setdefault); the per-worker spill cap divides the total
+    # so 6 workers can't jointly spill 6 × the single-worker cap
+    per_worker_tmp = f"{max(1, tmpmax_total_gb // workers)}GB"
     procs = []
     for w, sd in enumerate(shard_dirs):
-        env = dict(os.environ,
-                   GRAFT_DUCK_TMP=f"/tmp/duck_tmp_w{w}",
-                   GRAFT_DUCK_MEM=mem)
+        env = dict(os.environ, GRAFT_DUCK_TMP=f"/tmp/duck_tmp_w{w}")
+        env.setdefault("GRAFT_DUCK_MEM", mem)
+        env.setdefault("GRAFT_DUCK_TMPMAX", per_worker_tmp)
         logf = open(f"{sd}/replay.log", "w")
         procs.append((subprocess.Popen(
             [sys.executable, f"{here}/check_budget.py",
@@ -68,4 +87,6 @@ def main(sf_dir, out_dir, budget=600, workers=6, mem="12GB"):
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2],
                   int(sys.argv[3]) if len(sys.argv) > 3 else 600,
-                  int(sys.argv[4]) if len(sys.argv) > 4 else 6))
+                  int(sys.argv[4]) if len(sys.argv) > 4 else 6,
+                  sys.argv[5] if len(sys.argv) > 5 else "12GB",
+                  int(sys.argv[6]) if len(sys.argv) > 6 else 60))
