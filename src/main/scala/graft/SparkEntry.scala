@@ -704,6 +704,8 @@ object SparkEntry {
     "q_video_decode" -> (Multimodal.videoDecodeQuery _),
     "q_video_frames" -> (Multimodal.videoFramesQuery _),
     "q_media_neardup" -> (Multimodal.mediaNearDupGateQuery _),
+    "q_media_text_align" ->
+      ((s, d) => Multimodal.mediaTextAlignQuery(s, d)),
     // Driver-divergence probe battery (round 12, see PROBES.md and
     // Probes.scala scaladoc): near-zero-cost queries isolating one
     // construct each, to localize why 8 gates are driver-red while
@@ -2497,6 +2499,81 @@ object SparkEntry {
     // within-kind pair scan, both computed in-engine.
     "q_media_neardup" ->
       """SELECT TRUE AS complete_ok, TRUE AS precision_ok""".stripMargin,
+    // Image-text alignment: the oracle replays BOTH deterministic
+    // encoders — the image side from doc_id pixel arithmetic (the
+    // q_image_phash replay: low 24 bits of Long.hashCode(id*1000003 +
+    // sy*1009 + sx*31), 4x4 nearest-neighbor grid, integer luminance)
+    // and the text side as 16-bucket md5 char-trigram counts (the
+    // q_lang_id2 kernel) — then the x16 integer mean-centering, the
+    // exact BIGINT dot over shard-local pairs, the IEEE-sqrt cosine,
+    // the per-image ranking, and the 0.55 admission bar. A hash match
+    // proves the real PNG decode, both feature kernels, the blocked
+    // pairing, and the admission decision together.
+    "q_media_text_align" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, gy.y * 4 + gx.x AS i,
+        |    (gx.x * d.w) // 4 AS sx, (gy.y * d.h) // 4 AS sy
+        |  FROM dims d
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS x) gx
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS y) gy),
+        |mg AS (
+        |  SELECT doc_id, i,
+        |    (299 * ((m >> 16) & 255) + 587 * ((m >> 8) & 255) +
+        |      114 * (m & 255)) // 1000 AS gray
+        |  FROM (SELECT doc_id, i, xor(v, v >> 32) & 16777215 AS m
+        |    FROM (SELECT doc_id, i,
+        |        doc_id * 1000003 + sy * 1009 + sx * 31 AS v FROM px))),
+        |mf AS (SELECT doc_id, i,
+        |    gray * 16 - sum(gray) OVER (PARTITION BY doc_id) AS fc
+        |  FROM mg),
+        |mn AS (SELECT doc_id, CAST(sum(fc * fc) AS BIGINT) AS fn2
+        |  FROM mf GROUP BY 1),
+        |pref AS (SELECT doc_id, substr(text, 1, 96) AS pref
+        |  FROM documents),
+        |tri AS (SELECT doc_id,
+        |    ('0x' || substr(md5(g), 1, 6))::BIGINT % 16 AS b
+        |  FROM (SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(pref) - 2),
+        |        i -> substr(pref, CAST(i AS INTEGER), 3))) AS g
+        |    FROM pref WHERE len(pref) >= 3)),
+        |tc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM tri GROUP BY 1, 2),
+        |tf AS (SELECT doc_id, i,
+        |    c * 16 - sum(c) OVER (PARTITION BY doc_id) AS gc
+        |  FROM (SELECT d.doc_id, gs.i, coalesce(tc.c, 0) AS c
+        |    FROM documents d
+        |    CROSS JOIN (SELECT unnest(range(0, 16)) AS i) gs
+        |    LEFT JOIN tc ON tc.doc_id = d.doc_id AND tc.b = gs.i)),
+        |tn AS (SELECT doc_id, CAST(sum(gc * gc) AS BIGINT) AS gn2
+        |  FROM tf GROUP BY 1),
+        |dots AS (
+        |  SELECT m.doc_id AS media_id, t.doc_id AS cap_id,
+        |    CAST(sum(m.fc * t.gc) AS BIGINT) AS dot
+        |  FROM mf m JOIN tf t
+        |    ON m.doc_id // 64 = t.doc_id // 64 AND m.i = t.i
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT d.media_id, d.cap_id,
+        |    CASE WHEN mn.fn2 = 0 OR tn.gn2 = 0 THEN 0.0
+        |    ELSE floor((CAST(d.dot AS DOUBLE) /
+        |      (sqrt(CAST(mn.fn2 AS DOUBLE)) *
+        |       sqrt(CAST(tn.gn2 AS DOUBLE)))) * 1e4 + 0.5) / 1e4
+        |    END AS score
+        |  FROM dots d JOIN mn ON d.media_id = mn.doc_id
+        |  JOIN tn ON d.cap_id = tn.doc_id),
+        |rk AS (SELECT *,
+        |    row_number() OVER (PARTITION BY media_id
+        |      ORDER BY score DESC, cap_id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY media_id) AS BIGINT)
+        |      AS n_cand
+        |  FROM sc)
+        |SELECT media_id, cap_id, score, media_id = cap_id AS is_self,
+        |  n_cand, score >= 0.55 AS admitted
+        |FROM rk WHERE rn = 1
+        |ORDER BY media_id""".stripMargin,
     // MinHash gate: every emitted candidate's 64-hash estimate within
     // 0.25 of exact shingle Jaccard (σ≈0.06; measured max 0.12) and
     // exact ≥ 0.4 — both checked in-engine on the same shingle sets.

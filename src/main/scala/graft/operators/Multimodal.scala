@@ -1,8 +1,10 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.VectorOps.{foldRound => fr}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /**
  * Multimodal column plumbing (north star): image/audio/video as opaque
@@ -1087,6 +1089,127 @@ object Multimodal {
     missed.crossJoin(broadcast(spurious))
       .select((col("n_missed") === 0).as("complete_ok"),
         (col("n_spurious") === 0).as("precision_ok"))
+  }
+
+  /**
+   * Image–text ALIGNMENT admission filter (the CLIP-score shape a
+   * caption-corpus build runs): pair every stored image with the
+   * candidate captions in its shard, score cross-modal alignment,
+   * and admit the best-aligned caption per image above a threshold —
+   * per-pair evidence included, the admission record a training-data
+   * audit wants.
+   *
+   * Deterministic stand-ins for the learned encoders (the
+   * [[dhashOf]] doctrine — REAL decode, replayable arithmetic):
+   * the image side rasterizes each stored PNG through `javax.imageio`
+   * and takes a 4×4 nearest-neighbor grid of integer luminances
+   * ([[gridGray16]] — the dHash sampling rule at 4×4); the text side
+   * hashes caption char-trigrams into 16 md5 buckets (the
+   * [[TextAnalysis.langId2Over]] kernel at dims=16). Both embed into
+   * the SAME 16-dim space, are mean-centered in INTEGER arithmetic
+   * (×16 scaling keeps centering exact; the factor cancels in the
+   * cosine), and score by cosine on exact BIGINT dots with IEEE
+   * sqrt — bit-replayable in SQL, so the full chain (real PNG decode
+   * → features → blocked pairing → ranking → admission) sits behind
+   * a hash gate.
+   *
+   * Shape at 100 TB: candidates are SHARD-LOCAL (`id div 64` — crawl
+   * pairs ship co-sharded with their pages), so pair work is ≤ 64
+   * candidates per image — linear in the corpus, never the n²
+   * cross-join; payloads decode once into 16 longs and only those
+   * 16-long features shuffle (by shard); ranking windows are
+   * image-partitioned, never global.
+   */
+  def mediaTextAlignQuery(spark: SparkSession, sfDir: String,
+      admitBar: Double = 0.55): DataFrame = {
+    import spark.implicits._
+    // image embeddings: real decode -> 4x4 grid luminances
+    val mfeatRaw = spark.read.parquet(buildImageStore(spark, sfDir))
+      .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        require(img != null, s"corrupt PNG payload (media $id)")
+        (id, gridGray16(img))
+      }).toDF("media_id", "mf")
+    // caption embeddings: 16-bucket hashed char-trigram counts over a
+    // 96-char prefix (langId2 kernel at dims=16); docs too short for
+    // any trigram keep the zero vector (score 0 by the norm guard)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val tri = docs
+      .select(col("doc_id"), substring(col("text"), 1, 96).as("pref"))
+      .filter(length(col("pref")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(pref) - 2)," +
+          " i -> substring(pref, i, 3))")).as("g"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long")
+          % 16).as("b"))
+    val tmap = tri.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
+        .as("m"))
+    val tfeatRaw = docs.select(col("doc_id"))
+      .join(tmap, Seq("doc_id"), "left")
+      .select(col("doc_id"), expr(
+        "transform(sequence(0L, 15L)," +
+          " i -> coalesce(element_at(m, i), CAST(0 AS BIGINT)))").as("tf"))
+    // integer mean-centering (x16) + exact squared norms, per side
+    def centered(f: String, out: String)(df: DataFrame): DataFrame = df
+      .withColumn("_s", aggregate(col(f), lit(0L), (a, x) => a + x))
+      .withColumn(out, transform(col(f), x => x * 16L - col("_s")))
+      .withColumn(s"${out}_n2", aggregate(col(out), lit(0L),
+        (a, x) => a + x * x))
+      .drop(f, "_s")
+    val m = centered("mf", "fc")(mfeatRaw)
+      .withColumn("shard", expr("media_id div 64"))
+    val t = centered("tf", "gc")(tfeatRaw)
+      .select(col("doc_id").as("cap_id"), col("gc"), col("gc_n2"),
+        expr("doc_id div 64").as("shard"))
+    val scored = m.join(t, Seq("shard"))
+      .withColumn("dot", aggregate(
+        zip_with(col("fc"), col("gc"), (a, b) => a * b),
+        lit(0L), (a, x) => a + x))
+      .withColumn("score",
+        when(col("fc_n2") === 0L || col("gc_n2") === 0L, lit(0.0))
+          .otherwise(fr(col("dot").cast("double") /
+            (sqrt(col("fc_n2").cast("double")) *
+              sqrt(col("gc_n2").cast("double"))), 4)))
+    val w = Window.partitionBy(col("media_id"))
+    val best = scored
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("score").desc, col("cap_id"))))
+      .withColumn("n_cand", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+    best.select(col("media_id"), col("cap_id"), col("score"),
+        (col("cap_id") === col("media_id")).as("is_self"),
+        col("n_cand"), (col("score") >= admitBar).as("admitted"))
+      .orderBy(col("media_id"))
+  }
+
+  /** 4×4 nearest-neighbor grid of integer luminances of a decoded
+    * image — the [[dhashOf]] sampling and gray rules at 4×4, returned
+    * row-major as 16 longs (the deterministic image embedding for
+    * [[mediaTextAlignQuery]]). */
+  def gridGray16(img: java.awt.image.BufferedImage): Array[Long] = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Long](16)
+    var gy = 0
+    while (gy < 4) {
+      var gx = 0
+      while (gx < 4) {
+        val rgb = img.getRGB(gx * w / 4, gy * h / 4)
+        val r = (rgb >> 16) & 0xFF
+        val g = (rgb >> 8) & 0xFF
+        val b = rgb & 0xFF
+        out(gy * 4 + gx) = (299 * r + 587 * g + 114 * b) / 1000
+        gx += 1
+      }
+      gy += 1
+    }
+    out
   }
 
   /** Mixed REAL-codec corpus: kind by `doc_id mod 3`, each payload a

@@ -355,4 +355,59 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("mediaTextAlign: independent pair-score recompute, shard-local " +
+      "candidates, top-1 maximality, admission consistency") {
+    import graft.Tables
+    val rows = Multimodal.mediaTextAlignQuery(spark, sfDir).collect()
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+      .toMap
+    assert(rows.length == docs.size, "one row per stored image")
+    // independent driver-side recompute of both encoders + the score
+    def imgFeat(id: Long): Array[Long] =
+      Multimodal.gridGray16(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.encodePng(id))))
+    def txtFeat(id: Long): Array[Long] = {
+      val pref = docs(id).take(96)
+      val f = new Array[Long](16)
+      if (pref.length >= 3)
+        (0 to pref.length - 3).foreach { i =>
+          val g = pref.substring(i, i + 3)
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(g.getBytes("UTF-8"))
+          val hex = md.map("%02x".format(_)).mkString.substring(0, 6)
+          f((java.lang.Long.parseLong(hex, 16) % 16).toInt) += 1L
+        }
+      f
+    }
+    def score(m: Array[Long], t: Array[Long]): Double = {
+      val ms = m.sum; val ts = t.sum
+      val mc = m.map(_ * 16 - ms); val tc = t.map(_ * 16 - ts)
+      val dot = mc.zip(tc).map { case (a, b) => a * b }.sum
+      val fn2 = mc.map(x => x * x).sum; val gn2 = tc.map(x => x * x).sum
+      if (fn2 == 0 || gn2 == 0) 0.0
+      else math.floor(dot.toDouble /
+        (math.sqrt(fn2.toDouble) * math.sqrt(gn2.toDouble)) * 1e4 + 0.5) / 1e4
+    }
+    val byShard = docs.keys.toSeq.groupBy(_ / 64)
+    rows.foreach { r =>
+      val mediaId = r.getLong(0); val capId = r.getLong(1)
+      val s = r.getDouble(2)
+      val cands = byShard(mediaId / 64)
+      assert(capId / 64 == mediaId / 64, "candidates are shard-local")
+      assert(r.getLong(4) == cands.size, "n_cand = shard occupancy")
+      assert(r.getBoolean(5) == (s >= 0.55), "admission bar")
+      assert(r.getBoolean(3) == (capId == mediaId))
+      val mf = imgFeat(mediaId)
+      val all = cands.map(c => c -> score(mf, txtFeat(c)))
+      val best = all.minBy { case (c, sc) => (-sc, c) }
+      assert(best._1 == capId && best._2 == s,
+        s"media $mediaId: engine ($capId,$s) vs recompute $best")
+    }
+    // the bar must genuinely split the corpus (a filter, not a rubber
+    // stamp): both admitted and rejected pairs exist at gate scale
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
+  }
 }

@@ -51,8 +51,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"global sort used:\n$p")
   }
 
+  // annBruteForceQuery now serves from the shared materialized
+  // reference store, so the plan under audit is the store-BUILDING
+  // brute-force pass (the same expression the store write runs)
+  private def bruteForcePlanUnderTest = {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    Similarity.bruteForceTopK(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+      emb, 10)
+  }
+
   test("brute-force ANN broadcasts the query side, not the corpus") {
-    val p = planString(Similarity.annBruteForceQuery(spark, sfDir))
+    val p = planString(bruteForcePlanUnderTest)
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastExchange"), s"no broadcast in ANN plan:\n$p")
   }
@@ -61,7 +71,7 @@ class PlanSpec extends SparkSpec {
     // AQE defers codegen until execution; disable it for a static view
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val df = Similarity.annBruteForceQuery(spark, sfDir)
+      val df = bruteForcePlanUnderTest
       val codegen = df.queryExecution.explainString(
         org.apache.spark.sql.execution.CodegenMode)
       assert(codegen.contains("WholeStageCodegen"), codegen.take(2000))
