@@ -337,6 +337,7 @@ object SparkEntry {
     // BPE encode executor: integer ids under the deterministic
     // alphabet+merges vocab, id->piece decode proven lossless (r15)
     "q_bpe_encode" -> ((s, d) => Tokenize.bpeEncodeQuery(s, d)),
+    "q_bpe_drift" -> ((s, d) => Tokenize.bpeDriftQuery(s, d)),
     // Unigram-LM tokenizer (Kudo/SentencePiece): Viterbi-EM fit over
     // distinct words; serving is a codegen'd projection
     "q_unigram_lm" -> ((s, d) => Tokenize.unigramQuery(s, d)),
@@ -453,6 +454,7 @@ object SparkEntry {
     // Vocabulary growth curve (Heaps'-law empirics): new and
     // cumulative token types per arrival batch, exact counts
     "q_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowthQuery(s, d)),
+    "q_quota_rebalance" -> ((s, d) => Sampling.quotaRebalanceQuery(s, d)),
     // The cut half of the Lee et al. pipeline: strip span words,
     // re-emit surviving prose (byte-exact md5 reconstruction gate)
     "q_dedup_spans_strip" -> (Dedup.dupSpanStripQuery _),
@@ -662,6 +664,12 @@ object SparkEntry {
     "q_stream_dedup" -> ((s, d) =>
       graft.streaming.StreamingIngest.replayDedup(s, d)
         .orderBy(col("user_id"), col("event_type"))),
+    // Streaming near-dup ingest: frozen-banding MinHash append through
+    // the Structured Streaming path (stateful per-bucket membership +
+    // stream-static probe of the standing postings); the drained pair
+    // set must equal the batch append gate's incremental candidates
+    "q_stream_neardup" ->
+      (graft.streaming.StreamingIngest.replayNearDup _),
     // Streaming windowed count-min sketch (bounded 8KB state/window);
     // per-window estimates oracle-replayed exactly
     "q_stream_cms" -> (graft.streaming.StreamingIngest.replayWindowedCms _),
@@ -2600,6 +2608,20 @@ object SparkEntry {
         |    AS BIGINT) AS n_batch,
         |  TRUE AS found_any, TRUE AS no_old_old, TRUE AS inc_eq_full,
         |  TRUE AS est_ok, TRUE AS sim_ok
+        |FROM documents""".stripMargin,
+    // Streaming near-dup ingest: the count is exact (mod-4 split);
+    // the booleans are the stream≡batch theorem (frozen banding makes
+    // the drained stream candidate set equal the batch incremental
+    // set — stateful buckets cover new-vs-new, the standing-postings
+    // probe covers new-vs-old) plus no_old_old by construction;
+    // found_any is the q_minhash_append fixture assumption (near-dup
+    // clusters straddle the mod-4 cut; verified sf0.001–sf1).
+    "q_stream_neardup" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_batch,
+        |  TRUE AS found_any, TRUE AS no_old_old,
+        |  TRUE AS stream_eq_batch
         |FROM documents""".stripMargin,
     // Distributed k-means (q_pagerank pattern): the oracle replays
     // stride seeding and BOTH Lloyd rounds CTE-for-CTE. Distances use
@@ -5691,6 +5713,139 @@ object SparkEntry {
     // recursive-CTE FFD fold over the survivors — and recomputes
     // every stage's order-free 60-bit-md5-sum digest (the
     // q_publish_manifest pattern, lpad-26 string transport).
+    // Quota-aware mixture rebalancing: the oracle replays the full
+    // survivor chain (compliance -> exact dedup -> quality, the
+    // q_pipeline_ledger CTEs), the per-language availability grid,
+    // the FIXED 5-round integer water-fill (cap tests by cross-
+    // multiplication, one floor division for uncapped allocations),
+    // the derived rates/thresholds, and the 24-bit content-hash kept
+    // counts — every column exact.
+    "q_quota_rebalance" ->
+      (s"WITH $qualityScoreCte," +
+        """
+        |d AS (
+        |  SELECT doc_id, text, lang,
+        |    'site' || CAST(doc_id % 5 AS VARCHAR) ||
+        |      CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END
+        |      AS host,
+        |    '/' || CASE WHEN doc_id % 3 = 0 THEN 'private'
+        |      WHEN doc_id % 3 = 1 THEN 'public' ELSE 'blog' END ||
+        |      '/p' || CAST(doc_id % 9 AS VARCHAR) AS path,
+        |    (['cc-by','cc0','all-rights-reserved','mit','cc-by-nc',
+        |      'public-domain','unknown'])[CAST(doc_id % 7 AS INTEGER)
+        |      + 1] AS license,
+        |    doc_id % 17 = 0 AS noai
+        |  FROM documents),
+        |rr(host, prefix, allow) AS (VALUES
+        |  ('site1.com', '/private/', FALSE),
+        |  ('site1.com', '/private/blog', TRUE),
+        |  ('site2.org', '/priva', FALSE),
+        |  ('site2.org', '/publi', TRUE),
+        |  ('site3.com', '/', FALSE),
+        |  ('site2.org', '/blog/', FALSE),
+        |  ('site2.org', '/blog/', TRUE)),
+        |m AS (
+        |  SELECT doc_id, allow AS robots_allow FROM (
+        |    SELECT d.doc_id, rr.allow,
+        |      row_number() OVER (PARTITION BY d.doc_id
+        |        ORDER BY length(rr.prefix) DESC, rr.allow DESC,
+        |          rr.prefix DESC) AS rn
+        |    FROM d JOIN rr ON d.host = rr.host
+        |      AND starts_with(d.path, rr.prefix))
+        |  WHERE rn = 1),
+        |f1 AS (
+        |  SELECT d.*, s.quality_score,
+        |    coalesce(m.robots_allow, TRUE) AND NOT d.noai AND
+        |      d.license IN ('cc-by','cc0','mit','public-domain')
+        |      AS p1
+        |  FROM d LEFT JOIN m ON d.doc_id = m.doc_id
+        |    JOIN s ON d.doc_id = s.doc_id),
+        |f2 AS (
+        |  SELECT *, p1 AND doc_id = min(CASE WHEN p1 THEN doc_id END)
+        |      OVER (PARTITION BY md5(text)) AS p2
+        |  FROM f1),
+        |f3 AS (SELECT *, p2 AND quality_score >= 0.5 AS p3 FROM f2),
+        |rawc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_raw
+        |  FROM documents GROUP BY lang),
+        |av AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_avail
+        |  FROM f3 WHERE p3 GROUP BY lang),
+        |p AS (SELECT * FROM (VALUES ('de', 15), ('en', 40), ('es', 15),
+        |  ('fr', 15), ('zh', 15)) AS v(lang, target_pct)),
+        |g0 AS (
+        |  SELECT p.lang, rawc.n_raw,
+        |    coalesce(av.n_avail, 0)::BIGINT AS avail,
+        |    CAST(p.target_pct AS BIGINT) AS pct, FALSE AS capped,
+        |    (SELECT sum(coalesce(av2.n_avail, 0))::BIGINT // 2
+        |     FROM p p2 LEFT JOIN av av2 ON p2.lang = av2.lang) AS rem
+        |  FROM p JOIN rawc ON p.lang = rawc.lang
+        |  LEFT JOIN av ON p.lang = av.lang),
+        |g1 AS (
+        |  SELECT lang, n_raw, avail, pct,
+        |    capped OR (sp > 0 AND avail * sp <= rem * pct) AS capped,
+        |    rem - sum(CASE WHEN NOT capped AND sp > 0
+        |        AND avail * sp <= rem * pct THEN avail ELSE 0 END)
+        |      OVER () AS rem
+        |  FROM (SELECT g0.*, coalesce(sum(CASE WHEN NOT capped
+        |      THEN pct END) OVER (), 0) AS sp FROM g0)),
+        |g2 AS (
+        |  SELECT lang, n_raw, avail, pct,
+        |    capped OR (NOT capped AND sp > 0
+        |      AND avail * sp <= rem * pct) AS capped,
+        |    rem - sum(CASE WHEN NOT capped AND sp > 0
+        |        AND avail * sp <= rem * pct THEN avail ELSE 0 END)
+        |      OVER () AS rem
+        |  FROM (SELECT g1.*, coalesce(sum(CASE WHEN NOT capped
+        |      THEN pct END) OVER (), 0) AS sp FROM g1)),
+        |g3 AS (
+        |  SELECT lang, n_raw, avail, pct,
+        |    capped OR (NOT capped AND sp > 0
+        |      AND avail * sp <= rem * pct) AS capped,
+        |    rem - sum(CASE WHEN NOT capped AND sp > 0
+        |        AND avail * sp <= rem * pct THEN avail ELSE 0 END)
+        |      OVER () AS rem
+        |  FROM (SELECT g2.*, coalesce(sum(CASE WHEN NOT capped
+        |      THEN pct END) OVER (), 0) AS sp FROM g2)),
+        |g4 AS (
+        |  SELECT lang, n_raw, avail, pct,
+        |    capped OR (NOT capped AND sp > 0
+        |      AND avail * sp <= rem * pct) AS capped,
+        |    rem - sum(CASE WHEN NOT capped AND sp > 0
+        |        AND avail * sp <= rem * pct THEN avail ELSE 0 END)
+        |      OVER () AS rem
+        |  FROM (SELECT g3.*, coalesce(sum(CASE WHEN NOT capped
+        |      THEN pct END) OVER (), 0) AS sp FROM g3)),
+        |g5 AS (
+        |  SELECT lang, n_raw, avail, pct,
+        |    capped OR (NOT capped AND sp > 0
+        |      AND avail * sp <= rem * pct) AS capped,
+        |    rem - sum(CASE WHEN NOT capped AND sp > 0
+        |        AND avail * sp <= rem * pct THEN avail ELSE 0 END)
+        |      OVER () AS rem
+        |  FROM (SELECT g4.*, coalesce(sum(CASE WHEN NOT capped
+        |      THEN pct END) OVER (), 0) AS sp FROM g4)),
+        |al AS (
+        |  SELECT lang, n_raw, avail, pct, capped,
+        |    CAST(CASE WHEN capped THEN avail
+        |      ELSE rem * pct // spf END AS BIGINT) AS alloc
+        |  FROM (SELECT g5.*, coalesce(sum(CASE WHEN NOT capped
+        |      THEN pct END) OVER (), 0) AS spf FROM g5)),
+        |rt AS (
+        |  SELECT *, CASE WHEN avail = 0 THEN 0.0
+        |      ELSE CAST(alloc AS DOUBLE) / CAST(avail AS DOUBLE)
+        |    END AS rate
+        |  FROM al),
+        |k2 AS (
+        |  SELECT f3.lang, CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM f3 JOIN rt ON f3.lang = rt.lang
+        |  WHERE f3.p3 AND ('0x' || substring(md5(f3.text), 1, 6))::BIGINT
+        |    < CAST(floor(rt.rate * 16777216.0) AS BIGINT)
+        |  GROUP BY f3.lang)
+        |SELECT rt.lang, rt.n_raw, rt.avail AS n_avail,
+        |  CAST(rt.pct AS BIGINT) AS target_pct, rt.alloc, rt.capped,
+        |  floor(rt.rate * 1e6 + 0.5) / 1e6 AS rate,
+        |  coalesce(k2.n_kept, 0)::BIGINT AS n_kept
+        |FROM rt LEFT JOIN k2 ON rt.lang = k2.lang
+        |ORDER BY rt.lang""".stripMargin),
     "q_pipeline_ledger" ->
       (s"WITH RECURSIVE $qualityScoreCte," +
         """
@@ -6075,6 +6230,29 @@ object SparkEntry {
         |  TRUE AS decode_ok, TRUE AS len_ok
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // BPE compression-drift monitor (q_bpe doctrine): per-language
+    // doc/char counts for both snapshots replay exactly; the token
+    // sums are engine-internal model output checked in-engine against
+    // the bound theorems (nonempty <= toks <= chars per snapshot,
+    // merges applied on both, |ratio drift| within the measured 0.1
+    // envelope — random interleaved halves measure <= ~0.02).
+    "q_bpe_drift" ->
+      """SELECT lang,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_docs_a,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_docs_b,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0
+        |    THEN length(replace(text, ' ', '')) ELSE 0 END)
+        |    AS BIGINT) AS n_chars_a,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1
+        |    THEN length(replace(text, ' ', '')) ELSE 0 END)
+        |    AS BIGINT) AS n_chars_b,
+        |  TRUE AS bounds_ok_a, TRUE AS bounds_ok_b,
+        |  TRUE AS merges_applied, TRUE AS drift_ok
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     // Unigram-LM invariant gate (the q_bpe pattern): the oracle cannot
     // refit the EM'd piece probabilities, but every valid Viterbi
     // segmentation must re-join to the character stream, compress, and

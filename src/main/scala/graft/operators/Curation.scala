@@ -1049,12 +1049,15 @@ object Curation {
    * segment FFD pass. Text shuffles only for the dedup window and
    * the pack grouping — exactly what the standalone operators pay.
    */
-  def pipelineLedgerQuery(spark: SparkSession, sfDir: String,
-      quota: Int = 3, budget: Long = 256L): DataFrame = {
-    import spark.implicits._
+  /** The ledger chain's id-derived corpus decoration (host, path,
+    * license, noai + lang), shared by [[pipelineLedgerQuery]] and the
+    * quota-rebalance composition
+    * ([[graft.operators.Sampling.quotaRebalanceQuery]]). */
+  private[graft] def ledgerDocs(spark: SparkSession, sfDir: String)
+      : DataFrame = {
     val id = col("doc_id")
-    val docs = Tables.load(spark, sfDir, "documents")
-      .select(id, col("text"),
+    Tables.load(spark, sfDir, "documents")
+      .select(id, col("text"), col("lang"),
         concat(lit("site"), (id % 5).cast("string"),
           when(id % 2 === 0, lit(".com")).otherwise(lit(".org")))
           .as("host"),
@@ -1066,7 +1069,12 @@ object Curation {
           "mit", "cc-by-nc", "public-domain", "unknown")),
           (id % 7).cast("int") + 1).as("license"),
         (id % 17 === 0).as("noai"))
-    val robots = Seq(
+  }
+
+  /** The ledger chain's robots fixture (both group kinds per host). */
+  private[graft] def ledgerRobots(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
       ("site1.com", "/private/", false),
       ("site1.com", "/private/blog", true),
       ("site2.org", "/priva", false),
@@ -1074,10 +1082,22 @@ object Curation {
       ("site3.com", "/", false),
       ("site2.org", "/blog/", false),
       ("site2.org", "/blog/", true)).toDF("host", "prefix", "allow")
-    val withC = complianceFilter(docs, robots,
-      Seq("cc-by", "cc0", "mit", "public-domain"))
+  }
+
+  private[graft] val ledgerLicenses =
+    Seq("cc-by", "cc0", "mit", "public-domain")
+
+  /** The composed compliance → exact-dedup → quality-floor flag chain
+    * over [[ledgerDocs]]: columns p1/p2/p3 plus the 6-dp quality
+    * score — the survivor population every downstream allocation
+    * (ledger stages 4–5, quota rebalance) draws from. */
+  private[graft] def ledgerFlagged(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val id = col("doc_id")
+    val withC = complianceFilter(ledgerDocs(spark, sfDir),
+      ledgerRobots(spark), ledgerLicenses)
     val wDigest = Window.partitionBy(md5(col("text")))
-    val flagged = withC
+    withC
       .withColumn("p1", col("compliant"))
       // keeper among stage-1 survivors: min ignores the nulls the
       // `when` leaves on non-compliant rows
@@ -1086,6 +1106,12 @@ object Curation {
       .withColumn("q",
         fr(qualityScore(col("text"), pretrainedWeights(), 0.1), 6))
       .withColumn("p3", col("p2") && col("q") >= 0.5)
+  }
+
+  def pipelineLedgerQuery(spark: SparkSession, sfDir: String,
+      quota: Int = 3, budget: Long = 256L): DataFrame = {
+    import spark.implicits._
+    val flagged = ledgerFlagged(spark, sfDir)
     val keepers = flagged.filter(col("p3"))
       .groupBy(col("host"))
       .agg(call_function("graft_topk", col("q"), col("doc_id"),

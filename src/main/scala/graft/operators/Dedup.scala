@@ -545,22 +545,28 @@ object Dedup {
    * near-dup clusters span consecutive doc_ids, so some pair always
    * straddles the mod-4 cut; verified at sf0.001/0.01/0.1/sf1).
    */
+  /** The FROZEN 16×4 banding of a (doc_id, sig) frame — fixed seeds,
+    * no fitted state, so any two banded frames (batch append, the
+    * streaming ingest gate) produce comparable bucket keys forever.
+    * Shared by [[minhashAppendQuery]] and
+    * [[graft.streaming.StreamingIngest.replayNearDup]]. */
+  private[graft] def bandedSig(d: DataFrame, bands: Int = 16,
+      rows: Int = 4): DataFrame = d.select(col("doc_id"),
+    explode(transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        hash(slice(col("sig"), b * rows + 1, lit(rows)))
+          .as("band_hash")))).as("bb"))
+    .select(col("doc_id"), col("bb.band").as("band"),
+      col("bb.band_hash").as("band_hash"))
+
   def minhashAppendQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val bands = 16
-    val rows = 4
     val isNew = pmod(col("doc_id"), lit(4L)) === 3L
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
         array_distinct(hashedShingles(col("text"))).as("sh"))
       .withColumn("sig", minhashSignature(col("sh")))
       .tracked()
-    def banded(d: DataFrame): DataFrame = d.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          hash(slice(col("sig"), b * rows + 1, lit(rows)))
-            .as("band_hash")))).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"),
-        col("bb.band_hash").as("band_hash"))
+    def banded(d: DataFrame): DataFrame = bandedSig(d)
     val batB = banded(docs.filter(isNew))
     val store = banded(docs.filter(!isNew)).unionByName(batB)
     val candInc = batB

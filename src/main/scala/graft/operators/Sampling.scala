@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.VectorOps.{foldRound => fr}
+import graft.operators.CacheBin.TrackOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -169,6 +170,98 @@ object Sampling {
         col("target_pct"), fr(col("rate"), 6).as("rate"))), Seq("lang"))
       .select(col("lang"), col("n_lang"), col("target_pct"),
         col("rate"), col("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  /**
+   * QUOTA-AWARE MIXTURE REBALANCING — [[domainMixQuery]] composed
+   * with the curation pipeline ([[Curation.ledgerFlagged]]'s
+   * compliance → exact-dedup → quality chain): mixture targets are
+   * set against the TRAINING SET, but upstream stages drop documents
+   * non-uniformly across languages, so rates derived from the RAW
+   * corpus miss the targets. This operator allocates against the
+   * SURVIVOR population instead, with the feasibility correction a
+   * real mix plan needs: a language whose survivors cannot fill its
+   * target share is CAPPED at availability and its shortfall
+   * water-fills into the remaining languages proportionally to their
+   * targets (Neyman-style iterative allocation, ≤ one round per
+   * language).
+   *
+   * Determinism/exactness: the water-fill runs a FIXED 5-round
+   * unroll in pure integer arithmetic — cap tests by cross-
+   * multiplication (avail·Σpct ≤ remaining·pct), final uncapped
+   * allocations one floor division — identical in the SQL oracle's
+   * unrolled CTE chain, so every output column (including the kept
+   * counts under the 24-bit content-hash coin) hash-replays. The
+   * sample budget is half the total survivors (floor).
+   *
+   * Shape at 100 TB: the chain flags ride the corpus scan (ledger
+   * discipline), availability is one (lang)-grid aggregate, the
+   * water-fill is driver-side model arithmetic on that grid (5 rows),
+   * and acceptance is a broadcast threshold + pushable hash predicate
+   * — corpus text never shuffles.
+   */
+  def quotaRebalanceQuery(spark: SparkSession, sfDir: String,
+      targetPct: Seq[(String, Int)] = Seq(
+        "de" -> 15, "en" -> 40, "es" -> 15, "fr" -> 15, "zh" -> 15))
+      : DataFrame = {
+    import spark.implicits._
+    val surv = Curation.ledgerFlagged(spark, sfDir)
+      .filter(col("p3"))
+      .select(col("doc_id"), col("lang"), col("text"))
+      .tracked()
+    val rawCounts = Tables.load(spark, sfDir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
+    val availCounts = surv.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_avail"))
+    val pctDf = spark.createDataFrame(targetPct).toDF("lang", "target_pct")
+    // the (lang, raw, avail, pct) grid is model material — 5 rows
+    val grid = rawCounts
+      .join(availCounts, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_avail"))
+      .join(broadcast(pctDf), Seq("lang"))
+      .select(col("lang"), col("n_raw"), col("n_avail"),
+        col("target_pct").cast("long").as("pct"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val totalAvail = grid.map(_._3).sum
+    var remaining = totalAvail / 2
+    val capped = scala.collection.mutable.Map(
+      grid.map(g => g._1 -> false): _*)
+    // fixed 5-round unroll (one round per language at most can cap);
+    // each round snapshots (Σpct over active, remaining) before
+    // applying its caps — the oracle's CTE chain does the identical
+    // set-based step
+    for (_ <- 1 to 5) {
+      val active = grid.filter(g => !capped(g._1))
+      val sp = active.map(_._4).sum
+      if (sp > 0) {
+        val newly = active.filter(g => g._3 * sp <= remaining * g._4)
+        newly.foreach { g => capped(g._1) = true; remaining -= g._3 }
+      }
+    }
+    val spF = grid.filter(g => !capped(g._1)).map(_._4).sum
+    val allocs = grid.map { case (lang, _, avail, pct) =>
+      lang -> (if (capped(lang)) avail else remaining * pct / spF)
+    }.toMap
+    val rateRows = grid.map { case (lang, raw, avail, pct) =>
+      val alloc = allocs(lang)
+      val rate = if (avail == 0L) 0.0 else alloc.toDouble / avail.toDouble
+      (lang, raw, avail, pct, alloc, capped(lang), rate,
+        math.floor(rate * 16777216.0).toLong)
+    }
+    val rates = rateRows.toSeq.toDF("lang", "n_raw", "n_avail",
+      "target_pct", "alloc", "capped", "_rate", "threshold")
+    val kept = surv.join(broadcast(rates.select(col("lang"),
+        col("threshold"))), Seq("lang"))
+      .filter(hashBucket24(col("text")) < col("threshold"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_raw"), col("n_avail"),
+        col("target_pct"), col("alloc"), col("capped"),
+        fr(col("_rate"), 6).as("rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
       .orderBy(col("lang"))
   }
 

@@ -162,6 +162,83 @@ object Tokenize {
       .orderBy(col("doc_id"))
   }
 
+  private val snapMergeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[String]]
+
+  /** Merge table fitted ONLY on the reference snapshot
+    * (doc_id % 2 = 0) — the shipped tokenizer [[bpeDriftQuery]]
+    * monitors. Idempotent per (corpus, budget). */
+  def buildSnapshotMerges(spark: SparkSession, sfDir: String,
+      nMerges: Int = 24): Seq[String] =
+    snapMergeCache.getOrElseUpdate((sfDir, nMerges), {
+      fitBpe(Tables.load(spark, sfDir, "documents")
+        .filter(pmod(col("doc_id"), lit(2L)) === 0L), nMerges)
+    })
+
+  /**
+   * Tokenizer COMPRESSION-RATIO DRIFT monitor — the
+   * [[graft.operators.TextAnalysis.vocabGrowthQuery]] twin on the BPE
+   * side, and the production question behind it: a tokenizer is
+   * fitted once on a reference snapshot and then serves a corpus that
+   * keeps moving; when tokens-per-char rises on new data, every
+   * downstream training run silently pays more sequence length for
+   * the same text, and the fleet needs the retrain signal BEFORE
+   * that. Here the merge table fits on the doc_id-even snapshot
+   * ([[buildSnapshotMerges]]) and both snapshots segment under it;
+   * the per-language ratio pair is the drift series.
+   *
+   * Gate (the q_bpe invariant doctrine — the merge table is
+   * engine-internal model state no SQL oracle can refit): the exact
+   * columns (per-language doc/char counts for both snapshots) replay
+   * in SQL, and the engine checks its own real token streams against
+   * the theorems — token sums bounded by [nonempty docs, chars] on
+   * each snapshot, merges genuinely applied on both (toks < chars —
+   * the fixture carries merge-rich text at every gate scale), and
+   * the drift within the measured envelope (|Δratio| ≤ 0.1; random
+   * interleaved halves measure ≤ ~0.02 at sf0.001–sf1, so the bound
+   * catches a per-snapshot segmentation break with 5× margin while
+   * never firing on fixture noise). Exact ratios and the drift value
+   * stay spec-gated (TokenizeSpec recomputes them on the driver).
+   *
+   * Scale shape: one corpus scan, the merge table broadcasts inside
+   * the codegen'd kernel, the shuffle carries (lang × snapshot)
+   * partial sums — nothing else moves.
+   */
+  def bpeDriftQuery(spark: SparkSession, sfDir: String,
+      nMerges: Int = 24, driftBound: Double = 0.1): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val merges = buildSnapshotMerges(spark, sfDir, nMerges)
+    val squashed = regexp_replace(col("text"), " ", "")
+    val base = docs.select(col("lang"),
+      pmod(col("doc_id"), lit(2L)).as("snap"),
+      length(squashed).as("chars"),
+      size(bpeTokens(col("text"), merges)).as("toks"))
+    def side(s: Int, c: org.apache.spark.sql.Column) =
+      sum(when(col("snap") === s, c).otherwise(lit(0L)))
+    base.groupBy(col("lang"))
+      .agg(
+        side(0, lit(1L)).as("n_docs_a"), side(1, lit(1L)).as("n_docs_b"),
+        side(0, col("chars").cast("long")).as("n_chars_a"),
+        side(1, col("chars").cast("long")).as("n_chars_b"),
+        side(0, col("toks").cast("long")).as("_t_a"),
+        side(1, col("toks").cast("long")).as("_t_b"),
+        side(0, when(col("chars") > 0, 1L).otherwise(0L)).as("_ne_a"),
+        side(1, when(col("chars") > 0, 1L).otherwise(0L)).as("_ne_b"))
+      .select(col("lang"),
+        col("n_docs_a"), col("n_docs_b"),
+        col("n_chars_a"), col("n_chars_b"),
+        (col("_t_a") >= col("_ne_a") && col("_t_a") <= col("n_chars_a"))
+          .as("bounds_ok_a"),
+        (col("_t_b") >= col("_ne_b") && col("_t_b") <= col("n_chars_b"))
+          .as("bounds_ok_b"),
+        (col("_t_a") < col("n_chars_a") && col("_t_b") < col("n_chars_b"))
+          .as("merges_applied"),
+        (abs(col("_t_b").cast("double") / col("n_chars_b").cast("double") -
+          col("_t_a").cast("double") / col("n_chars_a").cast("double"))
+          <= driftBound).as("drift_ok"))
+      .orderBy(col("lang"))
+  }
+
   /** Fitted unigram-LM tokenizer: parallel piece/logprob arrays plus
     * the corpus marginal log-likelihood trace per EM round, grouped
     * by vocab stage (likelihood is monotone within a stage; the prune

@@ -994,4 +994,119 @@ object StreamingIngest {
       runToParquet(cusumStream(stream).toDF(), "stream_cusum"))
       .orderBy(col("event_type"), col("day"))
   }
+
+  /**
+   * STREAMING near-dup ingest — [[graft.operators.Dedup.minhashAppendQuery]]'s
+   * frozen-banding append folded into the Structured Streaming path:
+   * batch documents (doc_id mod 4 = 3) arrive as a file stream in
+   * several micro-batches, each doc signs and bands under the SAME
+   * frozen 16×4 banding, and candidates emit two ways:
+   *
+   *  - new-vs-old: a stateless stream-static join against the
+   *    STANDING postings store (the index side's banded signatures) —
+   *    per micro-batch a broadcast hash join, no state at all;
+   *  - new-vs-new: a stateful per-bucket membership
+   *    (`flatMapGroupsWithState` keyed on (band, band_hash)) — each
+   *    arrival pairs with every doc already seen in its bucket across
+   *    ALL prior micro-batches, then joins the state. State is
+   *    bounded by bucket occupancy (near-dup clusters), the exact
+   *    analogue of the standing postings a 100 TB streaming dedup
+   *    keeps per band bucket.
+   *
+   * The emitted PAIR SET is deterministic regardless of intra-batch
+   * arrival order (every arrival pairs with all prior members AND all
+   * same-batch peers, a<b normalized, distinct on read-back), so the
+   * gate can prove stream ≡ batch: the drained union of both paths
+   * must equal the batch append gate's incremental candidate set
+   * exactly — the same inc_eq_full theorem, now across the streaming
+   * execution path.
+   */
+  def replayNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val isNew = pmod(col("doc_id"), lit(4L)) === 3L
+    // stage the batch docs as 4 files -> 4 micro-batches (real
+    // cross-batch state, not a single-drain degenerate run)
+    val stage = graft.sources.OrcIo.scratchDir("stream_neardup_src")
+    graft.Tables.load(spark, sfDir, "documents")
+      .filter(isNew).select(col("doc_id"), col("text"))
+      .repartition(4).write.mode("overwrite").parquet(s"$stage/in")
+    val schema = spark.read.parquet(s"$stage/in").schema
+    val streamSession = spark.newSession()
+    streamSession.conf.set("spark.sql.shuffle.partitions", "4")
+    val src = streamSession.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stage/in")
+    val bandedStream = Dedup.bandedSig(
+      src.select(col("doc_id"), Dedup.minhashSignature(
+        array_distinct(Dedup.hashedShingles(col("text")))).as("sig")))
+    // standing postings store (built by the batch session, loaded via
+    // the stream's session — the replayEnrich static-side pattern)
+    val index = Dedup.bandedSig(
+      graft.Tables.load(streamSession, sfDir, "documents")
+        .filter(!isNew)
+        .select(col("doc_id"), Dedup.minhashSignature(
+          array_distinct(Dedup.hashedShingles(col("text")))).as("sig")))
+      .select(col("band"), col("band_hash"), col("doc_id").as("hit"))
+    val vsOld = bandedStream.join(broadcast(index), Seq("band", "band_hash"))
+      .select(least(col("doc_id"), col("hit")).as("doc_a"),
+        greatest(col("doc_id"), col("hit")).as("doc_b"))
+    val vsNew = bandedStream
+      .select(col("band"), col("band_hash"), col("doc_id"))
+      .as[(Int, Int, Long)]
+      .groupByKey { case (b, h, _) => (b, h) }
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: (Int, Int), it: Iterator[(Int, Int, Long)],
+         state: GroupState[Seq[Long]]) =>
+          val seen = state.getOption.getOrElse(Seq.empty)
+          val arrivals = it.map(_._3).toSeq
+          val crossPrior = for (a <- arrivals; m <- seen if a != m)
+            yield (math.min(a, m), math.max(a, m))
+          val withinBatch = for {
+            i <- arrivals.indices
+            j <- (i + 1) until arrivals.length
+            if arrivals(i) != arrivals(j)
+          } yield (math.min(arrivals(i), arrivals(j)),
+            math.max(arrivals(i), arrivals(j)))
+          state.update(seen ++ arrivals)
+          (crossPrior ++ withinBatch).iterator
+      }
+      .toDF("doc_a", "doc_b")
+    val oldPairs = spark.read.parquet(
+      runToParquet(vsOld, "stream_neardup_old"))
+    val newPairs = spark.read.parquet(
+      runToParquet(vsNew, "stream_neardup_new"))
+    val streamed = oldPairs.unionByName(newPairs).distinct()
+    // batch reference: the append gate's incremental candidate set,
+    // reconstructed with the same frozen banding
+    val docsAll = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), Dedup.minhashSignature(
+        array_distinct(Dedup.hashedShingles(col("text")))).as("sig"))
+    val allB = Dedup.bandedSig(docsAll)
+    val batchInc = allB
+      .select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+      .join(allB.select(col("band"), col("band_hash"),
+        col("doc_id").as("doc_b")), Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .filter(pmod(col("doc_a"), lit(4L)) === 3L ||
+        pmod(col("doc_b"), lit(4L)) === 3L)
+    val mismatch = streamed.withColumn("_s", lit(1))
+      .join(batchInc.withColumn("_b", lit(1)),
+        Seq("doc_a", "doc_b"), "full_outer")
+      .filter(col("_s").isNull || col("_b").isNull)
+      .agg(count(lit(1)).as("n_mismatch"))
+    val props = streamed.agg(
+      count(lit(1)).as("n_pairs"),
+      coalesce(min(pmod(col("doc_a"), lit(4L)) === 3L ||
+        pmod(col("doc_b"), lit(4L)) === 3L), lit(true)).as("no_old_old"))
+    val counts = graft.Tables.load(spark, sfDir, "documents").agg(
+      sum(when(isNew, 1L).otherwise(0L)).as("n_batch"))
+    counts.crossJoin(broadcast(props)).crossJoin(broadcast(mismatch))
+      .select(col("n_batch"),
+        (col("n_pairs") >= 1L).as("found_any"),
+        col("no_old_old"),
+        (col("n_mismatch") === 0L).as("stream_eq_batch"))
+  }
 }

@@ -407,4 +407,60 @@ class SamplingSpec extends SparkSpec {
       s"grid re-scans the corpus:\n$p")
     assert(!p.contains("SortMergeJoin"), s"grid shuffled:\n$p")
   }
+
+  test("quotaRebalance: driver water-fill recompute, cap semantics, " +
+      "and rate/kept consistency") {
+    def waterFill(grid: Seq[(String, Long, Long)])
+        : (Map[String, Long], Map[String, Boolean]) = {
+      // the operator's fixed 5-round integer unroll, recomputed
+      var remaining = grid.map(_._2).sum / 2
+      val capped = scala.collection.mutable.Map(
+        grid.map(g => g._1 -> false): _*)
+      for (_ <- 1 to 5) {
+        val active = grid.filter(g => !capped(g._1))
+        val sp = active.map(_._3).sum
+        if (sp > 0) {
+          val newly = active.filter(g => g._2 * sp <= remaining * g._3)
+          newly.foreach { g => capped(g._1) = true; remaining -= g._2 }
+        }
+      }
+      val spF = grid.filter(g => !capped(g._1)).map(_._3).sum
+      (grid.map { case (l, avail, pct) =>
+        l -> (if (capped(l)) avail else remaining * pct / spF)
+      }.toMap, capped.toMap)
+    }
+    val rows = Sampling.quotaRebalanceQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val grid = rows.map(r =>
+      (r.getString(0), r.getLong(2), r.getLong(3))).toSeq
+    val (alloc, capped) = waterFill(grid)
+    val totalAvail = grid.map(_._2).sum
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      assert(r.getLong(4) == alloc(lang), s"$lang alloc vs recompute")
+      assert(r.getBoolean(5) == capped(lang), s"$lang capped flag")
+      if (capped(lang)) assert(r.getLong(4) == r.getLong(2),
+        s"$lang capped alloc must equal availability")
+      assert(r.getLong(7) <= r.getLong(2), s"$lang kept <= avail")
+      if (r.getDouble(6) == 1.0) assert(r.getLong(7) == r.getLong(2),
+        s"$lang rate 1.0 must keep every survivor")
+      assert(r.getLong(4) <= r.getLong(2), s"$lang alloc <= avail")
+    }
+    assert(rows.map(_.getLong(4)).sum <= totalAvail / 2,
+      "total allocation must fit the sample budget")
+    // extreme targets force the cap + redistribution path: a 96%
+    // target on one small language cannot be filled from survivors
+    val skew = Sampling.quotaRebalanceQuery(spark, sfDir, Seq(
+      "de" -> 96, "en" -> 1, "es" -> 1, "fr" -> 1, "zh" -> 1)).collect()
+    val de = skew.find(_.getString(0) == "de").get
+    assert(de.getBoolean(5), "96% target on de must cap at availability")
+    assert(de.getLong(4) == de.getLong(2))
+    val skewGrid = skew.map(r =>
+      (r.getString(0), r.getLong(2), r.getLong(3))).toSeq
+    val (skewAlloc, skewCapped) = waterFill(skewGrid)
+    skew.foreach { r =>
+      assert(r.getLong(4) == skewAlloc(r.getString(0)))
+      assert(r.getBoolean(5) == skewCapped(r.getString(0)))
+    }
+  }
 }

@@ -526,4 +526,18 @@ class StreamingSpec extends SparkSpec {
         s"era-$e site4.com tie rule never matched")
     }
   }
+
+  test("streaming near-dup ingest: drained candidate set equals the " +
+      "batch frozen-banding incremental set") {
+    val r = StreamingIngest.replayNearDup(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(0) > 0, "batch slice must be non-empty")
+    assert(row.getBoolean(1), "found_any: near-dup clusters must " +
+      "straddle the mod-4 cut (fixture assumption)")
+    assert(row.getBoolean(2), "no_old_old: every streamed candidate " +
+      "pair must touch a batch doc")
+    assert(row.getBoolean(3), "stream_eq_batch: the drained stream " +
+      "pair set must equal the batch incremental candidate set")
+  }
 }

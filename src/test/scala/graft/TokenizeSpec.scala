@@ -283,4 +283,38 @@ class TokenizeSpec extends SparkSpec {
       assert(r.getBoolean(4), s"vocab_ok false for doc ${r.getLong(0)}")
     }
   }
+
+  test("bpeDrift: driver recompute of per-language snapshot token " +
+      "sums, ratios, and the drift bound") {
+    val rows = Tokenize.bpeDriftQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val merges = Tokenize.buildSnapshotMerges(spark, sfDir)
+    assert(merges.nonEmpty, "snapshot fit must produce merges")
+    val rank = new java.util.HashMap[String, Integer]()
+    merges.zipWithIndex.foreach { case (m, i) => rank.put(m, i) }
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+    // independent segmentation via the Java kernel entry point
+    val toks = scala.collection.mutable.Map[(String, Long), Long]()
+      .withDefaultValue(0L)
+    docs.foreach { r =>
+      val n = graft.functions.VectorKernels.bpeTokensJava(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          Option(r.getString(2)).getOrElse("")), rank).numElements()
+      toks((r.getString(1), r.getLong(0) % 2)) += n
+    }
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val (ta, tb) = (toks((lang, 0L)), toks((lang, 1L)))
+      val (ca, cb) = (r.getLong(3), r.getLong(4))
+      assert(r.getBoolean(5) && r.getBoolean(6), s"$lang bounds flags")
+      assert(ta <= ca && tb <= cb, s"$lang recomputed token sums exceed chars")
+      assert(r.getBoolean(7) == (ta < ca && tb < cb),
+        s"$lang merges_applied vs recompute")
+      val drift = math.abs(tb.toDouble / cb - ta.toDouble / ca)
+      assert(r.getBoolean(8) == (drift <= 0.1),
+        s"$lang drift_ok vs recomputed drift $drift")
+      assert(drift <= 0.1, s"$lang drift $drift outside the envelope")
+    }
+  }
 }
