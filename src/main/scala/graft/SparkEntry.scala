@@ -848,19 +848,24 @@ object SparkEntry {
       |  WHERE vec_id % (SELECT greatest(CAST(count(*) AS BIGINT)
       |    // ($k), 1) FROM e) = 0
       |  ORDER BY vec_id LIMIT ($k)),""".stripMargin + "\n" +
+    // memory shape (matters at sf10 with dynamic k≈200): the argmin
+    // windows sort only SLIM (vec_id, cent_id, d) rows — the n×k
+    // distance frame must never carry the 64-dim vectors through a
+    // sort (carrying v spilled >45 GB at sf10); v re-joins by vec_id
+    // where a consumer needs it. Value-identical to the fat form.
     """d0 AS (
-      |  SELECT e.vec_id, e.v, s.cent_id,
+      |  SELECT e.vec_id, s.cent_id,
       |    floor((list_dot_product(e.v, e.v)
       |      - 2.0 * list_dot_product(e.v, s.c)
       |      + list_dot_product(s.c, s.c)) * 1e6 + 0.5) / 1e6 + 0.0 AS d
       |  FROM e CROSS JOIN seeds s),
       |a0 AS (
-      |  SELECT vec_id, v, cent_id AS cell, d FROM (
+      |  SELECT vec_id, cent_id AS cell, d FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id
       |      ORDER BY d, cent_id) AS rn FROM d0) WHERE rn = 1),
       |u0 AS (
-      |  SELECT cell AS cent_id, unnest(range(len(v))) AS dim,
-      |    unnest(v) AS x FROM a0),
+      |  SELECT a0.cell AS cent_id, unnest(range(len(e.v))) AS dim,
+      |    unnest(e.v) AS x FROM a0 JOIN e ON a0.vec_id = e.vec_id),
       |m0 AS (
       |  SELECT cent_id, dim, CAST(sum(CAST(floor((x * 1000000.0) + 0.5)
       |      AS BIGINT)) AS BIGINT) AS s,
@@ -871,18 +876,18 @@ object SparkEntry {
       |    (CAST(cnt AS DOUBLE) * 1000000.0) ORDER BY dim) AS c
       |  FROM m0 GROUP BY cent_id),
       |d1 AS (
-      |  SELECT e.vec_id, e.v, s.cent_id,
+      |  SELECT e.vec_id, s.cent_id,
       |    floor((list_dot_product(e.v, e.v)
       |      - 2.0 * list_dot_product(e.v, s.c)
       |      + list_dot_product(s.c, s.c)) * 1e6 + 0.5) / 1e6 + 0.0 AS d
       |  FROM e CROSS JOIN c1 s),
       |a1 AS (
-      |  SELECT vec_id, v, cent_id AS cell, d FROM (
+      |  SELECT vec_id, cent_id AS cell, d FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id
       |      ORDER BY d, cent_id) AS rn FROM d1) WHERE rn = 1),
       |u1 AS (
-      |  SELECT cell AS cent_id, unnest(range(len(v))) AS dim,
-      |    unnest(v) AS x FROM a1),
+      |  SELECT a1.cell AS cent_id, unnest(range(len(e.v))) AS dim,
+      |    unnest(e.v) AS x FROM a1 JOIN e ON a1.vec_id = e.vec_id),
       |m1 AS (
       |  SELECT cent_id, dim, CAST(sum(CAST(floor((x * 1000000.0) + 0.5)
       |      AS BIGINT)) AS BIGINT) AS s,
@@ -893,15 +898,17 @@ object SparkEntry {
       |    (CAST(cnt AS DOUBLE) * 1000000.0) ORDER BY dim) AS c
       |  FROM m1 GROUP BY cent_id),
       |d2 AS (
-      |  SELECT e.vec_id, e.v, s.cent_id,
+      |  SELECT e.vec_id, s.cent_id,
       |    floor((list_dot_product(e.v, e.v)
       |      - 2.0 * list_dot_product(e.v, s.c)
       |      + list_dot_product(s.c, s.c)) * 1e6 + 0.5) / 1e6 + 0.0 AS d
       |  FROM e CROSS JOIN c2 s),
       |a2 AS (
-      |  SELECT vec_id, v, cent_id AS cell, d FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY vec_id
-      |      ORDER BY d, cent_id) AS rn FROM d2) WHERE rn = 1)""".stripMargin
+      |  SELECT s.vec_id, e.v, s.cell, s.d FROM (
+      |    SELECT vec_id, cent_id AS cell, d FROM (
+      |      SELECT *, row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY d, cent_id) AS rn FROM d2) WHERE rn = 1) s
+      |  JOIN e ON s.vec_id = e.vec_id)""".stripMargin
 
   private val kmeansCte: String = kmeansCteK("8")
 
