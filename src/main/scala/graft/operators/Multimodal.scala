@@ -1054,24 +1054,31 @@ object Multimodal {
       .select(col("media_a"), col("media_b"))
     val feats = spark.read.parquet(buildFeatureStore(spark, sfDir))
     val nMedia = feats.count()
+    val exhaustive = nMedia <= 60000L
     val a0 = feats.select(col("media_id").as("media_a"), col("kind"),
       col("embedding").as("emb_a"))
-    val a = if (nMedia <= 60000L) a0
+    val a = if (exhaustive) a0
             else a0.filter(pmod(col("media_a"), lit(701L)) === 0)
     val b = feats.select(col("media_id").as("media_b"), col("kind"),
       col("embedding").as("emb_b"))
-    // completeness reference: probe-incident pairs, both orientations
-    // (a probe can be either endpoint); at gate scales a == a0 and
-    // this IS the full exhaustive within-kind scan
+    // completeness reference. Exhaustive tier: the one-orientation
+    // a < b scan (each unordered pair scored once). Probe tier: the
+    // probe side is RESTRICTED, so both orientations are needed (a
+    // probe can be either endpoint) and least/greatest + distinct
+    // normalizes — that extra pass is paid only on the ~n/701-probe
+    // frame, never on the full gate-scale quadratic.
     val scored = a.join(b, Seq("kind"))
-      .filter(col("media_a") =!= col("media_b"))
+      .filter(if (exhaustive) col("media_a") < col("media_b")
+              else col("media_a") =!= col("media_b"))
       .withColumn("cos_sim", rnd(
         graft.functions.VectorOps.cosine(col("emb_a"), col("emb_b")), 4))
       .filter(col("cos_sim") >= 0.999)
-    val exact = scored.select(
-        least(col("media_a"), col("media_b")).as("media_a"),
-        greatest(col("media_a"), col("media_b")).as("media_b"))
-      .distinct()
+    val exact =
+      if (exhaustive) scored.select(col("media_a"), col("media_b"))
+      else scored.select(
+          least(col("media_a"), col("media_b")).as("media_a"),
+          greatest(col("media_a"), col("media_b")).as("media_b"))
+        .distinct()
     val missed = exact.join(blocked, Seq("media_a", "media_b"),
       "left_anti").agg(count(lit(1)).as("n_missed"))
     // precision: every blocked pair must satisfy the exhaustive-set
