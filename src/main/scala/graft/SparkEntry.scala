@@ -5832,7 +5832,7 @@ object SparkEntry {
         |      THEN pct END) OVER (), 0) AS sp FROM g4)),
         |al AS (
         |  SELECT lang, n_raw, avail, pct, capped,
-        |    CAST(CASE WHEN capped THEN avail
+        |    CAST(CASE WHEN capped THEN avail WHEN spf = 0 THEN 0
         |      ELSE rem * pct // spf END AS BIGINT) AS alloc
         |  FROM (SELECT g5.*, coalesce(sum(CASE WHEN NOT capped
         |      THEN pct END) OVER (), 0) AS spf FROM g5)),

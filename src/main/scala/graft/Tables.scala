@@ -57,6 +57,29 @@ object Tables {
   /** Register every table as a temp view named after itself. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /**
+   * Cache key for per-corpus standing stores (PQ bases, brute-force
+   * reference sets, BPE merge snapshots, …): the sfDir path PLUS a
+   * fingerprint of every data file under it (name, length, mtime).
+   * A corpus regenerated at the same path within one JVM then MISSES
+   * the cache instead of serving stale reference artifacts — the
+   * failure mode of keying on the path alone. Listing ~10 tables'
+   * files is microseconds against store-build cost; at 100 TB the
+   * analogous key is the catalog's table snapshot/version id.
+   */
+  def corpusKey(sfDir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val sig = all.flatMap { t => walk(new java.io.File(path(sfDir, t))) }
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    f"$sfDir@${scala.util.hashing.MurmurHash3.stringHash(sig)}%08x"
+  }
 }
 
 /** Session defaults shared by Verify / Bench / tests. */

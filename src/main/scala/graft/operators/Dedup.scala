@@ -1056,7 +1056,7 @@ object Dedup {
   /** (id, label) for every document — connected components over the
     * [[ngramJaccard]] ≥ 0.5 pair graph, cached per corpus. */
   def clusterLabels(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = clusterCache.getOrElseUpdate(sfDir, {
+    val path = clusterCache.getOrElseUpdate(Tables.corpusKey(sfDir), {
       val docs = Tables.load(spark, sfDir, "documents")
       val pairs = ngramJaccard(docs, maxShingleDf = 1000)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))

@@ -337,7 +337,7 @@ object Multimodal {
     scala.collection.concurrent.TrieMap[String, String]()
 
   def buildAudioStore(spark: SparkSession, sfDir: String): String =
-    audioStore.getOrElseUpdate(sfDir, {
+    audioStore.getOrElseUpdate(Tables.corpusKey(sfDir), {
       val store = graft.sources.OrcIo.scratchDir("media_audio")
       syntheticAudio(spark, sfDir)
         .write.mode("overwrite").parquet(s"$store/audio")
@@ -664,7 +664,7 @@ object Multimodal {
     scala.collection.concurrent.TrieMap[String, String]()
 
   def buildVideoStore(spark: SparkSession, sfDir: String): String =
-    videoStore.getOrElseUpdate(sfDir, {
+    videoStore.getOrElseUpdate(Tables.corpusKey(sfDir), {
       val store = graft.sources.OrcIo.scratchDir("media_video")
       import spark.implicits._
       Scale.fanOut(Tables.load(spark, sfDir, "documents")
@@ -798,7 +798,7 @@ object Multimodal {
     scala.collection.concurrent.TrieMap[String, String]()
 
   def buildImageStore(spark: SparkSession, sfDir: String): String =
-    imageStore.getOrElseUpdate(sfDir, {
+    imageStore.getOrElseUpdate(Tables.corpusKey(sfDir), {
       val store = graft.sources.OrcIo.scratchDir("media_images")
       syntheticImages(spark, sfDir)
         .write.mode("overwrite").parquet(s"$store/images")
@@ -983,7 +983,7 @@ object Multimodal {
   /** Build (or reuse) the materialized feature store for a corpus;
     * returns its path. */
   def buildFeatureStore(spark: SparkSession, sfDir: String): String =
-    featureStore.getOrElseUpdate(sfDir, {
+    featureStore.getOrElseUpdate(Tables.corpusKey(sfDir), {
       val store = graft.sources.OrcIo.scratchDir("media_feats")
       // materialize the decode+embed pass ONCE before the k-means fit —
       // each fit iteration runs several jobs, and without this the
@@ -1087,10 +1087,15 @@ object Multimodal {
       col("kind").as("kind_a"), col("embedding").as("emb_a"))
     val fb = feats.select(col("media_id").as("media_b"),
       col("kind").as("kind_b"), col("embedding").as("emb_b"))
-    val spurious = blocked.join(fa, Seq("media_a")).join(fb, Seq("media_b"))
+    // LEFT joins, not inner: a blocked pair referencing a media_id
+    // absent from the feature store must count SPURIOUS (null kind on
+    // either side), not silently vanish from the precision check.
+    val spurious = blocked
+      .join(fa, Seq("media_a"), "left").join(fb, Seq("media_b"), "left")
       .withColumn("cos_sim", rnd(
         graft.functions.VectorOps.cosine(col("emb_a"), col("emb_b")), 4))
-      .filter(col("kind_a") =!= col("kind_b") ||
+      .filter(col("kind_a").isNull || col("kind_b").isNull ||
+        col("kind_a") =!= col("kind_b") ||
         col("media_a") >= col("media_b") || col("cos_sim") < 0.999)
       .agg(count(lit(1)).as("n_spurious"))
     missed.crossJoin(broadcast(spurious))
@@ -1245,7 +1250,7 @@ object Multimodal {
     scala.collection.concurrent.TrieMap[String, String]()
 
   def buildMediaStore(spark: SparkSession, sfDir: String): String =
-    mediaStore.getOrElseUpdate(sfDir, {
+    mediaStore.getOrElseUpdate(Tables.corpusKey(sfDir), {
       val store = graft.sources.OrcIo.scratchDir("media_mixed")
       syntheticMediaReal(spark, sfDir)
         .write.mode("overwrite").parquet(s"$store/media")

@@ -242,8 +242,13 @@ object Sampling {
       }
     }
     val spF = grid.filter(g => !capped(g._1)).map(_._4).sum
+    // spF = 0 is reachable via the targetPct hook (every uncapped
+    // language at pct 0): allocate nothing instead of dividing by
+    // zero — the oracle's al CTE carries the identical CASE guard
     val allocs = grid.map { case (lang, _, avail, pct) =>
-      lang -> (if (capped(lang)) avail else remaining * pct / spF)
+      lang -> (if (capped(lang)) avail
+               else if (spF == 0L) 0L
+               else remaining * pct / spF)
     }.toMap
     val rateRows = grid.map { case (lang, raw, avail, pct) =>
       val alloc = allocs(lang)

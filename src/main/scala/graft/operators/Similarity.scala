@@ -57,7 +57,7 @@ object Similarity {
     scala.collection.concurrent.TrieMap[String, String]()
 
   private def bruteRef80(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = bruteRefStore.getOrElseUpdate(sfDir, {
+    val path = bruteRefStore.getOrElseUpdate(Tables.corpusKey(sfDir), {
       val store = graft.sources.OrcIo.scratchDir("brute_ref")
       val emb = Tables.load(spark, sfDir, "embeddings")
       bruteForceTopK(emb.filter(col("vec_id") < 80), emb, 10)
@@ -291,7 +291,7 @@ object Similarity {
     * cache it. Idempotent; returns the centroid matrix. */
   def buildIndex(spark: SparkSession, sfDir: String, k: Int = 20,
       iters: Int = 2): Array[Array[Float]] =
-    centroidCache.getOrElseUpdate(sfDir, {
+    centroidCache.getOrElseUpdate(Tables.corpusKey(sfDir), {
       fitCentroidMatrix(Tables.load(spark, sfDir, "embeddings"), k, iters)
     })
 
@@ -373,7 +373,7 @@ object Similarity {
     // arithmetic, but wall-clock collapses from m sequential chains
     // of driver-blocking collects to ~one chain (the fit is
     // scheduling-latency-bound at gate scale, measured ~4 s -> ~1 s)
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
     val fits = (0 until m).map { s =>
       Future {
@@ -385,9 +385,31 @@ object Similarity {
           .map(_.getSeq[Float](0).toArray)
       }
     }
-    val codebook = fits.map(
-      Await.result(_, scala.concurrent.duration.Duration.Inf)).toArray
+    val codebook = awaitFits(fits, "fitPq sub-space Lloyd fits").toArray
     PqModel(m, ksub, subDim, codebook)
+  }
+
+  /** Bounded await for concurrent fit futures: an executor death
+    * mid-fit must FAIL the query (visible in `_errors.json`), never
+    * hang Verify forever the way `Duration.Inf` did. The budget is
+    * sized to the deep-scale sweep's per-query ceiling, not gate
+    * scale — a gate fit finishes in seconds. */
+  private[graft] def awaitFits[T](
+      fits: Seq[scala.concurrent.Future[T]], what: String,
+      budget: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(20, "min")): Seq[T] = {
+    val deadline = System.nanoTime() + budget.toNanos
+    fits.map { f =>
+      val left = scala.concurrent.duration.Duration(
+        math.max(deadline - System.nanoTime(), 0L), "ns")
+      try scala.concurrent.Await.result(f, left)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          throw new RuntimeException(
+            s"$what exceeded the $budget fit budget — failing the " +
+              "query instead of hanging Verify")
+      }
+    }
   }
 
   private val pqCache =
@@ -396,7 +418,7 @@ object Similarity {
   /** Offline PQ index build per corpus (idempotent, like
     * [[buildIndex]]). */
   def buildPqIndex(spark: SparkSession, sfDir: String): PqModel =
-    pqCache.getOrElseUpdate(sfDir,
+    pqCache.getOrElseUpdate(Tables.corpusKey(sfDir),
       fitPq(Tables.load(spark, sfDir, "embeddings")))
 
   /** Encode column: the vector's `m` sub-space codes (L2-nearest
@@ -416,7 +438,7 @@ object Similarity {
     scala.collection.concurrent.TrieMap[String, String]()
 
   def buildPqStore(spark: SparkSession, sfDir: String): String =
-    pqStore.getOrElseUpdate(sfDir, {
+    pqStore.getOrElseUpdate(Tables.corpusKey(sfDir), {
       val model = buildPqIndex(spark, sfDir)
       val store = graft.sources.OrcIo.scratchDir("pq_codes")
       Tables.load(spark, sfDir, "embeddings")
@@ -518,7 +540,7 @@ object Similarity {
 
   def buildIvfPqStore(spark: SparkSession, sfDir: String)
       : (String, PqModel) =
-    ivfPqStore.getOrElseUpdate(sfDir, {
+    ivfPqStore.getOrElseUpdate(Tables.corpusKey(sfDir), {
       val cents = buildIndex(spark, sfDir)
       val cLit = centsLit(cents)
       // residuals feed both the codebook fit (8 sub-space k-means) and
@@ -1369,7 +1391,7 @@ object Similarity {
 
   private def buildPqAppendBase(spark: SparkSession, sfDir: String)
       : (PqModel, String) =
-    pqAppendBaseStore.getOrElseUpdate(sfDir, {
+    pqAppendBaseStore.getOrElseUpdate(Tables.corpusKey(sfDir), {
       val emb = Tables.load(spark, sfDir, "embeddings")
       val base = emb.filter(pmod(col("vec_id"), lit(4L)) =!= 0L)
       // renumber to contiguous ids so stride seeding picks the same

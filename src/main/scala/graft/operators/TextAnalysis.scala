@@ -764,7 +764,7 @@ object TextAnalysis {
 
   /** Bench fixture hook: prefit the documents vocabulary. */
   def buildVocab(spark: SparkSession, sfDir: String): Unit =
-    vocabCache.getOrElseUpdate((sfDir, 256),
+    vocabCache.getOrElseUpdate((Tables.corpusKey(sfDir), 256),
       fitVocab(Tables.load(spark, sfDir, "documents"), "text", 256))
 
   /**
@@ -781,7 +781,7 @@ object TextAnalysis {
    */
   def oovRateQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val vocab = vocabCache.getOrElseUpdate((sfDir, 256),
+    val vocab = vocabCache.getOrElseUpdate((Tables.corpusKey(sfDir), 256),
       fitVocab(docs, "text", 256))
     val nIn = element_at(
       call_function("graft_count_in_sets", col("text"),

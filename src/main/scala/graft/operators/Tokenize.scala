@@ -65,7 +65,7 @@ object Tokenize {
     * of the tokenizer's serving path. Idempotent per (corpus, budget). */
   def buildMerges(spark: SparkSession, sfDir: String,
       nMerges: Int = 24): Seq[String] =
-    mergeCache.getOrElseUpdate((sfDir, nMerges), {
+    mergeCache.getOrElseUpdate((Tables.corpusKey(sfDir), nMerges), {
       fitBpe(Tables.load(spark, sfDir, "documents"), nMerges)
     })
 
@@ -170,7 +170,7 @@ object Tokenize {
     * monitors. Idempotent per (corpus, budget). */
   def buildSnapshotMerges(spark: SparkSession, sfDir: String,
       nMerges: Int = 24): Seq[String] =
-    snapMergeCache.getOrElseUpdate((sfDir, nMerges), {
+    snapMergeCache.getOrElseUpdate((Tables.corpusKey(sfDir), nMerges), {
       fitBpe(Tables.load(spark, sfDir, "documents")
         .filter(pmod(col("doc_id"), lit(2L)) === 0L), nMerges)
     })
@@ -369,7 +369,7 @@ object Tokenize {
     * idempotent per (corpus, budget). */
   def buildUnigram(spark: SparkSession, sfDir: String,
       vocabSize: Int = 96): UnigramModel =
-    unigramCache.getOrElseUpdate((sfDir, vocabSize), {
+    unigramCache.getOrElseUpdate((Tables.corpusKey(sfDir), vocabSize), {
       fitUnigram(Tables.load(spark, sfDir, "documents"), vocabSize)
     })
 
@@ -492,7 +492,7 @@ object Tokenize {
     * idempotent per (corpus, budget). */
   def buildWordpiece(spark: SparkSession, sfDir: String,
       nMerges: Int = 24): WordpieceModel =
-    wordpieceCache.getOrElseUpdate((sfDir, nMerges), {
+    wordpieceCache.getOrElseUpdate((Tables.corpusKey(sfDir), nMerges), {
       fitWordpiece(Tables.load(spark, sfDir, "documents"), nMerges)
     })
 

@@ -108,7 +108,7 @@ object Versioning {
     * the same manifest from the source table — equality proves the
     * publish round-trip lost and changed nothing. */
   def publishManifestQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = publishStore.getOrElseUpdate(sfDir,
+    val dir = publishStore.getOrElseUpdate(Tables.corpusKey(sfDir),
       publishCorpus(
         Tables.load(spark, sfDir, "documents")
           .select(col("doc_id"), col("text")),
@@ -154,7 +154,7 @@ object Versioning {
     val v1 = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
     val v2 = deriveV2(v1)
-    val cachedDir = curateStore.getOrElseUpdate(sfDir, {
+    val cachedDir = curateStore.getOrElseUpdate(Tables.corpusKey(sfDir), {
       val dir = graft.sources.OrcIo.scratchDir("curate_v1") + "/store"
       graft.operators.TextAnalysis.qualityOver(v1)
         .write.mode("overwrite").parquet(dir)
@@ -225,7 +225,7 @@ object Versioning {
       base.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           lit("src99").as("source"), col("text")))
-    val dir = keeperStore.getOrElseUpdate(sfDir, {
+    val dir = keeperStore.getOrElseUpdate(Tables.corpusKey(sfDir), {
       val d = graft.sources.OrcIo.scratchDir("keepers") + "/store"
       Dedup.priorityKeepers(docs).write.mode("overwrite").parquet(d)
       d

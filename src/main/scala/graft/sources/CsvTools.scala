@@ -28,7 +28,7 @@ object CsvTools {
     * of two hand-malformed rows (a non-numeric key and an
     * arity-mismatched row) the reader must quarantine, not crash on. */
   def buildCsvStore(spark: SparkSession, sfDir: String): String =
-    store.getOrElseUpdate(sfDir, {
+    store.getOrElseUpdate(Tables.corpusKey(sfDir), {
       val dir = OrcIo.scratchDir("csv_store")
       val out = s"$dir/customer_csv"
       Tables.load(spark, sfDir, "customer")

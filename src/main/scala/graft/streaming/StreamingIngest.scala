@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
@@ -319,7 +320,7 @@ object StreamingIngest {
   /** (path, schema) of the staged events table. */
   private def stagedEvents(spark: SparkSession, sfDir: String)
       : (String, org.apache.spark.sql.types.StructType) =
-    eventStage.getOrElseUpdate(sfDir, {
+    eventStage.getOrElseUpdate(Tables.corpusKey(sfDir), {
       val stage = graft.sources.OrcIo.scratchDir("stream_src")
       val src = graft.Tables.load(spark, sfDir, "events")
       src.coalesce(4).write.mode("overwrite").parquet(s"$stage/in")

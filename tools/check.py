@@ -51,9 +51,20 @@ def eps_equal(ocanon, scanon, cols, eps):
     """Tolerant re-compare after an exact mismatch: every column exact
     EXCEPT those declared in eps, which compare as floats under a
     relative tolerance. Requires the non-eps columns to determine row
-    order (true for keyed stat tables); returns the first diff or None."""
+    order (true for keyed stat tables): rows are PAIRED by sorting on
+    the non-eps key, so a duplicate key would make the pairing
+    ambiguous — that case fails loudly instead of silently mispairing.
+    Returns the first diff or None."""
+    import collections
     eidx = {i for i, c in enumerate(cols) if c in eps}
     key = lambda r: tuple(v for i, v in enumerate(r) if i not in eidx)
+    for side, rows in (("oracle", ocanon), ("spark", scanon)):
+        dup = [k for k, n in collections.Counter(
+            key(r) for r in rows).items() if n > 1]
+        if dup:
+            return ((f"{side} rows tie on non-eps key {dup[0]!r} — "
+                     "epsilon pairing ambiguous, declare a keyed "
+                     "result or compare exact",), ("",))
     orows = sorted(ocanon, key=key)
     srows = sorted(scanon, key=key)
     for a, b in zip(orows, srows):
@@ -151,9 +162,20 @@ def main(sf_dir, out_dir):
         elif name in epsilon:
             d = eps_equal(ocanon, scanon, ocols, epsilon[name])
             if d is None:
-                print(f"PASS {name} ({len(ocanon)} rows; within declared "
-                      f"epsilon on {sorted(epsilon[name])})")
-                n_pass += 1
+                # the declared-epsilon PASS path enforces the same
+                # physical-type audit as the exact path — a tolerance
+                # on values must not waive the driver-hash type proxy
+                tdiffs = type_diffs(con, sql, f"{out_dir}/{name}/*.parquet")
+                if tdiffs:
+                    print(f"FAIL {name}: within epsilon but physical "
+                          f"types differ: "
+                          + ", ".join(f"{c} oracle={o} spark={s}"
+                                      for c, o, s in tdiffs))
+                    n_fail += 1
+                else:
+                    print(f"PASS {name} ({len(ocanon)} rows; within "
+                          f"declared epsilon on {sorted(epsilon[name])})")
+                    n_pass += 1
             else:
                 print(f"FAIL {name}: beyond declared epsilon; "
                       f"first: oracle={d[0]} spark={d[1]}")

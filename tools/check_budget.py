@@ -67,6 +67,7 @@ def run_one(sf_dir, out_dir, name, sql, q, eps=None):
     if len(ocanon) != len(scanon):
         q.put(("FAIL", f"rows oracle={len(ocanon)} spark={len(scanon)}"))
         return
+    eps_note = ""
     if ocanon != scanon:
         if eps:
             d = eps_equal(ocanon, scanon, ocols, eps)
@@ -74,13 +75,15 @@ def run_one(sf_dir, out_dir, name, sql, q, eps=None):
                 q.put(("FAIL", f"beyond declared epsilon; "
                                f"first: oracle={d[0]} spark={d[1]}"))
                 return
-            q.put(("PASS", f"{len(ocanon)} rows; within declared "
-                           f"epsilon on {sorted(eps)}"))
+            # within tolerance: fall through to the physical-type
+            # audit below — a declared epsilon on values must not
+            # waive the driver-hash type proxy the exact path enforces
+            eps_note = f"; within declared epsilon on {sorted(eps)}"
+        else:
+            diffs = [(a, b) for a, b in zip(ocanon, scanon) if a != b]
+            q.put(("FAIL", f"{len(diffs)}/{len(ocanon)} rows differ; "
+                           f"first: oracle={diffs[0][0]} spark={diffs[0][1]}"))
             return
-        diffs = [(a, b) for a, b in zip(ocanon, scanon) if a != b]
-        q.put(("FAIL", f"{len(diffs)}/{len(ocanon)} rows differ; "
-                       f"first: oracle={diffs[0][0]} spark={diffs[0][1]}"))
-        return
     n_rows = len(ocanon)
     # free the big row buffers BEFORE the type audit and the queue
     # put: at deep scale the DuckDB cap plus two materialized result
@@ -101,7 +104,7 @@ def run_one(sf_dir, out_dir, name, sql, q, eps=None):
         # Interrupts re-raise (a Ctrl-C must never record a PASS);
         # MemoryError is an Exception and stays in the skip path.
         con.close()
-        q.put(("PASS", f"{n_rows} rows; type audit skipped: "
+        q.put(("PASS", f"{n_rows} rows{eps_note}; type audit skipped: "
                f"{type(e).__name__}"))
         return
     if tdiffs:
@@ -109,7 +112,7 @@ def run_one(sf_dir, out_dir, name, sql, q, eps=None):
                + ", ".join(f"{c} o={o} s={s}" for c, o, s in tdiffs)))
         return
     con.close()
-    q.put(("PASS", f"{n_rows} rows"))
+    q.put(("PASS", f"{n_rows} rows{eps_note}"))
 
 
 def wipe_tmp():
