@@ -36,6 +36,11 @@ object Bench {
         graft.operators.Tokenize.buildUnigram(spark, sfDir)
         graft.operators.Tokenize.buildWordpiece(spark, sfDir)
         graft.operators.TextAnalysis.buildVocab(spark, sfDir)
+        graft.operators.TextAnalysis.buildLangId2Model(spark, sfDir)
+        graft.operators.Linkage.buildEntityLabels(spark, sfDir)
+        // a fixture fit's return-path pins must not leak into the
+        // first timed query's warm-bill decision
+        graft.operators.CacheBin.releaseAll()
       } catch {
         case t: Throwable => System.err.println(s"[bench] fixture build: $t")
       }

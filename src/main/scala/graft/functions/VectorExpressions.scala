@@ -1391,6 +1391,109 @@ object VectorKernels {
       copy(child = newChild)
   }
 
+  /**
+   * Hashed char-trigram bucket counts (the language-ID feature of
+   * [[graft.operators.TextAnalysis.langId2Over]]): trigram → bucket =
+   * first 6 md5 hex chars (= first 3 digest bytes) as a 24-bit
+   * integer mod `dims`; returns per-bucket trigram counts
+   * (array<long>, size dims). Trigrams are CODE-POINT triples,
+   * matching the `substring`/`substr` semantics of the SQL oracle
+   * replay on both engines. One tight codegen'd pass replaces the
+   * interpreted transform(sequence)+substring lambda, which is O(L²)
+   * per row (the q_cdc_chunks lesson).
+   */
+  def triBucketCountsJava(text: org.apache.spark.unsafe.types.UTF8String,
+      dims: Int): ArrayData = {
+    val s = text.toString
+    val n = s.codePointCount(0, s.length)
+    val counts = new Array[Long](dims)
+    if (n >= 3) {
+      val off = new Array[Int](n + 1)
+      var i = 0
+      var ci = 0
+      while (ci < n) {
+        off(ci) = i
+        i = s.offsetByCodePoints(i, 1)
+        ci += 1
+      }
+      off(n) = s.length
+      val md = md5Local.get()
+      var t = 0
+      while (t + 3 <= n) {
+        md.reset()
+        val d = md.digest(s.substring(off(t), off(t + 3))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val b = (((d(0) & 0xFF) << 16) | ((d(1) & 0xFF) << 8) |
+          (d(2) & 0xFF)) % dims
+        counts(b) += 1L
+        t += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(counts)
+  }
+
+  /** Exact dot product of two BIGINT arrays — the integer-space
+    * scorer for models whose weights are 10-dp-floored decimals
+    * (weight·10¹⁰ is an exact long, the count-weighted sum stays far
+    * inside long range, and the caller rescales the result back to
+    * DECIMAL — bit-identical to the decimal-sum formulation, without
+    * a per-(row × candidate) aggregate). */
+  def dotLongJava(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  /** See [[dotLongJava]]: (array<bigint>, array<bigint>) → bigint. */
+  case class LongVecDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<bigint> inputs, got " + other)
+      }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_dot_long"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      dotLongJava(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.VectorKernels.dotLongJava($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** See [[triBucketCountsJava]]: string → array<long> (size dims). */
+  case class TriBucketCounts(child: Expression, dims: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got " + other.simpleString)
+      }
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_tri_buckets"
+    override protected def nullSafeEval(a: Any): Any =
+      triBucketCountsJava(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], dims)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.triBucketCountsJava($a, $dims)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** See [[featureHashJava]]: string → array<double> (unit-norm). */
   case class FeatureHash(child: Expression, dims: Int)
       extends UnaryExpression {
@@ -2251,6 +2354,10 @@ object VectorKernels {
     // dims must be a foldable int literal
     fn("graft_bucket_counts", es => BucketCounts(es(0),
       es(1).eval().asInstanceOf[Int])),
+    // dims must be a foldable int literal
+    fn("graft_tri_buckets", es => TriBucketCounts(es(0),
+      es(1).eval().asInstanceOf[Int])),
+    fn("graft_dot_long", es => LongVecDot(es(0), es(1))),
     // n must be a foldable int literal, e.g. graft_ngram_rep(text, 2)
     fn("graft_ngram_rep", es => NGramRepetition(es(0),
       es(1).eval().asInstanceOf[Int])),

