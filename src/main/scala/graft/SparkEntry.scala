@@ -669,7 +669,7 @@ object SparkEntry {
     // stream-static probe of the standing postings); the drained pair
     // set must equal the batch append gate's incremental candidates
     "q_stream_neardup" ->
-      (graft.streaming.StreamingIngest.replayNearDup _),
+      ((s, d) => graft.streaming.StreamingIngest.replayNearDup(s, d)),
     // Streaming windowed count-min sketch (bounded 8KB state/window);
     // per-window estimates oracle-replayed exactly
     "q_stream_cms" -> (graft.streaming.StreamingIngest.replayWindowedCms _),

@@ -1021,9 +1021,110 @@ object StreamingIngest {
    * must equal the batch append gate's incremental candidate set
    * exactly — the same inc_eq_full theorem, now across the streaming
    * execution path.
+   *
+   * STATE IS BOUNDED: hot per-bucket membership holds at most
+   * `maxPerBucket` members; overflow EVICTS oldest-first into the
+   * standing postings store (periodic compaction), and evicted
+   * members keep pairing with later arrivals through the
+   * stream-static path, which re-reads the store each micro-batch.
+   * Total state is therefore ∝ active buckets × cap for the life of
+   * the stream — never ∝ stream length. The eviction trigger is
+   * bucket capacity (deterministic, hence gate-testable); a
+   * wall-clock TTL plugs into the same compaction path via
+   * `GroupStateTimeout` without changing the pair-set theorem: a pair
+   * (a, b) emits from state if a is still hot when b arrives, from
+   * the store otherwise — exactly one of the two, since eviction
+   * removes a from state in the same transition that publishes it.
    */
-  def replayNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  /**
+   * The bounded-state streaming near-dup core: one stateful pass over
+   * banded arrivals. Per micro-batch, inside `foreachBatch`:
+   *  1. state pairs (new-vs-new, from `flatMapGroupsWithState`) and
+   *     stream-static pairs (arrival ⨝ postings store AS OF the
+   *     batch start) append to the pairs sink;
+   *  2. THEN this batch's capacity evictions append to the postings
+   *     store — visible to every later batch's static read.
+   * The state transition pairs each arrival with all hot members and
+   * same-batch peers FIRST, then evicts oldest-first down to
+   * `maxPerBucket` — so an evicted member has already met everything
+   * in its hot window and meets everything later via the store.
+   *
+   * @return the pairs output directory (doc_a < doc_b, duplicates
+   *         possible across bands — caller distincts)
+   */
+  def nearDupStreamRun(bandedStream: DataFrame, postingsPath: String,
+      maxPerBucket: Int, tag: String): String = {
+    val ss = bandedStream.sparkSession
+    import ss.implicits._
+    require(maxPerBucket >= 1, s"maxPerBucket $maxPerBucket < 1")
+    val dir = graft.sources.OrcIo.scratchDir(tag)
+    val pairsOut = s"$dir/pairs"
+    // kinds: 0 = state pair (a, b); 1 = eviction (a = member);
+    //        2 = arrival (a = doc) — the stream-static probe input
+    val stateful = bandedStream
+      .select(col("band"), col("band_hash"), col("doc_id"))
+      .as[(Int, Int, Long)]
+      .groupByKey { case (b, h, _) => (b, h) }
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Int, Int), it: Iterator[(Int, Int, Long)],
+         state: GroupState[Seq[Long]]) =>
+          val seen = state.getOption.getOrElse(Seq.empty)
+          val arrivals = it.map(_._3).toSeq
+          val crossPrior = for (a <- arrivals; m <- seen if a != m)
+            yield (math.min(a, m), math.max(a, m))
+          val withinBatch = for {
+            i <- arrivals.indices
+            j <- (i + 1) until arrivals.length
+            if arrivals(i) != arrivals(j)
+          } yield (math.min(arrivals(i), arrivals(j)),
+            math.max(arrivals(i), arrivals(j)))
+          val updated = seen ++ arrivals
+          val overflow = math.max(0, updated.length - maxPerBucket)
+          val (evicted, kept) = updated.splitAt(overflow)
+          if (kept.isEmpty) state.remove() else state.update(kept)
+          val pairRows = (crossPrior ++ withinBatch)
+            .map { case (a, b) => (0, a, b, key._1, key._2) }
+          val evictRows = evicted.map(d => (1, d, 0L, key._1, key._2))
+          val arriveRows = arrivals.map(d => (2, d, 0L, key._1, key._2))
+          (pairRows ++ evictRows ++ arriveRows).iterator
+      }
+      .toDF("kind", "a", "b", "band", "band_hash")
+    val q = stateful.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.persist()
+        try {
+          val statePairs = b.filter(col("kind") === 0)
+            .select(col("a").as("doc_a"), col("b").as("doc_b"))
+          val arrivals = b.filter(col("kind") === 2)
+            .select(col("band"), col("band_hash"), col("a").as("doc_id"))
+          // store AS OF batch start: initial index + prior evictions
+          val store = spark.read.parquet(postingsPath)
+          val vsStore = arrivals
+            .join(broadcast(store), Seq("band", "band_hash"))
+            .filter(col("doc_id") =!= col("hit"))
+            .select(least(col("doc_id"), col("hit")).as("doc_a"),
+              greatest(col("doc_id"), col("hit")).as("doc_b"))
+          statePairs.unionByName(vsStore)
+            .write.mode("append").parquet(pairsOut)
+          // compaction LAST: this batch's evictions join only from
+          // the NEXT batch on (in-batch pairing already covered them)
+          b.filter(col("kind") === 1)
+            .select(col("band"), col("band_hash"), col("a").as("hit"))
+            .write.mode("append").parquet(postingsPath)
+        } finally b.unpersist()
+        ()
+      }
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    pairsOut
+  }
+
+  def replayNearDup(spark: SparkSession, sfDir: String,
+      maxPerBucket: Int = 64): DataFrame = {
     import graft.operators.Dedup
     val isNew = pmod(col("doc_id"), lit(4L)) === 3L
     // stage the batch docs as 4 files -> 4 micro-batches (real
@@ -1041,44 +1142,19 @@ object StreamingIngest {
     val bandedStream = Dedup.bandedSig(
       src.select(col("doc_id"), Dedup.minhashSignature(
         array_distinct(Dedup.hashedShingles(col("text")))).as("sig")))
-    // standing postings store (built by the batch session, loaded via
-    // the stream's session — the replayEnrich static-side pattern)
-    val index = Dedup.bandedSig(
-      graft.Tables.load(streamSession, sfDir, "documents")
+    // standing postings store (built by the batch session, read by
+    // the stream per micro-batch — the compaction target)
+    val postingsDir = graft.sources.OrcIo.scratchDir("stream_neardup_idx")
+    Dedup.bandedSig(
+      graft.Tables.load(spark, sfDir, "documents")
         .filter(!isNew)
         .select(col("doc_id"), Dedup.minhashSignature(
           array_distinct(Dedup.hashedShingles(col("text")))).as("sig")))
       .select(col("band"), col("band_hash"), col("doc_id").as("hit"))
-    val vsOld = bandedStream.join(broadcast(index), Seq("band", "band_hash"))
-      .select(least(col("doc_id"), col("hit")).as("doc_a"),
-        greatest(col("doc_id"), col("hit")).as("doc_b"))
-    val vsNew = bandedStream
-      .select(col("band"), col("band_hash"), col("doc_id"))
-      .as[(Int, Int, Long)]
-      .groupByKey { case (b, h, _) => (b, h) }
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
-        (_: (Int, Int), it: Iterator[(Int, Int, Long)],
-         state: GroupState[Seq[Long]]) =>
-          val seen = state.getOption.getOrElse(Seq.empty)
-          val arrivals = it.map(_._3).toSeq
-          val crossPrior = for (a <- arrivals; m <- seen if a != m)
-            yield (math.min(a, m), math.max(a, m))
-          val withinBatch = for {
-            i <- arrivals.indices
-            j <- (i + 1) until arrivals.length
-            if arrivals(i) != arrivals(j)
-          } yield (math.min(arrivals(i), arrivals(j)),
-            math.max(arrivals(i), arrivals(j)))
-          state.update(seen ++ arrivals)
-          (crossPrior ++ withinBatch).iterator
-      }
-      .toDF("doc_a", "doc_b")
-    val oldPairs = spark.read.parquet(
-      runToParquet(vsOld, "stream_neardup_old"))
-    val newPairs = spark.read.parquet(
-      runToParquet(vsNew, "stream_neardup_new"))
-    val streamed = oldPairs.unionByName(newPairs).distinct()
+      .write.mode("overwrite").parquet(s"$postingsDir/postings")
+    val pairsDir = nearDupStreamRun(bandedStream,
+      s"$postingsDir/postings", maxPerBucket, "stream_neardup_out")
+    val streamed = spark.read.parquet(pairsDir).distinct()
     // batch reference: the append gate's incremental candidate set,
     // reconstructed with the same frozen banding
     val docsAll = graft.Tables.load(spark, sfDir, "documents")

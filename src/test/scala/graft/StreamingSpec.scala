@@ -540,4 +540,23 @@ class StreamingSpec extends SparkSpec {
     assert(row.getBoolean(3), "stream_eq_batch: the drained stream " +
       "pair set must equal the batch incremental candidate set")
   }
+
+  test("streaming near-dup state is bounded: cap-1 buckets force " +
+      "eviction through the compaction store, pair set unchanged") {
+    // maxPerBucket = 1 caps hot state at ONE member per bucket — the
+    // harshest eviction pressure possible: every cross-batch pair is
+    // forced through the evict→compaction-store→stream-static path
+    // (state can never hold a prior-batch member alongside a new
+    // arrival). The drained set must STILL equal the batch reference,
+    // proving evicted members keep pairing via the standing postings
+    // store; total state ≤ active buckets × 1 by construction.
+    val r = StreamingIngest.replayNearDup(spark, sfDir,
+      maxPerBucket = 1).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getBoolean(1), "found_any under cap-1")
+    assert(row.getBoolean(2), "no_old_old under cap-1")
+    assert(row.getBoolean(3), "stream_eq_batch must hold under " +
+      "maximal eviction pressure — a lost eviction loses pairs")
+  }
 }
