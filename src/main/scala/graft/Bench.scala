@@ -38,6 +38,8 @@ object Bench {
         graft.operators.TextAnalysis.buildVocab(spark, sfDir)
         graft.operators.TextAnalysis.buildLangId2Model(spark, sfDir)
         graft.operators.Linkage.buildEntityLabels(spark, sfDir)
+        graft.operators.Retrieval.buildInvIndex(spark, sfDir)
+        graft.operators.Retrieval.buildInvIndexAppended(spark, sfDir)
         // a fixture fit's return-path pins must not leak into the
         // first timed query's warm-bill decision
         graft.operators.CacheBin.releaseAll()

@@ -499,4 +499,148 @@ object Retrieval {
         col("score").cast("string").as("neg_score"), col("pos_score"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  // ------------------------------------------- standing inverted index
+
+  /** Posting shard count: term → shard = xxhash64(term) mod NShards.
+    * At 100 TB this is thousands; 16 keeps the gate corpus from
+    * degenerating to one file per shard while still proving pruning. */
+  private val NShards = 16L
+
+  /**
+   * One index segment from a document slice: sharded postings
+   * (term, doc_id, tf, dl — dl denormalized so serving never joins a
+   * corpus-sized doc-length table), sharded per-term document
+   * frequencies, and one additive stats row (n_docs, sum_dl as exact
+   * longs). Postings sort within files by (term, tf desc) — the
+   * impact-ordered layout that lets a scoring scan early-terminate
+   * per term once tf-driven upper bounds fall below the heap floor.
+   *
+   * `mode = "append"` writes a DELTA segment: postings/dfs land in
+   * the same shard directories and stats appends a row — serving
+   * aggregates across segments (df and stats are additive), so an
+   * index grows by appending segments, never by rebuilding (the
+   * minhash_append pattern applied to postings).
+   */
+  private def writeIndexSegment(docs: DataFrame, dir: String,
+      mode: String): Unit = {
+    val post = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("shard", pmod(xxhash64(col("term")), lit(NShards)))
+    post.repartition(col("shard"))
+      .sortWithinPartitions(col("term"), col("tf").desc)
+      .write.mode(mode).partitionBy("shard").parquet(s"$dir/postings")
+    post.groupBy(col("shard"), col("term"))
+      .agg(count(lit(1)).as("df"))
+      .write.mode(mode).partitionBy("shard").parquet(s"$dir/dfs")
+    docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("sum_dl"))
+      .write.mode(mode).parquet(s"$dir/stats")
+  }
+
+  private val invIndexStore =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private val invIndexAppendStore =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Standing full-corpus index (one segment), built once per corpus. */
+  def buildInvIndex(spark: SparkSession, sfDir: String): String =
+    invIndexStore.getOrElseUpdate(Tables.corpusKey(sfDir), {
+      val d = graft.sources.OrcIo.scratchDir("inv_index")
+      writeIndexSegment(Tables.load(spark, sfDir, "documents"), d,
+        "overwrite")
+      d
+    })
+
+  /** Standing index grown INCREMENTALLY: a base segment over the
+    * non-delta docs, then the delta slice (doc_id mod 4 = 3, the
+    * corpus-wide append convention) appended as a second segment —
+    * no rebuild touches base postings. */
+  def buildInvIndexAppended(spark: SparkSession, sfDir: String): String =
+    invIndexAppendStore.getOrElseUpdate(Tables.corpusKey(sfDir), {
+      val docs = Tables.load(spark, sfDir, "documents")
+      val isNew = pmod(col("doc_id"), lit(4L)) === 3L
+      val d = graft.sources.OrcIo.scratchDir("inv_index_app")
+      writeIndexSegment(docs.filter(!isNew), d, "overwrite")
+      writeIndexSegment(docs.filter(isNew), d, "append")
+      d
+    })
+
+  /**
+   * Serve a BM25 top-k from a standing index — the repeated-query
+   * path [[bm25Query]]'s scan shape is wrong for: per query it reads
+   * ONLY the posting shards of the query terms (partition-pruned,
+   * plan-asserted in PlanSpec), touches only candidate docs (those
+   * containing ≥ 1 term — never a corpus scan), and aggregates
+   * per-term tf with exact-zero padding so the scoring expression is
+   * the SAME IEEE tree as the scan-shaped query: identical doubles,
+   * identical top-k, oracle-replayable.
+   *
+   * df / n_docs / avgdl aggregate across segments at serve time
+   * (additive longs → exact doubles), so an appended index serves
+   * identically to a rebuilt one. Stats and per-term dfs are
+   * model-sized driver material (|terms| values + one row).
+   */
+  def indexServeOver(spark: SparkSession, storeDir: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    import spark.implicits._
+    val shards = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(NShards)).as("shard"))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val dfMap = spark.read.parquet(s"$storeDir/dfs")
+      .filter(col("shard").isin(shards: _*) &&
+        col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val st = spark.read.parquet(s"$storeDir/stats")
+      .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s")).head()
+    val nDocs = st.getLong(0).toDouble
+    val avgdl = st.getLong(1).toDouble / nDocs
+    val post = spark.read.parquet(s"$storeDir/postings")
+      .filter(col("shard").isin(shards: _*) &&
+        col("term").isin(terms: _*))
+    // per-candidate pivot: ≤ |terms| postings per doc, each term's tf
+    // lands via an exact-zero-padded conditional sum — deterministic
+    // (0.0 never perturbs an IEEE sum; here the sums are pure longs)
+    val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$i")
+    }
+    val perDoc = post.groupBy(col("doc_id"))
+      .agg(max(col("dl")).cast("double").as("dl"), tfAggs: _*)
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val dfd = dfMap.getOrElse(terms(i), 0L).toDouble
+      val idf = log(lit(1.0) +
+        (lit(nDocs) - lit(dfd) + 0.5) / (lit(dfd) + 0.5))
+      idf * (tf * 2.2) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)))
+    }.reduce(_ + _)
+    perDoc
+      .withColumn("score", fr(score, 4))
+      .filter(col("score") > 0)
+      .select(col("doc_id") +: col("dl").cast("long").as("dl") +:
+        terms.indices.map(i =>
+          col(s"tf_$i").cast("int").as(s"tf_$i")) :+
+        col("score"): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Index-served BM25 gate over the standing full-corpus index. */
+  def indexServeQuery(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("merge", "vector", "stream"),
+      k: Int = 20): DataFrame =
+    indexServeOver(spark, buildInvIndex(spark, sfDir), terms, k)
+
+  /** Same serve over the incrementally-grown (base + appended delta)
+    * index — the oracle recomputes from the FULL corpus, so a pass
+    * proves append ≡ rebuild end-to-end. */
+  def indexAppendQuery(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("merge", "vector", "stream"),
+      k: Int = 20): DataFrame =
+    indexServeOver(spark, buildInvIndexAppended(spark, sfDir), terms, k)
 }

@@ -502,6 +502,36 @@ class PlanSpec extends SparkSpec {
     // q_rank_ensemble's rounded value domains.
   }
 
+  test("index serving prunes posting shards: the scan plans only the " +
+      "query terms' partitions") {
+    import org.apache.spark.sql.functions._
+    def scans(p: SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val store = Retrieval.buildInvIndex(spark, sfDir)
+    val nShardDirs = new java.io.File(s"$store/postings").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(nShardDirs >= 8, s"fixture built only $nShardDirs shards")
+    val terms = Seq("merge", "vector", "stream")
+    import SparkSpec.spark.implicits._
+    val nQueryShards = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(16L))).distinct().count()
+    val served = Retrieval.indexServeQuery(spark, sfDir, terms)
+    served.collect()
+    val postScan = scans(served.queryExecution.executedPlan)
+      .find(_.schema.fieldNames.contains("term")).get
+    val read = postScan.metrics("numPartitions").value
+    assert(read == nQueryShards,
+      s"postings scan read $read of $nShardDirs shard partitions — " +
+        s"expected exactly the $nQueryShards query-term shards")
+  }
+
   test("every oracleSql key names a registered query (a typo here " +
       "silently downgrades a hash gate to rows-only)") {
     val qs = graft.SparkEntry.queries.keySet
