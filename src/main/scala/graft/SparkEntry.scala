@@ -349,6 +349,9 @@ object SparkEntry {
     "q_wordpiece" -> ((s, d) => Tokenize.wordpieceQuery(s, d)),
     // Corpus snapshot versioning (added/removed/changed audit)
     "q_corpus_diff" -> (Versioning.corpusDiffQuery _),
+    // cross-snapshot URL-level dedup (r17): canonical-URL keep rule
+    // (newest snapshot, min doc_id) + content-change detection
+    "q_url_snap_dedup" -> (Versioning.urlSnapDedupQuery _),
     // Per-source KL drift from the corpus mixture (statistical QA)
     "q_corpus_drift" -> ((s, d) => Versioning.corpusDriftQuery(s, d)),
     // Incremental refresh: recompute only the churn; gate = equality
@@ -719,6 +722,10 @@ object SparkEntry {
     "q_media_neardup" -> (Multimodal.mediaNearDupGateQuery _),
     "q_media_text_align" ->
       ((s, d) => Multimodal.mediaTextAlignQuery(s, d)),
+    // VAD-gated audio-transcript alignment admission (r17): real WAV
+    // decode -> 16-window energy embedding, shard-local captions
+    "q_audio_text_align" ->
+      ((s, d) => Multimodal.audioTextAlignQuery(s, d)),
     // Driver-divergence probe battery (round 12, see PROBES.md and
     // Probes.scala scaladoc): near-zero-cost queries isolating one
     // construct each, to localize why 8 gates are driver-red while
@@ -2529,6 +2536,70 @@ object SparkEntry {
     // the per-image ranking, and the 0.55 admission bar. A hash match
     // proves the real PNG decode, both feature kernels, the blocked
     // pairing, and the admission decision together.
+    "q_audio_text_align" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(64 + doc_id % 192 AS BIGINT) AS n
+        |  FROM documents),
+        |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM f),
+        |v AS (SELECT doc_id, n, i,
+        |    (doc_id * 7919 + i * 104729) % 65536 - 32768 AS smp
+        |  FROM s),
+        |vw AS (SELECT doc_id, i // 16 AS w, sum(smp * smp) AS ve
+        |  FROM v GROUP BY 1, 2),
+        |voiced AS (SELECT doc_id FROM vw
+        |  GROUP BY doc_id
+        |  HAVING sum(CASE WHEN ve >= 5728000000 THEN 1 ELSE 0 END) >= 3),
+        |e AS (SELECT doc_id, (i * 16) // n AS wi,
+        |    sum(smp * smp) // 1048576 AS gray
+        |  FROM v GROUP BY doc_id, (i * 16) // n),
+        |mf AS (SELECT doc_id, wi AS i,
+        |    gray * 16 - sum(gray) OVER (PARTITION BY doc_id) AS fc
+        |  FROM e WHERE doc_id IN (SELECT doc_id FROM voiced)),
+        |mn AS (SELECT doc_id, CAST(sum(fc * fc) AS BIGINT) AS fn2
+        |  FROM mf GROUP BY 1),
+        |pref AS (SELECT doc_id, substr(text, 1, 96) AS pref
+        |  FROM documents),
+        |tri AS (SELECT doc_id,
+        |    ('0x' || substr(md5(g), 1, 6))::BIGINT % 16 AS b
+        |  FROM (SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(pref) - 2),
+        |        i -> substr(pref, CAST(i AS INTEGER), 3))) AS g
+        |    FROM pref WHERE len(pref) >= 3)),
+        |tc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM tri GROUP BY 1, 2),
+        |tf AS (SELECT doc_id, i,
+        |    c * 16 - sum(c) OVER (PARTITION BY doc_id) AS gc
+        |  FROM (SELECT d.doc_id, gs.i, coalesce(tc.c, 0) AS c
+        |    FROM documents d
+        |    CROSS JOIN (SELECT unnest(range(0, 16)) AS i) gs
+        |    LEFT JOIN tc ON tc.doc_id = d.doc_id AND tc.b = gs.i)),
+        |tn AS (SELECT doc_id, CAST(sum(gc * gc) AS BIGINT) AS gn2
+        |  FROM tf GROUP BY 1),
+        |dots AS (
+        |  SELECT m.doc_id AS media_id, t.doc_id AS cap_id,
+        |    CAST(sum(m.fc * t.gc) AS BIGINT) AS dot
+        |  FROM mf m JOIN tf t
+        |    ON m.doc_id // 64 = t.doc_id // 64 AND m.i = t.i
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT d.media_id, d.cap_id,
+        |    CASE WHEN mn.fn2 = 0 OR tn.gn2 = 0 THEN 0.0
+        |    ELSE floor((CAST(d.dot AS DOUBLE) /
+        |      (sqrt(CAST(mn.fn2 AS DOUBLE)) *
+        |       sqrt(CAST(tn.gn2 AS DOUBLE)))) * 1e4 + 0.5) / 1e4
+        |    END AS score
+        |  FROM dots d JOIN mn ON d.media_id = mn.doc_id
+        |  JOIN tn ON d.cap_id = tn.doc_id),
+        |rk AS (SELECT *,
+        |    row_number() OVER (PARTITION BY media_id
+        |      ORDER BY score DESC, cap_id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY media_id) AS BIGINT)
+        |      AS n_cand
+        |  FROM sc)
+        |SELECT media_id, cap_id, score, media_id = cap_id AS is_self,
+        |  n_cand, score >= 0.55 AS admitted
+        |FROM rk WHERE rn = 1
+        |ORDER BY media_id""".stripMargin,
     "q_media_text_align" ->
       """WITH dims AS (
         |  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h
@@ -7017,6 +7088,40 @@ object SparkEntry {
         |ORDER BY k.source""".stripMargin,
     // (÷17 removed, ÷13 edited, ÷29 re-added at +1000000) and replays
     // the digest-level full-outer diff.
+    "q_url_snap_dedup" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, txt AS text FROM (
+        |    SELECT doc_id, 'new doc ' || CAST(doc_id AS VARCHAR) AS txt
+        |    FROM documents WHERE doc_id % 29 = 0)),
+        |snaps AS (
+        |  SELECT 1 AS snap, doc_id, text FROM documents
+        |  UNION ALL SELECT 2 AS snap, doc_id, text FROM v2),
+        |k AS (
+        |  SELECT snap, doc_id, substr(md5(text), 1, 16) AS dg,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END ||
+        |     '://www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com' ||
+        |     CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
+        |     '/a/b' || CAST(doc_id % 4 AS VARCHAR) ||
+        |     '?a=1&b=' || CAST(doc_id % 3 AS VARCHAR)) AS url_norm
+        |  FROM snaps),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY url_norm
+        |    ORDER BY snap DESC, doc_id ASC) AS rn FROM k),
+        |g AS (
+        |  SELECT url_norm, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT snap) AS BIGINT) AS n_snaps,
+        |    count(DISTINCT dg) > 1 AS content_changed,
+        |    max(CASE WHEN rn = 1 THEN snap END) AS kept_snap,
+        |    max(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc
+        |  FROM r GROUP BY url_norm)
+        |SELECT url_norm, n_rows, n_snaps,
+        |  CAST(kept_snap AS INTEGER) AS kept_snap, kept_doc,
+        |  n_rows - 1 AS n_dropped, content_changed
+        |FROM g ORDER BY url_norm""".stripMargin,
     "q_corpus_diff" ->
       """WITH v2 AS (
         |  SELECT doc_id,

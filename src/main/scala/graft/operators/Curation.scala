@@ -1388,20 +1388,25 @@ object Curation {
    * slashes, tracking and unsorted query params, and fragments. Pure
    * projection — zero shuffle at any scale.
    */
+  /** The id-derived messy crawl URL fixture (uppercase scheme/host,
+    * default + non-default ports, duplicate/trailing slashes,
+    * tracking + unsorted params, fragments) — shared by the
+    * normalization gate and the cross-snapshot URL dedup. */
+  def syntheticUrl(id: Column): Column = concat(
+    when(id % 2 === 0, lit("HTTPS")).otherwise(lit("http")),
+    lit("://WWW.Site"), (id % 7).cast("string"), lit(".COM"),
+    when(id % 5 === 0, lit(":8080"))
+      .when(id % 5 === 1,
+        when(id % 2 === 0, lit(":443")).otherwise(lit(":80")))
+      .otherwise(lit("")),
+    lit("/a//b"), (id % 4).cast("string"), lit("/"),
+    lit("?utm_source=news&b="), (id % 3).cast("string"), lit("&a=1"),
+    when(id % 3 === 0, lit("#frag")).otherwise(lit("")))
+
   def urlNormalizeQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val id = col("doc_id")
-    val rawUrl = concat(
-      when(id % 2 === 0, lit("HTTPS")).otherwise(lit("http")),
-      lit("://WWW.Site"), (id % 7).cast("string"), lit(".COM"),
-      when(id % 5 === 0, lit(":8080"))
-        .when(id % 5 === 1,
-          when(id % 2 === 0, lit(":443")).otherwise(lit(":80")))
-        .otherwise(lit("")),
-      lit("/a//b"), (id % 4).cast("string"), lit("/"),
-      lit("?utm_source=news&b="), (id % 3).cast("string"), lit("&a=1"),
-      when(id % 3 === 0, lit("#frag")).otherwise(lit("")))
     Tables.load(spark, sfDir, "documents")
-      .select(id, rawUrl.as("url_raw"))
+      .select(id, syntheticUrl(id).as("url_raw"))
       .withColumn("url_norm", normalizeUrl(col("url_raw")))
       .select(col("doc_id"), col("url_raw"), col("url_norm"),
         (col("url_norm") =!= col("url_raw")).as("changed"))

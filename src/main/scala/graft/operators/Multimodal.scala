@@ -475,7 +475,11 @@ object Multimodal {
     * MSB-first. All-integer math end to end, so the SQL oracle
     * replays the fingerprint bit-for-bit from the id-derived waveform
     * while the engine computes it from the REAL `javax.sound` decode. */
-  def audioFprintOf(samples: Array[Short]): Int = {
+  /** The 16 index-window sum-of-squares energies of a PCM stream
+    * (sample i → window i·16÷n) — the contour [[audioFprintOf]]
+    * bit-reduces, exposed whole as the deterministic audio embedding
+    * for [[audioTextAlignQuery]]. */
+  def energy16Of(samples: Array[Short]): Array[Long] = {
     val n = samples.length
     val e = new Array[Long](16)
     var i = 0
@@ -484,6 +488,11 @@ object Multimodal {
       e(i * 16 / n) += v * v
       i += 1
     }
+    e
+  }
+
+  def audioFprintOf(samples: Array[Short]): Int = {
+    val e = energy16Of(samples)
     var fp = 0
     var w = 0
     while (w < 15) {
@@ -1144,30 +1153,67 @@ object Multimodal {
         require(img != null, s"corrupt PNG payload (media $id)")
         (id, gridGray16(img))
       }).toDF("media_id", "mf")
+    alignAgainstCaptions(spark, sfDir, mfeatRaw, admitBar)
+  }
+
+  /**
+   * Audio–transcript ALIGNMENT admission filter — the
+   * [[mediaTextAlignQuery]] pattern on the speech path, VAD-GATED:
+   * only audio with at least one active [[audioVadOf]] segment
+   * (speech present) enters pairing — silence never wastes pair
+   * work, the admission rule every ASR-corpus build applies before
+   * transcript matching.
+   *
+   * Deterministic encoder stand-ins (the [[dhashOf]] doctrine — REAL
+   * decode, replayable arithmetic): the audio side decodes genuine
+   * WAVE payloads through `javax.sound` and embeds as the 16
+   * index-window sum-of-squares energies ([[energy16Of]] — the
+   * fingerprint contour before bit-reduction), integer-downscaled by
+   * 2^20 so the ×16 mean-centering squares stay inside long range;
+   * the transcript side is the same 16-bucket trigram embedding as
+   * the image gate. Scoring, sharding (`id div 64` — pair work ≤ 64
+   * candidates per clip), ranking, and admission are shared code.
+   */
+  def audioTextAlignQuery(spark: SparkSession, sfDir: String,
+      admitBar: Double = 0.55): DataFrame = {
+    import spark.implicits._
+    // minimum-speech-duration rule: ≥ 3 ACTIVE VAD windows (48
+    // samples of voice) — a single hot window is a click, not speech;
+    // the corpus splits ~15% unvoiced under this bar, so the gate
+    // exercises real admission, not a vacuous filter
+    val afeatRaw = spark.read.parquet(buildAudioStore(spark, sfDir))
+      .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val samples = decodeAudioSamples(payload)
+        val voiced = audioVadOf(id, samples).map(_.n_win).sum >= 3L
+        (id, energy16Of(samples).map(_ / 1048576L), voiced)
+      }).toDF("media_id", "mf", "voiced")
+      .filter(col("voiced")).drop("voiced")
+    alignAgainstCaptions(spark, sfDir, afeatRaw, admitBar)
+  }
+
+  /** Shared media→caption alignment: candidate captions are
+    * SHARD-LOCAL (`id div 64`), both sides mean-center in exact
+    * integer arithmetic (×16), and scores are cosines on exact BIGINT
+    * dots — see [[mediaTextAlignQuery]] for the full contract.
+    * `mfeatRaw` must carry (media_id, mf: array of 16 longs). */
+  private def alignAgainstCaptions(spark: SparkSession, sfDir: String,
+      mfeatRaw: DataFrame, admitBar: Double): DataFrame = {
     // caption embeddings: 16-bucket hashed char-trigram counts over a
     // 96-char prefix (langId2 kernel at dims=16); docs too short for
     // any trigram keep the zero vector (score 0 by the norm guard)
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
-    val tri = docs
+    // one codegen'd graft_tri_buckets pass per caption (same buckets
+    // as the md5/conv SQL the oracle replays); short docs keep the
+    // zero vector — no explode, no per-bucket groupBy, no re-join
+    val tfeatRaw = docs
       .select(col("doc_id"), substring(col("text"), 1, 96).as("pref"))
-      .filter(length(col("pref")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(pref) - 2)," +
-          " i -> substring(pref, i, 3))")).as("g"))
       .select(col("doc_id"),
-        (conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long")
-          % 16).as("b"))
-    val tmap = tri.groupBy(col("doc_id"), col("b"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
-        .as("m"))
-    val tfeatRaw = docs.select(col("doc_id"))
-      .join(tmap, Seq("doc_id"), "left")
-      .select(col("doc_id"), expr(
-        "transform(sequence(0L, 15L)," +
-          " i -> coalesce(element_at(m, i), CAST(0 AS BIGINT)))").as("tf"))
+        when(length(col("pref")) >= 3,
+          org.apache.spark.sql.functions.call_function(
+            "graft_tri_buckets", col("pref"), lit(16)))
+          .otherwise(typedLit(Seq.fill(16)(0L))).as("tf"))
     // integer mean-centering (x16) + exact squared norms, per side
     def centered(f: String, out: String)(df: DataFrame): DataFrame = df
       .withColumn("_s", aggregate(col(f), lit(0L), (a, x) => a + x))

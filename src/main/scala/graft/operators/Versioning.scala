@@ -45,6 +45,52 @@ object Versioning {
     snapshotDiff(v1, deriveV2(v1)).orderBy(col("doc_id"), col("status"))
   }
 
+  /**
+   * Cross-snapshot URL-level dedup — the crawl-refresh pass that
+   * collapses every fetch of the SAME canonical page across snapshot
+   * generations to one kept record: [[Curation.syntheticUrl]] +
+   * [[Curation.normalizeUrl]] provide the canonical key (scheme/host
+   * case, default ports, duplicate slashes, tracking params,
+   * fragments all collapse), the [[corpusDiffQuery]] fixtures provide
+   * the two snapshots (v1 = the documents table, v2 = the derived
+   * refresh: removals, edits, additions), and the content digests of
+   * the diff machinery detect whether a URL's content CHANGED across
+   * its fetches.
+   *
+   * Keep rule: newest snapshot wins, ties to the smallest doc_id —
+   * one `max_by` over a struct ordering, deterministic (no window
+   * sort; per-URL aggregation state is O(1), so a hot URL with
+   * millions of fetches costs nothing extra).
+   *
+   * Shape at 100 TB: text reduces to (snap, doc_id, url_norm,
+   * 16-char digest) BEFORE the one shuffle on url_norm — document
+   * text never moves; output is one row per canonical URL.
+   */
+  def urlSnapDedupQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val v1 = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val snaps = v1.withColumn("snap", lit(1))
+      .unionByName(deriveV2(v1).withColumn("snap", lit(2)))
+    val keyed = snaps.select(col("snap"), col("doc_id"),
+      Curation.normalizeUrl(
+        Curation.syntheticUrl(col("doc_id"))).as("url_norm"),
+      substring(md5(col("text")), 1, 16).as("dg"))
+    keyed.groupBy(col("url_norm"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("snap")).as("n_snaps"),
+        (count_distinct(col("dg")) > 1).as("content_changed"),
+        max_by(
+          struct(col("snap").as("kept_snap"), col("doc_id").as("kept_doc")),
+          struct(col("snap"), (-col("doc_id")).as("nd"))).as("kept"))
+      .select(col("url_norm"), col("n_rows"), col("n_snaps"),
+        col("kept.kept_snap").as("kept_snap"),
+        col("kept.kept_doc").as("kept_doc"),
+        (col("n_rows") - 1).as("n_dropped"),
+        col("content_changed"))
+      .orderBy(col("url_norm"))
+  }
+
   // ----------------------------------------------------- dataset publish
 
   /**

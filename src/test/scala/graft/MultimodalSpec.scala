@@ -410,4 +410,32 @@ class MultimodalSpec extends SparkSpec {
     // stamp): both admitted and rejected pairs exist at gate scale
     assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
   }
+
+  test("audio-text alignment: VAD gate genuinely drops unvoiced " +
+      "clips, survivors align shard-locally") {
+    val rows = Multimodal.audioTextAlignQuery(spark, sfDir).collect()
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    // the minimum-speech-duration rule (≥ 3 active windows) must be a
+    // real filter on this corpus, not a rubber stamp
+    assert(rows.length < nDocs,
+      s"VAD gate dropped nothing (${rows.length} of $nDocs)")
+    assert(rows.length > nDocs / 2, "VAD gate dropped most of the corpus")
+    // every surviving clip is genuinely voiced under the same rule,
+    // recomputed from the real decode
+    val store = spark.read.parquet(
+      Multimodal.buildAudioStore(spark, sfDir))
+      .select(org.apache.spark.sql.functions.col("media_id"),
+        org.apache.spark.sql.functions.col("payload"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val active = Multimodal.audioVadOf(id,
+        Multimodal.decodeAudioSamples(store(id))).map(_.n_win).sum
+      assert(active >= 3L, s"unvoiced clip $id passed the gate")
+      assert(r.getLong(1) / 64 == id / 64, "candidates are shard-local")
+      assert(r.getBoolean(5) == (r.getDouble(2) >= 0.55), "admission bar")
+    }
+    // both admitted and rejected alignments exist
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
+  }
 }

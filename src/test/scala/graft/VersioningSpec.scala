@@ -263,4 +263,28 @@ class VersioningSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"dim not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"facts shuffled to join:\n$p")
   }
+
+  test("cross-snapshot URL dedup: newest-snapshot keep rule, exact " +
+      "drop accounting, change detection hits edited pages") {
+    val rows = Versioning.urlSnapDedupQuery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nRows, nSnaps) = (r.getLong(1), r.getLong(2))
+      assert(nSnaps >= 1 && nSnaps <= 2)
+      assert(r.getLong(5) == nRows - 1, "n_dropped = n_rows - 1")
+      // v2 keeps ~94% of docs (only %17 removed), so any URL class
+      // with multiple fetches spans both snapshots and must keep
+      // snap 2 — the newest-wins rule observable on real data
+      if (nSnaps == 2) assert(r.getInt(3) == 2, "newest snapshot wins")
+    }
+    // both changed and unchanged URL classes exist: %13-edited docs
+    // flip their digest, pure re-fetches don't
+    assert(rows.exists(_.getBoolean(6)) && rows.exists(!_.getBoolean(6)))
+    // URL canonicalization genuinely collapses fetches (the class
+    // count is fixed ≤ ~336 by the mod-derivation while fetches grow
+    // with the corpus: ~6x at the spec's sf0.001, growing linearly)
+    val total = rows.map(_.getLong(1)).sum
+    assert(rows.length.toLong * 3 < total,
+      s"${rows.length} urls over $total fetches — no collapse?")
+  }
 }
