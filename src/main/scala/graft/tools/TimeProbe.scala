@@ -3,13 +3,19 @@ import graft.{GraftSession, SparkEntry}
 object TimeProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val spark = GraftSession.builder("local[32]")
-      .config("spark.sql.shuffle.partitions", "32").getOrCreate()
+    // SPARK_GRAFT_CPUS so deep-scale probes run at the same thread
+    // count as their Verify sweeps (default 32, the bench shape)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     run(SparkEntry.queries("q1_agg")(spark, sfDir)) // warm-up
-    for (q <- args.drop(1); pass <- 1 to 2) {
+    // GRAFT_PROBE_PASSES=1 for deep-scale sweeps where a second pass
+    // doubles an hours-long probe for little information
+    val passes = sys.env.getOrElse("GRAFT_PROBE_PASSES", "2").toInt
+    for (q <- args.drop(1); pass <- 1 to passes) {
       val t0 = System.nanoTime()
       run(SparkEntry.queries(q)(spark, sfDir))
       println(f"[time] $q pass$pass ${(System.nanoTime()-t0)/1e9}%.2f s")
