@@ -1045,11 +1045,15 @@ object Multimodal {
    * (n ≤ 60k media — sf0.001/0.01/0.1 and sf1, hashes unchanged);
    * beyond that the exhaustive twin is ~4e10 cosines at sf10 (the one
    * r15 full-sweep non-completion), so the reference switches to a
-   * deterministic PROBE set — media_id % 701 = 0, ~n/701 probes —
-   * checked exhaustively against the ENTIRE corpus (probes × n
-   * cosines, ~1.4e8 at sf10). A blocking defect class that loses
-   * pairs loses probe-incident pairs at the same rate, and the probe
-   * set is id-derived, so the gate stays deterministic and
+   * deterministic PROBE set checked exhaustively against the ENTIRE
+   * corpus. The probe stride scales with the corpus —
+   * max(701, n/701) — so the probe COUNT caps at ~701 and verifier
+   * work is ≤ 701·n cosines at ANY scale (a fixed % 701 fraction
+   * was the r17 sf100 cliff: n/701 probes × n = n²/701, quadratic
+   * again — caught at 5M media where the verifier alone outweighed
+   * the operator 100×). A blocking defect class that loses pairs
+   * loses probe-incident pairs at the same rate, and the probe set
+   * is id-derived, so the gate stays deterministic and
    * oracle-replayable. Precision re-checks EVERY blocked pair at
    * every scale: membership in the exhaustive set ≡ the pair
    * property (same kind, a < b, rounded cos ≥ 0.999), so the
@@ -1066,8 +1070,9 @@ object Multimodal {
     val exhaustive = nMedia <= 60000L
     val a0 = feats.select(col("media_id").as("media_a"), col("kind"),
       col("embedding").as("emb_a"))
+    val probeStride = math.max(701L, nMedia / 701L)
     val a = if (exhaustive) a0
-            else a0.filter(pmod(col("media_a"), lit(701L)) === 0)
+            else a0.filter(pmod(col("media_a"), lit(probeStride)) === 0)
     val b = feats.select(col("media_id").as("media_b"), col("kind"),
       col("embedding").as("emb_b"))
     // completeness reference. Exhaustive tier: the one-orientation
