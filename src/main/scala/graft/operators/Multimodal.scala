@@ -976,7 +976,16 @@ object Multimodal {
     * 4×15-plane banding → perfect recall but 3.2M pairs) — k-means
     * splits the dense regions by construction, and 2-cell probing
     * covers boundary pairs. */
-  private val ivfK = 256
+  // SCALE RULE (r17, the q_dedup_semantic k = n/1024 law applied
+  // here): a FIXED cell count makes in-cell pair work grow n²/k —
+  // invisible at sf10 (500k media) but the dominant cost at sf100
+  // (5M media: ~100x the sf10 pair count). Above the 256·1024-media
+  // line, cells scale with the corpus so expected in-cell pair work
+  // stays ~n·1024·probes at any scale; below it the historical 256
+  // keeps every gate-scale candidate set (and hash) unchanged.
+  private val ivfKBase = 256
+  private def ivfKFor(nMedia: Long): Int =
+    math.max(ivfKBase.toLong, nMedia / 1024L).toInt
   // probe is the recall knob: 2-probe blocking measured lossless to
   // sf0.1 but missed 1 true pair at sf1 (near-tied centroid rankings
   // can disagree on both probes for a boundary pair); 3-probe restores
@@ -1001,7 +1010,7 @@ object Multimodal {
         .localCheckpoint()
       val cents = Similarity.fitCentroidMatrix(
         feats.select(col("media_id").as("vec_id"), col("embedding")),
-        k = ivfK)
+        k = ivfKFor(feats.count()))
       feats
         .withColumn("cells", call_function("graft_nearest_cells",
           col("embedding"), Similarity.centroidLit(cents), lit(ivfProbe)))
