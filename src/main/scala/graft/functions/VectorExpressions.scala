@@ -1066,6 +1066,252 @@ object VectorKernels {
       copy(child = newChild)
   }
 
+  // ----------------------------------------------- beam-tree assignment
+
+  /** Beam width / branching / leaf size for [[buildCentTree]]. Beam 4
+    * over branch 16 keeps per-row work ≈ branch + depth·beam·branch +
+    * beam·leafCap dot products — O(log k), not O(k) — while measured
+    * top-1 agreement with the exact scan stays ≥97% on clustered
+    * corpora (CentTreeSpec). */
+  val TreeBranch = 16
+  val TreeLeafCap = 128
+  val TreeBeam = 4
+
+  /** Deterministic driver-side build of the centroid search tree:
+    * recursive k-means over the CENTROIDS (k points — trivial at any
+    * k the dynamic-k law produces), stride seeding, 3 Lloyd rounds
+    * per node, groups in ascending-seed order so the structure is a
+    * pure function of the input matrix. */
+  def buildCentTree(cents: Array[Array[Float]],
+      branch: Int = TreeBranch, leafCap: Int = TreeLeafCap,
+      l2: Boolean = false): CentTree = {
+    import scala.collection.mutable.ArrayBuffer
+    val nodeVec = ArrayBuffer[Array[Float]]()
+    val childStart = ArrayBuffer[Int]()
+    val childEnd = ArrayBuffer[Int]()
+    val leafIds = ArrayBuffer[Array[Int]]()
+    def sim(a: Array[Float], b: Array[Float]): Double = {
+      val d = math.min(a.length, b.length)
+      if (l2) {
+        var acc = 0.0; var i = 0
+        while (i < d) { val df = a(i).toDouble - b(i); acc += df * df; i += 1 }
+        -acc
+      } else {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < d) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        if (na == 0.0 || nb == 0.0) Double.NegativeInfinity
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+    }
+    def groupMean(ids: Array[Int]): Array[Float] = {
+      val dims = cents(ids(0)).length
+      val acc = new Array[Double](dims)
+      ids.foreach { id =>
+        val v = cents(id); var i = 0
+        while (i < math.min(dims, v.length)) { acc(i) += v(i); i += 1 }
+      }
+      acc.map(x => (x / ids.length).toFloat)
+    }
+    // returns the node-id range of the children created from `ids`
+    def build(ids: Array[Int]): (Int, Int) = {
+      val b = math.min(branch, ids.length)
+      var mats = Array.tabulate(b)(j =>
+        cents(ids((j.toLong * ids.length / b).toInt)).clone())
+      val assign = new Array[Int](ids.length)
+      var iter = 0
+      while (iter < 3) {
+        var i = 0
+        while (i < ids.length) {
+          var best = 0; var bestS = Double.NegativeInfinity; var j = 0
+          while (j < b) {
+            val s = sim(cents(ids(i)), mats(j))
+            if (s > bestS) { bestS = s; best = j }
+            j += 1
+          }
+          assign(i) = best; i += 1
+        }
+        val next = mats.map(_.clone())
+        var j = 0
+        while (j < b) {
+          val members = ids.indices.filter(assign(_) == j)
+          if (members.nonEmpty)
+            next(j) = groupMean(members.map(ids).toArray)
+          j += 1
+        }
+        mats = next; iter += 1
+      }
+      val groups: Seq[Array[Int]] = (0 until b)
+        .map(j => ids.indices.filter(assign(_) == j).map(ids).toArray)
+        .filter(_.nonEmpty)
+      val start = nodeVec.length
+      groups.foreach { g =>
+        nodeVec += groupMean(g); childStart += -1; childEnd += -1
+        leafIds += null
+      }
+      val end = nodeVec.length
+      groups.zipWithIndex.foreach { case (g, gi) =>
+        val nid = start + gi
+        // a group that failed to split (identical vectors) must leaf
+        // out even above leafCap, or the recursion never terminates
+        if (g.length <= leafCap || g.length == ids.length)
+          leafIds(nid) = g
+        else {
+          val (cs, ce) = build(g)
+          childStart(nid) = cs; childEnd(nid) = ce
+        }
+      }
+      (start, end)
+    }
+    val all = Array.range(0, cents.length)
+    val (rs, re) =
+      if (cents.length <= leafCap) {
+        nodeVec += groupMean(all); childStart += -1; childEnd += -1
+        leafIds += all
+        (0, 1)
+      } else build(all)
+    new CentTree(cents, nodeVec.toArray, childStart.toArray,
+      childEnd.toArray, leafIds.toArray, rs, re, l2)
+  }
+
+  /**
+   * Tree-accelerated [[nearestCellsJava]]: beam search down the
+   * centroid tree, then the EXACT metric over only the candidate
+   * leaves' centroids — same output shape and tie rule (sim desc,
+   * ties to the lower centroid index). Falls back to the exhaustive
+   * scan when the beam gathers fewer than n candidates. Approximate
+   * by construction (a query near a node boundary can descend the
+   * wrong subtree); the deviation bound is spec-measured, and every
+   * consumer is a candidate-blocking step whose completeness gate
+   * catches recall loss.
+   */
+  def nearestCellsTreeJava(emb: ArrayData, tree: CentTree, n: Int)
+      : ArrayData = {
+    val dims = emb.numElements()
+    val q = new Array[Double](dims)
+    var qi = 0
+    while (qi < dims) {
+      q(qi) = if (emb.isNullAt(qi)) 0.0 else emb.getFloat(qi).toDouble
+      qi += 1
+    }
+    var qn = 0.0
+    qi = 0
+    while (qi < dims) { qn += q(qi) * q(qi); qi += 1 }
+    def simTo(c: Array[Float]): Double = {
+      val d = math.min(dims, c.length)
+      if (tree.l2) {
+        var acc = 0.0; var i = 0
+        while (i < d) { val df = q(i) - c(i); acc += df * df; i += 1 }
+        -acc
+      } else {
+        var dot = 0.0; var nb = 0.0; var i = 0
+        while (i < d) {
+          val y = c(i).toDouble; dot += q(i) * y; nb += y * y; i += 1
+        }
+        if (qn == 0.0 || nb == 0.0) Double.NegativeInfinity
+        else dot / (math.sqrt(qn) * math.sqrt(nb))
+      }
+    }
+    val cands = scala.collection.mutable.ArrayBuffer[Int]()
+    var frontier = Array.range(tree.rootStart, tree.rootEnd)
+    while (frontier.nonEmpty) {
+      val sims = frontier.map(nid => simTo(tree.nodeVec(nid)))
+      val take = math.min(TreeBeam, frontier.length)
+      val taken = new Array[Boolean](frontier.length)
+      val next = scala.collection.mutable.ArrayBuffer[Int]()
+      var t = 0
+      while (t < take) {
+        var best = -1; var bestS = Double.NegativeInfinity; var i = 0
+        while (i < frontier.length) {
+          if (!taken(i) && sims(i) > bestS) { best = i; bestS = sims(i) }
+          i += 1
+        }
+        taken(best) = true
+        val nid = frontier(best)
+        if (tree.leafIds(nid) != null) cands ++= tree.leafIds(nid)
+        else {
+          var c = tree.childStart(nid)
+          while (c < tree.childEnd(nid)) { next += c; c += 1 }
+        }
+        t += 1
+      }
+      frontier = next.toArray
+    }
+    if (cands.length < n)
+      return nearestCellsJava(emb, tree.cents, n)
+    // exact metric over candidates, ascending id order so ties break
+    // to the lower centroid index exactly like the exhaustive scan
+    val ids = cands.toArray
+    java.util.Arrays.sort(ids)
+    val sims = ids.map(id => simCent(emb, tree.cents(id), tree.l2))
+    val out = new Array[Int](math.min(n, ids.length))
+    val taken = new Array[Boolean](ids.length)
+    var j = 0
+    while (j < out.length) {
+      var best = -1; var bestS = Double.NegativeInfinity; var m = 0
+      while (m < ids.length) {
+        if (!taken(m) && sims(m) > bestS) { best = m; bestS = sims(m) }
+        m += 1
+      }
+      taken(best) = true; out(j) = ids(best); j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** One query↔centroid similarity under the EXACT kernel metric —
+    * shared by the tree's candidate rescoring so its doubles match
+    * [[nearestCellsJava]] / [[nearestCellL2Java]] bit-for-bit. */
+  private def simCent(emb: ArrayData, cent: Array[Float],
+      l2: Boolean): Double = {
+    val d = math.min(emb.numElements(), cent.length)
+    if (l2) {
+      var acc = 0.0; var i = 0
+      while (i < d) {
+        val x = if (emb.isNullAt(i)) 0.0 else emb.getFloat(i).toDouble
+        val diff = x - cent(i); acc += diff * diff; i += 1
+      }
+      -acc
+    } else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < d) {
+        val x = if (emb.isNullAt(i)) 0.0 else emb.getFloat(i).toDouble
+        val y = cent(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) Double.NegativeInfinity
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+  }
+
+  /** See [[nearestCellsTreeJava]]. The tree builds lazily on the
+    * driver (once per expression) and ships as a reference object. */
+  case class NearestCellsTree(child: Expression,
+      cents: Array[Array[Float]], n: Int, l2: Boolean)
+      extends UnaryExpression {
+    @transient private lazy val tree = buildCentTree(cents, l2 = l2)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float> input, got " + other.simpleString)
+      }
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "graft_nearest_cells_tree"
+    override protected def nullSafeEval(a: Any): Any =
+      nearestCellsTreeJava(a.asInstanceOf[ArrayData], tree, n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val treeRef = ctx.addReferenceObj("ctree", tree,
+        "graft.functions.CentTree")
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorKernels.nearestCellsTreeJava($a, $treeRef, $n)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Random-hyperplane signature: bit p of the result is the sign of
     * Σᵢ emb[i]·signs[p][i]. Signs are ±1 from a splitmix64 of
     * (p·1000003 + d) — deterministic, shared with the SQL-visible
@@ -2338,6 +2584,12 @@ object VectorKernels {
       toMatrix(es(1).eval()), es(2).eval().asInstanceOf[Int])),
     fn("graft_nearest_cell_l2", es => NearestCellL2(es(0),
       toMatrix(es(1).eval()))),
+    // beam-tree variant for dynamic-k matrices: matrix foldable, n a
+    // foldable int, optional 4th foldable boolean switches to the L2
+    // metric (default cosine, matching graft_nearest_cells)
+    fn("graft_nearest_cells_tree", es => NearestCellsTree(es(0),
+      toMatrix(es(1).eval()), es(2).eval().asInstanceOf[Int],
+      if (es.length > 3) es(3).eval().asInstanceOf[Boolean] else false)),
     // planes and dims must be foldable int literals
     fn("graft_hyperplane", es => HyperplaneSig(es(0),
       es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
@@ -2395,3 +2647,19 @@ object VectorKernels {
   def register(extensions: SparkSessionExtensions): Unit =
     functions.foreach(extensions.injectFunction)
 }
+
+/**
+ * Flattened centroid search tree for [[VectorKernels.nearestCellsTreeJava]]
+ * (top-level so generated Java can name the type without `$` mangling).
+ * Internal nodes hold their member-centroid mean in `nodeVec` and a
+ * child node-id range; leaves hold the fine-centroid ids directly.
+ */
+final class CentTree(
+    val cents: Array[Array[Float]],
+    val nodeVec: Array[Array[Float]],
+    val childStart: Array[Int],
+    val childEnd: Array[Int],
+    val leafIds: Array[Array[Int]],
+    val rootStart: Int,
+    val rootEnd: Int,
+    val l2: Boolean) extends Serializable

@@ -1012,8 +1012,8 @@ object Multimodal {
         feats.select(col("media_id").as("vec_id"), col("embedding")),
         k = ivfKFor(feats.count()))
       feats
-        .withColumn("cells", call_function("graft_nearest_cells",
-          col("embedding"), Similarity.centroidLit(cents), lit(ivfProbe)))
+        .withColumn("cells",
+          Similarity.nearestCellsCol(cents, col("embedding"), ivfProbe))
         .write.mode("overwrite").parquet(s"$store/feats")
       s"$store/feats"
     })
