@@ -1260,6 +1260,57 @@ object VectorKernels {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /**
+   * Per-group sub-quantizer assignment (r18, VERDICT r17 #2): top-n
+   * nearest SUB-centroids within the row's group, where each group
+   * (an oversized level-1 IVF cell) carries its own small matrix.
+   * Rows whose group has no sub-quantizer get sub 0 — callers only
+   * apply this to rows of re-blocked groups, the guard is defensive.
+   * Cosine metric, same tie rule as [[nearestCellsJava]].
+   */
+  def nearestCellsGrpJava(group: Long, emb: ArrayData,
+      mats: java.util.HashMap[java.lang.Long, Array[Array[Float]]],
+      n: Int): ArrayData = {
+    val m = mats.get(group)
+    if (m == null)
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(0))
+    else nearestCellsJava(emb, m, n)
+  }
+
+  /** See [[nearestCellsGrpJava]]. `groups`/`mats` are parallel
+    * (group id → its sub-centroid matrix), shipped as one HashMap
+    * reference object. */
+  case class NearestCellsGrouped(left: Expression, right: Expression,
+      groups: Seq[Long], mats: Seq[Array[Array[Float]]], n: Int)
+      extends BinaryExpression {
+    @transient private lazy val map = {
+      val h = new java.util.HashMap[java.lang.Long, Array[Array[Float]]]()
+      groups.zip(mats).foreach { case (g, m) => h.put(g, m) }
+      h
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (LongType, ArrayType(FloatType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (bigint, array<float>), got " + other)
+      }
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "graft_nearest_cells_grp"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      nearestCellsGrpJava(a.asInstanceOf[Long],
+        b.asInstanceOf[ArrayData], map, n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val mapRef = ctx.addReferenceObj("grpmats", map, "java.util.HashMap")
+      defineCodeGen(ctx, ev, (g, e) =>
+        s"graft.functions.VectorKernels.nearestCellsGrpJava($g, $e, $mapRef, $n)")
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** One query↔centroid similarity under the EXACT kernel metric —
     * shared by the tree's candidate rescoring so its doubles match
     * [[nearestCellsJava]] / [[nearestCellL2Java]] bit-for-bit. */
@@ -2529,6 +2580,18 @@ object VectorKernels {
     (0 until outer.numElements()).map(i => toStringSeq(outer.getArray(i)))
   }
 
+  /** ArrayData array<bigint> literal → Seq[Long]. */
+  private def toLongSeq(v: Any): Seq[Long] = {
+    val a = v.asInstanceOf[ArrayData]
+    (0 until a.numElements()).map(a.getLong)
+  }
+
+  /** ArrayData array<array<array<float>>> literal → matrices. */
+  private def toMatrices(v: Any): Seq[Array[Array[Float]]] = {
+    val outer = v.asInstanceOf[ArrayData]
+    (0 until outer.numElements()).map(i => toMatrix(outer.getArray(i)))
+  }
+
   /** ArrayData array<array<float>> literal → matrix. */
   private def toMatrix(v: Any): Array[Array[Float]] = {
     val outer = v.asInstanceOf[ArrayData]
@@ -2590,6 +2653,12 @@ object VectorKernels {
     fn("graft_nearest_cells_tree", es => NearestCellsTree(es(0),
       toMatrix(es(1).eval()), es(2).eval().asInstanceOf[Int],
       if (es.length > 3) es(3).eval().asInstanceOf[Boolean] else false)),
+    // per-group sub-quantizers: args (group bigint col, emb col,
+    // foldable array<bigint> group ids, foldable 3-level float array
+    // of parallel sub-matrices, foldable int n)
+    fn("graft_nearest_cells_grp", es => NearestCellsGrouped(es(0), es(1),
+      toLongSeq(es(2).eval()), toMatrices(es(3).eval()),
+      es(4).eval().asInstanceOf[Int])),
     // planes and dims must be foldable int literals
     fn("graft_hyperplane", es => HyperplaneSig(es(0),
       es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),

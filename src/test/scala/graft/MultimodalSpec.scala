@@ -438,4 +438,67 @@ class MultimodalSpec extends SparkSpec {
     // both admitted and rejected alignments exist
     assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
   }
+
+  test("second-level re-blocking: oversized cells split, near-identical " +
+      "pairs keep a shared key, small cells key plainly") {
+    import SparkSpec.spark.implicits._
+    val dims = 8
+    val r = new scala.util.Random(97)
+    def noisy(base: Array[Float]): Array[Float] =
+      base.map(x => x + (r.nextFloat() - 0.5f) * 0.01f)
+    val baseA = Array.fill(dims)(r.nextFloat())
+    val baseB = Array.fill(dims)(2f + r.nextFloat())
+    // cell 5 is HOT: 500 exploded rows over two tight clusters; cells
+    // 1..20 hold 5 rows each (under any oversize bar). Pair (i, i+250)
+    // inside cluster A is engineered near-identical.
+    val hot = (0 until 250).flatMap { i =>
+      val v = noisy(baseA)
+      Seq((i.toLong, "img", v.toSeq, Seq(5)),
+        ((i + 250).toLong, "img", v.map(x => x + 1e-4f).toSeq, Seq(5)))
+    }
+    val hotB = (0 until 0).map(_ => null) // (cluster B folded below)
+    val bRows = (0 until 100).map { i =>
+      ((1000 + i).toLong, "img", noisy(baseB).toSeq, Seq(5))
+    }
+    val cold = (0 until 100).map { i =>
+      ((2000 + i).toLong, "img", noisy(baseA).toSeq, Seq(10 + i % 20))
+    }
+    val feats = (hot ++ bRows ++ cold)
+      .toDF("media_id", "kind", "embedding", "cells")
+      .select(col("media_id"), col("kind"),
+        col("embedding").cast("array<float>").as("embedding"),
+        col("cells"))
+    val dir = graft.sources.OrcIo.scratchDir("reblock_spec")
+    feats.write.mode("overwrite").parquet(s"$dir/feats")
+    // k > ivfKBase forces the dynamic path; nMedia/probe sized so the
+    // oversize bar is 2·(700·3/300) = 14 exploded rows
+    graft.operators.Multimodal.writeBlockKeys(
+      spark, s"$dir/feats", s"$dir/keys", nMedia = 700, k = 300)
+    val keys = spark.read.parquet(s"$dir/keys")
+      .select(col("media_id"), col("ckey")).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val refinedSpace = 1L << 24
+    // cold cells keep their plain key, nothing else
+    (0 until 100).foreach { i =>
+      assert(keys((2000 + i).toLong) == Set((10 + i % 20).toLong))
+    }
+    // hot-cell rows all moved into the refined key space and split
+    // into more than one sub-cell
+    val hotKeys = (hot.map(_._1) ++ bRows.map(_._1))
+      .flatMap(id => keys(id)).toSet
+    assert(hotKeys.forall(_ >= refinedSpace), "hot rows re-keyed")
+    assert(hotKeys.size > 1, "oversized cell actually split")
+    // near-identical pairs (the property the completeness gate needs)
+    // still share at least one sub key
+    (0 until 250).foreach { i =>
+      assert(keys(i.toLong).intersect(keys((i + 250).toLong)).nonEmpty,
+        s"near-dup pair $i lost its shared key")
+    }
+    // the two engineered clusters separate: no sub-cell holds both an
+    // A-row and a B-row (they are far apart by construction)
+    val aKeys = (0 until 250).flatMap(i => keys(i.toLong)).toSet
+    val bKeys = bRows.map(_._1).flatMap(id => keys(id)).toSet
+    assert(aKeys.intersect(bKeys).isEmpty, "clusters share a sub-cell")
+  }
 }
