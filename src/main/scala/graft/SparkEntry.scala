@@ -326,6 +326,7 @@ object SparkEntry {
     // ≡ full rebuild against the full-corpus oracle
     "q_index_serve" -> ((s, d) => Retrieval.indexServeQuery(s, d)),
     "q_index_append" -> ((s, d) => Retrieval.indexAppendQuery(s, d)),
+    "q_index_wand" -> ((s, d) => Retrieval.indexWandQuery(s, d)),
     // BM25 hard-negative mining via query-vocabulary inverted-index
     // join; DECIMAL-summed 6dp contributions, string witnesses (r13)
     "q_hard_negatives" -> ((s, d) => Retrieval.hardNegativesQuery(s, d)),
@@ -5273,6 +5274,46 @@ object SparkEntry {
         |      t -> t = 'vector')) AS INTEGER) AS tf_1,
         |    CAST(len(list_filter(string_split(text, ' '),
         |      t -> t = 'stream')) AS INTEGER) AS tf_2
+        |  FROM documents),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS sum_dl,
+        |    CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+        |    CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+        |    CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+        |  FROM d),
+        |sc AS (
+        |  SELECT doc_id, dl, tf_0, tf_1, tf_2,
+        |    floor((
+        |      ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5)) *
+        |        (CAST(tf_0 AS DOUBLE) * 2.2) /
+        |        (CAST(tf_0 AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))) +
+        |      ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5)) *
+        |        (CAST(tf_1 AS DOUBLE) * 2.2) /
+        |        (CAST(tf_1 AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))) +
+        |      ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5)) *
+        |        (CAST(tf_2 AS DOUBLE) * 2.2) /
+        |        (CAST(tf_2 AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))) * 1e4 + 0.5) / 1e4
+        |      AS score
+        |  FROM d CROSS JOIN s)
+        |SELECT doc_id, CAST(dl AS BIGINT) AS dl, tf_0, tf_1, tf_2, score
+        |FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin,
+    // q_index_wand: the oracle is the FULL-CORPUS BM25 scan — a pass
+    // proves the block-max pruned serve returns the identical top-k
+    "q_index_wand" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t = 'batch')) AS INTEGER) AS tf_0,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t = 'window')) AS INTEGER) AS tf_1,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t = 'sort')) AS INTEGER) AS tf_2
         |  FROM documents),
         |s AS (
         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS sum_dl,

@@ -522,7 +522,15 @@ object Retrieval {
    * index grows by appending segments, never by rebuilding (the
    * minhash_append pattern applied to postings).
    */
-  private def writeIndexSegment(docs: DataFrame, dir: String,
+  /** Posting-block length for the block-max metadata (r18, VERDICT
+    * r17 #4): per (term, block of ≤ BlockB impact-ordered postings)
+    * the segment stores (max_tf, min_dl) — the exact upper-bound
+    * inputs WAND pruning needs. 128 keeps block rows ~1/128 of
+    * posting rows and aligns with parquet row-group min/max on
+    * block_id for physical skipping at scale. */
+  private val BlockB = 128
+
+  private[graft] def writeIndexSegment(docs: DataFrame, dir: String,
       mode: String): Unit = {
     val post = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -530,6 +538,13 @@ object Retrieval {
         explode(col("toks")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
+      // block_id numbers each term's postings in impact order
+      // (tf desc, doc_id tiebreak): block 0 is the term's
+      // highest-impact slice — the heap-floor seed at serve time
+      .withColumn("block_id",
+        ((row_number().over(SqlWindow.partitionBy(col("term"))
+          .orderBy(col("tf").desc, col("doc_id"))) - 1) / BlockB)
+          .cast("int"))
       .withColumn("shard", pmod(xxhash64(col("term")), lit(NShards)))
     post.repartition(col("shard"))
       .sortWithinPartitions(col("term"), col("tf").desc)
@@ -537,6 +552,13 @@ object Retrieval {
     post.groupBy(col("shard"), col("term"))
       .agg(count(lit(1)).as("df"))
       .write.mode(mode).partitionBy("shard").parquet(s"$dir/dfs")
+    // block-max metadata: the score upper bound for any posting in a
+    // block is monotone in tf (up) and dl (down), so (max_tf, min_dl)
+    // bound every doc the block can contain
+    post.groupBy(col("shard"), col("term"), col("block_id"))
+      .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"),
+        count(lit(1)).as("n_postings"))
+      .write.mode(mode).partitionBy("shard").parquet(s"$dir/blocks")
     docs.agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("sum_dl"))
       .write.mode(mode).parquet(s"$dir/stats")
@@ -585,8 +607,15 @@ object Retrieval {
    * identically to a rebuilt one. Stats and per-term dfs are
    * model-sized driver material (|terms| values + one row).
    */
-  def indexServeOver(spark: SparkSession, storeDir: String,
-      terms: Seq[String], k: Int): DataFrame = {
+  /** Serve-time index view: term-pruned postings plus the broadcast-
+    * sized corpus statistics (per-term df, n_docs, avgdl — additive
+    * across segments, so appended indexes serve identically to
+    * rebuilt ones). Shared by the exhaustive and WAND paths. */
+  private case class IndexView(post: DataFrame, blocks: DataFrame,
+      dfMap: Map[String, Long], nDocs: Double, avgdl: Double)
+
+  private def loadIndex(spark: SparkSession, storeDir: String,
+      terms: Seq[String]): IndexView = {
     import spark.implicits._
     val shards = terms.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(NShards)).as("shard"))
@@ -603,6 +632,18 @@ object Retrieval {
     val post = spark.read.parquet(s"$storeDir/postings")
       .filter(col("shard").isin(shards: _*) &&
         col("term").isin(terms: _*))
+    val blocks = spark.read.parquet(s"$storeDir/blocks")
+      .filter(col("shard").isin(shards: _*) &&
+        col("term").isin(terms: _*))
+    IndexView(post, blocks, dfMap, nDocs, avgdl)
+  }
+
+  /** Pivot + score a posting set — the SAME IEEE expression tree as
+    * the scan-shaped [[bm25Query]], so any posting subset that
+    * contains ALL of a doc's query-term postings scores it to the
+    * identical double. */
+  private def serveScore(ix: IndexView, terms: Seq[String],
+      post: DataFrame): DataFrame = {
     // per-candidate pivot: ≤ |terms| postings per doc, each term's tf
     // lands via an exact-zero-padded conditional sum — deterministic
     // (0.0 never perturbs an IEEE sum; here the sums are pure longs)
@@ -613,11 +654,12 @@ object Retrieval {
       .agg(max(col("dl")).cast("double").as("dl"), tfAggs: _*)
     val score = terms.indices.map { i =>
       val tf = col(s"tf_$i").cast("double")
-      val dfd = dfMap.getOrElse(terms(i), 0L).toDouble
+      val dfd = ix.dfMap.getOrElse(terms(i), 0L).toDouble
       val idf = log(lit(1.0) +
-        (lit(nDocs) - lit(dfd) + 0.5) / (lit(dfd) + 0.5))
+        (lit(ix.nDocs) - lit(dfd) + 0.5) / (lit(dfd) + 0.5))
       idf * (tf * 2.2) /
-        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)))
+        (tf + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl") / lit(ix.avgdl)))
     }.reduce(_ + _)
     perDoc
       .withColumn("score", fr(score, 4))
@@ -626,8 +668,146 @@ object Retrieval {
         terms.indices.map(i =>
           col(s"tf_$i").cast("int").as(s"tf_$i")) :+
         col("score"): _*)
+  }
+
+  def indexServeOver(spark: SparkSession, storeDir: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val ix = loadIndex(spark, storeDir, terms)
+    serveScore(ix, terms, ix.post)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /**
+   * WAND / block-max early-termination serve (r18, VERDICT r17 #4):
+   * IDENTICAL top-k to [[indexServeOver]], reading only posting
+   * blocks whose score upper bound can still reach the heap floor.
+   *
+   * Phase 1 seeds the floor θ: docs appearing in each term's block 0
+   * (the highest-impact slice, ≤ BlockB·|terms| rows) score through
+   * the shared pivot — a doc's partial score is a LOWER bound of its
+   * true score, so the k-th best is a valid θ.
+   *
+   * Phase 2 prunes at the BLOCK level: a block of term t bounds its
+   * docs' t-contribution by contrib(max_tf, min_dl) (the score term
+   * is monotone up in tf, down in dl), and any doc in it bounds its
+   * total by that plus Σ_{t'≠t} maxContrib(t'). Blocks below
+   * θ − slack are skipped; a doc whose EVERY posting is skipped is
+   * provably below θ, so candidates = docs with ≥1 surviving
+   * posting. The 1e-4 slack absorbs the 4-dp gate rounding on both
+   * sides, keeping the identity guarantee exact (spec-checked
+   * against the exhaustive serve, oracle-checked against the
+   * full-corpus SQL).
+   *
+   * Phase 3 rescores candidates over ALL their postings (a doc's
+   * surviving-block tf alone would under-score it) — the same IEEE
+   * tree as the exhaustive path, so the top-k doubles are identical.
+   *
+   * At 100 TB this is the difference between scanning a frequent
+   * term's corpus-sized posting list and touching the few blocks
+   * whose impact bound clears the floor; the postings are already
+   * laid out (term, tf desc) so block_id aligns with parquet
+   * row-group min/max and the skip is physical, not just logical.
+   */
+  def indexServeWandOver(spark: SparkSession, storeDir: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val ix = loadIndex(spark, storeDir, terms)
+    def contrib(t: String, tf: Double, dl: Double): Double = {
+      val dfd = ix.dfMap.getOrElse(t, 0L).toDouble
+      val idf = math.log(1.0 + (ix.nDocs - dfd + 0.5) / (dfd + 0.5))
+      idf * (tf * 2.2) /
+        (tf + 1.2 * (0.25 + 0.75 * dl / ix.avgdl))
+    }
+    // per-term global max contribution (from the block metadata —
+    // |terms| rows, driver material)
+    val glob = ix.blocks.groupBy(col("term"))
+      .agg(max(col("max_tf")).as("mtf"), min(col("min_dl")).as("mdl"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val maxC = terms.map(t => t -> glob.get(t).map { case (mtf, mdl) =>
+      contrib(t, mtf.toDouble, mdl.toDouble)
+    }.getOrElse(0.0)).toMap
+    val totalMax = maxC.values.sum
+    // phase 1: heap floor from the highest-impact block per term
+    val seedTop = serveScore(ix, terms,
+        ix.post.filter(col("block_id") === 0))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .select(col("score")).collect().map(_.getDouble(0))
+    val theta = if (seedTop.length < k) 0.0
+                else math.max(0.0, seedTop.min)
+    // phase 2: block survival — per-term threshold folds the other
+    // terms' global maxima into a driver-side constant
+    val slack = 1e-4
+    val thetaT = terms.map { t =>
+      when(col("term") === t, lit(theta - (totalMax - maxC(t)) - slack))
+    }.reduce((a, b) => coalesce(a, b))
+    val ubChain = terms.map { t =>
+      val dfd = ix.dfMap.getOrElse(t, 0L).toDouble
+      val idf = math.log(1.0 + (ix.nDocs - dfd + 0.5) / (dfd + 0.5))
+      when(col("term") === t,
+        lit(idf) * (col("max_tf").cast("double") * 2.2) /
+          (col("max_tf").cast("double") + lit(1.2) *
+            (lit(0.25) +
+              lit(0.75) * col("min_dl").cast("double") / lit(ix.avgdl))))
+    }.reduce((a, b) => coalesce(a, b))
+    val surviving = ix.blocks.filter(ubChain >= thetaT)
+      .select(col("shard"), col("term"), col("block_id"))
+    val survPost = ix.post
+      .join(surviving, Seq("shard", "term", "block_id"))
+    val candidates = survPost.select(col("doc_id")).distinct()
+    // phase 3: full rescore of the surviving docs only
+    serveScore(ix, terms, ix.post.join(candidates, Seq("doc_id")))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Posting-read accounting for the pruning proof: (exhaustive
+    * posting rows for the terms, rows WAND actually scores — seed
+    * block + candidate rescore, without double-counting). Spec-only
+    * instrumentation; the serve path never pays these counts. */
+  private[graft] def wandReadCounts(spark: SparkSession,
+      storeDir: String, terms: Seq[String], k: Int): (Long, Long) = {
+    val ix = loadIndex(spark, storeDir, terms)
+    def contrib(t: String, tf: Double, dl: Double): Double = {
+      val dfd = ix.dfMap.getOrElse(t, 0L).toDouble
+      val idf = math.log(1.0 + (ix.nDocs - dfd + 0.5) / (dfd + 0.5))
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / ix.avgdl))
+    }
+    val glob = ix.blocks.groupBy(col("term"))
+      .agg(max(col("max_tf")).as("mtf"), min(col("min_dl")).as("mdl"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val maxC = terms.map(t => t -> glob.get(t).map { case (mtf, mdl) =>
+      contrib(t, mtf.toDouble, mdl.toDouble)
+    }.getOrElse(0.0)).toMap
+    val totalMax = maxC.values.sum
+    val seedTop = serveScore(ix, terms,
+        ix.post.filter(col("block_id") === 0))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .select(col("score")).collect().map(_.getDouble(0))
+    val theta = if (seedTop.length < k) 0.0
+                else math.max(0.0, seedTop.min)
+    val slack = 1e-4
+    val thetaT = terms.map { t =>
+      when(col("term") === t, lit(theta - (totalMax - maxC(t)) - slack))
+    }.reduce((a, b) => coalesce(a, b))
+    val ubChain = terms.map { t =>
+      val dfd = ix.dfMap.getOrElse(t, 0L).toDouble
+      val idf = math.log(1.0 + (ix.nDocs - dfd + 0.5) / (dfd + 0.5))
+      when(col("term") === t,
+        lit(idf) * (col("max_tf").cast("double") * 2.2) /
+          (col("max_tf").cast("double") + lit(1.2) *
+            (lit(0.25) +
+              lit(0.75) * col("min_dl").cast("double") / lit(ix.avgdl))))
+    }.reduce((a, b) => coalesce(a, b))
+    val surviving = ix.blocks.filter(ubChain >= thetaT)
+      .select(col("shard"), col("term"), col("block_id"))
+    val candidates = ix.post
+      .join(surviving, Seq("shard", "term", "block_id"))
+      .select(col("doc_id")).distinct()
+    val seedRows = ix.post.filter(col("block_id") === 0).count()
+    val rescoreRows = ix.post.join(candidates, Seq("doc_id")).count()
+    (ix.post.count(), seedRows + rescoreRows)
   }
 
   /** Index-served BM25 gate over the standing full-corpus index. */
@@ -643,4 +823,12 @@ object Retrieval {
       terms: Seq[String] = Seq("merge", "vector", "stream"),
       k: Int = 20): DataFrame =
     indexServeOver(spark, buildInvIndexAppended(spark, sfDir), terms, k)
+
+  /** WAND-served BM25 gate over the standing full-corpus index — the
+    * oracle replays the full-corpus scan, so a pass proves block-max
+    * pruning returns the IDENTICAL top-k end-to-end. */
+  def indexWandQuery(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("batch", "window", "sort"),
+      k: Int = 20): DataFrame =
+    indexServeWandOver(spark, buildInvIndex(spark, sfDir), terms, k)
 }

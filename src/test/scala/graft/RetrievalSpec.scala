@@ -254,4 +254,48 @@ class RetrievalSpec extends SparkSpec {
       rows.find(_.getString(0) == "sparse").get.getString(1))
     assert(gotDcg == expDcg, s"sparse DCG $gotDcg != recomputed $expDcg")
   }
+
+  test("WAND serve: identical to exhaustive serve on the real corpus " +
+      "across query shapes") {
+    val store = Retrieval.buildInvIndex(spark, sfDir)
+    Seq(Seq("batch", "window", "sort"),
+        Seq("merge", "vector", "stream"),
+        Seq("hash")).foreach { terms =>
+      val wand = Retrieval
+        .indexServeWandOver(spark, store, terms, 20).collect().toSeq
+      val full = Retrieval
+        .indexServeOver(spark, store, terms, 20).collect().toSeq
+      assert(wand == full, s"terms=$terms")
+    }
+  }
+
+  test("WAND block-max pruning: fewer posting rows read on a " +
+      "conjunctive-top-k corpus, top-k still exact") {
+    import SparkSpec.spark.implicits._
+    // 100 docs carry BOTH terms at tf 8 (the true top-k); the other
+    // 3900 carry one term at tf 1. Block-max should keep each
+    // term's tf-8 block and prune the low-impact tail wholesale.
+    val docs = (0L until 4000L).map { id =>
+      val filler = (0 until (4 + (id % 11)).toInt)
+        .map(j => s"w${(id * 7 + j) % 97}").mkString(" ")
+      val body =
+        if (id % 40 == 0)
+          (Seq.fill(8)("alpha") ++ Seq.fill(8)("beta")).mkString(" ")
+        else if (id % 2 == 0) "alpha"
+        else "beta"
+      (id, body + " " + filler)
+    }.toDF("doc_id", "text")
+    val dir = graft.sources.OrcIo.scratchDir("wand_ix")
+    Retrieval.writeIndexSegment(docs, dir, "overwrite")
+    val terms = Seq("alpha", "beta")
+    val wand = Retrieval
+      .indexServeWandOver(spark, dir, terms, 10).collect().toSeq
+    val full = Retrieval
+      .indexServeOver(spark, dir, terms, 10).collect().toSeq
+    assert(wand == full, "pruned top-k diverged from exhaustive")
+    val (total, read) = Retrieval.wandReadCounts(spark, dir, terms, 10)
+    assert(read < total, s"WAND read $read of $total posting rows")
+    assert(read.toDouble / total <= 0.5,
+      s"no real pruning on the skewed fixture: $read/$total")
+  }
 }
