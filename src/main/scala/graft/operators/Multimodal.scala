@@ -998,12 +998,17 @@ object Multimodal {
   private val featureStore =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Test hook (WarmStoreSpec): forget the JVM-local registration
+    * sitting in front of the store catalog. */
+  private[graft] def dropJvmStores(): Unit = featureStore.clear()
+
   /** Build (or reuse) the materialized feature store for a corpus;
     * returns the path of its per-media `feats` dataset (the join-key
     * dataset lands as a `keys` sibling — [[writeBlockKeys]]). */
   def buildFeatureStore(spark: SparkSession, sfDir: String): String =
     featureStore.getOrElseUpdate(Tables.corpusKey(sfDir), {
-      val store = graft.sources.OrcIo.scratchDir("media_feats")
+      val store = graft.StoreCatalog.pathStore("media_feats@v2",
+          Tables.corpusKey(sfDir)) { dir =>
       // materialize the decode+embed pass ONCE before the k-means fit —
       // each fit iteration runs several jobs, and without this the
       // typed decode map re-executes in every one of them
@@ -1014,11 +1019,12 @@ object Multimodal {
       val cents = Similarity.fitCentroidMatrix(
         feats.select(col("media_id").as("vec_id"), col("embedding")),
         k = k)
-      feats
-        .withColumn("cells",
-          Similarity.nearestCellsCol(cents, col("embedding"), ivfProbe))
-        .write.mode("overwrite").parquet(s"$store/feats")
-      writeBlockKeys(spark, s"$store/feats", s"$store/keys", nMedia, k)
+        feats
+          .withColumn("cells",
+            Similarity.nearestCellsCol(cents, col("embedding"), ivfProbe))
+          .write.mode("overwrite").parquet(s"$dir/feats")
+        writeBlockKeys(spark, s"$dir/feats", s"$dir/keys", nMedia, k)
+      }
       s"$store/feats"
     })
 

@@ -564,33 +564,28 @@ object Retrieval {
       .write.mode(mode).parquet(s"$dir/stats")
   }
 
-  private val invIndexStore =
-    scala.collection.concurrent.TrieMap[String, String]()
-  private val invIndexAppendStore =
-    scala.collection.concurrent.TrieMap[String, String]()
-
-  /** Standing full-corpus index (one segment), built once per corpus. */
+  /** Standing full-corpus index (one segment), built once per corpus
+    * and persisted across JVMs via the store catalog (v2 layout =
+    * block-max metadata). */
   def buildInvIndex(spark: SparkSession, sfDir: String): String =
-    invIndexStore.getOrElseUpdate(Tables.corpusKey(sfDir), {
-      val d = graft.sources.OrcIo.scratchDir("inv_index")
+    graft.StoreCatalog.pathStore("inv_index@v2",
+      Tables.corpusKey(sfDir)) { d =>
       writeIndexSegment(Tables.load(spark, sfDir, "documents"), d,
         "overwrite")
-      d
-    })
+    }
 
   /** Standing index grown INCREMENTALLY: a base segment over the
     * non-delta docs, then the delta slice (doc_id mod 4 = 3, the
     * corpus-wide append convention) appended as a second segment —
     * no rebuild touches base postings. */
   def buildInvIndexAppended(spark: SparkSession, sfDir: String): String =
-    invIndexAppendStore.getOrElseUpdate(Tables.corpusKey(sfDir), {
+    graft.StoreCatalog.pathStore("inv_index_app@v2",
+      Tables.corpusKey(sfDir)) { d =>
       val docs = Tables.load(spark, sfDir, "documents")
       val isNew = pmod(col("doc_id"), lit(4L)) === 3L
-      val d = graft.sources.OrcIo.scratchDir("inv_index_app")
       writeIndexSegment(docs.filter(!isNew), d, "overwrite")
       writeIndexSegment(docs.filter(isNew), d, "append")
-      d
-    })
+    }
 
   /**
    * Serve a BM25 top-k from a standing index — the repeated-query

@@ -297,9 +297,6 @@ object Similarity {
     * API); re-fitting per query would misrepresent the serving path.
     * The model is k×dims floats — it lives on the driver and ships to
     * executors inside the projection, like any broadcast model. */
-  private val centroidCache =
-    scala.collection.concurrent.TrieMap[String, Array[Array[Float]]]()
-
   /** Fit and collect the centroid matrix for any (vec_id, embedding)
     * frame — the reusable core of [[buildIndex]], also the coarse
     * quantizer other corpora (e.g. the media feature store) block on. */
@@ -317,9 +314,10 @@ object Similarity {
     * cache it. Idempotent; returns the centroid matrix. */
   def buildIndex(spark: SparkSession, sfDir: String, k: Int = 20,
       iters: Int = 2): Array[Array[Float]] =
-    centroidCache.getOrElseUpdate(Tables.corpusKey(sfDir), {
+    graft.StoreCatalog.modelStore("ivf_cents@v1",
+      Tables.corpusKey(sfDir)) {
       fitCentroidMatrix(Tables.load(spark, sfDir, "embeddings"), k, iters)
-    })
+    }
 
   /**
    * Embedding-corpus QA statistics per label: count, norm spread, and
@@ -438,13 +436,11 @@ object Similarity {
     }
   }
 
-  private val pqCache =
-    scala.collection.concurrent.TrieMap[String, PqModel]()
-
   /** Offline PQ index build per corpus (idempotent, like
     * [[buildIndex]]). */
   def buildPqIndex(spark: SparkSession, sfDir: String): PqModel =
-    pqCache.getOrElseUpdate(Tables.corpusKey(sfDir),
+    graft.StoreCatalog.modelStore("pq_model@v1",
+      Tables.corpusKey(sfDir))(
       fitPq(Tables.load(spark, sfDir, "embeddings")))
 
   /** Encode column: the vector's `m` sub-space codes (L2-nearest
@@ -1445,21 +1441,30 @@ object Similarity {
   private val pqAppendBaseStore =
     scala.collection.concurrent.TrieMap[String, (PqModel, String)]()
 
+  /** Test hook (WarmStoreSpec): forget the JVM-local registration
+    * sitting in front of the store catalog. */
+  private[graft] def dropJvmStores(): Unit = pqAppendBaseStore.clear()
+
   private def buildPqAppendBase(spark: SparkSession, sfDir: String)
       : (PqModel, String) =
     pqAppendBaseStore.getOrElseUpdate(Tables.corpusKey(sfDir), {
-      val emb = Tables.load(spark, sfDir, "embeddings")
-      val base = emb.filter(pmod(col("vec_id"), lit(4L)) =!= 0L)
-      // renumber to contiguous ids so stride seeding picks the same
-      // seeds a standalone base corpus would
-      val baseForFit = base.select(
-        (col("vec_id") - 1L - expr("vec_id div 4")).as("vec_id"),
-        col("embedding"))
-      val model = fitPq(baseForFit)
-      val store = graft.sources.OrcIo.scratchDir("pq_append_base")
-      base.select(col("vec_id"), pqCodes(model, col("embedding")).as("codes"))
-        .write.mode("overwrite").parquet(s"$store/codes")
-      (model, s"$store/codes")
+      val store = graft.StoreCatalog.pathStore("pq_append_base@v1",
+        Tables.corpusKey(sfDir)) { dir =>
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val base = emb.filter(pmod(col("vec_id"), lit(4L)) =!= 0L)
+        // renumber to contiguous ids so stride seeding picks the same
+        // seeds a standalone base corpus would
+        val baseForFit = base.select(
+          (col("vec_id") - 1L - expr("vec_id div 4")).as("vec_id"),
+          col("embedding"))
+        val model = fitPq(baseForFit)
+        base.select(col("vec_id"),
+            pqCodes(model, col("embedding")).as("codes"))
+          .write.mode("overwrite").parquet(s"$dir/codes")
+        graft.StoreCatalog.writeModel(s"$dir/model.bin", model)
+      }
+      (graft.StoreCatalog.readModel[PqModel](s"$store/model.bin"),
+        s"$store/codes")
     })
 
   def pqAppendQuery(spark: SparkSession, sfDir: String): DataFrame = {

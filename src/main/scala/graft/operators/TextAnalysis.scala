@@ -460,23 +460,19 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  private val langId2Store =
-    scala.collection.concurrent.TrieMap[String, String]()
-
   /** Standing NB model store per corpus (the [[Similarity]] PQ-base
     * doctrine): fit once offline, serve every scoring pass from the
     * parquet artifact — at 100 TB the language-ID model is trained
     * rarely and applied to every ingest batch, so the gate should
     * measure SCORING, not the refit. */
   def buildLangId2Model(spark: SparkSession, sfDir: String): String =
-    langId2Store.getOrElseUpdate(Tables.corpusKey(sfDir), {
+    graft.StoreCatalog.pathStore("langid2@v1",
+      Tables.corpusKey(sfDir)) { d =>
       val (model, prior) =
         langId2Fit(Tables.load(spark, sfDir, "documents"))
-      val d = graft.sources.OrcIo.scratchDir("langid2_model")
       model.write.mode("overwrite").parquet(s"$d/model")
       prior.write.mode("overwrite").parquet(s"$d/prior")
-      d
-    })
+    }
 
   /** [[langId2Over]] wired to the documents table, serving from the
     * standing model store (hash-identical to an inline fit: the
