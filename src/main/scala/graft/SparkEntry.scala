@@ -327,6 +327,9 @@ object SparkEntry {
     "q_index_serve" -> ((s, d) => Retrieval.indexServeQuery(s, d)),
     "q_index_append" -> ((s, d) => Retrieval.indexAppendQuery(s, d)),
     "q_index_wand" -> ((s, d) => Retrieval.indexWandQuery(s, d)),
+    "q_index_stream" -> ((s, d) =>
+      graft.streaming.StreamingIngest.indexStreamQuery(s, d)),
+    "q_index_eval" -> ((s, d) => Retrieval.indexEvalQuery(s, d)),
     // BM25 hard-negative mining via query-vocabulary inverted-index
     // join; DECIMAL-summed 6dp contributions, string witnesses (r13)
     "q_hard_negatives" -> ((s, d) => Retrieval.hardNegativesQuery(s, d)),
@@ -5302,6 +5305,172 @@ object SparkEntry {
         |FROM sc WHERE score > 0
         |ORDER BY score DESC, doc_id
         |LIMIT 20""".stripMargin,
+    // q_index_stream: the oracle is the FULL-CORPUS BM25 scan — a
+    // pass proves stream-appended segments serve ≡ a rebuilt index
+    "q_index_stream" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t = 'scan')) AS INTEGER) AS tf_0,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t = 'filter')) AS INTEGER) AS tf_1,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t = 'agg')) AS INTEGER) AS tf_2
+        |  FROM documents),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS sum_dl,
+        |    CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+        |    CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+        |    CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+        |  FROM d),
+        |sc AS (
+        |  SELECT doc_id, dl, tf_0, tf_1, tf_2,
+        |    floor((
+        |      ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5)) *
+        |        (CAST(tf_0 AS DOUBLE) * 2.2) /
+        |        (CAST(tf_0 AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))) +
+        |      ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5)) *
+        |        (CAST(tf_1 AS DOUBLE) * 2.2) /
+        |        (CAST(tf_1 AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))) +
+        |      ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5)) *
+        |        (CAST(tf_2 AS DOUBLE) * 2.2) /
+        |        (CAST(tf_2 AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))) * 1e4 + 0.5) / 1e4
+        |      AS score
+        |  FROM d CROSS JOIN s)
+        |SELECT doc_id, CAST(dl AS BIGINT) AS dl, tf_0, tf_1, tf_2, score
+        |FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin,
+    // q_index_eval: served arm = the full-corpus BM25 top-50 ranked
+    // (what the standing index must serve exactly); rerank arm = the
+    // served candidates re-ordered by dense cosine vs the vec-0
+    // query (candidates without embeddings drop, as in the engine);
+    // metrics replay the q_retrieval_eval harness verbatim
+    "q_index_eval" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t = 'merge')) AS INTEGER) AS tf_0,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t = 'vector')) AS INTEGER) AS tf_1,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t = 'stream')) AS INTEGER) AS tf_2
+        |  FROM documents),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS sum_dl,
+        |    CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+        |    CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+        |    CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+        |  FROM d),
+        |sc AS (
+        |  SELECT doc_id,
+        |    floor((
+        |      ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5)) *
+        |        (CAST(tf_0 AS DOUBLE) * 2.2) /
+        |        (CAST(tf_0 AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))) +
+        |      ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5)) *
+        |        (CAST(tf_1 AS DOUBLE) * 2.2) /
+        |        (CAST(tf_1 AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))) +
+        |      ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5)) *
+        |        (CAST(tf_2 AS DOUBLE) * 2.2) /
+        |        (CAST(tf_2 AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))) * 1e4 + 0.5) / 1e4
+        |      AS score
+        |  FROM d CROSS JOIN s),
+        |served AS (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |      ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        |  FROM (SELECT doc_id, score FROM sc WHERE score > 0
+        |        ORDER BY score DESC, doc_id LIMIT 50)),
+        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |rr0 AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    floor((list_dot_product(q_emb::DOUBLE[], embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q_emb::DOUBLE[], q_emb::DOUBLE[])) *
+        |       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))) * 1e4 + 0.5) / 1e4
+        |      AS cos_sim
+        |  FROM served JOIN embeddings e ON e.vec_id = served.doc_id
+        |  CROSS JOIN q),
+        |rerank AS (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |      ORDER BY cos_sim DESC, doc_id) AS INTEGER) AS rank
+        |  FROM rr0),
+        |lists AS (
+        |  SELECT 'served' AS arm, doc_id, rank FROM served WHERE rank <= 10
+        |  UNION ALL
+        |  SELECT 'rerank', doc_id, rank FROM rerank WHERE rank <= 10),
+        |wt AS (SELECT * FROM (VALUES
+        |  (1, 1.0), (2, 0.6309297535714575), (3, 0.5),
+        |  (4, 0.43067655807339306), (5, 0.38685280723454163),
+        |  (6, 0.3562071871080222), (7, 0.3333333333333333),
+        |  (8, 0.31546487678572877), (9, 0.3010299956639812),
+        |  (10, 0.2890648263178879)) v(r, w)),
+        |rl AS (
+        |  SELECT arm, rank,
+        |    CASE WHEN doc_id % 97 = 0 THEN 3
+        |         WHEN doc_id % 41 = 0 THEN 2
+        |         WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS rel
+        |  FROM lists),
+        |pa AS (
+        |  SELECT arm,
+        |    sum(CAST(floor((CASE rel WHEN 3 THEN 7.0 WHEN 2 THEN 3.0
+        |        WHEN 1 THEN 1.0 ELSE 0.0 END * wt.w) * 1e6 + 0.5) / 1e6
+        |      AS DECIMAL(20,6))) AS dcg_dec,
+        |    min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+        |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hits
+        |  FROM rl JOIN wt ON rl.rank = wt.r
+        |  GROUP BY arm),
+        |cc AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c3,
+        |    CAST(sum(CASE WHEN doc_id % 97 <> 0 AND doc_id % 41 = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(sum(CASE WHEN doc_id % 97 <> 0 AND doc_id % 41 <> 0
+        |      AND doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM documents),
+        |ideal AS (
+        |  SELECT CAST(
+        |    CAST(floor((CASE WHEN 1 <= c3 THEN 7.0 WHEN 1 <= c3+c2 THEN 3.0
+        |      WHEN 1 <= c3+c2+c1 THEN 1.0 ELSE 0.0 END * 1.0) * 1e6 + 0.5) / 1e6 AS DECIMAL(20,6)) +
+        |    CAST(floor((CASE WHEN 2 <= c3 THEN 7.0 WHEN 2 <= c3+c2 THEN 3.0
+        |      WHEN 2 <= c3+c2+c1 THEN 1.0 ELSE 0.0 END * 0.6309297535714575) * 1e6 + 0.5) / 1e6 AS DECIMAL(20,6)) +
+        |    CAST(floor((CASE WHEN 3 <= c3 THEN 7.0 WHEN 3 <= c3+c2 THEN 3.0
+        |      WHEN 3 <= c3+c2+c1 THEN 1.0 ELSE 0.0 END * 0.5) * 1e6 + 0.5) / 1e6 AS DECIMAL(20,6)) +
+        |    CAST(floor((CASE WHEN 4 <= c3 THEN 7.0 WHEN 4 <= c3+c2 THEN 3.0
+        |      WHEN 4 <= c3+c2+c1 THEN 1.0 ELSE 0.0 END * 0.43067655807339306) * 1e6 + 0.5) / 1e6 AS DECIMAL(20,6)) +
+        |    CAST(floor((CASE WHEN 5 <= c3 THEN 7.0 WHEN 5 <= c3+c2 THEN 3.0
+        |      WHEN 5 <= c3+c2+c1 THEN 1.0 ELSE 0.0 END * 0.38685280723454163) * 1e6 + 0.5) / 1e6 AS DECIMAL(20,6)) +
+        |    CAST(floor((CASE WHEN 6 <= c3 THEN 7.0 WHEN 6 <= c3+c2 THEN 3.0
+        |      WHEN 6 <= c3+c2+c1 THEN 1.0 ELSE 0.0 END * 0.3562071871080222) * 1e6 + 0.5) / 1e6 AS DECIMAL(20,6)) +
+        |    CAST(floor((CASE WHEN 7 <= c3 THEN 7.0 WHEN 7 <= c3+c2 THEN 3.0
+        |      WHEN 7 <= c3+c2+c1 THEN 1.0 ELSE 0.0 END * 0.3333333333333333) * 1e6 + 0.5) / 1e6 AS DECIMAL(20,6)) +
+        |    CAST(floor((CASE WHEN 8 <= c3 THEN 7.0 WHEN 8 <= c3+c2 THEN 3.0
+        |      WHEN 8 <= c3+c2+c1 THEN 1.0 ELSE 0.0 END * 0.31546487678572877) * 1e6 + 0.5) / 1e6 AS DECIMAL(20,6)) +
+        |    CAST(floor((CASE WHEN 9 <= c3 THEN 7.0 WHEN 9 <= c3+c2 THEN 3.0
+        |      WHEN 9 <= c3+c2+c1 THEN 1.0 ELSE 0.0 END * 0.3010299956639812) * 1e6 + 0.5) / 1e6 AS DECIMAL(20,6)) +
+        |    CAST(floor((CASE WHEN 10 <= c3 THEN 7.0 WHEN 10 <= c3+c2 THEN 3.0
+        |      WHEN 10 <= c3+c2+c1 THEN 1.0 ELSE 0.0 END * 0.2890648263178879) * 1e6 + 0.5) / 1e6 AS DECIMAL(20,6))
+        |    AS DECIMAL(20,6)) AS idcg_dec,
+        |    c3 + c2 + c1 AS total_rel
+        |  FROM cc)
+        |SELECT pa.arm,
+        |  CAST(dcg_dec AS VARCHAR) AS dcg,
+        |  CAST(idcg_dec AS VARCHAR) AS idcg,
+        |  floor((CAST(dcg_dec AS DOUBLE) / CAST(idcg_dec AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ndcg,
+        |  COALESCE(floor((1.0::DOUBLE / first_rel) * 1e6 + 0.5) / 1e6, 0.0) AS mrr,
+        |  n_hits, total_rel,
+        |  floor((CAST(n_hits AS DOUBLE) / CAST(total_rel AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS recall
+        |FROM pa CROSS JOIN ideal
+        |ORDER BY arm""".stripMargin,
     // q_index_wand: the oracle is the FULL-CORPUS BM25 scan — a pass
     // proves the block-max pruned serve returns the identical top-k
     "q_index_wand" ->

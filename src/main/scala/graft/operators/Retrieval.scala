@@ -239,6 +239,16 @@ object Retrieval {
       .select(lit("rrf").as("arm"), col("doc_id"), col("rank"))
     val lists = sparse.unionByName(dense).unionByName(fused)
       .filter(col("rank") <= k)
+    evalLists(spark, sfDir, lists, k)
+  }
+
+  /** The qrels-grading core of [[retrievalEvalQuery]] (nDCG@k, MRR@k,
+    * recall@k over `(arm, doc_id, rank ≤ k)` lists) — factored out so
+    * [[indexEvalQuery]] can grade the standing index's served lists
+    * through the IDENTICAL metric tree. */
+  private[graft] def evalLists(spark: SparkSession, sfDir: String,
+      lists: DataFrame, k: Int): DataFrame = {
+    require(k <= DcgWeights.length, s"k=$k exceeds the literal table")
     def grade(id: Column): Column =
       when(id % 97 === 0, 3L).when(id % 41 === 0, 2L)
         .when(id % 13 === 0, 1L).otherwise(0L)
@@ -826,4 +836,49 @@ object Retrieval {
       terms: Seq[String] = Seq("batch", "window", "sort"),
       k: Int = 20): DataFrame =
     indexServeWandOver(spark, buildInvIndex(spark, sfDir), terms, k)
+
+  /**
+   * Standing-index QUALITY gate (r18 growth): grades the list the
+   * index actually serves — not just its latency — by composing
+   * [[indexServeOver]] with the [[evalLists]] nDCG/MRR/recall
+   * harness, plus a DENSE RERANK arm over the served candidates
+   * (cosine vs the vec-0 query over the top-armK doc ids — the
+   * two-stage retrieve-then-rerank shape every production RAG stack
+   * runs; candidates without embedding coverage drop from the rerank
+   * arm, as a real eval would show). The oracle recomputes both
+   * lists from the full corpus, so a pass proves the standing index
+   * serves the exact list the scan-shaped ranking defines AND that
+   * the rerank permutation is bit-faithful.
+   *
+   * Shape at 100 TB: the served arm is the index-pruned BM25 (query-
+   * term shards only); the rerank touches armK rows joined to the
+   * embedding store by id — everything after the serve is
+   * candidate-set-sized, independent of corpus scale.
+   */
+  def indexEvalQuery(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("merge", "vector", "stream"),
+      armK: Int = 50, k: Int = 10): DataFrame = {
+    val store = buildInvIndex(spark, sfDir)
+    val servedRanked = indexServeOver(spark, store, terms, armK)
+      .select(col("doc_id"), col("score"))
+      .withColumn("rank", row_number().over(
+        SqlWindow.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank"))
+    val served = servedRanked
+      .select(lit("served").as("arm"), col("doc_id"), col("rank"))
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val rerank = servedRanked
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+      .crossJoin(broadcast(qv))
+      .withColumn("cos_sim",
+        fr(VectorOps.cosine(col("q_emb"), col("embedding")), 4))
+      .withColumn("rank", row_number().over(
+        SqlWindow.orderBy(col("cos_sim").desc, col("doc_id"))))
+      .select(lit("rerank").as("arm"), col("doc_id"), col("rank"))
+    evalLists(spark, sfDir,
+      served.unionByName(rerank).filter(col("rank") <= k), k)
+  }
 }

@@ -1186,4 +1186,67 @@ object StreamingIngest {
         col("no_old_old"),
         (col("n_mismatch") === 0L).as("stream_eq_batch"))
   }
+  // ------------------------------------------ streaming index append
+
+  private val indexStreamStore =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /**
+   * Streaming inverted-index append (r18 growth): the
+   * minhash→stream_neardup doctrine applied to postings, completing
+   * serve / append / STREAM for the retrieval family. The base
+   * segment is built offline over the non-delta corpus; the delta
+   * slice (doc_id mod 4 = 3, the corpus-wide append convention)
+   * arrives through Structured Streaming — staged as 4 files, one
+   * micro-batch each — and every micro-batch lands as ONE MORE index
+   * segment via the exact writer the batch path uses
+   * ([[graft.operators.Retrieval.writeIndexSegment]]): postings /
+   * dfs / block-max metadata / stats are all segment-additive, so no
+   * committed byte is ever rewritten and the serve aggregates
+   * df/n_docs/sum_dl across however many segments the stream left
+   * behind. The oracle recomputes BM25 from the FULL corpus, so a
+   * pass proves stream-append ≡ rebuild end-to-end — and the result
+   * is independent of how the stream happened to batch the deltas.
+   *
+   * At 100 TB this is the live-index shape: bounded per-batch work
+   * (one segment write, no state store needed — segments ARE the
+   * state), serving continuously consistent with a full rebuild.
+   */
+  def indexStreamQuery(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("scan", "filter", "agg"),
+      k: Int = 20): DataFrame =
+    graft.operators.Retrieval.indexServeOver(spark,
+      indexStreamDir(spark, sfDir), terms, k)
+
+  /** The stream-built segment directory for a corpus (spec hook +
+    * the shared store behind [[indexStreamQuery]]). */
+  private[graft] def indexStreamDir(spark: SparkSession,
+      sfDir: String): String = {
+    import graft.operators.Retrieval
+    indexStreamStore.getOrElseUpdate(Tables.corpusKey(sfDir), {
+      val d = graft.sources.OrcIo.scratchDir("index_stream")
+      val docs = Tables.load(spark, sfDir, "documents")
+      val isNew = pmod(col("doc_id"), lit(4L)) === 3L
+      Retrieval.writeIndexSegment(docs.filter(!isNew), d, "overwrite")
+      val stage = s"$d/in"
+      docs.filter(isNew).select(col("doc_id"), col("text"))
+        .repartition(4).write.mode("overwrite").parquet(stage)
+      val schema = spark.read.parquet(stage).schema
+      val streamSession = spark.newSession()
+      streamSession.conf.set("spark.sql.shuffle.partitions", "4")
+      val src = streamSession.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Retrieval.writeIndexSegment(batch, d, "append")
+          ()
+        }
+        .option("checkpointLocation", s"$d/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      d
+    })
+  }
 }

@@ -559,4 +559,22 @@ class StreamingSpec extends SparkSpec {
     assert(row.getBoolean(3), "stream_eq_batch must hold under " +
       "maximal eviction pressure — a lost eviction loses pairs")
   }
+
+  test("index stream: micro-batches land as real appended segments " +
+      "and the serve equals the batch-built index") {
+    import graft.operators.Retrieval
+    import graft.streaming.StreamingIngest
+    val terms = Seq("scan", "filter", "agg")
+    val streamed = StreamingIngest
+      .indexStreamQuery(spark, sfDir, terms, 20).collect().toSeq
+    val batch = Retrieval.indexServeOver(spark,
+      Retrieval.buildInvIndex(spark, sfDir), terms, 20).collect().toSeq
+    assert(streamed == batch,
+      "stream-appended index serves differently from the batch index")
+    // the stream genuinely appended: stats carries one row per
+    // segment (base + >= 2 non-empty micro-batches on this corpus)
+    val nSegs = spark.read.parquet(
+      StreamingIngest.indexStreamDir(spark, sfDir) + "/stats").count()
+    assert(nSegs >= 3, s"expected base + >=2 delta segments, got $nSegs")
+  }
 }
