@@ -68,9 +68,20 @@ object Bench {
     // the prefix/pinned family 1.5-3x in the ledger while the
     // operators were unchanged). Unpinned queries pay no extra run.
     val warmBilled = scala.collection.mutable.TreeSet[String]()
+    // per-query load1 sample at timing start (r18, VERDICT r17 #7):
+    // the r17 artifact absorbed a start-of-sweep co-tenant spike into
+    // 36 position-clustered flags; recording the host load NEXT TO
+    // each timing lets bench_diff classify such a cluster as SUSPECT
+    // mechanically instead of by hand
+    def load1Now(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ").head.toDouble
+      catch { case _: Throwable => -1.0 }
     def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): Either[String, Double] = {
+        org.apache.spark.sql.DataFrame): Either[String, (Double, Double)] = {
       try {
+        val load = load1Now()
         val t0 = System.nanoTime()
         run(fn(spark, sfDir))
         val cold = (System.nanoTime() - t0) / 1e9
@@ -82,7 +93,7 @@ object Bench {
             warmBilled += name
             math.min(cold, warm)
           } else cold
-        Right(billed)
+        Right((billed, load))
       } catch {
         case t: Throwable =>
           val root = Option(t.getCause).getOrElse(t)
@@ -99,14 +110,16 @@ object Bench {
     val pass1 = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
     val results = ordered.map { case (name, fn) =>
       val second = timeOnce(name, fn)
+      // billed = min of the passes; the load sample travels with the
+      // pass that produced the billed number
       val outcome = (pass1(name), second) match {
-        case (Right(a), Right(b)) => Right(math.min(a, b))
+        case (Right(a), Right(b)) => Right(if (a._1 <= b._1) a else b)
         case (Right(a), Left(_))  => Right(a) // one clean run is a valid timing
         case (Left(_), Right(b))  => Right(b)
         case (Left(e), Left(_))   => Left(e)
       }
       outcome match {
-        case Right(sec) => System.err.println(f"[bench] $name%-20s $sec%8.2fs")
+        case Right((sec, _)) => System.err.println(f"[bench] $name%-20s $sec%8.2fs")
         case Left(err)  => System.err.println(s"[bench] $name ERROR $err")
       }
       name -> outcome
@@ -117,7 +130,10 @@ object Bench {
     // ROOT: a comma-decimal default locale would emit invalid JSON.
     def d3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.collect { case (k, Right(v)) => "\"" + k + "\":" + d3(v) }
+    val qs = results.collect { case (k, Right((v, _))) => "\"" + k + "\":" + d3(v) }
+      .mkString("{", ",", "}")
+    val loads = results.collect { case (k, Right((_, l))) =>
+      "\"" + k + "\":" + d3(l) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(e)) =>
       // Exception messages can carry newlines/tabs (AnalysisException plan
@@ -128,7 +144,7 @@ object Bench {
       "\"" + k + "\":\"" + clean + "\""
     }
     val errObj = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
-    val total = d3(results.collect { case (_, Right(v)) => v }.sum)
+    val total = d3(results.collect { case (_, Right((v, _))) => v }.sum)
     // Host fingerprint (r13, VERDICT r12 #3): the committed artifact
     // must be attributable to a host state, so a future sweep can
     // distinguish "the host shifted" (uniform drift, e.g. the r12
@@ -251,7 +267,7 @@ object Bench {
         warmBilled.mkString(", "))
     System.err.flush()
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errObj,$hostObj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errObj,$hostObj,"load":$loads,"sf":"$sfDir"}"""
     // The full per-query object (~2.5KB at 90 queries) has repeatedly been
     // clipped by the driver's bounded tail capture (rounds 1-7 all show
     // parsed:null; round 7 additionally lost the head of the object, making

@@ -104,13 +104,62 @@ def main():
     elif fh or bh:
         print("note: only one artifact carries a host fingerprint — "
               "first fingerprinted sweep, comparison starts next time")
+    # Position-cluster classifier (r18, VERDICT r17 #7): a co-tenant
+    # spike during part of the sweep inflates a CONTIGUOUS run of the
+    # alphabetically-ordered queries while the rest of the sweep is
+    # flat — the r17 artifact put 31/36 flags in the first ~52
+    # positions with +21.5s prefix excess vs -2.3s elsewhere, and all
+    # calibrations agreed. Mechanize that adjudication: if most flags
+    # sit in one sweep-order prefix, the prefix carries essentially
+    # all the excess, and the calibrations DON'T show a host shift,
+    # classify the flag set as a TRANSIENT (exit 2 = re-measure, not
+    # regress). Per-query load samples (Bench "load" object, r18+)
+    # corroborate when present.
+    transient = False
+    if tripped and not host_shifted:
+        shared = sorted(set(fq) & set(bq))
+        pos = {n: i for i, n in enumerate(shared)}
+        excess = [(fq[n] if isinstance(fq[n], (int, float)) else 0) -
+                  bq[n] for n in shared]
+        cut = max(30, len(shared) // 5)
+        flags_in = sum(1 for n, _, _ in tripped if pos[n] < cut)
+        ex_in = sum(e for n, e in zip(shared, excess) if pos[n] < cut)
+        ex_out = sum(e for n, e in zip(shared, excess) if pos[n] >= cut)
+        clustered = (flags_in >= 0.6 * len(tripped) and ex_in > 0
+                     and ex_out < 0.25 * ex_in)
+        load_note = ""
+        fl = fresh.get("load") or {}
+        if fl:
+            samples = sorted(v for v in fl.values() if v >= 0)
+            if samples:
+                med = samples[len(samples) // 2]
+                hot = sum(1 for n, _, _ in tripped
+                          if fl.get(n, -1) > 1.5 * max(med, 0.5))
+                load_note = (f"; {hot}/{len(tripped)} flagged queries "
+                             f"sampled load1 > 1.5x median {med:.2f}")
+                if hot >= 0.5 * len(tripped):
+                    clustered = True
+        if clustered:
+            transient = True
+            residual = [n for n, _, _ in tripped if pos[n] >= cut]
+            print(f"TRANSIENT SUSPECTED: {flags_in}/{len(tripped)} flags "
+                  f"in the first {cut} sweep positions; prefix excess "
+                  f"{ex_in:+.1f}s vs {ex_out:+.1f}s elsewhere; "
+                  f"calibrations agree{load_note}")
+            probe = residual or [n for n, _, _ in tripped][:6]
+            print("  re-measure before believing any flag: "
+                  "SPARK_GRAFT_CPUS=32 sbt -batch \"runMain "
+                  "graft.tools.TimeProbe " + fresh.get("sf", "<sfDir>") +
+                  " " + " ".join(probe) + "\"")
     if tripped:
-        tag = "SUSPECT (host shifted)" if host_shifted else "REGRESS"
+        tag = ("SUSPECT (host shifted)" if host_shifted else
+               "SUSPECT (position-clustered transient)" if transient
+               else "REGRESS")
         print(f"REGRESSIONS (>25% and >0.5s): {len(tripped)}")
         for name, b, f in tripped:
             print(f"  {tag} {name}: {b:.2f}s -> {f:.2f}s "
                   f"({(f - b) / b * 100.0:+.0f}%)")
-        sys.exit(2 if host_shifted else 1)
+        sys.exit(2 if (host_shifted or transient) else 1)
     if host_shifted:
         print("no regressions tripped, but the host shifted — "
               "comparisons against this sweep are unreliable")
