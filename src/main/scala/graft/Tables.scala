@@ -105,5 +105,17 @@ object GraftSession {
       .config("spark.sql.orc.aggregatePushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // ObjectHashAggregate (every graft_* TypedImperativeAggregate —
+      // topk, bitmap, bloom, cms, kmv) falls back to SORT-based
+      // aggregation once a partition's group count passes this
+      // threshold, default 128: a groupBy with thousands of groups
+      // (e.g. semantic dedup's per-cell pair aggregate, ~2k cells at
+      // sf100) would sort its ENTIRE input stream. Buffers here are
+      // small bounded objects (heaps/sketches ≤ a few KB), so 4M
+      // in-memory groups is far cheaper than sorting billions of
+      // input rows — measured r18: the fallback re-sorted ~1e9 pair
+      // rows that the hash path absorbs in one streaming pass.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4194304")
       .config("spark.ui.enabled", "false")
 }

@@ -1132,6 +1132,88 @@ object Similarity {
   }
 
   /**
+   * Second-level re-blocking of oversized dynamic-k cells (r18 — the
+   * media near-dup treatment, VERDICT r17 #2, applied to the semantic
+   * pair phase after the sf100 probe measured Σ|cell|² at ~11× the
+   * balanced N·1024 budget: real embedding spaces are dense in spots,
+   * so a handful of hot cells carry quadratic pair tails no matter
+   * what the GLOBAL k is). Any cell holding > 2×`target` members gets
+   * a local sub-quantizer — deterministic stride seeds over the
+   * cell's members in vec_id order, one Lloyd refinement round, HARD
+   * top-1 assignment (a partition, unlike media's 2-probe candidate
+   * keys, because the downstream per-cell stats must count each
+   * member exactly once) — and its rows re-key to the disjoint
+   * (cell+1)·2²⁴ + sub space. Returns (vec_id, embedding, cell LONG).
+   * Only the dynamic tier calls this; the n ≤ 20000 oracle tier keeps
+   * exact cells, so gate-scale output and hashes are untouched.
+   */
+  private[graft] def reblockCells(a0: DataFrame, target: Long = 1024L)
+      : DataFrame = {
+    val plain = a0.select(col("vec_id"), col("embedding"),
+      col("cell").cast("long").as("cell"))
+    val overs = a0.groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > lit(2L * target))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    if (overs.isEmpty) return plain
+    val overIds = overs.map(_._1).toSeq
+    // one sub-cell per expected membership unit, so sub-cells land
+    // back at ~target size; 1024 cap bounds the shipped matrices
+    val subK = overs.map { case (c, cnt) =>
+      c -> math.max(2, math.min(1024,
+        math.ceil(cnt.toDouble / target).toInt))
+    }.toMap
+    val strideOf: Map[Int, Long] = overs.map { case (c, cnt) =>
+      c -> math.max(1L, cnt / subK(c))
+    }.toMap
+    val ov = plain.filter(col("cell").isin(overIds.map(_.toLong): _*))
+      .localCheckpoint() // feeds seeds, refinement and final keys
+    val wr = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+    val strideCol = element_at(typedLit(strideOf.map { case (c, s) =>
+      c.toLong -> s }), col("cell"))
+    val subKCol = element_at(typedLit(subK.map { case (c, s) =>
+      c.toLong -> s }), col("cell"))
+    val seeds = ov
+      .withColumn("rn", (row_number().over(wr) - 1).cast("long"))
+      .filter(col("rn") % strideCol === 0 &&
+        col("rn") / strideCol < subKCol)
+      .select(col("cell"), (col("rn") / strideCol).cast("int").as("sub"),
+        col("embedding"))
+      .collect()
+    val seedMap: Map[Long, Array[Array[Float]]] = seeds
+      .groupBy(_.getLong(0)).map { case (c, rows) =>
+        c -> rows.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)
+      }
+    def grp(mats: Map[Long, Array[Array[Float]]]) = {
+      val gs = mats.keys.toSeq.sorted
+      element_at(call_function("graft_nearest_cells_grp",
+        col("cell"), col("embedding"), typedLit(gs),
+        typedLit(gs.map(g => mats(g).map(_.toSeq).toSeq)), lit(1)), 1)
+    }
+    val means = ov.withColumn("sub", grp(seedMap))
+      .select(col("cell"), col("sub"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("cell"), col("sub"), col("dim"))
+      .agg(avg(col("v")).as("m"))
+      .collect()
+    val refined: Map[Long, Array[Array[Float]]] = seedMap.map {
+      case (c, mat) =>
+        val next = mat.map(_.clone)
+        means.foreach { r =>
+          if (r.getLong(0) == c)
+            next(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat
+        }
+        c -> next
+    }
+    val ovKeys = ov
+      .withColumn("sub", grp(refined))
+      .select(col("vec_id"), col("embedding"),
+        ((col("cell") + lit(1L)) * lit(1L << 24) +
+          col("sub").cast("long")).as("cell"))
+    plain.filter(!col("cell").isin(overIds.map(_.toLong): _*))
+      .unionByName(ovKeys)
+  }
+
+  /**
    * SemDeDup-style semantic dedup audit: pairwise cosine ONLY within
    * k-means cells ([[kmeansAssignments]]) — the blocking that turns
    * the O(N²) all-pairs scan into Σ O(|cell|²), the entire point of
@@ -1174,14 +1256,30 @@ object Similarity {
     // quadratic (VERDICT #1) and only the k ≤ 8 oracle tier needs
     // its replayability.
     val assigned =
-      if (k == 0 && nEmb > 20000L) kmeansAssignmentsFast(spark, sfDir, kk, iters)
+      if (k == 0 && nEmb > 20000L)
+        // dynamic tier: kernel-assigned fit + second-level re-blocking
+        // of hot cells ([[reblockCells]]) — cells in the output are
+        // the REFINED partition (cell or (cell+1)·2²⁴+sub), LONG-keyed
+        reblockCells(kmeansAssignmentsFast(spark, sfDir, kk, iters))
       else kmeansAssignments(spark, sfDir, kk, iters)
     val a = assigned
       .select(col("cell"), col("vec_id"), col("embedding"))
       .localCheckpoint()
-    // the scored pair frame feeds BOTH the near-dup tally and the
-    // closest-pair pick: pin the slim (cell, a, b, cos) projection so
-    // the in-cell cosine pass runs once, not once per consumer
+    // ONE pass over the pair explosion: the near-dup tally and the
+    // closest-pair pick fold into a single hash aggregate per cell —
+    // candidate pairs are never materialized, persisted, shuffled, or
+    // SORTED; the pair stream exists only inside the join stage and
+    // what exchanges is one (count, 1-entry heap) row per cell. Two
+    // prior shapes both hit Σ|cell|² ≈ N·1024-row cliffs at sf100
+    // (measured r18): a persisted pair frame + row_number window
+    // shuffled AND sorted ~1e9 pair rows (>55 GB scratch, disk-dead),
+    // and max(struct(cos,−a,−b)) — struct agg buffers are not
+    // hash-aggregable, so Spark fell back to SortAggregate and sorted
+    // the same 1e9 rows (1474 s). graft_topk(k=1) is the repo's
+    // TypedImperativeAggregate: ObjectHashAggregate, map-side
+    // partials, ordering (cos DESC, id ASC) ≡ ranked (cos DESC, a,
+    // b) with the tiebreak packed as a·2³² + b (exact while ids stay
+    // under 2³¹ — at larger id spaces widen the packing).
     val pairs = a.select(col("cell"), col("vec_id").as("a"),
         col("embedding").as("va"))
       .join(a.select(col("cell"), col("vec_id").as("b"),
@@ -1190,18 +1288,19 @@ object Similarity {
       .withColumn("cos",
         fr(VectorOps.cosine(col("va"), col("vb")), 4))
       .select(col("cell"), col("a"), col("b"), col("cos"))
-      .tracked()
     val sizes = a.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"))
-    val close = pairs.groupBy(col("cell"))
+    val perCell = pairs.groupBy(col("cell"))
       .agg(sum(when(col("cos") >= closeBar, 1L).otherwise(0L))
-        .as("n_close"))
-    val w = Window.partitionBy(col("cell"))
-      .orderBy(col("cos").desc, col("a"), col("b"))
-    val best = pairs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("cell"), col("a"), col("b"), col("cos"))
-    sizes.join(close, Seq("cell")).join(best, Seq("cell"))
+        .as("n_close"),
+        call_function("graft_topk", col("cos"),
+          shiftleft(col("a"), 32) + col("b"), lit(1)).as("tk"))
+    val bp = element_at(col("tk"), 1)
+    val closeBest = perCell.select(col("cell"), col("n_close"),
+      shiftright(bp.getField("id"), 32).as("a"),
+      bp.getField("id").bitwiseAND(lit(0xFFFFFFFFL)).as("b"),
+      bp.getField("ord").as("cos"))
+    sizes.join(closeBest, Seq("cell"))
       .select(col("cell"), col("n_members"), col("n_close"),
         col("a"), col("b"), col("cos"))
       .orderBy(col("cell"))

@@ -504,4 +504,38 @@ class SimilaritySpec extends SparkSpec {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("reblockCells: hot cell splits along cluster structure into the " +
+      "refined key space, members partition exactly once, cold cells " +
+      "keep plain keys, and the split is deterministic") {
+    import SparkSpec.spark.implicits._
+    // hot cell 0: 24 members in 3 cosine-separated clusters,
+    // interleaved by id; cold cell 7: 4 members (< 2x target)
+    val hot = (0 until 24).map { i =>
+      val c = i % 3
+      (i.toLong,
+        Array.tabulate(8)(d => (if (d == c) 10f else 0f) + (i / 3) * 0.01f),
+        0)
+    }
+    val cold = (100 until 104).map(i =>
+      (i.toLong, Array.tabulate(8)(d => 1f + d * 0.001f), 7))
+    val a0 = (hot ++ cold).toDF("vec_id", "embedding", "cell")
+    def run(): Map[Long, Long] = Similarity.reblockCells(a0, target = 4L)
+      .select(col("vec_id"), col("cell")).as[(Long, Long)].collect().toMap
+    val out1 = run()
+    assert(out1 == run(), "re-blocking must be deterministic")
+    assert(out1.size == 28, "hard partition: every member exactly once")
+    cold.foreach { case (id, _, c) =>
+      assert(out1(id) == c.toLong, s"cold cell member $id re-keyed") }
+    val hotKeys = hot.map(h => out1(h._1)).toSet
+    assert(hotKeys.forall(_ >= (1L << 24)),
+      "split members must land in the disjoint refined key space")
+    assert(hotKeys.size > 1, "the oversized cell must actually split")
+    // members of DIFFERENT engineered clusters never share a sub-cell
+    val subsByCluster = hot.groupBy(_._1 % 3)
+      .map { case (c, hs) => c -> hs.map(h => out1(h._1)).toSet }
+    for (c1 <- 0L to 2L; c2 <- 0L to 2L if c1 < c2)
+      assert(subsByCluster(c1).intersect(subsByCluster(c2)).isEmpty,
+        s"clusters $c1 and $c2 share a sub-cell")
+  }
 }
