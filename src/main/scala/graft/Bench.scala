@@ -32,6 +32,7 @@ object Bench {
         graft.operators.Similarity.buildIndex(spark, sfDir)
         graft.operators.Similarity.buildPqStore(spark, sfDir)
         graft.operators.Similarity.buildIvfPqStore(spark, sfDir)
+        graft.operators.Similarity.buildAnnAppendBase(spark, sfDir)
         graft.operators.Tokenize.buildMerges(spark, sfDir)
         graft.operators.Tokenize.buildUnigram(spark, sfDir)
         graft.operators.Tokenize.buildWordpiece(spark, sfDir)

@@ -29,6 +29,27 @@ object Acid {
   val OpUpdate = 1
   val OpDelete = 2
 
+  /** Run independent Spark actions from a small driver pool (guide
+    * §2.6 "overlap independent jobs"): the ACID gates are chains of
+    * many SMALL jobs (fixture delta writes, per-delta tallies, as-of
+    * scans) whose wall cost is half driver-side gaps — planning, ORC
+    * sidecar IO, FS renames — that sequential execution serializes
+    * (measured r18: q_acid_purge wall 13.9 s vs job-sum 7.1 s). Each
+    * thunk must touch an independent output; results keep submission
+    * order, so downstream logic is deterministic. 3 in flight fills
+    * the gaps without starving any single job's stages. */
+  private[graft] def inParallel[T](work: Seq[() => T]): Seq[T] =
+    if (work.lengthCompare(1) <= 0) work.map(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(3, work.size))
+      try {
+        work.map(w => pool.submit(new java.util.concurrent.Callable[T] {
+          def call(): T = w()
+        })).map(_.get())
+      } finally { pool.shutdown() }
+    }
+
   /** Resolve base+delta event rows to current-state rows. Input must
     * have the ACID event columns plus payload columns nested under
     * `row`. */
@@ -126,10 +147,25 @@ object Acid {
       resolved.sparkSession.read.orc(outPath).count(), 0L, 0L))
   }
 
-  /** Write a delta directory of raw events plus its ACID stats. */
+  /** Write a delta directory of raw events plus its ACID stats.
+    *
+    * The tally here runs as ONE codegen aggregate over the PRE-WRITE
+    * frame: every caller passes events derived from parquet tables or
+    * an RDD — never an ACID-schema ORC readback — so the vectorized
+    * path is safe (the [[acidStatsOf]] row-reader constraint applies
+    * only to frames that SCAN acid-schema ORC files). Replaces a full
+    * row-oriented `.rdd` pass per delta write (r18). */
   def writeDelta(events: DataFrame, outPath: String): Unit = {
     graft.sources.OrcIo.write(events, outPath)
-    writeStatsSidecar(outPath, acidStatsOf(events))
+    val r = events.agg(
+      coalesce(sum(when(col("operation") === OpInsert, 1L)
+        .otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("operation") === OpUpdate, 1L)
+        .otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("operation") === OpDelete, 1L)
+        .otherwise(0L)), lit(0L))).collect()(0)
+    writeStatsSidecar(outPath,
+      AcidStats(r.getLong(0), r.getLong(1), r.getLong(2)))
   }
 
   /** Orders rows lifted to ACID event form — the ONE fixture shape
@@ -279,13 +315,15 @@ object Acid {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderstatus"))
     val dir = graft.sources.OrcIo.scratchDir("acid_minor_q")
-    graft.sources.OrcIo.write(orders, s"$dir/t/base_1")
-    writeDelta(ordersAsEvents(
-      orders.filter(col("o_orderkey") % 10 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") * 1.10),
-      OpUpdate, 2L), s"$dir/t/delta_2")
-    writeDelta(ordersAsEvents(orders.filter(col("o_orderkey") % 7 === 0),
-      OpDelete, 3L), s"$dir/t/delta_3")
+    inParallel(Seq(
+      () => graft.sources.OrcIo.write(orders, s"$dir/t/base_1"),
+      () => writeDelta(ordersAsEvents(
+        orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 1.10),
+        OpUpdate, 2L), s"$dir/t/delta_2"),
+      () => writeDelta(ordersAsEvents(
+        orders.filter(col("o_orderkey") % 7 === 0),
+        OpDelete, 3L), s"$dir/t/delta_3")))
     minorCompact(spark, s"$dir/t")
     readTable(spark, s"$dir/t", rowIdCol = "o_orderkey")
       .orderBy(col("o_orderkey"))
@@ -374,18 +412,19 @@ object Acid {
     val baseTxn = dirs.filter(_.startsWith("base_"))
       .map(_.stripPrefix("base_").toLong)
       .reduceOption(_ max _).getOrElse(Long.MinValue)
-    val deltas = dirs.filter(_.startsWith("delta_"))
+    val deltas = inParallel(dirs.filter(_.startsWith("delta_"))
       .filter(_.stripPrefix("delta_").split("_").last.toLong > baseTxn)
-      .map { d =>
+      .toSeq.map { d => () =>
         val ts = d.stripPrefix("delta_").split("_").map(_.toLong)
         // full-width .rdd count: a pruned COUNT(*) scan of
         // ACID-schema ORC trips the vectorized reader's
-        // checkAcidSchema column-id remap (the acidStatsOf gotcha)
+        // checkAcidSchema column-id remap (the acidStatsOf gotcha);
+        // the per-delta count jobs are independent — overlapped
         val df = spark.read.orc(s"$tableDir/$d")
         val ctIdx = df.schema.fieldIndex("currentTransaction")
         (ts.head, ts.last,
           df.rdd.filter(_.getLong(ctIdx) > baseTxn).count())
-      }
+      })
       .sortBy(_._1)
     var cum = 0L
     val planned = deltas.map { case (lo, hi, ne) =>
@@ -418,21 +457,23 @@ object Acid {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderstatus"))
     val dir = graft.sources.OrcIo.scratchDir("acid_trigger_q")
-    graft.sources.OrcIo.write(orders, s"$dir/t/base_1")
-    writeDelta(ordersAsEvents(
-      orders.filter(col("o_orderkey") % 11 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") * 1.05),
-      OpUpdate, 2L), s"$dir/t/delta_2")
-    writeDelta(ordersAsEvents(
-      orders.filter(col("o_orderkey") % 13 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") * 1.07),
-      OpUpdate, 3L), s"$dir/t/delta_3")
-    writeDelta(ordersAsEvents(orders.filter(col("o_orderkey") % 17 === 0),
-      OpDelete, 4L), s"$dir/t/delta_4")
-    writeDelta(ordersAsEvents(
-      orders.filter(col("o_orderkey") % 19 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + 2000000000000L),
-      OpInsert, 5L), s"$dir/t/delta_5")
+    inParallel(Seq(
+      () => graft.sources.OrcIo.write(orders, s"$dir/t/base_1"),
+      () => writeDelta(ordersAsEvents(
+        orders.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 1.05),
+        OpUpdate, 2L), s"$dir/t/delta_2"),
+      () => writeDelta(ordersAsEvents(
+        orders.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 1.07),
+        OpUpdate, 3L), s"$dir/t/delta_3"),
+      () => writeDelta(ordersAsEvents(
+        orders.filter(col("o_orderkey") % 17 === 0),
+        OpDelete, 4L), s"$dir/t/delta_4"),
+      () => writeDelta(ordersAsEvents(
+        orders.filter(col("o_orderkey") % 19 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 2000000000000L),
+        OpInsert, 5L), s"$dir/t/delta_5")))
     val quota = math.max(1L, orders.count() / 12)
     compactionTrigger(spark, s"$dir/t", quota)
   }
@@ -469,12 +510,14 @@ object Acid {
       : Seq[(Long, String)] = {
     def dirName(lo: Long, hi: Long) =
       if (lo == hi) s"delta_$lo" else s"delta_${lo}_$hi"
-    rows.groupBy(_._1).toSeq.sortBy(_._1)
+    // each group's merge touches a DISJOINT set of delta directories —
+    // independent jobs, overlapped (results keep group order)
+    inParallel(rows.groupBy(_._1).toSeq.sortBy(_._1)
       .filter(_._2.head._4)
-      .map { case (grp, members) =>
+      .map { case (grp, members) => () =>
         val dirs = members.map(m => dirName(m._2, m._3))
         grp -> minorCompact(spark, tableDir, Some(dirs))
-      }
+      })
   }
 
   /** Correctness gate for [[executeTriggerPlan]]: the trigger fixture
@@ -491,21 +534,23 @@ object Acid {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderstatus"))
     val dir = graft.sources.OrcIo.scratchDir("acid_trigexec_q")
-    graft.sources.OrcIo.write(orders, s"$dir/t/base_1")
-    writeDelta(ordersAsEvents(
-      orders.filter(col("o_orderkey") % 11 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") * 1.05),
-      OpUpdate, 2L), s"$dir/t/delta_2")
-    writeDelta(ordersAsEvents(
-      orders.filter(col("o_orderkey") % 13 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") * 1.07),
-      OpUpdate, 3L), s"$dir/t/delta_3")
-    writeDelta(ordersAsEvents(orders.filter(col("o_orderkey") % 17 === 0),
-      OpDelete, 4L), s"$dir/t/delta_4")
-    writeDelta(ordersAsEvents(
-      orders.filter(col("o_orderkey") % 19 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + 2000000000000L),
-      OpInsert, 5L), s"$dir/t/delta_5")
+    inParallel(Seq(
+      () => graft.sources.OrcIo.write(orders, s"$dir/t/base_1"),
+      () => writeDelta(ordersAsEvents(
+        orders.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 1.05),
+        OpUpdate, 2L), s"$dir/t/delta_2"),
+      () => writeDelta(ordersAsEvents(
+        orders.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 1.07),
+        OpUpdate, 3L), s"$dir/t/delta_3"),
+      () => writeDelta(ordersAsEvents(
+        orders.filter(col("o_orderkey") % 17 === 0),
+        OpDelete, 4L), s"$dir/t/delta_4"),
+      () => writeDelta(ordersAsEvents(
+        orders.filter(col("o_orderkey") % 19 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 2000000000000L),
+        OpInsert, 5L), s"$dir/t/delta_5")))
     val quota = math.max(1L, orders.count() / 12)
     // ONE collect serves both the executor and the gate columns
     // (compactionTrigger's frame is driver-local, but a second
@@ -547,13 +592,15 @@ object Acid {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderstatus"))
     val dir = graft.sources.OrcIo.scratchDir("acid_major_q")
-    graft.sources.OrcIo.write(orders, s"$dir/t/base_1")
-    writeDelta(ordersAsEvents(
-      orders.filter(col("o_orderkey") % 10 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") * 1.10),
-      OpUpdate, 2L), s"$dir/t/delta_2")
-    writeDelta(ordersAsEvents(orders.filter(col("o_orderkey") % 7 === 0),
-      OpDelete, 3L), s"$dir/t/delta_3")
+    inParallel(Seq(
+      () => graft.sources.OrcIo.write(orders, s"$dir/t/base_1"),
+      () => writeDelta(ordersAsEvents(
+        orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 1.10),
+        OpUpdate, 2L), s"$dir/t/delta_2"),
+      () => writeDelta(ordersAsEvents(
+        orders.filter(col("o_orderkey") % 7 === 0),
+        OpDelete, 3L), s"$dir/t/delta_3")))
     val newBase = majorCompact(spark, s"$dir/t", rowIdCol = "o_orderkey")
     require(readAcidStats(spark, newBase).exists(_.inserts > 0),
       s"major compaction must carry $AcidStatsKey")
@@ -597,13 +644,15 @@ object Acid {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderstatus"))
     val dir = graft.sources.OrcIo.scratchDir("acid_asof_q")
-    graft.sources.OrcIo.write(orders, s"$dir/t/base_1")
-    writeDelta(ordersAsEvents(
-      orders.filter(col("o_orderkey") % 10 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") * 1.10),
-      OpUpdate, 2L), s"$dir/t/delta_2")
-    writeDelta(ordersAsEvents(orders.filter(col("o_orderkey") % 7 === 0),
-      OpDelete, 3L), s"$dir/t/delta_3")
+    inParallel(Seq(
+      () => graft.sources.OrcIo.write(orders, s"$dir/t/base_1"),
+      () => writeDelta(ordersAsEvents(
+        orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 1.10),
+        OpUpdate, 2L), s"$dir/t/delta_2"),
+      () => writeDelta(ordersAsEvents(
+        orders.filter(col("o_orderkey") % 7 === 0),
+        OpDelete, 3L), s"$dir/t/delta_3")))
     readTableAsOf(spark, s"$dir/t", asOfTxn = 2L,
       rowIdCol = "o_orderkey")
       .orderBy(col("o_orderkey"))
@@ -770,7 +819,6 @@ object Acid {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderstatus"))
     val dir = graft.sources.OrcIo.scratchDir("acid_cdc_q")
-    graft.sources.OrcIo.write(orders, s"$dir/t/base_1")
     val updates = ordersAsEvents(
       orders.filter(col("o_orderkey") % 10 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 1.10),
@@ -782,9 +830,13 @@ object Acid {
         .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
         .withColumn("o_orderstatus", lit("I")),
       OpInsert, 2L)
-    writeDelta(updates.unionByName(inserts), s"$dir/t/delta_2")
-    writeDelta(ordersAsEvents(orders.filter(col("o_orderkey") % 7 === 0),
-      OpDelete, 3L), s"$dir/t/delta_3")
+    // the three fixture directories are independent — overlap them
+    inParallel(Seq(
+      () => graft.sources.OrcIo.write(orders, s"$dir/t/base_1"),
+      () => writeDelta(updates.unionByName(inserts), s"$dir/t/delta_2"),
+      () => writeDelta(ordersAsEvents(
+        orders.filter(col("o_orderkey") % 7 === 0),
+        OpDelete, 3L), s"$dir/t/delta_3")))
     s"$dir/t"
   }
 
@@ -875,7 +927,7 @@ object Acid {
         // (operation, currentTransaction) are exactly what the remap
         // hides, so the row-oriented reader is the only path to
         // them. Cost stays delta-bound, not base-bound.
-        val (ins, upd, del) = deltas.map { d =>
+        val (ins, upd, del) = inParallel(deltas.toSeq.map { d => () =>
           val df = spark.read.orc(s"$tableDir/$d")
           val opIdx = df.schema.fieldIndex("operation")
           val ctIdx = df.schema.fieldIndex("currentTransaction")
@@ -891,7 +943,7 @@ object Acid {
             .fold((0L, 0L, 0L)) { (a, b) =>
               (a._1 + b._1, a._2 + b._2, a._3 + b._3)
             }
-        }.fold((0L, 0L, 0L)) { (a, b) =>
+        }).fold((0L, 0L, 0L)) { (a, b) =>
           (a._1 + b._1, a._2 + b._2, a._3 + b._3)
         }
         spark.range(1).select(lit(ins).as("n_ins"),
@@ -912,17 +964,19 @@ object Acid {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderstatus"))
     val dir = graft.sources.OrcIo.scratchDir("acid_fastcount_q")
-    graft.sources.OrcIo.write(orders, s"$dir/t/base_1")
-    writeDelta(ordersAsEvents(
-      orders.filter(col("o_orderkey") % 10 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") * 1.10),
-      OpUpdate, 2L), s"$dir/t/delta_2")
-    writeDelta(ordersAsEvents(orders.filter(col("o_orderkey") % 7 === 0),
-      OpDelete, 3L), s"$dir/t/delta_3")
-    writeDelta(ordersAsEvents(
-      orders.filter(col("o_orderkey") % 19 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + 2000000000000L),
-      OpInsert, 4L), s"$dir/t/delta_4")
+    inParallel(Seq(
+      () => graft.sources.OrcIo.write(orders, s"$dir/t/base_1"),
+      () => writeDelta(ordersAsEvents(
+        orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 1.10),
+        OpUpdate, 2L), s"$dir/t/delta_2"),
+      () => writeDelta(ordersAsEvents(
+        orders.filter(col("o_orderkey") % 7 === 0),
+        OpDelete, 3L), s"$dir/t/delta_3"),
+      () => writeDelta(ordersAsEvents(
+        orders.filter(col("o_orderkey") % 19 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 2000000000000L),
+        OpInsert, 4L), s"$dir/t/delta_4")))
     // .rdd.count(), NOT .agg(count): a count() over the resolve plan
     // prunes the delta read schema (even `row` drops out) and the
     // pruned ACID-schema scan AIOOBEs in the vectorized reader — the
@@ -1010,7 +1064,10 @@ object Acid {
       require(fs.rename(tmpP, dstP), s"purge swap failed for $dst")
       fs.delete(oldP, true)
     }
-    dirs.foreach { d =>
+    // each directory's rewrite touches only its own files and swap
+    // names — independent jobs, overlapped (the sequential loop was
+    // half driver-side gaps: per-dir planning + sidecars + renames)
+    inParallel(dirs.toSeq.map { d => () =>
       val path = s"$tableDir/$d"
       val tmp = s"$tableDir/.purge_tmp_$d"
       if (d.startsWith("base_")) {
@@ -1032,7 +1089,8 @@ object Acid {
         writeDelta(kept, tmp)
         swapIn(tmp, path)
       }
-    }
+    })
+    ()
   }
 
   /** Correctness gate for [[purgeKeys]]: the fastCount layout
@@ -1054,17 +1112,19 @@ object Acid {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderstatus"))
     val dir = graft.sources.OrcIo.scratchDir("acid_purge_q")
-    graft.sources.OrcIo.write(orders, s"$dir/t/base_1")
-    writeDelta(ordersAsEvents(
-      orders.filter(col("o_orderkey") % 10 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") * 1.10),
-      OpUpdate, 2L), s"$dir/t/delta_2")
-    writeDelta(ordersAsEvents(orders.filter(col("o_orderkey") % 7 === 0),
-      OpDelete, 3L), s"$dir/t/delta_3")
-    writeDelta(ordersAsEvents(
-      orders.filter(col("o_orderkey") % 19 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + 2000000000000L),
-      OpInsert, 4L), s"$dir/t/delta_4")
+    inParallel(Seq(
+      () => graft.sources.OrcIo.write(orders, s"$dir/t/base_1"),
+      () => writeDelta(ordersAsEvents(
+        orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 1.10),
+        OpUpdate, 2L), s"$dir/t/delta_2"),
+      () => writeDelta(ordersAsEvents(
+        orders.filter(col("o_orderkey") % 7 === 0),
+        OpDelete, 3L), s"$dir/t/delta_3"),
+      () => writeDelta(ordersAsEvents(
+        orders.filter(col("o_orderkey") % 19 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 2000000000000L),
+        OpInsert, 4L), s"$dir/t/delta_4")))
     val subjects = orders
       .select(col("o_orderkey"))
       .unionByName(orders.filter(col("o_orderkey") % 19 === 0)
@@ -1073,7 +1133,8 @@ object Acid {
       .filter(col("o_orderkey") % 23 === 0)
       .collect().map(_.getLong(0)).toSet
     purgeKeys(spark, s"$dir/t", subjects, rowIdCol = "o_orderkey")
-    val out = Seq(2L, 3L, 4L).map { asOf =>
+    // the three as-of snapshot scans are independent — overlapped
+    val out = inParallel(Seq(2L, 3L, 4L).map { asOf => () =>
       val counts = readTableAsOf(spark, s"$dir/t", asOf,
           rowIdCol = "o_orderkey")
         .rdd.map { r =>
@@ -1085,7 +1146,7 @@ object Acid {
           (a._1 + b._1, a._2 + b._2, a._3 + b._3)
         }
       (asOf, counts._1, counts._2, counts._3)
-    }
+    })
     out.toDF("asof_txn", "n_rows", "n_purged_visible", "n_mod5")
       .orderBy("asof_txn")
   }

@@ -761,12 +761,16 @@ object Curation {
    * rule), so the distributed sums replay bit-exactly.
    */
   def bradleyTerryQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.CacheBin.TrackOps
     val id = col("doc_id")
+    // tracked: the even/odd duel branches both read the scored frame —
+    // unpinned, the quality-score text kernel scans the corpus twice
     val scored = Tables.load(spark, sfDir, "documents")
       .select(id,
         fr(qualityScore(col("text"), pretrainedWeights(), 0.1), 6)
           .as("q"))
       .withColumn("b", least(floor(col("q") * 10).cast("int"), lit(9)))
+      .tracked()
     val left = scored.filter(id % 2 === 0)
       .select(id.as("pair"), col("b").as("ba"), col("q").as("qa"))
     val right = scored.filter(id % 2 === 1)
@@ -774,12 +778,18 @@ object Curation {
     val duels = left.join(right, Seq("pair"))
       .filter(col("ba") =!= col("bb"))
     // directed win counts -> the symmetric match matrix n_ij + W_i
+    // wins is read three times building the symmetric matrix, the
+    // matrix twice per MM iteration plus the totals fold, and totals
+    // in both iterations plus the readout — all ≤ 10×10 rows, but
+    // every unpinned reference re-runs the duel reduction over the
+    // corpus (216 Exchange nodes in the r18 before-plan)
     val wins = duels.select(
       when(col("qa") > col("qb"), col("ba")).otherwise(col("bb"))
         .as("i"),
       when(col("qa") > col("qb"), col("bb")).otherwise(col("ba"))
         .as("j"))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("w"))
+      .tracked()
     val matrix = wins.select(col("i"), col("j"), col("w"))
       .unionByName(wins.select(col("j").as("i"), col("i").as("j"),
         lit(0L).as("w")))
@@ -789,8 +799,10 @@ object Curation {
         Seq("i", "j"), "left")
       .select(col("i"), col("j"), col("w_ij"),
         (col("w_ij") + coalesce(col("w_ji"), lit(0L))).as("n_ij"))
+      .tracked()
     val totals = matrix.groupBy(col("i"))
       .agg(sum(col("w_ij")).as("w_i"), sum(col("n_ij")).as("n_i"))
+      .tracked()
     def mmIter(s: DataFrame): DataFrame =
       matrix
         .join(s.select(col("i"), col("s").as("s_i")), Seq("i"))
@@ -804,7 +816,8 @@ object Curation {
           fr(col("w_i").cast("double") /
             col("denom").cast("double"), 6).as("s"))
     val s0 = totals.select(col("i"), lit(1.0).as("s"))
-    val s1 = mmIter(s0)
+    // s1 feeds the second MM iteration (two joins) and the readout
+    val s1 = mmIter(s0).tracked()
     val s2 = mmIter(s1)
     totals
       .join(s1.select(col("i"), col("s").as("s1")), Seq("i"))

@@ -253,11 +253,13 @@ object Dedup {
     val docs = documents
       .select(col("doc_id"), col("lang"),
         hashedShingles(col("text")).as("sh"))
+    // tracked: same multi-consumer shape as the xling variant — ex
+    // feeds census + kept, kept feeds sizes + both pair sides
     val ex = docs.select(col("doc_id"), col("lang"),
-      explode(col("sh")).as("s"))
+      explode(col("sh")).as("s")).tracked()
     val hot = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf).select(col("s"))
-    val kept = ex.join(hot, Seq("s"), "left_anti")
+    val kept = ex.join(hot, Seq("s"), "left_anti").tracked()
     val n = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = kept.select(col("s"), col("lang"), col("doc_id").as("doc_a"))
     val b = kept.select(col("s"), col("lang"), col("doc_id").as("doc_b"))
@@ -324,11 +326,14 @@ object Dedup {
     val corpus = docs.unionByName(translated)
     val sh = corpus.select(col("doc_id"), col("lang"),
       hashedShingles(col("text")).as("sh"))
+    // tracked: ex feeds the hot-shingle census AND the kept side, and
+    // kept feeds three consumers (per-doc sizes + both pair sides) —
+    // unpinned, the shingle kernel re-runs for every reference
     val ex = sh.select(col("doc_id"), col("lang"),
-      explode(col("sh")).as("s"))
+      explode(col("sh")).as("s")).tracked()
     val hot = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf).select(col("s"))
-    val kept = ex.join(hot, Seq("s"), "left_anti")
+    val kept = ex.join(hot, Seq("s"), "left_anti").tracked()
     val n = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val langs = corpus.select(col("doc_id"), col("lang"))
     val a = kept.select(col("s"), col("doc_id").as("doc_a"),

@@ -49,6 +49,18 @@ object Graph {
       .filter(col("src") =!= col("dst"))
   }
 
+  /** Symmetrized edge list, persisted: every iterative consumer joins
+    * it once per round, and without the pin each round's plan re-scans
+    * documents and re-distincts the union — the fixed-round loops
+    * below reference their per-round frames 2× each, so the unpinned
+    * lineage doubles per round (measured r18: q_hits' executed plan
+    * carried 310 Exchange nodes at 2 iterations; planning time alone
+    * was seconds). */
+  private def undirected(e: DataFrame): DataFrame =
+    e.select(col("src"), col("dst"))
+      .unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().tracked()
+
   /**
    * 3-iteration PageRank from the uniform vector, each iteration
    * rounded to 10 decimals in BOTH engines so cross-engine
@@ -61,7 +73,9 @@ object Graph {
     val n = docs.count()
     val e = edges(docs, n)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val withDeg = e.join(outdeg, Seq("src"))
+    // tracked: joined once per iteration — the pin stops each round's
+    // plan from re-scanning documents and re-deriving degrees
+    val withDeg = e.join(outdeg, Seq("src")).tracked()
     var ranks = docs.select(col("doc_id"),
       (lit(1.0) / n.toDouble).as("pr"))
     (1 to iters).foreach { _ =>
@@ -69,11 +83,14 @@ object Graph {
         .join(ranks, withDeg("src") === ranks("doc_id"))
         .select(col("dst"), (col("pr") / col("deg")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      // per-round pin truncates the unrolled lineage (values are
+      // fr-rounded, so materialization cannot change them)
       ranks = docs
         .join(contrib, docs("doc_id") === contrib("dst"), "left")
         .select(docs("doc_id"),
           fr(lit(Teleport / n.toDouble) +
             lit(D) * coalesce(col("in_sum"), lit(0.0)), 10).as("pr"))
+        .tracked()
     }
     ranks.select(col("doc_id"), fr(col("pr") * n.toDouble, 8)
       .as("pr_scaled"))
@@ -109,6 +126,9 @@ object Graph {
       .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
     // direct low → high in the (deg, id) total order
+    // tracked: dir feeds three branches (both wedge sides + the
+    // closing semi-join) — unpinned, the canon/degree chain computes
+    // three times
     val dir = withDeg.select(
       when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")),
@@ -117,6 +137,7 @@ object Graph {
         .otherwise(struct(col("v").as("src"), col("u").as("dst"),
           col("du").as("ddst"))).as("e"))
       .select(col("e.src"), col("e.dst"), col("e.ddst"))
+      .tracked()
     val e1 = dir.select(col("src"), col("dst").as("b"),
       col("ddst").as("db"))
     val e2 = dir.select(col("src"), col("dst").as("c"),
@@ -160,10 +181,7 @@ object Graph {
     val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
     val n = docs.count()
     val e = edges(docs, n)
-    val und = e.select(col("src"), col("dst"))
-      .unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-    propagate(docs, und, iters)
+    propagate(docs, undirected(e), iters)
   }
 
   /** The [[labelPropQuery]] iteration over an explicit node/edge pair
@@ -179,10 +197,13 @@ object Graph {
       val winners = votes.groupBy(col("src"))
         .agg(max_by(col("label"), struct(col("cnt"), -col("label")))
           .as("new_label"))
+      // labels is referenced twice per round (vote join + carry-over
+      // coalesce): unpinned, the lineage doubles every iteration
       labels = labels
         .join(winners, labels("doc_id") === winners("src"), "left")
         .select(labels("doc_id"),
           coalesce(col("new_label"), col("label")).as("label"))
+        .tracked()
     }
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("community_size"))
@@ -210,25 +231,36 @@ object Graph {
     val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
     val n = docs.count()
     val e = edges(docs, n)
+    // tracked: e is joined twice per iteration (authority and hub
+    // halves) — without the pin every half-round re-scans documents
+    val eP = e.tracked()
     var hub = docs.select(col("doc_id"), (lit(1.0) / n.toDouble).as("h"))
     var auth = docs.select(col("doc_id"), lit(0.0).as("a"))
     (1 to iters).foreach { _ =>
-      val rawA = e.join(hub, e("src") === hub("doc_id"))
+      // rawA/rawH feed two branches each (their normalization sum and
+      // the score join); auth/hub feed the next half-round AND the
+      // final readout — every one pins, or the unrolled plan doubles
+      // per half-round (measured r18: 310 Exchange nodes at iters=2)
+      val rawA = eP.join(hub, eP("src") === hub("doc_id"))
         .groupBy(col("dst")).agg(fr(sum(col("h")), 10).as("ra"))
+        .tracked()
       val sumA = rawA.agg(
         sum(col("ra").cast("decimal(24,10)")).cast("double").as("sa"))
       auth = docs.join(rawA, docs("doc_id") === rawA("dst"), "left")
         .crossJoin(broadcast(sumA))
         .select(docs("doc_id"),
           fr(coalesce(col("ra"), lit(0.0)) / col("sa"), 10).as("a"))
-      val rawH = e.join(auth, e("dst") === auth("doc_id"))
+        .tracked()
+      val rawH = eP.join(auth, eP("dst") === auth("doc_id"))
         .groupBy(col("src")).agg(fr(sum(col("a")), 10).as("rh"))
+        .tracked()
       val sumH = rawH.agg(
         sum(col("rh").cast("decimal(24,10)")).cast("double").as("sh"))
       hub = docs.join(rawH, docs("doc_id") === rawH("src"), "left")
         .crossJoin(broadcast(sumH))
         .select(docs("doc_id"),
           fr(coalesce(col("rh"), lit(0.0)) / col("sh"), 10).as("h"))
+        .tracked()
     }
     auth.join(hub.withColumnRenamed("doc_id", "d2"),
         auth("doc_id") === col("d2"))
@@ -259,10 +291,7 @@ object Graph {
     val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
     val n = docs.count()
     val e = edges(docs, n)
-    val und = e.select(col("src"), col("dst"))
-      .unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-    peel(docs, und, k, iters)
+    peel(docs, undirected(e), k, iters)
   }
 
   /** The [[kCoreQuery]] peel over an explicit node/edge pair (edges
@@ -271,12 +300,14 @@ object Graph {
       k: Int, iters: Int): DataFrame = {
     var alive = docs.select(col("doc_id"))
     (1 to iters).foreach { _ =>
+      // alive is referenced twice per round (both endpoints) — the
+      // per-round pin stops the 2^iters lineage blowup
       val deg = und
         .join(alive.withColumnRenamed("doc_id", "src"), Seq("src"))
         .join(alive.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
-      alive = deg.select(col("src").as("doc_id"))
+      alive = deg.select(col("src").as("doc_id")).tracked()
     }
     val finalDeg = und
       .join(alive.withColumnRenamed("doc_id", "src"), Seq("src"))
@@ -315,11 +346,8 @@ object Graph {
     val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
     val n = docs.count()
     val e = edges(docs, n)
-    val und = e.select(col("src"), col("dst"))
-      .unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
     val seeds = docs.filter(pmod(col("doc_id"), lit(97L)) === 0)
-    bfsFrom(docs, und, seeds, iters)
+    bfsFrom(docs, undirected(e), seeds, iters)
   }
 
   /** The [[bfsDistQuery]] relaxation over explicit node/edge/seed
@@ -328,10 +356,13 @@ object Graph {
       seeds: DataFrame, iters: Int): DataFrame = {
     var dist = seeds.select(col("doc_id"), lit(0L).as("dist"))
     (1 to iters).foreach { _ =>
+      // dist is referenced twice per round (relaxation join + carry
+      // union) — per-round pin, the label-prop rule
       val relaxed = und.join(dist, und("src") === dist("doc_id"))
         .select(und("dst").as("doc_id"), (col("dist") + 1L).as("dist"))
       dist = dist.unionAll(relaxed)
         .groupBy(col("doc_id")).agg(min(col("dist")).as("dist"))
+        .tracked()
     }
     docs.join(dist, Seq("doc_id"), "left")
       .select(docs("doc_id"),
@@ -372,10 +403,7 @@ object Graph {
     val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
     val n = docs.count()
     val e = edges(docs, n)
-    val und = e.select(col("src"), col("dst"))
-      .unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-    adamicAdar(und, degCap)
+    adamicAdar(undirected(e), degCap)
   }
 
   /** The [[adamicAdarQuery]] scoring over an explicit symmetric edge
@@ -415,8 +443,11 @@ object Graph {
       .filter(col("deg") >= 2 && col("deg") <= degCap)
       .join(broadcast(wtab), Seq("deg"))
       .select(col("src").as("z"), col("w_micro"))
+    // tracked: adj self-joins (x ⨝ y) — unpinned, both sides re-derive
+    // the adjacency (und itself is referenced 3×: deg, adj, anti-join)
     val adj = und.join(centers, und("src") === centers("z"))
       .select(col("z"), col("w_micro"), und("dst").as("nb"))
+      .tracked()
     val pairs = adj.as("x").join(adj.as("y"),
         col("x.z") === col("y.z") && col("x.nb") < col("y.nb"))
       .select(col("x.nb").as("a"), col("y.nb").as("b"),
@@ -462,15 +493,20 @@ object Graph {
    * global row is a broadcast one-row fold.
    */
   def clusteringCoef(edges: DataFrame): DataFrame = {
+    // tracked: canon feeds the degree count here AND the whole
+    // triangleCounts chain (which canonicalizes again internally)
     val canon = edges
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
+      .tracked()
     val deg = canon.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // tracked: read twice (global one-row fold + per-node readout)
     val joined = deg
       .join(triangleCounts(canon), Seq("node"), "left")
       .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .tracked()
     val global = joined.agg(
       sum(col("n_tri")).as("sum_tri"),
       // integer div, not `/`: long/2 routes through DOUBLE in Spark,
@@ -590,19 +626,19 @@ object Graph {
     val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
     val n = docs.count()
     val e = edges(docs, n)
-    val und = e.select(col("src"), col("dst"))
-      .unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    val und = undirected(e)
       .withColumn("w",
         pmod(col("src") * 7 + col("dst") * 13, lit(5L)) + 1L)
     val seeds = docs.filter(pmod(col("doc_id"), lit(97L)) === 0)
     var dist = seeds.select(col("doc_id"), lit(0L).as("dist"))
     (1 to iters).foreach { _ =>
+      // per-round pin, the bfs rule (dist referenced twice per round)
       val relaxed = und.join(dist, und("src") === dist("doc_id"))
         .select(und("dst").as("doc_id"),
           (col("dist") + col("w")).as("dist"))
       dist = dist.unionAll(relaxed)
         .groupBy(col("doc_id")).agg(min(col("dist")).as("dist"))
+        .tracked()
     }
     docs.join(dist, Seq("doc_id"), "left")
       .select(docs("doc_id"),

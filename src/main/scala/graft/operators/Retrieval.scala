@@ -469,12 +469,14 @@ object Retrieval {
         explode(slice(array_distinct(split(col("text"), " ")), 1,
           qTerms)).as("term"))
     val vocab = queries.select(col("term")).distinct()
-    val tf = docs
+    // tracked: tf feeds both the df census and the contribution join —
+    // unpinned, the full-corpus term explode runs twice (r18)
+    val tf = graft.operators.CacheBin.track(docs
       .select(col("doc_id"), explode(split(col("text"), " "))
         .as("term"))
       .join(broadcast(vocab), Seq("term"))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+      .agg(count(lit(1)).cast("double").as("tf")))
     val df = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
     val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
@@ -493,8 +495,10 @@ object Retrieval {
         (col("tf") * 2.2) / (col("tf") + lit(1.2) *
           (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
         .cast("decimal(20,6)"))
-    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("c")).cast("decimal(38,6)").as("score"))
+    // tracked: read by the positive-score pick AND the ranked negatives
+    val scored = graft.operators.CacheBin.track(
+      contrib.groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("c")).cast("decimal(38,6)").as("score")))
     val pos = scored.filter(col("query_id") === col("doc_id"))
       .select(col("query_id"),
         col("score").cast("string").as("pos_score"))

@@ -424,9 +424,13 @@ object Stats {
    * single-task sorts wearing a partition key as a disguise.
    */
   def spearmanQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.CacheBin.TrackOps
+    // tracked: li feeds BOTH rank grids and the final rank join — the
+    // unpinned form scans + fans out lineitem three times (r18)
     val li = Scale.fanOut(graft.Tables.load(spark, sfDir, "lineitem")
       .select(col("l_returnflag").as("flag"),
         col("l_quantity").as("x"), col("l_extendedprice").as("y")))
+      .tracked()
     def rankGrid(c: String) = {
       val g = li.groupBy(col("flag"), col(c))
         .agg(count(lit(1)).as("cnt"))
