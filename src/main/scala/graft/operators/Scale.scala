@@ -872,28 +872,31 @@ object Scale {
       try (r.getSchema.toString, r.getCompressionKind.name())
       finally r.close()
     }
-    groups.toSeq.sortBy(_._1).map { case (bin, files) =>
-      val binDir = s"$outDir/bin=$bin"
-      val uniform = files.map(layout).distinct.size == 1
-      val mode =
-        if (uniform) {
-          val fs = new org.apache.hadoop.fs.Path(binDir)
-            .getFileSystem(conf)
-          fs.mkdirs(new org.apache.hadoop.fs.Path(binDir))
-          graft.sources.OrcIo.concat(spark, files,
-            s"$binDir/part-00000.orc")
-          "append"
-        } else {
-          graft.sources.OrcIo.write(
-            spark.read.orc(files: _*).coalesce(1), binDir)
-          "rewrite"
-        }
-      val fs = new org.apache.hadoop.fs.Path(binDir).getFileSystem(conf)
-      val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(binDir))
-        .count(s => s.isFile && s.getPath.getName.endsWith(".orc")
-          && !s.getPath.getName.startsWith("_"))
-      (bin, mode, files.size.toLong, outFiles.toLong)
-    }
+    // bins write to disjoint bin=N directories — independent,
+    // overlapped (results keep bin order via the pre-sorted seq)
+    Acid.inParallel(groups.toSeq.sortBy(_._1)
+      .map { case (bin, files) => () =>
+        val binDir = s"$outDir/bin=$bin"
+        val uniform = files.map(layout).distinct.size == 1
+        val mode =
+          if (uniform) {
+            val fs = new org.apache.hadoop.fs.Path(binDir)
+              .getFileSystem(conf)
+            fs.mkdirs(new org.apache.hadoop.fs.Path(binDir))
+            graft.sources.OrcIo.concat(spark, files,
+              s"$binDir/part-00000.orc")
+            "append"
+          } else {
+            graft.sources.OrcIo.write(
+              spark.read.orc(files: _*).coalesce(1), binDir)
+            "rewrite"
+          }
+        val fs = new org.apache.hadoop.fs.Path(binDir).getFileSystem(conf)
+        val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(binDir))
+          .count(s => s.isFile && s.getPath.getName.endsWith(".orc")
+            && !s.getPath.getName.startsWith("_"))
+        (bin, mode, files.size.toLong, outFiles.toLong)
+      })
   }
 
   /**
@@ -921,12 +924,14 @@ object Scale {
     val orders = Tables.load(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
       .withColumn("bucket", pmod(col("o_orderkey"), lit(12L)))
-    (0L until 12L).foreach { b =>
+    // 12 independent single-file fixture writes — overlapped (each is
+    // one tiny coalesced job whose wall was mostly driver gap)
+    Acid.inParallel((0L until 12L).map { b => () =>
       graft.sources.OrcIo.write(
         orders.filter(col("bucket") === b).drop("bucket").coalesce(1),
         s"$dir/in/p$b",
         compression = if (b >= 8L) "zlib" else "snappy")
-    }
+    })
     val conf = spark.sparkContext.hadoopConfiguration
     def partFile(b: Long): String = {
       val p = new org.apache.hadoop.fs.Path(s"$dir/in/p$b")

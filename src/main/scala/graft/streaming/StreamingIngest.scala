@@ -23,6 +23,34 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  */
 object StreamingIngest {
 
+  /** One-time Structured Streaming engine warm-up (r18, run from
+    * Bench's UNTIMED fixture phase): a 2-row file stream through a
+    * stateful aggregate + parquet sink. The first streaming query in
+    * a JVM pays engine init — incremental-planner classes, state-store
+    * provider setup, sink/commit-log codegen — which the sweep
+    * otherwise bills entirely to the alphabetically-first q_stream_*
+    * gate, exactly the JVM/codegen spin-up the q1_agg warm-up already
+    * removes for batch queries. */
+  def warmUpStreaming(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val dir = graft.sources.OrcIo.scratchDir("stream_warmup")
+    Seq((1L, 1L), (2L, 1L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val streamSession = spark.newSession()
+    streamSession.conf.set("spark.sql.shuffle.partitions", "2")
+    val q = streamSession.readStream.schema(schema).parquet(s"$dir/in")
+      .dropDuplicates("k") // stateful: initializes the state store path
+      .writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Micro-batch ORC ingest: append `df`-shaped streaming rows to
     * `outDir` as ORC files with a commit log (the W8 analogue). */
   def orcSink(events: DataFrame, outDir: String, checkpointDir: String,
